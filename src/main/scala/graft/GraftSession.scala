@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical engine session factory. One place for the settings every
+  * entrypoint (Verify, Bench, tests, serving) must agree on:
+  *
+  *  - `local[32]` / 32 shuffle partitions by default: the harness runs a
+  *    single-JVM 32-thread "cluster"; at real scale these become
+  *    `spark.executor.instances` × cores and a shuffle partition count
+  *    sized to ~128 MB per task (AQE coalesces the rest).
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle
+  *    and the reference's `utcnow()` stamping (reference:
+  *    src/ticket_sync.py:89).
+  *  - `nanosAsLong`: the testdata `events.ts` column is parquet
+  *    TIMESTAMP(NANOS), which Spark has no native type for; we read it as
+  *    nanos-since-epoch LongType (ordering-compatible with DuckDB's
+  *    timestamp_ns).
+  *  - AQE on (default in Spark 4) with skew-join handling — at 100 TB the
+  *    fact-side shuffles must survive key skew without manual salting.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def apply(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

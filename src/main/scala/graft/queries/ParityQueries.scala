@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Denormalize
+import graft.sources.Tables
+
+/** Reference-parity operator inventory (SURVEY §2), each entry named after
+  * its SURVEY id and re-expressed on the testdata star schema. Every query
+  * here has a DuckDB oracle in [[oracleSql]] — names and column aliases are
+  * kept in lockstep because the driver's compare hashes by column name.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val RunTs: String = Denormalize.RunTs
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §3.2 flagship: full denormalized ticket pipeline.
+    "denorm_tickets" -> ((s, dir) =>
+      Denormalize(
+        t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+
+    // S1+P1: full scan with pushed filter + pruned projection
+    // (reference: SELECT * WHERE "deletedAt" IS NULL, src/db_connector.py:142).
+    "s1_scan_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("l_extendedprice"))),
+
+    // S3+A1: COUNT scan (reference: src/db_connector.py:308-316).
+    "s3_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // P3: projection with aliasing (reference: 17-col SELECT ... AS,
+    // src/db_connector.py:270-287).
+    "p3_projection" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("ticket_id"),
+        col("o_orderstatus").as("ticket_status"),
+        col("o_orderpriority").as("ticket_priority"),
+        col("o_orderdate").as("ticket_created"),
+        col("o_totalprice").as("ticket_total"))),
+
+    // P4: namespacing projection + table discriminator
+    // (reference: data_lake_sync.py:152-164).
+    "p4_namespacing" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(c.columns.map(cn => col(cn).as(s"customer_$cn")): _*)
+        .withColumn("table", lit("customer"))
+    }),
+
+    // P5+F5: per-field type coercion — id→string, timestamp→ISO-8601
+    // (reference: src/ticket_sync.py:106-119, src/json_encoder.py:12-18).
+    "p5_type_coercion" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("id_str"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("created_iso"))),
+
+    // P7: required-field validation + deterministic defaulting
+    // (reference: prepare_entity_data, src/utils.py:69-125).
+    "p7_validate_default" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(
+          coalesce(col("event_id").cast("string"),
+                   md5(concat_ws("|", col("user_id"), col("value"))))
+            .as("id"),
+          coalesce(col("event_type"), lit("unknown")).as("event_type"),
+          coalesce(col("props"), lit("{}")).as("props"))),
+
+    // J1/J6: inner equi join fact→dim (reference: TicketStatus⋈Status,
+    // src/db_connector.py:266).
+    "j1_inner_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier"); val nat = t(s, dir, "nation")
+      sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                col("n_name").as("nation_name"))
+    }),
+
+    // J3-J5: chained left joins to broadcast dimension tables
+    // (reference: Ticket ⟕ Module ⟕ DataSource ⟕ User,
+    // src/db_connector.py:290-292).
+    "j3_broadcast_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+                col("n_name").as("module_name"),
+                col("r_name").as("datasource_name"))
+    }),
+
+    // J7: self-join parent lookup (reference: module parentId probe,
+    // src/data_sync.py:509-514).
+    "j7_self_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation").alias("n")
+      val p = t(s, dir, "nation").alias("p")
+      n.join(p, col("n.n_regionkey") === col("p.n_nationkey"), "left")
+        .select(col("n.n_nationkey").as("id"), col("n.n_name").as("name"),
+                col("p.n_name").as("parent_name"))
+    }),
+
+    // A2/J8/J9: group-to-array of labels per ticket, deterministic order
+    // (reference: src/document_utils.py:78-99).
+    "a2_group_to_array" -> ((s, dir) =>
+      Denormalize.labelsPerOrder(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .select(col("l_orderkey"),
+                array_join(col("label_names"), "|").as("labels"))),
+
+    // W1+O2: latest row per key via ranking window (reference: DISTINCT ON,
+    // src/db_connector.py:262-269). ts kept out of the output: the parquet
+    // column is ns-precision, which Spark truncates to µs but DuckDB keeps.
+    "w1_latest_per_key" -> ((s, dir) =>
+      Denormalize.latestPerKey(
+        t(s, dir, "events"), "user_id",
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+                col("event_type").as("last_event_type"))),
+
+    // O1: global sort (reference: ORDER BY t."number",
+    // src/db_connector.py:300).
+    "o1_global_sort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // O3: limit/top-k with total-order tiebreak (reference pagination,
+    // data_lake_sync.py:130-134; LIMIT without OFFSET — partitioned reads
+    // replace OFFSET pagination at scale).
+    "o3_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // F2/F3/F6: deterministic document ids — id_timestamp and md5 content
+    // hash (reference: src/ticket_sync.py:138; data_lake_sync.py:72-82).
+    "f2_doc_id" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws("_", col("c_custkey"), lit(RunTs)).as("document_id"),
+        md5(concat_ws("|", col("c_custkey"), col("c_name"),
+                      col("c_nationkey"), col("c_mktsegment")))
+          .as("content_hash"))),
+
+    // F7: JSON field extraction from a free-form payload column
+    // (reference: json.loads of ticket `data`, src/ticket_sync.py:122-128).
+    "f7_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // R1+P2: single-record re-sync — flagship pipeline filtered to one key;
+    // Catalyst pushes the point predicate below the joins
+    // (reference: src/routes/ticket_routes.py:212-264).
+    "r1_point_lookup" -> ((s, dir) =>
+      Denormalize(
+        t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+        .filter(col("ticket_number") === 42)),
+
+    // Q1: multi-field full-text-ish search (reference: ES multi_match,
+    // src/search_api.py:16-36). Parity target is the retrieval set.
+    "q1_search" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(lower(col("text")).contains("window") ||
+                lower(col("source")).contains("window"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Headline aggregation (TPC-H Q1 shape) — exercises partial+final agg.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // Headline join+agg+topk (TPC-H Q3 shape).
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Headline multi-join agg (TPC-H Q5 shape) — broadcast dims + one fact
+    // shuffle.
+    "q5_region_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — column aliases in lockstep with the Spark queries.
+  // ---------------------------------------------------------------------
+
+  private val denormSql: String =
+    """WITH latest AS (
+      |  SELECT l_orderkey, l_returnflag AS status_flag,
+      |         l_linestatus AS status_name, l_shipdate AS status_at
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY l_orderkey
+      |          ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      |        FROM lineitem) WHERE rn = 1
+      |), labels AS (
+      |  SELECT l_orderkey,
+      |         string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS labels
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY l_orderkey
+      |)
+      |SELECT CAST(o.o_orderkey AS VARCHAR) AS ticket_id,
+      |       o.o_orderkey AS ticket_number,
+      |       o.o_orderdate AS ticket_created,
+      |       o.o_orderstatus AS ticket_status,
+      |       ls.status_flag, ls.status_name, ls.status_at,
+      |       c.c_name AS user_name,
+      |       n.n_name AS module_name,
+      |       r.r_name AS datasource_name,
+      |       lb.labels AS labels,
+      |       round(o.o_totalprice, 2) AS total_price,
+      |       concat(o.o_orderkey, '_', '%RUNTS%') AS document_id,
+      |       TIMESTAMP '2026-01-01 00:00:00' AS indexed_at
+      |FROM orders o
+      |LEFT JOIN latest ls ON o.o_orderkey = ls.l_orderkey
+      |LEFT JOIN labels lb ON o.o_orderkey = lb.l_orderkey
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"""
+      .stripMargin.replace("%RUNTS%", RunTs)
+
+  def oracleSql: Map[String, String] = Map(
+    "denorm_tickets" -> denormSql,
+
+    "s1_scan_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+       "FROM lineitem WHERE l_returnflag = 'R'"),
+
+    "s3_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "p3_projection" ->
+      ("SELECT o_orderkey AS ticket_id, o_orderstatus AS ticket_status, " +
+       "o_orderpriority AS ticket_priority, o_orderdate AS ticket_created, " +
+       "o_totalprice AS ticket_total FROM orders"),
+
+    "p4_namespacing" ->
+      ("SELECT c_custkey AS customer_c_custkey, c_name AS customer_c_name, " +
+       "c_nationkey AS customer_c_nationkey, " +
+       "c_acctbal AS customer_c_acctbal, " +
+       "c_mktsegment AS customer_c_mktsegment, 'customer' AS \"table\" " +
+       "FROM customer"),
+
+    "p5_type_coercion" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS id_str, " +
+       "strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS created_iso " +
+       "FROM orders"),
+
+    "p7_validate_default" ->
+      ("SELECT coalesce(CAST(event_id AS VARCHAR), " +
+       "md5(concat_ws('|', user_id, value))) AS id, " +
+       "coalesce(event_type, 'unknown') AS event_type, " +
+       "coalesce(props, '{}') AS props " +
+       "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"),
+
+    "j1_inner_join" ->
+      ("SELECT s_suppkey, s_name, n_name AS nation_name " +
+       "FROM supplier JOIN nation ON s_nationkey = n_nationkey"),
+
+    "j3_broadcast_dims" ->
+      ("SELECT c_custkey, c_name, n_name AS module_name, " +
+       "r_name AS datasource_name FROM customer " +
+       "LEFT JOIN nation ON c_nationkey = n_nationkey " +
+       "LEFT JOIN region ON n_regionkey = r_regionkey"),
+
+    "j7_self_join" ->
+      ("SELECT n.n_nationkey AS id, n.n_name AS name, " +
+       "p.n_name AS parent_name FROM nation n " +
+       "LEFT JOIN nation p ON n.n_regionkey = p.n_nationkey"),
+
+    "a2_group_to_array" ->
+      ("SELECT l_orderkey, " +
+       "string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS labels " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "GROUP BY l_orderkey"),
+
+    "w1_latest_per_key" ->
+      ("SELECT user_id, event_id AS last_event_id, " +
+       "event_type AS last_event_type FROM (" +
+       "SELECT *, row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"),
+
+    "o1_global_sort" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey"),
+
+    "o3_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "f2_doc_id" ->
+      (s"SELECT c_custkey, concat_ws('_', c_custkey, '$RunTs') " +
+       "AS document_id, md5(concat_ws('|', c_custkey, c_name, " +
+       "c_nationkey, c_mktsegment)) AS content_hash FROM customer"),
+
+    "f7_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) " +
+       "AS k FROM events"),
+
+    "r1_point_lookup" ->
+      (s"SELECT * FROM ($denormSql) WHERE ticket_number = 42"),
+
+    "q1_search" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+       "WHERE contains(lower(text), 'window') " +
+       "OR contains(lower(source), 'window')"),
+
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+       "round(avg(l_quantity), 4) AS avg_qty, " +
+       "count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+       "GROUP BY l_returnflag, l_linestatus"),
+
+    "q3_top_revenue" ->
+      ("SELECT o_orderkey, o_orderdate, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE c_mktsegment = 'BUILDING' " +
+       "GROUP BY o_orderkey, o_orderdate " +
+       "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+
+    "q5_region_revenue" ->
+      ("SELECT n_name, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' GROUP BY n_name")
+  )
+}
