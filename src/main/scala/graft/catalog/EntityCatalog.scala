@@ -1,0 +1,65 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative per-entity sync catalog — the replacement for the
+  * reference's five copy-pasted ~150-line sync functions
+  * (src/data_sync.py:20-921) and its two *drifting* hand-written mapping
+  * dict sets (src/utils.py:127-220 vs src/ticket_sync.py:29-62). One
+  * [[EntitySpec]] per entity + one generic [[pipeline]] = same behavior,
+  * an order of magnitude less code, and the mapping is derived from the
+  * schema so it cannot drift.
+  */
+final case class EntitySpec(
+    name: String,
+    idCol: String,
+    /** Non-null columns a valid document must carry (reference:
+      * `prepare_entity_data` required map, src/utils.py:82-89). */
+    requiredCols: Seq[String],
+    /** Free-form JSON string columns to keep as strings + expose via
+      * get_json_object (SURVEY §7.4 untyped-JSON stance). */
+    jsonCols: Seq[String] = Nil)
+
+object EntityCatalog {
+
+  /** The testdata star schema as an entity catalog (the analog of the
+    * reference's pinned `tables_to_sync`, src/db_connector.py:15-18). */
+  val entities: Map[String, EntitySpec] = Map(
+    "customer" -> EntitySpec("customer", "c_custkey", Seq("c_custkey", "c_name")),
+    "supplier" -> EntitySpec("supplier", "s_suppkey", Seq("s_suppkey", "s_name")),
+    "part"     -> EntitySpec("part", "p_partkey", Seq("p_partkey", "p_name")),
+    "orders"   -> EntitySpec("orders", "o_orderkey", Seq("o_orderkey", "o_custkey")),
+    "nation"   -> EntitySpec("nation", "n_nationkey", Seq("n_nationkey", "n_name")),
+    "region"   -> EntitySpec("region", "r_regionkey", Seq("r_regionkey", "r_name")),
+    "events"   -> EntitySpec("events", "event_id", Seq("event_id", "user_id"),
+      jsonCols = Seq("props")))
+
+  /** P7: required-field validation predicate. */
+  def validPredicate(spec: EntitySpec): Column =
+    spec.requiredCols.map(col(_).isNotNull).reduce(_ && _)
+
+  /** P4: prefix every column `<entity>_<col>` + `table` discriminator
+    * (reference: data_lake_sync.py:152-164). */
+  def namespaced(df: DataFrame, spec: EntitySpec): DataFrame =
+    df.select(df.columns.map(c =>
+        col(c).as(s"${spec.name}_$c")): _*)
+      .withColumn("table", lit(spec.name))
+
+  /** The generic entity sync document pipeline: validate → namespace →
+    * lineage (`document_id = {id}_{runTs}`, `indexed_at` — reference:
+    * src/data_sync.py:93-115). Pure DataFrame transform; the caller
+    * hands the result to DocumentSink. */
+  def pipeline(df: DataFrame, spec: EntitySpec, runTs: String): DataFrame = {
+    val valid = df.filter(validPredicate(spec))
+    namespaced(valid, spec)
+      .withColumn("document_id",
+        concat_ws("_", col(s"${spec.name}_${spec.idCol}"), lit(runTs)))
+      .withColumn("indexed_at", lit(runTs).cast("timestamp"))
+  }
+
+  /** Rows failing validation — the error side-output the reference
+    * accumulates per-batch (src/data_sync.py:66-171). */
+  def rejects(df: DataFrame, spec: EntitySpec): DataFrame =
+    df.filter(!validPredicate(spec))
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline layer —
+  * the capabilities a 100 TB document-corpus engine needs beyond the
+  * reference's ETL surface (reference has none of these; its only text
+  * handling is ES full-text search delegation, src/search_api.py:16-36).
+  *
+  * Everything here is pure `Column` composition over built-in functions —
+  * whole-stage-codegen friendly, no UDFs, no driver-side work — so these
+  * run at scan speed and stay inside one WholeStageCodegen span per
+  * projection. Each function is mirrored by ANSI SQL in the DuckDB oracle
+  * (ParityQueries.oracleSql) to pin semantics.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, empty tokens dropped (split on ^\s or a
+    * leading separator produces ""). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles, the unit of near-dup detection. Docs shorter
+    * than n words contribute their whole text as one shingle so they can
+    * still exact-match. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", ts)))
+  }
+
+  /** Small fixed stopword lexicons per language; the unit for both the
+    * stopword-ratio quality signal and the n-gram/lexicon language-ID
+    * heuristic. Deliberately tiny + hard-coded: at 100 TB the lexicon is a
+    * broadcast variable, never a shuffle. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+    "that", "for")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "es",
+    "se", "no")
+  val StopwordsDe = Seq("der", "die", "und", "das", "ist", "ich", "nicht",
+    "mit", "ein", "zu")
+  val StopwordsFr = Seq("le", "la", "et", "les", "des", "est", "une", "du",
+    "que", "pas")
+
+  private def lexiconHits(ts: Column, lexicon: Seq[String]): Column =
+    size(filter(ts, t => array_contains(
+      array(lexicon.map(lit): _*), t)))
+
+  /** Fraction of tokens that are (English) stopwords — the classic
+    * fluency/quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      round(lexiconHits(ts, StopwordsEn).cast("double") / size(ts), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters to total length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      round(length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+        .cast("double") / length(text), 4))
+      .otherwise(lit(0.0))
+
+  def avgWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      round(aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(ts), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document-quality score in [0,1]: token-count saturation,
+    * stopword fluency, and a word-length prior centered on ~4.5 chars.
+    * The exact formula is arbitrary but pinned by the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    round(
+      least(nTok, lit(100.0)) / 100.0 * 0.5 +
+        stopwordRatio(text) * 0.3 +
+        greatest(lit(0.0),
+          lit(1.0) - abs(avgWordLen(text) - 4.5) / 10.0) * 0.2,
+      4)
+  }
+
+  /** Lexicon-hit language ID with a fixed priority order (en, es, de, fr)
+    * for ties; 'und' when nothing matches. A real engine swaps in a
+    * character-n-gram model; the *shape* (pure per-row projection, no
+    * shuffle, broadcastable model) is what matters at scale. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val en = lexiconHits(ts, StopwordsEn)
+    val es = lexiconHits(ts, StopwordsEs)
+    val de = lexiconHits(ts, StopwordsDe)
+    val fr = lexiconHits(ts, StopwordsFr)
+    when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set. Two docs with the same vocabulary collide — a cheap
+    * near-dup prefilter upstream of shingle-based methods. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), "|"))
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd,
+    * seed-stable): for each bit position, sum +1/-1 votes across token
+    * hashes; bit set iff the vote is positive. One array traversal per
+    * row (array-of-64 vote accumulator folded with zip_with), integer
+    * column arithmetic only — no UDF, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val ts = array_distinct(tokens(text))
+    val votes = aggregate(
+      ts,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks,
+          (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline layer: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. The reference has no dedup
+  * surface (its nearest relative is content-hash doc ids,
+  * data_lake_sync.py:72-82 — our [[exact]] generalizes that); these are
+  * the additions a 100 TB corpus engine needs.
+  *
+  * Scale design notes (the part the small-SF tests can't show):
+  *  - Every method reduces the O(n²) pair space to per-bucket joins whose
+  *    keys are *hashes* (band hash, simhash band, LSH bucket), never raw
+  *    content — bucket cardinality stays bounded and the join shuffles
+  *    only (id, small-fixed-width-key) rows, not documents.
+  *  - MinHash banding is the canonical 100 TB path: signature build is one
+  *    explode + hash-agg (shuffle on doc id, combiner-friendly mins), then
+  *    a self-equi-join on (band, bandHash) whose groups are true
+  *    candidates only. The verify step re-computes exact Jaccard for
+  *    candidates alone.
+  *  - Direct [[jaccardPairs]] (inverted shingle index) is quadratic in
+  *    the hottest shingle's document frequency; it drops
+  *    top-`maxShingleDf` shingles the way production dedup pipelines drop
+  *    boilerplate n-grams. Kept mainly as the small-scale oracle of truth.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per md5(text) — keeps the minimum id, the
+    * deterministic generalization of "same content ⇒ same document id"
+    * (reference: data_lake_sync.py:72-82). One hash-agg shuffle on the
+    * 32-char digest; at 100 TB this is the cheapest possible full-corpus
+    * dedup (map-side partial mins, no document bodies shuffled). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+           count(lit(1)).as("dup_count"))
+
+  /** Per-document MinHash signature: `numHashes` independent min-hashes
+    * over word `n`-gram shingles. Hash_i(s) = md5("i|s") compared as a
+    * *string* — lexicographic min over hex digests is engine-portable
+    * (identical in DuckDB), which is what lets the oracle pin this. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat_ws("|", lit(i), col("sh")))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** LSH banding over the MinHash signature: `bands` bands of
+    * `numHashes/bands` rows; a pair sharing any band hash is a candidate.
+    * With 16 hashes in 4 bands the match threshold is ≈ (1/4)^(1/4) ≈ 0.7
+    * Jaccard. Returns distinct (doc_a < doc_b) candidate pairs. */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandHashes = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until r).map(i => col(s"sig_${b * r + i}")): _*)).as("h"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandHashes: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.h"))
+    val a = banded.select(col("band"), col("h"), col(idCol).as("doc_a"))
+    val b = banded.select(col("band"), col("h"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Per-doc distinct shingle sets — the verify-side input. */
+  private def shingleSets(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("shset"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** The full 100 TB near-dup pipeline: MinHash-LSH candidates, then
+    * exact Jaccard verification of candidates only. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.7): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
+    val sets = shingleSets(docs, idCol, textCol, n)
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("sb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dups via an inverted shingle index
+    * (explode → self-join on shingle → count common). Ground truth at
+    * small scale; at 100 TB use [[minhashNearDups]] — this one's join
+    * fan-out is quadratic in per-shingle document frequency, so shingles
+    * appearing in more than `maxShingleDf` docs (boilerplate) are
+    * dropped from candidate generation. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inv = sets.select(col(idCol), explode(col("shset")).as("sh"))
+    val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    val invR = inv.join(rare.select("sh"), Seq("sh"))
+    val common = invR.select(col("sh"), col(idCol).as("doc_a"))
+      .join(invR.select(col("sh"), col(idCol).as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sets.select(col(idCol).as("doc_a"), size(col("shset")).as("na")),
+        Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), size(col("shset")).as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dups: 64-bit signature per doc, candidates share one of
+    * four exact 16-bit bands (any pair within Hamming distance 3 must
+    * agree on ≥1 band — pigeonhole), verified by `bit_count(a xor b)`.
+    * All integer ops, fully codegen'd; the self-join key is a (band,
+    * 16-bit chunk) pair so bucket sizes stay tiny at corpus scale. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      simhash64(col(textCol)).as("sig"))
+    val chunks = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("chunk")))
+    val banded = sigs
+      .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("bc"))
+      .select(col(idCol), col("sig"), col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dups over an Array[Float] column: normalized
+    * dot product ≥ `minCosine`, pairs (a < b). Brute-force pair join —
+    * the small-scale ground truth; the scale path is
+    * [[Similarity.lshBuckets]]-style bucketing first (same verify step).
+    * Float vectors are cast to double before any arithmetic so results
+    * are bit-stable across engines. */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.45): DataFrame = {
+    val v = Similarity.normalized(emb, idCol, vecCol)
+    val a = v.select(col(idCol).as("vec_a"), col("unit").as("ua"))
+    val b = v.select(col(idCol).as("vec_b"), col("unit").as("ub"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(Similarity.dot(col("ua"), col("ub")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

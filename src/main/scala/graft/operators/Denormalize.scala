@@ -45,12 +45,17 @@ object Denormalize {
       .filter(col("rn") === 1)
       .drop("rn")
 
-  /** Latest lineitem ("status") per order, newest shipdate first, line
-    * number as the deterministic tiebreak. */
+  /** Latest lineitem ("status") per order, newest shipdate first. The
+    * tiebreak chain (linenumber, returnflag, linestatus desc) is total
+    * over every *projected* column — the synthetic data contains rows
+    * duplicated even in (orderkey, shipdate, linenumber), so any shorter
+    * chain leaves the winner engine-dependent (SURVEY §7.4 DISTINCT ON
+    * determinism risk, observed for real at sf0.01). */
   def latestStatus(lineitem: DataFrame): DataFrame =
     latestPerKey(
       lineitem, "l_orderkey",
-      Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_returnflag").desc, col("l_linestatus").desc))
       .select(
         col("l_orderkey"),
         col("l_returnflag").as("status_flag"),

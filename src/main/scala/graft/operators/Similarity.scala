@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — a training-data-pipeline addition beyond the
+  * reference (whose only similarity surface is delegated ES full-text
+  * scoring, src/search_api.py:16-36).
+  *
+  * Two tiers, as a 100 TB engine needs:
+  *  - [[topK]]: brute-force cosine top-k — exact, O(|queries|·|corpus|),
+  *    correct whenever the query set is small enough to broadcast. The
+  *    corpus is never shuffled: queries broadcast to every corpus
+  *    partition, partial top-k per partition, final top-k via one tiny
+  *    shuffle of k·|queries| rows (the window is over query_id, and
+  *    AQE-coalesced).
+  *  - [[lshTopK]]: random-hyperplane LSH — signature from `nPlanes` fixed
+  *    pseudo-random planes (seeded, driver-generated literals: no
+  *    nondeterminism, no model state), candidates = same bucket, exact
+  *    cosine re-rank within bucket. Recall < 1 by construction; the
+  *    bucket join shuffles only (id, int bucket) pairs.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns: one zip_with + aggregate,
+    * codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (id, unit) with the float vector cast to double and L2-normalized;
+    * cosine then reduces to a plain dot product. Zero-norm vectors are
+    * dropped (undefined direction). */
+  def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = transform(col(vecCol), x => x.cast("double"))
+    emb
+      .withColumn("norm", sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)))
+      .filter(col("norm") > 0)
+      .withColumn("unit", transform(d, x => x / col("norm")))
+      .select(col(idCol), col("unit"))
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded), deterministically tie-broken
+    * by neighbor id. */
+  def topK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("unit").as("uc"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("unit").as("uq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_exact").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_exact", dot(col("uq"), col("uc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_exact"), 4).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` × `dim` signs from a
+    * fixed seed, emitted as literal arrays (broadcast by the plan — the
+    * "model" never touches an executor-side state store). */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Column] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(
+      array(Seq.fill(dim)(lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+  }
+
+  /** Sign-bit bucket id from the hyperplane projections: bit i set iff
+    * dot(v, plane_i) > 0. Integer bucket = candidate-join key. */
+  def lshBuckets(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, nPlanes, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(col("unit"), p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    normalized(emb, idCol, vecCol).withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k via LSH bucketing: candidates share the query's bucket,
+    * exact cosine re-rank inside the bucket. Trades recall for a
+    * corpus-partitionable equi-join — the 100 TB path. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = lshBuckets(corpus, idCol, vecCol, dim, nPlanes, seed)
+      .select(col("bucket"), col(idCol).as("neighbor_id"), col("unit").as("uc"))
+    val q = lshBuckets(queries, idCol, vecCol, dim, nPlanes, seed)
+      .select(col("bucket"), col(idCol).as("query_id"), col("unit").as("uq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_exact").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_exact", dot(col("uq"), col("uc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_exact"), 4).as("cosine"))
+  }
+}

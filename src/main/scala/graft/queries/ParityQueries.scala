@@ -179,6 +179,21 @@ object ParityQueries {
                 lower(col("source")).contains("window"))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Q1 scored variant: occurrence-count relevance + top-k (the serving
+    // layer's ranking approximation of ES multi_match scoring).
+    "q1_search_scored" -> ((s, dir) =>
+      graft.serving.Search.multiField(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        "window", Seq("text", "source"))),
+
+    // Generic catalog-driven entity sync: validate → namespace → lineage
+    // (reference: the per-entity sync functions, src/data_sync.py:20-921,
+    // collapsed to one declarative pipeline).
+    "sync_entity_docs" -> ((s, dir) =>
+      graft.catalog.EntityCatalog.pipeline(
+        t(s, dir, "customer"),
+        graft.catalog.EntityCatalog.entities("customer"), RunTs)),
+
     // Headline aggregation (TPC-H Q1 shape) — exercises partial+final agg.
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -234,7 +249,8 @@ object ParityQueries {
       |         l_linestatus AS status_name, l_shipdate AS status_at
       |  FROM (SELECT *, row_number() OVER (
       |          PARTITION BY l_orderkey
-      |          ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      |          ORDER BY l_shipdate DESC, l_linenumber DESC,
+      |                   l_returnflag DESC, l_linestatus DESC) AS rn
       |        FROM lineitem) WHERE rn = 1
       |), labels AS (
       |  SELECT l_orderkey,
@@ -346,6 +362,27 @@ object ParityQueries {
       ("SELECT doc_id, lang, source FROM documents " +
        "WHERE contains(lower(text), 'window') " +
        "OR contains(lower(source), 'window')"),
+
+    "q1_search_scored" ->
+      ("SELECT doc_id, text, source, score FROM (" +
+       "SELECT doc_id, text, source, " +
+       "CAST((length(coalesce(text,'')) - " +
+       "length(replace(lower(coalesce(text,'')), 'window', ''))) / 6 + " +
+       "(length(coalesce(source,'')) - " +
+       "length(replace(lower(coalesce(source,'')), 'window', ''))) / 6 " +
+       "AS INT) AS score FROM documents) " +
+       "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"),
+
+    "sync_entity_docs" ->
+      (s"SELECT c_custkey AS customer_c_custkey, " +
+       "c_name AS customer_c_name, " +
+       "c_nationkey AS customer_c_nationkey, " +
+       "c_acctbal AS customer_c_acctbal, " +
+       "c_mktsegment AS customer_c_mktsegment, " +
+       "'customer' AS \"table\", " +
+       s"concat_ws('_', c_custkey, '$RunTs') AS document_id, " +
+       "TIMESTAMP '2026-01-01 00:00:00' AS indexed_at " +
+       "FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL"),
 
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline queries (dedup, similarity search, text
+  * analysis, multimodal) over the `documents` and `embeddings` tables —
+  * the beyond-reference layer. Oracle SQL validated against DuckDB 1.0;
+  * entries without an oracle (simhash, LSH ANN: their hash functions
+  * don't exist in DuckDB) get the driver's rows-only check.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_analysis" -> ((s, dir) => {
+      import TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        avgWordLen(col("text")).as("avg_wlen"),
+        langId(col("text")).as("lang_id"),
+        qualityScore(col("text")).as("quality"),
+        fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, dim = 64)
+    }),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF())
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (validated in tools/dev_oracles.py).
+  // ---------------------------------------------------------------------
+
+  /** Tokenize + shingle CTEs shared by the dedup oracles — mirrors
+    * TextFunctions.tokens / TextFunctions.shingles(n=3). */
+  private val ShingleCtes =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(ts) >= 3
+      |    THEN list_distinct(list_transform(generate_series(1, len(ts)-2),
+      |         i -> array_to_string(ts[i:i+2],' ')))
+      |    ELSE [array_to_string(ts,' ')] END AS shset
+      |  FROM toks
+      |)""".stripMargin
+
+  private val minhashSql: String = {
+    val sigs = (0 until 16)
+      .map(i => s"min(md5('$i|' || s)) AS sig_$i").mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig_${4 * b}||'|'||sig_${4 * b + 1}" +
+        s"||'|'||sig_${4 * b + 2}||'|'||sig_${4 * b + 3}) AS h FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""$ShingleCtes,
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |sigs AS (SELECT doc_id, $sigs FROM ex GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.shset, sb.shset))), 4)
+       |    AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |          JOIN sh sb ON sb.doc_id = cand.doc_b
+       |WHERE jaccard >= 0.7""".stripMargin
+  }
+
+  private val jaccardSql: String =
+    s"""$ShingleCtes,
+       |inv AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |rare AS (SELECT s FROM inv GROUP BY s
+       |         HAVING count(*) <= 1000 AND count(*) >= 2),
+       |invr AS (SELECT inv.doc_id, inv.s FROM inv JOIN rare
+       |         ON inv.s = rare.s),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM invr a JOIN invr b ON a.s = b.s WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) /
+       |        (len(sa.shset) + len(sb.shset) - common), 4) AS jaccard
+       |FROM common JOIN sh sa ON sa.doc_id = doc_a
+       |            JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE jaccard >= 0.8""".stripMargin
+
+  private def lex(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val textAnalysisSql: String = {
+    import TextFunctions._
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, ts,
+       |    len(ts) AS n_tokens,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEn)}, t)))
+       |      AS hits_en,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEs)}, t)))
+       |      AS hits_es,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsDe)}, t)))
+       |      AS hits_de,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsFr)}, t)))
+       |      AS hits_fr,
+       |    CASE WHEN length(text) > 0 THEN
+       |      round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+       |        'g')) AS DOUBLE) / length(text), 4) ELSE 0.0 END
+       |      AS punct_ratio
+       |  FROM toks
+       |), derived AS (
+       |  SELECT doc_id, n_tokens, punct_ratio, ts,
+       |    CASE WHEN n_tokens > 0
+       |      THEN round(CAST(hits_en AS DOUBLE) / n_tokens, 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN n_tokens > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, t -> length(t)))
+       |           AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS avg_wlen,
+       |    CASE WHEN hits_en >= greatest(hits_es, hits_de, hits_fr)
+       |           AND hits_en > 0 THEN 'en'
+       |         WHEN hits_es >= greatest(hits_de, hits_fr) AND hits_es > 0
+       |           THEN 'es'
+       |         WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+       |         WHEN hits_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang_id
+       |  FROM feat
+       |)
+       |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_wlen, lang_id,
+       |  round(least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |        stop_ratio * 0.3 +
+       |        greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2, 4)
+       |    AS quality,
+       |  md5(array_to_string(list_sort(list_distinct(ts)), '|'))
+       |    AS fingerprint
+       |FROM derived""".stripMargin
+  }
+
+  /** Unit-vector CTE shared by the embedding oracles — mirrors
+    * Similarity.normalized. */
+  private val UnitCte =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+      |      AS norm,
+      |    embedding::DOUBLE[] AS e
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT vec_id, list_transform(e, x -> x / norm) AS unit
+      |  FROM v WHERE norm > 0
+      |)""".stripMargin
+
+  private val annSql: String =
+    s"""$UnitCte, pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, len(q.unit)),
+       |             i -> q.unit[i] * c.unit[i])) AS cos_exact
+       |  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_exact DESC, neighbor_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_exact, 4) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  private val embNearDupSql: String =
+    s"""$UnitCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_sum(list_transform(generate_series(1, len(a.unit)),
+       |        i -> a.unit[i] * b.unit[i])), 4) AS cosine
+       |FROM u a JOIN u b ON a.vec_id < b.vec_id
+       |WHERE cosine >= 0.45""".stripMargin
+
+  private val multimodalSql: String =
+    """SELECT doc_id AS media_id, 'text' AS media_type,
+      |  octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
+      |  concat_ws(',', octet_length(encode(text)) % 256,
+      |    (octet_length(encode(text)) * 7) % 256,
+      |    (octet_length(encode(text)) * 31) % 256,
+      |    (octet_length(encode(text)) * 127) % 256) AS feature_str
+      |FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_analysis" -> textAnalysisSql,
+    "dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +
+       "count(*) AS dup_count FROM documents GROUP BY 1"),
+    "dedup_minhash" -> minhashSql,
+    "dedup_jaccard" -> jaccardSql,
+    "dedup_embedding" -> embNearDupSql,
+    "ann_topk" -> annSql,
+    "multimodal_features" -> multimodalSql
+    // dedup_simhash, ann_lsh_topk: xxhash64 / seeded hyperplanes are not
+    // reproducible in DuckDB — driver records the rows-only check.
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.sinks.DocumentSink
+
+/** Incremental/streaming sync — the generalization of the reference's
+  * request-driven single-record re-sync (reference:
+  * src/routes/ticket_routes.py:212-264 re-runs the extraction filtered
+  * to one id and upserts by bare id) to a Structured Streaming changelog
+  * pipeline, the shape its `Historic` audit table (schema.sql:26-44)
+  * implies but never got.
+  *
+  * Design: the changelog is an append-only event stream with event time
+  * `ts`; each micro-batch
+  *  1. reduces to the latest row per key *within the batch* (`max_by` —
+  *     the batch-local form of the W1 latest-per-key window), then
+  *  2. upserts into the document lake by `document_id`
+  *     ([[DocumentSink.upsert]] — REST-path overwrite semantics).
+  *
+  * Watermarking bounds state for the windowed-aggregation variant
+  * ([[windowedCounts]]); the upsert path itself is stateless across
+  * batches (idempotent by id), which is what makes it safe to replay —
+  * exactly why the reference made REST re-sync overwrite by bare id.
+  *
+  * Scale: one shuffle per micro-batch on the entity key (the same key
+  * the lake is laid out by); watermark + window state lives in the state
+  * store, partitioned by key — no driver state.
+  */
+object IncrementalSync {
+
+  /** Batch-local latest-per-key reduction: `max_by(struct(*), orderCol)`
+    * — one combiner-friendly hash-agg, no window/sort shuffle. */
+  def latestPerKeyInBatch(batch: DataFrame, keyCol: String,
+                          orderCol: String): DataFrame = {
+    val valueCols = batch.columns.filter(_ != keyCol)
+    batch.groupBy(col(keyCol))
+      .agg(max_by(struct(valueCols.map(col): _*), col(orderCol)).as("v"))
+      .select(col(keyCol) +: valueCols.map(c => col(s"v.$c")): _*)
+  }
+
+  /** foreachBatch upsert writer: changelog stream → latest-per-key →
+    * upsert by document_id into the lake index at `path`. */
+  def changelogUpsert(stream: DataFrame, keyCol: String, orderCol: String,
+                      path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = latestPerKeyInBatch(batch, keyCol, orderCol)
+          .withColumn("document_id", col(keyCol).cast("string"))
+        DocumentSink.upsert(latest, path)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Watermarked sliding/tumbling event-time aggregation over the
+    * changelog — per-entity activity counts, the streaming analog of the
+    * batch A1 counts. `ts` must be a timestamp column. */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("events"), col("sum_value"))
+
+  /** Batch (non-streaming) form of the per-record re-sync — R1/R2: re-run
+    * a pipeline filtered to one key and upsert the result. The point
+    * predicate pushes below every join (Catalyst), so this touches one
+    * key's data only. */
+  def resyncOne(pipeline: DataFrame, idCol: String, id: String,
+                path: String): Long = {
+    val doc = pipeline.filter(col(idCol) === lit(id))
+      .withColumn("document_id", col(idCol).cast("string"))
+    DocumentSink.upsert(doc, path)
+  }
+}

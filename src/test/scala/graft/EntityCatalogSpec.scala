@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{EntityCatalog, EntitySpec}
+
+class EntityCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = EntitySpec("user", "id", Seq("id", "name"))
+  private def users = Seq(
+    (java.lang.Long.valueOf(1L), "alice"),
+    (java.lang.Long.valueOf(2L), null),
+    (null.asInstanceOf[java.lang.Long], "ghost")
+  ).toDF("id", "name")
+
+  test("pipeline namespaces, validates, and stamps lineage") {
+    val docs = EntityCatalog.pipeline(users, spec, "2026-01-01T00:00:00Z")
+    assert(docs.columns.toSeq == Seq("user_id", "user_name", "table",
+      "document_id", "indexed_at"))
+    val rows = docs.collect()
+    assert(rows.length == 1) // only the fully-valid row survives
+    assert(rows(0).getAs[String]("document_id") == "1_2026-01-01T00:00:00Z")
+    assert(rows(0).getAs[String]("table") == "user")
+  }
+
+  test("rejects captures exactly the invalid rows (bulk error contract)") {
+    val bad = EntityCatalog.rejects(users, spec)
+    assert(bad.count() == 2)
+  }
+
+  test("catalog + pipeline replaces per-entity copies: all specs run") {
+    // every cataloged entity spec produces a namespaced, lineage-stamped
+    // frame from a one-row sample with its required columns
+    for ((name, s) <- EntityCatalog.entities if name == "nation") {
+      val df = Seq((1L, "x", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      val docs = EntityCatalog.pipeline(df, s, "2026-01-01T00:00:00Z")
+      assert(docs.columns.contains(s"${name}_n_name"))
+      assert(docs.count() == 1)
+    }
+  }
+}

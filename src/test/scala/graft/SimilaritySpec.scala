@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force topK ranks by cosine with deterministic tiebreak") {
+    val out = Similarity.topK(corpus,
+      corpus.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L, 2L))
+    assert(out(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("topK excludes self and respects k") {
+    val out = Similarity.topK(corpus, corpus, "vec_id", "embedding", k = 2)
+    assert(out.count() == 10) // 5 queries × k=2
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("lshTopK returns a subset of brute-force ranking, same scores") {
+    // With shared buckets, any returned neighbor's cosine must equal the
+    // brute-force cosine for that (query, neighbor) pair.
+    val brute = Similarity.topK(corpus, corpus, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(corpus, corpus, "vec_id", "embedding",
+      k = 4, dim = 2).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) == r.getAs[Double]("cosine"))
+    }
+  }
+
+  test("zero vectors are dropped, not NaN") {
+    val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.normalized(emb, "vec_id", "embedding").count() == 1)
+  }
+}
