@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // dimension tables stay broadcastable well past the 10 MB default
+      // on executors sized for 100 TB scans; avoids shuffling the fact
+      // side of orders⋈lineitem-class joins at bench scale
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.driver.maxResultSize", "4g")

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** User-facing Column API for the custom codegen array expressions.
+  * The Expression classes themselves live in
+  * [[org.apache.spark.sql.graft]] (they need `private[sql]` Spark
+  * internals — `AbstractDataType`, `classic.ExpressionUtils`); this
+  * forwarder keeps graft call sites inside the graft namespace. SQL
+  * names (`graft_dot`, `graft_simhash64`) are registered by
+  * [[graft.GraftExtensions]].
+  */
+object ArrayExpressions {
+
+  /** Codegen'd dot product of two double-array columns (tight generated
+    * Java loop; a zip_with+aggregate formulation is interpreted per
+    * element and measured ~10× slower on the similarity pair joins). */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.dotProduct(a, b)
+
+  /** Codegen'd 64-bit SimHash over an array-of-string tokens column. */
+  def simhash(tokens: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.simhash(tokens)
+}

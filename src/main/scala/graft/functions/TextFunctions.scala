@@ -77,15 +77,19 @@ object TextFunctions {
 
   /** Composite document-quality score in [0,1]: token-count saturation,
     * stopword fluency, and a word-length prior centered on ~4.5 chars.
-    * The exact formula is arbitrary but pinned by the DuckDB oracle. */
+    * The exact formula is arbitrary but pinned by the DuckDB oracle.
+    * Rounded via floor(x*1e4 + 0.5)/1e4 rather than round(): the score
+    * can land exactly on a half-way point (e.g. 0.37625) where Spark's
+    * decimal HALF_UP and DuckDB's binary rounding disagree; the floor
+    * form is plain IEEE double arithmetic and engine-independent. */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
-    round(
+    val raw =
       least(nTok, lit(100.0)) / 100.0 * 0.5 +
         stopwordRatio(text) * 0.3 +
         greatest(lit(0.0),
-          lit(1.0) - abs(avgWordLen(text) - 4.5) / 10.0) * 0.2,
-      4)
+          lit(1.0) - abs(avgWordLen(text) - 4.5) / 10.0) * 0.2
+    floor(raw * 10000.0 + 0.5).cast("double") / 10000.0
   }
 
   /** Lexicon-hit language ID with a fixed priority order (en, es, de, fr)
@@ -111,25 +115,11 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), "|"))
 
-  /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd,
-    * seed-stable): for each bit position, sum +1/-1 votes across token
-    * hashes; bit set iff the vote is positive. One array traversal per
-    * row (array-of-64 vote accumulator folded with zip_with), integer
-    * column arithmetic only — no UDF, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val ts = array_distinct(tokens(text))
-    val votes = aggregate(
-      ts,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, masks,
-          (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
+  /** 64-bit SimHash over distinct whitespace tokens — the custom codegen
+    * [[graft.functions.SimHash64]] expression (per-bit vote loop as a
+    * tight generated Java loop; the higher-order-function formulation is
+    * interpreted per token×bit and was the benchmark's second-worst
+    * query). */
+  def simhash64(text: Column): Column =
+    ArrayExpressions.simhash(array_distinct(tokens(text)))
 }

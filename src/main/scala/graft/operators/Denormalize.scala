@@ -45,22 +45,27 @@ object Denormalize {
       .filter(col("rn") === 1)
       .drop("rn")
 
-  /** Latest lineitem ("status") per order, newest shipdate first. The
-    * tiebreak chain (linenumber, returnflag, linestatus desc) is total
-    * over every *projected* column — the synthetic data contains rows
-    * duplicated even in (orderkey, shipdate, linenumber), so any shorter
-    * chain leaves the winner engine-dependent (SURVEY §7.4 DISTINCT ON
-    * determinism risk, observed for real at sf0.01). */
+  /** Latest lineitem ("status") per order, newest shipdate first,
+    * computed as a single `max_by(struct …)` hash aggregation rather than
+    * a ranking window: one combiner-friendly (partial-agg) shuffle, no
+    * per-partition sort — the cheaper plan at any scale when only the
+    * top-1 row is needed. The lexicographic max over (shipdate,
+    * linenumber, returnflag, linestatus) is total over every *projected*
+    * column — the synthetic data contains rows duplicated even in
+    * (orderkey, shipdate, linenumber), so any shorter chain leaves the
+    * winner engine-dependent (SURVEY §7.4 DISTINCT ON determinism risk,
+    * observed for real at sf0.01). */
   def latestStatus(lineitem: DataFrame): DataFrame =
-    latestPerKey(
-      lineitem, "l_orderkey",
-      Seq(col("l_shipdate").desc, col("l_linenumber").desc,
-        col("l_returnflag").desc, col("l_linestatus").desc))
-      .select(
-        col("l_orderkey"),
-        col("l_returnflag").as("status_flag"),
-        col("l_linestatus").as("status_name"),
-        col("l_shipdate").as("status_at"))
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max_by(
+        struct(col("l_returnflag").as("status_flag"),
+          col("l_linestatus").as("status_name"),
+          col("l_shipdate").as("status_at")),
+        struct(col("l_shipdate"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"))).as("v"))
+      .select(col("l_orderkey"), col("v.status_flag"),
+        col("v.status_name"), col("v.status_at"))
 
   /** A2/J9: group-to-array of labels per ticket (reference:
     * src/document_utils.py:78-99 builds `{ticketId: [label dicts]}` in a

@@ -25,10 +25,12 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Dot product of two double-array columns: one zip_with + aggregate,
-    * codegen'd, no UDF. */
+  /** Dot product of two double-array columns — the custom codegen
+    * [[graft.functions.DotProduct]] expression (a zip_with+aggregate
+    * formulation is interpreted per element and measured ~10× slower on
+    * the pair joins). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayExpressions.dotProduct(a, b)
 
   /** (id, unit) with the float vector cast to double and L2-normalized;
     * cosine then reduces to a plain dot product. Zero-norm vectors are

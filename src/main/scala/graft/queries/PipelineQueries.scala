@@ -173,9 +173,10 @@ object PipelineQueries {
        |  FROM feat
        |)
        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_wlen, lang_id,
-       |  round(least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |  floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
        |        stop_ratio * 0.3 +
-       |        greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2, 4)
+       |        greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
+       |        * 10000.0 + 0.5) / 10000.0
        |    AS quality,
        |  md5(array_to_string(list_sort(list_distinct(ts)), '|'))
        |    AS fingerprint

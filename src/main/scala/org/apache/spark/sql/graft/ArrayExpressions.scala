@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot array paths of the
+  * training-data pipeline. Spark's higher-order functions (`aggregate`,
+  * `zip_with`, `transform`) are *interpreted* — each lambda invocation
+  * walks an expression tree per element — which makes 64-dim dot products
+  * and 64-bit simhash vote loops the bottleneck of the dedup/ANN
+  * operators (measured: `dedup_embedding` 24.6s, `dedup_simhash` 20.8s at
+  * sf0.1 on local[32]). These expressions generate tight Java loops via
+  * `doGenCode` and stay inside whole-stage codegen — preference order (b)
+  * of the design brief: a native Expression beats a Scala UDF.
+  *
+  * This file lives under `org.apache.spark.sql.graft` because
+  * `AbstractDataType` (needed by `ExpectsInputTypes`) and
+  * `classic.ExpressionUtils` (Expression → Column bridge on Spark 4) are
+  * `private[sql]`; the user-facing API is re-exported from
+  * [[graft.functions.ArrayExpressions]] and registered for SQL via
+  * [[graft.GraftExtensions]] (`graft_dot(a, b)`, `graft_simhash64(toks)`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = true),
+      ArrayType(DoubleType, containsNull = true))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  // null elements contribute 0 — same as aggregate() skipping nothing but
+  // safer than toDoubleArray (which throws on nulls)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over an array of string tokens: per token, a 64-bit
+  * hash assembled from two seeded murmur3 halves; per bit, +1/-1 votes
+  * across tokens; output bit set iff votes > 0. One pass, no allocation
+  * beyond the 64-int vote table. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = true))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = SimHash64.hash64(s)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val cls = "org.apache.spark.sql.graft.SimHash64"
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    UTF8String $s = $a.getUTF8String($i);
+         |    long $h = $cls.hash64($s);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) != 0L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** 64-bit token hash: two independently-seeded murmur3-32 halves over
+    * the UTF-8 bytes. Called from both interpreted eval and generated
+    * code (hence public + JVM-static-friendly). */
+  def hash64(s: UTF8String): Long = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+}
+
+object ArrayExpressions {
+  /** Column API for [[DotProduct]] — codegen'd dot product of two
+    * double-array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[SimHash64]]. */
+  def simhash(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+}
