@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProduct, SimHash64}
+import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, SimHash64}
 
 /** SQL registration for the custom codegen expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => DistinctShingles(children(0), children(1))))
   }
 }

@@ -21,4 +21,8 @@ object ArrayExpressions {
   /** Codegen'd 64-bit SimHash over an array-of-string tokens column. */
   def simhash(tokens: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.simhash(tokens)
+
+  /** Codegen'd distinct word n-gram shingles of a text column. */
+  def distinctShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.distinctShingles(text, n)
 }

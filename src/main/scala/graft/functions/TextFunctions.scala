@@ -34,6 +34,12 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", ts)))
   }
 
+  /** `array_distinct(shingles(text, n))` as one custom codegen expression
+    * ([[org.apache.spark.sql.graft.DistinctShingles]]) — the HOF chain
+    * above is interpreted per element and dominates every dedup plan. */
+  def distinctShingles(text: Column, n: Int): Column =
+    ArrayExpressions.distinctShingles(text, n)
+
   /** Small fixed stopword lexicons per language; the unit for both the
     * stopword-ratio quality signal and the n-gram/lexicon language-ID
     * heuristic. Deliberately tiny + hard-coded: at 100 TB the lexicon is a

@@ -49,7 +49,7 @@ object Dedup {
       n: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = docs.select(
       col(idCol),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      explode(distinctShingles(col(textCol), n)).as("sh"))
     val sigAggs = (0 until numHashes).map(i =>
       min(md5(concat_ws("|", lit(i), col("sh")))).as(s"sig_$i"))
     sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
@@ -84,7 +84,7 @@ object Dedup {
   private def shingleSets(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), n)).as("shset"))
+      distinctShingles(col(textCol), n).as("shset"))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -118,8 +118,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val inv = sets.select(col(idCol), explode(col("shset")).as("sh"))
+    val inv = docs.select(col(idCol),
+      explode(distinctShingles(col(textCol), n)).as("sh"))
+    // |shset| per doc == the doc's row count in the (already-distinct)
+    // inverted index — derived by aggregation instead of re-evaluating
+    // the shingle arrays a second and third time for the size joins
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val invR = inv.join(rare.select("sh"), Seq("sh"))
@@ -128,9 +132,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
-      .join(sets.select(col(idCol).as("doc_a"), size(col("shset")).as("na")),
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("na")),
         Seq("doc_a"))
-      .join(sets.select(col(idCol).as("doc_b"), size(col("shset")).as("nb")),
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("nb")),
         Seq("doc_b"))
       .withColumn("jaccard", round(
         col("common").cast("double") /

@@ -154,6 +154,85 @@ object SimHash64 {
   }
 }
 
+/** Distinct word `n`-gram shingles of a text column, in one generated
+  * call: whitespace-tokenize (Java `\s` class, matching
+  * `split(text, "\\s+")` + drop-empties), slide an n-word window joined
+  * by single spaces, dedupe keeping first-occurrence order. Documents
+  * shorter than n words yield their whole token list as one shingle
+  * (so they can still exact-match). Equivalent to the HOF pipeline
+  * `array_distinct(transform(sequence(…), i -> concat_ws(" ",
+  * slice(toks, i+1, n))))` — which is interpreted per element and was
+  * ~3.4 s per evaluation over 5k docs at sf0.1, evaluated up to 6× in
+  * the jaccard dedup plan; this expression is one pass per row. */
+case class DistinctShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    DistinctShingles.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = org.apache.spark.sql.graft.DistinctShingles.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistinctShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object DistinctShingles {
+  // the exact Java-regex \s character class, so results are identical to
+  // split(text, "\\s+") — do NOT use Character.isWhitespace (wider)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    if (m >= n && n > 0) {
+      var j = 0
+      while (j + n <= m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        j += 1
+      }
+    } else {
+      var k = 0
+      while (k < m) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(k))
+        k += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -164,4 +243,10 @@ object ArrayExpressions {
   /** Column API for [[SimHash64]]. */
   def simhash(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  /** Column API for [[DistinctShingles]]. */
+  def distinctShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(DistinctShingles(
+      ExpressionUtils.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
 }
