@@ -31,10 +31,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // dimension tables stay broadcastable well past the 10 MB default
-      // on executors sized for 100 TB scans; avoids shuffling the fact
-      // side of orders⋈lineitem-class joins at bench scale
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // default 10 MB broadcast threshold, deliberately NOT raised: every
+      // dimension table (region…customer/part) fits under it, while a
+      // raised threshold makes the planner broadcast the *fact* side of
+      // orders⋈lineitem-class joins — a single-threaded driver-side hash
+      // relation build that thrashes the driver heap at bench scale and
+      // would be catastrophic on a real cluster
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.driver.maxResultSize", "4g")

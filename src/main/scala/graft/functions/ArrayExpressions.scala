@@ -25,4 +25,9 @@ object ArrayExpressions {
   /** Codegen'd distinct word n-gram shingles of a text column. */
   def distinctShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.ArrayExpressions.distinctShingles(text, n)
+
+  /** Codegen'd L2 normalization of a double-array column (NULL for
+    * zero-norm vectors). */
+  def l2normalize(vec: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.l2normalize(vec)
 }

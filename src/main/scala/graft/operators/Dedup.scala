@@ -168,8 +168,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dups over an Array[Float] column: normalized
@@ -184,9 +184,12 @@ object Dedup {
     val v = Similarity.normalized(emb, idCol, vecCol)
     val a = v.select(col(idCol).as("vec_a"), col("unit").as("ua"))
     val b = v.select(col(idCol).as("vec_b"), col("unit").as("ub"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(Similarity.dot(col("ua"), col("ub")), 4))
-      .filter(col("cosine") >= minCosine)
-      .select("vec_a", "vec_b", "cosine")
+    val cosine = Similarity.round4(Similarity.dot(col("ua"), col("ub")))
+    // the cosine threshold is part of the join condition, written AFTER
+    // the cheap id comparison: And short-circuits, so the dot product
+    // only runs for the n²/2 ordered pairs, not all n² combos (a
+    // .filter() above the join gets pushed in *front* of the id test)
+    a.join(b, col("vec_a") < col("vec_b") && cosine >= minCosine)
+      .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
   }
 }

@@ -32,17 +32,27 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.ArrayExpressions.dotProduct(a, b)
 
+  /** Round-to-4-decimals for the per-pair hot loops:
+    * floor(x*1e4+0.5)/1e4 is plain codegen arithmetic, whereas round()
+    * allocates a BigDecimal per call — per joined *pair* here, since the
+    * rounded value feeds the similarity filter. For non-negative doubles
+    * this is bit-identical to DuckDB's round (std::round = half away
+    * from zero on the binary value), which is what the oracle runs. */
+  private[operators] def round4(x: Column): Column =
+    floor(x * 10000.0 + 0.5).cast("double") / 10000.0
+
   /** (id, unit) with the float vector cast to double and L2-normalized;
     * cosine then reduces to a plain dot product. Zero-norm vectors are
-    * dropped (undefined direction). */
-  def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val d = transform(col(vecCol), x => x.cast("double"))
+    * dropped (undefined direction). Uses the codegen
+    * [[graft.functions.ArrayExpressions.l2normalize]] expression — the
+    * HOF formulation kept every similarity plan out of whole-stage
+    * codegen (interpreted lambdas per element). */
+  def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb
-      .withColumn("norm", sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)))
-      .filter(col("norm") > 0)
-      .withColumn("unit", transform(d, x => x / col("norm")))
-      .select(col(idCol), col("unit"))
-  }
+      .select(col(idCol),
+        graft.functions.ArrayExpressions.l2normalize(
+          col(vecCol).cast("array<double>")).as("unit"))
+      .filter(col("unit").isNotNull)
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded), deterministically tie-broken
@@ -62,7 +72,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_exact"), 4).as("cosine"))
+        round4(col("cos_exact")).as("cosine"))
   }
 
   /** Deterministic random hyperplanes: `nPlanes` × `dim` signs from a
@@ -106,6 +116,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_exact"), 4).as("cosine"))
+        round4(col("cos_exact")).as("cosine"))
   }
 }

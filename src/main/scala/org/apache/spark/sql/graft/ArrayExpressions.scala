@@ -233,6 +233,70 @@ object DistinctShingles {
   }
 }
 
+/** L2-normalize a double-array column: unit[i] = x[i]/‖x‖₂, or NULL for
+  * zero-norm (undefined-direction) vectors — callers filter on
+  * `isNotNull` instead of a separate norm computation. Replaces a
+  * transform+aggregate+transform HOF chain that, being interpreted, kept
+  * every similarity plan out of whole-stage codegen entirely (0 codegen
+  * subtrees in the dedup_embedding plan; inner BroadcastNestedLoopJoin
+  * does support codegen once no HOF remains). Summation order is
+  * sequential, matching both the HOF formulation and the DuckDB oracle's
+  * `list_sum(list_transform(...))`. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = true))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2norm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    L2Normalize.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} =
+            org.apache.spark.sql.graft.L2Normalize.compute(${childGen.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  /** Returns the unit vector, or null when the norm is zero. Null
+    * elements contribute 0 to the norm and stay 0 in the output. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { val x = arr.getDouble(i); s += x * x }
+      i += 1
+    }
+    if (s == 0.0) return null
+    val norm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i) / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -249,4 +313,8 @@ object ArrayExpressions {
     ExpressionUtils.column(DistinctShingles(
       ExpressionUtils.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column API for [[L2Normalize]]. */
+  def l2normalize(vec: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
 }
