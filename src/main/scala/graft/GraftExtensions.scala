@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, L2Normalize, SimHash64}
+import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, L2Normalize, NormalizeJson, SimHash64}
 
 /** SQL registration for the custom codegen expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_json"),
+      new ExpressionInfo(classOf[NormalizeJson].getName,
+        "graft_normalize_json"),
+      (children: Seq[Expression]) => NormalizeJson(children.head)))
   }
 }

@@ -23,6 +23,15 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token count: a GPT-2-style pre-tokenizer regex
+    * (letter runs / digit runs / punctuation runs, each with optional
+    * leading space) — the cheap LLM-token estimator a training-data
+    * pipeline budgets with. Lookahead-free so Java regex and RE2 (DuckDB
+    * oracle) agree; fully codegen'd (regexp_extract_all is native). */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Word n-gram shingles, the unit of near-dup detection. Docs shorter
     * than n words contribute their whole text as one shingle so they can
     * still exact-match. */

@@ -162,6 +162,19 @@ object ParityQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // F8: recursive JSON-string normalization (reference:
+    // _normalize_json_fields, src/json_encoder.py:23-41). The input wraps
+    // props as a *stringified* JSON field; normalization must inline it
+    // back into an object — exercising the recursive replace.
+    "f8_normalize_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .select(
+          col("event_id"),
+          graft.functions.JsonFunctions.normalizeJson(
+            to_json(struct(col("props").as("payload"))))
+            .as("normalized"))),
+
     // R1+P2: single-record re-sync — flagship pipeline filtered to one key;
     // Catalyst pushes the point predicate below the joins
     // (reference: src/routes/ticket_routes.py:212-264).
@@ -354,6 +367,11 @@ object ParityQueries {
     "f7_json_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) " +
        "AS k FROM events"),
+
+    "f8_normalize_json" ->
+      ("SELECT event_id, " +
+       "'{\"payload\":' || CAST(json(props) AS VARCHAR) || '}' " +
+       "AS normalized FROM events WHERE props IS NOT NULL"),
 
     "r1_point_lookup" ->
       (s"SELECT * FROM ($denormSql) WHERE ticket_number = 42"),

@@ -25,6 +25,7 @@ object PipelineQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        tokenCountBpe(col("text")).as("n_tokens_bpe"),
         stopwordRatio(col("text")).as("stop_ratio"),
         punctRatio(col("text")).as("punct_ratio"),
         avgWordLen(col("text")).as("avg_wlen"),
@@ -142,6 +143,8 @@ object PipelineQueries {
        |), feat AS (
        |  SELECT doc_id, ts,
        |    len(ts) AS n_tokens,
+       |    len(regexp_extract_all(text,
+       |        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_tokens_bpe,
        |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEn)}, t)))
        |      AS hits_en,
        |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEs)}, t)))
@@ -156,7 +159,7 @@ object PipelineQueries {
        |      AS punct_ratio
        |  FROM toks
        |), derived AS (
-       |  SELECT doc_id, n_tokens, punct_ratio, ts,
+       |  SELECT doc_id, n_tokens, n_tokens_bpe, punct_ratio, ts,
        |    CASE WHEN n_tokens > 0
        |      THEN round(CAST(hits_en AS DOUBLE) / n_tokens, 4)
        |      ELSE 0.0 END AS stop_ratio,
@@ -172,7 +175,8 @@ object PipelineQueries {
        |         ELSE 'und' END AS lang_id
        |  FROM feat
        |)
-       |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_wlen, lang_id,
+       |SELECT doc_id, n_tokens, n_tokens_bpe,
+       |  stop_ratio, punct_ratio, avg_wlen, lang_id,
        |  floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
        |        stop_ratio * 0.3 +
        |        greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
