@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{ArrayExpressions, JsonFunctions, TextFunctions}
+
+/** Property tests pinning each custom codegen expression to its
+  * compositional (built-in HOF) definition on generated inputs — the
+  * SURVEY §5.3 property layer. The HOF forms are the semantic spec; the
+  * custom expressions exist purely for speed, so they must agree
+  * bit-for-bit. */
+class ExpressionPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 200
+
+  private def samples[A](g: Gen[A]): Seq[A] =
+    (0 until N).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wsGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(" ", " ", "\t", "\n", "  ")).map(_.mkString)
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(wordGen)
+    seps <- Gen.listOfN(words.length + 1, wsGen)
+    dup <- Gen.oneOf(true, false)
+  } yield {
+    val ws = if (dup && words.nonEmpty) words ++ words else words
+    ws.zip(seps).map { case (w, s) => w + s }.mkString(seps.last, "", "")
+  }
+
+  test("DistinctShingles ≡ array_distinct(HOF shingles) incl. order") {
+    val df = samples(textGen).toDF("text")
+    val mismatches = df.select(
+      ArrayExpressions.distinctShingles(col("text"), 3).as("fast"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("spec"))
+      .filter(not(col("fast") === col("spec")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  private val vecGen: Gen[Seq[Double]] =
+    Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)).map(_.map(x => x)))
+
+  test("L2Normalize ≡ HOF normalize, bit-for-bit (incl. zero-norm → null)") {
+    val df = samples(vecGen).map(_.toArray).toDF("v")
+    val d = transform(col("v"), x => x.cast("double"))
+    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    val spec = when(norm > 0, transform(d, x => x / norm))
+    val mismatches = df.select(
+      ArrayExpressions.l2normalize(col("v")).as("fast"), spec.as("spec"))
+      .filter(not(col("fast") <=> col("spec")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("DotProduct ≡ HOF zip_with/aggregate dot, bit-for-bit") {
+    val pairs = samples(Gen.zip(vecGen, vecGen))
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = pairs.toDF("a", "b")
+    val spec = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // HOF aggregate over zip_with of unequal lengths pads with null →
+    // null result; the expression truncates to the shorter length.
+    // Compare on equal-length pairs (the only case the engine produces).
+    val mismatches = df.filter(size(col("a")) === size(col("b")))
+      .select(ArrayExpressions.dotProduct(col("a"), col("b")).as("fast"),
+        spec.as("spec"))
+      .filter(not(col("fast") <=> col("spec")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("SimHash64 is permutation-invariant over distinct token sets") {
+    val toksGen = Gen.nonEmptyListOf(wordGen).map(_.distinct)
+    val pairs = samples(toksGen).zipWithIndex.map { case (ts, i) =>
+      val shuffled = new scala.util.Random(i).shuffle(ts)
+      (ts.toArray, shuffled.toArray)
+    }
+    val df = pairs.toDF("a", "b")
+    val mismatches = df.select(
+      ArrayExpressions.simhash(col("a")).as("ha"),
+      ArrayExpressions.simhash(col("b")).as("hb"))
+      .filter(col("ha") =!= col("hb")).count()
+    assert(mismatches === 0)
+  }
+
+  test("NormalizeJson is idempotent") {
+    val jsonGen: Gen[String] = for {
+      k <- Gen.alphaStr.map(_.take(5))
+      v <- Gen.chooseNum(0, 1000)
+      nested <- Gen.oneOf(true, false)
+    } yield
+      if (nested) s"""{"$k": "{\\"inner\\": $v}", "n": $v}"""
+      else s"""{"$k": $v}"""
+    val df = samples(jsonGen).toDF("j")
+    val once = JsonFunctions.normalizeJson(col("j"))
+    val twice = JsonFunctions.normalizeJson(once)
+    assert(df.select(once.as("a"), twice.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() === 0)
+  }
+
+  test("content-hash doc id is deterministic and state-sensitive") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("id", "v")
+    val ids = graft.sinks.DocumentSink
+      .withDocId(df, graft.sinks.DocumentSink.ContentHash)
+      .select("document_id").as[String].collect()
+    assert(ids(0) === ids(1))
+    assert(ids(0) !== ids(2))
+  }
+}
