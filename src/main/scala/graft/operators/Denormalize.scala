@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *   customer  ≈ User, nation ≈ Module, region ≈ DataSource (lookup dims)
   *
   * Scale notes (the 100 TB plan):
-  *  - `latestPerKey` is the one unavoidable shuffle on the fact key; it is a
-  *    single hash partitioning by `l_orderkey` that the labels aggregation
-  *    REUSES (same key), so Catalyst/AQE plans one exchange feeding both.
+  *  - the only fact-side shuffles are hash partitionings on the fact key
+  *    (`l_orderkey`): one for the latest-status aggregation, one for the
+  *    labels aggregation — both combiner-friendly (partial aggregation
+  *    runs map-side), and the joined output stays partitioned on the same
+  *    key so the two left joins need no further fact shuffle.
   *  - All lookup dims are broadcast (they are bounded: customers/nations/
   *    regions are ~1e5 rows even at 100 TB of facts), so no fact-side
   *    shuffle for J3-J5.

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: the properties that make these
+  * operators scale are plan shapes, not results — a change that silently
+  * loses a pushed filter, broadcasts a fact table, or knocks a pair join
+  * out of whole-stage codegen would pass every correctness test while
+  * costing orders of magnitude at 100 TB. Checked on sf0.001 (plan
+  * shapes are scale-independent except where stats flip join strategies;
+  * those assertions target the always-small dimension sides). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("s1: filter is pushed to the parquet scan, columns pruned") {
+    val plan = q("s1_scan_filter").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"missing pushed filter in:\n$plan")
+    assert(!plan.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("denorm: dimension joins broadcast, no fact-side broadcast") {
+    val plan = executedPlan(q("denorm_tickets"))
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    // the fact-key aggregations must keep map-side partial aggregation
+    assert(plan.contains("partial_max_by") || plan.contains("ObjectHashAggregate"),
+      s"latest-status lost its partial aggregation:\n$plan")
+  }
+
+  test("dedup_embedding: the pair join stays inside whole-stage codegen") {
+    // codegen'd operators are starred `*(n)` in the final plan string
+    val plan = executedPlan(q("dedup_embedding"))
+    assert("""\*\(\d+\) BroadcastNestedLoopJoin""".r.findFirstIn(plan).isDefined,
+      "BroadcastNestedLoopJoin fell out of codegen — an interpreted HOF " +
+        s"crept back into the similarity projections:\n$plan")
+  }
+
+  test("o3: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(q("o3_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k regressed:\n$plan")
+  }
+
+  test("q3: selective dimension filter stays pushed under the join") {
+    val plan = executedPlan(q("q3_top_revenue"))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed to customer scan:\n$plan")
+  }
+}
