@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.sinks.DocumentSink
 
@@ -67,6 +67,27 @@ object IncrementalSync {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("events"), col("sum_value"))
+
+  /** Streaming exact dedup — the stateful-operator form of
+    * [[graft.operators.Dedup.exact]]: emit only the FIRST document seen
+    * per key (e.g. content hash) across the whole stream.
+    * `flatMapGroupsWithState` keeps one boolean per key in the state
+    * store — partitioned by key on the executors, no driver state, and
+    * the per-key footprint is O(1) so state size is bounded by distinct
+    * keys, not stream length. Within a single micro-batch the surviving
+    * representative is the group's first-arriving row (any representative
+    * is a valid dedup answer; cross-batch behavior is exact). At corpus
+    * scale add a `GroupStateTimeout` TTL if the key space is unbounded
+    * and duplicates are known to arrive close together. */
+  def streamingDedup[T](ds: Dataset[T], key: T => String)(
+      implicit te: Encoder[T]): Dataset[T] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) })
+  }
 
   /** Batch (non-streaming) form of the per-record re-sync — R1/R2: re-run
     * a pipeline filtered to one key and upsert the result. The point

@@ -56,6 +56,32 @@ class IncrementalSyncSpec extends SparkSpec {
       .getAs[String]("payload") == "v2")
   }
 
+  test("streamingDedup keeps first-seen per key across micro-batches") {
+    val input = MemoryStream[Change](spark)
+    input.addData(
+      Change(1L, ts("2026-01-01 00:00:00"), 1.0, "hashA"),
+      Change(2L, ts("2026-01-01 00:00:01"), 2.0, "hashA"),
+      Change(3L, ts("2026-01-01 00:00:02"), 3.0, "hashB"))
+    val deduped = IncrementalSync.streamingDedup(
+      input.toDS(), (c: Change) => c.payload)
+    val q = deduped.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("sd").count() == 2) // one per hash
+
+    // next batch: hashA again (dropped — state remembers), hashC new
+    input.addData(
+      Change(4L, ts("2026-01-01 01:00:00"), 4.0, "hashA"),
+      Change(5L, ts("2026-01-01 01:00:01"), 5.0, "hashC"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sd").orderBy("entity_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("payload")).sorted
+      .sameElements(Array("hashA", "hashB", "hashC")))
+    assert(!out.map(_.getAs[Long]("entity_id")).contains(4L))
+  }
+
   test("windowedCounts: watermarked tumbling event-time aggregation") {
     val input = MemoryStream[Change](spark)
     input.addData(
