@@ -96,6 +96,56 @@ object Similarity {
     normalized(emb, idCol, vecCol).withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN top-k — the other canonical scale path
+    * next to [[lshTopK]]: partition the corpus into `nCentroids` Voronoi
+    * cells, search only the query's `nProbe` nearest cells.
+    *
+    *  - Centroids are the unit vectors of the `nCentroids` smallest ids —
+    *    a deterministic, engine-reproducible stand-in for k-means (a real
+    *    deployment would train centroids offline and broadcast them; the
+    *    plan shape is identical and that is what this operator pins).
+    *  - Assignment = one broadcast cross join corpus × centroids +
+    *    `max_by` argmax: a single corpus pass, no shuffle of vectors.
+    *  - Probe = rank centroids per query, take `nProbe`; candidates are
+    *    an equi-join on `centroid_id` (each corpus vector lives in
+    *    exactly one cell, so no dedup needed); exact cosine re-rank.
+    *
+    * Recall < 1 by construction (a true neighbor may live in an
+    * unprobed cell); raising `nProbe` trades compute for recall. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = normalized(corpus, idCol, vecCol)
+    val cent = c.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col("unit").as("cu"))
+    val assign = c.crossJoin(broadcast(cent))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"),
+        struct(dot(col("unit"), col("cu")), -col("centroid_id")))
+        .as("centroid_id"),
+        first(col("unit")).as("uc"))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"), col("uc"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(dot(col("uq"), col("cu")).desc, col("centroid_id"))
+    val probe = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("unit").as("uq"))
+      .crossJoin(broadcast(cent))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("uq"), col("centroid_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_exact").desc, col("neighbor_id"))
+    probe.join(assign, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_exact", dot(col("uq"), col("uc")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos_exact")).as("cosine"))
+  }
+
   /** ANN top-k via LSH bucketing: candidates share the query's bucket,
     * exact cosine re-rank inside the bucket. Trades recall for a
     * corpus-partitionable equi-join — the 100 TB path. */

@@ -62,6 +62,12 @@ object PipelineQueries {
         "vec_id", "embedding", 5, dim = 64)
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -217,6 +223,42 @@ object PipelineQueries {
        |SELECT query_id, rank, neighbor_id, round(cos_exact, 4) AS cosine
        |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** IVF oracle — mirrors Similarity.ivfTopK exactly: centroids = unit
+    * vectors of the 16 smallest ids; argmax assignment tie-broken by
+    * centroid id; 4 probed cells; exact re-rank. */
+  private val ivfSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"""$UnitCte, cent AS (
+       |  SELECT vec_id AS cid, unit AS cu FROM u ORDER BY vec_id LIMIT 16
+       |), assign AS (
+       |  SELECT vec_id, unit, cid FROM (
+       |    SELECT v.vec_id, v.unit, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dot("v.unit", "c.cu")} DESC, c.cid) AS rn
+       |    FROM u v CROSS JOIN cent c) WHERE rn = 1
+       |), probe AS (
+       |  SELECT query_id, uq, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.unit AS uq, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.unit", "c.cu")} DESC, c.cid) AS rn
+       |    FROM u q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${dot("p.uq", "a.unit")} AS cos_exact
+       |  FROM probe p JOIN assign a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_exact DESC, neighbor_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, neighbor_id,
+       |  floor(cos_exact * 10000.0 + 0.5) / 10000.0 AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   private val embNearDupSql: String =
     s"""$UnitCte
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -243,6 +285,7 @@ object PipelineQueries {
     "dedup_jaccard" -> jaccardSql,
     "dedup_embedding" -> embNearDupSql,
     "ann_topk" -> annSql,
+    "ann_ivf_topk" -> ivfSql,
     "multimodal_features" -> multimodalSql
     // dedup_simhash, ann_lsh_topk: xxhash64 / seeded hyperplanes are not
     // reproducible in DuckDB — driver records the rows-only check.

@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK scores candidates exactly; all cells probed ⇒ = brute force") {
+    // nCentroids ≥ corpus and nProbe ≥ nCentroids degenerates IVF to
+    // exact search — output must equal brute-force topK bit-for-bit.
+    val brute = Similarity.topK(corpus, corpus, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").collect()
+    val ivf = Similarity.ivfTopK(corpus, corpus, "vec_id", "embedding", 3,
+      nCentroids = 5, nProbe = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(ivf.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
+  }
+
+  test("ivfTopK with few probes returns a correctly-scored subset") {
+    val brute = Similarity.topK(corpus, corpus, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(corpus, corpus, "vec_id", "embedding",
+      k = 4, nCentroids = 3, nProbe = 1).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("zero vectors are dropped, not NaN") {
     val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
