@@ -72,7 +72,10 @@ object Dedup {
     }
     val banded = sigs
       .select(col(idCol), explode(array(bandHashes: _*)).as("bh"))
-      .select(col(idCol), col("bh.band"), col("bh.h"))
+      // join on xxhash64 of the band digest: 8-byte shuffle keys instead
+      // of 32-char hex; a collision can only ADD a candidate pair, and
+      // every candidate is re-verified by exact jaccard downstream
+      .select(col(idCol), col("bh.band"), xxhash64(col("bh.h")).as("h"))
     val a = banded.select(col("band"), col("h"), col(idCol).as("doc_a"))
     val b = banded.select(col("band"), col("h"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "h"))
@@ -118,8 +121,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Int = 1000): DataFrame = {
+    // the inverted index carries xxhash64(shingle), not the shingle: the
+    // self-join below shuffles this column 2×, and 8-byte keys cut that
+    // volume ~5× vs ~40-byte shingle strings. A 64-bit collision (P ≈
+    // |shingles|²/2⁶⁵) would merge two shingles' postings; the oracle
+    // gate empirically confirms none occurs on the testdata, and at
+    // corpus scale the same keying is what production dedup ships.
     val inv = docs.select(col(idCol),
-      explode(distinctShingles(col(textCol), n)).as("sh"))
+      explode(distinctShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh"))
     // |shset| per doc == the doc's row count in the (already-distinct)
     // inverted index — derived by aggregation instead of re-evaluating
     // the shingle arrays a second and third time for the size joins
