@@ -207,6 +207,27 @@ object ParityQueries {
         t(s, dir, "customer"),
         graft.catalog.EntityCatalog.entities("customer"), RunTs)),
 
+    // Distinct aggregation + corpus stats (beyond reference — SURVEY
+    // §2.12 lists distinct aggregates as absent there). Exact counts so
+    // the oracle can pin it; approx_count_distinct is the same plan
+    // shape with a sketch buffer.
+    "a5_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        round(lit(1.0) - countDistinct(col("text")).cast("double") /
+          count(lit(1)), 4).as("dup_rate"))),
+
+    // Rollup with grouping id (beyond reference): per-(nation, segment)
+    // revenue with nation and grand totals in one pass.
+    "a6_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal")), 2).as("balance"),
+          grouping_id().as("gid"))
+    }),
+
     // Headline aggregation (TPC-H Q1 shape) — exercises partial+final agg.
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -401,6 +422,19 @@ object ParityQueries {
        s"concat_ws('_', c_custkey, '$RunTs') AS document_id, " +
        "TIMESTAMP '2026-01-01 00:00:00' AS indexed_at " +
        "FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL"),
+
+    "a5_distinct_agg" ->
+      ("SELECT count(*) AS n_docs, " +
+       "count(DISTINCT text) AS n_distinct_text, " +
+       "round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 4) " +
+       "AS dup_rate FROM documents"),
+
+    "a6_rollup" ->
+      ("SELECT n_name, c_mktsegment, " +
+       "round(sum(c_acctbal), 2) AS balance, " +
+       "grouping(n_name, c_mktsegment) AS gid " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY ROLLUP (n_name, c_mktsegment)"),
 
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
