@@ -16,6 +16,9 @@ case class MediaRecord(media_id: Long, media_type: String, blob: Array[Byte])
 case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Int,
                          content_hash: String, feature_str: String)
 
+/** One sampled frame of a media object (video frame / audio chunk). */
+case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
 /** Multimodal-column processing for the training-data pipeline: treat
   * image/audio/video as opaque `BinaryType` columns with typed metadata
   * and run decode / feature-extraction as *batched* partition-local
@@ -64,6 +67,31 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(
       _.grouped(BatchSize).flatMap(g => decodeBatch(g).iterator))
+  }
+
+  /** STUB RESIZE — a real engine decodes, resamples to `targetBytes`
+    * resolution, re-encodes. The stub keeps a deterministic prefix (so
+    * output is a pure function of input) while preserving the real
+    * contract: per-row narrow transform, no shuffle, blob-in → blob-out. */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map(m => m.copy(blob = m.blob.take(targetBytes)))
+  }
+
+  /** STUB FRAME SAMPLER — a real engine seeks keyframes / fixed-rate
+    * samples; the stub slices the payload into `frameBytes` chunks and
+    * keeps every `everyNth`. The load-bearing Spark shape: a generator
+    * (1 row → n frame rows) as flatMap on a typed Dataset, partition-
+    * parallel, output re-partitionable by (media_id, frame_idx) for the
+    * downstream per-frame feature join. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   everyNth: Int = 1): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.blob.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % everyNth == 0 =>
+          MediaFrame(m.media_id, i, chunk) }
+    }
   }
 
   /** Adapt any (id, text) table into a media table — the testdata has no

@@ -18,6 +18,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).feature_str == "11,77,85,117")
   }
 
+  test("resize truncates payloads deterministically, keeps metadata") {
+    val docs = Seq((1L, "hello world"), (2L, "hi")).toDF("doc_id", "text")
+    val out = Multimodal.resize(
+      Multimodal.fromText(docs, "doc_id", "text"), targetBytes = 5)
+      .collect().sortBy(_.media_id)
+    assert(new String(out(0).blob, "UTF-8") == "hello")
+    assert(new String(out(1).blob, "UTF-8") == "hi") // shorter than target
+  }
+
+  test("sampleFrames slices into chunks and keeps every nth") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fromText(docs, "doc_id", "text"),
+      frameBytes = 2, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    // chunks: ab cd ef gh ij (idx 0..4); every 2nd → idx 0, 2, 4
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.map(f => new String(f.frame, "UTF-8")).toSeq ==
+      Seq("ab", "ef", "ij"))
+  }
+
   test("decodeBatch sees bounded batches (the codec contract)") {
     val records = (1 to 200).map(i =>
       MediaRecord(i.toLong, "text", Array.fill(i)(7.toByte)))
