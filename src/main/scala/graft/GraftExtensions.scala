@@ -14,27 +14,39 @@ import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, L2Normalize, No
   * needs no registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity-checked builder: wrong-arity SQL calls get a clear error, not
+    * an IndexOutOfBoundsException from `children(i)`. */
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${children.length}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      checked("graft_dot", 2)(c => DotProduct(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      checked("graft_simhash64", 1)(c => SimHash64(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[DistinctShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) => DistinctShingles(children(0), children(1))))
+      checked("graft_shingles", 2)(c => DistinctShingles(c(0), c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
-      (children: Seq[Expression]) => L2Normalize(children.head)))
+      checked("graft_l2norm", 1)(c => L2Normalize(c.head))))
     ext.injectFunction((
       new FunctionIdentifier("graft_normalize_json"),
       new ExpressionInfo(classOf[NormalizeJson].getName,
         "graft_normalize_json"),
-      (children: Seq[Expression]) => NormalizeJson(children.head)))
+      checked("graft_normalize_json", 1)(c => NormalizeJson(c.head))))
   }
 }

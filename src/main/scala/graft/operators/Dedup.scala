@@ -137,8 +137,12 @@ object Dedup {
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    // no broadcast() hint on sizes: it has one row per distinct document,
+    // which is broadcastable at bench scale but not at corpus scale —
+    // AQE picks broadcast when the runtime size allows and falls back to
+    // a shuffled join when it doesn't
     val invR = inv.join(rare.select("sh"), Seq("sh"))
-      .join(broadcast(sizes), Seq(idCol))
+      .join(sizes, Seq(idCol))
     // size-compatibility prune before the pair aggregation: jaccard ≤
     // min(na,nb)/max(na,nb), so size-mismatched pairs can never reach the
     // threshold — drops ~2/3 of pair-occurrence rows before the shuffle.

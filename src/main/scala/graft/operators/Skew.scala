@@ -27,11 +27,20 @@ object Skew {
   /** Inner/left equi-join `big ⋈ small` on `bigKey === smallKey`,
     * salted `factor` ways. Result is row-identical to the unsalted join
     * ([[graft.SkewSpec]] pins that); only the partitioning changes. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // right/full-outer would emit each unmatched small-side row once per
+    // salt replica — silent duplication; salt the other side instead
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${SupportedJoinTypes.mkString("/")}, " +
+        s"not '$joinType' (the exploded side must not be null-extended)")
     val saltCols = big.columns.map(col).toSeq
     val b = big.withColumn("_salt", salt(factor, saltCols: _*))
     val s = small

@@ -220,7 +220,8 @@ object PipelineQueries {
        |                       ORDER BY cos_exact DESC, neighbor_id) AS rank
        |  FROM pairs
        |)
-       |SELECT query_id, rank, neighbor_id, round(cos_exact, 4) AS cosine
+       |SELECT query_id, rank, neighbor_id,
+       |  floor(cos_exact * 10000.0 + 0.5) / 10000.0 AS cosine
        |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** IVF oracle — mirrors Similarity.ivfTopK exactly: centroids = unit
@@ -259,11 +260,16 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  // floor-form rounding in both embedding oracles: the Spark side uses
+  // round4 (floor(x*1e4+0.5)/1e4), which matches DuckDB round() only
+  // for non-negative values — a negative cosine on a half point would
+  // diverge under round()
   private val embNearDupSql: String =
     s"""$UnitCte
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(list_sum(list_transform(generate_series(1, len(a.unit)),
-       |        i -> a.unit[i] * b.unit[i])), 4) AS cosine
+       |  floor(list_sum(list_transform(generate_series(1, len(a.unit)),
+       |        i -> a.unit[i] * b.unit[i])) * 10000.0 + 0.5) / 10000.0
+       |    AS cosine
        |FROM u a JOIN u b ON a.vec_id < b.vec_id
        |WHERE cosine >= 0.45""".stripMargin
 

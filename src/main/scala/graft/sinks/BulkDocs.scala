@@ -69,7 +69,7 @@ private[bulk] class BulkTable(schema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new BulkBatchWrite(info.options.asScala.toMap, info.schema(),
-            doTruncate)
+            doTruncate, info.queryId())
       }
     }
 }
@@ -79,10 +79,14 @@ private[bulk] case class BulkCommit(taskFile: String, errFile: String,
     extends WriterCommitMessage
 
 private[bulk] class BulkBatchWrite(options: Map[String, String],
-                                   schema: StructType, truncate: Boolean)
+                                   schema: StructType, truncate: Boolean,
+                                   queryId: String)
     extends BatchWrite {
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("graft-bulk requires option 'path'"))
+  // write-unique file suffix so append jobs never clobber earlier
+  // generations' part files
+  private val writeId = queryId.filter(c => c.isLetterOrDigit || c == '-')
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
@@ -99,13 +103,27 @@ private[bulk] class BulkBatchWrite(options: Map[String, String],
     BulkWriterFactory(path, schema,
       options.getOrElse("docidcol", "document_id"),
       options.get("requiredcols").toSeq
-        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+      writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val cs = messages.collect { case c: BulkCommit => c }
-    val success = cs.map(_.success).sum
-    val failed = cs.map(_.failed).sum
+    // append accumulates onto the prior generation's counts
+    val (prevSuccess, prevFailed) =
+      if (truncate) (0L, 0L)
+      else {
+        val metaFile = java.nio.file.Paths.get(path, "_meta.json")
+        if (java.nio.file.Files.exists(metaFile)) {
+          val m = java.nio.file.Files.readString(metaFile)
+          def field(k: String): Long =
+            s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(m)
+              .map(_.group(1).toLong).getOrElse(0L)
+          (field("doc_count"), field("failed"))
+        } else (0L, 0L)
+      }
+    val success = prevSuccess + cs.map(_.success).sum
+    val failed = prevFailed + cs.map(_.failed).sum
     val mapping = schema.fields.map(f =>
       s""""${f.name}": {"type": "${graft.sinks.DocumentSink.esType(f.dataType)}"}""")
       .mkString("{\"properties\": {", ", ", "}}")
@@ -127,14 +145,16 @@ private[bulk] class BulkBatchWrite(options: Map[String, String],
 
 private[bulk] case class BulkWriterFactory(
     path: String, schema: StructType, docIdCol: String,
-    requiredCols: Seq[String]) extends DataWriterFactory {
+    requiredCols: Seq[String], writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BulkWriter(path, schema, docIdCol, requiredCols, partitionId, taskId)
+    new BulkWriter(path, schema, docIdCol, requiredCols, partitionId, taskId,
+      writeId)
 }
 
 private[bulk] class BulkWriter(
     path: String, schema: StructType, docIdCol: String,
-    requiredCols: Seq[String], partitionId: Int, taskId: Long)
+    requiredCols: Seq[String], partitionId: Int, taskId: Long,
+    writeId: String)
     extends DataWriter[InternalRow] {
 
   private val docIdIdx = schema.fieldNames.indexOf(docIdCol)
@@ -173,7 +193,10 @@ private[bulk] class BulkWriter(
       success += 1
     } catch {
       case e: Exception =>
-        err.write(BulkJson.quote(e.getMessage))
+        // e.getMessage may be null (bare NPE/CCE) — never let the
+        // quarantine path itself throw
+        err.write(BulkJson.quote(
+          Option(e.getMessage).getOrElse(e.getClass.getName)))
         err.newLine()
         failed += 1
     }
@@ -181,8 +204,8 @@ private[bulk] class BulkWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close(); err.close()
-    val dataFile = new File(path, s"data/part-$partitionId.jsonl")
-    val errFile = new File(path, s"_errors/part-$partitionId.jsonl")
+    val dataFile = new File(path, s"data/part-$partitionId-$writeId.jsonl")
+    val errFile = new File(path, s"_errors/part-$partitionId-$writeId.jsonl")
     if (!stagedData.renameTo(dataFile))
       throw new java.io.IOException(s"rename failed: $stagedData")
     if (failed > 0) stagedErr.renameTo(errFile) else stagedErr.delete()
@@ -226,9 +249,19 @@ private[bulk] object BulkJson {
       case DoubleType => row.getDouble(i).toString
       case FloatType => row.getFloat(i).toString
       case BooleanType => row.getBoolean(i).toString
-      case TimestampType | TimestampNTZType =>
-        quote(tsFmt.format(java.time.Instant.EPOCH.plusNanos(
-          row.getLong(i) * 1000L)))
+      case TimestampType =>
+        // split micros to avoid Long overflow past year 2262
+        val micros = row.getLong(i)
+        quote(tsFmt.format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)))
+      case TimestampNTZType =>
+        // zone-less value: no UTC offset suffix
+        val micros = row.getLong(i)
+        quote(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString)
       case DateType =>
         quote(java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString)
       case ArrayType(StringType, _) =>

@@ -49,7 +49,9 @@ object NormalizeJson {
     val root =
       try mapper.readTree(str)
       catch { case _: Exception => return s }
-    if (root == null) return s
+    // Jackson returns MissingNode (not null, no exception) for
+    // empty/whitespace-only input — that is "not valid JSON" too
+    if (root == null || root.isMissingNode) return s
     UTF8String.fromString(mapper.writeValueAsString(walk(root)))
   }
 

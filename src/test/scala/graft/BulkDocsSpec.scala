@@ -62,6 +62,20 @@ class BulkDocsSpec extends SparkSpec {
     assert(readAll(s"$path/data").length === 4)
   }
 
+  test("append accumulates across writes instead of clobbering") {
+    val path = Files.createTempDirectory("graft-bulk").toString
+    def append(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"${i}_t")).toDF("id", "document_id")
+        .coalesce(1)
+        .write.format("graft-bulk").option("path", path)
+        .mode("append").save()
+    append(1 to 3)
+    append(4 to 5)
+    assert(readAll(s"$path/data").length === 10) // (3+2) docs × 2 lines
+    val meta = Files.readString(Paths.get(path, "_meta.json"))
+    assert(meta.contains(""""doc_count": 5"""), meta)
+  }
+
   test("parallel partitions each write their own bulk file") {
     val path = Files.createTempDirectory("graft-bulk").toString
     spark.range(100).selectExpr("id", "cast(id as string) AS document_id")

@@ -33,6 +33,12 @@ class JsonFunctionsSpec extends SparkSpec {
     assert(norm("not json at all") === "not json at all")
   }
 
+  test("empty / whitespace-only input passes through unchanged") {
+    // Jackson returns MissingNode (not null) here — must not serialize it
+    assert(norm("") === "")
+    assert(norm("   ") === "   ")
+  }
+
   test("null stays null; SQL registration works") {
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "j")
       .selectExpr("graft_normalize_json(j)").head()

@@ -17,12 +17,17 @@ class LakeSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("bucketed ⋈ bucketed on the bucket key plans without a shuffle") {
+  // written per-test (idempotent) so each test stands alone
+  private def writeFixtures(): Unit = {
     val facts = (1L to 100L).map(i => (i % 10, i, s"f$i"))
       .toDF("k", "id", "payload")
     val hist = (1L to 50L).map(i => (i % 10, s"h$i")).toDF("k", "h")
     Lake.writeBucketed(facts, "lake_facts", "k", 4)
     Lake.writeBucketed(hist, "lake_hist", "k", 4)
+  }
+
+  test("bucketed ⋈ bucketed on the bucket key plans without a shuffle") {
+    writeFixtures()
     withNoBroadcast {
       val joined = Lake.read(spark, "lake_facts")
         .join(Lake.read(spark, "lake_hist"), Seq("k"))
@@ -34,6 +39,7 @@ class LakeSpec extends SparkSpec {
   }
 
   test("groupBy(bucketKey) over a bucketed table skips the shuffle") {
+    writeFixtures()
     val agg = Lake.read(spark, "lake_facts").groupBy("k")
       .agg(count(lit(1)).as("n"))
     assert(agg.count() === 10)
