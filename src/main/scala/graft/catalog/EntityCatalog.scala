@@ -62,4 +62,19 @@ object EntityCatalog {
     * accumulates per-batch (src/data_sync.py:66-171). */
   def rejects(df: DataFrame, spec: EntitySpec): DataFrame =
     df.filter(!validPredicate(spec))
+
+  /** P7/F4: API-insert defaulting — null id → `uuid()`, null audit
+    * timestamps → now (reference: prepare_entity_data,
+    * src/utils.py:99-111). Column expressions only, no UDF. uuid() is
+    * nondeterministic by design (the reference mints a fresh uuid4), so
+    * this path is spec-tested rather than oracle-hashed; oracle-checked
+    * pipelines use the deterministic md5 fallback (p7_validate_default).
+    */
+  def defaulted(df: DataFrame, spec: EntitySpec,
+                tsCols: Seq[String] = Nil): DataFrame = {
+    val withId = df.withColumn(spec.idCol,
+      coalesce(col(spec.idCol).cast("string"), expr("uuid()")))
+    tsCols.foldLeft(withId)((d, c) =>
+      d.withColumn(c, coalesce(col(c), current_timestamp())))
+  }
 }

@@ -39,4 +39,17 @@ class EntityCatalogSpec extends SparkSpec {
       assert(docs.count() == 1)
     }
   }
+
+  test("defaulted mints uuids for null ids and stamps null timestamps") {
+    val withTs = users.withColumn("createdAt",
+      when(col("id") === 1L, lit("2026-01-01 00:00:00").cast("timestamp")))
+    val out = EntityCatalog.defaulted(withTs, spec, Seq("createdAt"))
+      .collect()
+    val ids = out.map(_.getAs[String]("id"))
+    assert(ids.forall(_ != null))
+    assert(ids.toSet.size == 3) // minted ids are unique
+    // uuid v4 shape for the minted one
+    assert(ids.exists(_.matches("[0-9a-f-]{36}")))
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("createdAt"))))
+  }
 }
