@@ -31,19 +31,24 @@ object Bench {
     // driver, and a single pass shows multi-second stalls unrelated to
     // the plan under test (observed: identical query 1.0s vs 17s across
     // runs with GC logs ruling out the JVM)
+    // the two samples are taken in two SEPARATED full rounds (not
+    // back-to-back) so one multi-second contention burst cannot hit both
+    // samples of the same query
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    def round(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case NonFatal(e) =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }
+    val r1 = round()
+    val r2 = round()
+    val results = SparkEntry.queries.keys.map(n =>
+      n -> math.min(r1(n), r2(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query must not masquerade as a fast success
