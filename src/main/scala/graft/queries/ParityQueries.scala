@@ -199,6 +199,12 @@ object ParityQueries {
         t(s, dir, "documents").select("doc_id", "text", "source"),
         "window", Seq("text", "source"))),
 
+    // Q1 TF-IDF variant: token-exact multi-term retrieval ranked by
+    // tf·idf (rational idf form — see Search.tfidf scaladoc).
+    "q2_search_tfidf" -> ((s, dir) =>
+      graft.serving.Search.tfidf(
+        t(s, dir, "documents"), "window the of", "text", "doc_id")),
+
     // Generic catalog-driven entity sync: validate → namespace → lineage
     // (reference: the per-entity sync functions, src/data_sync.py:20-921,
     // collapsed to one declarative pipeline).
@@ -429,6 +435,29 @@ object ParityQueries {
        "length(replace(lower(coalesce(source,'')), 'window', ''))) / 6 " +
        "AS INT) AS score FROM documents) " +
        "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"),
+
+    "q2_search_tfidf" -> {
+      // per-term conditional sums added in a FIXED order, mirroring
+      // Search.tfidf exactly (float addition is order-sensitive)
+      val termSum = Seq("window", "the", "of").map(t =>
+        s"coalesce(sum(CASE WHEN term = '$t' THEN tf.tf * idf.idf END), 0.0)")
+        .mkString(" + ")
+      "WITH toks AS (" +
+       "  SELECT doc_id, unnest(list_filter(" +
+       "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
+       "  FROM documents" +
+       "), q AS (SELECT doc_id, term FROM toks " +
+       "  WHERE term IN ('window', 'the', 'of')), " +
+       "n AS (SELECT count(*) AS n FROM documents), " +
+       "idf AS (SELECT term, " +
+       "  (n.n + 1.0) / (count(DISTINCT doc_id) + 1.0) AS idf " +
+       "  FROM q CROSS JOIN n GROUP BY term, n.n), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2) " +
+       "SELECT doc_id, " +
+       s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
+       "FROM tf JOIN idf USING (term) GROUP BY doc_id " +
+       "ORDER BY score DESC, doc_id LIMIT 100"
+    },
 
     "sync_entity_docs" ->
       (s"SELECT c_custkey AS customer_c_custkey, " +

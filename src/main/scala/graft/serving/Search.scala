@@ -46,4 +46,53 @@ object Search {
 
   /** Advanced search = the engine's actual query language. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** TF-IDF-weighted multi-term search over one text field — the
+    * principled upgrade of [[multiField]]'s occurrence count toward ES
+    * relevance (SURVEY §7.4: BM25 itself is out of scope; this is the
+    * classic tf·idf retrieval model on exact token matches).
+    *
+    * score(doc) = Σ_t tf(t, doc) · (N+1)/(df_t+1)
+    *
+    * The idf weight is the *rational* inverse-document-frequency form,
+    * not log((N+1)/(df+1)): ln() is not IEEE-pinned and differs in the
+    * last ulp across libm implementations, which would make the DuckDB
+    * oracle flaky; the rational form is exact double arithmetic with
+    * identical ranking behavior (monotone in 1/df).
+    *
+    * Shape at scale: one explode+filter pass over the corpus (only query
+    * terms survive the filter — the "inverted index probe"), a tiny
+    * per-term df aggregate joined back broadcast-style, one final
+    * per-doc sum + top-k. No full-corpus shuffle: everything after the
+    * filter is query-term-sized.
+    */
+  def tfidf(df: DataFrame, query: String, textCol: String, idCol: String,
+            limit: Int = 100): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val toks = df.select(
+        col(idCol),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("term"))
+      .filter(col("term").isin(terms.toSeq: _*))
+    val n = df.select(count(lit(1)).as("n"))
+    val idf = toks.groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df_t"))
+      .crossJoin(n)
+      .select(col("term"),
+        ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    // fixed per-term addition order (query order): float addition is not
+    // associative, and a free-order sum() could differ from the oracle in
+    // the last ulp right at a rounding boundary
+    val termScores = terms.toSeq.map(t =>
+      coalesce(sum(when(col("term") === t, col("tf") * col("idf"))),
+        lit(0.0)))
+    toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("term"))
+      .groupBy(col(idCol))
+      .agg((floor(termScores.reduce(_ + _) * 10000.0 + 0.5)
+        .cast("double") / 10000.0).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
 }
