@@ -213,6 +213,22 @@ object ParityQueries {
         t(s, dir, "customer"),
         graft.catalog.EntityCatalog.entities("customer"), RunTs)),
 
+    // Snapshot-diff CDC: the scale-correct alternative to the
+    // reference's full re-sync. Old snapshot = ids not divisible by 3;
+    // new = ids not divisible by 5, with every 7th event_type mutated —
+    // yields all three change types deterministically.
+    "r5_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id").isNotNull)
+      val prev = ev.filter(col("event_id") % 3 =!= 0)
+      val next = ev.filter(col("event_id") % 5 =!= 0)
+        .withColumn("event_type",
+          when(col("event_id") % 7 === 0,
+            concat(col("event_type"), lit("!")))
+            .otherwise(col("event_type")))
+      graft.operators.ChangeDataCapture.snapshotDiff(
+        prev, next, "event_id", Seq("event_type"))
+    }),
+
     // As-of join (beyond reference — SURVEY §2.12): each even-id event
     // ("observation") picks up the latest odd-id event ("state") of the
     // same user at-or-before its timestamp. Right side deduped per
@@ -469,6 +485,22 @@ object ParityQueries {
        s"concat_ws('_', c_custkey, '$RunTs') AS document_id, " +
        "TIMESTAMP '2026-01-01 00:00:00' AS indexed_at " +
        "FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL"),
+
+    "r5_snapshot_diff" ->
+      ("WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL), " +
+       "prev AS (SELECT event_id, md5(coalesce(event_type, chr(2))) AS h " +
+       "  FROM ev WHERE event_id % 3 <> 0), " +
+       "nxt AS (SELECT event_id, md5(coalesce(CASE WHEN event_id % 7 = 0 " +
+       "  THEN event_type || '!' ELSE event_type END, chr(2))) AS h " +
+       "  FROM ev WHERE event_id % 5 <> 0) " +
+       "SELECT event_id, " +
+       "  CASE WHEN prev.h IS NULL THEN 'insert' " +
+       "       WHEN nxt.h IS NULL THEN 'delete' " +
+       "       WHEN prev.h <> nxt.h THEN 'update' END AS change_type " +
+       "FROM prev FULL OUTER JOIN nxt USING (event_id) " +
+       "WHERE CASE WHEN prev.h IS NULL THEN 'insert' " +
+       "       WHEN nxt.h IS NULL THEN 'delete' " +
+       "       WHEN prev.h <> nxt.h THEN 'update' END IS NOT NULL"),
 
     "j10_asof_join" ->
       ("WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL " +
