@@ -129,6 +129,24 @@ object ParityQueries {
         .select(col("user_id"), col("event_id").as("last_event_id"),
                 col("event_type").as("last_event_type"))),
 
+    // W2 (beyond reference — SURVEY §2.12 lists analytic windows as
+    // absent): lag/lead over the per-user event sequence plus a running
+    // count frame — the session-reconstruction shape.
+    "w2_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select(
+          col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          count(lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("seq_no"))
+    }),
+
     // O1: global sort (reference: ORDER BY t."number",
     // src/db_connector.py:300).
     "o1_global_sort" -> ((s, dir) =>
@@ -411,6 +429,16 @@ object ParityQueries {
        "event_type AS last_event_type FROM (" +
        "SELECT *, row_number() OVER (PARTITION BY user_id " +
        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"),
+
+    "w2_lag_lead" ->
+      ("SELECT user_id, event_id, " +
+       "lag(event_id, 1) OVER w AS prev_event_id, " +
+       "lead(event_id, 1) OVER w AS next_event_id, " +
+       "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq_no " +
+       "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+       "AND event_id IS NOT NULL " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
 
     "o1_global_sort" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
