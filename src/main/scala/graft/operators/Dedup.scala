@@ -171,6 +171,12 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 exact 16-bit bands only GUARANTEE candidate generation for pairs
+    // within Hamming distance 3 (pigeonhole: 4 differing bits can hit 4
+    // distinct bands); a larger threshold would silently lose recall
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band/16-bit guarantee (<=3); " +
+        "use more, narrower bands for larger radii")
     val sigs = docs.select(col(idCol),
       simhash64(col(textCol)).as("sig"))
     val chunks = (0 until 4).map(b =>

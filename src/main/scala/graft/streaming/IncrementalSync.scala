@@ -68,6 +68,23 @@ object IncrementalSync {
         col("window.end").as("window_end"),
         col(keyCol), col("events"), col("sum_value"))
 
+  /** Session-window aggregation over the changelog: events of one key
+    * closer than `gap` apart merge into one session (state closes and
+    * emits once the watermark passes gap-idle) — the per-user activity
+    * sessionization a training-data pipeline derives engagement features
+    * from. Built on `session_window` (dynamic merging windows in the
+    * state store, partitioned by key), the third windowing shape next to
+    * [[windowedCounts]]'s tumbling windows. */
+  def sessionizedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                        gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("events"), col("sum_value"))
+
   /** Streaming exact dedup — the stateful-operator form of
     * [[graft.operators.Dedup.exact]]: emit only the FIRST document seen
     * per key (e.g. content hash) across the whole stream.

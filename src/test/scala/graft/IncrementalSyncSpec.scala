@@ -56,6 +56,25 @@ class IncrementalSyncSpec extends SparkSpec {
       .getAs[String]("payload") == "v2")
   }
 
+  test("sessionizedCounts merges events within the gap into one session") {
+    val input = MemoryStream[Change](spark)
+    input.addData(
+      Change(1L, ts("2026-01-01 00:00:00"), 1.0, "a"),
+      Change(1L, ts("2026-01-01 00:03:00"), 2.0, "b"), // within 5m gap
+      Change(1L, ts("2026-01-01 01:00:00"), 4.0, "c")) // new session
+    val agg = IncrementalSync.sessionizedCounts(
+      input.toDF(), "ts", "entity_id", "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("events") == 2L)  // a+b merged
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(1).getAs[Long]("events") == 1L)
+  }
+
   test("streamingDedup keeps first-seen per key across micro-batches") {
     val input = MemoryStream[Change](spark)
     input.addData(
