@@ -63,6 +63,25 @@ object EntityCatalog {
   def rejects(df: DataFrame, spec: EntitySpec): DataFrame =
     df.filter(!validPredicate(spec))
 
+  /** The reference's top-level entrypoint (`sync_all_tables`,
+    * src/data_sync.py:923-934; CLI `sync_data.py`) as one call: for every
+    * catalog entity, validate → namespace → lineage → write to its own
+    * document index under `outDir`, with the per-entity error isolation
+    * the reference gets from try/except per table (a failing entity does
+    * not stop the run). Returns entity → (synced, rejected) counts —
+    * the reference's per-table success/failure accounting. */
+  def syncAll(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              outDir: String, runTs: String): Map[String, (Long, Long)] =
+    entities.map { case (name, spec) =>
+      name -> (try {
+        val src = graft.sources.Tables(spark, srcDir, name)
+        val docs = pipeline(src, spec, runTs)
+        val n = graft.sinks.DocumentSink.save(docs, s"$outDir/$name")
+        val bad = rejects(src, spec).count()
+        (n, bad)
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) })
+    }
+
   /** P7/F4: API-insert defaulting — null id → `uuid()`, null audit
     * timestamps → now (reference: prepare_entity_data,
     * src/utils.py:99-111). Column expressions only, no UDF. uuid() is

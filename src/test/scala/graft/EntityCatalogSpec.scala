@@ -52,4 +52,17 @@ class EntityCatalogSpec extends SparkSpec {
     assert(ids.exists(_.matches("[0-9a-f-]{36}")))
     assert(out.forall(!_.isNullAt(out.head.fieldIndex("createdAt"))))
   }
+
+  test("syncAll writes one validated index per entity with counts") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    val counts = EntityCatalog.syncAll(
+      spark, "/root/testdata/sf0.001", out, "2026-01-01T00:00:00Z")
+    assert(counts.keySet == EntityCatalog.entities.keySet)
+    assert(counts.values.forall { case (ok, _) => ok > 0 })
+    // sidecars for a sample entity
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "customer", "_mapping.json")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "customer", "_meta.json")))
+  }
 }
