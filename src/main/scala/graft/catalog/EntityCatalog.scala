@@ -42,7 +42,7 @@ object EntityCatalog {
   /** P4: prefix every column `<entity>_<col>` + `table` discriminator
     * (reference: data_lake_sync.py:152-164). */
   def namespaced(df: DataFrame, spec: EntitySpec): DataFrame =
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toSeq.map(c =>
         col(c).as(s"${spec.name}_$c")): _*)
       .withColumn("table", lit(spec.name))
 

@@ -56,7 +56,7 @@ object ParityQueries {
     // (reference: data_lake_sync.py:152-164).
     "p4_namespacing" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      c.select(c.columns.map(cn => col(cn).as(s"customer_$cn")): _*)
+      c.select(c.columns.toSeq.map(cn => col(cn).as(s"customer_$cn")): _*)
         .withColumn("table", lit("customer"))
     }),
 

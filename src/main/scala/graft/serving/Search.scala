@@ -37,7 +37,7 @@ object Search {
                  limit: Int = 100): DataFrame = {
     val score = fields.map(f => occurrences(col(f), term))
       .reduce(_ + _).as("score")
-    val keyCols = df.columns.map(col)
+    val keyCols = df.columns.toSeq.map(col)
     df.select(keyCols :+ score: _*)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(df.columns.head))

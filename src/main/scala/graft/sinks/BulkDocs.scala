@@ -3,7 +3,7 @@ package graft.sinks.bulk
 import java.io.{BufferedWriter, File, FileWriter}
 import java.util.{Map => JMap}
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData

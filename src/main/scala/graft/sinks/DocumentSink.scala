@@ -52,7 +52,7 @@ object DocumentSink {
   def withDocId(df: DataFrame, strategy: DocId): DataFrame = strategy match {
     case ContentHash =>
       df.withColumn("document_id",
-        md5(to_json(struct(df.columns.map(col): _*))))
+        md5(to_json(struct(df.columns.toSeq.map(col): _*))))
     case IdTimestamp(idCol, runTs) =>
       df.withColumn("document_id", concat_ws("_", col(idCol), lit(runTs)))
     case BareId(idCol) =>

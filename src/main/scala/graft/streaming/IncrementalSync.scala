@@ -35,7 +35,7 @@ object IncrementalSync {
     * — one combiner-friendly hash-agg, no window/sort shuffle. */
   def latestPerKeyInBatch(batch: DataFrame, keyCol: String,
                           orderCol: String): DataFrame = {
-    val valueCols = batch.columns.filter(_ != keyCol)
+    val valueCols = batch.columns.toSeq.filter(_ != keyCol)
     batch.groupBy(col(keyCol))
       .agg(max_by(struct(valueCols.map(col): _*), col(orderCol)).as("v"))
       .select(col(keyCol) +: valueCols.map(c => col(s"v.$c")): _*)
