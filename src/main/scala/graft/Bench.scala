@@ -57,7 +57,15 @@ object Bench {
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for log-wrapping runners: also leave the line in a
+    // file next to the build so a parser that misses stdout can recover it.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LATEST.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(_) => () }
     spark.stop()
   }
 }
