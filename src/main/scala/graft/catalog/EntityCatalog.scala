@@ -19,7 +19,10 @@ final case class EntitySpec(
     requiredCols: Seq[String],
     /** Free-form JSON string columns to keep as strings + expose via
       * get_json_object (SURVEY §7.4 untyped-JSON stance). */
-    jsonCols: Seq[String] = Nil)
+    jsonCols: Seq[String] = Nil,
+    /** Free-text (analyzed) string columns — the reference's SQL `text`
+      * type. Remaining strings are varchar-like ⇒ `keyword`. */
+    textCols: Seq[String] = Nil)
 
 object EntityCatalog {
 
@@ -63,6 +66,27 @@ object EntityCatalog {
   def rejects(df: DataFrame, spec: EntitySpec): DataFrame =
     df.filter(!validPredicate(spec))
 
+  /** F11 mapping fidelity — the reference's SQL-type cascade
+    * (data_lake_sync.py:101-110: json→`object`, varchar→`keyword`,
+    * text→`text`) for the string columns Spark's schema collapses into
+    * one StringType. Keyed by OUTPUT (namespaced) column name, over the
+    * [[pipeline]] result schema: `spec.jsonCols` → object, `spec
+    * .textCols` → text, every other string (ids, names, the `table`
+    * discriminator the reference itself pins to keyword,
+    * data_lake_sync.py:113) → keyword. Non-string columns keep the
+    * schema-derived type. */
+  def fieldTypes(schema: org.apache.spark.sql.types.StructType,
+                 spec: EntitySpec): Map[String, String] = {
+    import org.apache.spark.sql.types.StringType
+    val json = spec.jsonCols.map(c => s"${spec.name}_$c").toSet
+    val text = spec.textCols.map(c => s"${spec.name}_$c").toSet
+    schema.fields.collect {
+      case f if json.contains(f.name) => f.name -> "object"
+      case f if text.contains(f.name) => f.name -> "text"
+      case f if f.dataType == StringType => f.name -> "keyword"
+    }.toMap
+  }
+
   /** The reference's top-level entrypoint (`sync_all_tables`,
     * src/data_sync.py:923-934; CLI `sync_data.py`) as one call: for every
     * catalog entity, validate → namespace → lineage → write to its own
@@ -76,7 +100,8 @@ object EntityCatalog {
       name -> (try {
         val src = graft.sources.Tables(spark, srcDir, name)
         val docs = pipeline(src, spec, runTs)
-        val n = graft.sinks.DocumentSink.save(docs, s"$outDir/$name")
+        val n = graft.sinks.DocumentSink.save(docs, s"$outDir/$name",
+          fieldTypes = fieldTypes(docs.schema, spec))
         val bad = rejects(src, spec).count()
         (n, bad)
       } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) })

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * snapshots. The reference re-extracts and re-indexes every entity on
   * every sync run (src/data_sync.py:923-934) — at 100 TB the only
   * viable sync is shipping the *delta*. This operator computes it from
-  * any two snapshots with one full-outer join on the key plus an
-  * md5-row-hash comparison (no column-by-column predicate explosion,
-  * constant-width shuffle rows regardless of entity width).
+  * any two snapshots with one full-outer join on the key plus a
+  * structural row-hash comparison (no column-by-column predicate
+  * explosion, constant-width shuffle rows regardless of entity width).
   *
   * Output: (key, change_type ∈ insert|delete|update) — `unchanged` rows
   * are dropped (they are the overwhelming majority at scale and carry
@@ -21,7 +21,16 @@ object ChangeDataCapture {
 
   /** Rows of `next` not in `prev` (insert), rows gone (delete), rows
     * whose compared columns' md5 differs (update). `compareCols` defaults
-    * to all non-key columns shared by both snapshots. */
+    * to all non-key columns shared by both snapshots.
+    *
+    * The row hash is `xxhash64(struct(cols))`: Spark hashes the struct
+    * STRUCTURALLY (per-field, null bits included), so column boundaries
+    * and null-vs-value are unambiguous — unlike a separator-joined
+    * string concat, where a value containing the separator shifts
+    * boundaries and a literal sentinel string collides with NULL. A
+    * 64-bit collision maps a real update to "unchanged" with P≈2⁻⁶⁴
+    * per changed key — the standard CDC trade, and the same keying
+    * argument as the dedup operators'. */
   def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
                    compareCols: Seq[String] = Nil): DataFrame = {
     val cols =
@@ -30,9 +39,7 @@ object ChangeDataCapture {
         c != idCol && next.columns.contains(c))
     def hashed(df: DataFrame, tag: String): DataFrame =
       df.select(col(idCol),
-        md5(concat_ws("\u0001",
-          cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-          .as(s"_h_$tag"))
+        xxhash64(struct(cols.map(col): _*)).as(s"_h_$tag"))
     hashed(prev, "a").join(hashed(next, "b"), Seq(idCol), "full_outer")
       .withColumn("change_type",
         when(col("_h_a").isNull, "insert")

@@ -40,18 +40,34 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
 
-  /** Per-document MinHash signature: `numHashes` independent min-hashes
-    * over word `n`-gram shingles. Hash_i(s) = md5("i|s") compared as a
-    * *string* — lexicographic min over hex digests is engine-portable
-    * (identical in DuckDB), which is what lets the oracle pin this. */
+  /** Per-document MinHash signature: `numHashes` min-hashes over word
+    * `n`-gram shingles, compared as *strings* — lexicographic min over
+    * hex digests is engine-portable (identical in DuckDB), which is what
+    * lets the oracle pin this.
+    *
+    * Hash family: ONE md5 per shingle, then hash_i = the digest rotated
+    * left by 2·i hex chars. Rotation is a bijection on digests and, by
+    * md5's per-position uniformity, the 16 rotated orderings are close
+    * enough to independent for LSH banding (and any recall difference is
+    * deterministic — the oracle computes the same family). The previous
+    * form (md5 of "i|shingle") cost 16 full md5 evaluations per shingle
+    * occurrence and dominated the bench at ~20% of total runtime;
+    * rotation is 2 codegen'd substrings + a concat. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16): DataFrame = {
+    require(numHashes <= 16, "rotation family supports at most 16 hashes")
     val sh = docs.select(
-      col(idCol),
-      explode(distinctShingles(col(textCol), n)).as("sh"))
-    val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat_ws("|", lit(i), col("sh")))).as(s"sig_$i"))
+        col(idCol),
+        explode(distinctShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), md5(col("sh")).as("d"))
+    val sigAggs = (0 until numHashes).map { i =>
+      val rot =
+        if (i == 0) col("d")
+        else concat(substring(col("d"), 2 * i + 1, 32 - 2 * i),
+                    substring(col("d"), 1, 2 * i))
+      min(rot).as(s"sig_$i")
+    }
     sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 

@@ -104,8 +104,12 @@ object Similarity {
     *    a deterministic, engine-reproducible stand-in for k-means (a real
     *    deployment would train centroids offline and broadcast them; the
     *    plan shape is identical and that is what this operator pins).
-    *  - Assignment = one broadcast cross join corpus × centroids +
-    *    `max_by` argmax: a single corpus pass, no shuffle of vectors.
+    *  - Assignment = a pure projection: the ≤`nCentroids` centroids are
+    *    collected to the driver (bounded metadata, one tiny job) and the
+    *    per-row argmax is a `greatest` over literal structs — the corpus
+    *    is never shuffled OR re-grouped for assignment. (The first cut
+    *    used crossJoin(broadcast)+`max_by`, which hash-shuffled every
+    *    unit vector once for an argmax a projection can do.)
     *  - Probe = rank centroids per query, take `nProbe`; candidates are
     *    an equi-join on `centroid_id` (each corpus vector lives in
     *    exactly one cell, so no dedup needed); exact cosine re-rank.
@@ -117,21 +121,21 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = normalized(corpus, idCol, vecCol)
-    val cent = c.orderBy(col(idCol)).limit(nCentroids)
+    val centDf = normalized(corpus, idCol, vecCol)
+      .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col("unit").as("cu"))
-    val assign = c.crossJoin(broadcast(cent))
-      .groupBy(col(idCol))
-      .agg(max_by(col("centroid_id"),
-        struct(dot(col("unit"), col("cu")), -col("centroid_id")))
-        .as("centroid_id"),
-        first(col("unit")).as("uc"))
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"), col("uc"))
+    // bounded metadata collect (≤ nCentroids rows) — the "model", same
+    // role as an offline-trained codebook shipped to every task
+    val cent = centDf.collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    val assign = ivfAssign(corpus, idCol, vecCol, cent)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("unit").as("uc"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(dot(col("uq"), col("cu")).desc, col("centroid_id"))
     val probe = normalized(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("unit").as("uq"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(centDf))
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("uq"), col("centroid_id"))
@@ -144,6 +148,29 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round4(col("cos_exact")).as("cosine"))
+  }
+
+  /** Voronoi-cell assignment as a PROJECTION: per row, argmax of
+    * dot(unit, centroid) over the collected centroid list (ties → the
+    * smallest centroid id), computed with one `greatest` over literal
+    * structs. No join, no aggregation, no Exchange — the property
+    * `PlanShapeSpec` pins. `cent` must be sorted by centroid id
+    * ascending (as [[ivfTopK]] collects it): equal dots then resolve to
+    * the smaller id via the descending `ord` field. */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cent: Seq[(Any, Seq[Double])]): DataFrame = {
+    require(cent.nonEmpty, "need at least one centroid")
+    val n = cent.size
+    val structs = cent.zipWithIndex.map { case ((cid, cu), i) =>
+      struct(
+        dot(col("unit"), array(cu.map(lit): _*)).as("d"),
+        lit(n - 1 - i).as("ord"),
+        lit(cid).as("cid"))
+    }
+    val best = if (n == 1) structs.head else greatest(structs: _*)
+    normalized(corpus, idCol, vecCol)
+      .withColumn("centroid_id", best.getField("cid"))
   }
 
   /** ANN top-k via LSH bucketing: candidates share the query's bucket,

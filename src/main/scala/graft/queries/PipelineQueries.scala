@@ -94,14 +94,17 @@ object PipelineQueries {
       |)""".stripMargin
 
   private val minhashSql: String = {
+    // hash_i = md5(shingle) rotated left by 2i hex chars — mirrors
+    // Dedup.minhashSignatures' rotation family (one md5, 16 mixes)
     val sigs = (0 until 16)
-      .map(i => s"min(md5('$i|' || s)) AS sig_$i").mkString(",\n    ")
+      .map(i => s"min(substr(d, ${2 * i + 1}) || substr(d, 1, ${2 * i}))" +
+        s" AS sig_$i").mkString(",\n    ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(sig_${4 * b}||'|'||sig_${4 * b + 1}" +
         s"||'|'||sig_${4 * b + 2}||'|'||sig_${4 * b + 3}) AS h FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""$ShingleCtes,
-       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |ex AS (SELECT doc_id, md5(unnest(shset)) AS d FROM sh),
        |sigs AS (SELECT doc_id, $sigs FROM ex GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (

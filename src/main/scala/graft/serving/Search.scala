@@ -69,7 +69,14 @@ object Search {
   def tfidf(df: DataFrame, query: String, textCol: String, idCol: String,
             limit: Int = 100): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-    val toks = df.select(
+    // substring prefilter BEFORE tokenizing: a doc with no query term as
+    // a substring can't have one as a token, so the (codegen'd, scan-
+    // evaluated) contains-any test skips tokenize+explode for most of
+    // the corpus; substring false-positives ("foobar" for "foo") still
+    // die at the post-explode token filter, so results are unchanged
+    val anyTerm = terms.map(t => lower(col(textCol)).contains(lit(t)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val toks = df.filter(anyTerm).select(
         col(idCol),
         explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
           .as("term"))

@@ -100,8 +100,23 @@ private[bulk] class BulkBatchWrite(options: Map[String, String],
     new File(dir, "data").mkdirs()
     new File(dir, "_errors").mkdirs()
     // CaseInsensitiveStringMap lower-cases keys
-    BulkWriterFactory(path, schema,
-      options.getOrElse("docidcol", "document_id"),
+    val docIdCol = options.getOrElse("docidcol", "document_id")
+    // schema-level misconfiguration must fail the JOB here (driver,
+    // before any task runs), not silently quarantine every record: an
+    // explicitly-named id column that is absent is a misspelling, and a
+    // non-string id would throw per row in the writer. The implicit
+    // default may be absent — that is ES auto-id (`_id: null`).
+    val docIdIdx = schema.fieldNames.indexOf(docIdCol)
+    if (options.contains("docidcol") && docIdIdx < 0)
+      throw new IllegalArgumentException(
+        s"docIdCol '$docIdCol' not in schema " +
+          schema.fieldNames.mkString("[", ", ", "]"))
+    if (docIdIdx >= 0 && schema.fields(docIdIdx).dataType != StringType)
+      throw new IllegalArgumentException(
+        s"docIdCol '$docIdCol' must be StringType, found " +
+          s"${schema.fields(docIdIdx).dataType.simpleString} — cast it " +
+          "(e.g. DocumentSink.withDocId) before writing")
+    BulkWriterFactory(path, schema, docIdCol,
       options.get("requiredcols").toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
       writeId)

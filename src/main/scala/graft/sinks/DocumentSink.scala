@@ -3,8 +3,10 @@ package graft.sinks
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** The engine's document sink — the Spark-native replacement for the
   * reference's Elasticsearch connector (reference: src/es_connector.py:
@@ -33,9 +35,13 @@ import org.apache.spark.sql.types._
   *     to a quarantine directory instead of failing the job.
   *
   * Scale: a write is executor-parallel (one file per partition, no
-  * driver materialization); the mapping/meta sidecars are driver-side
-  * metadata only. Partition count = upstream partitioning — callers
-  * repartition by the sink's read pattern, not here.
+  * driver materialization); row counts come from an `observe` metric on
+  * the write job itself — never from re-reading what was just written
+  * (which, for an Append-mode index, would re-scan every prior
+  * generation: a second full-index pass per write at 100 TB). The
+  * mapping/meta sidecars are driver-side metadata only. Partition count
+  * = upstream partitioning — callers repartition by the sink's read
+  * pattern, not here.
   */
 object DocumentSink {
 
@@ -60,7 +66,13 @@ object DocumentSink {
   }
 
   /** Spark type → ES-style mapping type (the reference's substring
-    * cascade, data_lake_sync.py:101-110, made total and typed). */
+    * cascade, data_lake_sync.py:101-110, made total and typed). Spark
+    * collapses the reference's varchar/text/json SQL-type distinction
+    * into one StringType, so the string-column split (varchar→`keyword`,
+    * text→`text`, json→`object`) is carried by per-field overrides —
+    * see [[mappingJson]] and [[graft.catalog.EntityCatalog.fieldTypes]].
+    * A bare string with no hint maps to `text`, the reference's own
+    * fallback arm. */
   def esType(dt: DataType): String = dt match {
     case StringType => "text"
     case BooleanType => "boolean"
@@ -74,19 +86,61 @@ object DocumentSink {
     case _ => "text"
   }
 
-  private def mappingJson(schema: StructType): String =
+  /** ES-style mapping JSON for `schema`; `fieldTypes` overrides the
+    * derived type per column name (the varchar→keyword / json→object
+    * fidelity the schema alone cannot express). */
+  def mappingJson(schema: StructType,
+                  fieldTypes: Map[String, String] = Map.empty): String =
     schema.fields.map(f =>
-      s""""${f.name}": {"type": "${esType(f.dataType)}"}""")
+      s""""${f.name}": {"type": "${
+        fieldTypes.getOrElse(f.name, esType(f.dataType))}"}""")
       .mkString("{\"properties\": {", ", ", "}}")
+
+  /** Rows written by THIS call, counted from the write job itself via a
+    * `Dataset.observe` metric — the write's own CollectMetrics node, no
+    * post-write re-scan. The listener bus is asynchronous, so the metric
+    * is awaited briefly; if it never arrives the count falls back to a
+    * directory read (correctness over speed, and only on that error
+    * path). */
+  private def writeCounted(df: DataFrame, dataPath: String,
+                           mode: SaveMode): Long = {
+    val spark = df.sparkSession
+    val metricName =
+      "graft_rows_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val counted = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach { row =>
+          counted.set(row.getLong(0)); latch.countDown()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      df.observe(metricName,
+          org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+        .write.mode(mode).parquet(dataPath)
+      latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    } finally spark.listenerManager.unregister(listener)
+    if (counted.get() >= 0) counted.get()
+    else spark.read.parquet(dataPath).count()
+  }
 
   /** Write `df` as an index at `path`. Overwrite = the reference's
     * drop-and-recreate; Append = historized sync runs. Returns the doc
-    * count written. */
+    * count written BY THIS CALL (`bulk_index`'s success count); for the
+    * whole-index total under Append use [[count]]. `fieldTypes` refines
+    * the sidecar mapping per column (keyword/text/object — see
+    * [[esType]]). */
   def save(df: DataFrame, path: String,
-           mode: SaveMode = SaveMode.Overwrite): Long = {
-    df.write.mode(mode).parquet(s"$path/data")
-    val n = df.sparkSession.read.parquet(s"$path/data").count()
-    writeSidecar(s"$path/_mapping.json", mappingJson(df.schema))
+           mode: SaveMode = SaveMode.Overwrite,
+           fieldTypes: Map[String, String] = Map.empty): Long = {
+    val n = writeCounted(df, s"$path/data", mode)
+    writeSidecar(s"$path/_mapping.json", mappingJson(df.schema, fieldTypes))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "${mode.name.toLowerCase}"}""")
     n
@@ -95,24 +149,32 @@ object DocumentSink {
   /** Bulk write with the reference's partial-failure contract: rows
     * failing `requiredCols` non-null validation go to `path/_errors`
     * instead of failing the job; returns (successCount, failedCount)
-    * exactly like `bulk_index` (src/es_connector.py:51-74). */
+    * for THIS batch exactly like `bulk_index` (src/es_connector.py:
+    * 51-74) — both counts ride the write jobs' observe metrics, neither
+    * directory is re-read. An empty `requiredCols` means every row is
+    * valid (fold from `lit(true)`). */
   def validatedWrite(df: DataFrame, path: String,
                      requiredCols: Seq[String],
-                     mode: SaveMode = SaveMode.Overwrite): (Long, Long) = {
-    val okPred = requiredCols.map(col(_).isNotNull).reduce(_ && _)
+                     mode: SaveMode = SaveMode.Overwrite,
+                     fieldTypes: Map[String, String] = Map.empty): (Long, Long) = {
+    val okPred = requiredCols.foldLeft(lit(true))(_ && col(_).isNotNull)
     val ok = df.filter(okPred)
     val bad = df.filter(!okPred)
-    val n = save(ok, path, mode)
-    bad.write.mode(mode).parquet(s"$path/_errors")
-    val nBad = df.sparkSession.read.parquet(s"$path/_errors").count()
+    val n = save(ok, path, mode, fieldTypes)
+    val nBad = writeCounted(bad, s"$path/_errors", mode)
     (n, nBad)
   }
 
   /** Upsert by `document_id`: replace existing docs sharing an id with
     * the incoming batch (REST per-record re-sync semantics,
-    * src/routes/ticket_routes.py:91-96). Parquet-level implementation:
-    * read-modify-write via anti-join; at scale the same plan lands on a
-    * Delta/Iceberg MERGE INTO. */
+    * src/routes/ticket_routes.py:91-96). Parquet cannot overwrite a path
+    * it is reading, so the merged table is staged in a sibling temp
+    * directory and swapped in with two driver-side filesystem metadata
+    * ops (delete + rename — atomic on HDFS-like filesystems). The first
+    * cut staged via `localCheckpoint`, which materializes the ENTIRE
+    * merged index in executor block-manager memory — a scale-killer the
+    * swap avoids; on object stores without atomic rename the same
+    * logical contract lands on a Delta/Iceberg MERGE INTO. */
   def upsert(batch: DataFrame, path: String): Long = {
     val spark = batch.sparkSession
     val dataPath = s"$path/data"
@@ -123,9 +185,19 @@ object DocumentSink {
       if (existing.columns.isEmpty) batch
       else existing.join(batch.select("document_id"), Seq("document_id"),
         "left_anti").unionByName(batch, allowMissingColumns = true)
-    // parquet cannot overwrite a path it is reading: stage via checkpoint
-    val staged = merged.localCheckpoint(eager = true)
-    save(staged, path, SaveMode.Overwrite)
+    val tmpPath =
+      s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(dataPath)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst))
+      throw new java.io.IOException(s"rename $tmpPath -> $dataPath failed")
+    writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
+    writeSidecar(s"$path/_meta.json",
+      s"""{"doc_count": $n, "mode": "overwrite"}""")
+    n
   }
 
   /** Count verification (reference: src/es_connector.py:76-83). */
