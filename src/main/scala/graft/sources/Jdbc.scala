@@ -24,10 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    schema-qualification stays plain text in `table` (e.g.
   *    `copy."Ticket"`).
   *
-  * Offline note: this container has no database or JDBC driver, so this
-  * path is compile-checked API, not exercised by the harness — the
-  * parquet [[Tables]] source feeds all tests. The option plumbing follows
-  * the Spark SQL JDBC data-source contract exactly.
+  * Exercised offline against embedded Derby (`JdbcSpec`): scans,
+  * partitioned parallel reads, remote-SQL pushdown of filters, and
+  * catalog introspection all run against a real JDBC database; the
+  * parquet [[Tables]] source feeds the oracle-checked queries.
   */
 object Jdbc {
 
@@ -75,13 +75,24 @@ object Jdbc {
   def query(spark: SparkSession, conn: Conn, sql: String): DataFrame =
     baseReader(spark, conn).option("query", sql).load()
 
-  /** S4: catalog introspection — table list via information_schema (the
-    * reference uses SQLAlchemy `inspect`, src/db_connector.py:41-64;
-    * column metadata comes free as `table(...).schema`). */
+  /** S4: catalog introspection — table list per dialect (the reference
+    * uses SQLAlchemy `inspect`, src/db_connector.py:41-64, which does the
+    * same dialect dispatch internally; column metadata comes free as
+    * `table(...).schema`). information_schema covers Postgres/MySQL/
+    * SQL Server; Derby (the embedded engine the spec runs against)
+    * exposes its catalog as SYS.* tables instead. Driver-side
+    * `collect()` is bounded metadata — a table list, never data. */
   def tableNames(spark: SparkSession, conn: Conn,
-                 schema: String = "public"): Seq[String] =
-    query(spark, conn,
-      "SELECT table_name FROM information_schema.tables " +
-        s"WHERE table_schema = '${schema.replace("'", "''")}'")
-      .collect().map(_.getString(0)).toSeq
+                 schema: String = "public"): Seq[String] = {
+    val esc = schema.replace("'", "''")
+    val sql =
+      if (conn.url.startsWith("jdbc:derby"))
+        "SELECT t.tablename FROM sys.systables t " +
+          "JOIN sys.sysschemas s ON t.schemaid = s.schemaid " +
+          s"WHERE s.schemaname = '$esc' AND t.tabletype = 'T'"
+      else
+        "SELECT table_name FROM information_schema.tables " +
+          s"WHERE table_schema = '$esc'"
+    query(spark, conn, sql).collect().map(_.getString(0)).toSeq
+  }
 }

@@ -48,6 +48,39 @@ class BulkDocsSpec extends SparkSpec {
     assert(meta.contains(""""doc_count": 1""") && meta.contains(""""failed": 1"""))
   }
 
+  private def causeChain(t: Throwable): Seq[Throwable] = {
+    val b = Seq.newBuilder[Throwable]
+    var cur = t
+    while (cur != null && !b.result().contains(cur)) { b += cur; cur = cur.getCause }
+    b.result()
+  }
+
+  test("misspelled docIdCol fails the job at the driver, not row-by-row") {
+    val path = Files.createTempDirectory("graft-bulk").toString
+    val e = intercept[Throwable] {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-bulk")
+        .option("path", path).option("docIdCol", "documnt_id")
+        .mode("append").save()
+    }
+    assert(causeChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("not in schema")),
+      s"expected driver-side misconfiguration failure, got: $e")
+  }
+
+  test("non-string docIdCol fails fast with a cast hint") {
+    val path = Files.createTempDirectory("graft-bulk").toString
+    val e = intercept[Throwable] {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-bulk")
+        .option("path", path).option("docIdCol", "id")
+        .mode("append").save()
+    }
+    assert(causeChain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("must be StringType")),
+      s"expected StringType validation failure, got: $e")
+  }
+
   test("overwrite truncates (drop-and-recreate semantics)") {
     val path = Files.createTempDirectory("graft-bulk").toString
     def write(n: Int): Unit =

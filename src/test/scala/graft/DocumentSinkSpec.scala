@@ -62,6 +62,87 @@ class DocumentSinkSpec extends SparkSpec {
     assert(out == Seq("new", "keep"))
   }
 
+  test("append-mode save counts THIS call's rows, not the directory total") {
+    val path = tmp()
+    assert(DocumentSink.save(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path) == 2)
+    // the old impl re-read the directory and would return 3 here
+    val n = DocumentSink.save(Seq((3L, "c")).toDF("id", "v"), path,
+      SaveMode.Append)
+    assert(n == 1)
+    assert(spark.read.parquet(s"$path/data").count() == 3)
+  }
+
+  test("save runs exactly one job — the count rides the write, no re-scan") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DocumentSink.save(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tmp())
+      // the listener bus is async: poll until the count is stable
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      assert(jobs.get() == 1,
+        s"save ran ${jobs.get()} jobs — a post-write re-scan crept back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("upsert stages via temp-dir swap, not checkpoint materialization") {
+    val path = tmp()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DocumentSink.save(DocumentSink.withDocId(
+      Seq((1L, "old")).toDF("id", "v"), BareId("id")), path)
+    DocumentSink.upsert(DocumentSink.withDocId(
+      Seq((1L, "new"), (2L, "more")).toDF("id", "v"), BareId("id")), path)
+    // localCheckpoint registers persistent RDDs; the swap must not
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "upsert left materialized RDDs behind (checkpoint staging)")
+    // and no stray temp staging dirs survive the swap
+    val strays = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".data_tmp_"))
+    assert(strays.isEmpty, strays.mkString(", "))
+    assert(spark.read.parquet(s"$path/data").count() == 2)
+  }
+
+  test("validatedWrite: per-call counts under Append; empty requiredCols OK") {
+    val path = tmp()
+    val df1 = Seq((java.lang.Long.valueOf(1L), "a"),
+                  (null.asInstanceOf[java.lang.Long], "b")).toDF("id", "v")
+    assert(DocumentSink.validatedWrite(df1, path, Seq("id"),
+      SaveMode.Append) == ((1L, 1L)))
+    val df2 = Seq((java.lang.Long.valueOf(2L), "c"),
+                  (java.lang.Long.valueOf(3L), "d"),
+                  (null.asInstanceOf[java.lang.Long], "e")).toDF("id", "v")
+    // old impl re-read both directories: would report (3, 2) here
+    assert(DocumentSink.validatedWrite(df2, path, Seq("id"),
+      SaveMode.Append) == ((2L, 1L)))
+    // empty requiredCols = everything valid (old impl threw on reduce)
+    assert(DocumentSink.validatedWrite(df1, tmp(), Nil) == ((2L, 0L)))
+  }
+
+  test("mapping sidecar honors per-field overrides (keyword/text/object)") {
+    val path = tmp()
+    val df = Seq((1L, "free text", """{"a":1}""", "OPEN"))
+      .toDF("id", "body", "payload", "status")
+    DocumentSink.save(df, path, fieldTypes =
+      Map("body" -> "text", "payload" -> "object", "status" -> "keyword"))
+    val mapping = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_mapping.json")))
+    assert(mapping.contains("\"body\": {\"type\": \"text\"}"))
+    assert(mapping.contains("\"payload\": {\"type\": \"object\"}"))
+    assert(mapping.contains("\"status\": {\"type\": \"keyword\"}"))
+    assert(mapping.contains("\"id\": {\"type\": \"long\"}")) // underived stays
+  }
+
   test("overwrite mode is drop-and-recreate (destructive, like the ES sink)") {
     val path = tmp()
     DocumentSink.save(Seq((1L, "a")).toDF("id", "v"), path)

@@ -53,6 +53,28 @@ class EntityCatalogSpec extends SparkSpec {
     assert(out.forall(!_.isNullAt(out.head.fieldIndex("createdAt"))))
   }
 
+  test("fieldTypes: jsonCols→object, textCols→text, other strings→keyword") {
+    val s = EntitySpec("doc", "id", Seq("id"),
+      jsonCols = Seq("payload"), textCols = Seq("body"))
+    val df = Seq((1L, """{"a":1}""", "hello world", "OPEN"))
+      .toDF("id", "payload", "body", "status")
+    val docs = EntityCatalog.pipeline(df, s, "2026-01-01T00:00:00Z")
+    val ft = EntityCatalog.fieldTypes(docs.schema, s)
+    assert(ft("doc_payload") == "object")
+    assert(ft("doc_body") == "text")
+    assert(ft("doc_status") == "keyword") // varchar-like ⇒ keyword
+    assert(ft("table") == "keyword" && ft("document_id") == "keyword")
+    assert(!ft.contains("doc_id")) // non-string: schema-derived type wins
+    // and the sink sidecar reflects it end-to-end
+    val out = java.nio.file.Files.createTempDirectory("graft-ft").toString
+    graft.sinks.DocumentSink.save(docs, out, fieldTypes = ft)
+    val mapping = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_mapping.json"))
+    assert(mapping.contains("\"doc_payload\": {\"type\": \"object\"}"))
+    assert(mapping.contains("\"doc_body\": {\"type\": \"text\"}"))
+    assert(mapping.contains("\"doc_status\": {\"type\": \"keyword\"}"))
+  }
+
   test("syncAll writes one validated index per entity with counts") {
     val out = java.nio.file.Files.createTempDirectory("graft-sync").toString
     val counts = EntityCatalog.syncAll(

@@ -49,6 +49,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k regressed:\n$plan")
   }
 
+  test("ivf: centroid assignment is a pure projection — no Exchange") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(0.1, 1.0)),
+      (3L, Seq(0.9, 0.2)), (4L, Seq(0.2, 0.8))
+    ).toDF("id", "vec")
+    val cent: Seq[(Any, Seq[Double])] =
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val assigned = graft.operators.Similarity
+      .ivfAssign(corpus, "id", "vec", cent)
+    val byId = assigned.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchanges = assigned.queryExecution.executedPlan
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      "IVF assignment shuffled the corpus — argmax must stay a projection")
+  }
+
   test("q3: selective dimension filter stays pushed under the join") {
     val plan = executedPlan(q("q3_top_revenue"))
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
