@@ -30,6 +30,42 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Golden gate for the two queries DuckDB cannot express (murmur3 /
+    // seeded hyperplanes): compare the dumped artifacts against the
+    // independent plain-Scala models (graft.oracle.GoldenModels). A
+    // mismatch fails the whole verify run — these queries do NOT ride on
+    // a rows-only check.
+    import graft.oracle.GoldenModels
+    val simhashGot = spark.read.parquet(s"$outDir/dedup_simhash")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val simhashWant = GoldenModels.simhashPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    require(simhashGot == simhashWant,
+      s"[verify] golden MISMATCH dedup_simhash: spark=${simhashGot.size} " +
+        s"model=${simhashWant.size} pairs, " +
+        s"diff=${(simhashGot diff simhashWant).take(3)} / " +
+        s"${(simhashWant diff simhashGot).take(3)}")
+    println(s"[verify] golden PASS dedup_simhash (${simhashGot.size} pairs)")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val lshGot = spark.read.parquet(s"$outDir/ann_lsh_topk")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val lshWant = GoldenModels.lshTopK(
+      emb, emb.filter(_._1 < 10), k = 5, dim = 64)
+    require(lshGot == lshWant,
+      s"[verify] golden MISMATCH ann_lsh_topk: spark=${lshGot.size} " +
+        s"model=${lshWant.size} rows, " +
+        s"diff=${(lshGot diff lshWant).take(3)} / " +
+        s"${(lshWant diff lshGot).take(3)}")
+    println(s"[verify] golden PASS ann_lsh_topk (${lshGot.size} rows)")
     spark.stop()
   }
 }

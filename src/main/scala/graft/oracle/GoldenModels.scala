@@ -1,0 +1,168 @@
+package graft.oracle
+
+import java.nio.charset.StandardCharsets
+
+/** Independent plain-Scala models for the two queries DuckDB cannot
+  * express (`dedup_simhash`: murmur3 is not in DuckDB; `ann_lsh_topk`:
+  * seeded hyperplanes are engine-specific RNG). These reimplement the
+  * SEMANTICS from scratch — including Murmur3 x86_32 itself, byte by
+  * byte, so a bug in the custom codegen expressions' unsafe-memory
+  * handling would show up as a mismatch — and share no code with the
+  * Catalyst path (no Column API, no UTF8String, no ArrayData).
+  *
+  * Used two ways: hash-compared in `DedupSpec`/`SimilaritySpec` against
+  * the Spark results on real testdata, and enforced by `graft.Verify`
+  * (the driver's correctness dump fails hard on divergence) — so neither
+  * query relies on a rows-only check.
+  *
+  * Model simplifications vs the distributed plans (not the semantics):
+  * simhash pairs come from brute-force O(n²) comparison — the banded
+  * self-join in [[graft.operators.Dedup.simhashPairs]] is *exact* for
+  * maxHamming ≤ 3 (pigeonhole over 4×16-bit bands), so the two must
+  * agree on the full pair set, not just candidates.
+  */
+object GoldenModels {
+
+  // --- Murmur3 x86_32, Spark's variant, from scratch ------------------
+  // Spark (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes)
+  // deviates from reference murmur3 in the tail: each trailing byte past
+  // the 4-byte-aligned prefix is SIGN-EXTENDED and mixed as a full block.
+
+  private def mixK1(k: Int): Int = {
+    var k1 = k * 0xcc9e2d51
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 * 0x1b873593
+  }
+
+  private def mixH1(h: Int, k1: Int): Int = {
+    var h1 = h ^ k1
+    h1 = Integer.rotateLeft(h1, 13)
+    h1 * 5 + 0xe6546b64
+  }
+
+  def murmur3(bytes: Array[Byte], seed: Int): Int = {
+    var h1 = seed
+    val aligned = bytes.length - bytes.length % 4
+    var i = 0
+    while (i < aligned) {
+      val k = (bytes(i) & 0xff) |
+        ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) |
+        ((bytes(i + 3) & 0xff) << 24) // little-endian word
+      h1 = mixH1(h1, mixK1(k))
+      i += 4
+    }
+    while (i < bytes.length) {
+      h1 = mixH1(h1, mixK1(bytes(i).toInt)) // sign-extended tail byte
+      i += 1
+    }
+    h1 ^= bytes.length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^ (h1 >>> 16)
+  }
+
+  /** 64-bit token hash: two murmur3-32 halves, seeds 42 / 0x9747b28c —
+    * the contract of [[org.apache.spark.sql.graft.SimHash64.hash64]]. */
+  def hash64(token: String): Long = {
+    val b = token.getBytes(StandardCharsets.UTF_8)
+    (murmur3(b, 42).toLong << 32) | (murmur3(b, 0x9747b28c).toLong & 0xffffffffL)
+  }
+
+  // --- SimHash --------------------------------------------------------
+
+  /** SimHash64 over distinct whitespace tokens (TextFunctions.simhash64
+    * semantics: split on \s+, drop empties, distinct, ±1 bit votes). */
+  def simhash64(text: String): Long = {
+    val toks = text.split("\\s+", -1).filter(_.nonEmpty).distinct
+    val votes = new Array[Int](64)
+    for (t <- toks) {
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** All pairs (a < b) within `maxHamming`, brute force. */
+  def simhashPairs(docs: Seq[(Long, String)],
+                   maxHamming: Int = 3): Set[(Long, Long, Int)] = {
+    val sigs = docs.collect { case (id, t) if t != null => (id, simhash64(t)) }
+    (for {
+      (ia, sa) <- sigs
+      (ib, sb) <- sigs
+      if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= maxHamming
+    } yield (ia, ib, d)).toSet
+  }
+
+  // --- LSH ANN --------------------------------------------------------
+
+  /** L2-normalize after float→double cast; None for the zero vector
+    * (L2Normalize semantics). */
+  def unit(v: Seq[Float]): Option[Array[Double]] = {
+    val d = v.map(_.toDouble).toArray
+    var s = 0.0
+    var i = 0
+    while (i < d.length) { s += d(i) * d(i); i += 1 }
+    if (s == 0.0) None
+    else {
+      val norm = math.sqrt(s)
+      Some(d.map(_ / norm))
+    }
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def round4(x: Double): Double =
+    math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** Random-hyperplane LSH top-k (Similarity.lshTopK semantics): planes
+    * from the same seed-defined ±1 sequence (the "model" is the seed, so
+    * plane generation is shared by definition), sign-bit bucket,
+    * same-bucket candidates excluding self, exact-cosine rank with
+    * neighbor-id tiebreak, cosine rounded to 4 decimals on output. */
+  def lshTopK(corpus: Seq[(Long, Seq[Float])], queries: Seq[(Long, Seq[Float])],
+              k: Int, dim: Int, nPlanes: Int = 8,
+              seed: Long = 42L): Set[(Long, Int, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val planes =
+      Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    def bucket(u: Array[Double]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        if (dot(u, p) > 0) acc | (1L << i) else acc
+      }
+    val c = corpus.flatMap { case (id, v) =>
+      unit(v).map(u => (bucket(u), id, u))
+    }
+    queries.flatMap { case (qid, v) =>
+      unit(v).toSeq.flatMap { uq =>
+        val b = bucket(uq)
+        c.filter(t => t._1 == b && t._2 != qid)
+          .map { case (_, nid, uc) => (nid, dot(uq, uc)) }
+          .sortBy { case (nid, cos) => (-cos, nid) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((nid, cos), r) => (qid, r + 1, nid, round4(cos)) }
+      }
+    }.toSet
+  }
+}

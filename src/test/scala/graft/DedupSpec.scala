@@ -47,6 +47,38 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 0L)
   }
 
+  test("simhash: banded pairs equal the independent brute-force model " +
+      "on real data") {
+    // Golden pin: graft.oracle.GoldenModels reimplements murmur3 +
+    // simhash + pairing from scratch (no Catalyst code shared); the
+    // banded self-join is exact for hamming <= 3, so the sets must be
+    // identical — including every hamming distance value.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.simhashPairs(real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = graft.oracle.GoldenModels.simhashPairs(
+      real.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(got.nonEmpty, "no pairs at all — testdata should contain dups")
+    assert(got == want,
+      s"spark=${got.size} model=${want.size}; " +
+        s"spark-only=${(got diff want).take(3)} " +
+        s"model-only=${(want diff got).take(3)}")
+  }
+
+  test("golden hash64 matches the codegen expression byte-for-byte") {
+    // the sharpest unsafe-memory check: UTF8String offsets/lengths in
+    // SimHash64.hash64 vs a from-scratch byte-array murmur3
+    val samples = Seq("", "a", "ab", "abc", "abcd", "abcde", "naïve",
+      "日本語トークン", "mixed ascii ünicode", "x" * 100, "")
+    for (s <- samples) {
+      val viaExpr = org.apache.spark.sql.graft.SimHash64.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(viaExpr == graft.oracle.GoldenModels.hash64(s),
+        s"hash64 divergence on ${s.take(20).toList}")
+    }
+  }
+
   test("embedding near-dups: parallel vectors found, orthogonal not") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

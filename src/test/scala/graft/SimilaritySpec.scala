@@ -68,6 +68,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK equals the independent plain-Scala model on real data") {
+    // Golden pin: GoldenModels.lshTopK re-derives normalization, plane
+    // projection, bucketing, candidate join, ranking, and rounding from
+    // scratch over collected arrays — the whole distributed plan must
+    // reproduce it exactly.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val want = graft.oracle.GoldenModels.lshTopK(
+      rows, rows.filter(_._1 < 10), k = 5, dim = 64)
+    assert(got.nonEmpty)
+    assert(got == want,
+      s"spark=${got.size} model=${want.size}; " +
+        s"spark-only=${(got diff want).take(3)} " +
+        s"model-only=${(want diff got).take(3)}")
+  }
+
   test("zero vectors are dropped, not NaN") {
     val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
