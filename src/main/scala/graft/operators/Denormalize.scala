@@ -105,10 +105,33 @@ object Denormalize {
       orders: DataFrame, lineitem: DataFrame, part: DataFrame,
       customer: DataFrame, nation: DataFrame, region: DataFrame,
       runTs: String = RunTs): DataFrame = {
-    val latest = latestStatus(lineitem)
     val labels = labelsPerOrder(lineitem, part)
       .withColumn("labels", array_join(col("label_names"), "|"))
       .drop("label_names")
+    assemble(orders, lineitem, labels, customer, nation, region, runTs)
+  }
+
+  /** Flagship variant that ships the label dimension in the shape the
+    * reference actually indexes — `labels: [{id,name,color}]` nested
+    * structs (src/ticket_sync.py:44-49) — instead of the pipe-joined
+    * string [[apply]] uses for hash-comparability. Same plan skeleton:
+    * the labels aggregation is still one combiner-friendly hash shuffle
+    * on the fact key; only the aggregated value type changes, so the
+    * 100 TB story is identical. */
+  def nested(
+      orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame,
+      runTs: String = RunTs): DataFrame =
+    assemble(orders, lineitem, labelStructsPerOrder(lineitem, part),
+      customer, nation, region, runTs)
+
+  /** Shared join/projection skeleton: `labels` must expose the fact key
+    * `l_orderkey` plus a single `labels` column of whatever shape. */
+  private def assemble(
+      orders: DataFrame, lineitem: DataFrame, labels: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame,
+      runTs: String): DataFrame = {
+    val latest = latestStatus(lineitem)
     val denorm = orders
       .join(latest, orders("o_orderkey") === latest("l_orderkey"), "left")
       .drop(latest("l_orderkey"))

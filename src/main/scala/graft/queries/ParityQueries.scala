@@ -30,6 +30,16 @@ object ParityQueries {
         t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "part"),
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
 
+    // §3.2 flagship, nested shape: labels as [{id,name,color}] structs —
+    // the shape the reference indexes (src/ticket_sync.py:44-49). Flattened
+    // through to_json ONLY for the oracle hash; the sink path ships the
+    // real nested column (DocumentSinkSpec covers the struct round-trip).
+    "denorm_tickets_nested" -> ((s, dir) =>
+      Denormalize.nested(
+        t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+        .withColumn("labels", to_json(col("labels")))),
+
     // S1+P1: full scan with pushed filter + pruned projection
     // (reference: SELECT * WHERE "deletedAt" IS NULL, src/db_connector.py:142).
     "s1_scan_filter" -> ((s, dir) =>
@@ -335,7 +345,9 @@ object ParityQueries {
   // DuckDB oracles — column aliases in lockstep with the Spark queries.
   // ---------------------------------------------------------------------
 
-  private val denormSql: String =
+  /** Flat (string_agg) and nested (to_json of ordered struct list) forms of
+    * the flagship's label CTE — everything else in the oracle is shared. */
+  private def denormSqlWith(labelsCte: String): String =
     """WITH latest AS (
       |  SELECT l_orderkey, l_returnflag AS status_flag,
       |         l_linestatus AS status_name, l_shipdate AS status_at
@@ -345,10 +357,7 @@ object ParityQueries {
       |                   l_returnflag DESC, l_linestatus DESC) AS rn
       |        FROM lineitem) WHERE rn = 1
       |), labels AS (
-      |  SELECT l_orderkey,
-      |         string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS labels
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  GROUP BY l_orderkey
+      |%LABELS%
       |)
       |SELECT CAST(o.o_orderkey AS VARCHAR) AS ticket_id,
       |       o.o_orderkey AS ticket_number,
@@ -369,9 +378,29 @@ object ParityQueries {
       |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"""
       .stripMargin.replace("%RUNTS%", RunTs)
+      .replace("%LABELS%", labelsCte.stripMargin)
+
+  private val denormSql: String = denormSqlWith(
+    """  SELECT l_orderkey,
+      |         string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS labels
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY l_orderkey""")
+
+  /** Nested oracle: DuckDB's struct comparison and to_json rendering both
+    * coincide with Spark's (field-ordinal sort; compact `{"k":v}` JSON) —
+    * verified empirically, so the flattened hash pins the real shape. */
+  private val denormNestedSql: String = denormSqlWith(
+    """  SELECT l_orderkey,
+      |         CAST(to_json(list(s ORDER BY s)) AS VARCHAR) AS labels
+      |  FROM (SELECT DISTINCT l_orderkey,
+      |               struct_pack(id := p_partkey, name := p_name,
+      |                           color := p_brand) AS s
+      |        FROM lineitem JOIN part ON l_partkey = p_partkey) q
+      |  GROUP BY l_orderkey""")
 
   def oracleSql: Map[String, String] = Map(
     "denorm_tickets" -> denormSql,
+    "denorm_tickets_nested" -> denormNestedSql,
 
     "s1_scan_filter" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +

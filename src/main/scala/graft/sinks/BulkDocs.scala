@@ -139,9 +139,7 @@ private[bulk] class BulkBatchWrite(options: Map[String, String],
       }
     val success = prevSuccess + cs.map(_.success).sum
     val failed = prevFailed + cs.map(_.failed).sum
-    val mapping = schema.fields.map(f =>
-      s""""${f.name}": {"type": "${graft.sinks.DocumentSink.esType(f.dataType)}"}""")
-      .mkString("{\"properties\": {", ", ", "}}")
+    val mapping = graft.sinks.DocumentSink.mappingJson(schema)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_mapping.json"),
       mapping.getBytes("UTF-8"))

@@ -86,14 +86,34 @@ object DocumentSink {
     case _ => "text"
   }
 
+  /** Full field mapping for one column, recursing into structure the way
+    * ES does (reference labels mapping, src/ticket_sync.py:44-49):
+    * array-of-struct → `nested` + recursive properties, struct →
+    * `object` + recursive properties, scalar array → the element type
+    * (ES arrays are implicit — every field may be multi-valued). */
+  def fieldMapping(dt: DataType): String = dt match {
+    case ArrayType(st: StructType, _) =>
+      s"""{"type": "nested", "properties": ${properties(st)}}"""
+    case st: StructType =>
+      s"""{"type": "object", "properties": ${properties(st)}}"""
+    case ArrayType(el, _) => fieldMapping(el)
+    case other => s"""{"type": "${esType(other)}"}"""
+  }
+
+  private def properties(st: StructType): String =
+    st.fields.map(f => s""""${f.name}": ${fieldMapping(f.dataType)}""")
+      .mkString("{", ", ", "}")
+
   /** ES-style mapping JSON for `schema`; `fieldTypes` overrides the
     * derived type per column name (the varchar→keyword / json→object
-    * fidelity the schema alone cannot express). */
+    * fidelity the schema alone cannot express). An override wins
+    * wholesale — it names leaf-typed fields, never structured ones. */
   def mappingJson(schema: StructType,
                   fieldTypes: Map[String, String] = Map.empty): String =
     schema.fields.map(f =>
-      s""""${f.name}": {"type": "${
-        fieldTypes.getOrElse(f.name, esType(f.dataType))}"}""")
+      s""""${f.name}": ${
+        fieldTypes.get(f.name).map(t => s"""{"type": "$t"}""")
+          .getOrElse(fieldMapping(f.dataType))}""")
       .mkString("{\"properties\": {", ", ", "}}")
 
   /** Rows written by THIS call, counted from the write job itself via a

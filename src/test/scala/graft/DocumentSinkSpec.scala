@@ -143,6 +143,52 @@ class DocumentSinkSpec extends SparkSpec {
     assert(mapping.contains("\"id\": {\"type\": \"long\"}")) // underived stays
   }
 
+  test("nested flagship ships [{id,name,color}] structs + nested ES mapping") {
+    import graft.operators.Denormalize
+    val path = tmp()
+    val orders = Seq((1L, 100L, "2024-01-05", "O", 10.0),
+                     (2L, 101L, "2024-01-06", "F", 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+        "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val lineitem = Seq(
+      (1L, 10L, 1, "2024-01-01", "N", "O"),
+      (1L, 11L, 2, "2024-03-01", "R", "F"),
+      (1L, 10L, 3, "2024-02-01", "A", "F"), // part 10 twice → deduped
+      (2L, 11L, 1, "2024-02-01", "A", "F"))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate",
+        "l_returnflag", "l_linestatus")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val part = Seq((10L, "widget", "Brand#1"), (11L, "bolt", "Brand#2"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val customer = Seq((100L, "alice", 1L), (101L, "bob", 1L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val nation = Seq((1L, "FRANCE", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1L, "EUROPE")).toDF("r_regionkey", "r_name")
+
+    val nested = Denormalize.nested(
+      orders, lineitem, part, customer, nation, region)
+    DocumentSink.save(nested, path)
+
+    // mapping sidecar: the reference's nested labels block
+    // (src/ticket_sync.py:44-49), types derived not hand-maintained
+    val mapping = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_mapping.json")))
+    assert(mapping.contains(
+      "\"labels\": {\"type\": \"nested\", \"properties\": " +
+      "{\"id\": {\"type\": \"long\"}, \"name\": {\"type\": \"text\"}, " +
+      "\"color\": {\"type\": \"text\"}}}"), mapping)
+
+    // struct shape round-trips through parquet: deduped, id-sorted
+    val back = spark.read.parquet(s"$path/data")
+    val labels = back.filter(col("ticket_number") === 1)
+      .select(to_json(col("labels"))).head.getString(0)
+    assert(labels ==
+      """[{"id":10,"name":"widget","color":"Brand#1"},""" +
+      """{"id":11,"name":"bolt","color":"Brand#2"}]""")
+  }
+
   test("overwrite mode is drop-and-recreate (destructive, like the ES sink)") {
     val path = tmp()
     DocumentSink.save(Seq((1L, "a")).toDF("id", "v"), path)
