@@ -1,0 +1,270 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{EntityCatalog, EntitySpec}
+import graft.sinks.DocumentSink
+import graft.sources.Tables
+import graft.streaming.IncrementalSync
+
+/** Thin HTTP front for the engine — the reference's Flask serving layer
+  * (reference: server.py:24-53 app + /health; src/search_api.py:16-46
+  * search endpoints; src/routes/ &#42;.py files per-entity add/batch/sync routes),
+  * re-expressed as a JDK-built-in `com.sun.net.httpserver.HttpServer`
+  * delegating every data operation to the engine:
+  *
+  *   GET  /health            → liveness (server.py:40-46)
+  *   GET  /entities          → catalog listing (Q4; src/utils.py:5-18)
+  *   POST /search            → [[Search.multiField]] (multi_match,
+  *                             src/search_api.py:17-36)
+  *   POST /search/advanced   → [[Search.sql]] — real SQL replaces the
+  *                             raw-ES-DSL passthrough (:38-45)
+  *   POST /{entity}          → single-doc insert: validate/default →
+  *                             pipeline → upsert (the routes' `add_*` handlers)
+  *   POST /{entity}/batch    → bulk insert with per-item error
+  *                             accounting (`add_*_batch`,
+  *                             src/routes/ticket_routes.py:139-210)
+  *   POST /{entity}/sync     → re-read the record from the source of
+  *                             truth and re-index it
+  *                             (src/routes/ticket_routes.py:212-264)
+  *
+  * Serving-layer concerns only: every endpoint is a bounded-size request
+  * (top-k search, single/batch documents), so the driver-side JSON
+  * collect is the protocol cost, not a scale hazard — the 100 TB work
+  * (scans, joins, sink writes) all happens executor-side through the
+  * same operators the batch entrypoints use. Jackson is used for request
+  * parsing (already on Spark's classpath — Spark itself depends on it).
+  */
+final class HttpApi(
+    spark: SparkSession,
+    srcDir: String,
+    outDir: String,
+    runTs: String = graft.operators.Denormalize.RunTs) {
+
+  private val mapper = new ObjectMapper()
+  @volatile private var server: HttpServer = _
+
+  Tables.registerAll(spark, srcDir) // /search/advanced addresses views
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // -------------------------------------------------------------------
+  // Routing
+  // -------------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    val method = ex.getRequestMethod
+    try {
+      (method, segs) match {
+        case ("GET", "health" :: Nil) =>
+          respond(ex, 200, s"""{"status": "ok", "timestamp": "${
+            ZonedDateTime.now(ZoneOffset.UTC)
+              .format(DateTimeFormatter.ISO_INSTANT)}"}""")
+        case ("GET", "entities" :: Nil) =>
+          respond(ex, 200, EntityCatalog.entities.keys.toSeq.sorted
+            .map(e => s""""$e"""").mkString("""{"entities": [""", ", ", "]}"))
+        case ("POST", "search" :: Nil) => search(ex, body(ex))
+        case ("POST", "search" :: "advanced" :: Nil) =>
+          advancedSearch(ex, body(ex))
+        case ("POST", entity :: rest) =>
+          EntityCatalog.entities.get(entity) match {
+            case None =>
+              respond(ex, 404, s"""{"error": "unknown entity '$entity'"}""")
+            case Some(spec) => rest match {
+              case Nil            => insertOne(ex, spec, body(ex))
+              case "batch" :: Nil => insertBatch(ex, spec, body(ex))
+              case "sync" :: Nil  => syncOne(ex, spec, body(ex))
+              case _ => respond(ex, 404, """{"error": "not found"}""")
+            }
+          }
+        case _ => respond(ex, 404, """{"error": "not found"}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        respond(ex, 500, mapper.createObjectNode()
+          .put("error", String.valueOf(e.getMessage)).toString)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Search endpoints
+  // -------------------------------------------------------------------
+
+  /** POST /search — `{"search_term": ..., "fields": [...], "index": ...,
+    * "limit": ...}` (reference defaults fields to all string columns the
+    * way multi_match "*" does). */
+  private def search(ex: HttpExchange, req: JsonNode): Unit = {
+    val term = textOr(req, "search_term", "")
+    if (term.isEmpty) {
+      respond(ex, 400, """{"error": "search_term is required"}"""); return
+    }
+    val index = textOr(req, "index", "documents")
+    val df = Tables(spark, srcDir, index)
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    val fields = Option(req.get("fields"))
+      .filter(f => f.isArray && f.size() > 0)
+      .map(f => (0 until f.size()).map(f.get(_).asText()))
+      .filterNot(_ == Seq("*"))
+      .getOrElse(stringCols)
+    val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
+    hits(ex, Search.multiField(df, term, fields, limit))
+  }
+
+  /** POST /search/advanced — `{"sql": "SELECT ..."}` over the registered
+    * lake views; the engine's real query language instead of a raw ES
+    * DSL forward. */
+  private def advancedSearch(ex: HttpExchange, req: JsonNode): Unit = {
+    val query = textOr(req, "sql", "")
+    if (query.isEmpty) {
+      respond(ex, 400, """{"error": "sql is required"}"""); return
+    }
+    hits(ex, Search.sql(spark, query))
+  }
+
+  /** ES-shaped hits envelope: `{"hits": {"total": n, "hits": [...]}}` —
+    * what the reference returns to its callers (search_api.py:36). */
+  private def hits(ex: HttpExchange, df: DataFrame): Unit = {
+    val rows = df.toJSON.collect()
+    respond(ex, 200,
+      s"""{"hits": {"total": ${rows.length}, "hits": [${
+        rows.mkString(", ")}]}}""")
+  }
+
+  // -------------------------------------------------------------------
+  // Entity CRUD / sync endpoints
+  // -------------------------------------------------------------------
+
+  /** One-row (or array) JSON body → DataFrame, schema inferred — the
+    * serving-side analog of the reference building docs from request
+    * dicts in the route files. Bounded by request size, never
+    * corpus-sized. */
+  private def bodyDf(node: JsonNode): DataFrame =
+    spark.read.json(
+      spark.createDataset(Seq(node.toString))(Encoders.STRING))
+
+  /** POST /{entity} — validate + default + lineage, then upsert into the
+    * entity's document index (reference `add_*`: prepare_entity_data →
+    * index, src/routes/ticket_routes.py:98-137). Missing id → minted
+    * uuid (src/utils.py:99-111). */
+  private def insertOne(ex: HttpExchange, spec: EntitySpec,
+                        req: JsonNode): Unit = {
+    if (!req.isObject) {
+      respond(ex, 400, """{"error": "expected a JSON object"}"""); return
+    }
+    val raw = bodyDf(req)
+    val withId =
+      if (raw.columns.contains(spec.idCol)) raw
+      else raw.withColumn(spec.idCol, lit(null).cast("string"))
+    val defaulted = EntityCatalog.defaulted(withId, spec)
+    val missing = spec.requiredCols.filterNot(defaulted.columns.contains)
+    if (missing.nonEmpty) {
+      respond(ex, 400, s"""{"error": "missing required fields: ${
+        missing.mkString(", ")}"}""")
+      return
+    }
+    val docs = EntityCatalog.pipeline(defaulted, spec, runTs)
+      .withColumn("document_id",
+        col(s"${spec.name}_${spec.idCol}").cast("string"))
+    // pin the (≤1-row) result before writing: uuid() defaulting is
+    // nondeterministic per evaluation, so re-running the plan for the
+    // write would mint a DIFFERENT id than the one we return
+    val out = docs.collect()
+    if (out.isEmpty) {
+      respond(ex, 400, """{"error": "validation failed"}"""); return
+    }
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), docs.schema)
+    DocumentSink.upsert(pinned, s"$outDir/${spec.name}")
+    val id = out.head.getAs[Any]("document_id")
+    respond(ex, 201, s"""{"result": "created", "document_id": "$id"}""")
+  }
+
+  /** POST /{entity}/batch — bulk insert with the reference's per-item
+    * error contract (`add_*_batch` + bulk raise_on_error=False,
+    * src/routes/ticket_routes.py:139-210): valid rows index, invalid
+    * rows are counted and reported, the request never fails wholesale. */
+  private def insertBatch(ex: HttpExchange, spec: EntitySpec,
+                          req: JsonNode): Unit = {
+    if (!req.isArray || req.size() == 0) {
+      respond(ex, 400, """{"error": "expected a non-empty JSON array"}""")
+      return
+    }
+    val raw = bodyDf(req)
+    val missing = spec.requiredCols.filterNot(raw.columns.contains)
+    if (missing.nonEmpty) {
+      respond(ex, 400, s"""{"error": "missing required fields: ${
+        missing.mkString(", ")}"}""")
+      return
+    }
+    val valid = raw.filter(EntityCatalog.validPredicate(spec))
+    val errors = req.size() - valid.count()
+    val docs = EntityCatalog.pipeline(valid, spec, runTs)
+      .withColumn("document_id",
+        col(s"${spec.name}_${spec.idCol}").cast("string"))
+    if (!docs.isEmpty) DocumentSink.upsert(docs, s"$outDir/${spec.name}")
+    respond(ex, 200,
+      s"""{"indexed": ${req.size() - errors}, "errors": $errors}""")
+  }
+
+  /** POST /{entity}/sync — `{"id": ...}`: re-read the record from the
+    * source of truth and re-index it (the reference's DB-webhook route,
+    * src/routes/ticket_routes.py:212-264). The point predicate pushes
+    * below the pipeline (Catalyst), so one key's data is touched. */
+  private def syncOne(ex: HttpExchange, spec: EntitySpec,
+                      req: JsonNode): Unit = {
+    val id = textOr(req, "id", "")
+    if (id.isEmpty) {
+      respond(ex, 400, """{"error": "id is required"}"""); return
+    }
+    val pipeline = EntityCatalog.pipeline(
+      Tables(spark, srcDir, spec.name), spec, runTs)
+    val n = IncrementalSync.resyncOne(
+      pipeline, s"${spec.name}_${spec.idCol}", id, s"$outDir/${spec.name}")
+    respond(ex, 200, s"""{"result": "synced", "doc_count": $n}""")
+  }
+
+  // -------------------------------------------------------------------
+  // Plumbing
+  // -------------------------------------------------------------------
+
+  private def body(ex: HttpExchange): JsonNode = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  private def textOr(node: JsonNode, field: String, dflt: String): String =
+    Option(node.get(field)).map(_.asText()).getOrElse(dflt)
+
+  private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
+    val payload = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, payload.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(payload) finally os.close()
+  }
+}

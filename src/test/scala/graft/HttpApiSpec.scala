@@ -1,0 +1,125 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.serving.HttpApi
+
+/** End-to-end spec for the HTTP serving layer (reference: server.py +
+  * src/search_api.py + the src/routes files) — a real server on an
+  * ephemeral port, hit with the JDK HttpClient. */
+class HttpApiSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val srcDir = "/root/testdata/sf0.001"
+  private lazy val outDir =
+    java.nio.file.Files.createTempDirectory("graft-http").toString
+  private lazy val api = new HttpApi(spark, srcDir, outDir)
+  private lazy val port = api.start()
+  private val client = HttpClient.newHttpClient()
+
+  override protected def afterAll(): Unit = {
+    api.stop(); super.afterAll()
+  }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health returns ok + timestamp (Q3)") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"status\": \"ok\""))
+    assert(r.body().contains("timestamp"))
+  }
+
+  test("GET /entities lists the catalog (Q4)") {
+    val r = get("/entities")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"customer\"") && r.body().contains("\"events\""))
+  }
+
+  test("POST /search runs multi_match over the lake (Q1)") {
+    val r = post("/search",
+      """{"search_term": "window", "fields": ["text", "source"],
+        | "index": "documents", "limit": 5}""".stripMargin)
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("""{"hits": {"total": """))
+    assert(r.body().contains("\"score\""))
+    // limit respected
+    assert("\"doc_id\"".r.findAllIn(r.body()).size <= 5)
+  }
+
+  test("POST /search defaults fields to every string column (multi_match *)") {
+    val r = post("/search", """{"search_term": "window", "limit": 3}""")
+    assert(r.statusCode() == 200 && r.body().contains("\"score\""))
+    val missing = post("/search", "{}")
+    assert(missing.statusCode() == 400)
+  }
+
+  test("POST /search/advanced runs real SQL over registered views (Q2)") {
+    val r = post("/search/advanced",
+      """{"sql": "SELECT n_name FROM nation ORDER BY n_name LIMIT 2"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("n_name"))
+    assert("\"n_name\"".r.findAllIn(r.body()).size == 2)
+  }
+
+  test("POST /{entity} inserts one validated doc and returns its id") {
+    val r = post("/customer",
+      """{"c_custkey": 990001, "c_name": "api user",
+        | "c_nationkey": 1, "c_acctbal": 0.0,
+        | "c_mktsegment": "BUILDING"}""".stripMargin)
+    assert(r.statusCode() == 201, r.body())
+    assert(r.body().contains("\"document_id\": \"990001\""))
+    val stored = spark.read.parquet(s"$outDir/customer/data")
+    assert(stored.filter(stored("document_id") === "990001").count() == 1)
+  }
+
+  test("POST /{entity} mints a uuid id when the id is absent (F4) and " +
+       "returns the SAME id it stored") {
+    val r = post("/events",
+      """{"user_id": 7, "event_type": "api", "props": "{}"}""")
+    assert(r.statusCode() == 201, r.body())
+    val id = """"document_id": "([^"]+)"""".r
+      .findFirstMatchIn(r.body()).get.group(1)
+    assert(id.length >= 32) // uuid-shaped, not a literal null
+    val stored = spark.read.parquet(s"$outDir/events/data")
+    assert(stored.filter(stored("document_id") === id).count() == 1)
+  }
+
+  test("POST /{entity}/batch indexes valid rows, counts invalid (bulk)") {
+    val r = post("/supplier/batch",
+      """[{"s_suppkey": 990100, "s_name": "ok", "s_nationkey": 1},
+        | {"s_suppkey": 990101, "s_name": null, "s_nationkey": 1}]"""
+        .stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == """{"indexed": 1, "errors": 1}""")
+  }
+
+  test("POST /{entity}/sync re-indexes one record from the source (R1)") {
+    val r = post("/customer/sync", """{"id": "42"}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"result\": \"synced\""))
+    val stored = spark.read.parquet(s"$outDir/customer/data")
+    assert(stored.filter(stored("document_id") === "42").count() == 1)
+    // the earlier API insert survived the upsert (merge, not truncate)
+    assert(stored.filter(stored("document_id") === "990001").count() == 1)
+  }
+
+  test("unknown entity and unknown route are 404; bad body is 400") {
+    assert(post("/nosuch", "{}").statusCode() == 404)
+    assert(get("/nosuch").statusCode() == 404)
+    assert(post("/customer/batch", "{}").statusCode() == 400)
+    assert(post("/search/advanced", "{}").statusCode() == 400)
+  }
+}
