@@ -296,6 +296,36 @@ object ParityQueries {
           grouping_id().as("gid"))
     }),
 
+    // A7 (beyond reference): exact statistical profile per segment —
+    // count/avg/stddev/min/max/median in ONE hash-agg pass. The exact
+    // ground-truth twin of the sketch layer (operators/Sketches.scala);
+    // percentile() is exact interpolated (= DuckDB quantile_cont).
+    "a7_stats_profile" -> ((s, dir) => {
+      def r4(c: org.apache.spark.sql.Column) =
+        floor(c * 1e4 + 0.5).cast("double") / 1e4
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          r4(avg(col("c_acctbal"))).as("avg_bal"),
+          r4(stddev_samp(col("c_acctbal"))).as("std_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          r4(percentile(col("c_acctbal"), lit(0.5))).as("median_bal"))
+    }),
+
+    // A8 (beyond reference): exact corpus heavy hitters — top-k tokens
+    // by frequency, deterministic tiebreak. Ground truth for the
+    // count-min sketch probe (SketchesSpec bounds the sketch against
+    // this). Two-stage hash agg: map-side combine shrinks partitions to
+    // their distinct tokens before the shuffle.
+    "a8_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHittersExact(
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= ""),
+        col("term"), 20)),
+
     // Headline aggregation (TPC-H Q1 shape) — exercises partial+final agg.
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -582,6 +612,20 @@ object ParityQueries {
        "grouping(n_name, c_mktsegment) AS gid " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY ROLLUP (n_name, c_mktsegment)"),
+
+    "a7_stats_profile" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+       "floor(avg(c_acctbal) * 1e4 + 0.5) / 1e4 AS avg_bal, " +
+       "floor(stddev_samp(c_acctbal) * 1e4 + 0.5) / 1e4 AS std_bal, " +
+       "min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal, " +
+       "floor(quantile_cont(c_acctbal, 0.5) * 1e4 + 0.5) / 1e4 " +
+       "AS median_bal FROM customer GROUP BY c_mktsegment"),
+
+    "a8_heavy_hitters" ->
+      ("SELECT term AS item, count(*) AS freq FROM (" +
+       "SELECT unnest(list_filter(string_split_regex(lower(text), " +
+       "'\\s+'), x -> x <> '')) AS term FROM documents) " +
+       "GROUP BY term ORDER BY freq DESC, item LIMIT 20"),
 
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
