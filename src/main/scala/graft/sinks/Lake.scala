@@ -30,4 +30,47 @@ object Lake {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style partitioned lake write — the scan-avoidance half of the
+    * 100 TB story: a predicate on a partition column prunes whole
+    * directories at PLANNING time (the scan's `PartitionFilters`), and a
+    * join to a filtered dimension prunes them at RUNTIME via dynamic
+    * partition pruning — both asserted in [[graft.ScalePruningSpec]].
+    * Partition columns must be low-cardinality (dates, sources, langs):
+    * one directory per value. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction — the maintenance operator every long-lived
+    * 100 TB lake needs: streaming/incremental appends accumulate
+    * KB-sized files whose per-file open/footer overhead eventually
+    * dominates scan cost. Rewrites `path` into ~`targetFileBytes` files
+    * via `coalesce` (a NARROW dependency — no shuffle; each output task
+    * concatenates input splits), staged in a temp dir and swapped in
+    * with the same atomic-rename pattern as
+    * [[DocumentSink.upsert]]. `shuffle = true` switches to round-robin
+    * `repartition` when input files are so skewed that bin-packing
+    * matters more than avoiding one shuffle. Returns the output file
+    * count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              shuffle: Boolean = false): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    val df = spark.read.parquet(path)
+    val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent,
+      s".${hPath.getName}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    sized.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    n
+  }
 }
