@@ -77,4 +77,37 @@ object Temporal {
         case c => col(s"_lv.$c").as(c)
       } ++ valueCols.map(c => col(s"_rv.$c").as(c)): _*)
   }
+
+  /** Interval (range) join: each left "point" row meets the right
+    * "interval" rows whose `[loCol, hiCol)` contains `pointCol` —
+    * re-expressed as an EQUI join by overlap binning, because the naive
+    * form (`join` on a `>= && <` condition) plans as a nested-loop /
+    * cartesian product, O(n·m) and a non-starter at scale:
+    *
+    *  - each interval is exploded to the bins it overlaps
+    *    (`sequence(floor(lo/w), floor(hi/w))` — tiny for intervals not
+    *    much wider than `binWidth`);
+    *  - each point computes its single bin;
+    *  - a hash equi-join on the bin meets every (point, interval) pair
+    *    in EXACTLY one bin — the point's — so the residual range
+    *    predicate only filters, never dedups;
+    *  - cost: one hash shuffle of points + intervals×(width/binWidth),
+    *    combiner-friendly, AQE-skew-splittable. Pick `binWidth` near
+    *    the typical interval width: wider bins → fewer interval
+    *    replicas but more false candidates to filter, and vice versa.
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+                       floor(col(hiCol) / binWidth).cast("long"))))
+    val pts = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    pts.join(binned, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
 }

@@ -296,6 +296,31 @@ object ParityQueries {
           grouping_id().as("gid"))
     }),
 
+    // J11 (beyond reference): interval/range join via overlap binning —
+    // each order meets the supplier price bands containing its total.
+    // The naive range predicate would plan as a nested loop (O(n·m));
+    // the binned form is one hash equi-join (PlanShapeSpec guards it).
+    "j11_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bands = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 5000.0).as("lo"),
+        (col("s_suppkey") * 5000.0 + 7500.0).as("hi"))
+      graft.operators.Temporal.rangeJoin(
+          o, "o_totalprice", bands, "lo", "hi", binWidth = 5000.0)
+        .select(col("o_orderkey"), col("s_suppkey"))
+    }),
+
+    // Deterministic train/val/test assignment by content hash (beyond
+    // reference — a training-data pipeline primitive). Reproducible
+    // under corpus growth/reorder by construction; SplitSpec pins the
+    // stability property, the oracle pins the exact assignment.
+    "split_assign" -> ((s, dir) =>
+      graft.operators.Split.assign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        salt = "g1")),
+
     // A7 (beyond reference): exact statistical profile per segment —
     // count/avg/stddev/min/max/median in ONE hash-agg pass. The exact
     // ground-truth twin of the sketch layer (operators/Sketches.scala);
@@ -612,6 +637,20 @@ object ParityQueries {
        "grouping(n_name, c_mktsegment) AS gid " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY ROLLUP (n_name, c_mktsegment)"),
+
+    "j11_range_join" ->
+      ("SELECT o_orderkey, s_suppkey FROM orders JOIN supplier " +
+       "ON o_totalprice >= s_suppkey * 5000.0 " +
+       "AND o_totalprice < s_suppkey * 5000.0 + 7500.0"),
+
+    // cuts: round(0.9*65536)=58982=0xe666, round(0.95*65536)=62259=0xf333;
+    // lexicographic compare on fixed-width lowercase hex == numeric compare
+    "split_assign" ->
+      ("SELECT doc_id, CASE " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g1'), 1, 4) < 'e666' " +
+       "THEN 'train' " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'g1'), 1, 4) < 'f333' " +
+       "THEN 'val' ELSE 'test' END AS split FROM documents"),
 
     "a7_stats_profile" ->
       ("SELECT c_mktsegment, count(*) AS n, " +

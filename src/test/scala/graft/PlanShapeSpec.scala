@@ -21,6 +21,23 @@ class PlanShapeSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
+  test("j11: range join plans as a hash equi-join, not a nested loop") {
+    val plan = executedPlan(q("j11_range_join"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to an O(n·m) join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      s"no equi join in range-join plan:\n$plan")
+  }
+
+  test("split: assignment is a shuffle-free projection") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = q("split_assign")
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, "hash split must not shuffle")
+  }
+
   test("s1: filter is pushed to the parquet scan, columns pruned") {
     val plan = q("s1_scan_filter").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Split, Temporal}
+
+/** Specs for the deterministic split operator and the binned range
+  * join — the two properties that matter are exactly the ones a naive
+  * implementation loses: split stability under corpus change, and
+  * range-join equivalence to the naive O(n·m) predicate join. */
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("split is a pure function of the key: stable under corpus change") {
+    val full = Split.assign(docs.select("doc_id"), "doc_id", salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // half the corpus, shuffled partitioning: every surviving key keeps
+    // its assignment (rand()/row_number() both fail this)
+    val half = Split.assign(
+        docs.select("doc_id").filter(col("doc_id") % 2 === 0)
+          .repartition(7), "doc_id", salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.nonEmpty)
+    half.foreach { case (k, v) => assert(full(k) == v, s"key $k moved") }
+  }
+
+  test("split fractions land near the requested weights") {
+    val n = docs.count().toDouble
+    val bys = Split.assign(docs.select("doc_id"), "doc_id")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bys("train") / n - 0.9) < 0.05)
+    assert(math.abs(bys.getOrElse("val", 0L) / n - 0.05) < 0.04)
+    assert(math.abs(bys.getOrElse("test", 0L) / n - 0.05) < 0.04)
+  }
+
+  test("different salts draw independent splits") {
+    val a = Split.assign(docs.select("doc_id"), "doc_id", salt = "a")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Split.assign(docs.select("doc_id"), "doc_id", salt = "b")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ~0.815 expected agreement for 0.9/0.05/0.05 independent draws;
+    // all-equal (salt ignored) would be 1.0
+    val agree = a.keys.count(k => a(k) == b(k)).toDouble / a.size
+    assert(agree < 0.95, s"salt change barely moved the split ($agree)")
+  }
+
+  test("weights must sum to 1") {
+    intercept[IllegalArgumentException] {
+      Split.assign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("binned range join == naive predicate join, including overlaps") {
+    val pts = (0 until 500).map(i => (i.toLong, i * 3.7 % 100))
+      .toDF("id", "v")
+    val iv = Seq((1L, 0.0, 15.0), (2L, 10.0, 30.0), (3L, 25.0, 90.0),
+      (4L, 95.0, 100.0), (5L, 40.0, 41.0)).toDF("iid", "lo", "hi")
+    val binned = Temporal.rangeJoin(pts, "v", iv, "lo", "hi", binWidth = 10.0)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val naive = pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+    // overlap region produces multi-matches and no duplicates
+    val pairs = Temporal.rangeJoin(pts, "v", iv, "lo", "hi", 10.0)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size, "duplicate (point, interval) pair")
+  }
+}
