@@ -173,6 +173,53 @@ object Similarity {
       .withColumn("centroid_id", best.getField("cid"))
   }
 
+  /** Deterministic spherical k-means (Lloyd) for IVF codebooks — the
+    * "train centroids offline" step [[ivfTopK]]'s scaladoc assumes,
+    * expressed in the same shuffle-frugal shapes as the rest of the
+    * engine:
+    *
+    *  - init = unit vectors of the `k` smallest ids (deterministic — no
+    *    seeded sampling to reproduce across engines/runs);
+    *  - each iteration: assignment is the [[ivfAssign]] PROJECTION (no
+    *    shuffle), then per-cell mean via ONE combiner-friendly hash agg
+    *    of `dim` column sums — the shuffle moves k·dim partials per
+    *    partition, never vectors;
+    *  - new centroid = re-normalized cell mean (cosine/spherical
+    *    k-means); empty or zero-norm cells keep their previous centroid;
+    *  - k·dim driver state only (the codebook — bounded metadata).
+    *
+    * Cost: `iters` corpus passes. At 100 TB you train on a hash-sampled
+    * slice ([[Split.hashBucket]] < threshold) — the codebook needs
+    * distribution coverage, not every row. */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int = 3): Seq[(Any, Seq[Double])] = {
+    require(k > 0 && dim > 0 && iters >= 0)
+    var cent: Seq[(Any, Seq[Double])] =
+      normalized(corpus, idCol, vecCol).orderBy(col(idCol)).limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i: Any, r.getSeq[Double](1)) }
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, idCol, vecCol, cent)
+      val sums = (0 until dim).map(i =>
+        sum(col("unit").getItem(i)).as(s"s_$i"))
+      val means = assigned.groupBy(col("centroid_id"))
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .collect()
+        .map { r =>
+          val mean = (0 until dim).map(i => r.getDouble(i + 1))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          r.getAs[Int]("centroid_id") ->
+            (if (norm > 0) mean.map(_ / norm) else null)
+        }.toMap
+      cent = cent.map { case (cid, old) =>
+        means.get(cid.asInstanceOf[Int]).flatMap(Option(_))
+          .fold((cid, old))(u => (cid, u))
+      }
+    }
+    cent
+  }
+
   /** ANN top-k via LSH bucketing: candidates share the query's bucket,
     * exact cosine re-rank inside the bucket. Trades recall for a
     * corpus-partitionable equi-join — the 100 TB path. */

@@ -296,6 +296,21 @@ object ParityQueries {
           grouping_id().as("gid"))
     }),
 
+    // Set operations (beyond reference — SURVEY §2.7 records none): the
+    // snapshot-reconciliation shape. UNION distinct-merges two snapshot
+    // key sets, INTERSECT finds survivors, EXCEPT finds departures —
+    // each one hash-aggregation/shuffle on the key, no joins needed.
+    "set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_id").isNotNull)
+      val prev = ev.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"))
+      val next = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"))
+      prev.intersect(next).withColumn("op", lit("both"))
+        .unionByName(prev.except(next).withColumn("op", lit("departed")))
+        .unionByName(next.except(prev).withColumn("op", lit("arrived")))
+    }),
+
     // J11 (beyond reference): interval/range join via overlap binning —
     // each order meets the supplier price bands containing its total.
     // The naive range predicate would plan as a nested loop (O(n·m));
@@ -637,6 +652,19 @@ object ParityQueries {
        "grouping(n_name, c_mktsegment) AS gid " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY ROLLUP (n_name, c_mktsegment)"),
+
+    "set_ops" ->
+      ("WITH ev AS (SELECT event_id FROM events WHERE event_id IS NOT NULL), " +
+       "prev AS (SELECT event_id FROM ev WHERE event_id % 3 <> 0), " +
+       "nxt AS (SELECT event_id FROM ev WHERE event_id % 5 <> 0) " +
+       "SELECT event_id, 'both' AS op FROM " +
+       "(SELECT event_id FROM prev INTERSECT SELECT event_id FROM nxt) " +
+       "UNION ALL " +
+       "SELECT event_id, 'departed' AS op FROM " +
+       "(SELECT event_id FROM prev EXCEPT SELECT event_id FROM nxt) " +
+       "UNION ALL " +
+       "SELECT event_id, 'arrived' AS op FROM " +
+       "(SELECT event_id FROM nxt EXCEPT SELECT event_id FROM prev)"),
 
     "j11_range_join" ->
       ("SELECT o_orderkey, s_suppkey FROM orders JOIN supplier " +

@@ -90,6 +90,29 @@ class SimilaritySpec extends SparkSpec {
         s"model-only=${(want diff got).take(3)}")
   }
 
+  test("trainCentroids: deterministic, improves cell tightness, no shuffle " +
+       "in assignment") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def tightness(cent: Seq[(Any, Seq[Double])]): Double =
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cent)
+        .join(cent.map { case (cid, u) => (cid.asInstanceOf[Int], u) }
+          .toDF("centroid_id", "cu"), Seq("centroid_id"))
+        .agg(avg(Similarity.dot(col("unit"), col("cu")))).head.getDouble(0)
+    val init = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 4, dim = dim, iters = 0)
+    val t1 = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 4, dim = dim, iters = 3)
+    val t2 = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 4, dim = dim, iters = 3)
+    assert(t1 == t2, "training is not deterministic")
+    assert(t1.map(_._2).forall(u =>
+      math.abs(u.map(x => x * x).sum - 1.0) < 1e-9), "centroids not unit")
+    // Lloyd monotonically improves mean within-cell cosine
+    assert(tightness(t1) >= tightness(init) - 1e-12,
+      s"training worsened tightness: ${tightness(t1)} < ${tightness(init)}")
+  }
+
   test("zero vectors are dropped, not NaN") {
     val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
