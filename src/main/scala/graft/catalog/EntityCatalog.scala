@@ -53,13 +53,18 @@ object EntityCatalog {
     * lineage (`document_id = {id}_{runTs}`, `indexed_at` — reference:
     * src/data_sync.py:93-115). Pure DataFrame transform; the caller
     * hands the result to DocumentSink. */
-  def pipeline(df: DataFrame, spec: EntitySpec, runTs: String): DataFrame = {
-    val valid = df.filter(validPredicate(spec))
-    namespaced(valid, spec)
+  def pipeline(df: DataFrame, spec: EntitySpec, runTs: String): DataFrame =
+    documents(df.filter(validPredicate(spec)), spec, runTs)
+
+  /** [[pipeline]] WITHOUT the validity filter: namespace + lineage only.
+    * For sinks that do their own validation with error quarantine
+    * ([[graft.sinks.DocumentSink.validatedWrite]]) — filtering here
+    * would silently drop the rows the sink wants to count and keep. */
+  def documents(df: DataFrame, spec: EntitySpec, runTs: String): DataFrame =
+    namespaced(df, spec)
       .withColumn("document_id",
         concat_ws("_", col(s"${spec.name}_${spec.idCol}"), lit(runTs)))
       .withColumn("indexed_at", lit(runTs).cast("timestamp"))
-  }
 
   /** Rows failing validation — the error side-output the reference
     * accumulates per-batch (src/data_sync.py:66-171). */
@@ -99,11 +104,15 @@ object EntityCatalog {
     entities.map { case (name, spec) =>
       name -> (try {
         val src = graft.sources.Tables(spark, srcDir, name)
-        val docs = pipeline(src, spec, runTs)
-        val n = graft.sinks.DocumentSink.save(docs, s"$outDir/$name",
+        // validation happens INSIDE validatedWrite (single pass, both
+        // counts from the write jobs' observe metrics, rejects
+        // quarantined to _errors) — the first cut re-scanned the source
+        // a second time just to count rejects
+        val docs = documents(src, spec, runTs)
+        graft.sinks.DocumentSink.validatedWrite(
+          docs, s"$outDir/$name",
+          spec.requiredCols.map(c => s"${spec.name}_$c"),
           fieldTypes = fieldTypes(docs.schema, spec))
-        val bad = rejects(src, spec).count()
-        (n, bad)
       } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) })
     }
 

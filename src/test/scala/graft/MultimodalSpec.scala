@@ -39,6 +39,50 @@ class MultimodalSpec extends SparkSpec {
       Seq("ab", "ef", "ij"))
   }
 
+  test("real PPM decode: true dims + channel means from actual pixels") {
+    import graft.operators.Ppm
+    // 2×2: red, green, blue, white — known means
+    val pixels: Array[Byte] = Array(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val blob = Ppm.encode(Ppm.Image(2, 2, pixels))
+    val Seq(f) = Multimodal.decodeBatch(
+      Seq(MediaRecord(1L, "image/ppm", blob)))
+    // every channel sums 255+255 over 4 pixels → mean 127.50
+    assert(f.feature_str == "2,2,127.50,127.50,127.50", f.feature_str)
+    assert(f.n_bytes == blob.length)
+  }
+
+  test("PPM codec round-trips, handles comments, rejects junk") {
+    import graft.operators.Ppm
+    val img = Ppm.Image(3, 1, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    val back = Ppm.decode(Ppm.encode(img)).get
+    assert(back.w == 3 && back.h == 1 &&
+      back.pixels.toSeq == img.pixels.toSeq)
+    val commented =
+      "P6\n# a comment\n3 1\n255\n".getBytes("US-ASCII") ++ img.pixels
+    assert(Ppm.decode(commented).exists(_.w == 3))
+    assert(Ppm.decode("not an image".getBytes).isEmpty)
+    assert(Ppm.decode("P6\n2 2\n255\nxx".getBytes).isEmpty) // truncated
+  }
+
+  test("resizeImage really resamples PPM rows; others pass through") {
+    import graft.operators.Ppm
+    // 4×1 gradient: 0, 60, 120, 180 (gray)
+    val px = Array(0, 60, 120, 180).flatMap(v => Seq(v, v, v)).map(_.toByte)
+    val blob = Ppm.encode(Ppm.Image(4, 1, px))
+    val media = Seq(
+      MediaRecord(1L, "image/ppm", blob),
+      MediaRecord(2L, "text", "hello".getBytes))
+    import spark.implicits._
+    val out = Multimodal.resizeImage(media.toDS(), 2, 1)
+      .collect().sortBy(_.media_id)
+    val resized = Ppm.decode(out(0).blob).get
+    assert(resized.w == 2 && resized.h == 1)
+    // nearest neighbor picks source x = 0*4/2=0 and 1*4/2=2 → 0, 120
+    assert(resized.pixels.toSeq.map(_ & 0xff) == Seq(0, 0, 0, 120, 120, 120))
+    assert(new String(out(1).blob) == "hello") // non-image untouched
+  }
+
   test("decodeBatch sees bounded batches (the codec contract)") {
     val records = (1 to 200).map(i =>
       MediaRecord(i.toLong, "text", Array.fill(i)(7.toByte)))
