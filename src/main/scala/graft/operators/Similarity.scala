@@ -173,6 +173,42 @@ object Similarity {
       .withColumn("centroid_id", best.getField("cid"))
   }
 
+  /** Int8 scalar quantization of the (normalized) embedding column —
+    * the storage/shuffle compression tier of the ANN stack: a 64-dim
+    * float vector is 256 B raw, 64 B quantized (+2 floats of affine
+    * params), so the corpus that feeds LSH/IVF candidate joins moves 4×
+    * less data through every scan and shuffle. Per-vector affine
+    * mapping: q_i = round((x_i − min) / (max − min) · 255) − 128, with
+    * the degenerate constant-vector case pinned to scale 0.
+    *
+    * Reconstruction ([[dequantized]]) is x̂_i = (q_i + 128) · scale +
+    * min. The intended 100 TB pattern is asymmetric search: coarse
+    * candidate generation on the quantized corpus, exact re-rank on the
+    * (few) dequantized candidates — quantization error only perturbs
+    * candidate RECALL, never the final scores ([[SimilaritySpec]]
+    * bounds both the per-component error and end-to-end recall). */
+  def quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val u = normalized(emb, idCol, vecCol)
+    val mn = array_min(col("unit"))
+    val mx = array_max(col("unit"))
+    val scale = (mx - mn) / 255.0
+    u.select(
+      col(idCol),
+      scale.as("scale"),
+      mn.as("zero"),
+      transform(col("unit"), x =>
+        (when(scale > 0,
+          floor((x - mn) / scale + 0.5)).otherwise(lit(0.0)) - 128.0)
+          .cast("byte")).as("qvec"))
+  }
+
+  /** Reconstruct approximate unit vectors from [[quantize]] output (the
+    * re-rank side of asymmetric search). */
+  def dequantized(q: DataFrame): DataFrame =
+    q.withColumn("unit_approx",
+      transform(col("qvec"), b =>
+        (b.cast("double") + 128.0) * col("scale") + col("zero")))
+
   /** Deterministic spherical k-means (Lloyd) for IVF codebooks — the
     * "train centroids offline" step [[ivfTopK]]'s scaladoc assumes,
     * expressed in the same shuffle-frugal shapes as the rest of the

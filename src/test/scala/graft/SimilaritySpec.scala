@@ -113,6 +113,40 @@ class SimilaritySpec extends SparkSpec {
       s"training worsened tightness: ${tightness(t1)} < ${tightness(init)}")
   }
 
+  test("int8 quantization: bounded reconstruction error, high ANN recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.dequantized(
+        Similarity.quantize(emb, "vec_id", "embedding"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+    // per-component error ≤ scale/2 (half a quantization step)
+    val bad = q.select(
+        expr("""aggregate(zip_with(unit_approx,
+          graft_l2norm(cast(embedding as array<double>)),
+          (a, b) -> abs(a - b)), 0D, (acc, e) -> greatest(acc, e))""")
+          .as("maxerr"),
+        (col("scale") / 2 + lit(1e-12)).as("bound"))
+      .filter(col("maxerr") > col("bound")).count()
+    assert(bad == 0)
+    // end-to-end: top-10 neighbors computed on dequantized vectors agree
+    // with exact top-10 on ≥ 80% of (query, neighbor) pairs
+    val queries = emb.limit(20)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxCorpus = Similarity.dequantized(
+        Similarity.quantize(emb, "vec_id", "embedding"))
+      .select(col("vec_id"), col("unit_approx").as("embedding"))
+    val approxQ = Similarity.dequantized(
+        Similarity.quantize(queries, "vec_id", "embedding"))
+      .select(col("vec_id"), col("unit_approx").as("embedding"))
+    val approx = Similarity.topK(approxCorpus, approxQ,
+        "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("zero vectors are dropped, not NaN") {
     val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
