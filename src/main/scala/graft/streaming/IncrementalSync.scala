@@ -85,6 +85,27 @@ object IncrementalSync {
         col("session_window.end").as("session_end"),
         col(keyCol), col("events"), col("sum_value"))
 
+  /** Streaming distinct-cardinality profile — the streaming face of
+    * [[graft.operators.Sketches.distinctProfile]]: per event-time
+    * window and key, the approximate distinct count of `valueCol`
+    * (HLL++ sketch buffers merge inside the streaming state store, so
+    * per-window state is sketch-sized — KBs — regardless of how many
+    * distinct values pass through; an exact streaming countDistinct
+    * would grow state linearly and is disallowed by Spark for exactly
+    * that reason). `rsd` is the HLL++ target relative standard
+    * deviation. */
+  def windowedDistinctProfile(stream: DataFrame, tsCol: String,
+                              keyCol: String, valueCol: String,
+                              windowDur: String, watermarkDelay: String,
+                              rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("distinct_est"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("distinct_est"))
+
   /** Streaming exact dedup — the stateful-operator form of
     * [[graft.operators.Dedup.exact]]: emit only the FIRST document seen
     * per key (e.g. content hash) across the whole stream.

@@ -118,4 +118,26 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("events") == 2L)
     assert(rows(0).getAs[Double]("sum_value") == 3.0)
   }
+
+  test("windowedDistinctProfile: sketch-sized streaming distinct counts") {
+    val input = MemoryStream[Change](spark)
+    // window 1: payloads a,b,a → 2 distinct; window 2: c → 1
+    input.addData(
+      Change(1L, ts("2026-01-01 00:01:00"), 1.0, "a"),
+      Change(1L, ts("2026-01-01 00:02:00"), 2.0, "b"),
+      Change(1L, ts("2026-01-01 00:03:00"), 3.0, "a"),
+      Change(1L, ts("2026-01-01 00:11:00"), 4.0, "c"))
+    val agg = IncrementalSync.windowedDistinctProfile(
+      input.toDF(), "ts", "entity_id", "payload",
+      "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wdp")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wdp").orderBy("window_start").collect()
+    assert(rows.length == 2)
+    // tiny cardinalities: HLL++ is exact here
+    assert(rows(0).getAs[Long]("distinct_est") == 2L)
+    assert(rows(1).getAs[Long]("distinct_est") == 1L)
+  }
 }
