@@ -20,6 +20,32 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The training-data curation pipeline END TO END — the showcase that
+    // the layer composes: language filter → quality gate → exact-dedup
+    // canonical pick → deterministic split → per-split token budget.
+    // Every stage is an operator with its own oracle elsewhere; this
+    // pins the COMPOSITION. One corpus scan + two key-hash shuffles
+    // (dedup group, final split agg) — nothing quadratic anywhere.
+    "pipeline_curation" -> ((s, dir) => {
+      import TextFunctions._
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        tokenCount(col("text")).as("n_tokens"),
+        langId(col("text")).as("lang_id"),
+        qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(
+        col("lang_id") === "en" && col("quality") >= 0.45)
+      val canon = kept.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val unique = kept.join(canon.select("doc_id"), Seq("doc_id"))
+      graft.operators.Split.assign(unique, "doc_id", salt = "cur")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (floor(avg(col("quality")) * 1e4 + 0.5).cast("double") / 1e4)
+            .as("avg_quality"))
+    }),
+
     "text_analysis" -> ((s, dir) => {
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -142,6 +168,71 @@ object PipelineQueries {
 
   private def lex(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Curation-pipeline oracle — the lang/quality CTEs mirror
+    * [[textAnalysisSql]] (already hash-proven against TextFunctions),
+    * then dedup → hash split → per-split budget. sum() is cast back to
+    * BIGINT (DuckDB widens integer sums to HUGEINT, Spark keeps long). */
+  private val curationSql: String = {
+    import TextFunctions._
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, text, ts, len(ts) AS n_tokens,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEn)}, t)))
+       |      AS hits_en,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsEs)}, t)))
+       |      AS hits_es,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsDe)}, t)))
+       |      AS hits_de,
+       |    len(list_filter(ts, t -> list_contains(${lex(StopwordsFr)}, t)))
+       |      AS hits_fr
+       |  FROM toks
+       |), derived AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN round(CAST(hits_en AS DOUBLE) / n_tokens, 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN n_tokens > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, t -> length(t)))
+       |           AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS avg_wlen,
+       |    CASE WHEN hits_en >= greatest(hits_es, hits_de, hits_fr)
+       |           AND hits_en > 0 THEN 'en'
+       |         WHEN hits_es >= greatest(hits_de, hits_fr) AND hits_es > 0
+       |           THEN 'es'
+       |         WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+       |         WHEN hits_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang_id
+       |  FROM feat
+       |), q AS (
+       |  SELECT doc_id, text, n_tokens, lang_id,
+       |    floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |          stop_ratio * 0.3 +
+       |          greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
+       |          * 10000.0 + 0.5) / 10000.0 AS quality
+       |  FROM derived
+       |), kept AS (
+       |  SELECT * FROM q WHERE lang_id = 'en' AND quality >= 0.45
+       |), canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+       |), uniq AS (
+       |  SELECT k.* FROM kept k JOIN canon c USING (doc_id)
+       |), labeled AS (
+       |  SELECT *, CASE
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 4)
+       |      < 'e666' THEN 'train'
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 4)
+       |      < 'f333' THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM uniq
+       |)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+       |FROM labeled GROUP BY split""".stripMargin
+  }
 
   private val textAnalysisSql: String = {
     import TextFunctions._
@@ -286,6 +377,7 @@ object PipelineQueries {
       |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_curation" -> curationSql,
     "text_analysis" -> textAnalysisSql,
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +
