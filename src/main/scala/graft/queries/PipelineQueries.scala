@@ -46,6 +46,19 @@ object PipelineQueries {
             .as("avg_quality"))
     }),
 
+    // Token-budget batch packing per split — deterministic prefix-sum
+    // assignment (batch sums exceed the budget by at most one doc).
+    "pack_batches" -> ((s, dir) => {
+      import TextFunctions._
+      val nt = t(s, dir, "documents").select(
+        col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      val labeled = graft.operators.Split.assign(nt, "doc_id", salt = "pk")
+      graft.operators.Pack.packByBudget(
+          labeled, "n_tokens", budget = 2000L, orderCol = "doc_id",
+          groupCols = Seq("split"))
+        .select(col("doc_id"), col("split"), col("batch_id"))
+    }),
+
     "text_analysis" -> ((s, dir) => {
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -378,6 +391,21 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "pipeline_curation" -> curationSql,
+    "pack_batches" ->
+      ("WITH nt AS (SELECT doc_id, len(list_filter(" +
+       "string_split_regex(text,'\\s+'), x -> x <> '')) AS n_tokens " +
+       "FROM documents), labeled AS (SELECT doc_id, n_tokens, CASE " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 4) < 'e666' " +
+       "THEN 'train' " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 4) < 'f333' " +
+       "THEN 'val' ELSE 'test' END AS split FROM nt), " +
+       "c AS (SELECT doc_id, split, n_tokens, " +
+       "sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+       "FROM labeled) " +
+       "SELECT doc_id, split, " +
+       "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id " +
+       "FROM c"),
     "text_analysis" -> textAnalysisSql,
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +

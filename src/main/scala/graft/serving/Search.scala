@@ -76,10 +76,13 @@ object Search {
     // die at the post-explode token filter, so results are unchanged
     val anyTerm = terms.map(t => lower(col(textCol)).contains(lit(t)))
       .reduceOption(_ || _).getOrElse(lit(false))
+    // explode(split(...)) not TextFunctions.tokens: the HOF filter
+    // inside tokens() is interpreted per element and knocks the stage
+    // out of whole-stage codegen, and the isin() below already drops
+    // the empty strings tokens() exists to remove
     val toks = df.filter(anyTerm).select(
         col(idCol),
-        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-          .as("term"))
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term").isin(terms.toSeq: _*))
     val n = df.select(count(lit(1)).as("n"))
     val idf = toks.groupBy("term")

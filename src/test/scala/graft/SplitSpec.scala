@@ -54,6 +54,29 @@ class SplitSpec extends SparkSpec {
     }
   }
 
+  test("packByBudget: contiguous batches, sums exceed budget by ≤ 1 doc") {
+    val nt = Seq((1L, 500L), (2L, 800L), (3L, 900L), (4L, 100L),
+      (5L, 2500L), (6L, 300L)).toDF("doc_id", "n_tokens")
+    val packed = graft.operators.Pack.packByBudget(
+        nt, "n_tokens", budget = 1000L, orderCol = "doc_id",
+        groupCols = Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // prefix sums (excl self): 0,500,1300,2200,2300,4800
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L,
+      5L -> 2L, 6L -> 4L))
+    // per-batch total ≤ budget + max single doc (the streaming-pack bound)
+    val sums = graft.operators.Pack.packByBudget(
+        nt, "n_tokens", 1000L, "doc_id", Nil)
+      .groupBy("batch_id").agg(sum("n_tokens").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ <= 1000L + 2500L))
+    // batch ids are dense-ordered by doc order (monotone non-decreasing)
+    val ordered = graft.operators.Pack.packByBudget(
+        nt, "n_tokens", 1000L, "doc_id", Nil)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(ordered.sameElements(ordered.sorted))
+  }
+
   test("binned range join == naive predicate join, including overlaps") {
     val pts = (0 until 500).map(i => (i.toLong, i * 3.7 % 100))
       .toDF("id", "v")
