@@ -234,4 +234,50 @@ object Dedup {
     a.join(b, col("vec_a") < col("vec_b") && cosine >= minCosine)
       .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
   }
+
+  /** Near-dup CANONICALIZATION — the step after pair detection that a
+    * pipeline actually ships: connected components over the pair graph,
+    * `canonical_id = min(doc id in the component)`, so "keep one per
+    * component" is a deterministic filter (`doc_id = canonical_id`).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' — one equi-join + one
+    * combiner-friendly min-aggregation per round, both on the vertex
+    * key, converging in rounds = component diameter (near-dup clusters
+    * are shallow: text dups cluster around a template, so typical
+    * diameter is 1-3; `maxIter` bounds adversarial chains). State =
+    * the (vertex, label) table — one row per document IN A PAIR, far
+    * smaller than the corpus — persisted and swapped each round to keep
+    * lineage flat. Output: (doc_id, canonical_id) for every vertex of
+    * `pairs`; singleton documents never enter and are their own
+    * canonical by definition. */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+                 bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    try {
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbr = edges
+          .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+          .select(col("src").as("v"), col("lbl"))
+        val next = labels.unionByName(nbr)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+          .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      require(changed == 0,
+        s"components did not converge in $maxIter rounds")
+      labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+    } finally edges.unpersist()
+  }
 }

@@ -82,6 +82,13 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Canonicalization on top of the minhash pairs: connected components
+    // by min-label propagation, canonical = min id per component. The
+    // DuckDB oracle computes the same fixpoint via a recursive CTE.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -411,6 +418,17 @@ object PipelineQueries {
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +
        "count(*) AS dup_count FROM documents GROUP BY 1"),
     "dedup_minhash" -> minhashSql,
+    "dedup_components" ->
+      s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($minhashSql)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
     "dedup_embedding" -> embNearDupSql,
     "ann_topk" -> annSql,

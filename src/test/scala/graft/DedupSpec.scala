@@ -90,4 +90,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("components: chain, triangle, and singletons-by-absence") {
+    // chain 1-2-3-4-5 (diameter 4) + triangle 10-11-12 + pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components == union-find golden model on real minhash pairs") {
+    val docsReal = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairDf = graft.operators.Dedup.minhashNearDups(
+      docsReal, "doc_id", "text")
+    val pairs = pairDf.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // independent union-find (path compression), canonical = min of set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = graft.operators.Dedup.components(pairDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // dedup filter: exactly one kept doc per component
+    val keep = got.filter { case (v, c) => v == c }
+    assert(keep.keySet == got.values.toSet)
+  }
 }
