@@ -157,6 +157,43 @@ object ParityQueries {
             Window.unboundedPreceding, Window.currentRow)).as("seq_no"))
     }),
 
+    // W3 (beyond reference): batch sessionization — the lag/cumsum
+    // session-id assignment (gap > 30 min ⇒ new session), then per-
+    // session engagement features. The batch twin of the streaming
+    // session_window operator; one window + one hash agg, both on
+    // user_id. ts stays internal (nanos-long here vs timestamp_ns in
+    // DuckDB) — only ids/counts are output.
+    "w3_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").filter(
+        col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapNs = col("ts") - lag(col("ts"), 1).over(w)
+      val newSession =
+        when(gapNs.isNull || gapNs > lit(30L * 60 * 1000000000L), 1)
+          .otherwise(0)
+      ev.withColumn("session_idx",
+          sum(newSession).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"),
+          max(col("event_id")).as("last_event_id"))
+    }),
+
+    // TPC-H Q6 shape: selective range filters + single codegen'd agg —
+    // the scan-bound class; every predicate must reach the parquet scan.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
     // O1: global sort (reference: ORDER BY t."number",
     // src/db_connector.py:300).
     "o1_global_sort" -> ((s, dir) =>
@@ -538,6 +575,29 @@ object ParityQueries {
        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
        "AND event_id IS NOT NULL " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+
+    "w3_sessionize" ->
+      ("WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL " +
+       "AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+       "g AS (SELECT user_id, event_id, ts, " +
+       "CASE WHEN lag(ts, 1) OVER w IS NULL " +
+       "OR ts - lag(ts, 1) OVER w > INTERVAL '30 minutes' " +
+       "THEN 1 ELSE 0 END AS new_session FROM ev " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, event_id, " +
+       "CAST(sum(new_session) OVER (PARTITION BY user_id " +
+       "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+       "CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
+       "SELECT user_id, session_idx, count(*) AS n_events, " +
+       "min(event_id) AS first_event_id, max(event_id) AS last_event_id " +
+       "FROM s GROUP BY user_id, session_idx"),
+
+    "q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1995-01-01' " +
+       "AND l_discount >= 0.05 AND l_discount <= 0.07 " +
+       "AND l_quantity < 24"),
 
     "o1_global_sort" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +

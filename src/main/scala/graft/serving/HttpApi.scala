@@ -99,6 +99,13 @@ final class HttpApi(
               case _ => respond(ex, 404, """{"error": "not found"}""")
             }
           }
+        case ("GET", entity :: rest)
+            if EntityCatalog.entities.contains(entity) =>
+          rest match {
+            case Nil       => listDocs(ex, entity)
+            case id :: Nil => getDoc(ex, entity, id)
+            case _ => respond(ex, 404, """{"error": "not found"}""")
+          }
         case _ => respond(ex, 404, """{"error": "not found"}""")
       }
     } catch {
@@ -229,6 +236,39 @@ final class HttpApi(
     respond(ex, 200,
       s"""{"indexed": ${req.size() - errors}, "errors": $errors}""")
   }
+
+  /** The entity's synced document index, if a sync has run. Reads serve
+    * from the INDEX (like the reference's ES-backed GETs,
+    * README-advertised listings), never the source of truth — serving
+    * and extraction stay decoupled. */
+  private def index(entity: String): Option[DataFrame] = {
+    val data = new java.io.File(s"$outDir/$entity/data")
+    if (data.isDirectory) Some(spark.read.parquet(data.toString)) else None
+  }
+
+  /** GET /{entity}?limit=N — list synced documents (hits envelope). */
+  private def listDocs(ex: HttpExchange, entity: String): Unit =
+    index(entity) match {
+      case None =>
+        respond(ex, 404, s"""{"error": "no synced index for '$entity'"}""")
+      case Some(df) =>
+        val limit = Option(ex.getRequestURI.getQuery)
+          .flatMap(q => "limit=(\\d+)".r.findFirstMatchIn(q))
+          .map(_.group(1).toInt).getOrElse(100)
+        hits(ex, df.orderBy(col("document_id")).limit(limit))
+    }
+
+  /** GET /{entity}/{id} — point read by document_id from the index. */
+  private def getDoc(ex: HttpExchange, entity: String, id: String): Unit =
+    index(entity) match {
+      case None =>
+        respond(ex, 404, s"""{"error": "no synced index for '$entity'"}""")
+      case Some(df) =>
+        val rows = df.filter(col("document_id") === id).toJSON.collect()
+        if (rows.isEmpty)
+          respond(ex, 404, s"""{"error": "document '$id' not found"}""")
+        else respond(ex, 200, rows.head)
+    }
 
   /** POST /{entity}/sync — `{"id": ...}`: re-read the record from the
     * source of truth and re-index it (the reference's DB-webhook route,

@@ -116,6 +116,19 @@ class HttpApiSpec extends SparkSpec
     assert(stored.filter(stored("document_id") === "990001").count() == 1)
   }
 
+  test("GET /{entity}/{id} and GET /{entity} read the SYNCED index") {
+    // runs after the insert/sync tests above, so the customer index exists
+    val one = get("/customer/990001")
+    assert(one.statusCode() == 200, one.body())
+    assert(one.body().contains("\"customer_c_name\":\"api user\""))
+    assert(get("/customer/nope-missing").statusCode() == 404)
+    val list = get("/customer?limit=2")
+    assert(list.statusCode() == 200)
+    assert("\"document_id\"".r.findAllIn(list.body()).size == 2)
+    // entity known but never synced → 404, reads never touch the source
+    assert(get("/part").statusCode() == 404)
+  }
+
   test("unknown entity and unknown route are 404; bad body is 400") {
     assert(post("/nosuch", "{}").statusCode() == 404)
     assert(get("/nosuch").statusCode() == 404)
