@@ -43,6 +43,52 @@ object Lake {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Z-order clustered rewrite — multi-dimensional data layout so
+    * min/max file statistics prune on EITHER (or both) of two columns:
+    * a table range-partitioned on one column prunes only on that
+    * column; interleaving the bits of both columns' rank spaces into
+    * one Morton (Z) value and range-partitioning + sorting on it keeps
+    * every file's bounding box tight in BOTH dimensions (the lakehouse
+    * `OPTIMIZE ZORDER BY` layout, built from public parts: min/max
+    * scaling → 16-bit quantization → bit interleave →
+    * `repartitionByRange` + `sortWithinPartitions`).
+    *
+    * Cost: one bounded stats agg (driver-side 4 doubles) + one range
+    * shuffle — the same price as a plain sorted rewrite. Skipping is
+    * then a property of the files; any engine reading the parquet
+    * footers benefits. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String,
+                    partitions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(r) = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect()
+    val (aMin, aMax, bMin, bMax) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def q16(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else floor((c.cast("double") - lo) / (hi - lo) * 65535.0)
+        .cast("long")
+    // interleave 16+16 bits: spread each value's bits to even (a) and
+    // odd (b) positions — pure integer column arithmetic, codegen'd
+    def spread(v: org.apache.spark.sql.Column) = {
+      // classic Morton bit-spreading via shift-or-mask rounds
+      val m1 = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+      m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread(q16(col(colA), aMin, aMax))
+      .bitwiseOR(shiftleft(spread(q16(col(colB), bMin, bMax)), 1))
+    df.withColumn("_z", z)
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction — the maintenance operator every long-lived
     * 100 TB lake needs: streaming/incremental appends accumulate
     * KB-sized files whose per-file open/footer overhead eventually

@@ -21,6 +21,22 @@ class PlanShapeSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
+  test("q6: every selective predicate reaches the parquet scan") {
+    // default maxMetadataStringLength=100 truncates the PushedFilters
+    // list in treeString — raise it for the assertion
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      val plan =
+        q("q6_forecast_revenue").queryExecution.executedPlan.toString
+      for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+          "GreaterThanOrEqual(l_discount,0.05)",
+          "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+        assert(plan.contains(f), s"predicate $f not pushed in:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("j11: range join plans as a hash equi-join, not a nested loop") {
     val plan = executedPlan(q("j11_range_join"))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),

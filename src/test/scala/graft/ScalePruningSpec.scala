@@ -103,6 +103,37 @@ class ScalePruningSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds per-file ranges in BOTH dimensions") {
+    val root = tmp()
+    // 100×100 uniform grid — the adversarial case for 1-d layouts
+    val grid = (0 until 10000).map(i => (i % 100, i / 100))
+      .toDF("x", "y")
+    grid.repartitionByRange(16, col("x"))
+      .write.parquet(s"$root/naive")
+    Lake.writeZOrdered(grid, s"$root/zorder", "x", "y", partitions = 16)
+
+    def avgRanges(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("x")) - min(col("x")),
+               max(col("y")) - min(col("y"))).collect()(0)
+        (r.getInt(0).toDouble, r.getInt(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length,
+       spans.map(_._2).sum / spans.length)
+    }
+    val (_, naiveY) = avgRanges(s"$root/naive")
+    val (zX, zY) = avgRanges(s"$root/zorder")
+    // 1-d range layout: tight in x but each file spans ~the FULL y range
+    assert(naiveY >= 80.0, s"naive y-range $naiveY unexpectedly tight")
+    // z-order: 16 files ≈ a 4×4 tile grid — both dims bounded, so a
+    // min/max-skipping reader prunes on either predicate column
+    assert(zX <= 40.0, s"z-order x-range $zX too wide")
+    assert(zY <= 40.0, s"z-order y-range $zY too wide")
+  }
+
   test("compact rewrites a many-small-files table into sized files") {
     val path = tmp() + "/t"
     // 64 tiny files
