@@ -129,6 +129,18 @@ class HttpApiSpec extends SparkSpec
     assert(get("/part").statusCode() == 404)
   }
 
+  test("concurrent searches on one session all succeed (thread safety)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 8).map(i => Future {
+        post("/search", s"""{"search_term": "window", "limit": $i}""")
+      })), 60.seconds)
+    assert(results.forall(_.statusCode() == 200))
+    assert(results.forall(_.body().startsWith("""{"hits"""")))
+  }
+
   test("unknown entity and unknown route are 404; bad body is 400") {
     assert(post("/nosuch", "{}").statusCode() == 404)
     assert(get("/nosuch").statusCode() == 404)

