@@ -259,23 +259,27 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
     try {
-      var changed = 1L
+      var unstable = 1L
       var i = 0
-      while (changed > 0 && i < maxIter) {
+      while (unstable > 0 && i < maxIter) {
         val nbr = edges
           .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
           .select(col("src").as("v"), col("lbl"))
+        // convergence test folded into the SAME aggregation: a vertex's
+        // candidate set (own label ∪ neighbors') has min==max for every
+        // vertex iff labels are constant per component, i.e. converged —
+        // so the round costs ONE job (the count below also populates the
+        // cache), no extra join against the previous labels
         val next = labels.unionByName(nbr)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .groupBy(col("v"))
+          .agg(min(col("lbl")).as("lbl"), max(col("lbl")).as("_mx"))
           .persist()
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-          .filter(col("lbl") =!= col("old")).count()
+        unstable = next.filter(col("lbl") =!= col("_mx")).count()
         labels.unpersist()
-        labels = next
+        labels = next.drop("_mx")
         i += 1
       }
-      require(changed == 0,
+      require(unstable == 0,
         s"components did not converge in $maxIter rounds")
       labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
     } finally edges.unpersist()
