@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Denormalize
-import graft.queries.{ParityQueries, PipelineQueries}
+import graft.queries.{CurationQueries, ParityQueries, PipelineQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -23,10 +23,12 @@ object SparkEntry {
     * training-data-pipeline layer (dedup / similarity / text analysis /
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ PipelineQueries.queries
+    ParityQueries.queries ++ PipelineQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ PipelineQueries.oracleSql
+    ParityQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

@@ -130,6 +130,52 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), "|"))
 
+  /** Word bigrams in document order (repetition unit; NOT deduplicated —
+    * multiplicity is the signal). Docs under 2 tokens have none. */
+  def bigrams(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= 2,
+      zip_with(slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of tokens that repeat an earlier token — 1 − |vocab|/|doc|.
+    * The cheap within-document repetition signal (Gopher-style quality
+    * filters gate on it). floor-form rounding for oracle parity. */
+  def dupTokenFrac(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      floor((lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+        * 10000.0 + 0.5).cast("double") / 10000.0)
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens covered by the single most frequent bigram —
+    * 2·max_count/n_tokens (the Gopher "top-2-gram fraction" filter;
+    * boilerplate and degenerate repetition push it toward 1). Computed
+    * per row with zero shuffle: sort the bigram array, then the longest
+    * equal run IS the max multiplicity (one linear `aggregate` pass). */
+  def topBigramFrac(text: Column): Column = {
+    val sorted = array_sort(bigrams(text))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val maxCount = aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val n = tokenCount(text)
+    when(n >= 2,
+      floor(lit(2.0) * maxCount / n * 10000.0 + 0.5).cast("double")
+        / 10000.0)
+      .otherwise(lit(0.0))
+  }
+
   /** 64-bit SimHash over distinct whitespace tokens — the custom codegen
     * [[graft.functions.SimHash64]] expression (per-bit vote loop as a
     * tight generated Java loop; the higher-order-function formulation is

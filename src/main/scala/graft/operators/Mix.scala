@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling — downsample each source/domain so the kept
+  * corpus approximates a target mixture (the "data recipe" step of LLM
+  * training: N tokens at 30% web / 25% code / ...). No reference
+  * analogue; first-class training-data operator.
+  *
+  * Determinism contract (same as [[Split]]): membership is a pure
+  * function of (id, salt) via an md5 bucket, so re-runs, retries and
+  * partial re-ingests keep/drop the SAME documents — no `rand()`, which
+  * would tear under task retry and make results non-reproducible.
+  *
+  * Scale shape: one tiny per-domain count aggregate (rows = #domains)
+  * broadcast back onto the corpus, then a pure filter projection — the
+  * corpus itself is scanned once and never shuffled.
+  */
+object Mix {
+
+  /** 16-bit md5 bucket of (id, salt) as a 4-hex-char string — compared
+    * LEXICOGRAPHICALLY against a threshold, which is identical to the
+    * numeric compare (fixed-width lowercase hex) and portable to the
+    * DuckDB oracle. */
+  private def hexBucket(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(salt))), 1, 4)
+
+  /** Keep each row of domain g with probability
+    * `rate_g = min(1, weight_g * targetFrac * N / n_g)` — i.e. the kept
+    * set has ≈ `targetFrac * N` rows distributed by `weights` (domains
+    * too small to fill their quota keep everything; real mixtures
+    * up-weight by epochs, not within-snapshot duplication).
+    *
+    * Unknown domains (no weight entry) are dropped — a mixture is a
+    * whitelist. */
+  def sample(docs: DataFrame, domainCol: String, idCol: String,
+             weights: Map[String, Double], targetFrac: Double = 0.5,
+             salt: String = "mix"): DataFrame = {
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_g"))
+    val total = counts.agg(sum(col("n_g")).as("n_total"))
+    // weights as a when-chain: a handful of domains, pure projection
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, wt)) => when(col(domainCol) === dom, wt).otherwise(acc)
+    }
+    val rate = least(lit(1.0),
+      w * (lit(targetFrac) * col("n_total")) / col("n_g"))
+    // 4-hex-digit threshold; rate==1 is exempted BEFORE formatting (it
+    // would need 5 hex digits and break the lexicographic compare)
+    val thr = lpad(lower(hex(floor(rate * 65536.0).cast("int"))), 4, "0")
+    docs
+      .join(broadcast(counts), Seq(domainCol))
+      .crossJoin(broadcast(total))
+      .withColumn("rate", rate)
+      .filter(col("rate").isNotNull &&
+        (col("rate") >= 1.0 || hexBucket(col(idCol), salt) < thr))
+      .drop("n_g", "n_total", "rate")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, Mix, Scrub}
+import graft.sources.Tables
+
+/** Round-3 curation-layer queries: PII scrubbing, within-document
+  * repetition metrics, benchmark decontamination, and domain-mixture
+  * sampling — the remaining standard stages of an LLM training-data
+  * pipeline. Every query has a full DuckDB oracle.
+  *
+  * The testdata corpus is synthetic word soup with no PII, so
+  * `scrub_pii` deterministically APPENDS pii-bearing suffixes (same
+  * string construction in both engines) to two thirds of the documents —
+  * the redaction paths are exercised against real matches, and the
+  * remaining third pins the no-op path.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Target domain mixture over the corpus's ten sources. */
+  val MixWeights: Map[String, Double] = Map(
+    "src0" -> 0.25, "src1" -> 0.20, "src2" -> 0.15, "src3" -> 0.10,
+    "src4" -> 0.10, "src5" -> 0.05, "src6" -> 0.05, "src7" -> 0.04,
+    "src8" -> 0.03, "src9" -> 0.03)
+
+  /** Deterministic PII suffix for docs with doc_id % 3 != 0: an email,
+    * an IPv4, and a phone number derived from doc_id. Double space after
+    * the text exercises whitespace normalization. */
+  private def dirtyText(text: Column, id: Column): Column =
+    concat(text,
+      when(id % 3 =!= 0,
+        concat(lit("  Contact: user"), id.cast("string"),
+          lit("@mail.example.com from 10."),
+          (id % 256).cast("string"), lit(".0."),
+          ((id * 7) % 256).cast("string"),
+          lit(" or call +55 "),
+          (id % 900 + 100).cast("string"), lit(" "),
+          (id % 9000 + 1000).cast("string"), lit(".")))
+        .otherwise(lit("")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "scrub_pii" -> ((s, dir) => {
+      val norm = t(s, dir, "documents").select(col("doc_id"),
+        Scrub.normalizeWs(Scrub.stripControl(
+          dirtyText(col("text"), col("doc_id")))).as("t"))
+      norm.select(col("doc_id"),
+        md5(Scrub.clean(col("t"))).as("clean_hash"),
+        Scrub.countEmails(col("t")).as("n_emails"),
+        Scrub.countIps(col("t")).as("n_ips"),
+        Scrub.countPhones(col("t")).as("n_phones"))
+    }),
+
+    "repetition_stats" -> ((s, dir) => {
+      import TextFunctions._
+      t(s, dir, "documents").select(col("doc_id"),
+        dupTokenFrac(col("text")).as("dup_token_frac"),
+        topBigramFrac(col("text")).as("top_bigram_frac"))
+    }),
+
+    // Benchmark set = every 20th document (stand-in for an eval suite);
+    // corpus docs sharing any 5-gram with it are flagged for removal.
+    "decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.overlap(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    "mix_sample" -> ((s, dir) =>
+      Mix.sample(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", MixWeights, targetFrac = 0.5, salt = "mix")
+        .select("doc_id", "source"))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  // regex literals shared with operators/Scrub.scala — lookaround-free so
+  // RE2 and Java agree; DuckDB needs the explicit 'g' flag (its
+  // regexp_replace is first-match by default, Spark's is global)
+  private val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val Phone = "\\+[0-9]{1,3}([- ][0-9]{2,4}){2,3}"
+
+  private val scrubSql: String =
+    s"""WITH dirty AS (
+       |  SELECT doc_id, text || CASE WHEN doc_id % 3 <> 0 THEN
+       |    '  Contact: user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com from 10.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |    CAST((doc_id * 7) % 256 AS VARCHAR) ||
+       |    ' or call +55 ' ||
+       |    CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+       |    CAST(doc_id % 9000 + 1000 AS VARCHAR) || '.'
+       |    ELSE '' END AS t
+       |  FROM documents
+       |), norm AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(t,
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |    '\\s+', ' ', 'g')) AS t
+       |  FROM dirty
+       |)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$Email', '<EMAIL>', 'g'),
+       |    '$Ip', '<IP>', 'g'),
+       |    '$Phone', '<PHONE>', 'g')) AS clean_hash,
+       |  len(regexp_extract_all(t, '$Email')) AS n_emails,
+       |  len(regexp_extract_all(regexp_replace(t, '$Email', '<EMAIL>',
+       |    'g'), '$Ip')) AS n_ips,
+       |  len(regexp_extract_all(t, '$Phone')) AS n_phones
+       |FROM norm""".stripMargin
+
+  private val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS d,
+      |    CASE WHEN len(ts) >= 2
+      |      THEN list_transform(generate_series(1, len(ts)-1),
+      |           i -> ts[i] || ' ' || ts[i+1])
+      |      ELSE [] END AS bgs
+      |  FROM toks
+      |), mx AS (
+      |  SELECT doc_id, max(cnt) AS maxcnt FROM (
+      |    SELECT doc_id, b, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id
+      |)
+      |SELECT bg.doc_id,
+      |  CASE WHEN n > 0
+      |    THEN floor((1.0 - CAST(d AS DOUBLE) / n) * 10000.0 + 0.5)
+      |         / 10000.0
+      |    ELSE 0.0 END AS dup_token_frac,
+      |  CASE WHEN n >= 2
+      |    THEN floor(2.0 * maxcnt / n * 10000.0 + 0.5) / 10000.0
+      |    ELSE 0.0 END AS top_bigram_frac
+      |FROM bg LEFT JOIN mx ON bg.doc_id = mx.doc_id""".stripMargin
+
+  private val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(ts) >= 5
+      |    THEN list_distinct(list_transform(generate_series(1, len(ts)-4),
+      |         i -> array_to_string(ts[i:i+4],' ')))
+      |    ELSE [array_to_string(ts,' ')] END AS shset
+      |  FROM toks
+      |), corp AS (
+      |  SELECT doc_id, unnest(shset) AS s FROM sh WHERE doc_id % 20 <> 0
+      |), ben AS (
+      |  SELECT DISTINCT unnest(shset) AS s FROM sh WHERE doc_id % 20 = 0
+      |)
+      |SELECT corp.doc_id, count(*) AS n_hits
+      |FROM corp JOIN ben ON corp.s = ben.s
+      |GROUP BY corp.doc_id""".stripMargin
+
+  private val mixSql: String = {
+    val caseW = MixWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_g FROM documents GROUP BY source
+       |), tot AS (SELECT sum(n_g) AS n_total FROM counts),
+       |r AS (
+       |  SELECT d.doc_id, d.source,
+       |    least(1.0, ((CASE d.source $caseW END) * (0.5 * n_total))
+       |      / n_g) AS rate
+       |  FROM documents d JOIN counts USING (source) CROSS JOIN tot
+       |)
+       |SELECT doc_id, source FROM r
+       |WHERE rate IS NOT NULL AND (rate >= 1.0 OR
+       |  substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) <
+       |  lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS INT))), 4, '0'))
+       |""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "scrub_pii" -> scrubSql,
+    "repetition_stats" -> repetitionSql,
+    "decontaminate" -> decontaminateSql,
+    "mix_sample" -> mixSql)
+}
