@@ -189,8 +189,10 @@ object DocumentSink {
     * the incoming batch (REST per-record re-sync semantics,
     * src/routes/ticket_routes.py:91-96). Parquet cannot overwrite a path
     * it is reading, so the merged table is staged in a sibling temp
-    * directory and swapped in with two driver-side filesystem metadata
-    * ops (delete + rename — atomic on HDFS-like filesystems). The first
+    * directory and swapped in with [[graft.sinks.Lake.swapIn]]'s
+    * crash-safe two-rename (old aside → new in → delete aside; a crash
+    * at any point leaves at least one complete generation on disk —
+    * never delete-then-rename, whose window has zero copies). The first
     * cut staged via `localCheckpoint`, which materializes the ENTIRE
     * merged index in executor block-manager memory — a scale-killer the
     * swap avoids; on object stores without atomic rename the same
@@ -210,10 +212,8 @@ object DocumentSink {
     val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val dst = new org.apache.hadoop.fs.Path(dataPath)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst))
-      throw new java.io.IOException(s"rename $tmpPath -> $dataPath failed")
+    Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
+      new org.apache.hadoop.fs.Path(dataPath))
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")

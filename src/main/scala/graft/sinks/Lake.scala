@@ -95,8 +95,7 @@ object Lake {
     * dominates scan cost. Rewrites `path` into ~`targetFileBytes` files
     * via `coalesce` (a NARROW dependency — no shuffle; each output task
     * concatenates input splits), staged in a temp dir and swapped in
-    * with the same atomic-rename pattern as
-    * [[DocumentSink.upsert]]. `shuffle = true` switches to round-robin
+    * via [[swapIn]]. `shuffle = true` switches to round-robin
     * `repartition` when input files are so skewed that bin-packing
     * matters more than avoiding one shuffle. Returns the output file
     * count. */
@@ -114,9 +113,36 @@ object Lake {
       hPath.getParent,
       s".${hPath.getName}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
     sized.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    if (!fs.rename(tmp, hPath))
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    swapIn(fs, tmp, hPath)
     n
+  }
+
+  /** Crash-safe generation swap: rename the CURRENT generation aside,
+    * rename the new one in, then delete the old — never
+    * delete-then-rename, whose crash window leaves ZERO copies of the
+    * data under any name. Here a crash between the two renames leaves
+    * BOTH complete generations on disk (`<path>.old_*` and the staged
+    * temp dir), and a crash after the second rename leaves the new
+    * generation canonical plus a stale aside dir — every interruption
+    * point is recoverable by rename alone, none loses data
+    * ([[graft.ScalePruningSpec]] drives the interruption points). The
+    * aside-delete failing is non-fatal by the same logic: the swap has
+    * already committed. */
+  def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+             tmp: org.apache.hadoop.fs.Path,
+             dest: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(
+      dest.getParent,
+      s".${dest.getName}_old_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (fs.exists(dest) && !fs.rename(dest, aside))
+      throw new java.io.IOException(s"rename $dest -> $aside failed")
+    if (!fs.rename(tmp, dest)) {
+      // roll back so the canonical path never stays vacant longer than
+      // this call: the old generation returns to `dest` before we throw
+      fs.rename(aside, dest)
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    }
+    try fs.delete(aside, true)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 }

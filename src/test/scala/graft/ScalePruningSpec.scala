@@ -151,4 +151,44 @@ class ScalePruningSpec extends SparkSpec {
       .map(_.getName).filter(_.contains("_compact_"))
     assert(strays.isEmpty, strays.mkString(", "))
   }
+
+  test("interrupted compaction swap never has zero readable generations") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    val path = s"$root/t"
+    fact.repartition(8).write.parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // stage the new generation, exactly as compact() does
+    val tmpGen = new Path(root, ".t_compact_test")
+    spark.read.parquet(path).coalesce(2).write.parquet(tmpGen.toString)
+
+    // crash point 1: after "rename old aside", before "rename new in" —
+    // the worst instant of the swap. With delete-then-rename this is the
+    // window where the data exists NOWHERE; with the two-rename swap both
+    // complete generations must be present and readable.
+    val aside = new Path(root, ".t_old_test")
+    assert(fs.rename(new Path(path), aside))
+    assert(spark.read.parquet(aside.toString).count() == 1000,
+      "old generation lost after the aside rename")
+    assert(spark.read.parquet(tmpGen.toString).count() == 1000,
+      "staged generation unreadable mid-swap")
+    // recovery from crash point 1 is a single rename (either generation);
+    // completing the interrupted swap:
+    assert(fs.rename(tmpGen, new Path(path)))
+    assert(spark.read.parquet(path).count() == 1000)
+    fs.delete(aside, true)
+
+    // end-to-end: the real swapIn over a fresh staged generation commits
+    // and leaves no aside dirs behind
+    val tmp2 = new Path(root, ".t_compact_test2")
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp2.toString)
+    Lake.swapIn(fs, tmp2, new Path(path))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head.getLong(0) == 499500L)
+    val strays = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.contains("_old_") || n.contains("_compact_"))
+    assert(strays.isEmpty, strays.mkString(", "))
+  }
 }
