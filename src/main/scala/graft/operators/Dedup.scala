@@ -216,10 +216,10 @@ object Dedup {
 
   /** Embedding-cosine near-dups over an Array[Float] column: normalized
     * dot product ≥ `minCosine`, pairs (a < b). Brute-force pair join —
-    * the small-scale ground truth; the scale path is
-    * [[Similarity.lshBuckets]]-style bucketing first (same verify step).
-    * Float vectors are cast to double before any arithmetic so results
-    * are bit-stable across engines. */
+    * the spec-only ground-truth tier (DedupSpec pins
+    * [[embeddingNearDupsLsh]]'s recall against it); the registered scale
+    * path is the banded-LSH form. Float vectors are cast to double
+    * before any arithmetic so results are bit-stable across engines. */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.45): DataFrame = {
@@ -233,6 +233,62 @@ object Dedup {
     // .filter() above the join gets pushed in *front* of the id test)
     a.join(b, col("vec_a") < col("vec_b") && cosine >= minCosine)
       .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+  }
+
+  /** Embedding near-dups, the 100 TB shape: banded random-hyperplane LSH
+    * candidates, then exact-cosine verification of candidates only — the
+    * direct analog of [[minhashNearDups]]'s band-then-verify for the
+    * vector column (production "SemDeDup"-class semantic dedup).
+    *
+    *  - Signature per band = `planesPerBand` sign bits of seeded ±1
+    *    hyperplane projections ([[Similarity.planeSigns]] — literals in
+    *    the plan, no model state). A pair is a candidate iff it agrees
+    *    on ALL bits of at least one band.
+    *  - The self-join key is the (band, int bucket) pair — 8-byte-class
+    *    keys, bucket count 2^planesPerBand per band, so within-bucket
+    *    pair fan-out stays bounded when `planesPerBand` grows with
+    *    log₂(corpus) (the scale knob; `nBands` then buys recall back:
+    *    recall = 1 − (1 − p^r)^b with p = 1 − θ/π).
+    *  - Candidates-only exact verify: unit vectors are joined back by id
+    *    and the rounded cosine must clear `minCosine` — LSH can only
+    *    LOSE pairs (documented recall < 1, pinned vs the brute-force
+    *    [[embeddingNearDups]] twin in DedupSpec), never invent them.
+    *
+    * At near-dup thresholds (cosine ≥ 0.9, θ ≤ 26°) the default 8×8
+    * banding holds per-pair recall ≥ 0.99; at low thresholds (0.45)
+    * random-hyperplane LSH has no locality to exploit — that regime
+    * belongs to the brute-force ground-truth tier. */
+  def embeddingNearDupsLsh(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBands: Int = 8, planesPerBand: Int = 8, seed: Long = 42L,
+      minCosine: Double = 0.9): DataFrame = {
+    val signs = Similarity.planeSigns(dim, nBands * planesPerBand, seed)
+    val u = Similarity.normalized(emb, idCol, vecCol)
+    val bandStructs = (0 until nBands).map { b =>
+      val bucket = (0 until planesPerBand).map { i =>
+        val p = array(signs(b * planesPerBand + i).map(lit): _*)
+        when(Similarity.dot(col("unit"), p) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = u
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("vec_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("vec_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val cosine = Similarity.round4(Similarity.dot(col("ua"), col("ub")))
+    cand
+      .join(u.select(col(idCol).as("vec_a"), col("unit").as("ua")),
+        Seq("vec_a"))
+      .join(u.select(col(idCol).as("vec_b"), col("unit").as("ub")),
+        Seq("vec_b"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /** Near-dup CANONICALIZATION — the step after pair detection that a

@@ -75,14 +75,23 @@ object Similarity {
         round4(col("cos_exact")).as("cosine"))
   }
 
+  /** The ±1 hyperplane signs as plain doubles — the single source of
+    * truth for the seeded plane family, shared by the Column builders
+    * here, [[Dedup.embeddingNearDupsLsh]], AND the oracle-SQL generators
+    * (which embed the same values as SQL literals), so every engine
+    * evaluates the identical planes. Generation order is pinned: planes
+    * outer, dims inner, one `nextBoolean` per sign. */
+  def planeSigns(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` × `dim` signs from a
     * fixed seed, emitted as literal arrays (broadcast by the plan — the
     * "model" never touches an executor-side state store). */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Column] = {
-    val rnd = new Random(seed)
-    Seq.fill(nPlanes)(
-      array(Seq.fill(dim)(lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
-  }
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Column] =
+    planeSigns(dim, nPlanes, seed).map(p => array(p.map(lit): _*))
 
   /** Sign-bit bucket id from the hyperplane projections: bit i set iff
     * dot(v, plane_i) > 0. Integer bucket = candidate-join key. */

@@ -18,6 +18,21 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Embeddings ∪ 50 planted near-duplicates (id + 10000; each component
+    * mixed with 0.25× its cyclic neighbor ⇒ cosine ≈ 0.97 against the
+    * original). Deterministic, engine-mirrorable arithmetic — the DuckDB
+    * oracle builds the identical union. The one HOF `transform` here
+    * runs on the 50 filtered rows only, never the corpus. */
+  private[graft] def plantedEmbeddings(df: DataFrame): DataFrame = {
+    val e = df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val planted = e.filter(col("vec_id") < 50).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("e"), (x, i) =>
+        x + lit(0.25) * element_at(col("e"), (i + 1) % 64 + 1)).as("e"))
+    e.unionByName(planted)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The training-data curation pipeline END TO END — the showcase that
@@ -92,9 +107,18 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-        "embedding")),
+    // Embedding near-dup, the registered 100 TB shape: banded
+    // random-hyperplane LSH candidates + exact-cosine verify. The
+    // testdata's random vectors top out at cosine ~0.6 (no near-dup
+    // regime), so the input plants 50 deterministic near-duplicates
+    // (cosine ≈ 0.97) from the table itself — same precedent as
+    // r5_snapshot_diff's constructed snapshots. The brute-force
+    // all-pairs twin (Dedup.embeddingNearDups) is the spec-only
+    // ground-truth tier (DedupSpec pins LSH recall against it).
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLsh(
+        plantedEmbeddings(t(s, dir, "embeddings")), "vec_id", "e",
+        dim = 64)),
 
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -374,18 +398,57 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  // floor-form rounding in both embedding oracles: the Spark side uses
-  // round4 (floor(x*1e4+0.5)/1e4), which matches DuckDB round() only
-  // for non-negative values — a negative cosine on a half point would
-  // diverge under round()
-  private val embNearDupSql: String =
-    s"""$UnitCte
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  floor(list_sum(list_transform(generate_series(1, len(a.unit)),
-       |        i -> a.unit[i] * b.unit[i])) * 10000.0 + 0.5) / 10000.0
+  /** Banded-LSH embedding near-dup oracle. The ±1 hyperplanes come from
+    * the SAME generator the Spark plan embeds
+    * ([[Similarity.planeSigns]]) and are emitted here as SQL literal
+    * arrays — both engines then evaluate identical sequential
+    * double-sum projections, so the sign tests (and therefore the
+    * buckets, candidates, and verified pairs) agree exactly. */
+  private val embLshSql: String = {
+    val nBands = 8; val r = 8
+    val signs = Similarity.planeSigns(64, nBands * r, 42L)
+    def planeArr(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bandSelects = (0 until nBands).map { b =>
+      val bucket = (0 until r).map { i =>
+        val p = planeArr(signs(b * r + i))
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> unit[j] * ($p)[j])) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM u"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), planted AS (
+       |  SELECT vec_id + 10000 AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> e[i] + 0.25 * e[(i % 64) + 1]) AS e
+       |  FROM base WHERE vec_id < 50
+       |), allv AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM planted
+       |), v AS (
+       |  SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x*x))) AS norm,
+       |         e
+       |  FROM allv
+       |), u AS (
+       |  SELECT vec_id, list_transform(e, x -> x / norm) AS unit
+       |  FROM v WHERE norm > 0
+       |), banded AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |  floor(list_sum(list_transform(generate_series(1, len(ua.unit)),
+       |        i -> ua.unit[i] * ub.unit[i])) * 10000.0 + 0.5) / 10000.0
        |    AS cosine
-       |FROM u a JOIN u b ON a.vec_id < b.vec_id
-       |WHERE cosine >= 0.45""".stripMargin
+       |FROM cand JOIN u ua ON ua.vec_id = cand.vec_a
+       |          JOIN u ub ON ub.vec_id = cand.vec_b
+       |WHERE cosine >= 0.9""".stripMargin
+  }
 
   private val multimodalSql: String =
     """SELECT doc_id AS media_id, 'text' AS media_type,
@@ -430,7 +493,7 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
          |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
-    "dedup_embedding" -> embNearDupSql,
+    "dedup_embedding_lsh" -> embLshSql,
     "ann_topk" -> annSql,
     "ann_ivf_topk" -> ivfSql,
     "multimodal_features" -> multimodalSql
