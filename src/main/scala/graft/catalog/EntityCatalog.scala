@@ -116,6 +116,25 @@ object EntityCatalog {
       } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) })
     }
 
+  /** §2.7 cross-index union view — the reference's `data_lake_*`
+    * wildcard search target (src/es_connector.py:85-95 defaults
+    * `index="data_lake_*"`; legacy data_lake_sync.py:228): every catalog
+    * entity's validated + namespaced document table, `unionByName`'d
+    * with `allowMissingColumns` so each row carries its own entity's
+    * columns and NULLs elsewhere — the row shape a multi-index ES search
+    * returns. Branch order is name-sorted for a deterministic schema.
+    *
+    * Scale: the union is a plan-level concatenation — Catalyst pushes
+    * filters and column pruning into EACH branch's scan independently,
+    * so "search everything" costs one pruned pass per entity table and
+    * no shuffle (the serving top-k is a TakeOrdered). */
+  def unionDocuments(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, runTs: String): DataFrame =
+    entities.values.toSeq.sortBy(_.name)
+      .map(spec => pipeline(
+        graft.sources.Tables(spark, srcDir, spec.name), spec, runTs))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** P7/F4: API-insert defaulting — null id → `uuid()`, null audit
     * timestamps → now (reference: prepare_entity_data,
     * src/utils.py:99-111). Column expressions only, no UDF. uuid() is

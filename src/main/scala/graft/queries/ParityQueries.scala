@@ -129,6 +129,40 @@ object ParityQueries {
         .select(col("l_orderkey"),
                 array_join(col("label_names"), "|").as("labels"))),
 
+    // A3 composite: the reference's module document — THREE
+    // group-to-arrays plus the parent self-join lookup composed into ONE
+    // nested doc (src/data_sync.py:436-461 nests statuses/labels/
+    // data_sources; :485-514 resolves parentId from the same table).
+    // Here: nation = module; customers + suppliers as sorted struct
+    // arrays, distinct market segments as the third array, parent name
+    // via the j7 self-join. Child aggs shuffle once on the nation key
+    // and are tiny afterwards — broadcast onto the 25-row root.
+    "a3_module_nested" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val p = t(s, dir, "nation")
+        .select(col("n_nationkey").as("p_key"),
+                col("n_name").as("parent_name"))
+      val custArr = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("ckey"))
+        .agg(
+          to_json(array_sort(collect_set(struct(
+            col("c_custkey").as("id"), col("c_name").as("name")))))
+            .as("customers"),
+          nullif(array_join(array_sort(collect_set(col("c_mktsegment"))),
+            "|"), lit("")).as("segments"))
+      val supArr = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("skey"))
+        .agg(to_json(array_sort(collect_set(struct(
+          col("s_suppkey").as("id"), col("s_name").as("name")))))
+          .as("suppliers"))
+      n.join(broadcast(p), col("n_regionkey") === col("p_key"), "left")
+        .join(broadcast(custArr), col("n_nationkey") === col("ckey"), "left")
+        .join(broadcast(supArr), col("n_nationkey") === col("skey"), "left")
+        .select(col("n_nationkey").as("module_id"),
+          col("n_name").as("module_name"), col("parent_name"),
+          col("customers"), col("suppliers"), col("segments"))
+    }),
+
     // W1+O2: latest row per key via ranking window (reference: DISTINCT ON,
     // src/db_connector.py:262-269). ts kept out of the output: the parquet
     // column is ns-precision, which Spark truncates to µs but DuckDB keeps.
@@ -269,6 +303,20 @@ object ParityQueries {
     "q2_search_tfidf" -> ((s, dir) =>
       graft.serving.Search.tfidf(
         t(s, dir, "documents"), "window the of", "text", "doc_id")),
+
+    // Q1 cross-index variant: the reference's `data_lake_*` wildcard —
+    // one search across EVERY entity index (src/es_connector.py:85-95
+    // defaults index="data_lake_*"; legacy data_lake_sync.py:228) via
+    // the unionByName document view (SURVEY §2.7). "er" hits customers,
+    // suppliers and error events, so the top-k interleaves entities.
+    "q4_union_search" -> ((s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val lake = graft.catalog.EntityCatalog.unionDocuments(s, dir, RunTs)
+      val fields = lake.schema.fields
+        .filter(f => f.dataType == StringType)
+        .map(_.name).filterNot(Set("table", "document_id")).toSeq
+      graft.serving.Search.acrossIndexes(lake, "er", fields)
+    }),
 
     // Generic catalog-driven entity sync: validate → namespace → lineage
     // (reference: the per-entity sync functions, src/data_sync.py:20-921,
@@ -560,6 +608,40 @@ object ParityQueries {
        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
        "GROUP BY l_orderkey"),
 
+    // module-composite oracle: struct arrays via the proven
+    // to_json(list(s ORDER BY s)) == to_json(array_sort(collect_set))
+    // trick; segments via string_agg DISTINCT (needs its own CTE — the
+    // struct-DISTINCT subquery has a different dedup granularity).
+    "a3_module_nested" ->
+      ("""WITH cust AS (
+        |  SELECT key, CAST(to_json(list(s ORDER BY s)) AS VARCHAR)
+        |    AS customers
+        |  FROM (SELECT DISTINCT c_nationkey AS key,
+        |          struct_pack(id := c_custkey, name := c_name) AS s
+        |        FROM customer) q
+        |  GROUP BY key
+        |), seg AS (
+        |  SELECT c_nationkey AS key,
+        |    string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+        |      AS segments
+        |  FROM customer GROUP BY 1
+        |), supp AS (
+        |  SELECT key, CAST(to_json(list(s ORDER BY s)) AS VARCHAR)
+        |    AS suppliers
+        |  FROM (SELECT DISTINCT s_nationkey AS key,
+        |          struct_pack(id := s_suppkey, name := s_name) AS s
+        |        FROM supplier) q
+        |  GROUP BY key
+        |)
+        |SELECT n.n_nationkey AS module_id, n.n_name AS module_name,
+        |  p.n_name AS parent_name, cust.customers, supp.suppliers,
+        |  seg.segments
+        |FROM nation n
+        |LEFT JOIN nation p ON n.n_regionkey = p.n_nationkey
+        |LEFT JOIN cust ON cust.key = n.n_nationkey
+        |LEFT JOIN seg ON seg.key = n.n_nationkey
+        |LEFT JOIN supp ON supp.key = n.n_nationkey""".stripMargin),
+
     "w1_latest_per_key" ->
       ("SELECT user_id, event_id AS last_event_id, " +
        "event_type AS last_event_type FROM (" +
@@ -672,6 +754,39 @@ object ParityQueries {
        s"concat_ws('_', c_custkey, '$RunTs') AS document_id, " +
        "TIMESTAMP '2026-01-01 00:00:00' AS indexed_at " +
        "FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL"),
+
+    // Union-search oracle: per-entity branches — a field an entity lacks
+    // is NULL on its union rows and scores 0, so each branch only sums
+    // occurrences over its OWN string fields; validation predicates
+    // mirror EntityCatalog.validPredicate per spec.
+    "q4_union_search" -> {
+      def occ(f: String) =
+        s"CAST((length(coalesce($f,'')) - " +
+          s"length(replace(lower(coalesce($f,'')), 'er', ''))) / 2 AS INT)"
+      val branches = Seq(
+        ("customer", "c_custkey", Seq("c_name", "c_mktsegment"),
+          Seq("c_custkey", "c_name")),
+        ("events", "event_id", Seq("event_type", "props"),
+          Seq("event_id", "user_id")),
+        ("nation", "n_nationkey", Seq("n_name"),
+          Seq("n_nationkey", "n_name")),
+        ("orders", "o_orderkey", Seq("o_orderstatus", "o_orderpriority"),
+          Seq("o_orderkey", "o_custkey")),
+        ("part", "p_partkey", Seq("p_name", "p_brand", "p_type"),
+          Seq("p_partkey", "p_name")),
+        ("region", "r_regionkey", Seq("r_name"),
+          Seq("r_regionkey", "r_name")),
+        ("supplier", "s_suppkey", Seq("s_name"),
+          Seq("s_suppkey", "s_name"))
+      ).map { case (t, id, fs, req) =>
+        s"""SELECT '$t' AS "table", """ +
+          s"concat_ws('_', $id, '$RunTs') AS document_id, " +
+          fs.map(occ).mkString(" + ") + s" AS score FROM $t WHERE " +
+          req.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($branches) WHERE score > 0 " +
+        """ORDER BY score DESC, document_id, "table" LIMIT 100"""
+    },
 
     "r5_snapshot_diff" ->
       ("WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL), " +

@@ -74,6 +74,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("split"), col("batch_id"))
     }),
 
+    // Pack.scala's own scale prescription made executable: groupCols =
+    // (split, hash slice) so window parallelism ∝ slices (48 groups
+    // here vs 3 in pack_batches), each slice packing its own budget —
+    // the form that survives a 100 TB corpus where a 3-way window
+    // would serialize everything through 3 partitions.
+    "pack_batches_sliced" -> ((s, dir) => {
+      import TextFunctions._
+      val nt = t(s, dir, "documents").select(
+        col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      val labeled = graft.operators.Split.assign(nt, "doc_id", salt = "pk")
+        .withColumn("slice",
+          graft.operators.Split.hashBucket(col("doc_id"), "sl") % 16)
+      graft.operators.Pack.packByBudget(
+          labeled, "n_tokens", budget = 500L, orderCol = "doc_id",
+          groupCols = Seq("split", "slice"))
+        .select(col("doc_id"), col("split"), col("slice"), col("batch_id"))
+    }),
+
     "text_analysis" -> ((s, dir) => {
       import TextFunctions._
       t(s, dir, "documents").select(
@@ -476,6 +494,27 @@ object PipelineQueries {
        "SELECT doc_id, split, " +
        "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id " +
        "FROM c"),
+    // slice = bucket % 16 = the 4th hex char of the md5 prefix (the
+    // bucket is the first 16 bits), which DuckDB can read positionally —
+    // no conv() needed
+    "pack_batches_sliced" ->
+      ("WITH nt AS (SELECT doc_id, len(list_filter(" +
+       "string_split_regex(text,'\\s+'), x -> x <> '')) AS n_tokens " +
+       "FROM documents), labeled AS (SELECT doc_id, n_tokens, CASE " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 4) < 'e666' " +
+       "THEN 'train' " +
+       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 4) < 'f333' " +
+       "THEN 'val' ELSE 'test' END AS split, " +
+       "CAST(strpos('0123456789abcdef', " +
+       "substr(md5(CAST(doc_id AS VARCHAR) || 'sl'), 4, 1)) - 1 " +
+       "AS INTEGER) AS slice FROM nt), " +
+       "c AS (SELECT doc_id, split, slice, n_tokens, " +
+       "sum(n_tokens) OVER (PARTITION BY split, slice ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+       "FROM labeled) SELECT doc_id, split, slice, " +
+       "CAST(floor((cum - n_tokens) / 500.0) AS BIGINT) AS batch_id " +
+       "FROM c"),
+
     "text_analysis" -> textAnalysisSql,
     "dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, " +

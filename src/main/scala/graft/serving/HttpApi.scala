@@ -128,6 +128,18 @@ final class HttpApi(
       respond(ex, 400, """{"error": "search_term is required"}"""); return
     }
     val index = textOr(req, "index", "documents")
+    // "*" (or the reference's "data_lake_*") = search EVERY entity index
+    // at once over the union document view — es_connector.py:85-95
+    // defaults to exactly this wildcard
+    if (index == "*" || index.endsWith("_*")) {
+      val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
+      val fields = lake.schema.fields
+        .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name).filterNot(Set("table", "document_id")).toSeq
+      val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
+      hits(ex, Search.acrossIndexes(lake, term, fields, limit))
+      return
+    }
     val df = Tables(spark, srcDir, index)
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)

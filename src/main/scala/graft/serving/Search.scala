@@ -44,6 +44,24 @@ object Search {
       .limit(limit)
   }
 
+  /** Cross-index search over the `data_lake_*`-style union document view
+    * ([[graft.catalog.EntityCatalog.unionDocuments]]): multi-field
+    * occurrence scoring where a field an entity lacks is NULL and scores
+    * 0, ranked deterministically by (score desc, document_id, table) —
+    * both tiebreak columns are non-null on every branch, so the ordering
+    * is engine-stable (null-ordering defaults differ across engines).
+    * Output is the hit identity (table, document_id, score); callers
+    * fetch bodies from the entity's own table. */
+  def acrossIndexes(lake: DataFrame, term: String, fields: Seq[String],
+                    limit: Int = 100): DataFrame = {
+    val score = fields.map(f => occurrences(col(f), term))
+      .reduce(_ + _).as("score")
+    lake.select(col("table"), col("document_id"), score)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
   /** Advanced search = the engine's actual query language. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 

@@ -66,6 +66,23 @@ class HttpApiSpec extends SparkSpec
     assert(missing.statusCode() == 400)
   }
 
+  test("POST /search with index '*' searches every entity index at once " +
+      "(the reference's data_lake_* wildcard)") {
+    val r = post("/search",
+      """{"search_term": "er", "index": "*", "limit": 50}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("""{"hits": {"total": """))
+    // hits come from MORE THAN ONE entity index ("er" matches customer
+    // and supplier names and error events)
+    val tables = "\"table\":\"([a-z]+)\"".r
+      .findAllMatchIn(r.body()).map(_.group(1)).toSet
+    assert(tables.size > 1, s"expected multi-entity hits, got $tables")
+    // the data_lake_* form routes identically to "*"
+    val r2 = post("/search",
+      """{"search_term": "er", "index": "data_lake_*", "limit": 5}""")
+    assert(r2.statusCode() == 200 && r2.body().contains("\"score\""))
+  }
+
   test("POST /search/advanced runs real SQL over registered views (Q2)") {
     val r = post("/search/advanced",
       """{"sql": "SELECT n_name FROM nation ORDER BY n_name LIMIT 2"}""")

@@ -69,9 +69,23 @@ class PlanShapeSpec extends SparkSpec {
       s"latest-status lost its partial aggregation:\n$plan")
   }
 
-  test("dedup_embedding: the pair join stays inside whole-stage codegen") {
+  test("dedup_embedding_lsh: banded candidates are equi-joins — no " +
+      "nested loop, no cartesian, anywhere in the plan") {
+    val plan = executedPlan(q("dedup_embedding_lsh"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"the LSH form must never pair-join the corpus all-pairs:\n$plan")
+    // the (band, bucket) self-join and both verify joins are hash joins
+    assert("HashJoin".r.findAllIn(plan).size >= 3,
+      s"expected candidate + 2 verify hash joins:\n$plan")
+  }
+
+  test("dedup_embedding (spec tier): the brute-force pair join stays " +
+      "inside whole-stage codegen") {
     // codegen'd operators are starred `*(n)` in the final plan string
-    val plan = executedPlan(q("dedup_embedding"))
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = executedPlan(
+      graft.operators.Dedup.embeddingNearDups(emb, "vec_id", "embedding"))
     assert("""\*\(\d+\) BroadcastNestedLoopJoin""".r.findFirstIn(plan).isDefined,
       "BroadcastNestedLoopJoin fell out of codegen — an interpreted HOF " +
         s"crept back into the similarity projections:\n$plan")
