@@ -168,7 +168,15 @@ object Similarity {
     * the smaller id via the descending `ord` field. */
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      cent: Seq[(Any, Seq[Double])]): DataFrame = {
+      cent: Seq[(Any, Seq[Double])]): DataFrame =
+    ivfAssignUnits(normalized(corpus, idCol, vecCol), cent)
+
+  /** [[ivfAssign]] over a frame that already carries its vector in a
+    * `unit` column — the entry point for asymmetric search, where
+    * assignment runs on DEQUANTIZED approximations rather than the
+    * exact unit vectors. Same pure-projection shape (no Exchange). */
+  def ivfAssignUnits(
+      units: DataFrame, cent: Seq[(Any, Seq[Double])]): DataFrame = {
     require(cent.nonEmpty, "need at least one centroid")
     val n = cent.size
     val structs = cent.zipWithIndex.map { case ((cid, cu), i) =>
@@ -178,8 +186,7 @@ object Similarity {
         lit(cid).as("cid"))
     }
     val best = if (n == 1) structs.head else greatest(structs: _*)
-    normalized(corpus, idCol, vecCol)
-      .withColumn("centroid_id", best.getField("cid"))
+    units.withColumn("centroid_id", best.getField("cid"))
   }
 
   /** Int8 scalar quantization of the (normalized) embedding column —
@@ -217,6 +224,59 @@ object Similarity {
     q.withColumn("unit_approx",
       transform(col("qvec"), b =>
         (b.cast("double") + 128.0) * col("scale") + col("zero")))
+
+  /** Asymmetric quantized ANN top-k — the actual 100 TB search shape
+    * ([[quantize]]'s scaladoc made executable end-to-end): coarse
+    * candidate generation runs entirely on the int8-quantized corpus
+    * (4× less data through every scan and shuffle), exact re-rank
+    * touches full-precision vectors only for the candidate rows.
+    *
+    *  - Codebook: [[dequantized]] approximations of the `nCentroids`
+    *    smallest ids — bounded driver metadata, as [[ivfTopK]].
+    *  - Assignment: [[ivfAssignUnits]] PROJECTION over the dequantized
+    *    vectors — the corpus shuffles nothing for assignment and the
+    *    scan ships qvec + 2 floats, never the raw vectors.
+    *  - Probe: exact query vectors ranked against the approximate
+    *    centroids, top `nProbe` cells.
+    *  - Re-rank: candidates equi-join the exact unit vectors by id;
+    *    `cos_exact` is full-precision, so quantization error perturbs
+    *    only candidate RECALL, never a reported score ([[SimilaritySpec]]
+    *    pins end-to-end recall vs the exact [[topK]]).
+    */
+  def quantizedIvfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deq = dequantized(quantize(corpus, idCol, vecCol))
+      .select(col(idCol), col("unit_approx").as("unit"))
+    val centDf = deq.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col("unit").as("cu"))
+    val cent = centDf.collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    val assign = ivfAssignUnits(deq, cent)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val exact = normalized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("unit").as("uc"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(dot(col("uq"), col("cu")).desc, col("centroid_id"))
+    val probe = normalized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("unit").as("uq"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("uq"), col("centroid_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_exact").desc, col("neighbor_id"))
+    probe.join(assign, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(exact, Seq("neighbor_id"))
+      .withColumn("cos_exact", dot(col("uq"), col("uc")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round4(col("cos_exact")).as("cosine"))
+  }
 
   /** Deterministic spherical k-means (Lloyd) for IVF codebooks — the
     * "train centroids offline" step [[ivfTopK]]'s scaladoc assumes,

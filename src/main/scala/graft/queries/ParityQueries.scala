@@ -261,6 +261,18 @@ object ParityQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // F7, Variant form (SURVEY §1.2): Spark 4's parse_json →
+    // VariantType → typed variant_get — the binary-encoded untyped-JSON
+    // path that replaces per-access string re-parsing (the classic
+    // get_json_object re-tokenizes the string per extraction; Variant
+    // parses once and navigates a binary encoding). try_parse_json
+    // because the column is nullable free-form input.
+    "f7_variant_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        try_variant_get(try_parse_json(col("props")), "$.k", "int")
+          .as("k"))),
+
     // F8: recursive JSON-string normalization (reference:
     // _normalize_json_fields, src/json_encoder.py:23-41). The input wraps
     // props as a *stringified* JSON field; normalization must inline it
@@ -695,6 +707,10 @@ object ParityQueries {
        "c_nationkey, c_mktsegment)) AS content_hash FROM customer"),
 
     "f7_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) " +
+       "AS k FROM events"),
+
+    "f7_variant_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) " +
        "AS k FROM events"),
 

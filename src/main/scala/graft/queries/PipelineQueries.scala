@@ -156,6 +156,15 @@ object PipelineQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // Asymmetric quantized search end-to-end: int8 corpus for candidate
+    // generation, full-precision re-rank — the shape that moves 4× less
+    // data through a 100 TB scan+shuffle while reporting exact scores.
+    "ann_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -416,6 +425,58 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** Asymmetric quantized IVF oracle — mirrors
+    * Similarity.quantizedIvfTopK: per-vector affine int8 quantization of
+    * the unit vectors (floor((x−min)/scale + 0.5), scale = range/255;
+    * the −128/+128 byte offset cancels in dequantization and is elided),
+    * reconstructed approximations drive centroid choice + assignment +
+    * probe, and the final cosine is computed on the EXACT unit vectors
+    * of the candidates only. */
+  private val quantizedIvfSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"""$UnitCte, qz AS (
+       |  SELECT vec_id, unit,
+       |    list_min(unit) AS zero,
+       |    (list_max(unit) - list_min(unit)) / 255.0 AS scale
+       |  FROM u
+       |), deq AS (
+       |  SELECT vec_id,
+       |    list_transform(unit, x ->
+       |      (CASE WHEN scale > 0 THEN floor((x - zero) / scale + 0.5)
+       |            ELSE 0 END) * scale + zero) AS du
+       |  FROM qz
+       |), cent AS (
+       |  SELECT vec_id AS cid, du AS cu FROM deq ORDER BY vec_id LIMIT 16
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dot("v.du", "c.cu")} DESC, c.cid) AS rn
+       |    FROM deq v CROSS JOIN cent c) WHERE rn = 1
+       |), probe AS (
+       |  SELECT query_id, uq, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.unit AS uq, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.unit", "c.cu")} DESC, c.cid) AS rn
+       |    FROM u q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${dot("p.uq", "x.unit")} AS cos_exact
+       |  FROM probe p JOIN assign a ON p.cid = a.cid
+       |               JOIN u x ON x.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_exact DESC, neighbor_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, neighbor_id,
+       |  floor(cos_exact * 10000.0 + 0.5) / 10000.0 AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** Banded-LSH embedding near-dup oracle. The ±1 hyperplanes come from
     * the SAME generator the Spark plan embeds
     * ([[Similarity.planeSigns]]) and are emitted here as SQL literal
@@ -535,6 +596,7 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> embLshSql,
     "ann_topk" -> annSql,
     "ann_ivf_topk" -> ivfSql,
+    "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql
     // dedup_simhash, ann_lsh_topk: xxhash64 / seeded hyperplanes are not
     // reproducible in DuckDB — driver records the rows-only check.

@@ -147,6 +147,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall $recall")
   }
 
+  test("asymmetric quantized IVF: exact scores, recall@5 vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val asym = Similarity
+      .quantizedIvfTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every reported cosine is FULL precision: any (query, neighbor)
+    // the asymmetric path returns must carry the exact path's score
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    asym.foreach { case (q, n, c) =>
+      exactScore.get((q, n)).foreach(e =>
+        assert(c == e, s"asymmetric score $c != exact $e for ($q,$n)")) }
+    // candidate recall: quantization + 4-of-16 probing keeps ≥ 60% of
+    // the true top-5 pairs (same bound class as ann_ivf_topk's probing
+    // loss; quantization must not collapse it further)
+    val recall = (exact.map(t => (t._1, t._2)).toSet
+      intersect asym.map(t => (t._1, t._2)).toSet).size.toDouble /
+      exact.length
+    assert(recall >= 0.6, s"asymmetric quantized IVF recall $recall")
+  }
+
   test("zero vectors are dropped, not NaN") {
     val emb = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
