@@ -30,4 +30,13 @@ object ArrayExpressions {
     * zero-norm vectors). */
   def l2normalize(vec: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.l2normalize(vec)
+
+  /** Codegen'd one-pass MinHash signature (array of `numHashes`
+    * rotated-md5 lexicographic minima) over a shingle-array column —
+    * NULL for empty shingle sets. Turns the signature build into a
+    * shuffle-free projection; see
+    * [[org.apache.spark.sql.graft.MinHashSignature]]. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ArrayExpressions
+      .minhashSignature(shingles, numHashes)
 }

@@ -297,6 +297,97 @@ object L2Normalize {
   }
 }
 
+/** Per-document MinHash signature in ONE pass over the shingle array:
+  * md5 each shingle once, then for each of `numHashes` hash functions
+  * (hash_i = the hex digest rotated left by 2·i chars — the family of
+  * [[graft.operators.Dedup.minhashSignatures]] and its SQL oracle's
+  * `min(substr(d, 2i+1) || substr(d, 1, 2i))`) keep the running
+  * lexicographic minimum. This turns the signature build from
+  * explode → md5 → 16 × min(string) aggregation (a full shuffle on the
+  * doc id plus 16 concat/substring allocations per shingle row) into a
+  * map-side PROJECTION: no shuffle, and a candidate rotation is
+  * compared IN PLACE against the current min (early-exit byte compare)
+  * and materialized only on improvement. Hex chars are ASCII-ordered,
+  * so byte comparison == the aggregation form's UTF8String/varchar
+  * lexicographic min. Empty or all-null shingle arrays yield NULL (the
+  * aggregation form simply had no rows for that document). */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = true), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(arr: Any, n: Any): Any =
+    MinHashSignature.compute(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) =>
+      s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.graft.MinHashSignature.compute($a, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignature {
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** rotated-by-`off` view of `hex` < `cur`, byte-lexicographic,
+    * without materializing the rotation (32 is a power of two, so the
+    * wrap-around index is a mask). */
+  private def lessRot(hex: Array[Byte], off: Int, cur: Array[Byte]): Boolean = {
+    var j = 0
+    while (j < 32) {
+      val d = (hex((j + off) & 31) & 0xff) - (cur(j) & 0xff)
+      if (d != 0) return d < 0
+      j += 1
+    }
+    false
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var mins: Array[Array[Byte]] = null
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val dig = md.digest(arr.getUTF8String(i).getBytes)
+        val hex = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = Hex((dig(j) >> 4) & 0xf)
+          hex(2 * j + 1) = Hex(dig(j) & 0xf)
+          j += 1
+        }
+        if (mins == null) mins = new Array[Array[Byte]](numHashes)
+        var h = 0
+        while (h < numHashes) {
+          val off = 2 * h
+          val cur = mins(h)
+          if (cur == null || lessRot(hex, off, cur)) {
+            val m = new Array[Byte](32)
+            System.arraycopy(hex, off, m, 0, 32 - off)
+            System.arraycopy(hex, 0, m, 32 - off, off)
+            mins(h) = m
+          }
+          h += 1
+        }
+      }
+      i += 1
+    }
+    if (mins == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(m => UTF8String.fromBytes(m): Any))
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -317,4 +408,10 @@ object ArrayExpressions {
   /** Column API for [[L2Normalize]]. */
   def l2normalize(vec: Column): Column =
     ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
+
+  /** Column API for [[MinHashSignature]]. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(shingles),
+      org.apache.spark.sql.catalyst.expressions.Literal(numHashes)))
 }

@@ -91,6 +91,24 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("MinHashSignature ≡ per-rotation array_min(transform(md5)) spec") {
+    val df = samples(textGen).toDF("text")
+    val shingles = ArrayExpressions.distinctShingles(col("text"), 3)
+    val digests = transform(shingles, s => md5(s))
+    val mins = (0 until 16).map { i =>
+      if (i == 0) array_min(digests)
+      else array_min(transform(digests, d =>
+        concat(substring(d, 2 * i + 1, 32 - 2 * i), substring(d, 1, 2 * i))))
+    }
+    val spec = when(size(shingles) > 0, array(mins: _*))
+    val mismatches = df.select(
+      ArrayExpressions.minhashSignature(shingles, 16).as("fast"),
+      spec.as("spec"))
+      .filter(not(col("fast") <=> col("spec")))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))
