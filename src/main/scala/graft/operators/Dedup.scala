@@ -295,6 +295,86 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** INCREMENTAL exact dedup — the shape a growing corpus actually runs:
+    * dedup a NEW batch against an existing corpus snapshot without ever
+    * joining the full batch to the full corpus. A serialized bloom
+    * filter over the corpus content hashes (built with Spark's own
+    * `BloomFilterAggregate` — the same machinery Catalyst's runtime
+    * filters use, here applied explicitly) splits the batch in a pure
+    * codegen'd projection:
+    *
+    *  - bloom-negative rows are DEFINITELY new — they bypass the join
+    *    entirely (at production overlap rates that is almost the whole
+    *    batch, so almost nothing shuffles);
+    *  - bloom-positive rows (true duplicates + the fpp false positives)
+    *    are confirmed by an exact anti-join against the corpus hashes —
+    *    32-byte digests, never documents.
+    *
+    * The result is EXACT (the bloom only routes rows; the anti-join
+    * removes every false positive), which is what lets a plain SQL
+    * oracle pin it. Driver state = the bloom (numBits/8 bytes — bounded
+    * model metadata, like an IVF codebook; at 100 TB shard the corpus
+    * by hash prefix and build one bloom per shard). Returns the
+    * surviving (idCol, content_hash) rows of `newDocs`. */
+  def incremental(
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val corpusH = corpus.select(md5(col(textCol)).as("h"))
+    val bloom = corpusH
+      .agg(bloomAgg(col("h"), expectedItems,
+        optimalNumBits(expectedItems, fpp)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val newH = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val definitelyNew = newH.filter(!mightContain(bloom, col("content_hash")))
+    val confirmed = newH.filter(mightContain(bloom, col("content_hash")))
+      .join(corpusH, col("content_hash") === col("h"), "left_anti")
+    definitelyNew.unionByName(confirmed)
+  }
+
+  /** SEMANTIC dedup (SemDeDup-class): cluster the embedding corpus into
+    * Voronoi cells, then near-dup detection runs WITHIN cells only —
+    * pairwise cosine against cluster-mates, drop every vector that has
+    * a lower-id near-dup in its cell. The within-cell pair join is the
+    * scale contract: cell count grows ∝ corpus (k ≈ n/target_cell_size),
+    * so per-cell fan-out stays bounded while the join key is a tiny
+    * (cell id) column — the same band-then-verify economics as
+    * [[minhashNearDups]], with the clustering standing in for bands.
+    *
+    * Cells here come from the deterministic first-k-ids codebook
+    * ([[Similarity.ivfTopK]]'s convention — engine-reproducible, which
+    * is what lets DuckDB pin the full output; a production run trains
+    * the codebook with [[Similarity.trainCentroids]] and broadcasts it,
+    * identical plan shape). Assignment is the zero-Exchange
+    * [[Similarity.ivfAssignUnits]] projection. Caveat vs the banded-LSH
+    * tier ([[embeddingNearDupsLsh]]): near-dups straddling a cell
+    * boundary are missed — recall is pinned against the brute-force
+    * twin in DedupSpec. Returns (idCol, centroid_id, is_dup). */
+  def semantic(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, minCosine: Double = 0.9): DataFrame = {
+    val u = Similarity.normalized(emb, idCol, vecCol)
+    val cent = u.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("centroid_id"), col("unit").as("cu"))
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Double](1)))
+    val assigned = Similarity.ivfAssignUnits(u, cent)
+      .select(col(idCol), col("centroid_id"), col("unit"))
+    val a = assigned.select(col("centroid_id"),
+      col(idCol).as("vec_a"), col("unit").as("ua"))
+    val b = assigned.select(col("centroid_id"),
+      col(idCol).as("vec_b"), col("unit").as("ub"))
+    val cosine = Similarity.round4(Similarity.dot(col("ua"), col("ub")))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b") && cosine >= minCosine)
+      .select(col("vec_b").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Near-dup CANONICALIZATION — the step after pair detection that a
     * pipeline actually ships: connected components over the pair graph,
     * `canonical_id = min(doc id in the component)`, so "keep one per

@@ -77,7 +77,42 @@ object CurationQueries {
     "mix_sample" -> ((s, dir) =>
       Mix.sample(t(s, dir, "documents").select("doc_id", "source"),
           "source", "doc_id", MixWeights, targetFrac = 0.5, salt = "mix")
-        .select("doc_id", "source"))
+        .select("doc_id", "source")),
+
+    // Model-based quality scoring: a linear model over the engine's own
+    // text features + the algebraic sigmoid — pure codegen'd projection,
+    // zero shuffles, the model broadcast as plan literals (the fasttext-
+    // classifier stage of a curation pipeline, scored at scan speed).
+    "quality_model" -> ((s, dir) => {
+      import TextFunctions._
+      val feats = t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        avgWordLen(col("text")).as("avg_wlen"))
+      graft.operators.Score.linear(feats, Seq(
+          (col("stop_ratio"), 2.5),
+          (least(col("n_tokens").cast("double"), lit(100.0)) / 100.0, 0.8),
+          (col("punct_ratio"), -3.0),
+          (abs(col("avg_wlen") - 4.5) / 10.0, -0.5)),
+          bias = -0.6)
+        .select("doc_id", "logit", "score", "keep")
+    }),
+
+    // Corpus-level n-gram statistics: document frequency of every
+    // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
+    // hash agg, then TakeOrderedAndProject (never a global sort of the
+    // full n-gram table). The corpus-stats probe an LLM pipeline runs
+    // before choosing boilerplate/df-cap thresholds.
+    "ngram_topk" -> ((s, dir) => {
+      import TextFunctions._
+      t(s, dir, "documents")
+        .select(explode(distinctShingles(col("text"), 3)).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("shingle"))
+        .limit(20)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -188,9 +223,73 @@ object CurationQueries {
        |""".stripMargin
   }
 
+  private def lex(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Quality-model oracle — feature CTEs mirror TextFunctions (already
+    * hash-proven in text_analysis); the linear combination and algebraic
+    * sigmoid are written in the SAME evaluation order as Score.linear,
+    * and both engines round with the floor form (valid for negative
+    * logits, where DuckDB's round() would differ). */
+  private val qualityModelSql: String = {
+    import TextFunctions._
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, len(ts) AS n_tokens,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(len(list_filter(ts,
+       |           t -> list_contains(${lex(StopwordsEn)}, t))) AS DOUBLE)
+       |           / len(ts), 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN length(text) > 0
+       |      THEN round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]',
+       |           '', 'g')) AS DOUBLE) / length(text), 4)
+       |      ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, t -> length(t)))
+       |           AS DOUBLE) / len(ts), 4)
+       |      ELSE 0.0 END AS avg_wlen
+       |  FROM toks
+       |), lg AS (
+       |  SELECT doc_id,
+       |    -0.6 + stop_ratio * 2.5
+       |         + least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.8
+       |         + punct_ratio * -3.0
+       |         + abs(avg_wlen - 4.5) / 10.0 * -0.5 AS logit
+       |  FROM feat
+       |)
+       |SELECT doc_id,
+       |  floor(logit * 10000.0 + 0.5) / 10000.0 AS logit,
+       |  floor((0.5 + 0.5 * logit / (1.0 + abs(logit))) * 10000.0 + 0.5)
+       |    / 10000.0 AS score,
+       |  (logit >= 0.0) AS keep
+       |FROM lg""".stripMargin
+  }
+
+  private val ngramTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(ts) >= 3
+      |    THEN list_distinct(list_transform(generate_series(1, len(ts)-2),
+      |         i -> array_to_string(ts[i:i+2],' ')))
+      |    ELSE [array_to_string(ts,' ')] END AS shset
+      |  FROM toks
+      |)
+      |SELECT s AS shingle, count(*) AS doc_freq
+      |FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+      |GROUP BY s ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scrub_pii" -> scrubSql,
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
-    "mix_sample" -> mixSql)
+    "mix_sample" -> mixSql,
+    "quality_model" -> qualityModelSql,
+    "ngram_topk" -> ngramTopkSql)
 }

@@ -138,6 +138,31 @@ object PipelineQueries {
         plantedEmbeddings(t(s, dir, "embeddings")), "vec_id", "e",
         dim = 64)),
 
+    // Incremental exact dedup of a NEW batch against a corpus snapshot:
+    // bloom prefilter (definitely-new rows never join) + exact anti-join
+    // confirm of the bloom-positive remainder. Corpus = even ids; the
+    // batch = odd ids ∪ planted copies of corpus texts (id + 100000) —
+    // the copies must vanish, the odd rows must survive.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.incremental(batch, corpus, "doc_id", "text",
+        expectedItems = 1 << 16)
+    }),
+
+    // SemDeDup-class semantic dedup: Voronoi-cell clustering (the
+    // deterministic first-16-ids codebook, zero-Exchange assignment
+    // projection), then within-cell pairwise cosine — drop every vector
+    // with a lower-id near-dup in its cell. Planted near-dups (cosine
+    // ≈ 0.97) land in their original's cell and must be flagged.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semantic(plantedEmbeddings(t(s, dir, "embeddings")),
+        "vec_id", "e")),
+
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.topK(emb, emb.filter(col("vec_id") < 10),
@@ -529,6 +554,65 @@ object PipelineQueries {
        |WHERE cosine >= 0.9""".stripMargin
   }
 
+  /** Incremental-dedup oracle: the bloom is pure routing, so the exact
+    * semantics are a plain NOT EXISTS against the corpus hashes. */
+  private val incrementalSql: String =
+    """WITH corpus AS (
+      |  SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+      |), newb AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 6 = 0
+      |)
+      |SELECT doc_id, md5(text) AS content_hash FROM newb n
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = md5(n.text))
+      |""".stripMargin
+
+  /** Semantic-dedup oracle — mirrors Dedup.semantic exactly: planted
+    * union, unit normalization, first-16-ids codebook, argmax cell
+    * assignment (ties → smaller centroid id), within-cell pairs with
+    * floor-rounded cosine ≥ 0.9, drop = "has a lower-id near-dup". */
+  private val semanticSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), planted AS (
+       |  SELECT vec_id + 10000 AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> e[i] + 0.25 * e[(i % 64) + 1]) AS e
+       |  FROM base WHERE vec_id < 50
+       |), allv AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM planted
+       |), v AS (
+       |  SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x*x))) AS norm,
+       |         e
+       |  FROM allv
+       |), u AS (
+       |  SELECT vec_id, list_transform(e, x -> x / norm) AS unit
+       |  FROM v WHERE norm > 0
+       |), cent AS (
+       |  SELECT vec_id AS cid, unit AS cu FROM u ORDER BY vec_id LIMIT 16
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dot("x.unit", "c.cu")} DESC, c.cid) AS rn
+       |    FROM u x CROSS JOIN cent c) WHERE rn = 1
+       |), au AS (
+       |  SELECT a.vec_id, a.cid, u.unit FROM assign a JOIN u USING (vec_id)
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM au a JOIN au b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE floor(${dot("a.unit", "b.unit")} * 10000.0 + 0.5) / 10000.0
+       |        >= 0.9
+       |)
+       |SELECT au.vec_id, au.cid AS centroid_id,
+       |  (dropped.vec_id IS NOT NULL) AS is_dup
+       |FROM au LEFT JOIN dropped ON au.vec_id = dropped.vec_id""".stripMargin
+  }
+
   private val multimodalSql: String =
     """SELECT doc_id AS media_id, 'text' AS media_type,
       |  octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
@@ -593,6 +677,8 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
          |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    "dedup_incremental" -> incrementalSql,
+    "dedup_semantic" -> semanticSql,
     "dedup_embedding_lsh" -> embLshSql,
     "ann_topk" -> annSql,
     "ann_ivf_topk" -> ivfSql,

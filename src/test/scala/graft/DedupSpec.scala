@@ -109,6 +109,68 @@ class DedupSpec extends SparkSpec {
       s"recall ${lsh.size}/${truth.size}, missed: ${(truth diff lsh).take(5)}")
   }
 
+  test("incremental dedup == exact anti-join; bloom only routes") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 2 === 0)
+    val batch = real.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(real.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val got = Dedup.incremental(batch, corpus, "doc_id", "text",
+      expectedItems = 1 << 16)
+      .select("doc_id").as[Long].collect().toSet
+    // plain anti-join ground truth — the bloom must never change the set
+    val want = batch.withColumn("h", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    // every planted corpus copy was caught, every odd doc survived
+    assert(!got.exists(_ >= 100000L))
+    assert(got.nonEmpty)
+  }
+
+  test("incremental dedup: tiny fpp bloom still exact (confirm join " +
+      "removes the extra false positives)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 2 === 0)
+    val batch = real.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    // undersized bloom (64 expected items, 50% fpp) → many batch rows
+    // route through the confirm join; the RESULT must not change
+    val sloppy = Dedup.incremental(batch, corpus, "doc_id", "text",
+      expectedItems = 64, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val tight = Dedup.incremental(batch, corpus, "doc_id", "text",
+      expectedItems = 1 << 16, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sloppy == tight)
+  }
+
+  test("semantic dedup: flagged set == within-cell brute force; planted " +
+      "near-dups flagged") {
+    val emb = graft.queries.PipelineQueries.plantedEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val out = Dedup.semantic(emb, "vec_id", "e")
+    val flagged = out.filter(col("is_dup"))
+      .select("vec_id").as[Long].collect().toSet
+    // ground truth: all-pairs near-dups restricted to co-clustered pairs
+    val cells = out.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Dedup.embeddingNearDups(emb, "vec_id", "e", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cells(a) == cells(b) }
+      .map(_._2).toSet
+    assert(flagged == truth)
+    // the planted copies (cosine ≈ 0.97 vs their original): 40 of 50
+    // land in their original's cell and are flagged; the other 10
+    // straddle a Voronoi boundary — the documented recall loss of
+    // cluster-then-prune vs the banded-LSH tier (which finds all 50,
+    // pinned above). Deterministic codebook ⇒ pin the exact number.
+    assert(flagged.count(_ >= 10000L) == 40)
+    // and nothing is flagged in a cell with no near-dup
+    assert(out.count() == emb.count())
+  }
+
   test("components: chain, triangle, and singletons-by-absence") {
     // chain 1-2-3-4-5 (diameter 4) + triangle 10-11-12 + pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),

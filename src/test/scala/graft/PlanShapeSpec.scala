@@ -96,6 +96,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k regressed:\n$plan")
   }
 
+  test("quality_model: model scoring is one scan, zero Exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = q("quality_model")
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"linear scoring should be a pure projection, found: $exchanges")
+  }
+
+  test("dedup_incremental: bloom prefilter reaches the plan as " +
+      "might_contain; corpus documents never join") {
+    val df = q("dedup_incremental")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+  }
+
   test("ivf: centroid assignment is a pure projection — no Exchange") {
     import spark.implicits._
     val corpus = Seq(
