@@ -100,6 +100,19 @@ object CurationQueries {
         .select("doc_id", "logit", "score", "keep")
     }),
 
+    // Perplexity-style LM quality scoring (CCNet/KenLM-class signal):
+    // stupid-backoff bigram LM trained on 19/20ths of the corpus, every
+    // 20th document scored against it (same eval slice as decontaminate
+    // — and the held-out split is what makes the backoff branches
+    // reachable). The LM stays a distributed count table end to end.
+    "lm_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.scoreStupidBackoff(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
+
     // Corpus-level n-gram statistics: document frequency of every
     // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
     // hash agg, then TakeOrderedAndProject (never a global sort of the
@@ -269,6 +282,55 @@ object CurationQueries {
        |FROM lg""".stripMargin
   }
 
+  /** Stupid-backoff LM oracle — counts from the train slice (doc_id %
+    * 20 <> 0), the eval slice scored with the same three-branch CASE as
+    * LanguageModel.scoreStupidBackoff, floor-form rounding on the final
+    * aggregates only. */
+  private val lmPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+      |  FROM documents
+      |), uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(ts) AS w FROM toks WHERE doc_id % 20 <> 0)
+      |  GROUP BY w
+      |), tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
+      |bg AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ts)-1),
+      |      i -> ts[i] || ' ' || ts[i+1]) AS bgs
+      |  FROM toks WHERE len(ts) >= 2
+      |), bgc AS (
+      |  SELECT b, count(*) AS c2
+      |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg
+      |        WHERE doc_id % 20 <> 0)
+      |  GROUP BY b
+      |), stream AS (
+      |  SELECT doc_id, b,
+      |    string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg
+      |        WHERE doc_id % 20 = 0)
+      |), scored AS (
+      |  SELECT s.doc_id,
+      |    CASE
+      |      WHEN bgc.c2 IS NOT NULL
+      |        THEN ln(CAST(bgc.c2 AS DOUBLE) / u1.c1)
+      |      WHEN u2.c1 IS NOT NULL
+      |        THEN ln(0.4 * u2.c1 / n_total)
+      |      ELSE ln(0.4 / n_total)
+      |    END AS logp
+      |  FROM stream s
+      |  LEFT JOIN bgc ON s.b = bgc.b
+      |  LEFT JOIN uni u1 ON s.w1 = u1.w
+      |  LEFT JOIN uni u2 ON s.w2 = u2.w
+      |  CROSS JOIN tot
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(avg(logp) * 10000.0 + 0.5) / 10000.0 AS avg_logp,
+      |  floor(exp(-avg(logp)) * 10000.0 + 0.5) / 10000.0 AS ppl
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   private val ngramTopkSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -291,5 +353,6 @@ object CurationQueries {
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,
     "quality_model" -> qualityModelSql,
+    "lm_perplexity" -> lmPerplexitySql,
     "ngram_topk" -> ngramTopkSql)
 }
