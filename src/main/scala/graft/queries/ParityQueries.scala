@@ -354,6 +354,24 @@ object ParityQueries {
         prev, next, "event_id", Seq("event_type"))
     }),
 
+    // R6 (beyond reference): type-2 SCD history — per-user event_type
+    // changelog collapsed to change rows with [valid_from, valid_to)
+    // intervals. Both windows ride one key-hash shuffle (PlanShapeSpec).
+    // Interval bounds surface as MICROS (integer `div 1000` of the
+    // nanos-long — DuckDB's timestamp truncates parquet nanos to micros,
+    // so epoch_us is the finest engine-shared unit; plain `/` would
+    // round-trip through double and lose the low bits of an epoch-nano).
+    "r6_scd2" -> ((s, dir) =>
+      graft.operators.ChangeDataCapture.scd2History(
+        t(s, dir, "events").filter(
+          col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_id").isNotNull),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          expr("valid_from div 1000").as("valid_from"),
+          expr("valid_to div 1000").as("valid_to"),
+          col("version"), col("is_current"))),
+
     // As-of join (beyond reference — SURVEY §2.12): each even-id event
     // ("observation") picks up the latest odd-id event ("state") of the
     // same user at-or-before its timestamp. Right side deduped per
@@ -819,6 +837,21 @@ object ParityQueries {
        "WHERE CASE WHEN prev.h IS NULL THEN 'insert' " +
        "       WHEN nxt.h IS NULL THEN 'delete' " +
        "       WHEN prev.h <> nxt.h THEN 'update' END IS NOT NULL"),
+
+    "r6_scd2" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, " +
+       "event_type FROM events WHERE user_id IS NOT NULL " +
+       "AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+       "chg AS (SELECT *, row_number() OVER w AS rn, " +
+       "lag(coalesce(event_type, chr(2))) OVER w AS prev_attr FROM ev " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), " +
+       "kept AS (SELECT user_id, event_id, tsn, event_type FROM chg " +
+       "WHERE rn = 1 OR prev_attr <> coalesce(event_type, chr(2))) " +
+       "SELECT user_id, event_type, tsn AS valid_from, " +
+       "lead(tsn) OVER w AS valid_to, " +
+       "CAST(row_number() OVER w AS INT) AS version, " +
+       "(lead(tsn) OVER w IS NULL) AS is_current " +
+       "FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)"),
 
     "j10_asof_join" ->
       ("WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL " +

@@ -135,6 +135,20 @@ class PlanShapeSpec extends SparkSpec {
       "IVF assignment shuffled the corpus — argmax must stay a projection")
   }
 
+  test("r6_scd2: both windows ride ONE key-hash shuffle") {
+    // plan.collect does not descend into AQE's materialized query
+    // stages, so count exchanges in the final-plan string instead
+    val plan = executedPlan(q("r6_scd2"))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalPlan).size
+    assert(shuffles == 1,
+      s"SCD2 must shuffle once on the key; got $shuffles:\n$finalPlan")
+    assert(finalPlan
+      .split("\n").count(_.trim.startsWith("+- Window")) == 2,
+      s"expected two Window operators over one exchange:\n$finalPlan")
+  }
+
   test("q3: selective dimension filter stays pushed under the join") {
     val plan = executedPlan(q("q3_top_revenue"))
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
