@@ -57,4 +57,27 @@ object Mix {
         (col("rate") >= 1.0 || hexBucket(col(idCol), salt) < thr))
       .drop("n_g", "n_total", "rate")
   }
+
+  /** EXACT stratified sample: at most `cap` rows per stratum, chosen by
+    * ranking on a salted md5 of the id — a deterministic shuffle-order
+    * (re-runs pick the same rows; growing a stratum only swaps rows at
+    * the rank boundary). The complement of [[sample]]: rate-based
+    * sampling hits the mixture in expectation, this hits per-stratum
+    * counts exactly (eval sets, per-domain quotas, debugging slices).
+    *
+    * Plan shape at scale: `row_number ≤ cap` triggers Spark's
+    * WindowGroupLimit — every map task pre-prunes to its local top-cap
+    * PER STRATUM before the shuffle (asserted in PlanShapeSpec), so the
+    * exchange carries ≤ cap·partitions rows per stratum, not the corpus;
+    * stratum skew is therefore bounded by the cap, and no global sort
+    * ever happens. */
+  def stratifiedExact(docs: DataFrame, strataCol: String, idCol: String,
+                      cap: Int, salt: String = "strat"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hexBucket(col(idCol), salt), col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 }

@@ -79,6 +79,13 @@ object CurationQueries {
           "source", "doc_id", MixWeights, targetFrac = 0.5, salt = "mix")
         .select("doc_id", "source")),
 
+    // EXACT stratified sample: 15 docs per source (binds at every SF), deterministic salted-
+    // hash ranking; WindowGroupLimit prunes map-side (PlanShapeSpec).
+    "sample_stratified" -> ((s, dir) =>
+      Mix.stratifiedExact(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", cap = 15)
+        .select("doc_id", "source")),
+
     // Model-based quality scoring: a linear model over the engine's own
     // text features + the algebraic sigmoid — pure codegen'd projection,
     // zero shuffles, the model broadcast as plan literals (the fasttext-
@@ -347,8 +354,15 @@ object CurationQueries {
       |FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
       |GROUP BY s ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin
 
+  private val sampleStratifiedSql: String =
+    """SELECT doc_id, source FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 4),
+      |           doc_id) <= 15""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scrub_pii" -> scrubSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,

@@ -244,6 +244,22 @@ object ParityQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // O5 (beyond reference): top-k PER GROUP — each customer's 3 largest
+    // orders. row_number ≤ k triggers WindowGroupLimit: map tasks prune
+    // to their local per-group top-k before the shuffle (PlanShapeSpec),
+    // so the exchange never carries the full fact table and there is no
+    // global sort — the group-wise analog of o3's TakeOrderedAndProject.
+    "o5_group_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .withColumn("rank_in_cust", row_number().over(w))
+        .filter(col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    }),
+
     // F2/F3/F6: deterministic document ids — id_timestamp and md5 content
     // hash (reference: src/ticket_sync.py:138; data_lake_sync.py:72-82).
     "f2_doc_id" -> ((s, dir) =>
@@ -718,6 +734,14 @@ object ParityQueries {
     "o3_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "o5_group_topk" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER w AS INT) AS rank_in_cust " +
+       "FROM orders WHERE o_custkey IS NOT NULL " +
+       "WINDOW w AS (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey) " +
+       "QUALIFY rank_in_cust <= 3"),
 
     "f2_doc_id" ->
       (s"SELECT c_custkey, concat_ws('_', c_custkey, '$RunTs') " +

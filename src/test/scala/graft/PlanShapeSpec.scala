@@ -149,6 +149,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected two Window operators over one exchange:\n$finalPlan")
   }
 
+  test("group top-k and stratified sample prune map-side via " +
+      "WindowGroupLimit — no global sort, no full-table shuffle") {
+    for (name <- Seq("o5_group_topk", "sample_stratified")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost its WindowGroupLimit pruning:\n$plan")
+      assert(!plan.split("\n").exists(l =>
+          l.contains("Sort ") && l.contains("true, 0")),
+        s"$name plans a GLOBAL sort:\n$plan")
+    }
+  }
+
   test("q3: selective dimension filter stays pushed under the join") {
     val plan = executedPlan(q("q3_top_revenue"))
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
