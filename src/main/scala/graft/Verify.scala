@@ -75,6 +75,18 @@ object Verify {
         s"diff=${(lshGot diff lshWant).take(3)} / " +
         s"${(lshWant diff lshGot).take(3)}")
     println(s"[verify] golden PASS ann_lsh_topk (${lshGot.size} rows)")
+
+    val bpeGot = spark.read.parquet(s"$outDir/bpe_train")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val bpeWant = GoldenModels.bpeMerges(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text").collect().map(_.getString(0)).toSeq,
+      numMerges = 8)
+    require(bpeGot == bpeWant,
+      s"[verify] golden MISMATCH bpe_train: spark=$bpeGot model=$bpeWant")
+    println(s"[verify] golden PASS bpe_train (${bpeGot.size} merges)")
     spark.stop()
   }
 }

@@ -135,6 +135,52 @@ object GoldenModels {
   private def round4(x: Double): Double =
     math.floor(x * 10000.0 + 0.5) / 10000.0
 
+  // --- BPE ------------------------------------------------------------
+
+  /** BPE merge training (Bpe.trainMerges semantics), from scratch on
+    * plain collections: word-type counts over whitespace tokens, symbols
+    * = characters + "</w>", per-round adjacent-pair counting with
+    * overlaps, ties broken by (freq desc, left, right), merge applied as
+    * a leftmost-nonoverlapping single pass. */
+  def bpeMerges(docs: Seq[String],
+                numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val wc = docs.filter(_ != null)
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var words: Map[Vector[String], Long] = wc.toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      .groupBy(_._1).map { case (syms, g) => syms -> g.map(_._2).sum }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), freq) = pairs.minBy { case ((pl, pr), f) =>
+          (-f, pl, pr)
+        }
+        out += ((step, l, r, freq))
+        words = words.toSeq.map { case (syms, c) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> c
+        }.groupBy(_._1).map { case (syms, g) => syms -> g.map(_._2).sum }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Random-hyperplane LSH top-k (Similarity.lshTopK semantics): planes
     * from the same seed-defined ±1 sequence (the "model" is the seed, so
     * plane generation is shared by definition), sign-bit bucket,

@@ -120,6 +120,15 @@ object CurationQueries {
         "doc_id", "text")
     }),
 
+    // BPE tokenizer training: 8 merge rounds over the corpus word-type
+    // table (Bpe.trainMerges — per round one pair-count agg + top-1,
+    // merge applied as a projection; driver state = one pair/round). No
+    // SQL oracle (iterative); golden-gated in Verify against the plain-
+    // Scala from-scratch trainer, and spec'd in BpeSpec.
+    "bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.trainMergesDf(
+        s, t(s, dir, "documents"), "text", numMerges = 8)),
+
     // Corpus-level n-gram statistics: document frequency of every
     // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
     // hash agg, then TakeOrderedAndProject (never a global sort of the
