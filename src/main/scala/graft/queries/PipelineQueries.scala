@@ -193,7 +193,30 @@ object PipelineQueries {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF())
+        .toDF()),
+
+    // WebDataset-style shard manifest for the media corpus: byte-budget
+    // prefix-sum packing (Pack) inside hash slices (parallelism ∝
+    // slices, like pack_batches_sliced), then one manifest row per
+    // shard — what a loader needs to fetch a shard (id range, item
+    // count, byte size) without touching the blobs. The blobs
+    // themselves never shuffle: only (id, n_bytes, slice) rows move.
+    "multimodal_shards" -> ((s, dir) => {
+      val media = Multimodal
+        .fromText(t(s, dir, "documents"), "doc_id", "text").toDF()
+      val sized = media.select(col("media_id"),
+        length(col("blob")).as("n_bytes"),
+        (graft.operators.Split.hashBucket(col("media_id"), "sh") % 8)
+          .as("slice"))
+      graft.operators.Pack.packByBudget(sized, "n_bytes",
+          budget = 4096L, orderCol = "media_id", groupCols = Seq("slice"))
+        .groupBy(col("slice"), col("batch_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("media_id")).as("first_id"),
+          max(col("media_id")).as("last_id"))
+        .withColumnRenamed("batch_id", "shard_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -683,7 +706,22 @@ object PipelineQueries {
     "ann_topk" -> annSql,
     "ann_ivf_topk" -> ivfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
-    "multimodal_features" -> multimodalSql
+    "multimodal_features" -> multimodalSql,
+    "multimodal_shards" ->
+      ("WITH sized AS (SELECT doc_id AS media_id, " +
+       "octet_length(encode(text)) AS n_bytes, " +
+       "CAST(strpos('0123456789abcdef', " +
+       "substr(md5(CAST(doc_id AS VARCHAR) || 'sh'), 4, 1)) - 1 " +
+       "AS INTEGER) % 8 AS slice FROM documents), " +
+       "c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY slice " +
+       "ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+       "CURRENT ROW) AS cum FROM sized), " +
+       "a AS (SELECT slice, CAST(floor((cum - n_bytes) / 4096.0) " +
+       "AS BIGINT) AS shard_id, media_id, n_bytes FROM c) " +
+       "SELECT slice, shard_id, count(*) AS n_items, " +
+       "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+       "min(media_id) AS first_id, max(media_id) AS last_id " +
+       "FROM a GROUP BY slice, shard_id")
     // dedup_simhash, ann_lsh_topk: xxhash64 / seeded hyperplanes are not
     // reproducible in DuckDB — driver records the rows-only check.
   )

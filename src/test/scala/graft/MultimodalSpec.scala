@@ -114,4 +114,21 @@ class MultimodalSpec extends SparkSpec {
     val feats = batches.flatMap(Multimodal.decodeBatch)
     assert(feats.map(_.media_id) == records.map(_.media_id))
   }
+
+  test("shard manifest: streaming-pack bound holds, packing binds") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("multimodal_shards")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val maxItem = Multimodal
+      .fromText(spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"), "doc_id", "text")
+      .toDF().select(max(length(col("blob")))).collect()(0).getInt(0)
+    // a shard can exceed the budget by at most one item (the document
+    // that crossed the boundary stays in the shard its prefix ends in)
+    assert(rows.forall(_.getAs[Long]("total_bytes") < 4096L + maxItem))
+    // and the budget actually binds: some slice has more than one shard
+    assert(rows.groupBy(_.getAs[Int]("slice"))
+      .exists(_._2.length > 1))
+  }
 }
