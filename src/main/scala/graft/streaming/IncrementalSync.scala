@@ -127,6 +127,45 @@ object IncrementalSync {
           else { state.update(true); rows.take(1) })
   }
 
+  /** Streaming dedup with BOUNDED state — the production form of
+    * [[streamingDedup]] for unbounded key spaces: duplicates are only
+    * dropped while their key is inside the watermark horizon, and state
+    * older than `delay` is evicted by the engine
+    * (`dropDuplicatesWithinWatermark`). The right tool when duplicates
+    * arrive close together (retries, at-least-once sources) and the key
+    * space grows forever — state is O(keys-per-watermark-window), not
+    * O(all keys ever); [[streamingDedup]] stays the exact-forever
+    * variant for bounded key spaces. */
+  def dedupWithinWatermark(stream: DataFrame, idCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: each left event picks up the right
+    * events of the same key whose timestamp falls in
+    * `[left.ts − lookback, left.ts]` — the streaming analog of the
+    * batch as-of/range join ([[graft.operators.Temporal]]), e.g.
+    * attributing a conversion stream to the impression stream. Right
+    * columns come back `r_`-prefixed.
+    *
+    * Both sides are watermarked and the join condition carries the
+    * time bound, so the state store only retains each side for
+    * `delay + lookback` of event time — Spark evicts the rest; an
+    * unbounded stream-stream join would otherwise keep both streams
+    * forever. State is partitioned by the join key on the executors. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, delay: String,
+                   lookback: String): DataFrame = {
+    val l = left.withWatermark(tsCol, delay)
+    val r = right.columns
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", delay)
+    l.join(r, expr(
+      s"$keyCol = r_$keyCol AND " +
+        s"r_$tsCol >= $tsCol - interval $lookback AND " +
+        s"r_$tsCol <= $tsCol"))
+  }
+
   /** Batch (non-streaming) form of the per-record re-sync — R1/R2: re-run
     * a pipeline filtered to one key and upsert the result. The point
     * predicate pushes below every join (Catalyst), so this touches one

@@ -140,4 +140,52 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("distinct_est") == 2L)
     assert(rows(1).getAs[Long]("distinct_est") == 1L)
   }
+
+  test("dedupWithinWatermark drops repeats inside the horizon, " +
+      "state is watermark-bounded") {
+    val input = MemoryStream[Change](spark)
+    input.addData(
+      Change(1L, ts("2026-01-01 00:01:00"), 1.0, "hashA"),
+      Change(1L, ts("2026-01-01 00:02:00"), 2.0, "hashA"), // dup in-batch
+      Change(2L, ts("2026-01-01 00:03:00"), 3.0, "hashB"))
+    val dedup = IncrementalSync.dedupWithinWatermark(
+      input.toDF(), Seq("payload"), "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dww")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // cross-batch dup within the watermark window → also dropped
+    input.addData(Change(3L, ts("2026-01-01 00:04:00"), 4.0, "hashA"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dww").collect()
+    assert(out.map(_.getAs[String]("payload")).sorted
+      .sameElements(Array("hashA", "hashB")))
+  }
+
+  test("intervalJoin attributes events to same-key partners within " +
+      "the lookback, state evicted by watermark") {
+    val conv = MemoryStream[Change](spark)
+    val imp = MemoryStream[Change](spark)
+    // conversions at 00:30 (entity 1) and 00:40 (entity 2);
+    // impressions: entity 1 at 00:25 (in 10-min lookback) and 00:05
+    // (outside); entity 2 at 00:45 (in the future — excluded)
+    conv.addData(
+      Change(1L, ts("2026-01-01 00:30:00"), 1.0, "conv1"),
+      Change(2L, ts("2026-01-01 00:40:00"), 1.0, "conv2"))
+    imp.addData(
+      Change(1L, ts("2026-01-01 00:25:00"), 0.0, "imp-close"),
+      Change(1L, ts("2026-01-01 00:05:00"), 0.0, "imp-stale"),
+      Change(2L, ts("2026-01-01 00:45:00"), 0.0, "imp-future"))
+    val joined = IncrementalSync.intervalJoin(
+      conv.toDF(), imp.toDF(), "entity_id", "ts",
+      delay = "1 minute", lookback = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij").collect()
+    assert(out.map(r => (r.getAs[String]("payload"),
+      r.getAs[String]("r_payload"))).toSet ==
+      Set(("conv1", "imp-close")))
+  }
 }
