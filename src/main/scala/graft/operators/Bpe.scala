@@ -84,12 +84,19 @@ object Bpe {
   }
 
   /** Train `numMerges` merges; returns (step, left, right, freq) rows.
-    * Stops early if no adjacent pair remains (fully merged corpus). */
+    * Stops early if no adjacent pair remains (fully merged corpus).
+    *
+    * ONE job per round: the round's top-1 aggregation is also the action
+    * that materializes the current word table's cache (one projection
+    * off the previous round's cache), so the previous cache is
+    * unpersisted only AFTER that action — no separate count()
+    * materialization pass, and never an uncached-lineage recompute. */
   def trainMerges(docs: DataFrame, textCol: String,
                   numMerges: Int): Seq[(Int, String, String, Long)] = {
     var words = wordCounts(docs, textCol)
       .select(col("wc"), initSymbols(col("word")).as("syms"))
       .persist()
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     try {
@@ -102,21 +109,23 @@ object Bpe {
           .agg(sum(col("wc")).as("freq"))
           .orderBy(col("freq").desc, col("l"), col("r"))
           .limit(1).collect()
+        prev.foreach(_.unpersist()) // `words` is cached by the action above
+        prev = Some(words)
         if (top.isEmpty) exhausted = true
         else {
           val Row(l: String, r: String, freq: Long) = top(0)
           merges += ((step, l, r, freq))
-          val next = words
+          words = words
             .select(col("wc"), applyMerge(col("syms"), l, r).as("syms"))
             .persist()
-          next.count() // materialize before dropping the parent cache
-          words.unpersist()
-          words = next
           step += 1
         }
       }
       merges.toSeq
-    } finally words.unpersist()
+    } finally {
+      prev.foreach(_.unpersist())
+      words.unpersist()
+    }
   }
 
   /** [[trainMerges]] as a DataFrame (step, left, right, freq) — the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -194,6 +194,35 @@ object PipelineQueries {
       Multimodal.features(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()),
+
+    // Embedding-corpus diagnostics: per-label count, mean vector norm,
+    // and CENTROID norm (cluster tightness probe — ~1 for a coherent
+    // label, ~0 for isotropic noise). The centroid is an element-wise
+    // mean: posexplode → (label, pos) hash agg → per-label sum of
+    // squares; (label, pos, partial-sum) rows are the only shuffle
+    // traffic — dim·|labels| aggregate state, never pairwise work. The
+    // corpus-health check run before any ANN/dedup threshold is chosen.
+    "embedding_profile" -> ((s, dir) => {
+      def round4(x: Column): Column =
+        floor(x * 10000.0 + 0.5).cast("double") / 10000.0
+      val e = t(s, dir, "embeddings")
+        .filter(col("label").isNotNull && col("embedding").isNotNull &&
+          size(col("embedding")) > 0)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      val norms = e.select(col("label"),
+        sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"))
+      val perLabel = norms.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), avg(col("nrm")).as("avg_norm"))
+      val centroid = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(sqrt(sum(col("m") * col("m"))).as("centroid_norm"))
+      perLabel.join(centroid, Seq("label"))
+        .select(col("label"), col("n"),
+          round4(col("avg_norm")).as("avg_norm"),
+          round4(col("centroid_norm")).as("centroid_norm"))
+    }),
 
     // WebDataset-style shard manifest for the media corpus: byte-budget
     // prefix-sum packing (Pack) inside hash slices (parallelism ∝
@@ -707,6 +736,24 @@ object PipelineQueries {
     "ann_ivf_topk" -> ivfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
+    "embedding_profile" ->
+      ("WITH base AS (SELECT label, embedding FROM embeddings " +
+       "WHERE label IS NOT NULL AND embedding IS NOT NULL " +
+       "AND len(embedding) > 0), " +
+       "norms AS (SELECT label, sqrt(list_sum(list_transform(embedding, " +
+       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM base), " +
+       "agg1 AS (SELECT label, count(*) AS n, avg(nrm) AS avg_norm " +
+       "FROM norms GROUP BY label), " +
+       "pos AS (SELECT label, unnest(generate_series(1, len(embedding))) " +
+       "AS p, CAST(unnest(embedding) AS DOUBLE) AS x FROM base), " +
+       "cent AS (SELECT label, p, avg(x) AS m FROM pos " +
+       "GROUP BY label, p), " +
+       "cnrm AS (SELECT label, sqrt(sum(m * m)) AS centroid_norm " +
+       "FROM cent GROUP BY label) " +
+       "SELECT label, n, " +
+       "floor(avg_norm * 10000.0 + 0.5) / 10000.0 AS avg_norm, " +
+       "floor(centroid_norm * 10000.0 + 0.5) / 10000.0 AS centroid_norm " +
+       "FROM agg1 JOIN cnrm USING (label)"),
     "multimodal_shards" ->
       ("WITH sized AS (SELECT doc_id AS media_id, " +
        "octet_length(encode(text)) AS n_bytes, " +
