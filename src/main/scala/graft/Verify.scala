@@ -87,6 +87,21 @@ object Verify {
     require(bpeGot == bpeWant,
       s"[verify] golden MISMATCH bpe_train: spark=$bpeGot model=$bpeWant")
     println(s"[verify] golden PASS bpe_train (${bpeGot.size} merges)")
+
+    val encGot = spark.read.parquet(s"$outDir/bpe_encode")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val encWant = GoldenModels.bpeEncode(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq,
+      bpeWant.map(m => (m._2, m._3)))
+    require(encGot == encWant,
+      s"[verify] golden MISMATCH bpe_encode: spark=${encGot.size} " +
+        s"model=${encWant.size} rows, " +
+        s"diff=${(encGot diff encWant).take(3)} / " +
+        s"${(encWant diff encGot).take(3)}")
+    println(s"[verify] golden PASS bpe_encode (${encGot.size} rows)")
     spark.stop()
   }
 }

@@ -136,4 +136,34 @@ object Bpe {
     trainMerges(docs, textCol, numMerges)
       .toDF("step", "left", "right", "freq")
   }
+
+  /** ENCODE under a trained merge list: per-document whitespace-word and
+    * BPE-subword counts — the token-budget number that [[Pack]] and a
+    * trainer actually consume. Merge application contract: one
+    * leftmost-nonoverlapping pass per merge, in training order (the
+    * same pass [[trainMerges]] applies per round).
+    *
+    * Cost scales with |vocabulary|, not corpus: each distinct word type
+    * is encoded ONCE (the merge chain is a pure projection over the
+    * distinct-word table) and the per-word subword count joins back
+    * onto the token stream — at 100 TB that join is (word, small-int)
+    * against an explode, both shuffled on the word key, while the
+    * k-deep merge projection runs over the comparatively tiny vocab. */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(initSymbols(col("word"))) {
+      case (s, (l, r)) => applyMerge(s, l, r)
+    }
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"), size(encoded).as("n_sub"))
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+  }
 }

@@ -58,6 +58,44 @@ object Mix {
       .drop("n_g", "n_total", "rate")
   }
 
+  /** Mixture by EPOCH REPLICATION — the up-weighting path ([[sample]]'s
+    * scaladoc: "real mixtures up-weight by epochs"): each domain's rate
+    * `weight_g * targetFrac * N / n_g` is allowed to EXCEED 1, and a
+    * document is emitted `floor(rate)` times plus one more for the
+    * deterministic `frac(rate)` md5-bucket slice — so domain g
+    * contributes ≈ `weight_g * targetFrac * N` rows while every copy is
+    * tagged with its `epoch` index (0-based; a trainer shuffles copies
+    * into different epochs downstream).
+    *
+    * Pure projection + explode off the same broadcast per-domain counts
+    * as [[sample]] — the corpus is scanned once, never shuffled, and
+    * replication happens at the row level (no self-union per epoch,
+    * which would re-scan the corpus ⌈epochs⌉ times). */
+  def epochs(docs: DataFrame, domainCol: String, idCol: String,
+             weights: Map[String, Double], targetFrac: Double = 1.0,
+             salt: String = "epoch"): DataFrame = {
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_g"))
+    val total = counts.agg(sum(col("n_g")).as("n_total"))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, wt)) => when(col(domainCol) === dom, wt).otherwise(acc)
+    }
+    val rate = w * (lit(targetFrac) * col("n_total")) / col("n_g")
+    val full = floor(rate).cast("int")
+    val frac = rate - floor(rate)
+    val thr = lpad(lower(hex(floor(frac * 65536.0).cast("int"))), 4, "0")
+    val extra = when(hexBucket(col(idCol), salt) < thr, 1).otherwise(0)
+    val nCopies = full + extra
+    docs
+      .join(broadcast(counts), Seq(domainCol))
+      .crossJoin(broadcast(total))
+      .withColumn("_n", when(rate.isNotNull, nCopies).otherwise(lit(0)))
+      .filter(col("_n") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("_n") - 1)))
+      .drop("n_g", "n_total", "_n")
+  }
+
   /** EXACT stratified sample: at most `cap` rows per stratum, chosen by
     * ranking on a salted md5 of the id — a deterministic shuffle-order
     * (re-runs pick the same rows; growing a stratum only swaps rows at

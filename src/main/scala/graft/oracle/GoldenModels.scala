@@ -181,6 +181,34 @@ object GoldenModels {
     out.toSeq
   }
 
+  /** BPE encode (Bpe.encodeTokenCounts semantics): per document the
+    * whitespace-word count and subword count after applying `merges` in
+    * order, one leftmost-nonoverlapping pass each. Zero-token documents
+    * produce no row (the engine's join drops them). */
+  def bpeEncode(docs: Seq[(Long, String)],
+                merges: Seq[(String, String)]): Set[(Long, Long, Long)] = {
+    def encLen(w: String): Int = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    docs.collect { case (id, t) if t != null =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      (id, toks)
+    }.filter(_._2.nonEmpty).map { case (id, toks) =>
+      (id, toks.length.toLong, toks.map(encLen(_).toLong).sum)
+    }.toSet
+  }
+
   /** Random-hyperplane LSH top-k (Similarity.lshTopK semantics): planes
     * from the same seed-defined ±1 sequence (the "model" is the seed, so
     * plane generation is shared by definition), sign-bit bucket,

@@ -79,6 +79,15 @@ object CurationQueries {
           "source", "doc_id", MixWeights, targetFrac = 0.5, salt = "mix")
         .select("doc_id", "source")),
 
+    // Mixture by epoch replication — the up-weighting path: rates may
+    // exceed 1, each doc emitted floor(rate) times + a deterministic
+    // fractional slice, every copy tagged with its epoch index. One
+    // corpus scan, replication via row-level explode.
+    "mix_epochs" -> ((s, dir) =>
+      Mix.epochs(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", MixWeights, targetFrac = 1.0, salt = "epoch")
+        .select("doc_id", "source", "epoch")),
+
     // EXACT stratified sample: 15 docs per source (binds at every SF), deterministic salted-
     // hash ranking; WindowGroupLimit prunes map-side (PlanShapeSpec).
     "sample_stratified" -> ((s, dir) =>
@@ -128,6 +137,19 @@ object CurationQueries {
     "bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.trainMergesDf(
         s, t(s, dir, "documents"), "text", numMerges = 8)),
+
+    // BPE encode: word + subword counts per document under the merges
+    // trained by bpe_train — the tokenizer round-trip (train on the
+    // corpus, then budget the corpus with it). Golden-gated like
+    // bpe_train; vocab-level encode means the k-deep merge chain runs
+    // over distinct words only.
+    "bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe
+        .trainMerges(d, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      graft.operators.Bpe.encodeTokenCounts(d, "doc_id", "text", merges)
+    }),
 
     // Corpus-level n-gram statistics: document frequency of every
     // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
@@ -363,6 +385,39 @@ object CurationQueries {
       |FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
       |GROUP BY s ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin
 
+  /** Epoch-replication oracle. Every operand is CAST to DOUBLE so both
+    * engines run the same IEEE arithmetic in the same order — DuckDB
+    * would otherwise evaluate the weight literals as DECIMAL, and
+    * floor(rate) sits exactly on integer boundaries (0.15 * 500 / 25:
+    * decimal says 3.0, double says 2.999…89), which would flip whole
+    * domains between 2 and 3 epochs. */
+  private val mixEpochsSql: String = {
+    val caseW = MixWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_g FROM documents GROUP BY source
+       |), tot AS (SELECT sum(n_g) AS n_total FROM counts),
+       |r AS (
+       |  SELECT d.doc_id, d.source,
+       |    (CASE d.source $caseW END)
+       |      * (1.0 * CAST(n_total AS DOUBLE)) / CAST(n_g AS DOUBLE)
+       |      AS rate
+       |  FROM documents d JOIN counts USING (source) CROSS JOIN tot
+       |), c AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(rate) AS INT) +
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'epoch'), 1, 4)
+       |      < lpad(lower(to_hex(CAST(floor((rate - floor(rate))
+       |          * 65536.0) AS INT))), 4, '0')
+       |    THEN 1 ELSE 0 END AS n
+       |  FROM r WHERE rate IS NOT NULL
+       |)
+       |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
+       |  SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS e
+       |  FROM c WHERE n > 0)""".stripMargin
+  }
+
   private val sampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |QUALIFY row_number() OVER (PARTITION BY source
@@ -372,6 +427,7 @@ object CurationQueries {
   def oracleSql: Map[String, String] = Map(
     "scrub_pii" -> scrubSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "mix_epochs" -> mixEpochsSql,
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,

@@ -38,6 +38,25 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("encode: subword counts shrink as merges apply, words unchanged") {
+    val docs = Seq((1L, "low low lower"), (2L, "x")).toDF("doc_id", "text")
+    // no merges: every word costs |chars|+1 symbols
+    val none = Bpe.encodeTokenCounts(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(none(1L) == ((3L, (4L + 4L + 6L))))
+    assert(none(2L) == ((1L, 2L)))
+    // merges (l,o), (lo,w), (low,</w>): "low" → 1 symbol, "lower" → lo|w|e|r|</w>
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val m = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == (1L + 1L + 4L))
+    // golden encoder agrees
+    val g = GoldenModels.bpeEncode(
+      Seq((1L, "low low lower"), (2L, "x")), merges)
+    assert(g == Set((1L, 3L, 6L), (2L, 1L, 2L)))
+  }
+
   test("agrees exactly with the from-scratch golden trainer on testdata") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -95,4 +95,47 @@ class SplitSpec extends SparkSpec {
       .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.length == pairs.toSet.size, "duplicate (point, interval) pair")
   }
+
+  test("Mix.epochs replicates by rate: whole epochs exact, fractional " +
+      "slice deterministic, unknown domains dropped") {
+    import graft.operators.Mix
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i < 100) "a" else "b")).toDF("doc_id", "source")
+    // N=200, n_a=n_b=100: rate_a = 0.75*2 = 1.5, rate_b = 0.25*2 = 0.5
+    val out = Mix.epochs(docs, "source", "doc_id",
+      Map("a" -> 0.75, "b" -> 0.25), targetFrac = 1.0)
+    val byDom = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every 'a' doc appears once; ~half appear twice; 'b' ~half once
+    assert(byDom("a") >= 100 && byDom("a") <= 200)
+    assert(byDom("b") >= 20 && byDom("b") <= 80)
+    // epoch indices are dense from 0 per doc
+    val eps = out.filter(col("source") === "a")
+      .groupBy("doc_id").agg(min("epoch").as("mn"), max("epoch").as("mx"),
+        count(lit(1)).as("c")).collect()
+    assert(eps.forall(r => r.getAs[Int]("mn") == 0 &&
+      r.getAs[Long]("c") == r.getAs[Int]("mx") + 1L))
+    // deterministic under re-run
+    val again = Mix.epochs(docs, "source", "doc_id",
+      Map("a" -> 0.75, "b" -> 0.25), targetFrac = 1.0)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // unknown domain vanishes
+    val unknown = Mix.epochs(docs, "source", "doc_id", Map("a" -> 1.0))
+    assert(unknown.filter(col("source") === "b").count() == 0)
+  }
+
+  test("Mix.stratifiedExact caps per stratum and is re-run stable") {
+    import graft.operators.Mix
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = Mix.stratifiedExact(docs, "source", "doc_id", cap = 10)
+    val counts = out.groupBy("source").count().collect()
+      .map(_.getLong(1))
+    assert(counts.length == 3 && counts.forall(_ == 10L))
+    val again = Mix.stratifiedExact(docs, "source", "doc_id", cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
