@@ -138,6 +138,27 @@ object CurationQueries {
       graft.operators.Bpe.trainMergesDf(
         s, t(s, dir, "documents"), "text", numMerges = 8)),
 
+    // CALIBRATED quality filter: keep documents at or above their own
+    // source's 25th-percentile quality — per-domain thresholds instead
+    // of one global cutoff (web text and code score differently; the
+    // calibration step every production quality gate runs). The
+    // threshold is the DISCRETE k-th smallest score (k = ⌈0.25·n⌉):
+    // a grid value both engines agree on exactly, where interpolated
+    // percentiles can differ in the last ulp and flip boundary docs.
+    // At 100 TB swap the per-source collect_list for Sketches.gkQuantiles
+    // (mergeable, ε-bounded) — same two-pass broadcast-back shape.
+    "quality_calibrated" -> ((s, dir) => {
+      import TextFunctions._
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), qualityScore(col("text")).as("q"))
+      val thr = scored.groupBy(col("source")).agg(
+        element_at(sort_array(collect_list(col("q"))),
+          ceil(count(lit(1)) * 0.25).cast("int")).as("q25"))
+      scored.join(broadcast(thr), Seq("source"))
+        .filter(col("q") >= col("q25"))
+        .select("doc_id", "source", "q")
+    }),
+
     // BPE encode: word + subword counts per document under the merges
     // trained by bpe_train — the tokenizer round-trip (train on the
     // corpus, then budget the corpus with it). Golden-gated like
@@ -418,6 +439,44 @@ object CurationQueries {
        |  FROM c WHERE n > 0)""".stripMargin
   }
 
+  /** Calibrated-quality oracle: the quality CTE mirrors qualityScore
+    * (hash-proven in text_analysis); the threshold is the same discrete
+    * k-th smallest per source. */
+  private val qualityCalibratedSql: String = {
+    import TextFunctions._
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, source, len(ts) AS n_tokens,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(len(list_filter(ts,
+       |           t -> list_contains(${lex(StopwordsEn)}, t))) AS DOUBLE)
+       |           / len(ts), 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, t -> length(t)))
+       |           AS DOUBLE) / len(ts), 4)
+       |      ELSE 0.0 END AS avg_wlen
+       |  FROM toks
+       |), scored AS (
+       |  SELECT doc_id, source,
+       |    floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |          stop_ratio * 0.3 +
+       |          greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
+       |          * 10000.0 + 0.5) / 10000.0 AS q
+       |  FROM feat
+       |), thr AS (
+       |  SELECT source,
+       |    list_sort(list(q))[CAST(ceil(count(*) * 0.25) AS INT)] AS q25
+       |  FROM scored GROUP BY source
+       |)
+       |SELECT doc_id, scored.source, q
+       |FROM scored JOIN thr ON scored.source = thr.source
+       |WHERE q >= q25""".stripMargin
+  }
+
   private val sampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |QUALIFY row_number() OVER (PARTITION BY source
@@ -428,6 +487,7 @@ object CurationQueries {
     "scrub_pii" -> scrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mix_epochs" -> mixEpochsSql,
+    "quality_calibrated" -> qualityCalibratedSql,
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,
