@@ -18,6 +18,11 @@ object ParityQueries {
 
   val RunTs: String = Denormalize.RunTs
 
+  /** The testdata events' fixed event-type domain — an explicit pivot
+    * value list (open-ended pivot would cost a distinct-discovery pass). */
+  private val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -243,6 +248,33 @@ object ParityQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // A9 (beyond reference): PIVOT — per-user event counts as one row of
+    // typed columns. The value list is EXPLICIT, so this is a single
+    // hash aggregation with five conditional counts (no extra distinct-
+    // values discovery pass, which is what an open-ended pivot costs at
+    // scale); absent combinations fill 0.
+    "a9_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)),
+
+    // A10: UNPIVOT — the melt back to long form (pivot round-trip);
+    // a pure projection-explode, no shuffle beyond the pivot's own.
+    "a10_unpivot" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)
+      p.unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+          "event_type", "cnt")
+        .filter(col("cnt") > 0)
+    }),
 
     // O5 (beyond reference): top-k PER GROUP — each customer's 3 largest
     // orders. row_number ≤ k triggers WindowGroupLimit: map tasks prune
@@ -734,6 +766,21 @@ object ParityQueries {
     "o3_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "a9_pivot" ->
+      ("SELECT user_id, " +
+       "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+       "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+       "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+       "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+       "count(*) FILTER (WHERE event_type = 'view') AS \"view\" " +
+       "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL " +
+       "GROUP BY user_id"),
+
+    "a10_unpivot" ->
+      ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
+       "WHERE user_id IS NOT NULL AND event_type IS NOT NULL " +
+       "GROUP BY user_id, event_type"),
 
     "o5_group_topk" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, " +
