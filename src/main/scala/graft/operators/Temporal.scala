@@ -40,7 +40,30 @@ object Temporal {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       valueCols: Seq[String],
-      rightTiebreak: String): DataFrame = {
+      rightTiebreak: String): DataFrame =
+    asOfImpl(left, right, keyCol, tsCol, valueCols, rightTiebreak,
+      forward = false)
+
+  /** FORWARD as-of join: each left row attaches the EARLIEST right row
+    * with `right.tsCol >= left.tsCol` — next-state-at-or-after
+    * (label-after-feature alignment: "what happened next"). Same
+    * one-window machinery as [[asOfJoin]] scanning time DESCENDING;
+    * right ties on (key, ts) resolve by SMALLEST `rightTiebreak` (the
+    * mirror of backward's largest-wins). */
+  def asOfJoinForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      valueCols: Seq[String],
+      rightTiebreak: String): DataFrame =
+    asOfImpl(left, right, keyCol, tsCol, valueCols, rightTiebreak,
+      forward = true)
+
+  private def asOfImpl(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      valueCols: Seq[String],
+      rightTiebreak: String,
+      forward: Boolean): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must be non-empty")
     val leftCols = left.columns.toSeq
     val passCols = leftCols.filterNot(c => c == keyCol || c == tsCol)
@@ -62,11 +85,16 @@ object Temporal {
       col(rightTiebreak).cast("long").as("_tb"),
       struct(valueCols.map(col): _*).as("_rv"))
 
-    // at equal ts, right rows (side 0) sort before left rows (<= joins
-    // same-instant state); among right ties, larger tiebreak sorts last
-    // so `last` keeps it
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"), col("_tb"))
+    // at equal ts, right rows (side 0) sort before left rows (<=/>=
+    // joins same-instant state); among right ties the winning tiebreak
+    // sorts LAST in scan order so `last` keeps it — largest for
+    // backward (ts asc, tb asc), smallest for forward (ts desc, tb desc)
+    val w = (if (forward)
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col("_side"), col("_tb").desc)
+      else
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol), col("_side"), col("_tb")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

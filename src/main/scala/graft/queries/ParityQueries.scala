@@ -438,6 +438,23 @@ object ParityQueries {
         .select("user_id", "obs_id", "state_id")
     }),
 
+    // Forward as-of join: each observation picks up the NEXT state
+    // at-or-after its timestamp ("what happened next" alignment); same
+    // one-window shuffle as j10 scanning time descending.
+    "j12_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("obs_id"))
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("state_id"))
+      graft.operators.Temporal.asOfJoinForward(
+          l, r, "user_id", "ts", Seq("state_id"), "state_id")
+        .select("user_id", "obs_id", "state_id")
+    }),
+
     // Distinct aggregation + corpus stats (beyond reference — SURVEY
     // §2.12 lists distinct aggregates as absent there). Exact counts so
     // the oracle can pin it; approx_count_distinct is the same plan
@@ -934,6 +951,17 @@ object ParityQueries {
        "SELECT l.user_id, l.obs_id, r.state_id " +
        "FROM l ASOF LEFT JOIN r " +
        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+
+    "j12_asof_forward" ->
+      ("WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL " +
+       "AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+       "l AS (SELECT user_id, ts, event_id AS obs_id FROM ev " +
+       "WHERE event_id % 2 = 0), " +
+       "r AS (SELECT user_id, ts, max(event_id) AS state_id FROM ev " +
+       "WHERE event_id % 2 = 1 GROUP BY 1, 2) " +
+       "SELECT l.user_id, l.obs_id, r.state_id " +
+       "FROM l ASOF LEFT JOIN r " +
+       "ON l.user_id = r.user_id AND l.ts <= r.ts"),
 
     "a5_distinct_agg" ->
       ("SELECT count(*) AS n_docs, " +

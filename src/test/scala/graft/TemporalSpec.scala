@@ -35,6 +35,26 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getAs[Double]("px") == 2.0)
   }
 
+  test("forward as-of join: earliest right row at-or-after each left ts") {
+    val out = Temporal.asOfJoinForward(trades, quotes, "k", "ts",
+      Seq("px", "qid"), "qid")
+      .orderBy("k", "ts").collect()
+    // k=1: t0@5 → quote@10; t1@10 → quote@10 (>=); t2@20 → none
+    assert(out(0).getAs[Double]("px") == 100.0)
+    assert(out(1).getAs[Double]("px") == 100.0)
+    assert(out(2).isNullAt(3))
+    assert(out(3).getAs[Double]("px") == 999.0)      // k=2: quote@99
+  }
+
+  test("forward ties on (key, ts) resolve to the smallest tiebreak") {
+    val dupQuotes = Seq(
+      (1L, 10L, 1.0, 1L), (1L, 10L, 2.0, 2L)).toDF("k", "ts", "px", "qid")
+    val out = Temporal.asOfJoinForward(
+      trades.filter($"trade" === "t1"), dupQuotes, "k", "ts",
+      Seq("px"), "qid").collect()
+    assert(out.head.getAs[Double]("px") == 1.0)
+  }
+
   test("right row columns are carried as one unit (no cross-row mixing)") {
     // latest quote has null px — an ignoreNulls-per-column carry would
     // wrongly surface the OLDER px with the NEWER qid
