@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Denormalize
@@ -248,6 +248,34 @@ object ParityQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // A11 (beyond reference): equi-width numeric histogram — the data-
+    // profiling shape: one tiny min/max agg broadcast back, then bucket
+    // assignment is a pure projection + hash agg (never a sort; the
+    // two-pass broadcast-back pattern of Mix/LanguageModel).
+    "a11_histogram" -> ((s, dir) => {
+      val mm = t(s, dir, "orders")
+        .agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      t(s, dir, "orders")
+        .crossJoin(broadcast(mm))
+        .select(least(lit(9), floor((col("o_totalprice") - col("mn")) /
+          ((col("mx") - col("mn")) / 10.0)).cast("int")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // A12: per-group bivariate stats — Pearson correlation + sample
+    // covariance via mergeable co-moments (one hash agg; the same
+    // partial-aggregation contract as every other agg here).
+    "a12_corr" -> ((s, dir) => {
+      def r4(c: Column) = floor(c * 1e4 + 0.5).cast("double") / 1e4
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000.0)
+            .as("covar_qp_k"))
+    }),
 
     // A9 (beyond reference): PIVOT — per-user event counts as one row of
     // typed columns. The value list is EXPLICIT, so this is a single
@@ -783,6 +811,21 @@ object ParityQueries {
     "o3_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "a11_histogram" ->
+      ("WITH mm AS (SELECT min(o_totalprice) AS mn, " +
+       "max(o_totalprice) AS mx FROM orders) " +
+       "SELECT least(9, CAST(floor((o_totalprice - mn) / " +
+       "((mx - mn) / 10.0)) AS INT)) AS bucket, count(*) AS n " +
+       "FROM orders CROSS JOIN mm GROUP BY 1"),
+
+    "a12_corr" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+       "floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 " +
+       "AS corr_qp, " +
+       "floor(covar_samp(l_quantity, l_extendedprice) / 1000.0 " +
+       "* 1e4 + 0.5) / 1e4 AS covar_qp_k " +
+       "FROM lineitem GROUP BY l_returnflag"),
 
     "a9_pivot" ->
       ("SELECT user_id, " +
