@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document chunking — split long documents into fixed-size token
+  * windows with overlap (stride < size), the stage that turns a curated
+  * corpus into context-window-sized training/retrieval units. No
+  * reference analogue; first-class training-data operator.
+  *
+  * Pure projection + explode: chunk starts are a `sequence(0, n−1,
+  * stride)` array exploded per document, each chunk a `slice` of the
+  * token array — zero shuffle, scan-parallel, exactly like the shingle
+  * explode in dedup. The chunk id rides along as the explode ordinal,
+  * so (doc_id, chunk_idx) is a stable key for downstream dedup/packing
+  * regardless of partitioning.
+  */
+object Chunk {
+
+  /** One row per (document, chunk): (idCol, chunk_idx, n_chunk_tokens,
+    * chunk_hash). The trailing chunk may be shorter than `size`;
+    * documents with zero tokens produce no chunks. */
+  def split(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val withToks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_ts"))
+      .filter(size_(col("_ts")) > 0)
+    withToks
+      .select(col(idCol), col("_ts"),
+        posexplode(sequence(lit(0), size_(col("_ts")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("_ts"), col("_start") + 1, lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size_(col("_chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_hash"))
+  }
+
+  // `size` the function shadowed by the param name in split's require
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+}

@@ -159,6 +159,13 @@ object CurationQueries {
         .select("doc_id", "source", "q")
     }),
 
+    // Context-window chunking: 64-token chunks at stride 48 (16-token
+    // overlap) — zero-shuffle projection+explode; (doc_id, chunk_idx)
+    // is the stable downstream key.
+    "chunk_docs" -> ((s, dir) =>
+      graft.operators.Chunk.split(
+        t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)),
+
     // BPE encode: word + subword counts per document under the merges
     // trained by bpe_train — the tokenizer round-trip (train on the
     // corpus, then budget the corpus with it). Golden-gated like
@@ -488,6 +495,18 @@ object CurationQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "mix_epochs" -> mixEpochsSql,
     "quality_calibrated" -> qualityCalibratedSql,
+    "chunk_docs" ->
+      ("""WITH toks AS (SELECT doc_id, """ +
+       """list_filter(string_split_regex(text,'\s+'), x -> x <> '') """ +
+       """AS ts FROM documents), """ +
+       """st AS (SELECT doc_id, ts, """ +
+       """unnest(generate_series(0, len(ts) - 1, 48)) AS start """ +
+       """FROM toks WHERE len(ts) > 0) """ +
+       """SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx, """ +
+       """CAST(len(ts[start + 1 : start + 64]) AS INT) """ +
+       """AS n_chunk_tokens, """ +
+       """md5(array_to_string(ts[start + 1 : start + 64], ' ')) """ +
+       """AS chunk_hash FROM st"""),
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,
