@@ -161,6 +161,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("chunk_docs: chunking is a shuffle-free projection+explode") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = q("chunk_docs")
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, "chunking must not shuffle")
+  }
+
   test("q3: selective dimension filter stays pushed under the join") {
     val plan = executedPlan(q("q3_top_revenue"))
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
