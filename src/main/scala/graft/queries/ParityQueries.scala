@@ -249,6 +249,33 @@ object ParityQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // W4 (beyond reference): funnel analysis — users by longest
+    // completed prefix of view → click → purchase in strict temporal
+    // order. One key shuffle + in-row HOF scan (Funnel.stages); event
+    // times compared at MICRO granularity (ts div 1000) so the oracle's
+    // timestamp comparisons see the same values (DuckDB truncates
+    // parquet nanos to micros — same reasoning as r6_scd2).
+    "w4_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // funnel within each user's FIRST FIVE events (the "first
+      // session" framing — with a user's whole history the synthetic
+      // stream completes every funnel and the histogram degenerates);
+      // the prefix filter is another WindowGroupLimit map-side prune
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("event_type"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 5)
+      graft.operators.Funnel.stages(ev, "user_id", "tsu", "event_type",
+          Seq("view", "click", "purchase"))
+        .groupBy(col("stage_reached"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // A11 (beyond reference): equi-width numeric histogram — the data-
     // profiling shape: one tiny min/max agg broadcast back, then bucket
     // assignment is a pure projection + hash agg (never a sort; the
@@ -811,6 +838,30 @@ object ParityQueries {
     "o3_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "w4_funnel" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type " +
+       "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+       "AND event_type IS NOT NULL " +
+       "QUALIFY row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY epoch_us(ts), event_id) <= 5), " +
+       "s1 AS (SELECT user_id, min(tsu) AS t1 FROM ev " +
+       "WHERE event_type = 'view' GROUP BY 1), " +
+       "s2 AS (SELECT ev.user_id, min(tsu) AS t2 FROM ev " +
+       "JOIN s1 USING (user_id) " +
+       "WHERE event_type = 'click' AND tsu > t1 GROUP BY 1), " +
+       "s3 AS (SELECT ev.user_id, min(tsu) AS t3 FROM ev " +
+       "JOIN s2 USING (user_id) " +
+       "WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1), " +
+       "st AS (SELECT u.user_id, " +
+       "CASE WHEN s3.user_id IS NOT NULL THEN 3 " +
+       "WHEN s2.user_id IS NOT NULL THEN 2 " +
+       "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached " +
+       "FROM (SELECT DISTINCT user_id FROM ev) u " +
+       "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+       "LEFT JOIN s3 USING (user_id)) " +
+       "SELECT stage_reached, count(*) AS n_users FROM st " +
+       "GROUP BY stage_reached"),
 
     "a11_histogram" ->
       ("WITH mm AS (SELECT min(o_totalprice) AS mn, " +
