@@ -276,6 +276,45 @@ object ParityQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // W5 (beyond reference): per-key EWMA — exponentially time-decayed
+    // mean of `value` per user (the recency feature an activity model
+    // consumes). Closed-form weighted sum (s1 = x1 seed): one window +
+    // one hash agg on the same key = one shuffle; identical formula in
+    // the oracle, so no recursive state is needed in either engine.
+    "w5_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val w = byUser.orderBy(col("tsu"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byUser))
+      val term =
+        when(col("rn") === 1, pow(lit(0.7), col("n") - 1) * col("value"))
+          .otherwise(lit(0.3) * pow(lit(0.7), col("n") - col("rn")) *
+            col("value"))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          (floor(sum(term) * 1e4 + 0.5).cast("double") / 1e4).as("ewma"))
+    }),
+
+    // R7 (beyond reference): PSI distribution drift between snapshots —
+    // the accept/investigate gate before a re-sync; even-key orders vs
+    // odd-key orders with every 7th price inflated 1.5x as the drifted
+    // "next" extract.
+    "r7_drift_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+      val prev = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_totalprice").as("v"))
+      val next = o.filter(col("o_orderkey") % 2 === 1)
+        .select((col("o_totalprice") *
+          when(col("o_orderkey") % 7 === 0, 1.5).otherwise(1.0)).as("v"))
+      graft.operators.Drift.psiBuckets(prev, next, "v")
+    }),
+
     // A11 (beyond reference): equi-width numeric histogram — the data-
     // profiling shape: one tiny min/max agg broadcast back, then bucket
     // assignment is a pure projection + hash agg (never a sort; the
@@ -862,6 +901,44 @@ object ParityQueries {
        "LEFT JOIN s3 USING (user_id)) " +
        "SELECT stage_reached, count(*) AS n_users FROM st " +
        "GROUP BY stage_reached"),
+
+    "w5_ewma" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, " +
+       "value FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+       "AND event_id IS NOT NULL AND value IS NOT NULL), " +
+       "r AS (SELECT user_id, value, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
+       "AS rn, count(*) OVER (PARTITION BY user_id) AS n FROM ev) " +
+       "SELECT user_id, max(n) AS n_events, " +
+       "floor(sum(CASE WHEN rn = 1 THEN pow(0.7, n - 1) * value " +
+       "ELSE 0.3 * pow(0.7, n - rn) * value END) * 1e4 + 0.5) / 1e4 " +
+       "AS ewma FROM r GROUP BY user_id"),
+
+    "r7_drift_psi" ->
+      ("WITH prev AS (SELECT o_totalprice AS v FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL), " +
+       "nxt AS (SELECT o_totalprice * CASE WHEN o_orderkey % 7 = 0 " +
+       "THEN 1.5 ELSE 1.0 END AS v FROM orders " +
+       "WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL), " +
+       "mm AS (SELECT min(v) AS mn, max(v) AS mx FROM " +
+       "(SELECT v FROM prev UNION ALL SELECT v FROM nxt)), " +
+       "bp AS (SELECT least(9, CAST(floor((v - mn) / ((mx - mn) / 10.0)) " +
+       "AS INT)) AS bucket, count(*) AS n_prev " +
+       "FROM prev CROSS JOIN mm GROUP BY 1), " +
+       "bq AS (SELECT least(9, CAST(floor((v - mn) / ((mx - mn) / 10.0)) " +
+       "AS INT)) AS bucket, count(*) AS n_next " +
+       "FROM nxt CROSS JOIN mm GROUP BY 1), " +
+       "pt AS (SELECT CAST(sum(n_prev) AS DOUBLE) AS tot_p FROM bp), " +
+       "qt AS (SELECT CAST(sum(n_next) AS DOUBLE) AS tot_q FROM bq) " +
+       "SELECT bucket, COALESCE(n_prev, 0) AS n_prev, " +
+       "COALESCE(n_next, 0) AS n_next, " +
+       "floor(((COALESCE(n_prev, 0) + 1.0) / (tot_p + 10) - " +
+       "(COALESCE(n_next, 0) + 1.0) / (tot_q + 10)) * " +
+       "ln(((COALESCE(n_prev, 0) + 1.0) / (tot_p + 10)) / " +
+       "((COALESCE(n_next, 0) + 1.0) / (tot_q + 10))) * 1e6 + 0.5) / 1e6 " +
+       "AS psi_contrib " +
+       "FROM bp FULL OUTER JOIN bq USING (bucket) " +
+       "CROSS JOIN pt CROSS JOIN qt"),
 
     "a11_histogram" ->
       ("WITH mm AS (SELECT min(o_totalprice) AS mn, " +
