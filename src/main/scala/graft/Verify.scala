@@ -102,6 +102,18 @@ object Verify {
         s"diff=${(encGot diff encWant).take(3)} / " +
         s"${(encWant diff encGot).take(3)}")
     println(s"[verify] golden PASS bpe_encode (${encGot.size} rows)")
+
+    val vocGot = spark.read.parquet(s"$outDir/bpe_vocab")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, f) => (-f, s) }.toSeq
+    val vocWant = GoldenModels.bpeVocab(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text").collect().map(_.getString(0)).toSeq,
+      bpeWant.map(m => (m._2, m._3)), k = 30)
+    require(vocGot == vocWant,
+      s"[verify] golden MISMATCH bpe_vocab: got=${vocGot.take(5)} " +
+        s"want=${vocWant.take(5)}")
+    println(s"[verify] golden PASS bpe_vocab (${vocGot.size} symbols)")
     spark.stop()
   }
 }

@@ -137,6 +137,21 @@ object Bpe {
       .toDF("step", "left", "right", "freq")
   }
 
+  /** Trained VOCABULARY: corpus-weighted symbol frequencies after
+    * applying `merges` — the artifact a tokenizer ships next to its
+    * merge table. Same vocab-level economics as [[encodeTokenCounts]]:
+    * the merge chain runs over distinct words, frequencies come from
+    * one weighted explode + hash agg. */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)]): DataFrame = {
+    val syms = merges.foldLeft(initSymbols(col("word"))) {
+      case (s, (l, r)) => applyMerge(s, l, r)
+    }
+    wordCounts(docs, textCol)
+      .select(col("wc"), explode(syms).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wc")).as("freq"))
+  }
+
   /** ENCODE under a trained merge list: per-document whitespace-word and
     * BPE-subword counts — the token-budget number that [[Pack]] and a
     * trainer actually consume. Merge application contract: one

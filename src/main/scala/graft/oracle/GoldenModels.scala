@@ -209,6 +209,33 @@ object GoldenModels {
     }.toSet
   }
 
+  /** BPE vocabulary (Bpe.vocab + top-k semantics): corpus-weighted
+    * symbol frequencies after the merges, top `k` by (freq desc,
+    * symbol asc). */
+  def bpeVocab(docs: Seq[String], merges: Seq[(String, String)],
+               k: Int): Seq[(String, Long)] = {
+    def enc(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.filter(_ != null)
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .foreach(w => enc(w).foreach(s =>
+        freq(s) = freq.getOrElse(s, 0L) + 1L))
+    freq.toSeq.sortBy { case (s, f) => (-f, s) }.take(k)
+  }
+
   /** Random-hyperplane LSH top-k (Similarity.lshTopK semantics): planes
     * from the same seed-defined ±1 sequence (the "model" is the seed, so
     * plane generation is shared by definition), sign-bit bucket,

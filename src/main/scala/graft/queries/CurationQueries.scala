@@ -179,6 +179,19 @@ object CurationQueries {
       graft.operators.Bpe.encodeTokenCounts(d, "doc_id", "text", merges)
     }),
 
+    // BPE vocabulary head: top-30 corpus-weighted symbols under the
+    // trained merges — the shipped-artifact view of the tokenizer
+    // (merge table + vocab). Golden-gated like train/encode.
+    "bpe_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe
+        .trainMerges(d, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      graft.operators.Bpe.vocab(d, "text", merges)
+        .orderBy(col("freq").desc, col("symbol"))
+        .limit(30)
+    }),
+
     // Corpus-level n-gram statistics: document frequency of every
     // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
     // hash agg, then TakeOrderedAndProject (never a global sort of the

@@ -57,6 +57,18 @@ class BpeSpec extends SparkSpec {
     assert(g == Set((1L, 3L, 6L), (2L, 1L, 2L)))
   }
 
+  test("vocab: corpus-weighted symbol frequencies after merges") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // "low"x2 → [low, </w>] each; "lower" → [low, e, r, </w>]
+    val v = graft.operators.Bpe.vocab(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("low" -> 3L, "</w>" -> 3L, "e" -> 1L, "r" -> 1L))
+    // golden agrees, ordered head
+    val g = GoldenModels.bpeVocab(Seq("low low lower"), merges, k = 10)
+    assert(g == Seq(("</w>", 3L), ("low", 3L), ("e", 1L), ("r", 1L)))
+  }
+
   test("agrees exactly with the from-scratch golden trainer on testdata") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -62,4 +62,21 @@ class EndToEndSpec extends SparkSpec {
     val expected = events.select("user_id").distinct().count()
     assert(DocumentSink.count(spark, lake) === expected)
   }
+
+  test("CurateData CLI writes a split-partitioned chunk lake") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-curate").toString
+    assert(graft.CurateData.run(spark, "/root/testdata/sf0.001", out))
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.count() > 0)
+    assert(chunks.select("split").distinct().count() == 3)
+    // partition pruning: a split predicate lists one partition dir
+    val plan = chunks.filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("split=val"),
+      s"split filter did not prune partitions:\n$plan")
+    // chunks respect the window size
+    assert(chunks.agg(max(col("n_chunk_tokens"))).collect()(0)
+      .getInt(0) <= 64)
+  }
 }
