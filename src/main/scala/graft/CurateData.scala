@@ -47,7 +47,7 @@ object CurateData {
     val split = Split.assign(unique, "doc_id", salt = "cur")
     val chunks = Chunk.split(
         split.select("doc_id", "text"), "doc_id", "text",
-        size = 64, stride = 48)
+        window = 64, stride = 48)
       .join(split.select("doc_id", "split", "source", "quality"),
         Seq("doc_id"))
 

@@ -20,27 +20,23 @@ import graft.functions.TextFunctions
 object Chunk {
 
   /** One row per (document, chunk): (idCol, chunk_idx, n_chunk_tokens,
-    * chunk_hash). The trailing chunk may be shorter than `size`;
+    * chunk_hash). The trailing chunk may be shorter than `window`;
     * documents with zero tokens produce no chunks. */
   def split(docs: DataFrame, idCol: String, textCol: String,
-            size: Int, stride: Int): DataFrame = {
-    require(size > 0 && stride > 0 && stride <= size,
-      s"need 0 < stride <= size, got size=$size stride=$stride")
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
     val withToks = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_ts"))
-      .filter(size_(col("_ts")) > 0)
+      .filter(size(col("_ts")) > 0)
     withToks
       .select(col(idCol), col("_ts"),
-        posexplode(sequence(lit(0), size_(col("_ts")) - 1, lit(stride)))
+        posexplode(sequence(lit(0), size(col("_ts")) - 1, lit(stride)))
           .as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx"),
-        slice(col("_ts"), col("_start") + 1, lit(size)).as("_chunk"))
+        slice(col("_ts"), col("_start") + 1, lit(window)).as("_chunk"))
       .select(col(idCol), col("chunk_idx"),
-        size_(col("_chunk")).as("n_chunk_tokens"),
+        size(col("_chunk")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("_chunk"))).as("chunk_hash"))
   }
-
-  // `size` the function shadowed by the param name in split's require
-  private def size_(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.size(c)
 }

@@ -164,7 +164,7 @@ object CurationQueries {
     // is the stable downstream key.
     "chunk_docs" -> ((s, dir) =>
       graft.operators.Chunk.split(
-        t(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)),
+        t(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)),
 
     // BPE encode: word + subword counts per document under the merges
     // trained by bpe_train — the tokenizer round-trip (train on the

@@ -9,7 +9,7 @@ class ChunkSpec extends SparkSpec {
     // 10 tokens, size 4, stride 3 → starts 0,3,6,9 → lengths 4,4,4,1
     val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val out = Chunk.split(docs, "doc_id", "text", size = 4, stride = 3)
+    val out = Chunk.split(docs, "doc_id", "text", window = 4, stride = 3)
       .orderBy("chunk_idx").collect()
     assert(out.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2, 3))
     assert(out.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(4, 4, 4, 1))
@@ -24,7 +24,7 @@ class ChunkSpec extends SparkSpec {
   test("short and empty docs: one chunk or none") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
-    val out = Chunk.split(docs, "doc_id", "text", size = 64, stride = 48)
+    val out = Chunk.split(docs, "doc_id", "text", window = 64, stride = 48)
       .collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("doc_id") == 1L)
@@ -34,7 +34,7 @@ class ChunkSpec extends SparkSpec {
   test("stride > size is rejected (would drop tokens silently)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
-      Chunk.split(docs, "doc_id", "text", size = 4, stride = 5)
+      Chunk.split(docs, "doc_id", "text", window = 4, stride = 5)
     }
   }
 }
