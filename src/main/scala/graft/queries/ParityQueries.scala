@@ -570,6 +570,30 @@ object ParityQueries {
           grouping_id().as("gid"))
     }),
 
+    // A6b: CUBE — all 2^k grouping sets in the same single-pass
+    // expanded aggregation (rollup's sibling; Catalyst expands the
+    // grouping sets before one hash agg, no per-set re-scan).
+    "a6_cube" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal")), 2).as("balance"),
+          grouping_id().as("gid"))
+    }),
+
+    // W6: NTILE — per-user value quartiles (equi-count tiling within
+    // the partition; a per-key sort, never a global one).
+    "w6_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // Set operations (beyond reference — SURVEY §2.7 records none): the
     // snapshot-reconciliation shape. UNION distinct-merges two snapshot
     // key sets, INTERSECT finds survivors, EXCEPT finds departures —
@@ -1146,6 +1170,20 @@ object ParityQueries {
        "grouping(n_name, c_mktsegment) AS gid " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY ROLLUP (n_name, c_mktsegment)"),
+
+    "a6_cube" ->
+      ("SELECT n_name, c_mktsegment, " +
+       "round(sum(c_acctbal), 2) AS balance, " +
+       "grouping(n_name, c_mktsegment) AS gid " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY CUBE (n_name, c_mktsegment)"),
+
+    "w6_ntile" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(ntile(4) OVER (PARTITION BY user_id " +
+       "ORDER BY value, event_id) AS INT) AS quartile " +
+       "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL " +
+       "AND event_id IS NOT NULL"),
 
     "set_ops" ->
       ("WITH ev AS (SELECT event_id FROM events WHERE event_id IS NOT NULL), " +
