@@ -39,4 +39,14 @@ object ArrayExpressions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     org.apache.spark.sql.graft.ArrayExpressions
       .minhashSignature(shingles, numHashes)
+
+  /** Codegen'd banded random-hyperplane LSH buckets: one long per band,
+    * all nBands·planesPerBand projections in a single generated loop —
+    * replaces a 64-expression dot-product stack in the embedding
+    * near-dup plan; see
+    * [[org.apache.spark.sql.graft.HyperplaneBands]]. */
+  def hyperplaneBands(vec: Column, dim: Int, nBands: Int,
+                      planesPerBand: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ArrayExpressions
+      .hyperplaneBands(vec, dim, nBands, planesPerBand, seed)
 }

@@ -266,19 +266,15 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBands: Int = 8, planesPerBand: Int = 8, seed: Long = 42L,
       minCosine: Double = 0.9): DataFrame = {
-    val signs = Similarity.planeSigns(dim, nBands * planesPerBand, seed)
     val u = Similarity.normalized(emb, idCol, vecCol)
-    val bandStructs = (0 until nBands).map { b =>
-      val bucket = (0 until planesPerBand).map { i =>
-        val p = array(signs(b * planesPerBand + i).map(lit): _*)
-        when(Similarity.dot(col("unit"), p) > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
+    // ONE codegen expression emits all band buckets (the 64-projection
+    // compositional form is pinned bit-identical to it in
+    // ExpressionPropertiesSpec); posexplode's ordinal IS the band id
     val banded = u
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol), posexplode(
+        graft.functions.ArrayExpressions.hyperplaneBands(
+          col("unit"), dim, nBands, planesPerBand, seed))
+        .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("vec_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("vec_b"))
     val cand = a.join(b, Seq("band", "bucket"))

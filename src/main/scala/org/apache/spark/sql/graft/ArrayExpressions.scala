@@ -388,6 +388,84 @@ object MinHashSignature {
   }
 }
 
+/** All banded random-hyperplane LSH buckets of a unit vector in ONE
+  * generated loop: `nBands` longs, bucket bit i of band b set iff
+  * dot(vec, plane_{b·planesPerBand+i}) > 0. Replaces a stack of
+  * nBands·planesPerBand separate [[DotProduct]] expressions + when-chains
+  * (64 expressions for the default 8×8 banding — each re-walking the
+  * vector through its own codegen call); here the plane matrix rides
+  * into the generated code as one reference object and every projection
+  * shares a single vector traversal pattern. The sign matrix is the
+  * SAME seed-defined ±1 sequence as `Similarity.planeSigns`, so results
+  * are bit-identical to the compositional form (pinned in
+  * ExpressionPropertiesSpec) and the golden models still apply. */
+case class HyperplaneBands(child: Expression, dim: Int, nBands: Int,
+                           planesPerBand: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = true))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    HyperplaneBands.signs(dim, nBands * planesPerBand, seed)
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneBands.compute(v.asInstanceOf[ArrayData], planes,
+      nBands, planesPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.HyperplaneBands
+         |  .compute($v, $ref, $nBands, $planesPerBand);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBands = copy(child = newChild)
+}
+
+object HyperplaneBands {
+  /** The seed-defined ±1 matrix — same draw order as
+    * `Similarity.planeSigns` (plane-major, then dimension). */
+  def signs(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  def compute(vec: ArrayData, planes: Array[Array[Double]],
+              nBands: Int, planesPerBand: Int): ArrayData = {
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var i = 0
+      while (i < planesPerBand) {
+        val p = planes(b * planesPerBand + i)
+        // same traversal as DotProduct: ascending j, null elements = 0,
+        // length = min(vec, plane) — keeps FP results bit-identical
+        val n = math.min(vec.numElements(), p.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (!vec.isNullAt(j)) s += vec.getDouble(j) * p(j)
+          j += 1
+        }
+        if (s > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -414,4 +492,10 @@ object ArrayExpressions {
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(shingles),
       org.apache.spark.sql.catalyst.expressions.Literal(numHashes)))
+
+  /** Column API for [[HyperplaneBands]]. */
+  def hyperplaneBands(vec: Column, dim: Int, nBands: Int,
+                      planesPerBand: Int, seed: Long): Column =
+    ExpressionUtils.column(HyperplaneBands(
+      ExpressionUtils.expression(vec), dim, nBands, planesPerBand, seed))
 }

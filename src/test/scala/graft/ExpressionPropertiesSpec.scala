@@ -109,6 +109,27 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("HyperplaneBands == the compositional 64-dot-product form, " +
+      "bit for bit") {
+    import graft.operators.Similarity
+    val vecGen: Gen[Seq[Double]] =
+      Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0)).map(_.toSeq)
+    val df = samples(vecGen).toDF("v")
+    val (nBands, ppb, seed) = (8, 8, 42L)
+    val signs = Similarity.planeSigns(64, nBands * ppb, seed)
+    val spec = array((0 until nBands).map { b =>
+      (0 until ppb).map { i =>
+        val p = array(signs(b * ppb + i).map(lit): _*)
+        when(ArrayExpressions.dotProduct(col("v"), p) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+    val fast = ArrayExpressions.hyperplaneBands(col("v"), 64, nBands,
+      ppb, seed)
+    assert(df.select(fast.as("fast"), spec.as("spec"))
+      .filter(not(col("fast") <=> col("spec"))).count() === 0)
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))
