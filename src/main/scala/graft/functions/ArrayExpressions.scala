@@ -49,4 +49,11 @@ object ArrayExpressions {
                       planesPerBand: Int, seed: Long): Column =
     org.apache.spark.sql.graft.ArrayExpressions
       .hyperplaneBands(vec, dim, nBands, planesPerBand, seed)
+
+  /** Codegen'd int8 quantize→dequantize round-trip of a unit-vector
+    * column (the asymmetric-search coarse representation) — one
+    * traversal instead of two interpreted transforms; see
+    * [[org.apache.spark.sql.graft.QuantizeRoundTrip]]. */
+  def quantizeRoundTrip(vec: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.quantizeRoundTrip(vec)
 }

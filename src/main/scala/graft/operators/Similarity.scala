@@ -248,8 +248,12 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deq = dequantized(quantize(corpus, idCol, vecCol))
-      .select(col(idCol), col("unit_approx").as("unit"))
+    // fused codegen round-trip == dequantized(quantize(...)) bit for bit
+    // (ExpressionPropertiesSpec) — one traversal, no interpreted lambdas
+    val deq = normalized(corpus, idCol, vecCol)
+      .select(col(idCol),
+        graft.functions.ArrayExpressions.quantizeRoundTrip(col("unit"))
+          .as("unit"))
     val centDf = deq.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col("unit").as("cu"))
     val cent = centDf.collect().toSeq

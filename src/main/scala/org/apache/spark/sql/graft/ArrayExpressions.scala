@@ -466,6 +466,73 @@ object HyperplaneBands {
   }
 }
 
+/** Int8 scalar quantization ROUND-TRIP of a unit vector in one generated
+  * loop — the approximate vector the asymmetric-search coarse stage
+  * actually consumes (`dequantized(quantize(v))` elementwise), without
+  * materializing qvec/scale/zero columns or running two interpreted
+  * `transform` lambdas per element: min/max, per-element snap-to-grid
+  * and reconstruction all happen in one traversal. Arithmetic is kept
+  * EXACTLY the compositional form's: t = floor((x−mn)/scale + 0.5)
+  * (0 when scale ≤ 0), byte-cast via (t−128).toByte, back as
+  * (b+128)·scale + mn — pinned bit-identical in
+  * ExpressionPropertiesSpec, so the DuckDB oracle still applies. */
+case class QuantizeRoundTrip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = true))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_quantize_roundtrip"
+
+  override protected def nullSafeEval(v: Any): Any =
+    QuantizeRoundTrip.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.graft.QuantizeRoundTrip.compute($v);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeRoundTrip = copy(child = newChild)
+}
+
+object QuantizeRoundTrip {
+  def compute(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    // array_min/array_max semantics: nulls ignored
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val x = vec.getDouble(i)
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        any = true
+      }
+      i += 1
+    }
+    val scale = if (any) (mx - mn) / 255.0 else 0.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) out(i) = null
+      else {
+        val x = vec.getDouble(i)
+        val t = if (scale > 0) math.floor((x - mn) / scale + 0.5) else 0.0
+        val b = (t - 128.0).toByte
+        out(i) = (b + 128.0) * scale + mn
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -498,4 +565,9 @@ object ArrayExpressions {
                       planesPerBand: Int, seed: Long): Column =
     ExpressionUtils.column(HyperplaneBands(
       ExpressionUtils.expression(vec), dim, nBands, planesPerBand, seed))
+
+  /** Column API for [[QuantizeRoundTrip]]. */
+  def quantizeRoundTrip(vec: Column): Column =
+    ExpressionUtils.column(QuantizeRoundTrip(
+      ExpressionUtils.expression(vec)))
 }

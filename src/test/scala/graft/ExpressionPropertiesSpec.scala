@@ -130,6 +130,23 @@ class ExpressionPropertiesSpec extends SparkSpec {
       .filter(not(col("fast") <=> col("spec"))).count() === 0)
   }
 
+  test("QuantizeRoundTrip == dequantized(quantize(...)), bit for bit") {
+    import graft.operators.Similarity
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f)).map(_.toSeq)
+    val df = samples(vecGen).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val spec = Similarity.dequantized(
+        Similarity.quantize(df, "id", "v"))
+      .select(col("id"), col("unit_approx").as("u"))
+    val fast = Similarity.normalized(df, "id", "v")
+      .select(col("id"),
+        ArrayExpressions.quantizeRoundTrip(col("unit")).as("u"))
+    val mismatches = fast.as("f").join(spec.as("s"), Seq("id"))
+      .filter(not(col("f.u") <=> col("s.u"))).count()
+    assert(mismatches === 0)
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))
