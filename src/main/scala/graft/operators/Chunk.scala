@@ -21,7 +21,12 @@ object Chunk {
 
   /** One row per (document, chunk): (idCol, chunk_idx, n_chunk_tokens,
     * chunk_hash). The trailing chunk may be shorter than `window`;
-    * documents with zero tokens produce no chunks. */
+    * documents with zero tokens produce no chunks. Chunk starts stop
+    * once the previous chunk already reached the document end — with
+    * stride < window a naive `sequence(0, n−1, stride)` would emit
+    * trailing short chunks that are strict SUBSETS of the previous
+    * chunk (duplicated training content); every token is still covered
+    * because the last emitted start is < n − window + stride. */
   def split(docs: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
@@ -29,9 +34,14 @@ object Chunk {
     val withToks = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_ts"))
       .filter(size(col("_ts")) > 0)
+    // largest useful start: the first start whose PREDECESSOR's chunk
+    // ends before n, i.e. start ≤ n − window + stride − 1 (clamped to
+    // [0, n−1] so short docs keep their single whole-doc chunk)
+    val lastStart = least(size(col("_ts")) - 1,
+      greatest(lit(0), size(col("_ts")) - window + stride - 1))
     withToks
       .select(col(idCol), col("_ts"),
-        posexplode(sequence(lit(0), size(col("_ts")) - 1, lit(stride)))
+        posexplode(sequence(lit(0), lastStart, lit(stride)))
           .as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx"),
         slice(col("_ts"), col("_start") + 1, lit(window)).as("_chunk"))

@@ -21,17 +21,24 @@ object Drift {
 
   /** Per-bucket PSI decomposition: (bucket, n_prev, n_next,
     * psi_contrib); sum of psi_contrib = the PSI. Buckets are `nBuckets`
-    * equi-width bins over the COMBINED min/max. */
+    * equi-width bins over the COMBINED min/max. NULL values are dropped
+    * (Spark's `least` would otherwise skip the null operand and silently
+    * route every null row to the top bucket); a constant column
+    * (mx == mn) puts all rows in bucket 0 instead of evaluating the
+    * 0/0 = NaN bucket expression, whose NaN→int cast engines disagree
+    * on. */
   def psiBuckets(prev: DataFrame, next: DataFrame, valueCol: String,
                  nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 1, "need at least 2 buckets")
     val all = prev.select(col(valueCol)).unionByName(next.select(col(valueCol)))
     val mm = all.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
     def bucketed(df: DataFrame, cnt: String): DataFrame =
-      df.crossJoin(broadcast(mm))
-        .select(least(lit(nBuckets - 1),
-          floor((col(valueCol) - col("mn")) /
-            ((col("mx") - col("mn")) / nBuckets.toDouble)).cast("int"))
+      df.filter(col(valueCol).isNotNull)
+        .crossJoin(broadcast(mm))
+        .select(when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col(valueCol) - col("mn")) /
+              ((col("mx") - col("mn")) / nBuckets.toDouble)).cast("int")))
           .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
     val p = bucketed(prev, "n_prev")

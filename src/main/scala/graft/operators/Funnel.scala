@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** (userCol, stage_reached) — stage_reached ∈ [0, steps.length]. */
+  /** (userCol, stage_reached) — stage_reached ∈ [0, steps.length].
+    *
+    * `tsCol` may be an integral time unit (compared as-is) or a real
+    * TimestampType (compared at microsecond precision via
+    * `unix_micros`). A bare `cast("long")` on a timestamp would yield
+    * epoch SECONDS and silently collapse same-second events under the
+    * strictly-after rule. */
   def stages(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
+    val tsLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
     val evs = sort_array(collect_list(
-      struct(col(tsCol).cast("long").as("ts"), col(typeCol).as("ty"))))
+      struct(tsLong.as("ts"), col(typeCol).as("ty"))))
     val zero = struct(lit(0).as("stage"),
       lit(Long.MinValue).as("last"))
     val step = (acc: Column, e: Column) => {

@@ -145,15 +145,31 @@ object CurationQueries {
     // threshold is the DISCRETE k-th smallest score (k = ⌈0.25·n⌉):
     // a grid value both engines agree on exactly, where interpolated
     // percentiles can differ in the last ulp and flip boundary docs.
-    // At 100 TB swap the per-source collect_list for Sketches.gkQuantiles
-    // (mergeable, ε-bounded) — same two-pass broadcast-back shape.
+    //
+    // SCALE-SAFE two-pass form: qualityScore is rounded to the 1e-4
+    // grid, so per-(source, q) counts are a BOUNDED histogram (≤ ~10⁴
+    // rows per source regardless of corpus size) and the k-th smallest
+    // is the first grid value whose running count reaches k — exact,
+    // same answer as sorting all scores, but the aggregation state never
+    // grows with the corpus (the collect_list form this replaces held
+    // every score of a source in one buffer; see
+    // QualityThresholdSpec for the pinned agreement, incl. the
+    // ε-approximate Sketches.gkQuantiles variant for un-gridded scores).
     "quality_calibrated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       import TextFunctions._
       val scored = t(s, dir, "documents").select(col("doc_id"),
         col("source"), qualityScore(col("text")).as("q"))
-      val thr = scored.groupBy(col("source")).agg(
-        element_at(sort_array(collect_list(col("q"))),
-          ceil(count(lit(1)) * 0.25).cast("int")).as("q25"))
+      val hist = scored.groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = bySrc.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist
+        .withColumn("_cum", sum(col("c")).over(cum))
+        .withColumn("_k", ceil(sum(col("c")).over(bySrc) * 0.25))
+        .filter(col("_cum") >= col("_k"))
+        .groupBy(col("source")).agg(min(col("q")).as("q25"))
       scored.join(broadcast(thr), Seq("source"))
         .filter(col("q") >= col("q25"))
         .select("doc_id", "source", "q")
@@ -513,7 +529,8 @@ object CurationQueries {
        """list_filter(string_split_regex(text,'\s+'), x -> x <> '') """ +
        """AS ts FROM documents), """ +
        """st AS (SELECT doc_id, ts, """ +
-       """unnest(generate_series(0, len(ts) - 1, 48)) AS start """ +
+       """unnest(generate_series(0, least(len(ts) - 1, """ +
+       """greatest(0, len(ts) - 64 + 48 - 1)), 48)) AS start """ +
        """FROM toks WHERE len(ts) > 0) """ +
        """SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx, """ +
        """CAST(len(ts[start + 1 : start + 64]) AS INT) """ +

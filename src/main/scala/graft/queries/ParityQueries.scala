@@ -323,10 +323,17 @@ object ParityQueries {
       val mm = t(s, dir, "orders")
         .agg(min(col("o_totalprice")).as("mn"),
           max(col("o_totalprice")).as("mx"))
+      // null prices dropped explicitly (least() skips the null operand
+      // and would misfile them in bucket 9); constant column → bucket 0
+      // instead of a NaN cast both engines handle differently
       t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
         .crossJoin(broadcast(mm))
-        .select(least(lit(9), floor((col("o_totalprice") - col("mn")) /
-          ((col("mx") - col("mn")) / 10.0)).cast("int")).as("bucket"))
+        .select(when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(9),
+            floor((col("o_totalprice") - col("mn")) /
+              ((col("mx") - col("mn")) / 10.0)).cast("int")))
+          .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     }),
 
@@ -458,6 +465,16 @@ object ParityQueries {
       graft.serving.Search.tfidf(
         t(s, dir, "documents"), "window the of", "text", "doc_id")),
 
+    // Q1 BM25 variant: the reference's ACTUAL ranking function
+    // (multi_match executes Lucene BM25, src/search_api.py:16-36) —
+    // tf saturation + doc-length normalization on top of tf·idf.
+    // Same query as q2_search_tfidf so the two rankings are directly
+    // comparable: 'window' (selective) vs 'the'/'of' (stopword-common,
+    // where saturation bites).
+    "q2_search_bm25" -> ((s, dir) =>
+      graft.serving.Search.bm25(
+        t(s, dir, "documents"), "window the of", "text", "doc_id")),
+
     // Q1 cross-index variant: the reference's `data_lake_*` wildcard —
     // one search across EVERY entity index (src/es_connector.py:85-95
     // defaults index="data_lake_*"; legacy data_lake_sync.py:228) via
@@ -499,19 +516,21 @@ object ParityQueries {
     // R6 (beyond reference): type-2 SCD history — per-user event_type
     // changelog collapsed to change rows with [valid_from, valid_to)
     // intervals. Both windows ride one key-hash shuffle (PlanShapeSpec).
-    // Interval bounds surface as MICROS (integer `div 1000` of the
-    // nanos-long — DuckDB's timestamp truncates parquet nanos to micros,
-    // so epoch_us is the finest engine-shared unit; plain `/` would
+    // The changelog is truncated to MICROS *before* scd2History (not on
+    // output) so the collapse/ordering happens at the same granularity
+    // DuckDB sees — ordering by raw nanos and truncating after could
+    // keep/order different rows for same-micro changelog entries
+    // (epoch_us is the finest engine-shared unit; plain `/` would
     // round-trip through double and lose the low bits of an epoch-nano).
     "r6_scd2" -> ((s, dir) =>
       graft.operators.ChangeDataCapture.scd2History(
         t(s, dir, "events").filter(
           col("user_id").isNotNull && col("ts").isNotNull &&
-            col("event_id").isNotNull),
-        "user_id", "ts", "event_id", Seq("event_type"))
+            col("event_id").isNotNull)
+          .withColumn("tsu", expr("ts div 1000")),
+        "user_id", "tsu", "event_id", Seq("event_type"))
         .select(col("user_id"), col("event_type"),
-          expr("valid_from div 1000").as("valid_from"),
-          expr("valid_to div 1000").as("valid_to"),
+          col("valid_from"), col("valid_to"),
           col("version"), col("is_current"))),
 
     // As-of join (beyond reference — SURVEY §2.12): each even-id event
@@ -946,11 +965,13 @@ object ParityQueries {
        "WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL), " +
        "mm AS (SELECT min(v) AS mn, max(v) AS mx FROM " +
        "(SELECT v FROM prev UNION ALL SELECT v FROM nxt)), " +
-       "bp AS (SELECT least(9, CAST(floor((v - mn) / ((mx - mn) / 10.0)) " +
-       "AS INT)) AS bucket, count(*) AS n_prev " +
+       "bp AS (SELECT CASE WHEN mx = mn THEN 0 ELSE least(9, " +
+       "CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INT)) END " +
+       "AS bucket, count(*) AS n_prev " +
        "FROM prev CROSS JOIN mm GROUP BY 1), " +
-       "bq AS (SELECT least(9, CAST(floor((v - mn) / ((mx - mn) / 10.0)) " +
-       "AS INT)) AS bucket, count(*) AS n_next " +
+       "bq AS (SELECT CASE WHEN mx = mn THEN 0 ELSE least(9, " +
+       "CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INT)) END " +
+       "AS bucket, count(*) AS n_next " +
        "FROM nxt CROSS JOIN mm GROUP BY 1), " +
        "pt AS (SELECT CAST(sum(n_prev) AS DOUBLE) AS tot_p FROM bp), " +
        "qt AS (SELECT CAST(sum(n_next) AS DOUBLE) AS tot_q FROM bq) " +
@@ -967,9 +988,11 @@ object ParityQueries {
     "a11_histogram" ->
       ("WITH mm AS (SELECT min(o_totalprice) AS mn, " +
        "max(o_totalprice) AS mx FROM orders) " +
-       "SELECT least(9, CAST(floor((o_totalprice - mn) / " +
-       "((mx - mn) / 10.0)) AS INT)) AS bucket, count(*) AS n " +
-       "FROM orders CROSS JOIN mm GROUP BY 1"),
+       "SELECT CASE WHEN mx = mn THEN 0 ELSE " +
+       "least(9, CAST(floor((o_totalprice - mn) / " +
+       "((mx - mn) / 10.0)) AS INT)) END AS bucket, count(*) AS n " +
+       "FROM orders CROSS JOIN mm " +
+       "WHERE o_totalprice IS NOT NULL GROUP BY 1"),
 
     "a12_corr" ->
       ("SELECT l_returnflag, count(*) AS n, " +
@@ -1058,6 +1081,42 @@ object ParityQueries {
        "SELECT doc_id, " +
        s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
        "FROM tf JOIN idf USING (term) GROUP BY doc_id " +
+       "ORDER BY score DESC, doc_id LIMIT 100"
+    },
+
+    "q2_search_bm25" -> {
+      // per-term BM25 contributions added in a FIXED order, mirroring
+      // Search.bm25 exactly; every constant CAST to DOUBLE (DuckDB would
+      // otherwise run DECIMAL arithmetic on the literals)
+      val termSum = Seq("window", "the", "of").map(t =>
+        s"coalesce(sum(CASE WHEN term = '$t' THEN idf.idf * " +
+          "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + " +
+          "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+          "CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))) END), " +
+          "CAST(0.0 AS DOUBLE))")
+        .mkString(" + ")
+      "WITH dls AS (" +
+       "  SELECT doc_id, text, len(list_filter(" +
+       "    string_split_regex(text, '\\s+'), x -> x <> '')) AS dl" +
+       "  FROM documents" +
+       "), toks AS (" +
+       "  SELECT doc_id, dl, unnest(list_filter(" +
+       "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
+       "  FROM dls" +
+       "), q AS (SELECT doc_id, dl, term FROM toks " +
+       "  WHERE term IN ('window', 'the', 'of')), " +
+       "st AS (SELECT count(*) AS n, " +
+       "  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls), " +
+       "idf AS (SELECT term, " +
+       "  ln(CAST(1.0 AS DOUBLE) + (st.n - count(DISTINCT doc_id) " +
+       "    + CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+       "    + CAST(0.5 AS DOUBLE))) AS idf " +
+       "  FROM q CROSS JOIN st GROUP BY term, st.n), " +
+       "tf AS (SELECT doc_id, dl, term, count(*) AS tf " +
+       "  FROM q GROUP BY 1, 2, 3) " +
+       "SELECT doc_id, " +
+       s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
+       "FROM tf JOIN idf USING (term) CROSS JOIN st GROUP BY doc_id " +
        "ORDER BY score DESC, doc_id LIMIT 100"
     },
 

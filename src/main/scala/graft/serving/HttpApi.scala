@@ -50,7 +50,8 @@ final class HttpApi(
     spark: SparkSession,
     srcDir: String,
     outDir: String,
-    runTs: String = graft.operators.Denormalize.RunTs) {
+    runTs: String = graft.operators.Denormalize.RunTs,
+    maxHits: Int = 1000) {
 
   private val mapper = new ObjectMapper()
   @volatile private var server: HttpServer = _
@@ -165,12 +166,23 @@ final class HttpApi(
   }
 
   /** ES-shaped hits envelope: `{"hits": {"total": n, "hits": [...]}}` —
-    * what the reference returns to its callers (search_api.py:36). */
+    * what the reference returns to its callers (search_api.py:36).
+    *
+    * Results are HARD-CAPPED at `maxHits` before the driver-side
+    * collect: /search and the entity listings are top-k-limited
+    * upstream, but /search/advanced passes arbitrary SQL, and
+    * `SELECT * FROM documents` must return a bounded page — not
+    * materialize the corpus in the serving JVM (ES itself pages its
+    * hits, default 10 — src/es_connector.py:85-95). One extra row is
+    * fetched to detect truncation; `"capped": true` plus the cap in the
+    * envelope tells the caller to narrow the query or paginate. */
   private def hits(ex: HttpExchange, df: DataFrame): Unit = {
-    val rows = df.toJSON.collect()
+    val rows = df.limit(maxHits + 1).toJSON.collect()
+    val capped = rows.length > maxHits
+    val page = if (capped) rows.take(maxHits) else rows
     respond(ex, 200,
-      s"""{"hits": {"total": ${rows.length}, "hits": [${
-        rows.mkString(", ")}]}}""")
+      s"""{"hits": {"total": ${page.length}, "max_hits": $maxHits, ${""
+        }"capped": $capped, "hits": [${page.mkString(", ")}]}}""")
   }
 
   // -------------------------------------------------------------------

@@ -85,7 +85,37 @@ object Search {
     * filter is query-term-sized.
     */
   def tfidf(df: DataFrame, query: String, textCol: String, idCol: String,
-            limit: Int = 100): DataFrame = {
+            limit: Int = 100): DataFrame =
+    rankedRetrieval(df, query, textCol, idCol, limit, bm25 = false)
+
+  /** BM25 ranked retrieval — [[tfidf]] plus the two ingredients ES's
+    * actual scorer (`multi_match` executes Lucene BM25) adds on top of
+    * tf·idf: term-frequency SATURATION (a term's contribution
+    * asymptotes at (k1+1)·idf instead of growing linearly) and
+    * DOC-LENGTH NORMALIZATION (long documents need proportionally more
+    * occurrences to score the same). Retires the last documented
+    * deviation from the reference's search semantics
+    * (src/search_api.py:16-36; SURVEY §7.4).
+    *
+    * score(doc) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (Lucene's form)
+    *
+    * k1 = 1.2, b = 0.75 enter the plan as literals (Lucene defaults).
+    * The ln is safe for the oracle here for the same reason as
+    * LanguageModel's: both engines take ln of the identical double and
+    * the final score is floor-rounded to the 1e-4 grid. Same
+    * inverted-probe shape and oracle-ability as [[tfidf]]: one
+    * prefiltered explode, tiny broadcast stats, top-k. The corpus
+    * statistics (N, avgdl) are one extra tiny aggregate over the scan —
+    * the numbers ES keeps precomputed per index. */
+  def bm25(df: DataFrame, query: String, textCol: String, idCol: String,
+           limit: Int = 100): DataFrame =
+    rankedRetrieval(df, query, textCol, idCol, limit, bm25 = true)
+
+  private def rankedRetrieval(df: DataFrame, query: String, textCol: String,
+                              idCol: String, limit: Int,
+                              bm25: Boolean): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     // substring prefilter BEFORE tokenizing: a doc with no query term as
     // a substring can't have one as a token, so the (codegen'd, scan-
@@ -97,26 +127,56 @@ object Search {
     // explode(split(...)) not TextFunctions.tokens: the HOF filter
     // inside tokens() is interpreted per element and knocks the stage
     // out of whole-stage codegen, and the isin() below already drops
-    // the empty strings tokens() exists to remove
+    // the empty strings tokens() exists to remove. BM25 additionally
+    // carries the doc length (non-empty token count, matching avgdl's
+    // definition) on each exploded row.
+    val baseCols =
+      if (bm25) Seq(col(idCol), tokenCount(col(textCol)).as("dl"))
+      else Seq(col(idCol))
     val toks = df.filter(anyTerm).select(
-        col(idCol),
-        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+        baseCols :+ explode(split(lower(col(textCol)), "\\s+")).as("term"): _*)
       .filter(col("term").isin(terms.toSeq: _*))
-    val n = df.select(count(lit(1)).as("n"))
+    // corpus statistics: one tiny aggregate of the full scan. sum(dl) is
+    // an exact integer sum, so avgdl = one double division — the same
+    // value in any engine (a float avg() could differ by addition order)
+    val stats =
+      if (bm25)
+        df.select(tokenCount(col(textCol)).as("dl"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      else df.select(count(lit(1)).as("n"))
     val idf = toks.groupBy("term")
       .agg(countDistinct(col(idCol)).as("df_t"))
-      .crossJoin(n)
+      .crossJoin(stats)
       .select(col("term"),
-        ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+        if (bm25)
+          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+            (col("df_t") + 0.5)).as("idf")
+        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    val grouped =
+      if (bm25)
+        // dl is functionally dependent on the doc id — riding it in the
+        // group key costs 8 bytes of shuffle width, not an extra pass
+        toks.groupBy(col(idCol), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .crossJoin(broadcast(stats.select(col("avgdl"))))
+      else toks.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    // per-(doc, term) contribution; k1 = 1.2, b = 0.75 (Lucene defaults)
+    // as plan literals, 1−b and k1+1 pre-reduced to exact decimal-parse
+    // doubles so the oracle can spell the identical constants
+    val perTerm: Column =
+      if (bm25)
+        col("idf") * ((col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+      else col("tf") * col("idf")
     // fixed per-term addition order (query order): float addition is not
     // associative, and a free-order sum() could differ from the oracle in
     // the last ulp right at a rounding boundary
     val termScores = terms.toSeq.map(t =>
-      coalesce(sum(when(col("term") === t, col("tf") * col("idf"))),
-        lit(0.0)))
-    toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .join(broadcast(idf), Seq("term"))
+      coalesce(sum(when(col("term") === t, perTerm)), lit(0.0)))
+    grouped.join(broadcast(idf), Seq("term"))
       .groupBy(col(idCol))
       .agg((floor(termScores.reduce(_ + _) * 10000.0 + 0.5)
         .cast("double") / 10000.0).as("score"))

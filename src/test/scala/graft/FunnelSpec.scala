@@ -20,6 +20,20 @@ class FunnelSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("TimestampType events compare at MICROsecond precision — " +
+    "same-second events are not collapsed") {
+    // 100µs apart within one second: a bare cast("long") would see
+    // equal epoch-seconds and the strict > rule would stall the funnel
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.0001"), "view"),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.0002"), "click"),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.0003"), "buy"))
+      .toDF("u", "ts", "ty")
+    val out = Funnel.stages(evs, "u", "ts", "ty", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3))
+  }
+
   test("equal timestamps do not advance (strict >), later events do") {
     // click at the SAME instant as the view must not count; a later one
     // does even if an earlier-sorted same-ts event exists

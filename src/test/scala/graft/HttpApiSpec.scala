@@ -91,6 +91,23 @@ class HttpApiSpec extends SparkSpec
     assert("\"n_name\"".r.findAllIn(r.body()).size == 2)
   }
 
+  test("POST /search/advanced hard-caps corpus-sized results — a " +
+      "SELECT * never materializes the corpus in the serving JVM") {
+    // lineitem at sf0.001 is ~6k rows, well past the 1000-row cap
+    val r = post("/search/advanced",
+      """{"sql": "SELECT l_orderkey FROM lineitem"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"capped\": true"), r.body().take(200))
+    assert(r.body().contains("\"max_hits\": 1000"))
+    assert("\"l_orderkey\"".r.findAllIn(r.body()).size == 1000)
+    // a bounded query comes back whole and unflagged
+    val small = post("/search/advanced",
+      """{"sql": "SELECT n_name FROM nation"}""")
+    assert(small.statusCode() == 200)
+    assert(small.body().contains("\"capped\": false"))
+    assert("\"n_name\"".r.findAllIn(small.body()).size == 25)
+  }
+
   test("POST /{entity} inserts one validated doc and returns its id") {
     val r = post("/customer",
       """{"c_custkey": 990001, "c_name": "api user",
