@@ -19,12 +19,13 @@ import graft.functions.TextFunctions
   *    distinct word — orders of magnitude smaller than the corpus, but
   *    still sharded (a 100 TB multilingual corpus has billions of types;
   *    nothing here assumes it fits anywhere).
-  *  - Per round: one explode of adjacent pairs + one combiner-friendly
-  *    sum agg on (l, r) + a top-1 TakeOrdered — then the merge is applied
-  *    as a pure projection (a higher-order `aggregate` doing the
-  *    leftmost-nonoverlapping single-pass merge). Driver state per round
-  *    = ONE (left, right, freq) row, the same bounded-metadata contract
-  *    as the IVF codebook.
+  *  - The PAIR-COUNT table is maintained incrementally next to it: per
+  *    round a top-1 TakeOrdered over the cached pair table, a delta
+  *    explode over only the words that contain the merged pair, and a
+  *    conditional-merge projection of the word table (see
+  *    [[trainMerges]]). Driver state per round = ONE (left, right,
+  *    freq) row, the same bounded-metadata contract as the IVF
+  *    codebook.
   *  - Rounds persist/unpersist the word table like
   *    [[Dedup.components]] — lineage stays flat, k rounds = k jobs.
   *
@@ -86,16 +87,112 @@ object Bpe {
   /** Train `numMerges` merges; returns (step, left, right, freq) rows.
     * Stops early if no adjacent pair remains (fully merged corpus).
     *
-    * ONE job per round: the round's top-1 aggregation is also the action
-    * that materializes the current word table's cache (one projection
-    * off the previous round's cache), so the previous cache is
-    * unpersisted only AFTER that action — no separate count()
-    * materialization pass, and never an uncached-lineage recompute. */
+    * INCREMENTAL pair-count maintenance (the fastBPE/HuggingFace-trainer
+    * technique, distributed): the pair-count table is persistent state
+    * alongside the word table, and each round UPDATES it from the merge's
+    * delta instead of recounting every pair of every word —
+    *
+    *  - top-1: one TakeOrdered over the cached pair table (pair-type
+    *    rows, orders of magnitude smaller than the word table);
+    *  - delta: only words CONTAINING the merged pair are exploded —
+    *    old pairs weighted −wc, post-merge pairs +wc, one hash agg; by
+    *    mid-training that is a vanishing fraction of the corpus, which
+    *    is what makes per-merge cost sub-linear in the word table
+    *    (the recount form re-aggregates every pair every round);
+    *  - pair table ← full-outer join with the (tiny) delta, zero counts
+    *    dropped; word table ← one conditional-merge projection.
+    *
+    * Still one action per round (the top-1 materializes the previous
+    * round's lazy state), and each round's word/pair tables are cut to
+    * a flat `localCheckpoint(eager = false)` plan — without the cut,
+    * round k's plan nests k joins/projections and Catalyst re-analysis
+    * makes late rounds quadratically slow (a 64-round nested plan
+    * overflows the tree-string stack outright). Local checkpoints trade
+    * executor-loss recomputability for speed; a multi-day production
+    * vocabulary run should periodically swap in a reliable
+    * `checkpoint()` against a configured checkpoint dir.
+    * [[trainMergesRecount]] keeps the recount-every-round reference
+    * form; BpeSpec pins both to the golden trainer at 64 merges. */
   def trainMerges(docs: DataFrame, textCol: String,
                   numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd
     var words = wordCounts(docs, textCol)
       .select(col("wc"), initSymbols(col("word")).as("syms"))
-      .persist()
+      .localCheckpoint(false)
+    var pairs = words
+      .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("freq"))
+      .localCheckpoint(false)
+    // two-round history: words_{i-1} is still the physical parent of
+    // words_i's (lazy) checkpoint until round i+1's action materializes
+    // it, so storage is released with a one-round lag
+    val live = scala.collection.mutable.Queue.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= numMerges && !exhausted) {
+        val top = pairs.orderBy(col("freq").desc, col("l"), col("r"))
+          .limit(1).collect()
+        while (live.size > 4) unpersistPlanRdd(live.dequeue())
+        if (top.isEmpty) exhausted = true
+        else {
+          val Row(l: String, r: String, freq: Long) = top(0)
+          merges += ((step, l, r, freq))
+          val hasPair = exists(adjacentPairs(col("syms")),
+            p => p.getField("l") === l && p.getField("r") === r)
+          val oldPairs = transform(adjacentPairs(col("syms")),
+            p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
+              lit(-1L).as("sgn")))
+          val newPairs = transform(
+            adjacentPairs(applyMerge(col("syms"), l, r)),
+            p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
+              lit(1L).as("sgn")))
+          val delta = words.filter(hasPair)
+            .select(col("wc"), explode(concat(oldPairs, newPairs)).as("d"))
+            .groupBy(col("d.l").as("l"), col("d.r").as("r"))
+            .agg(sum(col("wc") * col("d.sgn")).as("dfreq"))
+            .filter(col("dfreq") =!= 0L)
+          live.enqueue(pairs)
+          pairs = pairs.join(delta, Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("freq"), lit(0L)) +
+                coalesce(col("dfreq"), lit(0L))).as("freq"))
+            .filter(col("freq") > 0L)
+            .localCheckpoint(false)
+          live.enqueue(words)
+          words = words.select(col("wc"),
+            when(hasPair, applyMerge(col("syms"), l, r))
+              .otherwise(col("syms")).as("syms"))
+            .localCheckpoint(false)
+          step += 1
+        }
+      }
+      merges.toSeq
+    } finally {
+      live.foreach(unpersistPlanRdd)
+      unpersistPlanRdd(words)
+      unpersistPlanRdd(pairs)
+    }
+  }
+
+  /** The recount-every-round reference trainer (the pre-incremental
+    * form): per round one FULL pair explode + agg over the whole word
+    * table — the property that distinguishes it from [[trainMerges]].
+    * Kept as the independent cross-check the incremental form is pinned
+    * against (BpeSpec) and as the simplest statement of the semantics.
+    * Rounds use the same flat `localCheckpoint` lineage cut (nested
+    * per-round persist chains make Spark 4's AQE re-stringify a plan
+    * that embeds every earlier round's cached plan — quadratic strings,
+    * stack overflow by round ~30). */
+  def trainMergesRecount(docs: DataFrame, textCol: String,
+                         numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd
+    var words = wordCounts(docs, textCol)
+      .select(col("wc"), initSymbols(col("word")).as("syms"))
+      .localCheckpoint(false)
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -109,7 +206,7 @@ object Bpe {
           .agg(sum(col("wc")).as("freq"))
           .orderBy(col("freq").desc, col("l"), col("r"))
           .limit(1).collect()
-        prev.foreach(_.unpersist()) // `words` is cached by the action above
+        prev.foreach(unpersistPlanRdd) // `words` materialized just above
         prev = Some(words)
         if (top.isEmpty) exhausted = true
         else {
@@ -117,14 +214,14 @@ object Bpe {
           merges += ((step, l, r, freq))
           words = words
             .select(col("wc"), applyMerge(col("syms"), l, r).as("syms"))
-            .persist()
+            .localCheckpoint(false)
           step += 1
         }
       }
       merges.toSeq
     } finally {
-      prev.foreach(_.unpersist())
-      words.unpersist()
+      prev.foreach(unpersistPlanRdd)
+      unpersistPlanRdd(words)
     }
   }
 
@@ -143,14 +240,29 @@ object Bpe {
     * the merge chain runs over distinct words, frequencies come from
     * one weighted explode + hash agg. */
   def vocab(docs: DataFrame, textCol: String,
-            merges: Seq[(String, String)]): DataFrame = {
-    val syms = merges.foldLeft(initSymbols(col("word"))) {
+            merges: Seq[(String, String)]): DataFrame =
+    wordCounts(docs, textCol)
+      .select(col("wc"), explode(encodedSymbols(col("word"), merges))
+        .as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wc")).as("freq"))
+
+  /** Symbols of a word column under a trained merge list — ONE flat
+    * generated loop over the broadcast-style merge table
+    * ([[org.apache.spark.sql.graft.BpeEncodeWord]]) instead of folding
+    * k nested `aggregate()` HOFs (whose expression-tree depth and
+    * interpreted per-element dispatch make 10k+ merge tables unusable).
+    * Pinned bit-identical to the HOF fold in BpeSpec. */
+  def encodedSymbols(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.BpeExpressions
+      .bpeEncodeWord(word, merges, EndOfWord)
+
+  /** The k-nested-HOF encode (fold of [[applyMerge]]) — the reference
+    * form [[encodedSymbols]] is pinned against; fine for small k. */
+  private[graft] def encodedSymbolsHof(word: Column,
+                                       merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initSymbols(word)) {
       case (s, (l, r)) => applyMerge(s, l, r)
     }
-    wordCounts(docs, textCol)
-      .select(col("wc"), explode(syms).as("symbol"))
-      .groupBy(col("symbol")).agg(sum(col("wc")).as("freq"))
-  }
 
   /** ENCODE under a trained merge list: per-document whitespace-word and
     * BPE-subword counts — the token-budget number that [[Pack]] and a
@@ -166,9 +278,7 @@ object Bpe {
     * k-deep merge projection runs over the comparatively tiny vocab. */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
-    val encoded = merges.foldLeft(initSymbols(col("word"))) {
-      case (s, (l, r)) => applyMerge(s, l, r)
-    }
+    val encoded = encodedSymbols(col("word"), merges)
     val vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .distinct()

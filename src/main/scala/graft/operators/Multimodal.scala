@@ -36,11 +36,15 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   *
   * Decode: REAL for uncompressed formats — [[Ppm]] is a from-scratch
   * binary PPM (P6) image codec (parse, pixel stats, nearest-neighbor
-  * resize, re-encode) in plain JVM byte code, so `image/ppm` rows get
-  * true width/height/channel-mean features and true resizing. Codec
-  * formats (JPEG/MP3/H.264) would need libraries absent from this
-  * container, so those rows fall back to the clearly-marked stub
-  * features — same batch contract either way.
+  * resize, re-encode) and [[Wav]] a from-scratch RIFF/WAVE PCM-16 audio
+  * codec (chunk walk, sample stats, nearest-neighbor resample,
+  * re-encode), both plain JVM byte code — so `image/ppm` rows get true
+  * width/height/channel-mean features and `audio/wav` rows true
+  * rate/channel/duration/RMS features, through two genuinely distinct
+  * binary layouts (ASCII header + raw bytes vs little-endian chunked
+  * container). Compressed formats (JPEG/MP3/H.264) would need libraries
+  * absent from this container, so those rows fall back to the
+  * clearly-marked stub features — same batch contract either way.
   */
 object Multimodal {
 
@@ -62,9 +66,11 @@ object Multimodal {
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
       val n = m.blob.length
-      val real = if (m.media_type == "image/ppm") Ppm.decode(m.blob) else None
-      real match {
-        case Some(img) =>
+      def stub = MediaFeatures(m.media_id, m.media_type, n, md5hex(m.blob),
+        Seq(n % 256, n * 7 % 256, n * 31 % 256, n * 127 % 256)
+          .mkString(","))
+      m.media_type match {
+        case "image/ppm" => Ppm.decode(m.blob).fold(stub) { img =>
           val (r, g, b) = Ppm.meanRgb(img)
           // Locale.ROOT: "127.50" everywhere, not "127,50" in comma-
           // decimal locales — features must be environment-independent
@@ -72,10 +78,14 @@ object Multimodal {
             String.format(java.util.Locale.ROOT, "%d,%d,%.2f,%.2f,%.2f",
               Int.box(img.w), Int.box(img.h),
               Double.box(r), Double.box(g), Double.box(b)))
-        case None =>
+        }
+        case "audio/wav" => Wav.decode(m.blob).fold(stub) { clip =>
           MediaFeatures(m.media_id, m.media_type, n, md5hex(m.blob),
-            Seq(n % 256, n * 7 % 256, n * 31 % 256, n * 127 % 256)
-              .mkString(","))
+            String.format(java.util.Locale.ROOT, "%d,%d,%d,%.2f",
+              Int.box(clip.sampleRate), Int.box(clip.channels),
+              Int.box(clip.nFrames), Double.box(Wav.rms(clip))))
+        }
+        case _ => stub
       }
     }
 
@@ -127,6 +137,20 @@ object Multimodal {
     }
   }
 
+  /** REAL audio resample for decodable rows: `audio/wav` payloads are
+    * decoded, nearest-neighbor-resampled to `targetHz`, and re-encoded;
+    * non-decodable rows pass through unchanged. Same plan shape as
+    * [[resizeImage]]: per-row narrow transform, no shuffle. */
+  def resampleAudio(media: Dataset[MediaRecord],
+                    targetHz: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.media_type != "audio/wav") m
+      else Wav.decode(m.blob).fold(m)(clip =>
+        m.copy(blob = Wav.encode(Wav.resampleNearest(clip, targetHz))))
+    }
+  }
+
   /** Adapt any (id, text) table into a media table — the testdata has no
     * binary column, so text bytes stand in for the payload. */
   def fromText(df: DataFrame, idCol: String, textCol: String,
@@ -137,6 +161,131 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       encode(col(textCol), "UTF-8").as("blob"))
       .as[MediaRecord]
+  }
+}
+
+/** From-scratch RIFF/WAVE PCM-16 audio codec — plain JVM byte work, no
+  * libraries: header + raw samples, the audio analog of [[Ppm]] but a
+  * genuinely different binary layout (little-endian chunked container
+  * vs ASCII header). Layout: `RIFF <size> WAVE`, then subchunks; the
+  * `fmt ` subchunk (PCM format 1, 16-bit only here) and the `data`
+  * subchunk with interleaved little-endian int16 frames. Unknown
+  * subchunks (`LIST`, `cue `, …) are skipped by their declared size,
+  * as the spec requires. */
+object Wav {
+
+  /** Decoded clip: interleaved 16-bit samples, `nFrames` per channel. */
+  final case class Clip(sampleRate: Int, channels: Int,
+                        samples: Array[Short]) {
+    def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  def decode(bytes: Array[Byte]): Option[Clip] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
+      tag(bytes, 8) != "WAVE") return None
+    var i = 12
+    var rate = -1
+    var channels = -1
+    var bits = -1
+    var samples: Array[Short] = null
+    while (i + 8 <= bytes.length) {
+      val id = tag(bytes, i)
+      val sz = le32(bytes, i + 4)
+      val body = i + 8
+      if (sz < 0 || body + sz > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmt = le16(bytes, body)
+          if (fmt != 1) return None // PCM only
+          channels = le16(bytes, body + 2)
+          rate = le32(bytes, body + 4)
+          bits = le16(bytes, body + 14)
+        case "data" =>
+          if (sz % 2 != 0) return None
+          val out = new Array[Short](sz / 2)
+          var k = 0
+          while (k < out.length) {
+            out(k) = le16(bytes, body + 2 * k).toShort
+            k += 1
+          }
+          samples = out
+        case _ => // skip unknown subchunk (LIST, cue , fact, …)
+      }
+      i = body + sz + (sz % 2) // chunks are word-aligned (pad byte)
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || samples == null ||
+      samples.length % channels != 0) None
+    else Some(Clip(rate, channels, samples))
+  }
+
+  def encode(clip: Clip): Array[Byte] = {
+    val dataSz = clip.samples.length * 2
+    val out = new Array[Byte](44 + dataSz)
+    def putTag(i: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, i, 4)
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(i: Int, v: Int): Unit = { put16(i, v); put16(i + 2, v >> 16) }
+    putTag(0, "RIFF"); put32(4, 36 + dataSz); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16); put16(20, 1)
+    put16(22, clip.channels); put32(24, clip.sampleRate)
+    put32(28, clip.sampleRate * clip.channels * 2) // byte rate
+    put16(32, clip.channels * 2) // block align
+    put16(34, 16) // bits per sample
+    putTag(36, "data"); put32(40, dataSz)
+    var k = 0
+    while (k < clip.samples.length) {
+      put16(44 + 2 * k, clip.samples(k) & 0xffff)
+      k += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resample to `targetHz` — frame-based (all channels
+    * of a frame move together), the audio analog of
+    * [[Ppm.resizeNearest]]. */
+  def resampleNearest(clip: Clip, targetHz: Int): Clip = {
+    require(targetHz > 0)
+    val inFrames = clip.nFrames
+    val outFrames = (inFrames.toLong * targetHz / clip.sampleRate).toInt
+    val out = new Array[Short](outFrames * clip.channels)
+    var f = 0
+    while (f < outFrames) {
+      val sf = (f.toLong * inFrames / outFrames).toInt
+      var c = 0
+      while (c < clip.channels) {
+        out(f * clip.channels + c) = clip.samples(sf * clip.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    Clip(targetHz, clip.channels, out)
+  }
+
+  /** Root-mean-square amplitude over all samples (the loudness feature
+    * an audio-quality gate thresholds on). */
+  def rms(clip: Clip): Double = {
+    if (clip.samples.isEmpty) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < clip.samples.length) {
+      val x = clip.samples(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s / clip.samples.length)
   }
 }
 

@@ -78,4 +78,110 @@ class BpeSpec extends SparkSpec {
       numMerges = 6)
     assert(got == want)
   }
+
+  test("64 merges: incremental trainer == golden; recount reference " +
+    "form agrees on its prefix") {
+    // 100 real docs keep the corpus rich enough that 64 distinct merges
+    // exist while the per-round tables stay tiny
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id % 5 = 0")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val want = GoldenModels.bpeMerges(texts, numMerges = 64)
+    assert(want.length == 64, s"corpus too small: ${want.length} merges")
+    val inc = Bpe.trainMerges(docs, "text", numMerges = 64)
+    assert(inc == want)
+    // the recount form is cross-checked on a prefix (its per-round plan
+    // depth grows linearly — exactly why it is not the production path)
+    val rec = Bpe.trainMergesRecount(docs, "text", numMerges = 24)
+    assert(rec == want.take(24))
+  }
+
+  test("incremental training is sub-linear per merge: delta volume " +
+    "shrinks to a small fraction of the recount volume") {
+    // Deterministic witness computed from the golden trace (the same
+    // semantics the Spark trainer is pinned to): per round, the recount
+    // form re-aggregates EVERY adjacent pair of EVERY word type, while
+    // the incremental delta explodes only words containing the merged
+    // pair (old + new pairs). No timing flakiness — this is the exact
+    // data volume each plan shuffles into its aggregation.
+    //
+    // The testdata corpus has only ~31 distinct words (fixed lexicon
+    // soup), so the type table can't show the effect; a realistic
+    // seeded vocabulary (1500 types, Zipf-ish counts) is what a real
+    // corpus' word-type table looks like.
+    val rnd = new scala.util.Random(42)
+    val types = (1 to 1500).map { rank =>
+      val len = 3 + rnd.nextInt(8)
+      val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      w -> math.max(1L, 3000L / rank)
+    }.toMap // map: random duplicates collapse
+    var words: Map[Vector[String], Long] = types.toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    // golden trace over the same corpus, one "document" per word type
+    // (counts folded in by repeating the word). 512 merges: the early
+    // rounds of any BPE run merge ubiquitous character pairs and touch
+    // most types — the incremental win compounds over a real
+    // vocabulary-sized merge budget, which is exactly the regime the
+    // recount form cannot reach
+    val texts = types.toSeq.map { case (w, c) =>
+      Seq.fill(c.toInt)(w).mkString(" ") }
+    val merges = GoldenModels.bpeMerges(texts, numMerges = 512)
+    assert(merges.length == 512)
+    var recountVol = 0L
+    var deltaVol = 0L
+    for ((_, l, r, _) <- merges) {
+      // keysIterator, not keys: mapping over the key SET would collapse
+      // words of equal length into one element and undercount
+      recountVol += words.keysIterator.map(s => (s.length - 1).toLong).sum
+      def hasPair(s: Vector[String]) =
+        s.indices.dropRight(1).exists(i => s(i) == l && s(i + 1) == r)
+      def applied(s: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      deltaVol += words.keysIterator.filter(hasPair)
+        .map(s => (s.length - 1).toLong + (applied(s).length - 1)).sum
+      words = words.toSeq
+        .map { case (s, c) => (if (hasPair(s)) applied(s) else s) -> c }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    }
+    assert(deltaVol < recountVol / 5,
+      s"delta volume $deltaVol not sub-linear vs recount $recountVol")
+    // and the Spark incremental trainer produces the same merges on
+    // this corpus, tying the witness to the implementation
+    import spark.implicits._
+    val got = Bpe.trainMerges(texts.toDF("text"), "text", numMerges = 16)
+    assert(got == merges.take(16))
+  }
+
+  test("flat-loop encode expression == nested-HOF fold, incl. " +
+    "stale-presence-set and no-op merges") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id % 5 = 0")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 24)
+      .map(m => (m._2, m._3))
+    // extra merges that never / conditionally apply exercise the skip
+    // path and a pair whose left symbol was consumed earlier
+    val withNoise = merges ++ Seq(("zz", "qq"), ("</w>", "</w>"))
+    val w = docs.select(org.apache.spark.sql.functions
+      .explode(graft.functions.TextFunctions.tokens(col("text")))
+      .as("word")).distinct()
+    val fast = w.select(col("word"),
+      Bpe.encodedSymbols(col("word"), withNoise).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val slow = w.select(col("word"),
+      Bpe.encodedSymbolsHof(col("word"), withNoise).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fast.nonEmpty && fast == slow)
+  }
 }

@@ -56,6 +56,61 @@ class IncrementalSyncSpec extends SparkSpec {
       .getAs[String]("payload") == "v2")
   }
 
+  test("changelogUpsert replays safely: a batch written but not " +
+    "committed is re-applied after restart with identical lake state") {
+    // The exactly-once story a 100 TB incremental sync leans on:
+    // Structured Streaming commits a batch AFTER foreachBatch returns,
+    // so a crash between the sink write and the commit marker makes the
+    // engine REPLAY that batch on restart. The upsert must be
+    // idempotent under that replay. Simulated faithfully through the
+    // engine itself: run a file-source stream to completion, delete the
+    // checkpoint's commit marker (crash-after-write, before-commit),
+    // restart, and compare lake state.
+    val root = Files.createTempDirectory("graft-replay")
+    val src = root.resolve("src"); Files.createDirectory(src)
+    val lake = root.resolve("lake").toString
+    val chk = root.resolve("chk").toString
+    Seq(
+      Change(1L, ts("2026-01-01 00:00:00"), 1.0, "v1"),
+      Change(1L, ts("2026-01-01 00:05:00"), 2.0, "v2"),
+      Change(2L, ts("2026-01-01 00:01:00"), 3.0, "v1"))
+      .toDF().write.parquet(s"$src/b0")
+    val schema = Seq.empty[Change].toDF().schema
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+      val q = IncrementalSync.changelogUpsert(stream, "entity_id", "ts", lake)
+        .option("checkpointLocation", chk)
+        .start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+    val first = spark.read.parquet(s"$lake/data").collect()
+      .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
+      .toSet
+    assert(first == Set((1L, "v2"), (2L, "v1")))
+    // crash window: batch 0 wrote to the lake but never committed
+    val commit0 = java.nio.file.Paths.get(chk, "commits", "0")
+    assert(Files.exists(commit0), "expected commit marker for batch 0")
+    Files.delete(commit0)
+    // the local FS checkpoint manager writes a checksum sidecar next to
+    // the marker; leaving it behind fails the replay's rename
+    Files.deleteIfExists(java.nio.file.Paths.get(chk, "commits", ".0.crc"))
+    runStream() // restart → engine replays batch 0 against the lake
+    val replayed = spark.read.parquet(s"$lake/data").collect()
+      .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
+      .toSet
+    assert(replayed == first, "replayed batch changed the lake state")
+    assert(spark.read.parquet(s"$lake/data").count() == 2)
+    // and the stream still makes progress after the replay
+    Seq(Change(2L, ts("2026-01-01 01:00:00"), 4.0, "v2"))
+      .toDF().write.parquet(s"$src/b1")
+    runStream()
+    val advanced = spark.read.parquet(s"$lake/data").collect()
+      .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
+      .toSet
+    assert(advanced == Set((1L, "v2"), (2L, "v2")))
+  }
+
   test("sessionizedCounts merges events within the gap into one session") {
     val input = MemoryStream[Change](spark)
     input.addData(

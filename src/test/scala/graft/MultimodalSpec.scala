@@ -106,6 +106,84 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: random clips round-trip bit-for-bit; unknown " +
+    "subchunks skipped; junk rejected") {
+    import graft.operators.Wav
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val clipGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.choose(1, 2)
+      frames <- Gen.choose(0, 400)
+      xs <- Gen.listOfN(frames * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield Wav.Clip(rate, ch, xs.map(_.toShort).toArray)
+    val clips = (0 until 100).flatMap(i =>
+      clipGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    assert(clips.nonEmpty)
+    clips.foreach { c =>
+      val back = Wav.decode(Wav.encode(c)).get
+      assert(back.sampleRate == c.sampleRate && back.channels == c.channels)
+      assert(java.util.Arrays.equals(back.samples, c.samples))
+    }
+    // an unknown LIST subchunk between fmt and data must be skipped
+    val c = Wav.Clip(8000, 1, Array[Short](1, -2, 3))
+    val enc = Wav.encode(c)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = enc.take(36) ++ listChunk ++ enc.drop(36)
+    // fix the RIFF size field (4..8) for the inserted 12 bytes
+    val riffSz = (enc.length - 8) + 12
+    withList(4) = (riffSz & 0xff).toByte
+    withList(5) = ((riffSz >> 8) & 0xff).toByte
+    val back = Wav.decode(withList)
+    assert(back.exists(b => java.util.Arrays.equals(b.samples, c.samples)))
+    // junk and truncation are rejected, not mis-decoded
+    assert(Wav.decode("not a wav at all".getBytes).isEmpty)
+    assert(Wav.decode(enc.take(enc.length - 1)).isEmpty)
+    assert(Wav.decode(Array[Byte]()).isEmpty)
+  }
+
+  test("WAV resample: duration preserved, frame count scales with rate, " +
+    "channels stay interleaved") {
+    import graft.operators.Wav
+    val frames = 1000
+    val stereo = Wav.Clip(16000, 2,
+      Array.tabulate(frames * 2)(i =>
+        if (i % 2 == 0) (i / 2).toShort else (-(i / 2)).toShort))
+    val down = Wav.resampleNearest(stereo, 8000)
+    assert(down.sampleRate == 8000 && down.channels == 2)
+    assert(down.nFrames == frames / 2)
+    // each output frame is a REAL source frame: left == -right everywhere
+    assert(down.samples.grouped(2).forall(p => p(0) == -p(1)))
+    val up = Wav.resampleNearest(down, 32000)
+    assert(up.nFrames == frames * 2 && up.samples.grouped(2)
+      .forall(p => p(0) == -p(1)))
+  }
+
+  test("real WAV decode in the batch path: true rate/frames/RMS; " +
+    "resampleAudio halves frames, non-audio passes through") {
+    import graft.operators.Wav
+    import spark.implicits._
+    // a 440-sample square wave at full scale has RMS exactly 16384
+    val sq = Wav.Clip(8000, 1,
+      Array.tabulate[Short](440)(i => if (i % 2 == 0) 16384 else -16384))
+    val media = Seq(
+      MediaRecord(1L, "audio/wav", Wav.encode(sq)),
+      MediaRecord(2L, "audio/wav", "garbage".getBytes), // stub fallback
+      MediaRecord(3L, "text", "hello".getBytes)).toDS()
+    val feats = Multimodal.features(media).collect()
+      .map(f => f.media_id -> f.feature_str).toMap
+    assert(feats(1L) == "8000,1,440,16384.00")
+    assert(feats(2L) == Seq(7 % 256, 7 * 7 % 256, 7 * 31 % 256,
+      7 * 127 % 256).mkString(","))
+    val resampled = Multimodal.resampleAudio(media, 4000)
+      .collect().sortBy(_.media_id)
+    val halved = Wav.decode(resampled(0).blob).get
+    assert(halved.sampleRate == 4000 && halved.nFrames == 220)
+    assert(new String(resampled(2).blob) == "hello")
+  }
+
   test("decodeBatch sees bounded batches (the codec contract)") {
     val records = (1 to 200).map(i =>
       MediaRecord(i.toLong, "text", Array.fill(i)(7.toByte)))
