@@ -175,6 +175,55 @@ object CurationQueries {
         .select("doc_id", "source", "q")
     }),
 
+    // Quantile-sketch gate (the sketch layer's oracle-adjacent check):
+    // per-source EXACT p25/p50/p75 of the quality score — the oracled
+    // part — plus booleans asserting the GK sketch (percentile_approx,
+    // the 100 TB path) lands within its rank-error guarantee of the
+    // exact value. The GK output itself is merge-order-dependent and
+    // can't be oracled; the BOUND is deterministic (guaranteed by the
+    // sketch), so the booleans hash-compare against literal TRUE in
+    // DuckDB — a violation anywhere trips the gate. Same bounded
+    // histogram + running-count shape as quality_calibrated.
+    "quality_quantile_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import TextFunctions._
+      val scored = t(s, dir, "documents").select(col("source"),
+        qualityScore(col("text")).as("q"))
+      val hist = scored.groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = bySrc.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = hist
+        .withColumn("_cum", sum(col("c")).over(cum))
+        .withColumn("_n", sum(col("c")).over(bySrc))
+      // exact value at rank j = min grid value whose running count
+      // reaches j; rank tolerance = the GK guarantee n/accuracy (≥ 1)
+      def valAt(rank: Column) = min(when(col("_cum") >= rank, col("q")))
+      val err = greatest(lit(1L), ceil(col("_n") / 10000.0).cast("long"))
+      def k(p: Double) = ceil(col("_n") * p).cast("long")
+      val exact = ranked.groupBy(col("source")).agg(
+        valAt(k(0.25)).as("q25"), valAt(k(0.50)).as("q50"),
+        valAt(k(0.75)).as("q75"),
+        valAt(greatest(lit(1L), k(0.25) - err)).as("_lo25"),
+        valAt(least(col("_n"), k(0.25) + err)).as("_hi25"),
+        valAt(greatest(lit(1L), k(0.50) - err)).as("_lo50"),
+        valAt(least(col("_n"), k(0.50) + err)).as("_hi50"),
+        valAt(greatest(lit(1L), k(0.75) - err)).as("_lo75"),
+        valAt(least(col("_n"), k(0.75) + err)).as("_hi75"))
+      val gk = scored.groupBy(col("source")).agg(
+        percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("_gk"))
+      exact.join(gk, Seq("source"))
+        .select(col("source"), col("q25"), col("q50"), col("q75"),
+          (element_at(col("_gk"), 1) >= col("_lo25") &&
+            element_at(col("_gk"), 1) <= col("_hi25")).as("gk25_ok"),
+          (element_at(col("_gk"), 2) >= col("_lo50") &&
+            element_at(col("_gk"), 2) <= col("_hi50")).as("gk50_ok"),
+          (element_at(col("_gk"), 3) >= col("_lo75") &&
+            element_at(col("_gk"), 3) <= col("_hi75")).as("gk75_ok"))
+    }),
+
     // Context-window chunking: 64-token chunks at stride 48 (16-token
     // overlap) — zero-shuffle projection+explode; (doc_id, chunk_idx)
     // is the stable downstream key.
@@ -513,6 +562,45 @@ object CurationQueries {
        |WHERE q >= q25""".stripMargin
   }
 
+  /** Quantile-gate oracle: the same quality CTE, exact discrete
+    * quantiles via sorted-list indexing (k-th smallest == min grid value
+    * whose running count reaches k), and the GK-within-bound booleans as
+    * literal TRUE — the sketch guarantee makes them deterministic, so a
+    * violation on the Spark side hash-mismatches. */
+  private val qualityQuantileGateSql: String = {
+    import TextFunctions._
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, source, len(ts) AS n_tokens,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(len(list_filter(ts,
+       |           t -> list_contains(${lex(StopwordsEn)}, t))) AS DOUBLE)
+       |           / len(ts), 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, t -> length(t)))
+       |           AS DOUBLE) / len(ts), 4)
+       |      ELSE 0.0 END AS avg_wlen
+       |  FROM toks
+       |), scored AS (
+       |  SELECT source,
+       |    floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |          stop_ratio * 0.3 +
+       |          greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
+       |          * 10000.0 + 0.5) / 10000.0 AS q
+       |  FROM feat
+       |)
+       |SELECT source,
+       |  list_sort(list(q))[CAST(ceil(count(*) * 0.25) AS INT)] AS q25,
+       |  list_sort(list(q))[CAST(ceil(count(*) * 0.50) AS INT)] AS q50,
+       |  list_sort(list(q))[CAST(ceil(count(*) * 0.75) AS INT)] AS q75,
+       |  true AS gk25_ok, true AS gk50_ok, true AS gk75_ok
+       |FROM scored GROUP BY source""".stripMargin
+  }
+
   private val sampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |QUALIFY row_number() OVER (PARTITION BY source
@@ -524,6 +612,7 @@ object CurationQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "mix_epochs" -> mixEpochsSql,
     "quality_calibrated" -> qualityCalibratedSql,
+    "quality_quantile_gate" -> qualityQuantileGateSql,
     "chunk_docs" ->
       ("""WITH toks AS (SELECT doc_id, """ +
        """list_filter(string_split_regex(text,'\s+'), x -> x <> '') """ +

@@ -151,7 +151,16 @@ final class HttpApi(
       .filterNot(_ == Seq("*"))
       .getOrElse(stringCols)
     val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
-    hits(ex, Search.multiField(df, term, fields, limit))
+    // "rank": "bm25" (ES's actual multi_match scorer) or "tfidf" rank a
+    // single text field and return hit identities (id, score) like ES's
+    // _id/_score; the default occurrence scorer returns full rows
+    textOr(req, "rank", "occurrences") match {
+      case "bm25" =>
+        hits(ex, Search.bm25(df, term, fields.head, df.columns.head, limit))
+      case "tfidf" =>
+        hits(ex, Search.tfidf(df, term, fields.head, df.columns.head, limit))
+      case _ => hits(ex, Search.multiField(df, term, fields, limit))
+    }
   }
 
   /** POST /search/advanced — `{"sql": "SELECT ..."}` over the registered

@@ -83,6 +83,25 @@ class HttpApiSpec extends SparkSpec
     assert(r2.statusCode() == 200 && r2.body().contains("\"score\""))
   }
 
+  test("POST /search with rank=bm25 returns BM25-scored hit identities " +
+      "(the scorer ES's multi_match actually runs)") {
+    val r = post("/search",
+      """{"search_term": "window", "fields": ["text"],
+        | "index": "documents", "rank": "bm25", "limit": 5}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"score\""))
+    val scores = "\"score\":([0-9.]+)".r
+      .findAllMatchIn(r.body()).map(_.group(1).toDouble).toSeq
+    assert(scores.nonEmpty && scores.length <= 5)
+    assert(scores == scores.sorted.reverse) // ranked descending
+    // tfidf mode serves too, and ranks differently or equally — both
+    // bounded and well-formed
+    val t = post("/search",
+      """{"search_term": "window", "fields": ["text"],
+        | "index": "documents", "rank": "tfidf", "limit": 5}""".stripMargin)
+    assert(t.statusCode() == 200 && t.body().contains("\"score\""))
+  }
+
   test("POST /search/advanced runs real SQL over registered views (Q2)") {
     val r = post("/search/advanced",
       """{"sql": "SELECT n_name FROM nation ORDER BY n_name LIMIT 2"}""")

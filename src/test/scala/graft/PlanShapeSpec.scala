@@ -37,6 +37,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("bm25: inverted probe keeps the substring prefilter at the scan, " +
+    "stats/idf broadcast, no cartesian on the corpus") {
+    val plan = executedPlan(q("q2_search_bm25"))
+    // the contains-any prefilter evaluates scan-side (inside a Filter
+    // over the file scan, not after a shuffle): the corpus rows that
+    // survive tokenize+explode are query-term-sized
+    assert(plan.contains("Contains(lower(text"),
+      s"substring prefilter missing from the plan:\n$plan")
+    // idf + corpus stats join back broadcast — the per-(doc,term) table
+    // never hash-shuffles against a 1-row stats relation
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"stats/idf not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the bm25 plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not a TakeOrdered:\n$plan")
+  }
+
   test("j11: range join plans as a hash equi-join, not a nested loop") {
     val plan = executedPlan(q("j11_range_join"))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),

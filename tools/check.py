@@ -79,5 +79,21 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 
+def bench_fallback(repo_dir: str = ".") -> int:
+    """Recover the bench JSON line when the stdout tail was truncated
+    (the round-4 `parsed: null` failure mode): graft.Bench always writes
+    its complete output to BENCH_LATEST.json as a file fallback — re-emit
+    it as the single JSON line a driver parser expects."""
+    p = os.path.join(repo_dir, "BENCH_LATEST.json")
+    if not os.path.exists(p):
+        print(f"no {p}", file=sys.stderr)
+        return 1
+    with open(p) as f:
+        print(json.dumps(json.load(f), separators=(",", ":")))
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "bench":
+        sys.exit(bench_fallback(sys.argv[2] if len(sys.argv) > 2 else "."))
     sys.exit(main(sys.argv[1], sys.argv[2]))
