@@ -202,7 +202,9 @@ object Wav {
       val id = tag(bytes, i)
       val sz = le32(bytes, i + 4)
       val body = i + 8
-      if (sz < 0 || body + sz > bytes.length) return None
+      // overflow-safe form: `body + sz` wraps negative for adversarial
+      // sizes near Int.MaxValue and would bypass the bounds check
+      if (sz < 0 || sz > bytes.length - body) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None

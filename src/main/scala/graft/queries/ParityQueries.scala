@@ -475,6 +475,38 @@ object ParityQueries {
       graft.serving.Search.bm25(
         t(s, dir, "documents"), "window the of", "text", "doc_id")),
 
+    // Q1 multi-field BM25: TRUE multi_match semantics — ES scores each
+    // requested field with that field's own statistics and combines
+    // (src/search_api.py:22-30 passes a fields list). 'window' only
+    // hits text, 'src3' only hits source, so the combined ranking
+    // differs from either field alone. Sum combine = ES most_fields.
+    "q2_search_bm25_multi" -> ((s, dir) =>
+      graft.serving.Search.bm25Fields(
+        t(s, dir, "documents"), "window src3",
+        Seq("text", "source"), "doc_id")),
+
+    // best_fields combine (ES multi_match's DEFAULT type): per-doc MAX
+    // of the per-field scores instead of the sum.
+    "q2_search_bm25_best" -> ((s, dir) =>
+      graft.serving.Search.bm25Fields(
+        t(s, dir, "documents"), "window src3",
+        Seq("text", "source"), "doc_id", bestFields = true)),
+
+    // Q1 phrase search (ES multi_match type=phrase): query tokens must
+    // be ADJACENT in order — token adjacency on the normalized token
+    // string, not raw substring (double spaces still match).
+    "q2_search_phrase" -> ((s, dir) =>
+      graft.serving.Search.phrase(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "the window", Seq("text"))),
+
+    // Q1 operator=and search (ES multi_match operator=and): EVERY term
+    // must token-match in some field; token-exact occurrence scoring.
+    "q2_search_and" -> ((s, dir) =>
+      graft.serving.Search.multiFieldAnd(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        "window src3", Seq("text", "source"))),
+
     // Q1 cross-index variant: the reference's `data_lake_*` wildcard —
     // one search across EVERY entity index (src/es_connector.py:85-95
     // defaults index="data_lake_*"; legacy data_lake_sync.py:228) via
@@ -784,6 +816,69 @@ object ParityQueries {
       |                           color := p_brand) AS s
       |        FROM lineitem JOIN part ON l_partkey = p_partkey) q
       |  GROUP BY l_orderkey""")
+
+  /** Per-field BM25 CTE set (suffix `$i`) mirroring Search.rankedScores
+    * over one field: per-field dl/avgdl/df — ES scores each field of a
+    * multi_match with that field's own statistics. `sc$i` holds the RAW
+    * per-field score (rounding happens once, after the combine). */
+  private def bm25FieldCtes(field: String, terms: Seq[String],
+                            i: Int): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    val termSum = terms.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN idf$i.idf * " +
+        s"((tf$i.tf * CAST(2.2 AS DOUBLE)) / (tf$i.tf + " +
+        "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        s"CAST(0.75 AS DOUBLE) * tf$i.dl / st$i.avgdl))) END), " +
+        "CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    s"dls$i AS (SELECT doc_id, len(list_filter(" +
+      s"string_split_regex($field, '\\s+'), x -> x <> '')) AS dl, " +
+      s"$field AS f FROM documents), " +
+    s"toks$i AS (SELECT doc_id, dl, unnest(list_filter(" +
+      s"string_split_regex(lower(f), '\\s+'), x -> x <> '')) AS term " +
+      s"FROM dls$i), " +
+    s"q$i AS (SELECT doc_id, dl, term FROM toks$i WHERE term IN ($in)), " +
+    s"st$i AS (SELECT count(*) AS n, " +
+      s"CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls$i), " +
+    s"idf$i AS (SELECT term, " +
+      s"ln(CAST(1.0 AS DOUBLE) + (st$i.n - count(DISTINCT doc_id) " +
+      s"+ CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+      s"+ CAST(0.5 AS DOUBLE))) AS idf " +
+      s"FROM q$i CROSS JOIN st$i GROUP BY term, st$i.n), " +
+    s"tf$i AS (SELECT doc_id, dl, term, count(*) AS tf " +
+      s"FROM q$i GROUP BY 1, 2, 3), " +
+    s"sc$i AS (SELECT doc_id, $termSum AS s_$i " +
+      s"FROM tf$i JOIN idf$i USING (term) CROSS JOIN st$i " +
+      s"GROUP BY doc_id)"
+  }
+
+  /** Two-field BM25 oracle: per-field raw scores full-outer-joined and
+    * combined (fixed order / greatest), rounded ONCE — exactly
+    * Search.bm25Fields. */
+  private def bm25MultiSql(f0: String, f1: String, terms: Seq[String],
+                           bestFields: Boolean): String = {
+    val s0 = "COALESCE(sc0.s_0, CAST(0.0 AS DOUBLE))"
+    val s1 = "COALESCE(sc1.s_1, CAST(0.0 AS DOUBLE))"
+    val combined =
+      if (bestFields) s"greatest($s0, $s1)" else s"$s0 + $s1"
+    s"WITH ${bm25FieldCtes(f0, terms, 0)}, ${bm25FieldCtes(f1, terms, 1)} " +
+    "SELECT COALESCE(sc0.doc_id, sc1.doc_id) AS doc_id, " +
+    s"floor(($combined) * 10000.0 + 0.5) / 10000.0 AS score " +
+    "FROM sc0 FULL JOIN sc1 ON sc0.doc_id = sc1.doc_id " +
+    "ORDER BY score DESC, doc_id LIMIT 100"
+  }
+
+  /** `' ' || tokens-joined-by-single-spaces || ' '` — token-exact
+    * substring probes (mirrors Search.tokenNorm). */
+  private def tokenNormSql(field: String): String =
+    s"' ' || array_to_string(list_filter(string_split_regex(" +
+      s"lower(coalesce($field, '')), '\\s+'), x -> x <> ''), ' ') || ' '"
+
+  /** Non-overlapping occurrence count of `needle` in the SQL expr
+    * `hay` (mirrors Search.substrCount). */
+  private def substrCountSql(hay: String, needle: String): String =
+    s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / " +
+      s"${needle.length} AS INT)"
 
   def oracleSql: Map[String, String] = Map(
     "denorm_tickets" -> denormSql,
@@ -1118,6 +1213,35 @@ object ParityQueries {
        s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
        "FROM tf JOIN idf USING (term) CROSS JOIN st GROUP BY doc_id " +
        "ORDER BY score DESC, doc_id LIMIT 100"
+    },
+
+    "q2_search_bm25_multi" ->
+      bm25MultiSql("text", "source", Seq("window", "src3"),
+        bestFields = false),
+
+    "q2_search_bm25_best" ->
+      bm25MultiSql("text", "source", Seq("window", "src3"),
+        bestFields = true),
+
+    "q2_search_phrase" -> {
+      val n = tokenNormSql("text")
+      "SELECT doc_id, text, score FROM (SELECT doc_id, text, " +
+        s"${substrCountSql("n", " the window ")} AS score " +
+        s"FROM (SELECT doc_id, text, $n AS n FROM documents)) " +
+      "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"
+    },
+
+    "q2_search_and" -> {
+      def cnt(t: String) =
+        s"(${substrCountSql("nt", s" $t ")} + " +
+          s"${substrCountSql("ns", s" $t ")})"
+      "WITH nrm AS (SELECT doc_id, text, source, " +
+        s"${tokenNormSql("text")} AS nt, " +
+        s"${tokenNormSql("source")} AS ns FROM documents), " +
+      "cnts AS (SELECT doc_id, text, source, " +
+        s"${cnt("window")} AS c0, ${cnt("src3")} AS c1 FROM nrm) " +
+      "SELECT doc_id, text, source, (c0 + c1) AS score FROM cnts " +
+      "WHERE c0 > 0 AND c1 > 0 ORDER BY score DESC, doc_id LIMIT 100"
     },
 
     "sync_entity_docs" ->

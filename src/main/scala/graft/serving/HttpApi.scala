@@ -145,20 +145,37 @@ final class HttpApi(
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).toSeq
-    val fields = Option(req.get("fields"))
-      .filter(f => f.isArray && f.size() > 0)
+    val requested = Option(req.get("fields")).filter(_.isArray)
       .map(f => (0 until f.size()).map(f.get(_).asText()))
-      .filterNot(_ == Seq("*"))
-      .getOrElse(stringCols)
+    val fields = requested.filterNot(_ == Seq("*")).getOrElse(stringCols)
     val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
-    // "rank": "bm25" (ES's actual multi_match scorer) or "tfidf" rank a
-    // single text field and return hit identities (id, score) like ES's
-    // _id/_score; the default occurrence scorer returns full rows
+    // an explicit `"fields": []` (or a table with no string columns at
+    // all) is a caller error, not a 500: every ranking mode needs at
+    // least one field to score
+    if (fields.isEmpty) {
+      respond(ex, 400,
+        """{"error": "at least one searchable field is required"}""")
+      return
+    }
+    // "rank": "bm25" (ES's actual multi_match scorer) or "tfidf" rank
+    // the WHOLE fields list (per-field statistics, combined per
+    // "type": "most_fields" sum | "best_fields" max — ES multi_match
+    // types) and return hit identities (id, score) like ES's
+    // _id/_score. The default occurrence scorer returns full rows and
+    // honors "type": "phrase" (token adjacency) and
+    // "operator": "and" (every term must token-match).
+    val best = textOr(req, "type", "most_fields") == "best_fields"
     textOr(req, "rank", "occurrences") match {
       case "bm25" =>
-        hits(ex, Search.bm25(df, term, fields.head, df.columns.head, limit))
+        hits(ex, Search.bm25Fields(df, term, fields, df.columns.head,
+          limit, bestFields = best))
       case "tfidf" =>
-        hits(ex, Search.tfidf(df, term, fields.head, df.columns.head, limit))
+        hits(ex, Search.tfidfFields(df, term, fields, df.columns.head,
+          limit, bestFields = best))
+      case _ if textOr(req, "type", "") == "phrase" =>
+        hits(ex, Search.phrase(df, term, fields, limit))
+      case _ if textOr(req, "operator", "or") == "and" =>
+        hits(ex, Search.multiFieldAnd(df, term, fields, limit))
       case _ => hits(ex, Search.multiField(df, term, fields, limit))
     }
   }
@@ -189,8 +206,13 @@ final class HttpApi(
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
+    // ES's `total` object: an exact count when the page holds every
+    // hit, a LOWER BOUND (`relation: "gte"`) when capped — never the
+    // page size masquerading as the corpus-wide total
+    val relation = if (capped) "gte" else "eq"
     respond(ex, 200,
-      s"""{"hits": {"total": ${page.length}, "max_hits": $maxHits, ${""
+      s"""{"hits": {"total": {"value": ${rows.length}, ${""
+        }"relation": "$relation"}, "max_hits": $maxHits, ${""
         }"capped": $capped, "hits": [${page.mkString(", ")}]}}""")
   }
 

@@ -112,9 +112,77 @@ object Search {
            limit: Int = 100): DataFrame =
     rankedRetrieval(df, query, textCol, idCol, limit, bm25 = true)
 
+  /** Multi-field BM25 — TRUE `multi_match` semantics over a fields LIST
+    * (reference: src/search_api.py:22-30 passes several fields; ES
+    * scores each field independently with that field's own statistics).
+    * Per-field scoring is exactly [[bm25]] (per-field df, dl, avgdl);
+    * field scores combine as a fixed-order SUM (ES `most_fields`) or,
+    * with `bestFields = true`, the per-doc MAX (ES's default
+    * `best_fields`). Optional per-field `boosts` multiply a field's
+    * score before combining (ES `field^boost`).
+    *
+    * Shape at scale: each field contributes one prefiltered
+    * inverted-probe pass (query-term-sized after the scan filter); the
+    * combine is a full-outer join of HITS-sized frames — never
+    * corpus-sized. Float determinism: per-field scores are the same
+    * fixed-order sums as single-field, fields combine in caller order,
+    * rounding happens once after the combine. */
+  def bm25Fields(df: DataFrame, query: String, fields: Seq[String],
+                 idCol: String, limit: Int = 100,
+                 bestFields: Boolean = false,
+                 boosts: Map[String, Double] = Map.empty): DataFrame =
+    rankedFields(df, query, fields, idCol, limit, bm25 = true,
+      bestFields, boosts)
+
+  /** Multi-field tf·idf — [[tfidf]] per field, combined like
+    * [[bm25Fields]]. */
+  def tfidfFields(df: DataFrame, query: String, fields: Seq[String],
+                  idCol: String, limit: Int = 100,
+                  bestFields: Boolean = false,
+                  boosts: Map[String, Double] = Map.empty): DataFrame =
+    rankedFields(df, query, fields, idCol, limit, bm25 = false,
+      bestFields, boosts)
+
+  /** Round to the 1e-4 grid — the last step of every ranked scorer, so
+    * the DuckDB oracle compares lattice points, not raw doubles. */
+  private def round4(c: Column): Column =
+    floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+
+  private def rankedFields(df: DataFrame, query: String,
+                           fields: Seq[String], idCol: String, limit: Int,
+                           bm25: Boolean, bestFields: Boolean,
+                           boosts: Map[String, Double]): DataFrame = {
+    require(fields.nonEmpty, "at least one field to rank")
+    val perField = fields.zipWithIndex.map { case (f, i) =>
+      val boosted = boosts.get(f)
+        .map(b => col("score") * b).getOrElse(col("score"))
+      rankedScores(df, query, f, idCol, bm25)
+        .select(col(idCol), boosted.as(s"s_$i"))
+    }
+    val joined = perField.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val parts = fields.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+    val combined =
+      if (parts.size == 1) parts.head
+      else if (bestFields) greatest(parts: _*)
+      else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
+    joined.select(col(idCol), round4(combined).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
   private def rankedRetrieval(df: DataFrame, query: String, textCol: String,
                               idCol: String, limit: Int,
-                              bm25: Boolean): DataFrame = {
+                              bm25: Boolean): DataFrame =
+    rankedScores(df, query, textCol, idCol, bm25)
+      .select(col(idCol), round4(col("score")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+
+  /** Raw (id, score) for every doc matching ≥1 query term in `textCol`
+    * — single-field scoring WITHOUT rounding/top-k, so multi-field
+    * combination can sum/max field scores before the one rounding. */
+  private def rankedScores(df: DataFrame, query: String, textCol: String,
+                           idCol: String, bm25: Boolean): DataFrame = {
     import graft.functions.TextFunctions.tokenCount
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     // substring prefilter BEFORE tokenizing: a doc with no query term as
@@ -178,9 +246,77 @@ object Search {
       coalesce(sum(when(col("term") === t, perTerm)), lit(0.0)))
     grouped.join(broadcast(idf), Seq("term"))
       .groupBy(col(idCol))
-      .agg((floor(termScores.reduce(_ + _) * 10000.0 + 0.5)
-        .cast("double") / 10000.0).as("score"))
-      .orderBy(col("score").desc, col(idCol))
+      .agg(termScores.reduce(_ + _).as("score"))
+  }
+
+  /** `" t1 t2 … "` — the column's whitespace tokens joined by single
+    * spaces and padded, so a substring probe for `" t "` is an EXACT
+    * token match and `" t1 t2 "` exact token ADJACENCY, regardless of
+    * the original run lengths of whitespace. */
+  private def tokenNorm(c: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(lower(coalesce(c, lit(""))), "\\s+"),
+        x => x =!= lit("")), " "),
+      lit(" "))
+
+  /** Non-overlapping occurrence count of `needle` in `hay` — both
+    * engines' `replace` scans left-to-right past replaced text, so the
+    * count is identical engine-to-engine. */
+  private def substrCount(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** PHRASE search (ES `multi_match` `type: "phrase"`): the query's
+    * tokens must appear consecutively, in order, in a field. Scored by
+    * the total (non-overlapping) phrase-occurrence count across
+    * `fields`, full rows returned like [[multiField]].
+    *
+    * Exactness: matching runs on the normalized token string
+    * ([[tokenNorm]]), so `"the  window"` (double space) still matches
+    * the phrase `"the window"` — token adjacency, not raw substring. A
+    * codegen'd per-term `contains` prefilter keeps the HOF
+    * normalization off most of the corpus (any doc lacking some term
+    * as a SUBSTRING can't contain it as a token). */
+  def phrase(df: DataFrame, phraseQuery: String, fields: Seq[String],
+             limit: Int = 100): DataFrame = {
+    val terms = phraseQuery.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val needle = terms.mkString(" ", " ", " ")
+    val prefilter = fields.map(f =>
+        terms.map(t => lower(coalesce(col(f), lit("")))
+          .contains(lit(t))).reduce(_ && _))
+      .reduce(_ || _)
+    val score = fields.map(f => substrCount(tokenNorm(col(f)), needle))
+      .reduce(_ + _).as("score")
+    val keyCols = df.columns.toSeq.map(col)
+    df.filter(prefilter)
+      .select(keyCols :+ score: _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(df.columns.head))
+      .limit(limit)
+  }
+
+  /** `operator: "and"` search (ES `multi_match` with `operator: and`):
+    * EVERY query term must appear as an exact token in at least one of
+    * `fields`; scored like [[multiField]] but token-exact (so `"foo"`
+    * no longer matches `"foobar"` the way the substring scorer does).
+    * Same scan-side shape: per-term/per-field codegen'd counts, no
+    * shuffle before the final top-k. */
+  def multiFieldAnd(df: DataFrame, query: String, fields: Seq[String],
+                    limit: Int = 100): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val norms = fields.map(f => tokenNorm(col(f)))
+    def termCount(t: String): Column =
+      norms.map(n => substrCount(n, s" $t ")).reduce(_ + _)
+    val allTerms = terms.map(t => termCount(t) > 0).reduce(_ && _)
+    val score = terms.map(termCount).reduce(_ + _).as("score")
+    val keyCols = df.columns.toSeq.map(col)
+    df.filter(allTerms)
+      .select(keyCols :+ score: _*)
+      .orderBy(col("score").desc, col(df.columns.head))
       .limit(limit)
   }
 }

@@ -102,6 +102,61 @@ class HttpApiSpec extends SparkSpec
     assert(t.statusCode() == 200 && t.body().contains("\"score\""))
   }
 
+  test("POST /search rank=bm25 scores the WHOLE fields list (true " +
+      "multi_match): two fields rank differently than either alone") {
+    def topIds(body: String): Seq[Long] =
+      "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    // 'window' only matches text; 'src3' only matches source — so the
+    // two-field ranking must differ from each single-field ranking
+    val both = post("/search",
+      """{"search_term": "window src3", "fields": ["text", "source"],
+        | "index": "documents", "rank": "bm25", "limit": 10}""".stripMargin)
+    val textOnly = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "rank": "bm25", "limit": 10}""".stripMargin)
+    val srcOnly = post("/search",
+      """{"search_term": "window src3", "fields": ["source"],
+        | "index": "documents", "rank": "bm25", "limit": 10}""".stripMargin)
+    assert(both.statusCode() == 200, both.body())
+    val (b, tx, so) =
+      (topIds(both.body()), topIds(textOnly.body()), topIds(srcOnly.body()))
+    assert(b.nonEmpty && b != tx && b != so,
+      s"multi-field ranking should differ: both=$b text=$tx source=$so")
+    // best_fields (ES's default multi_match type) serves and is ranked
+    val best = post("/search",
+      """{"search_term": "window src3", "fields": ["text", "source"],
+        | "index": "documents", "rank": "bm25",
+        | "type": "best_fields", "limit": 10}""".stripMargin)
+    assert(best.statusCode() == 200 && best.body().contains("\"score\""))
+  }
+
+  test("POST /search type=phrase needs adjacency; operator=and needs " +
+      "every term (ES multi_match modes)") {
+    val ph = post("/search",
+      """{"search_term": "the window", "fields": ["text"],
+        | "index": "documents", "type": "phrase", "limit": 100}""".stripMargin)
+    assert(ph.statusCode() == 200, ph.body())
+    val phN = "\"doc_id\"".r.findAllIn(ph.body()).size
+    // both-terms-anywhere (operator=and) matches strictly more docs
+    // than the adjacency-constrained phrase
+    val and = post("/search",
+      """{"search_term": "the window", "fields": ["text"],
+        | "index": "documents", "operator": "and", "limit": 100}""".stripMargin)
+    val andN = "\"doc_id\"".r.findAllIn(and.body()).size
+    assert(phN > 0 && phN < andN, s"phrase=$phN and=$andN")
+    // operator=and: 'src3' never appears in text, so text-only AND is
+    // empty while text+source AND is not
+    val andBoth = post("/search",
+      """{"search_term": "window src3", "fields": ["text", "source"],
+        | "index": "documents", "operator": "and"}""".stripMargin)
+    val andText = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "operator": "and"}""".stripMargin)
+    assert(andBoth.statusCode() == 200 && andText.statusCode() == 200)
+    assert("\"doc_id\"".r.findAllIn(andBoth.body()).size > 0)
+    assert("\"doc_id\"".r.findAllIn(andText.body()).size == 0)
+  }
+
   test("POST /search/advanced runs real SQL over registered views (Q2)") {
     val r = post("/search/advanced",
       """{"sql": "SELECT n_name FROM nation ORDER BY n_name LIMIT 2"}""")
@@ -119,12 +174,27 @@ class HttpApiSpec extends SparkSpec
     assert(r.body().contains("\"capped\": true"), r.body().take(200))
     assert(r.body().contains("\"max_hits\": 1000"))
     assert("\"l_orderkey\"".r.findAllIn(r.body()).size == 1000)
+    // a capped envelope must NOT pass the page size off as the corpus
+    // total: ES reports a lower bound with relation "gte"
+    assert(r.body().contains("\"relation\": \"gte\""), r.body().take(200))
+    assert("\"total\": \\{\"value\": (\\d+)".r.findFirstMatchIn(r.body())
+      .exists(_.group(1).toInt > 1000))
     // a bounded query comes back whole and unflagged
     val small = post("/search/advanced",
       """{"sql": "SELECT n_name FROM nation"}""")
     assert(small.statusCode() == 200)
     assert(small.body().contains("\"capped\": false"))
+    assert(small.body().contains("\"relation\": \"eq\""))
     assert("\"n_name\"".r.findAllIn(small.body()).size == 25)
+  }
+
+  test("POST /search with an explicit empty fields list is a 400, " +
+      "not a 500 (ranked modes score at least one field)") {
+    val r = post("/search",
+      """{"search_term": "window", "fields": [],
+        | "index": "documents", "rank": "bm25"}""".stripMargin)
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("field"))
   }
 
   test("POST /{entity} inserts one validated doc and returns its id") {

@@ -142,6 +142,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.decode("not a wav at all".getBytes).isEmpty)
     assert(Wav.decode(enc.take(enc.length - 1)).isEmpty)
     assert(Wav.decode(Array[Byte]()).isEmpty)
+    // adversarial chunk size near Int.MaxValue: `body + sz` overflows
+    // negative in Int arithmetic and would slip past a naive bounds
+    // check into a huge allocation — must be a clean None
+    val evil = enc.clone()
+    evil(40) = -1; evil(41) = -1; evil(42) = -1; evil(43) = 0x7f.toByte
+    assert(Wav.decode(evil).isEmpty)
   }
 
   test("WAV resample: duration preserved, frame count scales with rate, " +
