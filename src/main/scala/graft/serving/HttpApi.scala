@@ -157,6 +157,18 @@ final class HttpApi(
         """{"error": "at least one searchable field is required"}""")
       return
     }
+    // "search_after": [score, id] — the ES deep-pagination cursor: the
+    // LAST hit's sort values from the previous page; every mode sorts
+    // (score desc, id asc), so the cursor is deterministic
+    val after: Option[(Double, Any)] =
+      Option(req.get("search_after")).filter(a => a.isArray && a.size == 2)
+        .map { a =>
+          val id = a.get(1)
+          (a.get(0).asDouble,
+            if (id.isIntegralNumber) id.asLong
+            else if (id.isNumber) id.asDouble
+            else id.asText: Any)
+        }
     // "rank": "bm25" (ES's actual multi_match scorer) or "tfidf" rank
     // the WHOLE fields list (per-field statistics, combined per
     // "type": "most_fields" sum | "best_fields" max — ES multi_match
@@ -168,27 +180,63 @@ final class HttpApi(
     textOr(req, "rank", "occurrences") match {
       case "bm25" =>
         hits(ex, Search.bm25Fields(df, term, fields, df.columns.head,
-          limit, bestFields = best))
+          limit, bestFields = best, after = after))
       case "tfidf" =>
         hits(ex, Search.tfidfFields(df, term, fields, df.columns.head,
-          limit, bestFields = best))
+          limit, bestFields = best, after = after))
       case _ if textOr(req, "type", "") == "phrase" =>
-        hits(ex, Search.phrase(df, term, fields, limit))
+        hits(ex, Search.phrase(df, term, fields, limit, after))
       case _ if textOr(req, "operator", "or") == "and" =>
-        hits(ex, Search.multiFieldAnd(df, term, fields, limit))
-      case _ => hits(ex, Search.multiField(df, term, fields, limit))
+        hits(ex, Search.multiFieldAnd(df, term, fields, limit, after))
+      case _ => hits(ex, Search.multiField(df, term, fields, limit, after))
     }
   }
 
-  /** POST /search/advanced — `{"sql": "SELECT ..."}` over the registered
-    * lake views; the engine's real query language instead of a raw ES
-    * DSL forward. */
+  /** POST /search/advanced — `{"sql": "SELECT ...", "page_token": ...}`
+    * over the registered lake views; the engine's real query language
+    * instead of a raw ES DSL forward.
+    *
+    * Pagination: a capped page returns `next_page_token`; replaying the
+    * SAME sql with that token returns the next page. The token encodes
+    * (sql-hash, offset) — a mismatched sql is a 400, not a silently
+    * wrong page. Determinism: paging needs a total order, so a query
+    * without its own global ORDER BY gets a deterministic all-columns
+    * sort appended; with the page-sized limit on top Spark executes it
+    * as TakeOrdered (top-k per partition), NOT a full corpus sort. A
+    * result with un-orderable columns (maps) serves page 1 capped with
+    * no token. */
   private def advancedSearch(ex: HttpExchange, req: JsonNode): Unit = {
     val query = textOr(req, "sql", "")
     if (query.isEmpty) {
       respond(ex, 400, """{"error": "sql is required"}"""); return
     }
-    hits(ex, Search.sql(spark, query))
+    val sqlHash = md5hex(query)
+    val offset = textOr(req, "page_token", "") match {
+      case "" => 0
+      case tok =>
+        val parts = new String(
+          java.util.Base64.getUrlDecoder.decode(tok),
+          StandardCharsets.UTF_8).split(":", 2)
+        if (parts.length != 2 || parts(0) != sqlHash) {
+          respond(ex, 400,
+            """{"error": "page_token does not match this sql"}""")
+          return
+        }
+        parts(1).toInt
+    }
+    val df = Search.sql(spark, query)
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val userSorted = df.queryExecution.analyzed
+      .collectFirst { case s: Sort if s.global => s }.isDefined
+    val (pageable, tokenable) =
+      if (userSorted) (df, true)
+      else scala.util.Try(df.orderBy(df.columns.map(col): _*).toDF())
+        .map((_, true)).getOrElse((df, false))
+    hits(ex, if (offset > 0) pageable.offset(offset) else pageable,
+      nextToken = () =>
+        if (!tokenable) None
+        else Some(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+          s"$sqlHash:${offset + maxHits}".getBytes(StandardCharsets.UTF_8))))
   }
 
   /** ES-shaped hits envelope: `{"hits": {"total": n, "hits": [...]}}` —
@@ -202,7 +250,8 @@ final class HttpApi(
     * hits, default 10 — src/es_connector.py:85-95). One extra row is
     * fetched to detect truncation; `"capped": true` plus the cap in the
     * envelope tells the caller to narrow the query or paginate. */
-  private def hits(ex: HttpExchange, df: DataFrame): Unit = {
+  private def hits(ex: HttpExchange, df: DataFrame,
+                   nextToken: () => Option[String] = () => None): Unit = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
@@ -210,10 +259,13 @@ final class HttpApi(
     // hit, a LOWER BOUND (`relation: "gte"`) when capped — never the
     // page size masquerading as the corpus-wide total
     val relation = if (capped) "gte" else "eq"
+    val token = if (capped) nextToken() else None
+    val tokenField = token
+      .map(t => s""", "next_page_token": "$t"""").getOrElse("")
     respond(ex, 200,
       s"""{"hits": {"total": {"value": ${rows.length}, ${""
         }"relation": "$relation"}, "max_hits": $maxHits, ${""
-        }"capped": $capped, "hits": [${page.mkString(", ")}]}}""")
+        }"capped": $capped$tokenField, "hits": [${page.mkString(", ")}]}}""")
   }
 
   // -------------------------------------------------------------------
@@ -345,6 +397,11 @@ final class HttpApi(
   // -------------------------------------------------------------------
   // Plumbing
   // -------------------------------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   private def body(ex: HttpExchange): JsonNode = {
     val bytes = ex.getRequestBody.readAllBytes()

@@ -30,16 +30,31 @@ object Search {
       needle.length).cast("int")
   }
 
+  /** `search_after`-style cursor: keep only hits STRICTLY AFTER
+    * `(score, id)` in the (score desc, id asc) sort every scorer ends
+    * with — ES's deterministic deep-pagination cursor
+    * (src/es_connector.py:85-95 pages its hits). The caller passes the
+    * LAST hit of the previous page; applied before top-k, so page N+1
+    * is the next `limit` hits with no overlap and no gap. */
+  private def afterPredicate(after: Option[(Double, Any)],
+                             idc: Column): Column =
+    after.map { case (s, id) =>
+      (col("score") < s) || (col("score") === s && idc > lit(id))
+    }.getOrElse(lit(true))
+
   /** Multi-field search: rows where any selected field contains `term`
     * (case-insensitive), scored by total occurrence count, top `limit`.
+    * `after` = pagination cursor ([[afterPredicate]]).
     */
   def multiField(df: DataFrame, term: String, fields: Seq[String],
-                 limit: Int = 100): DataFrame = {
+                 limit: Int = 100,
+                 after: Option[(Double, Any)] = None): DataFrame = {
     val score = fields.map(f => occurrences(col(f), term))
       .reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
     df.select(keyCols :+ score: _*)
       .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(df.columns.head)))
       .orderBy(col("score").desc, col(df.columns.head))
       .limit(limit)
   }
@@ -130,18 +145,20 @@ object Search {
   def bm25Fields(df: DataFrame, query: String, fields: Seq[String],
                  idCol: String, limit: Int = 100,
                  bestFields: Boolean = false,
-                 boosts: Map[String, Double] = Map.empty): DataFrame =
+                 boosts: Map[String, Double] = Map.empty,
+                 after: Option[(Double, Any)] = None): DataFrame =
     rankedFields(df, query, fields, idCol, limit, bm25 = true,
-      bestFields, boosts)
+      bestFields, boosts, after)
 
   /** Multi-field tf·idf — [[tfidf]] per field, combined like
     * [[bm25Fields]]. */
   def tfidfFields(df: DataFrame, query: String, fields: Seq[String],
                   idCol: String, limit: Int = 100,
                   bestFields: Boolean = false,
-                  boosts: Map[String, Double] = Map.empty): DataFrame =
+                  boosts: Map[String, Double] = Map.empty,
+                  after: Option[(Double, Any)] = None): DataFrame =
     rankedFields(df, query, fields, idCol, limit, bm25 = false,
-      bestFields, boosts)
+      bestFields, boosts, after)
 
   /** Round to the 1e-4 grid — the last step of every ranked scorer, so
     * the DuckDB oracle compares lattice points, not raw doubles. */
@@ -151,7 +168,8 @@ object Search {
   private def rankedFields(df: DataFrame, query: String,
                            fields: Seq[String], idCol: String, limit: Int,
                            bm25: Boolean, bestFields: Boolean,
-                           boosts: Map[String, Double]): DataFrame = {
+                           boosts: Map[String, Double],
+                           after: Option[(Double, Any)] = None): DataFrame = {
     require(fields.nonEmpty, "at least one field to rank")
     val perField = fields.zipWithIndex.map { case (f, i) =>
       val boosted = boosts.get(f)
@@ -166,6 +184,7 @@ object Search {
       else if (bestFields) greatest(parts: _*)
       else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
     joined.select(col(idCol), round4(combined).as("score"))
+      .filter(afterPredicate(after, col(idCol)))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }
@@ -278,7 +297,8 @@ object Search {
     * normalization off most of the corpus (any doc lacking some term
     * as a SUBSTRING can't contain it as a token). */
   def phrase(df: DataFrame, phraseQuery: String, fields: Seq[String],
-             limit: Int = 100): DataFrame = {
+             limit: Int = 100,
+             after: Option[(Double, Any)] = None): DataFrame = {
     val terms = phraseQuery.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
@@ -293,6 +313,7 @@ object Search {
     df.filter(prefilter)
       .select(keyCols :+ score: _*)
       .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(df.columns.head)))
       .orderBy(col("score").desc, col(df.columns.head))
       .limit(limit)
   }
@@ -304,7 +325,8 @@ object Search {
     * Same scan-side shape: per-term/per-field codegen'd counts, no
     * shuffle before the final top-k. */
   def multiFieldAnd(df: DataFrame, query: String, fields: Seq[String],
-                    limit: Int = 100): DataFrame = {
+                    limit: Int = 100,
+                    after: Option[(Double, Any)] = None): DataFrame = {
     val terms = query.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
@@ -316,6 +338,7 @@ object Search {
     val keyCols = df.columns.toSeq.map(col)
     df.filter(allTerms)
       .select(keyCols :+ score: _*)
+      .filter(afterPredicate(after, col(df.columns.head)))
       .orderBy(col("score").desc, col(df.columns.head))
       .limit(limit)
   }

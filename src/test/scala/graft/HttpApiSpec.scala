@@ -188,6 +188,64 @@ class HttpApiSpec extends SparkSpec
     assert("\"n_name\"".r.findAllIn(small.body()).size == 25)
   }
 
+  test("POST /search pages with a search_after cursor: two pages, " +
+      "no overlap, no gap (ES deep pagination)") {
+    def hitsOf(body: String): Seq[(Long, Double)] =
+      "\\{\"doc_id\":(\\d+),\"score\":([0-9.]+)\\}".r
+        .findAllMatchIn(body)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble)).toSeq
+    val q = """{"search_term": "window the of", "fields": ["text"],
+      | "index": "documents", "rank": "bm25", "limit": 7%s}""".stripMargin
+    val p1 = post("/search", q.format(""))
+    assert(p1.statusCode() == 200, p1.body())
+    val h1 = hitsOf(p1.body())
+    assert(h1.size == 7)
+    val (lastId, lastScore) = (h1.last._1, h1.last._2)
+    val p2 = post("/search",
+      q.format(s""", "search_after": [$lastScore, $lastId]"""))
+    assert(p2.statusCode() == 200, p2.body())
+    val h2 = hitsOf(p2.body())
+    assert(h2.size == 7)
+    // no overlap, and the two pages are exactly the first 14 hits of a
+    // single larger request (no gap)
+    assert((h1.map(_._1).toSet intersect h2.map(_._1).toSet).isEmpty)
+    val all = hitsOf(post("/search",
+      q.format("").replace("\"limit\": 7", "\"limit\": 14")).body())
+    assert(h1 ++ h2 == all, s"paged=${h1 ++ h2} single=$all")
+  }
+
+  test("POST /search/advanced pages with next_page_token; a token for " +
+      "different sql is a 400") {
+    // orders has a unique key (1500 rows at sf0.001), so page contents
+    // can be compared set-wise
+    val sql = """{"sql": "SELECT o_orderkey FROM orders"%s}"""
+    val p1 = post("/search/advanced", sql.format(""))
+    assert(p1.statusCode() == 200)
+    assert(p1.body().contains("\"capped\": true"))
+    val tok = "\"next_page_token\": \"([^\"]+)\"".r
+      .findFirstMatchIn(p1.body()).map(_.group(1))
+    assert(tok.isDefined, p1.body().take(300))
+    val p2 = post("/search/advanced",
+      sql.format(s""", "page_token": "${tok.get}""""))
+    assert(p2.statusCode() == 200, p2.body().take(300))
+    def keys(body: String): Set[Long] =
+      "\"o_orderkey\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSet
+    val (k1, k2) = (keys(p1.body()), keys(p2.body()))
+    // full pages, zero overlap, union covers the whole table — the
+    // deterministic all-columns sort makes offset paging sound for
+    // unordered SQL (no gap, no repeat)
+    assert(k1.size == 1000 && k2.size == 500, s"${k1.size} ${k2.size}")
+    assert((k1 intersect k2).isEmpty)
+    assert((k1 union k2).size == 1500)
+    assert(p2.body().contains("\"capped\": false"))
+    // a token replayed against DIFFERENT sql must not return a silently
+    // wrong page
+    val bad = post("/search/advanced",
+      s"""{"sql": "SELECT n_name FROM nation", "page_token": "${tok.get}"}""")
+    assert(bad.statusCode() == 400)
+  }
+
   test("POST /search with an explicit empty fields list is a 400, " +
       "not a 500 (ranked modes score at least one field)") {
     val r = post("/search",
