@@ -84,6 +84,18 @@ object Bpe {
     aggregate(syms, zero, step, fin)
   }
 
+  /** Lineage cut between iterative rounds: a RELIABLE `checkpoint()`
+    * when the session has a configured checkpoint dir (the multi-day
+    * production-vocabulary story — recovery from executor/node loss
+    * replays from HDFS/S3 files, not from the lost executors' block
+    * store), else the fast `localCheckpoint(eager = false)` that trades
+    * recoverability for speed at sandbox scale. Lazy in both modes so
+    * each round still runs ONE action. */
+  private[graft] def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(false)
+
   /** Train `numMerges` merges; returns (step, left, right, freq) rows.
     * Stops early if no adjacent pair remains (fully merged corpus).
     *
@@ -102,80 +114,188 @@ object Bpe {
     *  - pair table ← full-outer join with the (tiny) delta, zero counts
     *    dropped; word table ← one conditional-merge projection.
     *
-    * Still one action per round (the top-1 materializes the previous
+    * Still one action per round (the top-k materializes the previous
     * round's lazy state), and each round's word/pair tables are cut to
-    * a flat `localCheckpoint(eager = false)` plan — without the cut,
-    * round k's plan nests k joins/projections and Catalyst re-analysis
-    * makes late rounds quadratically slow (a 64-round nested plan
-    * overflows the tree-string stack outright). Local checkpoints trade
-    * executor-loss recomputability for speed; a multi-day production
-    * vocabulary run should periodically swap in a reliable
-    * `checkpoint()` against a configured checkpoint dir.
+    * a flat lineage ([[cut]]: reliable `checkpoint()` under a
+    * configured checkpoint dir, else `localCheckpoint(eager=false)`) —
+    * without the cut, round k's plan nests k joins/projections and
+    * Catalyst re-analysis makes late rounds quadratically slow (a
+    * 64-round nested plan overflows the tree-string stack outright).
+    *
+    * BATCHED ROUNDS: each round takes the top-`batchCap` pairs and
+    * applies the longest PREFIX of them that provably matches what
+    * sequential greedy BPE would pick — a candidate joins the batch
+    * only when (a) its own count cannot have been changed by the
+    * earlier batch members (no shared symbols, including the created
+    * `l+r` strings), and (b) no pair created by an earlier member can
+    * out-rank it: a created pair `(x, l·r)` needs a pre-merge
+    * `(x, l)` occurrence at the same position, so its count is bounded
+    * by an EXISTING pair count adjacent to the merge — and every pair
+    * with count ≥ the candidate's is in the fetched top-k, where the
+    * adjacency is checked directly. One projection applies the whole
+    * batch (flat generated loop, [[org.apache.spark.sql.graft.BpeApplySyms]]),
+    * so a 32k-merge vocabulary needs ~batch-size-fewer driver rounds
+    * while producing BIT-IDENTICAL merges (BpeSpec pins 256 merges
+    * against the golden sequential trainer).
+    *
     * [[trainMergesRecount]] keeps the recount-every-round reference
     * form; BpeSpec pins both to the golden trainer at 64 merges. */
   def trainMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): Seq[(Int, String, String, Long)] = {
+                  numMerges: Int): Seq[(Int, String, String, Long)] =
+    trainMergesBatched(docs, textCol, numMerges)._1
+
+  /** [[trainMerges]] exposing the round count: (merges, driver rounds).
+    * `batchCap` bounds merges per round; 1 = the sequential form. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                         batchCap: Int = 64)
+      : (Seq[(Int, String, String, Long)], Int) = {
     import org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd
-    var words = wordCounts(docs, textCol)
-      .select(col("wc"), initSymbols(col("word")).as("syms"))
-      .localCheckpoint(false)
-    var pairs = words
+    require(batchCap >= 1, "batchCap must be at least 1")
+    var words = cut(wordCounts(docs, textCol)
+      .select(col("wc"), initSymbols(col("word")).as("syms")))
+    var pairs = cut(words
       .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("wc")).as("freq"))
-      .localCheckpoint(false)
+      .agg(sum(col("wc")).as("freq")))
     // two-round history: words_{i-1} is still the physical parent of
     // words_i's (lazy) checkpoint until round i+1's action materializes
     // it, so storage is released with a one-round lag
     val live = scala.collection.mutable.Queue.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
+    var rounds = 0
     try {
-      var step = 1
       var exhausted = false
-      while (step <= numMerges && !exhausted) {
+      while (merges.length < numMerges && !exhausted) {
+        val want = math.min(batchCap, numMerges - merges.length)
         val top = pairs.orderBy(col("freq").desc, col("l"), col("r"))
-          .limit(1).collect()
+          .limit(want).collect()
+          .map { case Row(l: String, r: String, f: Long) => (l, r, f) }
+        rounds += 1
         while (live.size > 4) unpersistPlanRdd(live.dequeue())
         if (top.isEmpty) exhausted = true
         else {
-          val Row(l: String, r: String, freq: Long) = top(0)
-          merges += ((step, l, r, freq))
-          val hasPair = exists(adjacentPairs(col("syms")),
-            p => p.getField("l") === l && p.getField("r") === r)
+          val batch = selectBatch(top, fetchedAll = top.length < want)
+          batch.foreach { case (l, r, f) =>
+            merges += ((merges.length + 1, l, r, f))
+          }
+          val bp = batch.map { case (l, r, _) => (l, r) }
+          val hasAny = bp.map { case (l, r) =>
+            exists(adjacentPairs(col("syms")),
+              p => p.getField("l") === l && p.getField("r") === r)
+          }.reduce(_ || _)
+          val applied = org.apache.spark.sql.graft.BpeExpressions
+            .bpeApplySyms(col("syms"), bp)
           val oldPairs = transform(adjacentPairs(col("syms")),
             p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
               lit(-1L).as("sgn")))
-          val newPairs = transform(
-            adjacentPairs(applyMerge(col("syms"), l, r)),
+          val newPairs = transform(adjacentPairs(applied),
             p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
               lit(1L).as("sgn")))
-          val delta = words.filter(hasPair)
+          val delta = words.filter(hasAny)
             .select(col("wc"), explode(concat(oldPairs, newPairs)).as("d"))
             .groupBy(col("d.l").as("l"), col("d.r").as("r"))
             .agg(sum(col("wc") * col("d.sgn")).as("dfreq"))
             .filter(col("dfreq") =!= 0L)
           live.enqueue(pairs)
-          pairs = pairs.join(delta, Seq("l", "r"), "full_outer")
+          pairs = cut(pairs.join(delta, Seq("l", "r"), "full_outer")
             .select(col("l"), col("r"),
               (coalesce(col("freq"), lit(0L)) +
                 coalesce(col("dfreq"), lit(0L))).as("freq"))
-            .filter(col("freq") > 0L)
-            .localCheckpoint(false)
+            .filter(col("freq") > 0L))
           live.enqueue(words)
-          words = words.select(col("wc"),
-            when(hasPair, applyMerge(col("syms"), l, r))
-              .otherwise(col("syms")).as("syms"))
-            .localCheckpoint(false)
-          step += 1
+          words = cut(words.select(col("wc"),
+            when(hasAny, applied).otherwise(col("syms")).as("syms")))
         }
       }
-      merges.toSeq
+      (merges.toSeq, rounds)
     } finally {
       live.foreach(unpersistPlanRdd)
       unpersistPlanRdd(words)
       unpersistPlanRdd(pairs)
     }
+  }
+
+  /** The longest sequential-equivalent prefix of the fetched top pairs
+    * (sorted by freq desc, l, r — the sequential pick order).
+    *
+    * Invariants making the batch EXACTLY greedy BPE:
+    *  - prefix-only: the first rejected candidate stops the batch (a
+    *    rejected pair's count may change, so later picks could differ);
+    *  - symbol-disjoint: a candidate's l, r, and created l+r must not
+    *    collide with any accepted member's l, r, or created string —
+    *    so applying earlier members cannot change the candidate's
+    *    count, and no created pair can EQUAL a batch member;
+    *  - created-pair dominance: a pair created by accepted (bl, br) at
+    *    some position needs a pre-merge (x, bl) or (br, y) occurrence
+    *    there, so its count ≤ that existing pair's count. Every
+    *    existing pair with count ≥ the candidate's freq is in the
+    *    fetched list (it is sorted, and `cutoff` guards the boundary),
+    *    and every such pair with count STRICTLY above the candidate is
+    *    already accepted (prefix) — hence symbol-disjoint and
+    *    non-adjacent. The only remaining risk is an equal-count fetched
+    *    tie adjacent to an accepted member: the created pair it bounds
+    *    could TIE the candidate — hazardous only if that created pair
+    *    would also WIN the (l, r) string tie-break. */
+  private def selectBatch(top: Array[(String, String, Long)],
+                          fetchedAll: Boolean)
+      : Seq[(String, String, Long)] = {
+    val cutoff = if (fetchedAll) Long.MinValue else top.last._3
+    val accepted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    // (pl, pr) strictly before (cl, cr) in the sequential tie-break
+    def pairLt(pl: String, pr: String, cl: String, cr: String): Boolean =
+      pl < cl || (pl == cl && pr < cr)
+    // Does applying accepted (bl, br) change count(cl, cr)? An
+    // occurrence of (cl, cr) is destroyed only when one of its two
+    // positions is consumed by a fired (bl, br) merge — which forces
+    // cr == bl (candidate ends where a merge starts) or cl == br
+    // (candidate starts where one ends); sharing only a LEFT symbol
+    // ((e,r) then (e,s)) or only a RIGHT one cannot overlap. Created
+    // occurrences involve the new bl+br symbol, so cl/cr equal to it
+    // also interact. (b = (a,a) self-pairs are fully covered: any
+    // candidate touching `a` hits the first two cases.)
+    def interacts(cl: String, cr: String,
+                  bl: String, br: String): Boolean = {
+      val made = bl + br
+      cr == bl || cl == br || cl == made || cr == made
+    }
+    var stop = false
+    for ((l, r, f) <- top if !stop) {
+      val first = accepted.isEmpty
+      val certain = fetchedAll || f > cutoff
+      val disjoint = !accepted.exists { case (bl, br, _) =>
+        interacts(l, r, bl, br) }
+      // every non-accepted fetched pair has freq ≤ f (the prefix above
+      // this candidate is fully accepted), so a created pair can reach
+      // AT MOST f — it pre-empts the candidate only by tying at f AND
+      // winning the string tie-break. q supplies the bound: a created
+      // (x, b.l+b.r) needs a pre-merge (q.l, b.l) occurrence, a
+      // created (b.l+b.r, y) a pre-merge (b.r, q.r) one. The created
+      // pair's OUTER endpoint is q's outer symbol — unless that symbol
+      // was itself consumed by another accepted merge, in which case it
+      // is that merge's made string (one level only: a merge whose
+      // symbol IS another's made string would have been rejected as
+      // interacting) — so the tie-break test ranges over both.
+      lazy val hazard = top.exists { case (ql, qr, qf) =>
+        qf >= f && accepted.exists { case (bl, br, _) =>
+          val made = bl + br
+          (qr == bl && {
+            val outerLefts = ql +: accepted.collect {
+              case (xl, xr, _) if xr == ql => xl + xr }.toSeq
+            outerLefts.exists(pl => pairLt(pl, made, l, r))
+          }) || (ql == br && {
+            val outerRights = qr +: accepted.collect {
+              case (xl, xr, _) if xl == qr => xl + xr }.toSeq
+            outerRights.exists(pr => pairLt(made, pr, l, r))
+          })
+        }
+      }
+      if (first || (certain && disjoint && !hazard)) {
+        accepted += ((l, r, f))
+      } else stop = true
+    }
+    accepted.toSeq
   }
 
   /** The recount-every-round reference trainer (the pre-incremental
@@ -190,9 +310,8 @@ object Bpe {
   def trainMergesRecount(docs: DataFrame, textCol: String,
                          numMerges: Int): Seq[(Int, String, String, Long)] = {
     import org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd
-    var words = wordCounts(docs, textCol)
-      .select(col("wc"), initSymbols(col("word")).as("syms"))
-      .localCheckpoint(false)
+    var words = cut(wordCounts(docs, textCol)
+      .select(col("wc"), initSymbols(col("word")).as("syms")))
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -212,9 +331,8 @@ object Bpe {
         else {
           val Row(l: String, r: String, freq: Long) = top(0)
           merges += ((step, l, r, freq))
-          words = words
-            .select(col("wc"), applyMerge(col("syms"), l, r).as("syms"))
-            .localCheckpoint(false)
+          words = cut(words
+            .select(col("wc"), applyMerge(col("syms"), l, r).as("syms")))
           step += 1
         }
       }

@@ -412,7 +412,14 @@ object Dedup {
           .persist()
         unstable = next.filter(col("lbl") =!= col("_mx")).count()
         labels.unpersist()
-        labels = next.drop("_mx")
+        // with a configured checkpoint dir, cut each round's label
+        // table to a RELIABLE checkpoint (executor-loss recovery for
+        // long runs — same contract as Bpe.cut); otherwise the persist
+        // above suffices at the bounded iteration count
+        labels =
+          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            next.drop("_mx").checkpoint(eager = false)
+          else next.drop("_mx")
         i += 1
       }
       require(unstable == 0,

@@ -75,7 +75,17 @@ object BpeEncodeWord {
       i += cc
     }
     init.add(endOfWord)
-    var cur = init.toArray(new Array[String](init.size))
+    toArrayData(applyFlat(init.toArray(new Array[String](init.size)),
+      flatMerges))
+  }
+
+  /** The flat merge loop over an EXISTING symbol array — shared by the
+    * word encoder above and [[BpeApplySyms]] (the trainer's batched
+    * round application). One leftmost-nonoverlapping pass per merge,
+    * in list order. */
+  def applyFlat(syms: Array[String],
+                flatMerges: Array[String]): Array[String] = {
+    var cur = syms
     // presence set: conservative superset of symbols in `cur` (entries
     // consumed by later merges are never removed — a stale hit only
     // costs one O(|word|) scan, while the set lets the loop skip the
@@ -111,9 +121,64 @@ object BpeEncodeWord {
       }
       m += 2
     }
+    cur
+  }
+
+  private def toArrayData(cur: Array[String]): ArrayData = {
     val res = new Array[Any](cur.length)
     var q = 0
     while (q < cur.length) { res(q) = UTF8String.fromString(cur(q)); q += 1 }
+    new GenericArrayData(res)
+  }
+}
+
+/** Apply a merge LIST to an existing symbol array in one flat generated
+  * loop — the batched-round analog of [[BpeEncodeWord]]: the trainer
+  * applies a whole non-interacting merge batch in ONE projection
+  * instead of folding k nested `aggregate()` HOFs (k-deep interpreted
+  * expression trees). Semantics: exactly the fold of `Bpe.applyMerge`
+  * in list order — pinned in BpeSpec against the HOF fold. */
+case class BpeApplySyms(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val flat: Array[String] =
+    merges.iterator.flatMap { case (l, r) => Iterator(l, r) }.toArray
+
+  override protected def nullSafeEval(s: Any): Any =
+    BpeApplySyms.compute(s.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.BpeApplySyms
+         |  .compute($s, $ref);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeApplySyms = copy(child = newChild)
+}
+
+object BpeApplySyms {
+  def compute(syms: ArrayData, flatMerges: Array[String]): ArrayData = {
+    val n = syms.numElements()
+    val cur = new Array[String](n)
+    var i = 0
+    while (i < n) { cur(i) = syms.getUTF8String(i).toString; i += 1 }
+    val out = BpeEncodeWord.applyFlat(cur, flatMerges)
+    val res = new Array[Any](out.length)
+    var q = 0
+    while (q < out.length) {
+      res(q) = UTF8String.fromString(out(q)); q += 1
+    }
     new GenericArrayData(res)
   }
 }
@@ -125,4 +190,10 @@ object BpeExpressions {
                     endOfWord: String): Column =
     ExpressionUtils.column(BpeEncodeWord(
       ExpressionUtils.expression(word), merges, endOfWord))
+
+  /** Column API for [[BpeApplySyms]] — a merge batch applied to an
+    * existing symbol-array column in one generated loop. */
+  def bpeApplySyms(syms: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeApplySyms(
+      ExpressionUtils.expression(syms), merges))
 }

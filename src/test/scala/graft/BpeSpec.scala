@@ -97,6 +97,72 @@ class BpeSpec extends SparkSpec {
     assert(rec == want.take(24))
   }
 
+  /** The sub-linear witness's corpus: 1500 seeded word types with
+    * Zipf-ish counts — a realistic word-type table (the testdata lexicon
+    * has only ~31 types, too few for deep merge budgets). */
+  private def zipfTexts(): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val types = (1 to 1500).map { rank =>
+      val len = 3 + rnd.nextInt(8)
+      val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      w -> math.max(1L, 3000L / rank)
+    }.toMap // map: random duplicates collapse
+    types.toSeq.map { case (w, c) => Seq.fill(c.toInt)(w).mkString(" ") }
+  }
+
+  test("batched merge rounds == sequential greedy BPE at 256 merges, " +
+    "in far fewer driver rounds") {
+    val texts = zipfTexts()
+    val want = GoldenModels.bpeMerges(texts, numMerges = 256)
+    assert(want.length == 256, s"corpus too small: ${want.length}")
+    val (got, rounds) = Bpe.trainMergesBatched(
+      texts.toDF("text"), "text", numMerges = 256, batchCap = 64)
+    // EXACT sequential semantics — the batch-selection invariants
+    // (prefix, symbol-disjoint, created-pair dominance) make the
+    // batched trainer bit-identical to one-merge-per-round greedy
+    assert(got == want)
+    // and the point of batching: a vocabulary costs far fewer driver
+    // round-trips than merges (the 32k-vocab scale story). ≥2× on this
+    // interaction-heavy 26-letter corpus (observed ~2.9×); batches grow
+    // with depth as the pair tail sparsifies, which is where a 32k-run
+    // spends nearly all its rounds.
+    info(s"256 merges in $rounds rounds")
+    assert(rounds <= 256 / 2, s"expected ≥2× round reduction: $rounds")
+    // batchCap=1 is the sequential form: one merge per round
+    val (one, oneRounds) = Bpe.trainMergesBatched(
+      texts.toDF("text"), "text", numMerges = 8, batchCap = 1)
+    assert(one == want.take(8) && oneRounds == 8)
+  }
+
+  test("reliable-checkpoint path: configured checkpoint dir switches " +
+    "rounds to checkpoint(), output identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id % 5 = 0")
+      val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+      val want = GoldenModels.bpeMerges(texts, numMerges = 64)
+      val got = Bpe.trainMerges(docs, "text", numMerges = 64)
+      assert(got == want)
+      // rounds really went through the RELIABLE path: checkpoint files
+      // landed under the configured dir
+      val walk = java.nio.file.Files.walk(dir)
+      val files = try walk.count() finally walk.close()
+      assert(files > 1, s"no checkpoint files under $dir")
+      // the iterative dedup operator takes the same path
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("doc_a", "doc_b")
+      val comp = graft.operators.Dedup.components(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+    } finally {
+      org.apache.spark.graft.TestCheckpoint.clear(spark.sparkContext)
+    }
+  }
+
   test("incremental training is sub-linear per merge: delta volume " +
     "shrinks to a small fraction of the recount volume") {
     // Deterministic witness computed from the golden trace (the same
