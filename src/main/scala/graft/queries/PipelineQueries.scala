@@ -195,6 +195,44 @@ object PipelineQueries {
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()),
 
+    // REAL video-container round-trip: build an actual RIFF/AVI per doc
+    // (one deterministic 16×8 RGB24 frame per whitespace token, capped
+    // at 32), then DECODE the container back and SAMPLE every 2nd movi
+    // frame through the real chunk walk (operators.Avi). The oracle
+    // predicts every output column independently from the token count —
+    // so the whole encode → decode → demux → sample path is hash-gated,
+    // not just row-counted. Scale shape: narrow per-row codec work +
+    // one key-hash shuffle for the per-media frame count; blobs never
+    // shuffle (frames are counted/sized executor-side).
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Avi, MediaRecord}
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          TextFunctions.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val frames = text.split("\\s+").filter(_.nonEmpty).take(32)
+          .map { w =>
+            val b = new Array[Byte](3 * 16 * 8)
+            java.util.Arrays.fill(b, (w.length % 127).toByte)
+            b
+          }.toVector
+        MediaRecord(id, "video/avi", Avi.encode(Avi.Video(16, 8, 40000,
+          frames)))
+      }
+      val meta = media.map { m =>
+        val v = Avi.decode(m.blob).get // our own container must parse
+        (m.media_id, v.width, v.height, v.frames.size)
+      }.toDF("media_id", "width", "height", "n_frames")
+      val sampled = Multimodal
+        .sampleFrames(media, frameBytes = Int.MaxValue, everyNth = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame"))).as("sampled_bytes"))
+      meta.join(sampled, Seq("media_id"))
+    }),
+
     // Embedding-corpus diagnostics: per-label count, mean vector norm,
     // and CENTROID norm (cluster tightness probe — ~1 for a coherent
     // label, ~0 for isotropic noise). The centroid is an element-wise
@@ -736,6 +774,18 @@ object PipelineQueries {
     "ann_ivf_topk" -> ivfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
+    // every column derived from the token count alone — the engine must
+    // reproduce it through a real AVI encode/decode/sample round-trip
+    "multimodal_frames" ->
+      ("WITH tc AS (SELECT doc_id AS media_id, least(32, " +
+       "len(list_filter(string_split_regex(text, '\\s+'), " +
+       "x -> x <> ''))) AS nf FROM documents " +
+       "WHERE text IS NOT NULL) " +
+       "SELECT media_id, 16 AS width, 8 AS height, " +
+       "CAST(nf AS INTEGER) AS n_frames, " +
+       "CAST(ceil(nf / 2.0) AS BIGINT) AS n_sampled, " +
+       "CAST(ceil(nf / 2.0) AS BIGINT) * 384 AS sampled_bytes " +
+       "FROM tc WHERE nf > 0"),
     "embedding_profile" ->
       ("WITH base AS (SELECT label, embedding FROM embeddings " +
        "WHERE label IS NOT NULL AND embedding IS NOT NULL " +

@@ -150,6 +150,80 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.decode(evil).isEmpty)
   }
 
+  test("AVI codec: random videos round-trip bit-exact; junk, " +
+    "truncation and overflow sizes rejected") {
+    import graft.operators.Avi
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vidGen = for {
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      us <- Gen.oneOf(16667, 33333, 40000)
+      n <- Gen.choose(0, 12)
+      frames <- Gen.listOfN(n,
+        Gen.choose(0, 200).flatMap(sz =>
+          Gen.listOfN(sz, Gen.choose(-128, 127))
+            .map(_.map(_.toByte).toArray)))
+    } yield Avi.Video(w, h, us, frames.toVector)
+    val vids = (0 until 60).flatMap(i =>
+      vidGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    assert(vids.nonEmpty)
+    vids.foreach { v =>
+      val back = Avi.decode(Avi.encode(v))
+      assert(back.contains(v), s"round-trip failed for $v")
+    }
+    val enc = Avi.encode(Avi.Video(4, 4, 40000,
+      Vector(Array[Byte](1, 2, 3), Array[Byte](4, 5))))
+    assert(Avi.decode("RIFFxxxxWAVE".getBytes).isEmpty) // wrong form type
+    assert(Avi.decode(enc.take(enc.length - 1)).isEmpty) // truncated
+    assert(Avi.decode(Array[Byte]()).isEmpty)
+    // adversarial chunk size near Int.MaxValue must not wrap past the
+    // bounds check (same guard as WAV)
+    val evil = enc.clone()
+    val movi = {
+      // find the 00db chunk and blow up its declared size
+      var i = 12; var at = -1
+      while (at < 0 && i + 8 <= evil.length) {
+        if (new String(evil, i, 4, "US-ASCII") == "00db") at = i
+        else i += 1
+      }
+      at
+    }
+    assert(movi > 0)
+    evil(movi + 4) = -1; evil(movi + 5) = -1
+    evil(movi + 6) = -1; evil(movi + 7) = 0x7f.toByte
+    assert(Avi.decode(evil).isEmpty)
+  }
+
+  test("real AVI frame sampling: sampleFrames walks the movi chunks, " +
+    "not byte slices; features carry true dims and frame counts") {
+    import graft.operators.{Avi, Multimodal, MediaRecord}
+    import spark.implicits._
+    val frames = (0 until 7).map(i =>
+      Array.fill(10 + i)(i.toByte)).toVector
+    val avi = Avi.encode(Avi.Video(16, 8, 40000, frames))
+    val media = Seq(
+      MediaRecord(1L, "video/avi", avi),
+      MediaRecord(2L, "text", "0123456789".getBytes)).toDS()
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 4,
+      everyNth = 2).collect()
+    val vid = sampled.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    // true movi frames 0,2,4,6 — with their real indexes and payloads
+    assert(vid.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    assert(vid.forall(f =>
+      java.util.Arrays.equals(f.frame, frames(f.frame_idx))))
+    // the non-AVI row still gets the stub byte-slice arm
+    val txt = sampled.filter(_.media_id == 2L)
+    assert(txt.map(_.frame_idx).toSeq.sorted == Seq(0, 2))
+    // decodeBatch: real container features (w, h, frames, usPerFrame)
+    val feats = Multimodal.decodeBatch(Seq(
+      MediaRecord(1L, "video/avi", avi),
+      MediaRecord(3L, "video/avi", "not an avi".getBytes)))
+    assert(feats.head.feature_str == "16,8,7,40000")
+    // junk AVI rows fall back to the deterministic stub, not a crash
+    assert(feats(1).feature_str.split(",").length == 4)
+  }
+
   test("WAV resample: duration preserved, frame count scales with rate, " +
     "channels stay interleaved") {
     import graft.operators.Wav
