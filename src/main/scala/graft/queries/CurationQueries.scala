@@ -224,6 +224,68 @@ object CurationQueries {
             element_at(col("_gk"), 3) <= col("_hi75")).as("gk75_ok"))
     }),
 
+    // The WHOLE LLM-curation path as ONE registered artifact:
+    // scrub → calibrated per-source quality gate → exact dedup →
+    // benchmark decontamination → mixture sampling → split + token-
+    // budget packing. Every stage is an operator with its own oracle
+    // elsewhere; this pins the full COMPOSITION (stage coupling,
+    // column flow, filter interactions) under one hash. Scale shape:
+    // one corpus scan feeds codegen'd projections; the shuffles are
+    // the bounded quality histogram, the content-hash dedup group, the
+    // shingle semi-join (bench side broadcast-sized), and the per-split
+    // pack window — nothing quadratic, no corpus-proportional driver
+    // state.
+    "pipeline_curation_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import TextFunctions._
+      // 1. scrub: deterministic PII dirtying (see scrub_pii) → strip
+      //    control chars → whitespace normalize → redact
+      val cleaned = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        Scrub.clean(dirtyText(col("text"), col("doc_id"))).as("t"))
+      // 2. calibrated gate: keep docs at/above their source's discrete
+      //    p25 quality (bounded-histogram two-pass, as quality_calibrated)
+      val scored = cleaned.select(col("doc_id"), col("source"), col("t"),
+        qualityScore(col("t")).as("q"))
+      val hist = scored.groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = bySrc.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist
+        .withColumn("_cum", sum(col("c")).over(cum))
+        .withColumn("_k", ceil(sum(col("c")).over(bySrc) * 0.25))
+        .filter(col("_cum") >= col("_k"))
+        .groupBy(col("source")).agg(min(col("q")).as("q25"))
+      val kept = scored.join(broadcast(thr), Seq("source"))
+        .filter(col("q") >= col("q25")).drop("q25")
+      // 3. exact dedup on the CLEANED text, canonical = min doc_id
+      val canon = kept.groupBy(md5(col("t")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val unique = kept.join(canon.select("doc_id"), Seq("doc_id"))
+      // 4. decontaminate: drop the benchmark slice itself, then every
+      //    survivor sharing a 5-gram with it (bench = UNGATED cleaned
+      //    docs — an eval suite is external to curation)
+      val corpus = unique.filter(col("doc_id") % 20 =!= 0)
+      val flagged = Decontaminate.overlap(
+        corpus.select("doc_id", "t"),
+        cleaned.filter(col("doc_id") % 20 === 0).select("doc_id", "t"),
+        "doc_id", "t", n = 5)
+      val decon = corpus.join(flagged.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      // 5. mixture sampling toward the target domain weights
+      val mixed = Mix.sample(decon, "source", "doc_id", MixWeights,
+        targetFrac = 0.5, salt = "mix")
+      // 6. deterministic split + per-split token-budget packing
+      val labeled = graft.operators.Split.assign(
+        mixed.withColumn("n_tokens", tokenCount(col("t"))),
+        "doc_id", salt = "cur")
+      graft.operators.Pack.packByBudget(labeled, "n_tokens",
+          budget = 2000L, orderCol = "doc_id", groupCols = Seq("split"))
+        .select(col("doc_id"), col("source"), col("split"), col("q"),
+          col("n_tokens"), col("batch_id"))
+    }),
+
     // Context-window chunking: 64-token chunks at stride 48 (16-token
     // overlap) — zero-shuffle projection+explode; (doc_id, chunk_idx)
     // is the stable downstream key.
@@ -601,6 +663,117 @@ object CurationQueries {
        |FROM scored GROUP BY source""".stripMargin
   }
 
+  /** Full-pipeline oracle: every stage's already-proven SQL form,
+    * composed in the same order and over the same intermediate columns
+    * as the Spark composition — scrub (dirty/strip/normalize/redact),
+    * quality CTE + discrete per-source p25, md5 dedup, 5-gram
+    * decontamination, mixture rates, split thresholds, pack window. */
+  private val pipelineFullSql: String = {
+    import TextFunctions._
+    val caseW = MixWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    val shingles = "CASE WHEN len(ts) >= 5 THEN list_distinct(" +
+      "list_transform(generate_series(1, len(ts)-4), " +
+      "i -> array_to_string(ts[i:i+4],' '))) " +
+      "ELSE [array_to_string(ts,' ')] END"
+    s"""WITH dirty AS (
+       |  SELECT doc_id, source, text || CASE WHEN doc_id % 3 <> 0 THEN
+       |    '  Contact: user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com from 10.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |    CAST((doc_id * 7) % 256 AS VARCHAR) ||
+       |    ' or call +55 ' ||
+       |    CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+       |    CAST(doc_id % 9000 + 1000 AS VARCHAR) || '.'
+       |    ELSE '' END AS t0
+       |  FROM documents
+       |), clean AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      trim(regexp_replace(regexp_replace(t0,
+       |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |        '\\s+', ' ', 'g')),
+       |      '$Email', '<EMAIL>', 'g'),
+       |      '$Ip', '<IP>', 'g'),
+       |      '$Phone', '<PHONE>', 'g') AS t
+       |  FROM dirty
+       |), toks AS (
+       |  SELECT doc_id, source, t,
+       |    list_filter(string_split_regex(t,'\\s+'), x -> x <> '') AS ts
+       |  FROM clean
+       |), feat AS (
+       |  SELECT doc_id, source, t, ts, len(ts) AS n_tokens,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(len(list_filter(ts,
+       |           x -> list_contains(${lex(StopwordsEn)}, x))) AS DOUBLE)
+       |           / len(ts), 4)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(ts) > 0
+       |      THEN round(CAST(list_sum(list_transform(ts, x -> length(x)))
+       |           AS DOUBLE) / len(ts), 4)
+       |      ELSE 0.0 END AS avg_wlen
+       |  FROM toks
+       |), scored AS (
+       |  SELECT doc_id, source, t, ts, n_tokens,
+       |    floor((least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5 +
+       |          stop_ratio * 0.3 +
+       |          greatest(0.0, 1.0 - abs(avg_wlen - 4.5) / 10.0) * 0.2)
+       |          * 10000.0 + 0.5) / 10000.0 AS q
+       |  FROM feat
+       |), thr AS (
+       |  SELECT source,
+       |    list_sort(list(q))[CAST(ceil(count(*) * 0.25) AS INT)] AS q25
+       |  FROM scored GROUP BY source
+       |), kept AS (
+       |  SELECT scored.* FROM scored JOIN thr
+       |  ON scored.source = thr.source WHERE q >= q25
+       |), canon AS (
+       |  SELECT md5(t) AS h, min(doc_id) AS doc_id FROM kept GROUP BY md5(t)
+       |), uniq AS (
+       |  SELECT kept.* FROM kept JOIN canon ON kept.doc_id = canon.doc_id
+       |), corp AS (
+       |  SELECT * FROM uniq WHERE doc_id % 20 <> 0
+       |), corpsh AS (
+       |  SELECT doc_id, unnest($shingles) AS s FROM corp
+       |), bensh AS (
+       |  SELECT DISTINCT unnest($shingles) AS s FROM scored
+       |  WHERE doc_id % 20 = 0
+       |), decon AS (
+       |  SELECT * FROM corp WHERE doc_id NOT IN (
+       |    SELECT DISTINCT corpsh.doc_id FROM corpsh
+       |    JOIN bensh ON corpsh.s = bensh.s)
+       |), counts AS (
+       |  SELECT source, count(*) AS n_g FROM decon GROUP BY source
+       |), tot AS (SELECT sum(n_g) AS n_total FROM counts),
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.q, d.n_tokens,
+       |    least(1.0, ((CASE d.source $caseW END) * (0.5 * n_total))
+       |      / n_g) AS rate
+       |  FROM decon d JOIN counts USING (source) CROSS JOIN tot
+       |), mixed AS (
+       |  SELECT doc_id, source, q, n_tokens FROM r
+       |  WHERE rate IS NOT NULL AND (rate >= 1.0 OR
+       |    substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) <
+       |    lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS INT))), 4, '0'))
+       |), labeled AS (
+       |  SELECT *, CASE
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 4)
+       |      < 'e666' THEN 'train'
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 4)
+       |      < 'f333' THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM mixed
+       |), packed AS (
+       |  SELECT doc_id, source, split, q, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM labeled
+       |)
+       |SELECT doc_id, source, split, q, n_tokens,
+       |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id
+       |FROM packed""".stripMargin
+  }
+
   private val sampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |QUALIFY row_number() OVER (PARTITION BY source
@@ -612,6 +785,7 @@ object CurationQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "mix_epochs" -> mixEpochsSql,
     "quality_calibrated" -> qualityCalibratedSql,
+    "pipeline_curation_full" -> pipelineFullSql,
     "quality_quantile_gate" -> qualityQuantileGateSql,
     "chunk_docs" ->
       ("""WITH toks AS (SELECT doc_id, """ +

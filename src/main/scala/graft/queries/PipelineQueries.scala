@@ -115,6 +115,17 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The 100 TB tier at the ground-truth threshold: banded MinHash
+    // candidate generation feeding exact Jaccard verification at 0.8 —
+    // the scale path for exactly what dedup_jaccard computes all-pairs.
+    // The oracle mirrors the FULL LSH pipeline (signatures + banding
+    // included), so candidate generation itself is hash-gated, not just
+    // the verified survivors; DedupSpec additionally pins full recall
+    // against the exact tier on testdata.
+    "dedup_jaccard_scale" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.8)),
+
     // Canonicalization on top of the minhash pairs: connected components
     // by min-label propagation, canonical = min id per component. The
     // DuckDB oracle computes the same fixpoint via a recursive CTE.
@@ -305,7 +316,7 @@ object PipelineQueries {
       |  FROM toks
       |)""".stripMargin
 
-  private val minhashSql: String = {
+  private def minhashSqlAt(threshold: Double): String = {
     // hash_i = md5(shingle) rotated left by 2i hex chars — mirrors
     // Dedup.minhashSignatures' rotation family (one md5, 16 mixes)
     val sigs = (0 until 16)
@@ -330,8 +341,10 @@ object PipelineQueries {
        |    AS jaccard
        |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
        |          JOIN sh sb ON sb.doc_id = cand.doc_b
-       |WHERE jaccard >= 0.7""".stripMargin
+       |WHERE jaccard >= $threshold""".stripMargin
   }
+
+  private val minhashSql: String = minhashSqlAt(0.7)
 
   private val jaccardSql: String =
     s"""$ShingleCtes,
@@ -767,6 +780,7 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
          |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    "dedup_jaccard_scale" -> minhashSqlAt(0.8),
     "dedup_incremental" -> incrementalSql,
     "dedup_semantic" -> semanticSql,
     "dedup_embedding_lsh" -> embLshSql,

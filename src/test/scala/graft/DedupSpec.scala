@@ -182,6 +182,25 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("jaccard scale tier (LSH candidates + exact verify at 0.8) " +
+    "matches the all-pairs ground-truth tier on testdata") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(graft.operators.Dedup.jaccardPairs(
+      docs, "doc_id", "text", minJaccard = 0.8))
+    val scale = pairSet(graft.operators.Dedup.minhashNearDups(
+      docs, "doc_id", "text", minJaccard = 0.8))
+    assert(exact.nonEmpty)
+    // precision is structural (candidates are re-verified with exact
+    // jaccard); recall is probabilistic in general — FULL on this
+    // corpus, which pins the banding parameters actually achieve it
+    assert(scale == exact,
+      s"missed=${(exact diff scale).take(3)} extra=${(scale diff exact).take(3)}")
+  }
+
   test("components == union-find golden model on real minhash pairs") {
     val docsReal = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
