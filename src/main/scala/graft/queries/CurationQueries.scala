@@ -244,9 +244,16 @@ object CurationQueries {
         col("doc_id"), col("source"),
         Scrub.clean(dirtyText(col("text"), col("doc_id"))).as("t"))
       // 2. calibrated gate: keep docs at/above their source's discrete
-      //    p25 quality (bounded-histogram two-pass, as quality_calibrated)
+      //    p25 quality (bounded-histogram two-pass, as quality_calibrated).
+      //    The scrub+score subtree has FIVE downstream consumers
+      //    (threshold histogram, gate, dedup canon, bench shingles,
+      //    survivors) — persist it once instead of re-running six regex
+      //    passes plus tokenization over the corpus per consumer; at
+      //    production scale this is the stage boundary a pipeline
+      //    materializes (MEMORY_AND_DISK spills, never OOMs)
       val scored = cleaned.select(col("doc_id"), col("source"), col("t"),
         qualityScore(col("t")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hist = scored.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("c"))
       val bySrc = Window.partitionBy(col("source"))
