@@ -521,6 +521,15 @@ object ParityQueries {
       graft.serving.Search.acrossIndexes(lake, "er", fields)
     }),
 
+    // Q1 cross-index RANKED variant: the data_lake_* wildcard under the
+    // real scorer — every entity index scored with its OWN per-index,
+    // per-field BM25 statistics (ES semantics: IDF is index-local),
+    // merged into one global top-k. 'small' hits part, 'error' events,
+    // 'household' customer — the ranking interleaves entities.
+    "q4_union_search_bm25" -> ((s, dir) =>
+      graft.serving.Search.acrossIndexesRanked(
+        s, dir, RunTs, "small error household")),
+
     // Generic catalog-driven entity sync: validate → namespace → lineage
     // (reference: the per-entity sync functions, src/data_sync.py:20-921,
     // collapsed to one declarative pipeline).
@@ -820,9 +829,14 @@ object ParityQueries {
   /** Per-field BM25 CTE set (suffix `$i`) mirroring Search.rankedScores
     * over one field: per-field dl/avgdl/df — ES scores each field of a
     * multi_match with that field's own statistics. `sc$i` holds the RAW
-    * per-field score (rounding happens once, after the combine). */
-  private def bm25FieldCtes(field: String, terms: Seq[String],
-                            i: Int): String = {
+    * per-field score (rounding happens once, after the combine).
+    * `src` = the FROM source (a table or filtered subquery), `idExpr` =
+    * the document-id expression over it — generalized so the same
+    * builder serves the documents table and every entity branch of the
+    * cross-index oracle. */
+  private def bm25FieldCtes(field: String, terms: Seq[String], i: String,
+                            src: String = "documents",
+                            idExpr: String = "doc_id"): String = {
     val in = terms.map(t => s"'$t'").mkString(", ")
     val termSum = terms.map(t =>
       s"coalesce(sum(CASE WHEN term = '$t' THEN idf$i.idf * " +
@@ -831,9 +845,9 @@ object ParityQueries {
         s"CAST(0.75 AS DOUBLE) * tf$i.dl / st$i.avgdl))) END), " +
         "CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"dls$i AS (SELECT doc_id, len(list_filter(" +
+    s"dls$i AS (SELECT $idExpr AS doc_id, len(list_filter(" +
       s"string_split_regex($field, '\\s+'), x -> x <> '')) AS dl, " +
-      s"$field AS f FROM documents), " +
+      s"$field AS f FROM $src), " +
     s"toks$i AS (SELECT doc_id, dl, unnest(list_filter(" +
       s"string_split_regex(lower(f), '\\s+'), x -> x <> '')) AS term " +
       s"FROM dls$i), " +
@@ -852,20 +866,71 @@ object ParityQueries {
       s"GROUP BY doc_id)"
   }
 
-  /** Two-field BM25 oracle: per-field raw scores full-outer-joined and
-    * combined (fixed order / greatest), rounded ONCE — exactly
-    * Search.bm25Fields. */
-  private def bm25MultiSql(f0: String, f1: String, terms: Seq[String],
-                           bestFields: Boolean): String = {
-    val s0 = "COALESCE(sc0.s_0, CAST(0.0 AS DOUBLE))"
-    val s1 = "COALESCE(sc1.s_1, CAST(0.0 AS DOUBLE))"
+  /** N-field combine over `sc$sfx` CTEs: full-outer-join chain in field
+    * order with COALESCEd ids, fixed-order sum (or greatest), rounded
+    * ONCE — exactly Search.rankedFields' combine. Returns the SELECT
+    * (no WITH, no ORDER BY) producing (doc_id, score). */
+  private def bm25CombineSql(sfxs: Seq[String],
+                             bestFields: Boolean): String = {
+    val parts = sfxs.map(s => s"COALESCE(sc$s.s_$s, CAST(0.0 AS DOUBLE))")
     val combined =
-      if (bestFields) s"greatest($s0, $s1)" else s"$s0 + $s1"
-    s"WITH ${bm25FieldCtes(f0, terms, 0)}, ${bm25FieldCtes(f1, terms, 1)} " +
-    "SELECT COALESCE(sc0.doc_id, sc1.doc_id) AS doc_id, " +
-    s"floor(($combined) * 10000.0 + 0.5) / 10000.0 AS score " +
-    "FROM sc0 FULL JOIN sc1 ON sc0.doc_id = sc1.doc_id " +
-    "ORDER BY score DESC, doc_id LIMIT 100"
+      if (sfxs.size == 1) parts.head
+      else if (bestFields) s"greatest(${parts.mkString(", ")})"
+      else parts.mkString(" + ")
+    val idOf = (n: Int) =>
+      s"COALESCE(${sfxs.take(n).map(s => s"sc$s.doc_id").mkString(", ")})"
+    val from = sfxs.tail.zipWithIndex.foldLeft(s"sc${sfxs.head}") {
+      case (acc, (s, i)) =>
+        s"$acc FULL JOIN sc$s ON ${idOf(i + 1)} = sc$s.doc_id"
+    }
+    s"SELECT ${idOf(sfxs.size)} AS doc_id, " +
+      s"floor(($combined) * 10000.0 + 0.5) / 10000.0 AS score FROM $from"
+  }
+
+  /** Two-field BM25 oracle over the documents table. */
+  private def bm25MultiSql(f0: String, f1: String, terms: Seq[String],
+                           bestFields: Boolean): String =
+    s"WITH ${bm25FieldCtes(f0, terms, "0")}, " +
+      s"${bm25FieldCtes(f1, terms, "1")} " +
+      s"${bm25CombineSql(Seq("0", "1"), bestFields)} " +
+      "ORDER BY score DESC, doc_id LIMIT 100"
+
+  /** Cross-index BM25 oracle: one branch per entity — its validity
+    * filter, its own per-field statistics (mirroring how
+    * Search.acrossIndexesRanked scores each index separately), combined
+    * per-branch, unioned, global top-k. Branch field lists match the
+    * entity pipelines' string columns IN SCHEMA ORDER (the fixed-order
+    * float sum makes order load-bearing). */
+  private def unionBm25Sql(terms: Seq[String]): String = {
+    val branches = Seq(
+      ("customer", "c_custkey", Seq("c_name", "c_mktsegment"),
+        Seq("c_custkey", "c_name")),
+      ("events", "event_id", Seq("event_type", "props"),
+        Seq("event_id", "user_id")),
+      ("nation", "n_nationkey", Seq("n_name"),
+        Seq("n_nationkey", "n_name")),
+      ("orders", "o_orderkey", Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_orderkey", "o_custkey")),
+      ("part", "p_partkey", Seq("p_name", "p_brand", "p_type"),
+        Seq("p_partkey", "p_name")),
+      ("region", "r_regionkey", Seq("r_name"),
+        Seq("r_regionkey", "r_name")),
+      ("supplier", "s_suppkey", Seq("s_name"),
+        Seq("s_suppkey", "s_name")))
+    val (ctes, selects) = branches.map { case (t, id, fs, req) =>
+      val src = s"(SELECT * FROM $t WHERE ${
+        req.map(c => s"$c IS NOT NULL").mkString(" AND ")}) ${t}_v"
+      val idExpr = s"concat_ws('_', $id, '$RunTs')"
+      val sfxs = fs.indices.map(i => s"_${t}_$i")
+      val cteStr = fs.zip(sfxs).map { case (f, sfx) =>
+        bm25FieldCtes(f, terms, sfx, src, idExpr) }.mkString(", ")
+      val sel = s"""SELECT '$t' AS "table", doc_id AS document_id, """ +
+        s"score FROM (${bm25CombineSql(sfxs, bestFields = false)}) ${t}_sc"
+      (cteStr, sel)
+    }.unzip
+    s"WITH ${ctes.mkString(", ")} " +
+      s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) u " +
+      """ORDER BY score DESC, document_id, "table" LIMIT 100"""
   }
 
   /** `' ' || tokens-joined-by-single-spaces || ' '` — token-exact
@@ -1218,6 +1283,9 @@ object ParityQueries {
     "q2_search_bm25_multi" ->
       bm25MultiSql("text", "source", Seq("window", "src3"),
         bestFields = false),
+
+    "q4_union_search_bm25" ->
+      unionBm25Sql(Seq("small", "error", "household")),
 
     "q2_search_bm25_best" ->
       bm25MultiSql("text", "source", Seq("window", "src3"),

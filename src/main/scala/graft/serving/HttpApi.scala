@@ -130,15 +130,24 @@ final class HttpApi(
     }
     val index = textOr(req, "index", "documents")
     // "*" (or the reference's "data_lake_*") = search EVERY entity index
-    // at once over the union document view — es_connector.py:85-95
-    // defaults to exactly this wildcard
+    // at once — es_connector.py:85-95 defaults to exactly this
+    // wildcard. rank=bm25|tfidf scores each index with its OWN
+    // statistics (ES semantics: IDF is index-local) and merges; the
+    // default occurrence scorer runs over the union document view.
     if (index == "*" || index.endsWith("_*")) {
-      val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
-      val fields = lake.schema.fields
-        .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
-        .map(_.name).filterNot(Set("table", "document_id")).toSeq
       val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
-      hits(ex, Search.acrossIndexes(lake, term, fields, limit))
+      val best = textOr(req, "type", "most_fields") == "best_fields"
+      textOr(req, "rank", "occurrences") match {
+        case r @ ("bm25" | "tfidf") =>
+          hits(ex, Search.acrossIndexesRanked(spark, srcDir, runTs, term,
+            limit, bestFields = best, bm25 = r == "bm25"))
+        case _ =>
+          val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
+          val fields = lake.schema.fields
+            .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).filterNot(Set("table", "document_id")).toSeq
+          hits(ex, Search.acrossIndexes(lake, term, fields, limit))
+      }
       return
     }
     val df = Tables(spark, srcDir, index)

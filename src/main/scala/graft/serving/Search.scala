@@ -77,6 +77,41 @@ object Search {
       .limit(limit)
   }
 
+  /** Cross-index RANKED retrieval — the `data_lake_*` wildcard under
+    * ES's real scorer: every entity index is scored with ITS OWN
+    * per-index, per-field statistics (exactly what ES does when a
+    * multi_match spans indexes — IDF is index-local), then hits merge
+    * into one global top-k. Per-entity scoring is [[bm25Fields]] /
+    * [[tfidfFields]] over that entity's string fields; a per-branch
+    * top-`limit` bounds each union leg (sound: a hit outside its own
+    * branch's top-k cannot enter the global top-k), so the union is
+    * k·|entities| rows, never corpus-sized. */
+  def acrossIndexesRanked(spark: SparkSession, srcDir: String,
+                          runTs: String, query: String, limit: Int = 100,
+                          bestFields: Boolean = false,
+                          bm25: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    import graft.catalog.EntityCatalog
+    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+      .map { spec =>
+        val docs = EntityCatalog.pipeline(
+          graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
+        val fields = docs.schema.fields
+          .filter(_.dataType == StringType)
+          .map(_.name).filterNot(Set("table", "document_id")).toSeq
+        val ranked =
+          if (bm25) bm25Fields(docs, query, fields, "document_id", limit,
+            bestFields)
+          else tfidfFields(docs, query, fields, "document_id", limit,
+            bestFields)
+        ranked.select(lit(spec.name).as("table"), col("document_id"),
+          col("score"))
+      }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
   /** Advanced search = the engine's actual query language. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 

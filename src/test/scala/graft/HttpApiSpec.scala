@@ -81,6 +81,18 @@ class HttpApiSpec extends SparkSpec
     val r2 = post("/search",
       """{"search_term": "er", "index": "data_lake_*", "limit": 5}""")
     assert(r2.statusCode() == 200 && r2.body().contains("\"score\""))
+    // rank=bm25 across every index: per-index statistics, hits from
+    // more than one entity interleaved by score
+    val rb = post("/search",
+      """{"search_term": "small error household", "index": "*",
+        | "rank": "bm25", "limit": 30}""".stripMargin)
+    assert(rb.statusCode() == 200, rb.body().take(300))
+    val rbTables = "\"table\":\"([a-z]+)\"".r
+      .findAllMatchIn(rb.body()).map(_.group(1)).toSet
+    assert(rbTables.size > 1, s"expected multi-entity ranked hits: $rbTables")
+    val rbScores = "\"score\":([0-9.]+)".r
+      .findAllMatchIn(rb.body()).map(_.group(1).toDouble).toSeq
+    assert(rbScores == rbScores.sorted.reverse)
   }
 
   test("POST /search with rank=bm25 returns BM25-scored hit identities " +
