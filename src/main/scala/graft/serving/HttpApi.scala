@@ -234,9 +234,20 @@ final class HttpApi(
         parts(1).toInt
     }
     val df = Search.sql(spark, query)
-    import org.apache.spark.sql.catalyst.plans.logical.Sort
-    val userSorted = df.queryExecution.analyzed
-      .collectFirst { case s: Sort if s.global => s }.isDefined
+    // the user's ORDER BY makes paging deterministic only when it is
+    // the TOP-LEVEL order of the result — a Sort buried in a subquery
+    // does not survive the outer operators, so it must not suppress
+    // the engine's own total order
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
+    def topSorted(p: LogicalPlan): Boolean = p match {
+      case s: Sort => s.global
+      case pr: Project => topSorted(pr.child)
+      case a: SubqueryAlias => topSorted(a.child)
+      case g: GlobalLimit => topSorted(g.child)
+      case l: LocalLimit => topSorted(l.child)
+      case _ => false
+    }
+    val userSorted = topSorted(df.queryExecution.analyzed)
     val (pageable, tokenable) =
       if (userSorted) (df, true)
       else scala.util.Try(df.orderBy(df.columns.map(col): _*).toDF())
@@ -362,16 +373,24 @@ final class HttpApi(
     if (data.isDirectory) Some(spark.read.parquet(data.toString)) else None
   }
 
-  /** GET /{entity}?limit=N — list synced documents (hits envelope). */
+  /** GET /{entity}?limit=N&after=ID — list synced documents (hits
+    * envelope), document_id-ordered; `after` is the last document_id of
+    * the previous page (the same search_after contract as /search). */
   private def listDocs(ex: HttpExchange, entity: String): Unit =
     index(entity) match {
       case None =>
         respond(ex, 404, s"""{"error": "no synced index for '$entity'"}""")
       case Some(df) =>
-        val limit = Option(ex.getRequestURI.getQuery)
+        val query = Option(ex.getRequestURI.getQuery)
+        val limit = query
           .flatMap(q => "limit=(\\d+)".r.findFirstMatchIn(q))
           .map(_.group(1).toInt).getOrElse(100)
-        hits(ex, df.orderBy(col("document_id")).limit(limit))
+        val after = query
+          .flatMap(q => "after=([^&]+)".r.findFirstMatchIn(q))
+          .map(_.group(1))
+        val page = after.foldLeft(df)((d, id) =>
+          d.filter(col("document_id") > id))
+        hits(ex, page.orderBy(col("document_id")).limit(limit))
     }
 
   /** GET /{entity}/{id} — point read by document_id from the index. */

@@ -318,6 +318,18 @@ class HttpApiSpec extends SparkSpec
     val list = get("/customer?limit=2")
     assert(list.statusCode() == 200)
     assert("\"document_id\"".r.findAllIn(list.body()).size == 2)
+    // listing pages with the same after-cursor contract as /search:
+    // page 2 starts strictly after page 1's last document_id, and the
+    // two pages equal one larger request
+    def ids(body: String): Seq[String] =
+      "\"document_id\":\"([^\"]+)\"".r.findAllMatchIn(body)
+        .map(_.group(1)).toSeq
+    val all = ids(get("/customer?limit=100").body())
+    assert(all.size >= 2, s"need >=2 synced docs, got $all")
+    val p1 = ids(get("/customer?limit=1").body())
+    val p2 = ids(get(s"/customer?limit=1&after=${p1.head}").body())
+    assert(p1 == all.take(1) && p2 == all.slice(1, 2),
+      s"cursor walk $p1 then $p2 != $all")
     // entity known but never synced → 404, reads never touch the source
     assert(get("/part").statusCode() == 404)
   }
