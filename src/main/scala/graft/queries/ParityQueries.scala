@@ -933,11 +933,12 @@ object ParityQueries {
       """ORDER BY score DESC, document_id, "table" LIMIT 100"""
   }
 
-  /** `' ' || tokens-joined-by-single-spaces || ' '` — token-exact
-    * substring probes (mirrors Search.tokenNorm). */
+  /** `' ' || tokens-joined-by-DOUBLE-spaces || ' '` — token-exact
+    * substring probes (mirrors Search.tokenNorm, incl. the two-space
+    * separator that keeps back-to-back matches countable). */
   private def tokenNormSql(field: String): String =
     s"' ' || array_to_string(list_filter(string_split_regex(" +
-      s"lower(coalesce($field, '')), '\\s+'), x -> x <> ''), ' ') || ' '"
+      s"lower(coalesce($field, '')), '\\s+'), x -> x <> ''), '  ') || ' '"
 
   /** Non-overlapping occurrence count of `needle` in the SQL expr
     * `hay` (mirrors Search.substrCount). */
@@ -1294,7 +1295,7 @@ object ParityQueries {
     "q2_search_phrase" -> {
       val n = tokenNormSql("text")
       "SELECT doc_id, text, score FROM (SELECT doc_id, text, " +
-        s"${substrCountSql("n", " the window ")} AS score " +
+        s"${substrCountSql("n", " the  window ")} AS score " +
         s"FROM (SELECT doc_id, text, $n AS n FROM documents)) " +
       "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"
     },

@@ -303,14 +303,20 @@ object Search {
       .agg(termScores.reduce(_ + _).as("score"))
   }
 
-  /** `" t1 t2 … "` — the column's whitespace tokens joined by single
-    * spaces and padded, so a substring probe for `" t "` is an EXACT
-    * token match and `" t1 t2 "` exact token ADJACENCY, regardless of
-    * the original run lengths of whitespace. */
+  /** `" t1  t2  …  tk "` — the column's whitespace tokens joined by
+    * DOUBLE spaces and single-space padded, so a substring probe for
+    * `" t "` is an EXACT token match and `" t1  t2 "` exact token
+    * ADJACENCY, regardless of the original whitespace run lengths.
+    * Two-space separators (not one) because the counting `replace`
+    * consumes the needle's boundary spaces: with single spaces,
+    * back-to-back matches (`"a a a"` probed for `" a "`, or a phrase
+    * repeated immediately) share one separator and the second
+    * occurrence loses its leading boundary — a double separator always
+    * leaves one space behind for the next match. */
   private def tokenNorm(c: Column): Column =
     concat(lit(" "),
       array_join(filter(split(lower(coalesce(c, lit(""))), "\\s+"),
-        x => x =!= lit("")), " "),
+        x => x =!= lit("")), "  "),
       lit(" "))
 
   /** Non-overlapping occurrence count of `needle` in `hay` — both
@@ -337,7 +343,7 @@ object Search {
     val terms = phraseQuery.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
-    val needle = terms.mkString(" ", " ", " ")
+    val needle = terms.mkString(" ", "  ", " ") // [[tokenNorm]] spacing
     val prefilter = fields.map(f =>
         terms.map(t => lower(coalesce(col(f), lit("")))
           .contains(lit(t))).reduce(_ && _))

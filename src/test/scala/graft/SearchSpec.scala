@@ -63,6 +63,73 @@ class SearchSpec extends SparkSpec {
     assert(s(1) > s(2), s"length normalization missing: $s")
   }
 
+  test("phrase: adjacency on TOKENS, not raw substrings — runs of " +
+    "whitespace and case don't matter, word boundaries do") {
+    val d = Seq(
+      (1L, "the  window opens"), // double space: still adjacent tokens
+      (2L, "the windowsill"), // substring only — NOT a token match
+      (3L, "window the"), // both terms, wrong order
+      (4L, "THE WINDOW"), // case-insensitive
+      (5L, "the window the window") // two occurrences
+    ).toDF("doc_id", "text")
+    val out = Search.phrase(d, "the window", Seq("text")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L, 1L, 4L))
+    assert(out.head.getAs[Int]("score") == 2)
+  }
+
+  test("multiFieldAnd: every term must token-match somewhere; " +
+    "substring-only hits don't count") {
+    val d = Seq(
+      (1L, "alpha beta", "x"),
+      (2L, "alpha", "beta"), // terms split across fields: matches
+      (3L, "alphabet beta", "x"), // 'alpha' only as substring: no
+      (4L, "alpha alpha", "x") // missing 'beta': no
+    ).toDF("doc_id", "text", "source")
+    val out = Search.multiFieldAnd(d, "alpha beta", Seq("text", "source"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("bm25Fields: single-field form equals bm25; best_fields takes " +
+    "the max; a field the term misses contributes zero") {
+    val d = Seq(
+      (1L, "window seat", "src_a"),
+      (2L, "window window view", "src_b"),
+      (3L, "no hits", "window_src") // substring in source, not a token
+    ).toDF("doc_id", "text", "source")
+    val single = Search.bm25(d, "window", "text", "doc_id").collect()
+    val multi1 = Search.bm25Fields(d, "window", Seq("text"), "doc_id")
+      .collect()
+    assert(single.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      multi1.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // source has no token match anywhere → sum and best agree with text
+    val sum2 = Search.bm25Fields(d, "window", Seq("text", "source"),
+      "doc_id").collect()
+    val best2 = Search.bm25Fields(d, "window", Seq("text", "source"),
+      "doc_id", bestFields = true).collect()
+    assert(sum2.map(_.getDouble(1)).toSeq == best2.map(_.getDouble(1)).toSeq)
+    // boosts scale a field's contribution
+    val boosted = Search.bm25Fields(d, "window", Seq("text"), "doc_id",
+      boosts = Map("text" -> 2.0)).collect()
+    assert(boosted.map(_.getDouble(1)).zip(multi1.map(_.getDouble(1)))
+      .forall { case (b, u) => math.abs(b - 2 * u) < 2e-4 })
+  }
+
+  test("search_after cursor: strictly-after filter, no overlap, no gap") {
+    val d = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "window window" else "window"))
+      .toDF("doc_id", "text")
+    val p1 = Search.multiField(d, "window", Seq("text"), limit = 7)
+      .collect()
+    val last = p1.last
+    val p2 = Search.multiField(d, "window", Seq("text"), limit = 7,
+      after = Some((last.getAs[Int]("score").toDouble,
+        last.getAs[Long]("doc_id")))).collect()
+    val all = Search.multiField(d, "window", Seq("text"), limit = 14)
+      .collect()
+    assert((p1 ++ p2).map(_.getLong(0)).toSeq == all.map(_.getLong(0)).toSeq)
+  }
+
   test("sql passthrough serves registered lake tables") {
     docs.createOrReplaceTempView("search_docs")
     val out = Search.sql(spark,
