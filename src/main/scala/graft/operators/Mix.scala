@@ -96,6 +96,38 @@ object Mix {
       .drop("n_g", "n_total", "_n")
   }
 
+  /** TEMPERATURE-scaled mixture — the multilingual/low-resource
+    * up-weighting rule (sampling weight p_g ∝ n_g^alpha): alpha < 1
+    * flattens the domain distribution toward uniform (small domains
+    * sampled at higher rates), alpha = 1 reproduces natural
+    * proportions. Weights are DERIVED from the corpus' own domain
+    * counts and then thinned by the same deterministic md5-bucket rule
+    * as [[sample]].
+    *
+    * The per-domain count table is bounded metadata (|domains| rows),
+    * so the one collect here is the same contract as the IVF codebook —
+    * never corpus-sized. Determinism: the weight denominator sums
+    * per-domain terms in SORTED-DOMAIN order (float + is order-
+    * sensitive), and alpha = 0.5 evaluates via `sqrt`, which IEEE
+    * requires correctly rounded in every engine — the oracle-gated
+    * query pins that alpha; other alphas go through `pow`, whose last
+    * ulp is libm-dependent (spec-tested instead). */
+  def temperatureSample(docs: DataFrame, domainCol: String, idCol: String,
+                        alpha: Double = 0.5, targetFrac: Double = 0.5,
+                        salt: String = "temp"): DataFrame = {
+    def p(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alpha)
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_g"))
+      .collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .sortBy(_._1)
+    val denom = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + p(n) }
+    val weights = counts.map { case (d, n) => d -> p(n) / denom }.toMap
+    sample(docs, domainCol, idCol, weights, targetFrac, salt)
+  }
+
   /** EXACT stratified sample: at most `cap` rows per stratum, chosen by
     * ranking on a salted md5 of the id — a deterministic shuffle-order
     * (re-runs pick the same rows; growing a stratum only swaps rows at

@@ -79,6 +79,17 @@ object CurationQueries {
           "source", "doc_id", MixWeights, targetFrac = 0.5, salt = "mix")
         .select("doc_id", "source")),
 
+    // TEMPERATURE-scaled mixture: sampling weights derived from the
+    // corpus' own domain counts, p_g ∝ sqrt(n_g) (alpha = 0.5, the
+    // multilingual low-resource up-weighting rule) — alpha pinned at
+    // 0.5 so the weight arithmetic is sqrt (IEEE-exact in any engine)
+    // and the oracle can reproduce the weights bit-for-bit.
+    "mix_temperature" -> ((s, dir) =>
+      Mix.temperatureSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id")
+        .select("doc_id", "source")),
+
     // Mixture by epoch replication — the up-weighting path: rates may
     // exceed 1, each doc emitted floor(rate) times + a deterministic
     // fractional slice, every copy tagged with its epoch index. One
@@ -593,6 +604,38 @@ object CurationQueries {
        |  FROM c WHERE n > 0)""".stripMargin
   }
 
+  /** Temperature-mixture oracle: weights p_g ∝ sqrt(n_g) computed the
+    * way Mix.temperatureSample computes them — sqrt of each domain
+    * count (exactly rounded by IEEE in both engines), denominator
+    * summed in SORTED-DOMAIN order (left-assoc chain == the Scala
+    * foldLeft), then mixSql's rate/threshold shape with salt 'temp'.
+    * Domains hardcoded to the testdata's src0..src19 (same contract as
+    * MixWeights). */
+  private val mixTemperatureSql: String = {
+    val domains = (0 until 20).map("src" + _).sorted
+    def s(d: String) =
+      s"(SELECT sqrt(CAST(n_g AS DOUBLE)) FROM cnts WHERE source = '$d')"
+    val den = domains.map(s).mkString(" + ")
+    val caseW = domains
+      .map(d => s"WHEN '$d' THEN ${s(d)} / den.d").mkString(" ")
+    s"""WITH cnts AS (
+       |  SELECT source, count(*) AS n_g FROM documents GROUP BY source
+       |), den AS (SELECT $den AS d),
+       |tot AS (SELECT sum(n_g) AS n_total FROM cnts),
+       |r AS (
+       |  SELECT doc.doc_id, doc.source,
+       |    least(1.0, ((CASE doc.source $caseW END) * (0.5 * n_total))
+       |      / n_g) AS rate
+       |  FROM documents doc JOIN cnts ON doc.source = cnts.source
+       |  CROSS JOIN tot CROSS JOIN den
+       |)
+       |SELECT doc_id, source FROM r
+       |WHERE rate IS NOT NULL AND (rate >= 1.0 OR
+       |  substr(md5(CAST(doc_id AS VARCHAR) || 'temp'), 1, 4) <
+       |  lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS INT))), 4, '0'))
+       |""".stripMargin
+  }
+
   /** Calibrated-quality oracle: the quality CTE mirrors qualityScore
     * (hash-proven in text_analysis); the threshold is the same discrete
     * k-th smallest per source. */
@@ -810,6 +853,7 @@ object CurationQueries {
     "repetition_stats" -> repetitionSql,
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,
+    "mix_temperature" -> mixTemperatureSql,
     "quality_model" -> qualityModelSql,
     "lm_perplexity" -> lmPerplexitySql,
     "ngram_topk" -> ngramTopkSql)

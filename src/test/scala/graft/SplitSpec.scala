@@ -126,6 +126,33 @@ class SplitSpec extends SparkSpec {
     assert(unknown.filter(col("source") === "b").count() == 0)
   }
 
+  test("Mix.temperatureSample: alpha=0.5 up-weights small domains; " +
+    "alpha=1 reproduces natural proportions") {
+    import graft.operators.Mix
+    // skewed corpus: big=800, small=50
+    val docs = ((1L to 800L).map(i => (i, "big")) ++
+      (1001L to 1050L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val t5 = Mix.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, targetFrac = 0.5)
+    val by5 = t5.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sampled fraction of the small domain must exceed the big one's
+    // (flattening toward uniform), and exceed its own natural share
+    val fracSmall = by5.getOrElse("small", 0L).toDouble / 50.0
+    val fracBig = by5.getOrElse("big", 0L).toDouble / 800.0
+    assert(fracSmall > fracBig,
+      s"alpha<1 should up-weight the small domain: $by5")
+    // alpha=1: weights ∝ n_g, so every domain thins at the same rate
+    // (targetFrac) — rates are exactly equal by construction, and the
+    // realized counts land near targetFrac of each domain
+    val t1 = Mix.temperatureSample(docs, "source", "doc_id",
+      alpha = 1.0, targetFrac = 0.5)
+    val by1 = t1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(by1("big") / 800.0 - 0.5) < 0.06, by1.toString)
+    assert(math.abs(by1("small") / 50.0 - 0.5) < 0.15, by1.toString)
+  }
+
   test("Mix.stratifiedExact caps per stratum and is re-run stable") {
     import graft.operators.Mix
     val docs = (0 until 300).map(i =>
