@@ -23,6 +23,13 @@ object CurationQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Tagging lexicon for `text_keywords` — deliberately includes
+    * keywords that are prefixes/suffixes/substrings of each other and
+    * of corpus words, plus absent terms. */
+  val TagKeywords: Seq[String] = Seq(
+    "window", "win", "dow", "spark", "park", "merge", "erg", "the",
+    "he", "batch", "at", "stream", "quantum")
+
   /** Target domain mixture over the corpus's ten sources. */
   val MixWeights: Map[String, Double] = Map(
     "src0" -> 0.25, "src1" -> 0.20, "src2" -> 0.15, "src3" -> 0.10,
@@ -336,6 +343,22 @@ object CurationQueries {
         .orderBy(col("freq").desc, col("symbol"))
         .limit(30)
     }),
+
+    // Multi-keyword tagging at scan speed: ONE Aho–Corasick pass per
+    // document finds every blocklist/topic keyword regardless of list
+    // size (the compositional k-contains form is k passes per row —
+    // dead at a production 10⁴-term lexicon). Keyword list includes
+    // proper prefixes/suffixes of each other and of corpus words
+    // ('win'⊂'window', 'he'⊂'the'), the cases where naive automata
+    // drop matches. Output joined to a string so the hash compare is
+    // dtype-proof.
+    "text_keywords" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          array_join(
+            org.apache.spark.sql.graft.KeywordExpressions.keywordMatches(
+              lower(col("text")), TagKeywords), ",").as("matched"))),
 
     // Corpus-level n-gram statistics: document frequency of every
     // distinct 3-gram shingle, top 20 — one explode + combiner-friendly
@@ -854,6 +877,16 @@ object CurationQueries {
     "decontaminate" -> decontaminateSql,
     "mix_sample" -> mixSql,
     "mix_temperature" -> mixTemperatureSql,
+    // semantics = keywords.filter(contains) in list order — what the
+    // one-pass automaton must reproduce exactly
+    "text_keywords" -> {
+      val lst = TagKeywords.map(k => s"'$k'").mkString("[", ", ", "]")
+      // coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+      // Spark's array_join is '' — same set, different spelling
+      "SELECT doc_id, coalesce(array_to_string(list_filter(" +
+        s"$lst, k -> contains(lower(text), k)), ','), '') AS matched " +
+      "FROM documents WHERE text IS NOT NULL"
+    },
     "quality_model" -> qualityModelSql,
     "lm_perplexity" -> lmPerplexitySql,
     "ngram_topk" -> ngramTopkSql)
