@@ -200,25 +200,90 @@ object Search {
   private def round4(c: Column): Column =
     floor(c * 10000.0 + 0.5).cast("double") / 10000.0
 
+  /** Multi-field ranked retrieval in ONE pass over the corpus: fields
+    * STACK into a single explode (one scan carries every field's
+    * tokens, tagged `fid`), per-(field, term) df and per-field dl/avgdl
+    * ride the same shared aggregates, and the cross-field combine is
+    * conditional sums inside ONE final per-doc aggregation — no
+    * per-field corpus scans, no full-outer joins (the naive
+    * k-independent-pipelines form costs 2k scans and a k-way join; this
+    * is 2 scans and 3 shuffles regardless of k). Numerically identical
+    * to scoring each field alone and combining: every per-(field, term)
+    * contribution is a single row, so conditional sums add the same
+    * doubles in the same fixed (field, term) order the oracle spells. */
   private def rankedFields(df: DataFrame, query: String,
                            fields: Seq[String], idCol: String, limit: Int,
                            bm25: Boolean, bestFields: Boolean,
                            boosts: Map[String, Double],
                            after: Option[(Double, Any)] = None): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
     require(fields.nonEmpty, "at least one field to rank")
-    val perField = fields.zipWithIndex.map { case (f, i) =>
-      val boosted = boosts.get(f)
-        .map(b => col("score") * b).getOrElse(col("score"))
-      rankedScores(df, query, f, idCol, bm25)
-        .select(col(idCol), boosted.as(s"s_$i"))
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val anyTerm = fields.flatMap(f =>
+        terms.map(t => lower(col(f)).contains(lit(t))))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // one scan: stack every field's (dl, token array), then explode
+    // tokens; a NULL field contributes nothing (its token array is null)
+    val stacked = df.filter(anyTerm)
+      .select(col(idCol), explode(array(fields.zipWithIndex.map {
+        case (f, i) => struct(lit(i).as("fid"),
+          (if (bm25) tokenCount(col(f)) else lit(0)).as("dl"),
+          split(lower(col(f)), "\\s+").as("toks"))
+      }: _*)).as("fs"))
+      .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
+        explode(col("fs.toks")).as("term"))
+      .filter(col("term").isin(terms.toSeq: _*))
+    // shared corpus statistics: ONE full-scan aggregate computes every
+    // field's n/avgdl (the numbers ES precomputes per index), reshaped
+    // to a broadcastable (fid, n, avgdl) row per field
+    val statsWide = df.agg(count(lit(1)).as("n"),
+      fields.zipWithIndex.map { case (f, i) =>
+        (sum(tokenCount(col(f))).cast("double") / count(lit(1)))
+          .as(s"avgdl_$i") }: _*)
+    val stats = statsWide.select(explode(array(fields.indices.map(i =>
+        struct(lit(i).as("fid"), col("n"),
+          col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.n").as("n"),
+        col("s.avgdl").as("avgdl"))
+    val idf = stacked.groupBy(col("fid"), col("term"))
+      .agg(countDistinct(col(idCol)).as("df_t"))
+      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
+      .select(col("fid"), col("term"),
+        if (bm25)
+          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+            (col("df_t") + 0.5)).as("idf")
+        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    val grouped =
+      if (bm25)
+        stacked.groupBy(col(idCol), col("fid"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .join(broadcast(stats.select(col("fid"), col("avgdl"))),
+            Seq("fid"))
+      else stacked.groupBy(col(idCol), col("fid"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    val perTerm: Column =
+      if (bm25)
+        col("idf") * ((col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+      else col("tf") * col("idf")
+    // per-field score: fixed-order term sum of single-row conditionals
+    // (each (doc, fid, term) group is one row after the tf aggregation)
+    def fieldScore(i: Int): Column = {
+      val raw = terms.toSeq.map(t =>
+          coalesce(sum(when(col("term") === t && col("fid") === i,
+            perTerm)), lit(0.0)))
+        .reduce(_ + _)
+      boosts.get(fields(i)).map(b => raw * b).getOrElse(raw)
     }
-    val joined = perField.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
-    val parts = fields.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+    val parts = fields.indices.map(fieldScore)
     val combined =
       if (parts.size == 1) parts.head
       else if (bestFields) greatest(parts: _*)
       else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
-    joined.select(col(idCol), round4(combined).as("score"))
+    grouped.join(broadcast(idf), Seq("fid", "term"))
+      .groupBy(col(idCol))
+      .agg(round4(combined).as("score"))
       .filter(afterPredicate(after, col(idCol)))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
