@@ -90,7 +90,13 @@ object Bpe {
     * replays from HDFS/S3 files, not from the lost executors' block
     * store), else the fast `localCheckpoint(eager = false)` that trades
     * recoverability for speed at sandbox scale. Lazy in both modes so
-    * each round still runs ONE action. */
+    * each round still runs ONE driver action; the reliable mode pays
+    * one extra computation of each table per round (the checkpoint
+    * write job re-runs the unpersisted plan) — the durability tax.
+    * Checkpoint FILES are deleted when the round rotates out
+    * ([[org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd]]) —
+    * Spark's cleaner does not do that by default, and a 32k-merge run
+    * must not leave 32k table snapshots on disk. */
   private[graft] def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = false)
@@ -163,6 +169,11 @@ object Bpe {
     val live = scala.collection.mutable.Queue.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
+    // every symbol string MERGES have ever created — with the initial
+    // symbols (single code points + the end-of-word marker) this fully
+    // characterizes the live symbol universe driver-side, which is what
+    // lets selectBatch refuse to batch through created-symbol ALIASING
+    val priorMades = scala.collection.mutable.Set.empty[String]
     var rounds = 0
     try {
       var exhausted = false
@@ -175,7 +186,9 @@ object Bpe {
         while (live.size > 4) unpersistPlanRdd(live.dequeue())
         if (top.isEmpty) exhausted = true
         else {
-          val batch = selectBatch(top, fetchedAll = top.length < want)
+          val batch = selectBatch(top, fetchedAll = top.length < want,
+            priorMades)
+          batch.foreach { case (l, r, _) => priorMades += (l + r) }
           batch.foreach { case (l, r, f) =>
             merges += ((merges.length + 1, l, r, f))
           }
@@ -236,13 +249,33 @@ object Bpe {
     *    non-adjacent. The only remaining risk is an equal-count fetched
     *    tie adjacent to an accepted member: the created pair it bounds
     *    could TIE the candidate — hazardous only if that created pair
-    *    would also WIN the (l, r) string tie-break. */
-  private def selectBatch(top: Array[(String, String, Long)],
-                          fetchedAll: Boolean)
+    *    would also WIN the (l, r) string tie-break;
+    *  - no created-symbol ALIASING: the single-pair bound above
+    *    attributes every occurrence of a created pair to ONE pre-merge
+    *    pair, which holds only while each accepted merge's `l+r`
+    *    string is a genuinely NEW symbol. If it collided with an
+    *    existing symbol (a prior round's made string, the end-of-word
+    *    marker, a single code point) or with another batch member's
+    *    made string, counts from the two origins would AGGREGATE (e.g.
+    *    ('a','bc') and ('ab','c') both minting "abc") and a created
+    *    pair could out-rank a later candidate without any single
+    *    fetched pair revealing it. The symbol universe is fully known
+    *    driver-side (initial symbols are single code points + the
+    *    marker; everything else came from recorded merges), so the
+    *    batch simply refuses to extend past an aliasing member. */
+  private[graft] def selectBatch(top: Array[(String, String, Long)],
+                                 fetchedAll: Boolean,
+                                 priorMades: scala.collection.Set[String])
       : Seq[(String, String, Long)] = {
     val cutoff = if (fetchedAll) Long.MinValue else top.last._3
     val accepted = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
+    val batchMades = scala.collection.mutable.Set.empty[String]
+    // made collides with a symbol that can already exist
+    def aliases(made: String): Boolean =
+      priorMades.contains(made) || batchMades.contains(made) ||
+        made == EndOfWord ||
+        made.codePointCount(0, made.length) == 1
     // (pl, pr) strictly before (cl, cr) in the sequential tie-break
     def pairLt(pl: String, pr: String, cl: String, cr: String): Boolean =
       pl < cl || (pl == cl && pr < cr)
@@ -264,6 +297,7 @@ object Bpe {
     for ((l, r, f) <- top if !stop) {
       val first = accepted.isEmpty
       val certain = fetchedAll || f > cutoff
+      val clean = !aliases(l + r)
       val disjoint = !accepted.exists { case (bl, br, _) =>
         interacts(l, r, bl, br) }
       // every non-accepted fetched pair has freq ≤ f (the prefix above
@@ -291,8 +325,13 @@ object Bpe {
           })
         }
       }
-      if (first || (certain && disjoint && !hazard)) {
+      if (first || (certain && clean && disjoint && !hazard)) {
         accepted += ((l, r, f))
+        batchMades += (l + r)
+        // an aliasing member is legal on its own (sequential handles
+        // aliasing fine) but invalidates the single-origin bound for
+        // everything after it — seal the batch here
+        if (!clean) stop = true
       } else stop = true
     }
     accepted.toSeq

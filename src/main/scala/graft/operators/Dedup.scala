@@ -394,6 +394,10 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
+    // the frame actually holding this round's cache: unpersist must hit
+    // THIS reference — unpersisting a derived projection (drop/checkpoint
+    // of it) is a no-op, Spark matches cached plans exactly
+    var cached = labels
     try {
       var unstable = 1L
       var i = 0
@@ -411,7 +415,8 @@ object Dedup {
           .agg(min(col("lbl")).as("lbl"), max(col("lbl")).as("_mx"))
           .persist()
         unstable = next.filter(col("lbl") =!= col("_mx")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = next
         // with a configured checkpoint dir, cut each round's label
         // table to a RELIABLE checkpoint (executor-loss recovery for
         // long runs — same contract as Bpe.cut); otherwise the persist

@@ -118,7 +118,13 @@ object Mix {
     def p(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble)
       else math.pow(n.toDouble, alpha)
-    val counts = docs.groupBy(col(domainCol))
+    // NULL domains are excluded from the weight derivation (they can
+    // never be sampled — [[sample]]'s weight lookup maps them to a null
+    // rate) — counting them would silently deflate every real domain's
+    // weight, and String.valueOf would collide with a domain literally
+    // named "null"
+    val counts = docs.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_g"))
       .collect()
       .map(r => (String.valueOf(r.get(0)), r.getLong(1)))

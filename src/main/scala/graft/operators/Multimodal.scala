@@ -333,6 +333,11 @@ object Avi {
             java.util.Arrays.equals(a, b) }
       case _ => false
     }
+    // by-content like equals (the case-class default would hash frame
+    // ARRAYS by identity, breaking the equals/hashCode contract)
+    override def hashCode: Int =
+      (width, height, usPerFrame,
+        frames.map(java.util.Arrays.hashCode)).hashCode
   }
 
   private def le32(b: Array[Byte], i: Int): Int =

@@ -268,7 +268,10 @@ object CurationQueries {
       //    survivors) — persist it once instead of re-running six regex
       //    passes plus tokenization over the corpus per consumer; at
       //    production scale this is the stage boundary a pipeline
-      //    materializes (MEMORY_AND_DISK spills, never OOMs)
+      //    materializes (MEMORY_AND_DISK spills, never OOMs). No
+      //    explicit unpersist is possible from a lazy query builder —
+      //    reclamation relies on ContextCleaner's reference tracking
+      //    (on by default) once the returned plan is unreachable
       val scored = cleaned.select(col("doc_id"), col("source"), col("t"),
         qualityScore(col("t")).as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -137,16 +137,24 @@ final class HttpApi(
     if (index == "*" || index.endsWith("_*")) {
       val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
       val best = textOr(req, "type", "most_fields") == "best_fields"
+      // wildcard cursor = the last hit's [score, document_id, table]
+      // (the table matters: document_ids can collide across entities;
+      // a 2-element cursor skips same-id rows of other tables)
+      val after3: Option[(Double, String, String)] =
+        Option(req.get("search_after"))
+          .filter(a => a.isArray && a.size >= 2)
+          .map(a => (a.get(0).asDouble, a.get(1).asText,
+            if (a.size >= 3) a.get(2).asText else "\uffff")) // no table given: exclusive everywhere
       textOr(req, "rank", "occurrences") match {
         case r @ ("bm25" | "tfidf") =>
           hits(ex, Search.acrossIndexesRanked(spark, srcDir, runTs, term,
-            limit, bestFields = best, bm25 = r == "bm25"))
+            limit, bestFields = best, bm25 = r == "bm25", after = after3))
         case _ =>
           val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
           val fields = lake.schema.fields
             .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
             .map(_.name).filterNot(Set("table", "document_id")).toSeq
-          hits(ex, Search.acrossIndexes(lake, term, fields, limit))
+          hits(ex, Search.acrossIndexes(lake, term, fields, limit, after3))
       }
       return
     }
@@ -223,15 +231,21 @@ final class HttpApi(
     val offset = textOr(req, "page_token", "") match {
       case "" => 0
       case tok =>
-        val parts = new String(
-          java.util.Base64.getUrlDecoder.decode(tok),
-          StandardCharsets.UTF_8).split(":", 2)
-        if (parts.length != 2 || parts(0) != sqlHash) {
+        // malformed tokens (bad base64, junk payload) are the CALLER's
+        // error — same 400 as a sql-mismatched token, never a 500
+        val parsed = scala.util.Try {
+          val parts = new String(
+            java.util.Base64.getUrlDecoder.decode(tok),
+            StandardCharsets.UTF_8).split(":", 2)
+          if (parts.length == 2 && parts(0) == sqlHash) parts(1).toInt
+          else -1
+        }.getOrElse(-1)
+        if (parsed < 0) {
           respond(ex, 400,
-            """{"error": "page_token does not match this sql"}""")
+            """{"error": "invalid page_token for this sql"}""")
           return
         }
-        parts(1).toInt
+        parsed
     }
     val df = Search.sql(spark, query)
     // the user's ORDER BY makes paging deterministic only when it is
@@ -256,7 +270,8 @@ final class HttpApi(
       nextToken = () =>
         if (!tokenable) None
         else Some(java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-          s"$sqlHash:${offset + maxHits}".getBytes(StandardCharsets.UTF_8))))
+          s"$sqlHash:${offset + maxHits}".getBytes(StandardCharsets.UTF_8))),
+      baseOffset = offset)
   }
 
   /** ES-shaped hits envelope: `{"hits": {"total": n, "hits": [...]}}` —
@@ -271,19 +286,21 @@ final class HttpApi(
     * fetched to detect truncation; `"capped": true` plus the cap in the
     * envelope tells the caller to narrow the query or paginate. */
   private def hits(ex: HttpExchange, df: DataFrame,
-                   nextToken: () => Option[String] = () => None): Unit = {
+                   nextToken: () => Option[String] = () => None,
+                   baseOffset: Int = 0): Unit = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
     // ES's `total` object: an exact count when the page holds every
     // hit, a LOWER BOUND (`relation: "gte"`) when capped — never the
-    // page size masquerading as the corpus-wide total
+    // page size masquerading as the corpus-wide total. On offset pages
+    // the skipped rows count toward the query-wide total.
     val relation = if (capped) "gte" else "eq"
     val token = if (capped) nextToken() else None
     val tokenField = token
       .map(t => s""", "next_page_token": "$t"""").getOrElse("")
     respond(ex, 200,
-      s"""{"hits": {"total": {"value": ${rows.length}, ${""
+      s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
         }"relation": "$relation"}, "max_hits": $maxHits, ${""
         }"capped": $capped$tokenField, "hits": [${page.mkString(", ")}]}}""")
   }

@@ -37,9 +37,11 @@ object Search {
     * LAST hit of the previous page; applied before top-k, so page N+1
     * is the next `limit` hits with no overlap and no gap. */
   private def afterPredicate(after: Option[(Double, Any)],
-                             idc: Column): Column =
+                             idc: Column,
+                             inclusive: Boolean = false): Column =
     after.map { case (s, id) =>
-      (col("score") < s) || (col("score") === s && idc > lit(id))
+      val idCmp = if (inclusive) idc >= lit(id) else idc > lit(id)
+      (col("score") < s) || (col("score") === s && idCmp)
     }.getOrElse(lit(true))
 
   /** Multi-field search: rows where any selected field contains `term`
@@ -68,14 +70,29 @@ object Search {
     * Output is the hit identity (table, document_id, score); callers
     * fetch bodies from the entity's own table. */
   def acrossIndexes(lake: DataFrame, term: String, fields: Seq[String],
-                    limit: Int = 100): DataFrame = {
+                    limit: Int = 100,
+                    after: Option[(Double, String, String)] = None)
+      : DataFrame = {
     val score = fields.map(f => occurrences(col(f), term))
       .reduce(_ + _).as("score")
     lake.select(col("table"), col("document_id"), score)
       .filter(col("score") > 0)
+      .filter(afterPredicate3(after))
       .orderBy(col("score").desc, col("document_id"), col("table"))
       .limit(limit)
   }
+
+  /** Wildcard-search cursor — strictly after `(score, document_id,
+    * table)` in the (score desc, document_id asc, table asc) order the
+    * cross-index modes share. The third key matters: `document_id`
+    * values (`{id}_{runTs}`) can collide ACROSS entities. */
+  private def afterPredicate3(
+      after: Option[(Double, String, String)]): Column =
+    after.map { case (s, id, tbl) =>
+      (col("score") < s) || (col("score") === s &&
+        (col("document_id") > id ||
+          (col("document_id") === id && col("table") > tbl)))
+    }.getOrElse(lit(true))
 
   /** Cross-index RANKED retrieval — the `data_lake_*` wildcard under
     * ES's real scorer: every entity index is scored with ITS OWN
@@ -89,7 +106,9 @@ object Search {
   def acrossIndexesRanked(spark: SparkSession, srcDir: String,
                           runTs: String, query: String, limit: Int = 100,
                           bestFields: Boolean = false,
-                          bm25: Boolean = true): DataFrame = {
+                          bm25: Boolean = true,
+                          after: Option[(Double, String, String)] = None)
+      : DataFrame = {
     import org.apache.spark.sql.types.StringType
     import graft.catalog.EntityCatalog
     val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
@@ -99,11 +118,13 @@ object Search {
         val fields = docs.schema.fields
           .filter(_.dataType == StringType)
           .map(_.name).filterNot(Set("table", "document_id")).toSeq
-        val ranked =
-          if (bm25) bm25Fields(docs, query, fields, "document_id", limit,
-            bestFields)
-          else tfidfFields(docs, query, fields, "document_id", limit,
-            bestFields)
+        // the global 3-key cursor restricted to this branch's constant
+        // table name: id-INCLUSIVE for branches sorting after the
+        // cursor's table, id-exclusive otherwise
+        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
+        val inclusive = after.exists { case (_, _, t) => spec.name > t }
+        val ranked = rankedFields(docs, query, fields, "document_id",
+          limit, bm25, bestFields, Map.empty, branchAfter, inclusive)
         ranked.select(lit(spec.name).as("table"), col("document_id"),
           col("score"))
       }
@@ -215,7 +236,8 @@ object Search {
                            fields: Seq[String], idCol: String, limit: Int,
                            bm25: Boolean, bestFields: Boolean,
                            boosts: Map[String, Double],
-                           after: Option[(Double, Any)] = None): DataFrame = {
+                           after: Option[(Double, Any)] = None,
+                           afterInclusive: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions.tokenCount
     require(fields.nonEmpty, "at least one field to rank")
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -284,7 +306,7 @@ object Search {
     grouped.join(broadcast(idf), Seq("fid", "term"))
       .groupBy(col(idCol))
       .agg(round4(combined).as("score"))
-      .filter(afterPredicate(after, col(idCol)))
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }

@@ -20,10 +20,20 @@ object DatasetUtils {
     * fallback to `unpersist` for plans that are not a LogicalRDD).
     * Caller contract: every downstream dependent has already
     * materialized ITS checkpoint (lineage is truncated there, so the
-    * freed blocks can no longer be needed). */
+    * freed blocks can no longer be needed).
+    *
+    * RELIABLY-checkpointed frames additionally delete their checkpoint
+    * FILES: `spark.cleaner.referenceTracking.cleanCheckpoints` defaults
+    * to false, so without this a k-round iterative run leaves k full
+    * table snapshots in the checkpoint dir — disk exhaustion on exactly
+    * the multi-day runs the reliable mode exists for. */
   def unpersistPlanRdd(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        if (l.rdd.getCheckpointFile.isDefined)
+          org.apache.spark.rdd.ReliableRDDCheckpointData
+            .cleanCheckpoint(l.rdd.sparkContext, l.rdd.id)
       case _ => df.unpersist()
     }
 }

@@ -134,6 +134,34 @@ class BpeSpec extends SparkSpec {
     assert(one == want.take(8) && oneRounds == 8)
   }
 
+  test("batch selection refuses created-symbol aliasing: two merges " +
+    "minting the same string, or a prior round's symbol, never share " +
+    "a batch") {
+    // ('a','bc') and ('ab','c') both mint "abc": if batched together,
+    // created-pair counts from the two origins would AGGREGATE and
+    // could out-rank a later candidate invisibly — must stop after the
+    // first
+    val top = Array(("a", "bc", 12L), ("ab", "c", 11L), ("y", "z", 10L))
+    val b1 = Bpe.selectBatch(top, fetchedAll = true, Set.empty)
+    assert(b1 == Seq(("a", "bc", 12L)))
+    // same collision against a PRIOR round's made symbol
+    val top2 = Array(("y", "z", 12L), ("ab", "c", 11L))
+    val b2 = Bpe.selectBatch(top2, fetchedAll = true, Set("abc"))
+    assert(b2 == Seq(("y", "z", 12L)))
+    // an aliasing FIRST member is legal alone but seals the batch
+    val top3 = Array(("ab", "c", 12L), ("y", "z", 11L))
+    val b3 = Bpe.selectBatch(top3, fetchedAll = true, Set("abc"))
+    assert(b3 == Seq(("ab", "c", 12L)))
+    // the end-of-word marker and single-code-point strings count as
+    // pre-existing symbols too
+    val top4 = Array(("y", "z", 12L), ("<", "/w>", 11L))
+    assert(Bpe.selectBatch(top4, fetchedAll = true, Set.empty)
+      == Seq(("y", "z", 12L)))
+    // and a clean pair of non-interacting merges still batches
+    val top5 = Array(("a", "b", 12L), ("c", "d", 11L))
+    assert(Bpe.selectBatch(top5, fetchedAll = true, Set.empty).size == 2)
+  }
+
   test("reliable-checkpoint path: configured checkpoint dir switches " +
     "rounds to checkpoint(), output identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")

@@ -93,6 +93,22 @@ class HttpApiSpec extends SparkSpec
     val rbScores = "\"score\":([0-9.]+)".r
       .findAllMatchIn(rb.body()).map(_.group(1).toDouble).toSeq
     assert(rbScores == rbScores.sorted.reverse)
+    // the wildcard honors the 3-key [score, document_id, table] cursor:
+    // two ranked pages == one larger request, no overlap, no gap
+    def hitsOf(body: String): Seq[(String, String, Double)] =
+      ("\\{\"table\":\"([a-z]+)\",\"document_id\":\"([^\"]+)\"," +
+        "\"score\":([0-9.]+)\\}").r.findAllMatchIn(body)
+        .map(m => (m.group(1), m.group(2), m.group(3).toDouble)).toSeq
+    val q = """{"search_term": "small error household", "index": "*",
+      | "rank": "bm25", "limit": 8%s}""".stripMargin
+    val h1 = hitsOf(post("/search", q.format("")).body())
+    assert(h1.size == 8, s"page1: $h1")
+    val (lt, li, ls) = (h1.last._1, h1.last._2, h1.last._3)
+    val h2 = hitsOf(post("/search",
+      q.format(s""", "search_after": [$ls, "$li", "$lt"]""")).body())
+    val all = hitsOf(post("/search",
+      q.format("").replace("\"limit\": 8", "\"limit\": 16")).body())
+    assert(h1 ++ h2 == all, s"paged=${h1 ++ h2} single=$all")
   }
 
   test("POST /search with rank=bm25 returns BM25-scored hit identities " +
