@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, L2Normalize, NormalizeJson, SimHash64}
+import org.apache.spark.sql.graft.{DistinctShingles, DotProduct, KeywordMatches, L2Normalize, NormalizeJson, SimHash64}
 
 /** SQL registration for the custom codegen expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
@@ -48,5 +48,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeJson].getName,
         "graft_normalize_json"),
       checked("graft_normalize_json", 1)(c => NormalizeJson(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_keywords"),
+      new ExpressionInfo(classOf[KeywordMatches].getName, "graft_keywords"),
+      checked("graft_keywords", 2) { c =>
+        // the keyword list builds the Aho–Corasick automaton at PLAN
+        // time, so it must be a literal (foldable) array of strings
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val kws = c(1) match {
+          case e if e.foldable &&
+              e.dataType.isInstanceOf[ArrayType] &&
+              e.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+            val a = e.eval().asInstanceOf[ArrayData]
+            (0 until a.numElements())
+              .map(i => a.getUTF8String(i).toString)
+          case _ => throw new IllegalArgumentException(
+            "graft_keywords expects a literal array<string> keyword list")
+        }
+        KeywordMatches(c(0), kws)
+      }))
   }
 }

@@ -68,4 +68,17 @@ class KeywordSpec extends SparkSpec {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("graft_keywords is reachable from SQL with a literal keyword " +
+    "array; non-literal lists are a clear error") {
+    val r = spark.sql(
+      "SELECT graft_keywords('ushers', array('he','she','his','hers'))")
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("he", "she", "hers"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_keywords(t, array(t)) " +
+        "FROM VALUES ('x') AS v(t)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }
