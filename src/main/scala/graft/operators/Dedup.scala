@@ -396,7 +396,12 @@ object Dedup {
       .withColumn("lbl", col("v")).persist()
     // the frame actually holding this round's cache: unpersist must hit
     // THIS reference — unpersisting a derived projection (drop/checkpoint
-    // of it) is a no-op, Spark matches cached plans exactly
+    // of it) is a no-op, Spark matches cached plans exactly.
+    // (Bench note: before this fix the leaked round tables outlived the
+    // call and were plan-matched into LATER identical runs — a bench
+    // warmup pass made the measured pass look ~3× faster than the
+    // honest per-round cost. Earlier rounds' BENCH numbers for
+    // dedup_components carry that flattering artifact.)
     var cached = labels
     try {
       var unstable = 1L
