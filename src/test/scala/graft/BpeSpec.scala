@@ -162,6 +162,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.selectBatch(top5, fetchedAll = true, Set.empty).size == 2)
   }
 
+  test("batched trainer == golden on a corpus whose merges MINT the " +
+    "end-of-word marker string (real aliasing, end to end)") {
+    // tokens of literal '<','/','w','>' characters drive merges
+    // ('w','>')→'w>', ('/','w>')→'/w>', ('<','/w>')→'</w>' — the last
+    // minting a string that ALIASES the end-of-word marker symbol, so
+    // created-pair counts aggregate across origins; the batch seals at
+    // that member and output must still equal sequential greedy
+    val texts = Seq(
+      Seq.fill(40)("</w>").mkString(" "),
+      Seq.fill(25)("a</w>b").mkString(" "),
+      Seq.fill(15)("ab").mkString(" "))
+    val want = GoldenModels.bpeMerges(texts, numMerges = 12)
+    assert(want.nonEmpty)
+    val got = Bpe.trainMerges(texts.toDF("text"), "text",
+      numMerges = 12)
+    assert(got == want, s"got=$got\nwant=$want")
+    // the aliasing merge really happened (the scenario is live)
+    assert(got.exists { case (_, l, r, _) => l + r == Bpe.EndOfWord },
+      s"corpus did not mint ${Bpe.EndOfWord}: $got")
+  }
+
   test("reliable-checkpoint path: configured checkpoint dir switches " +
     "rounds to checkpoint(), output identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
