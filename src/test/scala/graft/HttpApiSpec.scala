@@ -99,6 +99,11 @@ class HttpApiSpec extends SparkSpec
       ("\\{\"table\":\"([a-z]+)\",\"document_id\":\"([^\"]+)\"," +
         "\"score\":([0-9.]+)\\}").r.findAllMatchIn(body)
         .map(m => (m.group(1), m.group(2), m.group(3).toDouble)).toSeq
+    // the tfidf wildcard tier serves and ranks too
+    val tf = post("/search",
+      """{"search_term": "small error household", "index": "*",
+        | "rank": "tfidf", "limit": 10}""".stripMargin)
+    assert(tf.statusCode() == 200 && tf.body().contains("\"score\""))
     val q = """{"search_term": "small error household", "index": "*",
       | "rank": "bm25", "limit": 8%s}""".stripMargin
     val h1 = hitsOf(post("/search", q.format("")).body())
