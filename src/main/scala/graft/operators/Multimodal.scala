@@ -105,13 +105,40 @@ object Multimodal {
       _.grouped(BatchSize).flatMap(g => decodeBatch(g).iterator))
   }
 
-  /** STUB RESIZE — a real engine decodes, resamples to `targetBytes`
-    * resolution, re-encodes. The stub keeps a deterministic prefix (so
-    * output is a pure function of input) while preserving the real
-    * contract: per-row narrow transform, no shuffle, blob-in → blob-out. */
+  /** Byte-budget RESIZE — REAL for the decodable containers: a PPM
+    * image is decoded and its dimensions scaled by √(budget/size) so
+    * the re-encoded payload fits `targetBytes`; a WAV clip is decoded
+    * and its sample rate scaled by the byte ratio, same effect. Rows a
+    * codec can't parse (and already-small rows) keep the deterministic
+    * truncation stub — a real engine would route them to their own
+    * codec. Same plan shape throughout: per-row narrow transform, no
+    * shuffle, blob-in → blob-out. */
   def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.map(m => m.copy(blob = m.blob.take(targetBytes)))
+    media.map { m =>
+      if (m.blob.length <= targetBytes) m
+      else m.media_type match {
+        case "image/ppm" => Ppm.decode(m.blob).fold(
+          m.copy(blob = m.blob.take(targetBytes))) { img =>
+          // pixel budget after a ~20-byte header, 3 bytes per pixel
+          val budget = math.max(1, (targetBytes - 20) / 3)
+          val scale = math.sqrt(budget.toDouble / (img.w.toLong * img.h))
+          val w = math.max(1, (img.w * scale).toInt)
+          val h = math.max(1, (img.h * scale).toInt)
+          m.copy(blob = Ppm.encode(Ppm.resizeNearest(img, w, h)))
+        }
+        case "audio/wav" => Wav.decode(m.blob).fold(
+          m.copy(blob = m.blob.take(targetBytes))) { clip =>
+          val budget = math.max(1, (targetBytes - 44) / (2 * clip.channels))
+          val rate = math.max(1,
+            (clip.sampleRate.toLong * budget / math.max(1, clip.nFrames))
+              .toInt)
+          m.copy(blob = Wav.encode(Wav.resampleNearest(clip,
+            math.min(rate, clip.sampleRate))))
+        }
+        case _ => m.copy(blob = m.blob.take(targetBytes))
+      }
+    }
   }
 
   /** FRAME SAMPLER — REAL for `video/avi` rows: the [[Avi]] chunk walk

@@ -150,6 +150,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.decode(evil).isEmpty)
   }
 
+  test("byte-budget resize is REAL for decodable rows: PPM rescales " +
+    "dimensions, WAV rescales rate, both fit the budget and still " +
+    "decode; junk rows truncate") {
+    import graft.operators.{Multimodal, MediaRecord, Ppm, Wav}
+    import spark.implicits._
+    val img = Ppm.Image(64, 32, Array.tabulate(3 * 64 * 32)(_.toByte))
+    val clip = Wav.Clip(16000, 2,
+      Array.tabulate(16000 * 2)(i => (i % 251).toShort))
+    val media = Seq(
+      MediaRecord(1L, "image/ppm", Ppm.encode(img)),
+      MediaRecord(2L, "audio/wav", Wav.encode(clip)),
+      MediaRecord(3L, "text", Array.fill(5000)(7.toByte)),
+      MediaRecord(4L, "image/ppm", Array.fill(3000)(9.toByte)) // junk
+    ).toDS()
+    val target = 2000
+    val out = Multimodal.resize(media, target).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out.values.forall(_.blob.length <= target))
+    // the PPM row is a real, smaller image — not a truncated prefix
+    val small = Ppm.decode(out(1L).blob).get
+    assert(small.w < 64 && small.h < 32 && small.w >= 1 && small.h >= 1)
+    assert(small.w * small.h * 3 <= target)
+    // aspect ratio roughly preserved by the uniform sqrt scale
+    assert(math.abs(small.w.toDouble / small.h - 2.0) < 0.6,
+      s"${small.w}x${small.h}")
+    // the WAV row is a real lower-rate clip, channels preserved
+    val re = Wav.decode(out(2L).blob).get
+    assert(re.channels == 2 && re.sampleRate < 16000 && re.nFrames > 0)
+    // junk and unknown types fall back to deterministic truncation
+    assert(out(3L).blob.length == target)
+    assert(out(4L).blob.length == target)
+    // already-small rows pass through untouched
+    val tiny = Multimodal.resize(media, 1 << 20).collect()
+    assert(tiny.forall(m => java.util.Arrays.equals(m.blob,
+      media.collect().find(_.media_id == m.media_id).get.blob)))
+  }
+
   test("AVI codec: random videos round-trip bit-exact; junk, " +
     "truncation and overflow sizes rejected") {
     import graft.operators.Avi
