@@ -56,6 +56,30 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k is not a TakeOrdered:\n$plan")
   }
 
+  test("multi-field bm25 is SINGLE-PASS: one stacked token explode, " +
+    "stats equi-broadcast, no nested loop, no per-field join") {
+    val plan = executedPlan(q("q2_search_bm25_multi"))
+    // the cross-field prefilter still evaluates at the scan
+    assert(plan.contains("Contains(lower(text"),
+      s"substring prefilter missing:\n$plan")
+    // stats/idf ride equi-key broadcasts — the 1-row-cross join shape
+    // of the per-field form is gone entirely
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop stats join crept back:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("FullOuter"),
+      s"per-field full-outer combine crept back:\n$plan")
+    // one stacked subtree feeds idf and tf (two physical reads) plus
+    // the stats scan = 3 scans TOTAL, independent of field count (the
+    // per-field form paid ~3 scans PER FIELD); count the final plan
+    // only — AQE's string repeats the initial plan below it
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans <= 3, s"$scans corpus scans in:\n$finalPlan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not a TakeOrdered:\n$plan")
+  }
+
   test("j11: range join plans as a hash equi-join, not a nested loop") {
     val plan = executedPlan(q("j11_range_join"))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
