@@ -507,6 +507,14 @@ object ParityQueries {
         t(s, dir, "documents").select("doc_id", "text", "source"),
         "window src3", Seq("text", "source"))),
 
+    // ES minimum_should_match: at least 2 of the 3 terms must
+    // token-match ('batch' and 'window' live in text, 'src3' in
+    // source — so the 2-of-3 set is strictly between OR and AND).
+    "q2_search_minmatch" -> ((s, dir) =>
+      graft.serving.Search.multiFieldMinShould(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        "window batch src3", Seq("text", "source"), minMatch = 2)),
+
     // Q1 cross-index variant: the reference's `data_lake_*` wildcard —
     // one search across EVERY entity index (src/es_connector.py:85-95
     // defaults index="data_lake_*"; legacy data_lake_sync.py:228) via
@@ -1311,6 +1319,23 @@ object ParityQueries {
         s"${cnt("window")} AS c0, ${cnt("src3")} AS c1 FROM nrm) " +
       "SELECT doc_id, text, source, (c0 + c1) AS score FROM cnts " +
       "WHERE c0 > 0 AND c1 > 0 ORDER BY score DESC, doc_id LIMIT 100"
+    },
+
+    "q2_search_minmatch" -> {
+      def cnt(t: String) =
+        s"(${substrCountSql("nt", s" $t ")} + " +
+          s"${substrCountSql("ns", s" $t ")})"
+      "WITH nrm AS (SELECT doc_id, text, source, " +
+        s"${tokenNormSql("text")} AS nt, " +
+        s"${tokenNormSql("source")} AS ns FROM documents), " +
+      "cnts AS (SELECT doc_id, text, source, " +
+        s"${cnt("window")} AS c0, ${cnt("batch")} AS c1, " +
+        s"${cnt("src3")} AS c2 FROM nrm) " +
+      "SELECT doc_id, text, source, (c0 + c1 + c2) AS score FROM cnts " +
+      "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN c1 > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN c2 > 0 THEN 1 ELSE 0 END) >= 2 " +
+      "ORDER BY score DESC, doc_id LIMIT 100"
     },
 
     "sync_entity_docs" ->

@@ -205,6 +205,9 @@ final class HttpApi(
         hits(ex, Search.phrase(df, term, fields, limit, after))
       case _ if textOr(req, "operator", "or") == "and" =>
         hits(ex, Search.multiFieldAnd(df, term, fields, limit, after))
+      case _ if req.hasNonNull("minimum_should_match") =>
+        hits(ex, Search.multiFieldMinShould(df, term, fields,
+          req.get("minimum_should_match").asInt, limit, after))
       case _ => hits(ex, Search.multiField(df, term, fields, limit, after))
     }
   }

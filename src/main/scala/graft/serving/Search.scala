@@ -454,17 +454,32 @@ object Search {
     * shuffle before the final top-k. */
   def multiFieldAnd(df: DataFrame, query: String, fields: Seq[String],
                     limit: Int = 100,
-                    after: Option[(Double, Any)] = None): DataFrame = {
+                    after: Option[(Double, Any)] = None): DataFrame =
+    multiFieldMinShould(df, query, fields, minMatch = Int.MaxValue,
+      limit, after)
+
+  /** ES `minimum_should_match`: at least `minMatch` of the query's
+    * distinct terms must token-match (in any of `fields`); scored like
+    * [[multiFieldAnd]]. `minMatch` values above the term count clamp to
+    * all-terms (the AND mode is exactly that clamp); `<= 1` degrades to
+    * the token-exact OR. Same scan-side shape: per-term/per-field
+    * codegen'd counts, one top-k, no shuffle before it. */
+  def multiFieldMinShould(df: DataFrame, query: String,
+                          fields: Seq[String], minMatch: Int,
+                          limit: Int = 100,
+                          after: Option[(Double, Any)] = None): DataFrame = {
     val terms = query.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
+    val need = math.max(1, math.min(minMatch, terms.size))
     val norms = fields.map(f => tokenNorm(col(f)))
     def termCount(t: String): Column =
       norms.map(n => substrCount(n, s" $t ")).reduce(_ + _)
-    val allTerms = terms.map(t => termCount(t) > 0).reduce(_ && _)
+    val matched = terms.map(t => when(termCount(t) > 0, 1).otherwise(0))
+      .reduce(_ + _)
     val score = terms.map(termCount).reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
-    df.filter(allTerms)
+    df.filter(matched >= need)
       .select(keyCols :+ score: _*)
       .filter(afterPredicate(after, col(df.columns.head)))
       .orderBy(col("score").desc, col(df.columns.head))

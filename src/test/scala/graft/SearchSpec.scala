@@ -115,6 +115,26 @@ class SearchSpec extends SparkSpec {
       .forall { case (b, u) => math.abs(b - 2 * u) < 2e-4 })
   }
 
+  test("minimum_should_match: k-of-n sits strictly between OR and AND") {
+    val d = Seq(
+      (1L, "alpha beta gamma"), // 3 of 3
+      (2L, "alpha beta x"), // 2 of 3
+      (3L, "alpha x y"), // 1 of 3
+      (4L, "none here")
+    ).toDF("doc_id", "text")
+    def ids(k: Int) = Search.multiFieldMinShould(
+        d, "alpha beta gamma", Seq("text"), minMatch = k)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(1) == Set(1L, 2L, 3L))
+    assert(ids(2) == Set(1L, 2L))
+    assert(ids(3) == Set(1L))
+    // above the term count clamps to AND; AND delegates here
+    assert(ids(99) == Set(1L))
+    val and = Search.multiFieldAnd(d, "alpha beta gamma", Seq("text"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(and == ids(3))
+  }
+
   test("search_after cursor: strictly-after filter, no overlap, no gap") {
     val d = (1L to 30L).map(i =>
       (i, if (i % 3 == 0) "window window" else "window"))
