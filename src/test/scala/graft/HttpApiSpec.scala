@@ -188,6 +188,16 @@ class HttpApiSpec extends SparkSpec
     assert(andBoth.statusCode() == 200 && andText.statusCode() == 200)
     assert("\"doc_id\"".r.findAllIn(andBoth.body()).size > 0)
     assert("\"doc_id\"".r.findAllIn(andText.body()).size == 0)
+    // minimum_should_match: 2-of-2 over text-only == the AND result
+    val mm = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": 2}""".stripMargin)
+    assert(mm.statusCode() == 200)
+    assert("\"doc_id\"".r.findAllIn(mm.body()).size == 0)
+    val mm1 = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": 1}""".stripMargin)
+    assert("\"doc_id\"".r.findAllIn(mm1.body()).size > 0)
   }
 
   test("POST /search/advanced runs real SQL over registered views (Q2)") {
