@@ -56,15 +56,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // time, so it must be a literal (foldable) array of strings
         import org.apache.spark.sql.catalyst.util.ArrayData
         import org.apache.spark.sql.types.{ArrayType, StringType}
+        def bad() = throw new IllegalArgumentException(
+          "graft_keywords expects a literal array<string> keyword list " +
+            "with no null entries")
         val kws = c(1) match {
           case e if e.foldable &&
               e.dataType.isInstanceOf[ArrayType] &&
               e.dataType.asInstanceOf[ArrayType].elementType == StringType =>
-            val a = e.eval().asInstanceOf[ArrayData]
-            (0 until a.numElements())
-              .map(i => a.getUTF8String(i).toString)
-          case _ => throw new IllegalArgumentException(
-            "graft_keywords expects a literal array<string> keyword list")
+            // a foldable expression can still EVALUATE to null (CAST(
+            // NULL AS ARRAY<STRING>)) or carry null elements — both
+            // must be the clear caller error, not an opaque NPE
+            e.eval() match {
+              case a: ArrayData =>
+                (0 until a.numElements()).map { i =>
+                  if (a.isNullAt(i)) bad()
+                  a.getUTF8String(i).toString
+                }
+              case _ => bad()
+            }
+          case _ => bad()
         }
         KeywordMatches(c(0), kws)
       }))

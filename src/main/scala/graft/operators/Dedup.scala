@@ -403,6 +403,10 @@ object Dedup {
     // honest per-round cost. Earlier rounds' BENCH numbers for
     // dedup_components carry that flattering artifact.)
     var cached = labels
+    // round checkpoints to clean on exit — reliable-mode rounds write
+    // files under the checkpoint dir that nothing else reclaims (Bpe
+    // cleans its rounds the same way, via unpersistPlanRdd)
+    val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
       var unstable = 1L
       var i = 0
@@ -427,14 +431,29 @@ object Dedup {
         // long runs — same contract as Bpe.cut); otherwise the persist
         // above suffices at the bounded iteration count
         labels =
-          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            next.drop("_mx").checkpoint(eager = false)
-          else next.drop("_mx")
+          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+            val c = next.drop("_mx").checkpoint(eager = false)
+            ckpts += c
+            c
+          } else next.drop("_mx")
         i += 1
       }
       require(unstable == 0,
         s"components did not converge in $maxIter rounds")
+      // materialize the result OFF the final round's cache (one cheap
+      // extra job — the final table is already cached) so EVERY cache
+      // and checkpoint this call created is released before returning:
+      // without this, the final round's table outlived the call exactly
+      // like the per-round leak fixed above. The result blocks are
+      // owned by the returned plan; ContextCleaner frees them when the
+      // caller drops the frame. Size = one row per paired vertex — the
+      // query's own output, not an intermediate.
       labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
-    } finally edges.unpersist()
+        .localCheckpoint(eager = true)
+    } finally {
+      edges.unpersist()
+      cached.unpersist()
+      ckpts.foreach(org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd)
+    }
   }
 }

@@ -381,8 +381,14 @@ object Avi {
     var height = -1
     var usPerFrame = -1
     val frames = Vector.newBuilder[Array[Byte]]
-    // walk one chunk run [from, until); recurse into LIST bodies
-    def walk(from: Int, until: Int): Boolean = {
+    // walk one chunk run [from, until); recurse into LIST bodies.
+    // Depth-capped: real AVI nests 3 levels (RIFF→hdrl→strl / movi→rec);
+    // a crafted blob of ~10k nested 12-byte LISTs would otherwise turn
+    // the recursion into a StackOverflowError — a crash, not the
+    // junk-rows-return-None contract this codec advertises. 64 is far
+    // above any legitimate container and far below stack exhaustion.
+    def walk(from: Int, until: Int, depth: Int = 0): Boolean = {
+      if (depth > 64) return false
       var i = from
       while (i + 8 <= until) {
         val id = tag(bytes, i)
@@ -393,7 +399,7 @@ object Avi {
           case "LIST" =>
             if (sz < 4) return false
             // list type (hdrl/strl/movi/…) then nested chunks
-            if (!walk(body + 4, body + sz)) return false
+            if (!walk(body + 4, body + sz, depth + 1)) return false
           case "avih" =>
             if (sz < 40) return false
             usPerFrame = le32(bytes, body)

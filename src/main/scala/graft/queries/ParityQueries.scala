@@ -492,6 +492,17 @@ object ParityQueries {
         t(s, dir, "documents"), "window src3",
         Seq("text", "source"), "doc_id", bestFields = true)),
 
+    // ES `field^boost`: "source^3" triples source's per-field BM25
+    // score before the most_fields sum (the reference forwards its
+    // fields list verbatim to multi_match where the ^ suffix applies,
+    // src/search_api.py:22-30) — the ranking shifts vs the unboosted
+    // q2_search_bm25_multi.
+    "q2_search_boost" -> ((s, dir) =>
+      graft.serving.Search.bm25Fields(
+        t(s, dir, "documents"), "window src3",
+        Seq("text", "source"), "doc_id",
+        boosts = Map("source" -> 3.0))),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -879,8 +890,15 @@ object ParityQueries {
     * ONCE — exactly Search.rankedFields' combine. Returns the SELECT
     * (no WITH, no ORDER BY) producing (doc_id, score). */
   private def bm25CombineSql(sfxs: Seq[String],
-                             bestFields: Boolean): String = {
-    val parts = sfxs.map(s => s"COALESCE(sc$s.s_$s, CAST(0.0 AS DOUBLE))")
+                             bestFields: Boolean,
+                             boosts: Seq[Option[Double]] = Nil): String = {
+    val bs = if (boosts.isEmpty) sfxs.map(_ => None) else boosts
+    val parts = sfxs.zip(bs).map { case (s, b) =>
+      val raw = s"COALESCE(sc$s.s_$s, CAST(0.0 AS DOUBLE))"
+      // mirrors Search.rankedFields: boost multiplies the RAW per-field
+      // score (a single double ×) before the fixed-order combine
+      b.map(x => s"($raw * CAST($x AS DOUBLE))").getOrElse(raw)
+    }
     val combined =
       if (sfxs.size == 1) parts.head
       else if (bestFields) s"greatest(${parts.mkString(", ")})"
@@ -897,10 +915,11 @@ object ParityQueries {
 
   /** Two-field BM25 oracle over the documents table. */
   private def bm25MultiSql(f0: String, f1: String, terms: Seq[String],
-                           bestFields: Boolean): String =
+                           bestFields: Boolean,
+                           boosts: Seq[Option[Double]] = Nil): String =
     s"WITH ${bm25FieldCtes(f0, terms, "0")}, " +
       s"${bm25FieldCtes(f1, terms, "1")} " +
-      s"${bm25CombineSql(Seq("0", "1"), bestFields)} " +
+      s"${bm25CombineSql(Seq("0", "1"), bestFields, boosts)} " +
       "ORDER BY score DESC, doc_id LIMIT 100"
 
   /** Cross-index BM25 oracle: one branch per entity — its validity
@@ -1299,6 +1318,10 @@ object ParityQueries {
     "q2_search_bm25_best" ->
       bm25MultiSql("text", "source", Seq("window", "src3"),
         bestFields = true),
+
+    "q2_search_boost" ->
+      bm25MultiSql("text", "source", Seq("window", "src3"),
+        bestFields = false, boosts = Seq(None, Some(3.0))),
 
     "q2_search_phrase" -> {
       val n = tokenNormSql("text")

@@ -164,7 +164,28 @@ final class HttpApi(
       .map(_.name).toSeq
     val requested = Option(req.get("fields")).filter(_.isArray)
       .map(f => (0 until f.size()).map(f.get(_).asText()))
-    val fields = requested.filterNot(_ == Seq("*")).getOrElse(stringCols)
+    val rawFields = requested.filterNot(_ == Seq("*")).getOrElse(stringCols)
+    // ES `field^boost` syntax: the reference forwards its fields list
+    // verbatim to multi_match, where "title^2" boosts that field's
+    // score by 2 (src/search_api.py:22-30). Parsed here into (name,
+    // boost); a malformed suffix ("title^abc", "title^") is the
+    // caller's error — 400, not an unresolved-column 500.
+    val parsedFields = rawFields.map { f =>
+      f.split("\\^", 2) match {
+        case Array(name, b) =>
+          val boost = scala.util.Try(b.toDouble).toOption.filter(_ > 0)
+          (name, boost, boost.isEmpty || name.isEmpty)
+        case _ => (f, None, false)
+      }
+    }
+    if (parsedFields.exists(_._3)) {
+      respond(ex, 400, """{"error": "invalid field boost; use """ +
+        """\"field^positive_number\""}""")
+      return
+    }
+    val fields = parsedFields.map(_._1)
+    val boosts: Map[String, Double] =
+      parsedFields.collect { case (n, Some(b), _) => n -> b }.toMap
     val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
     // an explicit `"fields": []` (or a table with no string columns at
     // all) is a caller error, not a 500: every ranking mode needs at
@@ -197,18 +218,32 @@ final class HttpApi(
     textOr(req, "rank", "occurrences") match {
       case "bm25" =>
         hits(ex, Search.bm25Fields(df, term, fields, df.columns.head,
-          limit, bestFields = best, after = after))
+          limit, bestFields = best, boosts = boosts, after = after))
       case "tfidf" =>
         hits(ex, Search.tfidfFields(df, term, fields, df.columns.head,
-          limit, bestFields = best, after = after))
+          limit, bestFields = best, boosts = boosts, after = after))
       case _ if textOr(req, "type", "") == "phrase" =>
-        hits(ex, Search.phrase(df, term, fields, limit, after))
+        hits(ex, Search.phrase(df, term, fields, limit, after, boosts))
+      // operator=and is checked FIRST: ES ignores minimum_should_match
+      // entirely when the operator is `and` (every term is already
+      // required), so a request carrying both gets AND semantics — the
+      // same silent precedence ES applies
       case _ if textOr(req, "operator", "or") == "and" =>
-        hits(ex, Search.multiFieldAnd(df, term, fields, limit, after))
+        hits(ex, Search.multiFieldAnd(df, term, fields, limit, after,
+          boosts))
       case _ if req.hasNonNull("minimum_should_match") =>
-        hits(ex, Search.multiFieldMinShould(df, term, fields,
-          req.get("minimum_should_match").asInt, limit, after))
-      case _ => hits(ex, Search.multiField(df, term, fields, limit, after))
+        // only the integer form is implemented; ES's percentage /
+        // combination forms ("75%", "2<75%") would silently asInt to 0
+        // and degrade to plain OR — reject them instead of lying
+        val mm = req.get("minimum_should_match")
+        if (!mm.isIntegralNumber)
+          respond(ex, 400, """{"error": "unsupported minimum_should_match""" +
+            """ form; an integer is required"}""")
+        else
+          hits(ex, Search.multiFieldMinShould(df, term, fields,
+            mm.asInt, limit, after, boosts))
+      case _ =>
+        hits(ex, Search.multiField(df, term, fields, limit, after, boosts))
     }
   }
 

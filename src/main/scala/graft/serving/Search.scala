@@ -36,22 +36,32 @@ object Search {
     * (src/es_connector.py:85-95 pages its hits). The caller passes the
     * LAST hit of the previous page; applied before top-k, so page N+1
     * is the next `limit` hits with no overlap and no gap. */
-  private def afterPredicate(after: Option[(Double, Any)],
-                             idc: Column,
-                             inclusive: Boolean = false): Column =
+  private[serving] def afterPredicate(after: Option[(Double, Any)],
+                                      idc: Column,
+                                      inclusive: Boolean = false): Column =
     after.map { case (s, id) =>
       val idCmp = if (inclusive) idc >= lit(id) else idc > lit(id)
       (col("score") < s) || (col("score") === s && idCmp)
     }.getOrElse(lit(true))
 
+  /** Per-field count weighted by its ES `field^boost` factor (boost
+    * affects SCORE only, never the match set — positive boosts are the
+    * caller contract, as in ES). No boost → the raw (integer) count, so
+    * unboosted scorers keep their exact int score column. */
+  private def boosted(f: String, cnt: Column,
+                      boosts: Map[String, Double]): Column =
+    boosts.get(f).map(b => cnt * b).getOrElse(cnt)
+
   /** Multi-field search: rows where any selected field contains `term`
     * (case-insensitive), scored by total occurrence count, top `limit`.
-    * `after` = pagination cursor ([[afterPredicate]]).
+    * `after` = pagination cursor ([[afterPredicate]]); `boosts` =
+    * per-field ES `field^boost` score multipliers.
     */
   def multiField(df: DataFrame, term: String, fields: Seq[String],
                  limit: Int = 100,
-                 after: Option[(Double, Any)] = None): DataFrame = {
-    val score = fields.map(f => occurrences(col(f), term))
+                 after: Option[(Double, Any)] = None,
+                 boosts: Map[String, Double] = Map.empty): DataFrame = {
+    val score = fields.map(f => boosted(f, occurrences(col(f), term), boosts))
       .reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
     df.select(keyCols :+ score: _*)
@@ -218,7 +228,7 @@ object Search {
 
   /** Round to the 1e-4 grid — the last step of every ranked scorer, so
     * the DuckDB oracle compares lattice points, not raw doubles. */
-  private def round4(c: Column): Column =
+  private[serving] def round4(c: Column): Column =
     floor(c * 10000.0 + 0.5).cast("double") / 10000.0
 
   /** Multi-field ranked retrieval in ONE pass over the corpus: fields
@@ -426,7 +436,8 @@ object Search {
     * as a SUBSTRING can't contain it as a token). */
   def phrase(df: DataFrame, phraseQuery: String, fields: Seq[String],
              limit: Int = 100,
-             after: Option[(Double, Any)] = None): DataFrame = {
+             after: Option[(Double, Any)] = None,
+             boosts: Map[String, Double] = Map.empty): DataFrame = {
     val terms = phraseQuery.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
@@ -435,7 +446,8 @@ object Search {
         terms.map(t => lower(coalesce(col(f), lit("")))
           .contains(lit(t))).reduce(_ && _))
       .reduce(_ || _)
-    val score = fields.map(f => substrCount(tokenNorm(col(f)), needle))
+    val score = fields.map(f =>
+        boosted(f, substrCount(tokenNorm(col(f)), needle), boosts))
       .reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
     df.filter(prefilter)
@@ -454,9 +466,10 @@ object Search {
     * shuffle before the final top-k. */
   def multiFieldAnd(df: DataFrame, query: String, fields: Seq[String],
                     limit: Int = 100,
-                    after: Option[(Double, Any)] = None): DataFrame =
+                    after: Option[(Double, Any)] = None,
+                    boosts: Map[String, Double] = Map.empty): DataFrame =
     multiFieldMinShould(df, query, fields, minMatch = Int.MaxValue,
-      limit, after)
+      limit, after, boosts)
 
   /** ES `minimum_should_match`: at least `minMatch` of the query's
     * distinct terms must token-match (in any of `fields`); scored like
@@ -467,17 +480,22 @@ object Search {
   def multiFieldMinShould(df: DataFrame, query: String,
                           fields: Seq[String], minMatch: Int,
                           limit: Int = 100,
-                          after: Option[(Double, Any)] = None): DataFrame = {
+                          after: Option[(Double, Any)] = None,
+                          boosts: Map[String, Double] = Map.empty): DataFrame = {
     val terms = query.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
     val need = math.max(1, math.min(minMatch, terms.size))
-    val norms = fields.map(f => tokenNorm(col(f)))
+    val norms = fields.zip(fields.map(f => tokenNorm(col(f))))
     def termCount(t: String): Column =
-      norms.map(n => substrCount(n, s" $t ")).reduce(_ + _)
+      norms.map { case (_, n) => substrCount(n, s" $t ") }.reduce(_ + _)
+    // boosts weight the SCORE only; the match predicate stays unweighted
+    def termScore(t: String): Column =
+      norms.map { case (f, n) =>
+        boosted(f, substrCount(n, s" $t "), boosts) }.reduce(_ + _)
     val matched = terms.map(t => when(termCount(t) > 0, 1).otherwise(0))
       .reduce(_ + _)
-    val score = terms.map(termCount).reduce(_ + _).as("score")
+    val score = terms.map(termScore).reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
     df.filter(matched >= need)
       .select(keyCols :+ score: _*)
