@@ -18,6 +18,32 @@ object ParityQueries {
 
   val RunTs: String = Denormalize.RunTs
 
+  /** Materialized search indexes for `dir`, built ONCE per JVM — the
+    * write-time moment (ES builds postings inside `bulk_index`, not per
+    * query; src/es_connector.py:51-74). The indexed queries then PROBE
+    * them: the driver's timed runs measure the probe, with the one-time
+    * build paid on first touch exactly like an ES deployment pays
+    * indexing at sync time. Keyed by source dir (warmup and timed SFs
+    * each get their own build). */
+  private val indexRoots =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def searchIndexRoot(s: SparkSession, dir: String): String =
+    indexRoots.synchronized {
+      indexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-").toString
+        val docs = t(s, dir, "documents")
+        val fields = docs.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq
+        graft.sinks.SearchIndex.build(docs, fields, "doc_id",
+          s"$root/documents")
+        graft.serving.Search.buildEntityIndexes(s, dir,
+          s"$root/entities", RunTs)
+        root
+      })
+    }
+
   /** The testdata events' fixed event-type domain — an explicit pivot
     * value list (open-ended pivot would cost a distinct-discovery pass). */
   private val EventTypes =
@@ -503,6 +529,26 @@ object ParityQueries {
         Seq("text", "source"), "doc_id",
         boosts = Map("source" -> 3.0))),
 
+    // Q1 BM25 over the WRITE-TIME index: same query and same oracle as
+    // q2_search_bm25, but the request plan probes materialized postings
+    // + stats tables (`term IN (...)` pushed to the parquet scan)
+    // instead of re-tokenizing the corpus and re-aggregating N/avgdl/df
+    // per request — the architectural parity ES has (bulk_index builds
+    // at write time, multi_match probes).
+    "q2_search_bm25_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.ranked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "window the of",
+        Seq("text"))),
+
+    // The data_lake_* wildcard over per-entity write-time indexes —
+    // identical ranking to q4_union_search_bm25 (same oracle), request
+    // cost = pruned postings probes instead of 5 entity-pipeline corpus
+    // scans + 5 statistics aggregates.
+    "q4_union_search_bm25_indexed" -> ((s, dir) =>
+      graft.serving.Search.acrossIndexesRankedIndexed(
+        s, s"${searchIndexRoot(s, dir)}/entities",
+        "small error household")),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -973,6 +1019,44 @@ object ParityQueries {
     s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / " +
       s"${needle.length} AS INT)"
 
+  /** Single-field BM25 oracle (documents.text, terms window/the/of):
+    * per-term contributions added in a FIXED order, mirroring Search.bm25
+    * exactly; every constant CAST to DOUBLE (DuckDB would otherwise run
+    * DECIMAL arithmetic on the literals). Shared by the scan-path query
+    * and its indexed twin — one oracle, two plans. */
+  private val bm25SingleSql: String = {
+    val termSum = Seq("window", "the", "of").map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN idf.idf * " +
+        "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + " +
+        "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))) END), " +
+        "CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    "WITH dls AS (" +
+     "  SELECT doc_id, text, len(list_filter(" +
+     "    string_split_regex(text, '\\s+'), x -> x <> '')) AS dl" +
+     "  FROM documents" +
+     "), toks AS (" +
+     "  SELECT doc_id, dl, unnest(list_filter(" +
+     "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
+     "  FROM dls" +
+     "), q AS (SELECT doc_id, dl, term FROM toks " +
+     "  WHERE term IN ('window', 'the', 'of')), " +
+     "st AS (SELECT count(*) AS n, " +
+     "  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls), " +
+     "idf AS (SELECT term, " +
+     "  ln(CAST(1.0 AS DOUBLE) + (st.n - count(DISTINCT doc_id) " +
+     "    + CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+     "    + CAST(0.5 AS DOUBLE))) AS idf " +
+     "  FROM q CROSS JOIN st GROUP BY term, st.n), " +
+     "tf AS (SELECT doc_id, dl, term, count(*) AS tf " +
+     "  FROM q GROUP BY 1, 2, 3) " +
+     "SELECT doc_id, " +
+     s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
+     "FROM tf JOIN idf USING (term) CROSS JOIN st GROUP BY doc_id " +
+     "ORDER BY score DESC, doc_id LIMIT 100"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "denorm_tickets" -> denormSql,
     "denorm_tickets_nested" -> denormNestedSql,
@@ -1272,47 +1356,23 @@ object ParityQueries {
        "ORDER BY score DESC, doc_id LIMIT 100"
     },
 
-    "q2_search_bm25" -> {
-      // per-term BM25 contributions added in a FIXED order, mirroring
-      // Search.bm25 exactly; every constant CAST to DOUBLE (DuckDB would
-      // otherwise run DECIMAL arithmetic on the literals)
-      val termSum = Seq("window", "the", "of").map(t =>
-        s"coalesce(sum(CASE WHEN term = '$t' THEN idf.idf * " +
-          "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + " +
-          "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
-          "CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))) END), " +
-          "CAST(0.0 AS DOUBLE))")
-        .mkString(" + ")
-      "WITH dls AS (" +
-       "  SELECT doc_id, text, len(list_filter(" +
-       "    string_split_regex(text, '\\s+'), x -> x <> '')) AS dl" +
-       "  FROM documents" +
-       "), toks AS (" +
-       "  SELECT doc_id, dl, unnest(list_filter(" +
-       "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
-       "  FROM dls" +
-       "), q AS (SELECT doc_id, dl, term FROM toks " +
-       "  WHERE term IN ('window', 'the', 'of')), " +
-       "st AS (SELECT count(*) AS n, " +
-       "  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls), " +
-       "idf AS (SELECT term, " +
-       "  ln(CAST(1.0 AS DOUBLE) + (st.n - count(DISTINCT doc_id) " +
-       "    + CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
-       "    + CAST(0.5 AS DOUBLE))) AS idf " +
-       "  FROM q CROSS JOIN st GROUP BY term, st.n), " +
-       "tf AS (SELECT doc_id, dl, term, count(*) AS tf " +
-       "  FROM q GROUP BY 1, 2, 3) " +
-       "SELECT doc_id, " +
-       s"  floor(($termSum) * 10000.0 + 0.5) / 10000.0 AS score " +
-       "FROM tf JOIN idf USING (term) CROSS JOIN st GROUP BY doc_id " +
-       "ORDER BY score DESC, doc_id LIMIT 100"
-    },
+    "q2_search_bm25" -> bm25SingleSql,
+
+    // indexed twin: the identical scan-path oracle (see
+    // q4_union_search_bm25_indexed's note)
+    "q2_search_bm25_indexed" -> bm25SingleSql,
 
     "q2_search_bm25_multi" ->
       bm25MultiSql("text", "source", Seq("window", "src3"),
         bestFields = false),
 
     "q4_union_search_bm25" ->
+      unionBm25Sql(Seq("small", "error", "household")),
+
+    // the indexed twins must reproduce the scan-path oracles BIT FOR
+    // BIT — same SQL, so any drift between the materialized index and
+    // the corpus shows up as a hash mismatch
+    "q4_union_search_bm25_indexed" ->
       unionBm25Sql(Seq("small", "error", "household")),
 
     "q2_search_bm25_best" ->

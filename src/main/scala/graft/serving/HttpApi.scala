@@ -58,6 +58,46 @@ final class HttpApi(
 
   Tables.registerAll(spark, srcDir) // /search/advanced addresses views
 
+  // -------------------------------------------------------------------
+  // Write-time search indexes ([[graft.sinks.SearchIndex]]) — the ES
+  // operational shape: postings + per-field statistics are built ONCE
+  // (ES does it inside bulk_index, src/es_connector.py:51-74), ranked
+  // requests PROBE them. Built lazily on the first ranked request per
+  // target and reused for the server's lifetime; on disk under outDir
+  // so a restarted server over unchanged sources reuses them too.
+  // -------------------------------------------------------------------
+
+  private val builtIndexes = scala.collection.mutable.HashMap[String, String]()
+
+  /** Postings index over `name`'s string columns (id = first column,
+    * matching the scan-path scorers' id choice). */
+  private def tableIndexPath(name: String): String =
+    builtIndexes.synchronized {
+      builtIndexes.getOrElseUpdate(s"table:$name", {
+        val p = s"$outDir/_search_index/tables/$name"
+        if (!graft.sinks.SearchIndex.exists(p)) {
+          val df = Tables(spark, srcDir, name)
+          val sc = df.schema.fields
+            .filter(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).toSeq
+          graft.sinks.SearchIndex.build(df, sc, df.columns.head, p)
+        }
+        p
+      })
+    }
+
+  /** One postings index per catalog entity (the `data_lake_*` wildcard
+    * targets), document_id-keyed. */
+  private def entityIndexRoot(): String = builtIndexes.synchronized {
+    builtIndexes.getOrElseUpdate("entities", {
+      val root = s"$outDir/_search_index/entities"
+      if (!EntityCatalog.entities.keys.forall(e =>
+          graft.sinks.SearchIndex.exists(s"$root/$e")))
+        Search.buildEntityIndexes(spark, srcDir, root, runTs)
+      root
+    })
+  }
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -147,8 +187,9 @@ final class HttpApi(
             if (a.size >= 3) a.get(2).asText else "\uffff")) // no table given: exclusive everywhere
       textOr(req, "rank", "occurrences") match {
         case r @ ("bm25" | "tfidf") =>
-          hits(ex, Search.acrossIndexesRanked(spark, srcDir, runTs, term,
-            limit, bestFields = best, bm25 = r == "bm25", after = after3))
+          hits(ex, Search.acrossIndexesRankedIndexed(spark,
+            entityIndexRoot(), term, limit, bestFields = best,
+            bm25 = r == "bm25", after = after3))
         case _ =>
           val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
           val fields = lake.schema.fields
@@ -216,12 +257,13 @@ final class HttpApi(
     // "operator": "and" (every term must token-match).
     val best = textOr(req, "type", "most_fields") == "best_fields"
     textOr(req, "rank", "occurrences") match {
-      case "bm25" =>
-        hits(ex, Search.bm25Fields(df, term, fields, df.columns.head,
-          limit, bestFields = best, boosts = boosts, after = after))
-      case "tfidf" =>
-        hits(ex, Search.tfidfFields(df, term, fields, df.columns.head,
-          limit, bestFields = best, boosts = boosts, after = after))
+      // ranked modes PROBE the write-time index — bit-identical scores
+      // to the scan-path scorers (SearchIndexSpec pins the equality),
+      // request cost = pruned postings reads, not a corpus re-scan
+      case r @ ("bm25" | "tfidf") =>
+        hits(ex, graft.sinks.SearchIndex.ranked(spark,
+          tableIndexPath(index), term, fields, limit, bm25 = r == "bm25",
+          bestFields = best, boosts = boosts, after = after))
       case _ if textOr(req, "type", "") == "phrase" =>
         hits(ex, Search.phrase(df, term, fields, limit, after, boosts))
       // operator=and is checked FIRST: ES ignores minimum_should_match

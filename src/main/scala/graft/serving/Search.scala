@@ -36,7 +36,7 @@ object Search {
     * (src/es_connector.py:85-95 pages its hits). The caller passes the
     * LAST hit of the previous page; applied before top-k, so page N+1
     * is the next `limit` hits with no overlap and no gap. */
-  private[serving] def afterPredicate(after: Option[(Double, Any)],
+  private[graft] def afterPredicate(after: Option[(Double, Any)],
                                       idc: Column,
                                       inclusive: Boolean = false): Column =
     after.map { case (s, id) =>
@@ -143,6 +143,59 @@ object Search {
       .limit(limit)
   }
 
+  /** Write-time-index twin of [[acrossIndexesRanked]]: the same
+    * per-index BM25 ranking and 3-key cursor semantics, but every
+    * branch PROBES its entity's materialized index
+    * ([[graft.sinks.SearchIndex]], built once at sync time by
+    * [[buildEntityIndexes]]) instead of re-deriving the entity
+    * documents and re-aggregating corpus statistics per request — the
+    * operational shape ES actually has (`bulk_index` builds postings at
+    * write time, src/es_connector.py:51-74; `multi_match` reads them,
+    * src/search_api.py:16-36). Bit-identical results to the scan-path
+    * wildcard; per-request cost drops from 5 corpus scans + 5 stats
+    * aggregates to pruned postings probes. */
+  def acrossIndexesRankedIndexed(spark: SparkSession, indexRoot: String,
+                                 query: String, limit: Int = 100,
+                                 bestFields: Boolean = false,
+                                 bm25: Boolean = true,
+                                 after: Option[(Double, String, String)] = None)
+      : DataFrame = {
+    import graft.catalog.EntityCatalog
+    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+      .map { spec =>
+        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
+        val inclusive = after.exists { case (_, _, t) => spec.name > t }
+        graft.sinks.SearchIndex.ranked(spark, s"$indexRoot/${spec.name}",
+          query, Nil, limit, bm25, bestFields, Map.empty,
+          branchAfter, inclusive)
+          .select(lit(spec.name).as("table"), col("document_id"),
+            col("score"))
+      }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
+  /** Sync-time index build for every catalog entity — the write-time
+    * moment the reference's ES builds its inverted indexes. One index
+    * per entity under `root/<entity>`, over the entity's searchable
+    * (string) document fields in schema order — the exact field list
+    * [[acrossIndexesRanked]] scores. */
+  def buildEntityIndexes(spark: SparkSession, srcDir: String, root: String,
+                         runTs: String): Unit = {
+    import org.apache.spark.sql.types.StringType
+    import graft.catalog.EntityCatalog
+    EntityCatalog.entities.values.toSeq.sortBy(_.name).foreach { spec =>
+      val docs = EntityCatalog.pipeline(
+        graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
+      val fields = docs.schema.fields
+        .filter(_.dataType == StringType)
+        .map(_.name).filterNot(Set("table", "document_id")).toSeq
+      graft.sinks.SearchIndex.build(docs, fields, "document_id",
+        s"$root/${spec.name}")
+    }
+  }
+
   /** Advanced search = the engine's actual query language. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 
@@ -228,7 +281,7 @@ object Search {
 
   /** Round to the 1e-4 grid — the last step of every ranked scorer, so
     * the DuckDB oracle compares lattice points, not raw doubles. */
-  private[serving] def round4(c: Column): Column =
+  private[graft] def round4(c: Column): Column =
     floor(c * 10000.0 + 0.5).cast("double") / 10000.0
 
   /** Multi-field ranked retrieval in ONE pass over the corpus: fields

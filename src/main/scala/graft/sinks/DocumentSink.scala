@@ -163,6 +163,17 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(df.schema, fieldTypes))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "${mode.name.toLowerCase}"}""")
+    // write-time search-index maintenance (ES builds its inverted index
+    // inside bulk_index — src/es_connector.py:51-74): an adjacent index
+    // previously built by SearchIndex.build stays in lockstep with the
+    // documents — rebuilt on Overwrite (the docs were replaced), delta-
+    // updated on Append (historized ids are unique, so upsert = add)
+    val idx = s"$path/_search_index"
+    if (SearchIndex.exists(idx)) {
+      val meta = SearchIndex.readMeta(idx)
+      if (mode == SaveMode.Append) SearchIndex.upsert(df, idx)
+      else SearchIndex.build(df, meta.fields, meta.idCol, idx)
+    }
     n
   }
 
@@ -217,6 +228,13 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
+    // incremental index maintenance: the SAME replace-by-id batch
+    // delta-updates the adjacent search index (df/n/sumdl integer
+    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
+    // upsert path (REST insert, batch, re-sync, streaming changelog)
+    // funnels through here, so the index tracks all of them.
+    if (SearchIndex.exists(s"$path/_search_index"))
+      SearchIndex.upsert(batch, s"$path/_search_index")
     n
   }
 
