@@ -44,6 +44,7 @@ object Bench {
     if (new java.io.File(WarmupDir).isDirectory && WarmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, WarmupDir).count() catch { case NonFatal(_) => () }
+        finally StageCache.releaseAll()
       }
     }
     // min of N timed passes: this box shares cores with the harness
@@ -63,7 +64,11 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // released OUTSIDE the timed window: the next round re-pays the
+        // stage honestly instead of warm-starting off a leaked cache
+        StageCache.releaseAll()
+        name -> dt
       }
     }
     val rounds = scala.collection.mutable.ArrayBuffer(round(), round())

@@ -268,13 +268,13 @@ object CurationQueries {
       //    survivors) — persist it once instead of re-running six regex
       //    passes plus tokenization over the corpus per consumer; at
       //    production scale this is the stage boundary a pipeline
-      //    materializes (MEMORY_AND_DISK spills, never OOMs). No
-      //    explicit unpersist is possible from a lazy query builder —
-      //    reclamation relies on ContextCleaner's reference tracking
-      //    (on by default) once the returned plan is unreachable
-      val scored = cleaned.select(col("doc_id"), col("source"), col("t"),
-        qualityScore(col("t")).as("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      //    materializes (MEMORY_AND_DISK spills, never OOMs). A lazy
+      //    builder cannot unpersist its own stage — the cache goes
+      //    through StageCache, and the harness owning the action
+      //    (Verify/Bench/serving loop) releases it at the query boundary
+      val scored = graft.StageCache.stage(
+        cleaned.select(col("doc_id"), col("source"), col("t"),
+          qualityScore(col("t")).as("q")))
       val hist = scored.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("c"))
       val bySrc = Window.partitionBy(col("source"))

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * (Spark refuses a query whose ONLY referenced column is the internal
   * corrupt column — both returned frames also touch data columns, and
   * the parsed frame is cached per Spark's documented requirement for
-  * corrupt-column queries.)
+  * corrupt-column queries — via [[graft.StageCache]] so the harness
+  * releases it deterministically at the query boundary.)
   */
 object Ingest {
 
@@ -49,8 +50,7 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-      .cache()
-    split(parsed, schema)
+    split(graft.StageCache.stage(parsed), schema)
   }
 
   /** CSV ingest → (clean typed rows, quarantined raw lines). */
@@ -62,7 +62,6 @@ object Ingest {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .option("header", header.toString)
       .csv(path)
-      .cache()
-    split(parsed, schema)
+    split(graft.StageCache.stage(parsed), schema)
   }
 }
