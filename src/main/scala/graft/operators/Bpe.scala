@@ -151,9 +151,14 @@ object Bpe {
     trainMergesBatched(docs, textCol, numMerges)._1
 
   /** [[trainMerges]] exposing the round count: (merges, driver rounds).
-    * `batchCap` bounds merges per round; 1 = the sequential form. */
+    * `batchCap` bounds merges per round; 1 = the sequential form. The
+    * default is effectively "as long as the provably-safe prefix runs":
+    * the binding constraint becomes the data (interaction/aliasing
+    * stops), not an arbitrary cap — on a Zipf word table the tail
+    * rounds accept hundreds of well-separated merges each, which is
+    * where a 32k-vocab run spends nearly all its budget. */
   def trainMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
-                         batchCap: Int = 64)
+                         batchCap: Int = 1024)
       : (Seq[(Int, String, String, Long)], Int) = {
     import org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd
     require(batchCap >= 1, "batchCap must be at least 1")
@@ -174,31 +179,70 @@ object Bpe {
     // characterizes the live symbol universe driver-side, which is what
     // lets selectBatch refuse to batch through created-symbol ALIASING
     val priorMades = scala.collection.mutable.Set.empty[String]
+    // the words frame whose first execution rides the NEXT round's
+    // collect — materialized (lineage-truncated) right after it; the
+    // initial word table executes during round 1's collect (the initial
+    // pair table derives from it)
+    var prevWords: DataFrame = words
     var rounds = 0
     try {
       var exhausted = false
       while (merges.length < numMerges && !exhausted) {
         val want = math.min(batchCap, numMerges - merges.length)
+        // OVER-fetch beyond the accept window: a candidate whose count
+        // equals the last fetched frequency is rejected as uncertain
+        // (an unfetched pair could tie it), so fetching exactly `want`
+        // seals well-separated prefixes at the boundary. Half again
+        // plus a constant keeps the boundary clear; rows are two short
+        // strings + a count, and the hazard scan is bounded to the
+        // ≥-frequency tie prefix, so a 4096-row fetch stays trivial
+        // driver-side.
+        val fetch =
+          if (batchCap == 1) 1
+          else math.min(4096, want + want / 2 + 32)
         val top = pairs.orderBy(col("freq").desc, col("l"), col("r"))
-          .limit(want).collect()
+          .limit(fetch).collect()
           .map { case Row(l: String, r: String, f: Long) => (l, r, f) }
         rounds += 1
+        // Truncate the word table that the collect above just computed.
+        // runJob's own doCheckpoint only materializes the NEAREST mark
+        // on the action path (the pairs cut); every words cut is an
+        // ANCESTOR of it, so without this explicit materialization the
+        // words lineage chains marked-but-untruncated RDDs two deep per
+        // round — task serialization overflows the stack near round 250
+        // (word blocks were cached all along; only the dependency
+        // truncation was missing, so this is a free metadata job in
+        // local mode and the documented write tax in reliable mode).
+        // The words frame ENTERING round k executes during round k+1's
+        // collect (its plan rides that round's delta), hence the
+        // one-round lag.
+        if (prevWords != null) {
+          org.apache.spark.sql.graft.DatasetUtils
+            .materializeCheckpoint(prevWords)
+          prevWords = null
+        }
         while (live.size > 4) unpersistPlanRdd(live.dequeue())
         if (top.isEmpty) exhausted = true
         else {
-          val batch = selectBatch(top, fetchedAll = top.length < want,
-            priorMades)
+          // the safe prefix of a valid batch is itself valid, so
+          // truncating the over-fetched selection to the accept window
+          // preserves sequential equivalence
+          val batch = selectBatch(top, fetchedAll = top.length < fetch,
+            priorMades).take(want)
           batch.foreach { case (l, r, _) => priorMades += (l + r) }
           batch.foreach { case (l, r, f) =>
             merges += ((merges.length + 1, l, r, f))
           }
           val bp = batch.map { case (l, r, _) => (l, r) }
-          val hasAny = bp.map { case (l, r) =>
-            exists(adjacentPairs(col("syms")),
-              p => p.getField("l") === l && p.getField("r") === r)
-          }.reduce(_ || _)
           val applied = org.apache.spark.sql.graft.BpeExpressions
             .bpeApplySyms(col("syms"), bp)
+          // "did any batch pair fire?" IS "did the apply change the
+          // array" — one flat-loop evaluation, no per-pair predicate.
+          // (The earlier per-pair exists(...) OR-reduce serialized an
+          // expression tree as deep as the batch: fine at a 64 cap,
+          // a task-deserialization StackOverflowError at adaptive
+          // batch sizes.)
+          val hasAny = not(applied <=> col("syms"))
           val oldPairs = transform(adjacentPairs(col("syms")),
             p => struct(p.getField("l").as("l"), p.getField("r").as("r"),
               lit(-1L).as("sgn")))
@@ -217,8 +261,9 @@ object Bpe {
                 coalesce(col("dfreq"), lit(0L))).as("freq"))
             .filter(col("freq") > 0L))
           live.enqueue(words)
+          prevWords = words // executes (and is then truncated) next round
           words = cut(words.select(col("wc"),
-            when(hasAny, applied).otherwise(col("syms")).as("syms")))
+            applied.as("syms"))) // == syms wherever no pair fired
         }
       }
       (merges.toSeq, rounds)
@@ -311,7 +356,12 @@ object Bpe {
       // is that merge's made string (one level only: a merge whose
       // symbol IS another's made string would have been rejected as
       // interacting) — so the tie-break test ranges over both.
-      lazy val hazard = top.exists { case (ql, qr, qf) =>
+      // `top` is sorted by freq desc, so the qf ≥ f constraint bounds
+      // the scan to the leading tie prefix — with well-separated
+      // frequencies (the long-batch case) this is a handful of rows
+      // even when thousands were fetched
+      lazy val hazard = top.iterator.takeWhile(_._3 >= f)
+          .exists { case (ql, qr, qf) =>
         qf >= f && accepted.exists { case (bl, br, _) =>
           val made = bl + br
           (qr == bl && {

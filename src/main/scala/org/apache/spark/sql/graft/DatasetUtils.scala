@@ -27,6 +27,30 @@ object DatasetUtils {
     * to false, so without this a k-round iterative run leaves k full
     * table snapshots in the checkpoint dir — disk exhaustion on exactly
     * the multi-day runs the reliable mode exists for. */
+  /** Force a LAZILY-marked checkpoint to materialize now, truncating
+    * the plan RDD's dependency chain.
+    *
+    * Needed because `RDD.doCheckpoint` (invoked by `runJob` on every
+    * action) only checkpoints the NEAREST marked RDD on each lineage
+    * path and skips marked ANCESTORS (unless
+    * `spark.checkpoint.checkpointAllMarkedAncestors` is set, which a
+    * library cannot assume). In a two-table iterative loop where the
+    * per-round action lands on table A's mark, table B's marks are
+    * always ancestors — they persist their blocks (the storage side
+    * effect happens at mark time) but NEVER truncate, so B's RDD chain
+    * grows with the round count and task serialization eventually
+    * overflows the stack (observed: BPE at ~250 rounds, depth ~500).
+    *
+    * Call AFTER an action has computed the frame's partitions: for a
+    * local checkpoint they are then all cached, so materialization is a
+    * metadata-only no-op job; for a reliable checkpoint this runs the
+    * file-writing job (the documented durability tax). */
+  def materializeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.doCheckpoint()
+      case _ => ()
+    }
+
   def unpersistPlanRdd(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: LogicalRDD =>

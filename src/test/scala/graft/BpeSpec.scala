@@ -134,6 +134,21 @@ class BpeSpec extends SparkSpec {
     assert(one == want.take(8) && oneRounds == 8)
   }
 
+  test("deep vocab: 1000 merges match the golden greedy trainer (the " +
+    "depth that overflowed task serialization before the ancestor-" +
+    "checkpoint materialization fix)") {
+    val texts = zipfTexts()
+    val want = GoldenModels.bpeMerges(texts, numMerges = 1000)
+    assert(want.length == 1000, s"corpus exhausted at ${want.length}")
+    val (adaptive, adaptiveRounds) = Bpe.trainMergesBatched(
+      texts.toDF("text"), "text", numMerges = 1000)
+    assert(adaptive == want, "adaptive trainer diverged from greedy")
+    info(s"1000 merges in $adaptiveRounds driver rounds")
+    // the accept window is open (fetch > want), so the binding
+    // constraint is the data's interaction structure, never the cap
+    assert(adaptiveRounds < 1000, "batching made no progress over 1/round")
+  }
+
   test("batch selection refuses created-symbol aliasing: two merges " +
     "minting the same string, or a prior round's symbol, never share " +
     "a batch") {
