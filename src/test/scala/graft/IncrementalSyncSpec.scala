@@ -111,6 +111,47 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(advanced == Set((1L, "v2"), (2L, "v2")))
   }
 
+  test("changelogUpsert maintains the adjacent write-time search index " +
+    "incrementally: after a streamed upsert, indexed search == rebuild") {
+    // Verdict r6 task #2: the R3 re-sync path must UPDATE the postings/
+    // stats of the write-time index by deltas, not rebuild them — and an
+    // upserted index must be indistinguishable from a full rebuild over
+    // the merged corpus. Driven through the real streaming entry point.
+    import graft.sinks.SearchIndex
+    val path = Files.createTempDirectory("graft-stream-idx").toString
+    val input = MemoryStream[Change](spark)
+    input.addData(
+      Change(1L, ts("2026-01-01 00:00:00"), 1.0, "window batch run"),
+      Change(2L, ts("2026-01-01 00:00:00"), 1.0, "no match here"))
+    IncrementalSync.changelogUpsert(input.toDF(), "entity_id", "ts", path)
+      .option("checkpointLocation", s"$path/_chk")
+      .start().awaitTermination(60000)
+    // sync time: build the index adjacent to the lake (DocumentSink's
+    // sidecar contract) over the payload field
+    SearchIndex.build(spark.read.parquet(s"$path/data"),
+      Seq("payload"), "document_id", s"$path/_search_index")
+    // streamed re-sync: entity 1 replaced, entity 3 inserted
+    input.addData(
+      Change(1L, ts("2026-01-01 01:00:00"), 9.0, "window window batch"),
+      Change(3L, ts("2026-01-01 01:00:00"), 1.0, "a brand new window"))
+    IncrementalSync.changelogUpsert(input.toDF(), "entity_id", "ts", path)
+      .option("checkpointLocation", s"$path/_chk")
+      .start().awaitTermination(60000)
+    // the maintained index must equal one rebuilt from the merged lake
+    val reb = Files.createTempDirectory("graft-stream-idx-reb").toString
+    SearchIndex.build(spark.read.parquet(s"$path/data"),
+      Seq("payload"), "document_id", reb)
+    val maintained = SearchIndex.ranked(spark, s"$path/_search_index",
+      "window batch", Seq("payload")).collect().map(_.toString).toSeq
+    val rebuilt = SearchIndex.ranked(spark, reb,
+      "window batch", Seq("payload")).collect().map(_.toString).toSeq
+    assert(maintained == rebuilt,
+      s"streamed upsert diverged from rebuild\n$maintained\nvs\n$rebuilt")
+    assert(maintained.exists(_.startsWith("[3,")),
+      "streamed insert missing from the maintained index")
+    assert(maintained.size == 3)
+  }
+
   test("sessionizedCounts merges events within the gap into one session") {
     val input = MemoryStream[Change](spark)
     input.addData(
