@@ -16,6 +16,24 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Event time as an epoch-MICROS long, schema-adaptively: the driver
+    * has regenerated `events.ts` across rounds as both a raw nanos-long
+    * and a parquet `timestamp[us]` (read as TIMESTAMP_NTZ). Micros is the
+    * finest engine-shared unit — DuckDB truncates parquet nanos to micros
+    * — so every event-time query orders/compares on this value and both
+    * engines see identical longs. The NTZ leg casts through TIMESTAMP
+    * first (unix_micros only accepts LTZ); the session timezone is pinned
+    * UTC ([[graft.GraftSession]]), so the naive datetime round-trips to
+    * exactly the stored micros, matching DuckDB's `epoch_us(ts)`. */
+  private def tsMicros(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _                => expr(s"$c div 1000") // legacy nanos-long
+    }
+  }
+
   val RunTs: String = Denormalize.RunTs
 
   /** Materialized search indexes for `dir`, built ONCE per JVM — the
@@ -226,18 +244,22 @@ object ParityQueries {
     // session-id assignment (gap > 30 min ⇒ new session), then per-
     // session engagement features. The batch twin of the streaming
     // session_window operator; one window + one hash agg, both on
-    // user_id. ts stays internal (nanos-long here vs timestamp_ns in
-    // DuckDB) — only ids/counts are output.
+    // user_id. ts is normalized to epoch-micros (tsMicros) so gap
+    // arithmetic is plain long math whatever physical type the testdata
+    // carries — only ids/counts are output.
     "w3_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events").filter(
+      val raw = t(s, dir, "events")
+      val ev = raw.filter(
         col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          tsMicros(raw, "ts").as("tsu"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val gapNs = col("ts") - lag(col("ts"), 1).over(w)
+        .orderBy(col("tsu"), col("event_id"))
+      val gapUs = col("tsu") - lag(col("tsu"), 1).over(w)
       val newSession =
-        when(gapNs.isNull || gapNs > lit(30L * 60 * 1000000000L), 1)
+        when(gapUs.isNull || gapUs > lit(30L * 60 * 1000000L), 1)
           .otherwise(0)
       ev.withColumn("session_idx",
           sum(newSession).over(w.rowsBetween(
@@ -278,9 +300,9 @@ object ParityQueries {
     // W4 (beyond reference): funnel analysis — users by longest
     // completed prefix of view → click → purchase in strict temporal
     // order. One key shuffle + in-row HOF scan (Funnel.stages); event
-    // times compared at MICRO granularity (ts div 1000) so the oracle's
-    // timestamp comparisons see the same values (DuckDB truncates
-    // parquet nanos to micros — same reasoning as r6_scd2).
+    // times compared at MICRO granularity (tsMicros) so the oracle's
+    // timestamp comparisons see the same values whatever physical type
+    // the testdata carries (same reasoning as r6_scd2).
     "w4_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // funnel within each user's FIRST FIVE events (the "first
@@ -289,11 +311,12 @@ object ParityQueries {
       // the prefix filter is another WindowGroupLimit map-side prune
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tsu"), col("event_id"))
-      val ev = t(s, dir, "events")
+      val raw = t(s, dir, "events")
+      val ev = raw
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_type").isNotNull)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tsu"), col("event_type"))
+          tsMicros(raw, "ts").as("tsu"), col("event_type"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= 5)
       graft.operators.Funnel.stages(ev, "user_id", "tsu", "event_type",
@@ -311,11 +334,12 @@ object ParityQueries {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
       val w = byUser.orderBy(col("tsu"), col("event_id"))
-      val ev = t(s, dir, "events")
+      val raw = t(s, dir, "events")
+      val ev = raw
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_id").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tsu"), col("value"))
+          tsMicros(raw, "ts").as("tsu"), col("value"))
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(byUser))
       val term =
@@ -628,16 +652,18 @@ object ParityQueries {
     // keep/order different rows for same-micro changelog entries
     // (epoch_us is the finest engine-shared unit; plain `/` would
     // round-trip through double and lose the low bits of an epoch-nano).
-    "r6_scd2" -> ((s, dir) =>
+    "r6_scd2" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
       graft.operators.ChangeDataCapture.scd2History(
-        t(s, dir, "events").filter(
+        raw.filter(
           col("user_id").isNotNull && col("ts").isNotNull &&
             col("event_id").isNotNull)
-          .withColumn("tsu", expr("ts div 1000")),
+          .withColumn("tsu", tsMicros(raw, "ts")),
         "user_id", "tsu", "event_id", Seq("event_type"))
         .select(col("user_id"), col("event_type"),
           col("valid_from"), col("valid_to"),
-          col("version"), col("is_current"))),
+          col("version"), col("is_current"))
+    }),
 
     // As-of join (beyond reference — SURVEY §2.12): each even-id event
     // ("observation") picks up the latest odd-id event ("state") of the

@@ -102,9 +102,12 @@ object SearchIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
     // derive the stats tables from the WRITTEN postings/doclens (a
     // cheap re-read) rather than recomputing the corpus scan twice
+    // postings are unique per (id, fid, term) by construction (the
+    // groupBy in postingsOf), so df is a plain count — countDistinct
+    // here would add an Expand + second aggregate for nothing
     val p = spark.read.parquet(s"$path/postings")
     p.groupBy(col("fid"), col("term"))
-      .agg(countDistinct(col(idCol)).as("df_t"))
+      .agg(count(lit(1)).as("df_t"))
       .sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/termstats")
     spark.read.parquet(s"$path/doclens")
@@ -217,10 +220,12 @@ object SearchIndex {
     val remPost = oldPost.join(keys, Seq(idCol), "left_semi")
     val remLens = oldLens.join(keys, Seq(idCol), "left_semi")
     // ---- integer deltas ------------------------------------------------
+    // same uniqueness argument as in build: one posting row per
+    // (id, fid, term) on both the new and removed sides
     val dfDelta = newPost.groupBy(col("fid"), col("term"))
-      .agg(countDistinct(col(idCol)).as("d"))
+      .agg(count(lit(1)).as("d"))
       .unionByName(remPost.groupBy(col("fid"), col("term"))
-        .agg((-countDistinct(col(idCol))).as("d")))
+        .agg((-count(lit(1))).as("d")))
       .groupBy(col("fid"), col("term")).agg(sum(col("d")).as("d"))
     val termstats2 = spark.read.parquet(s"$path/termstats")
       .join(dfDelta, Seq("fid", "term"), "full")

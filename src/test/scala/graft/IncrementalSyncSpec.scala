@@ -149,7 +149,9 @@ class IncrementalSyncSpec extends SparkSpec {
       s"streamed upsert diverged from rebuild\n$maintained\nvs\n$rebuilt")
     assert(maintained.exists(_.startsWith("[3,")),
       "streamed insert missing from the maintained index")
-    assert(maintained.size == 3)
+    // match-only contract: entity 2 ("no match here") shares no term with
+    // the query, so exactly the replaced doc 1 and the inserted doc 3 hit
+    assert(maintained.size == 2)
   }
 
   test("sessionizedCounts merges events within the gap into one session") {
