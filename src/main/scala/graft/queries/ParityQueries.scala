@@ -588,6 +588,45 @@ object ParityQueries {
         t(s, dir, "documents").select("doc_id", "text", "source"),
         "window src3", Seq("text", "source"))),
 
+    // Phrase over the WRITE-TIME index: positional postings (what
+    // Lucene persists for multi_match type=phrase) probed with the
+    // query's terms pushed to the parquet scan, adjacency checked on
+    // query-sized position lists — then the document body fetched by id
+    // AFTER scoring, exactly ES's _source fetch. Same oracle as the
+    // scan-path q2_search_phrase: identical rows, index-served.
+    "q2_search_phrase_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phrase(
+        s, s"${searchIndexRoot(s, dir)}/documents", "the window",
+        Seq("text"))
+      t(s, dir, "documents").select("doc_id", "text")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // operator=and over the index: same oracle as q2_search_and — the
+    // match predicate (every term token-matches somewhere) and the
+    // token-exact score both come from the probed tf column.
+    "q2_search_and_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.minShould(
+        s, s"${searchIndexRoot(s, dir)}/documents", "window src3",
+        Seq("text", "source"))
+      t(s, dir, "documents").select("doc_id", "text", "source")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // minimum_should_match=2 over the index (same oracle as
+    // q2_search_minmatch): the unweighted match grid and the scored
+    // grid ride one probe aggregation.
+    "q2_search_minmatch_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.minShould(
+        s, s"${searchIndexRoot(s, dir)}/documents", "window batch src3",
+        Seq("text", "source"), minMatch = 2)
+      t(s, dir, "documents").select("doc_id", "text", "source")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES minimum_should_match: at least 2 of the 3 terms must
     // token-match ('batch' and 'window' live in text, 'src3' in
     // source — so the 2-of-3 set is strictly between OR and AND).
@@ -1083,6 +1122,48 @@ object ParityQueries {
      "ORDER BY score DESC, doc_id LIMIT 100"
   }
 
+  /** Phrase / operator=and / minimum_should_match oracles — shared by
+    * the scan-path queries and their write-time-index twins: one oracle,
+    * two plans, so any drift between positional postings and the corpus
+    * shows up as a hash mismatch. */
+  private val phraseOracleSql: String = {
+    val n = tokenNormSql("text")
+    "SELECT doc_id, text, score FROM (SELECT doc_id, text, " +
+      s"${substrCountSql("n", " the  window ")} AS score " +
+      s"FROM (SELECT doc_id, text, $n AS n FROM documents)) " +
+    "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"
+  }
+
+  private val andOracleSql: String = {
+    def cnt(t: String) =
+      s"(${substrCountSql("nt", s" $t ")} + " +
+        s"${substrCountSql("ns", s" $t ")})"
+    "WITH nrm AS (SELECT doc_id, text, source, " +
+      s"${tokenNormSql("text")} AS nt, " +
+      s"${tokenNormSql("source")} AS ns FROM documents), " +
+    "cnts AS (SELECT doc_id, text, source, " +
+      s"${cnt("window")} AS c0, ${cnt("src3")} AS c1 FROM nrm) " +
+    "SELECT doc_id, text, source, (c0 + c1) AS score FROM cnts " +
+    "WHERE c0 > 0 AND c1 > 0 ORDER BY score DESC, doc_id LIMIT 100"
+  }
+
+  private val minmatchOracleSql: String = {
+    def cnt(t: String) =
+      s"(${substrCountSql("nt", s" $t ")} + " +
+        s"${substrCountSql("ns", s" $t ")})"
+    "WITH nrm AS (SELECT doc_id, text, source, " +
+      s"${tokenNormSql("text")} AS nt, " +
+      s"${tokenNormSql("source")} AS ns FROM documents), " +
+    "cnts AS (SELECT doc_id, text, source, " +
+      s"${cnt("window")} AS c0, ${cnt("batch")} AS c1, " +
+      s"${cnt("src3")} AS c2 FROM nrm) " +
+    "SELECT doc_id, text, source, (c0 + c1 + c2) AS score FROM cnts " +
+    "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN c1 > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN c2 > 0 THEN 1 ELSE 0 END) >= 2 " +
+    "ORDER BY score DESC, doc_id LIMIT 100"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "denorm_tickets" -> denormSql,
     "denorm_tickets_nested" -> denormNestedSql,
@@ -1409,43 +1490,14 @@ object ParityQueries {
       bm25MultiSql("text", "source", Seq("window", "src3"),
         bestFields = false, boosts = Seq(None, Some(3.0))),
 
-    "q2_search_phrase" -> {
-      val n = tokenNormSql("text")
-      "SELECT doc_id, text, score FROM (SELECT doc_id, text, " +
-        s"${substrCountSql("n", " the  window ")} AS score " +
-        s"FROM (SELECT doc_id, text, $n AS n FROM documents)) " +
-      "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"
-    },
+    "q2_search_phrase" -> phraseOracleSql,
+    "q2_search_phrase_indexed" -> phraseOracleSql,
 
-    "q2_search_and" -> {
-      def cnt(t: String) =
-        s"(${substrCountSql("nt", s" $t ")} + " +
-          s"${substrCountSql("ns", s" $t ")})"
-      "WITH nrm AS (SELECT doc_id, text, source, " +
-        s"${tokenNormSql("text")} AS nt, " +
-        s"${tokenNormSql("source")} AS ns FROM documents), " +
-      "cnts AS (SELECT doc_id, text, source, " +
-        s"${cnt("window")} AS c0, ${cnt("src3")} AS c1 FROM nrm) " +
-      "SELECT doc_id, text, source, (c0 + c1) AS score FROM cnts " +
-      "WHERE c0 > 0 AND c1 > 0 ORDER BY score DESC, doc_id LIMIT 100"
-    },
+    "q2_search_and" -> andOracleSql,
+    "q2_search_and_indexed" -> andOracleSql,
 
-    "q2_search_minmatch" -> {
-      def cnt(t: String) =
-        s"(${substrCountSql("nt", s" $t ")} + " +
-          s"${substrCountSql("ns", s" $t ")})"
-      "WITH nrm AS (SELECT doc_id, text, source, " +
-        s"${tokenNormSql("text")} AS nt, " +
-        s"${tokenNormSql("source")} AS ns FROM documents), " +
-      "cnts AS (SELECT doc_id, text, source, " +
-        s"${cnt("window")} AS c0, ${cnt("batch")} AS c1, " +
-        s"${cnt("src3")} AS c2 FROM nrm) " +
-      "SELECT doc_id, text, source, (c0 + c1 + c2) AS score FROM cnts " +
-      "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN c1 > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN c2 > 0 THEN 1 ELSE 0 END) >= 2 " +
-      "ORDER BY score DESC, doc_id LIMIT 100"
-    },
+    "q2_search_minmatch" -> minmatchOracleSql,
+    "q2_search_minmatch_indexed" -> minmatchOracleSql,
 
     "sync_entity_docs" ->
       (s"SELECT c_custkey AS customer_c_custkey, " +

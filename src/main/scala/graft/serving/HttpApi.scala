@@ -86,6 +86,34 @@ final class HttpApi(
       })
     }
 
+  /** Route through the index when every requested field is indexed
+    * (string columns are; a numeric field only the scan path can
+    * coerce), else the equivalent corpus scan — results are identical
+    * either way (SearchIndexSpec pins the equality). */
+  private def indexedOrScan(index: String,
+                            df: org.apache.spark.sql.DataFrame,
+                            fields: Seq[String],
+                            probe: String => org.apache.spark.sql.DataFrame,
+                            scan: () => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = tableIndexPath(index)
+    val indexed = graft.sinks.SearchIndex.readMeta(p).fields.toSet
+    if (fields.forall(indexed.contains)) probe(p) else scan()
+  }
+
+  /** ES's `_source` fetch: join the (id, score) hits back to the table
+    * rows — hits are limit-bounded, so the join broadcasts them and the
+    * row fetch is one pruned scan. Output shape matches the scan-path
+    * scorers (all table columns + score, ordered by score desc, id). */
+  private def fetchBodies(df: org.apache.spark.sql.DataFrame,
+                          hitIds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val id = df.columns.head
+    df.join(broadcast(hitIds), Seq(id))
+      .orderBy(col("score").desc, col(id))
+  }
+
   /** One postings index per catalog entity (the `data_lake_*` wildcard
     * targets), document_id-keyed. */
   private def entityIndexRoot(): String = builtIndexes.synchronized {
@@ -264,15 +292,26 @@ final class HttpApi(
         hits(ex, graft.sinks.SearchIndex.ranked(spark,
           tableIndexPath(index), term, fields, limit, bm25 = r == "bm25",
           bestFields = best, boosts = boosts, after = after))
+      // phrase / operator=and / minimum_should_match PROBE the index
+      // too (positional postings for phrase — what Lucene stores for
+      // type=phrase) and fetch row bodies by id afterward, ES's
+      // _source fetch; a request naming a non-indexed (non-string)
+      // field falls back to the corpus scan, same results either way
       case _ if textOr(req, "type", "") == "phrase" =>
-        hits(ex, Search.phrase(df, term, fields, limit, after, boosts))
+        hits(ex, indexedOrScan(index, df, fields,
+          p => fetchBodies(df, graft.sinks.SearchIndex.phrase(spark, p,
+            term, fields, limit, boosts, after)),
+          () => Search.phrase(df, term, fields, limit, after, boosts)))
       // operator=and is checked FIRST: ES ignores minimum_should_match
       // entirely when the operator is `and` (every term is already
       // required), so a request carrying both gets AND semantics — the
       // same silent precedence ES applies
       case _ if textOr(req, "operator", "or") == "and" =>
-        hits(ex, Search.multiFieldAnd(df, term, fields, limit, after,
-          boosts))
+        hits(ex, indexedOrScan(index, df, fields,
+          p => fetchBodies(df, graft.sinks.SearchIndex.minShould(spark, p,
+            term, fields, Int.MaxValue, limit, boosts, after)),
+          () => Search.multiFieldAnd(df, term, fields, limit, after,
+            boosts)))
       case _ if req.hasNonNull("minimum_should_match") =>
         // only the integer form is implemented; ES's percentage /
         // combination forms ("75%", "2<75%") would silently asInt to 0
@@ -282,8 +321,11 @@ final class HttpApi(
           respond(ex, 400, """{"error": "unsupported minimum_should_match""" +
             """ form; an integer is required"}""")
         else
-          hits(ex, Search.multiFieldMinShould(df, term, fields,
-            mm.asInt, limit, after, boosts))
+          hits(ex, indexedOrScan(index, df, fields,
+            p => fetchBodies(df, graft.sinks.SearchIndex.minShould(spark,
+              p, term, fields, mm.asInt, limit, boosts, after)),
+            () => Search.multiFieldMinShould(df, term, fields,
+              mm.asInt, limit, after, boosts)))
       case _ =>
         hits(ex, Search.multiField(df, term, fields, limit, after, boosts))
     }

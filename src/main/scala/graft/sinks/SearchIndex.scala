@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,11 +14,32 @@ import org.apache.spark.sql.functions._
   * precomputed, query-term-sized data instead of re-tokenizing and
   * re-aggregating the corpus per request.
   *
-  * An index at `path/` is four parquet tables plus a sidecar:
-  *   - `postings/`   (idCol, fid, dl, term, tf) — one row per
-  *     (document, field, term): term frequency `tf` plus the document's
+  * == Layout: one atomic generation pointer ==
+  *
+  * An index at `path/` is a SIDECAR POINTER plus immutable generations:
+  *   - `_index_meta.json` — the indexed field list (order matters: the
+  *     fixed-order score combine follows it), the id column, and the
+  *     CURRENT GENERATION number. This one file is the only mutable
+  *     object; it is replaced with a single atomic rename.
+  *   - `g{N}/` — a complete, immutable generation: four parquet tables
+  *     written once and never modified. Build and upsert stage the next
+  *     generation `g{N+1}` fully, then flip the pointer — a reader that
+  *     resolved the meta sees one internally-consistent generation, never
+  *     a mix of old postings with new stats (the per-table rename swap
+  *     this replaces had exactly that window). A crash mid-stage leaves
+  *     an orphan directory and an untouched pointer; orphans are
+  *     collected on the next successful build/upsert. On an object store
+  *     the same design holds with deferred GC (readers may hold the old
+  *     generation open), which is the Iceberg/Delta snapshot contract.
+  *
+  * Each generation's tables:
+  *   - `postings/`   (idCol, fid, dl, term, tf, pos) — one row per
+  *     (document, field, term): term frequency `tf`, the document's
   *     field length `dl` (the BM25 length normalizer, carried here so a
-  *     probe never joins back to the corpus);
+  *     probe never joins back to the corpus), and `pos` — the sorted
+  *     token positions of the term in the field (what Lucene stores for
+  *     `type: "phrase"`; ranked probes never read it, so columnar
+  *     pruning keeps BM25 probe IO unchanged);
   *   - `doclens/`    (idCol, fid, dl) — one row per (document, field),
   *     INCLUDING null-valued fields (dl null): the document-presence
   *     registry that makes `n`/`sumdl` maintenance exact under upserts;
@@ -28,49 +49,67 @@ import org.apache.spark.sql.functions._
   *     length. `avgdl` is NOT stored: it is derived as one double
   *     division `sumdl / n` at probe time, keeping every stored value an
   *     integer so incremental updates are EXACT (no float drift between
-  *     an upserted index and a full rebuild);
-  *   - `_index_meta.json` — the indexed field list (order matters: the
-  *     fixed-order score combine follows it) and the id column.
+  *     an upserted index and a full rebuild).
   *
   * Score identity: [[ranked]] evaluates the same expression tree as
   * [[graft.serving.Search.rankedFields]] over the same integer inputs
-  * (tf, dl, df, n, sumdl), so an indexed query is hash-identical to the
-  * scan-path scorer — the CORRECTNESS gate runs both against one oracle.
+  * (tf, dl, df, n, sumdl); [[phrase]] counts the same greedy
+  * non-overlapping token-adjacent occurrences as
+  * [[graft.serving.Search.phrase]]'s normalized substring scan; and
+  * [[minShould]] reproduces [[graft.serving.Search.multiFieldMinShould]]
+  * (token-exact counts, unweighted match predicate, boost-weighted
+  * score) — so every indexed mode is hash-identical to its scan-path
+  * scorer and the CORRECTNESS gate runs both against one oracle.
   *
-  * Scale: the probe's plan touches `postings` with `term IN (...)`
-  * pushed to the parquet scan (query-term-sized rows survive),
-  * broadcast-joins the (tiny) stats, and ends in one per-doc aggregation
-  * + TakeOrdered — no corpus scan, no corpus-wide shuffle, no
-  * per-request statistics aggregation. At 100 TB the postings table is
-  * laid out sorted by (fid, term) within files so row-group min/max
-  * statistics skip non-matching groups; bucketing by term is the
-  * cluster-scale refinement of the same layout.
+  * Scale: a probe's plan touches `postings` with `term IN (...)` pushed
+  * to the parquet scan (query-term-sized rows survive), broadcast-joins
+  * the (tiny) stats, and ends in one per-doc aggregation + TakeOrdered —
+  * no corpus scan, no corpus-wide shuffle, no per-request statistics
+  * aggregation. At 100 TB the postings table is laid out sorted by
+  * (fid, term) within files so row-group min/max statistics skip
+  * non-matching groups; bucketing by term is the cluster-scale
+  * refinement of the same layout.
   */
 object SearchIndex {
 
-  final case class Meta(idCol: String, fields: Seq[String])
+  final case class Meta(idCol: String, fields: Seq[String], gen: Int)
 
-  private val Reserved = Set("fid", "dl", "term", "tf", "df_t", "n",
+  private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score")
+
+  /** Current generation's table directory. */
+  private def tableDir(path: String, meta: Meta): String =
+    s"$path/g${meta.gen}"
 
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
     * explode tagged `fid` — the same single-scan shape
     * Search.rankedFields uses, minus the query-term filter (an index
-    * keeps every term). */
+    * keeps every term). Positions index the FILTERED token sequence
+    * (empty split artifacts removed first), matching Search.tokenNorm's
+    * adjacency semantics where whitespace runs collapse. */
   private def postingsOf(docs: DataFrame, fields: Seq[String],
                          idCol: String): DataFrame = {
     import graft.functions.TextFunctions.tokenCount
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"),
           tokenCount(col(f)).as("dl"),
-          split(lower(col(f)), "\\s+").as("toks"))
+          filter(split(lower(col(f)), "\\s+"), t => t =!= lit(""))
+            .as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
-        explode(col("fs.toks")).as("term"))
-      .filter(col("term") =!= "")
+        posexplode(col("fs.toks")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("fid"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
   }
+
+  /** Per-(field, term) document frequency. Postings are unique per
+    * (id, fid, term) by construction (the groupBy in [[postingsOf]]), so
+    * df is a PLAIN count — countDistinct here would add an Expand +
+    * second aggregate for nothing; SearchIndexSpec pins the plan. */
+  private[graft] def termstatsOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("fid"), col("term"))
+      .agg(count(lit(1)).as("df_t"))
 
   /** (id, fid, dl) for EVERY (document, field) pair — dl null when the
     * field is null (such docs have no postings but still count in `n`,
@@ -88,33 +127,32 @@ object SearchIndex {
     * destructive contract as `DocumentSink.save` Overwrite, which is
     * what ES's delete-and-bulk-reindex does). Missing `fields` columns
     * are an error; a field the docs lack entirely should not be
-    * declared. */
+    * declared. Rebuild over an existing index stages the next generation
+    * and flips the pointer — readers mid-request keep the old one. */
   def build(docs: DataFrame, fields: Seq[String], idCol: String,
             path: String): Unit = {
     require(fields.nonEmpty, "at least one field to index")
     require(!Reserved.contains(idCol),
       s"id column '$idCol' collides with an index-internal name")
     val spark = docs.sparkSession
+    val gen = if (exists(path)) readMeta(path).gen + 1 else 0
+    val dir = s"$path/g$gen"
     postingsOf(docs, fields, idCol)
       .sortWithinPartitions(col("fid"), col("term"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
     doclensOf(docs, fields, idCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
     // derive the stats tables from the WRITTEN postings/doclens (a
     // cheap re-read) rather than recomputing the corpus scan twice
-    // postings are unique per (id, fid, term) by construction (the
-    // groupBy in postingsOf), so df is a plain count — countDistinct
-    // here would add an Expand + second aggregate for nothing
-    val p = spark.read.parquet(s"$path/postings")
-    p.groupBy(col("fid"), col("term"))
-      .agg(count(lit(1)).as("df_t"))
+    termstatsOf(spark.read.parquet(s"$dir/postings"))
       .sortWithinPartitions(col("fid"), col("term"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/termstats")
-    spark.read.parquet(s"$path/doclens")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+    spark.read.parquet(s"$dir/doclens")
       .groupBy(col("fid"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/fieldstats")
-    writeMeta(path, Meta(idCol, fields))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
+    writeMeta(path, Meta(idCol, fields, gen))
+    gcGenerations(path, keep = gen)
   }
 
   /** Probe the index: BM25 (or tf·idf) ranked retrieval over `fields`
@@ -131,6 +169,7 @@ object SearchIndex {
              afterInclusive: Boolean = false): DataFrame = {
     import graft.serving.Search.{afterPredicate, round4}
     val meta = readMeta(path)
+    val dir = tableDir(path, meta)
     val idCol = meta.idCol
     val useFields = if (fields.isEmpty) meta.fields else fields
     val fidOf = meta.fields.zipWithIndex.toMap
@@ -140,16 +179,16 @@ object SearchIndex {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     // postings probe: both predicates reach the parquet scan as pushed
     // filters — the surviving rows are (query term × matching doc)-sized
-    val p = spark.read.parquet(s"$path/postings")
+    val p = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms.toSeq: _*) &&
         col("fid").isin(fids: _*))
-    val stats = spark.read.parquet(s"$path/fieldstats")
+    val stats = spark.read.parquet(s"$dir/fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"),
         // exact-integer sum ÷ count — the identical double the scan
         // path's sum(tokenCount)/count(*) aggregate produces
         (col("sumdl").cast("double") / col("n")).as("avgdl"))
-    val idf = spark.read.parquet(s"$path/termstats")
+    val idf = spark.read.parquet(s"$dir/termstats")
       .filter(col("term").isin(terms.toSeq: _*) &&
         col("fid").isin(fids: _*))
       .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
@@ -190,24 +229,155 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** PHRASE probe (ES `multi_match` `type: "phrase"` over the index):
+    * the query's tokens must appear consecutively, in order, in a field;
+    * scored by the greedy non-overlapping occurrence count summed across
+    * `fields` — the exact count [[graft.serving.Search.phrase]]'s
+    * normalized-substring `replace` scan produces, so both paths share
+    * one oracle. Returns (idCol, score) — the caller fetches document
+    * bodies by id, like ES fetches `_source` after scoring.
+    *
+    * Plan: postings probed with `term IN (...)` pushed down, then per
+    * (doc, field) the sorted position lists intersect shifted-by-slot
+    * (a HOF over query-sized arrays on candidate rows only), then one
+    * per-doc aggregation + TakeOrdered. No corpus scan. */
+  def phrase(spark: SparkSession, path: String, phraseQuery: String,
+             fields: Seq[String] = Nil, limit: Int = 100,
+             boosts: Map[String, Double] = Map.empty,
+             after: Option[(Double, Any)] = None): DataFrame = {
+    import graft.serving.Search.afterPredicate
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val idCol = meta.idCol
+    val useFields = if (fields.isEmpty) meta.fields else fields
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = useFields.filterNot(fidOf.contains)
+    require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
+    val fids = useFields.map(fidOf)
+    val terms = phraseQuery.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val distinctTerms = terms.distinct
+    val k = terms.size
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(distinctTerms: _*) &&
+        col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("term"), col("pos"))
+    // per (doc, field): term → sorted positions; a field missing any
+    // query term cannot contain the phrase (postings are term-unique,
+    // so the row count IS the distinct-term count)
+    val candidates = p.groupBy(col(idCol), col("fid"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
+        .as("tp"), count(lit(1)).as("_nt"))
+      .filter(col("_nt") === distinctTerms.size)
+    // match starts: positions of the head term whose i-th successor
+    // slot holds term i (sorted, since pos lists are sorted)
+    val headPos = element_at(col("tp"), lit(terms.head))
+    val starts =
+      if (k == 1) headPos
+      else filter(headPos, s => terms.zipWithIndex.drop(1).map {
+        case (t, i) =>
+          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
+      }.reduce(_ && _))
+    // greedy left-to-right non-overlap — what the scan path's replace()
+    // counts when the phrase can self-overlap (e.g. "a a" in "a a a");
+    // for all-distinct phrases this is simply size(starts)
+    val cnt =
+      if (distinctTerms.size == k) size(starts)
+      else aggregate(starts,
+        struct(lit(0).as("c"), lit(-1).as("free")),
+        (acc, s) => when(s >= acc.getField("free"),
+            struct((acc.getField("c") + lit(1)).as("c"),
+              (s + lit(k)).as("free")))
+          .otherwise(acc),
+        acc => acc.getField("c"))
+    val perField = candidates.select(col(idCol), col("fid"),
+      cnt.as("_cnt"))
+    def fieldScore(i: Int): Column = {
+      val raw = coalesce(sum(when(col("fid") === fids(i), col("_cnt"))),
+        lit(0)).cast("int")
+      boosts.get(useFields(i)).map(b => raw * b).getOrElse(raw)
+    }
+    perField.groupBy(col(idCol))
+      .agg(useFields.indices.map(fieldScore).reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(idCol)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
+  /** `minimum_should_match` / `operator: "and"` probe: at least
+    * `minMatch` of the query's distinct terms must token-match in some
+    * field (clamped to all-terms — AND — above the term count, like
+    * [[graft.serving.Search.multiFieldMinShould]]); scored by token-
+    * exact occurrence counts, boost-weighted per field, match predicate
+    * unweighted. Hash-identical to the scan path over the corpus; one
+    * pruned postings probe + one per-doc aggregation. Returns
+    * (idCol, score). */
+  def minShould(spark: SparkSession, path: String, query: String,
+                fields: Seq[String] = Nil, minMatch: Int = Int.MaxValue,
+                limit: Int = 100,
+                boosts: Map[String, Double] = Map.empty,
+                after: Option[(Double, Any)] = None): DataFrame = {
+    import graft.serving.Search.afterPredicate
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val idCol = meta.idCol
+    val useFields = if (fields.isEmpty) meta.fields else fields
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = useFields.filterNot(fidOf.contains)
+    require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
+    val fids = useFields.map(fidOf)
+    val terms = query.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val need = math.max(1, math.min(minMatch, terms.size))
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*) && col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("term"), col("tf"))
+    // tf per (term, field) as conditional aggregates — the index-side
+    // mirror of the scan path's per-term/per-field substrCount grid,
+    // summed in the identical fixed order (terms outer, fields inner)
+    def raw(t: String, i: Int): Column =
+      coalesce(sum(when(col("term") === t && col("fid") === fids(i),
+        col("tf"))), lit(0L)).cast("int")
+    val score = terms.map(t => useFields.indices.map { i =>
+        val r = raw(t, i)
+        boosts.get(useFields(i)).map(b => r * b).getOrElse(r)
+      }.reduce(_ + _)).reduce(_ + _)
+    val matched = terms.map(t =>
+        when(useFields.indices.map(raw(t, _)).reduce(_ + _) > 0, 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    p.groupBy(col(idCol))
+      .agg(score.as("score"), matched.as("_matched"))
+      .filter(col("_matched") >= need).drop("_matched")
+      .filter(afterPredicate(after, col(idCol)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
   /** Incremental maintenance — the index-side twin of
     * [[DocumentSink.upsert]]'s replace-by-id semantics (REST re-sync,
     * reference: src/routes/ticket_routes.py:91-96): documents in `batch`
     * REPLACE same-id documents in the index. Statistics update by
     * integer DELTAS computed from the batch and the removed docs'
     * postings only (never by re-tokenizing the corpus):
-    *   df'    = df    − distinct removed ids with term + distinct added
+    *   df'    = df    − removed postings rows + added rows (per term)
     *   n'     = n     − removed rows + added rows
     *   sumdl' = sumdl − removed dl   + added dl
     * All integer arithmetic, so the upserted index is bit-identical to a
-    * full rebuild over the merged corpus. The rewritten tables stage in
-    * sibling temp dirs and swap in with [[Lake.swapIn]]'s crash-safe
-    * two-rename; at object-store scale the same contract lands on a
-    * Delta/Iceberg MERGE. A batch column missing from the index's field
-    * list scores as null (the allowMissingColumns union shape). */
+    * full rebuild over the merged corpus (positions included — postings
+    * rows carry them wholesale). The merged tables stage as the NEXT
+    * GENERATION directory and the meta pointer flips in one atomic
+    * rename; at object-store scale the same contract lands on a
+    * Delta/Iceberg MERGE + snapshot commit. A batch column missing from
+    * the index's field list scores as null (the allowMissingColumns
+    * union shape). */
   def upsert(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(path)
+    val dir = tableDir(path, meta)
     val idCol = meta.idCol
     val full = meta.fields.foldLeft(batch)((d, f) =>
       if (d.columns.contains(f)) d
@@ -215,8 +385,8 @@ object SearchIndex {
     val keys = full.select(col(idCol)).distinct()
     val newPost = postingsOf(full, meta.fields, idCol)
     val newLens = doclensOf(full, meta.fields, idCol)
-    val oldPost = spark.read.parquet(s"$path/postings")
-    val oldLens = spark.read.parquet(s"$path/doclens")
+    val oldPost = spark.read.parquet(s"$dir/postings")
+    val oldLens = spark.read.parquet(s"$dir/doclens")
     val remPost = oldPost.join(keys, Seq(idCol), "left_semi")
     val remLens = oldLens.join(keys, Seq(idCol), "left_semi")
     // ---- integer deltas ------------------------------------------------
@@ -227,7 +397,7 @@ object SearchIndex {
       .unionByName(remPost.groupBy(col("fid"), col("term"))
         .agg((-count(lit(1))).as("d")))
       .groupBy(col("fid"), col("term")).agg(sum(col("d")).as("d"))
-    val termstats2 = spark.read.parquet(s"$path/termstats")
+    val termstats2 = spark.read.parquet(s"$dir/termstats")
       .join(dfDelta, Seq("fid", "term"), "full")
       .select(col("fid"), col("term"),
         (coalesce(col("df_t"), lit(0L)) + coalesce(col("d"), lit(0L)))
@@ -241,7 +411,7 @@ object SearchIndex {
           (-coalesce(sum(col("dl")), lit(0L))).as("dsum")))
       .groupBy(col("fid"))
       .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
-    val fieldstats2 = spark.read.parquet(s"$path/fieldstats")
+    val fieldstats2 = spark.read.parquet(s"$dir/fieldstats")
       .join(lenDelta, Seq("fid"), "left")
       .select(col("fid"),
         (col("n") + coalesce(col("dn"), lit(0L))).cast("long").as("n"),
@@ -251,38 +421,67 @@ object SearchIndex {
       .unionByName(newPost)
     val doclens2 = oldLens.join(keys, Seq(idCol), "left_anti")
       .unionByName(newLens)
-    // ---- stage everything, then swap (writes read the old files) ------
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val staged = Seq(
-      "postings" -> postings2.sortWithinPartitions(col("fid"), col("term")),
-      "doclens" -> doclens2,
-      "termstats" -> termstats2.sortWithinPartitions(col("fid"), col("term")),
-      "fieldstats" -> fieldstats2
-    ).map { case (name, df) =>
-      val tmp =
-        s"$path/.${name}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-      df.write.mode(SaveMode.Overwrite).parquet(tmp)
-      name -> tmp
-    }
-    staged.foreach { case (name, tmp) =>
-      Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(s"$path/$name"))
+    // ---- stage the next generation, then flip the pointer --------------
+    val gen2 = meta.gen + 1
+    val dir2 = s"$path/g$gen2"
+    postings2.sortWithinPartitions(col("fid"), col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir2/postings")
+    doclens2.write.mode(SaveMode.Overwrite).parquet(s"$dir2/doclens")
+    termstats2.sortWithinPartitions(col("fid"), col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir2/termstats")
+    fieldstats2.write.mode(SaveMode.Overwrite).parquet(s"$dir2/fieldstats")
+    writeMeta(path, meta.copy(gen = gen2))
+    gcGenerations(path, keep = gen2)
+  }
+
+  /** Does `path` hold a CURRENT-layout index (sidecar present, version
+    * ≥ 2 = generation-pointer layout with positional postings)? Upsert
+    * hooks use this to maintain an index only where one was built; a
+    * sidecar from an older layout reads as absent so callers rebuild
+    * rather than probe tables that moved. */
+  def exists(path: String): Boolean =
+    Files.exists(Paths.get(s"$path/_index_meta.json")) &&
+      (try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(
+            Files.readAllBytes(Paths.get(s"$path/_index_meta.json")),
+            StandardCharsets.UTF_8))
+        node.hasNonNull("gen") && node.get("version").asInt() >= 2
+      } catch { case _: Exception => false })
+
+  /** Best-effort removal of every generation directory except `keep` —
+    * crash orphans and the just-replaced generation. Safe on a local FS
+    * (open readers keep unlinked files); an object-store deployment
+    * defers this behind reader-lease expiry instead. */
+  private def gcGenerations(path: String, keep: Int): Unit = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.matches("g\\d+") &&
+          f.getName != s"g$keep") {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+      }
     }
   }
 
-  /** Does `path` hold an index (sidecar present)? Upsert hooks use this
-    * to maintain an index only where one was built. */
-  def exists(path: String): Boolean =
-    Files.exists(Paths.get(s"$path/_index_meta.json"))
-
+  /** The pointer flip: write to a temp sibling, then one atomic rename.
+    * Readers resolve the meta once per probe and see exactly one
+    * generation — the "either old or new, never mixed" contract. */
   private def writeMeta(path: String, meta: Meta): Unit = {
     val json = s"""{"id_col": "${meta.idCol}", "fields": [${
-      meta.fields.map(f => s""""$f"""").mkString(", ")}], "version": 1}"""
-    val p = Paths.get(s"$path/_index_meta.json")
-    Files.createDirectories(p.getParent)
-    Files.write(p, json.getBytes(StandardCharsets.UTF_8),
+      meta.fields.map(f => s""""$f"""").mkString(", ")
+    }], "gen": ${meta.gen}, "version": 2}"""
+    val target = Paths.get(s"$path/_index_meta.json")
+    Files.createDirectories(target.getParent)
+    val tmp = Paths.get(s"$path/._index_meta_tmp_${
+      java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readMeta(path: String): Meta = {
@@ -292,6 +491,6 @@ object SearchIndex {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val fields = (0 until node.get("fields").size())
       .map(node.get("fields").get(_).asText())
-    Meta(node.get("id_col").asText(), fields)
+    Meta(node.get("id_col").asText(), fields, node.get("gen").asInt())
   }
 }

@@ -28,6 +28,10 @@ class SearchIndexSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Current generation's table dir (the meta pointer names it). */
+  private def tdir(path: String): String =
+    s"$path/g${SearchIndex.readMeta(path).gen}"
+
   test("indexed bm25/tfidf == scan-path scorers, bit for bit, across " +
     "single-field, most_fields, best_fields, boosts and cursors") {
     val path = tmp("graft-idx-eq-")
@@ -107,8 +111,8 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.upsert(v2new, inc)
     SearchIndex.build(merged, Seq("text", "source"), "doc_id", reb)
     for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
-      val a = sortedRows(spark.read.parquet(s"$inc/$t"))
-      val b = sortedRows(spark.read.parquet(s"$reb/$t"))
+      val a = sortedRows(spark.read.parquet(s"${tdir(inc)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
       assert(a == b, s"$t diverged after upsert\nupserted: $a\nrebuilt:  $b")
     }
     val qi = SearchIndex.ranked(spark, inc, "window batch of",
@@ -142,6 +146,114 @@ class SearchIndexSpec extends SparkSpec {
       "window src3", Seq("text", "source")).collect().map(_.toString).toSeq
     assert(a == b, s"sink-maintained index != rebuild\nmaint: $a\nreb:   $b")
     assert(a.exists(_.contains("[2,")), "upserted doc missing from ranking")
+  }
+
+  test("indexed phrase / operator=and / min_should == scan-path " +
+    "scorers, including a self-overlapping phrase and a dead term") {
+    val path = tmp("graft-idx-pos-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", path)
+    def idScore(df: DataFrame): Seq[String] =
+      df.select("doc_id", "score").collect().map(_.toString).toSeq
+    val full = docs.select("doc_id", "text", "source")
+    val phraseCases = Seq(
+      ("the window", Seq("text")),          // ordinary adjacency
+      ("window", Seq("text", "source")),    // single-term degenerates to tf
+      ("of a window", Seq("text")),         // 3-term chain
+      ("the the", Seq("text")),             // self-overlap: greedy count
+      ("window zzz", Seq("text")))          // dead term: both sides empty
+    phraseCases.foreach { case (q, fs) =>
+      val scan = idScore(Search.phrase(full, q, fs))
+      val probe = idScore(SearchIndex.phrase(spark, path, q, fs))
+      assert(probe == scan, s"phrase '$q' diverged\n$scan\nvs\n$probe")
+    }
+    assert(idScore(SearchIndex.phrase(spark, path, "the window",
+      Seq("text"))).nonEmpty, "degenerate phrase comparison")
+    // "the the" on doc 5 ("the the the ...") must count GREEDILY: one
+    // non-overlapping occurrence, not two positional matches
+    val overlap = SearchIndex.phrase(spark, path, "the the", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(overlap(5L) == 1, s"greedy non-overlap violated: $overlap")
+    // operator=and and minimum_should_match
+    val scanAnd = idScore(Search.multiFieldAnd(full, "window src3",
+      Seq("text", "source")))
+    val probeAnd = idScore(SearchIndex.minShould(spark, path,
+      "window src3", Seq("text", "source")))
+    assert(probeAnd == scanAnd, s"AND diverged\n$scanAnd\nvs\n$probeAnd")
+    assert(probeAnd.nonEmpty)
+    val scanMm = idScore(Search.multiFieldMinShould(full,
+      "window batch src3", Seq("text", "source"), minMatch = 2))
+    val probeMm = idScore(SearchIndex.minShould(spark, path,
+      "window batch src3", Seq("text", "source"), minMatch = 2))
+    assert(probeMm == scanMm, s"minmatch diverged\n$scanMm\nvs\n$probeMm")
+    assert(probeMm.size > probeAnd.size,
+      "2-of-3 should be strictly wider than AND on this corpus")
+    // boosts weight the score only, for both modes
+    val scanB = idScore(Search.phrase(full, "the window", Seq("text"),
+      boosts = Map("text" -> 2.0)))
+    val probeB = idScore(SearchIndex.phrase(spark, path, "the window",
+      Seq("text"), boosts = Map("text" -> 2.0)))
+    assert(probeB == scanB, s"boosted phrase diverged\n$scanB\nvs\n$probeB")
+  }
+
+  test("phrase upsert == rebuild: positions are maintained " +
+    "incrementally with the postings rows") {
+    val v2new = Seq(
+      (1L, "window the window the window", "src_a"), // replaces doc 1
+      (8L, "the window the window", null))           // inserted
+      .toDF("doc_id", "text", "source")
+    val merged = docs.filter($"doc_id" =!= 1L).unionByName(v2new)
+    val inc = tmp("graft-idx-posinc-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", inc)
+    SearchIndex.upsert(v2new, inc)
+    val probe = SearchIndex.phrase(spark, inc, "the window", Seq("text"))
+      .collect().map(_.toString).toSeq
+    val scan = Search.phrase(merged.select("doc_id", "text", "source"),
+        "the window", Seq("text"))
+      .select("doc_id", "score").collect().map(_.toString).toSeq
+    assert(probe == scan,
+      s"upserted positions diverged from corpus\n$scan\nvs\n$probe")
+    assert(probe.exists(_.startsWith("[8,")), "inserted doc not phrased")
+  }
+
+  test("generation pointer is atomic: a half-staged generation is " +
+    "invisible, upsert flips the pointer and collects the old one") {
+    val path = tmp("graft-idx-gen-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", path)
+    assert(SearchIndex.readMeta(path).gen == 0)
+    val q = () => sortedRows(SearchIndex.ranked(spark, path,
+      "window src3", Seq("text", "source")))
+    val before = q()
+    // simulate a crashed writer: a partial next-generation directory on
+    // disk (garbage where postings would land). The pointer still names
+    // g0, so probes must be untouched — the "either old or new, never
+    // mixed" contract the per-table rename swap could not give.
+    new java.io.File(s"$path/g1/postings").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/g1/postings/_garbage"),
+      "not parquet".getBytes)
+    assert(q() == before, "probe read a half-staged generation")
+    // a real upsert stages g1 fully (Overwrite clears the orphan),
+    // flips the pointer in one atomic meta rename, and GCs g0
+    val batch = Seq((2L, "now with window", "src3"))
+      .toDF("doc_id", "text", "source")
+    SearchIndex.upsert(batch, path)
+    assert(SearchIndex.readMeta(path).gen == 1)
+    assert(!new java.io.File(s"$path/g0").exists,
+      "replaced generation not collected")
+    val after = q()
+    assert(after != before, "upsert had no effect on ranking")
+    assert(after.exists(_.startsWith("[2,")), "upserted doc not ranked")
+  }
+
+  test("termstats derivation has no distinct-agg Expand (df is a " +
+    "plain count over unique postings)") {
+    val path = tmp("graft-idx-ts-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", path)
+    val plan = SearchIndex.termstatsOf(
+        spark.read.parquet(s"${tdir(path)}/postings"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"termstats build expands for a distinct aggregate:\n$plan")
   }
 
   test("indexed data_lake_* wildcard == scan-path wildcard, with and " +
