@@ -313,19 +313,29 @@ final class HttpApi(
           () => Search.multiFieldAnd(df, term, fields, limit, after,
             boosts)))
       case _ if req.hasNonNull("minimum_should_match") =>
-        // only the integer form is implemented; ES's percentage /
-        // combination forms ("75%", "2<75%") would silently asInt to 0
-        // and degrade to plain OR — reject them instead of lying
+        // the full ES grammar: integers, negatives, percentages and
+        // conditional combinations ("2<-25% 9<-3") resolve against the
+        // distinct-term count (MinShouldMatch); a malformed spec is the
+        // caller's error — 400, never a silent degrade to plain OR
         val mm = req.get("minimum_should_match")
-        if (!mm.isIntegralNumber)
-          respond(ex, 400, """{"error": "unsupported minimum_should_match""" +
-            """ form; an integer is required"}""")
-        else
-          hits(ex, indexedOrScan(index, df, fields,
-            p => fetchBodies(df, graft.sinks.SearchIndex.minShould(spark,
-              p, term, fields, mm.asInt, limit, boosts, after)),
-            () => Search.multiFieldMinShould(df, term, fields,
-              mm.asInt, limit, after, boosts)))
+        val nTerms = term.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).distinct.length
+        val resolved: Option[Int] =
+          if (mm.isIntegralNumber) Some(mm.asInt)
+          else if (mm.isTextual) MinShouldMatch.resolve(mm.asText, nTerms)
+          else None
+        resolved match {
+          case None =>
+            respond(ex, 400, """{"error": "malformed minimum_should_""" +
+              """match; use an integer, percentage, or conditional """ +
+              """spec like \"2<-25% 9<-3\""}""")
+          case Some(n) =>
+            hits(ex, indexedOrScan(index, df, fields,
+              p => fetchBodies(df, graft.sinks.SearchIndex.minShould(spark,
+                p, term, fields, n, limit, boosts, after)),
+              () => Search.multiFieldMinShould(df, term, fields,
+                n, limit, after, boosts)))
+        }
       case _ =>
         hits(ex, Search.multiField(df, term, fields, limit, after, boosts))
     }

@@ -198,6 +198,32 @@ class HttpApiSpec extends SparkSpec
       """{"search_term": "window src3", "fields": ["text"],
         | "index": "documents", "minimum_should_match": 1}""".stripMargin)
     assert("\"doc_id\"".r.findAllIn(mm1.body()).size > 0)
+    // ES string grammar: "100%" of 2 distinct terms == the integer-2
+    // result; a conditional spec with bound ≥ term count requires all
+    val mmPct = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": "100%"}"""
+        .stripMargin)
+    assert(mmPct.statusCode() == 200, mmPct.body())
+    assert(mmPct.body() == mm.body(), "\"100%\" of 2 != integer 2")
+    val mmCond = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": "3<-25%"}"""
+        .stripMargin)
+    assert(mmCond.statusCode() == 200, mmCond.body())
+    assert(mmCond.body() == mm.body(), "2 terms ≤ bound 3 should be AND")
+    // "50%" of 2 terms floors to 1 — the OR-wide result
+    val mmHalf = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": "50%"}"""
+        .stripMargin)
+    assert(mmHalf.body() == mm1.body(), "\"50%\" of 2 != integer 1")
+    // malformed specs are the caller's error
+    val mmBad = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": "banana"}"""
+        .stripMargin)
+    assert(mmBad.statusCode() == 400, mmBad.body())
   }
 
   test("POST /search/advanced runs real SQL over registered views (Q2)") {
