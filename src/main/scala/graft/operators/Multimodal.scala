@@ -42,11 +42,12 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
   * codec (nested LIST walk, header metadata, real movi frame
   * extraction → [[sampleFrames]]), all plain JVM byte code — three
   * genuinely distinct binary layouts (ASCII header + raw bytes,
-  * little-endian chunked container, nested chunk tree). Compressed
-  * CODECS inside those containers (JPEG/MP3/H.264 frame payloads)
-  * would need libraries absent from this container, so such payloads
-  * stay opaque and non-container rows fall back to the clearly-marked
-  * stub features — same batch contract either way.
+  * little-endian chunked container, nested chunk tree). [[Jpeg]] adds a
+  * from-scratch baseline JPEG codec on top, so `image/jpeg` blobs and
+  * MJPEG video frames (AVI `00dc` payloads) decode to real pixels too;
+  * remaining compressed codecs (MP3/H.264) stay opaque and such rows
+  * fall back to the clearly-marked stub features — same batch contract
+  * either way.
   */
 object Multimodal {
 
@@ -87,11 +88,29 @@ object Multimodal {
               Int.box(clip.sampleRate), Int.box(clip.channels),
               Int.box(clip.nFrames), Double.box(Wav.rms(clip))))
         }
-        case "video/avi" => Avi.decode(m.blob).fold(stub) { v =>
+        case "image/jpeg" => Jpeg.decode(m.blob).fold(stub) { img =>
+          val (r, g, b) = Ppm.meanRgb(img)
           MediaFeatures(m.media_id, m.media_type, n, md5hex(m.blob),
-            String.format(java.util.Locale.ROOT, "%d,%d,%d,%d",
-              Int.box(v.width), Int.box(v.height),
-              Int.box(v.frames.size), Int.box(v.usPerFrame)))
+            String.format(java.util.Locale.ROOT, "%d,%d,%.2f,%.2f,%.2f",
+              Int.box(img.w), Int.box(img.h),
+              Double.box(r), Double.box(g), Double.box(b)))
+        }
+        case "video/avi" => Avi.decode(m.blob).fold(stub) { v =>
+          val base = String.format(java.util.Locale.ROOT, "%d,%d,%d,%d",
+            Int.box(v.width), Int.box(v.height),
+            Int.box(v.frames.size), Int.box(v.usPerFrame))
+          // MJPEG payloads (AVI frames that are bare baseline JPEGs)
+          // decode for REAL: first-frame dimensions + mean RGB join the
+          // container metadata; raw/unknown-codec frames keep the
+          // container-only feature string
+          val feat = v.frames.headOption.flatMap(Jpeg.decode).fold(base) {
+            f0 =>
+              val (r, g, b) = Ppm.meanRgb(f0)
+              base + String.format(java.util.Locale.ROOT,
+                ",%d,%d,%.2f,%.2f,%.2f", Int.box(f0.w), Int.box(f0.h),
+                Double.box(r), Double.box(g), Double.box(b))
+          }
+          MediaFeatures(m.media_id, m.media_type, n, md5hex(m.blob), feat)
         }
         case _ => stub
       }

@@ -244,6 +244,52 @@ object PipelineQueries {
       meta.join(sampled, Seq("media_id"))
     }),
 
+    // MJPEG end to end: per doc, one UNIFORM-gray 16×8 frame per token
+    // (gray = f(token length)), each frame REALLY encoded as a baseline
+    // JPEG (operators.Jpeg — DCT, quantization, Huffman), wrapped in a
+    // RIFF/AVI container, then decoded back through the full pipeline:
+    // container walk → per-frame Huffman decode + dequant + IDCT →
+    // pixel means. A uniform block survives the lossy round trip in
+    // closed form (DC-only: round(round(8·(v−128)/3)·3/8)+128 at
+    // quality 90), so the oracle predicts every decoded gray value from
+    // the token length alone and the WHOLE codec is hash-gated, not
+    // row-counted. Scale shape: narrow per-row codec work; only
+    // (media_id, frame_idx, gray) ints shuffle, blobs never move.
+    "multimodal_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Avi, Jpeg, MediaRecord, Ppm}
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          TextFunctions.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val frames = text.split("\\s+").filter(_.nonEmpty).take(8)
+          .map { w =>
+            val v = (w.length * 37 + 11) % 256
+            Jpeg.encode(Ppm.Image(16, 8,
+              Array.fill(3 * 16 * 8)(v.toByte)), quality = 90)
+          }.toVector
+        MediaRecord(id, "video/avi",
+          Avi.encode(Avi.Video(16, 8, 40000, frames)))
+      }
+      media.flatMap { m =>
+        val v = Avi.decode(m.blob).get // our own container must parse
+        v.frames.zipWithIndex.map { case (f, i) =>
+          val img = Jpeg.decode(f).get // our own codec must decode
+          var sum = 0
+          var p = 0
+          while (p < img.w * img.h) { sum += img.pixels(3 * p) & 0xff
+            p += 1 }
+          (m.media_id, i, sum / (img.w * img.h)) // uniform ⇒ exact
+        }
+      }.toDF("media_id", "frame_idx", "gray")
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("gray")).as("gray_sum"),
+          min(col("gray")).as("gray_min"),
+          max(col("gray")).as("gray_max"))
+    }),
+
     // Embedding-corpus diagnostics: per-label count, mean vector norm,
     // and CENTROID norm (cluster tightness probe — ~1 for a coherent
     // label, ~0 for isotropic noise). The centroid is an element-wise
@@ -800,6 +846,26 @@ object PipelineQueries {
        "CAST(ceil(nf / 2.0) AS BIGINT) AS n_sampled, " +
        "CAST(ceil(nf / 2.0) AS BIGINT) * 384 AS sampled_bytes " +
        "FROM tc WHERE nf > 0"),
+    // the uniform-block closed form: gray value per token =
+    // clamp(round(round(8·(v−128)/3)·3/8) + 128) with v = (len·37+11)
+    // % 256 and 3 the quality-90 DC luminance quantizer — the engine
+    // must reproduce it through a REAL JPEG encode → AVI wrap → AVI
+    // walk → JPEG decode (Huffman + dequant + IDCT) per frame
+    "multimodal_mjpeg" ->
+      ("WITH toks AS (SELECT doc_id AS media_id, " +
+       "unnest(list_slice(list_filter(string_split_regex(text, " +
+       "'\\s+'), x -> x <> ''), 1, 8)) AS w FROM documents " +
+       "WHERE text IS NOT NULL AND len(list_filter(" +
+       "string_split_regex(text, '\\s+'), x -> x <> '')) > 0), " +
+       "g AS (SELECT media_id, (length(w) * 37 + 11) % 256 AS v " +
+       "FROM toks), " +
+       "d AS (SELECT media_id, CAST(least(255, greatest(0, " +
+       "CAST(floor(floor(8.0 * (v - 128) / 3.0 + 0.5) * 3.0 / 8.0 " +
+       "+ 0.5) AS INT) + 128)) AS INT) AS gray FROM g) " +
+       "SELECT media_id, count(*) AS n_frames, " +
+       "CAST(sum(gray) AS BIGINT) AS gray_sum, " +
+       "min(gray) AS gray_min, max(gray) AS gray_max " +
+       "FROM d GROUP BY media_id"),
     "embedding_profile" ->
       ("WITH base AS (SELECT label, embedding FROM embeddings " +
        "WHERE label IS NOT NULL AND embedding IS NOT NULL " +

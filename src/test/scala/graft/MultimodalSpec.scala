@@ -259,6 +259,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.head.feature_str == "16,8,7,40000")
     // junk AVI rows fall back to the deterministic stub, not a crash
     assert(feats(1).feature_str.split(",").length == 4)
+    // MJPEG frames (baseline-JPEG payloads) decode for REAL: container
+    // metadata + first-frame dims and mean RGB (uniform 77-gray block
+    // at quality 90 round-trips to exactly 77: round(round(8·(-51)/3)
+    // ·3/8)+128 = 77)
+    import graft.operators.{Jpeg, Ppm}
+    val jf = Jpeg.encode(Ppm.Image(16, 8,
+      Array.fill(3 * 16 * 8)(77.toByte)), quality = 90)
+    val mj = Avi.encode(Avi.Video(16, 8, 40000, Vector(jf, jf)))
+    val mjFeat = Multimodal.decodeBatch(
+      Seq(MediaRecord(4L, "video/avi", mj))).head.feature_str
+    assert(mjFeat == "16,8,2,40000,16,8,77.00,77.00,77.00", mjFeat)
+    // bare image/jpeg blobs ride the same decode arm as image/ppm
+    val jFeat = Multimodal.decodeBatch(
+      Seq(MediaRecord(5L, "image/jpeg", jf))).head.feature_str
+    assert(jFeat == "16,8,77.00,77.00,77.00", jFeat)
   }
 
   test("WAV resample: duration preserved, frame count scales with rate, " +
