@@ -187,29 +187,37 @@ object Jpeg {
       }
       y += 1
     }
-    val quantNat = new Array[Int](64)
-    var u = 0
-    while (u < 8) {
-      var v = 0
-      while (v < 8) {
+    // separable FDCT: rows then columns — 2·8³ multiplies per block
+    // instead of the direct definition's 8⁴
+    val tmp = new Array[Double](64) // tmp(u, y) = Σx f(x,y)·cos(x,u)
+    var yy = 0
+    while (yy < 8) {
+      var u = 0
+      while (u < 8) {
         var s = 0.0
         var x = 0
-        while (x < 8) {
-          var yy = 0
-          while (yy < 8) {
-            s += f(yy * 8 + x) * Cos(x)(u) * Cos(yy)(v)
-            yy += 1
-          }
-          x += 1
-        }
+        while (x < 8) { s += f(yy * 8 + x) * Cos(x)(u); x += 1 }
+        tmp(yy * 8 + u) = s
+        u += 1
+      }
+      yy += 1
+    }
+    val quantNat = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 8) { s += tmp(y2 * 8 + u) * Cos(y2)(v); y2 += 1 }
         val cu = if (u == 0) InvSqrt2 else 1.0
         val cv = if (v == 0) InvSqrt2 else 1.0
         // natural position (v row, u col); quantize rounding half-up
         val nat = v * 8 + u
         quantNat(nat) = Math.round(0.25 * cu * cv * s / qtab(nat)).toInt
-        v += 1
+        u += 1
       }
-      u += 1
+      v += 1
     }
     val zz = new Array[Int](64)
     var k = 0
@@ -508,6 +516,7 @@ object Jpeg {
     val preds = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val pix = new Array[Double](64)
+    val idctTmp = new Array[Double](64)
     var mcu = 0
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
@@ -548,25 +557,37 @@ object Jpeg {
                 k += 1
               }
             }
-            // IDCT (separable definition; +1e-9 tie-bias, see scaladoc)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
+            // separable IDCT (rows then columns; +1e-9 tie-bias at the
+            // final rounding, see scaladoc)
+            var x = 0
+            while (x < 8) {
+              var v = 0
+              while (v < 8) {
                 var s2 = 0.0
                 var u = 0
                 while (u < 8) {
-                  var v = 0
-                  while (v < 8) {
-                    val cu = if (u == 0) InvSqrt2 else 1.0
-                    val cv = if (v == 0) InvSqrt2 else 1.0
-                    s2 += cu * cv * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
-                    v += 1
-                  }
+                  val cu = if (u == 0) InvSqrt2 else 1.0
+                  s2 += cu * coef(v * 8 + u) * Cos(x)(u)
                   u += 1
                 }
-                pix(y * 8 + x) = 0.25 * s2
-                x += 1
+                idctTmp(v * 8 + x) = s2 // g(x, v)
+                v += 1
+              }
+              x += 1
+            }
+            var y = 0
+            while (y < 8) {
+              var x2 = 0
+              while (x2 < 8) {
+                var s2 = 0.0
+                var v = 0
+                while (v < 8) {
+                  val cv = if (v == 0) InvSqrt2 else 1.0
+                  s2 += cv * idctTmp(v * 8 + x2) * Cos(y)(v)
+                  v += 1
+                }
+                pix(y * 8 + x2) = 0.25 * s2
+                x2 += 1
               }
               y += 1
             }
