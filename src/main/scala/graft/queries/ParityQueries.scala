@@ -573,6 +573,15 @@ object ParityQueries {
         s, s"${searchIndexRoot(s, dir)}/entities",
         "small error household")),
 
+    // The data_lake_* wildcard under multi_match type=phrase: every
+    // entity's POSITIONAL postings probed independently, global top-k
+    // merge. "blue rod" is token-adjacent only in part names, so the
+    // result set is the part branch and the other six branches prove
+    // empty-merge correctness against the oracle's full union.
+    "q4_union_search_phrase_indexed" -> ((s, dir) =>
+      graft.serving.Search.acrossIndexesPhraseIndexed(
+        s, s"${searchIndexRoot(s, dir)}/entities", "blue rod")),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1481,6 +1490,37 @@ object ParityQueries {
     // the corpus shows up as a hash mismatch
     "q4_union_search_bm25_indexed" ->
       unionBm25Sql(Seq("small", "error", "household")),
+
+    // wildcard phrase: per-entity token-adjacent occurrence counts over
+    // the same branch structure as q4_union_search, needle in
+    // tokenNorm's double-space form
+    "q4_union_search_phrase_indexed" -> {
+      def occ(f: String) =
+        substrCountSql(s"(${tokenNormSql(f)})", " blue  rod ")
+      val branches = Seq(
+        ("customer", "c_custkey", Seq("c_name", "c_mktsegment"),
+          Seq("c_custkey", "c_name")),
+        ("events", "event_id", Seq("event_type", "props"),
+          Seq("event_id", "user_id")),
+        ("nation", "n_nationkey", Seq("n_name"),
+          Seq("n_nationkey", "n_name")),
+        ("orders", "o_orderkey", Seq("o_orderstatus", "o_orderpriority"),
+          Seq("o_orderkey", "o_custkey")),
+        ("part", "p_partkey", Seq("p_name", "p_brand", "p_type"),
+          Seq("p_partkey", "p_name")),
+        ("region", "r_regionkey", Seq("r_name"),
+          Seq("r_regionkey", "r_name")),
+        ("supplier", "s_suppkey", Seq("s_name"),
+          Seq("s_suppkey", "s_name"))
+      ).map { case (t, id, fs, req) =>
+        s"""SELECT '$t' AS "table", """ +
+          s"concat_ws('_', $id, '$RunTs') AS document_id, " +
+          fs.map(occ).mkString(" + ") + s" AS score FROM $t WHERE " +
+          req.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($branches) WHERE score > 0 " +
+        """ORDER BY score DESC, document_id, "table" LIMIT 100"""
+    },
 
     "q2_search_bm25_best" ->
       bm25MultiSql("text", "source", Seq("window", "src3"),

@@ -218,6 +218,33 @@ final class HttpApi(
           hits(ex, Search.acrossIndexesRankedIndexed(spark,
             entityIndexRoot(), term, limit, bestFields = best,
             bm25 = r == "bm25", after = after3))
+        // phrase / and / min_should span the wildcard through the
+        // per-entity positional indexes too — ES honors these modes on
+        // multi-index multi_match, so the wildcard must not silently
+        // degrade them to the occurrence scorer
+        case _ if textOr(req, "type", "") == "phrase" =>
+          hits(ex, Search.acrossIndexesPhraseIndexed(spark,
+            entityIndexRoot(), term, limit, after3))
+        case _ if textOr(req, "operator", "or") == "and" =>
+          hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
+            entityIndexRoot(), term, Int.MaxValue, limit, after3))
+        case _ if req.hasNonNull("minimum_should_match") =>
+          val mm = req.get("minimum_should_match")
+          val nTerms = term.toLowerCase.split("\\s+")
+            .filter(_.nonEmpty).distinct.length
+          val resolved: Option[Int] =
+            if (mm.isIntegralNumber) Some(mm.asInt)
+            else if (mm.isTextual) MinShouldMatch.resolve(mm.asText, nTerms)
+            else None
+          resolved match {
+            case None =>
+              respond(ex, 400, """{"error": "malformed minimum_should_""" +
+                """match; use an integer, percentage, or conditional """ +
+                """spec like \"2<-25% 9<-3\""}""")
+            case Some(n) =>
+              hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
+                entityIndexRoot(), term, n, limit, after3))
+          }
         case _ =>
           val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
           val fields = lake.schema.fields
@@ -337,6 +364,11 @@ final class HttpApi(
                 n, limit, after, boosts)))
         }
       case _ =>
+        // the default occurrence scorer keeps the reference's SUBSTRING
+        // semantics ("foo" matches "foobar" — data_lake_sync's ILIKE
+        // heritage), which token postings cannot reproduce — this mode
+        // scans the corpus BY DESIGN; every token-exact mode above
+        // probes the index
         hits(ex, Search.multiField(df, term, fields, limit, after, boosts))
     }
   }

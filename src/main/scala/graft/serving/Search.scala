@@ -176,6 +176,61 @@ object Search {
       .limit(limit)
   }
 
+  /** Wildcard PHRASE over the entity indexes (`data_lake_*` with
+    * `multi_match type=phrase`): every entity's positional postings are
+    * probed independently ([[graft.sinks.SearchIndex.phrase]]), hits
+    * merge into one global top-k under the shared 3-key order. Phrase
+    * scores are per-branch occurrence counts — no index-local
+    * statistics — so the merge is a plain top-k; the per-branch `limit`
+    * bound is sound for the same reason as [[acrossIndexesRanked]]'s.
+    * Scan-path twin: [[phrase]] over each entity's pipeline documents
+    * (SearchIndexSpec pins the equality). */
+  def acrossIndexesPhraseIndexed(spark: SparkSession, indexRoot: String,
+                                 phraseQuery: String, limit: Int = 100,
+                                 after: Option[(Double, String, String)] =
+                                   None): DataFrame = {
+    import graft.catalog.EntityCatalog
+    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+      .map { spec =>
+        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
+        val inclusive = after.exists { case (_, _, t) => spec.name > t }
+        graft.sinks.SearchIndex.phrase(spark, s"$indexRoot/${spec.name}",
+          phraseQuery, Nil, limit, Map.empty, branchAfter, inclusive)
+          .select(lit(spec.name).as("table"), col("document_id"),
+            col("score"))
+      }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
+  /** Wildcard `operator=and` / `minimum_should_match` over the entity
+    * indexes — [[graft.sinks.SearchIndex.minShould]] per branch, global
+    * top-k merge, same cursor semantics as the other wildcard modes.
+    * The match predicate is per-entity (every/k-of-n terms must match
+    * within ONE entity's fields), exactly what ES computes when a
+    * multi_match with operator=and spans indexes. */
+  def acrossIndexesMinShouldIndexed(spark: SparkSession, indexRoot: String,
+                                    query: String,
+                                    minMatch: Int = Int.MaxValue,
+                                    limit: Int = 100,
+                                    after: Option[(Double, String, String)] =
+                                      None): DataFrame = {
+    import graft.catalog.EntityCatalog
+    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+      .map { spec =>
+        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
+        val inclusive = after.exists { case (_, _, t) => spec.name > t }
+        graft.sinks.SearchIndex.minShould(spark, s"$indexRoot/${spec.name}",
+          query, Nil, minMatch, limit, Map.empty, branchAfter, inclusive)
+          .select(lit(spec.name).as("table"), col("document_id"),
+            col("score"))
+      }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
   /** Sync-time index build for every catalog entity — the write-time
     * moment the reference's ES builds its inverted indexes. One index
     * per entity under `root/<entity>`, over the entity's searchable

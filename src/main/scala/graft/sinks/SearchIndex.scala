@@ -244,7 +244,8 @@ object SearchIndex {
   def phrase(spark: SparkSession, path: String, phraseQuery: String,
              fields: Seq[String] = Nil, limit: Int = 100,
              boosts: Map[String, Double] = Map.empty,
-             after: Option[(Double, Any)] = None): DataFrame = {
+             after: Option[(Double, Any)] = None,
+             afterInclusive: Boolean = false): DataFrame = {
     import graft.serving.Search.afterPredicate
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
@@ -301,7 +302,7 @@ object SearchIndex {
     perField.groupBy(col(idCol))
       .agg(useFields.indices.map(fieldScore).reduce(_ + _).as("score"))
       .filter(col("score") > 0)
-      .filter(afterPredicate(after, col(idCol)))
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }
@@ -318,7 +319,8 @@ object SearchIndex {
                 fields: Seq[String] = Nil, minMatch: Int = Int.MaxValue,
                 limit: Int = 100,
                 boosts: Map[String, Double] = Map.empty,
-                after: Option[(Double, Any)] = None): DataFrame = {
+                after: Option[(Double, Any)] = None,
+                afterInclusive: Boolean = false): DataFrame = {
     import graft.serving.Search.afterPredicate
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
@@ -352,7 +354,7 @@ object SearchIndex {
     p.groupBy(col(idCol))
       .agg(score.as("score"), matched.as("_matched"))
       .filter(col("_matched") >= need).drop("_matched")
-      .filter(afterPredicate(after, col(idCol)))
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }

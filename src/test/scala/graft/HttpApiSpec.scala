@@ -114,6 +114,22 @@ class HttpApiSpec extends SparkSpec
     val all = hitsOf(post("/search",
       q.format("").replace("\"limit\": 8", "\"limit\": 16")).body())
     assert(h1 ++ h2 == all, s"paged=${h1 ++ h2} single=$all")
+    // phrase and operator=and span the wildcard too (per-entity
+    // positional indexes): "blue rod" is adjacent only in part names,
+    // so phrase hits are part-only and AND ⊇ phrase
+    val ph = post("/search",
+      """{"search_term": "blue rod", "index": "*",
+        | "type": "phrase", "limit": 50}""".stripMargin)
+    assert(ph.statusCode() == 200, ph.body().take(300))
+    val phTables = "\"table\":\"([a-z]+)\"".r
+      .findAllMatchIn(ph.body()).map(_.group(1)).toSet
+    assert(phTables == Set("part"), s"wildcard phrase tables: $phTables")
+    val an = post("/search",
+      """{"search_term": "blue rod", "index": "*",
+        | "operator": "and", "limit": 50}""".stripMargin)
+    assert(an.statusCode() == 200, an.body().take(300))
+    assert(hitsOf(an.body()).size >= hitsOf(ph.body()).size)
+    assert(hitsOf(ph.body()).nonEmpty)
   }
 
   test("POST /search with rank=bm25 returns BM25-scored hit identities " +

@@ -256,6 +256,46 @@ class SearchIndexSpec extends SparkSpec {
       s"termstats build expands for a distinct aggregate:\n$plan")
   }
 
+  test("wildcard phrase and AND probes == the composed scan path over " +
+    "every entity's pipeline documents") {
+    import graft.catalog.EntityCatalog
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StringType
+    val dir = "/root/testdata/sf0.001"
+    val runTs = queries.ParityQueries.RunTs
+    val root = tmp("graft-idx-union-pm-")
+    Search.buildEntityIndexes(spark, dir, root, runTs)
+    // scan-path twin assembled branch by branch: Search.phrase /
+    // multiFieldMinShould over each entity's documents, global top-k
+    def scanTwin(mk: (DataFrame, Seq[String]) => DataFrame): Seq[String] =
+      EntityCatalog.entities.values.toSeq.sortBy(_.name).map { spec =>
+        val docs = EntityCatalog.pipeline(
+          graft.sources.Tables(spark, dir, spec.name), spec, runTs)
+        val fields = docs.schema.fields.filter(_.dataType == StringType)
+          .map(_.name).filterNot(Set("table", "document_id")).toSeq
+        mk(docs.select(col("document_id") +:
+            fields.map(col): _*), fields)
+          .select(lit(spec.name).as("table"), col("document_id"),
+            col("score"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("score").desc, col("document_id"), col("table"))
+        .limit(100).collect().map(_.toString).toSeq
+    val phraseScan = scanTwin((d, fs) => Search.phrase(d, "blue rod", fs))
+    val phraseProbe = Search.acrossIndexesPhraseIndexed(spark, root,
+      "blue rod").collect().map(_.toString).toSeq
+    assert(phraseProbe == phraseScan,
+      s"wildcard phrase diverged\n$phraseScan\nvs\n$phraseProbe")
+    assert(phraseScan.nonEmpty, "degenerate wildcard phrase comparison")
+    val andScan = scanTwin((d, fs) =>
+      Search.multiFieldAnd(d, "blue rod", fs))
+    val andProbe = Search.acrossIndexesMinShouldIndexed(spark, root,
+      "blue rod").collect().map(_.toString).toSeq
+    assert(andProbe == andScan,
+      s"wildcard AND diverged\n${andScan.take(5)}\nvs\n${andProbe.take(5)}")
+    assert(andProbe.size >= phraseProbe.size,
+      "AND must be at least as wide as the phrase on the same terms")
+  }
+
   test("indexed data_lake_* wildcard == scan-path wildcard, with and " +
     "without a 3-key cursor") {
     val dir = "/root/testdata/sf0.001"
