@@ -456,4 +456,33 @@ object Dedup {
       ckpts.foreach(org.apache.spark.sql.graft.DatasetUtils.unpersistPlanRdd)
     }
   }
+
+  /** Benchmark DECONTAMINATION — flag corpus documents whose word
+    * `n`-gram shingles overlap a held-out evaluation set, the standard
+    * train/test-overlap removal every LLM data pipeline runs before
+    * training. Returns (idCol, n_hits) for documents with at least
+    * `minHits` distinct overlapping shingles.
+    *
+    * Scale shape: the benchmark is the SMALL side by nature (eval sets
+    * are thousands of rows; the corpus is the 100 TB side), so its
+    * distinct shingle set BROADCASTS and the whole operator is one
+    * corpus scan → shingle explode → broadcast semi-match → per-doc
+    * count. No corpus-side shuffle of text, no pairwise work; only
+    * (id, hit) rows reach the final key-hash aggregation. For eval sets
+    * too large to broadcast, swap the broadcast join for the
+    * [[incremental]] bloom-route + semi-join confirm shape. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    minHits: Int = 1): DataFrame = {
+    import graft.functions.ArrayExpressions.distinctShingles
+    val benchShingles = benchmark
+      .select(explode(distinctShingles(col(textCol), n)).as("s"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(distinctShingles(col(textCol), n)).as("s"))
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
 }

@@ -115,6 +115,19 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Benchmark decontamination (train/test-overlap removal): the
+    // held-out "eval set" = every 97th document; every remaining corpus
+    // doc sharing any 3-gram shingle with it is flagged with its
+    // overlap count. One corpus scan + broadcast semi-match on the
+    // (small) benchmark shingle set — corpus text never shuffles.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+    }),
+
     // The 100 TB tier at the ground-truth threshold: banded MinHash
     // candidate generation feeding exact Jaccard verification at 0.8 —
     // the scale path for exactly what dedup_jaccard computes all-pairs.
@@ -826,6 +839,26 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
          |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    // same tokenize+shingle CTEs as the dedup oracles, split into a
+    // benchmark side (doc_id % 97 = 0) and the corpus remainder
+    "dedup_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(ts) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(ts)-2),
+        |         i -> array_to_string(ts[i:i+2],' ')))
+        |    ELSE [array_to_string(ts,' ')] END AS shset
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT unnest(shset) AS s FROM sh WHERE doc_id % 97 = 0
+        |), corp AS (
+        |  SELECT doc_id, unnest(shset) AS s FROM sh WHERE doc_id % 97 <> 0
+        |)
+        |SELECT corp.doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (s) GROUP BY 1""".stripMargin,
     "dedup_jaccard_scale" -> minhashSqlAt(0.8),
     "dedup_incremental" -> incrementalSql,
     "dedup_semantic" -> semanticSql,

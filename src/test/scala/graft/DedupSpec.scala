@@ -227,4 +227,33 @@ class DedupSpec extends SparkSpec {
     val keep = got.filter { case (v, c) => v == c }
     assert(keep.keySet == got.values.toSet)
   }
+
+  test("decontaminate flags corpus docs by distinct shingle overlap " +
+    "with the benchmark, honors minHits, and broadcasts the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox appears"),   // shares 1: "quick brown fox"
+      (2L, "the quick brown fox jumps hi"),// shares 3
+      (3L, "nothing in common here at all"),
+      (4L, "brown fox jumps the quick brown fox jumps") // 3 distinct
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.decontaminate(
+        corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 3L, 4L -> 3L), s"$hits")
+    val strict = graft.operators.Dedup.decontaminate(
+        corpus, bench, "doc_id", "text", minHits = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 4L))
+    // plan: benchmark side broadcasts; no sort-merge join of the corpus
+    val plan = graft.operators.Dedup.decontaminate(
+        corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join:\n$plan")
+  }
 }
