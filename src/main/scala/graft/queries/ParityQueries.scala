@@ -624,6 +624,26 @@ object ParityQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES match fuzziness=1: a text token matches a query term within
+    // one edit ("windos" still hits "window"). Scan path = per-token
+    // Levenshtein HOF; DuckDB mirrors it with its own levenshtein.
+    "q2_search_fuzzy" -> ((s, dir) =>
+      graft.serving.Search.multiFieldFuzzy(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "window batch", Seq("text"), fuzziness = "1")),
+
+    // The indexed twin expands the query terms against the VOCABULARY
+    // (termstats, dictionary-sized) and probes postings with the
+    // expansion — Lucene's FST-automaton shape, same oracle.
+    "q2_search_fuzzy_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.fuzzy(
+        s, s"${searchIndexRoot(s, dir)}/documents", "window batch",
+        Seq("text"), fuzziness = "1")
+      t(s, dir, "documents").select("doc_id", "text")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // minimum_should_match=2 over the index (same oracle as
     // q2_search_minmatch): the unweighted match grid and the scored
     // grid ride one probe aggregation.
@@ -1156,6 +1176,21 @@ object ParityQueries {
     "WHERE c0 > 0 AND c1 > 0 ORDER BY score DESC, doc_id LIMIT 100"
   }
 
+  /** Fuzzy-match oracle: per-token Levenshtein within 1 edit of each
+    * query term, counts summed in query order — DuckDB's levenshtein
+    * mirrors Spark's (plain edit distance, no transposition discount). */
+  private val fuzzyOracleSql: String =
+    ("WITH ts AS (SELECT doc_id, text, list_filter(" +
+     "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
+     "x -> x <> '') AS ts FROM documents), " +
+     "c AS (SELECT doc_id, text, " +
+     "CAST(len(list_filter(ts, x -> levenshtein(x, 'window') <= 1)) " +
+     "AS INT) AS c0, " +
+     "CAST(len(list_filter(ts, x -> levenshtein(x, 'batch') <= 1)) " +
+     "AS INT) AS c1 FROM ts) " +
+     "SELECT doc_id, text, (c0 + c1) AS score FROM c " +
+     "WHERE (c0 + c1) > 0 ORDER BY score DESC, doc_id LIMIT 100")
+
   private val minmatchOracleSql: String = {
     def cnt(t: String) =
       s"(${substrCountSql("nt", s" $t ")} + " +
@@ -1532,6 +1567,9 @@ object ParityQueries {
 
     "q2_search_phrase" -> phraseOracleSql,
     "q2_search_phrase_indexed" -> phraseOracleSql,
+
+    "q2_search_fuzzy" -> fuzzyOracleSql,
+    "q2_search_fuzzy_indexed" -> fuzzyOracleSql,
 
     "q2_search_and" -> andOracleSql,
     "q2_search_and_indexed" -> andOracleSql,

@@ -363,6 +363,22 @@ final class HttpApi(
               () => Search.multiFieldMinShould(df, term, fields,
                 n, limit, after, boosts)))
         }
+      case _ if req.hasNonNull("fuzziness") =>
+        // ES match fuzziness: AUTO or an explicit 0..2 edit budget; the
+        // index probe expands terms against the vocabulary (termstats),
+        // the Lucene-FST shape, and fetches bodies by id
+        val fz = req.get("fuzziness")
+        val spec = if (fz.isIntegralNumber) fz.asInt.toString else
+          textOr(req, "fuzziness", "")
+        if (Search.fuzzyEditsValid(spec))
+          hits(ex, indexedOrScan(index, df, fields,
+            p => fetchBodies(df, graft.sinks.SearchIndex.fuzzy(spark, p,
+              term, fields, spec, limit, boosts, after)),
+            () => Search.multiFieldFuzzy(df, term, fields, spec, limit,
+              after, boosts)))
+        else
+          respond(ex, 400, """{"error": "invalid fuzziness; use """ +
+            """\"AUTO\" or an edit distance 0..2"}""")
       case _ =>
         // the default occurrence scorer keeps the reference's SUBSTRING
         // semantics ("foo" matches "foobar" — data_lake_sync's ILIKE

@@ -611,4 +611,58 @@ object Search {
       .orderBy(col("score").desc, col(df.columns.head))
       .limit(limit)
   }
+
+  /** ES `fuzziness` resolution: an explicit edit-distance spec ("0".."2")
+    * or AUTO's length ladder (0 edits for terms under 3 chars, 1 for
+    * 3–5, 2 above — ES's documented AUTO:3,6 default). Returns None for
+    * anything else so callers 400 instead of guessing. */
+  /** Is `fuzziness` a spec [[fuzzyEdits]] accepts? (term-independent:
+    * AUTO resolves per term but is always valid). */
+  private[graft] def fuzzyEditsValid(fuzziness: String): Boolean =
+    fuzzyEdits("probe", fuzziness).isDefined
+
+  private[graft] def fuzzyEdits(term: String,
+                                fuzziness: String): Option[Int] =
+    fuzziness.trim.toUpperCase match {
+      case "AUTO" =>
+        Some(if (term.length < 3) 0 else if (term.length <= 5) 1 else 2)
+      case "0" | "1" | "2" => Some(fuzziness.trim.toInt)
+      case _               => None
+    }
+
+  /** FUZZY search (ES `match` with `fuzziness`): a field token matches a
+    * query term when their Levenshtein distance is within the term's
+    * resolved edit budget; scored by the total count of fuzzy-matching
+    * tokens across `fields` (OR across terms), full rows returned like
+    * [[multiField]]. The per-token HOF distance scan is the corpus-scan
+    * oracle twin of [[graft.sinks.SearchIndex.fuzzy]]'s
+    * vocabulary-expansion probe. */
+  def multiFieldFuzzy(df: DataFrame, query: String, fields: Seq[String],
+                      fuzziness: String = "AUTO", limit: Int = 100,
+                      after: Option[(Double, Any)] = None,
+                      boosts: Map[String, Double] = Map.empty): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val edits = terms.map(t => fuzzyEdits(t, fuzziness).getOrElse(
+      throw new IllegalArgumentException(
+        s"invalid fuzziness '$fuzziness'")))
+    val toks = fields.map(f => f ->
+      graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(f), lit("")))))
+    def cnt(t: String, e: Int): Seq[(String, Column)] = toks.map {
+      case (f, ts) => f -> size(filter(ts, x =>
+        levenshtein(x, lit(t)) <= e))
+    }
+    val score = terms.zip(edits).map { case (t, e) =>
+      cnt(t, e).map { case (f, c) => boosted(f, c, boosts) }
+        .reduce(_ + _)
+    }.reduce(_ + _).as("score")
+    val keyCols = df.columns.toSeq.map(col)
+    df.select(keyCols :+ score: _*)
+      .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(df.columns.head)))
+      .orderBy(col("score").desc, col(df.columns.head))
+      .limit(limit)
+  }
 }

@@ -359,6 +359,68 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** FUZZY probe (ES `match` `fuzziness`): each query term expands
+    * against the index VOCABULARY (`termstats` — per-field distinct
+    * terms, orders of magnitude smaller than the corpus) by Levenshtein
+    * distance, then the expanded term set probes postings through a
+    * broadcast join. This is the Spark-first shape of what Lucene's FST
+    * fuzzy automaton does: candidate terms come from the dictionary,
+    * never from re-scanning documents. Scored like
+    * [[graft.serving.Search.multiFieldFuzzy]] (total fuzzy-matching
+    * token count, OR across terms) — hash-identical, one oracle.
+    * Returns (idCol, score). */
+  def fuzzy(spark: SparkSession, path: String, query: String,
+            fields: Seq[String] = Nil, fuzziness: String = "AUTO",
+            limit: Int = 100,
+            boosts: Map[String, Double] = Map.empty,
+            after: Option[(Double, Any)] = None,
+            afterInclusive: Boolean = false): DataFrame = {
+    import graft.serving.Search.{afterPredicate, fuzzyEdits}
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val idCol = meta.idCol
+    val useFields = if (fields.isEmpty) meta.fields else fields
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = useFields.filterNot(fidOf.contains)
+    require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
+    val fids = useFields.map(fidOf)
+    val terms = query.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val edits = terms.map(t => fuzzyEdits(t, fuzziness).getOrElse(
+      throw new IllegalArgumentException(
+        s"invalid fuzziness '$fuzziness'")))
+    // vocabulary expansion: one scan of the (tiny) termstats table per
+    // query term, tagged with the query slot it expands
+    val vocab = spark.read.parquet(s"$dir/termstats")
+      .filter(col("fid").isin(fids: _*))
+      .select(col("fid"), col("term"))
+    val cands = terms.zipWithIndex.map { case (t, qi) =>
+        vocab.filter(levenshtein(col("term"), lit(t)) <= edits(qi))
+          .select(col("fid"), col("term"), lit(qi).as("qi"))
+      }.reduce(_.unionByName(_))
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("term"), col("tf"))
+    // same fixed summation order as the scan path: terms outer, fields
+    // inner; a token within distance of TWO query terms counts in both
+    // (the candidate union carries one row per (slot, term))
+    def raw(qi: Int, i: Int): Column =
+      coalesce(sum(when(col("qi") === qi && col("fid") === fids(i),
+        col("tf"))), lit(0L)).cast("int")
+    val score = terms.indices.map(qi => useFields.indices.map { i =>
+        val r = raw(qi, i)
+        boosts.get(useFields(i)).map(b => r * b).getOrElse(r)
+      }.reduce(_ + _)).reduce(_ + _)
+    p.join(broadcast(cands), Seq("fid", "term"))
+      .groupBy(col(idCol))
+      .agg(score.as("score"))
+      .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
   /** Incremental maintenance — the index-side twin of
     * [[DocumentSink.upsert]]'s replace-by-id semantics (REST re-sync,
     * reference: src/routes/ticket_routes.py:91-96): documents in `batch`

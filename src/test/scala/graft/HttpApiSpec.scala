@@ -240,6 +240,25 @@ class HttpApiSpec extends SparkSpec
         | "index": "documents", "minimum_should_match": "banana"}"""
         .stripMargin)
     assert(mmBad.statusCode() == 400, mmBad.body())
+    // fuzziness: a 1-edit typo still hits; 0 edits does not; junk is 400
+    val fz1 = post("/search",
+      """{"search_term": "windoq", "fields": ["text"],
+        | "index": "documents", "fuzziness": 1}""".stripMargin)
+    assert(fz1.statusCode() == 200, fz1.body().take(300))
+    assert("\"doc_id\"".r.findAllIn(fz1.body()).size > 0, "typo not rescued")
+    val fz0 = post("/search",
+      """{"search_term": "windoq", "fields": ["text"],
+        | "index": "documents", "fuzziness": "0"}""".stripMargin)
+    assert("\"doc_id\"".r.findAllIn(fz0.body()).size == 0)
+    val fzAuto = post("/search",
+      """{"search_term": "windoq", "fields": ["text"],
+        | "index": "documents", "fuzziness": "AUTO"}""".stripMargin)
+    assert(fzAuto.statusCode() == 200 &&
+      "\"doc_id\"".r.findAllIn(fzAuto.body()).size > 0)
+    assert(post("/search",
+      """{"search_term": "windoq", "fields": ["text"],
+        | "index": "documents", "fuzziness": "9"}""".stripMargin)
+      .statusCode() == 400)
   }
 
   test("POST /search/advanced runs real SQL over registered views (Q2)") {

@@ -195,6 +195,33 @@ class SearchIndexSpec extends SparkSpec {
     assert(probeB == scanB, s"boosted phrase diverged\n$scanB\nvs\n$probeB")
   }
 
+  test("indexed fuzzy (vocabulary expansion) == scan-path Levenshtein " +
+    "HOF across fuzziness specs, including AUTO's length ladder") {
+    val path = tmp("graft-idx-fz-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", path)
+    def idScore(df: DataFrame): Seq[String] =
+      df.select("doc_id", "score").collect().map(_.toString).toSeq
+    val full = docs.select("doc_id", "text", "source")
+    val cases = Seq(
+      ("window batch", "1", Seq("text")),          // 1-edit typo query
+      ("window", "0", Seq("text", "source")),      // 0 = token-exact
+      ("windows the", "AUTO", Seq("text")),        // AUTO: 1 edit @ 7, 0 @ 3
+      ("zzzz", "2", Seq("text")))                  // nothing within 2
+    cases.foreach { case (q, fz, fs) =>
+      val scan = idScore(Search.multiFieldFuzzy(full, q, fs, fz))
+      val probe = idScore(SearchIndex.fuzzy(spark, path, q, fs, fz))
+      assert(probe == scan, s"fuzzy '$q'/$fz diverged\n$scan\nvs\n$probe")
+    }
+    // a typo'd term must actually rescue matches exact search loses
+    assert(idScore(SearchIndex.fuzzy(spark, path, "windoq", Seq("text"),
+      "1")).nonEmpty, "degenerate fuzzy comparison")
+    assert(idScore(SearchIndex.fuzzy(spark, path, "windoq", Seq("text"),
+      "0")).isEmpty, "'windoq' must not token-match at 0 edits")
+    intercept[IllegalArgumentException] {
+      SearchIndex.fuzzy(spark, path, "window", Seq("text"), "9")
+    }
+  }
+
   test("phrase upsert == rebuild: positions are maintained " +
     "incrementally with the postings rows") {
     val v2new = Seq(
