@@ -582,6 +582,35 @@ object ParityQueries {
       graft.serving.Search.acrossIndexesPhraseIndexed(
         s, s"${searchIndexRoot(s, dir)}/entities", "blue rod")),
 
+    // Q2 ES-DSL passthrough (the reference's /search/advanced forwards
+    // request bodies VERBATIM to ES — src/search_api.py:38-46): the
+    // serving/EsDsl translator compiles the DSL's common core to one
+    // Catalyst plan. Here: bool with scored must (match), filter-context
+    // range, must_not term (null-safe), and a scored should term.
+    "q7_esdsl_bool" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {
+          |  "must": [{"match": {"text": "window batch"}}],
+          |  "filter": [{"range": {"n_chars": {"gte": 100}}}],
+          |  "must_not": [{"term": {"lang": "de"}}],
+          |  "should": [{"term": {"source": "src3"}}]
+          |}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // DSL filter-context + explicit sort: range & terms filters score
+    // 0, the sort key is a field (not _score), the engine appends the
+    // id tiebreak so pagination is deterministic.
+    "q7_esdsl_range_sort" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {"filter": [
+          |  {"range": {"o_totalprice": {"gte": 1000, "lt": 50000}}},
+          |  {"terms": {"o_orderstatus": ["O", "F"]}}]}},
+          | "size": 100, "sort": [{"o_totalprice": {"order": "desc"}}]}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1570,6 +1599,30 @@ object ParityQueries {
 
     "q2_search_fuzzy" -> fuzzyOracleSql,
     "q2_search_fuzzy_indexed" -> fuzzyOracleSql,
+
+    "q7_esdsl_bool" -> {
+      val n = tokenNormSql("text")
+      val c0 = substrCountSql("n", " window ")
+      val c1 = substrCountSql("n", " batch ")
+      "WITH nn AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$n AS n FROM documents), " +
+      "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$c0 AS c0, $c1 AS c1 FROM nn) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(c0 + c1 AS DOUBLE) + " +
+        "(CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END) AS \"_score\" " +
+      "FROM c WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN c1 > 0 THEN 1 ELSE 0 END) >= 1 " +
+        "AND n_chars >= 100 AND (lang IS NULL OR lang <> 'de') " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
+
+    "q7_esdsl_range_sort" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority, CAST(0.0 AS DOUBLE) AS \"_score\" " +
+       "FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 50000 " +
+       "AND o_orderstatus IN ('O', 'F') " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
 
     "q2_search_and" -> andOracleSql,
     "q2_search_and_indexed" -> andOracleSql,

@@ -403,6 +403,26 @@ final class HttpApi(
     * result with un-orderable columns (maps) serves page 1 capped with
     * no token. */
   private def advancedSearch(ex: HttpExchange, req: JsonNode): Unit = {
+    // a body carrying "query" is an ES-DSL search request — the exact
+    // shape the reference forwards verbatim to ES
+    // (src/search_api.py:38-46); translate its supported core to a
+    // Catalyst plan (serving/EsDsl) over the named table (default: the
+    // documents corpus). An unsupported construct is the caller's
+    // error: EsDsl names it in a 400, never returns a wrong result.
+    if (req.hasNonNull("query")) {
+      val index = textOr(req, "index", "documents")
+      if (!Tables.names.contains(index)) {
+        respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        return
+      }
+      try hits(ex, EsDsl.search(Tables(spark, srcDir, index), req))
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, mapper.createObjectNode()
+            .put("error", String.valueOf(e.getMessage)).toString)
+      }
+      return
+    }
     val query = textOr(req, "sql", "")
     if (query.isEmpty) {
       respond(ex, 400, """{"error": "sql is required"}"""); return

@@ -518,7 +518,7 @@ object Search {
     * repeated immediately) share one separator and the second
     * occurrence loses its leading boundary — a double separator always
     * leaves one space behind for the next match. */
-  private def tokenNorm(c: Column): Column =
+  private[graft] def tokenNorm(c: Column): Column =
     concat(lit(" "),
       array_join(filter(split(lower(coalesce(c, lit(""))), "\\s+"),
         x => x =!= lit("")), "  "),
@@ -527,7 +527,7 @@ object Search {
   /** Non-overlapping occurrence count of `needle` in `hay` — both
     * engines' `replace` scans left-to-right past replaced text, so the
     * count is identical engine-to-engine. */
-  private def substrCount(hay: Column, needle: String): Column =
+  private[graft] def substrCount(hay: Column, needle: String): Column =
     ((length(hay) - length(replace(hay, lit(needle), lit("")))) /
       needle.length).cast("int")
 

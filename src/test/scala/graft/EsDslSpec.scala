@@ -1,0 +1,109 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.serving.EsDsl
+
+/** The ES-DSL translator's semantics: scoring combination, bool
+  * minimum_should_match defaulting, null-safe must_not, sort, and the
+  * explicit-rejection contract for unsupported constructs. */
+class EsDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private def q(json: String) =
+    EsDsl.search(docs, mapper.readTree(json))
+
+  private def docs = Seq(
+    (1L, "window batch run", "src3", 10L),
+    (2L, "window only", "src1", 20L),
+    (3L, "nothing here", null, 30L),
+    (4L, "batch batch window", "src3", 40L)
+  ).toDF("doc_id", "text", "source", "n")
+
+  test("match scores by token counts; operator and bool combination " +
+    "follow ES rules") {
+    val or = q("""{"query": {"match": {"text": "window batch"}},
+      "size": 10}""").collect()
+    assert(or.map(_.getLong(0)).toSeq == Seq(4L, 1L, 2L)) // 3,2,1 counts
+    assert(or.map(_.getDouble(4)).toSeq == Seq(3.0, 2.0, 1.0))
+    val and = q("""{"query": {"match": {"text":
+      {"query": "window batch", "operator": "and"}}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(and == Seq(4L, 1L)) // doc 2 lacks "batch"
+    // bool: must scores + matching should scores; filter scores 0
+    val b = q("""{"query": {"bool": {
+      "must": [{"match": {"text": "window"}}],
+      "filter": [{"range": {"n": {"lte": 20}}}],
+      "should": [{"term": {"source": "src3"}}]}}, "size": 10}""")
+      .collect()
+    assert(b.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(b.map(_.getDouble(4)).toSeq == Seq(2.0, 1.0)) // 1+1 vs 1+0
+  }
+
+  test("bool minimum_should_match: defaults to 1 without must/filter, " +
+    "0 with; explicit specs use the full grammar") {
+    val shouldOnly = q("""{"query": {"bool": {
+      "should": [{"term": {"source": "src3"}},
+                 {"term": {"source": "src1"}}]}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(shouldOnly == Set(1L, 2L, 4L)) // doc 3 matches neither
+    val withMust = q("""{"query": {"bool": {
+      "must": [{"match": {"text": "nothing"}}],
+      "should": [{"term": {"source": "src3"}}]}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(withMust == Set(3L)) // should optional when must present
+    val pct = q("""{"query": {"bool": {
+      "should": [{"term": {"source": "src3"}},
+                 {"term": {"source": "src1"}}],
+      "minimum_should_match": "100%"}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(pct.isEmpty) // no doc has both sources
+  }
+
+  test("must_not is null-safe (ES: null fields PASS a must_not term)") {
+    val r = q("""{"query": {"bool": {
+      "must_not": [{"term": {"source": "src3"}}]}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(2L, 3L)) // doc 3's null source must pass
+  }
+
+  test("terms / range / exists filter; explicit sort gets the id " +
+    "tiebreak appended") {
+    val r = q("""{"query": {"terms": {"source": ["src1", "src3"]}},
+      "size": 10, "sort": [{"n": {"order": "desc"}}]}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(4L, 2L, 1L))
+    val ex = q("""{"query": {"exists": {"field": "source"}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ex == Set(1L, 2L, 4L))
+  }
+
+  test("multi_match with boosts and best_fields; fuzziness widens the " +
+    "match") {
+    val mm = q("""{"query": {"multi_match": {"query": "window src3",
+      "fields": ["text", "source^3"], "type": "best_fields"}},
+      "size": 10}""").collect()
+    // doc 1: text 1 vs source 3 -> 3.0; doc 4: max(1, 3) = 3.0
+    assert(mm.map(r => r.getLong(0) -> r.getDouble(4)).toMap ==
+      Map(1L -> 3.0, 2L -> 1.0, 4L -> 3.0))
+    val fz = q("""{"query": {"match": {"text":
+      {"query": "windoq", "fuzziness": "1"}}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(fz == Set(1L, 2L, 4L))
+  }
+
+  test("unsupported constructs are rejected by name, never mistranslated") {
+    for (body <- Seq(
+        """{"query": {"query_string": {"query": "x"}}}""",
+        """{"query": {"match_phrase": {"text": "a b"}}}""",
+        """{"size": 10}""",
+        """{"query": {"bool": {"should": []}, "extra": 1}}""",
+        """{"query": {"range": {"n": {}}}}"""))
+      intercept[IllegalArgumentException] { q(body).collect() }
+    // size above the serving cap is refused, not silently clamped
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "size": 100000}""").collect()
+    }
+  }
+}

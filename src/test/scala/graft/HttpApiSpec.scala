@@ -269,6 +269,29 @@ class HttpApiSpec extends SparkSpec
     assert("\"n_name\"".r.findAllIn(r.body()).size == 2)
   }
 
+  test("POST /search/advanced accepts verbatim ES-DSL bodies (the " +
+    "reference's raw passthrough shape) and 400s unsupported DSL") {
+    val r = post("/search/advanced",
+      """{"query": {"bool": {
+        |  "must": [{"match": {"text": "window"}}],
+        |  "filter": [{"range": {"n_chars": {"gte": 1}}}]}},
+        | "size": 5, "index": "documents"}""".stripMargin)
+    assert(r.statusCode() == 200, r.body().take(300))
+    assert("\"doc_id\"".r.findAllIn(r.body()).size > 0)
+    assert(r.body().contains("\"_score\""))
+    val scores = "\"_score\":([0-9.]+)".r
+      .findAllMatchIn(r.body()).map(_.group(1).toDouble).toSeq
+    assert(scores.nonEmpty && scores == scores.sorted.reverse)
+    // unsupported construct: named rejection, not a wrong result
+    val bad = post("/search/advanced",
+      """{"query": {"query_string": {"query": "x"}}, "index": "documents"}""")
+    assert(bad.statusCode() == 400, bad.body())
+    assert(bad.body().contains("query_string"))
+    assert(post("/search/advanced",
+      """{"query": {"match_all": {}}, "index": "nope"}""")
+      .statusCode() == 404)
+  }
+
   test("POST /search/advanced hard-caps corpus-sized results — a " +
       "SELECT * never materializes the corpus in the serving JVM") {
     // lineitem at sf0.001 is ~6k rows, well past the 1000-row cap
