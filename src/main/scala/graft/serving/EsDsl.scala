@@ -43,14 +43,22 @@ object EsDsl {
     throw new IllegalArgumentException(msg)
 
   /** Execute `body` (an ES search request) against `df`. Returns the
-    * table's columns plus `_score`, sorted and limited per the body. */
-  def search(df: DataFrame, body: JsonNode): DataFrame = {
+    * table's columns plus `_score`, sorted and limited per the body
+    * (`from` + `size` offset paging, ES defaults 0 + 10). `tiebreak`
+    * names the columns appended to every sort so pagination is
+    * deterministic — default the table's first column; the union
+    * document view needs (document_id, table) since neither alone is
+    * unique. */
+  def search(df: DataFrame, body: JsonNode,
+             tiebreak: Seq[String] = Nil): DataFrame = {
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
     val c = clause(q)
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-    if (size < 0 || size > 1000)
-      bad("size must be between 0 and 1000 (serving cap)")
-    val idc = col(df.columns.head)
+    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+    if (size < 0 || from < 0 || from + size > 1000)
+      bad("from + size must stay within 0..1000 (serving cap)")
+    val ties = (if (tiebreak.nonEmpty) tiebreak
+      else Seq(df.columns.head)).map(col(_).asc)
     val scored = df.filter(c.pred)
       .select(df.columns.map(col) :+ c.score.cast("double").as("_score"): _*)
     val sorted = Option(body.get("sort")).filter(_.isArray) match {
@@ -65,11 +73,11 @@ object EsDsl {
               .getOrElse("asc")
             sortKey(f, ord)
           }
-        } :+ idc.asc
+        } ++ ties
         scored.orderBy(keys: _*)
-      case None => scored.orderBy(col("_score").desc, idc)
+      case None => scored.orderBy(col("_score").desc +: ties: _*)
     }
-    sorted.limit(size)
+    (if (from > 0) sorted.offset(from) else sorted).limit(size)
   }
 
   private def sortKey(field: String, order: String): Column = {

@@ -410,16 +410,29 @@ final class HttpApi(
     // documents corpus). An unsupported construct is the caller's
     // error: EsDsl names it in a 400, never returns a wrong result.
     if (req.hasNonNull("query")) {
+      // index "*" / data_lake_* = the union document view, the exact
+      // target the reference's passthrough queries (its es_connector
+      // always searches index_prefix*); a named table addresses that
+      // table directly. The union's pagination tiebreak needs BOTH id
+      // columns — document_ids can collide across entities.
       val index = textOr(req, "index", "documents")
-      if (!Tables.names.contains(index)) {
-        respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
-        return
-      }
-      try hits(ex, EsDsl.search(Tables(spark, srcDir, index), req))
-      catch {
-        case e: IllegalArgumentException =>
-          respond(ex, 400, mapper.createObjectNode()
-            .put("error", String.valueOf(e.getMessage)).toString)
+      val target: Option[(org.apache.spark.sql.DataFrame, Seq[String])] =
+        if (index == "*" || index.endsWith("_*"))
+          Some((EntityCatalog.unionDocuments(spark, srcDir, runTs),
+            Seq("document_id", "table")))
+        else if (Tables.names.contains(index))
+          Some((Tables(spark, srcDir, index), Nil))
+        else None
+      target match {
+        case None =>
+          respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        case Some((df, ties)) =>
+          try hits(ex, EsDsl.search(df, req, ties))
+          catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, mapper.createObjectNode()
+                .put("error", String.valueOf(e.getMessage)).toString)
+          }
       }
       return
     }

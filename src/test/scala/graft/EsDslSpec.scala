@@ -93,6 +93,20 @@ class EsDslSpec extends SparkSpec {
     assert(fz == Set(1L, 2L, 4L))
   }
 
+  test("from + size page deterministically: two pages == one larger " +
+    "request") {
+    val all = q("""{"query": {"match_all": {}}, "size": 4}""")
+      .collect().map(_.getLong(0)).toSeq
+    val p1 = q("""{"query": {"match_all": {}}, "size": 2}""")
+      .collect().map(_.getLong(0)).toSeq
+    val p2 = q("""{"query": {"match_all": {}}, "from": 2, "size": 2}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(p1 ++ p2 == all, s"$p1 ++ $p2 != $all")
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "from": 999, "size": 5}""")
+    }
+  }
+
   test("unsupported constructs are rejected by name, never mistranslated") {
     for (body <- Seq(
         """{"query": {"query_string": {"query": "x"}}}""",

@@ -290,6 +290,14 @@ class HttpApiSpec extends SparkSpec
     assert(post("/search/advanced",
       """{"query": {"match_all": {}}, "index": "nope"}""")
       .statusCode() == 404)
+    // index "*": the reference's es_connector always targets
+    // index_prefix* — DSL bodies run against the union document view
+    val wild = post("/search/advanced",
+      """{"query": {"match": {"customer_c_mktsegment": "building"}},
+        | "index": "data_lake_*", "size": 5}""".stripMargin)
+    assert(wild.statusCode() == 200, wild.body().take(300))
+    assert(wild.body().contains("\"document_id\""))
+    assert("\"table\":\"customer\"".r.findAllIn(wild.body()).nonEmpty)
   }
 
   test("POST /search/advanced hard-caps corpus-sized results — a " +
