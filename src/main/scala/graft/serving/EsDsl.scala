@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * (reference: src/search_api.py:38-46, src/es_connector.py:85-95), so
   * a reference client's existing request bodies run unchanged here.
   *
-  * Supported: `match_all`, `term`, `terms`, `range`
-  * (gt/gte/lt/lte), `exists`, `match` (token-exact scoring, operator
-  * and/or, fuzziness), `multi_match` (most_fields/best_fields,
-  * `field^boost`, operator, minimum_should_match, fuzziness), `bool`
+  * Supported: `match_all`, `term`, `terms`, `ids`, `range`
+  * (gt/gte/lt/lte), `exists`, `constant_score`, `match` (token-exact
+  * scoring, operator and/or, fuzziness), `match_phrase` (token
+  * adjacency, count-scored like Search.phrase), `multi_match`
+  * (most_fields/best_fields, `field^boost`, operator,
+  * minimum_should_match, fuzziness), `bool`
   * (must/filter/should/must_not with ES's scoring and
-  * minimum_should_match defaulting), plus top-level `size` and `sort`
-  * (field asc/desc and `_score`). Anything outside this core throws
+  * minimum_should_match defaulting), plus top-level `from`/`size` and
+  * `sort` (field asc/desc and `_score`). Anything outside this core throws
   * `IllegalArgumentException` — the HTTP layer maps it to a 400 with
   * the offending construct named, never a silently-wrong result.
   *
@@ -39,6 +41,10 @@ object EsDsl {
 
   private final case class Clause(pred: Column, score: Column)
 
+  /** Marker column [[search]] binds to the table's id so `ids` clauses
+    * can reference the document identity positionally, like ES's _id. */
+  private val IdColMarker = "__graft_id__"
+
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
@@ -59,7 +65,12 @@ object EsDsl {
       bad("from + size must stay within 0..1000 (serving cap)")
     val ties = (if (tiebreak.nonEmpty) tiebreak
       else Seq(df.columns.head)).map(col(_).asc)
-    val scored = df.filter(c.pred)
+    // `ids` clauses reference the document identity through a marker
+    // column bound here to the table's id (first column / first
+    // tiebreak), then projected away
+    val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
+    val scored = df.withColumn(IdColMarker, col(idName))
+      .filter(c.pred)
       .select(df.columns.map(col) :+ c.score.cast("double").as("_score"): _*)
     val sorted = Option(body.get("sort")).filter(_.isArray) match {
       case Some(s) =>
@@ -143,6 +154,39 @@ object EsDsl {
       val f = Option(b.get("field")).map(_.asText)
         .getOrElse(bad("exists needs \"field\""))
       Clause(col(f).isNotNull, lit(1.0))
+
+    case ("ids", b) =>
+      // ES matches _id; the engine's document identity is the table's
+      // FIRST column (the same id every scorer tiebreaks on)
+      val vs = Option(b.get("values")).filter(_.isArray)
+        .getOrElse(bad("ids needs \"values\""))
+      val values: Seq[Any] = (0 until vs.size).map { i =>
+        val v = vs.get(i)
+        if (v.isTextual) v.asText
+        else if (v.isIntegralNumber) v.asLong
+        else bad(s"unsupported id literal $v")
+      }
+      if (values.isEmpty) bad("ids needs at least one value")
+      Clause(col(IdColMarker).isInCollection(values), lit(1.0))
+
+    case ("constant_score", b) =>
+      val f = Option(b.get("filter"))
+        .getOrElse(bad("constant_score needs \"filter\""))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      Clause(clause(f).pred, lit(boost))
+
+    case ("match_phrase", b) =>
+      val (f, spec) = unwrap(b)
+      val text = if (spec.isObject) Option(spec.get("query"))
+        .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
+      else spec.asText
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty) bad("empty match_phrase query")
+      // token ADJACENCY on the normalized token string — the same
+      // semantics (and the same count-valued score) as Search.phrase
+      val needle = terms.mkString(" ", "  ", " ")
+      val cnt = Search.substrCount(Search.tokenNorm(col(f)), needle)
+      Clause(cnt > 0, cnt.cast("double"))
 
     case ("match", b) =>
       val (f, spec) = unwrap(b)

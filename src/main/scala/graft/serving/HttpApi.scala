@@ -245,6 +245,16 @@ final class HttpApi(
               hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
                 entityIndexRoot(), term, n, limit, after3))
           }
+        case _ if req.hasNonNull("fuzziness") =>
+          val fz = req.get("fuzziness")
+          val spec = if (fz.isIntegralNumber) fz.asInt.toString else
+            textOr(req, "fuzziness", "")
+          if (Search.fuzzyEditsValid(spec))
+            hits(ex, Search.acrossIndexesFuzzyIndexed(spark,
+              entityIndexRoot(), term, spec, limit, after3))
+          else
+            respond(ex, 400, """{"error": "invalid fuzziness; use """ +
+              """\"AUTO\" or an edit distance 0..2"}""")
         case _ =>
           val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
           val fields = lake.schema.fields

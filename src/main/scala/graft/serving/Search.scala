@@ -231,6 +231,30 @@ object Search {
       .limit(limit)
   }
 
+  /** Wildcard `fuzziness` over the entity indexes — each entity's
+    * vocabulary expands the query terms independently
+    * ([[graft.sinks.SearchIndex.fuzzy]]), hits merge under the shared
+    * 3-key cursor order like the other wildcard modes. */
+  def acrossIndexesFuzzyIndexed(spark: SparkSession, indexRoot: String,
+                                query: String, fuzziness: String = "AUTO",
+                                limit: Int = 100,
+                                after: Option[(Double, String, String)] =
+                                  None): DataFrame = {
+    import graft.catalog.EntityCatalog
+    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+      .map { spec =>
+        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
+        val inclusive = after.exists { case (_, _, t) => spec.name > t }
+        graft.sinks.SearchIndex.fuzzy(spark, s"$indexRoot/${spec.name}",
+          query, Nil, fuzziness, limit, Map.empty, branchAfter, inclusive)
+          .select(lit(spec.name).as("table"), col("document_id"),
+            col("score"))
+      }
+    branches.reduce(_.unionByName(_))
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
   /** Sync-time index build for every catalog entity — the write-time
     * moment the reference's ES builds its inverted indexes. One index
     * per entity under `root/<entity>`, over the entity's searchable

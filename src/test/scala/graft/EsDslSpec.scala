@@ -107,10 +107,24 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("match_phrase (adjacency), ids, and constant_score translate") {
+    val ph = q("""{"query": {"match_phrase": {"text": "window batch"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSeq
+    assert(ph == Seq(1L)) // only doc 1 has the tokens ADJACENT in order
+    val ids = q("""{"query": {"ids": {"values": [2, 4]}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 4L))
+    val cs = q("""{"query": {"constant_score": {"filter":
+      {"term": {"source": "src3"}}, "boost": 2.5}}, "size": 10}""")
+      .collect()
+    assert(cs.map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(cs.forall(_.getDouble(4) == 2.5))
+  }
+
   test("unsupported constructs are rejected by name, never mistranslated") {
     for (body <- Seq(
         """{"query": {"query_string": {"query": "x"}}}""",
-        """{"query": {"match_phrase": {"text": "a b"}}}""",
+        """{"query": {"span_near": {"clauses": []}}}""",
         """{"size": 10}""",
         """{"query": {"bool": {"should": []}, "extra": 1}}""",
         """{"query": {"range": {"n": {}}}}"""))

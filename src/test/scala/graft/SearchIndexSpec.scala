@@ -321,6 +321,13 @@ class SearchIndexSpec extends SparkSpec {
       s"wildcard AND diverged\n${andScan.take(5)}\nvs\n${andProbe.take(5)}")
     assert(andProbe.size >= phraseProbe.size,
       "AND must be at least as wide as the phrase on the same terms")
+    val fzScan = scanTwin((d, fs) =>
+      Search.multiFieldFuzzy(d, "blue rodz", fs, "1"))
+    val fzProbe = Search.acrossIndexesFuzzyIndexed(spark, root,
+      "blue rodz", "1").collect().map(_.toString).toSeq
+    assert(fzProbe == fzScan,
+      s"wildcard fuzzy diverged\n${fzScan.take(5)}\nvs\n${fzProbe.take(5)}")
+    assert(fzProbe.nonEmpty, "degenerate wildcard fuzzy comparison")
   }
 
   test("indexed data_lake_* wildcard == scan-path wildcard, with and " +
