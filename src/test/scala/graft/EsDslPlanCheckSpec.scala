@@ -1,0 +1,27 @@
+package graft
+
+/** Plan-shape pin for the DSL translator: range/terms predicates must
+  * reach the parquet scan as pushed filters (the translation is a plan
+  * rewrite, not an opaque UDF), and the sorted page must execute as one
+  * TakeOrdered. */
+class EsDslPlanCheckSpec extends SparkSpec {
+  test("q7_esdsl_range_sort: filters pushed to the scan, top-k is " +
+    "TakeOrdered") {
+    val df = queries.ParityQueries.queries("q7_esdsl_range_sort")(
+      spark, "/root/testdata/sf0.001")
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:") &&
+        plan.contains("GreaterThanOrEqual(o_totalprice,1000"),
+        s"range not pushed:\n${plan.take(2000)}")
+      assert(plan.contains("In(o_orderstatus"),
+        s"terms not pushed:\n${plan.take(2000)}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"sorted page is not a TakeOrdered:\n${plan.take(2000)}")
+    } finally spark.conf.set(key, saved)
+  }
+}
