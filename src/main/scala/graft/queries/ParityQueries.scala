@@ -611,6 +611,25 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // ES aggregations through the DSL translator: a filtered terms
+    // bucket agg with metric sub-aggs (ES default bucket order:
+    // doc_count desc, key asc). Metrics chosen order-independent
+    // (min/max/value_count/exact cardinality) so the oracle compare is
+    // float-stable; avg/sum are spec-tier (EsDslSpec).
+    "q7_esdsl_aggs" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"range": {"o_totalprice": {"gte": 100}}},
+          | "aggs": {"by_status": {"terms":
+          |   {"field": "o_orderstatus", "size": 10},
+          |   "aggs": {
+          |     "min_price": {"min": {"field": "o_totalprice"}},
+          |     "max_price": {"max": {"field": "o_totalprice"}},
+          |     "n_prices": {"value_count": {"field": "o_totalprice"}},
+          |     "n_customers": {"cardinality": {"field": "o_custkey"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1623,6 +1642,14 @@ object ParityQueries {
        "FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 50000 " +
        "AND o_orderstatus IN ('O', 'F') " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "q7_esdsl_aggs" ->
+      ("SELECT o_orderstatus, count(*) AS doc_count, " +
+       "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+       "count(o_totalprice) AS n_prices, " +
+       "count(DISTINCT o_custkey) AS n_customers " +
+       "FROM orders WHERE o_totalprice >= 100 GROUP BY o_orderstatus " +
+       "ORDER BY doc_count DESC, o_orderstatus LIMIT 10"),
 
     "q2_search_and" -> andOracleSql,
     "q2_search_and_indexed" -> andOracleSql,

@@ -59,6 +59,9 @@ object EsDsl {
              tiebreak: Seq[String] = Nil): DataFrame = {
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
     val c = clause(q)
+    if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
+      return aggregations(df.filter(c.pred),
+        Option(body.get("aggs")).getOrElse(body.get("aggregations")))
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > 1000)
@@ -249,6 +252,65 @@ object EsDsl {
       Clause(pred, score)
 
     case (other, _) => bad(s"unsupported query clause '$other'")
+  }
+
+  /** ES aggregations, flat-relational shape: ONE top-level agg — either
+    * a `terms` bucket agg (buckets ordered by doc_count desc, key asc,
+    * top `size` — ES's default ordering) optionally carrying metric
+    * sub-aggs, or a single global metric agg (one row). Metrics:
+    * avg/sum/min/max/value_count, and `cardinality` as an EXACT distinct
+    * count (ES's is approximate HLL; exact is deterministic and
+    * oracle-able — the sketch tier lives in operators/Sketches). The
+    * result is the flat bucket table (key, doc_count, metric columns) —
+    * the relational projection of ES's nested buckets JSON. */
+  private def aggregations(df: DataFrame, aggs: JsonNode): DataFrame = {
+    val (name, spec) = unwrap(aggs)
+    val kind = {
+      val it = spec.fieldNames()
+      var k: String = null
+      while (it.hasNext && k == null) {
+        val c0 = it.next()
+        if (c0 != "aggs" && c0 != "aggregations") k = c0
+      }
+      if (k == null) bad(s"aggregation '$name' has no agg type")
+      k
+    }
+    def metric(mKind: String, mSpec: JsonNode, alias: String): Column = {
+      val f = Option(mSpec.get("field")).map(_.asText)
+        .getOrElse(bad(s"$mKind needs \"field\""))
+      (mKind match {
+        case "avg"         => avg(col(f))
+        case "sum"         => sum(col(f))
+        case "min"         => min(col(f))
+        case "max"         => max(col(f))
+        case "value_count" => count(col(f))
+        case "cardinality" => countDistinct(col(f))
+        case other         => bad(s"unsupported metric agg '$other'")
+      }).as(alias)
+    }
+    kind match {
+      case "terms" =>
+        val t = spec.get("terms")
+        val f = Option(t.get("field")).map(_.asText)
+          .getOrElse(bad("terms agg needs \"field\""))
+        val size = Option(t.get("size")).map(_.asInt).getOrElse(10)
+        if (size <= 0 || size > 1000) bad("terms size must be 1..1000")
+        val subs = Option(spec.get("aggs"))
+          .orElse(Option(spec.get("aggregations"))).toSeq
+          .flatMap { s =>
+            val it = s.fieldNames()
+            val names = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) names += it.next()
+            names.toSeq.map { n =>
+              val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
+          }
+        df.groupBy(col(f))
+          .agg(count(lit(1)).as("doc_count"), subs: _*)
+          .orderBy(col("doc_count").desc, col(f).asc)
+          .limit(size)
+      case mKind =>
+        df.agg(metric(mKind, spec.get(mKind), name))
+    }
   }
 
   private def sub(b: JsonNode, key: String): Seq[JsonNode] =

@@ -121,6 +121,33 @@ class EsDslSpec extends SparkSpec {
     assert(cs.forall(_.getDouble(4) == 2.5))
   }
 
+  test("aggregations: terms buckets with metric sub-aggs follow ES " +
+    "ordering; global metrics return one row; unsupported aggs reject") {
+    val b = q("""{"query": {"match_all": {}},
+      "aggs": {"by_source": {"terms": {"field": "source", "size": 10},
+        "aggs": {"avg_n": {"avg": {"field": "n"}},
+                 "total_n": {"sum": {"field": "n"}},
+                 "docs": {"value_count": {"field": "doc_id"}}}}},
+      "size": 0}""").collect()
+    // buckets: src3 ×2, then null/src1 ×1 (doc_count desc, key asc —
+    // Spark sorts nulls FIRST ascending, so null precedes src1)
+    assert(b.map(r => Option(r.getString(0)).orNull).toSeq ==
+      Seq("src3", null, "src1"))
+    val src3 = b.find(_.getString(0) == "src3").get
+    assert(src3.getLong(1) == 2L)          // doc_count
+    assert(src3.getDouble(2) == 25.0)      // avg of 10, 40
+    assert(src3.getLong(3) == 50L)         // sum
+    assert(src3.getLong(4) == 2L)          // value_count
+    val g = q("""{"query": {"term": {"source": "src3"}},
+      "aggs": {"n_docs": {"value_count": {"field": "doc_id"}}}}""")
+      .collect()
+    assert(g.length == 1 && g.head.getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "aggs": {"h": {"date_histogram": {"field": "n"}}}}""").collect()
+    }
+  }
+
   test("unsupported constructs are rejected by name, never mistranslated") {
     for (body <- Seq(
         """{"query": {"query_string": {"query": "x"}}}""",
