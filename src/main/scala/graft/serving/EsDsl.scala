@@ -91,7 +91,22 @@ object EsDsl {
         scored.orderBy(keys: _*)
       case None => scored.orderBy(col("_score").desc +: ties: _*)
     }
-    (if (from > 0) sorted.offset(from) else sorted).limit(size)
+    val page = (if (from > 0) sorted.offset(from) else sorted).limit(size)
+    // "_source": false → hit identity only (id, _score — ES always
+    // returns _id); an array → that column subset. Projection applied
+    // AFTER the page so sort fields need not survive it.
+    Option(body.get("_source")) match {
+      case None => page
+      case Some(src) if src.isBoolean && !src.asBoolean =>
+        page.select(col(idName), col("_score"))
+      case Some(src) if src.isArray =>
+        val cols = (0 until src.size).map(src.get(_).asText)
+        val missing = cols.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          bad(s"unknown _source fields: ${missing.mkString(", ")}")
+        page.select((cols.map(col) :+ col("_score")): _*)
+      case _ => bad("_source must be false or an array of fields")
+    }
   }
 
   private def sortKey(field: String, order: String): Column = {
@@ -308,6 +323,29 @@ object EsDsl {
           .agg(count(lit(1)).as("doc_count"), subs: _*)
           .orderBy(col("doc_count").desc, col(f).asc)
           .limit(size)
+      case "histogram" =>
+        // fixed-interval buckets keyed by their lower bound (ES
+        // semantics: floor(value/interval)·interval), ordered by key —
+        // empty buckets are omitted (ES min_doc_count=1 behavior)
+        val h = spec.get("histogram")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("histogram agg needs \"field\""))
+        val interval = Option(h.get("interval")).map(_.asDouble)
+          .getOrElse(bad("histogram agg needs \"interval\""))
+        if (interval <= 0) bad("histogram interval must be positive")
+        val subs = Option(spec.get("aggs"))
+          .orElse(Option(spec.get("aggregations"))).toSeq
+          .flatMap { s =>
+            val it = s.fieldNames()
+            val names = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) names += it.next()
+            names.toSeq.map { n =>
+              val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
+          }
+        df.filter(col(f).isNotNull)
+          .groupBy((floor(col(f) / interval) * interval).as("key"))
+          .agg(count(lit(1)).as("doc_count"), subs: _*)
+          .orderBy(col("key").asc)
       case mKind =>
         df.agg(metric(mKind, spec.get(mKind), name))
     }

@@ -146,6 +146,25 @@ class EsDslSpec extends SparkSpec {
       q("""{"query": {"match_all": {}},
         "aggs": {"h": {"date_histogram": {"field": "n"}}}}""").collect()
     }
+    // histogram: fixed-interval buckets keyed by lower bound, in order
+    val h = q("""{"query": {"match_all": {}},
+      "aggs": {"by_n": {"histogram": {"field": "n", "interval": 25}}}}""")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toSeq
+    assert(h == Seq(0.0 -> 2L, 25.0 -> 2L)) // n=10,20 | 30,40
+  }
+
+  test("_source filtering: false returns hit identity, an array a " +
+    "column subset; unknown fields reject") {
+    val idOnly = q("""{"query": {"term": {"source": "src3"}},
+      "_source": false, "size": 10}""")
+    assert(idOnly.columns.toSeq == Seq("doc_id", "_score"))
+    assert(idOnly.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    val subset = q("""{"query": {"match_all": {}},
+      "_source": ["source", "n"], "size": 10}""")
+    assert(subset.columns.toSeq == Seq("source", "n", "_score"))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "_source": ["nope"]}""")
+    }
   }
 
   test("unsupported constructs are rejected by name, never mistranslated") {
