@@ -630,6 +630,23 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // Nested terms-in-terms buckets: ES's top-N parents, top-M child
+    // buckets per parent. The plan is two hash aggregations + a
+    // broadcast parent gate + one per-parent WindowGroupLimit — the
+    // 100 TB shape for "top sub-categories per category".
+    "q7_esdsl_nested_aggs" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_status": {"terms":
+          |   {"field": "o_orderstatus", "size": 10},
+          |   "aggs": {"by_priority": {"terms":
+          |     {"field": "o_orderpriority", "size": 3},
+          |     "aggs": {"n_customers":
+          |       {"cardinality": {"field": "o_custkey"}}}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1650,6 +1667,22 @@ object ParityQueries {
        "count(DISTINCT o_custkey) AS n_customers " +
        "FROM orders WHERE o_totalprice >= 100 GROUP BY o_orderstatus " +
        "ORDER BY doc_count DESC, o_orderstatus LIMIT 10"),
+
+    "q7_esdsl_nested_aggs" ->
+      ("WITH p AS (SELECT o_orderstatus, count(*) AS parent_doc_count " +
+       "FROM orders GROUP BY 1 " +
+       "ORDER BY parent_doc_count DESC, o_orderstatus LIMIT 10), " +
+       "c AS (SELECT o_orderstatus, o_orderpriority, " +
+       "count(*) AS doc_count, " +
+       "count(DISTINCT o_custkey) AS n_customers " +
+       "FROM orders GROUP BY 1, 2) " +
+       "SELECT c.o_orderstatus, p.parent_doc_count, c.o_orderpriority, " +
+       "c.doc_count, c.n_customers " +
+       "FROM c JOIN p ON c.o_orderstatus = p.o_orderstatus " +
+       "QUALIFY row_number() OVER (PARTITION BY c.o_orderstatus " +
+       "ORDER BY c.doc_count DESC, c.o_orderpriority) <= 3 " +
+       "ORDER BY p.parent_doc_count DESC, c.o_orderstatus, " +
+       "c.doc_count DESC, c.o_orderpriority"),
 
     "q2_search_and" -> andOracleSql,
     "q2_search_and_indexed" -> andOracleSql,

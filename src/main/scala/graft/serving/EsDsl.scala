@@ -303,6 +303,16 @@ object EsDsl {
         case other         => bad(s"unsupported metric agg '$other'")
       }).as(alias)
     }
+    def metricSubs(parent: JsonNode): Seq[Column] =
+      Option(parent.get("aggs"))
+        .orElse(Option(parent.get("aggregations"))).toSeq
+        .flatMap { s =>
+          val it = s.fieldNames()
+          val names = scala.collection.mutable.ArrayBuffer[String]()
+          while (it.hasNext) names += it.next()
+          names.toSeq.map { n =>
+            val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
+        }
     kind match {
       case "terms" =>
         val t = spec.get("terms")
@@ -310,19 +320,66 @@ object EsDsl {
           .getOrElse(bad("terms agg needs \"field\""))
         val size = Option(t.get("size")).map(_.asInt).getOrElse(10)
         if (size <= 0 || size > 1000) bad("terms size must be 1..1000")
-        val subs = Option(spec.get("aggs"))
-          .orElse(Option(spec.get("aggregations"))).toSeq
-          .flatMap { s =>
-            val it = s.fieldNames()
-            val names = scala.collection.mutable.ArrayBuffer[String]()
-            while (it.hasNext) names += it.next()
-            names.toSeq.map { n =>
-              val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
-          }
-        df.groupBy(col(f))
-          .agg(count(lit(1)).as("doc_count"), subs: _*)
-          .orderBy(col("doc_count").desc, col(f).asc)
-          .limit(size)
+        val subAggs = Option(spec.get("aggs"))
+          .orElse(Option(spec.get("aggregations")))
+        val nested = subAggs.toSeq.flatMap { s =>
+          val it = s.fieldNames()
+          val names = scala.collection.mutable.ArrayBuffer[String]()
+          while (it.hasNext) names += it.next()
+          names.toSeq.filter(n => s.get(n).hasNonNull("terms"))
+            .map(n => n -> s.get(n))
+        }
+        // ES terms buckets SKIP documents missing the field (the
+        // `missing` parameter opts back in; not supported) — null keys
+        // never form a bucket
+        nested match {
+          case Nil =>
+            df.filter(col(f).isNotNull)
+              .groupBy(col(f))
+              .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+              .orderBy(col("doc_count").desc, col(f).asc)
+              .limit(size)
+          case Seq((_, childSpec)) =>
+            // NESTED terms buckets, flat-relational: parent buckets =
+            // ES's top-size by doc_count; per parent, the top-size2
+            // child buckets. Plan shape: one (f1) agg broadcast-semi-
+            // gates the (f1, f2) agg, then a per-parent WindowGroupLimit
+            // — no global sort of child buckets, no second corpus scan
+            // beyond the two aggregations.
+            val totalChildren = subAggs.map { s =>
+              val it = s.fieldNames(); var c0 = 0
+              while (it.hasNext) { it.next(); c0 += 1 }; c0
+            }.getOrElse(0)
+            if (totalChildren > 1)
+              bad("metrics beside a nested terms agg are not " +
+                "representable in the flat bucket table — put them on " +
+                "the child terms agg")
+            val ct = childSpec.get("terms")
+            val f2 = Option(ct.get("field")).map(_.asText)
+              .getOrElse(bad("nested terms agg needs \"field\""))
+            val size2 = Option(ct.get("size")).map(_.asInt).getOrElse(10)
+            if (size2 <= 0 || size2 > 1000)
+              bad("nested terms size must be 1..1000")
+            val parents = df.filter(col(f).isNotNull)
+              .groupBy(col(f))
+              .agg(count(lit(1)).as("parent_doc_count"))
+              .orderBy(col("parent_doc_count").desc, col(f).asc)
+              .limit(size)
+            val children = df
+              .filter(col(f).isNotNull && col(f2).isNotNull)
+              .groupBy(col(f), col(f2))
+              .agg(count(lit(1)).as("doc_count"), metricSubs(childSpec): _*)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(f))
+              .orderBy(col("doc_count").desc, col(f2).asc)
+            children.join(broadcast(parents), Seq(f))
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") <= size2).drop("_rn")
+              .orderBy(col("parent_doc_count").desc, col(f).asc,
+                col("doc_count").desc, col(f2).asc)
+          case many =>
+            bad(s"at most one nested terms agg (got ${many.size})")
+        }
       case "histogram" =>
         // fixed-interval buckets keyed by their lower bound (ES
         // semantics: floor(value/interval)·interval), ordered by key —

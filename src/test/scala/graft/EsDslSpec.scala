@@ -129,10 +129,9 @@ class EsDslSpec extends SparkSpec {
                  "total_n": {"sum": {"field": "n"}},
                  "docs": {"value_count": {"field": "doc_id"}}}}},
       "size": 0}""").collect()
-    // buckets: src3 ×2, then null/src1 ×1 (doc_count desc, key asc —
-    // Spark sorts nulls FIRST ascending, so null precedes src1)
-    assert(b.map(r => Option(r.getString(0)).orNull).toSeq ==
-      Seq("src3", null, "src1"))
+    // buckets: src3 ×2 then src1 ×1 — ES terms buckets SKIP documents
+    // missing the field, so doc 3's null source forms no bucket
+    assert(b.map(_.getString(0)).toSeq == Seq("src3", "src1"))
     val src3 = b.find(_.getString(0) == "src3").get
     assert(src3.getLong(1) == 2L)          // doc_count
     assert(src3.getDouble(2) == 25.0)      // avg of 10, 40
@@ -151,6 +150,32 @@ class EsDslSpec extends SparkSpec {
       "aggs": {"by_n": {"histogram": {"field": "n", "interval": 25}}}}""")
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toSeq
     assert(h == Seq(0.0 -> 2L, 25.0 -> 2L)) // n=10,20 | 30,40
+  }
+
+  test("nested terms-in-terms buckets: top parents, top children per " +
+    "parent, child metrics; parent-level metrics beside them reject") {
+    val n = q("""{"query": {"match_all": {}},
+      "aggs": {"by_source": {"terms": {"field": "source", "size": 2},
+        "aggs": {"by_text": {"terms": {"field": "text", "size": 1},
+          "aggs": {"max_n": {"max": {"field": "n"}}}}}}},
+      "size": 0}""").collect()
+    // top-2 parents: src3 (2 docs), then src1 (1; null source is no
+    // bucket) — each with its single top child bucket (texts unique, so
+    // doc_count 1, key asc wins)
+    assert(n.length == 2, n.mkString("; "))
+    val bySrc = n.map(r => r.getString(0) -> r).toMap
+    assert(bySrc.contains("src3") && bySrc.contains("src1"))
+    val s3 = bySrc("src3")
+    assert(s3.getAs[Long]("parent_doc_count") == 2L)
+    assert(s3.getAs[String]("text") == "batch batch window") // key asc
+    assert(s3.getAs[Long]("doc_count") == 1L)
+    assert(s3.getAs[Long]("max_n") == 40L)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "aggs": {"a": {"terms": {"field": "source"},
+          "aggs": {"b": {"terms": {"field": "text"}},
+                   "m": {"avg": {"field": "n"}}}}}}""")
+    }
   }
 
   test("_source filtering: false returns hit identity, an array a " +
