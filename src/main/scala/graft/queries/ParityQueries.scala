@@ -647,6 +647,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // date_histogram over the real timestamp column — events per day
+    // with distinct actives, the canonical pipeline time-series agg;
+    // bucket key = ES's epoch-millis interval start, exact integer
+    // bucketing on both engines.
+    "q7_esdsl_date_histogram" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {"actives":
+          |     {"cardinality": {"field": "user_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1667,6 +1682,13 @@ object ParityQueries {
        "count(DISTINCT o_custkey) AS n_customers " +
        "FROM orders WHERE o_totalprice >= 100 GROUP BY o_orderstatus " +
        "ORDER BY doc_count DESC, o_orderstatus LIMIT 10"),
+
+    "q7_esdsl_date_histogram" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count, " +
+       "count(DISTINCT user_id) AS actives " +
+       "FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY key"),
 
     "q7_esdsl_nested_aggs" ->
       ("WITH p AS (SELECT o_orderstatus, count(*) AS parent_doc_count " +

@@ -380,6 +380,40 @@ object EsDsl {
           case many =>
             bad(s"at most one nested terms agg (got ${many.size})")
         }
+      case "date_histogram" =>
+        // ES fixed_interval buckets over a timestamp column; bucket
+        // `key` is the interval start as EPOCH MILLIS — exactly the
+        // number ES puts in its bucket "key". Calendar intervals
+        // (month/quarter — variable length) are not supported.
+        val h = spec.get("date_histogram")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("date_histogram agg needs \"field\""))
+        val ivSpec = Option(h.get("fixed_interval")).map(_.asText)
+          .getOrElse(bad("date_histogram agg needs \"fixed_interval\""))
+        val m = "([0-9]+)(ms|s|m|h|d)".r
+        val intervalMs = ivSpec match {
+          case m(n, unit) => n.toLong * (unit match {
+            case "ms" => 1L
+            case "s"  => 1000L
+            case "m"  => 60000L
+            case "h"  => 3600000L
+            case "d"  => 86400000L
+          })
+          case _ => bad(s"malformed fixed_interval '$ivSpec'")
+        }
+        if (intervalMs <= 0) bad("fixed_interval must be positive")
+        // NTZ timestamps read their stored instant under the session's
+        // pinned UTC zone. `div` keeps the bucketing in exact integer
+        // arithmetic (a float divide would round-trip epoch millis
+        // through double)
+        val bucket = expr(
+          s"(unix_millis(cast(`$f` as timestamp)) div ${intervalMs}L) " +
+            s"* ${intervalMs}L")
+        df.filter(col(f).isNotNull)
+          .groupBy(bucket.as("key"))
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .orderBy(col("key").asc)
+
       case "histogram" =>
         // fixed-interval buckets keyed by their lower bound (ES
         // semantics: floor(value/interval)·interval), ordered by key —

@@ -178,6 +178,15 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("date_histogram rejects malformed, calendar, and zero intervals") {
+    for (iv <- Seq("\"1month\"", "\"xx\"", "\"0d\""))
+      intercept[IllegalArgumentException] {
+        q(s"""{"query": {"match_all": {}},
+          "aggs": {"t": {"date_histogram":
+            {"field": "n", "fixed_interval": $iv}}}}""")
+      }
+  }
+
   test("_source filtering: false returns hit identity, an array a " +
     "column subset; unknown fields reject") {
     val idOnly = q("""{"query": {"term": {"source": "src3"}},
