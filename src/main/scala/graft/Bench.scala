@@ -91,10 +91,14 @@ object Bench {
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // field order matters: the best-of `queries` map goes LAST so a
+    // tail-truncating log capture ends on the honest best-of numbers,
+    // not on a raw `rounds` sample that may hold one contention-noisy
+    // lap (observed: a loadavg-3.6 lap with 2-3x inflated times)
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"rounds":$roundsJson,"loadavg":$loadsJson,""" +
+      s""""rounds":$roundsJson,"loadavg":$loadsJson,""" +
       s""""cores":${Runtime.getRuntime.availableProcessors()}""" +
-      s"""$errJson,"sf":"$sfDir"}"""
+      s"""$errJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // Belt-and-braces for log-wrapping runners: also leave the line in a
     // file next to the build so a parser that misses stdout can recover it.

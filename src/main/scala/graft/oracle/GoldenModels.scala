@@ -2,13 +2,19 @@ package graft.oracle
 
 import java.nio.charset.StandardCharsets
 
-/** Independent plain-Scala models for the two queries DuckDB cannot
-  * express (`dedup_simhash`: murmur3 is not in DuckDB; `ann_lsh_topk`:
-  * seeded hyperplanes are engine-specific RNG). These reimplement the
-  * SEMANTICS from scratch — including Murmur3 x86_32 itself, byte by
-  * byte, so a bug in the custom codegen expressions' unsafe-memory
-  * handling would show up as a mismatch — and share no code with the
-  * Catalyst path (no Column API, no UTF8String, no ArrayData).
+/** Independent plain-Scala models backing the golden verification tier.
+  * These reimplement the SEMANTICS from scratch — including Murmur3
+  * x86_32 itself, byte by byte, so a bug in the custom codegen
+  * expressions' unsafe-memory handling would show up as a mismatch —
+  * and share no code with the Catalyst path (no Column API, no
+  * UTF8String, no ArrayData).
+  *
+  * Since round 9, `dedup_simhash` and `ann_lsh_topk` ALSO carry full
+  * DuckDB oracles (a SQL-macro murmur3 / literal hyperplane signs —
+  * PipelineQueries.simhashSql / annLshSql), so those two are
+  * double-gated: DuckDB row/schema/hash compare AND this model. The
+  * `bpe_*` trio remains golden-only — per-round merge recursion is not
+  * one SQL query.
   *
   * Used two ways: hash-compared in `DedupSpec`/`SimilaritySpec` against
   * the Spark results on real testdata, and enforced by `graft.Verify`

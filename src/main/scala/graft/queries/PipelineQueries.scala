@@ -716,6 +716,130 @@ object PipelineQueries {
        |WHERE cosine >= 0.9""".stripMargin
   }
 
+  /** ann_lsh_topk oracle — mirrors Similarity.lshTopK exactly: the ±1
+    * hyperplanes are the SAME [[Similarity.planeSigns]](64, 8, 42)
+    * family the Spark plan embeds as literals (the embLshSql
+    * precedent), the bucket is the 8-plane sign-bit pattern, candidates
+    * share the query's bucket, exact-cosine re-rank top-5. Promoted
+    * from the golden tier in round 9 — the hyperplanes were always
+    * SQL-expressible through the shared sign generator. */
+  private val annLshSql: String = {
+    def planeArr(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucket = Similarity.planeSigns(64, 8, 42L).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
+          s"j -> unit[j] * (${planeArr(p)})[j])) > 0 THEN ${1L << i} " +
+          "ELSE 0 END)"
+    }.mkString(" + ")
+    s"""$UnitCte, bucketed AS (
+       |  SELECT vec_id, unit, $bucket AS bucket FROM u
+       |), cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |             i -> q.unit[i] * c.unit[i])) AS cos_exact
+       |  FROM bucketed q JOIN bucketed c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_exact DESC, neighbor_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, neighbor_id,
+       |  floor(cos_exact * 10000.0 + 0.5) / 10000.0 AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** dedup_simhash oracle — a full DuckDB re-implementation of Spark's
+    * Murmur3 x86_32 variant (sign-extended tail bytes mixed as full
+    * blocks — the [[graft.oracle.GoldenModels.murmur3]] contract) as
+    * CREATE OR REPLACE MACROs over each token's UTF-8 hex bytes,
+    * composed into the 64-bit (seed-42 high half, seed-0x9747b28c low
+    * half) token hash, per-doc ±1 bit votes over distinct whitespace
+    * tokens, and brute-force Hamming-≤3 pairs. Promoted from the golden
+    * tier in round 9: "murmur3 is not in DuckDB" turned out to mean
+    * "not built in" — it IS expressible as pure SQL over hex(encode())
+    * with list_reduce. Multi-statement (macro prelude + one SELECT):
+    * DuckDB's python driver executes the batch and returns the last
+    * result; OR REPLACE keeps re-runs on a shared connection safe.
+    *
+    * Arithmetic notes: all 32-bit ops ride UBIGINT with explicit
+    * & 4294967295 masks (products of two 32-bit values stay < 2^64);
+    * the 64-bit compose and per-bit probes use multiply/divide by
+    * power-of-two LITERALS because DuckDB's << / >> resolve to the
+    * BIGINT overload, which overflows at bit 63. */
+  private val simhashSql: String = {
+    val loSeed = 0x9747b28cL & 0xffffffffL
+    val macros =
+      """CREATE OR REPLACE MACRO mm3_hxd(c) AS
+        |  strpos('123456789abcdef', c)::UBIGINT;
+        |CREATE OR REPLACE MACRO mm3_byte(h, i) AS
+        |  mm3_hxd(substr(h, 2*i-1, 1)) * 16 + mm3_hxd(substr(h, 2*i, 1));
+        |CREATE OR REPLACE MACRO mm3_rotl(x, r) AS
+        |  (((x << r) | (x >> (32 - r))) & 4294967295::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_mixk1(k) AS
+        |  ((mm3_rotl((k * 3432918353::UBIGINT) & 4294967295::UBIGINT, 15)
+        |    * 461845907::UBIGINT) & 4294967295::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_mixh1(h, k1) AS
+        |  (((mm3_rotl(xor(h, k1), 13) * 5::UBIGINT) + 3864292196::UBIGINT)
+        |    & 4294967295::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_f1(x) AS xor(x, x >> 16);
+        |CREATE OR REPLACE MACRO mm3_f2(x) AS
+        |  ((x * 2246822507::UBIGINT) & 4294967295::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_f3(x) AS xor(x, x >> 13);
+        |CREATE OR REPLACE MACRO mm3_f4(x) AS
+        |  ((x * 3266489909::UBIGINT) & 4294967295::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_blocks(h, n) AS
+        |  list_concat(
+        |    list_transform(range(0::BIGINT, (n // 4)::BIGINT),
+        |      i -> mm3_byte(h, 4*i+1) + mm3_byte(h, 4*i+2) * 256
+        |         + mm3_byte(h, 4*i+3) * 65536 + mm3_byte(h, 4*i+4) * 16777216),
+        |    list_transform(range((4*(n // 4) + 1)::BIGINT, (n + 1)::BIGINT),
+        |      i -> CASE WHEN mm3_byte(h, i) >= 128
+        |           THEN mm3_byte(h, i) + 4294967040::UBIGINT
+        |           ELSE mm3_byte(h, i) END));
+        |CREATE OR REPLACE MACRO mm3_core(h, n, seed) AS
+        |  xor(list_reduce(list_prepend(seed::UBIGINT, mm3_blocks(h, n)),
+        |        (acc, k) -> mm3_mixh1(acc, mm3_mixk1(k))),
+        |      n::UBIGINT);
+        |CREATE OR REPLACE MACRO mm3_murmur3(s, seed) AS
+        |  mm3_f1(mm3_f4(mm3_f3(mm3_f2(mm3_f1(
+        |    mm3_core(lower(hex(encode(s))), octet_length(encode(s)),
+        |      seed))))));
+        |CREATE OR REPLACE MACRO mm3_hash64(s) AS
+        |  (mm3_murmur3(s, 42::UBIGINT) * 4294967296::UBIGINT
+        |   + mm3_murmur3(s, %LOSEED%::UBIGINT));
+        |""".stripMargin.replace("%LOSEED%", loSeed.toString)
+    val bits = (0 until 64).map { b =>
+      val pow = java.math.BigInteger.ONE.shiftLeft(b).toString
+      s"CASE WHEN 2 * sum(((h // $pow::UBIGINT) & 1::UBIGINT)::BIGINT) " +
+        s"> count(*) THEN $pow::UBIGINT ELSE 0::UBIGINT END"
+    }.mkString(" + ")
+    macros +
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(list_filter(
+         |    string_split_regex(text, '\\s+'), x -> x <> ''))) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), vh AS (
+         |  SELECT tok, mm3_hash64(tok) AS h
+         |  FROM (SELECT DISTINCT tok FROM toks)
+         |), dh AS (
+         |  SELECT t.doc_id, v.h FROM toks t JOIN vh v USING (tok)
+         |), sigt AS (
+         |  SELECT doc_id, ($bits) AS sig FROM dh GROUP BY doc_id
+         |), sig AS (
+         |  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+         |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |  LEFT JOIN sigt s USING (doc_id)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
   /** Incremental-dedup oracle: the bloom is pure routing, so the exact
     * semantics are a plain NOT EXISTS against the corpus hashes. */
   private val incrementalSql: String =
@@ -863,7 +987,9 @@ object PipelineQueries {
     "dedup_incremental" -> incrementalSql,
     "dedup_semantic" -> semanticSql,
     "dedup_embedding_lsh" -> embLshSql,
+    "dedup_simhash" -> simhashSql,
     "ann_topk" -> annSql,
+    "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> ivfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
@@ -932,7 +1058,8 @@ object PipelineQueries {
        "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
        "min(media_id) AS first_id, max(media_id) AS last_id " +
        "FROM a GROUP BY slice, shard_id")
-    // dedup_simhash, ann_lsh_topk: xxhash64 / seeded hyperplanes are not
-    // reproducible in DuckDB — driver records the rows-only check.
+    // bpe_train/encode/vocab: genuinely iterative (each merge round
+    // depends on the last) — not expressible as one DuckDB query;
+    // gated against GoldenModels.bpe* instead (graft.Verify).
   )
 }

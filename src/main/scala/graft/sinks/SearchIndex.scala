@@ -513,15 +513,23 @@ object SearchIndex {
         node.hasNonNull("gen") && node.get("version").asInt() >= 2
       } catch { case _: Exception => false })
 
-  /** Best-effort removal of every generation directory except `keep` —
-    * crash orphans and the just-replaced generation. Safe on a local FS
-    * (open readers keep unlinked files); an object-store deployment
-    * defers this behind reader-lease expiry instead. */
+  /** Best-effort removal of stale generation directories — crash
+    * orphans and generations older than the one just replaced. The
+    * JUST-REPLACED generation (`keep - 1`) is deliberately kept for one
+    * more build cycle: Spark lists and opens parquet files lazily at
+    * action time, so a concurrent probe that resolved the old pointer
+    * may not have opened its files yet — deleting synchronously after
+    * the flip would fail that probe with FileNotFoundException
+    * mid-request (the "open readers keep unlinked files" unix rationale
+    * only covers held-open fds, not paths still to be listed). By the
+    * NEXT rebuild, requests that resolved two pointers ago are long
+    * finished. An object-store deployment defers further, behind
+    * reader-lease expiry. */
   private def gcGenerations(path: String, keep: Int): Unit = {
     val root = new java.io.File(path)
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.matches("g\\d+") &&
-          f.getName != s"g$keep") {
+          f.getName != s"g$keep" && f.getName != s"g${keep - 1}") {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete(); ()
