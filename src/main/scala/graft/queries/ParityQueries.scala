@@ -662,6 +662,55 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // DSL BM25 scoring parity (round 9): match/multi_match clauses in a
+    // replayed ES body now rank with REAL BM25 — the same
+    // Search.rankedAll machinery /search rank=bm25 runs — so a
+    // reference client gets ES's ranking order, not an occurrence
+    // approximation. best_fields must + a scored should over a second
+    // field; the oracle recomputes both clauses' BM25 from scratch.
+    "q7_esdsl_bm25" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {
+          |  "must": [{"multi_match": {"query": "window src3",
+          |    "fields": ["text", "source"], "type": "best_fields"}}],
+          |  "should": [{"match": {"lang": "en"}}]
+          |}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // Term-level pattern clauses (round 9): ES wildcard (whole-value,
+    // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
+    // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
+    // anchored RLIKE (ES regexp matches the entire value). All three in
+    // one bool; constant scores, id-ordered.
+    "q7_esdsl_wildcard" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {
+          |  "filter": [{"wildcard": {"p_name": "*r?d*"}},
+          |             {"prefix": {"p_type": {"value": "S"}}}],
+          |  "must": [{"regexp": {"p_brand": "Brand#(1[0-9]|2)"}}]
+          |}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "part"), body)
+    }),
+
+    // calendar_interval date_histogram (round 9): calendar WEEK
+    // buckets (Monday starts — ES's default, and both engines'
+    // date_trunc convention) via date_trunc under the session's pinned
+    // UTC zone, bucket key = ES's epoch-millis bucket start, with a
+    // cardinality sub-agg. Week chosen over month for oracle strength:
+    // the events span ~5 weeks but one month. EsDslSpec pins
+    // month/quarter truncation on constructed timestamps.
+    "q7_esdsl_calendar_histogram" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_month": {"date_histogram":
+          |   {"field": "ts", "calendar_interval": "week"},
+          |   "aggs": {"actives":
+          |     {"cardinality": {"field": "user_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -1651,22 +1700,75 @@ object ParityQueries {
     "q2_search_fuzzy" -> fuzzyOracleSql,
     "q2_search_fuzzy_indexed" -> fuzzyOracleSql,
 
+    // since round 9 the must's match clause scores REAL BM25 (the
+    // DSL's ES-parity scoring) — the oracle recomputes it with the
+    // same per-field statistics CTEs the /search bm25 oracles use; the
+    // match SET (≥1 term token-matches) and the filter/must_not/should
+    // semantics are unchanged from round 8
     "q7_esdsl_bool" -> {
       val n = tokenNormSql("text")
       val c0 = substrCountSql("n", " window ")
       val c1 = substrCountSql("n", " batch ")
-      "WITH nn AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"WITH ${bm25FieldCtes("text", Seq("window", "batch"), "0")}, " +
+      s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+      "nn AS (SELECT doc_id, text, lang, source, n_chars, " +
         s"$n AS n FROM documents), " +
       "c AS (SELECT doc_id, text, lang, source, n_chars, " +
         s"$c0 AS c0, $c1 AS c1 FROM nn) " +
-      "SELECT doc_id, text, lang, source, n_chars, " +
-        "CAST(c0 + c1 AS DOUBLE) + " +
+      "SELECT c.doc_id, text, lang, source, n_chars, " +
+        "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
         "(CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END) AS \"_score\" " +
-      "FROM c WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
+      "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+      "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
         "CASE WHEN c1 > 0 THEN 1 ELSE 0 END) >= 1 " +
         "AND n_chars >= 100 AND (lang IS NULL OR lang <> 'de') " +
-      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+      "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
     },
+
+    // best_fields BM25 must over (text, source) + a scored should over
+    // lang: per-field statistics CTEs, greatest() combine for the must,
+    // rounded once per clause, summed — mirroring EsDsl's bool rule
+    "q7_esdsl_bm25" -> {
+      val nrm0 = tokenNormSql("text")
+      val nrm1 = tokenNormSql("source")
+      val preds = Seq(
+        substrCountSql(s"($nrm0)", " window "),
+        substrCountSql(s"($nrm1)", " window "),
+        substrCountSql(s"($nrm0)", " src3 "),
+        substrCountSql(s"($nrm1)", " src3 "))
+      s"WITH ${bm25FieldCtes("text", Seq("window", "src3"), "0")}, " +
+      s"${bm25FieldCtes("source", Seq("window", "src3"), "1")}, " +
+      s"${bm25FieldCtes("lang", Seq("en"), "2")}, " +
+      s"msc AS (${bm25CombineSql(Seq("0", "1"), bestFields = true)}), " +
+      s"lsc AS (${bm25CombineSql(Seq("2"), bestFields = false)}), " +
+      "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"${preds(0)} AS wt, ${preds(1)} AS ws, " +
+        s"${preds(2)} AS st, ${preds(3)} AS ss FROM documents) " +
+      "SELECT c.doc_id, text, lang, source, n_chars, " +
+        "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
+        "COALESCE(lsc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+      "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+      "LEFT JOIN lsc ON c.doc_id = lsc.doc_id " +
+      "WHERE (CASE WHEN wt + ws > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN st + ss > 0 THEN 1 ELSE 0 END) >= 1 " +
+      "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+    },
+
+    // wildcard -> LIKE (whole value), prefix -> LIKE 'x%', regexp ->
+    // full-match (both engines anchor); constant scores, id order
+    "q7_esdsl_wildcard" ->
+      ("SELECT p_partkey, p_name, p_brand, p_type, p_size, " +
+       "p_retailprice, CAST(1.0 AS DOUBLE) AS \"_score\" FROM part " +
+       "WHERE p_name LIKE '%r_d%' AND p_type LIKE 'S%' " +
+       "AND regexp_full_match(p_brand, 'Brand#(1[0-9]|2)') " +
+       "ORDER BY \"_score\" DESC, p_partkey LIMIT 100"),
+
+    "q7_esdsl_calendar_histogram" ->
+      ("SELECT epoch_ms(date_trunc('week', ts)) AS key, " +
+       "count(*) AS doc_count, " +
+       "count(DISTINCT user_id) AS actives " +
+       "FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY key"),
 
     "q7_esdsl_range_sort" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +

@@ -1,5 +1,7 @@
 package graft.serving
 
+import scala.collection.mutable.ArrayBuffer
+
 import com.fasterxml.jackson.databind.JsonNode
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -11,31 +13,45 @@ import org.apache.spark.sql.functions._
   * a reference client's existing request bodies run unchanged here.
   *
   * Supported: `match_all`, `term`, `terms`, `ids`, `range`
-  * (gt/gte/lt/lte), `exists`, `constant_score`, `match` (token-exact
-  * scoring, operator and/or, fuzziness), `match_phrase` (token
-  * adjacency, count-scored like Search.phrase), `multi_match`
-  * (most_fields/best_fields, `field^boost`, operator,
+  * (gt/gte/lt/lte), `exists`, `constant_score`, `wildcard` / `prefix` /
+  * `regexp` (term-level pattern queries — LIKE / anchored RLIKE
+  * rewrites), `match` (BM25-scored, operator and/or, fuzziness),
+  * `match_phrase` (token adjacency, count-scored like Search.phrase),
+  * `multi_match` (most_fields/best_fields, `field^boost`, operator,
   * minimum_should_match, fuzziness), `bool`
   * (must/filter/should/must_not with ES's scoring and
-  * minimum_should_match defaulting), plus top-level `from`/`size` and
-  * `sort` (field asc/desc and `_score`). Anything outside this core throws
-  * `IllegalArgumentException` — the HTTP layer maps it to a 400 with
-  * the offending construct named, never a silently-wrong result.
+  * minimum_should_match defaulting), plus top-level `from`/`size`,
+  * `sort` (field asc/desc and `_score`) and `_source`. Anything outside
+  * this core throws `IllegalArgumentException` — the HTTP layer maps it
+  * to a 400 with the offending construct named, never a silently-wrong
+  * result.
   *
-  * Scoring model: filter-context clauses (term/terms/range/exists,
-  * bool.filter, bool.must_not) score 0; match-family clauses score by
-  * token-exact occurrence counts (the engine's documented occurrence
-  * family — BM25 ranking lives on `/search` `rank=bm25`, which probes
-  * the write-time index); bool sums must + matching should scores,
-  * exactly ES's combination rule. All scores are doubles in a `_score`
-  * column; the default order is (_score desc, first-column asc), and an
-  * explicit `sort` always gets the first-column tiebreak appended so
-  * pagination is deterministic.
+  * Scoring model — ES parity: `match`/`multi_match` clauses score with
+  * REAL BM25, through the exact machinery `/search rank=bm25` uses
+  * ([[Search.rankedAll]] — same expression tree, fixed-order float
+  * sums, one rounding), so a replayed reference body ranks identically
+  * to ES's Lucene BM25 shape and bit-identically to this engine's own
+  * ranked endpoint. Filter-context clauses (term/terms/range/exists/
+  * wildcard/prefix/regexp, bool.filter, bool.must_not) score 0 in
+  * filter position and a constant 1.0 in query position (ES's
+  * constant-score rewrite for term-level queries); `match_phrase`
+  * scores by token-adjacent occurrence counts (the documented phrase
+  * family — ES's phrase-frequency BM25 is out of scope); `match` with
+  * `fuzziness` scores by fuzzy-token occurrence counts (the documented
+  * fuzzy family). `bool` sums must + matching should scores, exactly
+  * ES's combination rule. All scores are doubles in a `_score` column;
+  * the default order is (_score desc, id asc), and an explicit `sort`
+  * always gets the id tiebreak appended so pagination is deterministic.
   *
-  * Scale: the translation is a pure plan rewrite — predicates become
-  * Catalyst filters (pushed to the scan where the format allows),
-  * scores become projections, and the result is one TakeOrdered. No
-  * driver-side evaluation, no collect.
+  * Scale: predicates become Catalyst filters (pushed to the scan where
+  * the format allows), constant scores become projections, and BM25
+  * match scores arrive by joining the per-clause (id, score) frame —
+  * query-term-sized after the token filter, so AQE broadcasts it in the
+  * common case — back to the rows. One TakeOrdered serves the page. No
+  * driver-side evaluation, no collect. When the target is the union
+  * document view, BM25 statistics span the union as ONE corpus (ES
+  * would keep per-index statistics for a wildcard target — the
+  * per-index-ranked path lives on `/search` `rank=bm25`).
   */
 object EsDsl {
 
@@ -45,35 +61,89 @@ object EsDsl {
     * can reference the document identity positionally, like ES's _id. */
   private val IdColMarker = "__graft_id__"
 
+  /** Synthetic unique-row key the BM25 score joins ride on (equals the
+    * id column, or the concat of the union view's (document_id, table)
+    * pair — neither alone is unique there). */
+  private val SidCol = "__graft_sid__"
+
+  /** ES default `index.max_result_window`: from + size must stay within
+    * it; deeper pages are the caller's error (ES 400s identically). */
+  private val MaxResultWindow = 10000
+
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
-  /** Execute `body` (an ES search request) against `df`. Returns the
-    * table's columns plus `_score`, sorted and limited per the body
-    * (`from` + `size` offset paging, ES defaults 0 + 10). `tiebreak`
-    * names the columns appended to every sort so pagination is
-    * deterministic — default the table's first column; the union
-    * document view needs (document_id, table) since neither alone is
-    * unique. */
+  /** Per-request translation context: carries the target frame so
+    * match-family clauses can derive their BM25 (id, score) join
+    * frames while the clause tree is compiled. */
+  private final class Ctx(df: DataFrame, sid: Column) {
+    val scored = ArrayBuffer[DataFrame]()
+    private lazy val dfS = df.withColumn(SidCol, sid)
+
+    /** Register a BM25 score join for `query` over `fields`; returns
+      * the per-row score column (0.0 where the clause matched
+      * nothing). Bit-identical to `/search rank=bm25` by construction
+      * — the frame IS [[Search.rankedAll]]'s. */
+    def bm25Score(query: String, fields: Seq[(String, Double)],
+                  bestFields: Boolean): Column = {
+      val name = s"__bm25_${scored.size}"
+      val boosts = fields.filter(_._2 != 1.0).toMap
+      scored += Search.rankedAll(dfS, query, fields.map(_._1), SidCol,
+        bm25 = true, bestFields, boosts)
+        .withColumnRenamed("score", name)
+      coalesce(col(name), lit(0.0))
+    }
+  }
+
+  /** Execute `body` (an ES search request) against `df` and return ONE
+    * frame — the hits page, or the flat bucket table when the body
+    * carries `aggs` (the registered-query contract; [[searchParts]]
+    * returns both, the way ES's response holds both). `tiebreak` names
+    * the columns appended to every sort so pagination is deterministic
+    * — default the table's first column; the union document view needs
+    * (document_id, table) since neither alone is unique. */
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil): DataFrame = {
+    val (hits, aggs) = searchParts(df, body, tiebreak)
+    aggs.getOrElse(hits)
+  }
+
+  /** Execute `body` and return (hits page, aggregation buckets if the
+    * body has `aggs`) — ES returns BOTH in one response (`size: 0` is
+    * how a caller opts out of hits, not the presence of `aggs`). */
+  def searchParts(df: DataFrame, body: JsonNode,
+                  tiebreak: Seq[String] = Nil)
+      : (DataFrame, Option[DataFrame]) = {
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
-    val c = clause(q)
-    if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
-      return aggregations(df.filter(c.pred),
-        Option(body.get("aggs")).getOrElse(body.get("aggregations")))
+    val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
+    val sid =
+      if (tiebreak.size > 1)
+        concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
+      else col(idName)
+    val ctx = new Ctx(df, sid)
+    val c = clause(q, ctx)
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
-    if (size < 0 || from < 0 || from + size > 1000)
-      bad("from + size must stay within 0..1000 (serving cap)")
+    if (size < 0 || from < 0 || from + size > MaxResultWindow)
+      bad(s"from + size must stay within 0..$MaxResultWindow " +
+        "(index.max_result_window)")
+    // `ids` clauses reference the document identity through a marker
+    // column bound here to the table's id (first tiebreak / first
+    // column), then projected away; the sid column carries the BM25
+    // score joins (left: every row keeps its identity; the scored side
+    // is query-term-sized, AQE broadcasts it)
+    val base = ctx.scored.foldLeft(
+        df.withColumn(IdColMarker, col(idName)).withColumn(SidCol, sid))(
+      (acc, fr) => acc.join(fr, Seq(SidCol), "left"))
+    val filtered = base.filter(c.pred)
+    val aggsOut =
+      if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
+        Some(aggregations(filtered,
+          Option(body.get("aggs")).getOrElse(body.get("aggregations"))))
+      else None
     val ties = (if (tiebreak.nonEmpty) tiebreak
       else Seq(df.columns.head)).map(col(_).asc)
-    // `ids` clauses reference the document identity through a marker
-    // column bound here to the table's id (first column / first
-    // tiebreak), then projected away
-    val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
-    val scored = df.withColumn(IdColMarker, col(idName))
-      .filter(c.pred)
+    val scored = filtered
       .select(df.columns.map(col) :+ c.score.cast("double").as("_score"): _*)
     val sorted = Option(body.get("sort")).filter(_.isArray) match {
       case Some(s) =>
@@ -93,9 +163,10 @@ object EsDsl {
     }
     val page = (if (from > 0) sorted.offset(from) else sorted).limit(size)
     // "_source": false → hit identity only (id, _score — ES always
-    // returns _id); an array → that column subset. Projection applied
-    // AFTER the page so sort fields need not survive it.
-    Option(body.get("_source")) match {
+    // returns _id); an array → that column subset; an object →
+    // includes/excludes wildcard patterns. Projection applied AFTER the
+    // page so sort fields need not survive it.
+    val hits = Option(body.get("_source")) match {
       case None => page
       case Some(src) if src.isBoolean && !src.asBoolean =>
         page.select(col(idName), col("_score"))
@@ -105,8 +176,45 @@ object EsDsl {
         if (missing.nonEmpty)
           bad(s"unknown _source fields: ${missing.mkString(", ")}")
         page.select((cols.map(col) :+ col("_score")): _*)
-      case _ => bad("_source must be false or an array of fields")
+      case Some(src) if src.isObject =>
+        page.select(sourceFiltered(df.columns.toSeq, src)
+          .map(col) :+ col("_score"): _*)
+      case _ =>
+        bad("_source must be false, an array of fields, or an " +
+          "includes/excludes object")
     }
+    (hits, aggsOut)
+  }
+
+  /** `_source: {includes: [...], excludes: [...]}` — ES's wildcard
+    * source filtering: a column survives when it matches an includes
+    * pattern (absent = all) and no excludes pattern. Patterns support
+    * `*` (any run, including empty). */
+  private def sourceFiltered(columns: Seq[String],
+                             src: JsonNode): Seq[String] = {
+    def pats(key: String): Option[Seq[String]] =
+      Option(src.get(key)).map { n =>
+        if (!n.isArray) bad(s"_source.$key must be an array")
+        (0 until n.size).map(n.get(_).asText)
+      }
+    val unknown = {
+      val it = src.fieldNames()
+      val names = ArrayBuffer[String]()
+      while (it.hasNext) names += it.next()
+      names.filterNot(Set("includes", "excludes"))
+    }
+    if (unknown.nonEmpty)
+      bad(s"unknown _source keys: ${unknown.mkString(", ")}")
+    def matches(pat: String, name: String): Boolean =
+      name.matches(java.util.regex.Pattern.quote(pat)
+        .replace("*", "\\E.*\\Q"))
+    val inc = pats("includes")
+    val exc = pats("excludes").getOrElse(Nil)
+    val kept = columns.filter { c =>
+      inc.forall(_.exists(matches(_, c))) && !exc.exists(matches(_, c))
+    }
+    if (kept.isEmpty) bad("_source filtering removed every column")
+    kept
   }
 
   private def sortKey(field: String, order: String): Column = {
@@ -134,7 +242,43 @@ object EsDsl {
     (kind, q.get(kind))
   }
 
-  private def clause(q: JsonNode): Clause = unwrap(q) match {
+  /** A term-level pattern clause's (field, value, case_insensitive) —
+    * ES allows both the short `{"field": "pat"}` and the object
+    * `{"field": {"value": "pat", "case_insensitive": true}}` forms. */
+  private def patternSpec(b: JsonNode, kind: String)
+      : (String, String, Boolean) = {
+    val (f, spec) = unwrap(b)
+    if (spec.isObject) {
+      val v = Option(spec.get("value")).map(_.asText)
+        .getOrElse(bad(s"$kind needs \"value\""))
+      (f, v, Option(spec.get("case_insensitive")).exists(_.asBoolean))
+    } else (f, spec.asText, false)
+  }
+
+  /** ES wildcard pattern → SQL LIKE: `*` → `%`, `?` → `_`, `\x` is a
+    * literal x, and LIKE's own metacharacters are escaped. */
+  private def wildcardToLike(pat: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '\\' if i + 1 < pat.length =>
+          i += 1; escapeLikeInto(sb, pat.charAt(i))
+        case '*' => sb.append('%')
+        case '?' => sb.append('_')
+        case ch  => escapeLikeInto(sb, ch)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def escapeLikeInto(sb: StringBuilder, ch: Char): Unit = {
+    if (ch == '%' || ch == '_' || ch == '\\') sb.append('\\')
+    sb.append(ch); ()
+  }
+
+  private def clause(q: JsonNode, ctx: Ctx): Clause = unwrap(q) match {
     case ("match_all", _) => Clause(lit(true), lit(1.0))
 
     case ("term", b) =>
@@ -173,9 +317,42 @@ object EsDsl {
         .getOrElse(bad("exists needs \"field\""))
       Clause(col(f).isNotNull, lit(1.0))
 
+    case ("wildcard", b) =>
+      // ES wildcard matches the ENTIRE (keyword) value — exactly SQL
+      // LIKE's whole-string contract. Case-sensitive by default.
+      val (f, pat, ci) = patternSpec(b, "wildcard")
+      val like = wildcardToLike(if (ci) pat.toLowerCase else pat)
+      val target = if (ci) lower(col(f)) else col(f)
+      Clause(target.like(like), lit(1.0))
+
+    case ("prefix", b) =>
+      val (f, pre, ci) = patternSpec(b, "prefix")
+      val sb = new StringBuilder
+      (if (ci) pre.toLowerCase else pre).foreach(escapeLikeInto(sb, _))
+      val target = if (ci) lower(col(f)) else col(f)
+      Clause(target.like(sb.toString + "%"), lit(1.0))
+
+    case ("regexp", b) =>
+      // ES regexp is FULLY ANCHORED (matches the whole value). The
+      // Lucene-only operators (`&` intersection, `~` complement, `<>`
+      // numeric intervals) have no Java-regex equivalent — reject them
+      // rather than mistranslate; the shared core (. * + ? [] () |) is
+      // dialect-identical.
+      val (f, pat, ci) = patternSpec(b, "regexp")
+      var esc = false
+      pat.foreach { ch =>
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if ("&~<>".contains(ch))
+          bad(s"Lucene-specific regexp operator '$ch' is not supported")
+      }
+      val re = (if (ci) "(?i)" else "") + "^(?:" + pat + ")$"
+      Clause(col(f).rlike(re), lit(1.0))
+
     case ("ids", b) =>
       // ES matches _id; the engine's document identity is the table's
-      // FIRST column (the same id every scorer tiebreaks on)
+      // id column (the same id every scorer tiebreaks on), bound to the
+      // marker column by [[searchParts]]
       val vs = Option(b.get("values")).filter(_.isArray)
         .getOrElse(bad("ids needs \"values\""))
       val values: Seq[Any] = (0 until vs.size).map { i =>
@@ -191,7 +368,7 @@ object EsDsl {
       val f = Option(b.get("filter"))
         .getOrElse(bad("constant_score needs \"filter\""))
       val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
-      Clause(clause(f).pred, lit(boost))
+      Clause(clause(f, ctx).pred, lit(boost))
 
     case ("match_phrase", b) =>
       val (f, spec) = unwrap(b)
@@ -215,7 +392,7 @@ object EsDsl {
            Option(spec.get("operator")).map(_.asText).getOrElse("or"),
            Option(spec.get("fuzziness")).map(_.asText))
         else (spec.asText, "or", None)
-      matchClause(text, Seq(f -> 1.0), operator, minMatch = None,
+      matchClause(ctx, text, Seq(f -> 1.0), operator, minMatch = None,
         bestFields = false, fuzziness)
 
     case ("multi_match", b) =>
@@ -235,14 +412,14 @@ object EsDsl {
       val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
       val msm = Option(b.get("minimum_should_match")).map(m =>
         if (m.isIntegralNumber) m.asInt.toString else m.asText)
-      matchClause(text, fields, operator, msm, tpe == "best_fields",
+      matchClause(ctx, text, fields, operator, msm, tpe == "best_fields",
         Option(b.get("fuzziness")).map(_.asText))
 
     case ("bool", b) =>
-      val must = sub(b, "must").map(clause)
-      val filter = sub(b, "filter").map(clause)
-      val mustNot = sub(b, "must_not").map(clause)
-      val should = sub(b, "should").map(clause)
+      val must = sub(b, "must").map(clause(_, ctx))
+      val filter = sub(b, "filter").map(clause(_, ctx))
+      val mustNot = sub(b, "must_not").map(clause(_, ctx))
+      val should = sub(b, "should").map(clause(_, ctx))
       // ES default: should is optional when must/filter exist, else at
       // least one should must match; explicit minimum_should_match
       // resolves with the full grammar against the should count
@@ -381,34 +558,57 @@ object EsDsl {
             bad(s"at most one nested terms agg (got ${many.size})")
         }
       case "date_histogram" =>
-        // ES fixed_interval buckets over a timestamp column; bucket
-        // `key` is the interval start as EPOCH MILLIS — exactly the
-        // number ES puts in its bucket "key". Calendar intervals
-        // (month/quarter — variable length) are not supported.
+        // ES date_histogram over a timestamp column; bucket `key` is
+        // the interval start as EPOCH MILLIS — exactly the number ES
+        // puts in its bucket "key". `fixed_interval` buckets by FLOOR
+        // division (ms - pmod keeps it exact long arithmetic and lands
+        // pre-1970 timestamps in the right bucket — `div` truncates
+        // toward zero); `calendar_interval` buckets by date_trunc under
+        // the session's pinned UTC zone.
         val h = spec.get("date_histogram")
         val f = Option(h.get("field")).map(_.asText)
           .getOrElse(bad("date_histogram agg needs \"field\""))
-        val ivSpec = Option(h.get("fixed_interval")).map(_.asText)
-          .getOrElse(bad("date_histogram agg needs \"fixed_interval\""))
-        val m = "([0-9]+)(ms|s|m|h|d)".r
-        val intervalMs = ivSpec match {
-          case m(n, unit) => n.toLong * (unit match {
-            case "ms" => 1L
-            case "s"  => 1000L
-            case "m"  => 60000L
-            case "h"  => 3600000L
-            case "d"  => 86400000L
-          })
-          case _ => bad(s"malformed fixed_interval '$ivSpec'")
+        val fixed = Option(h.get("fixed_interval")).map(_.asText)
+        val calendar = Option(h.get("calendar_interval")).map(_.asText)
+        if (fixed.isEmpty && calendar.isEmpty)
+          bad("date_histogram agg needs \"fixed_interval\" or " +
+            "\"calendar_interval\"")
+        if (fixed.nonEmpty && calendar.nonEmpty)
+          bad("date_histogram: fixed_interval and calendar_interval " +
+            "are mutually exclusive")
+        val ms = s"unix_millis(cast(`$f` as timestamp))"
+        val bucket = fixed match {
+          case Some(ivSpec) =>
+            val m = "([0-9]+)(ms|s|m|h|d)".r
+            val intervalMs = ivSpec match {
+              case m(n, unit) => n.toLong * (unit match {
+                case "ms" => 1L
+                case "s"  => 1000L
+                case "m"  => 60000L
+                case "h"  => 3600000L
+                case "d"  => 86400000L
+              })
+              case _ => bad(s"malformed fixed_interval '$ivSpec'")
+            }
+            if (intervalMs <= 0) bad("fixed_interval must be positive")
+            expr(s"$ms - pmod($ms, ${intervalMs}L)")
+          case None =>
+            // ES calendar units (singular names + the 1x shorthands;
+            // JSON is case-sensitive: 1m = minute, 1M = month)
+            val unit = calendar.get match {
+              case "minute" | "1m"  => "minute"
+              case "hour" | "1h"    => "hour"
+              case "day" | "1d"     => "day"
+              case "week" | "1w"    => "week"
+              case "month" | "1M"   => "month"
+              case "quarter" | "1q" => "quarter"
+              case "year" | "1y"    => "year"
+              case other =>
+                bad(s"unsupported calendar_interval '$other'")
+            }
+            expr(s"unix_millis(date_trunc('$unit', " +
+              s"cast(`$f` as timestamp)))")
         }
-        if (intervalMs <= 0) bad("fixed_interval must be positive")
-        // NTZ timestamps read their stored instant under the session's
-        // pinned UTC zone. `div` keeps the bucketing in exact integer
-        // arithmetic (a float divide would round-trip epoch millis
-        // through double)
-        val bucket = expr(
-          s"(unix_millis(cast(`$f` as timestamp)) div ${intervalMs}L) " +
-            s"* ${intervalMs}L")
         df.filter(col(f).isNotNull)
           .groupBy(bucket.as("key"))
           .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
@@ -447,11 +647,17 @@ object EsDsl {
       if (n.isArray) (0 until n.size).map(n.get) else Seq(n)
     }
 
-  /** Shared match/multi_match translation: token-exact per-term counts
-    * per field (Levenshtein-widened under fuzziness), most_fields sum /
-    * best_fields max, operator and/or or an explicit k-of-n predicate —
-    * the same semantics as the /search scorers over these inputs. */
-  private def matchClause(text: String, fields: Seq[(String, Double)],
+  /** Shared match/multi_match translation. The MATCH SET is computed
+    * per-row: token-exact per-term counts per field (Levenshtein-
+    * widened under fuzziness), operator and/or or an explicit k-of-n
+    * predicate — the same set semantics as the /search scorers. The
+    * SCORE is real BM25 through [[Ctx.bm25Score]] (most_fields sum /
+    * best_fields max, `field^boost` multipliers), except under
+    * fuzziness, where the score stays the fuzzy-occurrence count (BM25
+    * statistics are not defined over fuzzy-expanded terms in this
+    * engine — the documented fuzzy family). */
+  private def matchClause(ctx: Ctx, text: String,
+                          fields: Seq[(String, Double)],
                           operator: String, minMatch: Option[String],
                           bestFields: Boolean,
                           fuzziness: Option[String]): Clause = {
@@ -477,14 +683,18 @@ object EsDsl {
       case None => if (operator == "and") terms.size else 1
     }
     val pred = matchedTerms >= math.max(1, math.min(need, terms.size))
-    def fieldScore(f: String, boost: Double): Column = {
-      val raw = terms.map(t => cnt(f, t)).reduce(_ + _).cast("double")
-      if (boost == 1.0) raw else raw * boost
+    val score = fuzziness match {
+      case Some(_) =>
+        def fieldScore(f: String, boost: Double): Column = {
+          val raw = terms.map(t => cnt(f, t)).reduce(_ + _).cast("double")
+          if (boost == 1.0) raw else raw * boost
+        }
+        val parts = fields.map { case (f, b) => fieldScore(f, b) }
+        if (parts.size == 1) parts.head
+        else if (bestFields) greatest(parts: _*)
+        else parts.reduce(_ + _)
+      case None => ctx.bm25Score(text, fields, bestFields)
     }
-    val parts = fields.map { case (f, b) => fieldScore(f, b) }
-    val score = if (parts.size == 1) parts.head
-      else if (bestFields) greatest(parts: _*)
-      else parts.reduce(_ + _)
     Clause(pred, score)
   }
 }

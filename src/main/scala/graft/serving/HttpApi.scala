@@ -426,10 +426,12 @@ final class HttpApi(
     if (req.hasNonNull("query")) {
       // index "*" / data_lake_* = the union document view, the exact
       // target the reference's passthrough queries (its es_connector
-      // always searches index_prefix*); a named table addresses that
-      // table directly. The union's pagination tiebreak needs BOTH id
-      // columns — document_ids can collide across entities.
-      val index = textOr(req, "index", "documents")
+      // always searches index_prefix*) — and therefore the DEFAULT: a
+      // verbatim reference body with no "index" field must hit the same
+      // corpus the reference would. A named table addresses that table
+      // directly. The union's pagination tiebreak needs BOTH id columns
+      // — document_ids can collide across entities.
+      val index = textOr(req, "index", "*")
       val target: Option[(org.apache.spark.sql.DataFrame, Seq[String])] =
         if (index == "*" || index.endsWith("_*"))
           Some((EntityCatalog.unionDocuments(spark, srcDir, runTs),
@@ -441,8 +443,17 @@ final class HttpApi(
         case None =>
           respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
         case Some((df, ties)) =>
-          try hits(ex, EsDsl.search(df, req, ties))
-          catch {
+          try {
+            // ES returns hits AND aggregations in one response; the
+            // flat bucket table rides an "aggregations" section keyed
+            // by the body's top-level agg name
+            val (page, aggs) = EsDsl.searchParts(df, req, ties)
+            val aggName = aggs.map { _ =>
+              Option(req.get("aggs")).getOrElse(req.get("aggregations"))
+                .fieldNames().next()
+            }
+            hits(ex, page, aggs = aggs.zip(aggName))
+          } catch {
             case e: IllegalArgumentException =>
               respond(ex, 400, mapper.createObjectNode()
                 .put("error", String.valueOf(e.getMessage)).toString)
@@ -514,7 +525,8 @@ final class HttpApi(
     * envelope tells the caller to narrow the query or paginate. */
   private def hits(ex: HttpExchange, df: DataFrame,
                    nextToken: () => Option[String] = () => None,
-                   baseOffset: Int = 0): Unit = {
+                   baseOffset: Int = 0,
+                   aggs: Option[(DataFrame, String)] = None): Unit = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
@@ -526,10 +538,19 @@ final class HttpApi(
     val token = if (capped) nextToken() else None
     val tokenField = token
       .map(t => s""", "next_page_token": "$t"""").getOrElse("")
+    // ES returns aggregations NEXT TO hits; buckets are the flat
+    // relational bucket table (size-capped upstream by the agg
+    // translator; maxHits bounds the serving collect regardless)
+    val aggsField = aggs.map { case (bdf, name) =>
+      val buckets = bdf.limit(maxHits).toJSON.collect()
+      s""", "aggregations": {"${name}": {"buckets": [${
+        buckets.mkString(", ")}]}}"""
+    }.getOrElse("")
     respond(ex, 200,
       s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
         }"relation": "$relation"}, "max_hits": $maxHits, ${""
-        }"capped": $capped$tokenField, "hits": [${page.mkString(", ")}]}}""")
+        }"capped": $capped$tokenField, "hits": [${
+        page.mkString(", ")}]}$aggsField}""")
   }
 
   // -------------------------------------------------------------------

@@ -379,7 +379,24 @@ object Search {
                            bm25: Boolean, bestFields: Boolean,
                            boosts: Map[String, Double],
                            after: Option[(Double, Any)] = None,
-                           afterInclusive: Boolean = false): DataFrame = {
+                           afterInclusive: Boolean = false): DataFrame =
+    rankedAll(df, query, fields, idCol, bm25, bestFields, boosts)
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+
+  /** The (id, score) frame of [[rankedFields]] BEFORE pagination: one
+    * row per doc matching ≥1 query term as an exact token, carrying the
+    * rounded combined score — no cursor, no order, no limit. The ES-DSL
+    * translator ([[EsDsl]]) joins these frames back to table rows so DSL
+    * `match`/`multi_match` clauses score with the exact BM25 machinery
+    * `/search rank=bm25` uses — same expression tree, same fixed-order
+    * float sums, same one-time rounding, so DSL and /search rankings are
+    * bit-identical on the same query. */
+  private[graft] def rankedAll(df: DataFrame, query: String,
+                               fields: Seq[String], idCol: String,
+                               bm25: Boolean, bestFields: Boolean,
+                               boosts: Map[String, Double]): DataFrame = {
     import graft.functions.TextFunctions.tokenCount
     require(fields.nonEmpty, "at least one field to rank")
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -448,9 +465,6 @@ object Search {
     grouped.join(broadcast(idf), Seq("fid", "term"))
       .groupBy(col(idCol))
       .agg(round4(combined).as("score"))
-      .filter(afterPredicate(after, col(idCol), afterInclusive))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(limit)
   }
 
   private def rankedRetrieval(df: DataFrame, query: String, textCol: String,

@@ -24,4 +24,33 @@ class EsDslPlanCheckSpec extends SparkSpec {
         s"sorted page is not a TakeOrdered:\n${plan.take(2000)}")
     } finally spark.conf.set(key, saved)
   }
+
+  test("q7_esdsl_wildcard: the prefix clause reaches the scan as " +
+    "StringStartsWith; page is TakeOrdered") {
+    val df = queries.ParityQueries.queries("q7_esdsl_wildcard")(
+      spark, "/root/testdata/sf0.001")
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("StringStartsWith(p_type,S"),
+        s"prefix not pushed:\n${plan.take(2000)}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"page is not a TakeOrdered:\n${plan.take(2000)}")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q7_esdsl_bm25: no cartesian in the score-join plan, one " +
+    "TakeOrdered page (PlanSweepSpec re-checks with the full rules)") {
+    val df = queries.ParityQueries.queries("q7_esdsl_bm25")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the score join:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page is not a TakeOrdered:\n${plan.take(2000)}")
+  }
 }

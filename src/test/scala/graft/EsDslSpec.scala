@@ -2,11 +2,14 @@ package graft
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import graft.serving.EsDsl
+import org.apache.spark.sql.functions.col
 
-/** The ES-DSL translator's semantics: scoring combination, bool
-  * minimum_should_match defaulting, null-safe must_not, sort, and the
-  * explicit-rejection contract for unsupported constructs. */
+import graft.serving.{EsDsl, Search}
+
+/** The ES-DSL translator's semantics: BM25 scoring parity with the
+  * /search rank=bm25 machinery, bool minimum_should_match defaulting,
+  * null-safe must_not, sort, pattern clauses, hits+aggs pairing, and
+  * the explicit-rejection contract for unsupported constructs. */
 class EsDslSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,24 +24,38 @@ class EsDslSpec extends SparkSpec {
     (4L, "batch batch window", "src3", 40L)
   ).toDF("doc_id", "text", "source", "n")
 
-  test("match scores by token counts; operator and bool combination " +
-    "follow ES rules") {
-    val or = q("""{"query": {"match": {"text": "window batch"}},
-      "size": 10}""").collect()
-    assert(or.map(_.getLong(0)).toSeq == Seq(4L, 1L, 2L)) // 3,2,1 counts
-    assert(or.map(_.getDouble(4)).toSeq == Seq(3.0, 2.0, 1.0))
+  test("match ranks and scores EXACTLY like /search rank=bm25 — the " +
+    "ES-parity contract") {
+    val dsl = q("""{"query": {"match": {"text": "window batch"}},
+      "size": 10}""").select(col("doc_id"), col("_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref = Search.bm25Fields(docs.select("doc_id", "text"),
+        "window batch", Seq("text"), "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dsl == ref, s"DSL $dsl != /search bm25 $ref")
+    // the qualitative order survives: tf saturation keeps the 2x-batch
+    // doc on top, the one-term doc last
+    assert(dsl.map(_._1) == Seq(4L, 1L, 2L))
     val and = q("""{"query": {"match": {"text":
       {"query": "window batch", "operator": "and"}}}, "size": 10}""")
       .collect().map(_.getLong(0)).toSeq
     assert(and == Seq(4L, 1L)) // doc 2 lacks "batch"
-    // bool: must scores + matching should scores; filter scores 0
+  }
+
+  test("bool combines BM25 must scores with should scores per ES's " +
+    "sum rule; filter scores 0") {
     val b = q("""{"query": {"bool": {
       "must": [{"match": {"text": "window"}}],
       "filter": [{"range": {"n": {"lte": 20}}}],
       "should": [{"term": {"source": "src3"}}]}}, "size": 10}""")
       .collect()
     assert(b.map(_.getLong(0)).toSeq == Seq(1L, 2L))
-    assert(b.map(_.getDouble(4)).toSeq == Seq(2.0, 1.0)) // 1+1 vs 1+0
+    val bm25 = Search.bm25Fields(docs.select("doc_id", "text"),
+        "window", Seq("text"), "doc_id", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: bm25(window) + 1.0 (should matched); doc 2: bm25 alone
+    assert(b.map(_.getDouble(4)).toSeq ==
+      Seq(bm25(1L) + 1.0, bm25(2L)))
   }
 
   test("bool minimum_should_match: defaults to 1 without must/filter, " +
@@ -79,14 +96,48 @@ class EsDslSpec extends SparkSpec {
     assert(ex == Set(1L, 2L, 4L))
   }
 
-  test("multi_match with boosts and best_fields; fuzziness widens the " +
-    "match") {
+  test("wildcard / prefix / regexp: whole-value LIKE and anchored " +
+    "RLIKE; Lucene-only regexp operators reject") {
+    // wildcard matches the ENTIRE value — "*batch*" needs the leading *
+    val w = q("""{"query": {"wildcard": {"text": "*batch*"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(w == Set(1L, 4L))
+    val wq = q("""{"query": {"wildcard": {"text": "window ?nly"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(wq == Set(2L)) // ? = exactly one char
+    val ci = q("""{"query": {"wildcard": {"text":
+      {"value": "WINDOW*", "case_insensitive": true}}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(ci == Set(1L, 2L))
+    val p = q("""{"query": {"prefix": {"text": {"value": "window"}}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(p == Set(1L, 2L))
+    // regexp is fully anchored: "batch.*" must match from the START
+    val re = q("""{"query": {"regexp": {"text": "batch.*"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(re == Set(4L)) // doc 1 has batch mid-string: no match
+    val re2 = q("""{"query": {"regexp": {"text": ".*(batch|only).*"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(re2 == Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"regexp": {"text": "a~b"}}, "size": 10}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"regexp": {"text": "a&b"}}, "size": 10}""")
+    }
+  }
+
+  test("multi_match BM25: boosts and best_fields match the bm25Fields " +
+    "scorer; fuzziness keeps the fuzzy-occurrence family") {
     val mm = q("""{"query": {"multi_match": {"query": "window src3",
       "fields": ["text", "source^3"], "type": "best_fields"}},
-      "size": 10}""").collect()
-    // doc 1: text 1 vs source 3 -> 3.0; doc 4: max(1, 3) = 3.0
-    assert(mm.map(r => r.getLong(0) -> r.getDouble(4)).toMap ==
-      Map(1L -> 3.0, 2L -> 1.0, 4L -> 3.0))
+      "size": 10}""").select(col("doc_id"), col("_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref = Search.bm25Fields(docs.select("doc_id", "text", "source"),
+        "window src3", Seq("text", "source"), "doc_id", 10,
+        bestFields = true, boosts = Map("source" -> 3.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mm == ref, s"DSL $mm != bm25Fields $ref")
     val fz = q("""{"query": {"match": {"text":
       {"query": "windoq", "fuzziness": "1"}}}, "size": 10}""")
       .collect().map(_.getLong(0)).toSet
@@ -94,7 +145,7 @@ class EsDslSpec extends SparkSpec {
   }
 
   test("from + size page deterministically: two pages == one larger " +
-    "request") {
+    "request; the window caps at ES's max_result_window") {
     val all = q("""{"query": {"match_all": {}}, "size": 4}""")
       .collect().map(_.getLong(0)).toSeq
     val p1 = q("""{"query": {"match_all": {}}, "size": 2}""")
@@ -102,8 +153,11 @@ class EsDslSpec extends SparkSpec {
     val p2 = q("""{"query": {"match_all": {}}, "from": 2, "size": 2}""")
       .collect().map(_.getLong(0)).toSeq
     assert(p1 ++ p2 == all, s"$p1 ++ $p2 != $all")
+    // a deep-but-legal page (ES serves up to from+size = 10,000)
+    assert(q("""{"query": {"match_all": {}}, "from": 9995, "size": 5}""")
+      .collect().isEmpty)
     intercept[IllegalArgumentException] {
-      q("""{"query": {"match_all": {}}, "from": 999, "size": 5}""")
+      q("""{"query": {"match_all": {}}, "from": 9999, "size": 5}""")
     }
   }
 
@@ -152,6 +206,24 @@ class EsDslSpec extends SparkSpec {
     assert(h == Seq(0.0 -> 2L, 25.0 -> 2L)) // n=10,20 | 30,40
   }
 
+  test("searchParts returns hits AND buckets from one body — ES's " +
+    "response always carries both; ids-under-aggs binds the marker") {
+    val (hits, aggs) = EsDsl.searchParts(docs, mapper.readTree(
+      """{"query": {"match_all": {}}, "size": 2,
+        "aggs": {"by_source": {"terms": {"field": "source"}}}}"""))
+    assert(hits.collect().length == 2)
+    assert(aggs.get.collect().map(_.getString(0)).toSeq ==
+      Seq("src3", "src1"))
+    // an ids query under aggs must filter, not 500 (round-8 regression:
+    // the marker column was only bound on the hits path)
+    val (h2, a2) = EsDsl.searchParts(docs, mapper.readTree(
+      """{"query": {"ids": {"values": [1, 4]}}, "size": 10,
+        "aggs": {"by_source": {"terms": {"field": "source"}}}}"""))
+    assert(h2.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(a2.get.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toSeq == Seq("src3" -> 2L))
+  }
+
   test("nested terms-in-terms buckets: top parents, top children per " +
     "parent, child metrics; parent-level metrics beside them reject") {
     val n = q("""{"query": {"match_all": {}},
@@ -178,17 +250,52 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
-  test("date_histogram rejects malformed, calendar, and zero intervals") {
-    for (iv <- Seq("\"1month\"", "\"xx\"", "\"0d\""))
+  test("date_histogram: calendar_interval truncates to the calendar " +
+    "unit with epoch-millis bucket keys; malformed intervals reject") {
+    val ts = Seq(
+      (1L, "2024-01-05 10:00:00"), (2L, "2024-01-28 23:59:59"),
+      (3L, "2024-02-01 00:00:00"), (4L, "2024-04-30 12:00:00")
+    ).toDF("id", "s").select(col("id"),
+      org.apache.spark.sql.functions.to_timestamp(col("s")).as("ts"))
+    val m = EsDsl.search(ts, mapper.readTree(
+      """{"query": {"match_all": {}},
+        "aggs": {"per": {"date_histogram":
+          {"field": "ts", "calendar_interval": "month"}}}}"""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // bucket keys = month starts in epoch millis (session zone is UTC)
+    assert(m == Seq(
+      1704067200000L -> 2L,   // 2024-01-01
+      1706745600000L -> 1L,   // 2024-02-01
+      1711929600000L -> 1L))  // 2024-04-01
+    val qtr = EsDsl.search(ts, mapper.readTree(
+      """{"query": {"match_all": {}},
+        "aggs": {"per": {"date_histogram":
+          {"field": "ts", "calendar_interval": "quarter"}}}}"""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(qtr == Seq(1704067200000L -> 3L, 1711929600000L -> 1L))
+    for (iv <- Seq("\"fixed_interval\": \"1month\"",
+        "\"fixed_interval\": \"xx\"", "\"fixed_interval\": \"0d\"",
+        "\"calendar_interval\": \"fortnight\""))
       intercept[IllegalArgumentException] {
         q(s"""{"query": {"match_all": {}},
-          "aggs": {"t": {"date_histogram":
-            {"field": "n", "fixed_interval": $iv}}}}""")
+          "aggs": {"t": {"date_histogram": {"field": "n", $iv}}}}""")
       }
+    // fixed_interval buckets by FLOOR division: a pre-1970 timestamp
+    // lands in the bucket BELOW zero, not the truncated-toward-zero one
+    val neg = Seq((1L, "1969-12-31 22:00:00"), (2L, "1970-01-01 01:00:00"))
+      .toDF("id", "s").select(col("id"),
+        org.apache.spark.sql.functions.to_timestamp(col("s")).as("ts"))
+    val nb = EsDsl.search(neg, mapper.readTree(
+      """{"query": {"match_all": {}},
+        "aggs": {"per": {"date_histogram":
+          {"field": "ts", "fixed_interval": "1d"}}}}"""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(nb == Seq(-86400000L -> 1L, 0L -> 1L))
   }
 
   test("_source filtering: false returns hit identity, an array a " +
-    "column subset; unknown fields reject") {
+    "column subset, an object includes/excludes wildcards; unknown " +
+    "fields reject") {
     val idOnly = q("""{"query": {"term": {"source": "src3"}},
       "_source": false, "size": 10}""")
     assert(idOnly.columns.toSeq == Seq("doc_id", "_score"))
@@ -196,8 +303,19 @@ class EsDslSpec extends SparkSpec {
     val subset = q("""{"query": {"match_all": {}},
       "_source": ["source", "n"], "size": 10}""")
     assert(subset.columns.toSeq == Seq("source", "n", "_score"))
+    val obj = q("""{"query": {"match_all": {}},
+      "_source": {"includes": ["*o*"], "excludes": ["doc*"]},
+      "size": 10}""")
+    assert(obj.columns.toSeq == Seq("source", "_score"))
+    val excOnly = q("""{"query": {"match_all": {}},
+      "_source": {"excludes": ["text"]}, "size": 10}""")
+    assert(excOnly.columns.toSeq == Seq("doc_id", "source", "n", "_score"))
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "_source": ["nope"]}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "_source": {"include": ["x"]}}""")
     }
   }
 
@@ -209,7 +327,7 @@ class EsDslSpec extends SparkSpec {
         """{"query": {"bool": {"should": []}, "extra": 1}}""",
         """{"query": {"range": {"n": {}}}}"""))
       intercept[IllegalArgumentException] { q(body).collect() }
-    // size above the serving cap is refused, not silently clamped
+    // size above the result window is refused, not silently clamped
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "size": 100000}""").collect()
     }

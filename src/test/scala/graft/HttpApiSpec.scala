@@ -300,6 +300,37 @@ class HttpApiSpec extends SparkSpec
     assert("\"table\":\"customer\"".r.findAllIn(wild.body()).nonEmpty)
   }
 
+  test("POST /search/advanced returns hits AND aggregations from one " +
+    "DSL body (ES's response shape), and defaults to the union view") {
+    val r = post("/search/advanced",
+      """{"query": {"range": {"n_chars": {"gte": 1}}}, "size": 5,
+        | "index": "documents",
+        | "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}}}"""
+        .stripMargin)
+    assert(r.statusCode() == 200, r.body().take(300))
+    // 5 hits AND the buckets, in one response
+    assert("\"doc_id\"".r.findAllIn(r.body()).size == 5, r.body().take(500))
+    assert(r.body().contains("\"aggregations\": {\"by_lang\": " +
+      "{\"buckets\": ["), r.body().take(500))
+    assert(r.body().contains("\"doc_count\""))
+    // size 0 = buckets only, the ES idiom
+    val b0 = post("/search/advanced",
+      """{"query": {"match_all": {}}, "size": 0, "index": "documents",
+        | "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}}}"""
+        .stripMargin)
+    assert(b0.statusCode() == 200)
+    assert(!b0.body().contains("\"doc_id\""))
+    assert(b0.body().contains("\"aggregations\""))
+    // no "index" field → the union document view (the reference's
+    // es_connector always searches index_prefix*), NOT a named table
+    val dflt = post("/search/advanced",
+      """{"query": {"match": {"customer_c_mktsegment": "building"}},
+        | "size": 3}""".stripMargin)
+    assert(dflt.statusCode() == 200, dflt.body().take(300))
+    assert(dflt.body().contains("\"document_id\""))
+    assert("\"table\":\"customer\"".r.findAllIn(dflt.body()).nonEmpty)
+  }
+
   test("POST /search/advanced hard-caps corpus-sized results — a " +
       "SELECT * never materializes the corpus in the serving JVM") {
     // lineitem at sf0.001 is ~6k rows, well past the 1000-row cap

@@ -260,16 +260,29 @@ class SearchIndexSpec extends SparkSpec {
       "not parquet".getBytes)
     assert(q() == before, "probe read a half-staged generation")
     // a real upsert stages g1 fully (Overwrite clears the orphan),
-    // flips the pointer in one atomic meta rename, and GCs g0
+    // flips the pointer in one atomic meta rename — and KEEPS g0 for
+    // one grace cycle: a concurrent probe that resolved the old
+    // pointer may not have listed its parquet files yet (Spark lists
+    // lazily at action time), so synchronous deletion would fail it
+    // mid-request
     val batch = Seq((2L, "now with window", "src3"))
       .toDF("doc_id", "text", "source")
     SearchIndex.upsert(batch, path)
     assert(SearchIndex.readMeta(path).gen == 1)
-    assert(!new java.io.File(s"$path/g0").exists,
-      "replaced generation not collected")
+    assert(new java.io.File(s"$path/g0").exists,
+      "just-replaced generation must survive one grace cycle")
     val after = q()
     assert(after != before, "upsert had no effect on ranking")
     assert(after.exists(_.startsWith("[2,")), "upserted doc not ranked")
+    // the NEXT cycle collects it: after the second upsert only g2 and
+    // its grace predecessor g1 remain
+    SearchIndex.upsert(Seq((3L, "third window", "src1"))
+      .toDF("doc_id", "text", "source"), path)
+    assert(SearchIndex.readMeta(path).gen == 2)
+    assert(!new java.io.File(s"$path/g0").exists,
+      "two-generations-old directory not collected")
+    assert(new java.io.File(s"$path/g1").exists,
+      "grace predecessor must remain")
   }
 
   test("termstats derivation has no distinct-agg Expand (df is a " +
