@@ -693,6 +693,17 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "part"), body)
     }),
 
+    // match_phrase slop through the DSL translator (round 9): the same
+    // ordered-proximity semantics as q2_search_phrase_slop, arriving in
+    // a verbatim ES body; count-valued scores cast to _score doubles.
+    "q7_esdsl_phrase_slop" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text":
+          |  {"query": "the window", "slop": 2}}}, "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // calendar_interval date_histogram (round 9): calendar WEEK
     // buckets (Monday starts — ES's default, and both engines'
     // date_trunc convention) via date_trunc under the session's pinned
@@ -736,6 +747,29 @@ object ParityQueries {
       val hits = graft.sinks.SearchIndex.phrase(
         s, s"${searchIndexRoot(s, dir)}/documents", "the window",
         Seq("text"))
+      t(s, dir, "documents").select("doc_id", "text")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ES match_phrase slop (round 9): ordered proximity — the terms in
+    // order with at most `slop` extra tokens interleaved in total (gap
+    // sum <= slop; Lucene's cost-2 transpositions out of scope,
+    // documented). slop=2 widens "the window" from 23 adjacent hits to
+    // 70 proximity hits at sf0.01 — the oracle re-derives the match set
+    // from first principles (token positions + windowed join).
+    "q2_search_phrase_slop" -> ((s, dir) =>
+      graft.serving.Search.slopPhrase(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "the window", Seq("text"), slop = 2)),
+
+    // The indexed twin answers the same sloppy phrase from positional
+    // postings (term IN (...) pushed to the scan, windowed existence on
+    // query-sized position lists) — one oracle, two plans.
+    "q2_search_phrase_slop_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phrase(
+        s, s"${searchIndexRoot(s, dir)}/documents", "the window",
+        Seq("text"), slop = 2)
       t(s, dir, "documents").select("doc_id", "text")
         .join(broadcast(hits), Seq("doc_id"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -1292,6 +1326,30 @@ object ParityQueries {
     "WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100"
   }
 
+  /** Sloppy-phrase oracle — first-principles re-derivation: token
+    * positions via unnest + generate_subscripts, a windowed self-join
+    * for "t2 after t1 within 1 + slop positions", score = count of
+    * DISTINCT start positions (Search.slopCount's contract). Shared by
+    * the scan path, the positional-postings probe, and (recast with a
+    * double _score + full columns) the DSL body. */
+  private def slopOracleCte(t1: String, t2: String, slop: Int): String =
+    "WITH toks AS (SELECT doc_id, text, list_filter(" +
+      "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
+      "x -> x <> '') AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      s"FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      s"AND a.tok = '$t1' AND b.tok = '$t2' " +
+      s"AND b.pos > a.pos AND b.pos <= a.pos + ${1 + slop} " +
+      "GROUP BY a.doc_id) "
+
+  private val slopOracleSql: String =
+    slopOracleCte("the", "window", 2) +
+    "SELECT d.doc_id, d.text, CAST(m.score AS INT) AS score " +
+    "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+    "ORDER BY score DESC, d.doc_id LIMIT 100"
+
   private val andOracleSql: String = {
     def cnt(t: String) =
       s"(${substrCountSql("nt", s" $t ")} + " +
@@ -1696,6 +1754,14 @@ object ParityQueries {
 
     "q2_search_phrase" -> phraseOracleSql,
     "q2_search_phrase_indexed" -> phraseOracleSql,
+    "q2_search_phrase_slop" -> slopOracleSql,
+    "q2_search_phrase_slop_indexed" -> slopOracleSql,
+    "q7_esdsl_phrase_slop" -> (
+      slopOracleCte("the", "window", 2) +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS _score " +
+      "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+      "ORDER BY _score DESC, d.doc_id LIMIT 100"),
 
     "q2_search_fuzzy" -> fuzzyOracleSql,
     "q2_search_fuzzy_indexed" -> fuzzyOracleSql,

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * (gt/gte/lt/lte), `exists`, `constant_score`, `wildcard` / `prefix` /
   * `regexp` (term-level pattern queries — LIKE / anchored RLIKE
   * rewrites), `match` (BM25-scored, operator and/or, fuzziness),
-  * `match_phrase` (token adjacency, count-scored like Search.phrase),
+  * `match_phrase` (token adjacency, count-scored like Search.phrase;
+  * `slop` switches to ordered proximity — Search.slopPhrase),
   * `multi_match` (most_fields/best_fields, `field^boost`, operator,
   * minimum_should_match, fuzziness), `bool`
   * (must/filter/should/must_not with ES's scoring and
@@ -375,13 +376,23 @@ object EsDsl {
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
+      val slop = if (spec.isObject)
+        Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
+      if (slop < 0) bad("slop must be >= 0")
       val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
       if (terms.isEmpty) bad("empty match_phrase query")
-      // token ADJACENCY on the normalized token string — the same
-      // semantics (and the same count-valued score) as Search.phrase
-      val needle = terms.mkString(" ", "  ", " ")
-      val cnt = Search.substrCount(Search.tokenNorm(col(f)), needle)
-      Clause(cnt > 0, cnt.cast("double"))
+      if (slop == 0) {
+        // token ADJACENCY on the normalized token string — the same
+        // semantics (and the same count-valued score) as Search.phrase
+        val needle = terms.mkString(" ", "  ", " ")
+        val cnt = Search.substrCount(Search.tokenNorm(col(f)), needle)
+        Clause(cnt > 0, cnt.cast("double"))
+      } else {
+        // sloppy phrase: ordered proximity (gap sum <= slop), scored
+        // by the start-position count — Search.slopPhrase's contract
+        val cnt = Search.slopCount(col(f), terms, slop)
+        Clause(cnt > 0, cnt.cast("double"))
+      }
 
     case ("match", b) =>
       val (f, spec) = unwrap(b)

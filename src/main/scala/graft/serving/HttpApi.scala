@@ -223,8 +223,13 @@ final class HttpApi(
         // multi-index multi_match, so the wildcard must not silently
         // degrade them to the occurrence scorer
         case _ if textOr(req, "type", "") == "phrase" =>
+          val slop = Option(req.get("slop")).map(_.asInt).getOrElse(0)
+          if (slop < 0) {
+            respond(ex, 400, """{"error": "slop must be >= 0"}""")
+            return
+          }
           hits(ex, Search.acrossIndexesPhraseIndexed(spark,
-            entityIndexRoot(), term, limit, after3))
+            entityIndexRoot(), term, limit, after3, slop))
         case _ if textOr(req, "operator", "or") == "and" =>
           hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
             entityIndexRoot(), term, Int.MaxValue, limit, after3))
@@ -339,10 +344,19 @@ final class HttpApi(
       // _source fetch; a request naming a non-indexed (non-string)
       // field falls back to the corpus scan, same results either way
       case _ if textOr(req, "type", "") == "phrase" =>
+        // "slop": ES match_phrase proximity — ordered, at most `slop`
+        // extra tokens interleaved (Search.slopPhrase; slop=0 is exact
+        // adjacency). Both the index probe and the scan fallback honor it.
+        val slop = Option(req.get("slop")).map(_.asInt).getOrElse(0)
+        if (slop < 0) {
+          respond(ex, 400, """{"error": "slop must be >= 0"}""")
+          return
+        }
         hits(ex, indexedOrScan(index, df, fields,
           p => fetchBodies(df, graft.sinks.SearchIndex.phrase(spark, p,
-            term, fields, limit, boosts, after)),
-          () => Search.phrase(df, term, fields, limit, after, boosts)))
+            term, fields, limit, boosts, after, slop = slop)),
+          () => Search.slopPhrase(df, term, fields, slop, limit, after,
+            boosts)))
       // operator=and is checked FIRST: ES ignores minimum_should_match
       // entirely when the operator is `and` (every term is already
       // required), so a request carrying both gets AND semantics — the

@@ -188,14 +188,14 @@ object Search {
   def acrossIndexesPhraseIndexed(spark: SparkSession, indexRoot: String,
                                  phraseQuery: String, limit: Int = 100,
                                  after: Option[(Double, String, String)] =
-                                   None): DataFrame = {
+                                   None, slop: Int = 0): DataFrame = {
     import graft.catalog.EntityCatalog
     val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
         graft.sinks.SearchIndex.phrase(spark, s"$indexRoot/${spec.name}",
-          phraseQuery, Nil, limit, Map.empty, branchAfter, inclusive)
+          phraseQuery, Nil, limit, Map.empty, branchAfter, inclusive, slop)
           .select(lit(spec.name).as("table"), col("document_id"),
             col("score"))
       }
@@ -594,6 +594,67 @@ object Search {
       .reduce(_ || _)
     val score = fields.map(f =>
         boosted(f, substrCount(tokenNorm(col(f)), needle), boosts))
+      .reduce(_ + _).as("score")
+    val keyCols = df.columns.toSeq.map(col)
+    df.filter(prefilter)
+      .select(keyCols :+ score: _*)
+      .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(df.columns.head)))
+      .orderBy(col("score").desc, col(df.columns.head))
+      .limit(limit)
+  }
+
+  /** Count of in-order sloppy matches of `terms` in a text column: the
+    * number of start positions `p1` (positions of the head term) from
+    * which every later term `k` can be placed at some `p_k` with
+    * `p_k > p_(k-1)` and `p_k <= p1 + k + slop` — i.e. the terms appear
+    * IN ORDER with at most `slop` extra tokens interleaved in total
+    * (gap sum = `p_n - p1 - (n-1) <= slop`). Evaluated entirely with
+    * array HOFs over the token array (per-term position lists are
+    * occurrence-sized) — no explode, no shuffle, no UDF. */
+  private[graft] def slopCount(field: Column, terms: Seq[String],
+                               slop: Int): Column = {
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(field, lit(""))))
+    def posOf(t: String): Column =
+      filter(transform(toks, (x, i) =>
+        when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
+    def rest(k: Int, prev: Column, first: Column): Column =
+      if (k == terms.size) lit(true)
+      else exists(posOf(terms(k)), p =>
+        p > prev && p <= first + lit(k + slop) && rest(k + 1, p, first))
+    size(filter(posOf(terms.head), p1 => rest(1, p1, p1))).cast("int")
+  }
+
+  /** SLOPPY phrase (ES `match_phrase` with `slop`): the query's terms
+    * must appear IN ORDER with at most `slop` extra tokens interleaved
+    * in total — the ordered subset of Lucene's sloppy matcher (its
+    * cost-2 transpositions are out of scope: a reordered phrase needs
+    * its own query; documented, fail-safe narrower). `slop = 0`
+    * delegates to [[phrase]] (exact adjacency, non-overlap-counted).
+    * Scored by the count of start positions that admit an in-order
+    * match within the window ([[slopCount]]), summed across `fields`.
+    *
+    * Scale: the codegen'd per-term `contains` prefilter keeps the HOF
+    * position scan off every row missing some term as a substring; the
+    * HOF works on occurrence-sized position lists per row — no
+    * explode, no shuffle before the final top-k. */
+  def slopPhrase(df: DataFrame, phraseQuery: String, fields: Seq[String],
+                 slop: Int, limit: Int = 100,
+                 after: Option[(Double, Any)] = None,
+                 boosts: Map[String, Double] = Map.empty): DataFrame = {
+    require(slop >= 0, "slop must be >= 0")
+    if (slop == 0)
+      return phrase(df, phraseQuery, fields, limit, after, boosts)
+    val terms = phraseQuery.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val prefilter = fields.map(f =>
+        terms.map(t => lower(coalesce(col(f), lit("")))
+          .contains(lit(t))).reduce(_ && _))
+      .reduce(_ || _)
+    val score = fields.map(f =>
+        boosted(f, slopCount(col(f), terms, slop), boosts))
       .reduce(_ + _).as("score")
     val keyCols = df.columns.toSeq.map(col)
     df.filter(prefilter)

@@ -235,7 +235,11 @@ object SearchIndex {
     * `fields` — the exact count [[graft.serving.Search.phrase]]'s
     * normalized-substring `replace` scan produces, so both paths share
     * one oracle. Returns (idCol, score) — the caller fetches document
-    * bodies by id, like ES fetches `_source` after scoring.
+    * bodies by id, like ES fetches `_source` after scoring. `slop > 0`
+    * switches to ordered proximity (terms in order, at most `slop`
+    * extra tokens interleaved in total) counted by start positions —
+    * [[graft.serving.Search.slopCount]]'s contract, so the sloppy
+    * scan path and this probe also share one oracle.
     *
     * Plan: postings probed with `term IN (...)` pushed down, then per
     * (doc, field) the sorted position lists intersect shifted-by-slot
@@ -245,7 +249,9 @@ object SearchIndex {
              fields: Seq[String] = Nil, limit: Int = 100,
              boosts: Map[String, Double] = Map.empty,
              after: Option[(Double, Any)] = None,
-             afterInclusive: Boolean = false): DataFrame = {
+             afterInclusive: Boolean = false,
+             slop: Int = 0): DataFrame = {
+    require(slop >= 0, "slop must be >= 0")
     import graft.serving.Search.afterPredicate
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
@@ -276,15 +282,30 @@ object SearchIndex {
     val headPos = element_at(col("tp"), lit(terms.head))
     val starts =
       if (k == 1) headPos
-      else filter(headPos, s => terms.zipWithIndex.drop(1).map {
+      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
         case (t, i) =>
           array_contains(element_at(col("tp"), lit(t)), s + lit(i))
       }.reduce(_ && _))
-    // greedy left-to-right non-overlap — what the scan path's replace()
-    // counts when the phrase can self-overlap (e.g. "a a" in "a a a");
-    // for all-distinct phrases this is simply size(starts)
+      else {
+        // sloppy (ordered-proximity) starts: term i placeable at some
+        // p_i > p_(i-1) within the head-anchored window p_1 + i + slop
+        // — the same start-position existence check the scan path's
+        // Search.slopCount runs, here over the index's position lists
+        def rest(i: Int, prev: Column, first: Column): Column =
+          if (i == k) lit(true)
+          else org.apache.spark.sql.functions.exists(
+            element_at(col("tp"), lit(terms(i))), pp =>
+            pp > prev && pp <= first + lit(i + slop) &&
+              rest(i + 1, pp, first))
+        filter(headPos, s => rest(1, s, s))
+      }
+    // slop = 0: greedy left-to-right non-overlap — what the scan
+    // path's replace() counts when the phrase can self-overlap (e.g.
+    // "a a" in "a a a"); for all-distinct phrases this is simply
+    // size(starts). slop > 0: start-position count (Search.slopCount's
+    // contract on both paths).
     val cnt =
-      if (distinctTerms.size == k) size(starts)
+      if (slop > 0 || distinctTerms.size == k) size(starts)
       else aggregate(starts,
         struct(lit(0).as("c"), lit(-1).as("free")),
         (acc, s) => when(s >= acc.getField("free"),

@@ -175,6 +175,30 @@ class EsDslSpec extends SparkSpec {
     assert(cs.forall(_.getDouble(4) == 2.5))
   }
 
+  test("match_phrase slop: ordered proximity through the DSL — " +
+    "slop widens the match set, order stays required, negative rejects") {
+    // adjacency misses doc 4 ("batch batch window": gap 1, in order)
+    val p0 = q("""{"query": {"match_phrase": {"text": "batch window"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(p0 == Set(4L))
+    val p1 = q("""{"query": {"match_phrase": {"text":
+      {"query": "window run", "slop": 1}}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(p1 == Set(1L)) // "window batch run": gap 1
+    val p0run = q("""{"query": {"match_phrase": {"text":
+      {"query": "window run", "slop": 0}}}, "size": 10}""").collect()
+    assert(p0run.isEmpty) // not adjacent anywhere
+    // order still required under slop
+    val rev = q("""{"query": {"match_phrase": {"text":
+      {"query": "run window", "slop": 3}}}, "size": 10}""").collect()
+    assert(rev.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      q("""{"query": {"match_phrase": {"text":
+        {"query": "a b", "slop": -1}}}}""")
+    }
+    assert(e.getMessage.contains("slop"))
+  }
+
   test("aggregations: terms buckets with metric sub-aggs follow ES " +
     "ordering; global metrics return one row; unsupported aggs reject") {
     val b = q("""{"query": {"match_all": {}},

@@ -193,6 +193,21 @@ class SearchIndexSpec extends SparkSpec {
     val probeB = idScore(SearchIndex.phrase(spark, path, "the window",
       Seq("text"), boosts = Map("text" -> 2.0)))
     assert(probeB == scanB, s"boosted phrase diverged\n$scanB\nvs\n$probeB")
+    // sloppy phrase: the positional probe's windowed-existence check
+    // must equal the scan path's slopCount for every slop tier, and
+    // slop must widen the match set monotonically
+    Seq(1, 2, 3).foreach { slop =>
+      val scanS = idScore(Search.slopPhrase(full, "the window",
+        Seq("text"), slop))
+      val probeS = idScore(SearchIndex.phrase(spark, path, "the window",
+        Seq("text"), slop = slop))
+      assert(probeS == scanS, s"slop=$slop diverged\n$scanS\nvs\n$probeS")
+    }
+    val n0 = SearchIndex.phrase(spark, path, "the window", Seq("text"))
+      .count()
+    val n2 = SearchIndex.phrase(spark, path, "the window", Seq("text"),
+      slop = 2).count()
+    assert(n2 >= n0, "slop narrowed the match set")
   }
 
   test("indexed fuzzy (vocabulary expansion) == scan-path Levenshtein " +

@@ -77,6 +77,44 @@ class SearchSpec extends SparkSpec {
     assert(out.head.getAs[Int]("score") == 2)
   }
 
+  test("slopPhrase: ordered proximity — gap sum bounded by slop, " +
+    "order still required, slop=0 equals exact adjacency") {
+    val d = Seq(
+      (1L, "the window opens"),        // adjacent: matches any slop
+      (2L, "the big window"),          // gap 1: needs slop >= 1
+      (3L, "the very big window"),     // gap 2: needs slop >= 2
+      (4L, "window the"),              // wrong order: never matches
+      (5L, "the big window the big window"), // two sloppy starts, 0 adjacent
+      (6L, "quick brown the fox lazy window dog") // gap 2 mid-sentence
+    ).toDF("doc_id", "text")
+    def ids(slop: Int) = Search.slopPhrase(d, "the window", Seq("text"),
+      slop).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(0) == Set(1L))
+    assert(ids(1) == Set(1L, 2L, 5L))
+    assert(ids(2) == Set(1L, 2L, 3L, 5L, 6L))
+    // score = count of start positions admitting a match
+    val s2 = Search.slopPhrase(d, "the window", Seq("text"), 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("score")).toMap
+    assert(s2(5L) == 2, s"two viable starts: $s2")
+    assert(s2(1L) == 1)
+  }
+
+  test("slopPhrase: 3-term window is anchored at the FIRST term — the " +
+    "total gap budget is shared, not per-adjacent-pair") {
+    val d = Seq(
+      (1L, "a x b y c"),   // gaps 1+1 = 2: needs slop >= 2
+      (2L, "a b x x c"),   // gaps 0+2 = 2: needs slop >= 2
+      (3L, "a x x b y c"), // gaps 2+1 = 3: needs slop >= 3
+      (4L, "a c b")        // order violated
+    ).toDF("doc_id", "text")
+    def ids(slop: Int) = Search.slopPhrase(d, "a b c", Seq("text"), slop)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(1) == Set())
+    assert(ids(2) == Set(1L, 2L))
+    assert(ids(3) == Set(1L, 2L, 3L))
+  }
+
   test("multiFieldAnd: every term must token-match somewhere; " +
     "substring-only hits don't count") {
     val d = Seq(
