@@ -807,6 +807,32 @@ object ParityQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ES fuzzy-rewrite knobs (round 9): prefix_length=1 exempts the
+    // first character from edits (Lucene's nonFuzzyPrefix — 'pat'
+    // stops matching 'data'/'fast', keeps 'part'), max_expansions=2
+    // caps each term's expansion at the 2 closest candidates (edit
+    // distance asc, term asc — 'sot' keeps sort+slow, drops row). The
+    // oracle recomputes the capped expansion sets from the corpus
+    // vocabulary in SQL.
+    "q2_search_fuzzy_knobs" -> ((s, dir) =>
+      graft.serving.Search.multiFieldFuzzy(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "pat sot", Seq("text"), fuzziness = "2",
+        prefixLength = 1, maxExpansions = Some(2))),
+
+    // The indexed twin expands against the termstats dictionary with
+    // the same prefix gate and the same deterministic cap — one
+    // oracle, two plans.
+    "q2_search_fuzzy_knobs_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.fuzzy(
+        s, s"${searchIndexRoot(s, dir)}/documents", "pat sot",
+        Seq("text"), fuzziness = "2", prefixLength = 1,
+        maxExpansions = Some(2))
+      t(s, dir, "documents").select("doc_id", "text")
+        .join(broadcast(hits), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // minimum_should_match=2 over the index (same oracle as
     // q2_search_minmatch): the unweighted match grid and the scored
     // grid ride one probe aggregation.
@@ -1378,6 +1404,34 @@ object ParityQueries {
      "SELECT doc_id, text, (c0 + c1) AS score FROM c " +
      "WHERE (c0 + c1) > 0 ORDER BY score DESC, doc_id LIMIT 100")
 
+  /** Fuzzy-knobs oracle: the capped expansion set per query term is
+    * recomputed in SQL from the corpus vocabulary (prefix gate, edit
+    * budget, ORDER BY distance/token LIMIT n — the deterministic cap
+    * both engine paths implement), then tokens count by membership. */
+  private val fuzzyKnobsOracleSql: String =
+    ("WITH ts AS (SELECT doc_id, text, list_filter(" +
+     "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
+     "x -> x <> '') AS ts FROM documents), " +
+     "vocab AS (SELECT DISTINCT unnest(ts) AS tok FROM ts), " +
+     "e0 AS (SELECT tok FROM vocab WHERE substr(tok, 1, 1) = 'p' " +
+       "AND levenshtein(tok, 'pat') <= 2 " +
+       "ORDER BY levenshtein(tok, 'pat'), tok LIMIT 2), " +
+     "e1 AS (SELECT tok FROM vocab WHERE substr(tok, 1, 1) = 's' " +
+       "AND levenshtein(tok, 'sot') <= 2 " +
+       "ORDER BY levenshtein(tok, 'sot'), tok LIMIT 2), " +
+     "pos AS (SELECT doc_id, unnest(ts) AS tok FROM ts), " +
+     "c0 AS (SELECT doc_id, count(*) AS c FROM pos " +
+       "JOIN e0 USING (tok) GROUP BY doc_id), " +
+     "c1 AS (SELECT doc_id, count(*) AS c FROM pos " +
+       "JOIN e1 USING (tok) GROUP BY doc_id) " +
+     "SELECT d.doc_id, d.text, " +
+     "CAST(coalesce(c0.c, 0) + coalesce(c1.c, 0) AS INT) AS score " +
+     "FROM documents d " +
+     "LEFT JOIN c0 ON d.doc_id = c0.doc_id " +
+     "LEFT JOIN c1 ON d.doc_id = c1.doc_id " +
+     "WHERE coalesce(c0.c, 0) + coalesce(c1.c, 0) > 0 " +
+     "ORDER BY score DESC, d.doc_id LIMIT 100")
+
   private val minmatchOracleSql: String = {
     def cnt(t: String) =
       s"(${substrCountSql("nt", s" $t ")} + " +
@@ -1765,6 +1819,8 @@ object ParityQueries {
 
     "q2_search_fuzzy" -> fuzzyOracleSql,
     "q2_search_fuzzy_indexed" -> fuzzyOracleSql,
+    "q2_search_fuzzy_knobs" -> fuzzyKnobsOracleSql,
+    "q2_search_fuzzy_knobs_indexed" -> fuzzyKnobsOracleSql,
 
     // since round 9 the must's match clause scores REAL BM25 (the
     // DSL's ES-parity scoring) — the oracle recomputes it with the

@@ -81,6 +81,14 @@ object EsDsl {
     val scored = ArrayBuffer[DataFrame]()
     private lazy val dfS = df.withColumn(SidCol, sid)
 
+    /** Capped fuzzy expansion sets over THIS request's target frame —
+      * [[Search.fuzzyExpansionSets]] (bounded driver artifact: ≤ n
+      * tokens per query term). */
+    def expansions(fields: Seq[String], terms: Seq[String],
+                   edits: Seq[Int], prefixLength: Int,
+                   n: Int): Map[String, Seq[String]] =
+      Search.fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n)
+
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
       * nothing). Bit-identical to `/search rank=bm25` by construction
@@ -404,7 +412,8 @@ object EsDsl {
            Option(spec.get("fuzziness")).map(_.asText))
         else (spec.asText, "or", None)
       matchClause(ctx, text, Seq(f -> 1.0), operator, minMatch = None,
-        bestFields = false, fuzziness)
+        bestFields = false, fuzziness,
+        fuzzyKnobs(if (spec.isObject) Some(spec) else None))
 
     case ("multi_match", b) =>
       val text = Option(b.get("query")).map(_.asText)
@@ -424,7 +433,7 @@ object EsDsl {
       val msm = Option(b.get("minimum_should_match")).map(m =>
         if (m.isIntegralNumber) m.asInt.toString else m.asText)
       matchClause(ctx, text, fields, operator, msm, tpe == "best_fields",
-        Option(b.get("fuzziness")).map(_.asText))
+        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)))
 
     case ("bool", b) =>
       val must = sub(b, "must").map(clause(_, ctx))
@@ -667,22 +676,58 @@ object EsDsl {
     * fuzziness, where the score stays the fuzzy-occurrence count (BM25
     * statistics are not defined over fuzzy-expanded terms in this
     * engine — the documented fuzzy family). */
+  /** The (prefix_length, max_expansions) pair of a match-family body —
+    * ES's fuzzy-rewrite knobs, honored only when `fuzziness` is set
+    * (ES ignores them on exact matches too). */
+  private def fuzzyKnobs(spec: Option[JsonNode]): (Int, Option[Int]) = {
+    val pl = spec.flatMap(s => Option(s.get("prefix_length")))
+      .map(_.asInt).getOrElse(0)
+    if (pl < 0) bad("prefix_length must be >= 0")
+    val me = spec.flatMap(s => Option(s.get("max_expansions")))
+      .map(_.asInt)
+    me.foreach(n => if (n <= 0 || n > Search.MaxExpansionsCeiling)
+      bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
+    (pl, me)
+  }
+
   private def matchClause(ctx: Ctx, text: String,
                           fields: Seq[(String, Double)],
                           operator: String, minMatch: Option[String],
                           bestFields: Boolean,
-                          fuzziness: Option[String]): Clause = {
+                          fuzziness: Option[String],
+                          knobs: (Int, Option[Int]) = (0, None)): Clause = {
     import Search.{fuzzyEdits, substrCount, tokenNorm}
+    val (prefixLength, maxExpansions) = knobs
     val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     if (terms.isEmpty) bad("empty match query")
+    // capped expansion sets (ES max_expansions), one per query term,
+    // derived from this request's target frame — bounded driver work
+    lazy val expSets: Map[String, Seq[String]] = fuzziness match {
+      case Some(fz) if maxExpansions.isDefined =>
+        val edits = terms.map(t => fuzzyEdits(t, fz)
+          .getOrElse(bad(s"invalid fuzziness '$fz'")))
+        ctx.expansions(fields.map(_._1), terms, edits, prefixLength,
+          maxExpansions.get)
+      case _ => Map.empty
+    }
     def cnt(f: String, t: String): Column = fuzziness match {
       case None => substrCount(tokenNorm(col(f)), s" $t ")
       case Some(fz) =>
         val e = fuzzyEdits(t, fz).getOrElse(bad(s"invalid fuzziness '$fz'"))
-        size(filter(graft.functions.TextFunctions.tokens(
-          lower(coalesce(col(f), lit("")))),
-          x => levenshtein(x, lit(t)) <= e))
+        val toks = graft.functions.TextFunctions.tokens(
+          lower(coalesce(col(f), lit(""))))
+        if (maxExpansions.isDefined) {
+          val set = expSets(t)
+          if (set.isEmpty) lit(0)
+          else size(filter(toks, x => x.isInCollection(set)))
+        } else {
+          val p = t.take(prefixLength)
+          if (p.isEmpty)
+            size(filter(toks, x => levenshtein(x, lit(t)) <= e))
+          else size(filter(toks, x =>
+            x.startsWith(p) && levenshtein(x, lit(t)) <= e))
+        }
     }
     def termCount(t: String): Column =
       fields.map { case (f, _) => cnt(f, t) }.reduce(_ + _)

@@ -258,9 +258,18 @@ final class HttpApi(
           val fz = req.get("fuzziness")
           val spec = if (fz.isIntegralNumber) fz.asInt.toString else
             textOr(req, "fuzziness", "")
+          val pl = Option(req.get("prefix_length")).map(_.asInt)
+            .getOrElse(0)
+          val me = Option(req.get("max_expansions")).map(_.asInt)
+          if (pl < 0 ||
+              me.exists(n => n <= 0 || n > Search.MaxExpansionsCeiling)) {
+            respond(ex, 400, """{"error": "prefix_length must be >= 0 """ +
+              s"""and max_expansions 1..${Search.MaxExpansionsCeiling}"}""")
+            return
+          }
           if (Search.fuzzyEditsValid(spec))
             hits(ex, Search.acrossIndexesFuzzyIndexed(spark,
-              entityIndexRoot(), term, spec, limit, after3))
+              entityIndexRoot(), term, spec, limit, after3, pl, me))
           else
             respond(ex, 400, """{"error": "invalid fuzziness; use """ +
               """\"AUTO\" or an edit distance 0..2"}""")
@@ -394,16 +403,28 @@ final class HttpApi(
       case _ if req.hasNonNull("fuzziness") =>
         // ES match fuzziness: AUTO or an explicit 0..2 edit budget; the
         // index probe expands terms against the vocabulary (termstats),
-        // the Lucene-FST shape, and fetches bodies by id
+        // the Lucene-FST shape, and fetches bodies by id.
+        // "prefix_length": chars exempt from edits (Lucene's
+        // nonFuzzyPrefix); "max_expansions": expansion set capped at the
+        // first N candidates (edit distance asc, term asc).
         val fz = req.get("fuzziness")
         val spec = if (fz.isIntegralNumber) fz.asInt.toString else
           textOr(req, "fuzziness", "")
+        val pl = Option(req.get("prefix_length")).map(_.asInt).getOrElse(0)
+        val me = Option(req.get("max_expansions")).map(_.asInt)
+        if (pl < 0 ||
+            me.exists(n => n <= 0 || n > Search.MaxExpansionsCeiling)) {
+          respond(ex, 400, """{"error": "prefix_length must be >= 0 """ +
+            s"""and max_expansions 1..${Search.MaxExpansionsCeiling}"}""")
+          return
+        }
         if (Search.fuzzyEditsValid(spec))
           hits(ex, indexedOrScan(index, df, fields,
             p => fetchBodies(df, graft.sinks.SearchIndex.fuzzy(spark, p,
-              term, fields, spec, limit, boosts, after)),
+              term, fields, spec, limit, boosts, after,
+              prefixLength = pl, maxExpansions = me)),
             () => Search.multiFieldFuzzy(df, term, fields, spec, limit,
-              after, boosts)))
+              after, boosts, pl, me)))
         else
           respond(ex, 400, """{"error": "invalid fuzziness; use """ +
             """\"AUTO\" or an edit distance 0..2"}""")

@@ -239,14 +239,16 @@ object Search {
                                 query: String, fuzziness: String = "AUTO",
                                 limit: Int = 100,
                                 after: Option[(Double, String, String)] =
-                                  None): DataFrame = {
+                                  None, prefixLength: Int = 0,
+                                maxExpansions: Option[Int] = None): DataFrame = {
     import graft.catalog.EntityCatalog
     val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
         graft.sinks.SearchIndex.fuzzy(spark, s"$indexRoot/${spec.name}",
-          query, Nil, fuzziness, limit, Map.empty, branchAfter, inclusive)
+          query, Nil, fuzziness, limit, Map.empty, branchAfter, inclusive,
+          prefixLength, maxExpansions)
           .select(lit(spec.name).as("table"), col("document_id"),
             col("score"))
       }
@@ -729,29 +731,95 @@ object Search {
       case _               => None
     }
 
+  /** Lucene's `maxClauseCount` bound — the ceiling ES enforces on
+    * `max_expansions` (a fuzzy query can't rewrite into more term
+    * clauses than a BooleanQuery may hold). */
+  private[graft] val MaxExpansionsCeiling = 1024
+
+  /** The capped fuzzy EXPANSION SET per query term (ES
+    * `max_expansions`): the first `n` distinct corpus tokens within
+    * the term's edit budget (and sharing its `prefixLength`-char
+    * prefix), ordered (edit distance asc, token asc) — a deterministic
+    * stand-in for Lucene's frequency-blended top-N selection
+    * (documented deviation; Lucene's blend is itself heuristic). ONE
+    * set spans the searched fields (ES expands per field; spanning is
+    * deterministic and identical on the scan and index paths, which is
+    * what lets both serve one oracle). The collect is a bounded driver
+    * artifact: at most `n` (≤ [[MaxExpansionsCeiling]]) tokens per
+    * query term — the same bounded-artifact tier as the IVF codebook
+    * and BPE merge rounds. */
+  private[graft] def fuzzyExpansionSets(
+      df: DataFrame, fields: Seq[String], terms: Seq[String],
+      edits: Seq[Int], prefixLength: Int,
+      n: Int): Map[String, Seq[String]] = {
+    require(n > 0 && n <= MaxExpansionsCeiling,
+      s"max_expansions must be 1..$MaxExpansionsCeiling")
+    val toksAll = fields.map(f =>
+        graft.functions.TextFunctions.tokens(
+          lower(coalesce(col(f), lit("")))))
+      .reduce((a, b) => concat(a, b))
+    val vocab = df.select(explode(toksAll).as("tok")).distinct()
+    terms.zip(edits).map { case (t, e) =>
+      val p = t.take(prefixLength)
+      val base =
+        if (p.isEmpty) vocab
+        else vocab.filter(col("tok").startsWith(p))
+      t -> base.filter(levenshtein(col("tok"), lit(t)) <= e)
+        .withColumn("_d", levenshtein(col("tok"), lit(t)))
+        .orderBy(col("_d").asc, col("tok").asc)
+        .limit(n)
+        .select("tok").collect().map(_.getString(0)).toSeq
+    }.toMap
+  }
+
   /** FUZZY search (ES `match` with `fuzziness`): a field token matches a
     * query term when their Levenshtein distance is within the term's
     * resolved edit budget; scored by the total count of fuzzy-matching
     * tokens across `fields` (OR across terms), full rows returned like
     * [[multiField]]. The per-token HOF distance scan is the corpus-scan
     * oracle twin of [[graft.sinks.SearchIndex.fuzzy]]'s
-    * vocabulary-expansion probe. */
+    * vocabulary-expansion probe.
+    *
+    * `prefixLength` (ES `prefix_length`): the first `prefixLength`
+    * characters are exempt from edits — a token must share them with
+    * the query term exactly. Levenshtein over the FULL strings equals
+    * Levenshtein over the suffixes when the prefixes agree (standard DP
+    * property), so this is exactly Lucene's nonFuzzyPrefix semantics.
+    * `maxExpansions` (ES `max_expansions`): the match set is capped to
+    * the [[fuzzyExpansionSets]] expansion per term; absent = unbounded
+    * (the engine's documented fuzzy family — no vocabulary probe). */
   def multiFieldFuzzy(df: DataFrame, query: String, fields: Seq[String],
                       fuzziness: String = "AUTO", limit: Int = 100,
                       after: Option[(Double, Any)] = None,
-                      boosts: Map[String, Double] = Map.empty): DataFrame = {
+                      boosts: Map[String, Double] = Map.empty,
+                      prefixLength: Int = 0,
+                      maxExpansions: Option[Int] = None): DataFrame = {
+    require(prefixLength >= 0, "prefix_length must be >= 0")
     val terms = query.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "empty query")
     val edits = terms.map(t => fuzzyEdits(t, fuzziness).getOrElse(
       throw new IllegalArgumentException(
         s"invalid fuzziness '$fuzziness'")))
+    val expansions = maxExpansions.map(n =>
+      fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n))
     val toks = fields.map(f => f ->
       graft.functions.TextFunctions.tokens(
         lower(coalesce(col(f), lit("")))))
     def cnt(t: String, e: Int): Seq[(String, Column)] = toks.map {
-      case (f, ts) => f -> size(filter(ts, x =>
-        levenshtein(x, lit(t)) <= e))
+      case (f, ts) =>
+        val c = expansions match {
+          case Some(exp) =>
+            val set = exp(t)
+            if (set.isEmpty) lit(0)
+            else size(filter(ts, x => x.isInCollection(set)))
+          case None =>
+            val p = t.take(prefixLength)
+            val fuzzyOk = (x: Column) => levenshtein(x, lit(t)) <= e
+            if (p.isEmpty) size(filter(ts, fuzzyOk))
+            else size(filter(ts, x => x.startsWith(p) && fuzzyOk(x)))
+        }
+        f -> c
     }
     val score = terms.zip(edits).map { case (t, e) =>
       cnt(t, e).map { case (f, c) => boosted(f, c, boosts) }

@@ -395,8 +395,14 @@ object SearchIndex {
             limit: Int = 100,
             boosts: Map[String, Double] = Map.empty,
             after: Option[(Double, Any)] = None,
-            afterInclusive: Boolean = false): DataFrame = {
+            afterInclusive: Boolean = false,
+            prefixLength: Int = 0,
+            maxExpansions: Option[Int] = None): DataFrame = {
     import graft.serving.Search.{afterPredicate, fuzzyEdits}
+    require(prefixLength >= 0, "prefix_length must be >= 0")
+    maxExpansions.foreach(n => require(
+      n > 0 && n <= graft.serving.Search.MaxExpansionsCeiling,
+      s"max_expansions must be 1..${graft.serving.Search.MaxExpansionsCeiling}"))
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
     val idCol = meta.idCol
@@ -412,13 +418,31 @@ object SearchIndex {
       throw new IllegalArgumentException(
         s"invalid fuzziness '$fuzziness'")))
     // vocabulary expansion: one scan of the (tiny) termstats table per
-    // query term, tagged with the query slot it expands
+    // query term, tagged with the query slot it expands. prefix_length
+    // narrows the dictionary probe (the first `prefixLength` chars are
+    // exempt from edits — Lucene's nonFuzzyPrefix); max_expansions caps
+    // each slot's expansion to the first N distinct terms ordered
+    // (edit distance asc, term asc) ACROSS the searched fields — the
+    // same capped set Search.fuzzyExpansionSets derives from the
+    // corpus, so both paths keep sharing one oracle.
     val vocab = spark.read.parquet(s"$dir/termstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("term"))
     val cands = terms.zipWithIndex.map { case (t, qi) =>
-        vocab.filter(levenshtein(col("term"), lit(t)) <= edits(qi))
-          .select(col("fid"), col("term"), lit(qi).as("qi"))
+        val p = t.take(prefixLength)
+        val pre = if (p.isEmpty) vocab
+          else vocab.filter(col("term").startsWith(p))
+        val v = pre.filter(levenshtein(col("term"), lit(t)) <= edits(qi))
+        val capped = maxExpansions match {
+          case None => v
+          case Some(n) =>
+            val e = v.select(col("term")).distinct()
+              .withColumn("_d", levenshtein(col("term"), lit(t)))
+              .orderBy(col("_d").asc, col("term").asc)
+              .limit(n).select("term")
+            v.join(e, Seq("term"))
+        }
+        capped.select(col("fid"), col("term"), lit(qi).as("qi"))
       }.reduce(_.unionByName(_))
     val p = spark.read.parquet(s"$dir/postings")
       .filter(col("fid").isin(fids: _*))

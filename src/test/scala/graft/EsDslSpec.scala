@@ -199,6 +199,26 @@ class EsDslSpec extends SparkSpec {
     assert(e.getMessage.contains("slop"))
   }
 
+  test("match fuzziness knobs: prefix_length gates candidates, " +
+    "max_expansions caps the expansion set, invalid values reject") {
+    val d = Seq((1L, "part"), (2L, "data"), (3L, "fast"),
+      (4L, "pit"), (5L, "past")).toDF("doc_id", "text")
+    def ids(extra: String) = EsDsl.search(d, mapper.readTree(
+      s"""{"query": {"match": {"text": {"query": "pat",
+         "fuzziness": "2"$extra}}}, "size": 10}"""))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("") == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(""", "prefix_length": 1""") == Set(1L, 4L, 5L))
+    // candidates (lev asc, tok asc): part, past, pit, data, fast
+    assert(ids(""", "max_expansions": 2""") == Set(1L, 5L))
+    intercept[IllegalArgumentException] {
+      ids(""", "max_expansions": 0""")
+    }
+    intercept[IllegalArgumentException] {
+      ids(""", "prefix_length": -2""")
+    }
+  }
+
   test("aggregations: terms buckets with metric sub-aggs follow ES " +
     "ordering; global metrics return one row; unsupported aggs reject") {
     val b = q("""{"query": {"match_all": {}},

@@ -235,6 +235,16 @@ class SearchIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SearchIndex.fuzzy(spark, path, "window", Seq("text"), "9")
     }
+    // fuzzy-rewrite knobs: probe and scan must agree for every
+    // (prefix_length, max_expansions) combination
+    for (pl <- Seq(0, 1, 3); me <- Seq(None, Some(1), Some(2))) {
+      val scanK = idScore(Search.multiFieldFuzzy(full, "windoq the",
+        Seq("text"), "2", prefixLength = pl, maxExpansions = me))
+      val probeK = idScore(SearchIndex.fuzzy(spark, path, "windoq the",
+        Seq("text"), "2", prefixLength = pl, maxExpansions = me))
+      assert(probeK == scanK,
+        s"knobs pl=$pl me=$me diverged\n$scanK\nvs\n$probeK")
+    }
   }
 
   test("phrase upsert == rebuild: positions are maintained " +

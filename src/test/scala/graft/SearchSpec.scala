@@ -115,6 +115,39 @@ class SearchSpec extends SparkSpec {
     assert(ids(3) == Set(1L, 2L, 3L))
   }
 
+  test("multiFieldFuzzy knobs: prefix_length exempts the prefix from " +
+    "edits; max_expansions caps the expansion set deterministically") {
+    val d = Seq(
+      (1L, "part"),   // lev(pat)=1, starts with 'p'
+      (2L, "data"),   // lev(pat)=2, wrong first char
+      (3L, "fast"),   // lev(pat)=2, wrong first char
+      (4L, "pit"),    // lev(pat)=1, starts with 'p'
+      (5L, "past")    // lev(pat)=1, starts with 'p'
+    ).toDF("doc_id", "text")
+    def ids(pl: Int, me: Option[Int]) =
+      Search.multiFieldFuzzy(d, "pat", Seq("text"), "2",
+        prefixLength = pl, maxExpansions = me)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(0, None) == Set(1L, 2L, 3L, 4L, 5L))
+    // prefix gate drops data/fast
+    assert(ids(1, None) == Set(1L, 4L, 5L))
+    // expansion cap: candidates ordered (lev asc, tok asc) =
+    // part(1), past(1), pit(1), data(2), fast(2) → top 2 = part, past
+    assert(ids(0, Some(2)) == Set(1L, 5L))
+    // cap composes with the prefix gate (same top-2 here)
+    assert(ids(1, Some(2)) == Set(1L, 5L))
+    // cap of 1 keeps only 'part' (lev 1, alphabetically first)
+    assert(ids(0, Some(1)) == Set(1L))
+    intercept[IllegalArgumentException] {
+      Search.multiFieldFuzzy(d, "pat", Seq("text"), "2",
+        maxExpansions = Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      Search.multiFieldFuzzy(d, "pat", Seq("text"), "2",
+        prefixLength = -1)
+    }
+  }
+
   test("multiFieldAnd: every term must token-match somewhere; " +
     "substring-only hits don't count") {
     val d = Seq(
