@@ -704,6 +704,52 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // dis_max (round 9): best-subquery scoring — matches when any
+    // subquery matches, scored max + tie_breaker·(sum − max). Here a
+    // count-scored phrase against a constant-scored term filter, so
+    // the oracle recomputes both subscores exactly.
+    "q7_esdsl_dismax" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"dis_max": {"queries": [
+          |  {"match_phrase": {"text": "the window"}},
+          |  {"term": {"source": "src3"}}],
+          |  "tie_breaker": 0.4}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // boosting (round 9): positive hits DEMOTED (not excluded) by
+    // negative_boost when they also match the negative query — ES's
+    // soft-exclusion. Phrase-count positive, term negative.
+    "q7_esdsl_boosting" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"boosting": {
+          |  "positive": {"match_phrase": {"text": "the window"}},
+          |  "negative": {"term": {"lang": "de"}},
+          |  "negative_boost": 0.5}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // match_phrase_prefix (round 9): search-as-you-type — "the s"
+    // matches 'the' followed by ANY token starting with 's' (scan,
+    // slow, small, sort, spark, stream...), count-scored by start
+    // positions like the sloppy-phrase family.
+    "q7_esdsl_phrase_prefix" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase_prefix": {"text": "the s"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // term-level fuzzy (round 9): one unanalyzed term within its AUTO
+    // edit budget ('windoq', 6 chars → 2 edits) of a field token,
+    // scored by the fuzzy-occurrence count.
+    "q7_esdsl_fuzzy" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"fuzzy": {"text": {"value": "windoq"}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // calendar_interval date_histogram (round 9): calendar WEEK
     // buckets (Monday starts — ES's default, and both engines'
     // date_trunc convention) via date_trunc under the session's pinned
@@ -1816,6 +1862,65 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // dis_max: phrase-count subscore vs constant term subscore —
+    // max + tie_breaker·(sum − max) over MATCHING subqueries only
+    "q7_esdsl_dismax" -> {
+      val pc = substrCountSql(s"(${tokenNormSql("text")})",
+        " the  window ")
+      "WITH c AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"CAST($pc AS DOUBLE) AS pc, " +
+        "CASE WHEN source = 'src3' THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS tm FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "greatest(pc, tm) + CAST(0.4 AS DOUBLE) * " +
+        "(pc + tm - greatest(pc, tm)) AS _score " +
+      "FROM c WHERE pc > 0 OR tm > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"
+    },
+
+    // boosting: positive phrase hits, demoted ×0.5 when lang = 'de'
+    "q7_esdsl_boosting" -> {
+      val pc = substrCountSql(s"(${tokenNormSql("text")})",
+        " the  window ")
+      "WITH c AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"CAST($pc AS DOUBLE) AS pc FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CASE WHEN lang = 'de' THEN pc * CAST(0.5 AS DOUBLE) " +
+        "ELSE pc END AS _score " +
+      "FROM c WHERE pc > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"
+    },
+
+    // match_phrase_prefix "the s": 'the' then any token LIKE 's%'
+    // immediately after; score = count of start positions
+    "q7_esdsl_phrase_prefix" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
+        "x -> x <> '') AS ts FROM documents), " +
+      "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+        "generate_subscripts(ts, 1) AS pos FROM toks), " +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+        "AND a.tok = 'the' AND b.tok LIKE 's%' " +
+        "AND b.pos = a.pos + 1 GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+        "CAST(m.score AS DOUBLE) AS _score " +
+      "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+      "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // term-level fuzzy 'windoq' (AUTO → 2 edits): per-token
+    // Levenshtein count, double-scored
+    "q7_esdsl_fuzzy" ->
+      ("WITH ts AS (SELECT doc_id, text, lang, source, n_chars, " +
+        "list_filter(string_split_regex(lower(coalesce(text, '')), " +
+        "'\\s+'), x -> x <> '') AS ts FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(len(list_filter(ts, x -> " +
+        "levenshtein(x, 'windoq') <= 2)) AS DOUBLE) AS _score " +
+      "FROM ts WHERE len(list_filter(ts, x -> " +
+        "levenshtein(x, 'windoq') <= 2)) > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     "q2_search_fuzzy" -> fuzzyOracleSql,
     "q2_search_fuzzy_indexed" -> fuzzyOracleSql,

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * `match_phrase` (token adjacency, count-scored like Search.phrase;
   * `slop` switches to ordered proximity — Search.slopPhrase),
   * `multi_match` (most_fields/best_fields, `field^boost`, operator,
-  * minimum_should_match, fuzziness), `bool`
+  * minimum_should_match, fuzziness + prefix_length/max_expansions),
+  * `match_phrase_prefix` (search-as-you-type: sloppy phrase + final
+  * prefix slot), `fuzzy` (term-level), `dis_max` (best subquery +
+  * tie_breaker), `boosting` (positive/negative demotion), `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
   * `sort` (field asc/desc and `_score`) and `_source`. Anything outside
@@ -88,6 +91,12 @@ object EsDsl {
                    edits: Seq[Int], prefixLength: Int,
                    n: Int): Map[String, Seq[String]] =
       Search.fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n)
+
+    /** Capped prefix expansion ([[Search.prefixExpansionSet]]) for
+      * match_phrase_prefix's final slot. */
+    def prefixExpansion(fields: Seq[String], prefix: String,
+                        n: Int): Seq[String] =
+      Search.prefixExpansionSet(df, fields, prefix, n)
 
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
@@ -401,6 +410,89 @@ object EsDsl {
         val cnt = Search.slopCount(col(f), terms, slop)
         Clause(cnt > 0, cnt.cast("double"))
       }
+
+    case ("match_phrase_prefix", b) =>
+      // ES match_phrase_prefix: the leading terms form a (sloppy)
+      // phrase and the LAST term is a prefix of the final token — the
+      // search-as-you-type query. Count-scored like the phrase family.
+      // max_expansions caps the final slot to the first-N dictionary
+      // expansion of the prefix (token asc — Lucene's order).
+      val (f, spec) = unwrap(b)
+      val text = if (spec.isObject) Option(spec.get("query"))
+        .map(_.asText).getOrElse(bad("match_phrase_prefix needs \"query\""))
+      else spec.asText
+      val slop = if (spec.isObject)
+        Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
+      if (slop < 0) bad("slop must be >= 0")
+      val maxExp = if (spec.isObject)
+        Option(spec.get("max_expansions")).map(_.asInt) else None
+      maxExp.foreach(n => if (n <= 0 || n > Search.MaxExpansionsCeiling)
+        bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty) bad("empty match_phrase_prefix query")
+      val expansion = maxExp.map(n =>
+        ctx.prefixExpansion(Seq(f), terms.last, n))
+      val cnt = Search.phrasePrefixCount(col(f), terms, slop, expansion)
+      Clause(cnt > 0, cnt.cast("double"))
+
+    case ("fuzzy", b) =>
+      // term-level fuzzy: ONE unanalyzed term within its edit budget
+      // of a field token (multi-word input is the caller confusing it
+      // with match+fuzziness — reject, don't guess). Scored by the
+      // fuzzy-occurrence count, the engine's documented fuzzy family.
+      val (f, spec) = unwrap(b)
+      val (value, fz, knobs) =
+        if (spec.isObject)
+          (Option(spec.get("value")).map(_.asText)
+             .getOrElse(bad("fuzzy needs \"value\"")),
+           Option(spec.get("fuzziness")).map(_.asText).getOrElse("AUTO"),
+           fuzzyKnobs(Some(spec)))
+        else (spec.asText, "AUTO", (0, Option.empty[Int]))
+      if (value.trim.split("\\s+").length != 1)
+        bad("fuzzy is term-level (one term); use match with fuzziness " +
+          "for analyzed text")
+      matchClause(ctx, value, Seq(f -> 1.0), "or", minMatch = None,
+        bestFields = false, Some(fz), knobs)
+
+    case ("dis_max", b) =>
+      // ES dis_max: matches when ANY subquery matches; scores the BEST
+      // subquery plus tie_breaker times the other matching subqueries
+      // (max + tie * (sum - max)).
+      val qs = Option(b.get("queries")).filter(_.isArray)
+        .getOrElse(bad("dis_max needs a \"queries\" array"))
+      val subs = (0 until qs.size).map(i => clause(qs.get(i), ctx))
+      if (subs.isEmpty) bad("dis_max needs at least one query")
+      val tie = Option(b.get("tie_breaker")).map(_.asDouble).getOrElse(0.0)
+      if (tie < 0.0 || tie > 1.0) bad("tie_breaker must be in [0, 1]")
+      val pred = subs.map(c => coalesce(c.pred, lit(false))).reduce(_ || _)
+      val matchScores = subs.map(c =>
+        when(coalesce(c.pred, lit(false)), c.score.cast("double"))
+          .otherwise(lit(0.0)))
+      val score =
+        if (subs.size == 1) matchScores.head
+        else {
+          val best = greatest(matchScores: _*)
+          val total = matchScores.reduce(_ + _)
+          best + lit(tie) * (total - best)
+        }
+      Clause(pred, score)
+
+    case ("boosting", b) =>
+      // ES boosting: the match set is the positive query's; a doc also
+      // matching the negative query keeps its relevance DEMOTED by
+      // negative_boost (multiplicative) instead of being excluded.
+      val pos = Option(b.get("positive"))
+        .getOrElse(bad("boosting needs \"positive\""))
+      val neg = Option(b.get("negative"))
+        .getOrElse(bad("boosting needs \"negative\""))
+      val nb = Option(b.get("negative_boost")).map(_.asDouble)
+        .getOrElse(bad("boosting needs \"negative_boost\""))
+      if (nb < 0.0 || nb > 1.0) bad("negative_boost must be in [0, 1]")
+      val p = clause(pos, ctx)
+      val n = clause(neg, ctx)
+      Clause(p.pred,
+        when(coalesce(n.pred, lit(false)),
+          p.score.cast("double") * nb).otherwise(p.score.cast("double")))
 
     case ("match", b) =>
       val (f, spec) = unwrap(b)

@@ -628,6 +628,41 @@ object Search {
     size(filter(posOf(terms.head), p1 => rest(1, p1, p1))).cast("int")
   }
 
+  /** [[slopCount]] with the LAST slot matched by PREFIX instead of
+    * equality — ES `match_phrase_prefix`: the leading terms appear in
+    * order (within `slop` total interleave) and the final position
+    * holds any token starting with the last "term" (the user's
+    * still-being-typed prefix). `lastExpansion`, when present, caps
+    * the final slot to membership in that token set (ES
+    * `max_expansions` — the caller derives the first-N prefix
+    * expansion; None = unbounded prefix match). Single-term queries
+    * degenerate to a prefix-token count. */
+  private[graft] def phrasePrefixCount(field: Column, terms: Seq[String],
+                                       slop: Int,
+                                       lastExpansion: Option[Seq[String]]
+                                         = None): Column = {
+    require(terms.nonEmpty, "empty phrase prefix")
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(field, lit(""))))
+    def posWhere(m: Column => Column): Column =
+      filter(transform(toks, (x, i) =>
+        when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    val lastMatch: Column => Column = lastExpansion match {
+      case Some(set) =>
+        if (set.isEmpty) (_: Column) => lit(false)
+        else (x: Column) => x.isInCollection(set)
+      case None => (x: Column) => x.startsWith(terms.last)
+    }
+    def posOf(k: Int): Column =
+      if (k == terms.size - 1) posWhere(lastMatch)
+      else posWhere(_ === lit(terms(k)))
+    def rest(k: Int, prev: Column, first: Column): Column =
+      if (k == terms.size) lit(true)
+      else exists(posOf(k), p =>
+        p > prev && p <= first + lit(k + slop) && rest(k + 1, p, first))
+    size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
+  }
+
   /** SLOPPY phrase (ES `match_phrase` with `slop`): the query's terms
     * must appear IN ORDER with at most `slop` extra tokens interleaved
     * in total — the ordered subset of Lucene's sloppy matcher (its
@@ -770,6 +805,27 @@ object Search {
         .limit(n)
         .select("tok").collect().map(_.getString(0)).toSeq
     }.toMap
+  }
+
+  /** The capped PREFIX expansion set (ES `match_phrase_prefix`
+    * `max_expansions`): the first `n` distinct corpus tokens starting
+    * with `prefix`, ordered token asc (deterministic — Lucene takes
+    * dictionary order here too). Bounded driver artifact like
+    * [[fuzzyExpansionSets]]. */
+  private[graft] def prefixExpansionSet(df: DataFrame,
+                                        fields: Seq[String],
+                                        prefix: String,
+                                        n: Int): Seq[String] = {
+    require(n > 0 && n <= MaxExpansionsCeiling,
+      s"max_expansions must be 1..$MaxExpansionsCeiling")
+    val toksAll = fields.map(f =>
+        graft.functions.TextFunctions.tokens(
+          lower(coalesce(col(f), lit("")))))
+      .reduce((a, b) => concat(a, b))
+    df.select(explode(toksAll).as("tok")).distinct()
+      .filter(col("tok").startsWith(prefix))
+      .orderBy(col("tok").asc).limit(n)
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** FUZZY search (ES `match` with `fuzziness`): a field token matches a

@@ -219,6 +219,72 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("dis_max: best matching subquery + tie_breaker share of the " +
+    "rest; boosting demotes without excluding") {
+    val dm = q("""{"query": {"dis_max": {"queries": [
+      {"term": {"source": "src3"}},
+      {"match_phrase": {"text": "batch batch"}}],
+      "tie_breaker": 0.5}}, "size": 10}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // doc 1: only the term matches (1.0); doc 4: both (max 1.0 +
+    // 0.5 * the other 1.0); docs 2/3 match neither
+    assert(dm == Map(1L -> 1.0, 4L -> 1.5), s"dis_max scores: $dm")
+    val bo = q("""{"query": {"boosting": {
+      "positive": {"match_phrase": {"text": "window"}},
+      "negative": {"term": {"source": "src1"}},
+      "negative_boost": 0.5}}, "size": 10}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // all three window docs stay IN; the src1 one is halved
+    assert(bo == Map(1L -> 1.0, 2L -> 0.5, 4L -> 1.0),
+      s"boosting scores: $bo")
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"dis_max": {"queries": [], "tie_breaker": 0.5}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"boosting": {"positive": {"match_all": {}},
+        "negative": {"match_all": {}}, "negative_boost": 1.5}}}""")
+    }
+  }
+
+  test("match_phrase_prefix: leading terms exact, final slot by " +
+    "prefix; max_expansions caps the dictionary expansion") {
+    val p1 = q("""{"query": {"match_phrase_prefix": {"text":
+      "window ba"}}, "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(p1 == Set(1L)) // "window batch run"
+    val p2 = q("""{"query": {"match_phrase_prefix": {"text":
+      "batch win"}}, "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(p2 == Set(4L)) // "batch batch window"
+    // single-term: a bare prefix-token count
+    val p3 = q("""{"query": {"match_phrase_prefix": {"text": "wi"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSet
+    assert(p3 == Set(1L, 2L, 4L))
+    // max_expansions: dictionary expansion capped token-asc — with a
+    // frame whose 'a'-prefix vocabulary is {aa, ab, ac}, capping at 2
+    // drops 'ac' matches
+    val d = Seq((1L, "x aa"), (2L, "x ab"), (3L, "x ac"))
+      .toDF("doc_id", "text")
+    def pp(extra: String) = EsDsl.search(d, mapper.readTree(
+      s"""{"query": {"match_phrase_prefix": {"text":
+         {"query": "x a"$extra}}}, "size": 10}"""))
+      .collect().map(_.getLong(0)).toSet
+    assert(pp("") == Set(1L, 2L, 3L))
+    assert(pp(""", "max_expansions": 2""") == Set(1L, 2L))
+  }
+
+  test("term-level fuzzy: one unanalyzed term, AUTO budget; " +
+    "multi-word values reject") {
+    val fz = q("""{"query": {"fuzzy": {"text": "windoq"}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(fz == Set(1L, 2L, 4L)) // 'windoq' ~2 edits from 'window'
+    val fz0 = q("""{"query": {"fuzzy": {"text": {"value": "windoq",
+      "fuzziness": "0"}}}, "size": 10}""").collect()
+    assert(fz0.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      q("""{"query": {"fuzzy": {"text": "two words"}}}""")
+    }
+    assert(e.getMessage.contains("term-level"))
+  }
+
   test("aggregations: terms buckets with metric sub-aggs follow ES " +
     "ordering; global metrics return one row; unsupported aggs reject") {
     val b = q("""{"query": {"match_all": {}},
