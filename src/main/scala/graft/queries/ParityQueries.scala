@@ -662,6 +662,78 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // ES stats metric agg (round 9): one-row count/min/max/avg/sum,
+    // flattened to <name>_* columns. Long column keeps every value
+    // exact (sum is integer arithmetic; avg one exact division) so the
+    // oracle is float-stable; extended_stats' variance tier is
+    // spec-gated (EsDslSpec) like avg/sum on doubles.
+    "q7_esdsl_stats" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"ck": {"stats": {"field": "o_custkey"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // ES percentiles agg (round 9): EXACT interpolated percentiles
+    // (ES's TDigest is approximate; exact is deterministic and
+    // oracle-able — DuckDB's quantile_cont interpolates identically).
+    "q7_esdsl_percentiles" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"price": {"percentiles": {"field": "o_totalprice",
+          |   "percents": [25, 50, 75, 99]}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // ES range agg (round 9): request-enumerated buckets (from
+    // inclusive, to exclusive, ES's *-to-* keys), EVERY bucket
+    // returned in one single-pass conditional aggregation — no
+    // per-bucket scan, no shuffle beyond the one aggregation.
+    "q7_esdsl_range" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"price_ranges": {"range": {"field": "o_totalprice",
+          |   "ranges": [{"to": 10000}, {"from": 10000, "to": 150000},
+          |              {"from": 150000}]},
+          |   "aggs": {"n_customers":
+          |     {"cardinality": {"field": "o_custkey"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // ES filters agg (round 9): named buckets from arbitrary query
+    // clauses (filter context), same single-pass conditional shape.
+    "q7_esdsl_filters" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"cohorts": {"filters": {"filters": {
+          |   "short_docs": {"range": {"n_chars": {"lt": 200}}},
+          |   "src3": {"term": {"source": "src3"}},
+          |   "german": {"term": {"lang": "de"}}}},
+          |   "aggs": {"min_len": {"min": {"field": "n_chars"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ES terms-agg knobs (round 9): min_doc_count prunes buckets below
+    // the floor (71 drops de@70 and fr@64), order {_key asc} replaces
+    // the default _count desc (with size 3 the SELECTED set changes,
+    // so the knob is hash-visible), missing maps nulls to a stand-in
+    // key (no-op on this corpus; semantics spec-gated).
+    "q7_esdsl_terms_knobs" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"langs": {"terms": {"field": "lang",
+          |   "missing": "unknown", "min_doc_count": 71,
+          |   "order": {"_key": "asc"}, "size": 3},
+          |   "aggs": {"n_docs":
+          |     {"value_count": {"field": "n_chars"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // DSL BM25 scoring parity (round 9): match/multi_match clauses in a
     // replayed ES body now rank with REAL BM25 — the same
     // Search.rankedAll machinery /search rank=bm25 runs — so a
@@ -1862,6 +1934,61 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // one-row stats over a long column: every value exact (integer
+    // sum, one division for avg); DuckDB's BIGINT sum widens to
+    // HUGEINT — cast back
+    "q7_esdsl_stats" ->
+      ("SELECT count(o_custkey) AS ck_count, " +
+       "min(o_custkey) AS ck_min, max(o_custkey) AS ck_max, " +
+       "avg(o_custkey) AS ck_avg, " +
+       "CAST(sum(o_custkey) AS BIGINT) AS ck_sum FROM orders"),
+
+    // exact interpolated percentiles == DuckDB quantile_cont
+    "q7_esdsl_percentiles" ->
+      ("SELECT quantile_cont(o_totalprice, 0.25) AS price_p25, " +
+       "quantile_cont(o_totalprice, 0.50) AS price_p50, " +
+       "quantile_cont(o_totalprice, 0.75) AS price_p75, " +
+       "quantile_cont(o_totalprice, 0.99) AS price_p99 FROM orders"),
+
+    // range buckets: from inclusive / to exclusive, ES's "from-to"
+    // keys, all buckets present; conditional aggregates per bucket
+    "q7_esdsl_range" ->
+      ("SELECT '*-10000.0' AS key, " +
+       "count(CASE WHEN o_totalprice < 10000 THEN 1 END) AS doc_count, " +
+       "count(DISTINCT CASE WHEN o_totalprice < 10000 " +
+         "THEN o_custkey END) AS n_customers FROM orders " +
+       "UNION ALL SELECT '10000.0-150000.0', " +
+       "count(CASE WHEN o_totalprice >= 10000 AND o_totalprice < 150000 " +
+         "THEN 1 END), " +
+       "count(DISTINCT CASE WHEN o_totalprice >= 10000 AND " +
+         "o_totalprice < 150000 THEN o_custkey END) FROM orders " +
+       "UNION ALL SELECT '150000.0-*', " +
+       "count(CASE WHEN o_totalprice >= 150000 THEN 1 END), " +
+       "count(DISTINCT CASE WHEN o_totalprice >= 150000 " +
+         "THEN o_custkey END) FROM orders"),
+
+    // named filter buckets, min sub-metric rides the same
+    // conditional pass
+    "q7_esdsl_filters" ->
+      ("SELECT 'short_docs' AS key, " +
+       "count(CASE WHEN n_chars < 200 THEN 1 END) AS doc_count, " +
+       "min(CASE WHEN n_chars < 200 THEN n_chars END) AS min_len " +
+       "FROM documents " +
+       "UNION ALL SELECT 'src3', " +
+       "count(CASE WHEN source = 'src3' THEN 1 END), " +
+       "min(CASE WHEN source = 'src3' THEN n_chars END) FROM documents " +
+       "UNION ALL SELECT 'german', " +
+       "count(CASE WHEN lang = 'de' THEN 1 END), " +
+       "min(CASE WHEN lang = 'de' THEN n_chars END) FROM documents"),
+
+    // terms knobs: missing → coalesce key, HAVING floor, _key asc
+    // order interacting with the size cap
+    "q7_esdsl_terms_knobs" ->
+      ("SELECT coalesce(lang, 'unknown') AS lang, " +
+       "count(*) AS doc_count, count(n_chars) AS n_docs " +
+       "FROM documents GROUP BY 1 HAVING count(*) >= 71 " +
+       "ORDER BY lang LIMIT 3"),
 
     // dis_max: phrase-count subscore vs constant term subscore —
     // max + tie_breaker·(sum − max) over MATCHING subqueries only

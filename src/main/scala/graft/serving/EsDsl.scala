@@ -157,7 +157,8 @@ object EsDsl {
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
         Some(aggregations(filtered,
-          Option(body.get("aggs")).getOrElse(body.get("aggregations"))))
+          Option(body.get("aggs")).getOrElse(body.get("aggregations")),
+          ctx))
       else None
     val ties = (if (tiebreak.nonEmpty) tiebreak
       else Seq(df.columns.head)).map(col(_).asc)
@@ -558,16 +559,22 @@ object EsDsl {
     case (other, _) => bad(s"unsupported query clause '$other'")
   }
 
-  /** ES aggregations, flat-relational shape: ONE top-level agg — either
-    * a `terms` bucket agg (buckets ordered by doc_count desc, key asc,
-    * top `size` — ES's default ordering) optionally carrying metric
-    * sub-aggs, or a single global metric agg (one row). Metrics:
-    * avg/sum/min/max/value_count, and `cardinality` as an EXACT distinct
-    * count (ES's is approximate HLL; exact is deterministic and
-    * oracle-able — the sketch tier lives in operators/Sketches). The
-    * result is the flat bucket table (key, doc_count, metric columns) —
-    * the relational projection of ES's nested buckets JSON. */
-  private def aggregations(df: DataFrame, aggs: JsonNode): DataFrame = {
+  /** ES aggregations, flat-relational shape: ONE top-level agg — a
+    * bucket agg (`terms` with missing/min_doc_count/order knobs and
+    * optional nesting, `date_histogram`, `histogram`, `range`,
+    * `filters`) optionally carrying metric sub-aggs, or a single
+    * global metric agg (one row). Metrics: avg/sum/min/max/
+    * value_count, `cardinality` as an EXACT distinct count (ES's is
+    * approximate HLL; exact is deterministic and oracle-able — the
+    * sketch tier lives in operators/Sketches), `stats` /
+    * `extended_stats` (flattened to `<name>_count` … `<name>_
+    * std_deviation`; population variance, like ES), and `percentiles`
+    * (EXACT interpolated — ES's TDigest is approximate; flattened to
+    * `<name>_p<percent>`). The result is the flat bucket table (key,
+    * doc_count, metric columns) — the relational projection of ES's
+    * nested buckets JSON. */
+  private def aggregations(df: DataFrame, aggs: JsonNode,
+                           ctx: Ctx): DataFrame = {
     val (name, spec) = unwrap(aggs)
     val kind = {
       val it = spec.fieldNames()
@@ -579,20 +586,67 @@ object EsDsl {
       if (k == null) bad(s"aggregation '$name' has no agg type")
       k
     }
-    def metric(mKind: String, mSpec: JsonNode, alias: String): Column = {
+    val DefaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+    def percentName(p: Double): String = {
+      val s = if (p == math.floor(p)) p.toLong.toString
+        else p.toString.replace('.', '_')
+      s"p$s"
+    }
+    def metricCols(mKind: String, mSpec: JsonNode,
+                   alias: String): Seq[Column] = {
       val f = Option(mSpec.get("field")).map(_.asText)
         .getOrElse(bad(s"$mKind needs \"field\""))
-      (mKind match {
-        case "avg"         => avg(col(f))
-        case "sum"         => sum(col(f))
-        case "min"         => min(col(f))
-        case "max"         => max(col(f))
-        case "value_count" => count(col(f))
-        case "cardinality" => countDistinct(col(f))
-        case other         => bad(s"unsupported metric agg '$other'")
-      }).as(alias)
+      val c = col(f)
+      mKind match {
+        case "avg"         => Seq(avg(c).as(alias))
+        case "sum"         => Seq(sum(c).as(alias))
+        case "min"         => Seq(min(c).as(alias))
+        case "max"         => Seq(max(c).as(alias))
+        case "value_count" => Seq(count(c).as(alias))
+        case "cardinality" => Seq(countDistinct(c).as(alias))
+        case "stats" => Seq(
+          count(c).as(s"${alias}_count"), min(c).as(s"${alias}_min"),
+          max(c).as(s"${alias}_max"), avg(c).as(s"${alias}_avg"),
+          sum(c).as(s"${alias}_sum"))
+        case "extended_stats" => Seq(
+          count(c).as(s"${alias}_count"), min(c).as(s"${alias}_min"),
+          max(c).as(s"${alias}_max"), avg(c).as(s"${alias}_avg"),
+          sum(c).as(s"${alias}_sum"),
+          sum(c * c).as(s"${alias}_sum_of_squares"),
+          var_pop(c).as(s"${alias}_variance"),
+          stddev_pop(c).as(s"${alias}_std_deviation"))
+        case "percentiles" =>
+          val percents = Option(mSpec.get("percents")).map { a =>
+            if (!a.isArray || a.size == 0)
+              bad("percents must be a non-empty array")
+            (0 until a.size).map(a.get(_).asDouble)
+          }.getOrElse(DefaultPercents)
+          percents.foreach(p =>
+            if (p < 0 || p > 100) bad("percents must be in [0, 100]"))
+          percents.map(p => expr(s"percentile(`$f`, ${p / 100.0}d)")
+            .as(s"${alias}_${percentName(p)}"))
+        case other => bad(s"unsupported metric agg '$other'")
+      }
     }
-    def metricSubs(parent: JsonNode): Seq[Column] =
+    // conditional form for single-pass range/filters buckets: every
+    // bucket's metrics ride ONE aggregation via when(cond, col)
+    def metricColsCond(cond: Column, mKind: String, mSpec: JsonNode,
+                       alias: String): Seq[Column] = {
+      val f = Option(mSpec.get("field")).map(_.asText)
+        .getOrElse(bad(s"$mKind needs \"field\""))
+      val c = when(cond, col(f))
+      mKind match {
+        case "avg"         => Seq(avg(c).as(alias))
+        case "sum"         => Seq(sum(c).as(alias))
+        case "min"         => Seq(min(c).as(alias))
+        case "max"         => Seq(max(c).as(alias))
+        case "value_count" => Seq(count(c).as(alias))
+        case "cardinality" => Seq(countDistinct(c).as(alias))
+        case other => bad(s"metric '$other' is not supported inside " +
+          "range/filters buckets")
+      }
+    }
+    def subEntries(parent: JsonNode): Seq[(String, String, JsonNode)] =
       Option(parent.get("aggs"))
         .orElse(Option(parent.get("aggregations"))).toSeq
         .flatMap { s =>
@@ -600,8 +654,31 @@ object EsDsl {
           val names = scala.collection.mutable.ArrayBuffer[String]()
           while (it.hasNext) names += it.next()
           names.toSeq.map { n =>
-            val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
+            val (mk, ms) = unwrap(s.get(n)); (n, mk, ms) }
         }
+    def metricSubs(parent: JsonNode): Seq[Column] =
+      subEntries(parent).flatMap { case (n, mk, ms) =>
+        metricCols(mk, ms, n) }
+    // ONE-PASS bucket table for request-enumerated buckets (range /
+    // filters): conditional aggregates for every bucket in one
+    // aggregation, then one explode reshapes the single row into
+    // buckets IN REQUEST ORDER — ES returns every enumerated bucket,
+    // empty ones included (doc_count 0), unlike terms
+    def enumeratedBuckets(keys: Seq[String], conds: Seq[Column],
+                          parent: JsonNode): DataFrame = {
+      val subs = subEntries(parent)
+      val aggCols = conds.zipWithIndex.flatMap { case (cond, i) =>
+        count(when(cond, lit(1))).as(s"_c$i") +:
+          subs.flatMap { case (n, mk, ms) =>
+            metricColsCond(cond, mk, ms, s"_m${i}_$n") }
+      }
+      val agged = df.agg(aggCols.head, aggCols.tail: _*)
+      val structs = keys.zipWithIndex.map { case (k, i) =>
+        struct((lit(k).as("key") +: col(s"_c$i").as("doc_count") +:
+          subs.map { case (n, _, _) => col(s"_m${i}_$n").as(n) }): _*)
+      }
+      agged.select(explode(array(structs: _*)).as("_b")).select("_b.*")
+    }
     kind match {
       case "terms" =>
         val t = spec.get("terms")
@@ -618,17 +695,60 @@ object EsDsl {
           names.toSeq.filter(n => s.get(n).hasNonNull("terms"))
             .map(n => n -> s.get(n))
         }
-        // ES terms buckets SKIP documents missing the field (the
-        // `missing` parameter opts back in; not supported) — null keys
-        // never form a bucket
+        // ES terms buckets SKIP documents missing the field unless the
+        // `missing` parameter maps nulls to a stand-in key;
+        // `min_doc_count` prunes buckets below the floor (0 — ES's
+        // show-the-whole-dictionary mode — is not representable from
+        // one aggregation and rejects); `order` overrides the default
+        // (_count desc) by _key, _count, or a single-column sub-metric
+        // name, always with the _key asc tiebreak ES applies
+        val missing = Option(t.get("missing")).map(litOf)
+        val minDocCount = Option(t.get("min_doc_count")).map(_.asInt)
+        minDocCount.foreach(n => if (n < 1)
+          bad("min_doc_count must be >= 1 (0 needs the term " +
+            "dictionary, which one aggregation cannot enumerate)"))
+        val orderSpec: Option[(String, Boolean)] =
+          Option(t.get("order")).map { o =>
+            val (k, v) = unwrap(o)
+            v.asText match {
+              case "asc"  => (k, true)
+              case "desc" => (k, false)
+              case other  => bad(s"unsupported order direction '$other'")
+            }
+          }
         nested match {
           case Nil =>
-            df.filter(col(f).isNotNull)
-              .groupBy(col(f))
+            val keyCol = missing
+              .map(m => coalesce(col(f), m)).getOrElse(col(f))
+            val base = (if (missing.isDefined) df
+              else df.filter(col(f).isNotNull))
+              .groupBy(keyCol.as(f))
               .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
-              .orderBy(col("doc_count").desc, col(f).asc)
-              .limit(size)
+            val pruned = minDocCount
+              .map(n => base.filter(col("doc_count") >= n))
+              .getOrElse(base)
+            val sortKeys: Seq[Column] = orderSpec match {
+              case None => Seq(col("doc_count").desc, col(f).asc)
+              case Some((k, asc)) =>
+                val c = k match {
+                  case "_count" => col("doc_count")
+                  case "_key"   => col(f)
+                  case metricName =>
+                    if (!subEntries(spec).exists { case (n, mk, _) =>
+                        n == metricName && !Set("stats",
+                          "extended_stats", "percentiles").contains(mk) })
+                      bad(s"order target '$metricName' is not a " +
+                        "single-valued sub-metric of this terms agg")
+                    col(metricName)
+                }
+                Seq(if (asc) c.asc else c.desc, col(f).asc)
+            }
+            pruned.orderBy(sortKeys: _*).limit(size)
           case Seq((_, childSpec)) =>
+            if (missing.isDefined || minDocCount.isDefined ||
+                orderSpec.isDefined)
+              bad("missing/min_doc_count/order are not supported on a " +
+                "terms agg that nests another terms agg")
             // NESTED terms buckets, flat-relational: parent buckets =
             // ES's top-size by doc_count; per parent, the top-size2
             // child buckets. Plan shape: one (f1) agg broadcast-semi-
@@ -669,6 +789,54 @@ object EsDsl {
           case many =>
             bad(s"at most one nested terms agg (got ${many.size})")
         }
+      case "range" =>
+        // ES range agg: request-enumerated numeric buckets, `from`
+        // inclusive / `to` exclusive, EVERY range returned in request
+        // order (empty ones at doc_count 0 — unlike terms); default
+        // keys use ES's "from-to" double format with `*` for an open
+        // end; a bucket's own "key" overrides.
+        val h = spec.get("range")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("range agg needs \"field\""))
+        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("range agg needs a non-empty \"ranges\" array"))
+        val ranges = (0 until rangesNode.size).map { i =>
+          val r = rangesNode.get(i)
+          val from = Option(r.get("from")).map(_.asDouble)
+          val to = Option(r.get("to")).map(_.asDouble)
+          if (from.isEmpty && to.isEmpty)
+            bad("each range needs \"from\" and/or \"to\"")
+          val key = Option(r.get("key")).map(_.asText).getOrElse(
+            s"${from.map(_.toString).getOrElse("*")}-" +
+              s"${to.map(_.toString).getOrElse("*")}")
+          (key, from, to)
+        }
+        val conds = ranges.map { case (_, from, to) =>
+          Seq(Some(col(f).isNotNull), from.map(col(f) >= _),
+            to.map(col(f) < _)).flatten.reduce(_ && _)
+        }
+        enumeratedBuckets(ranges.map(_._1), conds, spec)
+
+      case "filters" =>
+        // ES filters agg: NAMED buckets, one per filter clause
+        // (filter context — scores ignored), returned in request
+        // order, empty buckets included. Any supported query clause
+        // can define a bucket.
+        val h = spec.get("filters")
+        val fs = Option(h.get("filters")).filter(_.isObject)
+          .getOrElse(bad("filters agg needs a \"filters\" object"))
+        val names = {
+          val it = fs.fieldNames()
+          val buf = ArrayBuffer[String]()
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        }
+        if (names.isEmpty) bad("filters agg needs at least one filter")
+        val conds = names.map(n =>
+          coalesce(clause(fs.get(n), ctx).pred, lit(false)))
+        enumeratedBuckets(names, conds, spec)
+
       case "date_histogram" =>
         // ES date_histogram over a timestamp column; bucket `key` is
         // the interval start as EPOCH MILLIS — exactly the number ES
@@ -736,21 +904,13 @@ object EsDsl {
         val interval = Option(h.get("interval")).map(_.asDouble)
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
-        val subs = Option(spec.get("aggs"))
-          .orElse(Option(spec.get("aggregations"))).toSeq
-          .flatMap { s =>
-            val it = s.fieldNames()
-            val names = scala.collection.mutable.ArrayBuffer[String]()
-            while (it.hasNext) names += it.next()
-            names.toSeq.map { n =>
-              val (mk, ms) = unwrap(s.get(n)); metric(mk, ms, n) }
-          }
         df.filter(col(f).isNotNull)
           .groupBy((floor(col(f) / interval) * interval).as("key"))
-          .agg(count(lit(1)).as("doc_count"), subs: _*)
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
           .orderBy(col("key").asc)
       case mKind =>
-        df.agg(metric(mKind, spec.get(mKind), name))
+        val cols = metricCols(mKind, spec.get(mKind), name)
+        df.agg(cols.head, cols.tail: _*)
     }
   }
 

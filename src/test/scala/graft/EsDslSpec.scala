@@ -24,6 +24,92 @@ class EsDslSpec extends SparkSpec {
     (4L, "batch batch window", "src3", 40L)
   ).toDF("doc_id", "text", "source", "n")
 
+  test("stats / extended_stats / percentiles flatten to one row; " +
+    "variance is population like ES") {
+    val st = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"extended_stats": {"field": "n"}}}, "size": 0}""")
+      .collect().head
+    assert(st.getAs[Long]("s_count") == 4L)
+    assert(st.getAs[Long]("s_min") == 10L)
+    assert(st.getAs[Long]("s_max") == 40L)
+    assert(st.getAs[Double]("s_avg") == 25.0)
+    assert(st.getAs[Long]("s_sum") == 100L)
+    assert(st.getAs[Long]("s_sum_of_squares") == 3000L)
+    // population variance: E[x²] − E[x]² = 750 − 625 = 125
+    assert(math.abs(st.getAs[Double]("s_variance") - 125.0) < 1e-9)
+    assert(math.abs(st.getAs[Double]("s_std_deviation") -
+      math.sqrt(125.0)) < 1e-9)
+    val pc = q("""{"query": {"match_all": {}}, "aggs":
+      {"p": {"percentiles": {"field": "n", "percents": [50]}}},
+      "size": 0}""").collect().head
+    assert(pc.getAs[Double]("p_p50") == 25.0)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"p": {"percentiles": {"field": "n", "percents": [101]}}},
+        "size": 0}""")
+    }
+  }
+
+  test("terms knobs: missing buckets nulls under a stand-in key, " +
+    "min_doc_count prunes, order overrides the default") {
+    // source: src3×2, src1×1, null×1
+    val m = q("""{"query": {"match_all": {}}, "aggs":
+      {"src": {"terms": {"field": "source", "missing": "none"}}},
+      "size": 0}""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("src3" -> 2L, "src1" -> 1L, "none" -> 1L))
+    val pruned = q("""{"query": {"match_all": {}}, "aggs":
+      {"src": {"terms": {"field": "source", "min_doc_count": 2}}},
+      "size": 0}""").collect().map(_.getString(0)).toSeq
+    assert(pruned == Seq("src3"))
+    val byKey = q("""{"query": {"match_all": {}}, "aggs":
+      {"src": {"terms": {"field": "source",
+        "order": {"_key": "asc"}}}}, "size": 0}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(byKey == Seq("src1", "src3"))
+    // order by a sub-metric
+    val byMetric = q("""{"query": {"match_all": {}}, "aggs":
+      {"src": {"terms": {"field": "source",
+        "order": {"top_n": "desc"}},
+        "aggs": {"top_n": {"max": {"field": "n"}}}}}, "size": 0}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(byMetric == Seq("src3", "src1")) // max n: 40 vs 20
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"src": {"terms": {"field": "source", "min_doc_count": 0}}},
+        "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"src": {"terms": {"field": "source",
+          "order": {"nope": "asc"}}}}, "size": 0}""")
+    }
+  }
+
+  test("range and filters aggs: every enumerated bucket in request " +
+    "order, empty ones at doc_count 0, custom keys honored") {
+    val rg = q("""{"query": {"match_all": {}}, "aggs":
+      {"r": {"range": {"field": "n", "ranges": [
+        {"to": 15}, {"from": 15, "to": 35, "key": "mid"},
+        {"from": 1000}]},
+        "aggs": {"lo": {"min": {"field": "n"}}}}}, "size": 0}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // request order preserved; the open-ended empty bucket is PRESENT
+    assert(rg == Seq(("*-15.0", 1L), ("mid", 2L), ("1000.0-*", 0L)))
+    val fl = q("""{"query": {"match_all": {}}, "aggs":
+      {"f": {"filters": {"filters": {
+        "windows": {"match": {"text": "window"}},
+        "big": {"range": {"n": {"gte": 30}}},
+        "nobody": {"term": {"source": "zzz"}}}},
+        "aggs": {"hi": {"max": {"field": "n"}}}}}, "size": 0}""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Any]("hi"))).toSeq
+    assert(fl.map(t3 => (t3._1, t3._2)) ==
+      Seq(("windows", 3L), ("big", 2L), ("nobody", 0L)))
+    assert(fl.head._3 == 40L) // max n over the window docs
+    assert(fl.last._3 == null) // empty bucket: null metric, like ES
+  }
+
   test("match ranks and scores EXACTLY like /search rank=bm25 — the " +
     "ES-parity contract") {
     val dsl = q("""{"query": {"match": {"text": "window batch"}},
