@@ -662,6 +662,18 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // simple_query_string (round 9): ES's fault-tolerant end-user
+    // query syntax — a sloppy quoted phrase OR'd with (prefix AND
+    // term); occurrence-count scored (the documented count families),
+    // matching clauses' scores summed.
+    "q7_esdsl_simple_query_string" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"simple_query_string": {
+          |  "query": "\"the window\"~1 | wind* + batch",
+          |  "fields": ["text"]}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // ES stats metric agg (round 9): one-row count/min/max/avg/sum,
     // flattened to <name>_* columns. Long column keeps every value
     // exact (sum is integer arithmetic; avg one exact division) so the
@@ -1934,6 +1946,24 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // simple_query_string: sloppy-phrase count (slop 1) OR'd with
+    // (prefix-token count AND term count); matching sides sum
+    "q7_esdsl_simple_query_string" -> {
+      val bc = substrCountSql(s"(${tokenNormSql("text")})", " batch ")
+      slopOracleCte("the", "window", 1) +
+      ", w AS (SELECT doc_id, CAST(len(list_filter(ts, " +
+        "x -> x LIKE 'wind%')) AS INT) AS wc FROM toks), " +
+      s"bq AS (SELECT doc_id, $bc AS bc FROM documents) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(CASE WHEN coalesce(m.score, 0) > 0 THEN m.score ELSE 0 END " +
+        "+ CASE WHEN w.wc > 0 AND bq.bc > 0 THEN w.wc + bq.bc " +
+        "ELSE 0 END AS DOUBLE) AS _score " +
+      "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id " +
+      "JOIN w ON d.doc_id = w.doc_id JOIN bq ON d.doc_id = bq.doc_id " +
+      "WHERE coalesce(m.score, 0) > 0 OR (w.wc > 0 AND bq.bc > 0) " +
+      "ORDER BY _score DESC, d.doc_id LIMIT 100"
+    },
 
     // one-row stats over a long column: every value exact (integer
     // sum, one division for avg); DuckDB's BIGINT sum widens to

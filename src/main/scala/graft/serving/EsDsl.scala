@@ -98,6 +98,12 @@ object EsDsl {
                         n: Int): Seq[String] =
       Search.prefixExpansionSet(df, fields, prefix, n)
 
+    /** The target frame's string columns — ES's `fields: ["*"]`
+      * default for simple_query_string. */
+    def stringFields: Seq[String] = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
       * nothing). Bit-identical to `/search rank=bm25` by construction
@@ -527,6 +533,77 @@ object EsDsl {
         if (m.isIntegralNumber) m.asInt.toString else m.asText)
       matchClause(ctx, text, fields, operator, msm, tpe == "best_fields",
         Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)))
+
+    case ("simple_query_string", b) =>
+      // ES's fault-tolerant end-user query language, parsed by
+      // [[SimpleQueryString]] (grammar + leniency contract documented
+      // there). Every atom scores by token-exact / family-specific
+      // OCCURRENCE counts — the engine's documented count families
+      // (phrase, prefix, fuzzy); BM25 relevance lives on
+      // match/multi_match and /search rank=bm25. Matching clauses'
+      // scores sum, ES's combination rule.
+      val qstr = Option(b.get("query")).map(_.asText)
+        .getOrElse(bad("simple_query_string needs \"query\""))
+      val fields: Seq[(String, Double)] =
+        Option(b.get("fields")).filter(_.isArray) match {
+          case None => ctx.stringFields.map(_ -> 1.0)
+          case Some(fn) =>
+            if (fn.size == 0) bad("fields must be non-empty")
+            (0 until fn.size).map { i =>
+              fn.get(i).asText.split("\\^", 2) match {
+                case Array(n, boost) => n -> boost.toDouble
+                case Array(n)        => n -> 1.0
+              }
+            }
+        }
+      val defaultAnd = Option(b.get("default_operator"))
+        .map(_.asText.toLowerCase).getOrElse("or") match {
+        case "and" => true
+        case "or"  => false
+        case other => bad(s"unsupported default_operator '$other'")
+      }
+      val root = SimpleQueryString.parse(qstr, defaultAnd)
+        .getOrElse(bad("simple_query_string has no usable terms"))
+      def overFields(per: String => Column): Column =
+        fields.map { case (f, boost) =>
+          val c = per(f)
+          if (boost == 1.0) c else c * boost
+        }.reduce(_ + _)
+      def compile(n: SimpleQueryString.Node): Clause = n match {
+        case SimpleQueryString.Term(t) =>
+          val cnt = overFields(f =>
+            Search.substrCount(Search.tokenNorm(col(f)), s" $t "))
+          Clause(cnt > 0, cnt.cast("double"))
+        case SimpleQueryString.Prefix(p) =>
+          val cnt = overFields(f =>
+            Search.phrasePrefixCount(col(f), Seq(p), 0))
+          Clause(cnt > 0, cnt.cast("double"))
+        case SimpleQueryString.Fuzzy(t, e) =>
+          val cnt = overFields(f => size(filter(
+            graft.functions.TextFunctions.tokens(
+              lower(coalesce(col(f), lit("")))),
+            x => levenshtein(x, lit(t)) <= e)))
+          Clause(cnt > 0, cnt.cast("double"))
+        case SimpleQueryString.Phrase(terms, slop) =>
+          val cnt =
+            if (slop == 0) overFields(f => Search.substrCount(
+              Search.tokenNorm(col(f)), terms.mkString(" ", "  ", " ")))
+            else overFields(f => Search.slopCount(col(f), terms, slop))
+          Clause(cnt > 0, cnt.cast("double"))
+        case SimpleQueryString.And(xs) =>
+          val cs = xs.map(compile)
+          Clause(cs.map(c => coalesce(c.pred, lit(false))).reduce(_ && _),
+            cs.map(_.score).reduce(_ + _))
+        case SimpleQueryString.Or(xs) =>
+          val cs = xs.map(compile)
+          Clause(cs.map(c => coalesce(c.pred, lit(false))).reduce(_ || _),
+            cs.map(c => when(coalesce(c.pred, lit(false)), c.score)
+              .otherwise(lit(0.0))).reduce(_ + _))
+        case SimpleQueryString.Not(x) =>
+          val c = compile(x)
+          Clause(!coalesce(c.pred, lit(false)), lit(0.0))
+      }
+      compile(root)
 
     case ("bool", b) =>
       val must = sub(b, "must").map(clause(_, ctx))

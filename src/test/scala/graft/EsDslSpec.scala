@@ -305,6 +305,40 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("simple_query_string: operators, grouping, negation, prefix, " +
+    "fuzzy, phrase slop — and ES's never-throw leniency") {
+    def ids(query: String, extra: String = "") =
+      q(s"""{"query": {"simple_query_string": {"query": "$query",
+           "fields": ["text"]$extra}}, "size": 10}""")
+        .collect().map(_.getLong(0)).toSet
+    // docs: 1 "window batch run" / 2 "window only" / 3 "nothing here"
+    //       4 "batch batch window"
+    assert(ids("window batch") == Set(1L, 2L, 4L)) // default OR
+    assert(ids("window batch",
+      """, "default_operator": "and"""") == Set(1L, 4L))
+    assert(ids("window + batch") == Set(1L, 4L)) // explicit AND
+    assert(ids("window + -batch") == Set(2L)) // negation
+    assert(ids("only | here") == Set(2L, 3L))
+    // AND binds tighter than OR: nothing | (batch AND run) -> 1, 3
+    assert(ids("nothing | batch + run") == Set(1L, 3L))
+    assert(ids("(nothing | batch) + run") == Set(1L)) // grouping
+    assert(ids("wind*") == Set(1L, 2L, 4L)) // prefix
+    assert(ids("windoq~1") == Set(1L, 2L, 4L)) // fuzzy
+    assert(ids("\\\"batch window\\\"") == Set(4L)) // phrase, adjacency
+    assert(ids("\\\"window run\\\"~1") == Set(1L)) // phrase slop
+    // leniency: unclosed quote runs to end; stray ) and dangling +
+    // are dropped — never a 400 for syntax
+    assert(ids("\\\"window only") == Set(2L))
+    assert(ids("window ) + ") == Set(1L, 2L, 4L))
+    // no usable atoms IS a request error
+    intercept[IllegalArgumentException] { ids("   ") }
+    // scoring: matching clauses sum (doc 4: batch×2 + window×1)
+    val sc = q("""{"query": {"simple_query_string": {"query":
+      "window batch", "fields": ["text"]}}, "size": 10}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sc(4L) == 3.0 && sc(1L) == 2.0 && sc(2L) == 1.0, s"$sc")
+  }
+
   test("dis_max: best matching subquery + tie_breaker share of the " +
     "rest; boosting demotes without excluding") {
     val dm = q("""{"query": {"dis_max": {"queries": [
