@@ -674,6 +674,38 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // ES composite agg (round 9): the SCALE path for walking every
+    // bucket of a huge corpus — source-value-ordered pages with a
+    // strictly-after resume key. Page 2 here: after (F, 3-MEDIUM),
+    // 5 buckets, with an exact min sub-metric.
+    "q7_esdsl_composite" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"page": {"composite": {"size": 5, "sources": [
+          |   {"status": {"terms": {"field": "o_orderstatus"}}},
+          |   {"prio": {"terms": {"field": "o_orderpriority"}}}],
+          |   "after": {"status": "F", "prio": "3-MEDIUM"}},
+          |   "aggs": {"min_price": {"min": {"field": "o_totalprice"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // ES top_hits agg (round 9): per-bucket top DOCUMENTS, flat
+    // rows (key, doc_count, hit_rank, hit columns). Plan: top-size
+    // parent buckets broadcast-gate the corpus, one per-bucket
+    // WindowGroupLimit — the 100 TB "top docs per category" shape.
+    "q7_esdsl_top_hits" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_status": {"terms":
+          |   {"field": "o_orderstatus", "size": 2},
+          |   "aggs": {"best": {"top_hits": {"size": 2,
+          |     "sort": [{"o_totalprice": {"order": "desc"}}],
+          |     "_source": ["o_orderkey", "o_totalprice"]}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // ES stats metric agg (round 9): one-row count/min/max/avg/sum,
     // flattened to <name>_* columns. Long column keeps every value
     // exact (sum is integer arithmetic; avg one exact division) so the
@@ -1964,6 +1996,32 @@ object ParityQueries {
       "WHERE coalesce(m.score, 0) > 0 OR (w.wc > 0 AND bq.bc > 0) " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"
     },
+
+    // composite page 2: pre-group row filter == post-group key filter
+    // for terms sources (the key IS the row value)
+    "q7_esdsl_composite" ->
+      ("SELECT o_orderstatus AS status, o_orderpriority AS prio, " +
+       "count(*) AS doc_count, min(o_totalprice) AS min_price " +
+       "FROM orders WHERE o_orderstatus IS NOT NULL " +
+       "AND o_orderpriority IS NOT NULL " +
+       "AND (o_orderstatus > 'F' OR (o_orderstatus = 'F' " +
+         "AND o_orderpriority > '3-MEDIUM')) " +
+       "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5"),
+
+    // top_hits: window rank within the top-2 parent buckets
+    "q7_esdsl_top_hits" ->
+      ("WITH parents AS (SELECT o_orderstatus, count(*) AS doc_count " +
+         "FROM orders WHERE o_orderstatus IS NOT NULL " +
+         "GROUP BY 1 ORDER BY doc_count DESC, o_orderstatus LIMIT 2), " +
+       "h AS (SELECT o_orderstatus, o_orderkey, o_totalprice, " +
+         "CAST(row_number() OVER (PARTITION BY o_orderstatus " +
+         "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS hit_rank " +
+         "FROM orders WHERE o_orderstatus IS NOT NULL) " +
+       "SELECT p.o_orderstatus, p.doc_count, h.hit_rank, " +
+         "h.o_orderkey, h.o_totalprice " +
+       "FROM parents p JOIN h USING (o_orderstatus) " +
+       "WHERE h.hit_rank <= 2 " +
+       "ORDER BY p.doc_count DESC, p.o_orderstatus, h.hit_rank"),
 
     // one-row stats over a long column: every value exact (integer
     // sum, one division for avg); DuckDB's BIGINT sum widens to

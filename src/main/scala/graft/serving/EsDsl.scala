@@ -793,6 +793,72 @@ object EsDsl {
               case other  => bad(s"unsupported order direction '$other'")
             }
           }
+        val topHits = subAggs.toSeq.flatMap { s =>
+          val it = s.fieldNames()
+          val names = scala.collection.mutable.ArrayBuffer[String]()
+          while (it.hasNext) names += it.next()
+          names.toSeq.filter(n => s.get(n).hasNonNull("top_hits"))
+            .map(n => s.get(n).get("top_hits"))
+        }
+        if (topHits.nonEmpty) {
+          // top_hits sub-agg: per-bucket top DOCUMENTS, flat-relational
+          // — one row per hit: (key, doc_count, hit_rank, hit columns).
+          // Plan: the top-size parent buckets broadcast-gate the corpus
+          // rows, then one per-bucket WindowGroupLimit picks each
+          // bucket's hits — the 100 TB "top docs per category" shape,
+          // no global sort of the corpus.
+          if (topHits.size > 1 || subEntries(spec).size > 1)
+            bad("top_hits must be the only sub-agg of its terms bucket")
+          if (missing.isDefined || minDocCount.isDefined ||
+              orderSpec.isDefined)
+            bad("missing/min_doc_count/order are not supported with " +
+              "a top_hits sub-agg")
+          val th = topHits.head
+          val hitsSize = Option(th.get("size")).map(_.asInt).getOrElse(3)
+          if (hitsSize <= 0 || hitsSize > 100)
+            bad("top_hits size must be 1..100")
+          val sortNode = Option(th.get("sort")).filter(_.isArray)
+            .getOrElse(bad("top_hits needs an explicit \"sort\" array " +
+              "(_score is not defined inside aggregations)"))
+          val sorts = (0 until sortNode.size).map { i =>
+            val n = sortNode.get(i)
+            if (n.isTextual) sortKey(n.asText, "asc")
+            else {
+              val sf = n.fieldNames().next()
+              if (sf == "_score") bad("top_hits cannot sort by _score")
+              val ord = Option(n.get(sf))
+                .flatMap(o => Option(o.get("order"))).map(_.asText)
+                .getOrElse("asc")
+              sortKey(sf, ord)
+            }
+          }
+          val realCols = df.columns.filterNot(c =>
+            c == IdColMarker || c == SidCol || c.startsWith("__bm25_"))
+          val srcCols: Seq[String] = Option(th.get("_source"))
+            .filter(_.isArray).map { a =>
+              val cols = (0 until a.size).map(a.get(_).asText)
+              val miss = cols.filterNot(realCols.contains)
+              if (miss.nonEmpty)
+                bad(s"unknown _source fields: ${miss.mkString(", ")}")
+              cols
+            }.getOrElse(realCols.toSeq)
+          val parents = df.filter(col(f).isNotNull)
+            .groupBy(col(f))
+            .agg(count(lit(1)).as("doc_count"))
+            .orderBy(col("doc_count").desc, col(f).asc)
+            .limit(size)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(f))
+            .orderBy(sorts :+ col(realCols.head).asc: _*)
+          return df.filter(col(f).isNotNull)
+            .join(broadcast(parents), Seq(f))
+            .withColumn("hit_rank", row_number().over(w))
+            .filter(col("hit_rank") <= hitsSize)
+            .select((col(f) +: col("doc_count") +: col("hit_rank") +:
+              srcCols.filterNot(_ == f).map(col)): _*)
+            .orderBy(col("doc_count").desc, col(f).asc,
+              col("hit_rank").asc)
+        }
         nested match {
           case Nil =>
             val keyCol = missing
@@ -866,6 +932,79 @@ object EsDsl {
           case many =>
             bad(s"at most one nested terms agg (got ${many.size})")
         }
+      case "composite" =>
+        // ES composite agg — the SCALE path for full bucket
+        // enumeration: buckets are ordered by their source values
+        // (not doc_count), a page of `size` at a time, and `after`
+        // resumes STRICTLY AFTER the given key so a client can walk
+        // every bucket of a 100 TB corpus in bounded pages. Sources:
+        // `terms` (asc/desc) and `histogram`. The whole page is one
+        // hash aggregation + one lexicographic filter + TakeOrdered —
+        // no global materialization of the bucket space.
+        val h = spec.get("composite")
+        val size = Option(h.get("size")).map(_.asInt).getOrElse(10)
+        if (size <= 0 || size > 1000) bad("composite size must be 1..1000")
+        val sourcesNode = Option(h.get("sources")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("composite needs a non-empty \"sources\" array"))
+        // (alias, key expression, ascending?)
+        val sources: Seq[(String, Column, Boolean)] =
+          (0 until sourcesNode.size).map { i =>
+            val (sName, sSpec) = unwrap(sourcesNode.get(i))
+            val (sKind, sBody) = unwrap(sSpec)
+            val f = Option(sBody.get("field")).map(_.asText)
+              .getOrElse(bad(s"composite source '$sName' needs \"field\""))
+            val asc = Option(sBody.get("order")).map(_.asText)
+              .getOrElse("asc") match {
+              case "asc"  => true
+              case "desc" => false
+              case o      => bad(s"unsupported source order '$o'")
+            }
+            val keyExpr = sKind match {
+              case "terms" => col(f)
+              case "histogram" =>
+                val iv = Option(sBody.get("interval")).map(_.asDouble)
+                  .getOrElse(bad("histogram source needs \"interval\""))
+                if (iv <= 0) bad("histogram interval must be positive")
+                floor(col(f) / iv) * iv
+              case other =>
+                bad(s"unsupported composite source '$other'")
+            }
+            (sName, keyExpr, asc)
+          }
+        val notNull = sources.map(_._2.isNotNull).reduce(_ && _)
+        val grouped = df.filter(notNull)
+          .groupBy(sources.map { case (n, e, _) => e.as(n) }: _*)
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+        // `after`: strictly-greater lexicographic resume, honoring each
+        // source's direction
+        val paged = Option(h.get("after")).map { a =>
+          val afterVals = sources.map { case (n, _, _) =>
+            Option(a.get(n)).getOrElse(
+              bad(s"after is missing source key '$n'")) }
+          val cmp = sources.zip(afterVals).map {
+            case ((n, _, asc), v) =>
+              val c = col(n); val l = litOf(v)
+              (if (asc) c > l else c < l, c === l)
+          }
+          // (k1 after a1) or (k1 = a1 and k2 after a2) or ...
+          val pred = cmp.indices.map { i =>
+            (cmp.take(i).map(_._2) :+ cmp(i)._1).reduce(_ && _)
+          }.reduce(_ || _)
+          grouped.filter(pred)
+        }.getOrElse(grouped)
+        paged.orderBy(sources.map { case (n, _, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*).limit(size)
+
+      case "missing" =>
+        // ES missing agg: the bucket of documents LACKING the field,
+        // with metric sub-aggs over just those docs — one conditional
+        // pass, like range/filters
+        val h = spec.get("missing")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("missing agg needs \"field\""))
+        enumeratedBuckets(Seq(name), Seq(col(f).isNull), spec)
+
       case "range" =>
         // ES range agg: request-enumerated numeric buckets, `from`
         // inclusive / `to` exclusive, EVERY range returned in request

@@ -110,6 +110,58 @@ class EsDslSpec extends SparkSpec {
     assert(fl.last._3 == null) // empty bucket: null metric, like ES
   }
 
+  test("composite agg: source-ordered pages, after resumes strictly " +
+    "after, desc sources honored; missing agg buckets the nulls") {
+    def page(extra: String) = q(s"""{"query": {"match_all": {}},
+      "aggs": {"pg": {"composite": {"size": 2, "sources": [
+        {"src": {"terms": {"field": "source"}}}]$extra}}},
+      "size": 0}""").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    // buckets: src1×1, src3×2 (null source excluded)
+    assert(page("") == Seq(("src1", 1L), ("src3", 2L)))
+    assert(page(""", "after": {"src": "src1"}""") == Seq(("src3", 2L)))
+    assert(page(""", "after": {"src": "src3"}""") == Seq())
+    // desc source order flips both the page order and the resume
+    val desc = q("""{"query": {"match_all": {}},
+      "aggs": {"pg": {"composite": {"size": 1, "sources": [
+        {"src": {"terms": {"field": "source", "order": "desc"}}}],
+        "after": {"src": "src3"}}}}, "size": 0}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(desc == Seq("src1"))
+    // two sources page lexicographically
+    val two = q("""{"query": {"match_all": {}},
+      "aggs": {"pg": {"composite": {"size": 10, "sources": [
+        {"src": {"terms": {"field": "source"}}},
+        {"len": {"terms": {"field": "n"}}}]}}}, "size": 0}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(two == Seq(("src1", 20L), ("src3", 10L), ("src3", 40L)))
+    // missing agg: the null-source doc, metrics over just that bucket
+    val miss = q("""{"query": {"match_all": {}},
+      "aggs": {"no_src": {"missing": {"field": "source"},
+        "aggs": {"hi": {"max": {"field": "n"}}}}}, "size": 0}""")
+      .collect().head
+    assert(miss.getAs[Long]("doc_count") == 1L)
+    assert(miss.getAs[Long]("hi") == 30L)
+  }
+
+  test("top_hits: per-bucket top documents with explicit sort; " +
+    "buckets follow terms ordering, ranks are per bucket") {
+    val th = q("""{"query": {"match_all": {}},
+      "aggs": {"by_src": {"terms": {"field": "source", "size": 2},
+        "aggs": {"best": {"top_hits": {"size": 1,
+          "sort": [{"n": {"order": "desc"}}],
+          "_source": ["doc_id", "n"]}}}}}, "size": 0}""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Int]("hit_rank"), r.getAs[Long]("doc_id"))).toSeq
+    // src3 (2 docs) first, its top-n doc is 4 (n=40); then src1's doc 2
+    assert(th == Seq(("src3", 2L, 1, 4L), ("src1", 1L, 1, 2L)))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "aggs": {"by_src": {"terms": {"field": "source"},
+          "aggs": {"best": {"top_hits": {"size": 1}}}}}, "size": 0}""")
+    }
+  }
+
   test("match ranks and scores EXACTLY like /search rank=bm25 — the " +
     "ES-parity contract") {
     val dsl = q("""{"query": {"match": {"text": "window batch"}},
