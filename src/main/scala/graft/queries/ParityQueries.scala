@@ -662,6 +662,31 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // ES field collapsing (round 9): the hit list keeps each field
+    // value's BEST hit under the effective sort — one per-group window
+    // limit, the "one result per domain" serving pattern.
+    "q7_esdsl_collapse" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "collapse": {"field": "lang"},
+          | "sort": [{"n_chars": {"order": "desc"}}],
+          | "size": 10}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ES search_after deep pagination (round 9): resume STRICTLY
+    // AFTER the last hit's sort values (explicit key + id tiebreak) —
+    // the cursor contract that stays O(page) at any depth, where
+    // from+size degrades linearly.
+    "q7_esdsl_search_after" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "sort": [{"n_chars": {"order": "desc"}}],
+          | "search_after": [306, 100],
+          | "size": 50}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // simple_query_string (round 9): ES's fault-tolerant end-user
     // query syntax — a sloppy quoted phrase OR'd with (prefix AND
     // term); occurrence-count scored (the documented count families),
@@ -1978,6 +2003,23 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // collapse: best row per lang under (n_chars desc, doc_id) —
+    // window rank twin
+    "q7_esdsl_collapse" ->
+      ("WITH r AS (SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST(1.0 AS DOUBLE) AS _score, " +
+       "row_number() OVER (PARTITION BY lang " +
+       "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) " +
+       "SELECT doc_id, text, lang, source, n_chars, _score FROM r " +
+       "WHERE rn = 1 ORDER BY n_chars DESC, doc_id LIMIT 10"),
+
+    // search_after: strictly-after (n_chars desc, doc_id asc) resume
+    "q7_esdsl_search_after" ->
+      ("SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST(1.0 AS DOUBLE) AS _score FROM documents " +
+       "WHERE n_chars < 306 OR (n_chars = 306 AND doc_id > 100) " +
+       "ORDER BY n_chars DESC, doc_id LIMIT 50"),
 
     // simple_query_string: sloppy-phrase count (slop 1) OR'd with
     // (prefix-token count AND term count); matching sides sum

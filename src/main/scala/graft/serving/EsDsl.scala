@@ -166,26 +166,69 @@ object EsDsl {
           Option(body.get("aggs")).getOrElse(body.get("aggregations")),
           ctx))
       else None
-    val ties = (if (tiebreak.nonEmpty) tiebreak
-      else Seq(df.columns.head)).map(col(_).asc)
+    val tieNames = if (tiebreak.nonEmpty) tiebreak
+      else Seq(df.columns.head)
     val scored = filtered
       .select(df.columns.map(col) :+ c.score.cast("double").as("_score"): _*)
-    val sorted = Option(body.get("sort")).filter(_.isArray) match {
-      case Some(s) =>
-        val keys = (0 until s.size).map { i =>
-          val n = s.get(i)
-          if (n.isTextual) sortKey(n.asText, "asc")
-          else {
-            val f = n.fieldNames().next()
-            val ord = Option(n.get(f))
-              .flatMap(o => Option(o.get("order"))).map(_.asText)
-              .getOrElse("asc")
-            sortKey(f, ord)
+    // the EFFECTIVE sort: the body's explicit keys (or _score desc),
+    // always with the id tiebreak(s) appended — (column, ascending?)
+    // pairs so collapse windows and search_after cursors can reuse the
+    // same total order
+    val effKeys: Seq[(Column, Boolean)] =
+      (Option(body.get("sort")).filter(_.isArray) match {
+        case Some(s) =>
+          (0 until s.size).map { i =>
+            val n = s.get(i)
+            if (n.isTextual) sortPair(n.asText, "asc")
+            else {
+              val f = n.fieldNames().next()
+              val ord = Option(n.get(f))
+                .flatMap(o => Option(o.get("order"))).map(_.asText)
+                .getOrElse("asc")
+              sortPair(f, ord)
+            }
           }
-        } ++ ties
-        scored.orderBy(keys: _*)
-      case None => scored.orderBy(col("_score").desc +: ties: _*)
+        case None => Seq((col("_score"), false))
+      }) ++ tieNames.map(t => (col(t), true))
+    val keyCols = effKeys.map { case (cc, asc) =>
+      if (asc) cc.asc else cc.desc }
+    // "collapse": {"field": f} — ES field collapsing: the hit list
+    // keeps only each field value's BEST hit under the effective sort
+    // (nulls collapse into one group — documented). One per-group
+    // window limit, no extra scan.
+    val collapsed = Option(body.get("collapse")) match {
+      case None => scored
+      case Some(cn) =>
+        val f = Option(cn.get("field")).map(_.asText)
+          .getOrElse(bad("collapse needs \"field\""))
+        if (!df.columns.contains(f)) bad(s"unknown collapse field '$f'")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(f)).orderBy(keyCols: _*)
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
     }
+    // "search_after": the last hit's values for EVERY effective sort
+    // key (explicit keys + the appended tiebreak) — resumes strictly
+    // after, ES's deep-pagination contract; mutually exclusive with
+    // `from`, like ES
+    val afterFiltered = Option(body.get("search_after"))
+      .filter(_.isArray) match {
+      case None => collapsed
+      case Some(a) =>
+        if (from > 0) bad("search_after cannot be combined with from")
+        if (a.size != effKeys.size)
+          bad(s"search_after needs ${effKeys.size} values (explicit " +
+            "sort keys plus the id tiebreak), got " + a.size)
+        val cmp = effKeys.zipWithIndex.map { case ((cc, asc), i) =>
+          val l = litOf(a.get(i))
+          (if (asc) cc > l else cc < l, cc === l)
+        }
+        val pred = cmp.indices.map { i =>
+          (cmp.take(i).map(_._2) :+ cmp(i)._1).reduce(_ && _)
+        }.reduce(_ || _)
+        collapsed.filter(pred)
+    }
+    val sorted = afterFiltered.orderBy(keyCols: _*)
     val page = (if (from > 0) sorted.offset(from) else sorted).limit(size)
     // "_source": false → hit identity only (id, _score — ES always
     // returns _id); an array → that column subset; an object →
@@ -243,10 +286,15 @@ object EsDsl {
   }
 
   private def sortKey(field: String, order: String): Column = {
+    val (c, asc) = sortPair(field, order)
+    if (asc) c.asc else c.desc
+  }
+
+  private def sortPair(field: String, order: String): (Column, Boolean) = {
     val c = if (field == "_score") col("_score") else col(field)
     order match {
-      case "asc"  => c.asc
-      case "desc" => c.desc
+      case "asc"  => (c, true)
+      case "desc" => (c, false)
       case o      => bad(s"unsupported sort order '$o'")
     }
   }

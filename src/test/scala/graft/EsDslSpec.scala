@@ -110,6 +110,36 @@ class EsDslSpec extends SparkSpec {
     assert(fl.last._3 == null) // empty bucket: null metric, like ES
   }
 
+  test("collapse keeps each field value's best hit; search_after " +
+    "resumes strictly after with no overlap or gap") {
+    // collapse on source under (n desc): src3 keeps doc 4 (n=40),
+    // src1 keeps doc 2, the null group keeps doc 3
+    val cl = q("""{"query": {"match_all": {}},
+      "collapse": {"field": "source"},
+      "sort": [{"n": {"order": "desc"}}], "size": 10}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cl == Seq(4L, 3L, 2L))
+    // walk ALL docs by (n desc, doc_id) in pages of 2 via search_after
+    val p1 = q("""{"query": {"match_all": {}},
+      "sort": [{"n": {"order": "desc"}}], "size": 2}""")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(p1.map(_._1).toSeq == Seq(4L, 3L))
+    val (lastId, lastN) = (p1.last._1, p1.last._2)
+    val p2 = q(s"""{"query": {"match_all": {}},
+      "sort": [{"n": {"order": "desc"}}],
+      "search_after": [$lastN, $lastId], "size": 2}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(p2 == Seq(2L, 1L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "search_after": [1],
+        "sort": [{"n": "asc"}], "from": 5}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "sort": [{"n": "asc"}], "search_after": [1, 2, 3]}""")
+    }
+  }
+
   test("composite agg: source-ordered pages, after resumes strictly " +
     "after, desc sources honored; missing agg buckets the nulls") {
     def page(extra: String) = q(s"""{"query": {"match_all": {}},
