@@ -662,6 +662,18 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // ES highlighting (round 9): the page's hits carry a
+    // highlight_text column — the field's tokens with every analyzed
+    // query term wrapped in <em> tags (ES's plain-highlighter shape,
+    // flat-relational). Page-sized work, independent of _source.
+    "q7_esdsl_highlight" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": "the window"}},
+          | "highlight": {"fields": {"text": {}}},
+          | "_source": ["doc_id"], "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // ES field collapsing (round 9): the hit list keeps each field
     // value's BEST hit under the effective sort — one per-group window
     // limit, the "one result per domain" serving pattern.
@@ -2003,6 +2015,23 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // highlight: token-rebuilt text with matched tokens wrapped;
+    // phrase-count score
+    "q7_esdsl_highlight" -> {
+      val pc = substrCountSql(s"(${tokenNormSql("text")})",
+        " the  window ")
+      "WITH c AS (SELECT doc_id, text, " +
+        s"CAST($pc AS DOUBLE) AS _score FROM documents) " +
+      "SELECT doc_id, _score, " +
+        "array_to_string(list_transform(list_filter(" +
+        "string_split_regex(coalesce(text, ''), '\\s+'), " +
+        "x -> x <> ''), x -> CASE WHEN lower(x) IN ('the', 'window') " +
+        "THEN '<em>' || x || '</em>' ELSE x END), ' ') " +
+        "AS highlight_text " +
+      "FROM c WHERE _score > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"
+    },
 
     // collapse: best row per lang under (n_chars desc, doc_id) —
     // window rank twin

@@ -234,24 +234,115 @@ object EsDsl {
     // returns _id); an array → that column subset; an object →
     // includes/excludes wildcard patterns. Projection applied AFTER the
     // page so sort fields need not survive it.
+    // "highlight": per requested field, a `highlight_<field>` column —
+    // the field's tokens (original case, single-space joined) with
+    // every query term wrapped in pre/post tags. Terms come from the
+    // ANALYZED query leaves (match family + simple_query_string;
+    // keyword-level term/terms are not analyzed, so not highlighted —
+    // ES's plain highlighter behaves the same way). Computed on the
+    // PAGE (page-sized work), independent of _source like ES.
+    val hlCols: Seq[(String, Column)] =
+      Option(body.get("highlight")).toSeq.flatMap { h =>
+        val pre = Option(h.get("pre_tags")).filter(_.isArray)
+          .filter(_.size > 0).map(_.get(0).asText).getOrElse("<em>")
+        val post = Option(h.get("post_tags")).filter(_.isArray)
+          .filter(_.size > 0).map(_.get(0).asText).getOrElse("</em>")
+        val fieldsNode = Option(h.get("fields")).filter(_.isObject)
+          .getOrElse(bad("highlight needs a \"fields\" object"))
+        val terms = analyzedTerms(q)
+        if (terms.isEmpty)
+          bad("highlight needs an analyzed query clause (match " +
+            "family or simple_query_string) to source terms from")
+        val it = fieldsNode.fieldNames()
+        val names = ArrayBuffer[String]()
+        while (it.hasNext) names += it.next()
+        names.toSeq.map { f =>
+          if (!df.columns.contains(f)) bad(s"unknown highlight field '$f'")
+          val toks = filter(split(coalesce(col(f), lit("")), "\\s+"),
+            x => x =!= lit(""))
+          val marked = transform(toks, x =>
+            when(lower(x).isInCollection(terms),
+              concat(lit(pre), x, lit(post))).otherwise(x))
+          s"highlight_$f" -> array_join(marked, " ")
+        }
+      }
+    def withHl(d: DataFrame): DataFrame =
+      hlCols.foldLeft(d) { case (acc, (n, cexpr)) =>
+        acc.withColumn(n, cexpr) }
+    val hlNames = hlCols.map(n => col(n._1))
     val hits = Option(body.get("_source")) match {
-      case None => page
+      case None => withHl(page)
       case Some(src) if src.isBoolean && !src.asBoolean =>
-        page.select(col(idName), col("_score"))
+        withHl(page).select(col(idName) +: col("_score") +: hlNames: _*)
       case Some(src) if src.isArray =>
         val cols = (0 until src.size).map(src.get(_).asText)
         val missing = cols.filterNot(df.columns.contains)
         if (missing.nonEmpty)
           bad(s"unknown _source fields: ${missing.mkString(", ")}")
-        page.select((cols.map(col) :+ col("_score")): _*)
+        withHl(page).select(
+          (cols.map(col) :+ col("_score")) ++ hlNames: _*)
       case Some(src) if src.isObject =>
-        page.select(sourceFiltered(df.columns.toSeq, src)
-          .map(col) :+ col("_score"): _*)
+        withHl(page).select(
+          (sourceFiltered(df.columns.toSeq, src).map(col) :+
+            col("_score")) ++ hlNames: _*)
       case _ =>
         bad("_source must be false, an array of fields, or an " +
           "includes/excludes object")
     }
     (hits, aggsOut)
+  }
+
+  /** Every analyzed term of the query tree — the token set the plain
+    * highlighter marks: match / multi_match / match_phrase /
+    * match_phrase_prefix text (lowercased, whitespace-analyzed) and
+    * simple_query_string term/phrase/prefix/fuzzy atoms. Keyword-level
+    * clauses (term/terms/wildcard/regexp/ids/range) contribute
+    * nothing, like ES's analyzed-field highlighting. */
+  private def analyzedTerms(q: JsonNode): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    def addText(t: String): Unit =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(out += _)
+    def walk(n: JsonNode): Unit = unwrap(n) match {
+      case ("match" | "match_phrase" | "match_phrase_prefix", b) =>
+        val (_, spec) = unwrap(b)
+        addText(if (spec.isObject)
+          Option(spec.get("query")).map(_.asText).getOrElse("")
+        else spec.asText)
+      case ("multi_match", b) =>
+        Option(b.get("query")).map(_.asText).foreach(addText)
+      case ("fuzzy", b) =>
+        val (_, spec) = unwrap(b)
+        addText(if (spec.isObject)
+          Option(spec.get("value")).map(_.asText).getOrElse("")
+        else spec.asText)
+      case ("simple_query_string", b) =>
+        Option(b.get("query")).map(_.asText).foreach { s0 =>
+          import SimpleQueryString._
+          def nodeTerms(nd: Node): Unit = nd match {
+            case Term(t)       => out += t
+            case Prefix(p)     => out += p
+            case Fuzzy(t, _)   => out += t
+            case Phrase(ts, _) => ts.foreach(out += _)
+            case And(xs)       => xs.foreach(nodeTerms)
+            case Or(xs)        => xs.foreach(nodeTerms)
+            case Not(_)        => () // negated terms don't highlight
+          }
+          parse(s0, defaultAnd = false).foreach(nodeTerms)
+        }
+      case ("bool", b) =>
+        Seq("must", "filter", "should").foreach(k =>
+          sub(b, k).foreach(walk)) // must_not terms don't highlight
+      case ("dis_max", b) =>
+        Option(b.get("queries")).filter(_.isArray).foreach(qs =>
+          (0 until qs.size).foreach(i => walk(qs.get(i))))
+      case ("boosting", b) =>
+        Option(b.get("positive")).foreach(walk)
+      case ("constant_score", b) =>
+        Option(b.get("filter")).foreach(walk)
+      case _ => ()
+    }
+    walk(q)
+    out.toSet
   }
 
   /** `_source: {includes: [...], excludes: [...]}` — ES's wildcard

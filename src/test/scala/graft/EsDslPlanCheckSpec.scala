@@ -42,6 +42,46 @@ class EsDslPlanCheckSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("range/filters aggs are ONE aggregation — no union of " +
+    "per-bucket scans, no shuffle beyond the single agg") {
+    Seq("q7_esdsl_range", "q7_esdsl_filters").foreach { qn =>
+      val df = queries.ParityQueries.queries(qn)(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union"),
+        s"$qn unioned per-bucket scans:\n${plan.take(2000)}")
+      val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(scans == 1, s"$qn scanned the corpus $scans times")
+    }
+  }
+
+  test("composite page: one hash aggregation + TakeOrdered, resume " +
+    "filter applied before the sort") {
+    val df = queries.ParityQueries.queries("q7_esdsl_composite")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"composite page is not TakeOrdered:\n${plan.take(2000)}")
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"composite scanned the corpus $scans times")
+  }
+
+  test("top_hits: parent buckets broadcast back onto the corpus, " +
+    "hits picked by a window limit — no global sort, no cartesian") {
+    val df = queries.ParityQueries.queries("q7_esdsl_top_hits")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"parent gate is not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("RunningWindowFunction") ||
+      plan.contains("Window"),
+      s"no window limit in top_hits plan:\n${plan.take(2000)}")
+  }
+
   test("q7_esdsl_bm25: no cartesian in the score-join plan, one " +
     "TakeOrdered page (PlanSweepSpec re-checks with the full rules)") {
     val df = queries.ParityQueries.queries("q7_esdsl_bm25")(

@@ -110,6 +110,30 @@ class EsDslSpec extends SparkSpec {
     assert(fl.last._3 == null) // empty bucket: null metric, like ES
   }
 
+  test("highlight wraps analyzed query terms in tags, original case " +
+    "kept, custom tags honored, negated terms skipped") {
+    val hl = q("""{"query": {"match": {"text": "window run"}},
+      "highlight": {"fields": {"text": {}}}, "size": 10}""")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[String]("highlight_text")).toMap
+    assert(hl(1L) == "<em>window</em> batch <em>run</em>")
+    assert(hl(2L) == "<em>window</em> only")
+    val tags = q("""{"query": {"bool": {
+      "must": [{"match": {"text": "batch"}}],
+      "must_not": [{"match": {"text": "run"}}]}},
+      "highlight": {"fields": {"text": {}},
+        "pre_tags": ["["], "post_tags": ["]"]}, "size": 10}""")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[String]("highlight_text")).toMap
+    // doc 4 matches; 'run' is negated so it never highlights
+    assert(tags(4L) == "[batch] [batch] window")
+    // a pure keyword query has nothing analyzed to highlight → 400
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"term": {"source": "src3"}},
+        "highlight": {"fields": {"text": {}}}}""")
+    }
+  }
+
   test("collapse keeps each field value's best hit; search_after " +
     "resumes strictly after with no overlap or gap") {
     // collapse on source under (n desc): src3 keeps doc 4 (n=40),
