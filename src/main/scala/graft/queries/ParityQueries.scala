@@ -662,6 +662,23 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // ES date_range agg (round 9): ISO-bound timestamp buckets (from
+    // inclusive, to exclusive), every bucket present, one conditional
+    // pass — the cohort/date-window rollup.
+    "q7_esdsl_date_range" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"periods": {"date_range": {"field": "ts",
+          |   "ranges": [{"to": "2024-01-10"},
+          |              {"from": "2024-01-10", "to": "2024-01-20",
+          |               "key": "mid_month"},
+          |              {"from": "2024-01-20"}]},
+          |   "aggs": {"actives":
+          |     {"cardinality": {"field": "user_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // ES highlighting (round 9): the page's hits carry a
     // highlight_text column — the field's tokens with every analyzed
     // query term wrapped in <em> tags (ES's plain-highlighter shape,
@@ -2015,6 +2032,23 @@ object ParityQueries {
       "CAST(m.score AS DOUBLE) AS _score " +
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+
+    // date_range: conditional timestamp-window buckets
+    "q7_esdsl_date_range" ->
+      ("SELECT '*-2024-01-10' AS key, " +
+       "count(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 END) " +
+         "AS doc_count, " +
+       "count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-10' " +
+         "THEN user_id END) AS actives FROM events " +
+       "UNION ALL SELECT 'mid_month', " +
+       "count(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND " +
+         "ts < TIMESTAMP '2024-01-20' THEN 1 END), " +
+       "count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-10' AND " +
+         "ts < TIMESTAMP '2024-01-20' THEN user_id END) FROM events " +
+       "UNION ALL SELECT '2024-01-20-*', " +
+       "count(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 END), " +
+       "count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-20' " +
+         "THEN user_id END) FROM events"),
 
     // highlight: token-rebuilt text with matched tokens wrapped;
     // phrase-count score

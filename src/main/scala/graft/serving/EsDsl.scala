@@ -1135,6 +1135,38 @@ object EsDsl {
         paged.orderBy(sources.map { case (n, _, asc) =>
           if (asc) col(n).asc else col(n).desc }: _*).limit(size)
 
+      case "date_range" =>
+        // ES date_range agg: like `range` but over a timestamp column
+        // with ISO-8601 bounds (from inclusive, to exclusive). Default
+        // bucket keys echo the given bound strings ("from-to", `*` for
+        // an open end — ES formats resolved dates; echoing the
+        // caller's own bounds is the deterministic flat-relational
+        // choice); a bucket's "key" overrides. Same single-pass
+        // conditional shape as `range`.
+        val h = spec.get("date_range")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("date_range agg needs \"field\""))
+        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("date_range agg needs a non-empty " +
+            "\"ranges\" array"))
+        val fc = col(f).cast("timestamp")
+        val ranges = (0 until rangesNode.size).map { i =>
+          val r = rangesNode.get(i)
+          val from = Option(r.get("from")).map(_.asText)
+          val to = Option(r.get("to")).map(_.asText)
+          if (from.isEmpty && to.isEmpty)
+            bad("each date range needs \"from\" and/or \"to\"")
+          val key = Option(r.get("key")).map(_.asText).getOrElse(
+            s"${from.getOrElse("*")}-${to.getOrElse("*")}")
+          val cond = Seq(Some(fc.isNotNull),
+            from.map(v => fc >= to_timestamp(lit(v))),
+            to.map(v => fc < to_timestamp(lit(v)))).flatten
+            .reduce(_ && _)
+          (key, cond)
+        }
+        enumeratedBuckets(ranges.map(_._1), ranges.map(_._2), spec)
+
       case "missing" =>
         // ES missing agg: the bucket of documents LACKING the field,
         // with metric sub-aggs over just those docs — one conditional

@@ -198,6 +198,25 @@ class EsDslSpec extends SparkSpec {
     assert(miss.getAs[Long]("hi") == 30L)
   }
 
+  test("date_range agg: ISO bounds, from inclusive / to exclusive, " +
+    "custom keys, empty buckets present") {
+    val ts = Seq(
+      (1L, "2024-03-01 00:00:00"), (2L, "2024-03-10 12:00:00"),
+      (3L, "2024-03-20 00:00:00")).toDF("id", "t")
+      .select(col("id"), col("t").cast("timestamp").as("t"))
+    val dr = EsDsl.search(ts, mapper.readTree(
+      """{"query": {"match_all": {}},
+        "aggs": {"w": {"date_range": {"field": "t", "ranges": [
+          {"to": "2024-03-10"},
+          {"from": "2024-03-10", "to": "2024-03-20", "key": "mid"},
+          {"from": "2024-06-01"}]}}}, "size": 0}"""))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // boundary doc 3 (exactly 03-20) is EXCLUDED from mid (to is
+    // exclusive); the far-future bucket is present and empty
+    assert(dr == Seq(("*-2024-03-10", 1L), ("mid", 1L),
+      ("2024-06-01-*", 0L)))
+  }
+
   test("top_hits: per-bucket top documents with explicit sort; " +
     "buckets follow terms ordering, ranks are per bucket") {
     val th = q("""{"query": {"match_all": {}},
