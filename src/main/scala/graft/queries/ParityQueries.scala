@@ -938,6 +938,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // query_string (round 9): the STRICT full Lucene classic syntax —
+    // field scoping, classic AND occur resolution (the leading clause
+    // is retroactively promoted to MUST by the following AND), a
+    // boosted term, a `?` token wildcard, an OR group, an inclusive
+    // range, and a NOT. Score = 2·tf(window) + wildcard token count +
+    // matched-should sum (the lang group) + 1.0 (range constant) —
+    // the documented occurrence-count families.
+    "q7_esdsl_query_string" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query":
+          |  "text:window^2 AND text:sc?n AND (lang:en OR lang:fr) AND n_chars:[100 TO 500] NOT source:src7"
+          |  }}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2309,6 +2324,27 @@ object ParityQueries {
        "WHERE p_name LIKE '%r_d%' AND p_type LIKE 'S%' " +
        "AND regexp_full_match(p_brand, 'Brand#(1[0-9]|2)') " +
        "ORDER BY \"_score\" DESC, p_partkey LIMIT 100"),
+
+    // query_string: first-principles re-derivation — boosted token
+    // count, `sc?n` -> token LIKE 'sc_n', the OR group as a matched-
+    // should sum, the range's constant 1.0, NOT as exclusion
+    "q7_esdsl_query_string" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$wc AS wc, " +
+        "len(list_filter(list_filter(string_split_regex(" +
+          "lower(coalesce(text, '')), '\\s+'), x -> x <> ''), " +
+          "x -> x LIKE 'sc_n')) AS sc, " +
+        "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END + " +
+          "CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS lc " +
+      "FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(2.0 * wc + sc + lc + 1.0 AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE wc > 0 AND sc > 0 AND lc > 0 " +
+        "AND n_chars BETWEEN 100 AND 500 " +
+        "AND NOT coalesce(source, '') = 'src7' " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
 
     "q7_esdsl_calendar_histogram" ->
       ("SELECT epoch_ms(date_trunc('week', ts)) AS key, " +

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * `multi_match` (most_fields/best_fields, `field^boost`, operator,
   * minimum_should_match, fuzziness + prefix_length/max_expansions),
   * `match_phrase_prefix` (search-as-you-type: sloppy phrase + final
-  * prefix slot), `fuzzy` (term-level), `dis_max` (best subquery +
+  * prefix slot), `fuzzy` (term-level), `query_string` (the STRICT
+  * full Lucene classic syntax — [[QueryString]]: field scoping,
+  * classic AND/OR occur resolution, +/-/NOT, ranges, wildcards,
+  * boosts, `_exists_`), `dis_max` (best subquery +
   * tie_breaker), `boosting` (positive/negative demotion), `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
@@ -99,10 +102,14 @@ object EsDsl {
       Search.prefixExpansionSet(df, fields, prefix, n)
 
     /** The target frame's string columns — ES's `fields: ["*"]`
-      * default for simple_query_string. */
+      * default for simple_query_string and query_string. */
     def stringFields: Seq[String] = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).toSeq
+
+    /** All target columns — field-scope validation for query_string's
+      * `field:atom` syntax (an unknown field is the caller's error). */
+    def columns: Seq[String] = df.columns.toSeq
 
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
@@ -328,6 +335,24 @@ object EsDsl {
             case Not(_)        => () // negated terms don't highlight
           }
           parse(s0, defaultAnd = false).foreach(nodeTerms)
+        }
+      case ("query_string", b) =>
+        Option(b.get("query")).map(_.asText).foreach { s0 =>
+          val andDef = Option(b.get("default_operator"))
+            .exists(_.asText.equalsIgnoreCase("and"))
+          import QueryString._
+          def qsTerms(nd: Node): Unit = nd match {
+            case Term(_, t)       => out += t
+            case Prefix(_, p)     => out += p
+            case Fuzzy(_, t, _)   => out += t
+            case Phrase(_, ts, _) => ts.foreach(out += _)
+            case Boost(x, _)      => qsTerms(x)
+            case Bool(m, s, _)    => // must_not terms don't highlight
+              (m ++ s).foreach(qsTerms)
+            case _                => () // wildcard/range/exists
+          }
+          try qsTerms(parse(s0, andDef))
+          catch { case _: ParseError => () }
         }
       case ("bool", b) =>
         Seq("must", "filter", "should").foreach(k =>
@@ -744,6 +769,46 @@ object EsDsl {
       }
       compile(root)
 
+    case ("query_string", b) =>
+      // ES's full Lucene classic query language — the STRICT sibling
+      // of simple_query_string (a syntax error is a 400 naming the
+      // defect, never a silent re-interpretation). Parsed by
+      // [[QueryString]] (field scoping, classic AND/OR occur
+      // resolution, ranges, wildcards, boosts); atoms score by the
+      // engine's documented OCCURRENCE-count families, term-level
+      // constructs (range/exists) score a constant 1.0 — ES's
+      // constant-score rewrite. BM25 relevance lives on
+      // match/multi_match and /search rank=bm25.
+      val qstr = Option(b.get("query")).map(_.asText)
+        .getOrElse(bad("query_string needs \"query\""))
+      val fieldsNode = Option(b.get("fields")).filter(_.isArray)
+      val defaultField = Option(b.get("default_field")).map(_.asText)
+      if (fieldsNode.nonEmpty && defaultField.nonEmpty)
+        bad("query_string takes fields OR default_field, not both")
+      val defaults: Seq[(String, Double)] = fieldsNode match {
+        case Some(fn) =>
+          if (fn.size == 0) bad("fields must be non-empty")
+          (0 until fn.size).map { i =>
+            fn.get(i).asText.split("\\^", 2) match {
+              case Array(n, boost) => n -> boost.toDouble
+              case Array(n)        => n -> 1.0
+            }
+          }
+        case None => defaultField match {
+          case Some("*") | None => ctx.stringFields.map(_ -> 1.0)
+          case Some(f)          => Seq(f -> 1.0)
+        }
+      }
+      if (defaults.isEmpty)
+        bad("query_string target has no string fields to search")
+      val defaultAnd = Option(b.get("default_operator"))
+        .map(_.asText.toLowerCase).getOrElse("or") match {
+        case "and" => true
+        case "or"  => false
+        case other => bad(s"unsupported default_operator '$other'")
+      }
+      qsCompile(QueryString.parse(qstr, defaultAnd), defaults, ctx)
+
     case ("bool", b) =>
       val must = sub(b, "must").map(clause(_, ctx))
       val filter = sub(b, "filter").map(clause(_, ctx))
@@ -773,6 +838,95 @@ object EsDsl {
       Clause(pred, score)
 
     case (other, _) => bad(s"unsupported query clause '$other'")
+  }
+
+  /** Compile a parsed [[QueryString]] tree to a predicate + score.
+    * Field-scoped atoms bind to their one column (validated — an
+    * unknown field is a 400, ES's lenient=false); unscoped atoms
+    * expand over the request's default fields, per-field counts
+    * summed with the field boosts, exactly simple_query_string's
+    * expansion. The Bool combination is ES's: must scores sum, a
+    * matching should adds, must_not contributes nothing, and should
+    * is only required when no must/filter context exists. */
+  private def qsCompile(root: QueryString.Node,
+                        defaults: Seq[(String, Double)],
+                        ctx: Ctx): Clause = {
+    import QueryString._
+    def fieldsFor(f: Option[String]): Seq[(String, Double)] = f match {
+      case Some(name) =>
+        if (!ctx.columns.contains(name)) bad(s"unknown field '$name'")
+        Seq(name -> 1.0)
+      case None => defaults
+    }
+    def overFields(f: Option[String])(per: String => Column): Column =
+      fieldsFor(f).map { case (fn, boost) =>
+        val c = per(fn)
+        if (boost == 1.0) c else c * boost
+      }.reduce(_ + _)
+    def tokensOf(fn: String): Column =
+      graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(fn).cast("string"), lit(""))))
+    def go(n: Node): Clause = n match {
+      case Term(f, t) =>
+        val cnt = overFields(f)(fn =>
+          Search.substrCount(Search.tokenNorm(col(fn)), s" $t "))
+        Clause(cnt > 0, cnt.cast("double"))
+      case Phrase(f, terms, slop) =>
+        val cnt =
+          if (slop == 0) overFields(f)(fn => Search.substrCount(
+            Search.tokenNorm(col(fn)), terms.mkString(" ", "  ", " ")))
+          else overFields(f)(fn => Search.slopCount(col(fn), terms, slop))
+        Clause(cnt > 0, cnt.cast("double"))
+      case Prefix(f, p) =>
+        val cnt = overFields(f)(fn =>
+          Search.phrasePrefixCount(col(fn), Seq(p), 0))
+        Clause(cnt > 0, cnt.cast("double"))
+      case Wild(f, pat) =>
+        // token-level wildcard: the analyzed-field analog of ES's
+        // wildcard query — count of tokens matching the LIKE rewrite
+        val like = wildcardToLike(pat)
+        val cnt = overFields(f)(fn =>
+          size(filter(tokensOf(fn), x => x.like(like))))
+        Clause(cnt > 0, cnt.cast("double"))
+      case Fuzzy(f, t, e) =>
+        val cnt = overFields(f)(fn =>
+          size(filter(tokensOf(fn), x => levenshtein(x, lit(t)) <= e)))
+        Clause(cnt > 0, cnt.cast("double"))
+      case Range(f, lo, hi, il, ih) =>
+        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+        def boundLit(s: String): Column =
+          scala.util.Try(lit(s.toLong))
+            .orElse(scala.util.Try(lit(s.toDouble)))
+            .getOrElse(lit(s))
+        val preds =
+          lo.map(v => if (il) col(f) >= boundLit(v)
+                      else col(f) > boundLit(v)).toSeq ++
+          hi.map(v => if (ih) col(f) <= boundLit(v)
+                      else col(f) < boundLit(v)).toSeq
+        Clause(preds.reduce(_ && _), lit(1.0))
+      case Exists(f) =>
+        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+        Clause(col(f).isNotNull, lit(1.0))
+      case Boost(x, b) =>
+        val c = go(x)
+        Clause(c.pred, c.score.cast("double") * b)
+      case Bool(must, should, mustNot) =>
+        val ms = must.map(go)
+        val ss = should.map(go)
+        val ns = mustNot.map(go)
+        val preds =
+          ms.map(_.pred) ++
+          ns.map(c => !coalesce(c.pred, lit(false))) ++
+          (if (ms.isEmpty && ss.nonEmpty)
+            Seq(ss.map(c => coalesce(c.pred, lit(false))).reduce(_ || _))
+          else Nil)
+        val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+        val scores = ms.map(_.score) ++ ss.map(c =>
+          when(coalesce(c.pred, lit(false)), c.score).otherwise(lit(0.0)))
+        val score = if (scores.isEmpty) lit(0.0) else scores.reduce(_ + _)
+        Clause(pred, score)
+    }
+    go(root)
   }
 
   /** ES aggregations, flat-relational shape: ONE top-level agg — a

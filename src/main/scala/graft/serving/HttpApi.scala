@@ -384,8 +384,12 @@ final class HttpApi(
         val mm = req.get("minimum_should_match")
         val nTerms = term.toLowerCase.split("\\s+")
           .filter(_.nonEmpty).distinct.length
+        // integral nodes route through the SAME grammar resolver as
+        // text specs: ES's negative-integer form (-2 = all-but-2
+        // required) must resolve against the term count, not clamp
         val resolved: Option[Int] =
-          if (mm.isIntegralNumber) Some(mm.asInt)
+          if (mm.isIntegralNumber)
+            MinShouldMatch.resolve(mm.asInt.toString, nTerms)
           else if (mm.isTextual) MinShouldMatch.resolve(mm.asText, nTerms)
           else None
         resolved match {

@@ -676,7 +676,7 @@ class EsDslSpec extends SparkSpec {
 
   test("unsupported constructs are rejected by name, never mistranslated") {
     for (body <- Seq(
-        """{"query": {"query_string": {"query": "x"}}}""",
+        """{"query": {"more_like_this": {"like": "x"}}}""",
         """{"query": {"span_near": {"clauses": []}}}""",
         """{"size": 10}""",
         """{"query": {"bool": {"should": []}, "extra": 1}}""",
@@ -686,5 +686,54 @@ class EsDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "size": 100000}""").collect()
     }
+  }
+
+  test("query_string: field scoping, classic occur resolution, " +
+    "modifiers, wildcard/prefix, boost, range, exists") {
+    def ids(body: String): Seq[Long] =
+      q(body).select("doc_id").as[Long].collect().toSeq
+    // field-scoped AND: text has window AND source is src3
+    assert(ids("""{"query": {"query_string":
+      {"query": "text:window AND source:src3"}}}""") == Seq(1L, 4L))
+    // '-' prohibits; default fields = every string column
+    assert(ids("""{"query": {"query_string":
+      {"query": "window -batch"}}}""") == Seq(2L))
+    // default_operator=and joins bare terms as MUST
+    assert(ids("""{"query": {"query_string":
+      {"query": "window batch", "default_operator": "and"}}}""")
+      == Seq(4L, 1L) || ids("""{"query": {"query_string":
+      {"query": "window batch", "default_operator": "and"}}}""")
+      .toSet == Set(1L, 4L))
+    // wildcard and prefix atoms are token-level
+    assert(ids("""{"query": {"query_string":
+      {"query": "text:w?ndow"}}}""").toSet == Set(1L, 2L, 4L))
+    assert(ids("""{"query": {"query_string":
+      {"query": "text:bat*"}}}""").toSet == Set(1L, 4L))
+    // range + exists compose; range scores a constant 1
+    val r = q("""{"query": {"query_string":
+      {"query": "n:[20 TO 40] AND _exists_:source"}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(r == Map(2L -> 2.0, 4L -> 2.0))
+    // boost multiplies the occurrence-count score
+    val b = q("""{"query": {"query_string":
+      {"query": "text:batch^3"}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(b == Map(1L -> 3.0, 4L -> 6.0))
+    // fields option with per-field boost; default_field narrows
+    val f = q("""{"query": {"query_string":
+      {"query": "src3", "fields": ["source^2"]}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(f == Map(1L -> 2.0, 4L -> 2.0))
+    assert(ids("""{"query": {"query_string":
+      {"query": "src3", "default_field": "text"}}}""").isEmpty)
+    // strictness: syntax errors and unknown fields are the caller's
+    // error; fields+default_field together are contradictory
+    for (body <- Seq(
+        """{"query": {"query_string": {"query": "(a"}}}""",
+        """{"query": {"query_string": {"query": "a AND"}}}""",
+        """{"query": {"query_string": {"query": "nope:x"}}}""",
+        """{"query": {"query_string": {"query": "x",
+           "fields": ["text"], "default_field": "text"}}}"""))
+      intercept[IllegalArgumentException] { q(body).collect() }
   }
 }

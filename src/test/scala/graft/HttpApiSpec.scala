@@ -234,6 +234,14 @@ class HttpApiSpec extends SparkSpec
         | "index": "documents", "minimum_should_match": "50%"}"""
         .stripMargin)
     assert(mmHalf.body() == mm1.body(), "\"50%\" of 2 != integer 1")
+    // ES's negative-integer form: -1 of 2 terms = total-1 = 1 required
+    // (the OR-wide result) — the integral JSON node must route through
+    // the same grammar resolver as the string specs, not clamp to 1
+    val mmNeg = post("/search",
+      """{"search_term": "window src3", "fields": ["text"],
+        | "index": "documents", "minimum_should_match": -1}""".stripMargin)
+    assert(mmNeg.statusCode() == 200, mmNeg.body())
+    assert(mmNeg.body() == mm1.body(), "-1 of 2 terms != integer 1")
     // malformed specs are the caller's error
     val mmBad = post("/search",
       """{"search_term": "window src3", "fields": ["text"],
@@ -282,11 +290,22 @@ class HttpApiSpec extends SparkSpec
     val scores = "\"_score\":([0-9.]+)".r
       .findAllMatchIn(r.body()).map(_.group(1).toDouble).toSeq
     assert(scores.nonEmpty && scores == scores.sorted.reverse)
+    // query_string serves over HTTP (round 9); its strict syntax
+    // errors surface as 400s naming the defect
+    val qs = post("/search/advanced",
+      """{"query": {"query_string": {"query": "text:window -text:batch"}},
+        | "size": 5, "index": "documents"}""".stripMargin)
+    assert(qs.statusCode() == 200, qs.body().take(300))
+    assert("\"doc_id\"".r.findAllIn(qs.body()).size > 0)
+    val qsBad = post("/search/advanced",
+      """{"query": {"query_string": {"query": "(a"}}, "index": "documents"}""")
+    assert(qsBad.statusCode() == 400, qsBad.body())
+    assert(qsBad.body().toLowerCase.contains("query_string"))
     // unsupported construct: named rejection, not a wrong result
     val bad = post("/search/advanced",
-      """{"query": {"query_string": {"query": "x"}}, "index": "documents"}""")
+      """{"query": {"more_like_this": {"like": "x"}}, "index": "documents"}""")
     assert(bad.statusCode() == 400, bad.body())
-    assert(bad.body().contains("query_string"))
+    assert(bad.body().contains("more_like_this"))
     assert(post("/search/advanced",
       """{"query": {"match_all": {}}, "index": "nope"}""")
       .statusCode() == 404)
