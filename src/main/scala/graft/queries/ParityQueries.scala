@@ -953,6 +953,71 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // ES PARENT pipeline aggregations (round 9): cumulative_sum and
+    // derivative ride a window over the date_histogram bucket table —
+    // bucket-count-sized post-processing, never data-sized. Metrics
+    // chosen for cross-engine float stability: the cumulative path is
+    // exact long arithmetic (_count), the derivative differences two
+    // identical doubles (max).
+    "q7_esdsl_pipeline" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "peak": {"max": {"field": "value"}},
+          |     "cum_events": {"cumulative_sum": {"buckets_path": "_count"}},
+          |     "peak_delta": {"derivative": {"buckets_path": "peak"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // bucket_sort: the "top buckets" pipeline — sort the histogram's
+    // buckets by a bucket value and truncate, ES's reduce-phase
+    // equivalent of ORDER BY ... LIMIT over the bucket table.
+    "q7_esdsl_bucket_sort" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "actives": {"cardinality": {"field": "user_id"}},
+          |     "top": {"bucket_sort": {"sort":
+          |       [{"_count": {"order": "desc"}}], "size": 5}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // function_score (round 9): per-document re-ranking — occurrence
+    // base score × sqrt(n_chars) (field_value_factor; sqrt is
+    // IEEE-correctly-rounded, so both engines agree bit-for-bit) × a
+    // lang-gated weight. One codegen'd projection, no joins.
+    "q7_esdsl_function_score" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"function_score": {
+          |  "query": {"query_string": {"query": "text:window"}},
+          |  "functions": [
+          |    {"field_value_factor": {"field": "n_chars",
+          |      "modifier": "sqrt", "missing": 1}},
+          |    {"filter": {"term": {"lang": "en"}}, "weight": 2}],
+          |  "score_mode": "multiply", "boost_mode": "multiply"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // significant_terms (round 9): sources over-represented among
+    // docs containing the 'dup' token vs the whole corpus, JLH-scored
+    // — ES's "what is unusual about this match set" agg. Two
+    // term-sized hash aggs + broadcast single-row totals.
+    "q7_esdsl_significant_terms" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:dup"}},
+          | "aggs": {"sig_src": {"significant_terms":
+          |   {"field": "source", "size": 10}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2345,6 +2410,57 @@ object ParityQueries {
         "AND NOT coalesce(source, '') = 'src7' " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
     },
+
+    // function_score: base occurrence score × sqrt(n_chars) × gated
+    // weight — sqrt/multiply are IEEE-exact on both engines
+    "q7_esdsl_function_score" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        s"CAST($wc * sqrt(coalesce(n_chars, 1)) * " +
+        "CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END AS DOUBLE) " +
+        "AS \"_score\" " +
+      s"FROM documents WHERE $wc > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
+
+    // significant_terms: JLH re-derived — (fg% − bg%)·(fg%/bg%) with
+    // the exact operation order mirrored (each step one IEEE op, so
+    // both engines agree bit-for-bit)
+    "q7_esdsl_significant_terms" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " dup ")
+      s"WITH fg AS (SELECT source AS key, count(*) AS doc_count " +
+        s"FROM documents WHERE $wc > 0 AND source IS NOT NULL " +
+        "GROUP BY 1), " +
+      "bg AS (SELECT source AS key, count(*) AS bg_count " +
+        "FROM documents WHERE source IS NOT NULL GROUP BY 1), " +
+      s"ft AS (SELECT count(*) AS fgt FROM documents WHERE $wc > 0), " +
+      "bt AS (SELECT count(*) AS bgt FROM documents) " +
+      "SELECT * FROM (SELECT key, doc_count, bg_count, " +
+        "(doc_count/fgt - bg_count/bgt) * " +
+        "((doc_count/fgt) / (bg_count/bgt)) AS score " +
+        "FROM fg JOIN bg USING (key) CROSS JOIN ft CROSS JOIN bt) " +
+      "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"
+    },
+
+    // parent pipelines re-derived as SQL window functions over the
+    // bucket CTE: cumulative_sum = running sum in key order (cast —
+    // DuckDB widens BIGINT sums to HUGEINT), derivative = lag diff
+    // (NULL first bucket, ES's omitted-key projection)
+    "q7_esdsl_pipeline" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count, max(value) AS peak " +
+       "FROM events WHERE ts IS NOT NULL GROUP BY 1) " +
+       "SELECT key, doc_count, peak, " +
+       "CAST(sum(doc_count) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED " +
+       "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events, " +
+       "peak - lag(peak) OVER (ORDER BY key) AS peak_delta " +
+       "FROM b ORDER BY key"),
+
+    "q7_esdsl_bucket_sort" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count, count(DISTINCT user_id) AS actives " +
+       "FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5"),
 
     "q7_esdsl_calendar_histogram" ->
       ("SELECT epoch_ms(date_trunc('week', ts)) AS key, " +

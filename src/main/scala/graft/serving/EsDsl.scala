@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * full Lucene classic syntax — [[QueryString]]: field scoping,
   * classic AND/OR occur resolution, +/-/NOT, ranges, wildcards,
   * boosts, `_exists_`), `dis_max` (best subquery +
-  * tie_breaker), `boosting` (positive/negative demotion), `bool`
+  * tie_breaker), `boosting` (positive/negative demotion),
+  * `function_score` (field_value_factor / filtered weights with
+  * score_mode/boost_mode/max_boost/min_score), `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
   * `sort` (field asc/desc and `_score`) and `_source`. Anything outside
@@ -110,6 +112,17 @@ object EsDsl {
     /** All target columns — field-scope validation for query_string's
       * `field:atom` syntax (an unknown field is the caller's error). */
     def columns: Seq[String] = df.columns.toSeq
+
+    /** The UNFILTERED target frame — the `global` agg's scope and
+      * significant_terms' background corpus (both defined against the
+      * whole index, not the query's match set). */
+    def raw: DataFrame = df
+
+    /** Number of BM25 score joins registered so far — lets the filter
+      * aggregation reject match-family clauses (their score frames
+      * fold into the hit path before aggregations run, so a join
+      * registered later could never resolve). */
+    def scoredCount: Int = scored.size
 
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
@@ -364,6 +377,8 @@ object EsDsl {
         Option(b.get("positive")).foreach(walk)
       case ("constant_score", b) =>
         Option(b.get("filter")).foreach(walk)
+      case ("function_score", b) =>
+        Option(b.get("query")).foreach(walk)
       case _ => ()
     }
     walk(q)
@@ -769,6 +784,112 @@ object EsDsl {
       }
       compile(root)
 
+    case ("function_score", b) =>
+      // ES function_score: re-rank the base query's match set by
+      // per-document functions — `weight` (optionally gated by a
+      // `filter` clause) and `field_value_factor` (factor × field,
+      // through an ES modifier; `missing` substitutes for null).
+      // Matching functions combine under `score_mode`
+      // (multiply/sum/avg/max/min/first — docs matching NO function
+      // score 1), the combined factor is capped by `max_boost`, then
+      // joined with the query score under `boost_mode`
+      // (multiply/sum/replace/max/min/avg). `min_score` filters the
+      // final score. random_score/script_score/decay functions are
+      // rejected by name (nondeterministic or script-bearing). The
+      // whole construct stays one codegen'd projection — arrays of
+      // (applies, value) structs folded with `aggregate`, no joins.
+      val base = Option(b.get("query")).map(clause(_, ctx))
+        .getOrElse(Clause(lit(true), lit(1.0)))
+      def parseFn(fn: JsonNode): (Column, Column) = {
+        for (k <- Seq("random_score", "script_score", "gauss", "exp",
+            "linear") if fn.hasNonNull(k))
+          bad(s"unsupported function_score function '$k'")
+        val applies = Option(fn.get("filter"))
+          .map(f => coalesce(clause(f, ctx).pred, lit(false)))
+          .getOrElse(lit(true))
+        val weight = Option(fn.get("weight")).map(_.asDouble)
+        val value: Column = Option(fn.get("field_value_factor")) match {
+          case Some(s) =>
+            val f = Option(s.get("field")).map(_.asText)
+              .getOrElse(bad("field_value_factor needs \"field\""))
+            val factor = Option(s.get("factor")).map(_.asDouble)
+              .getOrElse(1.0)
+            val missing = Option(s.get("missing")).map(_.asDouble)
+              .getOrElse(1.0)
+            val x = coalesce(col(f).cast("double"), lit(missing)) * factor
+            val modded = Option(s.get("modifier")).map(_.asText)
+              .getOrElse("none") match {
+              case "none"       => x
+              case "log"        => log10(x) // ES log modifiers are log10
+              case "log1p"      => log10(x + 1)
+              case "log2p"      => log10(x + 2)
+              case "ln"         => log(x)   // Spark's log IS ln
+              case "ln1p"       => log(x + 1)
+              case "ln2p"       => log(x + 2)
+              case "square"     => x * x
+              case "sqrt"       => sqrt(x)
+              case "reciprocal" => lit(1.0) / x
+              case other =>
+                bad(s"unsupported field_value_factor modifier '$other'")
+            }
+            weight.map(modded * _).getOrElse(modded)
+          case None => lit(weight.getOrElse(
+            bad("a function_score function needs field_value_factor " +
+              "or weight")))
+        }
+        (applies, value.cast("double"))
+      }
+      val fns: Seq[(Column, Column)] =
+        Option(b.get("functions")).filter(_.isArray) match {
+          case Some(a) => (0 until a.size).map(i => parseFn(a.get(i)))
+          case None =>
+            if (b.hasNonNull("field_value_factor") ||
+                b.hasNonNull("weight")) Seq(parseFn(b))
+            else Nil
+        }
+      val scoreMode = Option(b.get("score_mode")).map(_.asText)
+        .getOrElse("multiply")
+      val boostMode = Option(b.get("boost_mode")).map(_.asText)
+        .getOrElse("multiply")
+      val fnScore: Column =
+        if (fns.isEmpty) lit(1.0)
+        else {
+          val arr = array(fns.map { case (a, v) =>
+            struct(a.as("a"), v.as("v")) }: _*)
+          val m = filter(arr, x => x.getField("a"))
+          val n = size(m)
+          val vs = transform(m, _.getField("v"))
+          val combined = scoreMode match {
+            case "multiply" =>
+              aggregate(m, lit(1.0), (acc, x) => acc * x.getField("v"))
+            case "sum" =>
+              aggregate(m, lit(0.0), (acc, x) => acc + x.getField("v"))
+            case "avg" =>
+              aggregate(m, lit(0.0),
+                (acc, x) => acc + x.getField("v")) / n
+            case "max"   => array_max(vs)
+            case "min"   => array_min(vs)
+            case "first" => element_at(vs, 1)
+            case other   => bad(s"unsupported score_mode '$other'")
+          }
+          when(n === 0, lit(1.0)).otherwise(combined)
+        }
+      val capped = Option(b.get("max_boost")).map(_.asDouble)
+        .map(mb => least(fnScore, lit(mb))).getOrElse(fnScore)
+      val qScore = base.score.cast("double")
+      val finalScore = boostMode match {
+        case "multiply" => qScore * capped
+        case "sum"      => qScore + capped
+        case "replace"  => capped
+        case "max"      => greatest(qScore, capped)
+        case "min"      => least(qScore, capped)
+        case "avg"      => (qScore + capped) / 2
+        case other      => bad(s"unsupported boost_mode '$other'")
+      }
+      val pred = Option(b.get("min_score")).map(_.asDouble)
+        .map(ms => base.pred && finalScore >= ms).getOrElse(base.pred)
+      Clause(pred, finalScore)
+
     case ("query_string", b) =>
       // ES's full Lucene classic query language — the STRICT sibling
       // of simple_query_string (a syntax error is a 400 naming the
@@ -940,9 +1061,14 @@ object EsDsl {
     * `extended_stats` (flattened to `<name>_count` … `<name>_
     * std_deviation`; population variance, like ES), and `percentiles`
     * (EXACT interpolated — ES's TDigest is approximate; flattened to
-    * `<name>_p<percent>`). The result is the flat bucket table (key,
-    * doc_count, metric columns) — the relational projection of ES's
-    * nested buckets JSON. */
+    * `<name>_p<percent>`). Histogram-family buckets also accept ES's
+    * PARENT pipeline aggs — `cumulative_sum` / `derivative`
+    * (buckets_path to a sibling metric, `_count`, or an earlier
+    * pipeline) and `bucket_sort` (sort/from/size over bucket values,
+    * applied last) — as window functions over the bucket table. The
+    * result is the flat bucket table (key, doc_count, metric/pipeline
+    * columns) — the relational projection of ES's nested buckets
+    * JSON. */
   private def aggregations(df: DataFrame, aggs: JsonNode,
                            ctx: Ctx): DataFrame = {
     val (name, spec) = unwrap(aggs)
@@ -1029,6 +1155,88 @@ object EsDsl {
     def metricSubs(parent: JsonNode): Seq[Column] =
       subEntries(parent).flatMap { case (n, mk, ms) =>
         metricCols(mk, ms, n) }
+    // ES PARENT pipeline aggregations — post-processing over the
+    // bucket table of a histogram-family agg (ES restricts
+    // cumulative_sum/derivative to histogram parents, whose buckets
+    // have a total key order). Value pipelines apply in request order
+    // (so a buckets_path may reference an earlier pipeline's output);
+    // bucket_sort applies LAST over the full bucket set, like ES.
+    // The window is unpartitioned by construction — the bucket table
+    // is interval-bounded (ES caps buckets at search.max_buckets),
+    // not data-sized, so single-partition ordering is the honest
+    // shape even at 100 TB of underlying rows.
+    val PipelineKinds = Set("cumulative_sum", "derivative", "bucket_sort")
+    def metricSubsNonPipeline(parent: JsonNode): Seq[Column] =
+      subEntries(parent).filterNot(e => PipelineKinds(e._2))
+        .flatMap { case (n, mk, ms) => metricCols(mk, ms, n) }
+    def applyPipelines(buckets: DataFrame, parent: JsonNode): DataFrame = {
+      val pipes = subEntries(parent).filter(e => PipelineKinds(e._2))
+      if (pipes.isEmpty) return buckets.orderBy(col("key").asc)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("key").asc)
+      var out = buckets
+      def pathCol(p: String, kind: String): Column = p match {
+        case "_count" => col("doc_count")
+        case name =>
+          if (!out.columns.contains(name))
+            bad(s"$kind buckets_path '$name' does not reference a " +
+              "sibling metric or earlier pipeline")
+          col(name)
+      }
+      pipes.filter(_._2 != "bucket_sort").foreach { case (n, kind, ms) =>
+        val path = Option(ms.get("buckets_path")).map(_.asText)
+          .getOrElse(bad(s"$kind needs \"buckets_path\""))
+        kind match {
+          case "cumulative_sum" =>
+            out = out.withColumn(n, sum(pathCol(path, kind)).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          case "derivative" =>
+            // first bucket: null (ES omits the derivative there — null
+            // is the flat-relational projection of an absent key)
+            out = out.withColumn(n,
+              pathCol(path, kind) - lag(pathCol(path, kind), 1).over(w))
+        }
+      }
+      pipes.find(_._2 == "bucket_sort") match {
+        case None => out.orderBy(col("key").asc)
+        case Some((_, _, ms)) =>
+          val sortKeys: Seq[Column] =
+            Option(ms.get("sort")).filter(_.isArray).toSeq.flatMap { s =>
+              (0 until s.size).map { i =>
+                val nd = s.get(i)
+                val (f, ord) =
+                  if (nd.isTextual) (nd.asText, "asc")
+                  else {
+                    val fn = nd.fieldNames().next()
+                    (fn, Option(nd.get(fn))
+                      .flatMap(o => Option(o.get("order"))).map(_.asText)
+                      .getOrElse("asc"))
+                  }
+                val c = f match {
+                  case "_key"   => col("key")
+                  case "_count" => col("doc_count")
+                  case other =>
+                    if (!out.columns.contains(other))
+                      bad(s"bucket_sort sort key '$other' is not a " +
+                        "bucket value")
+                    col(other)
+                }
+                ord match {
+                  case "asc"  => c.asc
+                  case "desc" => c.desc
+                  case o      => bad(s"unsupported sort order '$o'")
+                }
+              }
+            }
+          val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
+          val sz = Option(ms.get("size")).map(_.asInt)
+          if (from < 0 || sz.exists(_ <= 0))
+            bad("bucket_sort from must be >= 0 and size positive")
+          val sorted = out.orderBy(sortKeys :+ col("key").asc: _*)
+          val paged = if (from > 0) sorted.offset(from) else sorted
+          sz.map(paged.limit).getOrElse(paged)
+      }
+    }
     // ONE-PASS bucket table for request-enumerated buckets (range /
     // filters): conditional aggregates for every bucket in one
     // aggregation, then one explode reshapes the single row into
@@ -1430,10 +1638,11 @@ object EsDsl {
             expr(s"unix_millis(date_trunc('$unit', " +
               s"cast(`$f` as timestamp)))")
         }
-        df.filter(col(f).isNotNull)
-          .groupBy(bucket.as("key"))
-          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
-          .orderBy(col("key").asc)
+        applyPipelines(
+          df.filter(col(f).isNotNull)
+            .groupBy(bucket.as("key"))
+            .agg(count(lit(1)).as("doc_count"),
+              metricSubsNonPipeline(spec): _*), spec)
 
       case "histogram" =>
         // fixed-interval buckets keyed by their lower bound (ES
@@ -1445,10 +1654,64 @@ object EsDsl {
         val interval = Option(h.get("interval")).map(_.asDouble)
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
-        df.filter(col(f).isNotNull)
-          .groupBy((floor(col(f) / interval) * interval).as("key"))
-          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
-          .orderBy(col("key").asc)
+        applyPipelines(
+          df.filter(col(f).isNotNull)
+            .groupBy((floor(col(f) / interval) * interval).as("key"))
+            .agg(count(lit(1)).as("doc_count"),
+              metricSubsNonPipeline(spec): _*), spec)
+      case "significant_terms" =>
+        // ES significant_terms: terms over-represented in the query's
+        // match set (foreground) vs the whole index (background),
+        // scored by JLH — (fg% − bg%) · (fg% / bg%) — ES's default
+        // heuristic. Two hash aggregations (term-cardinality-sized)
+        // joined on the term, totals as broadcast single-row
+        // aggregates; only positively-significant terms return, score
+        // desc. Exact, not sketched — deterministic and oracle-able.
+        val t = spec.get("significant_terms")
+        val f = Option(t.get("field")).map(_.asText)
+          .getOrElse(bad("significant_terms agg needs \"field\""))
+        val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
+        if (size0 <= 0 || size0 > 1000)
+          bad("significant_terms size must be 1..1000")
+        val fg = df.filter(col(f).isNotNull)
+          .groupBy(col(f).as("key"))
+          .agg(count(lit(1)).as("doc_count"))
+        val bg = ctx.raw.filter(col(f).isNotNull)
+          .groupBy(col(f).as("key"))
+          .agg(count(lit(1)).as("bg_count"))
+        val fgTot = df.agg(count(lit(1)).as("__fg_total"))
+        val bgTot = ctx.raw.agg(count(lit(1)).as("__bg_total"))
+        val fgp = col("doc_count") / col("__fg_total")
+        val bgp = col("bg_count") / col("__bg_total")
+        fg.join(bg, "key")
+          .crossJoin(broadcast(fgTot)).crossJoin(broadcast(bgTot))
+          .withColumn("score", (fgp - bgp) * (fgp / bgp))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("key").asc)
+          .limit(size0)
+          .select("key", "doc_count", "bg_count", "score")
+
+      case "filter" =>
+        // the SINGLE-filter bucket (ES `filter`, not `filters`): one
+        // row — the sub-set's doc_count and metric sub-aggs. The
+        // filter must be filter-context (a BM25-scored clause's join
+        // frame could never resolve here — reject, don't mistranslate)
+        val before = ctx.scoredCount
+        val c = clause(spec.get("filter"), ctx)
+        if (ctx.scoredCount != before)
+          bad("BM25-scored clauses are not supported inside a filter " +
+            "aggregation; use term-level or phrase clauses")
+        val cols = metricSubs(spec)
+        df.filter(c.pred).agg(count(lit(1)).as("doc_count"), cols: _*)
+
+      case "global" =>
+        // ES global: escape the query context — metrics over the WHOLE
+        // index regardless of the request's query
+        if (spec.get("global").fieldNames().hasNext)
+          bad("global agg takes an empty body")
+        val cols = metricSubs(spec)
+        ctx.raw.agg(count(lit(1)).as("doc_count"), cols: _*)
+
       case mKind =>
         val cols = metricCols(mKind, spec.get(mKind), name)
         df.agg(cols.head, cols.tail: _*)

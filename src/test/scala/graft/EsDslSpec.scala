@@ -688,6 +688,123 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("pipeline aggs: cumulative_sum and derivative window over the " +
+    "bucket table in key order; bucket_sort sorts and truncates last") {
+    // histogram on n, interval 10: buckets 10/20/30/40, one doc each
+    val p = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10},
+       "aggs": {
+         "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+         "d": {"derivative": {"buckets_path": "cum"}}}}},
+      "size": 0}""").collect()
+    assert(p.map(_.getAs[Double]("key")).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(p.map(_.getAs[Long]("cum")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // first bucket's derivative is null (ES omits the key there);
+    // the chained path references the earlier pipeline's output
+    assert(p.head.isNullAt(p.head.fieldIndex("d")))
+    assert(p.tail.map(_.getAs[Long]("d")).toSeq == Seq(1L, 1L, 1L))
+    // bucket_sort: by a metric desc, size-truncated, applied last
+    val bs = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 20},
+       "aggs": {
+         "top": {"bucket_sort": {"sort": [{"_count": {"order": "desc"}}],
+                 "size": 1}}}}},
+      "size": 0}""").collect()
+    // interval 20: bucket 0 (n=10) count 1, bucket 20 (n=20,30) count 2,
+    // bucket 40 count 1 -> top-1 by count is bucket 20
+    assert(bs.length == 1 && bs.head.getAs[Double]("key") == 20.0 &&
+      bs.head.getAs[Long]("doc_count") == 2L)
+    // a dangling buckets_path and a bad sort key are the caller's error
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}}}},
+        "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"t": {"bucket_sort": {"sort": [{"nope": {}}]}}}}},
+        "size": 0}""")
+    }
+  }
+
+  test("significant_terms scores fg-vs-bg over-representation (JLH); " +
+    "filter agg buckets a sub-set; global escapes the query context") {
+    // fg = docs matching 'batch' (1, 4); src3 is 2/2 in fg vs 2/4 in
+    // bg -> JLH (1 - 0.5) * (1 / 0.5) = 1.0; src1 absent from fg
+    val sig = q("""{"query": {"query_string": {"query": "text:batch"}},
+      "aggs": {"s": {"significant_terms": {"field": "source"}}},
+      "size": 0}""").collect()
+    assert(sig.length == 1)
+    assert(sig.head.getAs[String]("key") == "src3")
+    assert(sig.head.getAs[Long]("doc_count") == 2L)
+    assert(sig.head.getAs[Long]("bg_count") == 2L)
+    assert(math.abs(sig.head.getAs[Double]("score") - 1.0) < 1e-12)
+    // filter agg: one bucket row, metrics over the filtered sub-set
+    // of the query's match set
+    val fl = q("""{"query": {"match_all": {}}, "aggs":
+      {"f": {"filter": {"term": {"source": "src3"}},
+       "aggs": {"mx": {"max": {"field": "n"}}}}}, "size": 0}""")
+      .collect().head
+    assert(fl.getAs[Long]("doc_count") == 2L && fl.getAs[Long]("mx") == 40L)
+    // a BM25-scored clause inside filter cannot resolve — reject
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"f": {"filter": {"match": {"text": "window"}}}}, "size": 0}""")
+    }
+    // global: the whole index, regardless of the query
+    val gl = q("""{"query": {"term": {"source": "src1"}}, "aggs":
+      {"g": {"global": {}, "aggs": {"mx": {"max": {"field": "n"}}}}},
+      "size": 0}""").collect().head
+    assert(gl.getAs[Long]("doc_count") == 4L && gl.getAs[Long]("mx") == 40L)
+  }
+
+  test("function_score: field_value_factor and filtered weights " +
+    "combine under score_mode/boost_mode; min_score and max_boost") {
+    def scores(body: String): Map[Long, Double] =
+      q(body).select("doc_id", "_score").as[(Long, Double)]
+        .collect().toMap
+    // multiply (defaults): match_all score 1 × factor·n
+    assert(scores("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"field_value_factor":
+        {"field": "n", "factor": 2}}]}}}""")
+      == Map(1L -> 20.0, 2L -> 40.0, 3L -> 60.0, 4L -> 80.0))
+    // score_mode sum; the filter gates the weight (null source is
+    // null-safe — doc 3 gets no weight)
+    assert(scores("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [
+        {"filter": {"term": {"source": "src3"}}, "weight": 10},
+        {"field_value_factor": {"field": "n"}}],
+      "score_mode": "sum"}}}""")
+      == Map(1L -> 20.0, 2L -> 20.0, 3L -> 30.0, 4L -> 50.0))
+    // max_boost caps the combined function value; boost_mode replace
+    // discards the query score; min_score filters the final score
+    assert(scores("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"field_value_factor": {"field": "n"}}],
+      "max_boost": 25, "boost_mode": "replace"}}}""")
+      == Map(1L -> 10.0, 2L -> 20.0, 3L -> 25.0, 4L -> 25.0))
+    assert(scores("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"field_value_factor": {"field": "n"}}],
+      "boost_mode": "replace", "min_score": 25}}}""").keySet
+      == Set(3L, 4L))
+    // no matching function -> factor 1 (ES); nondeterministic and
+    // script functions are rejected by name
+    assert(scores("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"filter": {"term": {"source": "nope"}},
+        "weight": 9}], "boost_mode": "replace"}}}""")
+      .values.toSet == Set(1.0))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"random_score": {}}]}}}""")
+    }
+  }
+
   test("query_string: field scoping, classic occur resolution, " +
     "modifiers, wildcard/prefix, boost, range, exists") {
     def ids(body: String): Seq[Long] =
