@@ -1018,6 +1018,47 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // moving_fn (round 9): 7-day trailing average of daily event
+    // volume — the canonical smoothing pipeline; builtin
+    // MovingFunctions script over the PRECEDING window.
+    "q7_esdsl_moving_fn" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {"trail": {"moving_fn": {"buckets_path": "_count",
+          |     "window": 7,
+          |     "script": "MovingFunctions.unweightedAvg(values)"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // sibling *_bucket pipelines: the bucket table plus its own
+    // avg/max reduced alongside — ES's buckets+sibling response,
+    // projected flat as constant columns (broadcast single-row join).
+    "q7_esdsl_sibling_bucket" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {
+          |   "per_day": {"date_histogram":
+          |     {"field": "ts", "fixed_interval": "1d"}},
+          |   "avg_daily": {"avg_bucket":
+          |     {"buckets_path": "per_day>_count"}},
+          |   "peak_daily": {"max_bucket":
+          |     {"buckets_path": "per_day>_count"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // match_bool_prefix: independent bool clauses, last term a prefix
+    // — the non-positional search-as-you-type sibling.
+    "q7_esdsl_bool_prefix" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_bool_prefix": {"text": "the win"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2420,6 +2461,37 @@ object ParityQueries {
         "CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END AS DOUBLE) " +
         "AS \"_score\" " +
       s"FROM documents WHERE $wc > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
+
+    "q7_esdsl_moving_fn" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1) " +
+       "SELECT key, doc_count, " +
+       "avg(doc_count) OVER (ORDER BY key ROWS BETWEEN 7 PRECEDING " +
+       "AND 1 PRECEDING) AS trail FROM b ORDER BY key"),
+
+    "q7_esdsl_sibling_bucket" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1) " +
+       "SELECT key, doc_count, " +
+       "(SELECT avg(doc_count) FROM b) AS avg_daily, " +
+       "(SELECT max(doc_count) FROM b) AS peak_daily " +
+       "FROM b ORDER BY key"),
+
+    "q7_esdsl_bool_prefix" -> {
+      val thec = substrCountSql(s"(${tokenNormSql("text")})", " the ")
+      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$thec AS tc, " +
+        "len(list_filter(list_filter(string_split_regex(" +
+          "lower(coalesce(text, '')), '\\s+'), x -> x <> ''), " +
+          "x -> x LIKE 'win%')) AS pc " +
+      "FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(tc + pc AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE tc > 0 OR pc > 0 " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
     },
 

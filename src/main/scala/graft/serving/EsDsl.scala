@@ -323,7 +323,8 @@ object EsDsl {
     def addText(t: String): Unit =
       t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(out += _)
     def walk(n: JsonNode): Unit = unwrap(n) match {
-      case ("match" | "match_phrase" | "match_phrase_prefix", b) =>
+      case ("match" | "match_phrase" | "match_phrase_prefix" |
+            "match_bool_prefix", b) =>
         val (_, spec) = unwrap(b)
         addText(if (spec.isObject)
           Option(spec.get("query")).map(_.asText).getOrElse("")
@@ -596,6 +597,32 @@ object EsDsl {
         val cnt = Search.slopCount(col(f), terms, slop)
         Clause(cnt > 0, cnt.cast("double"))
       }
+
+    case ("match_bool_prefix", b) =>
+      // ES match_bool_prefix: the terms are independent bool clauses
+      // (no adjacency, unlike match_phrase_prefix) — every term but
+      // the last matches token-exact, the LAST matches as a prefix.
+      // operator and/or gates the match set; the score sums the
+      // per-term occurrence counts (the documented count families).
+      val (f, spec) = unwrap(b)
+      val text = if (spec.isObject) Option(spec.get("query"))
+        .map(_.asText).getOrElse(bad("match_bool_prefix needs \"query\""))
+      else spec.asText
+      val operator = if (spec.isObject)
+        Option(spec.get("operator")).map(_.asText).getOrElse("or")
+      else "or"
+      if (operator != "and" && operator != "or")
+        bad(s"unsupported operator '$operator'")
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty) bad("empty match_bool_prefix query")
+      val counts: Seq[Column] =
+        terms.init.map(t =>
+          Search.substrCount(Search.tokenNorm(col(f)), s" $t ")) :+
+        Search.phrasePrefixCount(col(f), Seq(terms.last), 0)
+      val preds = counts.map(_ > 0)
+      val pred =
+        if (operator == "and") preds.reduce(_ && _) else preds.reduce(_ || _)
+      Clause(pred, counts.reduce(_ + _).cast("double"))
 
     case ("match_phrase_prefix", b) =>
       // ES match_phrase_prefix: the leading terms form a (sloppy)
@@ -1071,7 +1098,69 @@ object EsDsl {
     * JSON. */
   private def aggregations(df: DataFrame, aggs: JsonNode,
                            ctx: Ctx): DataFrame = {
-    val (name, spec) = unwrap(aggs)
+    // SIBLING pipeline aggregations (`avg_bucket` / `sum_bucket` /
+    // `min_bucket` / `max_bucket`): a second top-level entry whose
+    // buckets_path ("bucket_agg>metric" or "bucket_agg>_count")
+    // reduces the bucket agg's FINAL bucket table to one value. The
+    // flat-relational projection appends that value as a constant
+    // column (broadcast single-row cross join) — ES returns buckets
+    // and the sibling side by side in one response the same way.
+    val SiblingKinds =
+      Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    val entries: Seq[(String, JsonNode)] = {
+      val it = aggs.fieldNames()
+      val names = ArrayBuffer[String]()
+      while (it.hasNext) names += it.next()
+      names.toSeq.map(n => n -> aggs.get(n))
+    }
+    def kindOf(spec: JsonNode): String = {
+      val it = spec.fieldNames()
+      var k: String = null
+      while (it.hasNext && k == null) {
+        val c0 = it.next()
+        if (c0 != "aggs" && c0 != "aggregations") k = c0
+      }
+      if (k == null) bad("aggregation has no agg type")
+      k
+    }
+    if (entries.isEmpty) bad("empty aggs")
+    if (entries.size > 1) {
+      val (siblings, bases) =
+        entries.partition(e => SiblingKinds(kindOf(e._2)))
+      if (bases.size != 1)
+        bad("exactly ONE top-level bucket aggregation is supported " +
+          "(plus sibling *_bucket pipelines)")
+      val (baseName, baseSpec) = bases.head
+      var out = aggregationsOne(df, baseName, baseSpec, ctx)
+      siblings.foreach { case (sn, sSpec) =>
+        val kind = kindOf(sSpec)
+        val body = sSpec.get(kind)
+        val path = Option(body.get("buckets_path")).map(_.asText)
+          .getOrElse(bad(s"$kind needs \"buckets_path\""))
+        val metric = path.split(">", 2) match {
+          case Array(b, m) if b == baseName =>
+            if (m == "_count") "doc_count"
+            else if (!out.columns.contains(m))
+              bad(s"$kind buckets_path metric '$m' is not a bucket value")
+            else m
+          case _ => bad(s"$kind buckets_path must be " +
+            s"'$baseName>metric' (or '$baseName>_count')")
+        }
+        val reducer: Column = kind match {
+          case "avg_bucket" => avg(col(metric)).as(sn)
+          case "sum_bucket" => sum(col(metric)).as(sn)
+          case "min_bucket" => min(col(metric)).as(sn)
+          case "max_bucket" => max(col(metric)).as(sn)
+        }
+        out = out.crossJoin(broadcast(out.agg(reducer)))
+      }
+      return out
+    }
+    aggregationsOne(df, entries.head._1, entries.head._2, ctx)
+  }
+
+  private def aggregationsOne(df: DataFrame, name: String,
+                              spec: JsonNode, ctx: Ctx): DataFrame = {
     val kind = {
       val it = spec.fieldNames()
       var k: String = null
@@ -1165,7 +1254,8 @@ object EsDsl {
     // is interval-bounded (ES caps buckets at search.max_buckets),
     // not data-sized, so single-partition ordering is the honest
     // shape even at 100 TB of underlying rows.
-    val PipelineKinds = Set("cumulative_sum", "derivative", "bucket_sort")
+    val PipelineKinds =
+      Set("cumulative_sum", "derivative", "bucket_sort", "moving_fn")
     def metricSubsNonPipeline(parent: JsonNode): Seq[Column] =
       subEntries(parent).filterNot(e => PipelineKinds(e._2))
         .flatMap { case (n, mk, ms) => metricCols(mk, ms, n) }
@@ -1195,6 +1285,33 @@ object EsDsl {
             // is the flat-relational projection of an absent key)
             out = out.withColumn(n,
               pathCol(path, kind) - lag(pathCol(path, kind), 1).over(w))
+          case "moving_fn" =>
+            // ES moving_fn with the builtin MovingFunctions scripts —
+            // a sliding window over the PRECEDING `window` buckets
+            // (shift 0 excludes the current bucket; +1 per shift moves
+            // the window right, ES's convention). A window with no
+            // buckets yields null — the flat projection of ES's
+            // NaN/absent value. Script-bearing custom functions are
+            // rejected; the four builtins map to window aggregates.
+            val win = Option(ms.get("window")).map(_.asInt)
+              .getOrElse(bad("moving_fn needs \"window\""))
+            if (win <= 0) bad("moving_fn window must be positive")
+            val shift = Option(ms.get("shift")).map(_.asInt).getOrElse(0)
+            val script = Option(ms.get("script")).map(_.asText)
+              .getOrElse(bad("moving_fn needs \"script\""))
+            val fn: Column => Column =
+              script.replaceAll("\\s+", "") match {
+                case "MovingFunctions.unweightedAvg(values)" => avg
+                case "MovingFunctions.sum(values)"           => sum
+                case "MovingFunctions.max(values)"           => max
+                case "MovingFunctions.min(values)"           => min
+                case other => bad("unsupported moving_fn script " +
+                  s"'$other'; the builtins unweightedAvg/sum/max/min " +
+                  "over `values` are supported")
+              }
+            val frame = w.rowsBetween(-win.toLong + shift,
+              -1L + shift)
+            out = out.withColumn(n, fn(pathCol(path, kind)).over(frame))
         }
       }
       pipes.find(_._2 == "bucket_sort") match {

@@ -729,6 +729,71 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("match_bool_prefix: leading terms exact, last term prefix, " +
+    "independent bool clauses (no adjacency)") {
+    def hits(body: String): Map[Long, Double] =
+      q(body).select("doc_id", "_score").as[(Long, Double)]
+        .collect().toMap
+    // 'batch' exact + 'win' prefix, operator or
+    assert(hits("""{"query": {"match_bool_prefix":
+      {"text": "batch win"}}}""")
+      == Map(1L -> 2.0, 2L -> 1.0, 4L -> 3.0))
+    // operator and: every clause must match
+    assert(hits("""{"query": {"match_bool_prefix":
+      {"text": {"query": "batch win", "operator": "and"}}}}""").keySet
+      == Set(1L, 4L))
+    // unlike match_phrase_prefix, order/adjacency is irrelevant:
+    // "run window" never appears adjacent but both clauses match doc 1
+    assert(hits("""{"query": {"match_bool_prefix":
+      {"text": {"query": "run windo", "operator": "and"}}}}""").keySet
+      == Set(1L))
+  }
+
+  test("moving_fn: sliding window over preceding buckets (shift " +
+    "moves it right); sibling *_bucket aggs reduce the bucket table") {
+    // histogram interval 10 -> buckets 10/20/30/40, one doc each
+    val mv = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10},
+       "aggs": {"mov": {"moving_fn": {"buckets_path": "_count",
+         "window": 2, "script": "MovingFunctions.sum(values)"}}}}},
+      "size": 0}""").collect()
+    assert(mv.head.isNullAt(mv.head.fieldIndex("mov"))) // empty window
+    assert(mv.tail.map(_.getAs[Long]("mov")).toSeq == Seq(1L, 2L, 2L))
+    // shift 1 slides the window to include the current bucket
+    val mvs = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10},
+       "aggs": {"mov": {"moving_fn": {"buckets_path": "_count",
+         "window": 2, "shift": 1,
+         "script": "MovingFunctions.unweightedAvg(values)"}}}}},
+      "size": 0}""").collect()
+    assert(mvs.map(_.getAs[Double]("mov")).toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+    // a custom script is rejected by name, never guessed at
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"m": {"moving_fn": {"buckets_path": "_count",
+           "window": 2, "script": "values[0] * 2"}}}}}, "size": 0}""")
+    }
+    // siblings: avg/max over the histogram's bucket counts appear as
+    // constant columns beside the buckets (ES returns both at once)
+    val sib = q("""{"query": {"match_all": {}}, "aggs": {
+      "h": {"histogram": {"field": "n", "interval": 20}},
+      "avg_n": {"avg_bucket": {"buckets_path": "h>_count"}},
+      "max_n": {"max_bucket": {"buckets_path": "h>_count"}}},
+      "size": 0}""").collect()
+    assert(sib.length == 3) // buckets 0, 20, 40 with counts 1, 2, 1
+    assert(sib.forall(r => math.abs(r.getAs[Double]("avg_n") -
+      4.0 / 3.0) < 1e-12))
+    assert(sib.forall(_.getAs[Long]("max_n") == 2L))
+    // a path that names the wrong bucket agg is the caller's error
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs": {
+        "h": {"histogram": {"field": "n", "interval": 20}},
+        "a": {"avg_bucket": {"buckets_path": "nope>_count"}}},
+        "size": 0}""")
+    }
+  }
+
   test("significant_terms scores fg-vs-bg over-representation (JLH); " +
     "filter agg buckets a sub-set; global escapes the query context") {
     // fg = docs matching 'batch' (1, 4); src3 is 2/2 in fg vs 2/4 in
