@@ -1059,6 +1059,42 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // nested query (round 9): per-element evaluation over the
+    // labels array-of-struct — BOTH conditions must hold on the SAME
+    // label (the semantics that separate ES nested docs from
+    // flattened objects; the reference indexes tickets' labels
+    // nested exactly so — src/ticket_sync.py:44-49). One
+    // higher-order array predicate; labels jsonified only for the
+    // oracle hash, like denorm_tickets_nested.
+    "q7_esdsl_nested_query" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"nested": {"path": "labels", "score_mode": "sum",
+          |  "query": {"bool": {"must": [
+          |    {"term": {"labels.color": "Brand#12"}},
+          |    {"range": {"labels.id": {"lte": 1000}}}]}}}},
+          | "size": 100, "sort": [{"l_orderkey": {"order": "asc"}}]}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(
+        graft.operators.Denormalize.labelStructsPerOrder(
+          t(s, dir, "lineitem"), t(s, dir, "part")), body)
+        .withColumn("labels", to_json(col("labels")))
+    }),
+
+    // nested aggregation: label-color distribution over the nested
+    // elements (doc_count = nested docs, ES's convention) — one
+    // explode + one hash agg.
+    "q7_esdsl_nested_agg" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"labels": {"nested": {"path": "labels"},
+          |   "aggs": {"by_color": {"terms":
+          |     {"field": "labels.color", "size": 10}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(
+        graft.operators.Denormalize.labelStructsPerOrder(
+          t(s, dir, "lineitem"), t(s, dir, "part")), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2463,6 +2499,27 @@ object ParityQueries {
       s"FROM documents WHERE $wc > 0 " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
     },
+
+    // nested: EXISTS over the per-order DISTINCT label set with both
+    // conditions on one element; list(s ORDER BY s) mirrors
+    // array_sort(collect_set(...)) like the denorm nested oracle
+    "q7_esdsl_nested_query" ->
+      ("WITH lb AS (SELECT DISTINCT l_orderkey, struct_pack(" +
+         "id := p_partkey, name := p_name, color := p_brand) AS s " +
+         "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+       "agg AS (SELECT l_orderkey, CAST(to_json(list(s ORDER BY s)) " +
+         "AS VARCHAR) AS labels FROM lb GROUP BY 1), " +
+       "m AS (SELECT l_orderkey, count(*) AS c FROM lb " +
+         "WHERE s.color = 'Brand#12' AND s.id <= 1000 GROUP BY 1) " +
+       "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
+       "FROM agg a JOIN m USING (l_orderkey) " +
+       "ORDER BY a.l_orderkey LIMIT 100"),
+
+    "q7_esdsl_nested_agg" ->
+      ("WITH lb AS (SELECT DISTINCT l_orderkey, p_partkey, p_name, " +
+         "p_brand FROM lineitem JOIN part ON l_partkey = p_partkey) " +
+       "SELECT p_brand AS key, count(*) AS doc_count FROM lb " +
+       "GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"),
 
     "q7_esdsl_moving_fn" ->
       ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +

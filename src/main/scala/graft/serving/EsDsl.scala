@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * boosts, `_exists_`), `dis_max` (best subquery +
   * tie_breaker), `boosting` (positive/negative demotion),
   * `function_score` (field_value_factor / filtered weights with
-  * score_mode/boost_mode/max_boost/min_score), `bool`
+  * score_mode/boost_mode/max_boost/min_score), `nested` (per-element
+  * queries and element-bucketing aggs over array-of-struct columns),
+  * `match_bool_prefix`, `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
   * `sort` (field asc/desc and `_score`) and `_source`. Anything outside
@@ -117,6 +119,17 @@ object EsDsl {
       * significant_terms' background corpus (both defined against the
       * whole index, not the query's match set). */
     def raw: DataFrame = df
+
+    /** The struct-field names of an array-of-struct column — the
+      * `nested` query's path target (ES nested docs ≡ array<struct>
+      * columns here); None when the column is absent or flat. */
+    def nestedFields(path: String): Option[Seq[String]] =
+      df.schema.fields.find(_.name == path).flatMap(_.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _) =>
+          Some(st.fieldNames.toSeq)
+        case _ => None
+      })
 
     /** Number of BM25 score joins registered so far — lets the filter
       * aggregation reject match-family clauses (their score frames
@@ -811,6 +824,40 @@ object EsDsl {
       }
       compile(root)
 
+    case ("nested", b) =>
+      // ES nested query: SOME element of the array-of-struct column
+      // at `path` must satisfy the WHOLE inner query — per-element
+      // evaluation, the semantics that separate nested docs from
+      // flattened object fields (the reference indexes tickets'
+      // `labels: [{id,name,color}]` exactly so —
+      // src/ticket_sync.py:44-49). The inner query is the term-level
+      // core (term/terms/range/exists/bool/match_all) over
+      // `path.field` names; it compiles to ONE higher-order array
+      // predicate (filter + size) — a codegen'd projection, no
+      // explode, no join, no shuffle. Inner clauses are
+      // constant-score, so score_mode avg/min/max = 1.0 on match
+      // (ES's value for constant-score children), sum = the matching
+      // element count, none = 0.
+      val path = Option(b.get("path")).map(_.asText)
+        .getOrElse(bad("nested needs \"path\""))
+      val inner = Option(b.get("query"))
+        .getOrElse(bad("nested needs \"query\""))
+      val nFields = ctx.nestedFields(path).getOrElse(
+        bad(s"nested path '$path' is not an array-of-struct column"))
+      val per = nestedElemPred(inner, path, nFields)
+      val cnt = coalesce(
+        size(filter(col(path), x => coalesce(per(x), lit(false)))),
+        lit(0))
+      val score = Option(b.get("score_mode")).map(_.asText)
+        .getOrElse("avg") match {
+        case "sum"                 => cnt.cast("double")
+        case "avg" | "min" | "max" =>
+          when(cnt > 0, lit(1.0)).otherwise(lit(0.0))
+        case "none"                => lit(0.0)
+        case other => bad(s"unsupported score_mode '$other'")
+      }
+      Clause(cnt > 0, score)
+
     case ("function_score", b) =>
       // ES function_score: re-rank the base query's match set by
       // per-document functions — `weight` (optionally gated by a
@@ -986,6 +1033,72 @@ object EsDsl {
       Clause(pred, score)
 
     case (other, _) => bad(s"unsupported query clause '$other'")
+  }
+
+  /** Element-level predicate compiler for the `nested` query: the
+    * term-level DSL core evaluated per array element. Fields are
+    * `path.field` names resolved against the struct's fields —
+    * anything else (an un-prefixed name, an unknown sub-field, a
+    * scored clause) is the caller's error. */
+  private def nestedElemPred(q: JsonNode, path: String,
+                             fields: Seq[String]): Column => Column = {
+    def fieldOf(f: String): String = {
+      if (!f.startsWith(path + "."))
+        bad(s"nested clause field '$f' must be under path '$path'")
+      val sub0 = f.substring(path.length + 1)
+      if (!fields.contains(sub0)) bad(s"unknown nested field '$f'")
+      sub0
+    }
+    unwrap(q) match {
+      case ("match_all", _) => _ => lit(true)
+      case ("term", b) =>
+        val (f, v) = unwrap(b)
+        val value = if (v.isObject) Option(v.get("value"))
+          .getOrElse(bad("term needs a value")) else v
+        val sub0 = fieldOf(f)
+        x => x.getField(sub0) === litOf(value)
+      case ("terms", b) =>
+        val (f, vs) = unwrap(b)
+        if (!vs.isArray || vs.size == 0)
+          bad("terms needs a non-empty array")
+        val values = (0 until vs.size).map(i => litOf(vs.get(i)))
+        val sub0 = fieldOf(f)
+        x => values.map(x.getField(sub0) === _).reduce(_ || _)
+      case ("range", b) =>
+        val (f, bounds) = unwrap(b)
+        val sub0 = fieldOf(f)
+        val ops = Seq[(String, (Column, Column) => Column)](
+          "gt" -> (_ > _), "gte" -> (_ >= _),
+          "lt" -> (_ < _), "lte" -> (_ <= _))
+          .flatMap { case (k, op) =>
+            Option(bounds.get(k)).map(v => (c: Column) => op(c, litOf(v)))
+          }
+        if (ops.isEmpty) bad("range needs gt/gte/lt/lte")
+        x => ops.map(_(x.getField(sub0))).reduce(_ && _)
+      case ("exists", b) =>
+        val f = Option(b.get("field")).map(_.asText)
+          .getOrElse(bad("exists needs \"field\""))
+        val sub0 = fieldOf(f)
+        x => x.getField(sub0).isNotNull
+      case ("bool", b) =>
+        val must = (sub(b, "must") ++ sub(b, "filter"))
+          .map(nestedElemPred(_, path, fields))
+        val mustNot = sub(b, "must_not").map(nestedElemPred(_, path, fields))
+        val should = sub(b, "should").map(nestedElemPred(_, path, fields))
+        x => {
+          val preds =
+            must.map(p => coalesce(p(x), lit(false))) ++
+            mustNot.map(p => !coalesce(p(x), lit(false))) ++
+            (if (must.isEmpty && should.nonEmpty)
+              Seq(should.map(p => coalesce(p(x), lit(false)))
+                .reduce(_ || _))
+            else Nil)
+          if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+        }
+      case (other, _) =>
+        bad(s"unsupported clause '$other' inside nested (the " +
+          "term-level core: term/terms/range/exists/bool/match_all)")
+    }
   }
 
   /** Compile a parsed [[QueryString]] tree to a predicate + score.
@@ -1776,6 +1889,34 @@ object EsDsl {
             .groupBy((floor(col(f) / interval) * interval).as("key"))
             .agg(count(lit(1)).as("doc_count"),
               metricSubsNonPipeline(spec): _*), spec)
+      case "nested" =>
+        // ES nested AGGREGATION: bucket over the ELEMENTS of an
+        // array-of-struct column — doc_count counts nested docs
+        // (elements), ES's convention. One explode + one hash agg;
+        // supports a single child `terms` agg over `path.field`.
+        val nspec = spec.get("nested")
+        val path = Option(nspec.get("path")).map(_.asText)
+          .getOrElse(bad("nested agg needs \"path\""))
+        val nFields = ctx.nestedFields(path).getOrElse(
+          bad(s"nested path '$path' is not an array-of-struct column"))
+        val subs = subEntries(spec)
+        if (subs.size != 1 || subs.head._2 != "terms")
+          bad("nested agg supports exactly one child terms agg")
+        val (_, _, cs) = subs.head
+        val f = Option(cs.get("field")).map(_.asText)
+          .getOrElse(bad("terms agg needs \"field\""))
+        if (!f.startsWith(path + "."))
+          bad(s"nested terms field '$f' must be under path '$path'")
+        val sub0 = f.substring(path.length + 1)
+        if (!nFields.contains(sub0)) bad(s"unknown nested field '$f'")
+        val size1 = Option(cs.get("size")).map(_.asInt).getOrElse(10)
+        if (size1 <= 0 || size1 > 1000) bad("terms size must be 1..1000")
+        df.select(explode(col(path)).as("__el"))
+          .groupBy(col(s"__el.$sub0").as("key"))
+          .agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size1)
+
       case "significant_terms" =>
         // ES significant_terms: terms over-represented in the query's
         // match set (foreground) vs the whole index (background),

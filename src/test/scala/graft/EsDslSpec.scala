@@ -729,6 +729,57 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("nested query: the WHOLE inner query must hold on ONE array " +
+    "element — not across elements; null/empty arrays never match") {
+    val nest = spark.sql(
+      """SELECT * FROM VALUES
+        | (1, array(named_struct('color', 'red', 'n', 1),
+        |           named_struct('color', 'blue', 'n', 2))),
+        | (2, array(named_struct('color', 'red', 'n', 5))),
+        | (3, CAST(array() AS ARRAY<STRUCT<color: STRING, n: INT>>)),
+        | (4, CAST(NULL AS ARRAY<STRUCT<color: STRING, n: INT>>))
+        | AS t(id, labels)""".stripMargin)
+    def run(body: String): Map[Int, Double] =
+      EsDsl.search(nest, mapper.readTree(body))
+        .select("id", "_score").as[(Int, Double)].collect().toMap
+    // term on one element field; score_mode sum counts matches
+    assert(run("""{"query": {"nested": {"path": "labels",
+      "score_mode": "sum",
+      "query": {"term": {"labels.color": "red"}}}}}""")
+      == Map(1 -> 1.0, 2 -> 1.0))
+    // THE nested semantics: color=red AND n>=2 on the SAME element —
+    // doc 1 has red(n=1) and blue(n=2) but no single element with
+    // both, doc 2's red(n=5) qualifies
+    assert(run("""{"query": {"nested": {"path": "labels",
+      "query": {"bool": {"must": [
+        {"term": {"labels.color": "red"}},
+        {"range": {"labels.n": {"gte": 2}}}]}}}}}""")
+      == Map(2 -> 1.0)) // default score_mode avg: 1.0 on match
+    // nested AGGREGATION: buckets over elements (doc_count counts
+    // nested docs), ES's convention
+    val na = EsDsl.search(nest, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs":
+        {"l": {"nested": {"path": "labels"},
+         "aggs": {"c": {"terms": {"field": "labels.color"}}}}},
+        "size": 0}""")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(na == Map("red" -> 2L, "blue" -> 1L))
+    // errors: flat/unknown path, field outside the path, scored
+    // clauses inside nested
+    for (body <- Seq(
+        """{"query": {"nested": {"path": "id",
+           "query": {"match_all": {}}}}}""",
+        """{"query": {"nested": {"path": "nope",
+           "query": {"match_all": {}}}}}""",
+        """{"query": {"nested": {"path": "labels",
+           "query": {"term": {"color": "red"}}}}}""",
+        """{"query": {"nested": {"path": "labels",
+           "query": {"match": {"labels.color": "red"}}}}}"""))
+      intercept[IllegalArgumentException] {
+        EsDsl.search(nest, mapper.readTree(body))
+      }
+  }
+
   test("match_bool_prefix: leading terms exact, last term prefix, " +
     "independent bool clauses (no adjacency)") {
     def hits(body: String): Map[Long, Double] =
