@@ -485,4 +485,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** Substring-level duplication profile — the repeated-n-gram signal
+    * behind training-data substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * for every document, how many of its distinct k-token shingles
+    * also occur in OTHER documents. Returns
+    * `(id, n_shingles, n_repeated, dup_ratio)` — the per-doc gate a
+    * curation pipeline thresholds on (a high ratio marks boilerplate
+    * and templated spam that whole-doc dedup misses).
+    *
+    * Scale shape: one shingle explode (codegen'd
+    * [[graft.functions.ArrayExpressions.distinctShingles]], distinct
+    * per doc so counts are document frequencies), one combiner-
+    * friendly hash agg keyed by shingle, one shuffle join back on the
+    * shingle, one per-doc re-agg. No pairwise work anywhere; the
+    * shingle key would be xxhash64-narrowed at 100 TB (the string key
+    * keeps the DuckDB oracle exact — same trade the jaccard tier
+    * documents). */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    import graft.functions.ArrayExpressions.distinctShingles
+    val sh = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(distinctShingles(col(textCol), k)).as("s"))
+    val docFreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(docFreq, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("dup_ratio",
+        col("n_repeated").cast("double") / col("n_shingles"))
+  }
 }

@@ -1095,6 +1095,55 @@ object ParityQueries {
           t(s, dir, "lineitem"), t(s, dir, "part")), body)
     }),
 
+    // rescore (round 9): two-phase ranking — occurrence-ranked
+    // primary, top-50 window recombined with a double-weighted phrase
+    // score. The window is one TakeOrdered; the page re-sorts within
+    // it by the combined score.
+    "q7_esdsl_rescore" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:window"}},
+          | "rescore": {"window_size": 50, "query": {
+          |   "rescore_query": {"match_phrase": {"text": "the window"}},
+          |   "query_weight": 1, "rescore_query_weight": 2}},
+          | "size": 20}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // terms_set: per-document match threshold — at least `doc_id % 3`
+    // of the supplied terms must token-match.
+    "q7_esdsl_terms_set" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"terms_set": {"text": {
+          |   "terms": ["window", "batch", "dup"],
+          |   "minimum_should_match_field": "req"}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(
+        t(s, dir, "documents")
+          .withColumn("req", (col("doc_id") % 3).cast("int")), body)
+    }),
+
+    // significant_text (round 9): TOKENS over-represented among the
+    // zh-language docs vs the whole corpus — doc-frequency JLH, the
+    // free-text variant of significant_terms.
+    "q7_esdsl_significant_text" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"term": {"lang": "zh"}},
+          | "aggs": {"sig": {"significant_text":
+          |   {"field": "text", "size": 10}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // term suggester: spell-correction from the corpus vocabulary —
+    // per input token, the terms within 2 edits ranked by (distance,
+    // frequency); suggest-only body, ES's suggest surface.
+    "q7_esdsl_suggest" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"fix": {"text": "windoq bath",
+          |  "term": {"field": "text"}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2514,6 +2563,77 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    // significant_text: doc-frequency JLH over distinct tokens per
+    // doc; the fg total counts ALL matched docs (null text included),
+    // mirroring the engine's totals
+    "q7_esdsl_significant_text" ->
+      ("WITH fgd AS (SELECT * FROM documents WHERE lang = 'zh'), " +
+       "fg AS (SELECT t AS key, count(*) AS doc_count FROM (" +
+         "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
+         "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+         "FROM fgd WHERE text IS NOT NULL) GROUP BY 1), " +
+       "bg AS (SELECT t AS key, count(*) AS bg_count FROM (" +
+         "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
+         "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+         "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
+       "ft AS (SELECT count(*) AS fgt FROM fgd), " +
+       "bt AS (SELECT count(*) AS bgt FROM documents) " +
+       "SELECT * FROM (SELECT key, doc_count, bg_count, " +
+         "(doc_count/fgt - bg_count/bgt) * " +
+         "((doc_count/fgt) / (bg_count/bgt)) AS score " +
+         "FROM fg JOIN bg USING (key) CROSS JOIN ft CROSS JOIN bt) " +
+       "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"),
+
+    // term suggester: vocabulary + levenshtein, ranked per token
+    "q7_esdsl_suggest" ->
+      ("WITH vocab AS (SELECT t AS term, count(*) AS freq FROM (" +
+         "SELECT unnest(list_filter(string_split_regex(" +
+         "lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS t " +
+         "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
+       "cand AS (SELECT tok.token, v.term, v.freq, " +
+         "CAST(levenshtein(tok.token, v.term) AS INT) AS distance " +
+         "FROM vocab v CROSS JOIN (SELECT unnest(" +
+         "['windoq', 'bath']) AS token) tok " +
+         "WHERE levenshtein(tok.token, v.term) <= 2), " +
+       "gated AS (SELECT *, max(CASE WHEN distance = 0 THEN 1 ELSE 0 " +
+         "END) OVER (PARTITION BY token) AS ex FROM cand), " +
+       "ranked AS (SELECT token, term AS suggestion, distance, freq, " +
+         "row_number() OVER (PARTITION BY token ORDER BY distance, " +
+         "freq DESC, term) AS rn FROM gated " +
+         "WHERE distance > 0 AND ex = 0) " +
+       "SELECT token, suggestion, distance, freq FROM ranked " +
+       "WHERE rn <= 5 ORDER BY token, distance, freq DESC, suggestion"),
+
+    // rescore: top-50 by primary count, combined score re-sort inside
+    // the window (1·primary + 2·phrase)
+    "q7_esdsl_rescore" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      val pc = substrCountSql(s"(${tokenNormSql("text")})",
+        " the  window ")
+      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$wc AS wc, $pc AS pc FROM documents), " +
+      "f AS (SELECT * FROM b WHERE wc > 0), " +
+      "win AS (SELECT * FROM f ORDER BY wc DESC, doc_id LIMIT 50) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(1.0 * wc + 2.0 * pc AS DOUBLE) AS \"_score\" " +
+      "FROM win ORDER BY \"_score\" DESC, doc_id LIMIT 20"
+    },
+
+    // terms_set: per-row threshold — matching-term count vs doc_id%3
+    "q7_esdsl_terms_set" -> {
+      def has(t: String) =
+        s"CASE WHEN ${substrCountSql(s"(${tokenNormSql("text")})",
+          s" $t ")} > 0 THEN 1 ELSE 0 END"
+      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(doc_id % 3 AS INT) AS req, " +
+        s"(${has("window")} + ${has("batch")} + ${has("dup")}) AS m " +
+      "FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, req, " +
+        "CAST(m AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE m >= req " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
 
     "q7_esdsl_nested_agg" ->
       ("WITH lb AS (SELECT DISTINCT l_orderkey, p_partkey, p_name, " +

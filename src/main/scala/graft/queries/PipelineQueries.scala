@@ -128,6 +128,14 @@ object PipelineQueries {
         "doc_id", "text")
     }),
 
+    // Substring-level duplication profile (round 9): per-doc repeated
+    // 5-token-shingle counts — the Lee et al. repeated-n-gram signal
+    // that catches boilerplate whole-doc dedup misses. One explode +
+    // one shingle-keyed hash agg + one join back; no pairwise work.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)),
+
     // The 100 TB tier at the ground-truth threshold: banded MinHash
     // candidate generation feeding exact Jaccard verification at 0.8 —
     // the scale path for exactly what dedup_jaccard computes all-pairs.
@@ -963,6 +971,29 @@ object PipelineQueries {
          |SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
          |FROM reach GROUP BY src""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    // substring-dup profile: the decontaminate shingle CTE at k=5,
+    // document frequency per shingle, per-doc repeated counts; the
+    // ratio is ONE division in both engines (bit-stable)
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(ts) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(ts)-4),
+        |         i -> array_to_string(ts[i:i+4],' ')))
+        |    ELSE [array_to_string(ts,' ')] END AS shset
+        |  FROM toks
+        |), sh AS (SELECT doc_id, unnest(shset) AS s FROM sh0),
+        |f AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeated,
+        |  CAST(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / count(*) AS dup_ratio
+        |FROM sh JOIN f USING (s) GROUP BY 1""".stripMargin,
+
     // same tokenize+shingle CTEs as the dedup oracles, split into a
     // benchmark side (doc_id % 97 = 0) and the corpus remainder
     "dedup_decontaminate" ->

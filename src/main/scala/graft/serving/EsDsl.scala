@@ -161,8 +161,81 @@ object EsDsl {
     * (document_id, table) since neither alone is unique. */
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil): DataFrame = {
+    if (body.hasNonNull("suggest")) {
+      if (body.hasNonNull("query"))
+        bad("suggest alongside query is not supported; send a " +
+          "suggest-only body")
+      return suggest(df, body.get("suggest"))
+    }
     val (hits, aggs) = searchParts(df, body, tiebreak)
     aggs.getOrElse(hits)
+  }
+
+  /** ES TERM SUGGESTER (`{"suggest": {"<name>": {"text": ...,
+    * "term": {"field": ...}}}}` — a suggest-only body, the
+    * spell-correction surface): for every analyzed token of `text`,
+    * the corpus vocabulary terms within `max_edits` (1..2, Lucene's
+    * budget), ranked (distance asc, frequency desc, term asc) and
+    * cut to `size` per token. `suggest_mode` missing (default) stays
+    * silent for tokens already in the vocabulary; `always` suggests
+    * regardless. One vocabulary aggregation (term-cardinality-sized)
+    * + a literal token-array explode — no joins; the per-token
+    * window ranks query-sized groups. Output is the flat
+    * (token, suggestion, distance, freq) table — the relational
+    * projection of ES's suggest response. Scoring deviation,
+    * documented: ES ranks by its internal string-similarity score;
+    * this engine ranks by the same (distance, frequency) keys Lucene
+    * uses to break score ties — deterministic and oracle-able. */
+  def suggest(df: DataFrame, sg: JsonNode): DataFrame = {
+    val names = {
+      val it = sg.fieldNames()
+      val b = ArrayBuffer[String]()
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    }
+    if (names.size != 1) bad("exactly one named suggester is supported")
+    val s = sg.get(names.head)
+    val text = Option(s.get("text")).map(_.asText)
+      .getOrElse(bad("suggest needs \"text\""))
+    val term = Option(s.get("term"))
+      .getOrElse(bad("only the term suggester is supported"))
+    val f = Option(term.get("field")).map(_.asText)
+      .getOrElse(bad("term suggester needs \"field\""))
+    val size = Option(term.get("size")).map(_.asInt).getOrElse(5)
+    if (size <= 0 || size > 100) bad("suggest size must be 1..100")
+    val maxEdits = Option(term.get("max_edits")).map(_.asInt).getOrElse(2)
+    if (maxEdits < 1 || maxEdits > 2) bad("max_edits must be 1 or 2")
+    val mode = Option(term.get("suggest_mode")).map(_.asText)
+      .getOrElse("missing")
+    if (mode != "missing" && mode != "always")
+      bad(s"unsupported suggest_mode '$mode' (missing/always)")
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    if (toks.isEmpty) bad("suggest text has no tokens")
+    val vocab = df.filter(col(f).isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col(f)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val cand = vocab
+      .select(col("term"), col("freq"),
+        explode(array(toks.map(lit): _*)).as("token"))
+      .withColumn("distance", levenshtein(col("token"), col("term")))
+      .filter(col("distance") <= maxEdits)
+    val perToken = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val flagged = cand.withColumn("__exists",
+      max(when(col("distance") === 0, 1).otherwise(0)).over(perToken))
+    val kept = flagged.filter(col("distance") > 0 &&
+      (if (mode == "missing") col("__exists") === 0 else lit(true)))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+      .orderBy(col("distance").asc, col("freq").desc, col("term").asc)
+    kept.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") <= size)
+      .select(col("token"), col("term").as("suggestion"),
+        col("distance"), col("freq"))
+      .orderBy(col("token").asc, col("distance").asc,
+        col("freq").desc, col("suggestion").asc)
   }
 
   /** Execute `body` and return (hits page, aggregation buckets if the
@@ -171,6 +244,9 @@ object EsDsl {
   def searchParts(df: DataFrame, body: JsonNode,
                   tiebreak: Seq[String] = Nil)
       : (DataFrame, Option[DataFrame]) = {
+    if (body.hasNonNull("suggest"))
+      bad("suggest alongside query is not supported; send a " +
+        "suggest-only body")
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
     val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
     val sid =
@@ -179,11 +255,46 @@ object EsDsl {
       else col(idName)
     val ctx = new Ctx(df, sid)
     val c = clause(q, ctx)
+    // "rescore": ES two-phase ranking — the top `window_size` hits of
+    // the primary sort get their score recombined with a secondary
+    // query (query_weight·primary + rescore_query_weight·secondary).
+    // The rescore clause compiles HERE, before the score-join fold, so
+    // BM25-scored rescore queries resolve like any other clause. Pages
+    // must fit the window (ES serves primary-ordered hits beyond it;
+    // this engine 400s instead of silently mixing orders), and ES
+    // itself rejects rescore with sort/collapse/search_after.
+    val rescoreOpt: Option[(Clause, Int, Double, Double)] =
+      Option(body.get("rescore")).map { rn =>
+        val r = if (rn.isArray) {
+          if (rn.size != 1) bad("exactly one rescore window is supported")
+          rn.get(0)
+        } else rn
+        val window = Option(r.get("window_size")).map(_.asInt).getOrElse(10)
+        if (window <= 0 || window > MaxResultWindow)
+          bad(s"rescore window_size must be 1..$MaxResultWindow")
+        val q2 = Option(r.get("query"))
+          .getOrElse(bad("rescore needs \"query\""))
+        val rq = Option(q2.get("rescore_query"))
+          .getOrElse(bad("rescore needs \"rescore_query\""))
+        val qw = Option(q2.get("query_weight")).map(_.asDouble)
+          .getOrElse(1.0)
+        val rw = Option(q2.get("rescore_query_weight")).map(_.asDouble)
+          .getOrElse(1.0)
+        (clause(rq, ctx), window, qw, rw)
+      }
+    if (rescoreOpt.nonEmpty &&
+        (body.hasNonNull("sort") || body.hasNonNull("collapse") ||
+         body.hasNonNull("search_after")))
+      bad("rescore cannot be combined with sort, collapse, or " +
+        "search_after")
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
       bad(s"from + size must stay within 0..$MaxResultWindow " +
         "(index.max_result_window)")
+    rescoreOpt.foreach { case (_, window, _, _) =>
+      if (from + size > window)
+        bad("from + size must stay within the rescore window_size") }
     // `ids` clauses reference the document identity through a marker
     // column bound here to the table's id (first tiebreak / first
     // column), then projected away; the sid column carries the BM25
@@ -201,8 +312,25 @@ object EsDsl {
       else None
     val tieNames = if (tiebreak.nonEmpty) tiebreak
       else Seq(df.columns.head)
-    val scored = filtered
-      .select(df.columns.map(col) :+ c.score.cast("double").as("_score"): _*)
+    val scored0 = filtered.select(
+      df.columns.map(col) ++
+      Seq(c.score.cast("double").as("_score")) ++
+      rescoreOpt.map { case (rc, _, _, _) =>
+        when(coalesce(rc.pred, lit(false)), rc.score.cast("double"))
+          .otherwise(lit(0.0)).as("__rescore") }: _*)
+    // rescore window: top window_size by the PRIMARY order (one
+    // TakeOrdered), then the combined score replaces _score — the
+    // default effective sort below re-orders by it
+    val scored = rescoreOpt match {
+      case None => scored0
+      case Some((_, window, qw, rw)) =>
+        scored0
+          .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
+          .limit(window)
+          .withColumn("_score",
+            lit(qw) * col("_score") + lit(rw) * col("__rescore"))
+          .drop("__rescore")
+    }
     // the EFFECTIVE sort: the body's explicit keys (or _score desc),
     // always with the id tiebreak(s) appended — (column, ascending?)
     // pairs so collapse windows and search_after cursors can reuse the
@@ -518,6 +646,31 @@ object EsDsl {
       }
       if (values.isEmpty) bad("terms needs at least one value")
       Clause(col(f).isInCollection(values), lit(1.0))
+
+    case ("terms_set", b) =>
+      // ES terms_set: the doc matches when at least
+      // `minimum_should_match_field`'s PER-DOCUMENT value of the
+      // supplied terms token-match the field — the per-row-threshold
+      // variant of minimum_should_match. Scored by the matching-term
+      // count (the documented count families);
+      // minimum_should_match_script is script-bearing — rejected.
+      val (f, spec) = unwrap(b)
+      val termsNode = Option(spec.get("terms")).filter(_.isArray)
+        .getOrElse(bad("terms_set needs a \"terms\" array"))
+      if (termsNode.size == 0) bad("terms_set needs at least one term")
+      val tsTerms = (0 until termsNode.size)
+        .map(termsNode.get(_).asText.toLowerCase).distinct
+      if (spec.hasNonNull("minimum_should_match_script"))
+        bad("minimum_should_match_script is not supported; use " +
+          "minimum_should_match_field")
+      val msmField = Option(spec.get("minimum_should_match_field"))
+        .map(_.asText)
+        .getOrElse(bad("terms_set needs \"minimum_should_match_field\""))
+      val matched = tsTerms.map(t =>
+        when(Search.substrCount(Search.tokenNorm(col(f)),
+          s" $t ") > 0, 1).otherwise(0)).reduce(_ + _)
+      Clause(col(msmField).isNotNull && matched >= col(msmField),
+        matched.cast("double"))
 
     case ("range", b) =>
       val (f, bounds) = unwrap(b)
@@ -1033,6 +1186,26 @@ object EsDsl {
       Clause(pred, score)
 
     case (other, _) => bad(s"unsupported query clause '$other'")
+  }
+
+  /** Shared JLH tail of significant_terms / significant_text:
+    * (fg% − bg%) · (fg% / bg%) against broadcast single-row totals,
+    * positive scores only, score desc. The operation order is one
+    * IEEE op per step — mirrored verbatim by the DuckDB oracles. */
+  private def jlhSignificance(fg: DataFrame, bg: DataFrame,
+                              fgFrame: DataFrame, bgFrame: DataFrame,
+                              size0: Int): DataFrame = {
+    val fgTot = fgFrame.agg(count(lit(1)).as("__fg_total"))
+    val bgTot = bgFrame.agg(count(lit(1)).as("__bg_total"))
+    val fgp = col("doc_count") / col("__fg_total")
+    val bgp = col("bg_count") / col("__bg_total")
+    fg.join(bg, "key")
+      .crossJoin(broadcast(fgTot)).crossJoin(broadcast(bgTot))
+      .withColumn("score", (fgp - bgp) * (fgp / bgp))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("key").asc)
+      .limit(size0)
+      .select("key", "doc_count", "bg_count", "score")
   }
 
   /** Element-level predicate compiler for the `nested` query: the
@@ -1937,17 +2110,29 @@ object EsDsl {
         val bg = ctx.raw.filter(col(f).isNotNull)
           .groupBy(col(f).as("key"))
           .agg(count(lit(1)).as("bg_count"))
-        val fgTot = df.agg(count(lit(1)).as("__fg_total"))
-        val bgTot = ctx.raw.agg(count(lit(1)).as("__bg_total"))
-        val fgp = col("doc_count") / col("__fg_total")
-        val bgp = col("bg_count") / col("__bg_total")
-        fg.join(bg, "key")
-          .crossJoin(broadcast(fgTot)).crossJoin(broadcast(bgTot))
-          .withColumn("score", (fgp - bgp) * (fgp / bgp))
-          .filter(col("score") > 0)
-          .orderBy(col("score").desc, col("key").asc)
-          .limit(size0)
-          .select("key", "doc_count", "bg_count", "score")
+        jlhSignificance(fg, bg, df, ctx.raw, size0)
+
+      case "significant_text" =>
+        // ES significant_text: the free-text variant — TOKENS of an
+        // analyzed field over-represented in the match set vs the
+        // whole corpus, doc-frequency semantics (each doc contributes
+        // each distinct token once — array_distinct before the
+        // explode, so no per-doc id bookkeeping is needed). Exact
+        // (ES samples shards); same JLH tail as significant_terms.
+        val t = spec.get("significant_text")
+        val f = Option(t.get("field")).map(_.asText)
+          .getOrElse(bad("significant_text agg needs \"field\""))
+        val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
+        if (size0 <= 0 || size0 > 1000)
+          bad("significant_text size must be 1..1000")
+        def tokDf(d: DataFrame, cnt: String) = d
+          .filter(col(f).isNotNull)
+          .select(explode(array_distinct(
+            graft.functions.TextFunctions.tokens(
+              lower(col(f))))).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as(cnt))
+        jlhSignificance(tokDf(df, "doc_count"), tokDf(ctx.raw, "bg_count"),
+          df, ctx.raw, size0)
 
       case "filter" =>
         // the SINGLE-filter bucket (ES `filter`, not `filters`): one

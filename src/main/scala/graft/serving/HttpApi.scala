@@ -462,7 +462,7 @@ final class HttpApi(
     // Catalyst plan (serving/EsDsl) over the named table (default: the
     // documents corpus). An unsupported construct is the caller's
     // error: EsDsl names it in a 400, never returns a wrong result.
-    if (req.hasNonNull("query")) {
+    if (req.hasNonNull("query") || req.hasNonNull("suggest")) {
       // index "*" / data_lake_* = the union document view, the exact
       // target the reference's passthrough queries (its es_connector
       // always searches index_prefix*) — and therefore the DEFAULT: a
@@ -483,6 +483,12 @@ final class HttpApi(
           respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
         case Some((df, ties)) =>
           try {
+            // suggest-only body: the term suggester's flat
+            // (token, suggestion, distance, freq) table
+            if (req.hasNonNull("suggest") && !req.hasNonNull("query")) {
+              hits(ex, EsDsl.suggest(df, req.get("suggest")))
+              return
+            }
             // ES returns hits AND aggregations in one response; the
             // flat bucket table rides an "aggregations" section keyed
             // by the body's top-level agg name

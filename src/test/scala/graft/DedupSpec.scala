@@ -256,4 +256,22 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join:\n$plan")
   }
+
+  test("substring dup stats: shared k-token spans count as repeated, " +
+    "short docs fall back to one whole-text shingle") {
+    val d = Seq(
+      (1L, "one two three four five alpha"),    // 2 shingles, 1 shared
+      (2L, "zero one two three four five"),     // 2 shingles, 1 shared
+      (3L, "totally different words here now"), // exactly k -> 1 shingle
+      (4L, "tiny doc")                          // < k -> whole-text
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_repeated"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
 }

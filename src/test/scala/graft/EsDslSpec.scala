@@ -729,6 +729,75 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("significant_text: JLH over distinct tokens per doc; term " +
+    "suggester ranks vocabulary terms by (distance, frequency)") {
+    // fg = src3 docs (1, 4): 'batch' 2/2 fg vs 2/4 bg -> 1.0;
+    // 'run' 1/2 vs 1/4 -> 0.5; 'window' 2/2 vs 3/4 -> 1/3
+    val sig = q("""{"query": {"term": {"source": "src3"}},
+      "aggs": {"sig": {"significant_text": {"field": "text"}}},
+      "size": 0}""").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Double]("score"))
+    assert(sig.map(_._1).toSeq == Seq("batch", "run", "window"))
+    assert(math.abs(sig.head._2 - 1.0) < 1e-12)
+    // suggest-only body: 'windoq' -> window (1 edit); suggest_mode
+    // missing stays silent for vocabulary tokens; alongside a query
+    // it is refused
+    val sug = q("""{"suggest": {"fix": {"text": "windoq",
+      "term": {"field": "text"}}}}""")
+      .select("suggestion", "distance").as[(String, Int)].collect().toSeq
+    assert(sug.contains(("window", 1)))
+    assert(q("""{"suggest": {"fix": {"text": "window",
+      "term": {"field": "text"}}}}""").count() == 0)
+    // always-mode suggests for misspelled tokens too (and never
+    // returns the input term itself)
+    val alw = q("""{"suggest": {"fix": {"text": "windoq",
+      "term": {"field": "text", "suggest_mode": "always"}}}}""")
+      .select("suggestion").as[String].collect().toSeq
+    assert(alw.contains("window") && !alw.contains("windoq"))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "suggest":
+        {"s": {"text": "x", "term": {"field": "text"}}}}""")
+    }
+  }
+
+  test("rescore recombines the top primary window only; terms_set " +
+    "matches against a per-document threshold field") {
+    // primary: 'window' count (docs 1, 2, 4 all score 1); window_size
+    // 2 keeps docs 1, 2 (doc_id tiebreak) — doc 4 never rescores.
+    // combined = 1·primary + 10·phrase("window batch") -> doc 1 first
+    val rs = q("""{"query": {"query_string": {"query": "text:window"}},
+      "rescore": {"window_size": 2, "query": {
+        "rescore_query": {"match_phrase": {"text": "window batch"}},
+        "query_weight": 1, "rescore_query_weight": 10}},
+      "size": 2}""").select("doc_id", "_score").as[(Long, Double)]
+      .collect().toSeq
+    assert(rs == Seq((1L, 11.0), (2L, 1.0)))
+    // guards: sort/collapse/search_after, and pages past the window
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "sort": [{"n": {"order": "asc"}}],
+        "rescore": {"window_size": 5, "query":
+          {"rescore_query": {"term": {"source": "src3"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "size": 10,
+        "rescore": {"window_size": 5, "query":
+          {"rescore_query": {"term": {"source": "src3"}}}}}""")
+    }
+    // terms_set: required count = n/10 per doc — only doc 1 (3 of 3
+    // terms, needs 1) passes; scores are matching-term counts
+    val ts = EsDsl.search(
+      docs.withColumn("req", (col("n") / 10).cast("int")),
+      mapper.readTree("""{"query": {"terms_set": {"text": {
+        "terms": ["window", "batch", "run"],
+        "minimum_should_match_field": "req"}}}}"""))
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(ts == Map(1L -> 3.0))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"terms_set": {"text": {"terms": ["a"],
+        "minimum_should_match_script": {"source": "params.x"}}}}}""")
+    }
+  }
+
   test("nested query: the WHOLE inner query must hold on ONE array " +
     "element — not across elements; null/empty arrays never match") {
     val nest = spark.sql(
