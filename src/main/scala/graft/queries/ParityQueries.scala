@@ -1144,6 +1144,76 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // gap-filled date_histogram (round 9): min_doc_count 0 +
+    // extended_bounds — every aligned day bucket in the extended
+    // range appears, empties with doc_count 0 and null metrics (ES's
+    // dense time-series response). The key range comes from a
+    // broadcast single-row bounds aggregate, never a driver collect.
+    "q7_esdsl_gap_fill" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d",
+          |    "min_doc_count": 0,
+          |    "extended_bounds": {"min": 1703808000000,
+          |                        "max": 1706832000000}},
+          |   "aggs": {"peak": {"max": {"field": "value"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // weighted_avg: Σ(value·weight)/Σ(weight) over integral columns —
+    // exact on both engines (one division of exact integer sums).
+    "q7_esdsl_weighted_avg" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"wavg": {"weighted_avg": {
+          |   "value": {"field": "n_chars"},
+          |   "weight": {"field": "w"}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(
+        t(s, dir, "documents").withColumn("w", col("doc_id") % 10 + 1),
+        body)
+    }),
+
+    // multi_terms: composite-key terms buckets (status × priority),
+    // top-N by doc_count with the key tuple ascending as tiebreak.
+    "q7_esdsl_multi_terms" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_sp": {"multi_terms": {"terms": [
+          |    {"field": "o_orderstatus"},
+          |    {"field": "o_orderpriority"}], "size": 10},
+          |   "aggs": {"n_customers":
+          |     {"cardinality": {"field": "o_custkey"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // percentile_ranks: exact share of values <= x (ES's TDigest is
+    // approximate) — integer counts, one division.
+    "q7_esdsl_percentile_ranks" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"pr": {"percentile_ranks": {
+          |   "field": "o_totalprice", "values": [10000, 100000]}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // adjacency_matrix: filters + pairwise intersections in ONE
+    // conditional aggregation pass — co-occurrence analytics.
+    "q7_esdsl_adjacency" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"adj": {"adjacency_matrix": {"filters": {
+          |   "en": {"term": {"lang": "en"}},
+          |   "long": {"range": {"n_chars": {"gte": 300}}},
+          |   "src3": {"term": {"source": "src3"}}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2563,6 +2633,58 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    // gap fill: generate_series over the extended aligned range,
+    // left join, zero-fill counts (metrics stay null)
+    "q7_esdsl_gap_fill" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+         "count(*) AS doc_count, max(value) AS peak " +
+         "FROM events WHERE ts IS NOT NULL GROUP BY 1), " +
+       "bounds AS (SELECT least(min(key), 1703808000000) AS lo, " +
+         "greatest(max(key), 1706832000000) AS hi FROM b), " +
+       "keys AS (SELECT unnest(generate_series(lo, hi, 86400000)) " +
+         "AS key FROM bounds) " +
+       "SELECT k.key, coalesce(b.doc_count, 0) AS doc_count, b.peak " +
+       "FROM keys k LEFT JOIN b ON k.key = b.key ORDER BY k.key"),
+
+    "q7_esdsl_weighted_avg" ->
+      ("SELECT sum(n_chars * w) / " +
+       "sum(CASE WHEN n_chars IS NOT NULL THEN w END) AS wavg " +
+       "FROM (SELECT *, doc_id % 10 + 1 AS w FROM documents)"),
+
+    "q7_esdsl_multi_terms" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS doc_count, " +
+       "count(DISTINCT o_custkey) AS n_customers FROM orders " +
+       "WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL " +
+       "GROUP BY 1, 2 " +
+       "ORDER BY doc_count DESC, o_orderstatus, o_orderpriority " +
+       "LIMIT 10"),
+
+    "q7_esdsl_percentile_ranks" ->
+      ("SELECT (sum(CASE WHEN o_totalprice <= 10000 THEN 1 ELSE 0 END) " +
+       "* 100.0) / count(o_totalprice) AS pr_p10000, " +
+       "(sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) " +
+       "* 100.0) / count(o_totalprice) AS pr_p100000 FROM orders"),
+
+    "q7_esdsl_adjacency" ->
+      ("WITH c AS (SELECT " +
+         "count(CASE WHEN lang = 'en' THEN 1 END) AS en, " +
+         "count(CASE WHEN n_chars >= 300 THEN 1 END) AS lng, " +
+         "count(CASE WHEN source = 'src3' THEN 1 END) AS s3, " +
+         "count(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 END) " +
+           "AS en_lng, " +
+         "count(CASE WHEN lang = 'en' AND source = 'src3' THEN 1 END) " +
+           "AS en_s3, " +
+         "count(CASE WHEN n_chars >= 300 AND source = 'src3' THEN 1 " +
+           "END) AS lng_s3 FROM documents) " +
+       "SELECT key, doc_count FROM (" +
+         "SELECT 'en' AS key, en AS doc_count FROM c UNION ALL " +
+         "SELECT 'long', lng FROM c UNION ALL " +
+         "SELECT 'src3', s3 FROM c UNION ALL " +
+         "SELECT 'en&long', en_lng FROM c UNION ALL " +
+         "SELECT 'en&src3', en_s3 FROM c UNION ALL " +
+         "SELECT 'long&src3', lng_s3 FROM c) " +
+       "WHERE doc_count > 0 ORDER BY key"),
 
     // significant_text: doc-frequency JLH over distinct tokens per
     // doc; the fg total counts ALL matched docs (null text included),

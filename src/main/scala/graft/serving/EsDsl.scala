@@ -1188,6 +1188,46 @@ object EsDsl {
     case (other, _) => bad(s"unsupported query clause '$other'")
   }
 
+  /** min_doc_count / extended_bounds handling for the histogram
+    * family. `0` gap-fills: the FULL aligned key range (data min/max,
+    * extended outward by `extended_bounds` — ES: bounds can only
+    * extend, and only apply at min_doc_count 0) generated by `keySeq`
+    * from a broadcast single-row bounds aggregate, left-joined back —
+    * empty buckets carry doc_count 0 and null metrics, exactly ES's
+    * response. `>= 2` prunes buckets below the floor. The generated
+    * range is guarded at ES's search.max_buckets (65536). */
+  private def gapFill(buckets: DataFrame, h: JsonNode,
+                      keySeq: (Column, Column) => Column): DataFrame = {
+    val mdc = Option(h.get("min_doc_count")).map(_.asInt).getOrElse(1)
+    if (mdc < 0) bad("min_doc_count must be >= 0")
+    val eb = Option(h.get("extended_bounds"))
+    if (eb.nonEmpty && mdc != 0)
+      bad("extended_bounds requires min_doc_count 0")
+    def extBound(key: String): Option[Column] =
+      eb.flatMap(e => Option(e.get(key))).map { v =>
+        if (!v.isNumber)
+          bad("extended_bounds must be numeric (epoch millis / " +
+            "bucket key)")
+        litOf(v)
+      }
+    mdc match {
+      case 0 =>
+        val bounds = buckets.agg(min(col("key")).as("__lo"),
+          max(col("key")).as("__hi"))
+        // least/greatest skip nulls: an empty match set with
+        // extended_bounds still yields the extended range
+        val lo = extBound("min").map(least(col("__lo"), _))
+          .getOrElse(col("__lo"))
+        val hi = extBound("max").map(greatest(col("__hi"), _))
+          .getOrElse(col("__hi"))
+        bounds.select(explode(keySeq(lo, hi)).as("key"))
+          .join(buckets, Seq("key"), "left")
+          .na.fill(0L, Seq("doc_count"))
+      case 1 => buckets
+      case n => buckets.filter(col("doc_count") >= n)
+    }
+  }
+
   /** Shared JLH tail of significant_terms / significant_text:
     * (fg% − bg%) · (fg% / bg%) against broadcast single-row totals,
     * positive scores only, score desc. The operation order is one
@@ -1464,7 +1504,38 @@ object EsDsl {
       s"p$s"
     }
     def metricCols(mKind: String, mSpec: JsonNode,
-                   alias: String): Seq[Column] = {
+                   alias: String): Seq[Column] = mKind match {
+      case "weighted_avg" =>
+        // Σ(value·weight) / Σ(weight) — exact when value/weight are
+        // integral (the oracled tier); ES's null handling: rows with a
+        // null value or weight drop out (the product is null)
+        val v = Option(mSpec.get("value")).flatMap(n =>
+          Option(n.get("field"))).map(_.asText)
+          .getOrElse(bad("weighted_avg needs value.field"))
+        val w = Option(mSpec.get("weight")).flatMap(n =>
+          Option(n.get("field"))).map(_.asText)
+          .getOrElse(bad("weighted_avg needs weight.field"))
+        Seq((sum(col(v) * col(w)) /
+          sum(when(col(v).isNotNull, col(w)))).as(alias))
+      case "percentile_ranks" =>
+        // EXACT: percent of non-null values <= x (ES's TDigest is
+        // approximate); flattened to `<name>_p<value>` like
+        // percentiles
+        val f = Option(mSpec.get("field")).map(_.asText)
+          .getOrElse(bad("percentile_ranks needs \"field\""))
+        val vs = Option(mSpec.get("values")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("percentile_ranks needs a non-empty " +
+            "\"values\" array"))
+        (0 until vs.size).map { i =>
+          val x = vs.get(i).asDouble
+          ((sum(when(col(f) <= x, 1L).otherwise(0L)) * lit(100.0)) /
+            count(col(f))).as(s"${alias}_${percentName(x)}")
+        }
+      case _ => metricColsSimple(mKind, mSpec, alias)
+    }
+    def metricColsSimple(mKind: String, mSpec: JsonNode,
+                         alias: String): Seq[Column] = {
       val f = Option(mSpec.get("field")).map(_.asText)
         .getOrElse(bad(s"$mKind needs \"field\""))
       val c = col(f)
@@ -2009,59 +2080,183 @@ object EsDsl {
           bad("date_histogram: fixed_interval and calendar_interval " +
             "are mutually exclusive")
         val ms = s"unix_millis(cast(`$f` as timestamp))"
-        val bucket = fixed match {
-          case Some(ivSpec) =>
-            val m = "([0-9]+)(ms|s|m|h|d)".r
-            val intervalMs = ivSpec match {
-              case m(n, unit) => n.toLong * (unit match {
-                case "ms" => 1L
-                case "s"  => 1000L
-                case "m"  => 60000L
-                case "h"  => 3600000L
-                case "d"  => 86400000L
-              })
-              case _ => bad(s"malformed fixed_interval '$ivSpec'")
-            }
-            if (intervalMs <= 0) bad("fixed_interval must be positive")
-            expr(s"$ms - pmod($ms, ${intervalMs}L)")
-          case None =>
-            // ES calendar units (singular names + the 1x shorthands;
-            // JSON is case-sensitive: 1m = minute, 1M = month)
-            val unit = calendar.get match {
-              case "minute" | "1m"  => "minute"
-              case "hour" | "1h"    => "hour"
-              case "day" | "1d"     => "day"
-              case "week" | "1w"    => "week"
-              case "month" | "1M"   => "month"
-              case "quarter" | "1q" => "quarter"
-              case "year" | "1y"    => "year"
-              case other =>
-                bad(s"unsupported calendar_interval '$other'")
-            }
-            expr(s"unix_millis(date_trunc('$unit', " +
-              s"cast(`$f` as timestamp)))")
-        }
+        // (bucket key column, key-sequence generator for min_doc_count
+        // 0 gap filling — lo/hi epoch-millis bounds → every aligned
+        // bucket key in [lo, hi])
+        val (bucket, keySeq): (Column, (Column, Column) => Column) =
+          fixed match {
+            case Some(ivSpec) =>
+              val m = "([0-9]+)(ms|s|m|h|d)".r
+              val intervalMs = ivSpec match {
+                case m(n, unit) => n.toLong * (unit match {
+                  case "ms" => 1L
+                  case "s"  => 1000L
+                  case "m"  => 60000L
+                  case "h"  => 3600000L
+                  case "d"  => 86400000L
+                })
+                case _ => bad(s"malformed fixed_interval '$ivSpec'")
+              }
+              if (intervalMs <= 0) bad("fixed_interval must be positive")
+              (expr(s"$ms - pmod($ms, ${intervalMs}L)"),
+               (lo0: Column, hi0: Column) => {
+                 // align extended bounds down to bucket starts, then
+                 // ES's search.max_buckets guard: gap filling must not
+                 // materialize an unbounded key range
+                 val lo = lo0 - pmod(lo0, lit(intervalMs))
+                 val hi = hi0 - pmod(hi0, lit(intervalMs))
+                 when((hi - lo) / intervalMs > 65536,
+                   raise_error(lit("too many date_histogram buckets " +
+                     "(search.max_buckets 65536)")).cast("array<long>"))
+                 .otherwise(sequence(lo, hi, lit(intervalMs)))
+               })
+            case None =>
+              // ES calendar units (singular names + the 1x shorthands;
+              // JSON is case-sensitive: 1m = minute, 1M = month)
+              val unit = calendar.get match {
+                case "minute" | "1m"  => "minute"
+                case "hour" | "1h"    => "hour"
+                case "day" | "1d"     => "day"
+                case "week" | "1w"    => "week"
+                case "month" | "1M"   => "month"
+                case "quarter" | "1q" => "quarter"
+                case "year" | "1y"    => "year"
+                case other =>
+                  bad(s"unsupported calendar_interval '$other'")
+              }
+              val step = unit match {
+                case "week"    => "interval 7 day"
+                case "quarter" => "interval 3 month"
+                case u         => s"interval 1 $u"
+              }
+              // smallest possible step in ms — the max_buckets guard
+              val stepMsFloor = unit match {
+                case "minute"  => 60000L
+                case "hour"    => 3600000L
+                case "day"     => 86400000L
+                case "week"    => 604800000L
+                case "month"   => 2419200000L // 28 days
+                case "quarter" => 3L * 2419200000L
+                case "year"    => 12L * 2419200000L
+              }
+              (expr(s"unix_millis(date_trunc('$unit', " +
+                 s"cast(`$f` as timestamp)))"),
+               (lo: Column, hi: Column) => {
+                 val s0 = when((hi - lo) / stepMsFloor > 65536,
+                   raise_error(lit("too many date_histogram buckets " +
+                     "(search.max_buckets 65536)"))
+                     .cast("array<timestamp>"))
+                 .otherwise(sequence(
+                   date_trunc(unit, timestamp_millis(lo)),
+                   date_trunc(unit, timestamp_millis(hi)),
+                   expr(step)))
+                 transform(s0, x => unix_millis(x))
+               })
+          }
         applyPipelines(
-          df.filter(col(f).isNotNull)
-            .groupBy(bucket.as("key"))
-            .agg(count(lit(1)).as("doc_count"),
-              metricSubsNonPipeline(spec): _*), spec)
+          gapFill(
+            df.filter(col(f).isNotNull)
+              .groupBy(bucket.as("key"))
+              .agg(count(lit(1)).as("doc_count"),
+                metricSubsNonPipeline(spec): _*),
+            h, keySeq), spec)
 
       case "histogram" =>
         // fixed-interval buckets keyed by their lower bound (ES
         // semantics: floor(value/interval)·interval), ordered by key —
-        // empty buckets are omitted (ES min_doc_count=1 behavior)
+        // empty buckets omitted at the min_doc_count=1 default,
+        // gap-filled under min_doc_count 0 (+ extended_bounds)
         val h = spec.get("histogram")
         val f = Option(h.get("field")).map(_.asText)
           .getOrElse(bad("histogram agg needs \"field\""))
         val interval = Option(h.get("interval")).map(_.asDouble)
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
+        val keySeq = (lo0: Column, hi0: Column) => {
+          val lo = floor(lo0 / interval) * interval
+          val n = ((floor(hi0 / interval) * interval - lo) / interval)
+            .cast("long")
+          val s0 = when(n > 65536,
+            raise_error(lit("too many histogram buckets " +
+              "(search.max_buckets 65536)")).cast("array<bigint>"))
+            .otherwise(sequence(lit(0L), n))
+          transform(s0, i => lo + i * interval)
+        }
         applyPipelines(
-          df.filter(col(f).isNotNull)
-            .groupBy((floor(col(f) / interval) * interval).as("key"))
-            .agg(count(lit(1)).as("doc_count"),
-              metricSubsNonPipeline(spec): _*), spec)
+          gapFill(
+            df.filter(col(f).isNotNull)
+              .groupBy((floor(col(f) / interval) * interval).as("key"))
+              .agg(count(lit(1)).as("doc_count"),
+                metricSubsNonPipeline(spec): _*),
+            h, keySeq), spec)
+      case "multi_terms" =>
+        // ES multi_terms: terms buckets over a COMPOSITE key — one
+        // hash aggregation on all key fields, top-size by doc_count
+        // (key fields ascending as the tiebreak, ES's order). The key
+        // parts stay separate columns — the flat projection of ES's
+        // key array.
+        val t = spec.get("multi_terms")
+        val termsNode = Option(t.get("terms")).filter(_.isArray)
+          .filter(_.size >= 2)
+          .getOrElse(bad("multi_terms needs a \"terms\" array of at " +
+            "least two fields"))
+        val fs = (0 until termsNode.size).map { i =>
+          Option(termsNode.get(i).get("field")).map(_.asText)
+            .getOrElse(bad("each multi_terms source needs \"field\""))
+        }
+        val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
+        if (size0 <= 0 || size0 > 1000)
+          bad("multi_terms size must be 1..1000")
+        df.filter(fs.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(fs.map(col): _*)
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .orderBy(col("doc_count").desc +: fs.map(col(_).asc): _*)
+          .limit(size0)
+
+      case "adjacency_matrix" =>
+        // ES adjacency_matrix: for named filters a, b, c… a bucket
+        // per filter and per pairwise intersection ("a&b", keys in
+        // name order), empty buckets omitted. ONE pass: every bucket
+        // is a conditional count in a single aggregation, reshaped by
+        // one explode — no per-bucket scans. Filters are
+        // filter-context (scored clauses rejected like the filter
+        // agg).
+        val t = spec.get("adjacency_matrix")
+        val fNode = Option(t.get("filters")).filter(_.isObject)
+          .getOrElse(bad("adjacency_matrix needs a \"filters\" object"))
+        val names0 = {
+          val it = fNode.fieldNames()
+          val b = ArrayBuffer[String]()
+          while (it.hasNext) b += it.next()
+          b.toSeq
+        }
+        if (names0.isEmpty)
+          bad("adjacency_matrix needs at least one filter")
+        if (names0.exists(_.contains("&")))
+          bad("adjacency_matrix filter names cannot contain '&'")
+        val before = ctx.scoredCount
+        val preds = names0.map(n =>
+          n -> coalesce(clause(fNode.get(n), ctx).pred, lit(false)))
+        if (ctx.scoredCount != before)
+          bad("BM25-scored clauses are not supported inside " +
+            "adjacency_matrix; use term-level or phrase clauses")
+        val sorted0 = preds.sortBy(_._1)
+        val cells: Seq[(String, Column)] =
+          sorted0.map { case (n, p) => n -> p } ++
+          (for {
+            i <- sorted0.indices
+            j <- (i + 1) until sorted0.size
+          } yield s"${sorted0(i)._1}&${sorted0(j)._1}" ->
+            (sorted0(i)._2 && sorted0(j)._2))
+        val aggCols = cells.zipWithIndex.map { case ((_, p), i) =>
+          count(when(p, lit(1))).as(s"_c$i") }
+        val structs = cells.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).as("key"), col(s"_c$i").as("doc_count")) }
+        df.agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array(structs: _*)).as("_b")).select("_b.*")
+          .filter(col("doc_count") > 0)
+          .orderBy(col("key").asc)
+
       case "nested" =>
         // ES nested AGGREGATION: bucket over the ELEMENTS of an
         // array-of-struct column — doc_count counts nested docs

@@ -729,6 +729,57 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("gap filling: min_doc_count 0 + extended_bounds emit empty " +
+    "buckets; min_doc_count >= 2 prunes; new metric/bucket aggs") {
+    // histogram over n (10..40), extended to [-10, 60]: 8 buckets,
+    // empties carry doc_count 0 and null metrics
+    val gf = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10,
+        "min_doc_count": 0,
+        "extended_bounds": {"min": -10, "max": 60}},
+       "aggs": {"mx": {"max": {"field": "n"}}}}}, "size": 0}""")
+      .collect()
+    assert(gf.map(_.getAs[Double]("key")).toSeq ==
+      (-1 to 6).map(_ * 10.0))
+    assert(gf.map(_.getAs[Long]("doc_count")).toSeq ==
+      Seq(0L, 0L, 1L, 1L, 1L, 1L, 0L, 0L))
+    assert(gf.head.isNullAt(gf.head.fieldIndex("mx")))
+    // extended_bounds without min_doc_count 0 is contradictory
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10,
+          "extended_bounds": {"min": 0, "max": 50}}}}, "size": 0}""")
+    }
+    // min_doc_count 2 prunes buckets below the floor
+    val p2 = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 20,
+        "min_doc_count": 2}}}, "size": 0}""").collect()
+    assert(p2.length == 1 && p2.head.getAs[Double]("key") == 20.0)
+    // weighted_avg: (10·1 + 20·2 + 30·3 + 40·4) / 10 = 30
+    val wa = q("""{"query": {"match_all": {}}, "aggs":
+      {"wavg": {"weighted_avg": {"value": {"field": "n"},
+        "weight": {"field": "doc_id"}}}}, "size": 0}""")
+      .collect().head.getAs[Double]("wavg")
+    assert(wa == 30.0)
+    // percentile_ranks: share of n <= 20 is 50%
+    val pr = q("""{"query": {"match_all": {}}, "aggs":
+      {"pr": {"percentile_ranks": {"field": "n", "values": [20]}}},
+      "size": 0}""").collect().head.getAs[Double]("pr_p20")
+    assert(pr == 50.0)
+    // multi_terms: composite keys, null key rows dropped
+    val mt = q("""{"query": {"match_all": {}}, "aggs":
+      {"m": {"multi_terms": {"terms": [{"field": "source"},
+        {"field": "text"}]}}}, "size": 0}""").collect()
+    assert(mt.length == 3 && mt.forall(_.getAs[Long]("doc_count") == 1L))
+    // adjacency_matrix: singles + non-empty pairwise intersections
+    val adj = q("""{"query": {"match_all": {}}, "aggs":
+      {"adj": {"adjacency_matrix": {"filters": {
+        "x": {"term": {"source": "src3"}},
+        "y": {"range": {"n": {"gte": 20}}}}}}}, "size": 0}""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(adj == Map("x" -> 2L, "y" -> 3L, "x&y" -> 1L))
+  }
+
   test("significant_text: JLH over distinct tokens per doc; term " +
     "suggester ranks vocabulary terms by (distance, frequency)") {
     // fg = src3 docs (1, 4): 'batch' 2/2 fg vs 2/4 bg -> 1.0;
