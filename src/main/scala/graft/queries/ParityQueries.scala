@@ -1214,6 +1214,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // more_like_this (round 9): like-text terms window/batch/merge
+    // all survive selection on this corpus (each common, well above
+    // min_doc_freq; 'qqq' has doc freq 0 and drops out), so the
+    // oracle enumerates the chosen terms statically — required =
+    // max(1, floor(67% of 3)) = 2 of the 3 must match.
+    "q7_esdsl_mlt" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"more_like_this": {"fields": ["text"],
+          |  "like": "window batch merge qqq",
+          |  "min_term_freq": 1, "min_doc_freq": 1,
+          |  "minimum_should_match": "67%"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2633,6 +2648,22 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    // more_like_this: the three surviving selected terms enumerated
+    // statically (selection invariance documented at the query)
+    "q7_esdsl_mlt" -> {
+      def cnt(t: String) =
+        substrCountSql(s"(${tokenNormSql("text")})", s" $t ")
+      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"${cnt("window")} AS cw, ${cnt("batch")} AS cb, " +
+        s"${cnt("merge")} AS cm FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(cw + cb + cm AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE (CASE WHEN cw > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN cb > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN cm > 0 THEN 1 ELSE 0 END) >= 2 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
 
     // gap fill: generate_series over the extended aligned range,
     // left join, zero-fill counts (metrics stay null)

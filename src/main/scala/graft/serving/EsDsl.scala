@@ -131,6 +131,24 @@ object EsDsl {
         case _ => None
       })
 
+    /** (corpus doc count, per-term document frequency over `fields`)
+      * for a FIXED term set — more_like_this's term-selection
+      * statistics. Bounded driver artifact: the result is at most
+      * |terms| rows (the same contract as
+      * [[Search.fuzzyExpansionSets]]'s vocabulary probes). */
+    def docFreqs(fields: Seq[String],
+                 terms: Seq[String]): (Long, Map[String, Long]) = {
+      val toks = fields.map(f => graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(f).cast("string"), lit("")))))
+      val all = if (toks.size == 1) array_distinct(toks.head)
+        else array_distinct(flatten(array(toks: _*)))
+      val freqs = df.select(explode(all).as("__t"))
+        .filter(col("__t").isInCollection(terms))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (df.count(), freqs)
+    }
+
     /** Number of BM25 score joins registered so far — lets the filter
       * aggregation reject match-family clauses (their score frames
       * fold into the hit path before aggregations run, so a join
@@ -976,6 +994,75 @@ object EsDsl {
           Clause(!coalesce(c.pred, lit(false)), lit(0.0))
       }
       compile(root)
+
+    case ("more_like_this", b) =>
+      // ES more_like_this over TEXT likes (document references — the
+      // {"_index","_id"} form — are rejected, not guessed at): the
+      // like text's terms are filtered by min_term_freq, then by
+      // min_doc_freq against the corpus, scored tf·(ln(N/(df+1))+1)
+      // (Lucene MoreLikeThis's selection formula) and cut to
+      // max_query_terms (score desc, term asc — deterministic). The
+      // chosen terms run as an OR match gated by minimum_should_match
+      // (default 30%, the ES default), scored by occurrence counts —
+      // the engine's documented count families. Term selection uses
+      // one bounded corpus aggregation (≤ |like terms| rows back to
+      // the driver — the fuzzy-expansion precedent), the query itself
+      // is one scan.
+      val fields = Option(b.get("fields")).filter(_.isArray)
+        .filter(_.size > 0)
+        .map(fn => (0 until fn.size).map(fn.get(_).asText))
+        .getOrElse(ctx.stringFields)
+      if (fields.isEmpty)
+        bad("more_like_this target has no string fields")
+      val likeNode = Option(b.get("like"))
+        .getOrElse(bad("more_like_this needs \"like\""))
+      val likes: Seq[String] =
+        if (likeNode.isTextual) Seq(likeNode.asText)
+        else if (likeNode.isArray) (0 until likeNode.size).map { i =>
+          val v = likeNode.get(i)
+          if (!v.isTextual)
+            bad("only text \"like\" items are supported (no document " +
+              "references)")
+          v.asText
+        }
+        else bad("only text \"like\" items are supported (no document " +
+          "references)")
+      val minTf = Option(b.get("min_term_freq")).map(_.asInt).getOrElse(2)
+      val minDf = Option(b.get("min_doc_freq")).map(_.asInt).getOrElse(5)
+      val maxTerms = Option(b.get("max_query_terms")).map(_.asInt)
+        .getOrElse(25)
+      if (maxTerms <= 0 || maxTerms > 500)
+        bad("max_query_terms must be 1..500")
+      val msmSpec = Option(b.get("minimum_should_match")).map(m =>
+        if (m.isIntegralNumber) m.asInt.toString else m.asText)
+        .getOrElse("30%")
+      val likeTf: Map[String, Int] = likes
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size).toMap
+        .filter(_._2 >= minTf)
+      if (likeTf.isEmpty) Clause(lit(false), lit(0.0))
+      else {
+        val (numDocs, dfs) = ctx.docFreqs(fields, likeTf.keys.toSeq)
+        val scored0 = likeTf.toSeq.flatMap { case (t, f0) =>
+          dfs.get(t).filter(_ >= minDf).map(d =>
+            (t, f0 * (math.log(numDocs.toDouble / (d + 1)) + 1)))
+        }
+        if (scored0.isEmpty) Clause(lit(false), lit(0.0))
+        else {
+          val chosen = scored0.sortBy { case (t, s) => (-s, t) }
+            .take(maxTerms).map(_._1)
+          val required = math.max(1, math.min(chosen.size,
+            MinShouldMatch.resolve(msmSpec, chosen.size).getOrElse(
+              bad(s"malformed minimum_should_match '$msmSpec'"))))
+          val cnts = chosen.map(t => fields.map(f =>
+            Search.substrCount(Search.tokenNorm(col(f)), s" $t "))
+            .reduce(_ + _))
+          val matched = cnts.map(c => when(c > 0, 1).otherwise(0))
+            .reduce(_ + _)
+          Clause(matched >= required,
+            cnts.reduce(_ + _).cast("double"))
+        }
+      }
 
     case ("nested", b) =>
       // ES nested query: SOME element of the array-of-struct column

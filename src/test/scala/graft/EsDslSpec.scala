@@ -676,7 +676,7 @@ class EsDslSpec extends SparkSpec {
 
   test("unsupported constructs are rejected by name, never mistranslated") {
     for (body <- Seq(
-        """{"query": {"more_like_this": {"like": "x"}}}""",
+        """{"query": {"percolate": {"field": "q"}}}""",
         """{"query": {"span_near": {"clauses": []}}}""",
         """{"size": 10}""",
         """{"query": {"bool": {"should": []}, "extra": 1}}""",
@@ -726,6 +726,32 @@ class EsDslSpec extends SparkSpec {
         {"h": {"histogram": {"field": "n", "interval": 10},
          "aggs": {"t": {"bucket_sort": {"sort": [{"nope": {}}]}}}}},
         "size": 0}""")
+    }
+  }
+
+  test("more_like_this: tf/df term selection, minimum_should_match " +
+    "gate, occurrence-count scoring; doc references rejected") {
+    def run(body: String): Map[Long, Double] =
+      q(body).select("doc_id", "_score").as[(Long, Double)]
+        .collect().toMap
+    // like terms window/batch survive (df >= 1), 'zzz' drops (df 0);
+    // integer msm 2 -> both must match: docs 1 (1+1) and 4 (1+2)
+    assert(run("""{"query": {"more_like_this": {"fields": ["text"],
+      "like": "window batch zzz", "min_term_freq": 1,
+      "min_doc_freq": 1, "minimum_should_match": 2}}}""")
+      == Map(1L -> 2.0, 4L -> 3.0))
+    // ES default min_term_freq 2: single-occurrence like terms are
+    // not selected -> empty match set
+    assert(run("""{"query": {"more_like_this": {"fields": ["text"],
+      "like": "window batch", "min_doc_freq": 1}}}""").isEmpty)
+    // repeated like terms pass min_term_freq 2
+    assert(run("""{"query": {"more_like_this": {"fields": ["text"],
+      "like": "window window", "min_doc_freq": 1,
+      "minimum_should_match": 1}}}""").keySet == Set(1L, 2L, 4L))
+    // document references are rejected, not guessed at
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"more_like_this": {"fields": ["text"],
+        "like": [{"_index": "documents", "_id": "1"}]}}}""")
     }
   }
 

@@ -303,9 +303,9 @@ class HttpApiSpec extends SparkSpec
     assert(qsBad.body().toLowerCase.contains("query_string"))
     // unsupported construct: named rejection, not a wrong result
     val bad = post("/search/advanced",
-      """{"query": {"more_like_this": {"like": "x"}}, "index": "documents"}""")
+      """{"query": {"percolate": {"field": "q"}}, "index": "documents"}""")
     assert(bad.statusCode() == 400, bad.body())
-    assert(bad.body().contains("more_like_this"))
+    assert(bad.body().contains("percolate"))
     assert(post("/search/advanced",
       """{"query": {"match_all": {}}, "index": "nope"}""")
       .statusCode() == 404)
