@@ -93,4 +93,52 @@ class EsDslPlanCheckSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"page is not a TakeOrdered:\n${plan.take(2000)}")
   }
+
+  test("adjacency_matrix is ONE conditional aggregation pass; the " +
+    "nested query is a projection predicate — no explode, no join") {
+    val adj = queries.ParityQueries.queries("q7_esdsl_adjacency")(
+      spark, "/root/testdata/sf0.001")
+    adj.collect()
+    val adjScans = adj.queryExecution.optimizedPlan.collectLeaves().size
+    assert(adjScans == 1,
+      s"adjacency_matrix scanned the corpus $adjScans times")
+    assert(!adj.queryExecution.executedPlan.toString.contains("Union"),
+      "adjacency_matrix unioned per-bucket scans")
+    val nq = queries.ParityQueries.queries("q7_esdsl_nested_query")(
+      spark, "/root/testdata/sf0.001")
+    nq.collect()
+    val nPlan = nq.queryExecution.executedPlan.toString
+    assert(!nPlan.contains("Generate"),
+      s"nested query exploded the array:\n${nPlan.take(2000)}")
+  }
+
+  test("gap filling joins a broadcast-bounds key range — no driver " +
+    "collect, no cartesian; function_score stays one projection") {
+    val gf = queries.ParityQueries.queries("q7_esdsl_gap_fill")(
+      spark, "/root/testdata/sf0.001")
+    gf.collect()
+    val gPlan = gf.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("CartesianProduct"),
+      s"cartesian in gap fill:\n${gPlan.take(2000)}")
+    val fs = queries.ParityQueries.queries("q7_esdsl_function_score")(
+      spark, "/root/testdata/sf0.001")
+    fs.collect()
+    val fPlan = fs.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Join"),
+      s"function_score grew a join:\n${fPlan.take(2000)}")
+    assert(fPlan.contains("TakeOrderedAndProject"),
+      s"function_score page is not a TakeOrdered:\n${fPlan.take(2000)}")
+  }
+
+  test("rescore window executes as TakeOrdered + in-window re-sort — " +
+    "no second corpus scan") {
+    val rs = queries.ParityQueries.queries("q7_esdsl_rescore")(
+      spark, "/root/testdata/sf0.001")
+    rs.collect()
+    assert(rs.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "rescore re-scanned the corpus")
+    val plan = rs.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rescore window is not a TakeOrdered:\n${plan.take(2000)}")
+  }
 }
