@@ -1229,6 +1229,35 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // rank_feature (round 9): saturation relevance from the n_chars
+    // feature — x/(x+pivot), one exact division.
+    "q7_esdsl_rank_feature" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"rank_feature": {"field": "n_chars",
+          |  "saturation": {"pivot": 250}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // distance_feature: recency ranking around Jan 15 with a 7-day
+    // pivot — boost·pivot/(pivot + |ts − origin|).
+    "q7_esdsl_distance_feature" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"distance_feature": {"field": "ts",
+          |  "origin": "2024-01-15T00:00:00Z", "pivot": "7d"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // pinned: curated ids first (in order), organic hits after.
+    "q7_esdsl_pinned" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"pinned": {"ids": [42, 7, 300],
+          |  "organic": {"query_string": {"query": "text:window"}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2648,6 +2677,33 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    "q7_esdsl_rank_feature" ->
+      ("SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST((CAST(n_chars AS DOUBLE) / " +
+       "(CAST(n_chars AS DOUBLE) + 250.0)) * 1.0 AS DOUBLE) " +
+       "AS \"_score\" FROM documents WHERE n_chars IS NOT NULL " +
+       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    "q7_esdsl_distance_feature" ->
+      ("SELECT event_id, ts, user_id, event_type, value, props, " +
+       "CAST((604800000.0 / (604800000.0 + " +
+       "abs(CAST(epoch_ms(ts) AS DOUBLE) - 1705276800000.0))) * 1.0 " +
+       "AS DOUBLE) AS \"_score\" FROM events WHERE ts IS NOT NULL " +
+       "ORDER BY \"_score\" DESC, event_id LIMIT 100"),
+
+    "q7_esdsl_pinned" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      s"WITH b AS (SELECT doc_id, text, lang, source, n_chars, $wc " +
+        "AS wc FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(CASE WHEN doc_id = 42 THEN 1e15 " +
+        "WHEN doc_id = 7 THEN 1e15 - 1 " +
+        "WHEN doc_id = 300 THEN 1e15 - 2 " +
+        "WHEN wc > 0 THEN wc ELSE 0 END AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE doc_id IN (42, 7, 300) OR wc > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
 
     // more_like_this: the three surviving selected terms enumerated
     // statically (selection invariance documented at the query)

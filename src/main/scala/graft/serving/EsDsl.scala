@@ -995,6 +995,115 @@ object EsDsl {
       }
       compile(root)
 
+    case ("rank_feature", b) =>
+      // ES rank_feature: relevance from a positive numeric feature
+      // column through a bounded monotone function —
+      // saturation x/(x+pivot) (pivot REQUIRED: ES's default derives
+      // it from index statistics, a moving target — fail loud
+      // instead), log ln(scaling_factor + x), sigmoid
+      // x^e/(x^e + pivot^e), linear. Matches where the feature is
+      // non-null; one codegen'd projection.
+      val f = Option(b.get("field")).map(_.asText)
+        .getOrElse(bad("rank_feature needs \"field\""))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      val x = col(f).cast("double")
+      val fns = Seq("saturation", "log", "sigmoid", "linear")
+        .filter(b.hasNonNull)
+      if (fns.size > 1)
+        bad(s"rank_feature takes ONE function, got ${fns.mkString(", ")}")
+      val fn = fns.headOption.getOrElse("saturation") match {
+        case "saturation" =>
+          val p = Option(b.get("saturation"))
+            .flatMap(s => Option(s.get("pivot"))).map(_.asDouble)
+            .getOrElse(bad("rank_feature saturation needs an explicit " +
+              "\"pivot\" (the index-statistics default is not " +
+              "supported)"))
+          if (p <= 0) bad("pivot must be positive")
+          x / (x + p)
+        case "log" =>
+          val sf0 = Option(b.get("log"))
+            .flatMap(s => Option(s.get("scaling_factor")))
+            .map(_.asDouble)
+            .getOrElse(bad("rank_feature log needs \"scaling_factor\""))
+          log(x + sf0)
+        case "sigmoid" =>
+          val s = b.get("sigmoid")
+          val p = Option(s).flatMap(n => Option(n.get("pivot")))
+            .map(_.asDouble)
+            .getOrElse(bad("rank_feature sigmoid needs \"pivot\""))
+          val e = Option(s).flatMap(n => Option(n.get("exponent")))
+            .map(_.asDouble)
+            .getOrElse(bad("rank_feature sigmoid needs \"exponent\""))
+          pow(x, e) / (pow(x, e) + math.pow(p, e))
+        case "linear" => x
+      }
+      Clause(col(f).isNotNull, fn * boost)
+
+    case ("distance_feature", b) =>
+      // ES distance_feature: boost·pivot/(pivot + |value − origin|) —
+      // recency/proximity ranking. Numeric fields take numeric
+      // origin/pivot; timestamp fields take an ISO origin and a
+      // duration pivot ("7d"). Matches where the field is non-null.
+      val f = Option(b.get("field")).map(_.asText)
+        .getOrElse(bad("distance_feature needs \"field\""))
+      val originNode = Option(b.get("origin"))
+        .getOrElse(bad("distance_feature needs \"origin\""))
+      val pivotNode = Option(b.get("pivot"))
+        .getOrElse(bad("distance_feature needs \"pivot\""))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      val (value, origin, pivot): (Column, Column, Double) =
+        if (originNode.isNumber && pivotNode.isNumber) {
+          val p = pivotNode.asDouble
+          if (p <= 0) bad("pivot must be positive")
+          (col(f).cast("double"), lit(originNode.asDouble), p)
+        } else if (originNode.isTextual && pivotNode.isTextual) {
+          val originMs = scala.util.Try(
+            java.time.Instant.parse(originNode.asText).toEpochMilli)
+            .getOrElse(bad("origin must be an ISO-8601 instant"))
+          val m = "([0-9]+)(ms|s|m|h|d)".r
+          val pivotMs = pivotNode.asText match {
+            case m(n, u) => n.toLong * (u match {
+              case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+              case "h" => 3600000L; case "d" => 86400000L
+            })
+            case _ => bad("pivot must be a duration like \"7d\"")
+          }
+          if (pivotMs <= 0) bad("pivot must be positive")
+          (expr(s"unix_millis(cast(`$f` as timestamp))").cast("double"),
+            lit(originMs.toDouble), pivotMs.toDouble)
+        } else bad("origin/pivot must both be numeric or both be " +
+          "date/duration")
+      Clause(col(f).isNotNull,
+        (lit(pivot) / (lit(pivot) + abs(value - origin))) * boost)
+
+    case ("pinned", b) =>
+      // ES pinned: the listed ids rank FIRST in the given order,
+      // organic results after. Pinned scores descend from a constant
+      // far above any organic score (ES does the same with float
+      // maxima; 1e15 keeps integer-exact doubles — 1e18's ulp is 128,
+      // which would collapse adjacent pin ranks); a pinned doc
+      // outside the organic match set still matches.
+      val idsNode = Option(b.get("ids")).filter(_.isArray)
+        .filter(_.size > 0)
+        .getOrElse(bad("pinned needs a non-empty \"ids\" array"))
+      if (idsNode.size > 100) bad("at most 100 pinned ids")
+      val organic = Option(b.get("organic"))
+        .getOrElse(bad("pinned needs \"organic\""))
+      val ids: Seq[Any] = (0 until idsNode.size).map { i =>
+        val v = idsNode.get(i)
+        if (v.isTextual) v.asText
+        else if (v.isIntegralNumber) v.asLong
+        else bad(s"unsupported id literal $v")
+      }
+      val org = clause(organic, ctx)
+      val pinnedPred = col(IdColMarker).isInCollection(ids)
+      val pinScore = ids.zipWithIndex.foldLeft(
+        when(lit(false), lit(0.0))) { case (acc, (id, i)) =>
+        acc.when(col(IdColMarker) === lit(id), lit(1e15 - i))
+      }.otherwise(when(coalesce(org.pred, lit(false)),
+        org.score.cast("double")).otherwise(lit(0.0)))
+      Clause(pinnedPred || coalesce(org.pred, lit(false)), pinScore)
+
     case ("more_like_this", b) =>
       // ES more_like_this over TEXT likes (document references — the
       // {"_index","_id"} form — are rejected, not guessed at): the

@@ -729,6 +729,34 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("rank_feature / distance_feature / pinned ranking queries") {
+    // saturation: n/(n+10)
+    val rf = q("""{"query": {"rank_feature": {"field": "n",
+      "saturation": {"pivot": 10}}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(rf == Map(1L -> 0.5, 2L -> (20.0 / 30), 3L -> 0.75,
+      4L -> 0.8))
+    // the index-statistics pivot default is refused; one function only
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"rank_feature": {"field": "n",
+        "saturation": {}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"rank_feature": {"field": "n", "linear": {},
+        "log": {"scaling_factor": 2}}}}""")
+    }
+    // numeric distance_feature: 10/(10+|n-20|)
+    val dfq = q("""{"query": {"distance_feature": {"field": "n",
+      "origin": 20, "pivot": 10}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(dfq == Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.5, 4L -> (10.0 / 30)))
+    // pinned: curated order first, organic (window matches) after
+    val pn = q("""{"query": {"pinned": {"ids": [3, 2],
+      "organic": {"query_string": {"query": "text:window"}}}}}""")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(pn == Seq(3L, 2L, 1L, 4L))
+  }
+
   test("more_like_this: tf/df term selection, minimum_should_match " +
     "gate, occurrence-count scoring; doc references rejected") {
     def run(body: String): Map[Long, Double] =
