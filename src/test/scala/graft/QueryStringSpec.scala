@@ -78,6 +78,32 @@ class QueryStringSpec extends AnyFunSuite {
     assert(parse("f\\:x") == Term(None, "f:x"))
   }
 
+  test("fuzz: arbitrary input either parses or throws ParseError — " +
+    "never a crash, never unbounded work") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val special = Gen.oneOf(
+      "(", ")", "[", "]", "{", "}", "\"", "~", "^", ":", "\\", "*",
+      "?", "+", "-", "!", "&&", "||", "AND", "OR", "NOT", "TO", " ")
+    val word = Gen.alphaNumStr.map(_.take(6))
+    val piece = Gen.frequency(3 -> special, 2 -> word)
+    val query = Gen.listOfN(12, piece).map(_.mkString)
+    var seed = Seed(42L)
+    (1 to 500).foreach { _ =>
+      val (q, s2) = {
+        val r = query.pureApply(Gen.Parameters.default, seed)
+        (r, seed.next)
+      }
+      seed = s2
+      try { parse(q); () }
+      catch {
+        case _: ParseError => ()
+        // anything else is a parser bug on input `q`
+        case e: Throwable  => fail(s"non-ParseError on <$q>: $e")
+      }
+    }
+  }
+
   test("strictness: syntax defects throw, never re-interpret") {
     def bad(s: String): Unit = { intercept[ParseError](parse(s)); () }
     bad("")                 // empty query
