@@ -29,10 +29,22 @@ import org.apache.spark.sql.functions._
   * `function_score` (field_value_factor / filtered weights with
   * score_mode/boost_mode/max_boost/min_score), `nested` (per-element
   * queries and element-bucketing aggs over array-of-struct columns),
-  * `match_bool_prefix`, `bool`
+  * `match_bool_prefix`, `terms_set` (per-document match threshold),
+  * `more_like_this` (tf·idf term selection over text likes),
+  * `rank_feature` / `distance_feature` / `pinned` (ranking family),
+  * `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
-  * `sort` (field asc/desc and `_score`) and `_source`. Anything outside
+  * `sort` (field asc/desc and `_score`), `_source`, `collapse`,
+  * `search_after`, `highlight`, `rescore` (two-phase window
+  * re-ranking), and suggest-only bodies (the term suggester). The
+  * aggregation surface (terms with knobs and nesting, multi_terms,
+  * composite, histogram family with min_doc_count 0 gap filling +
+  * extended_bounds, range/date_range/filters/missing/adjacency_matrix,
+  * significant_terms/significant_text, nested, filter, global, the
+  * full metric set, parent pipelines cumulative_sum/derivative/
+  * moving_fn/bucket_sort and sibling *_bucket reductions) lives in
+  * [[aggregations]]. Anything outside
   * this core throws `IllegalArgumentException` — the HTTP layer maps it
   * to a 400 with the offending construct named, never a silently-wrong
   * result.
