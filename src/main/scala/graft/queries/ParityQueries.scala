@@ -1136,13 +1136,21 @@ object ParityQueries {
 
     // term suggester: spell-correction from the corpus vocabulary —
     // per input token, the terms within 2 edits ranked by (distance,
-    // frequency); suggest-only body, ES's suggest surface.
+    // doc frequency); suggest-only body, ES's suggest surface.
     "q7_esdsl_suggest" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"suggest": {"fix": {"text": "windoq bath",
           |  "term": {"field": "text"}}}}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
+
+    // The suggester's WRITE-TIME-INDEX twin: candidates from the
+    // termstats vocabulary (term-cardinality-sized), never a corpus
+    // re-scan — Lucene's DirectSpellChecker shape. Same oracle as the
+    // scan path: termstats' df IS the doc frequency.
+    "q7_esdsl_suggest_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.suggest(s,
+        s"${searchIndexRoot(s, dir)}/documents", "text", "windoq bath")),
 
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
@@ -1875,6 +1883,28 @@ object ParityQueries {
      "FROM tf JOIN idf USING (term) CROSS JOIN st GROUP BY doc_id " +
      "ORDER BY score DESC, doc_id LIMIT 100"
   }
+
+  /** Term-suggester oracle — doc-frequency vocabulary + levenshtein
+    * ranking; shared by the corpus-scan path and the termstats index
+    * probe (the index's df_t IS the doc frequency). */
+  private val suggestOracleSql: String =
+    "WITH vocab AS (SELECT t AS term, count(*) AS freq FROM (" +
+      "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
+      "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+      "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
+    "cand AS (SELECT tok.token, v.term, v.freq, " +
+      "CAST(levenshtein(tok.token, v.term) AS INT) AS distance " +
+      "FROM vocab v CROSS JOIN (SELECT unnest(" +
+      "['windoq', 'bath']) AS token) tok " +
+      "WHERE levenshtein(tok.token, v.term) <= 2), " +
+    "gated AS (SELECT *, max(CASE WHEN distance = 0 THEN 1 ELSE 0 " +
+      "END) OVER (PARTITION BY token) AS ex FROM cand), " +
+    "ranked AS (SELECT token, term AS suggestion, distance, freq, " +
+      "row_number() OVER (PARTITION BY token ORDER BY distance, " +
+      "freq DESC, term) AS rn FROM gated " +
+      "WHERE distance > 0 AND ex = 0) " +
+    "SELECT token, suggestion, distance, freq FROM ranked " +
+    "WHERE rn <= 5 ORDER BY token, distance, freq DESC, suggestion"
 
   /** Phrase / operator=and / minimum_should_match oracles — shared by
     * the scan-path queries and their write-time-index twins: one oracle,
@@ -2794,25 +2824,11 @@ object ParityQueries {
          "FROM fg JOIN bg USING (key) CROSS JOIN ft CROSS JOIN bt) " +
        "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"),
 
-    // term suggester: vocabulary + levenshtein, ranked per token
-    "q7_esdsl_suggest" ->
-      ("WITH vocab AS (SELECT t AS term, count(*) AS freq FROM (" +
-         "SELECT unnest(list_filter(string_split_regex(" +
-         "lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS t " +
-         "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
-       "cand AS (SELECT tok.token, v.term, v.freq, " +
-         "CAST(levenshtein(tok.token, v.term) AS INT) AS distance " +
-         "FROM vocab v CROSS JOIN (SELECT unnest(" +
-         "['windoq', 'bath']) AS token) tok " +
-         "WHERE levenshtein(tok.token, v.term) <= 2), " +
-       "gated AS (SELECT *, max(CASE WHEN distance = 0 THEN 1 ELSE 0 " +
-         "END) OVER (PARTITION BY token) AS ex FROM cand), " +
-       "ranked AS (SELECT token, term AS suggestion, distance, freq, " +
-         "row_number() OVER (PARTITION BY token ORDER BY distance, " +
-         "freq DESC, term) AS rn FROM gated " +
-         "WHERE distance > 0 AND ex = 0) " +
-       "SELECT token, suggestion, distance, freq FROM ranked " +
-       "WHERE rn <= 5 ORDER BY token, distance, freq DESC, suggestion"),
+    // term suggester: DOC-frequency vocabulary (list_distinct per
+    // doc) + levenshtein, ranked per token — shared verbatim by the
+    // scan path and the termstats index probe
+    "q7_esdsl_suggest" -> suggestOracleSql,
+    "q7_esdsl_suggest_indexed" -> suggestOracleSql,
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

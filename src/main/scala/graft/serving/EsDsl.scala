@@ -242,10 +242,26 @@ object EsDsl {
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     if (toks.isEmpty) bad("suggest text has no tokens")
+    // vocabulary with DOCUMENT frequencies (array_distinct before the
+    // explode) — ES's suggester `freq` is the doc freq, the same
+    // number the write-time index's termstats carries, so the indexed
+    // probe shares this oracle
     val vocab = df.filter(col(f).isNotNull)
-      .select(explode(graft.functions.TextFunctions.tokens(
-        lower(col(f)))).as("term"))
+      .select(explode(array_distinct(graft.functions.TextFunctions
+        .tokens(lower(col(f))))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    suggestFromVocab(vocab, toks, size, maxEdits, mode == "missing")
+  }
+
+  /** Candidate ranking shared by the corpus-scan suggester above and
+    * [[graft.sinks.SearchIndex.suggest]]'s termstats probe: `vocab` =
+    * (term, freq=doc frequency); per input token, terms within
+    * `maxEdits`, missing-mode gating, rank (distance, freq desc,
+    * term), cut to `size`. */
+  private[graft] def suggestFromVocab(vocab: DataFrame,
+                                      toks: Seq[String], size: Int,
+                                      maxEdits: Int,
+                                      modeMissing: Boolean): DataFrame = {
     val cand = vocab
       .select(col("term"), col("freq"),
         explode(array(toks.map(lit): _*)).as("token"))
@@ -256,7 +272,7 @@ object EsDsl {
     val flagged = cand.withColumn("__exists",
       max(when(col("distance") === 0, 1).otherwise(0)).over(perToken))
     val kept = flagged.filter(col("distance") > 0 &&
-      (if (mode == "missing") col("__exists") === 0 else lit(true)))
+      (if (modeMissing) col("__exists") === 0 else lit(true)))
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token"))
       .orderBy(col("distance").asc, col("freq").desc, col("term").asc)

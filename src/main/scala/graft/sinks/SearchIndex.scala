@@ -380,6 +380,32 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** TERM-SUGGESTER probe (ES suggest): candidates come from the
+    * index VOCABULARY (`termstats` — per-field (term, doc-frequency)
+    * rows, orders of magnitude smaller than the corpus), never from
+    * re-scanning documents — Lucene's DirectSpellChecker shape.
+    * Gating and ranking are [[graft.serving.EsDsl.suggestFromVocab]],
+    * and termstats' df IS the scan path's doc frequency — one oracle,
+    * two plans. */
+  def suggest(spark: SparkSession, path: String, field: String,
+              text: String, size: Int = 5, maxEdits: Int = 2,
+              modeMissing: Boolean = true): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2, "max_edits must be 1 or 2")
+    require(size >= 1 && size <= 100, "suggest size must be 1..100")
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val fidOf = meta.fields.zipWithIndex.toMap
+    require(fidOf.contains(field), s"field not in index: $field")
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(toks.nonEmpty, "suggest text has no tokens")
+    val vocab = spark.read.parquet(s"$dir/termstats")
+      .filter(col("fid") === fidOf(field))
+      .select(col("term"), col("df_t").as("freq"))
+    graft.serving.EsDsl.suggestFromVocab(vocab, toks, size, maxEdits,
+      modeMissing)
+  }
+
   /** FUZZY probe (ES `match` `fuzziness`): each query term expands
     * against the index VOCABULARY (`termstats` — per-field distinct
     * terms, orders of magnitude smaller than the corpus) by Levenshtein
