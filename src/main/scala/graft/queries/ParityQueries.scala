@@ -1266,6 +1266,17 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // combined_fields (round 9): term-centric BM25 over text+source
+    // as ONE combined field — contrast with q7_esdsl_bm25's
+    // field-centric multi_match over the same fields.
+    "q7_esdsl_combined_fields" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"combined_fields": {"query": "window src3",
+          |  "fields": ["text", "source"]}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2707,6 +2718,25 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    // combined_fields: the SAME per-field BM25 CTE builder over the
+    // concatenated expression — one synthetic field, one dl/df/avgdl
+    "q7_esdsl_combined_fields" -> {
+      val comb = "(coalesce(text, '') || ' ' || coalesce(source, ''))"
+      val nrm = tokenNormSql(comb)
+      val cw = substrCountSql(s"($nrm)", " window ")
+      val cs = substrCountSql(s"($nrm)", " src3 ")
+      s"WITH ${bm25FieldCtes(comb, Seq("window", "src3"), "0")}, " +
+      s"csc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+      "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$cw AS cw, $cs AS cs FROM documents) " +
+      "SELECT c.doc_id, text, lang, source, n_chars, " +
+        "COALESCE(csc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+      "FROM c LEFT JOIN csc ON c.doc_id = csc.doc_id " +
+      "WHERE (CASE WHEN cw > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN cs > 0 THEN 1 ELSE 0 END) >= 1 " +
+      "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+    },
 
     "q7_esdsl_rank_feature" ->
       ("SELECT doc_id, text, lang, source, n_chars, " +

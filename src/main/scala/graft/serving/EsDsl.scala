@@ -167,6 +167,23 @@ object EsDsl {
       * registered later could never resolve). */
     def scoredCount: Int = scored.size
 
+    /** BM25 over the fields CONCATENATED AS ONE synthetic field —
+      * combined_fields' term-centric model: one dl (the summed token
+      * count), one df per term (present in ANY field), one avgdl.
+      * Rides the exact [[Search.rankedAll]] machinery over the
+      * derived column, so the score math (fixed-order sums, one
+      * rounding) stays oracle-shared with the match family. */
+    def bm25Combined(query: String, fields: Seq[String]): Column = {
+      val name = s"__bm25_${scored.size}"
+      val combined = concat_ws(" ",
+        fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+      scored += Search.rankedAll(
+        dfS.withColumn("__combined__", combined), query,
+        Seq("__combined__"), SidCol, bm25 = true, bestFields = false,
+        Map.empty).withColumnRenamed("score", name)
+      coalesce(col(name), lit(0.0))
+    }
+
     /** Register a BM25 score join for `query` over `fields`; returns
       * the per-row score column (0.0 where the clause matched
       * nothing). Bit-identical to `/search rank=bm25` by construction
@@ -516,7 +533,7 @@ object EsDsl {
         addText(if (spec.isObject)
           Option(spec.get("query")).map(_.asText).getOrElse("")
         else spec.asText)
-      case ("multi_match", b) =>
+      case ("multi_match" | "combined_fields", b) =>
         Option(b.get("query")).map(_.asText).foreach(addText)
       case ("fuzzy", b) =>
         val (_, spec) = unwrap(b)
@@ -951,6 +968,48 @@ object EsDsl {
         if (m.isIntegralNumber) m.asInt.toString else m.asText)
       matchClause(ctx, text, fields, operator, msm, tpe == "best_fields",
         Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)))
+
+    case ("combined_fields", b) =>
+      // ES combined_fields (7.13+): term-centric BM25 treating the
+      // listed fields as ONE combined field — tf and dl sum across
+      // fields, df counts docs with the term in ANY field, one avgdl.
+      // With no per-field boosts (the only supported form — boosted
+      // combined tf has no concat equivalent; rejected by name), the
+      // combined field IS the space-concatenation of the fields, so
+      // the score rides the exact match-family BM25 machinery over a
+      // derived column. operator/minimum_should_match gate the match
+      // set on combined token presence.
+      val text = Option(b.get("query")).map(_.asText)
+        .getOrElse(bad("combined_fields needs \"query\""))
+      val fieldsNode = Option(b.get("fields")).filter(_.isArray)
+        .filter(_.size > 0)
+        .getOrElse(bad("combined_fields needs a non-empty \"fields\""))
+      val cfFields = (0 until fieldsNode.size).map(fieldsNode.get(_).asText)
+      cfFields.foreach { f =>
+        if (f.contains("^"))
+          bad("per-field boosts are not supported in combined_fields")
+        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+      }
+      val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
+      if (operator != "and" && operator != "or")
+        bad(s"unsupported operator '$operator'")
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .distinct.toSeq
+      if (terms.isEmpty) bad("empty combined_fields query")
+      val combined = concat_ws(" ",
+        cfFields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+      val matched = terms.map(t =>
+        when(Search.substrCount(Search.tokenNorm(combined),
+          s" $t ") > 0, 1).otherwise(0)).reduce(_ + _)
+      val required =
+        if (operator == "and") terms.size
+        else Option(b.get("minimum_should_match")).map { m =>
+          val spec = if (m.isIntegralNumber) m.asInt.toString else m.asText
+          val r = MinShouldMatch.resolve(spec, terms.size).getOrElse(
+            bad(s"malformed minimum_should_match '$spec'"))
+          math.max(1, math.min(terms.size, r))
+        }.getOrElse(1)
+      Clause(matched >= required, ctx.bm25Combined(text, cfFields))
 
     case ("simple_query_string", b) =>
       // ES's fault-tolerant end-user query language, parsed by

@@ -729,6 +729,27 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("combined_fields: single-field degenerate case scores exactly " +
+    "like match (same BM25 machinery); operator gates; boosts 400") {
+    def scores(body: String): Map[Long, Double] =
+      q(body).select("doc_id", "_score").as[(Long, Double)]
+        .collect().toMap
+    val cf = scores("""{"query": {"combined_fields":
+      {"query": "window batch", "fields": ["text"]}}}""")
+    val mm = scores("""{"query": {"match":
+      {"text": "window batch"}}}""")
+    assert(cf == mm, s"combined_fields $cf != match $mm")
+    // two fields combine into ONE synthetic field: 'src3' in source
+    // and 'window' in text both count, operator=and needs both
+    assert(scores("""{"query": {"combined_fields":
+      {"query": "window src3", "fields": ["text", "source"],
+       "operator": "and"}}}""").keySet == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"combined_fields":
+        {"query": "x", "fields": ["text^2"]}}}""")
+    }
+  }
+
   test("rank_feature / distance_feature / pinned ranking queries") {
     // saturation: n/(n+10)
     val rf = q("""{"query": {"rank_feature": {"field": "n",
