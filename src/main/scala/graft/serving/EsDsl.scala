@@ -2037,6 +2037,27 @@ object EsDsl {
         // one aggregation and rejects); `order` overrides the default
         // (_count desc) by _key, _count, or a single-column sub-metric
         // name, always with the _key asc tiebreak ES applies
+        // include/exclude: ES's bucket-key filters — a FULL-MATCH
+        // regex string or an exact-value array, applied to the key
+        // before the top-N cut
+        def keyGate(node: JsonNode, neg: Boolean): Column = {
+          val m =
+            if (node.isTextual)
+              col(f).cast("string").rlike("^(?:" + node.asText + ")$")
+            else if (node.isArray && node.size > 0)
+              col(f).isInCollection((0 until node.size).map { i =>
+                val v = node.get(i)
+                if (v.isTextual) v.asText
+                else if (v.isIntegralNumber) v.asLong
+                else if (v.isNumber) v.asDouble
+                else bad(s"unsupported include/exclude literal $v")
+              })
+            else bad("include/exclude must be a regex string or a " +
+              "non-empty value array")
+          if (neg) !m else m
+        }
+        val includeGate = Option(t.get("include")).map(keyGate(_, false))
+        val excludeGate = Option(t.get("exclude")).map(keyGate(_, true))
         val missing = Option(t.get("missing")).map(litOf)
         val minDocCount = Option(t.get("min_doc_count")).map(_.asInt)
         minDocCount.foreach(n => if (n < 1)
@@ -2068,9 +2089,10 @@ object EsDsl {
           if (topHits.size > 1 || subEntries(spec).size > 1)
             bad("top_hits must be the only sub-agg of its terms bucket")
           if (missing.isDefined || minDocCount.isDefined ||
-              orderSpec.isDefined)
-            bad("missing/min_doc_count/order are not supported with " +
-              "a top_hits sub-agg")
+              orderSpec.isDefined || includeGate.isDefined ||
+              excludeGate.isDefined)
+            bad("missing/min_doc_count/order/include/exclude are not " +
+              "supported with a top_hits sub-agg")
           val th = topHits.head
           val hitsSize = Option(th.get("size")).map(_.asInt).getOrElse(3)
           if (hitsSize <= 0 || hitsSize > 100)
@@ -2125,9 +2147,11 @@ object EsDsl {
               else df.filter(col(f).isNotNull))
               .groupBy(keyCol.as(f))
               .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+            val gated = (includeGate.toSeq ++ excludeGate.toSeq)
+              .foldLeft(base)(_ filter _)
             val pruned = minDocCount
-              .map(n => base.filter(col("doc_count") >= n))
-              .getOrElse(base)
+              .map(n => gated.filter(col("doc_count") >= n))
+              .getOrElse(gated)
             val sortKeys: Seq[Column] = orderSpec match {
               case None => Seq(col("doc_count").desc, col(f).asc)
               case Some((k, asc)) =>
@@ -2147,9 +2171,11 @@ object EsDsl {
             pruned.orderBy(sortKeys: _*).limit(size)
           case Seq((_, childSpec)) =>
             if (missing.isDefined || minDocCount.isDefined ||
-                orderSpec.isDefined)
-              bad("missing/min_doc_count/order are not supported on a " +
-                "terms agg that nests another terms agg")
+                orderSpec.isDefined || includeGate.isDefined ||
+                excludeGate.isDefined)
+              bad("missing/min_doc_count/order/include/exclude are " +
+                "not supported on a terms agg that nests another " +
+                "terms agg")
             // NESTED terms buckets, flat-relational: parent buckets =
             // ES's top-size by doc_count; per parent, the top-size2
             // child buckets. Plan shape: one (f1) agg broadcast-semi-

@@ -846,6 +846,17 @@ class EsDslSpec extends SparkSpec {
       {"m": {"multi_terms": {"terms": [{"field": "source"},
         {"field": "text"}]}}}, "size": 0}""").collect()
     assert(mt.length == 3 && mt.forall(_.getAs[Long]("doc_count") == 1L))
+    // terms include/exclude: full-match regex or exact-value array
+    // gates bucket keys before the top-N cut
+    val inc = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source", "include": "src[13]"}}},
+      "size": 0}""").collect().map(_.getString(0)).toSet
+    assert(inc == Set("src1", "src3"))
+    val exc = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source",
+        "exclude": ["src3"]}}}, "size": 0}""")
+      .collect().map(_.getString(0)).toSet
+    assert(exc == Set("src1"))
     // adjacency_matrix: singles + non-empty pairwise intersections
     val adj = q("""{"query": {"match_all": {}}, "aggs":
       {"adj": {"adjacency_matrix": {"filters": {

@@ -301,6 +301,14 @@ class HttpApiSpec extends SparkSpec
       """{"query": {"query_string": {"query": "(a"}}, "index": "documents"}""")
     assert(qsBad.statusCode() == 400, qsBad.body())
     assert(qsBad.body().toLowerCase.contains("query_string"))
+    // suggest-only body: the term suggester's flat response
+    val sug = post("/search/advanced",
+      """{"suggest": {"fix": {"text": "windoq",
+        | "term": {"field": "text"}}}, "index": "documents"}"""
+        .stripMargin)
+    assert(sug.statusCode() == 200, sug.body().take(300))
+    assert(sug.body().contains("\"suggestion\""), sug.body().take(300))
+    assert(sug.body().contains("window"), sug.body().take(300))
     // unsupported construct: named rejection, not a wrong result
     val bad = post("/search/advanced",
       """{"query": {"percolate": {"field": "q"}}, "index": "documents"}""")
