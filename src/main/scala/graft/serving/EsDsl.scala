@@ -234,6 +234,36 @@ object EsDsl {
     * this engine ranks by the same (distance, frequency) keys Lucene
     * uses to break score ties — deterministic and oracle-able. */
   def suggest(df: DataFrame, sg: JsonNode): DataFrame = {
+    val sp = parseSuggest(sg)
+    val f = sp.field
+    val size = sp.size
+    val maxEdits = sp.maxEdits
+    val mode = if (sp.modeMissing) "missing" else "always"
+    val toks = sp.tokens
+    // vocabulary with DOCUMENT frequencies (array_distinct before the
+    // explode) — ES's suggester `freq` is the doc freq, the same
+    // number the write-time index's termstats carries, so the indexed
+    // probe shares this oracle
+    val vocab = df.filter(col(f).isNotNull)
+      .select(explode(array_distinct(graft.functions.TextFunctions
+        .tokens(lower(col(f))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    suggestFromVocab(vocab, toks, size, maxEdits, mode == "missing")
+  }
+
+  /** The one named term-suggester of a suggest body, validated —
+    * shared by the scan path above and the HTTP layer's index
+    * routing (which needs the field/knobs to pick the termstats
+    * probe). */
+  private[graft] final case class SuggestSpec(field: String,
+                                              text: String, size: Int,
+                                              maxEdits: Int,
+                                              modeMissing: Boolean) {
+    def tokens: Seq[String] = text.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+  }
+
+  private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
     val names = {
       val it = sg.fieldNames()
       val b = ArrayBuffer[String]()
@@ -256,18 +286,9 @@ object EsDsl {
       .getOrElse("missing")
     if (mode != "missing" && mode != "always")
       bad(s"unsupported suggest_mode '$mode' (missing/always)")
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .distinct.toSeq
-    if (toks.isEmpty) bad("suggest text has no tokens")
-    // vocabulary with DOCUMENT frequencies (array_distinct before the
-    // explode) — ES's suggester `freq` is the doc freq, the same
-    // number the write-time index's termstats carries, so the indexed
-    // probe shares this oracle
-    val vocab = df.filter(col(f).isNotNull)
-      .select(explode(array_distinct(graft.functions.TextFunctions
-        .tokens(lower(col(f))))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-    suggestFromVocab(vocab, toks, size, maxEdits, mode == "missing")
+    val spec = SuggestSpec(f, text, size, maxEdits, mode == "missing")
+    if (spec.tokens.isEmpty) bad("suggest text has no tokens")
+    spec
   }
 
   /** Candidate ranking shared by the corpus-scan suggester above and

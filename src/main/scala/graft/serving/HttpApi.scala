@@ -484,9 +484,23 @@ final class HttpApi(
         case Some((df, ties)) =>
           try {
             // suggest-only body: the term suggester's flat
-            // (token, suggestion, distance, freq) table
+            // (token, suggestion, distance, freq) table. A named
+            // table with the field indexed routes to the termstats
+            // vocabulary probe (term-cardinality-sized); the union
+            // view and unindexed fields take the corpus scan — same
+            // oracle either way (SearchIndex.suggest's contract).
             if (req.hasNonNull("suggest") && !req.hasNonNull("query")) {
-              hits(ex, EsDsl.suggest(df, req.get("suggest")))
+              val sgNode = req.get("suggest")
+              val sp = EsDsl.parseSuggest(sgNode)
+              val out =
+                if (index != "*" && !index.endsWith("_*"))
+                  indexedOrScan(index, df, Seq(sp.field),
+                    p => graft.sinks.SearchIndex.suggest(spark, p,
+                      sp.field, sp.text, sp.size, sp.maxEdits,
+                      sp.modeMissing),
+                    () => EsDsl.suggest(df, sgNode))
+                else EsDsl.suggest(df, sgNode)
+              hits(ex, out)
               return
             }
             // ES returns hits AND aggregations in one response; the
