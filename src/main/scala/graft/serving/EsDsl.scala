@@ -390,7 +390,7 @@ object EsDsl {
     val filtered = base.filter(c.pred)
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
-        Some(aggregations(filtered,
+        Some(aggregations(base, c.pred,
           Option(body.get("aggs")).getOrElse(body.get("aggregations")),
           ctx))
       else None
@@ -1533,18 +1533,20 @@ object EsDsl {
   }
 
   /** Shared JLH tail of significant_terms / significant_text:
-    * (fg% − bg%) · (fg% / bg%) against broadcast single-row totals,
-    * positive scores only, score desc. The operation order is one
-    * IEEE op per step — mirrored verbatim by the DuckDB oracles. */
-  private def jlhSignificance(fg: DataFrame, bg: DataFrame,
-                              fgFrame: DataFrame, bgFrame: DataFrame,
-                              size0: Int): DataFrame = {
-    val fgTot = fgFrame.agg(count(lit(1)).as("__fg_total"))
-    val bgTot = bgFrame.agg(count(lit(1)).as("__bg_total"))
+    * (fg% − bg%) · (fg% / bg%) against broadcast single-row totals
+    * (fg and bg totals from ONE pass over the corpus — a conditional
+    * count on the match predicate), positive scores only, score
+    * desc. The operation order is one IEEE op per step — mirrored
+    * verbatim by the DuckDB oracles. */
+  private def jlhSignificance(counts: DataFrame, base: DataFrame,
+                              pred: Column, size0: Int): DataFrame = {
+    val totals = base.agg(
+      count(when(pred, lit(1))).as("__fg_total"),
+      count(lit(1)).as("__bg_total"))
     val fgp = col("doc_count") / col("__fg_total")
     val bgp = col("bg_count") / col("__bg_total")
-    fg.join(bg, "key")
-      .crossJoin(broadcast(fgTot)).crossJoin(broadcast(bgTot))
+    counts
+      .crossJoin(broadcast(totals))
       .withColumn("score", (fgp - bgp) * (fgp / bgp))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("key").asc)
@@ -1726,8 +1728,8 @@ object EsDsl {
     * result is the flat bucket table (key, doc_count, metric/pipeline
     * columns) — the relational projection of ES's nested buckets
     * JSON. */
-  private def aggregations(df: DataFrame, aggs: JsonNode,
-                           ctx: Ctx): DataFrame = {
+  private def aggregations(base: DataFrame, pred: Column,
+                           aggs: JsonNode, ctx: Ctx): DataFrame = {
     // SIBLING pipeline aggregations (`avg_bucket` / `sum_bucket` /
     // `min_bucket` / `max_bucket`): a second top-level entry whose
     // buckets_path ("bucket_agg>metric" or "bucket_agg>_count")
@@ -1761,7 +1763,7 @@ object EsDsl {
         bad("exactly ONE top-level bucket aggregation is supported " +
           "(plus sibling *_bucket pipelines)")
       val (baseName, baseSpec) = bases.head
-      var out = aggregationsOne(df, baseName, baseSpec, ctx)
+      var out = aggregationsOne(base, pred, baseName, baseSpec, ctx)
       siblings.foreach { case (sn, sSpec) =>
         val kind = kindOf(sSpec)
         val body = sSpec.get(kind)
@@ -1786,11 +1788,16 @@ object EsDsl {
       }
       return out
     }
-    aggregationsOne(df, entries.head._1, entries.head._2, ctx)
+    aggregationsOne(base, pred, entries.head._1, entries.head._2,
+      ctx)
   }
 
-  private def aggregationsOne(df: DataFrame, name: String,
-                              spec: JsonNode, ctx: Ctx): DataFrame = {
+  private def aggregationsOne(base: DataFrame, pred: Column,
+                              name: String, spec: JsonNode,
+                              ctx: Ctx): DataFrame = {
+    // the query's match set; significance aggs below keep `base` +
+    // `pred` so fg/bg ride ONE conditional-count pass
+    val df = base.filter(pred)
     val kind = {
       val it = spec.fieldNames()
       var k: String = null
@@ -2629,13 +2636,15 @@ object EsDsl {
         val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
         if (size0 <= 0 || size0 > 1000)
           bad("significant_terms size must be 1..1000")
-        val fg = df.filter(col(f).isNotNull)
+        // ONE pass: the whole corpus grouped by term with the match
+        // predicate as a conditional count — fg and bg from the same
+        // scan (the previous fg-frame/bg-frame join was four scans)
+        val counts = base.filter(col(f).isNotNull)
           .groupBy(col(f).as("key"))
-          .agg(count(lit(1)).as("doc_count"))
-        val bg = ctx.raw.filter(col(f).isNotNull)
-          .groupBy(col(f).as("key"))
-          .agg(count(lit(1)).as("bg_count"))
-        jlhSignificance(fg, bg, df, ctx.raw, size0)
+          .agg(count(when(pred, lit(1))).as("doc_count"),
+            count(lit(1)).as("bg_count"))
+          .filter(col("doc_count") > 0)
+        jlhSignificance(counts, base, pred, size0)
 
       case "significant_text" =>
         // ES significant_text: the free-text variant — TOKENS of an
@@ -2650,14 +2659,17 @@ object EsDsl {
         val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
         if (size0 <= 0 || size0 > 1000)
           bad("significant_text size must be 1..1000")
-        def tokDf(d: DataFrame, cnt: String) = d
-          .filter(col(f).isNotNull)
-          .select(explode(array_distinct(
+        // one corpus pass: every doc's distinct tokens exploded with
+        // the match predicate riding along as a flag
+        val counts = base.filter(col(f).isNotNull)
+          .select(pred.as("__fg"), explode(array_distinct(
             graft.functions.TextFunctions.tokens(
               lower(col(f))))).as("key"))
-          .groupBy(col("key")).agg(count(lit(1)).as(cnt))
-        jlhSignificance(tokDf(df, "doc_count"), tokDf(ctx.raw, "bg_count"),
-          df, ctx.raw, size0)
+          .groupBy(col("key"))
+          .agg(count(when(col("__fg"), lit(1))).as("doc_count"),
+            count(lit(1)).as("bg_count"))
+          .filter(col("doc_count") > 0)
+        jlhSignificance(counts, base, pred, size0)
 
       case "filter" =>
         // the SINGLE-filter bucket (ES `filter`, not `filters`): one

@@ -130,6 +130,18 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"function_score page is not a TakeOrdered:\n${fPlan.take(2000)}")
   }
 
+  test("significance aggs: fg and bg ride ONE conditional-count pass " +
+    "— two corpus scans total (term counts + totals), never four") {
+    Seq("q7_esdsl_significant_terms",
+        "q7_esdsl_significant_text").foreach { qn =>
+      val df = queries.ParityQueries.queries(qn)(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(scans <= 2, s"$qn scanned the corpus $scans times")
+    }
+  }
+
   test("rescore window executes as TakeOrdered + in-window re-sort — " +
     "no second corpus scan") {
     val rs = queries.ParityQueries.queries("q7_esdsl_rescore")(
