@@ -1277,6 +1277,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // composite with a date_histogram source (round 9): the
+    // time-series export walk — (day, event_type) pages in source
+    // order, resumable with after like any composite.
+    "q7_esdsl_composite_date" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"walk": {"composite": {"size": 12, "sources": [
+          |   {"day": {"date_histogram":
+          |     {"field": "ts", "fixed_interval": "1d"}}},
+          |   {"type": {"terms": {"field": "event_type"}}}]},
+          |   "aggs": {"vol": {"sum": {"field": "event_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // Q1 phrase search (ES multi_match type=phrase): query tokens must
     // be ADJACENT in order — token adjacency on the normalized token
     // string, not raw substring (double spaces still match).
@@ -2737,6 +2752,13 @@ object ParityQueries {
         "CASE WHEN cs > 0 THEN 1 ELSE 0 END) >= 1 " +
       "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
     },
+
+    "q7_esdsl_composite_date" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day, " +
+       "event_type AS type, count(*) AS doc_count, " +
+       "CAST(sum(event_id) AS BIGINT) AS vol " +
+       "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL " +
+       "GROUP BY 1, 2 ORDER BY day, type LIMIT 12"),
 
     "q7_esdsl_rank_feature" ->
       ("SELECT doc_id, text, lang, source, n_chars, " +

@@ -96,6 +96,23 @@ object EsDsl {
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** ES fixed-interval / duration spec ("30s", "1d", …) → millis. */
+  private def fixedIntervalMs(spec: String): Long = {
+    val m = "([0-9]+)(ms|s|m|h|d)".r
+    val ms = spec match {
+      case m(n, unit) => n.toLong * (unit match {
+        case "ms" => 1L
+        case "s"  => 1000L
+        case "m"  => 60000L
+        case "h"  => 3600000L
+        case "d"  => 86400000L
+      })
+      case _ => bad(s"malformed interval '$spec'")
+    }
+    if (ms <= 0) bad("interval must be positive")
+    ms
+  }
+
   /** Per-request translation context: carries the target frame so
     * match-family clauses can derive their BM25 (id, score) join
     * frames while the clause tree is compiled. */
@@ -1168,15 +1185,7 @@ object EsDsl {
           val originMs = scala.util.Try(
             java.time.Instant.parse(originNode.asText).toEpochMilli)
             .getOrElse(bad("origin must be an ISO-8601 instant"))
-          val m = "([0-9]+)(ms|s|m|h|d)".r
-          val pivotMs = pivotNode.asText match {
-            case m(n, u) => n.toLong * (u match {
-              case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
-              case "h" => 3600000L; case "d" => 86400000L
-            })
-            case _ => bad("pivot must be a duration like \"7d\"")
-          }
-          if (pivotMs <= 0) bad("pivot must be positive")
+          val pivotMs = fixedIntervalMs(pivotNode.asText)
           (expr(s"unix_millis(cast(`$f` as timestamp))").cast("double"),
             lit(originMs.toDouble), pivotMs.toDouble)
         } else bad("origin/pivot must both be numeric or both be " +
@@ -2279,6 +2288,16 @@ object EsDsl {
                   .getOrElse(bad("histogram source needs \"interval\""))
                 if (iv <= 0) bad("histogram interval must be positive")
                 floor(col(f) / iv) * iv
+              case "date_histogram" =>
+                // epoch-millis bucket start, the same floor arithmetic
+                // as the top-level date_histogram — the time-series
+                // export pagination source
+                val ivMs = fixedIntervalMs(
+                  Option(sBody.get("fixed_interval")).map(_.asText)
+                    .getOrElse(bad("date_histogram source needs " +
+                      "\"fixed_interval\"")))
+                val msE = s"unix_millis(cast(`$f` as timestamp))"
+                expr(s"$msE - pmod($msE, ${ivMs}L)")
               case other =>
                 bad(s"unsupported composite source '$other'")
             }
@@ -2423,18 +2442,7 @@ object EsDsl {
         val (bucket, keySeq): (Column, (Column, Column) => Column) =
           fixed match {
             case Some(ivSpec) =>
-              val m = "([0-9]+)(ms|s|m|h|d)".r
-              val intervalMs = ivSpec match {
-                case m(n, unit) => n.toLong * (unit match {
-                  case "ms" => 1L
-                  case "s"  => 1000L
-                  case "m"  => 60000L
-                  case "h"  => 3600000L
-                  case "d"  => 86400000L
-                })
-                case _ => bad(s"malformed fixed_interval '$ivSpec'")
-              }
-              if (intervalMs <= 0) bad("fixed_interval must be positive")
+              val intervalMs = fixedIntervalMs(ivSpec)
               (expr(s"$ms - pmod($ms, ${intervalMs}L)"),
                (lo0: Column, hi0: Column) => {
                  // align extended bounds down to bucket starts, then
