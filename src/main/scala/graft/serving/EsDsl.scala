@@ -96,6 +96,36 @@ object EsDsl {
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** An object node's key list (Jackson's iterator, materialized). */
+  private def keysOf(n: JsonNode): Seq[String] = {
+    val it = n.fieldNames()
+    val b = ArrayBuffer[String]()
+    while (it.hasNext) b += it.next()
+    b.toSeq
+  }
+
+  /** SIBLING pipeline kinds — a second top-level agg entry reducing
+    * the bucket agg's table ([[aggregations]]). */
+  private val SiblingKinds =
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+
+  /** The agg-type key of one aggregation spec (skipping its nested
+    * aggs/aggregations blocks). */
+  private def kindOf(spec: JsonNode): String =
+    keysOf(spec).find(k => k != "aggs" && k != "aggregations")
+      .getOrElse(bad("aggregation has no agg type"))
+
+  /** The name that keys the response's aggregations section: the BASE
+    * bucket agg's (never a sibling pipeline's, regardless of key
+    * order in the body) — the HTTP layer labels the flat bucket
+    * table with it. */
+  private[graft] def responseAggName(aggs: JsonNode): String = {
+    val entries = keysOf(aggs)
+    if (entries.isEmpty) bad("empty aggs")
+    entries.find(n => !SiblingKinds(kindOf(aggs.get(n))))
+      .getOrElse(entries.head)
+  }
+
   /** ES fixed-interval / duration spec ("30s", "1d", …) → millis. */
   private def fixedIntervalMs(spec: String): Long = {
     val m = "([0-9]+)(ms|s|m|h|d)".r
@@ -281,12 +311,7 @@ object EsDsl {
   }
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
-    val names = {
-      val it = sg.fieldNames()
-      val b = ArrayBuffer[String]()
-      while (it.hasNext) b += it.next()
-      b.toSeq
-    }
+    val names = keysOf(sg)
     if (names.size != 1) bad("exactly one named suggester is supported")
     val s = sg.get(names.head)
     val text = Option(s.get("text")).map(_.asText)
@@ -443,7 +468,9 @@ object EsDsl {
             val n = s.get(i)
             if (n.isTextual) sortPair(n.asText, "asc")
             else {
-              val f = n.fieldNames().next()
+              val it = n.fieldNames()
+              if (!it.hasNext) bad("empty sort entry")
+              val f = it.next()
               val ord = Option(n.get(f))
                 .flatMap(o => Option(o.get("order"))).map(_.asText)
                 .getOrElse("asc")
@@ -515,10 +542,7 @@ object EsDsl {
         if (terms.isEmpty)
           bad("highlight needs an analyzed query clause (match " +
             "family or simple_query_string) to source terms from")
-        val it = fieldsNode.fieldNames()
-        val names = ArrayBuffer[String]()
-        while (it.hasNext) names += it.next()
-        names.toSeq.map { f =>
+        keysOf(fieldsNode).map { f =>
           if (!df.columns.contains(f)) bad(s"unknown highlight field '$f'")
           val toks = filter(split(coalesce(col(f), lit("")), "\\s+"),
             x => x =!= lit(""))
@@ -639,12 +663,7 @@ object EsDsl {
         if (!n.isArray) bad(s"_source.$key must be an array")
         (0 until n.size).map(n.get(_).asText)
       }
-    val unknown = {
-      val it = src.fieldNames()
-      val names = ArrayBuffer[String]()
-      while (it.hasNext) names += it.next()
-      names.filterNot(Set("includes", "excludes"))
-    }
+    val unknown = keysOf(src).filterNot(Set("includes", "excludes"))
     if (unknown.nonEmpty)
       bad(s"unknown _source keys: ${unknown.mkString(", ")}")
     def matches(pat: String, name: String): Boolean =
@@ -1746,24 +1765,8 @@ object EsDsl {
     // flat-relational projection appends that value as a constant
     // column (broadcast single-row cross join) — ES returns buckets
     // and the sibling side by side in one response the same way.
-    val SiblingKinds =
-      Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
-    val entries: Seq[(String, JsonNode)] = {
-      val it = aggs.fieldNames()
-      val names = ArrayBuffer[String]()
-      while (it.hasNext) names += it.next()
-      names.toSeq.map(n => n -> aggs.get(n))
-    }
-    def kindOf(spec: JsonNode): String = {
-      val it = spec.fieldNames()
-      var k: String = null
-      while (it.hasNext && k == null) {
-        val c0 = it.next()
-        if (c0 != "aggs" && c0 != "aggregations") k = c0
-      }
-      if (k == null) bad("aggregation has no agg type")
-      k
-    }
+    val entries: Seq[(String, JsonNode)] =
+      keysOf(aggs).map(n => n -> aggs.get(n))
     if (entries.isEmpty) bad("empty aggs")
     if (entries.size > 1) {
       val (siblings, bases) =
@@ -1807,16 +1810,7 @@ object EsDsl {
     // the query's match set; significance aggs below keep `base` +
     // `pred` so fg/bg ride ONE conditional-count pass
     val df = base.filter(pred)
-    val kind = {
-      val it = spec.fieldNames()
-      var k: String = null
-      while (it.hasNext && k == null) {
-        val c0 = it.next()
-        if (c0 != "aggs" && c0 != "aggregations") k = c0
-      }
-      if (k == null) bad(s"aggregation '$name' has no agg type")
-      k
-    }
+    val kind = kindOf(spec)
     val DefaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
     def percentName(p: Double): String = {
       val s = if (p == math.floor(p)) p.toLong.toString
@@ -1911,13 +1905,8 @@ object EsDsl {
     def subEntries(parent: JsonNode): Seq[(String, String, JsonNode)] =
       Option(parent.get("aggs"))
         .orElse(Option(parent.get("aggregations"))).toSeq
-        .flatMap { s =>
-          val it = s.fieldNames()
-          val names = scala.collection.mutable.ArrayBuffer[String]()
-          while (it.hasNext) names += it.next()
-          names.toSeq.map { n =>
-            val (mk, ms) = unwrap(s.get(n)); (n, mk, ms) }
-        }
+        .flatMap(s => keysOf(s).map { n =>
+          val (mk, ms) = unwrap(s.get(n)); (n, mk, ms) })
     def metricSubs(parent: JsonNode): Seq[Column] =
       subEntries(parent).flatMap { case (n, mk, ms) =>
         metricCols(mk, ms, n) }
@@ -2001,7 +1990,9 @@ object EsDsl {
                 val (f, ord) =
                   if (nd.isTextual) (nd.asText, "asc")
                   else {
-                    val fn = nd.fieldNames().next()
+                    val it = nd.fieldNames()
+                    if (!it.hasNext) bad("empty bucket_sort sort entry")
+                    val fn = it.next()
                     (fn, Option(nd.get(fn))
                       .flatMap(o => Option(o.get("order"))).map(_.asText)
                       .getOrElse("asc"))
@@ -2060,13 +2051,9 @@ object EsDsl {
         if (size <= 0 || size > 1000) bad("terms size must be 1..1000")
         val subAggs = Option(spec.get("aggs"))
           .orElse(Option(spec.get("aggregations")))
-        val nested = subAggs.toSeq.flatMap { s =>
-          val it = s.fieldNames()
-          val names = scala.collection.mutable.ArrayBuffer[String]()
-          while (it.hasNext) names += it.next()
-          names.toSeq.filter(n => s.get(n).hasNonNull("terms"))
-            .map(n => n -> s.get(n))
-        }
+        val nested = subAggs.toSeq.flatMap(s =>
+          keysOf(s).filter(n => s.get(n).hasNonNull("terms"))
+            .map(n => n -> s.get(n)))
         // ES terms buckets SKIP documents missing the field unless the
         // `missing` parameter maps nulls to a stand-in key;
         // `min_doc_count` prunes buckets below the floor (0 — ES's
@@ -2109,13 +2096,9 @@ object EsDsl {
               case other  => bad(s"unsupported order direction '$other'")
             }
           }
-        val topHits = subAggs.toSeq.flatMap { s =>
-          val it = s.fieldNames()
-          val names = scala.collection.mutable.ArrayBuffer[String]()
-          while (it.hasNext) names += it.next()
-          names.toSeq.filter(n => s.get(n).hasNonNull("top_hits"))
-            .map(n => s.get(n).get("top_hits"))
-        }
+        val topHits = subAggs.toSeq.flatMap(s =>
+          keysOf(s).filter(n => s.get(n).hasNonNull("top_hits"))
+            .map(n => s.get(n).get("top_hits")))
         if (topHits.nonEmpty) {
           // top_hits sub-agg: per-bucket top DOCUMENTS, flat-relational
           // — one row per hit: (key, doc_count, hit_rank, hit columns).
@@ -2139,9 +2122,16 @@ object EsDsl {
               "(_score is not defined inside aggregations)"))
           val sorts = (0 until sortNode.size).map { i =>
             val n = sortNode.get(i)
-            if (n.isTextual) sortKey(n.asText, "asc")
-            else {
-              val sf = n.fieldNames().next()
+            if (n.isTextual) {
+              // the textual form must hit the same _score rejection as
+              // the object form (no _score column exists in agg frames)
+              if (n.asText == "_score")
+                bad("top_hits cannot sort by _score")
+              sortKey(n.asText, "asc")
+            } else {
+              val it = n.fieldNames()
+              if (!it.hasNext) bad("empty top_hits sort entry")
+              val sf = it.next()
               if (sf == "_score") bad("top_hits cannot sort by _score")
               val ord = Option(n.get(sf))
                 .flatMap(o => Option(o.get("order"))).map(_.asText)
@@ -2198,7 +2188,8 @@ object EsDsl {
                   case metricName =>
                     if (!subEntries(spec).exists { case (n, mk, _) =>
                         n == metricName && !Set("stats",
-                          "extended_stats", "percentiles").contains(mk) })
+                          "extended_stats", "percentiles",
+                          "percentile_ranks").contains(mk) })
                       bad(s"order target '$metricName' is not a " +
                         "single-valued sub-metric of this terms agg")
                     col(metricName)
@@ -2219,10 +2210,7 @@ object EsDsl {
             // gates the (f1, f2) agg, then a per-parent WindowGroupLimit
             // — no global sort of child buckets, no second corpus scan
             // beyond the two aggregations.
-            val totalChildren = subAggs.map { s =>
-              val it = s.fieldNames(); var c0 = 0
-              while (it.hasNext) { it.next(); c0 += 1 }; c0
-            }.getOrElse(0)
+            val totalChildren = subAggs.map(keysOf(_).size).getOrElse(0)
             if (totalChildren > 1)
               bad("metrics beside a nested terms agg are not " +
                 "representable in the flat bucket table — put them on " +
@@ -2343,10 +2331,24 @@ object EsDsl {
           .getOrElse(bad("date_range agg needs a non-empty " +
             "\"ranges\" array"))
         val fc = col(f).cast("timestamp")
+        // bounds are validated HERE: to_timestamp would evaluate an
+        // unparseable bound to null (condition silently false) — the
+        // contract is a 400 naming the defect, never a wrong bucket
+        def checkBound(v: String): String = {
+          import scala.util.Try
+          val ok = Try(java.time.Instant.parse(v)).isSuccess ||
+            Try(java.time.LocalDateTime.parse(v)).isSuccess ||
+            Try(java.time.LocalDateTime.parse(v,
+              java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss"))).isSuccess ||
+            Try(java.time.LocalDate.parse(v)).isSuccess
+          if (!ok) bad(s"malformed date_range bound '$v' (ISO-8601)")
+          v
+        }
         val ranges = (0 until rangesNode.size).map { i =>
           val r = rangesNode.get(i)
-          val from = Option(r.get("from")).map(_.asText)
-          val to = Option(r.get("to")).map(_.asText)
+          val from = Option(r.get("from")).map(_.asText).map(checkBound)
+          val to = Option(r.get("to")).map(_.asText).map(checkBound)
           if (from.isEmpty && to.isEmpty)
             bad("each date range needs \"from\" and/or \"to\"")
           val key = Option(r.get("key")).map(_.asText).getOrElse(
@@ -2405,12 +2407,7 @@ object EsDsl {
         val h = spec.get("filters")
         val fs = Option(h.get("filters")).filter(_.isObject)
           .getOrElse(bad("filters agg needs a \"filters\" object"))
-        val names = {
-          val it = fs.fieldNames()
-          val buf = ArrayBuffer[String]()
-          while (it.hasNext) buf += it.next()
-          buf.toSeq
-        }
+        val names = keysOf(fs)
         if (names.isEmpty) bad("filters agg needs at least one filter")
         val conds = names.map(n =>
           coalesce(clause(fs.get(n), ctx).pred, lit(false)))
@@ -2518,14 +2515,17 @@ object EsDsl {
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
         val keySeq = (lo0: Column, hi0: Column) => {
-          val lo = floor(lo0 / interval) * interval
-          val n = ((floor(hi0 / interval) * interval - lo) / interval)
-            .cast("long")
-          val s0 = when(n > 65536,
+          // generate keys through the SAME floor-index arithmetic as
+          // the group key (idx·interval, idx a whole double) — a
+          // lo + i·interval walk would drift off fractional-interval
+          // group keys by an ulp and silently miss the join
+          val loIdx = floor(lo0 / interval).cast("long")
+          val hiIdx = floor(hi0 / interval).cast("long")
+          val s0 = when(hiIdx - loIdx > 65536,
             raise_error(lit("too many histogram buckets " +
               "(search.max_buckets 65536)")).cast("array<bigint>"))
-            .otherwise(sequence(lit(0L), n))
-          transform(s0, i => lo + i * interval)
+            .otherwise(sequence(loIdx, hiIdx))
+          transform(s0, i => i.cast("double") * interval)
         }
         applyPipelines(
           gapFill(
@@ -2569,12 +2569,7 @@ object EsDsl {
         val t = spec.get("adjacency_matrix")
         val fNode = Option(t.get("filters")).filter(_.isObject)
           .getOrElse(bad("adjacency_matrix needs a \"filters\" object"))
-        val names0 = {
-          val it = fNode.fieldNames()
-          val b = ArrayBuffer[String]()
-          while (it.hasNext) b += it.next()
-          b.toSeq
-        }
+        val names0 = keysOf(fNode)
         if (names0.isEmpty)
           bad("adjacency_matrix needs at least one filter")
         if (names0.exists(_.contains("&")))

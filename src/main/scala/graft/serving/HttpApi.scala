@@ -507,10 +507,10 @@ final class HttpApi(
             // flat bucket table rides an "aggregations" section keyed
             // by the body's top-level agg name
             val (page, aggs) = EsDsl.searchParts(df, req, ties)
-            val aggName = aggs.map { _ =>
-              Option(req.get("aggs")).getOrElse(req.get("aggregations"))
-                .fieldNames().next()
-            }
+            // the section is keyed by the BASE bucket agg's name —
+            // never a sibling pipeline's, regardless of body key order
+            val aggName = aggs.map(_ => EsDsl.responseAggName(
+              Option(req.get("aggs")).getOrElse(req.get("aggregations"))))
             hits(ex, page, aggs = aggs.zip(aggName))
           } catch {
             case e: IllegalArgumentException =>
@@ -602,8 +602,10 @@ final class HttpApi(
     // translator; maxHits bounds the serving collect regardless)
     val aggsField = aggs.map { case (bdf, name) =>
       val buckets = bdf.limit(maxHits).toJSON.collect()
-      s""", "aggregations": {"${name}": {"buckets": [${
-        buckets.mkString(", ")}]}}"""
+      // the agg name is caller-controlled — JSON-escape it (the only
+      // interpolated value not already serialized by Jackson)
+      s""", "aggregations": {${mapper.writeValueAsString(name)}: ${""
+        }{"buckets": [${buckets.mkString(", ")}]}}"""
     }.getOrElse("")
     respond(ex, 200,
       s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""

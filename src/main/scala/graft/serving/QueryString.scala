@@ -364,7 +364,11 @@ object QueryString {
         while (i < q.length && (q.charAt(i).isDigit ||
             q.charAt(i) == '.')) i += 1
         if (i == start) throw ParseError("'^' needs a number")
-        val b = q.substring(start, i).toDouble
+        // "1.2.3" / "." are digit-dot runs toDouble rejects — keep the
+        // strict contract's typed error, never a NumberFormatException
+        val b = scala.util.Try(q.substring(start, i).toDouble)
+          .getOrElse(throw ParseError(
+            s"malformed boost '${q.substring(start, i)}'"))
         if (b <= 0) throw ParseError("boost must be positive")
         Boost(n, b)
       } else n
@@ -374,6 +378,8 @@ object QueryString {
       val start = i
       while (i < q.length && q.charAt(i).isDigit) i += 1
       if (i == start) throw ParseError(s"'~' needs an integer ($what)")
+      if (i - start > 9)
+        throw ParseError(s"$what value out of range")
       q.substring(start, i).toInt
     }
 

@@ -109,6 +109,9 @@ object SimpleQueryString {
     var j = from
     while (j < q.length && q.charAt(j).isDigit) j += 1
     if (j == from) (None, from)
+    // an absurdly long digit run saturates instead of overflowing —
+    // leniency means NEVER throwing, and every caller clamps anyway
+    else if (j - from > 9) (Some(Int.MaxValue), j)
     else (Some(q.substring(from, j).toInt), j)
   }
 

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.functions.col
 
-import graft.serving.{EsDsl, Search}
+import graft.serving.{EsDsl, QueryString, Search}
 
 /** The ES-DSL translator's semantics: BM25 scoring parity with the
   * /search rank=bm25 machinery, bool minimum_should_match defaulting,
@@ -726,6 +726,60 @@ class EsDslSpec extends SparkSpec {
         {"h": {"histogram": {"field": "n", "interval": 10},
          "aggs": {"t": {"bucket_sort": {"sort": [{"nope": {}}]}}}}},
         "size": 0}""")
+    }
+  }
+
+  test("review regressions: fractional-interval gap fill keeps " +
+    "populated buckets; malformed inputs 400, never 500 or silence") {
+    // fractional interval: group key floor(0.65/0.1)*0.1 =
+    // 0.6000000000000001 — the generated keys must walk the SAME
+    // floor-index arithmetic or the join drops the populated bucket
+    val fr = spark.sql(
+      "SELECT * FROM VALUES (1, CAST(0.15 AS DOUBLE)), " +
+      "(2, CAST(0.65 AS DOUBLE)) AS t(id, v)")
+    val gf = EsDsl.search(fr, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "v", "interval": 0.1,
+          "min_doc_count": 0}}}, "size": 0}"""))
+      .collect().map(r => r.getAs[Double]("key") ->
+        r.getAs[Long]("doc_count"))
+    assert(gf.length == 6, s"got ${gf.toSeq}")
+    assert(gf.head._2 == 1L && gf.last._2 == 1L,
+      s"populated edge buckets lost: ${gf.toSeq}")
+    assert(gf.map(_._2).sum == 2L)
+    // malformed date_range bound: 400, not a silent empty bucket
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"p": {"date_range": {"field": "n",
+          "ranges": [{"from": "not-a-date"}]}}}, "size": 0}""")
+    }
+    // huge numeric suffixes: simple_query_string stays lenient
+    // (clamped, no throw), query_string throws its TYPED error
+    assert(q("""{"query": {"simple_query_string":
+      {"query": "windoq~99999999999", "fields": ["text"]}}}""")
+      .count() >= 0)
+    intercept[QueryString.ParseError] {
+      QueryString.parse("a~99999999999")
+    }
+    intercept[QueryString.ParseError] { QueryString.parse("a^1.2.3") }
+    // empty sort entries and top_hits _score sorts are caller errors
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "sort": [{}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"s": {"terms": {"field": "source"},
+         "aggs": {"t": {"top_hits": {"sort": ["_score"]}}}}},
+        "size": 0}""")
+    }
+    // ordering a terms agg by a multi-valued sub-metric is a 400 for
+    // percentile_ranks too, not an unresolved-column 500
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"s": {"terms": {"field": "source",
+          "order": {"pr": "desc"}},
+         "aggs": {"pr": {"percentile_ranks":
+           {"field": "n", "values": [20]}}}}}, "size": 0}""")
     }
   }
 

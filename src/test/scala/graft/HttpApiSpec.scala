@@ -301,6 +301,22 @@ class HttpApiSpec extends SparkSpec
       """{"query": {"query_string": {"query": "(a"}}, "index": "documents"}""")
     assert(qsBad.statusCode() == 400, qsBad.body())
     assert(qsBad.body().toLowerCase.contains("query_string"))
+    // a sibling pipeline listed BEFORE the bucket agg: the response
+    // section is still keyed by the base bucket agg's name, and the
+    // whole body parses as JSON (agg names are escaped)
+    val sib = post("/search/advanced",
+      """{"query": {"match_all": {}},
+        | "aggs": {
+        |   "avg\"daily": {"avg_bucket":
+        |     {"buckets_path": "per_day>_count"}},
+        |   "per_day": {"date_histogram":
+        |     {"field": "ts", "fixed_interval": "1d"}}},
+        | "size": 0, "index": "events"}""".stripMargin)
+    assert(sib.statusCode() == 200, sib.body().take(300))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sib.body())
+    assert(parsed.get("aggregations").hasNonNull("per_day"),
+      sib.body().take(300))
     // suggest-only body: the term suggester's flat response
     val sug = post("/search/advanced",
       """{"suggest": {"fix": {"text": "windoq",
