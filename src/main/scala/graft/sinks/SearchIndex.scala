@@ -509,7 +509,18 @@ object SearchIndex {
     * Delta/Iceberg MERGE + snapshot commit. A batch column missing from
     * the index's field list scores as null (the allowMissingColumns
     * union shape). */
-  def upsert(batch: DataFrame, path: String): Unit = {
+  def upsert(batch: DataFrame, path: String): Unit =
+    upsert(batch, deletes = None, path)
+
+  /** Upsert WITH DELETIONS — the full changelog shape (R3's
+    * upsert/delete stream applied to the index, never to the corpus):
+    * `deletes` is a single-column frame of ids to drop. Deleted docs
+    * leave through the same integer-delta machinery as replaced ones
+    * (their old postings subtract from df_t/fieldstats; nothing is
+    * added back), so the result still equals a full rebuild of the
+    * post-change corpus bit-for-bit. */
+  def upsert(batch: DataFrame, deletes: Option[DataFrame],
+             path: String): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
@@ -517,7 +528,12 @@ object SearchIndex {
     val full = meta.fields.foldLeft(batch)((d, f) =>
       if (d.columns.contains(f)) d
       else d.withColumn(f, lit(null).cast("string")))
-    val keys = full.select(col(idCol)).distinct()
+    deletes.foreach(d => require(d.columns.length == 1,
+      "deletes must be a single-column frame of ids"))
+    val keys = deletes
+      .map(d => full.select(col(idCol)).unionByName(d.toDF(idCol)))
+      .getOrElse(full.select(col(idCol)))
+      .distinct()
     val newPost = postingsOf(full, meta.fields, idCol)
     val newLens = doclensOf(full, meta.fields, idCol)
     val oldPost = spark.read.parquet(s"$dir/postings")

@@ -125,6 +125,30 @@ class SearchIndexSpec extends SparkSpec {
     assert(qi == qs, "upserted index ranks differently from scan path")
   }
 
+  test("upsert with deletes: dropped docs leave through the same " +
+    "integer-delta machinery — tables and probes equal a rebuild") {
+    val v2new = Seq((3L, "batch of batch window", "src9"))
+      .toDF("doc_id", "text", "source")
+    val merged = docs.filter($"doc_id" =!= 3L && $"doc_id" =!= 5L)
+      .unionByName(v2new)
+    val inc = tmp("graft-idx-del-")
+    val reb = tmp("graft-idx-del-reb-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", inc)
+    SearchIndex.upsert(v2new, Some(Seq(5L).toDF("id")), inc)
+    SearchIndex.build(merged, Seq("text", "source"), "doc_id", reb)
+    for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(inc)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"$t diverged after delete-upsert")
+    }
+    val qi = SearchIndex.ranked(spark, inc, "window batch of",
+      Seq("text", "source")).collect().map(_.toString).toSeq
+    val qs = Search.bm25Fields(merged, "window batch of",
+      Seq("text", "source"), "doc_id").collect().map(_.toString).toSeq
+    assert(qi == qs, "delete-upserted index ranks differently from " +
+      "the post-delete scan path")
+  }
+
   test("DocumentSink.upsert maintains an adjacent search index " +
     "incrementally (the R1/R2 re-sync path)") {
     val path = tmp("graft-idx-sink-")
