@@ -1529,7 +1529,8 @@ object EsDsl {
     * response. `>= 2` prunes buckets below the floor. The generated
     * range is guarded at ES's search.max_buckets (65536). */
   private def gapFill(buckets: DataFrame, h: JsonNode,
-                      keySeq: (Column, Column) => Column): DataFrame = {
+                      keySeq: (Column, Column) => Column,
+                      align: Column => Column = identity): DataFrame = {
     val mdc = Option(h.get("min_doc_count")).map(_.asInt).getOrElse(1)
     if (mdc < 0) bad("min_doc_count must be >= 0")
     val eb = Option(h.get("extended_bounds"))
@@ -1548,9 +1549,9 @@ object EsDsl {
           max(col("key")).as("__hi"))
         // least/greatest skip nulls: an empty match set with
         // extended_bounds still yields the extended range
-        val lo = extBound("min").map(least(col("__lo"), _))
+        val lo = extBound("min").map(b => least(col("__lo"), align(b)))
           .getOrElse(col("__lo"))
-        val hi = extBound("max").map(greatest(col("__hi"), _))
+        val hi = extBound("max").map(b => greatest(col("__hi"), align(b)))
           .getOrElse(col("__hi"))
         bounds.select(explode(keySeq(lo, hi)).as("key"))
           .join(buckets, Seq("key"), "left")
@@ -2331,18 +2332,18 @@ object EsDsl {
           .getOrElse(bad("date_range agg needs a non-empty " +
             "\"ranges\" array"))
         val fc = col(f).cast("timestamp")
-        // bounds are validated HERE: to_timestamp would evaluate an
-        // unparseable bound to null (condition silently false) — the
-        // contract is a 400 naming the defect, never a wrong bucket
+        // bounds are validated HERE, with SPARK'S OWN cast grammar
+        // (DateTimeUtils — the same parser to_timestamp uses at run
+        // time, so validation and evaluation cannot disagree):
+        // to_timestamp would evaluate an unparseable bound to null
+        // (condition silently false) — the contract is a 400 naming
+        // the defect, never a wrong bucket
         def checkBound(v: String): String = {
-          import scala.util.Try
-          val ok = Try(java.time.Instant.parse(v)).isSuccess ||
-            Try(java.time.LocalDateTime.parse(v)).isSuccess ||
-            Try(java.time.LocalDateTime.parse(v,
-              java.time.format.DateTimeFormatter
-                .ofPattern("yyyy-MM-dd HH:mm:ss"))).isSuccess ||
-            Try(java.time.LocalDate.parse(v)).isSuccess
-          if (!ok) bad(s"malformed date_range bound '$v' (ISO-8601)")
+          val ok = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              java.time.ZoneOffset.UTC).isDefined
+          if (!ok) bad(s"malformed date_range bound '$v'")
           v
         }
         val ranges = (0 until rangesNode.size).map { i =>
@@ -2515,12 +2516,15 @@ object EsDsl {
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
         val keySeq = (lo0: Column, hi0: Column) => {
-          // generate keys through the SAME floor-index arithmetic as
-          // the group key (idx·interval, idx a whole double) — a
-          // lo + i·interval walk would drift off fractional-interval
-          // group keys by an ulp and silently miss the join
-          val loIdx = floor(lo0 / interval).cast("long")
-          val hiIdx = floor(hi0 / interval).cast("long")
+          // the bounds reaching here are BUCKET KEYS (idx·interval —
+          // data keys by construction, extended bounds pre-aligned
+          // through the same group-key expression below), so the
+          // index is recovered by ROUNDING the quotient: re-flooring
+          // key/interval can land one below the true index for
+          // fractional intervals (floor((idx·iv)/iv) != idx when the
+          // product rounded down), silently dropping the top bucket
+          val loIdx = round(lo0 / interval).cast("long")
+          val hiIdx = round(hi0 / interval).cast("long")
           val s0 = when(hiIdx - loIdx > 65536,
             raise_error(lit("too many histogram buckets " +
               "(search.max_buckets 65536)")).cast("array<bigint>"))
@@ -2533,7 +2537,10 @@ object EsDsl {
               .groupBy((floor(col(f) / interval) * interval).as("key"))
               .agg(count(lit(1)).as("doc_count"),
                 metricSubsNonPipeline(spec): _*),
-            h, keySeq), spec)
+            h, keySeq,
+            // extended bounds are raw VALUES — align them to bucket
+            // keys with the exact group-key expression
+            align = v => floor(v / interval) * interval), spec)
       case "multi_terms" =>
         // ES multi_terms: terms buckets over a COMPOSITE key — one
         // hash aggregation on all key fields, top-size by doc_count

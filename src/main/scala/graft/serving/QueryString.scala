@@ -378,9 +378,10 @@ object QueryString {
       val start = i
       while (i < q.length && q.charAt(i).isDigit) i += 1
       if (i == start) throw ParseError(s"'~' needs an integer ($what)")
-      if (i - start > 9)
-        throw ParseError(s"$what value out of range")
-      q.substring(start, i).toInt
+      // Try, not a digit-count cap: "0000000010" is a valid 10 and
+      // 1000000000 a valid Int; only genuine overflow is an error
+      scala.util.Try(q.substring(start, i).toInt).getOrElse(
+        throw ParseError(s"$what value out of range"))
     }
 
     // bound late so parseQuery can consult the option during the

@@ -616,6 +616,11 @@ object Search {
     * occurrence-sized) — no explode, no shuffle, no UDF. */
   private[graft] def slopCount(field: Column, terms: Seq[String],
                                slop: Int): Column = {
+    // clamp BEFORE the `k + slop` Int arithmetic: a saturated caller
+    // value (simple_query_string lexes absurd ~N suffixes to
+    // Int.MaxValue) would wrap negative and silently match nothing;
+    // 2^24 positions exceed any tokenizable document
+    val s = math.min(slop, 1 << 24)
     val toks = graft.functions.TextFunctions.tokens(
       lower(coalesce(field, lit(""))))
     def posOf(t: String): Column =
@@ -624,7 +629,7 @@ object Search {
     def rest(k: Int, prev: Column, first: Column): Column =
       if (k == terms.size) lit(true)
       else exists(posOf(terms(k)), p =>
-        p > prev && p <= first + lit(k + slop) && rest(k + 1, p, first))
+        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
     size(filter(posOf(terms.head), p1 => rest(1, p1, p1))).cast("int")
   }
 
@@ -642,6 +647,8 @@ object Search {
                                        lastExpansion: Option[Seq[String]]
                                          = None): Column = {
     require(terms.nonEmpty, "empty phrase prefix")
+    // same overflow clamp as slopCount (k + slop in Int arithmetic)
+    val s = math.min(slop, 1 << 24)
     val toks = graft.functions.TextFunctions.tokens(
       lower(coalesce(field, lit(""))))
     def posWhere(m: Column => Column): Column =
@@ -659,7 +666,7 @@ object Search {
     def rest(k: Int, prev: Column, first: Column): Column =
       if (k == terms.size) lit(true)
       else exists(posOf(k), p =>
-        p > prev && p <= first + lit(k + slop) && rest(k + 1, p, first))
+        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
     size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
   }
 

@@ -110,7 +110,8 @@ object SimpleQueryString {
     while (j < q.length && q.charAt(j).isDigit) j += 1
     if (j == from) (None, from)
     // an absurdly long digit run saturates instead of overflowing —
-    // leniency means NEVER throwing, and every caller clamps anyway
+    // leniency means NEVER throwing; downstream consumers clamp
+    // (fuzzy to 2 here, slop inside Search.slopCount's window math)
     else if (j - from > 9) (Some(Int.MaxValue), j)
     else (Some(q.substring(from, j).toInt), j)
   }

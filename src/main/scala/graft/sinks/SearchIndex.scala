@@ -291,11 +291,13 @@ object SearchIndex {
         // p_i > p_(i-1) within the head-anchored window p_1 + i + slop
         // — the same start-position existence check the scan path's
         // Search.slopCount runs, here over the index's position lists
+        // (same overflow clamp too: `i + slop` is Int arithmetic)
+        val sl = math.min(slop, 1 << 24)
         def rest(i: Int, prev: Column, first: Column): Column =
           if (i == k) lit(true)
           else org.apache.spark.sql.functions.exists(
             element_at(col("tp"), lit(terms(i))), pp =>
-            pp > prev && pp <= first + lit(i + slop) &&
+            pp > prev && pp <= first + lit(i + sl) &&
               rest(i + 1, pp, first))
         filter(headPos, s => rest(1, s, s))
       }
@@ -518,18 +520,25 @@ object SearchIndex {
     * leave through the same integer-delta machinery as replaced ones
     * (their old postings subtract from df_t/fieldstats; nothing is
     * added back), so the result still equals a full rebuild of the
-    * post-change corpus bit-for-bit. */
+    * post-change corpus bit-for-bit. An id in BOTH frames is
+    * DELETED — the deterministic rule for uncompacted changelogs
+    * (a delete is terminal; a later upsert re-inserting the doc
+    * belongs to the next batch). */
   def upsert(batch: DataFrame, deletes: Option[DataFrame],
              path: String): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
     val idCol = meta.idCol
-    val full = meta.fields.foldLeft(batch)((d, f) =>
+    val full0 = meta.fields.foldLeft(batch)((d, f) =>
       if (d.columns.contains(f)) d
       else d.withColumn(f, lit(null).cast("string")))
     deletes.foreach(d => require(d.columns.length == 1,
       "deletes must be a single-column frame of ids"))
+    // deletes win over batch rows with the same id
+    val full = deletes.map(d => full0.join(
+        broadcast(d.toDF(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(full0)
     val keys = deletes
       .map(d => full.select(col(idCol)).unionByName(d.toDF(idCol)))
       .getOrElse(full.select(col(idCol)))

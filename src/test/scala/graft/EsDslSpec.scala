@@ -747,6 +747,19 @@ class EsDslSpec extends SparkSpec {
     assert(gf.head._2 == 1L && gf.last._2 == 1L,
       s"populated edge buckets lost: ${gf.toSeq}")
     assert(gf.map(_._2).sum == 2L)
+    // index recovery must ROUND, not re-floor: for interval 1.1 the
+    // max key floor(34045.5/1.1)*1.1 re-floors to index 30949 and a
+    // floor-based bound would drop the populated top bucket
+    val fr2 = spark.sql(
+      "SELECT * FROM VALUES (1, CAST(34040.0 AS DOUBLE)), " +
+      "(2, CAST(34045.5 AS DOUBLE)) AS t(id, v)")
+    val gf2 = EsDsl.search(fr2, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "v", "interval": 1.1,
+          "min_doc_count": 0}}}, "size": 0}"""))
+      .collect().map(_.getAs[Long]("doc_count"))
+    assert(gf2.sum == 2L, s"top bucket dropped: ${gf2.toSeq}")
+    assert(gf2.head == 1L && gf2.last == 1L, s"edges: ${gf2.toSeq}")
     // malformed date_range bound: 400, not a silent empty bucket
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "aggs":
@@ -758,10 +771,24 @@ class EsDslSpec extends SparkSpec {
     assert(q("""{"query": {"simple_query_string":
       {"query": "windoq~99999999999", "fields": ["text"]}}}""")
       .count() >= 0)
+    // a saturated phrase slop must still MATCH (the window arithmetic
+    // clamps; an Int overflow would wrap negative and match nothing)
+    assert(q("""{"query": {"simple_query_string":
+      {"query": "\"window run\"~99999999999", "fields": ["text"]}}}""")
+      .count() == 1)
     intercept[QueryString.ParseError] {
       QueryString.parse("a~99999999999")
     }
     intercept[QueryString.ParseError] { QueryString.parse("a^1.2.3") }
+    // zero-padded and full-Int suffixes are VALID integers
+    assert(QueryString.parse("\"a b\"~0000000010") ==
+      QueryString.Phrase(None, Seq("a", "b"), 10))
+    // date_range bounds follow SPARK'S cast grammar — fractional
+    // seconds parse (and bucket) instead of 400ing
+    assert(q("""{"query": {"match_all": {}}, "aggs":
+      {"p": {"date_range": {"field": "n", "ranges":
+        [{"from": "1970-01-01 00:00:00.5"}]}}}, "size": 0}""")
+      .collect().length == 1)
     // empty sort entries and top_hits _score sorts are caller errors
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "sort": [{}]}""")

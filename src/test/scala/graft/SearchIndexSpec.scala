@@ -147,6 +147,19 @@ class SearchIndexSpec extends SparkSpec {
       Seq("text", "source"), "doc_id").collect().map(_.toString).toSeq
     assert(qi == qs, "delete-upserted index ranks differently from " +
       "the post-delete scan path")
+    // an id in BOTH batch and deletes is DELETED (deterministic rule
+    // for uncompacted changelogs) — doc 1 must vanish despite the
+    // batch row carrying new content for it
+    val both = tmp("graft-idx-both-")
+    SearchIndex.build(docs, Seq("text", "source"), "doc_id", both)
+    SearchIndex.upsert(
+      Seq((1L, "resurrected window", "src_z"))
+        .toDF("doc_id", "text", "source"),
+      Some(Seq(1L).toDF("id")), both)
+    val afterIds = SearchIndex.ranked(spark, both, "window",
+      Seq("text", "source")).select("doc_id").as[Long].collect().toSet
+    assert(!afterIds.contains(1L),
+      "deleted-and-upserted id survived; deletes must win")
   }
 
   test("DocumentSink.upsert maintains an adjacent search index " +
