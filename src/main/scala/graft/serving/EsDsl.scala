@@ -794,12 +794,32 @@ object EsDsl {
 
     case ("range", b) =>
       val (f, bounds) = unwrap(b)
+      // a textual bound against a TIMESTAMP column goes through
+      // Spark's implicit string→timestamp cast, which nulls an
+      // unparseable date (condition silently false) — validate with
+      // the same cast grammar up front, like date_range's bounds.
+      // String columns keep raw textual bounds (lexicographic ranges
+      // are legitimate there).
+      val isTs = ctx.raw.schema.fields.find(_.name == f)
+        .exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampType)
+      def boundOf(v: JsonNode): Column = {
+        if (isTs && v.isTextual) {
+          val ok = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(v.asText),
+              java.time.ZoneOffset.UTC).isDefined
+          if (!ok) bad(s"malformed date bound '${v.asText}'")
+        }
+        litOf(v)
+      }
       val preds = Seq("gt" -> ((c: Column, v: Column) => c > v),
           "gte" -> ((c: Column, v: Column) => c >= v),
           "lt" -> ((c: Column, v: Column) => c < v),
           "lte" -> ((c: Column, v: Column) => c <= v))
         .flatMap { case (k, op) =>
-          Option(bounds.get(k)).map(v => op(col(f), litOf(v))) }
+          Option(bounds.get(k)).map(v => op(col(f), boundOf(v))) }
       if (preds.isEmpty) bad("range needs gt/gte/lt/lte")
       Clause(preds.reduce(_ && _), lit(1.0))
 

@@ -789,6 +789,19 @@ class EsDslSpec extends SparkSpec {
       {"p": {"date_range": {"field": "n", "ranges":
         [{"from": "1970-01-01 00:00:00.5"}]}}}, "size": 0}""")
       .collect().length == 1)
+    // a range query's textual bound on a TIMESTAMP column validates
+    // the same way — a junk date 400s instead of silently matching
+    // nothing (string columns keep lexicographic textual bounds)
+    val tsf = spark.sql(
+      "SELECT * FROM VALUES (1, TIMESTAMP '2024-01-05 00:00:00') " +
+      "AS t(id, ts)")
+    assert(EsDsl.search(tsf, mapper.readTree(
+      """{"query": {"range": {"ts": {"gte": "2024-01-01"}}}}"""))
+      .count() == 1)
+    intercept[IllegalArgumentException] {
+      EsDsl.search(tsf, mapper.readTree(
+        """{"query": {"range": {"ts": {"gte": "not-a-date"}}}}"""))
+    }
     // empty sort entries and top_hits _score sorts are caller errors
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "sort": [{}]}""")
