@@ -469,6 +469,117 @@ object Search {
       .agg(round4(combined).as("score"))
   }
 
+  /** One match-family clause of an ES-DSL body, queued by
+    * [[EsDsl]] for the SHARED scoring pass ([[rankedAllMulti]]): the
+    * clause's analyzed terms (ordered, distinct, lowercased), its
+    * target fields as (key, boost) pairs resolved against the
+    * request's interned field list, and the best_fields/most_fields
+    * combine mode. */
+  private[graft] final case class RankClause(terms: Seq[String],
+                                             fields: Seq[(String, Double)],
+                                             bestFields: Boolean)
+
+  /** EVERY match-family clause of one DSL body scored in ONE pass —
+    * the multi-clause generalization of [[rankedAll]]: all clauses'
+    * fields stack into a single tokenize+explode scan (tagged `fid`
+    * over the request's interned field list), one shared stats
+    * aggregate carries every field's n/avgdl, per-(field, term) df
+    * rides one aggregation of the shared stack, and each clause's
+    * score is its own fixed-order conditional sum inside ONE final
+    * per-doc aggregation — so a bool with K match clauses costs 2
+    * corpus scans and one score join TOTAL, not 2K scans and K joins
+    * (the round-9 design this replaces; the per-clause scan was the
+    * one adjudicated scale weakness). Numerically identical to
+    * scoring each clause alone with [[rankedAll]]: every
+    * (doc, field, term) contribution is a single row after the tf
+    * aggregation, each clause's conditional sums add the same doubles
+    * in the same fixed (field, term) order, and rounding happens once
+    * per clause — a clause the doc doesn't match sums to the same
+    * 0.0 its absent join row coalesced to before.
+    *
+    * `fieldExprs` = (key, expression) in first-use order — a key is a
+    * plain column name or a derived combined-fields concat; `clauses`
+    * reference keys. Returns (idCol, __bm25_0 … __bm25_{K-1}). */
+  private[graft] def rankedAllMulti(df: DataFrame, idCol: String,
+                                    fieldExprs: Seq[(String, Column)],
+                                    clauses: Seq[RankClause]): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    require(clauses.nonEmpty, "at least one clause to rank")
+    require(fieldExprs.nonEmpty, "at least one field to rank")
+    val fidOf = fieldExprs.map(_._1).zipWithIndex.toMap
+    val exprOf = fieldExprs.toMap
+    val allTerms = clauses.flatMap(_.terms).distinct
+    // codegen'd contains-any prefilter: clause order, fields outer,
+    // terms inner (each clause's rankedAll shape, OR-folded across
+    // clauses; duplicate (field, term) probes dropped first-wins) — a
+    // doc matching NO clause's terms as substrings can't token-match
+    // any clause, so it skips tokenize+explode entirely
+    val seen = scala.collection.mutable.Set[(String, String)]()
+    val probes = for {
+      c <- clauses; (f, _) <- c.fields; t <- c.terms
+      if seen.add((f, t))
+    } yield lower(exprOf(f)).contains(lit(t))
+    val anyTerm = probes.reduceOption(_ || _).getOrElse(lit(false))
+    val stacked = df.filter(anyTerm)
+      .select(col(idCol), explode(array(fieldExprs.zipWithIndex.map {
+        case ((_, e), i) => struct(lit(i).as("fid"),
+          tokenCount(e).as("dl"), split(lower(e), "\\s+").as("toks"))
+      }: _*)).as("fs"))
+      .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
+        explode(col("fs.toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    // ONE full-scan aggregate for every interned field's n/avgdl —
+    // clause-independent (n is the corpus count; avgdl is a property
+    // of the field), so clauses sharing a field share its statistics
+    val statsWide = df.agg(count(lit(1)).as("n"),
+      fieldExprs.zipWithIndex.map { case ((_, e), i) =>
+        (sum(tokenCount(e)).cast("double") / count(lit(1)))
+          .as(s"avgdl_$i") }: _*)
+    val stats = statsWide.select(explode(array(fieldExprs.indices.map(i =>
+        struct(lit(i).as("fid"), col("n"),
+          col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.n").as("n"),
+        col("s.avgdl").as("avgdl"))
+    // per-(field, term) df over the UNION-filtered stack: a (fid, term)
+    // group requires the token in that field, which implies the
+    // prefilter admitted the row — so df_t equals the per-clause value
+    val idf = stacked.groupBy(col("fid"), col("term"))
+      .agg(countDistinct(col(idCol)).as("df_t"))
+      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
+      .select(col("fid"), col("term"),
+        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5)).as("idf"))
+    val grouped = stacked
+      .groupBy(col(idCol), col("fid"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(stats.select(col("fid"), col("avgdl"))), Seq("fid"))
+    val perTerm: Column =
+      col("idf") * ((col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") / col("avgdl"))))
+    // each clause's score: its own fields in its own order, fixed-order
+    // term sums of single-row conditionals — [[rankedAll]]'s fieldScore
+    // verbatim, with the global fid in the condition
+    val scoreCols = clauses.zipWithIndex.map { case (c, ci) =>
+      val parts = c.fields.map { case (f, boost) =>
+        val i = fidOf(f)
+        val raw = c.terms.map(t =>
+            coalesce(sum(when(col("term") === t && col("fid") === i,
+              perTerm)), lit(0.0)))
+          .reduce(_ + _)
+        if (boost == 1.0) raw else raw * boost
+      }
+      val combined =
+        if (parts.size == 1) parts.head
+        else if (c.bestFields) greatest(parts: _*)
+        else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
+      round4(combined).as(s"__bm25_$ci")
+    }
+    grouped.join(broadcast(idf), Seq("fid", "term"))
+      .groupBy(col(idCol))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+  }
+
   private def rankedRetrieval(df: DataFrame, query: String, textCol: String,
                               idCol: String, limit: Int,
                               bm25: Boolean): DataFrame =

@@ -94,6 +94,38 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"page is not a TakeOrdered:\n${plan.take(2000)}")
   }
 
+  test("multi-clause match scoring is ONE shared pass: a 3-match-clause " +
+    "bool plans exactly as many corpus scans as a single match") {
+    def planOf(body: String) = {
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body)
+      val docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+      val df = serving.EsDsl.search(docs, json)
+      df.collect()
+      df.queryExecution
+    }
+    val single = planOf(
+      """{"query": {"match": {"text": "window batch"}}, "size": 10}""")
+    val multi = planOf(
+      """{"query": {"bool": {"must": [
+        |  {"match": {"text": "window batch"}},
+        |  {"match": {"source": "src3"}},
+        |  {"multi_match": {"query": "error small",
+        |    "fields": ["text", "source"]}}
+        |]}}, "size": 10}""".stripMargin)
+    val s1 = single.optimizedPlan.collectLeaves().size
+    val s3 = multi.optimizedPlan.collectLeaves().size
+    assert(s3 == s1,
+      s"3 match clauses planned $s3 corpus scans vs $s1 for one — " +
+        "the shared pass regressed to per-clause scans")
+    // one score join total: the hit path joins ONE shared frame
+    val joins = multi.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.count(_.joinType.sql == "LEFT OUTER") == 1,
+      s"expected ONE left score join, got:\n${multi.optimizedPlan}")
+  }
+
   test("adjacency_matrix is ONE conditional aggregation pass; the " +
     "nested query is a projection predicate — no explode, no join") {
     val adj = queries.ParityQueries.queries("q7_esdsl_adjacency")(
