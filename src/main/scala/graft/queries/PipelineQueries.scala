@@ -222,6 +222,33 @@ object PipelineQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // ES 8.x TOP-LEVEL `knn` body through the DSL translator (the
+    // reference stack is ES 8.11 — docker-compose.yml:5 — where knn is
+    // a first-class sibling of `query`): exact brute-force cosine over
+    // the embedding column, pre-filtered (vec_id >= 100), k=50,
+    // _source-projected to (vec_id, _score). The query vector is a
+    // deterministic literal shared with the oracle (the planeSigns
+    // precedent: one generator, two engines).
+    "q7_esdsl_knn" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(knnBody)
+      graft.serving.EsDsl.search(t(s, dir, "embeddings"), body,
+        tiebreak = Seq("vec_id"))
+    }),
+
+    // The SAME knn body routed through IVF probing
+    // (EsDsl.searchKnnIvf) — the 100 TB retrieval shape: candidates
+    // from the query's 4 nearest Voronoi cells only, exact re-rank.
+    // Recall < 1 by construction, so the oracle mirrors the IVF
+    // pipeline itself (ann_ivf_topk's precedent), hash-gating the
+    // codebook, assignment, probe, and scoring end to end.
+    "q7_esdsl_knn_ivf" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(knnBody)
+      graft.serving.EsDsl.searchKnnIvf(t(s, dir, "embeddings"), body,
+        tiebreak = Seq("vec_id"))
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -760,6 +787,90 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** The DSL knn query vector (64 dims) — deterministic rationals whose
+    * decimal literals round-trip identically through Scala and DuckDB;
+    * the body embeds the RAW vector (EsDsl normalizes driver-side) and
+    * the oracles embed the NORMALIZED form, both printed from the same
+    * doubles. */
+  private[graft] val knnQueryVec: Seq[Double] =
+    (0 until 64).map(i => ((((i * 37) + 11) % 101) - 50) / 50.0)
+
+  private[graft] lazy val knnBody: String = {
+    val vec = knnQueryVec.mkString("[", ", ", "]")
+    s"""{"knn": {"field": "embedding", "query_vector": $vec,
+       |  "k": 50, "num_candidates": 100,
+       |  "filter": {"range": {"vec_id": {"gte": 100}}}},
+       | "size": 50, "_source": ["vec_id"]}""".stripMargin
+  }
+
+  /** The normalized knn query vector as a DuckDB DOUBLE[] literal —
+    * the exact division EsDsl.knnScored performs (index-order
+    * sum-of-squares, one sqrt, one division per component). */
+  private def knnQunitLit: String = {
+    val norm = math.sqrt(knnQueryVec.foldLeft(0.0)((a, x) => a + x * x))
+    knnQueryVec.map(_ / norm).mkString("[", ", ", "]")
+  }
+
+  /** q7_esdsl_knn oracle — brute-force mirror: the same unit CTE as the
+    * ANN oracles, the ES cosine score (1 + cos)/2 floor-rounded to the
+    * 1e-4 grid (the identical op order EsDsl.knnScored evaluates),
+    * ranked (score desc, vec_id) and cut to k. */
+  private val knnSql: String =
+    s"""$UnitCte, qv AS (SELECT $knnQunitLit::DOUBLE[] AS q),
+       |scored AS (
+       |  SELECT vec_id,
+       |    floor(((1.0 + list_sum(list_transform(
+       |        generate_series(1, len(unit)), i -> unit[i] * q[i])))
+       |      / 2.0) * 10000.0 + 0.5) / 10000.0 AS s
+       |  FROM u CROSS JOIN qv WHERE vec_id >= 100
+       |), ranked AS (
+       |  SELECT vec_id, s,
+       |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, s AS "_score" FROM ranked WHERE rank <= 50"""
+      .stripMargin
+
+  /** q7_esdsl_knn_ivf oracle — mirrors EsDsl.searchKnnIvf exactly:
+    * 16-smallest-ids codebook of exact unit vectors, argmax assignment
+    * (ties → smaller centroid id), the query's 4 best cells (driver
+    * probe order = id order on ties), request filter over the
+    * candidates, exact re-rank with the knn score transform. */
+  private val knnIvfSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"""$UnitCte, qv AS (SELECT $knnQunitLit::DOUBLE[] AS q),
+       |cent AS (
+       |  SELECT vec_id AS cid, unit AS cu FROM u ORDER BY vec_id LIMIT 16
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dot("v.unit", "c.cu")} DESC, c.cid) AS rn
+       |    FROM u v CROSS JOIN cent c) WHERE rn = 1
+       |), probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY ${dot("qv.q", "c.cu")} DESC,
+       |        c.cid) AS rn
+       |    FROM cent c CROSS JOIN qv) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT a.vec_id FROM assign a JOIN probe p USING (cid)
+       |  WHERE a.vec_id >= 100
+       |), scored AS (
+       |  SELECT u.vec_id,
+       |    floor(((1.0 + ${dot("u.unit", "qv.q")}) / 2.0) * 10000.0
+       |      + 0.5) / 10000.0 AS s
+       |  FROM u JOIN cand USING (vec_id) CROSS JOIN qv
+       |), ranked AS (
+       |  SELECT vec_id, s,
+       |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, s AS "_score" FROM ranked WHERE rank <= 50"""
+      .stripMargin
+  }
+
   /** dedup_simhash oracle — a full DuckDB re-implementation of Spark's
     * Murmur3 x86_32 variant (sign-extended tail bytes mixed as full
     * blocks — the [[graft.oracle.GoldenModels.murmur3]] contract) as
@@ -1022,6 +1133,8 @@ object PipelineQueries {
     "ann_topk" -> annSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> ivfSql,
+    "q7_esdsl_knn" -> knnSql,
+    "q7_esdsl_knn_ivf" -> knnIvfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
     // every column derived from the token count alone — the engine must

@@ -391,6 +391,206 @@ object EsDsl {
         col("freq").desc, col("suggestion").asc)
   }
 
+  /** A parsed top-level `knn` section (ES 8.x first-class vector
+    * search): field, the query vector, `k`, `num_candidates`, optional
+    * filter clause and boost. */
+  private final case class KnnSpec(field: String, qv: Seq[Double],
+                                   k: Int, numCandidates: Int,
+                                   filter: Option[JsonNode],
+                                   boost: Double)
+
+  private def parseKnn(kn: JsonNode): KnnSpec = {
+    val field = Option(kn.get("field")).map(_.asText)
+      .getOrElse(bad("knn needs \"field\""))
+    val qvNode = Option(kn.get("query_vector")).filter(_.isArray)
+      .filter(_.size > 0)
+      .getOrElse(bad("knn needs a non-empty \"query_vector\" array"))
+    val qv = (0 until qvNode.size).map { i =>
+      val v = qvNode.get(i)
+      if (!v.isNumber) bad("query_vector must be numeric")
+      v.asDouble
+    }
+    val k = Option(kn.get("k")).map(_.asInt)
+      .getOrElse(bad("knn needs \"k\""))
+    if (k < 1 || k > MaxResultWindow)
+      bad(s"knn k must be 1..$MaxResultWindow")
+    val nc = Option(kn.get("num_candidates")).map(_.asInt)
+      .getOrElse(bad("knn needs \"num_candidates\""))
+    if (nc < k || nc > MaxResultWindow)
+      bad(s"num_candidates must be k..$MaxResultWindow")
+    val boost = Option(kn.get("boost")).map(_.asDouble).getOrElse(1.0)
+    val unknown = keysOf(kn).filterNot(Set("field", "query_vector", "k",
+      "num_candidates", "filter", "boost", "similarity"))
+    if (unknown.nonEmpty) bad(s"unknown knn keys: ${unknown.mkString(", ")}")
+    if (kn.hasNonNull("similarity"))
+      bad("knn \"similarity\" (the min-score cutoff) is not supported")
+    KnnSpec(field, qv, k, nc, Option(kn.get("filter")), boost)
+  }
+
+  /** The knn hit frame BEFORE paging: every candidate row of `base`
+    * carrying its ES cosine `_score` = (1 + cos)/2 · boost, one
+    * rounding — rows with a null or zero-norm vector drop (no defined
+    * direction, like ES docs missing the dense_vector). The query
+    * vector normalizes DRIVER-side with the same index-order
+    * sum-of-squares the corpus-side [[graft.functions.ArrayExpressions
+    * .l2normalize]] evaluates, so both sides of the dot product are
+    * exact mirrors of the oracle's arithmetic. */
+  private def knnScored(base: DataFrame, spec: KnnSpec,
+                        cols: Seq[String]): DataFrame = {
+    val norm = math.sqrt(spec.qv.foldLeft(0.0)((a, x) => a + x * x))
+    if (norm == 0) bad("query_vector has zero norm")
+    val qunit = spec.qv.map(_ / norm)
+    val unit = graft.functions.ArrayExpressions.l2normalize(
+      col(spec.field).cast("array<double>"))
+    val cos = graft.functions.ArrayExpressions.dotProduct(
+      unit, array(qunit.map(lit): _*))
+    val raw = (lit(1.0) + cos) / 2.0
+    val score = Search.round4(
+      if (spec.boost == 1.0) raw else raw * spec.boost)
+    base.select(cols.map(col) :+ score.as("_score"): _*)
+      .filter(col("_score").isNotNull)
+  }
+
+  /** Top-level `knn` search (ES 8.x: `{"knn": {field, query_vector, k,
+    * num_candidates, filter?, boost?}}` as a first-class sibling of
+    * `query`): EXACT brute-force cosine top-k — this engine returns
+    * the true k nearest, a strict upper bound on ES's approximate
+    * HNSW recall, so `num_candidates` (an HNSW beam-width knob) is
+    * validated and then has no further effect (documented deviation:
+    * exactness dominates any candidate count). The optional `filter`
+    * is filter-context (pre-filtered vector search, like ES) and
+    * scored clauses inside it are rejected. Hybrid `knn` + `query`
+    * rank fusion is out of scope — rejected by name, never silently
+    * wrong. Hits page like any other search body (`size` caps the k
+    * results, ES's contract); `_source` projection applies.
+    *
+    * Scale: score is ONE codegen'd projection (normalize + dot against
+    * a literal vector), the page one TakeOrdered of k rows — no
+    * shuffle before it, no collect. The IVF-routed twin
+    * ([[searchKnnIvf]]) is the 100 TB path: candidates from `nProbe`
+    * Voronoi cells only. */
+  private def knnParts(df: DataFrame, body: JsonNode, ctx: Ctx,
+                       tieNames: Seq[String]): DataFrame = {
+    for (bad0 <- Seq("aggs", "aggregations", "sort", "collapse",
+        "search_after", "rescore", "highlight") if body.hasNonNull(bad0))
+      bad(s"knn cannot be combined with $bad0")
+    val spec = parseKnn(body.get("knn"))
+    if (!ctx.columns.contains(spec.field))
+      bad(s"unknown knn field '${spec.field}'")
+    val filterPred = spec.filter.map { f =>
+      val before = ctx.scoredCount
+      val c = clause(f, ctx)
+      if (ctx.scoredCount != before)
+        bad("BM25-scored clauses are not supported inside a knn " +
+          "filter; use term-level or phrase clauses")
+      c.pred
+    }
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+    if (size < 0 || from < 0 || from + size > MaxResultWindow)
+      bad(s"from + size must stay within 0..$MaxResultWindow " +
+        "(index.max_result_window)")
+    val base = filterPred.map(df.filter).getOrElse(df)
+    val topK = knnScored(base, spec, df.columns.toSeq)
+      .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
+      .limit(spec.k)
+    val page = (if (from > 0) topK.offset(from) else topK).limit(size)
+    knnSourceProjected(page, body, df.columns.toSeq, tieNames.head)
+  }
+
+  /** `_source` projection for knn hits — the same false/array/object
+    * contract as the query path (no highlight: knn bodies reject it). */
+  private def knnSourceProjected(page: DataFrame, body: JsonNode,
+                                 columns: Seq[String],
+                                 idName: String): DataFrame =
+    Option(body.get("_source")) match {
+      case None => page
+      case Some(src) if src.isBoolean && !src.asBoolean =>
+        page.select(col(idName), col("_score"))
+      case Some(src) if src.isArray =>
+        val cols = (0 until src.size).map(src.get(_).asText)
+        val missing = cols.filterNot(columns.contains)
+        if (missing.nonEmpty)
+          bad(s"unknown _source fields: ${missing.mkString(", ")}")
+        page.select(cols.map(col) :+ col("_score"): _*)
+      case Some(src) if src.isObject =>
+        page.select(sourceFiltered(columns, src).map(col) :+
+          col("_score"): _*)
+      case _ =>
+        bad("_source must be false, an array of fields, or an " +
+          "includes/excludes object")
+    }
+
+  /** The IVF-routed twin of the brute-force `knn` body — the 100 TB
+    * retrieval shape: the SAME parsed body, but candidates come from
+    * the query's `nProbe` nearest Voronoi cells ([[graft.operators
+    * .Similarity.ivfTopK]]'s machinery — deterministic first-`nCentroids`-ids
+    * codebook, zero-Exchange assignment projection, exact re-rank of
+    * candidates only). Recall < 1 by construction; the oracle mirrors
+    * the IVF pipeline itself, so the twin is hash-gated end to end. */
+  def searchKnnIvf(df: DataFrame, body: JsonNode,
+                   tiebreak: Seq[String] = Nil,
+                   nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
+    val sid = col(idName)
+    val ctx = new Ctx(df, sid)
+    for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
+        "search_after", "rescore", "highlight", "suggest")
+        if body.hasNonNull(bad0))
+      bad(s"knn cannot be combined with $bad0")
+    val spec = parseKnn(body.get("knn"))
+    if (!ctx.columns.contains(spec.field))
+      bad(s"unknown knn field '${spec.field}'")
+    val filterPred = spec.filter.map { f =>
+      val before = ctx.scoredCount
+      val c = clause(f, ctx)
+      if (ctx.scoredCount != before)
+        bad("BM25-scored clauses are not supported inside a knn " +
+          "filter; use term-level or phrase clauses")
+      c.pred
+    }
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+    if (size < 0 || from < 0 || from + size > MaxResultWindow)
+      bad(s"from + size must stay within 0..$MaxResultWindow")
+    import graft.operators.Similarity
+    // codebook over the FULL corpus (the index is built before any
+    // filter arrives — ES prefilters candidates inside one HNSW graph
+    // the same way); candidates = probed cells ∩ filter
+    val units = Similarity.normalized(df, idName, spec.field)
+    val centDf = units.orderBy(col(idName)).limit(nCentroids)
+      .select(col(idName).as("__cid"), col("unit").as("__cu"))
+    val cent = centDf.collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    val norm = math.sqrt(spec.qv.foldLeft(0.0)((a, x) => a + x * x))
+    if (norm == 0) bad("query_vector has zero norm")
+    val qunit = spec.qv.map(_ / norm)
+    // probed cells: rank the bounded codebook DRIVER-side (≤ nCentroids
+    // dot products over literal vectors — same bounded-artifact tier as
+    // the codebook itself)
+    // tie-break by codebook position: `cent` is collected in ascending
+    // id order, so position order IS id order (no string-typed compare
+    // of numeric ids)
+    val probed: Seq[Any] = cent.zipWithIndex.map { case ((cid, cu), i) =>
+        val d = qunit.zip(cu).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        (cid, d, i)
+      }.sortBy { case (_, d, i) => (-d, i) }
+      .take(nProbe).map(_._1)
+    // candidate ids = probed cells (assignment is a pure projection —
+    // no shuffle); full candidate rows come back by one semi-join, and
+    // the request filter prunes them before scoring
+    val candIds = Similarity.ivfAssign(df, idName, spec.field, cent)
+      .filter(col("centroid_id").isInCollection(probed))
+      .select(col(idName))
+    val candRows0 = df.join(candIds, Seq(idName), "left_semi")
+    val candRows = filterPred.map(candRows0.filter).getOrElse(candRows0)
+    val topK = knnScored(candRows, spec, df.columns.toSeq)
+      .orderBy(col("_score").desc, col(idName).asc)
+      .limit(spec.k)
+    val page = (if (from > 0) topK.offset(from) else topK).limit(size)
+    knnSourceProjected(page, body, df.columns.toSeq, idName)
+  }
+
   /** Execute `body` and return (hits page, aggregation buckets if the
     * body has `aggs`) — ES returns BOTH in one response (`size: 0` is
     * how a caller opts out of hits, not the presence of `aggs`). */
@@ -400,6 +600,20 @@ object EsDsl {
     if (body.hasNonNull("suggest"))
       bad("suggest alongside query is not supported; send a " +
         "suggest-only body")
+    if (body.hasNonNull("knn")) {
+      if (body.hasNonNull("query"))
+        bad("knn alongside query (hybrid rank fusion) is not " +
+          "supported; send a knn-only body")
+      val idName0 = if (tiebreak.nonEmpty) tiebreak.head
+        else df.columns.head
+      val sid0 =
+        if (tiebreak.size > 1)
+          concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
+        else col(idName0)
+      val tieNames0 = if (tiebreak.nonEmpty) tiebreak
+        else Seq(df.columns.head)
+      return (knnParts(df, body, new Ctx(df, sid0), tieNames0), None)
+    }
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
     val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
     val sid =

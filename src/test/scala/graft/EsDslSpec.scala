@@ -24,6 +24,75 @@ class EsDslSpec extends SparkSpec {
     (4L, "batch batch window", "src3", 40L)
   ).toDF("doc_id", "text", "source", "n")
 
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.8f, 0.6f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)),
+    (5L, Array(0.0f, 0.0f, 0.0f)), // zero norm: never a hit
+    (6L, null.asInstanceOf[Array[Float]])
+  ).toDF("vec_id", "embedding")
+
+  test("knn: exact cosine top-k, ES score transform, filter applies " +
+    "before ranking, zero-norm and null vectors never match") {
+    val hits = EsDsl.search(vecs, mapper.readTree(
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |  "k": 3, "num_candidates": 10}, "size": 3,
+        | "_source": ["vec_id"]}""".stripMargin)).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // (1 + cos)/2: cos(q, v1)=1 → 1.0; cos(q, v2)=0.8 → 0.9; v3 → 0.5
+    assert(hits.map(_.getAs[Double]("_score")).toSeq ==
+      Seq(1.0, 0.9, 0.5))
+    val filtered = EsDsl.search(vecs, mapper.readTree(
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |  "k": 3, "num_candidates": 10,
+        |  "filter": {"range": {"vec_id": {"gte": 3}}}},
+        | "size": 3, "_source": ["vec_id"]}""".stripMargin)).collect()
+    // pre-filtered: only 3 and 4 remain (5 zero-norm, 6 null)
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(filtered.map(_.getAs[Double]("_score")).toSeq == Seq(0.5, 0.0))
+  }
+
+  test("knn knob validation: k/num_candidates bounds, hybrid and " +
+    "scored filters rejected, size caps the k hits") {
+    def knn(body: String) = EsDsl.search(vecs, mapper.readTree(body))
+    intercept[IllegalArgumentException] { knn(
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |"k": 0, "num_candidates": 10}}""".stripMargin) }
+    intercept[IllegalArgumentException] { knn( // num_candidates < k
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |"k": 5, "num_candidates": 4}}""".stripMargin) }
+    intercept[IllegalArgumentException] { knn( // hybrid
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |"k": 2, "num_candidates": 5},
+        |"query": {"match_all": {}}}""".stripMargin) }
+    intercept[IllegalArgumentException] { knn( // zero-norm query
+      """{"knn": {"field": "embedding", "query_vector": [0, 0, 0],
+        |"k": 2, "num_candidates": 5}}""".stripMargin) }
+    intercept[IllegalArgumentException] { knn( // unknown field
+      """{"knn": {"field": "nope", "query_vector": [1, 0, 0],
+        |"k": 2, "num_candidates": 5}}""".stripMargin) }
+    val one = knn(
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |"k": 3, "num_candidates": 10}, "size": 1}""".stripMargin)
+      .collect()
+    assert(one.length == 1 && one.head.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("knn IVF twin ranks identically to brute force when every cell " +
+    "is probed") {
+    val body = mapper.readTree(
+      """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |  "k": 3, "num_candidates": 10}, "size": 3,
+        | "_source": ["vec_id"]}""".stripMargin)
+    val brute = EsDsl.search(vecs, body).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = EsDsl.searchKnnIvf(vecs, body,
+        nCentroids = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
   test("stats / extended_stats / percentiles flatten to one row; " +
     "variance is population like ES") {
     val st = q("""{"query": {"match_all": {}}, "aggs":
