@@ -1237,6 +1237,24 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // more_like_this with its term-selection STATISTICS served from
+    // the write-time index (fieldstats n + termstats df — round 10):
+    // integer-identical numbers, so selection and scoring match the
+    // scan path bit for bit; request cost drops from two corpus scans
+    // (count + doc-freq aggregate) to two query-term-sized index
+    // probes. SearchIndexSpec pins that the probe plans read ONLY
+    // index tables.
+    "q7_esdsl_mlt_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"more_like_this": {"fields": ["text"],
+          |  "like": "window batch merge qqq",
+          |  "min_term_freq": 1, "min_doc_freq": 1,
+          |  "minimum_should_match": "67%"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
     // rank_feature (round 9): saturation relevance from the n_chars
     // feature — x/(x+pivot), one exact division.
     "q7_esdsl_rank_feature" -> ((s, dir) => {
@@ -2041,6 +2059,24 @@ object ParityQueries {
     "ORDER BY score DESC, doc_id LIMIT 100"
   }
 
+  /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
+    * surviving selected terms enumerated statically (selection
+    * invariance documented at the query; the twin's statistics are
+    * integer-identical, so selection cannot diverge). */
+  private lazy val mltSql: String = {
+    def cnt(t: String) =
+      substrCountSql(s"(${tokenNormSql("text")})", s" $t ")
+    "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"${cnt("window")} AS cw, ${cnt("batch")} AS cb, " +
+      s"${cnt("merge")} AS cm FROM documents) " +
+    "SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(cw + cb + cm AS DOUBLE) AS \"_score\" " +
+    "FROM b WHERE (CASE WHEN cw > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN cb > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN cm > 0 THEN 1 ELSE 0 END) >= 2 " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "denorm_tickets" -> denormSql,
     "denorm_tickets_nested" -> denormNestedSql,
@@ -2789,19 +2825,13 @@ object ParityQueries {
 
     // more_like_this: the three surviving selected terms enumerated
     // statically (selection invariance documented at the query)
-    "q7_esdsl_mlt" -> {
-      def cnt(t: String) =
-        substrCountSql(s"(${tokenNormSql("text")})", s" $t ")
-      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"${cnt("window")} AS cw, ${cnt("batch")} AS cb, " +
-        s"${cnt("merge")} AS cm FROM documents) " +
-      "SELECT doc_id, text, lang, source, n_chars, " +
-        "CAST(cw + cb + cm AS DOUBLE) AS \"_score\" " +
-      "FROM b WHERE (CASE WHEN cw > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN cb > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN cm > 0 THEN 1 ELSE 0 END) >= 2 " +
-      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
-    },
+    "q7_esdsl_mlt" -> mltSql,
+
+    // the indexed twin serves its selection STATISTICS from the
+    // write-time index (integer-identical fieldstats/termstats), so
+    // the chosen terms — and therefore the whole query — share the
+    // scan path's oracle
+    "q7_esdsl_mlt_indexed" -> mltSql,
 
     // gap fill: generate_series over the extended aligned range,
     // left join, zero-fill counts (metrics stay null)

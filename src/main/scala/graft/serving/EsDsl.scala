@@ -150,7 +150,8 @@ object EsDsl {
   /** Per-request translation context: carries the target frame so
     * match-family clauses can derive their BM25 (id, score) join
     * frames while the clause tree is compiled. */
-  private final class Ctx(df: DataFrame, sid: Column) {
+  private final class Ctx(df: DataFrame, sid: Column,
+                          statsIndex: Option[String] = None) {
     /** Match-family clauses QUEUED for the one shared scoring pass
       * ([[Search.rankedAllMulti]]) — replaces round 9's
       * one-`rankedAll`-frame-per-clause design, where a bool with K
@@ -209,9 +210,25 @@ object EsDsl {
       * for a FIXED term set — more_like_this's term-selection
       * statistics. Bounded driver artifact: the result is at most
       * |terms| rows (the same contract as
-      * [[Search.fuzzyExpansionSets]]'s vocabulary probes). */
+      * [[Search.fuzzyExpansionSets]]'s vocabulary probes).
+      *
+      * When the request carries a `statsIndex` and the clause targets
+      * ONE indexed field, the numbers come from the index's
+      * `fieldstats`/`termstats` tables ([[graft.sinks.SearchIndex
+      * .docFreqs]] — query-term-sized IO, bit-identical integers)
+      * instead of two corpus scans. Multi-field MLT stays on the scan
+      * (per-field df cannot reconstruct any-field df: a doc holding
+      * the term in two fields would double-count). */
     def docFreqs(fields: Seq[String],
                  terms: Seq[String]): (Long, Map[String, Long]) = {
+      val indexed = statsIndex
+        .filter(_ => fields.size == 1)
+        .filter(p => graft.sinks.SearchIndex.exists(p) &&
+          graft.sinks.SearchIndex.readMeta(p).fields.contains(fields.head))
+      indexed.foreach { p =>
+        return graft.sinks.SearchIndex.docFreqs(
+          df.sparkSession, p, fields.head, terms)
+      }
       val toks = fields.map(f => graft.functions.TextFunctions.tokens(
         lower(coalesce(col(f).cast("string"), lit("")))))
       val all = if (toks.size == 1) array_distinct(toks.head)
@@ -281,14 +298,15 @@ object EsDsl {
     * — default the table's first column; the union document view needs
     * (document_id, table) since neither alone is unique. */
   def search(df: DataFrame, body: JsonNode,
-             tiebreak: Seq[String] = Nil): DataFrame = {
+             tiebreak: Seq[String] = Nil,
+             statsIndex: Option[String] = None): DataFrame = {
     if (body.hasNonNull("suggest")) {
       if (body.hasNonNull("query"))
         bad("suggest alongside query is not supported; send a " +
           "suggest-only body")
       return suggest(df, body.get("suggest"))
     }
-    val (hits, aggs) = searchParts(df, body, tiebreak)
+    val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex)
     aggs.getOrElse(hits)
   }
 
@@ -595,7 +613,8 @@ object EsDsl {
     * body has `aggs`) — ES returns BOTH in one response (`size: 0` is
     * how a caller opts out of hits, not the presence of `aggs`). */
   def searchParts(df: DataFrame, body: JsonNode,
-                  tiebreak: Seq[String] = Nil)
+                  tiebreak: Seq[String] = Nil,
+                  statsIndex: Option[String] = None)
       : (DataFrame, Option[DataFrame]) = {
     if (body.hasNonNull("suggest"))
       bad("suggest alongside query is not supported; send a " +
@@ -620,7 +639,7 @@ object EsDsl {
       if (tiebreak.size > 1)
         concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
       else col(idName)
-    val ctx = new Ctx(df, sid)
+    val ctx = new Ctx(df, sid, statsIndex)
     val c = clause(q, ctx)
     // "rescore": ES two-phase ranking — the top `window_size` hits of
     // the primary sort get their score recombined with a secondary

@@ -494,6 +494,44 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** MORE_LIKE_THIS statistics probe: (corpus doc count, per-term doc
+    * frequency over `field`) for a FIXED term set — the numbers
+    * [[graft.serving.EsDsl]]'s more_like_this term selection needs,
+    * served from `fieldstats`/`termstats` instead of the scan path's
+    * `df.count()` + filtered doc-freq aggregate (two full corpus scans
+    * per request at 100 TB, for integers the index already stores).
+    * Bit-identical by construction: `n` counts every document
+    * (doclens keeps null-field rows), `df_t` counts one posting row
+    * per (doc, term) — the exact integers the scan aggregates produce,
+    * so term selection (and therefore the whole MLT query) is
+    * hash-identical on both paths. Bounded driver artifact: ≤ |terms|
+    * rows plus one count. */
+  def docFreqs(spark: SparkSession, path: String, field: String,
+               terms: Seq[String]): (Long, Map[String, Long]) = {
+    val (nDf, dfDf) = docFreqFrames(spark, path, field, terms)
+    val n = nDf.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val dfs = dfDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (n, dfs)
+  }
+
+  /** The two probe frames of [[docFreqs]], exposed lazily so tests can
+    * pin their IO: every scan in both plans reads ONLY index tables. */
+  private[graft] def docFreqFrames(spark: SparkSession, path: String,
+                                   field: String, terms: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val fidOf = meta.fields.zipWithIndex.toMap
+    require(fidOf.contains(field), s"field not in index: $field")
+    val fid = fidOf(field)
+    (spark.read.parquet(s"$dir/fieldstats")
+       .filter(col("fid") === fid).select(col("n")),
+     spark.read.parquet(s"$dir/termstats")
+       .filter(col("fid") === fid && col("term").isin(terms: _*))
+       .select(col("term"), col("df_t")))
+  }
+
   /** Incremental maintenance — the index-side twin of
     * [[DocumentSink.upsert]]'s replace-by-id semantics (REST re-sync,
     * reference: src/routes/ticket_routes.py:91-96): documents in `batch`

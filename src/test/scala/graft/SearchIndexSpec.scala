@@ -98,6 +98,42 @@ class SearchIndexSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("MLT statistics probe: integer-identical to the scan-path " +
+    "docFreqs, and both probe frames read ONLY index tables") {
+    val src = tmp("graft-idx-mltsrc-")
+    docs.write.mode("overwrite").parquet(s"$src/docs.parquet")
+    val onDisk = spark.read.parquet(s"$src/docs.parquet")
+    val path = tmp("graft-idx-mlt-")
+    SearchIndex.build(onDisk, Seq("text", "source"), "doc_id", path)
+    val terms = Seq("window", "batch", "qqq")
+    // scan-path numbers, spelled the way Ctx.docFreqs aggregates them
+    import org.apache.spark.sql.functions._
+    val scanN = onDisk.count()
+    val scanDfs = onDisk.select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(
+          lower(coalesce(col("text").cast("string"), lit("")))))).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy("t").agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (n, dfs) = SearchIndex.docFreqs(spark, path, "text", terms)
+    assert(n == scanN)
+    assert(dfs == scanDfs, s"index dfs $dfs != scan dfs $scanDfs")
+    assert(dfs.contains("window") && !dfs.contains("qqq"))
+    // IO pin: every file scan in both probe plans lives under the index
+    val (nDf, dfDf) = SearchIndex.docFreqFrames(spark, path, "text", terms)
+    Seq(nDf, dfDf).foreach { fr =>
+      fr.collect()
+      val scans = fr.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.foreach { sc =>
+        val locs = sc.relation.location.rootPaths.map(_.toString)
+        assert(locs.forall(_.contains(path)),
+          s"MLT stats probe read outside the index: $locs")
+      }
+    }
+  }
+
   test("upsert == full rebuild: postings, doclens, termstats, " +
     "fieldstats and query results all identical after replace+insert") {
     val v2new = Seq(
