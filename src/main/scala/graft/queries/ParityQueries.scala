@@ -1464,6 +1464,29 @@ object ParityQueries {
       graft.serving.Search.acrossIndexesRanked(
         s, dir, RunTs, "small error household")),
 
+    // The SAME wildcard ranking through the DSL front door (round 10):
+    // a verbatim ES multi_match body against data_lake_* now scores
+    // with per-index statistics — /search and /search/advanced rank
+    // identically on wildcard targets, sharing q4_union_search_bm25's
+    // oracle verbatim.
+    "q7_esdsl_bm25_wildcard" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "small error household"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.searchAcrossIndexes(s, dir, RunTs, body)
+    }),
+
+    // ... and the write-time-index twin of the DSL wildcard route:
+    // the same body, per-entity postings probes instead of entity
+    // pipeline scans. Same oracle again — three plans, one answer.
+    "q7_esdsl_bm25_wildcard_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "small error household"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.searchAcrossIndexes(s, dir, RunTs, body,
+        indexRoot = Some(s"${searchIndexRoot(s, dir)}/entities"))
+    }),
+
     // Generic catalog-driven entity sync: validate → namespace → lineage
     // (reference: the per-entity sync functions, src/data_sync.py:20-921,
     // collapsed to one declarative pipeline).
@@ -2393,6 +2416,13 @@ object ParityQueries {
     // BIT — same SQL, so any drift between the materialized index and
     // the corpus shows up as a hash mismatch
     "q4_union_search_bm25_indexed" ->
+      unionBm25Sql(Seq("small", "error", "household")),
+
+    // the DSL wildcard route and ITS indexed twin reproduce the same
+    // per-entity composed ranking — one oracle, four plans total
+    "q7_esdsl_bm25_wildcard" ->
+      unionBm25Sql(Seq("small", "error", "household")),
+    "q7_esdsl_bm25_wildcard_indexed" ->
       unionBm25Sql(Seq("small", "error", "household")),
 
     // wildcard phrase: per-entity token-adjacent occurrence counts over

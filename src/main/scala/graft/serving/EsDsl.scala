@@ -75,10 +75,12 @@ import org.apache.spark.sql.functions._
   * columns of one (id, scores) join frame — query-term-sized after the
   * token filter, so AQE broadcasts it in the common case. A bool with
   * K match clauses costs 2 corpus scans + 1 join, not 2K + K. One
-  * TakeOrdered serves the page. No driver-side evaluation, no collect. When the target is the union
-  * document view, BM25 statistics span the union as ONE corpus (ES
-  * would keep per-index statistics for a wildcard target — the
-  * per-index-ranked path lives on `/search` `rank=bm25`).
+  * TakeOrdered serves the page. No driver-side evaluation, no collect.
+  * When the target is the union document view, BM25 statistics span
+  * the union as ONE corpus; a `data_lake_*` WILDCARD body routed
+  * through [[searchAcrossIndexes]] instead scores every entity index
+  * with its own per-index statistics (ES's wildcard semantics — IDF
+  * is index-local), identically to `/search` `rank=bm25`.
   */
 object EsDsl {
 
@@ -607,6 +609,67 @@ object EsDsl {
       .limit(spec.k)
     val page = (if (from > 0) topK.offset(from) else topK).limit(size)
     knnSourceProjected(page, body, df.columns.toSeq, idName)
+  }
+
+  /** DSL body against the `data_lake_*` WILDCARD target with ES's
+    * per-index BM25 statistics — closes the documented union-view
+    * deviation (one corpus-wide statistic across entities): ES keeps
+    * IDF index-local when a search spans indexes, and this route
+    * scores every entity index with ITS OWN per-field statistics
+    * through the exact machinery `/search rank=bm25` uses
+    * ([[Search.acrossIndexesRanked]]), so `/search` and
+    * `/search/advanced` now rank identically on a wildcard target.
+    * `indexRoot`, when given, probes the per-entity write-time
+    * indexes instead ([[Search.acrossIndexesRankedIndexed]]) —
+    * bit-identical, one oracle.
+    *
+    * Supported body shape: ONE `multi_match` clause without explicit
+    * `fields` (each index scores its own string fields — ES's
+    * `fields: ["*"]` default; explicit fields against entities with
+    * heterogeneous schemas are rejected, not guessed), `type`
+    * most_fields/best_fields, plus `from`/`size`. Hits are the
+    * identity triple (table, document_id, score) — the cross-index
+    * contract `/search` serves; callers fetch bodies from the
+    * entity's own table, like ES fetches `_source` after scoring. */
+  def searchAcrossIndexes(spark: org.apache.spark.sql.SparkSession,
+                          srcDir: String, runTs: String, body: JsonNode,
+                          indexRoot: Option[String] = None): DataFrame = {
+    for (k <- Seq("aggs", "aggregations", "sort", "collapse",
+        "search_after", "rescore", "highlight", "suggest", "knn",
+        "_source") if body.hasNonNull(k))
+      bad(s"the wildcard target does not support $k")
+    val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
+    val (kind, b) = unwrap(q)
+    if (kind != "multi_match")
+      bad(s"unsupported clause '$kind' on the wildcard target " +
+        "(one multi_match without explicit fields)")
+    val text = Option(b.get("query")).map(_.asText)
+      .getOrElse(bad("multi_match needs \"query\""))
+    if (text.toLowerCase.split("\\s+").forall(_.isEmpty))
+      bad("empty multi_match query")
+    if (b.hasNonNull("fields"))
+      bad("explicit fields are not supported on the wildcard target; " +
+        "each index scores its own string fields (ES's [\"*\"] default)")
+    for (k <- Seq("operator", "minimum_should_match", "fuzziness")
+        if b.hasNonNull(k))
+      bad(s"multi_match $k is not supported on the wildcard target")
+    val bestFields = Option(b.get("type")).map(_.asText)
+      .getOrElse("most_fields") match {
+      case "most_fields" => false
+      case "best_fields" => true
+      case other => bad(s"unsupported multi_match type '$other'")
+    }
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+    if (size < 0 || from < 0 || from + size > MaxResultWindow)
+      bad(s"from + size must stay within 0..$MaxResultWindow")
+    val ranked = indexRoot match {
+      case Some(root) => Search.acrossIndexesRankedIndexed(
+        spark, root, text, from + size, bestFields)
+      case None => Search.acrossIndexesRanked(
+        spark, srcDir, runTs, text, from + size, bestFields)
+    }
+    if (from > 0) ranked.offset(from) else ranked
   }
 
   /** Execute `body` and return (hits page, aggregation buckets if the
