@@ -863,6 +863,31 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "part"), body)
     }),
 
+    // match_phrase under PHRASE-FREQUENCY BM25 (round 10 — ES's
+    // PhraseQuery model, closing the count-scored deviation): idf =
+    // the phrase terms' idf sum, tf = the adjacency count, dl-
+    // normalized like the match family.
+    "q7_esdsl_phrase_bm25" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": "the window"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and the positional-postings twin: phrase counts, dl, and
+    // every statistic from the index tables (SearchIndex.phraseRanked)
+    // — bit-identical scores, one oracle, no corpus scan.
+    "q7_esdsl_phrase_bm25_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "the window",
+        Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // match_phrase slop through the DSL translator (round 9): the same
     // ordered-proximity semantics as q2_search_phrase_slop, arriving in
     // a verbatim ES body; count-valued scores cast to _score doubles.
@@ -2082,6 +2107,53 @@ object ParityQueries {
     "ORDER BY score DESC, doc_id LIMIT 100"
   }
 
+  /** Phrase-frequency BM25 oracle fragment (round 10 — the DSL scores
+    * match_phrase with ES's PhraseQuery model): CTEs `pst` (corpus
+    * statistics) and `pb` = (doc_id, text, lang, source, n_chars, pf,
+    * ph_score) — op-for-op the Spark expression: idf = the
+    * PHRASE-ORDERED sum of per-term idfs over token-presence doc
+    * frequencies, tf = `pfExpr`'s phrase count, one floor-rounding to
+    * the 1e-4 grid. Emitted WITHOUT the leading WITH so slop callers
+    * can prepend their position CTEs; `fromSql` lets the pf come from
+    * a joined CTE. */
+  private def phraseBm25Body(terms: Seq[String], fromSql: String,
+                             pfExpr: String): String = {
+    val dt = terms.distinct
+    val dlExpr = "len(list_filter(string_split_regex(text, '\\s+'), " +
+      "x -> x <> ''))"
+    val dfCols = dt.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN ${substrCountSql(s"(${tokenNormSql("text")})",
+        s" $t ")} > 0 THEN 1 ELSE 0 END) AS d$i" }.mkString(", ")
+    val idfSum = terms.map { t =>
+      val i = dt.indexOf(t)
+      s"ln(CAST(1.0 AS DOUBLE) + (n - d$i + CAST(0.5 AS DOUBLE)) / " +
+        s"(d$i + CAST(0.5 AS DOUBLE)))"
+    }.mkString(" + ")
+    s"pst AS (SELECT count(*) AS n, " +
+      s"CAST(sum($dlExpr) AS DOUBLE) / count(*) AS avgdl, $dfCols " +
+      "FROM documents), " +
+    "pb AS (SELECT doc_id, text, lang, source, n_chars, pf, " +
+      s"floor((($idfSum) * ((pf * CAST(2.2 AS DOUBLE)) / " +
+      "(pf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      "CAST(0.75 AS DOUBLE) * dl / avgdl)))) * 10000.0 + 0.5) / 10000.0 " +
+      "AS ph_score FROM (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$pfExpr AS pf, $dlExpr AS dl FROM $fromSql) pc0 CROSS JOIN pst)"
+  }
+
+  /** The exact-adjacency "the window" phrase-BM25 CTE over documents —
+    * shared by every oracle whose body scores that phrase. */
+  private lazy val phraseBm25TheWindow: String =
+    "WITH " + phraseBm25Body(Seq("the", "window"), "documents",
+      substrCountSql(s"(${tokenNormSql("text")})", " the  window "))
+
+  /** Shared oracle of q7_esdsl_phrase_bm25 and its positional-postings
+    * index twin: full columns + the phrase-BM25 _score. */
+  private lazy val phraseBm25Sql: String =
+    phraseBm25TheWindow +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -2466,14 +2538,19 @@ object ParityQueries {
 
     "q2_search_phrase" -> phraseOracleSql,
     "q2_search_phrase_indexed" -> phraseOracleSql,
+    "q7_esdsl_phrase_bm25" -> phraseBm25Sql,
+    "q7_esdsl_phrase_bm25_indexed" -> phraseBm25Sql,
     "q2_search_phrase_slop" -> slopOracleSql,
     "q2_search_phrase_slop_indexed" -> slopOracleSql,
     "q7_esdsl_phrase_slop" -> (
-      slopOracleCte("the", "window", 2) +
-      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
-      "CAST(m.score AS DOUBLE) AS _score " +
-      "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
-      "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+      slopOracleCte("the", "window", 2) + ", " +
+      phraseBm25Body(Seq("the", "window"),
+        "documents d LEFT JOIN m USING (doc_id)",
+        "coalesce(m.score, 0)") +
+      " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS _score " +
+      "FROM pb WHERE pf > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     // date_range: conditional timestamp-window buckets
     "q7_esdsl_date_range" ->
@@ -2494,20 +2571,16 @@ object ParityQueries {
 
     // highlight: token-rebuilt text with matched tokens wrapped;
     // phrase-count score
-    "q7_esdsl_highlight" -> {
-      val pc = substrCountSql(s"(${tokenNormSql("text")})",
-        " the  window ")
-      "WITH c AS (SELECT doc_id, text, " +
-        s"CAST($pc AS DOUBLE) AS _score FROM documents) " +
-      "SELECT doc_id, _score, " +
+    "q7_esdsl_highlight" -> (
+      phraseBm25TheWindow +
+      " SELECT doc_id, ph_score AS _score, " +
         "array_to_string(list_transform(list_filter(" +
         "string_split_regex(coalesce(text, ''), '\\s+'), " +
         "x -> x <> ''), x -> CASE WHEN lower(x) IN ('the', 'window') " +
         "THEN '<em>' || x || '</em>' ELSE x END), ' ') " +
         "AS highlight_text " +
-      "FROM c WHERE _score > 0 " +
-      "ORDER BY _score DESC, doc_id LIMIT 100"
-    },
+      "FROM pb WHERE pf > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     // collapse: best row per lang under (n_chars desc, doc_id) —
     // window rank twin
@@ -2627,32 +2700,27 @@ object ParityQueries {
 
     // dis_max: phrase-count subscore vs constant term subscore —
     // max + tie_breaker·(sum − max) over MATCHING subqueries only
-    "q7_esdsl_dismax" -> {
-      val pc = substrCountSql(s"(${tokenNormSql("text")})",
-        " the  window ")
-      "WITH c AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"CAST($pc AS DOUBLE) AS pc, " +
+    "q7_esdsl_dismax" -> (
+      phraseBm25TheWindow +
+      ", c AS (SELECT doc_id, text, lang, source, n_chars, pf, " +
+        "CASE WHEN pf > 0 THEN ph_score ELSE CAST(0.0 AS DOUBLE) END " +
+        "AS pc, " +
         "CASE WHEN source = 'src3' THEN CAST(1.0 AS DOUBLE) " +
-        "ELSE CAST(0.0 AS DOUBLE) END AS tm FROM documents) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS tm FROM pb) " +
       "SELECT doc_id, text, lang, source, n_chars, " +
         "greatest(pc, tm) + CAST(0.4 AS DOUBLE) * " +
         "(pc + tm - greatest(pc, tm)) AS _score " +
-      "FROM c WHERE pc > 0 OR tm > 0 " +
-      "ORDER BY _score DESC, doc_id LIMIT 100"
-    },
+      "FROM c WHERE pf > 0 OR tm > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     // boosting: positive phrase hits, demoted ×0.5 when lang = 'de'
-    "q7_esdsl_boosting" -> {
-      val pc = substrCountSql(s"(${tokenNormSql("text")})",
-        " the  window ")
-      "WITH c AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"CAST($pc AS DOUBLE) AS pc FROM documents) " +
-      "SELECT doc_id, text, lang, source, n_chars, " +
-        "CASE WHEN lang = 'de' THEN pc * CAST(0.5 AS DOUBLE) " +
-        "ELSE pc END AS _score " +
-      "FROM c WHERE pc > 0 " +
-      "ORDER BY _score DESC, doc_id LIMIT 100"
-    },
+    "q7_esdsl_boosting" -> (
+      phraseBm25TheWindow +
+      " SELECT doc_id, text, lang, source, n_chars, " +
+        "CASE WHEN lang = 'de' THEN ph_score * CAST(0.5 AS DOUBLE) " +
+        "ELSE ph_score END AS _score " +
+      "FROM pb WHERE pf > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     // match_phrase_prefix "the s": 'the' then any token LIKE 's%'
     // immediately after; score = count of start positions
@@ -2946,14 +3014,16 @@ object ParityQueries {
     // the window (1·primary + 2·phrase)
     "q7_esdsl_rescore" -> {
       val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
-      val pc = substrCountSql(s"(${tokenNormSql("text")})",
-        " the  window ")
-      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"$wc AS wc, $pc AS pc FROM documents), " +
+      phraseBm25TheWindow +
+      ", b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$wc AS wc, " +
+        "CASE WHEN pf > 0 THEN ph_score ELSE CAST(0.0 AS DOUBLE) END " +
+        "AS ph FROM pb), " +
       "f AS (SELECT * FROM b WHERE wc > 0), " +
       "win AS (SELECT * FROM f ORDER BY wc DESC, doc_id LIMIT 50) " +
       "SELECT doc_id, text, lang, source, n_chars, " +
-        "CAST(1.0 * wc + 2.0 * pc AS DOUBLE) AS \"_score\" " +
+        "CAST(1.0 AS DOUBLE) * wc + CAST(2.0 AS DOUBLE) * ph " +
+        "AS \"_score\" " +
       "FROM win ORDER BY \"_score\" DESC, doc_id LIMIT 20"
     },
 

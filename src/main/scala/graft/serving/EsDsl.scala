@@ -58,8 +58,13 @@ import org.apache.spark.sql.functions._
   * wildcard/prefix/regexp, bool.filter, bool.must_not) score 0 in
   * filter position and a constant 1.0 in query position (ES's
   * constant-score rewrite for term-level queries); `match_phrase`
-  * scores by token-adjacent occurrence counts (the documented phrase
-  * family — ES's phrase-frequency BM25 is out of scope); `match` with
+  * scores with PHRASE-FREQUENCY BM25 — ES's PhraseQuery model: idf =
+  * the sum of the phrase terms' idfs (one per position, like Lucene's
+  * termStatistics collection), tf = the phrase occurrence count
+  * (adjacent, or the ordered-proximity start count under `slop` — our
+  * stand-in for Lucene's distance-weighted sloppyFreq, documented);
+  * `match_phrase_prefix` / `match_bool_prefix` and the query-string
+  * families keep occurrence-count scores (documented); `match` with
   * `fuzziness` scores by fuzzy-token occurrence counts (the documented
   * fuzzy family). `bool` sums must + matching should scores, exactly
   * ES's combination rule. All scores are doubles in a `_score` column;
@@ -281,6 +286,62 @@ object EsDsl {
       * [[Search.rankedAll]]'s exact tokenization. */
     private def analyze(query: String): Seq[String] =
       query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
+    // -- phrase-frequency BM25 ------------------------------------------
+    // ES scores match_phrase with BM25: idf = the SUM of the phrase
+    // terms' idfs (Lucene PhraseQuery weights collect termStatistics
+    // for every position), tf = the phrase frequency. The statistics
+    // (corpus count, per-field total length, per-(field, term) doc
+    // frequency) are SINGLE-ROW aggregates — every phrase clause of a
+    // body shares ONE aggregate over the corpus, broadcast back as a
+    // cross join, so K phrase clauses cost one extra scan total, not K.
+    private val phbFields = ArrayBuffer[String]()          // distinct
+    private val phbTerms = ArrayBuffer[(String, String)]() // distinct
+    private def phbUsed: Boolean = phbFields.nonEmpty
+
+    /** Phrase-BM25 score column for a phrase over `field` whose
+      * per-row phrase frequency is `pf` (exact-adjacency or sloppy
+      * start count — the caller's matcher; our ordered-proximity count
+      * stands in for Lucene's distance-weighted sloppyFreq, documented
+      * deviation). idf terms keep PHRASE ORDER including duplicates —
+      * Lucene sums one idf per position. */
+    def phraseBm25Score(field: String, terms: Seq[String],
+                        pf: Column): Column = {
+      if (!phbFields.contains(field)) { phbFields += field; () }
+      terms.distinct.foreach(t =>
+        if (!phbTerms.contains((field, t))) { phbTerms += ((field, t)); () })
+      val fi = phbFields.indexOf(field)
+      val dl = graft.functions.TextFunctions.tokenCount(col(field))
+      val idfSum = terms.map { t =>
+        val d = col(s"__phb_df_${phbTerms.indexOf((field, t))}")
+        log(lit(1.0) + (col("__phb_n") - d + 0.5) / (d + 0.5))
+      }.reduce(_ + _)
+      Search.round4(idfSum * ((pf * 2.2) /
+        (pf + lit(1.2) * (lit(0.25) +
+          lit(0.75) * dl / col(s"__phb_avgdl_$fi")))))
+    }
+
+    /** The ONE single-row statistics frame every phrase clause's score
+      * references — None when the body had no scored phrase. Broadcast
+      * cross-joined into the hit path by [[searchParts]]. */
+    def phraseStatsFrame: Option[DataFrame] =
+      if (!phbUsed) None
+      else {
+        val aggs =
+          phbFields.toSeq.zipWithIndex.map { case (f, fi) =>
+            sum(graft.functions.TextFunctions.tokenCount(col(f)))
+              .as(s"__phb_sumdl_$fi") } ++
+          phbTerms.toSeq.zipWithIndex.map { case ((f, t), ti) =>
+            sum(when(Search.substrCount(Search.tokenNorm(col(f)),
+              s" $t ") > 0, 1L).otherwise(0L)).as(s"__phb_df_$ti") }
+        val row = df.agg(count(lit(1)).as("__phb_n"), aggs: _*)
+        Some(row.select(
+          col("__phb_n") +:
+          (phbFields.indices.map(fi =>
+            (col(s"__phb_sumdl_$fi").cast("double") / col("__phb_n"))
+              .as(s"__phb_avgdl_$fi")) ++
+           phbTerms.indices.map(ti => col(s"__phb_df_$ti"))): _*))
+      }
 
     /** The ONE (sid, per-clause score) frame of every queued clause —
       * None when the body had no match-family clause. Built AFTER the
@@ -753,8 +814,11 @@ object EsDsl {
     // it)
     val base0 =
       df.withColumn(IdColMarker, col(idName)).withColumn(SidCol, sid)
-    val base = ctx.scoreFrame
+    val base1 = ctx.scoreFrame
       .map(fr => base0.join(fr, Seq(SidCol), "left")).getOrElse(base0)
+    // phrase-BM25 statistics: one single-row broadcast per body
+    val base = ctx.phraseStatsFrame
+      .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
     val filtered = base.filter(c.pred)
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
@@ -1217,18 +1281,17 @@ object EsDsl {
       if (slop < 0) bad("slop must be >= 0")
       val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
       if (terms.isEmpty) bad("empty match_phrase query")
-      if (slop == 0) {
-        // token ADJACENCY on the normalized token string — the same
-        // semantics (and the same count-valued score) as Search.phrase
-        val needle = terms.mkString(" ", "  ", " ")
-        val cnt = Search.substrCount(Search.tokenNorm(col(f)), needle)
-        Clause(cnt > 0, cnt.cast("double"))
-      } else {
-        // sloppy phrase: ordered proximity (gap sum <= slop), scored
-        // by the start-position count — Search.slopPhrase's contract
-        val cnt = Search.slopCount(col(f), terms, slop)
-        Clause(cnt > 0, cnt.cast("double"))
-      }
+      // matcher: token ADJACENCY on the normalized token string (slop
+      // 0 — Search.phrase's semantics) or ordered proximity (gap sum
+      // <= slop — Search.slopPhrase's). SCORE is phrase-frequency
+      // BM25, ES's PhraseQuery model (round 10; the count-valued
+      // score was the earlier documented deviation): idf sums the
+      // phrase terms' idfs, tf is the phrase count.
+      val cnt =
+        if (slop == 0) Search.substrCount(Search.tokenNorm(col(f)),
+          terms.mkString(" ", "  ", " "))
+        else Search.slopCount(col(f), terms, slop)
+      Clause(cnt > 0, ctx.phraseBm25Score(f, terms, cnt))
 
     case ("match_bool_prefix", b) =>
       // ES match_bool_prefix: the terms are independent bool clauses
@@ -2487,7 +2550,8 @@ object EsDsl {
             }
           }
           val realCols = df.columns.filterNot(c =>
-            c == IdColMarker || c == SidCol || c.startsWith("__bm25_"))
+            c == IdColMarker || c == SidCol || c.startsWith("__bm25_") ||
+              c.startsWith("__phb_"))
           val srcCols: Seq[String] = Option(th.get("_source"))
             .filter(_.isArray).map { a =>
               val cols = (0 until a.size).map(a.get(_).asText)

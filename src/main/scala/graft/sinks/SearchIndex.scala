@@ -330,6 +330,107 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** PHRASE-FREQUENCY BM25 probe — the index-side twin of the DSL's
+    * `match_phrase` scoring (ES's PhraseQuery model): phrase counts
+    * come from the positional postings exactly as [[phrase]] computes
+    * them, `dl` rides the postings rows, N/avgdl come from
+    * `fieldstats`, per-term doc frequencies from `termstats`, and the
+    * idf is the PHRASE-ORDERED sum of the terms' idfs (one per
+    * position, like Lucene's termStatistics collection). Fields
+    * combine as a fixed-order sum with ONE final rounding (the
+    * rankedFields convention); a single-field probe is bit-identical
+    * to the scan path's phrase scoring — one oracle, two plans. Same
+    * pruned-postings IO shape as [[phrase]]: no corpus scan. */
+  def phraseRanked(spark: SparkSession, path: String, phraseQuery: String,
+                   fields: Seq[String] = Nil, limit: Int = 100,
+                   slop: Int = 0,
+                   after: Option[(Double, Any)] = None,
+                   afterInclusive: Boolean = false): DataFrame = {
+    require(slop >= 0, "slop must be >= 0")
+    import graft.serving.Search.{afterPredicate, round4}
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val idCol = meta.idCol
+    val useFields = if (fields.isEmpty) meta.fields else fields
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = useFields.filterNot(fidOf.contains)
+    require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
+    val fids = useFields.map(fidOf)
+    val terms = phraseQuery.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val distinctTerms = terms.distinct
+    val k = terms.size
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(distinctTerms: _*) &&
+        col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
+    val candidates = p.groupBy(col(idCol), col("fid"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
+        .as("tp"), count(lit(1)).as("_nt"), min(col("dl")).as("dl"))
+      .filter(col("_nt") === distinctTerms.size)
+    val headPos = element_at(col("tp"), lit(terms.head))
+    val starts =
+      if (k == 1) headPos
+      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
+        case (t, i) =>
+          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
+      }.reduce(_ && _))
+      else {
+        val sl = math.min(slop, 1 << 24)
+        def rest(i: Int, prev: Column, first: Column): Column =
+          if (i == k) lit(true)
+          else org.apache.spark.sql.functions.exists(
+            element_at(col("tp"), lit(terms(i))), pp =>
+            pp > prev && pp <= first + lit(i + sl) &&
+              rest(i + 1, pp, first))
+        filter(headPos, s => rest(1, s, s))
+      }
+    val cnt =
+      if (slop > 0 || distinctTerms.size == k) size(starts)
+      else aggregate(starts,
+        struct(lit(0).as("c"), lit(-1).as("free")),
+        (acc, s) => when(s >= acc.getField("free"),
+            struct((acc.getField("c") + lit(1)).as("c"),
+              (s + lit(k)).as("free")))
+          .otherwise(acc),
+        acc => acc.getField("c"))
+    val perField = candidates.select(col(idCol), col("fid"),
+      cnt.as("_pf"), col("dl"))
+    val stats = spark.read.parquet(s"$dir/fieldstats")
+      .filter(col("fid").isin(fids: _*))
+      .select(col("fid"), col("n"),
+        (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    val dfm = spark.read.parquet(s"$dir/termstats")
+      .filter(col("term").isin(distinctTerms: _*) &&
+        col("fid").isin(fids: _*))
+      .groupBy(col("fid"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df_t"))))
+        .as("dfm"))
+    // phrase-ordered idf sum + saturation — the exact expression the
+    // scan path's Ctx.phraseBm25Score evaluates, over the identical
+    // integers (pf, dl, df_t, n, sumdl)
+    def dfOf(t: String): Column = element_at(col("dfm"), lit(t))
+    val idfSum = terms.map(t =>
+      log(lit(1.0) + (col("n") - dfOf(t) + 0.5) / (dfOf(t) + 0.5)))
+      .reduce(_ + _)
+    val fscore = idfSum * ((col("_pf") * 2.2) /
+      (col("_pf") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl") / col("avgdl"))))
+    val withScore = perField
+      .join(broadcast(stats), Seq("fid"))
+      .join(broadcast(dfm), Seq("fid"))
+      .select(col(idCol), col("fid"), fscore.as("_fs"))
+    val parts = useFields.indices.map(i =>
+      coalesce(sum(when(col("fid") === fids(i), col("_fs"))), lit(0.0)))
+    withScore.groupBy(col(idCol))
+      .agg(round4(parts.reduce(_ + _)).as("score"))
+      .filter(col("score") > 0)
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
   /** `minimum_should_match` / `operator: "and"` probe: at least
     * `minMatch` of the query's distinct terms must token-match in some
     * field (clamped to all-terms — AND — above the term count, like

@@ -533,6 +533,17 @@ class EsDslSpec extends SparkSpec {
     assert(sc(4L) == 3.0 && sc(1L) == 2.0 && sc(2L) == 1.0, s"$sc")
   }
 
+  /** The engine's phrase-BM25 score over THIS spec's 4-doc corpus
+    * (n = 4, Σdl = 10 → avgdl = 2.5) — op-for-op
+    * Ctx.phraseBm25Score: idf sums one term-idf per phrase position,
+    * tf = the phrase count, one floor-rounding. */
+  private def phb(termDfs: Seq[Long], pf: Int, dl: Int): Double = {
+    val idf = termDfs.map(d =>
+      math.log(1.0 + (4L - d + 0.5) / (d + 0.5))).sum
+    val raw = idf * ((pf * 2.2) / (pf + 1.2 * (0.25 + 0.75 * dl / 2.5)))
+    math.floor(raw * 10000.0 + 0.5) / 10000.0
+  }
+
   test("dis_max: best matching subquery + tie_breaker share of the " +
     "rest; boosting demotes without excluding") {
     val dm = q("""{"query": {"dis_max": {"queries": [
@@ -540,16 +551,22 @@ class EsDslSpec extends SparkSpec {
       {"match_phrase": {"text": "batch batch"}}],
       "tie_breaker": 0.5}}, "size": 10}""")
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
-    // doc 1: only the term matches (1.0); doc 4: both (max 1.0 +
-    // 0.5 * the other 1.0); docs 2/3 match neither
-    assert(dm == Map(1L -> 1.0, 4L -> 1.5), s"dis_max scores: $dm")
+    // doc 1: only the term matches (1.0); doc 4: both — best subquery
+    // plus tie_breaker × the other; the phrase is BM25-scored
+    // (df(batch)=2, pf=1, dl=3), combined exactly as the engine does
+    val ph4 = phb(Seq(2L, 2L), 1, 3)
+    val best = math.max(1.0, ph4)
+    val exp4 = best + 0.5 * ((1.0 + ph4) - best)
+    assert(dm == Map(1L -> 1.0, 4L -> exp4), s"dis_max scores: $dm")
     val bo = q("""{"query": {"boosting": {
       "positive": {"match_phrase": {"text": "window"}},
       "negative": {"term": {"source": "src1"}},
       "negative_boost": 0.5}}, "size": 10}""")
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     // all three window docs stay IN; the src1 one is halved
-    assert(bo == Map(1L -> 1.0, 2L -> 0.5, 4L -> 1.0),
+    // (df(window)=3; dl 3/2/3)
+    assert(bo == Map(1L -> phb(Seq(3L), 1, 3),
+        2L -> phb(Seq(3L), 1, 2) * 0.5, 4L -> phb(Seq(3L), 1, 3)),
       s"boosting scores: $bo")
     intercept[IllegalArgumentException] {
       q("""{"query": {"dis_max": {"queries": [], "tie_breaker": 0.5}}}""")
@@ -1064,14 +1081,16 @@ class EsDslSpec extends SparkSpec {
     "matches against a per-document threshold field") {
     // primary: 'window' count (docs 1, 2, 4 all score 1); window_size
     // 2 keeps docs 1, 2 (doc_id tiebreak) — doc 4 never rescores.
-    // combined = 1·primary + 10·phrase("window batch") -> doc 1 first
+    // combined = 1·primary + 10·phraseBM25("window batch") → doc 1
+    // first (df window/batch = 3/2, pf=1, dl=3)
     val rs = q("""{"query": {"query_string": {"query": "text:window"}},
       "rescore": {"window_size": 2, "query": {
         "rescore_query": {"match_phrase": {"text": "window batch"}},
         "query_weight": 1, "rescore_query_weight": 10}},
       "size": 2}""").select("doc_id", "_score").as[(Long, Double)]
       .collect().toSeq
-    assert(rs == Seq((1L, 11.0), (2L, 1.0)))
+    val exp1 = 1.0 * 1.0 + 10.0 * phb(Seq(3L, 2L), 1, 3)
+    assert(rs == Seq((1L, exp1), (2L, 1.0)), s"rescore: $rs")
     // guards: sort/collapse/search_after, and pages past the window
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "sort": [{"n": {"order": "asc"}}],
