@@ -365,8 +365,9 @@ object EsDsl {
              statsIndex: Option[String] = None): DataFrame = {
     if (body.hasNonNull("suggest")) {
       if (body.hasNonNull("query"))
-        bad("suggest alongside query is not supported; send a " +
-          "suggest-only body")
+        bad("this single-frame API cannot return hits AND " +
+          "suggestions; use searchParts (the HTTP layer serves both " +
+          "sections of a combined body in one response)")
       return suggest(df, body.get("suggest"))
     }
     val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex)
@@ -740,9 +741,11 @@ object EsDsl {
                   tiebreak: Seq[String] = Nil,
                   statsIndex: Option[String] = None)
       : (DataFrame, Option[DataFrame]) = {
-    if (body.hasNonNull("suggest"))
-      bad("suggest alongside query is not supported; send a " +
-        "suggest-only body")
+    // a `suggest` section next to `query` is legal (ES returns hits
+    // AND suggestions in one response) — the caller compiles it with
+    // [[suggest]]/[[parseSuggest]] and serves both sections; this
+    // function returns the hits (+aggs) pair and leaves the suggest
+    // section alone
     if (body.hasNonNull("knn")) {
       if (body.hasNonNull("query"))
         bad("knn alongside query (hybrid rank fusion) is not " +

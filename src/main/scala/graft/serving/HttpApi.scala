@@ -157,6 +157,8 @@ final class HttpApi(
         case ("POST", "search" :: Nil) => search(ex, body(ex))
         case ("POST", "search" :: "advanced" :: Nil) =>
           advancedSearch(ex, body(ex))
+        case ("POST", "search" :: "scroll" :: Nil) =>
+          scrollContinue(ex, body(ex))
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(entity) match {
             case None =>
@@ -442,6 +444,138 @@ final class HttpApi(
     }
   }
 
+  /** The DSL target a request's `index` names: the union document
+    * view (wildcards — pagination needs BOTH id columns, document_ids
+    * collide across entities) or one registered table. */
+  private def dslTarget(index: String)
+      : Option[(DataFrame, Seq[String])] =
+    if (index == "*" || index.endsWith("_*"))
+      Some((EntityCatalog.unionDocuments(spark, srcDir, runTs),
+        Seq("document_id", "table")))
+    else if (Tables.names.contains(index))
+      Some((Tables(spark, srcDir, index), Nil))
+    else None
+
+  // -------------------------------------------------------------------
+  // Scroll — ES's legacy deep-export surface, emulated STATELESSLY
+  // -------------------------------------------------------------------
+
+  /** A `scroll` search opens a cursor over the match set; POST
+    * /search/scroll with the returned `_scroll_id` walks it page by
+    * page. ES keeps a server-side scroll context (a point-in-time
+    * snapshot that can expire); this engine's storage is already
+    * immutable between syncs (parquet snapshots; the search index's
+    * immutable generations), so the cursor is SELF-CONTAINED — the
+    * original body plus the last hit's effective-sort values — and the
+    * continuation is one `search_after` query: O(page) at any depth,
+    * nothing server-side to expire (the `scroll` duration is accepted
+    * and ignored — documented PIT emulation). Supported for plain
+    * query bodies (`query` + `size`); sort/collapse/search_after/
+    * rescore/aggs/suggest/knn/_source/from are rejected by name — the
+    * scroll use case is "export the whole match set", which needs
+    * none of them. */
+  private def scrollStart(ex: HttpExchange, req: JsonNode, index: String,
+                          df: DataFrame, ties: Seq[String]): Unit = {
+    for (k <- Seq("sort", "collapse", "search_after", "rescore", "aggs",
+        "aggregations", "suggest", "knn", "_source", "from")
+        if req.hasNonNull(k)) {
+      respond(ex, 400, mapper.createObjectNode()
+        .put("error", s"scroll cannot be combined with $k").toString)
+      return
+    }
+    val clean = req.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    clean.remove("scroll")
+    clean.remove("index")
+    serveScrollPage(ex, index, clean, df, ties)
+  }
+
+  /** POST /search/scroll — `{"scroll_id": "..."}`: decode the cursor,
+    * re-run the body strictly after the recorded sort position, emit
+    * the next page and the next cursor (absent once the match set is
+    * exhausted, ES's end-of-scroll signal). */
+  private def scrollContinue(ex: HttpExchange, req: JsonNode): Unit = {
+    val sid = textOr(req, "scroll_id", "")
+    if (sid.isEmpty) {
+      respond(ex, 400, """{"error": "scroll_id is required"}"""); return
+    }
+    val cursor = scala.util.Try(mapper.readTree(
+      new String(java.util.Base64.getUrlDecoder.decode(sid),
+        StandardCharsets.UTF_8))).toOption
+      .filter(c => c.hasNonNull("index") && c.hasNonNull("body") &&
+        c.hasNonNull("after"))
+    cursor match {
+      case None =>
+        respond(ex, 400, """{"error": "malformed scroll_id"}""")
+      case Some(c) =>
+        val index = c.get("index").asText
+        dslTarget(index) match {
+          case None =>
+            respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+          case Some((df, ties)) =>
+            try {
+              val body = c.get("body")
+                .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+              body.set("search_after", c.get("after"))
+              serveScrollPage(ex, index, body, df, ties)
+            } catch {
+              case e: IllegalArgumentException =>
+                respond(ex, 400, mapper.createObjectNode()
+                  .put("error", String.valueOf(e.getMessage)).toString)
+            }
+        }
+    }
+  }
+
+  /** One scroll page: run `body` (already carrying the cursor's
+    * search_after, if any), serve the hits, and derive the NEXT
+    * `_scroll_id` from the last hit's (score, tiebreak) values under
+    * the DSL's default effective sort. */
+  private def serveScrollPage(ex: HttpExchange, index: String,
+                              body: com.fasterxml.jackson.databind.node.ObjectNode,
+                              df: DataFrame, ties: Seq[String]): Unit = {
+    try {
+      val (page, _) = EsDsl.searchParts(df, body, ties)
+      val capped = page.limit(maxHits)
+      val jsonRows = capped.toJSON.collect()
+      val tieNames = if (ties.nonEmpty) ties else Seq(df.columns.head)
+      val keyRows = capped
+        .select((("_score" +: tieNames).map(org.apache.spark.sql
+          .functions.col)): _*).collect()
+      val scrollField =
+        if (keyRows.isEmpty) ""
+        else {
+          val last = keyRows.last
+          val cursor = mapper.createObjectNode()
+          cursor.put("index", index)
+          val cleanBody = body.deepCopy[com.fasterxml.jackson.databind
+            .node.ObjectNode]()
+          cleanBody.remove("search_after")
+          cursor.set[JsonNode]("body", cleanBody)
+          val arr = cursor.putArray("after")
+          (0 until last.length).foreach { i =>
+            last.get(i) match {
+              case d: java.lang.Double  => arr.add(d.doubleValue())
+              case l: java.lang.Long    => arr.add(l.longValue())
+              case n: java.lang.Integer => arr.add(n.intValue())
+              case s: String            => arr.add(s)
+              case other => arr.add(String.valueOf(other))
+            }
+          }
+          val sid = java.util.Base64.getUrlEncoder.encodeToString(
+            cursor.toString.getBytes(StandardCharsets.UTF_8))
+          s""", "_scroll_id": "$sid""""
+        }
+      respond(ex, 200,
+        s"""{"hits": {"total": {"value": ${jsonRows.length}, ${""
+          }"relation": "eq"}, "hits": [${
+          jsonRows.mkString(", ")}]}$scrollField}""")
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, mapper.createObjectNode()
+          .put("error", String.valueOf(e.getMessage)).toString)
+    }
+  }
+
   /** POST /search/advanced — `{"sql": "SELECT ...", "page_token": ...}`
     * over the registered lake views; the engine's real query language
     * instead of a raw ES DSL forward.
@@ -471,18 +605,17 @@ final class HttpApi(
       // directly. The union's pagination tiebreak needs BOTH id columns
       // — document_ids can collide across entities.
       val index = textOr(req, "index", "*")
-      val target: Option[(org.apache.spark.sql.DataFrame, Seq[String])] =
-        if (index == "*" || index.endsWith("_*"))
-          Some((EntityCatalog.unionDocuments(spark, srcDir, runTs),
-            Seq("document_id", "table")))
-        else if (Tables.names.contains(index))
-          Some((Tables(spark, srcDir, index), Nil))
-        else None
-      target match {
+      dslTarget(index) match {
         case None =>
           respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
         case Some((df, ties)) =>
           try {
+            // ?scroll-style cursoring: a body carrying "scroll" opens
+            // a stateless deep-export cursor ([[scrollContinue]])
+            if (req.hasNonNull("scroll")) {
+              scrollStart(ex, req, index, df, ties)
+              return
+            }
             // suggest-only body: the term suggester's flat
             // (token, suggestion, distance, freq) table. A named
             // table with the field indexed routes to the termstats
@@ -511,7 +644,24 @@ final class HttpApi(
             // never a sibling pipeline's, regardless of body key order
             val aggName = aggs.map(_ => EsDsl.responseAggName(
               Option(req.get("aggs")).getOrElse(req.get("aggregations"))))
-            hits(ex, page, aggs = aggs.zip(aggName))
+            // a `suggest` section NEXT TO the query rides the same
+            // response (ES's combined body) — same index routing as a
+            // suggest-only body, keyed by the body's suggester name
+            val suggestOut = Option(req.get("suggest"))
+              .filter(!_.isNull).map { sgNode =>
+                val sp = EsDsl.parseSuggest(sgNode)
+                val out =
+                  if (index != "*" && !index.endsWith("_*"))
+                    indexedOrScan(index, df, Seq(sp.field),
+                      p => graft.sinks.SearchIndex.suggest(spark, p,
+                        sp.field, sp.text, sp.size, sp.maxEdits,
+                        sp.modeMissing),
+                      () => EsDsl.suggest(df, sgNode))
+                  else EsDsl.suggest(df, sgNode)
+                (out, sgNode.fieldNames().next())
+              }
+            hits(ex, page, aggs = aggs.zip(aggName),
+              suggest = suggestOut)
           } catch {
             case e: IllegalArgumentException =>
               respond(ex, 400, mapper.createObjectNode()
@@ -585,7 +735,8 @@ final class HttpApi(
   private def hits(ex: HttpExchange, df: DataFrame,
                    nextToken: () => Option[String] = () => None,
                    baseOffset: Int = 0,
-                   aggs: Option[(DataFrame, String)] = None): Unit = {
+                   aggs: Option[(DataFrame, String)] = None,
+                   suggest: Option[(DataFrame, String)] = None): Unit = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
@@ -607,11 +758,19 @@ final class HttpApi(
       s""", "aggregations": {${mapper.writeValueAsString(name)}: ${""
         }{"buckets": [${buckets.mkString(", ")}]}}"""
     }.getOrElse("")
+    // ES returns the suggest section NEXT TO hits in the same
+    // response — the flat (token, suggestion, distance, freq) table
+    // keyed by the body's suggester name
+    val suggestField = suggest.map { case (sdf, name) =>
+      val entries = sdf.limit(maxHits).toJSON.collect()
+      s""", "suggest": {${mapper.writeValueAsString(name)}: [${
+        entries.mkString(", ")}]}"""
+    }.getOrElse("")
     respond(ex, 200,
       s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
         }"relation": "$relation"}, "max_hits": $maxHits, ${""
         }"capped": $capped$tokenField, "hits": [${
-        page.mkString(", ")}]}$aggsField}""")
+        page.mkString(", ")}]}$aggsField$suggestField}""")
   }
 
   // -------------------------------------------------------------------

@@ -35,6 +35,71 @@ class HttpApiSpec extends SparkSpec
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("a body with query AND suggest yields hits and suggestions in " +
+    "ONE response — ES's combined contract") {
+    val r = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}},
+        | "suggest": {"fix": {"text": "windoq",
+        |   "term": {"field": "text"}}},
+        | "size": 3}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"hits\": ["), r.body().take(400))
+    assert(r.body().contains("\"suggest\": {\"fix\": ["),
+      r.body().take(400))
+    assert(r.body().contains("\"suggestion\""), r.body().take(400))
+    // the hits really are the query's (scored), not the suggester's
+    assert(r.body().contains("\"_score\""))
+  }
+
+  test("scroll: a 3-page walk covers the match set in order, with no " +
+    "overlap, and the cursor ends when the set is exhausted") {
+    val open = post("/search/advanced",
+      """{"index": "documents", "scroll": "1m",
+        | "query": {"match": {"text": "window"}}, "size": 40}"""
+        .stripMargin)
+    assert(open.statusCode() == 200, open.body())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def idsOf(body: String): Seq[Long] = {
+      val n = mapper.readTree(body)
+      val hits = n.get("hits").get("hits")
+      (0 until hits.size).map(hits.get(_).get("doc_id").asLong)
+    }
+    def sidOf(body: String): Option[String] =
+      Option(mapper.readTree(body).get("_scroll_id")).map(_.asText)
+    var pages = List(idsOf(open.body()))
+    var sid = sidOf(open.body())
+    var hops = 0
+    while (sid.isDefined && hops < 10) {
+      val nxt = post("/search/scroll",
+        s"""{"scroll_id": "${sid.get}"}""")
+      assert(nxt.statusCode() == 200, nxt.body())
+      val ids = idsOf(nxt.body())
+      if (ids.nonEmpty) pages = pages :+ ids
+      sid = if (ids.isEmpty) None else sidOf(nxt.body())
+      hops += 1
+    }
+    assert(pages.length >= 3, s"expected >= 3 pages, got $pages")
+    val all = pages.flatten
+    assert(all.distinct.length == all.length, "pages overlap")
+    // the walk equals the direct query's full match set
+    val direct = serving.EsDsl.search(
+      spark.read.parquet(s"$srcDir/documents.parquet"),
+      mapper.readTree("""{"query": {"match": {"text": "window"}},
+        "size": 10000}"""))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(all == direct, s"scroll walk diverged: ${all.length} vs ${
+      direct.length} hits")
+    // guard: scroll + sort is rejected by name
+    val badReq = post("/search/advanced",
+      """{"index": "documents", "scroll": "1m",
+        | "query": {"match_all": {}},
+        | "sort": [{"doc_id": {"order": "asc"}}]}""".stripMargin)
+    assert(badReq.statusCode() == 400 && badReq.body().contains("sort"))
+    val badSid = post("/search/scroll", """{"scroll_id": "!!!"}""")
+    assert(badSid.statusCode() == 400)
+  }
+
   test("GET /health returns ok + timestamp (Q3)") {
     val r = get("/health")
     assert(r.statusCode() == 200)
