@@ -850,6 +850,86 @@ object CurationQueries {
        |FROM packed""".stripMargin
   }
 
+  /** Greedy BPE training UNROLLED to `rounds` DuckDB merge rounds —
+    * the oracle that emptied the golden tier (round 10): the merge
+    * count is FIXED (8), so the "iterative" trainer is expressible as
+    * a static CTE chain. Per round: adjacent-pair counts over the
+    * word-type table, top-1 by (freq desc, l, r), and the merge
+    * applied EVERYWHERE by one string `replace` over a
+    * separator-encoded symbol string — `replace` scans left-to-right
+    * past each replacement, which IS the leftmost-nonoverlapping
+    * greedy pass `Bpe.applyMerge` folds (and the same property the
+    * substrCount oracles already rely on). The encoding wraps every
+    * symbol in chr(31) (unit separator — outside the corpus alphabet;
+    * tokens are whitespace-split so they cannot contain whitespace,
+    * and the golden gate in Verify would catch a collision) with
+    * DOUBLED separators between symbols, the tokenNorm trick: a
+    * replaced pair always leaves a full boundary for the next match.
+    * A lambda-fold formulation would be the literal mirror of
+    * applyMerge, but DuckDB 1.0's vectorized list_reduce corrupts
+    * batches of different-length lists — the string form is the
+    * correct AND robust spelling. `s{k}` decodes the string back to a
+    * symbol list for counting; every multiply-referenced CTE is
+    * MATERIALIZED so the chain is linear work, not 2^rounds. */
+  private def bpeRoundsCte(rounds: Int): String = {
+    val sep = "chr(31)"
+    val ss = s"$sep||$sep"
+    val sb = new StringBuilder
+    sb.append(
+      "WITH w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(text, " +
+        "'\\s+'), x -> x <> '')) AS word FROM documents) " +
+        "GROUP BY word), " +
+      s"n0 AS MATERIALIZED (SELECT word, wc, $sep || array_to_string(" +
+        "list_transform(generate_series(1, length(word)), " +
+        s"i -> substr(word, i::INT, 1)), $ss) " +
+        s"|| $ss || '</w>' || $sep AS norm FROM w0)")
+    for (k <- 0 until rounds) {
+      sb.append(s", s$k AS (SELECT word, wc, list_transform(" +
+        s"string_split(norm, $ss), x -> trim(x, chr(31))) AS syms " +
+        s"FROM n$k)")
+      sb.append(s", p$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, " +
+        "sum(wc)::BIGINT AS freq FROM (SELECT wc, unnest(" +
+        "list_transform(generate_series(1, len(syms) - 1), " +
+        "i -> {'l': syms[i], 'r': syms[i + 1]})) AS p " +
+        s"FROM s$k) GROUP BY 1, 2)")
+      sb.append(s", t$k AS MATERIALIZED (SELECT l, r, freq FROM p$k " +
+        "ORDER BY freq DESC, l, r LIMIT 1)")
+      sb.append(s", n${k + 1} AS MATERIALIZED (SELECT word, wc, " +
+        s"replace(norm, $sep||t.l||$ss||t.r||$sep, " +
+        s"$sep||t.l||t.r||$sep) AS norm FROM n$k CROSS JOIN t$k t)")
+    }
+    sb.append(s", s$rounds AS (SELECT word, wc, list_transform(" +
+      s"string_split(norm, $ss), x -> trim(x, chr(31))) AS syms " +
+      s"FROM n$rounds)")
+    sb.toString
+  }
+
+  /** bpe_train: the 8 (step, left, right, freq) merge rows. */
+  private lazy val bpeTrainSql: String =
+    bpeRoundsCte(8) + " " + (0 until 8).map(k =>
+      s"""SELECT ${k + 1}::INT AS step, l AS "left", r AS "right", """ +
+        s"freq::BIGINT AS freq FROM t$k").mkString(" UNION ALL ") +
+      " ORDER BY step"
+
+  /** bpe_vocab: top-30 corpus-weighted symbols under the 8 merges. */
+  private lazy val bpeVocabSql: String =
+    bpeRoundsCte(8) +
+      " SELECT symbol, sum(wc)::BIGINT AS freq FROM " +
+      "(SELECT wc, unnest(syms) AS symbol FROM s8) GROUP BY 1 " +
+      "ORDER BY freq DESC, symbol LIMIT 30"
+
+  /** bpe_encode: per-document word + subword counts under the 8
+    * merges (each distinct word encoded once, joined back — the same
+    * vocab-level economics as the Spark plan). */
+  private lazy val bpeEncodeSql: String =
+    bpeRoundsCte(8) +
+      " SELECT d.doc_id, count(*)::BIGINT AS n_words, " +
+      "sum(len(s.syms))::BIGINT AS n_bpe_tokens FROM " +
+      "(SELECT doc_id, unnest(list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '')) AS word FROM documents) d " +
+      "JOIN s8 s USING (word) GROUP BY d.doc_id"
+
   private val sampleStratifiedSql: String =
     """SELECT doc_id, source FROM documents
       |QUALIFY row_number() OVER (PARTITION BY source
@@ -857,6 +937,9 @@ object CurationQueries {
       |           doc_id) <= 15""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql,
+    "bpe_vocab" -> bpeVocabSql,
+    "bpe_encode" -> bpeEncodeSql,
     "scrub_pii" -> scrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mix_epochs" -> mixEpochsSql,
