@@ -363,7 +363,9 @@ object EsDsl {
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil,
              statsIndex: Option[String] = None): DataFrame = {
-    if (body.hasNonNull("suggest")) {
+    // knn takes priority: a knn body reaches searchParts, whose knn
+    // branch rejects a stray suggest BY NAME (never silently dropped)
+    if (body.hasNonNull("suggest") && !body.hasNonNull("knn")) {
       if (body.hasNonNull("query"))
         bad("this single-frame API cannot return hits AND " +
           "suggestions; use searchParts (the HTTP layer serves both " +
@@ -552,9 +554,22 @@ object EsDsl {
     * ([[searchKnnIvf]]) is the 100 TB path: candidates from `nProbe`
     * Voronoi cells only. */
   private def knnParts(df: DataFrame, body: JsonNode, ctx: Ctx,
-                       tieNames: Seq[String]): DataFrame = {
-    for (bad0 <- Seq("aggs", "aggregations", "sort", "collapse",
-        "search_after", "rescore", "highlight") if body.hasNonNull(bad0))
+                       tieNames: Seq[String]): DataFrame =
+    knnServe(df, body, ctx, tieNames, (_, dfm) => dfm)
+
+  /** Shared knn scaffold — validation, filter compilation, paging and
+    * `_source` projection for BOTH retrieval routes; the candidate
+    * step is pluggable (identity for exact brute force, Voronoi-cell
+    * restriction for IVF), so the two paths cannot drift. The id
+    * marker column binds before the filter so `ids`/`pinned` filter
+    * clauses resolve the way they do on the query path. */
+  private def knnServe(df: DataFrame, body: JsonNode, ctx: Ctx,
+                       tieNames: Seq[String],
+                       candidates: (KnnSpec, DataFrame) => DataFrame)
+      : DataFrame = {
+    for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
+        "search_after", "rescore", "highlight", "suggest")
+        if body.hasNonNull(bad0))
       bad(s"knn cannot be combined with $bad0")
     val spec = parseKnn(body.get("knn"))
     if (!ctx.columns.contains(spec.field))
@@ -572,12 +587,16 @@ object EsDsl {
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
       bad(s"from + size must stay within 0..$MaxResultWindow " +
         "(index.max_result_window)")
-    val base = filterPred.map(df.filter).getOrElse(df)
+    val idName = tieNames.head
+    val dfm = df.withColumn(IdColMarker, col(idName))
+    val base = filterPred.map(p => candidates(spec, dfm).filter(p))
+      .getOrElse(candidates(spec, dfm))
+      .drop(IdColMarker)
     val topK = knnScored(base, spec, df.columns.toSeq)
       .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
       .limit(spec.k)
     val page = (if (from > 0) topK.offset(from) else topK).limit(size)
-    knnSourceProjected(page, body, df.columns.toSeq, tieNames.head)
+    knnSourceProjected(page, body, df.columns.toSeq, idName)
   }
 
   /** `_source` projection for knn hits — the same false/array/object
@@ -613,64 +632,40 @@ object EsDsl {
   def searchKnnIvf(df: DataFrame, body: JsonNode,
                    tiebreak: Seq[String] = Nil,
                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
-    val sid = col(idName)
-    val ctx = new Ctx(df, sid)
-    for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
-        "search_after", "rescore", "highlight", "suggest")
-        if body.hasNonNull(bad0))
-      bad(s"knn cannot be combined with $bad0")
-    val spec = parseKnn(body.get("knn"))
-    if (!ctx.columns.contains(spec.field))
-      bad(s"unknown knn field '${spec.field}'")
-    val filterPred = spec.filter.map { f =>
-      val before = ctx.scoredCount
-      val c = clause(f, ctx)
-      if (ctx.scoredCount != before)
-        bad("BM25-scored clauses are not supported inside a knn " +
-          "filter; use term-level or phrase clauses")
-      c.pred
-    }
-    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
-    if (size < 0 || from < 0 || from + size > MaxResultWindow)
-      bad(s"from + size must stay within 0..$MaxResultWindow")
-    import graft.operators.Similarity
-    // codebook over the FULL corpus (the index is built before any
-    // filter arrives — ES prefilters candidates inside one HNSW graph
-    // the same way); candidates = probed cells ∩ filter
-    val units = Similarity.normalized(df, idName, spec.field)
-    val centDf = units.orderBy(col(idName)).limit(nCentroids)
-      .select(col(idName).as("__cid"), col("unit").as("__cu"))
-    val cent = centDf.collect().toSeq
-      .map(r => (r.get(0), r.getSeq[Double](1)))
-    val norm = math.sqrt(spec.qv.foldLeft(0.0)((a, x) => a + x * x))
-    if (norm == 0) bad("query_vector has zero norm")
-    val qunit = spec.qv.map(_ / norm)
-    // probed cells: rank the bounded codebook DRIVER-side (≤ nCentroids
-    // dot products over literal vectors — same bounded-artifact tier as
-    // the codebook itself)
-    // tie-break by codebook position: `cent` is collected in ascending
-    // id order, so position order IS id order (no string-typed compare
-    // of numeric ids)
-    val probed: Seq[Any] = cent.zipWithIndex.map { case ((cid, cu), i) =>
-        val d = qunit.zip(cu).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
-        (cid, d, i)
-      }.sortBy { case (_, d, i) => (-d, i) }
-      .take(nProbe).map(_._1)
-    // candidate ids = probed cells (assignment is a pure projection —
-    // no shuffle); full candidate rows come back by one semi-join, and
-    // the request filter prunes them before scoring
-    val candIds = Similarity.ivfAssign(df, idName, spec.field, cent)
-      .filter(col("centroid_id").isInCollection(probed))
-      .select(col(idName))
-    val candRows0 = df.join(candIds, Seq(idName), "left_semi")
-    val candRows = filterPred.map(candRows0.filter).getOrElse(candRows0)
-    val topK = knnScored(candRows, spec, df.columns.toSeq)
-      .orderBy(col("_score").desc, col(idName).asc)
-      .limit(spec.k)
-    val page = (if (from > 0) topK.offset(from) else topK).limit(size)
-    knnSourceProjected(page, body, df.columns.toSeq, idName)
+    val tieNames = if (tiebreak.nonEmpty) tiebreak
+      else Seq(df.columns.head)
+    val idName = tieNames.head
+    val ctx = new Ctx(df, col(idName))
+    knnServe(df, body, ctx, tieNames, { (spec, dfm) =>
+      import graft.operators.Similarity
+      // codebook over the FULL corpus (the index is built before any
+      // filter arrives — ES prefilters candidates inside one HNSW
+      // graph the same way); candidates = probed cells ∩ filter
+      val units = Similarity.normalized(df, idName, spec.field)
+      val centDf = units.orderBy(col(idName)).limit(nCentroids)
+        .select(col(idName).as("__cid"), col("unit").as("__cu"))
+      val cent = centDf.collect().toSeq
+        .map(r => (r.get(0), r.getSeq[Double](1)))
+      val norm = math.sqrt(spec.qv.foldLeft(0.0)((a, x) => a + x * x))
+      if (norm == 0) bad("query_vector has zero norm")
+      val qunit = spec.qv.map(_ / norm)
+      // probed cells: rank the bounded codebook DRIVER-side
+      // (≤ nCentroids dot products over literal vectors — the
+      // bounded-artifact tier); ties break by codebook position,
+      // which IS ascending id order (no string-typed id compare)
+      val probed: Seq[Any] = cent.zipWithIndex.map { case ((cid, cu), i) =>
+          val d = qunit.zip(cu).foldLeft(0.0) { case (a, (x, y)) =>
+            a + x * y }
+          (cid, d, i)
+        }.sortBy { case (_, d, i) => (-d, i) }
+        .take(nProbe).map(_._1)
+      // candidate ids = probed cells (assignment is a pure projection
+      // — no shuffle); full candidate rows come back by one semi-join
+      val candIds = Similarity.ivfAssign(df, idName, spec.field, cent)
+        .filter(col("centroid_id").isInCollection(probed))
+        .select(col(idName))
+      dfm.join(candIds, Seq(idName), "left_semi")
+    })
   }
 
   /** DSL body against the `data_lake_*` WILDCARD target with ES's

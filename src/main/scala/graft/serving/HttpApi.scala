@@ -456,6 +456,66 @@ final class HttpApi(
       Some((Tables(spark, srcDir, index), Nil))
     else None
 
+  /** The suggest section's frame — ONE routing for suggest-only and
+    * combined (query + suggest) bodies: a named table with the field
+    * indexed probes the termstats vocabulary (term-cardinality-sized);
+    * the union view and unindexed fields take the corpus scan — same
+    * oracle either way (SearchIndex.suggest's contract). */
+  private def suggestFrame(index: String, df: DataFrame,
+                           sgNode: JsonNode): DataFrame = {
+    val sp = EsDsl.parseSuggest(sgNode)
+    if (index != "*" && !index.endsWith("_*"))
+      indexedOrScan(index, df, Seq(sp.field),
+        p => graft.sinks.SearchIndex.suggest(spark, p, sp.field,
+          sp.text, sp.size, sp.maxEdits, sp.modeMissing),
+        () => EsDsl.suggest(df, sgNode))
+    else EsDsl.suggest(df, sgNode)
+  }
+
+  /** Is this wildcard-target body the shape
+    * [[EsDsl.searchAcrossIndexes]] ranks per-index — one `multi_match`
+    * without explicit fields/operator/msm/fuzziness and none of the
+    * hit features the identity-triple response cannot carry? Anything
+    * else stays on the union view. */
+  private def wildcardRankable(req: JsonNode): Boolean = {
+    val blocked = Seq("aggs", "aggregations", "sort", "collapse",
+      "search_after", "rescore", "highlight", "suggest", "knn",
+      "_source")
+    if (blocked.exists(req.hasNonNull)) return false
+    Option(req.get("query")).filter(_.isObject).exists { q =>
+      val it = q.fieldNames()
+      if (!it.hasNext) false
+      else {
+        val kind = it.next()
+        if (it.hasNext || kind != "multi_match") false
+        else {
+          val b = q.get("multi_match")
+          b.hasNonNull("query") && !b.hasNonNull("fields") &&
+            !b.hasNonNull("operator") &&
+            !b.hasNonNull("minimum_should_match") &&
+            !b.hasNonNull("fuzziness") &&
+            Option(b.get("type")).map(_.asText)
+              .forall(t => t == "most_fields" || t == "best_fields")
+        }
+      }
+    }
+  }
+
+  /** Does `key` appear anywhere in the JSON tree? (Routing probe —
+    * e.g. "does this body contain a more_like_this clause".) */
+  private def hasKeyDeep(n: JsonNode, key: String): Boolean = {
+    if (n.isObject) {
+      if (n.hasNonNull(key)) return true
+      val it = n.elements()
+      while (it.hasNext) if (hasKeyDeep(it.next(), key)) return true
+      false
+    } else if (n.isArray) {
+      val it = n.elements()
+      while (it.hasNext) if (hasKeyDeep(it.next(), key)) return true
+      false
+    } else false
+  }
+
   // -------------------------------------------------------------------
   // Scroll — ES's legacy deep-export surface, emulated STATELESSLY
   // -------------------------------------------------------------------
@@ -536,15 +596,19 @@ final class HttpApi(
     try {
       val (page, _) = EsDsl.searchParts(df, body, ties)
       val capped = page.limit(maxHits)
-      val jsonRows = capped.toJSON.collect()
       val tieNames = if (ties.nonEmpty) ties else Seq(df.columns.head)
-      val keyRows = capped
-        .select((("_score" +: tieNames).map(org.apache.spark.sql
-          .functions.col)): _*).collect()
+      // ONE collect per page (the deep-export path is O(page) by
+      // contract): each row carries its JSON rendering AND the typed
+      // cursor key values
+      import org.apache.spark.sql.functions.{col, struct, to_json}
+      val rows = capped.select(
+        to_json(struct(capped.columns.map(col): _*)).as("_j") +:
+          ("_score" +: tieNames).map(col): _*).collect()
+      val jsonRows = rows.map(_.getString(0))
       val scrollField =
-        if (keyRows.isEmpty) ""
+        if (rows.isEmpty) ""
         else {
-          val last = keyRows.last
+          val last = rows.last
           val cursor = mapper.createObjectNode()
           cursor.put("index", index)
           val cleanBody = body.deepCopy[com.fasterxml.jackson.databind
@@ -552,13 +616,21 @@ final class HttpApi(
           cleanBody.remove("search_after")
           cursor.set[JsonNode]("body", cleanBody)
           val arr = cursor.putArray("after")
-          (0 until last.length).foreach { i =>
+          // key values must round-trip TYPED through the cursor — a
+          // stringified numeric would make the continuation's
+          // strictly-after literal compare against a mis-typed value
+          (1 until last.length).foreach { i =>
             last.get(i) match {
               case d: java.lang.Double  => arr.add(d.doubleValue())
+              case f: java.lang.Float   => arr.add(f.doubleValue())
               case l: java.lang.Long    => arr.add(l.longValue())
               case n: java.lang.Integer => arr.add(n.intValue())
+              case b: java.lang.Boolean => arr.add(b.booleanValue())
               case s: String            => arr.add(s)
-              case other => arr.add(String.valueOf(other))
+              case other => throw new IllegalArgumentException(
+                s"scroll needs numeric/string tiebreak columns; '${
+                  tieNames.lift(i - 2).getOrElse("_score")}' is ${
+                  if (other == null) "null" else other.getClass.getName}")
             }
           }
           val sid = java.util.Base64.getUrlEncoder.encodeToString(
@@ -596,7 +668,8 @@ final class HttpApi(
     // Catalyst plan (serving/EsDsl) over the named table (default: the
     // documents corpus). An unsupported construct is the caller's
     // error: EsDsl names it in a 400, never returns a wrong result.
-    if (req.hasNonNull("query") || req.hasNonNull("suggest")) {
+    if (req.hasNonNull("query") || req.hasNonNull("suggest") ||
+        req.hasNonNull("knn")) {
       // index "*" / data_lake_* = the union document view, the exact
       // target the reference's passthrough queries (its es_connector
       // always searches index_prefix*) — and therefore the DEFAULT: a
@@ -617,49 +690,45 @@ final class HttpApi(
               return
             }
             // suggest-only body: the term suggester's flat
-            // (token, suggestion, distance, freq) table. A named
-            // table with the field indexed routes to the termstats
-            // vocabulary probe (term-cardinality-sized); the union
-            // view and unindexed fields take the corpus scan — same
-            // oracle either way (SearchIndex.suggest's contract).
-            if (req.hasNonNull("suggest") && !req.hasNonNull("query")) {
-              val sgNode = req.get("suggest")
-              val sp = EsDsl.parseSuggest(sgNode)
-              val out =
-                if (index != "*" && !index.endsWith("_*"))
-                  indexedOrScan(index, df, Seq(sp.field),
-                    p => graft.sinks.SearchIndex.suggest(spark, p,
-                      sp.field, sp.text, sp.size, sp.maxEdits,
-                      sp.modeMissing),
-                    () => EsDsl.suggest(df, sgNode))
-                else EsDsl.suggest(df, sgNode)
-              hits(ex, out)
+            // (token, suggestion, distance, freq) table
+            if (req.hasNonNull("suggest") && !req.hasNonNull("query") &&
+                !req.hasNonNull("knn")) {
+              hits(ex, suggestFrame(index, df, req.get("suggest")))
               return
             }
+            // data_lake_* wildcard bodies of the rankable multi_match
+            // shape score with PER-INDEX statistics (ES's wildcard
+            // semantics — IDF is index-local) through the entity
+            // postings indexes, the same ranking /search rank=bm25
+            // serves; other wildcard bodies keep the union view
+            // (corpus-wide statistics, documented)
+            if ((index == "*" || index.endsWith("_*")) &&
+                wildcardRankable(req)) {
+              hits(ex, EsDsl.searchAcrossIndexes(spark, srcDir, runTs,
+                req, indexRoot = Some(entityIndexRoot())))
+              return
+            }
+            // a named-table more_like_this serves its term-selection
+            // statistics from the table's write-time index (built on
+            // first MLT touch only — other bodies never pay the build)
+            val statsIdx =
+              if (index != "*" && !index.endsWith("_*") &&
+                  hasKeyDeep(req, "more_like_this"))
+                Some(tableIndexPath(index))
+              else None
             // ES returns hits AND aggregations in one response; the
             // flat bucket table rides an "aggregations" section keyed
             // by the body's top-level agg name
-            val (page, aggs) = EsDsl.searchParts(df, req, ties)
+            val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx)
             // the section is keyed by the BASE bucket agg's name —
             // never a sibling pipeline's, regardless of body key order
             val aggName = aggs.map(_ => EsDsl.responseAggName(
               Option(req.get("aggs")).getOrElse(req.get("aggregations"))))
             // a `suggest` section NEXT TO the query rides the same
-            // response (ES's combined body) — same index routing as a
-            // suggest-only body, keyed by the body's suggester name
+            // response (ES's combined body), keyed by the suggester
             val suggestOut = Option(req.get("suggest"))
-              .filter(!_.isNull).map { sgNode =>
-                val sp = EsDsl.parseSuggest(sgNode)
-                val out =
-                  if (index != "*" && !index.endsWith("_*"))
-                    indexedOrScan(index, df, Seq(sp.field),
-                      p => graft.sinks.SearchIndex.suggest(spark, p,
-                        sp.field, sp.text, sp.size, sp.maxEdits,
-                        sp.modeMissing),
-                      () => EsDsl.suggest(df, sgNode))
-                  else EsDsl.suggest(df, sgNode)
-                (out, sgNode.fieldNames().next())
-              }
+              .filter(!_.isNull).map(sg =>
+                (suggestFrame(index, df, sg), sg.fieldNames().next()))
             hits(ex, page, aggs = aggs.zip(aggName),
               suggest = suggestOut)
           } catch {

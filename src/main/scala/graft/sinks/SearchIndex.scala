@@ -264,61 +264,9 @@ object SearchIndex {
     val terms = phraseQuery.toLowerCase.split("\\s+")
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
-    val distinctTerms = terms.distinct
-    val k = terms.size
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(distinctTerms: _*) &&
-        col("fid").isin(fids: _*))
-      .select(col(idCol), col("fid"), col("term"), col("pos"))
-    // per (doc, field): term → sorted positions; a field missing any
-    // query term cannot contain the phrase (postings are term-unique,
-    // so the row count IS the distinct-term count)
-    val candidates = p.groupBy(col(idCol), col("fid"))
-      .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
-        .as("tp"), count(lit(1)).as("_nt"))
-      .filter(col("_nt") === distinctTerms.size)
-    // match starts: positions of the head term whose i-th successor
-    // slot holds term i (sorted, since pos lists are sorted)
-    val headPos = element_at(col("tp"), lit(terms.head))
-    val starts =
-      if (k == 1) headPos
-      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
-        case (t, i) =>
-          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
-      }.reduce(_ && _))
-      else {
-        // sloppy (ordered-proximity) starts: term i placeable at some
-        // p_i > p_(i-1) within the head-anchored window p_1 + i + slop
-        // — the same start-position existence check the scan path's
-        // Search.slopCount runs, here over the index's position lists
-        // (same overflow clamp too: `i + slop` is Int arithmetic)
-        val sl = math.min(slop, 1 << 24)
-        def rest(i: Int, prev: Column, first: Column): Column =
-          if (i == k) lit(true)
-          else org.apache.spark.sql.functions.exists(
-            element_at(col("tp"), lit(terms(i))), pp =>
-            pp > prev && pp <= first + lit(i + sl) &&
-              rest(i + 1, pp, first))
-        filter(headPos, s => rest(1, s, s))
-      }
-    // slop = 0: greedy left-to-right non-overlap — what the scan
-    // path's replace() counts when the phrase can self-overlap (e.g.
-    // "a a" in "a a a"); for all-distinct phrases this is simply
-    // size(starts). slop > 0: start-position count (Search.slopCount's
-    // contract on both paths).
-    val cnt =
-      if (slop > 0 || distinctTerms.size == k) size(starts)
-      else aggregate(starts,
-        struct(lit(0).as("c"), lit(-1).as("free")),
-        (acc, s) => when(s >= acc.getField("free"),
-            struct((acc.getField("c") + lit(1)).as("c"),
-              (s + lit(k)).as("free")))
-          .otherwise(acc),
-        acc => acc.getField("c"))
-    val perField = candidates.select(col(idCol), col("fid"),
-      cnt.as("_cnt"))
+    val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
     def fieldScore(i: Int): Column = {
-      val raw = coalesce(sum(when(col("fid") === fids(i), col("_cnt"))),
+      val raw = coalesce(sum(when(col("fid") === fids(i), col("_pf"))),
         lit(0)).cast("int")
       boosts.get(useFields(i)).map(b => raw * b).getOrElse(raw)
     }
@@ -328,6 +276,61 @@ object SearchIndex {
       .filter(afterPredicate(after, col(idCol), afterInclusive))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
+  }
+
+  /** Per-(document, field) phrase counts from the positional postings
+    * — the ONE matcher behind [[phrase]] (count scoring) and
+    * [[phraseRanked]] (phrase-frequency BM25), so the two probes can
+    * never diverge. Candidates must hold every distinct term
+    * (postings are term-unique per (id, fid), so the row count IS the
+    * distinct-term count); match starts intersect the sorted position
+    * lists — shifted adjacency at slop 0, the slop-clamped
+    * ordered-proximity recursion otherwise (Search.slopCount's
+    * contract, same `i + slop` Int overflow clamp); slop-0
+    * self-overlapping phrases ("a a" in "a a a") count greedily
+    * left-to-right, the scan path's replace() semantics. Returns
+    * (idCol, fid, dl, _pf). */
+  private def phraseCounts(spark: SparkSession, dir: String,
+                           idCol: String, fids: Seq[Int],
+                           terms: Seq[String], slop: Int): DataFrame = {
+    val distinctTerms = terms.distinct
+    val k = terms.size
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(distinctTerms: _*) &&
+        col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
+    // dl is constant per (id, fid); min() is the deterministic pick
+    val candidates = p.groupBy(col(idCol), col("fid"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
+        .as("tp"), count(lit(1)).as("_nt"), min(col("dl")).as("dl"))
+      .filter(col("_nt") === distinctTerms.size)
+    val headPos = element_at(col("tp"), lit(terms.head))
+    val starts =
+      if (k == 1) headPos
+      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
+        case (t, i) =>
+          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
+      }.reduce(_ && _))
+      else {
+        val sl = math.min(slop, 1 << 24)
+        def rest(i: Int, prev: Column, first: Column): Column =
+          if (i == k) lit(true)
+          else org.apache.spark.sql.functions.exists(
+            element_at(col("tp"), lit(terms(i))), pp =>
+            pp > prev && pp <= first + lit(i + sl) &&
+              rest(i + 1, pp, first))
+        filter(headPos, s => rest(1, s, s))
+      }
+    val cnt =
+      if (slop > 0 || distinctTerms.size == k) size(starts)
+      else aggregate(starts,
+        struct(lit(0).as("c"), lit(-1).as("free")),
+        (acc, s) => when(s >= acc.getField("free"),
+            struct((acc.getField("c") + lit(1)).as("c"),
+              (s + lit(k)).as("free")))
+          .otherwise(acc),
+        acc => acc.getField("c"))
+    candidates.select(col(idCol), col("fid"), col("dl"), cnt.as("_pf"))
   }
 
   /** PHRASE-FREQUENCY BM25 probe — the index-side twin of the DSL's
@@ -360,43 +363,7 @@ object SearchIndex {
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
     val distinctTerms = terms.distinct
-    val k = terms.size
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(distinctTerms: _*) &&
-        col("fid").isin(fids: _*))
-      .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
-    val candidates = p.groupBy(col(idCol), col("fid"))
-      .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
-        .as("tp"), count(lit(1)).as("_nt"), min(col("dl")).as("dl"))
-      .filter(col("_nt") === distinctTerms.size)
-    val headPos = element_at(col("tp"), lit(terms.head))
-    val starts =
-      if (k == 1) headPos
-      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
-        case (t, i) =>
-          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
-      }.reduce(_ && _))
-      else {
-        val sl = math.min(slop, 1 << 24)
-        def rest(i: Int, prev: Column, first: Column): Column =
-          if (i == k) lit(true)
-          else org.apache.spark.sql.functions.exists(
-            element_at(col("tp"), lit(terms(i))), pp =>
-            pp > prev && pp <= first + lit(i + sl) &&
-              rest(i + 1, pp, first))
-        filter(headPos, s => rest(1, s, s))
-      }
-    val cnt =
-      if (slop > 0 || distinctTerms.size == k) size(starts)
-      else aggregate(starts,
-        struct(lit(0).as("c"), lit(-1).as("free")),
-        (acc, s) => when(s >= acc.getField("free"),
-            struct((acc.getField("c") + lit(1)).as("c"),
-              (s + lit(k)).as("free")))
-          .otherwise(acc),
-        acc => acc.getField("c"))
-    val perField = candidates.select(col(idCol), col("fid"),
-      cnt.as("_pf"), col("dl"))
+    val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
     val stats = spark.read.parquet(s"$dir/fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"),
@@ -420,12 +387,16 @@ object SearchIndex {
     val withScore = perField
       .join(broadcast(stats), Seq("fid"))
       .join(broadcast(dfm), Seq("fid"))
-      .select(col(idCol), col("fid"), fscore.as("_fs"))
+      .select(col(idCol), col("fid"), fscore.as("_fs"), col("_pf"))
     val parts = useFields.indices.map(i =>
       coalesce(sum(when(col("fid") === fids(i), col("_fs"))), lit(0.0)))
+    // the match predicate is on the PHRASE COUNT (the scan path's
+    // `cnt > 0`), never on the rounded score — a tiny-idf corpus can
+    // round a real match to 0.0 and it must still be a hit
     withScore.groupBy(col(idCol))
-      .agg(round4(parts.reduce(_ + _)).as("score"))
-      .filter(col("score") > 0)
+      .agg(round4(parts.reduce(_ + _)).as("score"),
+        sum(col("_pf")).as("_tpf"))
+      .filter(col("_tpf") > 0).drop("_tpf")
       .filter(afterPredicate(after, col(idCol), afterInclusive))
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)

@@ -100,6 +100,35 @@ class HttpApiSpec extends SparkSpec
     assert(badSid.statusCode() == 400)
   }
 
+  test("knn bodies are served over HTTP; knn+suggest is rejected by " +
+    "name, never silently dropped") {
+    val body = s"""{"index": "embeddings", ${
+      queries.PipelineQueries.knnBody.trim.drop(1)}"""
+    val r = post("/search/advanced", body)
+    assert(r.statusCode() == 200, r.body().take(300))
+    assert(r.body().contains("\"_score\"") &&
+      r.body().contains("\"vec_id\""), r.body().take(300))
+    val combined = post("/search/advanced", s"""{"index": "embeddings",
+      "suggest": {"s": {"text": "x", "term": {"field": "vec_id"}}},
+      ${queries.PipelineQueries.knnBody.trim.drop(1)}""")
+    assert(combined.statusCode() == 400 &&
+      combined.body().contains("suggest"), combined.body())
+  }
+
+  test("a rankable wildcard multi_match body ranks PER-INDEX over " +
+    "HTTP — the identity-triple response /search rank=bm25 serves") {
+    val r = post("/search/advanced",
+      """{"query": {"multi_match": {"query": "small error household"}},
+        | "size": 5}""".stripMargin)
+    assert(r.statusCode() == 200, r.body().take(300))
+    // per-index hits are the (table, document_id, score) triple — a
+    // union-view fallback would return document fields + _score
+    assert(r.body().contains("\"table\"") &&
+      r.body().contains("\"document_id\"") &&
+      r.body().contains("\"score\""), r.body().take(400))
+    assert(!r.body().contains("\"_score\""), r.body().take(400))
+  }
+
   test("GET /health returns ok + timestamp (Q3)") {
     val r = get("/health")
     assert(r.statusCode() == 200)
