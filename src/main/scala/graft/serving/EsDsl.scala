@@ -173,6 +173,24 @@ object EsDsl {
     private def intern(key: String, expr: Column): Unit =
       if (!rankFields.exists(_._1 == key)) { rankFields += (key -> expr); () }
 
+    /** FILTER-CONTEXT depth — ES skips scoring entirely inside filter
+      * context (bool.filter, must_not, constant_score, function-score
+      * filters, knn filters, filter aggregations), and so does this
+      * translator: while > 0, [[bm25Score]]/[[bm25Combined]]/
+      * [[phraseBm25Score]] queue NOTHING and return a constant 0.0 —
+      * the caller provably never reads the score there, so a
+      * filter-position match/phrase clause costs its row-level
+      * predicate only, never a statistics scan or a score join. */
+    private var filterDepth = 0
+
+    /** Compile `body` in filter context. */
+    def inFilter[A](body: => A): A = {
+      filterDepth += 1
+      try body finally filterDepth -= 1
+    }
+
+    private def inFilterCtx: Boolean = filterDepth > 0
+
     /** Capped fuzzy expansion sets over THIS request's target frame —
       * [[Search.fuzzyExpansionSets]] (bounded driver artifact: ≤ n
       * tokens per query term). */
@@ -260,6 +278,7 @@ object EsDsl {
       * field, so the score math (fixed-order sums, one rounding)
       * stays oracle-shared with the match family. */
     def bm25Combined(query: String, fields: Seq[String]): Column = {
+      if (inFilterCtx) return lit(0.0)
       val name = s"__bm25_${rankClauses.size}"
       val key = s"__combined_${rankClauses.size}__"
       intern(key, concat_ws(" ",
@@ -276,6 +295,7 @@ object EsDsl {
       * tree per clause. */
     def bm25Score(query: String, fields: Seq[(String, Double)],
                   bestFields: Boolean): Column = {
+      if (inFilterCtx) return lit(0.0)
       val name = s"__bm25_${rankClauses.size}"
       fields.foreach { case (f, _) => intern(f, col(f)) }
       rankClauses += Search.RankClause(analyze(query), fields, bestFields)
@@ -307,6 +327,7 @@ object EsDsl {
       * Lucene sums one idf per position. */
     def phraseBm25Score(field: String, terms: Seq[String],
                         pf: Column): Column = {
+      if (inFilterCtx) return lit(0.0)
       if (!phbFields.contains(field)) { phbFields += field; () }
       terms.distinct.foreach(t =>
         if (!phbTerms.contains((field, t))) { phbTerms += ((field, t)); () })
@@ -574,14 +595,22 @@ object EsDsl {
     val spec = parseKnn(body.get("knn"))
     if (!ctx.columns.contains(spec.field))
       bad(s"unknown knn field '${spec.field}'")
-    val filterPred = spec.filter.map { f =>
-      val before = ctx.scoredCount
-      val c = clause(f, ctx)
-      if (ctx.scoredCount != before)
-        bad("BM25-scored clauses are not supported inside a knn " +
-          "filter; use term-level or phrase clauses")
-      c.pred
-    }
+    // dimension check: the dot product truncates to the shorter
+    // array, so a wrong-dimension query_vector would rank confidently
+    // on garbage — probe the corpus dimensionality (one bounded row)
+    // and reject a mismatch by name, like ES
+    val dim = df
+      .select(org.apache.spark.sql.functions
+        .size(col(spec.field).cast("array<double>")).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    dim.foreach(d => if (d != spec.qv.length)
+      bad(s"query_vector has ${spec.qv.length} dims; field " +
+        s"'${spec.field}' holds $d-dim vectors"))
+    // knn filters are filter context — scoring clauses compile to
+    // their row-level predicate only (no statistics, no score join)
+    val filterPred = spec.filter.map(f =>
+      ctx.inFilter { clause(f, ctx) }.pred)
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
@@ -596,27 +625,34 @@ object EsDsl {
       .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
       .limit(spec.k)
     val page = (if (from > 0) topK.offset(from) else topK).limit(size)
-    knnSourceProjected(page, body, df.columns.toSeq, idName)
+    sourceProjected(page, body, df.columns.toSeq, idName)
   }
 
-  /** `_source` projection for knn hits — the same false/array/object
-    * contract as the query path (no highlight: knn bodies reject it). */
-  private def knnSourceProjected(page: DataFrame, body: JsonNode,
-                                 columns: Seq[String],
-                                 idName: String): DataFrame =
+  /** `_source` projection — ONE dispatch for the query and knn hit
+    * paths: false → (id, _score), array → validated subset, object →
+    * includes/excludes wildcards. `withHl`/`hlNames` carry the query
+    * path's highlight columns through every shape (identity/Nil on
+    * the knn path, which rejects highlight). */
+  private def sourceProjected(page: DataFrame, body: JsonNode,
+                              columns: Seq[String], idName: String,
+                              withHl: DataFrame => DataFrame =
+                                identity,
+                              hlNames: Seq[Column] = Nil): DataFrame =
     Option(body.get("_source")) match {
-      case None => page
+      case None => withHl(page)
       case Some(src) if src.isBoolean && !src.asBoolean =>
-        page.select(col(idName), col("_score"))
+        withHl(page).select(col(idName) +: col("_score") +: hlNames: _*)
       case Some(src) if src.isArray =>
         val cols = (0 until src.size).map(src.get(_).asText)
         val missing = cols.filterNot(columns.contains)
         if (missing.nonEmpty)
           bad(s"unknown _source fields: ${missing.mkString(", ")}")
-        page.select(cols.map(col) :+ col("_score"): _*)
+        withHl(page).select(
+          (cols.map(col) :+ col("_score")) ++ hlNames: _*)
       case Some(src) if src.isObject =>
-        page.select(sourceFiltered(columns, src).map(col) :+
-          col("_score"): _*)
+        withHl(page).select(
+          (sourceFiltered(columns, src).map(col) :+
+            col("_score")) ++ hlNames: _*)
       case _ =>
         bad("_source must be false, an array of fields, or an " +
           "includes/excludes object")
@@ -944,25 +980,8 @@ object EsDsl {
       hlCols.foldLeft(d) { case (acc, (n, cexpr)) =>
         acc.withColumn(n, cexpr) }
     val hlNames = hlCols.map(n => col(n._1))
-    val hits = Option(body.get("_source")) match {
-      case None => withHl(page)
-      case Some(src) if src.isBoolean && !src.asBoolean =>
-        withHl(page).select(col(idName) +: col("_score") +: hlNames: _*)
-      case Some(src) if src.isArray =>
-        val cols = (0 until src.size).map(src.get(_).asText)
-        val missing = cols.filterNot(df.columns.contains)
-        if (missing.nonEmpty)
-          bad(s"unknown _source fields: ${missing.mkString(", ")}")
-        withHl(page).select(
-          (cols.map(col) :+ col("_score")) ++ hlNames: _*)
-      case Some(src) if src.isObject =>
-        withHl(page).select(
-          (sourceFiltered(df.columns.toSeq, src).map(col) :+
-            col("_score")) ++ hlNames: _*)
-      case _ =>
-        bad("_source must be false, an array of fields, or an " +
-          "includes/excludes object")
-    }
+    val hits = sourceProjected(page, body, df.columns.toSeq, idName,
+      withHl, hlNames)
     (hits, aggsOut)
   }
 
@@ -1267,7 +1286,7 @@ object EsDsl {
       val f = Option(b.get("filter"))
         .getOrElse(bad("constant_score needs \"filter\""))
       val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
-      Clause(clause(f, ctx).pred, lit(boost))
+      Clause(ctx.inFilter { clause(f, ctx) }.pred, lit(boost))
 
     case ("match_phrase", b) =>
       val (f, spec) = unwrap(b)
@@ -1395,7 +1414,8 @@ object EsDsl {
         .getOrElse(bad("boosting needs \"negative_boost\""))
       if (nb < 0.0 || nb > 1.0) bad("negative_boost must be in [0, 1]")
       val p = clause(pos, ctx)
-      val n = clause(neg, ctx)
+      // the negative side only GATES the demotion — filter context
+      val n = ctx.inFilter { clause(neg, ctx) }
       Clause(p.pred,
         when(coalesce(n.pred, lit(false)),
           p.score.cast("double") * nb).otherwise(p.score.cast("double")))
@@ -1771,7 +1791,8 @@ object EsDsl {
             "linear") if fn.hasNonNull(k))
           bad(s"unsupported function_score function '$k'")
         val applies = Option(fn.get("filter"))
-          .map(f => coalesce(clause(f, ctx).pred, lit(false)))
+          .map(f => coalesce(ctx.inFilter { clause(f, ctx) }.pred,
+            lit(false)))
           .getOrElse(lit(true))
         val weight = Option(fn.get("weight")).map(_.asDouble)
         val value: Column = Option(fn.get("field_value_factor")) match {
@@ -1898,8 +1919,12 @@ object EsDsl {
 
     case ("bool", b) =>
       val must = sub(b, "must").map(clause(_, ctx))
-      val filter = sub(b, "filter").map(clause(_, ctx))
-      val mustNot = sub(b, "must_not").map(clause(_, ctx))
+      // filter and must_not are FILTER CONTEXT (ES skips scoring
+      // there): scoring clauses compile to predicates only — no
+      // statistics scans, no score joins
+      val filter = ctx.inFilter { sub(b, "filter").map(clause(_, ctx)) }
+      val mustNot =
+        ctx.inFilter { sub(b, "must_not").map(clause(_, ctx)) }
       val should = sub(b, "should").map(clause(_, ctx))
       // ES default: should is optional when must/filter exist, else at
       // least one should must match; explicit minimum_should_match
@@ -2818,8 +2843,8 @@ object EsDsl {
           .getOrElse(bad("filters agg needs a \"filters\" object"))
         val names = keysOf(fs)
         if (names.isEmpty) bad("filters agg needs at least one filter")
-        val conds = names.map(n =>
-          coalesce(clause(fs.get(n), ctx).pred, lit(false)))
+        val conds = ctx.inFilter { names.map(n =>
+          coalesce(clause(fs.get(n), ctx).pred, lit(false))) }
         enumeratedBuckets(names, conds, spec)
 
       case "date_histogram" =>
@@ -2989,12 +3014,10 @@ object EsDsl {
           bad("adjacency_matrix needs at least one filter")
         if (names0.exists(_.contains("&")))
           bad("adjacency_matrix filter names cannot contain '&'")
-        val before = ctx.scoredCount
-        val preds = names0.map(n =>
-          n -> coalesce(clause(fNode.get(n), ctx).pred, lit(false)))
-        if (ctx.scoredCount != before)
-          bad("BM25-scored clauses are not supported inside " +
-            "adjacency_matrix; use term-level or phrase clauses")
+        // adjacency filters are filter context — scoring clauses
+        // compile to their row-level predicate only
+        val preds = ctx.inFilter { names0.map(n =>
+          n -> coalesce(clause(fNode.get(n), ctx).pred, lit(false))) }
         val sorted0 = preds.sortBy(_._1)
         val cells: Seq[(String, Column)] =
           sorted0.map { case (n, p) => n -> p } ++
@@ -3091,14 +3114,10 @@ object EsDsl {
 
       case "filter" =>
         // the SINGLE-filter bucket (ES `filter`, not `filters`): one
-        // row — the sub-set's doc_count and metric sub-aggs. The
-        // filter must be filter-context (a BM25-scored clause's join
-        // frame could never resolve here — reject, don't mistranslate)
-        val before = ctx.scoredCount
-        val c = clause(spec.get("filter"), ctx)
-        if (ctx.scoredCount != before)
-          bad("BM25-scored clauses are not supported inside a filter " +
-            "aggregation; use term-level or phrase clauses")
+        // row — the sub-set's doc_count and metric sub-aggs. Filter
+        // context: a scoring clause compiles to its row-level
+        // predicate only (no score join to resolve)
+        val c = ctx.inFilter { clause(spec.get("filter"), ctx) }
         val cols = metricSubs(spec)
         df.filter(c.pred).agg(count(lit(1)).as("doc_count"), cols: _*)
 

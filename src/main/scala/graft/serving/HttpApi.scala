@@ -70,7 +70,12 @@ final class HttpApi(
   private val builtIndexes = scala.collection.mutable.HashMap[String, String]()
 
   /** Postings index over `name`'s string columns (id = first column,
-    * matching the scan-path scorers' id choice). */
+    * matching the scan-path scorers' id choice). Memoizing for the
+    * server's lifetime is sound because `srcDir` tables are an
+    * immutable snapshot (entity writes land in the DocumentSink store
+    * under outDir, never in srcDir — and the sink maintains ITS
+    * adjacent indexes through upsert); a redeploy over new sources
+    * rebuilds. */
   private def tableIndexPath(name: String): String =
     builtIndexes.synchronized {
       builtIndexes.getOrElseUpdate(s"table:$name", {
@@ -543,6 +548,24 @@ final class HttpApi(
         .put("error", s"scroll cannot be combined with $k").toString)
       return
     }
+    // the per-index wildcard ranking route has no cursor — name the
+    // actionable alternative instead of letting the union view's
+    // multi_match translator emit a confusing 'needs fields' 400
+    if ((index == "*" || index.endsWith("_*")) && wildcardRankable(req)) {
+      respond(ex, 400, mapper.createObjectNode()
+        .put("error", "scroll over the data_lake_* wildcard is not " +
+          "supported on the per-index ranked route; scroll a named " +
+          "index, or give the multi_match explicit fields to scroll " +
+          "the union view").toString)
+      return
+    }
+    val size = Option(req.get("size")).map(_.asInt).getOrElse(10)
+    if (size > maxHits) {
+      respond(ex, 400, mapper.createObjectNode()
+        .put("error", s"scroll page size must be <= $maxHits")
+        .toString)
+      return
+    }
     val clean = req.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     clean.remove("scroll")
     clean.remove("index")
@@ -637,9 +660,12 @@ final class HttpApi(
             cursor.toString.getBytes(StandardCharsets.UTF_8))
           s""", "_scroll_id": "$sid""""
         }
+      // a live cursor means more hits may follow — total is a LOWER
+      // BOUND then ("gte"), exact only once the scroll is exhausted
+      val relation = if (scrollField.nonEmpty) "gte" else "eq"
       respond(ex, 200,
         s"""{"hits": {"total": {"value": ${jsonRows.length}, ${""
-          }"relation": "eq"}, "hits": [${
+          }"relation": "$relation"}, "hits": [${
           jsonRows.mkString(", ")}]}$scrollField}""")
     } catch {
       case e: IllegalArgumentException =>

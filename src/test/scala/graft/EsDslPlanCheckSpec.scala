@@ -126,6 +126,26 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"expected ONE left score join, got:\n${multi.optimizedPlan}")
   }
 
+  test("filter-context scoring clauses queue NOTHING: match and " +
+    "match_phrase in filter position plan one corpus scan, no joins") {
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(
+        """{"query": {"bool": {"filter": [
+          |  {"match": {"text": "window batch"}},
+          |  {"match_phrase": {"text": "the window"}}
+          |]}}, "size": 10}""".stripMargin)
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val df = serving.EsDsl.search(docs, json)
+    df.collect()
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1,
+      s"filter-context clauses cost $scans corpus scans, expected 1")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, "filter-context clauses grew a join")
+  }
+
   test("adjacency_matrix is ONE conditional aggregation pass; the " +
     "nested query is a projection predicate — no explode, no join") {
     val adj = queries.ParityQueries.queries("q7_esdsl_adjacency")(

@@ -1252,11 +1252,13 @@ class EsDslSpec extends SparkSpec {
        "aggs": {"mx": {"max": {"field": "n"}}}}}, "size": 0}""")
       .collect().head
     assert(fl.getAs[Long]("doc_count") == 2L && fl.getAs[Long]("mx") == 40L)
-    // a BM25-scored clause inside filter cannot resolve — reject
-    intercept[IllegalArgumentException] {
-      q("""{"query": {"match_all": {}}, "aggs":
-        {"f": {"filter": {"match": {"text": "window"}}}}, "size": 0}""")
-    }
+    // a match clause inside the filter agg is FILTER CONTEXT (round
+    // 10): its row-level predicate buckets, no score join needed —
+    // the clause works instead of 400ing
+    val fm = q("""{"query": {"match_all": {}}, "aggs":
+      {"f": {"filter": {"match": {"text": "window"}}}}, "size": 0}""")
+      .collect().head
+    assert(fm.getAs[Long]("doc_count") == 3L) // docs 1, 2, 4
     // global: the whole index, regardless of the query
     val gl = q("""{"query": {"term": {"source": "src1"}}, "aggs":
       {"g": {"global": {}, "aggs": {"mx": {"max": {"field": "n"}}}}},
