@@ -598,6 +598,22 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // The SAME bool body with its match clause scored by a write-time
+    // postings PROBE (round 10: statsIndex routes every match-family
+    // clause through SearchIndex.rankedScores — zero corpus scans for
+    // scoring, ES's operational shape). One oracle, two plans.
+    "q7_esdsl_bool_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {
+          |  "must": [{"match": {"text": "window batch"}}],
+          |  "filter": [{"range": {"n_chars": {"gte": 100}}}],
+          |  "must_not": [{"term": {"lang": "de"}}],
+          |  "should": [{"term": {"source": "src3"}}]
+          |}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
     // DSL filter-context + explicit sort: range & terms filters score
     // 0, the sort key is a field (not _score), the engine appends the
     // id tiebreak so pagination is deterministic.
@@ -846,6 +862,21 @@ object ParityQueries {
           |  "should": [{"match": {"lang": "en"}}]
           |}}, "size": 100}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // The SAME two-scoring-clause bool routed through the write-time
+    // index: each clause becomes one postings probe (round 10) — the
+    // per-clause frames full-outer join on the id, no corpus scan
+    // anywhere in the scoring path. Shares q7_esdsl_bm25's oracle.
+    "q7_esdsl_bm25_probe" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"bool": {
+          |  "must": [{"multi_match": {"query": "window src3",
+          |    "fields": ["text", "source"], "type": "best_fields"}}],
+          |  "should": [{"match": {"lang": "en"}}]
+          |}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
     }),
 
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
@@ -2154,6 +2185,59 @@ object ParityQueries {
       "ph_score AS \"_score\" " +
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
 
+  /** Shared oracle of q7_esdsl_bool and its index-probe twin: scored
+    * must (BM25 match) + filter-context range + null-safe must_not +
+    * scored should term. */
+  private lazy val boolOracleSql: String = {
+    val n = tokenNormSql("text")
+    val c0 = substrCountSql("n", " window ")
+    val c1 = substrCountSql("n", " batch ")
+    s"WITH ${bm25FieldCtes("text", Seq("window", "batch"), "0")}, " +
+    s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+    "nn AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$n AS n FROM documents), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$c0 AS c0, $c1 AS c1 FROM nn) " +
+    "SELECT c.doc_id, text, lang, source, n_chars, " +
+      "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
+      "(CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END) AS \"_score\" " +
+    "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+    "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN c1 > 0 THEN 1 ELSE 0 END) >= 1 " +
+      "AND n_chars >= 100 AND (lang IS NULL OR lang <> 'de') " +
+    "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
+  /** Shared oracle of q7_esdsl_bm25 and its all-probes twin:
+    * best_fields BM25 must over (text, source) + a scored should over
+    * lang — per-field statistics CTEs, greatest() combine for the
+    * must, rounded once per clause, summed (EsDsl's bool rule). */
+  private lazy val bm25BoolOracleSql: String = {
+    val nrm0 = tokenNormSql("text")
+    val nrm1 = tokenNormSql("source")
+    val preds = Seq(
+      substrCountSql(s"($nrm0)", " window "),
+      substrCountSql(s"($nrm1)", " window "),
+      substrCountSql(s"($nrm0)", " src3 "),
+      substrCountSql(s"($nrm1)", " src3 "))
+    s"WITH ${bm25FieldCtes("text", Seq("window", "src3"), "0")}, " +
+    s"${bm25FieldCtes("source", Seq("window", "src3"), "1")}, " +
+    s"${bm25FieldCtes("lang", Seq("en"), "2")}, " +
+    s"msc AS (${bm25CombineSql(Seq("0", "1"), bestFields = true)}), " +
+    s"lsc AS (${bm25CombineSql(Seq("2"), bestFields = false)}), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"${preds(0)} AS wt, ${preds(1)} AS ws, " +
+      s"${preds(2)} AS st, ${preds(3)} AS ss FROM documents) " +
+    "SELECT c.doc_id, text, lang, source, n_chars, " +
+      "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
+      "COALESCE(lsc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+    "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+    "LEFT JOIN lsc ON c.doc_id = lsc.doc_id " +
+    "WHERE (CASE WHEN wt + ws > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN st + ss > 0 THEN 1 ELSE 0 END) >= 1 " +
+    "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -2762,54 +2846,16 @@ object ParityQueries {
     // same per-field statistics CTEs the /search bm25 oracles use; the
     // match SET (≥1 term token-matches) and the filter/must_not/should
     // semantics are unchanged from round 8
-    "q7_esdsl_bool" -> {
-      val n = tokenNormSql("text")
-      val c0 = substrCountSql("n", " window ")
-      val c1 = substrCountSql("n", " batch ")
-      s"WITH ${bm25FieldCtes("text", Seq("window", "batch"), "0")}, " +
-      s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
-      "nn AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"$n AS n FROM documents), " +
-      "c AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"$c0 AS c0, $c1 AS c1 FROM nn) " +
-      "SELECT c.doc_id, text, lang, source, n_chars, " +
-        "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
-        "(CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END) AS \"_score\" " +
-      "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
-      "WHERE (CASE WHEN c0 > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN c1 > 0 THEN 1 ELSE 0 END) >= 1 " +
-        "AND n_chars >= 100 AND (lang IS NULL OR lang <> 'de') " +
-      "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
-    },
+    "q7_esdsl_bool" -> boolOracleSql,
+    // the index-probe twin reproduces the scan pass bit for bit
+    "q7_esdsl_bool_indexed" -> boolOracleSql,
 
     // best_fields BM25 must over (text, source) + a scored should over
     // lang: per-field statistics CTEs, greatest() combine for the must,
     // rounded once per clause, summed — mirroring EsDsl's bool rule
-    "q7_esdsl_bm25" -> {
-      val nrm0 = tokenNormSql("text")
-      val nrm1 = tokenNormSql("source")
-      val preds = Seq(
-        substrCountSql(s"($nrm0)", " window "),
-        substrCountSql(s"($nrm1)", " window "),
-        substrCountSql(s"($nrm0)", " src3 "),
-        substrCountSql(s"($nrm1)", " src3 "))
-      s"WITH ${bm25FieldCtes("text", Seq("window", "src3"), "0")}, " +
-      s"${bm25FieldCtes("source", Seq("window", "src3"), "1")}, " +
-      s"${bm25FieldCtes("lang", Seq("en"), "2")}, " +
-      s"msc AS (${bm25CombineSql(Seq("0", "1"), bestFields = true)}), " +
-      s"lsc AS (${bm25CombineSql(Seq("2"), bestFields = false)}), " +
-      "c AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"${preds(0)} AS wt, ${preds(1)} AS ws, " +
-        s"${preds(2)} AS st, ${preds(3)} AS ss FROM documents) " +
-      "SELECT c.doc_id, text, lang, source, n_chars, " +
-        "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) + " +
-        "COALESCE(lsc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
-      "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
-      "LEFT JOIN lsc ON c.doc_id = lsc.doc_id " +
-      "WHERE (CASE WHEN wt + ws > 0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN st + ss > 0 THEN 1 ELSE 0 END) >= 1 " +
-      "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
-    },
+    "q7_esdsl_bm25" -> bm25BoolOracleSql,
+    // the all-probes twin (every scoring clause = one postings probe)
+    "q7_esdsl_bm25_probe" -> bm25BoolOracleSql,
 
     // wildcard -> LIKE (whole value), prefix -> LIKE 'x%', regexp ->
     // full-match (both engines anchor); constant scores, id order

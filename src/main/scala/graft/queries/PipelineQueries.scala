@@ -236,6 +236,18 @@ object PipelineQueries {
         tiebreak = Seq("vec_id"))
     }),
 
+    // HYBRID knn + query (ES 8.x additive combination): the hit set
+    // is the UNION of the query's matches (vec_id < 150, constant
+    // 1.0) and the filtered knn top-50; overlapping docs SUM both
+    // sides. Exercises the union predicate, the guarded score sum,
+    // and the k-row knn join beside a query clause.
+    "q7_esdsl_knn_hybrid" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(knnHybridBody)
+      graft.serving.EsDsl.search(t(s, dir, "embeddings"), body,
+        tiebreak = Seq("vec_id"))
+    }),
+
     // The SAME knn body routed through IVF probing
     // (EsDsl.searchKnnIvf) — the 100 TB retrieval shape: candidates
     // from the query's 4 nearest Voronoi cells only, exact re-rank.
@@ -803,6 +815,15 @@ object PipelineQueries {
        | "size": 50, "_source": ["vec_id"]}""".stripMargin
   }
 
+  private[graft] lazy val knnHybridBody: String = {
+    val vec = knnQueryVec.mkString("[", ", ", "]")
+    s"""{"query": {"range": {"vec_id": {"lt": 150}}},
+       | "knn": {"field": "embedding", "query_vector": $vec,
+       |  "k": 50, "num_candidates": 100,
+       |  "filter": {"range": {"vec_id": {"gte": 100}}}},
+       | "size": 100, "_source": ["vec_id"]}""".stripMargin
+  }
+
   /** The normalized knn query vector as a DuckDB DOUBLE[] literal —
     * the exact division EsDsl.knnScored performs (index-order
     * sum-of-squares, one sqrt, one division per component). */
@@ -830,6 +851,31 @@ object PipelineQueries {
        |)
        |SELECT vec_id, s AS "_score" FROM ranked WHERE rank <= 50"""
       .stripMargin
+
+  /** q7_esdsl_knn_hybrid oracle — the union of the query's match set
+    * (vec_id < 150, constant score 1.0) and the filtered knn top-50,
+    * overlapping docs summing both sides; FULL JOIN USING coalesces
+    * the id, mirroring the engine's guarded additive combination. */
+  private val knnHybridSql: String =
+    s"""$UnitCte, qv AS (SELECT $knnQunitLit::DOUBLE[] AS q),
+       |scored AS (
+       |  SELECT vec_id,
+       |    floor(((1.0 + list_sum(list_transform(
+       |        generate_series(1, len(unit)), i -> unit[i] * q[i])))
+       |      / 2.0) * 10000.0 + 0.5) / 10000.0 AS s
+       |  FROM u CROSS JOIN qv WHERE vec_id >= 100
+       |), ranked AS (
+       |  SELECT vec_id, s,
+       |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+       |  FROM scored
+       |), kn AS (SELECT vec_id, s FROM ranked WHERE rank <= 50),
+       |qm AS (SELECT vec_id FROM embeddings WHERE vec_id < 150)
+       |SELECT vec_id,
+       |  (CASE WHEN qm.vec_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END)
+       |    + coalesce(kn.s, CAST(0.0 AS DOUBLE)) AS "_score"
+       |FROM qm FULL JOIN kn USING (vec_id)
+       |ORDER BY "_score" DESC, vec_id LIMIT 100""".stripMargin
 
   /** q7_esdsl_knn_ivf oracle — mirrors EsDsl.searchKnnIvf exactly:
     * 16-smallest-ids codebook of exact unit vectors, argmax assignment
@@ -1135,6 +1181,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> ivfSql,
     "q7_esdsl_knn" -> knnSql,
     "q7_esdsl_knn_ivf" -> knnIvfSql,
+    "q7_esdsl_knn_hybrid" -> knnHybridSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
     // every column derived from the token count alone — the engine must

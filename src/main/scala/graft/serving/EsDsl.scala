@@ -367,11 +367,47 @@ object EsDsl {
     /** The ONE (sid, per-clause score) frame of every queued clause —
       * None when the body had no match-family clause. Built AFTER the
       * whole clause tree (rescore included) compiles, so every queued
-      * clause resolves. */
+      * clause resolves.
+      *
+      * When the request carries a `statsIndex` covering every
+      * interned field (plain columns — combined_fields' derived
+      * concat is not indexed), each clause scores by ONE write-time
+      * postings probe ([[graft.sinks.SearchIndex.rankedScores]] —
+      * query-term-sized IO, zero corpus scans; ES's operational
+      * shape) and the per-clause frames full-outer join on the id.
+      * Bit-identical to the shared scan pass: SearchIndexSpec pins
+      * probe == scan per clause, and a doc missing from a clause's
+      * frame coalesces to the same 0.0. Falls back to
+      * [[Search.rankedAllMulti]]'s 2-scans-total shared pass when no
+      * index covers the fields. */
     def scoreFrame: Option[DataFrame] =
       if (rankClauses.isEmpty) None
-      else Some(Search.rankedAllMulti(df.withColumn(SidCol, sid),
-        SidCol, rankFields.toSeq, rankClauses.toSeq))
+      else {
+        val probe = statsIndex
+          .filter(graft.sinks.SearchIndex.exists)
+          .filter { p =>
+            val indexed =
+              graft.sinks.SearchIndex.readMeta(p).fields.toSet
+            rankFields.forall { case (key, _) =>
+              !key.startsWith("__combined_") && indexed.contains(key) }
+          }
+        probe match {
+          case Some(p) =>
+            val spark = df.sparkSession
+            val frames = rankClauses.toSeq.zipWithIndex.map {
+              case (cl, i) =>
+                graft.sinks.SearchIndex.rankedScores(spark, p,
+                  cl.terms.mkString(" "), cl.fields.map(_._1),
+                  bestFields = cl.bestFields,
+                  boosts = cl.fields.filter(_._2 != 1.0).toMap)
+                  .toDF(SidCol, s"__bm25_$i")
+            }
+            Some(frames.reduce(_.join(_, Seq(SidCol), "full")))
+          case None =>
+            Some(Search.rankedAllMulti(df.withColumn(SidCol, sid),
+              SidCol, rankFields.toSeq, rankClauses.toSeq))
+        }
+      }
   }
 
   /** Execute `body` (an ES search request) against `df` and return ONE
@@ -563,11 +599,12 @@ object EsDsl {
     * HNSW recall, so `num_candidates` (an HNSW beam-width knob) is
     * validated and then has no further effect (documented deviation:
     * exactness dominates any candidate count). The optional `filter`
-    * is filter-context (pre-filtered vector search, like ES) and
-    * scored clauses inside it are rejected. Hybrid `knn` + `query`
-    * rank fusion is out of scope — rejected by name, never silently
-    * wrong. Hits page like any other search body (`size` caps the k
-    * results, ES's contract); `_source` projection applies.
+    * is filter-context (pre-filtered vector search, like ES). Hybrid
+    * `knn` + `query` bodies take [[searchParts]]' main path: the hit
+    * set is the UNION of the query's matches and the k nearest, and
+    * scores SUM — ES's additive combination. Hits page like any other
+    * search body (`size` caps the k results, ES's contract);
+    * `_source` projection applies.
     *
     * Scale: score is ONE codegen'd projection (normalize + dot against
     * a literal vector), the page one TakeOrdered of k rows — no
@@ -595,18 +632,7 @@ object EsDsl {
     val spec = parseKnn(body.get("knn"))
     if (!ctx.columns.contains(spec.field))
       bad(s"unknown knn field '${spec.field}'")
-    // dimension check: the dot product truncates to the shorter
-    // array, so a wrong-dimension query_vector would rank confidently
-    // on garbage — probe the corpus dimensionality (one bounded row)
-    // and reject a mismatch by name, like ES
-    val dim = df
-      .select(org.apache.spark.sql.functions
-        .size(col(spec.field).cast("array<double>")).as("d"))
-      .filter(col("d") > 0).limit(1).collect()
-      .headOption.map(_.getInt(0))
-    dim.foreach(d => if (d != spec.qv.length)
-      bad(s"query_vector has ${spec.qv.length} dims; field " +
-        s"'${spec.field}' holds $d-dim vectors"))
+    knnDimCheck(df, spec)
     // knn filters are filter context — scoring clauses compile to
     // their row-level predicate only (no statistics, no score join)
     val filterPred = spec.filter.map(f =>
@@ -626,6 +652,20 @@ object EsDsl {
       .limit(spec.k)
     val page = (if (from > 0) topK.offset(from) else topK).limit(size)
     sourceProjected(page, body, df.columns.toSeq, idName)
+  }
+
+  /** Corpus-dimensionality probe (one bounded row) — the dot product
+    * truncates to the shorter array, so a mismatched query_vector
+    * would rank confidently on garbage; reject by name, like ES. */
+  private def knnDimCheck(df: DataFrame, spec: KnnSpec): Unit = {
+    val dim = df
+      .select(org.apache.spark.sql.functions
+        .size(col(spec.field).cast("array<double>")).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    dim.foreach(d => if (d != spec.qv.length)
+      bad(s"query_vector has ${spec.qv.length} dims; field " +
+        s"'${spec.field}' holds $d-dim vectors"))
   }
 
   /** `_source` projection — ONE dispatch for the query and knn hit
@@ -777,10 +817,7 @@ object EsDsl {
     // [[suggest]]/[[parseSuggest]] and serves both sections; this
     // function returns the hits (+aggs) pair and leaves the suggest
     // section alone
-    if (body.hasNonNull("knn")) {
-      if (body.hasNonNull("query"))
-        bad("knn alongside query (hybrid rank fusion) is not " +
-          "supported; send a knn-only body")
+    if (body.hasNonNull("knn") && !body.hasNonNull("query")) {
       val idName0 = if (tiebreak.nonEmpty) tiebreak.head
         else df.columns.head
       val sid0 =
@@ -799,6 +836,23 @@ object EsDsl {
       else col(idName)
     val ctx = new Ctx(df, sid, statsIndex)
     val c = clause(q, ctx)
+    // HYBRID knn + query (ES 8.x): the hit set is the UNION of the
+    // query's matches and the knn section's k nearest; a doc in both
+    // SUMS its scores (query + boosted knn), a doc on one side keeps
+    // that side's score — ES's additive combination. The knn side
+    // joins below as a k-row (sid, __knn_score) frame, the same
+    // broadcast-friendly shape as the shared BM25 score frame.
+    val knnHybrid: Option[(KnnSpec, Option[Column])] =
+      Option(body.get("knn")).map { kn =>
+        for (bad0 <- Seq("sort", "collapse", "search_after", "rescore")
+            if body.hasNonNull(bad0))
+          bad(s"hybrid knn + query cannot be combined with $bad0")
+        val spec = parseKnn(kn)
+        if (!ctx.columns.contains(spec.field))
+          bad(s"unknown knn field '${spec.field}'")
+        knnDimCheck(df, spec)
+        (spec, spec.filter.map(f => ctx.inFilter { clause(f, ctx) }.pred))
+      }
     // "rescore": ES two-phase ranking — the top `window_size` hits of
     // the primary sort get their score recombined with a secondary
     // query (query_weight·primary + rescore_query_weight·secondary).
@@ -851,12 +905,32 @@ object EsDsl {
     val base1 = ctx.scoreFrame
       .map(fr => base0.join(fr, Seq(SidCol), "left")).getOrElse(base0)
     // phrase-BM25 statistics: one single-row broadcast per body
-    val base = ctx.phraseStatsFrame
+    val base2 = ctx.phraseStatsFrame
       .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
-    val filtered = base.filter(c.pred)
+    // hybrid knn: join the k-nearest frame, widen the match set to
+    // the union, sum the sides' scores (guarded — a knn-only hit has
+    // no defined query score, and vice versa)
+    val (cEff, base) = knnHybrid match {
+      case None => (c, base2)
+      case Some((spec, kPred)) =>
+        val kb0 = df.withColumn(IdColMarker, col(idName))
+          .withColumn(SidCol, sid)
+        val kb = kPred.map(kb0.filter).getOrElse(kb0)
+        val topk = knnScored(kb, spec, Seq(SidCol))
+          .orderBy(col("_score").desc, col(SidCol).asc)
+          .limit(spec.k)
+          .withColumnRenamed("_score", "__knn_score")
+        val joined = base2.join(topk, Seq(SidCol), "left")
+        val score = when(coalesce(c.pred, lit(false)),
+            c.score.cast("double")).otherwise(lit(0.0)) +
+          coalesce(col("__knn_score"), lit(0.0))
+        (Clause(coalesce(c.pred, lit(false)) ||
+            col("__knn_score").isNotNull, score), joined)
+    }
+    val filtered = base.filter(cEff.pred)
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
-        Some(aggregations(base, c.pred,
+        Some(aggregations(base, cEff.pred,
           Option(body.get("aggs")).getOrElse(body.get("aggregations")),
           ctx))
       else None
@@ -864,7 +938,7 @@ object EsDsl {
       else Seq(df.columns.head)
     val scored0 = filtered.select(
       df.columns.map(col) ++
-      Seq(c.score.cast("double").as("_score")) ++
+      Seq(cEff.score.cast("double").as("_score")) ++
       rescoreOpt.map { case (rc, _, _, _) =>
         when(coalesce(rc.pred, lit(false)), rc.score.cast("double"))
           .otherwise(lit(0.0)).as("__rescore") }: _*)
@@ -2573,8 +2647,8 @@ object EsDsl {
             }
           }
           val realCols = df.columns.filterNot(c =>
-            c == IdColMarker || c == SidCol || c.startsWith("__bm25_") ||
-              c.startsWith("__phb_"))
+            c == IdColMarker || c == SidCol || c == "__knn_score" ||
+              c.startsWith("__bm25_") || c.startsWith("__phb_"))
           val srcCols: Seq[String] = Option(th.get("_source"))
             .filter(_.isArray).map { a =>
               val cols = (0 until a.size).map(a.get(_).asText)

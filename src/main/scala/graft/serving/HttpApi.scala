@@ -734,12 +734,16 @@ final class HttpApi(
                 req, indexRoot = Some(entityIndexRoot())))
               return
             }
-            // a named-table more_like_this serves its term-selection
-            // statistics from the table's write-time index (built on
-            // first MLT touch only — other bodies never pay the build)
+            // named-table bodies with match-family or more_like_this
+            // clauses ride the table's write-time index: match clauses
+            // score by postings probes (zero corpus scans) and MLT
+            // reads fieldstats/termstats — bit-identical to the scan
+            // pass either way. Built on the first such request only;
+            // term-level bodies never pay the build.
             val statsIdx =
               if (index != "*" && !index.endsWith("_*") &&
-                  hasKeyDeep(req, "more_like_this"))
+                  Seq("more_like_this", "match", "multi_match")
+                    .exists(hasKeyDeep(req, _)))
                 Some(tableIndexPath(index))
               else None
             // ES returns hits AND aggregations in one response; the

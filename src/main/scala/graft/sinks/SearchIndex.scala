@@ -167,7 +167,26 @@ object SearchIndex {
              boosts: Map[String, Double] = Map.empty,
              after: Option[(Double, Any)] = None,
              afterInclusive: Boolean = false): DataFrame = {
-    import graft.serving.Search.{afterPredicate, round4}
+    import graft.serving.Search.afterPredicate
+    val idCol = readMeta(path).idCol
+    rankedScores(spark, path, query, fields, bm25, bestFields, boosts)
+      .filter(afterPredicate(after, col(idCol), afterInclusive))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
+  /** The (idCol, score) frame of [[ranked]] BEFORE pagination — one
+    * row per doc matching ≥1 query term, carrying the rounded
+    * combined score. The index-probe twin of
+    * [[graft.serving.Search.rankedAll]]: the DSL translator joins
+    * per-clause probe frames instead of running corpus scans when the
+    * body's target has a write-time index (bit-identity pinned in
+    * SearchIndexSpec). */
+  def rankedScores(spark: SparkSession, path: String, query: String,
+                   fields: Seq[String] = Nil,
+                   bm25: Boolean = true, bestFields: Boolean = false,
+                   boosts: Map[String, Double] = Map.empty): DataFrame = {
+    import graft.serving.Search.round4
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
     val idCol = meta.idCol
@@ -224,9 +243,6 @@ object SearchIndex {
     grouped.join(broadcast(idf), Seq("fid", "term"))
       .groupBy(col(idCol))
       .agg(round4(combined).as("score"))
-      .filter(afterPredicate(after, col(idCol), afterInclusive))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(limit)
   }
 
   /** PHRASE probe (ES `multi_match` `type: "phrase"` over the index):

@@ -126,6 +126,29 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"expected ONE left score join, got:\n${multi.optimizedPlan}")
   }
 
+  test("index-probe scoring: a statsIndex body's match clauses score " +
+    "from postings — exactly ONE corpus scan (the hit path) remains") {
+    val df = queries.ParityQueries.queries("q7_esdsl_bm25_probe")(
+      spark, "/root/testdata/sf0.001")
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      df.collect()
+      // the AQE wrapper hides children from collect() — the rendered
+      // final plan shows every scan's Location
+      // the AdaptiveSparkPlan string prints Final AND Initial plans —
+      // count scans in the FINAL section only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val corpusScans = "documents\\.parquet".r.findAllIn(plan).size
+      assert(corpusScans == 1,
+        s"probe-routed scoring scanned the corpus $corpusScans times:\n${
+          plan.take(2000)}")
+      assert(plan.contains("postings"), "no index probe in the plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("filter-context scoring clauses queue NOTHING: match and " +
     "match_phrase in filter position plan one corpus scan, no joins") {
     val json = new com.fasterxml.jackson.databind.ObjectMapper()

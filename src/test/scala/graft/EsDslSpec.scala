@@ -53,8 +53,8 @@ class EsDslSpec extends SparkSpec {
     assert(filtered.map(_.getAs[Double]("_score")).toSeq == Seq(0.5, 0.0))
   }
 
-  test("knn knob validation: k/num_candidates bounds, hybrid and " +
-    "scored filters rejected, size caps the k hits") {
+  test("knn knob validation: k/num_candidates bounds, zero-norm and " +
+    "unknown-field rejection, size caps the k hits") {
     def knn(body: String) = EsDsl.search(vecs, mapper.readTree(body))
     intercept[IllegalArgumentException] { knn(
       """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
@@ -62,10 +62,12 @@ class EsDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] { knn( // num_candidates < k
       """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
         |"k": 5, "num_candidates": 4}}""".stripMargin) }
-    intercept[IllegalArgumentException] { knn( // hybrid
+    intercept[IllegalArgumentException] { knn( // hybrid + rescore
       """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
         |"k": 2, "num_candidates": 5},
-        |"query": {"match_all": {}}}""".stripMargin) }
+        |"query": {"match_all": {}},
+        |"rescore": {"window_size": 5, "query":
+        |  {"rescore_query": {"match_all": {}}}}}""".stripMargin) }
     intercept[IllegalArgumentException] { knn( // zero-norm query
       """{"knn": {"field": "embedding", "query_vector": [0, 0, 0],
         |"k": 2, "num_candidates": 5}}""".stripMargin) }
@@ -77,6 +79,27 @@ class EsDslSpec extends SparkSpec {
         |"k": 3, "num_candidates": 10}, "size": 1}""".stripMargin)
       .collect()
     assert(one.length == 1 && one.head.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("hybrid knn + query: the union hit set, scores sum on overlap, " +
+    "each side alone keeps its own score") {
+    val hits = EsDsl.search(vecs, mapper.readTree(
+      """{"query": {"range": {"vec_id": {"gte": 2}}},
+        | "knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |  "k": 2, "num_candidates": 5},
+        | "size": 10, "_source": ["vec_id"]}""".stripMargin))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // query matches 2..6 (score 1.0); knn top-2 = {1: 1.0, 2: 0.9};
+    // doc 2 overlaps (1.0 + 0.9), doc 1 is knn-only, 3..6 query-only
+    assert(hits == Map(1L -> 1.0, 2L -> 1.9, 3L -> 1.0, 4L -> 1.0,
+      5L -> 1.0, 6L -> 1.0), s"hybrid scores: $hits")
+    // dimension mismatch rejected by name, hybrid path included
+    intercept[IllegalArgumentException] {
+      EsDsl.search(vecs, mapper.readTree(
+        """{"query": {"match_all": {}},
+          | "knn": {"field": "embedding", "query_vector": [1, 0],
+          |  "k": 2, "num_candidates": 5}}""".stripMargin))
+    }
   }
 
   test("knn IVF twin ranks identically to brute force when every cell " +
