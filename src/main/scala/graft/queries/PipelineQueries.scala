@@ -248,6 +248,17 @@ object PipelineQueries {
         tiebreak = Seq("vec_id"))
     }),
 
+    // RECIPROCAL RANK FUSION (ES 8.8+ "rank": {"rrf"}): the two
+    // retrievers' ranked windows fuse by Σ 1/(rank_constant + rank)
+    // — rank-based, so the constant query score and the cosine scale
+    // never mix. Window 100 query hits + knn top-50, fused, top-100.
+    "q7_esdsl_rrf" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(knnRrfBody)
+      graft.serving.EsDsl.search(t(s, dir, "embeddings"), body,
+        tiebreak = Seq("vec_id"))
+    }),
+
     // The SAME knn body routed through IVF probing
     // (EsDsl.searchKnnIvf) — the 100 TB retrieval shape: candidates
     // from the query's 4 nearest Voronoi cells only, exact re-rank.
@@ -824,6 +835,17 @@ object PipelineQueries {
        | "size": 100, "_source": ["vec_id"]}""".stripMargin
   }
 
+  private[graft] lazy val knnRrfBody: String = {
+    val vec = knnQueryVec.mkString("[", ", ", "]")
+    s"""{"query": {"range": {"vec_id": {"lt": 150}}},
+       | "knn": {"field": "embedding", "query_vector": $vec,
+       |  "k": 50, "num_candidates": 100,
+       |  "filter": {"range": {"vec_id": {"gte": 100}}}},
+       | "rank": {"rrf": {"rank_window_size": 100,
+       |  "rank_constant": 60}},
+       | "size": 100, "_source": ["vec_id"]}""".stripMargin
+  }
+
   /** The normalized knn query vector as a DuckDB DOUBLE[] literal —
     * the exact division EsDsl.knnScored performs (index-order
     * sum-of-squares, one sqrt, one division per component). */
@@ -875,6 +897,34 @@ object PipelineQueries {
        |        ELSE CAST(0.0 AS DOUBLE) END)
        |    + coalesce(kn.s, CAST(0.0 AS DOUBLE)) AS "_score"
        |FROM qm FULL JOIN kn USING (vec_id)
+       |ORDER BY "_score" DESC, vec_id LIMIT 100""".stripMargin
+
+  /** q7_esdsl_rrf oracle — both retrievers' ranked windows (query:
+    * constant 1.0 scores rank by id; knn: the brute-force top-50)
+    * fused by Σ 1/(60 + rank), absent-side terms coalescing to 0. */
+  private val knnRrfSql: String =
+    s"""$UnitCte, qv AS (SELECT $knnQunitLit::DOUBLE[] AS q),
+       |scored AS (
+       |  SELECT vec_id,
+       |    floor(((1.0 + list_sum(list_transform(
+       |        generate_series(1, len(unit)), i -> unit[i] * q[i])))
+       |      / 2.0) * 10000.0 + 0.5) / 10000.0 AS s
+       |  FROM u CROSS JOIN qv WHERE vec_id >= 100
+       |), ranked AS (
+       |  SELECT vec_id, s,
+       |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+       |  FROM scored
+       |), kr AS (SELECT vec_id, rank AS rk FROM ranked
+       |          WHERE rank <= 50),
+       |qr AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rq
+       |  FROM embeddings WHERE vec_id < 150
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 100
+       |)
+       |SELECT vec_id,
+       |  coalesce(1.0 / (60 + rq), CAST(0.0 AS DOUBLE)) +
+       |  coalesce(1.0 / (60 + rk), CAST(0.0 AS DOUBLE)) AS "_score"
+       |FROM qr FULL JOIN kr USING (vec_id)
        |ORDER BY "_score" DESC, vec_id LIMIT 100""".stripMargin
 
   /** q7_esdsl_knn_ivf oracle — mirrors EsDsl.searchKnnIvf exactly:
@@ -1182,6 +1232,7 @@ object PipelineQueries {
     "q7_esdsl_knn" -> knnSql,
     "q7_esdsl_knn_ivf" -> knnIvfSql,
     "q7_esdsl_knn_hybrid" -> knnHybridSql,
+    "q7_esdsl_rrf" -> knnRrfSql,
     "ann_quantized_topk" -> quantizedIvfSql,
     "multimodal_features" -> multimodalSql,
     // every column derived from the token count alone — the engine must

@@ -654,6 +654,77 @@ object EsDsl {
     sourceProjected(page, body, df.columns.toSeq, idName)
   }
 
+  /** RECIPROCAL RANK FUSION (ES `"rank": {"rrf": {...}}` beside
+    * `query` + `knn` — the 8.8+ hybrid ranker): each retriever ranks
+    * its own top `rank_window_size` hits, and a doc's fused score is
+    * Σ 1/(rank_constant + rank_i) over the lists it appears in —
+    * rank-based, so the two sides' incomparable score scales never
+    * mix (the classic RRF robustness argument). Deterministic: each
+    * list ranks (score desc, id asc), fusion ties break by id;
+    * single exact divisions, no rounding needed — oracle-able as-is.
+    *
+    * Scale: each list is its own TakeOrdered (window-bounded), ranks
+    * ride a row_number over the LIMITED frame (≤ rank_window_size
+    * rows — bounded, never corpus-sized), the fusion is a full-outer
+    * join of two window-sized frames, and the hit fetch is one
+    * broadcast join back to the corpus. */
+  private def rrfParts(df: DataFrame, body: JsonNode, ctx: Ctx,
+                       c: Clause, knn: (KnnSpec, Option[Column]),
+                       sid: Column, idName: String,
+                       tieNames: Seq[String]): DataFrame = {
+    val rrf = Option(body.get("rank").get("rrf"))
+      .getOrElse(bad("rank supports only {\"rrf\": {...}}"))
+    val window = Option(rrf.get("rank_window_size")).map(_.asInt)
+      .getOrElse(100)
+    if (window < 1 || window > MaxResultWindow)
+      bad(s"rank_window_size must be 1..$MaxResultWindow")
+    val kConst = Option(rrf.get("rank_constant")).map(_.asInt)
+      .getOrElse(60)
+    if (kConst < 1) bad("rank_constant must be >= 1")
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+    if (size < 0 || from < 0 || from + size > MaxResultWindow)
+      bad(s"from + size must stay within 0..$MaxResultWindow")
+    import org.apache.spark.sql.expressions.Window
+    // query-side ranked list: the normal scored path, cut to the
+    // window BEFORE ranks are assigned (the row_number runs over the
+    // TakeOrdered's bounded output, never the corpus)
+    val base0 =
+      df.withColumn(IdColMarker, col(idName)).withColumn(SidCol, sid)
+    val base1 = ctx.scoreFrame
+      .map(fr => base0.join(fr, Seq(SidCol), "left")).getOrElse(base0)
+    val base = ctx.phraseStatsFrame
+      .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
+    val qtop = base.filter(c.pred)
+      .select(col(SidCol), c.score.cast("double").as("__qs"))
+      .orderBy(col("__qs").desc, col(SidCol).asc)
+      .limit(window)
+    val qRanks = qtop.withColumn("__rq", row_number().over(
+        Window.orderBy(col("__qs").desc, col(SidCol).asc)))
+      .select(SidCol, "__rq")
+    // knn-side list: the k nearest (ES's knn retriever size), capped
+    // by the fusion window
+    val (spec, kPred) = knn
+    val kb = kPred.map(base0.filter).getOrElse(base0)
+    val ktop = knnScored(kb, spec, Seq(SidCol))
+      .orderBy(col("_score").desc, col(SidCol).asc)
+      .limit(math.min(spec.k, window))
+    val kRanks = ktop.withColumn("__rk", row_number().over(
+        Window.orderBy(col("_score").desc, col(SidCol).asc)))
+      .select(SidCol, "__rk")
+    val fused = qRanks.join(kRanks, Seq(SidCol), "full")
+      .select(col(SidCol),
+        (coalesce(lit(1.0) / (lit(kConst) + col("__rq")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(kConst) + col("__rk")), lit(0.0)))
+          .as("_score"))
+    val hits = df.withColumn(SidCol, sid)
+      .join(broadcast(fused), Seq(SidCol))
+      .select(df.columns.map(col) :+ col("_score"): _*)
+      .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
+    val page = (if (from > 0) hits.offset(from) else hits).limit(size)
+    sourceProjected(page, body, df.columns.toSeq, idName)
+  }
+
   /** Corpus-dimensionality probe (one bounded row) — the dot product
     * truncates to the shorter array, so a mismatched query_vector
     * would rank confidently on garbage; reject by name, like ES. */
@@ -841,7 +912,9 @@ object EsDsl {
     // SUMS its scores (query + boosted knn), a doc on one side keeps
     // that side's score — ES's additive combination. The knn side
     // joins below as a k-row (sid, __knn_score) frame, the same
-    // broadcast-friendly shape as the shared BM25 score frame.
+    // broadcast-friendly shape as the shared BM25 score frame. A
+    // top-level "rank": {"rrf": ...} switches the combination to
+    // RECIPROCAL RANK FUSION ([[rrfParts]]).
     val knnHybrid: Option[(KnnSpec, Option[Column])] =
       Option(body.get("knn")).map { kn =>
         for (bad0 <- Seq("sort", "collapse", "search_after", "rescore")
@@ -853,6 +926,15 @@ object EsDsl {
         knnDimCheck(df, spec)
         (spec, spec.filter.map(f => ctx.inFilter { clause(f, ctx) }.pred))
       }
+    if (body.hasNonNull("rank")) {
+      if (knnHybrid.isEmpty)
+        bad("rank (rrf) needs BOTH query and knn retrievers")
+      for (bad0 <- Seq("aggs", "aggregations", "highlight")
+          if body.hasNonNull(bad0))
+        bad(s"rank (rrf) cannot be combined with $bad0")
+      return (rrfParts(df, body, ctx, c, knnHybrid.get, sid, idName,
+        if (tiebreak.nonEmpty) tiebreak else Seq(df.columns.head)), None)
+    }
     // "rescore": ES two-phase ranking — the top `window_size` hits of
     // the primary sort get their score recombined with a secondary
     // query (query_weight·primary + rescore_query_weight·secondary).

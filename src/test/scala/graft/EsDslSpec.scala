@@ -102,6 +102,30 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("rrf: each retriever's window ranks independently and fuses " +
+    "by reciprocal rank — score scales never mix") {
+    val rows = EsDsl.search(vecs, mapper.readTree(
+      """{"query": {"range": {"vec_id": {"gte": 2}}},
+        | "knn": {"field": "embedding", "query_vector": [1, 0, 0],
+        |  "k": 2, "num_candidates": 5},
+        | "rank": {"rrf": {"rank_window_size": 10,
+        |  "rank_constant": 60}},
+        | "size": 10, "_source": ["vec_id"]}""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // query ranks (constant score, id order): 2→1, 3→2, 4→3, 5→4,
+    // 6→5; knn top-2: 1→1, 2→2. Fused: doc 2 = 1/61 + 1/62 (both
+    // lists), doc 1 = 1/61 (knn only), docs 3..6 query-only.
+    val exp = Seq(
+      2L -> (1.0 / 61 + 1.0 / 62), 1L -> 1.0 / 61, 3L -> 1.0 / 62,
+      4L -> 1.0 / 63, 5L -> 1.0 / 64, 6L -> 1.0 / 65)
+    assert(rows == exp, s"rrf: $rows")
+    intercept[IllegalArgumentException] { // rrf needs both retrievers
+      EsDsl.search(vecs, mapper.readTree(
+        """{"query": {"match_all": {}},
+          | "rank": {"rrf": {}}}""".stripMargin))
+    }
+  }
+
   test("knn IVF twin ranks identically to brute force when every cell " +
     "is probed") {
     val body = mapper.readTree(
