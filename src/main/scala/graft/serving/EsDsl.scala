@@ -178,15 +178,45 @@ object EsDsl {
       * filters, knn filters, filter aggregations), and so does this
       * translator: while > 0, [[bm25Score]]/[[bm25Combined]]/
       * [[phraseBm25Score]] queue NOTHING and return a constant 0.0 —
-      * the caller provably never reads the score there, so a
-      * filter-position match/phrase clause costs its row-level
-      * predicate only, never a statistics scan or a score join. */
+      * a filter-position match/phrase clause costs its row-level
+      * predicate only, never a statistics scan or a score join. The
+      * ONE construct whose predicate READS a score —
+      * `function_score` with `min_score` — escapes the suppression
+      * through [[scoringNeeded]]. */
     private var filterDepth = 0
+
+    /** While true, a scoring registration could never resolve — the
+      * caller compiles AFTER the hit path's score-join fold
+      * (aggregation filters) or on a path with no fold at all
+      * (knn-only bodies). [[scoringNeeded]] rejects by name here
+      * instead of registering an unresolvable column. */
+    private var noResolve = false
 
     /** Compile `body` in filter context. */
     def inFilter[A](body: => A): A = {
       filterDepth += 1
       try body finally filterDepth -= 1
+    }
+
+    /** Compile `body` where score registrations could not resolve
+      * (post-fold aggregations, fold-less knn-only paths). */
+    def withoutScoreJoins[A](body: => A): A = {
+      val saved = noResolve
+      noResolve = true
+      try body finally noResolve = saved
+    }
+
+    /** Escape hatch for the min_score case: compile `body` with REAL
+      * scores even under filter context — legal only where the score
+      * join can still resolve, else a named 400. */
+    def scoringNeeded[A](body: => A): A = {
+      if (noResolve)
+        bad("a min_score-bearing function_score cannot resolve its " +
+          "scores here (aggregation filters and knn-only filters " +
+          "compile after the scoring fold); move it to query context")
+      val saved = filterDepth
+      filterDepth = 0
+      try body finally filterDepth = saved
     }
 
     private def inFilterCtx: Boolean = filterDepth > 0
@@ -264,12 +294,6 @@ object EsDsl {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       (df.count(), freqs)
     }
-
-    /** Number of BM25 score clauses queued so far — lets the filter
-      * aggregation reject match-family clauses (scores resolve through
-      * the hit path's one score join, built before aggregations run,
-      * so a clause queued later could never resolve). */
-    def scoredCount: Int = rankClauses.size
 
     /** BM25 over the fields CONCATENATED AS ONE synthetic field —
       * combined_fields' term-centric model: one dl (the summed token
@@ -389,7 +413,12 @@ object EsDsl {
             val indexed =
               graft.sinks.SearchIndex.readMeta(p).fields.toSet
             rankFields.forall { case (key, _) =>
-              !key.startsWith("__combined_") && indexed.contains(key) }
+              !key.startsWith("__combined_") && indexed.contains(key) } &&
+            // a clause listing the same field twice keeps per-ENTRY
+            // boosts on the scan path; the probe's boost Map would
+            // collapse them — fall back rather than diverge
+            rankClauses.forall(cl =>
+              cl.fields.map(_._1).distinct.size == cl.fields.size)
           }
         probe match {
           case Some(p) =>
@@ -420,14 +449,17 @@ object EsDsl {
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil,
              statsIndex: Option[String] = None): DataFrame = {
-    // knn takes priority: a knn body reaches searchParts, whose knn
-    // branch rejects a stray suggest BY NAME (never silently dropped)
-    if (body.hasNonNull("suggest") && !body.hasNonNull("knn")) {
+    // a knn-only body with suggest reaches searchParts, whose knn
+    // branch rejects the stray suggest BY NAME; hybrid (query + knn)
+    // with suggest hits the same single-frame rejection as
+    // query + suggest — never a silent drop
+    if (body.hasNonNull("suggest")) {
       if (body.hasNonNull("query"))
         bad("this single-frame API cannot return hits AND " +
           "suggestions; use searchParts (the HTTP layer serves both " +
           "sections of a combined body in one response)")
-      return suggest(df, body.get("suggest"))
+      if (!body.hasNonNull("knn"))
+        return suggest(df, body.get("suggest"))
     }
     val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex)
     aggs.getOrElse(hits)
@@ -626,7 +658,7 @@ object EsDsl {
                        candidates: (KnnSpec, DataFrame) => DataFrame)
       : DataFrame = {
     for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
-        "search_after", "rescore", "highlight", "suggest")
+        "search_after", "rescore", "highlight", "suggest", "rank")
         if body.hasNonNull(bad0))
       bad(s"knn cannot be combined with $bad0")
     val spec = parseKnn(body.get("knn"))
@@ -634,9 +666,10 @@ object EsDsl {
       bad(s"unknown knn field '${spec.field}'")
     knnDimCheck(df, spec)
     // knn filters are filter context — scoring clauses compile to
-    // their row-level predicate only (no statistics, no score join)
+    // their row-level predicate only; this path has NO score-join
+    // fold, so a min_score escape is rejected by name
     val filterPred = spec.filter.map(f =>
-      ctx.inFilter { clause(f, ctx) }.pred)
+      ctx.withoutScoreJoins { ctx.inFilter { clause(f, ctx) } }.pred)
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
@@ -668,9 +701,10 @@ object EsDsl {
     * rows — bounded, never corpus-sized), the fusion is a full-outer
     * join of two window-sized frames, and the hit fetch is one
     * broadcast join back to the corpus. */
-  private def rrfParts(df: DataFrame, body: JsonNode, ctx: Ctx,
+  private def rrfParts(df: DataFrame, body: JsonNode,
                        c: Clause, knn: (KnnSpec, Option[Column]),
-                       sid: Column, idName: String,
+                       base0: DataFrame, base: DataFrame,
+                       idName: String,
                        tieNames: Seq[String]): DataFrame = {
     val rrf = Option(body.get("rank").get("rrf"))
       .getOrElse(bad("rank supports only {\"rrf\": {...}}"))
@@ -685,16 +719,15 @@ object EsDsl {
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
       bad(s"from + size must stay within 0..$MaxResultWindow")
+    // ES's rule: the page must fit the fusion window — a larger size
+    // would silently serve a truncated result set as a full page
+    if (from + size > window)
+      bad(s"rank_window_size ($window) must be >= from + size")
     import org.apache.spark.sql.expressions.Window
-    // query-side ranked list: the normal scored path, cut to the
-    // window BEFORE ranks are assigned (the row_number runs over the
-    // TakeOrdered's bounded output, never the corpus)
-    val base0 =
-      df.withColumn(IdColMarker, col(idName)).withColumn(SidCol, sid)
-    val base1 = ctx.scoreFrame
-      .map(fr => base0.join(fr, Seq(SidCol), "left")).getOrElse(base0)
-    val base = ctx.phraseStatsFrame
-      .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
+    // query-side ranked list: the normal scored path (the shared
+    // scaffold searchParts built), cut to the window BEFORE ranks are
+    // assigned (the row_number runs over the TakeOrdered's bounded
+    // output, never the corpus)
     val qtop = base.filter(c.pred)
       .select(col(SidCol), c.score.cast("double").as("__qs"))
       .orderBy(col("__qs").desc, col(SidCol).asc)
@@ -717,7 +750,7 @@ object EsDsl {
         (coalesce(lit(1.0) / (lit(kConst) + col("__rq")), lit(0.0)) +
          coalesce(lit(1.0) / (lit(kConst) + col("__rk")), lit(0.0)))
           .as("_score"))
-    val hits = df.withColumn(SidCol, sid)
+    val hits = base0
       .join(broadcast(fused), Seq(SidCol))
       .select(df.columns.map(col) :+ col("_score"): _*)
       .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
@@ -727,7 +760,11 @@ object EsDsl {
 
   /** Corpus-dimensionality probe (one bounded row) — the dot product
     * truncates to the shorter array, so a mismatched query_vector
-    * would rank confidently on garbage; reject by name, like ES. */
+    * would rank confidently on garbage; reject by name, like ES. Cost:
+    * one limit-1 job per knn request — the bounded-probe tier the
+    * fuzzy-expansion and MLT statistics probes already occupy (array
+    * columns carry no dimensionality in the schema to check
+    * statically). */
   private def knnDimCheck(df: DataFrame, spec: KnnSpec): Unit = {
     val dim = df
       .select(org.apache.spark.sql.functions
@@ -926,15 +963,8 @@ object EsDsl {
         knnDimCheck(df, spec)
         (spec, spec.filter.map(f => ctx.inFilter { clause(f, ctx) }.pred))
       }
-    if (body.hasNonNull("rank")) {
-      if (knnHybrid.isEmpty)
-        bad("rank (rrf) needs BOTH query and knn retrievers")
-      for (bad0 <- Seq("aggs", "aggregations", "highlight")
-          if body.hasNonNull(bad0))
-        bad(s"rank (rrf) cannot be combined with $bad0")
-      return (rrfParts(df, body, ctx, c, knnHybrid.get, sid, idName,
-        if (tiebreak.nonEmpty) tiebreak else Seq(df.columns.head)), None)
-    }
+    if (body.hasNonNull("rank") && knnHybrid.isEmpty)
+      bad("rank (rrf) needs BOTH query and knn retrievers")
     // "rescore": ES two-phase ranking — the top `window_size` hits of
     // the primary sort get their score recombined with a secondary
     // query (query_weight·primary + rescore_query_weight·secondary).
@@ -989,15 +1019,23 @@ object EsDsl {
     // phrase-BM25 statistics: one single-row broadcast per body
     val base2 = ctx.phraseStatsFrame
       .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
+    val tieNames = if (tiebreak.nonEmpty) tiebreak
+      else Seq(df.columns.head)
     // hybrid knn: join the k-nearest frame, widen the match set to
     // the union, sum the sides' scores (guarded — a knn-only hit has
-    // no defined query score, and vice versa)
+    // no defined query score, and vice versa). A "rank": {"rrf"}
+    // section switches to reciprocal rank fusion instead.
     val (cEff, base) = knnHybrid match {
       case None => (c, base2)
       case Some((spec, kPred)) =>
-        val kb0 = df.withColumn(IdColMarker, col(idName))
-          .withColumn(SidCol, sid)
-        val kb = kPred.map(kb0.filter).getOrElse(kb0)
+        if (body.hasNonNull("rank")) {
+          for (bad0 <- Seq("aggs", "aggregations", "highlight")
+              if body.hasNonNull(bad0))
+            bad(s"rank (rrf) cannot be combined with $bad0")
+          return (rrfParts(df, body, c, (spec, kPred), base0, base2,
+            idName, tieNames), None)
+        }
+        val kb = kPred.map(base0.filter).getOrElse(base0)
         val topk = knnScored(kb, spec, Seq(SidCol))
           .orderBy(col("_score").desc, col(SidCol).asc)
           .limit(spec.k)
@@ -1012,12 +1050,13 @@ object EsDsl {
     val filtered = base.filter(cEff.pred)
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
-        Some(aggregations(base, cEff.pred,
+        // aggregation clauses compile AFTER the score-join fold — a
+        // scoring registration here could never resolve, so the
+        // min_score escape rejects by name instead
+        Some(ctx.withoutScoreJoins { aggregations(base, cEff.pred,
           Option(body.get("aggs")).getOrElse(body.get("aggregations")),
-          ctx))
+          ctx) })
       else None
-    val tieNames = if (tiebreak.nonEmpty) tiebreak
-      else Seq(df.columns.head)
     val scored0 = filtered.select(
       df.columns.map(col) ++
       Seq(cEff.score.cast("double").as("_score")) ++
@@ -1940,7 +1979,13 @@ object EsDsl {
       // rejected by name (nondeterministic or script-bearing). The
       // whole construct stays one codegen'd projection — arrays of
       // (applies, value) structs folded with `aggregate`, no joins.
-      val base = Option(b.get("query")).map(clause(_, ctx))
+      // min_score's PREDICATE reads the combined score, so the base
+      // query must keep real scoring even in filter context — the one
+      // construct that escapes the filter-context suppression
+      val minScoreOpt = Option(b.get("min_score")).map(_.asDouble)
+      val base = Option(b.get("query")).map(qn =>
+          if (minScoreOpt.isDefined) ctx.scoringNeeded { clause(qn, ctx) }
+          else clause(qn, ctx))
         .getOrElse(Clause(lit(true), lit(1.0)))
       def parseFn(fn: JsonNode): (Column, Column) = {
         for (k <- Seq("random_score", "script_score", "gauss", "exp",
@@ -2029,7 +2074,7 @@ object EsDsl {
         case "avg"      => (qScore + capped) / 2
         case other      => bad(s"unsupported boost_mode '$other'")
       }
-      val pred = Option(b.get("min_score")).map(_.asDouble)
+      val pred = minScoreOpt
         .map(ms => base.pred && finalScore >= ms).getOrElse(base.pred)
       Clause(pred, finalScore)
 

@@ -734,12 +734,17 @@ final class HttpApi(
                 req, indexRoot = Some(entityIndexRoot())))
               return
             }
-            // named-table bodies with match-family or more_like_this
-            // clauses ride the table's write-time index: match clauses
-            // score by postings probes (zero corpus scans) and MLT
-            // reads fieldstats/termstats — bit-identical to the scan
-            // pass either way. Built on the first such request only;
-            // term-level bodies never pay the build.
+            // named-table bodies that NAME match-family or
+            // more_like_this clauses ride the table's write-time
+            // index: match clauses score by postings probes (zero
+            // corpus scans) and MLT reads fieldstats/termstats —
+            // bit-identical to the scan pass either way. The build is
+            // paid ONCE per table per server lifetime on the first
+            // such request (a body whose match clauses all end up in
+            // filter context, or a column literally named "match",
+            // also triggers it — a bounded one-time cost accepted for
+            // a routing probe that needs no DSL re-parse); term-level
+            // bodies never pay it.
             val statsIdx =
               if (index != "*" && !index.endsWith("_*") &&
                   Seq("more_like_this", "match", "multi_match")

@@ -168,10 +168,11 @@ object SearchIndex {
              after: Option[(Double, Any)] = None,
              afterInclusive: Boolean = false): DataFrame = {
     import graft.serving.Search.afterPredicate
-    val idCol = readMeta(path).idCol
-    rankedScores(spark, path, query, fields, bm25, bestFields, boosts)
-      .filter(afterPredicate(after, col(idCol), afterInclusive))
-      .orderBy(col("score").desc, col(idCol))
+    val meta = readMeta(path)
+    rankedScoresOf(spark, meta, path, query, fields, bm25, bestFields,
+        boosts)
+      .filter(afterPredicate(after, col(meta.idCol), afterInclusive))
+      .orderBy(col("score").desc, col(meta.idCol))
       .limit(limit)
   }
 
@@ -185,9 +186,16 @@ object SearchIndex {
   def rankedScores(spark: SparkSession, path: String, query: String,
                    fields: Seq[String] = Nil,
                    bm25: Boolean = true, bestFields: Boolean = false,
-                   boosts: Map[String, Double] = Map.empty): DataFrame = {
+                   boosts: Map[String, Double] = Map.empty): DataFrame =
+    rankedScoresOf(spark, readMeta(path), path, query, fields, bm25,
+      bestFields, boosts)
+
+  private def rankedScoresOf(spark: SparkSession, meta: Meta,
+                             path: String, query: String,
+                             fields: Seq[String],
+                             bm25: Boolean, bestFields: Boolean,
+                             boosts: Map[String, Double]): DataFrame = {
     import graft.serving.Search.round4
-    val meta = readMeta(path)
     val dir = tableDir(path, meta)
     val idCol = meta.idCol
     val useFields = if (fields.isEmpty) meta.fields else fields

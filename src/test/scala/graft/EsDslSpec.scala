@@ -102,6 +102,31 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("function_score min_score keeps REAL scores even in filter " +
+    "context; in aggregation filters it rejects by name") {
+    // the min_score PREDICATE reads the combined score, so the base
+    // match's BM25 score must escape the filter-context suppression
+    val hits = q("""{"query": {"bool": {"filter": [
+      {"function_score": {"query": {"match": {"text": "window"}},
+       "min_score": 0.1}}]}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L, 4L),
+      s"min_score in filter context mis-gated: $hits")
+    // a high threshold still filters — proving the score is real,
+    // not a constant
+    val none = q("""{"query": {"bool": {"filter": [
+      {"function_score": {"query": {"match": {"text": "window"}},
+       "min_score": 99.0}}]}}, "size": 10}""").collect()
+    assert(none.isEmpty)
+    // aggregation filters compile after the score-join fold — a
+    // min_score there cannot resolve and must 400, never mis-gate
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs": {"f": {"filter":
+        {"function_score": {"query": {"match": {"text": "window"}},
+         "min_score": 0.1}}}}, "size": 0}""")
+    }
+  }
+
   test("rrf: each retriever's window ranks independently and fuses " +
     "by reciprocal rank — score scales never mix") {
     val rows = EsDsl.search(vecs, mapper.readTree(
