@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   * full Lucene classic syntax — [[QueryString]]: field scoping,
   * classic AND/OR occur resolution, +/-/NOT, ranges, wildcards,
   * boosts, `_exists_`), `dis_max` (best subquery +
-  * tie_breaker), `boosting` (positive/negative demotion),
+  * tie_breaker), `boosting` (positive/negative demotion), top-level
+  * `knn` (ES 8.x vector search — exact brute-force + the IVF-routed
+  * [[searchKnnIvf]] twin, filtered, dimension-checked), HYBRID
+  * `knn` + `query` (additive union) and `rank: {"rrf"}` (reciprocal
+  * rank fusion over both retrievers' windows),
   * `function_score` (field_value_factor / filtered weights with
   * score_mode/boost_mode/max_boost/min_score), `nested` (per-element
   * queries and element-bucketing aggs over array-of-struct columns),
