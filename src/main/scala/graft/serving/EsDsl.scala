@@ -1084,12 +1084,20 @@ object EsDsl {
     // always with the id tiebreak(s) appended — (column, ascending?)
     // pairs so collapse windows and search_after cursors can reuse the
     // same total order
+    // validate sort fields HERE (a 400 naming the field) — an unknown
+    // column would otherwise surface as a plan-time AnalysisException,
+    // a 500 for what is the caller's error
+    def checkSortField(f: String): String = {
+      if (f != "_score" && !df.columns.contains(f))
+        bad(s"unknown sort field '$f'")
+      f
+    }
     val effKeys: Seq[(Column, Boolean)] =
       (Option(body.get("sort")).filter(_.isArray) match {
         case Some(s) =>
           (0 until s.size).map { i =>
             val n = s.get(i)
-            if (n.isTextual) sortPair(n.asText, "asc")
+            if (n.isTextual) sortPair(checkSortField(n.asText), "asc")
             else {
               val it = n.fieldNames()
               if (!it.hasNext) bad("empty sort entry")
@@ -1097,7 +1105,7 @@ object EsDsl {
               val ord = Option(n.get(f))
                 .flatMap(o => Option(o.get("order"))).map(_.asText)
                 .getOrElse("asc")
-              sortPair(f, ord)
+              sortPair(checkSortField(f), ord)
             }
           }
         case None => Seq((col("_score"), false))

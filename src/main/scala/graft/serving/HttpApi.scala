@@ -770,6 +770,12 @@ final class HttpApi(
             case e: IllegalArgumentException =>
               respond(ex, 400, mapper.createObjectNode()
                 .put("error", String.valueOf(e.getMessage)).toString)
+            case e: org.apache.spark.sql.AnalysisException =>
+              // a body referencing a column the translator could not
+              // pre-validate (nested aggs paths, etc.) is the
+              // CALLER's error — name it in a 400, never a 500
+              respond(ex, 400, mapper.createObjectNode()
+                .put("error", String.valueOf(e.getMessage)).toString)
           }
       }
       return
