@@ -994,6 +994,22 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // date_histogram with a TIME ZONE (round 10): calendar DAY
+    // buckets truncated in the zone-local frame (+05:30 — an offset
+    // zone keeps the oracle free of tz-database drift), keys = the
+    // bucket-start instant's epoch millis, ES's zone-aware bucketing.
+    "q7_esdsl_tz_histogram" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "calendar_interval": "day",
+          |    "time_zone": "+05:30"},
+          |   "aggs": {"actives":
+          |     {"cardinality": {"field": "user_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3166,6 +3182,18 @@ object ParityQueries {
 
     "q7_esdsl_calendar_histogram" ->
       ("SELECT epoch_ms(date_trunc('week', ts)) AS key, " +
+       "count(*) AS doc_count, " +
+       "count(DISTINCT user_id) AS actives " +
+       "FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY key"),
+
+    // zone-local day truncation for the fixed offset +05:30: shift in
+    // by 19800 s, truncate, shift the epoch key back — exact integer
+    // arithmetic, the same instant Spark's from/to_utc_timestamp pair
+    // produces
+    "q7_esdsl_tz_histogram" ->
+      ("SELECT epoch_ms(date_trunc('day', " +
+       "ts + INTERVAL 19800 SECOND)) - 19800000 AS key, " +
        "count(*) AS doc_count, " +
        "count(DISTINCT user_id) AS actives " +
        "FROM events WHERE ts IS NOT NULL " +

@@ -2402,6 +2402,70 @@ object EsDsl {
     * result is the flat bucket table (key, doc_count, metric/pipeline
     * columns) — the relational projection of ES's nested buckets
     * JSON. */
+  /** Accuracy/distribution knobs EXACT evaluation subsumes — accepted
+    * and ignored (this engine's exact answers meet or beat every one
+    * of these knobs' intent, so dropping them cannot change a result
+    * for the worse): shard-level sizing/collection hints and the HLL
+    * precision bound (cardinality here is exact). */
+  private val IgnoredAccuracyKnobs = Set("shard_size",
+    "shard_min_doc_count", "execution_hint", "collect_mode",
+    "show_term_doc_count_error", "precision_threshold", "keyed")
+
+  /** Per-kind KNOWN-KEY inventory for the aggregation surface. A body
+    * carrying a key outside its kind's set is rejected BY NAME — a
+    * silently-dropped knob that CHANGES results in ES (time_zone,
+    * format, offset, script, ...) must never yield a silently
+    * different answer here. `sigma` is allowed on extended_stats
+    * because the flat projection carries no std_deviation_bounds for
+    * it to affect. */
+  private val AggKnownKeys: Map[String, Set[String]] = Map(
+    "terms" -> Set("field", "size", "missing", "min_doc_count",
+      "order", "include", "exclude"),
+    "multi_terms" -> Set("terms", "size"),
+    "composite" -> Set("size", "sources", "after"),
+    "date_histogram" -> Set("field", "fixed_interval",
+      "calendar_interval", "min_doc_count", "extended_bounds",
+      "time_zone"),
+    "histogram" -> Set("field", "interval", "min_doc_count",
+      "extended_bounds"),
+    "range" -> Set("field", "ranges"),
+    "date_range" -> Set("field", "ranges"),
+    "filters" -> Set("filters"),
+    "missing" -> Set("field"),
+    "adjacency_matrix" -> Set("filters"),
+    "nested" -> Set("path"),
+    "significant_terms" -> Set("field", "size"),
+    "significant_text" -> Set("field", "size"),
+    "avg" -> Set("field"), "sum" -> Set("field"),
+    "min" -> Set("field"), "max" -> Set("field"),
+    "value_count" -> Set("field"), "cardinality" -> Set("field"),
+    "stats" -> Set("field"),
+    "extended_stats" -> Set("field", "sigma"),
+    "percentiles" -> Set("field", "percents"),
+    "percentile_ranks" -> Set("field", "values"),
+    "weighted_avg" -> Set("value", "weight"),
+    "top_hits" -> Set("size", "sort", "_source"),
+    "cumulative_sum" -> Set("buckets_path"),
+    "derivative" -> Set("buckets_path"),
+    "moving_fn" -> Set("buckets_path", "window", "shift", "script"),
+    "bucket_sort" -> Set("sort", "from", "size"),
+    "avg_bucket" -> Set("buckets_path"),
+    "sum_bucket" -> Set("buckets_path"),
+    "min_bucket" -> Set("buckets_path"),
+    "max_bucket" -> Set("buckets_path"))
+
+  private def checkAggKeys(kind: String, body: JsonNode): Unit =
+    AggKnownKeys.get(kind).foreach { allowed =>
+      if (body != null && body.isObject) {
+        val unknown = keysOf(body)
+          .filterNot(allowed).filterNot(IgnoredAccuracyKnobs)
+        if (unknown.nonEmpty)
+          bad(s"unsupported $kind key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+      }
+    }
+
   private def aggregations(base: DataFrame, pred: Column,
                            aggs: JsonNode, ctx: Ctx): DataFrame = {
     // SIBLING pipeline aggregations (`avg_bucket` / `sum_bucket` /
@@ -2425,6 +2489,7 @@ object EsDsl {
       siblings.foreach { case (sn, sSpec) =>
         val kind = kindOf(sSpec)
         val body = sSpec.get(kind)
+        checkAggKeys(kind, body)
         val path = Option(body.get("buckets_path")).map(_.asText)
           .getOrElse(bad(s"$kind needs \"buckets_path\""))
         val metric = path.split(">", 2) match {
@@ -2457,6 +2522,7 @@ object EsDsl {
     // `pred` so fg/bg ride ONE conditional-count pass
     val df = base.filter(pred)
     val kind = kindOf(spec)
+    checkAggKeys(kind, spec.get(kind))
     val DefaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
     def percentName(p: Double): String = {
       val s = if (p == math.floor(p)) p.toLong.toString
@@ -2464,7 +2530,12 @@ object EsDsl {
       s"p$s"
     }
     def metricCols(mKind: String, mSpec: JsonNode,
-                   alias: String): Seq[Column] = mKind match {
+                   alias: String): Seq[Column] = {
+      checkAggKeys(mKind, mSpec)
+      metricCols0(mKind, mSpec, alias)
+    }
+    def metricCols0(mKind: String, mSpec: JsonNode,
+                    alias: String): Seq[Column] = mKind match {
       case "weighted_avg" =>
         // Σ(value·weight) / Σ(weight) — exact when value/weight are
         // integral (the oracled tier); ES's null handling: rows with a
@@ -2534,6 +2605,7 @@ object EsDsl {
     // bucket's metrics ride ONE aggregation via when(cond, col)
     def metricColsCond(cond: Column, mKind: String, mSpec: JsonNode,
                        alias: String): Seq[Column] = {
+      checkAggKeys(mKind, mSpec)
       val f = Option(mSpec.get("field")).map(_.asText)
         .getOrElse(bad(s"$mKind needs \"field\""))
       val c = when(cond, col(f))
@@ -2586,6 +2658,7 @@ object EsDsl {
           col(name)
       }
       pipes.filter(_._2 != "bucket_sort").foreach { case (n, kind, ms) =>
+        checkAggKeys(kind, ms)
         val path = Option(ms.get("buckets_path")).map(_.asText)
           .getOrElse(bad(s"$kind needs \"buckets_path\""))
         kind match {
@@ -2629,6 +2702,7 @@ object EsDsl {
       pipes.find(_._2 == "bucket_sort") match {
         case None => out.orderBy(col("key").asc)
         case Some((_, _, ms)) =>
+          checkAggKeys("bucket_sort", ms)
           val sortKeys: Seq[Column] =
             Option(ms.get("sort")).filter(_.isArray).toSeq.flatMap { s =>
               (0 until s.size).map { i =>
@@ -3079,6 +3153,23 @@ object EsDsl {
         if (fixed.nonEmpty && calendar.nonEmpty)
           bad("date_histogram: fixed_interval and calendar_interval " +
             "are mutually exclusive")
+        // "time_zone": calendar buckets truncate in the ZONE-LOCAL
+        // frame, keys stay the bucket-start INSTANT's epoch millis —
+        // exactly ES's zone-aware bucketing. Fixed intervals ignore
+        // time zones in ES except for offset alignment (not modeled —
+        // reject rather than silently bucket on UTC), and gap filling
+        // under a zone would need zone-aware key sequences (reject).
+        val timeZone = Option(h.get("time_zone")).map(_.asText)
+        timeZone.foreach { tz =>
+          if (fixed.nonEmpty)
+            bad("time_zone with fixed_interval is not supported; use " +
+              "a calendar_interval")
+          if (Option(h.get("min_doc_count")).exists(_.asInt == 0))
+            bad("time_zone with min_doc_count 0 gap filling is not " +
+              "supported")
+          if (scala.util.Try(java.time.ZoneId.of(tz)).isFailure)
+            bad(s"malformed time_zone '$tz'")
+        }
         val ms = s"unix_millis(cast(`$f` as timestamp))"
         // (bucket key column, key-sequence generator for min_doc_count
         // 0 gap filling — lo/hi epoch-millis bounds → every aligned
@@ -3128,8 +3219,17 @@ object EsDsl {
                 case "quarter" => 3L * 2419200000L
                 case "year"    => 12L * 2419200000L
               }
-              (expr(s"unix_millis(date_trunc('$unit', " +
-                 s"cast(`$f` as timestamp)))"),
+              (timeZone match {
+                 case Some(tz) =>
+                   // local-frame truncation, instant-epoch key:
+                   // to_local → trunc → back_to_utc → millis
+                   expr(s"unix_millis(to_utc_timestamp(date_trunc(" +
+                     s"'$unit', from_utc_timestamp(" +
+                     s"cast(`$f` as timestamp), '$tz')), '$tz'))")
+                 case None =>
+                   expr(s"unix_millis(date_trunc('$unit', " +
+                     s"cast(`$f` as timestamp)))")
+               },
                (lo: Column, hi: Column) => {
                  val s0 = when((hi - lo) / stepMsFloor > 65536,
                    raise_error(lit("too many date_histogram buckets " +

@@ -102,6 +102,48 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("date_histogram time_zone buckets in the zone-local frame " +
+    "(DST-aware for named zones); unknown agg knobs reject by name") {
+    import java.sql.Timestamp
+    // 2024-03-10 is the US spring-forward date: 04:30 UTC on Mar 10
+    // is still Mar 9 in New York (23:30 EST), 11:00 UTC is Mar 10
+    // 07:00 EDT — a UTC-truncating engine would put both in Mar 10
+    val evs = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("2024-03-10T04:30:00Z"))),
+      (2L, Timestamp.from(java.time.Instant.parse("2024-03-10T11:00:00Z"))),
+      (3L, Timestamp.from(java.time.Instant.parse("2024-03-11T02:00:00Z")))
+    ).toDF("id", "ts")
+    val buckets = EsDsl.search(evs, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs": {"d": {"date_histogram":
+        |  {"field": "ts", "calendar_interval": "day",
+        |   "time_zone": "America/New_York"}}}, "size": 0}"""
+        .stripMargin))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nyDayStartMs(iso: String): Long =
+      java.time.LocalDate.parse(iso)
+        .atStartOfDay(java.time.ZoneId.of("America/New_York"))
+        .toInstant.toEpochMilli
+    // docs 1 → NY Mar 9; 2 and 3 → NY Mar 10 (3 is 22:00 EDT Mar 10)
+    assert(buckets == Map(nyDayStartMs("2024-03-09") -> 1L,
+      nyDayStartMs("2024-03-10") -> 2L), s"tz buckets: $buckets")
+    // result-changing knobs the engine does not model reject by name
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"d": {"date_histogram":
+          |  {"field": "ts", "fixed_interval": "1d",
+          |   "offset": "+6h"}}}, "size": 0}""".stripMargin))
+    }
+    intercept[IllegalArgumentException] { // script metrics
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"a": {"avg": {"script": {"source": "doc.n"}}}}, "size": 0}""")
+    }
+    // accuracy knobs exactness subsumes are accepted and ignored
+    val t = q("""{"query": {"match_all": {}}, "aggs":
+      {"src": {"terms": {"field": "source", "shard_size": 500,
+       "execution_hint": "map"}}}, "size": 0}""").collect()
+    assert(t.nonEmpty)
+  }
+
   test("function_score min_score keeps REAL scores even in filter " +
     "context; in aggregation filters it rejects by name") {
     // the min_score PREDICATE reads the combined score, so the base
