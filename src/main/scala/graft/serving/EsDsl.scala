@@ -1322,17 +1322,52 @@ object EsDsl {
     (kind, q.get(kind))
   }
 
+  /** Clause knobs subsumed by exact evaluation or response shape:
+    * `rewrite`/`max_determinized_states` are Lucene rewrite-accuracy
+    * hints (exact evaluation meets any setting), `_name` tags matched
+    * queries in a response section this engine's flat hit shape does
+    * not carry. Accepted and ignored. */
+  private val IgnoredClauseKnobs =
+    Set("rewrite", "max_determinized_states", "_name")
+
+  /** Validate a clause body's keys against the kind's known set
+    * (plus `boost`, which every clause supports) and return the
+    * clause-level boost — a silently-dropped result-changing knob
+    * (analyzer, lenient, tie_breaker, format, ...) must never
+    * silently change ranking; it rejects by name instead. */
+  private def clauseBoost(kind: String, body: JsonNode,
+                          allowed: Set[String]): Double = {
+    val unknown = keysOf(body)
+      .filterNot(allowed + "boost").filterNot(IgnoredClauseKnobs)
+    if (unknown.nonEmpty)
+      bad(s"unsupported $kind key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val b = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+    if (b < 0) bad(s"$kind boost must be >= 0")
+    b
+  }
+
+  /** Apply a clause-level boost — ES multiplies the clause's score
+    * (match set unchanged); 1.0 keeps the exact unboosted column. */
+  private def boosted(c: Clause, boost: Double): Clause =
+    if (boost == 1.0) c
+    else Clause(c.pred, c.score.cast("double") * boost)
+
   /** A term-level pattern clause's (field, value, case_insensitive) —
     * ES allows both the short `{"field": "pat"}` and the object
     * `{"field": {"value": "pat", "case_insensitive": true}}` forms. */
   private def patternSpec(b: JsonNode, kind: String)
-      : (String, String, Boolean) = {
+      : (String, String, Boolean, Double) = {
     val (f, spec) = unwrap(b)
     if (spec.isObject) {
+      val boost = clauseBoost(kind, spec,
+        Set("value", "case_insensitive"))
       val v = Option(spec.get("value")).map(_.asText)
         .getOrElse(bad(s"$kind needs \"value\""))
-      (f, v, Option(spec.get("case_insensitive")).exists(_.asBoolean))
-    } else (f, spec.asText, false)
+      (f, v, Option(spec.get("case_insensitive")).exists(_.asBoolean),
+        boost)
+    } else (f, spec.asText, false, 1.0)
   }
 
   /** ES wildcard pattern → SQL LIKE: `*` → `%`, `?` → `_`, `\x` is a
@@ -1359,17 +1394,33 @@ object EsDsl {
   }
 
   private def clause(q: JsonNode, ctx: Ctx): Clause = unwrap(q) match {
-    case ("match_all", _) => Clause(lit(true), lit(1.0))
+    case ("match_all", b) =>
+      // ES match_all: every doc, score = boost
+      val boost =
+        if (b != null && b.isObject) clauseBoost("match_all", b, Set())
+        else 1.0
+      Clause(lit(true), lit(boost))
 
     case ("term", b) =>
       val (f, v) = unwrap(b)
+      val boost =
+        if (v.isObject) clauseBoost("term", v, Set("value")) else 1.0
       val value = if (v.isObject) Option(v.get("value"))
         .getOrElse(bad("term needs a value")) else v
-      Clause(col(f) === litOf(value), lit(1.0))
+      boosted(Clause(col(f) === litOf(value), lit(1.0)), boost)
 
     case ("terms", b) =>
-      val (f, vs) = unwrap(b)
-      if (!vs.isArray) bad("terms needs an array")
+      // ES terms: ONE field key plus the optional clause boost
+      val fieldKeys = keysOf(b)
+        .filterNot(_ == "boost").filterNot(IgnoredClauseKnobs)
+      if (fieldKeys.size != 1)
+        bad("terms needs exactly one field")
+      val f = fieldKeys.head
+      val vs = b.get(f)
+      if (!vs.isArray)
+        bad("terms needs an array (document-lookup terms are not " +
+          "supported)")
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
       val values: Seq[Any] = (0 until vs.size).map { i =>
         val v = vs.get(i)
         if (v.isTextual) v.asText
@@ -1379,7 +1430,7 @@ object EsDsl {
         else bad(s"unsupported literal $v")
       }
       if (values.isEmpty) bad("terms needs at least one value")
-      Clause(col(f).isInCollection(values), lit(1.0))
+      boosted(Clause(col(f).isInCollection(values), lit(1.0)), boost)
 
     case ("terms_set", b) =>
       // ES terms_set: the doc matches when at least
@@ -1389,22 +1440,24 @@ object EsDsl {
       // count (the documented count families);
       // minimum_should_match_script is script-bearing — rejected.
       val (f, spec) = unwrap(b)
+      if (spec.hasNonNull("minimum_should_match_script"))
+        bad("minimum_should_match_script is not supported; use " +
+          "minimum_should_match_field")
+      val tsBoost = clauseBoost("terms_set", spec,
+        Set("terms", "minimum_should_match_field"))
       val termsNode = Option(spec.get("terms")).filter(_.isArray)
         .getOrElse(bad("terms_set needs a \"terms\" array"))
       if (termsNode.size == 0) bad("terms_set needs at least one term")
       val tsTerms = (0 until termsNode.size)
         .map(termsNode.get(_).asText.toLowerCase).distinct
-      if (spec.hasNonNull("minimum_should_match_script"))
-        bad("minimum_should_match_script is not supported; use " +
-          "minimum_should_match_field")
       val msmField = Option(spec.get("minimum_should_match_field"))
         .map(_.asText)
         .getOrElse(bad("terms_set needs \"minimum_should_match_field\""))
       val matched = tsTerms.map(t =>
         when(Search.substrCount(Search.tokenNorm(col(f)),
           s" $t ") > 0, 1).otherwise(0)).reduce(_ + _)
-      Clause(col(msmField).isNotNull && matched >= col(msmField),
-        matched.cast("double"))
+      boosted(Clause(col(msmField).isNotNull && matched >= col(msmField),
+        matched.cast("double")), tsBoost)
 
     case ("range", b) =>
       val (f, bounds) = unwrap(b)
@@ -1428,6 +1481,10 @@ object EsDsl {
         }
         litOf(v)
       }
+      val boost =
+        if (bounds.isObject)
+          clauseBoost("range", bounds, Set("gt", "gte", "lt", "lte"))
+        else 1.0
       val preds = Seq("gt" -> ((c: Column, v: Column) => c > v),
           "gte" -> ((c: Column, v: Column) => c >= v),
           "lt" -> ((c: Column, v: Column) => c < v),
@@ -1435,27 +1492,28 @@ object EsDsl {
         .flatMap { case (k, op) =>
           Option(bounds.get(k)).map(v => op(col(f), boundOf(v))) }
       if (preds.isEmpty) bad("range needs gt/gte/lt/lte")
-      Clause(preds.reduce(_ && _), lit(1.0))
+      boosted(Clause(preds.reduce(_ && _), lit(1.0)), boost)
 
     case ("exists", b) =>
+      val boost = clauseBoost("exists", b, Set("field"))
       val f = Option(b.get("field")).map(_.asText)
         .getOrElse(bad("exists needs \"field\""))
-      Clause(col(f).isNotNull, lit(1.0))
+      boosted(Clause(col(f).isNotNull, lit(1.0)), boost)
 
     case ("wildcard", b) =>
       // ES wildcard matches the ENTIRE (keyword) value — exactly SQL
       // LIKE's whole-string contract. Case-sensitive by default.
-      val (f, pat, ci) = patternSpec(b, "wildcard")
+      val (f, pat, ci, boost) = patternSpec(b, "wildcard")
       val like = wildcardToLike(if (ci) pat.toLowerCase else pat)
       val target = if (ci) lower(col(f)) else col(f)
-      Clause(target.like(like), lit(1.0))
+      boosted(Clause(target.like(like), lit(1.0)), boost)
 
     case ("prefix", b) =>
-      val (f, pre, ci) = patternSpec(b, "prefix")
+      val (f, pre, ci, boost) = patternSpec(b, "prefix")
       val sb = new StringBuilder
       (if (ci) pre.toLowerCase else pre).foreach(escapeLikeInto(sb, _))
       val target = if (ci) lower(col(f)) else col(f)
-      Clause(target.like(sb.toString + "%"), lit(1.0))
+      boosted(Clause(target.like(sb.toString + "%"), lit(1.0)), boost)
 
     case ("regexp", b) =>
       // ES regexp is FULLY ANCHORED (matches the whole value). The
@@ -1463,7 +1521,7 @@ object EsDsl {
       // numeric intervals) have no Java-regex equivalent — reject them
       // rather than mistranslate; the shared core (. * + ? [] () |) is
       // dialect-identical.
-      val (f, pat, ci) = patternSpec(b, "regexp")
+      val (f, pat, ci, boost) = patternSpec(b, "regexp")
       var esc = false
       pat.foreach { ch =>
         if (esc) esc = false
@@ -1472,12 +1530,13 @@ object EsDsl {
           bad(s"Lucene-specific regexp operator '$ch' is not supported")
       }
       val re = (if (ci) "(?i)" else "") + "^(?:" + pat + ")$"
-      Clause(col(f).rlike(re), lit(1.0))
+      boosted(Clause(col(f).rlike(re), lit(1.0)), boost)
 
     case ("ids", b) =>
       // ES matches _id; the engine's document identity is the table's
       // id column (the same id every scorer tiebreaks on), bound to the
       // marker column by [[searchParts]]
+      val boost = clauseBoost("ids", b, Set("values"))
       val vs = Option(b.get("values")).filter(_.isArray)
         .getOrElse(bad("ids needs \"values\""))
       val values: Seq[Any] = (0 until vs.size).map { i =>
@@ -1487,7 +1546,8 @@ object EsDsl {
         else bad(s"unsupported id literal $v")
       }
       if (values.isEmpty) bad("ids needs at least one value")
-      Clause(col(IdColMarker).isInCollection(values), lit(1.0))
+      boosted(Clause(col(IdColMarker).isInCollection(values), lit(1.0)),
+        boost)
 
     case ("constant_score", b) =>
       val f = Option(b.get("filter"))
@@ -1497,6 +1557,8 @@ object EsDsl {
 
     case ("match_phrase", b) =>
       val (f, spec) = unwrap(b)
+      val boost = if (spec.isObject)
+        clauseBoost("match_phrase", spec, Set("query", "slop")) else 1.0
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
@@ -1515,7 +1577,7 @@ object EsDsl {
         if (slop == 0) Search.substrCount(Search.tokenNorm(col(f)),
           terms.mkString(" ", "  ", " "))
         else Search.slopCount(col(f), terms, slop)
-      Clause(cnt > 0, ctx.phraseBm25Score(f, terms, cnt))
+      boosted(Clause(cnt > 0, ctx.phraseBm25Score(f, terms, cnt)), boost)
 
     case ("match_bool_prefix", b) =>
       // ES match_bool_prefix: the terms are independent bool clauses
@@ -1524,6 +1586,9 @@ object EsDsl {
       // operator and/or gates the match set; the score sums the
       // per-term occurrence counts (the documented count families).
       val (f, spec) = unwrap(b)
+      val mbpBoost = if (spec.isObject)
+        clauseBoost("match_bool_prefix", spec, Set("query", "operator"))
+      else 1.0
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_bool_prefix needs \"query\""))
       else spec.asText
@@ -1541,7 +1606,7 @@ object EsDsl {
       val preds = counts.map(_ > 0)
       val pred =
         if (operator == "and") preds.reduce(_ && _) else preds.reduce(_ || _)
-      Clause(pred, counts.reduce(_ + _).cast("double"))
+      boosted(Clause(pred, counts.reduce(_ + _).cast("double")), mbpBoost)
 
     case ("match_phrase_prefix", b) =>
       // ES match_phrase_prefix: the leading terms form a (sloppy)
@@ -1550,6 +1615,10 @@ object EsDsl {
       // max_expansions caps the final slot to the first-N dictionary
       // expansion of the prefix (token asc — Lucene's order).
       val (f, spec) = unwrap(b)
+      val mppBoost = if (spec.isObject)
+        clauseBoost("match_phrase_prefix", spec,
+          Set("query", "slop", "max_expansions"))
+      else 1.0
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase_prefix needs \"query\""))
       else spec.asText
@@ -1565,7 +1634,7 @@ object EsDsl {
       val expansion = maxExp.map(n =>
         ctx.prefixExpansion(Seq(f), terms.last, n))
       val cnt = Search.phrasePrefixCount(col(f), terms, slop, expansion)
-      Clause(cnt > 0, cnt.cast("double"))
+      boosted(Clause(cnt > 0, cnt.cast("double")), mppBoost)
 
     case ("fuzzy", b) =>
       // term-level fuzzy: ONE unanalyzed term within its edit budget
@@ -1573,6 +1642,18 @@ object EsDsl {
       // with match+fuzziness — reject, don't guess). Scored by the
       // fuzzy-occurrence count, the engine's documented fuzzy family.
       val (f, spec) = unwrap(b)
+      // `transpositions: false` matches this engine's plain
+      // Levenshtein exactly; true (Damerau, ES's default when SET)
+      // is a different metric — reject rather than mis-measure
+      if (spec.isObject &&
+          Option(spec.get("transpositions")).exists(_.asBoolean))
+        bad("fuzzy transpositions=true (Damerau distance) is not " +
+          "supported; this engine measures plain Levenshtein")
+      val fzBoost =
+        if (spec.isObject)
+          clauseBoost("fuzzy", spec, Set("value", "fuzziness",
+            "prefix_length", "max_expansions", "transpositions"))
+        else 1.0
       val (value, fz, knobs) =
         if (spec.isObject)
           (Option(spec.get("value")).map(_.asText)
@@ -1583,13 +1664,15 @@ object EsDsl {
       if (value.trim.split("\\s+").length != 1)
         bad("fuzzy is term-level (one term); use match with fuzziness " +
           "for analyzed text")
-      matchClause(ctx, value, Seq(f -> 1.0), "or", minMatch = None,
-        bestFields = false, Some(fz), knobs)
+      boosted(matchClause(ctx, value, Seq(f -> 1.0), "or",
+        minMatch = None, bestFields = false, Some(fz), knobs), fzBoost)
 
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST
       // subquery plus tie_breaker times the other matching subqueries
       // (max + tie * (sum - max)).
+      val dmBoost = clauseBoost("dis_max", b,
+        Set("queries", "tie_breaker"))
       val qs = Option(b.get("queries")).filter(_.isArray)
         .getOrElse(bad("dis_max needs a \"queries\" array"))
       val subs = (0 until qs.size).map(i => clause(qs.get(i), ctx))
@@ -1607,12 +1690,14 @@ object EsDsl {
           val total = matchScores.reduce(_ + _)
           best + lit(tie) * (total - best)
         }
-      Clause(pred, score)
+      boosted(Clause(pred, score), dmBoost)
 
     case ("boosting", b) =>
       // ES boosting: the match set is the positive query's; a doc also
       // matching the negative query keeps its relevance DEMOTED by
       // negative_boost (multiplicative) instead of being excluded.
+      val bBoost = clauseBoost("boosting", b,
+        Set("positive", "negative", "negative_boost"))
       val pos = Option(b.get("positive"))
         .getOrElse(bad("boosting needs \"positive\""))
       val neg = Option(b.get("negative"))
@@ -1623,12 +1708,18 @@ object EsDsl {
       val p = clause(pos, ctx)
       // the negative side only GATES the demotion — filter context
       val n = ctx.inFilter { clause(neg, ctx) }
-      Clause(p.pred,
+      boosted(Clause(p.pred,
         when(coalesce(n.pred, lit(false)),
-          p.score.cast("double") * nb).otherwise(p.score.cast("double")))
+          p.score.cast("double") * nb).otherwise(p.score.cast("double"))),
+        bBoost)
 
     case ("match", b) =>
       val (f, spec) = unwrap(b)
+      val boost = if (spec.isObject)
+        clauseBoost("match", spec, Set("query", "operator",
+          "fuzziness", "prefix_length", "max_expansions",
+          "minimum_should_match"))
+      else 1.0
       val (text, operator, fuzziness) =
         if (spec.isObject)
           (Option(spec.get("query")).map(_.asText)
@@ -1636,11 +1727,18 @@ object EsDsl {
            Option(spec.get("operator")).map(_.asText).getOrElse("or"),
            Option(spec.get("fuzziness")).map(_.asText))
         else (spec.asText, "or", None)
-      matchClause(ctx, text, Seq(f -> 1.0), operator, minMatch = None,
+      val msm = if (spec.isObject)
+        Option(spec.get("minimum_should_match")).map(m =>
+          if (m.isIntegralNumber) m.asInt.toString else m.asText)
+      else None
+      boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
-        fuzzyKnobs(if (spec.isObject) Some(spec) else None))
+        fuzzyKnobs(if (spec.isObject) Some(spec) else None)), boost)
 
     case ("multi_match", b) =>
+      val mmBoost = clauseBoost("multi_match", b, Set("query",
+        "fields", "type", "operator", "minimum_should_match",
+        "fuzziness", "prefix_length", "max_expansions"))
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -1657,8 +1755,10 @@ object EsDsl {
       val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
       val msm = Option(b.get("minimum_should_match")).map(m =>
         if (m.isIntegralNumber) m.asInt.toString else m.asText)
-      matchClause(ctx, text, fields, operator, msm, tpe == "best_fields",
-        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)))
+      boosted(matchClause(ctx, text, fields, operator, msm,
+        tpe == "best_fields",
+        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b))),
+        mmBoost)
 
     case ("combined_fields", b) =>
       // ES combined_fields (7.13+): term-centric BM25 treating the
@@ -1670,6 +1770,8 @@ object EsDsl {
       // the score rides the exact match-family BM25 machinery over a
       // derived column. operator/minimum_should_match gate the match
       // set on combined token presence.
+      val cfBoost = clauseBoost("combined_fields", b,
+        Set("query", "fields", "operator", "minimum_should_match"))
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("combined_fields needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -1700,7 +1802,8 @@ object EsDsl {
             bad(s"malformed minimum_should_match '$spec'"))
           math.max(1, math.min(terms.size, r))
         }.getOrElse(1)
-      Clause(matched >= required, ctx.bm25Combined(text, cfFields))
+      boosted(Clause(matched >= required,
+        ctx.bm25Combined(text, cfFields)), cfBoost)
 
     case ("simple_query_string", b) =>
       // ES's fault-tolerant end-user query language, parsed by
@@ -1710,6 +1813,8 @@ object EsDsl {
       // (phrase, prefix, fuzzy); BM25 relevance lives on
       // match/multi_match and /search rank=bm25. Matching clauses'
       // scores sum, ES's combination rule.
+      val sqsBoost = clauseBoost("simple_query_string", b,
+        Set("query", "fields", "default_operator"))
       val qstr = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("simple_query_string needs \"query\""))
       val fields: Seq[(String, Double)] =
@@ -1771,7 +1876,7 @@ object EsDsl {
           val c = compile(x)
           Clause(!coalesce(c.pred, lit(false)), lit(0.0))
       }
-      compile(root)
+      boosted(compile(root), sqsBoost)
 
     case ("rank_feature", b) =>
       // ES rank_feature: relevance from a positive numeric feature
@@ -1781,6 +1886,8 @@ object EsDsl {
       // instead), log ln(scaling_factor + x), sigmoid
       // x^e/(x^e + pivot^e), linear. Matches where the feature is
       // non-null; one codegen'd projection.
+      clauseBoost("rank_feature", b,
+        Set("field", "saturation", "log", "sigmoid", "linear")): Unit
       val f = Option(b.get("field")).map(_.asText)
         .getOrElse(bad("rank_feature needs \"field\""))
       val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
@@ -1822,6 +1929,8 @@ object EsDsl {
       // recency/proximity ranking. Numeric fields take numeric
       // origin/pivot; timestamp fields take an ISO origin and a
       // duration pivot ("7d"). Matches where the field is non-null.
+      clauseBoost("distance_feature", b,
+        Set("field", "origin", "pivot")): Unit
       val f = Option(b.get("field")).map(_.asText)
         .getOrElse(bad("distance_feature needs \"field\""))
       val originNode = Option(b.get("origin"))
@@ -1853,6 +1962,7 @@ object EsDsl {
       // maxima; 1e15 keeps integer-exact doubles — 1e18's ulp is 128,
       // which would collapse adjacent pin ranks); a pinned doc
       // outside the organic match set still matches.
+      clauseBoost("pinned", b, Set("ids", "organic")): Unit
       val idsNode = Option(b.get("ids")).filter(_.isArray)
         .filter(_.size > 0)
         .getOrElse(bad("pinned needs a non-empty \"ids\" array"))
@@ -1887,6 +1997,9 @@ object EsDsl {
       // one bounded corpus aggregation (≤ |like terms| rows back to
       // the driver — the fuzzy-expansion precedent), the query itself
       // is one scan.
+      val mltBoost = clauseBoost("more_like_this", b,
+        Set("fields", "like", "min_term_freq", "min_doc_freq",
+          "max_query_terms", "minimum_should_match"))
       val fields = Option(b.get("fields")).filter(_.isArray)
         .filter(_.size > 0)
         .map(fn => (0 until fn.size).map(fn.get(_).asText))
@@ -1938,8 +2051,8 @@ object EsDsl {
             .reduce(_ + _))
           val matched = cnts.map(c => when(c > 0, 1).otherwise(0))
             .reduce(_ + _)
-          Clause(matched >= required,
-            cnts.reduce(_ + _).cast("double"))
+          boosted(Clause(matched >= required,
+            cnts.reduce(_ + _).cast("double")), mltBoost)
         }
       }
 
@@ -1957,6 +2070,8 @@ object EsDsl {
       // constant-score, so score_mode avg/min/max = 1.0 on match
       // (ES's value for constant-score children), sum = the matching
       // element count, none = 0.
+      val nBoost = clauseBoost("nested", b,
+        Set("path", "query", "score_mode"))
       val path = Option(b.get("path")).map(_.asText)
         .getOrElse(bad("nested needs \"path\""))
       val inner = Option(b.get("query"))
@@ -1975,7 +2090,7 @@ object EsDsl {
         case "none"                => lit(0.0)
         case other => bad(s"unsupported score_mode '$other'")
       }
-      Clause(cnt > 0, score)
+      boosted(Clause(cnt > 0, score), nBoost)
 
     case ("function_score", b) =>
       // ES function_score: re-rank the base query's match set by
@@ -1991,6 +2106,12 @@ object EsDsl {
       // rejected by name (nondeterministic or script-bearing). The
       // whole construct stays one codegen'd projection — arrays of
       // (applies, value) structs folded with `aggregate`, no joins.
+      // a stray random_score/script_score/decay key in the
+      // single-function shorthand position must reject by name, never
+      // be silently dropped — the key inventory covers it
+      val fsBoost = clauseBoost("function_score", b,
+        Set("query", "functions", "field_value_factor", "weight",
+          "score_mode", "boost_mode", "max_boost", "min_score"))
       // min_score's PREDICATE reads the combined score, so the base
       // query must keep real scoring even in filter context — the one
       // construct that escapes the filter-context suppression
@@ -2088,7 +2209,7 @@ object EsDsl {
       }
       val pred = minScoreOpt
         .map(ms => base.pred && finalScore >= ms).getOrElse(base.pred)
-      Clause(pred, finalScore)
+      boosted(Clause(pred, finalScore), fsBoost)
 
     case ("query_string", b) =>
       // ES's full Lucene classic query language — the STRICT sibling
@@ -2100,6 +2221,8 @@ object EsDsl {
       // constructs (range/exists) score a constant 1.0 — ES's
       // constant-score rewrite. BM25 relevance lives on
       // match/multi_match and /search rank=bm25.
+      val qsBoost = clauseBoost("query_string", b,
+        Set("query", "fields", "default_field", "default_operator"))
       val qstr = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("query_string needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -2128,9 +2251,12 @@ object EsDsl {
         case "or"  => false
         case other => bad(s"unsupported default_operator '$other'")
       }
-      qsCompile(QueryString.parse(qstr, defaultAnd), defaults, ctx)
+      boosted(qsCompile(QueryString.parse(qstr, defaultAnd), defaults,
+        ctx), qsBoost)
 
     case ("bool", b) =>
+      val boolBoost = clauseBoost("bool", b, Set("must", "filter",
+        "should", "must_not", "minimum_should_match"))
       val must = sub(b, "must").map(clause(_, ctx))
       // filter and must_not are FILTER CONTEXT (ES skips scoring
       // there): scoring clauses compile to predicates only — no
@@ -2160,7 +2286,7 @@ object EsDsl {
       val scores = must.map(_.score) ++ should.map(c =>
         when(coalesce(c.pred, lit(false)), c.score).otherwise(lit(0.0)))
       val score = if (scores.isEmpty) lit(0.0) else scores.reduce(_ + _)
-      Clause(pred, score)
+      boosted(Clause(pred, score), boolBoost)
 
     case (other, _) => bad(s"unsupported query clause '$other'")
   }

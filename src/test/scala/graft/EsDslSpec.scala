@@ -102,6 +102,47 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("clause-level boost multiplies the clause score everywhere; " +
+    "result-changing clause knobs reject by name") {
+    // term-level boost: constant 1.0 → boost
+    val tb = q("""{"query": {"term": {"source": {"value": "src3",
+      "boost": 3.5}}}, "size": 10}""")
+      .collect().map(_.getAs[Double]("_score")).toSet
+    assert(tb == Set(3.5), s"term boost: $tb")
+    // match boost multiplies the (rounded) BM25 score
+    val plain = q("""{"query": {"match": {"text": "window"}},
+      "size": 10}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val boostd = q("""{"query": {"match": {"text": {"query": "window",
+      "boost": 2}}}, "size": 10}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(boostd == plain.map { case (k, v) => k -> v * 2.0 },
+      s"match boost: $boostd vs $plain")
+    // bool boost multiplies the combined score
+    val bb = q("""{"query": {"bool": {"must": [{"term":
+      {"source": "src3"}}], "boost": 4}}, "size": 10}""")
+      .collect().map(_.getAs[Double]("_score")).toSet
+    assert(bb == Set(4.0), s"bool boost: $bb")
+    // silently-dropped result-changing knobs now reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match": {"text": {"query": "x",
+        "analyzer": "standard"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"range": {"n": {"gte": 1,
+        "format": "epoch_millis"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "random_score": {}}}}""")
+    }
+    // accuracy knobs exact evaluation subsumes are accepted
+    val rw = q("""{"query": {"wildcard": {"text": {"value": "wind*",
+      "rewrite": "constant_score", "_name": "w"}}}, "size": 10}""")
+      .collect()
+    assert(rw.nonEmpty)
+  }
+
   test("date_histogram time_zone buckets in the zone-local frame " +
     "(DST-aware for named zones); unknown agg knobs reject by name") {
     import java.sql.Timestamp
