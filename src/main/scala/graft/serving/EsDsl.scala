@@ -1086,30 +1086,42 @@ object EsDsl {
     // same total order
     // validate sort fields HERE (a 400 naming the field) — an unknown
     // column would otherwise surface as a plan-time AnalysisException,
-    // a 500 for what is the caller's error
+    // a 500 for what is the caller's error. A dotted path whose head
+    // is a (struct) column passes — col() resolves nested fields, and
+    // a bad sub-field still fails loud through the HTTP layer's
+    // AnalysisException → 400 mapping.
     def checkSortField(f: String): String = {
-      if (f != "_score" && !df.columns.contains(f))
+      val head = f.split("\\.", 2).head
+      if (f != "_score" && !df.columns.contains(f) &&
+          !df.columns.contains(head))
         bad(s"unknown sort field '$f'")
       f
     }
+    // ES accepts a bare string, a bare object, or an array of either;
+    // an entry object carries exactly ONE field (a second key would
+    // be silently dropped — reject instead)
+    val sortEntries: Seq[JsonNode] = Option(body.get("sort")) match {
+      case None                     => Nil
+      case Some(s) if s.isArray     => (0 until s.size).map(s.get)
+      case Some(s)                  => Seq(s)
+    }
     val effKeys: Seq[(Column, Boolean)] =
-      (Option(body.get("sort")).filter(_.isArray) match {
-        case Some(s) =>
-          (0 until s.size).map { i =>
-            val n = s.get(i)
-            if (n.isTextual) sortPair(checkSortField(n.asText), "asc")
-            else {
-              val it = n.fieldNames()
-              if (!it.hasNext) bad("empty sort entry")
-              val f = it.next()
-              val ord = Option(n.get(f))
-                .flatMap(o => Option(o.get("order"))).map(_.asText)
-                .getOrElse("asc")
-              sortPair(checkSortField(f), ord)
-            }
-          }
-        case None => Seq((col("_score"), false))
-      }) ++ tieNames.map(t => (col(t), true))
+      (if (sortEntries.isEmpty) Seq((col("_score"), false))
+       else sortEntries.map { n =>
+         if (n.isTextual) sortPair(checkSortField(n.asText), "asc")
+         else {
+           val names = keysOf(n)
+           if (names.isEmpty) bad("empty sort entry")
+           if (names.size > 1)
+             bad("a sort entry must carry exactly one field, got: " +
+               names.mkString(", "))
+           val f = names.head
+           val ord = Option(n.get(f))
+             .flatMap(o => Option(o.get("order"))).map(_.asText)
+             .getOrElse("asc")
+           sortPair(checkSortField(f), ord)
+         }
+       }) ++ tieNames.map(t => (col(t), true))
     val keyCols = effKeys.map { case (cc, asc) =>
       if (asc) cc.asc else cc.desc }
     // "collapse": {"field": f} — ES field collapsing: the hit list
@@ -1313,6 +1325,11 @@ object EsDsl {
     else if (v.isBoolean) lit(v.asBoolean)
     else bad(s"unsupported literal $v")
 
+  /** ES minimum_should_match specs arrive as an integer or the full
+    * string grammar — normalize to the string form ONE way. */
+  private def msmSpec(m: JsonNode): String =
+    if (m.isIntegralNumber) m.asInt.toString else m.asText
+
   /** The single (kind → body) entry of a query node. */
   private def unwrap(q: JsonNode): (String, JsonNode) = {
     val names = q.fieldNames()
@@ -1421,6 +1438,7 @@ object EsDsl {
         bad("terms needs an array (document-lookup terms are not " +
           "supported)")
       val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      if (boost < 0) bad("terms boost must be >= 0")
       val values: Seq[Any] = (0 until vs.size).map { i =>
         val v = vs.get(i)
         if (v.isTextual) v.asText
@@ -1550,9 +1568,9 @@ object EsDsl {
         boost)
 
     case ("constant_score", b) =>
+      val boost = clauseBoost("constant_score", b, Set("filter"))
       val f = Option(b.get("filter"))
         .getOrElse(bad("constant_score needs \"filter\""))
-      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
       Clause(ctx.inFilter { clause(f, ctx) }.pred, lit(boost))
 
     case ("match_phrase", b) =>
@@ -1728,8 +1746,7 @@ object EsDsl {
            Option(spec.get("fuzziness")).map(_.asText))
         else (spec.asText, "or", None)
       val msm = if (spec.isObject)
-        Option(spec.get("minimum_should_match")).map(m =>
-          if (m.isIntegralNumber) m.asInt.toString else m.asText)
+        Option(spec.get("minimum_should_match")).map(msmSpec)
       else None
       boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
@@ -1753,8 +1770,7 @@ object EsDsl {
       if (tpe != "most_fields" && tpe != "best_fields")
         bad(s"unsupported multi_match type '$tpe'")
       val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
-      val msm = Option(b.get("minimum_should_match")).map(m =>
-        if (m.isIntegralNumber) m.asInt.toString else m.asText)
+      val msm = Option(b.get("minimum_should_match")).map(msmSpec)
       boosted(matchClause(ctx, text, fields, operator, msm,
         tpe == "best_fields",
         Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b))),
@@ -1797,7 +1813,7 @@ object EsDsl {
       val required =
         if (operator == "and") terms.size
         else Option(b.get("minimum_should_match")).map { m =>
-          val spec = if (m.isIntegralNumber) m.asInt.toString else m.asText
+          val spec = msmSpec(m)
           val r = MinShouldMatch.resolve(spec, terms.size).getOrElse(
             bad(s"malformed minimum_should_match '$spec'"))
           math.max(1, math.min(terms.size, r))
@@ -1962,7 +1978,7 @@ object EsDsl {
       // maxima; 1e15 keeps integer-exact doubles — 1e18's ulp is 128,
       // which would collapse adjacent pin ranks); a pinned doc
       // outside the organic match set still matches.
-      clauseBoost("pinned", b, Set("ids", "organic")): Unit
+      val pinBoost = clauseBoost("pinned", b, Set("ids", "organic"))
       val idsNode = Option(b.get("ids")).filter(_.isArray)
         .filter(_.size > 0)
         .getOrElse(bad("pinned needs a non-empty \"ids\" array"))
@@ -1982,7 +1998,8 @@ object EsDsl {
         acc.when(col(IdColMarker) === lit(id), lit(1e15 - i))
       }.otherwise(when(coalesce(org.pred, lit(false)),
         org.score.cast("double")).otherwise(lit(0.0)))
-      Clause(pinnedPred || coalesce(org.pred, lit(false)), pinScore)
+      boosted(Clause(pinnedPred || coalesce(org.pred, lit(false)),
+        pinScore), pinBoost)
 
     case ("more_like_this", b) =>
       // ES more_like_this over TEXT likes (document references — the
@@ -2025,8 +2042,7 @@ object EsDsl {
         .getOrElse(25)
       if (maxTerms <= 0 || maxTerms > 500)
         bad("max_query_terms must be 1..500")
-      val msmSpec = Option(b.get("minimum_should_match")).map(m =>
-        if (m.isIntegralNumber) m.asInt.toString else m.asText)
+      val mltMsm = Option(b.get("minimum_should_match")).map(msmSpec)
         .getOrElse("30%")
       val likeTf: Map[String, Int] = likes
         .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
@@ -2044,8 +2060,8 @@ object EsDsl {
           val chosen = scored0.sortBy { case (t, s) => (-s, t) }
             .take(maxTerms).map(_._1)
           val required = math.max(1, math.min(chosen.size,
-            MinShouldMatch.resolve(msmSpec, chosen.size).getOrElse(
-              bad(s"malformed minimum_should_match '$msmSpec'"))))
+            MinShouldMatch.resolve(mltMsm, chosen.size).getOrElse(
+              bad(s"malformed minimum_should_match '$mltMsm'"))))
           val cnts = chosen.map(t => fields.map(f =>
             Search.substrCount(Search.tokenNorm(col(f)), s" $t "))
             .reduce(_ + _))
@@ -2197,7 +2213,13 @@ object EsDsl {
         }
       val capped = Option(b.get("max_boost")).map(_.asDouble)
         .map(mb => least(fnScore, lit(mb))).getOrElse(fnScore)
-      val qScore = base.score.cast("double")
+      // ES/Lucene push the query-level boost into the SUB-QUERY's
+      // weight: it multiplies the query score BEFORE the boost_mode
+      // combination (visible under sum/replace/avg/max/min; identical
+      // under multiply)
+      val qScore0 = base.score.cast("double")
+      val qScore =
+        if (fsBoost == 1.0) qScore0 else qScore0 * fsBoost
       val finalScore = boostMode match {
         case "multiply" => qScore * capped
         case "sum"      => qScore + capped
@@ -2209,7 +2231,7 @@ object EsDsl {
       }
       val pred = minScoreOpt
         .map(ms => base.pred && finalScore >= ms).getOrElse(base.pred)
-      boosted(Clause(pred, finalScore), fsBoost)
+      Clause(pred, finalScore)
 
     case ("query_string", b) =>
       // ES's full Lucene classic query language — the STRICT sibling
@@ -2270,7 +2292,7 @@ object EsDsl {
       // resolves with the full grammar against the should count
       val defaultMsm = if (must.nonEmpty || filter.nonEmpty) 0 else 1
       val msm = Option(b.get("minimum_should_match")).map { m =>
-        val spec = if (m.isIntegralNumber) m.asInt.toString else m.asText
+        val spec = msmSpec(m)
         MinShouldMatch.resolve(spec, should.size)
           .getOrElse(bad(s"malformed minimum_should_match '$spec'"))
       }.getOrElse(defaultMsm)
@@ -2960,6 +2982,7 @@ object EsDsl {
             bad("missing/min_doc_count/order/include/exclude are not " +
               "supported with a top_hits sub-agg")
           val th = topHits.head
+          checkAggKeys("top_hits", th)
           val hitsSize = Option(th.get("size")).map(_.asInt).getOrElse(3)
           if (hitsSize <= 0 || hitsSize > 100)
             bad("top_hits size must be 1..100")

@@ -671,6 +671,11 @@ final class HttpApi(
       case e: IllegalArgumentException =>
         respond(ex, 400, mapper.createObjectNode()
           .put("error", String.valueOf(e.getMessage)).toString)
+      case e: org.apache.spark.sql.AnalysisException =>
+        // a forged/stale cursor referencing a column the current
+        // schema lacks is the CALLER's error — 400, never a 500
+        respond(ex, 400, mapper.createObjectNode()
+          .put("error", String.valueOf(e.getMessage)).toString)
     }
   }
 
