@@ -1010,6 +1010,97 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // serial_diff (round 10): week-over-week differencing of daily
+    // event volume — x_t − x_{t−7} over the bucket table; the first 7
+    // buckets are null (ES's omitted key under gap_policy skip).
+    // Exact long arithmetic end-to-end.
+    "q7_esdsl_serial_diff" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {"wow": {"serial_diff":
+          |     {"buckets_path": "_count", "lag": 7}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // normalize pipeline (round 10): each day's share of total volume
+    // (percent_of_sum) and min-max rescale — whole-table window
+    // statistics over the bucket table. Float-stable: long counts stay
+    // exact through sum/min/max; each bucket value is then ONE IEEE
+    // division (and one sub for the rescale), mirrored in the oracle.
+    "q7_esdsl_normalize" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "share": {"normalize": {"buckets_path": "_count",
+          |       "method": "percent_of_sum"}},
+          |     "resc": {"normalize": {"buckets_path": "_count",
+          |       "method": "rescale_0_1"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // bucket_script (round 10): events-per-active-user by day — a
+    // Painless arithmetic script over buckets_path params, compiled to
+    // one codegen'd Column over the bucket table. Long count / long
+    // cardinality = ONE double division, bit-stable cross-engine.
+    "q7_esdsl_bucket_script" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "actives": {"cardinality": {"field": "user_id"}},
+          |     "per_user": {"bucket_script":
+          |       {"buckets_path": {"c": "_count", "u": "actives"},
+          |        "script": "params.c / params.u"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // bucket_selector (round 10): ES's HAVING — keep only days where
+    // volume exceeds twice the active-user count. Pure integer
+    // comparison; selective at sf0.001, all-pass at sf0.01 (both
+    // non-degenerate).
+    "q7_esdsl_bucket_selector" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "actives": {"cardinality": {"field": "user_id"}},
+          |     "busy": {"bucket_selector":
+          |       {"buckets_path": {"c": "_count", "u": "actives"},
+          |        "script": "params.c > params.u * 2"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // stats_bucket + percentiles_bucket siblings (round 10): the
+    // bucket table with its own count/min/max/avg/sum and exact
+    // interpolated quartiles appended as constants (broadcast
+    // single-row join) — ES's buckets-plus-sibling response. Long
+    // counts keep the stats exact; quantile interpolation matches
+    // DuckDB's quantile_cont op-for-op.
+    "q7_esdsl_stats_bucket" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {
+          |   "per_day": {"date_histogram":
+          |     {"field": "ts", "fixed_interval": "1d"}},
+          |   "daily": {"stats_bucket":
+          |     {"buckets_path": "per_day>_count"}},
+          |   "spread": {"percentiles_bucket":
+          |     {"buckets_path": "per_day>_count",
+          |      "percents": [25, 50, 75]}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3198,6 +3289,69 @@ object ParityQueries {
        "count(DISTINCT user_id) AS actives " +
        "FROM events WHERE ts IS NOT NULL " +
        "GROUP BY 1 ORDER BY key"),
+
+    // serial_diff: lagged difference over the bucket CTE — exact long
+    // arithmetic, first `lag` buckets NULL like ES's omitted keys
+    "q7_esdsl_serial_diff" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1) " +
+       "SELECT key, doc_count, " +
+       "doc_count - lag(doc_count, 7) OVER (ORDER BY key) AS wow " +
+       "FROM b ORDER BY key"),
+
+    // normalize: whole-table statistics are exact (integer-valued
+    // doubles sum exactly), each bucket value then ONE division —
+    // both engines bit-agree
+    "q7_esdsl_normalize" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1) " +
+       "SELECT key, doc_count, " +
+       "CAST(doc_count AS DOUBLE) / " +
+         "(SELECT CAST(sum(doc_count) AS DOUBLE) FROM b) AS share, " +
+       "(CAST(doc_count AS DOUBLE) - " +
+         "(SELECT CAST(min(doc_count) AS DOUBLE) FROM b)) / " +
+        "((SELECT CAST(max(doc_count) AS DOUBLE) FROM b) - " +
+         "(SELECT CAST(min(doc_count) AS DOUBLE) FROM b)) AS resc " +
+       "FROM b ORDER BY key"),
+
+    // bucket_script: long count / long cardinality = one IEEE double
+    // division in both engines
+    "q7_esdsl_bucket_script" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count, count(DISTINCT user_id) AS actives, " +
+       "CAST(count(*) AS DOUBLE) / " +
+         "CAST(count(DISTINCT user_id) AS DOUBLE) AS per_user " +
+       "FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY key"),
+
+    // bucket_selector: HAVING over the bucket table, pure integer
+    // comparison
+    "q7_esdsl_bucket_selector" ->
+      ("SELECT * FROM (SELECT (epoch_ms(ts) // 86400000) * 86400000 " +
+       "AS key, count(*) AS doc_count, " +
+       "count(DISTINCT user_id) AS actives " +
+       "FROM events WHERE ts IS NOT NULL GROUP BY 1) " +
+       "WHERE doc_count > actives * 2 ORDER BY key"),
+
+    // stats_bucket / percentiles_bucket siblings: scalar reductions of
+    // the bucket CTE appended as constants; avg = exact sum ÷ count
+    // (one division), quantile_cont interpolates identically
+    "q7_esdsl_stats_bucket" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+       "count(*) AS doc_count FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1) " +
+       "SELECT key, doc_count, " +
+       "(SELECT count(doc_count) FROM b) AS daily_count, " +
+       "(SELECT min(doc_count) FROM b) AS daily_min, " +
+       "(SELECT max(doc_count) FROM b) AS daily_max, " +
+       "(SELECT avg(doc_count) FROM b) AS daily_avg, " +
+       "(SELECT CAST(sum(doc_count) AS BIGINT) FROM b) AS daily_sum, " +
+       "(SELECT quantile_cont(doc_count, 0.25) FROM b) AS spread_p25, " +
+       "(SELECT quantile_cont(doc_count, 0.50) FROM b) AS spread_p50, " +
+       "(SELECT quantile_cont(doc_count, 0.75) FROM b) AS spread_p75 " +
+       "FROM b ORDER BY key"),
 
     "q7_esdsl_range_sort" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +

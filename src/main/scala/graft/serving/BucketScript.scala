@@ -1,0 +1,207 @@
+package graft.serving
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler for the arithmetic subset of Painless that ES
+  * `bucket_script` / `bucket_selector` pipeline aggregations accept
+  * (reference forwards these bodies verbatim to its ES 8.11 backend,
+  * `src/es_connector.py:85-95`). The grammar is the expression layer
+  * every real bucket script uses — `params.<name>` references bound
+  * by the agg's `buckets_path` map, numeric literals, `+ - * / %`,
+  * comparisons, `&& ||`, unary `- !`, parentheses — compiled straight
+  * to a Catalyst [[Column]] so the script runs inside whole-stage
+  * codegen over the bucket table. Anything outside the grammar
+  * (method calls, strings, ternaries, assignments) rejects BY NAME at
+  * parse time: a silently-misread script must never yield a silently
+  * different bucket value.
+  *
+  * Precedence (loosest to tightest): `||`, `&&`, equality `== !=`,
+  * relational `< <= > >=`, additive `+ -`, multiplicative `* / %`,
+  * unary `- !`, primary. Mirrors Java/Painless, so a script means
+  * here exactly what it means in ES.
+  */
+private[serving] object BucketScript {
+
+  final case class ScriptError(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Compile `script` to a Column over `params`. Numeric result —
+    * [[EsDsl]] casts/validates per call site. */
+  def compile(script: String, params: Map[String, Column]): Column =
+    new Parser(script, params).compile()
+
+  private final class Parser(src: String, params: Map[String, Column]) {
+    private var pos = 0
+
+    def compile(): Column = {
+      val c = orExpr()
+      skipWs()
+      if (pos < src.length)
+        fail(s"unexpected trailing input '${src.substring(pos)}'")
+      c
+    }
+
+    private def fail(msg: String): Nothing =
+      throw ScriptError(s"bucket script: $msg (at offset $pos of " +
+        s"'$src')")
+
+    private def skipWs(): Unit =
+      while (pos < src.length && src.charAt(pos).isWhitespace) pos += 1
+
+    private def peek(tok: String): Boolean = {
+      skipWs()
+      src.startsWith(tok, pos)
+    }
+
+    private def eat(tok: String): Boolean = {
+      if (peek(tok)) { pos += tok.length; true } else false
+    }
+
+    private def orExpr(): Column = {
+      var c = andExpr()
+      while (eat("||")) c = c || andExpr()
+      c
+    }
+
+    private def andExpr(): Column = {
+      var c = eqExpr()
+      while (peek("&&")) { eat("&&"); c = c && eqExpr() }
+      c
+    }
+
+    private def eqExpr(): Column = {
+      var c = relExpr()
+      var done = false
+      while (!done) {
+        if (eat("==")) c = c === relExpr()
+        else if (eat("!=")) c = c =!= relExpr()
+        else done = true
+      }
+      c
+    }
+
+    private def relExpr(): Column = {
+      var c = addExpr()
+      var done = false
+      while (!done) {
+        // two-char forms first: '<=' must not lex as '<' + '='
+        if (eat("<=")) c = c <= addExpr()
+        else if (eat(">=")) c = c >= addExpr()
+        else if (eat("<")) c = c < addExpr()
+        else if (eat(">")) c = c > addExpr()
+        else done = true
+      }
+      c
+    }
+
+    private def addExpr(): Column = {
+      var c = mulExpr()
+      var done = false
+      while (!done) {
+        if (eat("+")) c = c + mulExpr()
+        else if (peek("-") && !peek("->")) { eat("-"); c = c - mulExpr() }
+        else done = true
+      }
+      c
+    }
+
+    private def mulExpr(): Column = {
+      var c = unary()
+      var done = false
+      while (!done) {
+        if (eat("*")) c = c * unary()
+        // '/' is never a comment start here — reject '//' outright so
+        // a commented script can't half-parse
+        else if (peek("//")) fail("'//' is not an operator")
+        else if (eat("/")) c = c / unary()
+        else if (eat("%")) c = c % unary()
+        else done = true
+      }
+      c
+    }
+
+    private def unary(): Column = {
+      if (eat("-")) -unary()
+      else if (eat("!")) !unary()
+      else primary()
+    }
+
+    private def primary(): Column = {
+      skipWs()
+      if (pos >= src.length) fail("unexpected end of script")
+      val ch = src.charAt(pos)
+      if (ch == '(') {
+        pos += 1
+        val c = orExpr()
+        if (!eat(")")) fail("expected ')'")
+        c
+      } else if (ch.isDigit || (ch == '.' && pos + 1 < src.length &&
+          src.charAt(pos + 1).isDigit)) {
+        number()
+      } else if (src.startsWith("params.", pos) ||
+          src.startsWith("params[", pos)) {
+        paramRef()
+      } else if (ch.isLetter || ch == '_') {
+        val id = ident()
+        fail(s"unsupported identifier '$id' — only params.<name> " +
+          "references and numeric literals are supported")
+      } else fail(s"unexpected character '$ch'")
+    }
+
+    private def ident(): String = {
+      val start = pos
+      while (pos < src.length && (src.charAt(pos).isLetterOrDigit ||
+          src.charAt(pos) == '_')) pos += 1
+      if (pos == start) fail("expected identifier")
+      src.substring(start, pos)
+    }
+
+    private def paramRef(): Column = {
+      val name =
+        if (src.startsWith("params.", pos)) {
+          pos += "params.".length
+          ident()
+        } else {
+          pos += "params[".length
+          skipWs()
+          val q = src.charAt(pos)
+          if (q != '\'' && q != '"') fail("expected quoted param name")
+          pos += 1
+          val end = src.indexOf(q, pos)
+          if (end < 0) fail("unterminated param name")
+          val n = src.substring(pos, end)
+          pos = end + 1
+          if (!eat("]")) fail("expected ']'")
+          n
+        }
+      params.getOrElse(name,
+        fail(s"script references params.$name but buckets_path has " +
+          s"no '$name' entry"))
+    }
+
+    private def number(): Column = {
+      val start = pos
+      while (pos < src.length && src.charAt(pos).isDigit) pos += 1
+      var isDouble = false
+      if (pos < src.length && src.charAt(pos) == '.') {
+        isDouble = true
+        pos += 1
+        while (pos < src.length && src.charAt(pos).isDigit) pos += 1
+      }
+      if (pos < src.length &&
+          (src.charAt(pos) == 'e' || src.charAt(pos) == 'E')) {
+        isDouble = true
+        pos += 1
+        if (pos < src.length &&
+            (src.charAt(pos) == '+' || src.charAt(pos) == '-')) pos += 1
+        while (pos < src.length && src.charAt(pos).isDigit) pos += 1
+      }
+      val text = src.substring(start, pos)
+      if (isDouble) lit(text.toDouble)
+      else lit(text.toLong) // integral literal stays integral, like
+                            // Painless — 5 / 2 over long paths is
+                            // still Spark's true division (double)
+    }
+  }
+}

@@ -122,7 +122,8 @@ object EsDsl {
   /** SIBLING pipeline kinds — a second top-level agg entry reducing
     * the bucket agg's table ([[aggregations]]). */
   private val SiblingKinds =
-    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+      "stats_bucket", "extended_stats_bucket", "percentiles_bucket")
 
   /** The agg-type key of one aggregation spec (skipping its nested
     * aggs/aggregations blocks). */
@@ -2595,12 +2596,19 @@ object EsDsl {
     "top_hits" -> Set("size", "sort", "_source"),
     "cumulative_sum" -> Set("buckets_path"),
     "derivative" -> Set("buckets_path"),
+    "serial_diff" -> Set("buckets_path", "lag", "gap_policy"),
+    "normalize" -> Set("buckets_path", "method"),
+    "bucket_script" -> Set("buckets_path", "script", "gap_policy"),
+    "bucket_selector" -> Set("buckets_path", "script", "gap_policy"),
     "moving_fn" -> Set("buckets_path", "window", "shift", "script"),
     "bucket_sort" -> Set("sort", "from", "size"),
     "avg_bucket" -> Set("buckets_path"),
     "sum_bucket" -> Set("buckets_path"),
     "min_bucket" -> Set("buckets_path"),
-    "max_bucket" -> Set("buckets_path"))
+    "max_bucket" -> Set("buckets_path"),
+    "stats_bucket" -> Set("buckets_path"),
+    "extended_stats_bucket" -> Set("buckets_path", "sigma"),
+    "percentiles_bucket" -> Set("buckets_path", "percents"))
 
   private def checkAggKeys(kind: String, body: JsonNode): Unit =
     AggKnownKeys.get(kind).foreach { allowed =>
@@ -2649,13 +2657,41 @@ object EsDsl {
           case _ => bad(s"$kind buckets_path must be " +
             s"'$baseName>metric' (or '$baseName>_count')")
         }
-        val reducer: Column = kind match {
-          case "avg_bucket" => avg(col(metric)).as(sn)
-          case "sum_bucket" => sum(col(metric)).as(sn)
-          case "min_bucket" => min(col(metric)).as(sn)
-          case "max_bucket" => max(col(metric)).as(sn)
+        val c = col(metric)
+        val reducers: Seq[Column] = kind match {
+          case "avg_bucket" => Seq(avg(c).as(sn))
+          case "sum_bucket" => Seq(sum(c).as(sn))
+          case "min_bucket" => Seq(min(c).as(sn))
+          case "max_bucket" => Seq(max(c).as(sn))
+          case "stats_bucket" => Seq(
+            count(c).as(s"${sn}_count"), min(c).as(s"${sn}_min"),
+            max(c).as(s"${sn}_max"), avg(c).as(s"${sn}_avg"),
+            sum(c).as(s"${sn}_sum"))
+          case "extended_stats_bucket" => Seq(
+            count(c).as(s"${sn}_count"), min(c).as(s"${sn}_min"),
+            max(c).as(s"${sn}_max"), avg(c).as(s"${sn}_avg"),
+            sum(c).as(s"${sn}_sum"),
+            sum(c * c).as(s"${sn}_sum_of_squares"),
+            var_pop(c).as(s"${sn}_variance"),
+            stddev_pop(c).as(s"${sn}_std_deviation"))
+          case "percentiles_bucket" =>
+            // EXACT interpolated percentiles over the bucket table —
+            // the table is bucket-count-sized, so exactness is free
+            val percents = Option(body.get("percents")).map { a =>
+              if (!a.isArray || a.size == 0)
+                bad("percents must be a non-empty array")
+              (0 until a.size).map(a.get(_).asDouble)
+            }.getOrElse(Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
+            percents.map { p =>
+              if (p < 0 || p > 100) bad("percents must be in [0, 100]")
+              val s = if (p == math.floor(p)) p.toLong.toString
+                else p.toString.replace('.', '_')
+              expr(s"percentile(`$metric`, ${p / 100.0}d)")
+                .as(s"${sn}_p$s")
+            }
         }
-        out = out.crossJoin(broadcast(out.agg(reducer)))
+        out = out.crossJoin(
+          broadcast(out.agg(reducers.head, reducers.tail: _*)))
       }
       return out
     }
@@ -2787,7 +2823,8 @@ object EsDsl {
     // not data-sized, so single-partition ordering is the honest
     // shape even at 100 TB of underlying rows.
     val PipelineKinds =
-      Set("cumulative_sum", "derivative", "bucket_sort", "moving_fn")
+      Set("cumulative_sum", "derivative", "bucket_sort", "moving_fn",
+        "serial_diff", "normalize", "bucket_script", "bucket_selector")
     def metricSubsNonPipeline(parent: JsonNode): Seq[Column] =
       subEntries(parent).filterNot(e => PipelineKinds(e._2))
         .flatMap { case (n, mk, ms) => metricCols(mk, ms, n) }
@@ -2799,15 +2836,41 @@ object EsDsl {
       var out = buckets
       def pathCol(p: String, kind: String): Column = p match {
         case "_count" => col("doc_count")
+        case "_key"   => col("key")
         case name =>
           if (!out.columns.contains(name))
             bad(s"$kind buckets_path '$name' does not reference a " +
               "sibling metric or earlier pipeline")
           col(name)
       }
+      // gap_policy "skip" is ES's default and matches null-propagating
+      // Catalyst arithmetic; "insert_zeros" would CHANGE values, so it
+      // rejects by name rather than silently computing the skip answer
+      def checkGapPolicy(kind: String, ms: JsonNode): Unit =
+        Option(ms.get("gap_policy")).map(_.asText).foreach {
+          case "skip" => ()
+          case other  => bad(s"unsupported $kind gap_policy '$other' " +
+            "(only the default 'skip' is supported)")
+        }
+      // bucket_script/bucket_selector: buckets_path is a MAP of script
+      // param name -> sibling metric (or _count); the script is the
+      // Painless arithmetic subset, compiled to one codegen'd Column
+      def scriptCol(kind: String, ms: JsonNode): Column = {
+        checkGapPolicy(kind, ms)
+        val bp = Option(ms.get("buckets_path")).filter(_.isObject)
+          .getOrElse(bad(s"$kind needs a buckets_path OBJECT " +
+            "(param name -> metric path)"))
+        val params: Map[String, Column] = keysOf(bp).map { p =>
+          p -> pathCol(bp.get(p).asText, kind)
+        }.toMap
+        val script = Option(ms.get("script")).map(_.asText)
+          .getOrElse(bad(s"$kind needs \"script\""))
+        try BucketScript.compile(script, params)
+        catch { case e: BucketScript.ScriptError => bad(e.msg) }
+      }
       pipes.filter(_._2 != "bucket_sort").foreach { case (n, kind, ms) =>
         checkAggKeys(kind, ms)
-        val path = Option(ms.get("buckets_path")).map(_.asText)
+        def path = Option(ms.get("buckets_path")).map(_.asText)
           .getOrElse(bad(s"$kind needs \"buckets_path\""))
         kind match {
           case "cumulative_sum" =>
@@ -2818,6 +2881,55 @@ object EsDsl {
             // is the flat-relational projection of an absent key)
             out = out.withColumn(n,
               pathCol(path, kind) - lag(pathCol(path, kind), 1).over(w))
+          case "serial_diff" =>
+            // ES serial differencing: x_t - x_{t-lag}; the first `lag`
+            // buckets have no prior value — null, the flat projection
+            // of ES's omitted key (gap_policy skip)
+            checkGapPolicy(kind, ms)
+            val lagN = Option(ms.get("lag")).map(_.asInt).getOrElse(1)
+            if (lagN <= 0) bad("serial_diff lag must be positive")
+            out = out.withColumn(n,
+              pathCol(path, kind) - lag(pathCol(path, kind), lagN).over(w))
+          case "normalize" =>
+            // ES normalize pipeline: rescale each bucket's value by a
+            // whole-bucket-table statistic. The window spans ALL
+            // buckets (the table is bucket-count-sized, never
+            // data-sized, so the single-partition frame is honest).
+            val method = Option(ms.get("method")).map(_.asText)
+              .getOrElse(bad("normalize needs \"method\""))
+            import org.apache.spark.sql.expressions.Window
+            val all = Window.orderBy(col("key").asc).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)
+            val x = pathCol(path, kind).cast("double")
+            val normed = method match {
+              case "percent_of_sum" => x / sum(x).over(all)
+              case "rescale_0_1" =>
+                (x - min(x).over(all)) /
+                  (max(x).over(all) - min(x).over(all))
+              case "rescale_0_100" =>
+                (x - min(x).over(all)) /
+                  (max(x).over(all) - min(x).over(all)) * 100
+              case "mean" =>
+                // ES: (value - mean) / (max - min)
+                (x - avg(x).over(all)) /
+                  (max(x).over(all) - min(x).over(all))
+              case "z-score" =>
+                (x - avg(x).over(all)) / stddev_pop(x).over(all)
+              case "softmax" =>
+                org.apache.spark.sql.functions.exp(x) /
+                  sum(org.apache.spark.sql.functions.exp(x)).over(all)
+              case other => bad(s"unsupported normalize method " +
+                s"'$other' (rescale_0_1, rescale_0_100, " +
+                "percent_of_sum, mean, z-score, softmax)")
+            }
+            out = out.withColumn(n, normed)
+          case "bucket_script" =>
+            // ES always reports bucket_script values as doubles
+            out = out.withColumn(n, scriptCol(kind, ms).cast("double"))
+          case "bucket_selector" =>
+            // filters the bucket TABLE (drops buckets, adds no column);
+            // applied at its request-order position, like ES's reduce
+            out = out.filter(scriptCol(kind, ms).cast("boolean"))
           case "moving_fn" =>
             // ES moving_fn with the builtin MovingFunctions scripts —
             // a sliding window over the PRECEDING `window` buckets

@@ -970,6 +970,137 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("serial_diff: x_t - x_{t-lag} over the bucket table; lag " +
+    "validates; insert_zeros gap_policy rejects by name") {
+    // interval 10 -> buckets 10/20/30/40 one doc each; cum 1,2,3,4;
+    // serial_diff(cum, lag 2) -> null, null, 2, 2
+    val p = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10},
+       "aggs": {
+         "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+         "sd": {"serial_diff": {"buckets_path": "cum", "lag": 2}}}}},
+      "size": 0}""").collect()
+    assert(p.take(2).forall(_.isNullAt(p.head.fieldIndex("sd"))))
+    assert(p.drop(2).map(_.getAs[Long]("sd")).toSeq == Seq(2L, 2L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"sd": {"serial_diff":
+           {"buckets_path": "_count", "lag": 0}}}}}, "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"sd": {"serial_diff": {"buckets_path": "_count",
+           "gap_policy": "insert_zeros"}}}}}, "size": 0}""")
+    }
+  }
+
+  test("normalize: every ES method over the bucket table; unknown " +
+    "method rejects by name") {
+    // interval 20 -> buckets 0 (n=10), 20 (n=20,30), 40 (n=40):
+    // counts 1, 2, 1
+    def norm(method: String) = q(s"""{"query": {"match_all": {}},
+      "aggs": {"h": {"histogram": {"field": "n", "interval": 20},
+       "aggs": {"v": {"normalize":
+         {"buckets_path": "_count", "method": "$method"}}}}},
+      "size": 0}""").collect().map(_.getAs[Double]("v")).toSeq
+    assert(norm("percent_of_sum") == Seq(0.25, 0.5, 0.25))
+    assert(norm("rescale_0_1") == Seq(0.0, 1.0, 0.0))
+    assert(norm("rescale_0_100") == Seq(0.0, 100.0, 0.0))
+    // mean: (x - mean) / (max - min), mean = 4/3
+    val m = norm("mean")
+    assert(math.abs(m(1) - (2.0 - 4.0 / 3)) < 1e-12 &&
+      math.abs(m(0) - (1.0 - 4.0 / 3)) < 1e-12)
+    // z-score: sd_pop of (1,2,1) = sqrt(2/9); z(2) = (2/3)/sd = sqrt(2)
+    val z = norm("z-score")
+    assert(math.abs(z(1) - math.sqrt(2)) < 1e-12)
+    val soft = norm("softmax")
+    val denom = 2 * math.exp(1) + math.exp(2)
+    assert(math.abs(soft(1) - math.exp(2) / denom) < 1e-12 &&
+      math.abs(soft.sum - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] { norm("minmax") }
+  }
+
+  test("bucket_script compiles the Painless arithmetic subset; " +
+    "bucket_selector filters before bucket_sort; bad scripts 400") {
+    // interval 20 -> counts 1, 2, 1
+    val p = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 20},
+       "aggs": {
+         "a": {"bucket_script": {
+           "buckets_path": {"c": "_count"},
+           "script": "(params.c + 1) * 2 - params.c % 2"}},
+         "b": {"bucket_script": {
+           "buckets_path": {"c": "_count", "a": "a"},
+           "script": "params['a'] / params.c"}}}}},
+      "size": 0}""").collect()
+    // a = (c+1)*2 - c%2 -> 3, 6, 3; b = a/c -> 3, 3, 3
+    assert(p.map(_.getAs[Double]("a")).toSeq == Seq(3.0, 6.0, 3.0))
+    assert(p.map(_.getAs[Double]("b")).toSeq == Seq(3.0, 3.0, 3.0))
+    // selector keeps count>=2 buckets, then bucket_sort pages the rest
+    val sel = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 10},
+       "aggs": {
+         "keep": {"bucket_selector": {
+           "buckets_path": {"k": "_key"},
+           "script": "params.k >= 20 && !(params.k > 30)"}},
+         "top": {"bucket_sort": {"sort": [{"_key": {"order": "desc"}}],
+                 "size": 1}}}}},
+      "size": 0}""").collect()
+    assert(sel.length == 1 && sel.head.getAs[Double]("key") == 30.0)
+    def badScript(script: String) = intercept[IllegalArgumentException] {
+      q(s"""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"s": {"bucket_script": {
+           "buckets_path": {"c": "_count"}, "script": "$script"}}}}},
+        "size": 0}""")
+    }
+    // unknown param, method call, ternary, comment, trailing garbage:
+    // all reject at parse time, by name
+    badScript("params.c + params.missing")
+    badScript("Math.log(params.c)")
+    badScript("params.c > 1 ? 1 : 0")
+    badScript("params.c // 2")
+    badScript("params.c + 1 extra")
+    // a STRING buckets_path (the single-path form) is the map form's
+    // caller error here
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"s": {"bucket_script": {
+           "buckets_path": "_count", "script": "params.c"}}}}},
+        "size": 0}""")
+    }
+  }
+
+  test("stats_bucket / extended_stats_bucket / percentiles_bucket " +
+    "siblings reduce the bucket table; percents validate") {
+    // interval 20 -> counts 1, 2, 1
+    val p = q("""{"query": {"match_all": {}}, "aggs":
+      {"h": {"histogram": {"field": "n", "interval": 20}},
+       "es": {"extended_stats_bucket": {"buckets_path": "h>_count"}},
+       "pb": {"percentiles_bucket": {"buckets_path": "h>_count",
+         "percents": [50]}}},
+      "size": 0}""").collect()
+    val r = p.head
+    assert(r.getAs[Long]("es_count") == 3L &&
+      r.getAs[Long]("es_min") == 1L && r.getAs[Long]("es_max") == 2L &&
+      r.getAs[Long]("es_sum") == 4L &&
+      r.getAs[Long]("es_sum_of_squares") == 6L)
+    assert(math.abs(r.getAs[Double]("es_avg") - 4.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("es_variance") - 2.0 / 9) < 1e-12)
+    assert(math.abs(r.getAs[Double]("es_std_deviation") -
+      math.sqrt(2.0 / 9)) < 1e-12)
+    assert(r.getAs[Double]("pb_p50") == 1.0)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 20}},
+         "pb": {"percentiles_bucket": {"buckets_path": "h>_count",
+           "percents": [150]}}}, "size": 0}""").collect()
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
