@@ -1101,6 +1101,98 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // rare_terms (round 10): the long tail — customers with at most
+    // one order, count-ascending (ES's rare-first order). One exact
+    // hash agg + post-filter; ES's CuckooFilter approximation is
+    // subsumed by exactness.
+    "q7_esdsl_rare_terms" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"rare": {"rare_terms":
+          |   {"field": "o_custkey", "max_doc_count": 3},
+          |   "aggs": {"cheapest": {"min": {"field": "o_totalprice"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // top_metrics inside terms buckets (round 10): per language, the
+    // longest document's doc_id — ONE max(struct) aggregate riding the
+    // terms agg, ties broken by the metric values (deterministic,
+    // mirrored in the oracle's ORDER BY).
+    "q7_esdsl_top_metrics" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+          |   "aggs": {"best": {"top_metrics":
+          |     {"metrics": [{"field": "doc_id"}],
+          |      "sort": [{"n_chars": {"order": "desc"}}]}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // boxplot (round 10): exact quartiles + the IQR whiskers (nearest
+    // points inside 1.5·IQR) — quartile pass, then one conditional
+    // min/max pass against the broadcast quartile row.
+    "q7_esdsl_boxplot" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"price": {"boxplot": {"field": "o_totalprice"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // median_absolute_deviation (round 10): EXACT median of absolute
+    // deviations from the exact median (ES's TDigest `compression`
+    // knob subsumed by exactness).
+    "q7_esdsl_mad" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"spread": {"median_absolute_deviation":
+          |   {"field": "o_totalprice", "compression": 1000}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // string_stats (round 10): length stats in one pass + Shannon
+    // entropy over the corpus-wide character distribution (explode →
+    // char counts → −Σ p·log2 p, round4'd — the one free-order double
+    // sum in the response, see EsDsl scaladoc).
+    "q7_esdsl_string_stats" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"txt": {"string_stats": {"field": "text"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // matrix_stats (round 10): per-field mean/variance + pairwise
+    // covariance/correlation from integer-exact power sums in ONE
+    // aggregation (sample n−1 normalization, fixed IEEE op DAG
+    // mirrored by the oracle).
+    "q7_esdsl_matrix_stats" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"m": {"matrix_stats":
+          |   {"fields": ["o_custkey", "o_orderkey"]}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // auto_date_histogram (round 10): the engine picks the interval —
+    // smallest fixed rounding (1s..7d ladder) fitting the span into
+    // the buckets target; the span probe is one single-row min/max.
+    // The 30-day events table at 10 buckets lands on 7d.
+    "q7_esdsl_auto_histogram" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"auto": {"auto_date_histogram":
+          |   {"field": "ts", "buckets": 10},
+          |   "aggs": {"actives":
+          |     {"cardinality": {"field": "user_id"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3334,6 +3426,113 @@ object ParityQueries {
        "count(DISTINCT user_id) AS actives " +
        "FROM events WHERE ts IS NOT NULL GROUP BY 1) " +
        "WHERE doc_count > actives * 2 ORDER BY key"),
+
+    // rare_terms: HAVING count <= 1, rare-first order
+    "q7_esdsl_rare_terms" ->
+      ("SELECT o_custkey, count(*) AS doc_count, " +
+       "min(o_totalprice) AS cheapest FROM orders " +
+       "WHERE o_custkey IS NOT NULL GROUP BY 1 " +
+       "HAVING count(*) <= 3 ORDER BY doc_count, o_custkey"),
+
+    // top_metrics: per-bucket top-1 by (sort desc, metrics desc) —
+    // the deterministic tie order the max(struct) aggregate defines
+    "q7_esdsl_top_metrics" ->
+      ("WITH b AS (SELECT lang, count(*) AS doc_count FROM documents " +
+       "WHERE lang IS NOT NULL GROUP BY 1 " +
+       "ORDER BY doc_count DESC, lang LIMIT 10), " +
+       "t AS (SELECT lang, n_chars AS best_sort, doc_id AS " +
+       "best_doc_id, row_number() OVER (PARTITION BY lang " +
+       "ORDER BY n_chars DESC, doc_id DESC) AS rn FROM documents " +
+       "WHERE lang IS NOT NULL AND n_chars IS NOT NULL) " +
+       "SELECT b.lang, b.doc_count, t.best_sort, t.best_doc_id " +
+       "FROM b JOIN t ON b.lang = t.lang AND t.rn = 1 " +
+       "ORDER BY b.doc_count DESC, b.lang"),
+
+    // boxplot: exact quartiles (quantile_cont) + IQR whiskers with
+    // the whisker bound op order mirrored (q1 − 1.5·(q3 − q1))
+    "q7_esdsl_boxplot" ->
+      ("WITH q AS (SELECT min(o_totalprice) AS mn, " +
+       "max(o_totalprice) AS mx, " +
+       "quantile_cont(o_totalprice, 0.25) AS q1, " +
+       "quantile_cont(o_totalprice, 0.5) AS q2, " +
+       "quantile_cont(o_totalprice, 0.75) AS q3 FROM orders) " +
+       "SELECT mn AS price_min, mx AS price_max, q1 AS price_q1, " +
+       "q2 AS price_q2, q3 AS price_q3, " +
+       "(SELECT min(o_totalprice) FROM orders, q " +
+        "WHERE o_totalprice >= q1 - 1.5 * (q3 - q1)) AS price_lower, " +
+       "(SELECT max(o_totalprice) FROM orders, q " +
+        "WHERE o_totalprice <= q3 + 1.5 * (q3 - q1)) AS price_upper " +
+       "FROM q"),
+
+    // exact MAD: median of |x − median|, inner median broadcast
+    "q7_esdsl_mad" ->
+      ("WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md " +
+       "FROM orders) " +
+       "SELECT quantile_cont(abs(o_totalprice - md), 0.5) AS spread " +
+       "FROM orders, m"),
+
+    // string_stats: length stats (exact int arithmetic; avg = exact
+    // sum ÷ count) + entropy over the char distribution, round4'd
+    // identically on both engines
+    "q7_esdsl_string_stats" ->
+      ("WITH l AS (SELECT count(text) AS txt_count, " +
+       "min(length(text)) AS txt_min_length, " +
+       "max(length(text)) AS txt_max_length, " +
+       "avg(length(text)) AS txt_avg_length FROM documents), " +
+       "ch AS (SELECT ch, count(*) AS n FROM " +
+       "(SELECT unnest(string_split(text, '')) AS ch FROM documents " +
+       "WHERE text IS NOT NULL) WHERE length(ch) > 0 GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM ch), " +
+       "e AS (SELECT floor((-sum((CAST(n AS DOUBLE) / s) * " +
+       "log2(CAST(n AS DOUBLE) / s))) * 1e4 + 0.5) / 1e4 " +
+       "AS txt_entropy FROM ch, tot) " +
+       "SELECT * FROM l, e"),
+
+    // matrix_stats: integer-exact power sums, then the documented op
+    // DAG — mean = s1/n; var = (s2 − s1·mean)/(n−1); cov likewise;
+    // corr = cov/(sqrt(va)·sqrt(vb)) — mirrored step for step
+    "q7_esdsl_matrix_stats" ->
+      ("WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+       "count(*) AS nl, " +
+       "CAST(sum(o_custkey) AS DOUBLE) AS s1a, " +
+       "CAST(sum(o_custkey * o_custkey) AS DOUBLE) AS s2a, " +
+       "CAST(sum(o_orderkey) AS DOUBLE) AS s1b, " +
+       "CAST(sum(o_orderkey * o_orderkey) AS DOUBLE) AS s2b, " +
+       "CAST(sum(o_custkey * o_orderkey) AS DOUBLE) AS sab " +
+       "FROM orders WHERE o_custkey IS NOT NULL " +
+       "AND o_orderkey IS NOT NULL) " +
+       "SELECT nl AS m_o_custkey_count, " +
+       "s1a / n AS m_o_custkey_mean, " +
+       "(s2a - s1a * (s1a / n)) / (n - 1) AS m_o_custkey_variance, " +
+       "nl AS m_o_orderkey_count, " +
+       "s1b / n AS m_o_orderkey_mean, " +
+       "(s2b - s1b * (s1b / n)) / (n - 1) AS m_o_orderkey_variance, " +
+       "(sab - s1a * (s1b / n)) / (n - 1) " +
+         "AS m_o_custkey_o_orderkey_covariance, " +
+       "((sab - s1a * (s1b / n)) / (n - 1)) / " +
+        "(sqrt((s2a - s1a * (s1a / n)) / (n - 1)) * " +
+         "sqrt((s2b - s1b * (s1b / n)) / (n - 1))) " +
+         "AS m_o_custkey_o_orderkey_correlation " +
+       "FROM s"),
+
+    // auto_date_histogram: the interval pick re-derived in SQL — the
+    // minimal ladder rung whose floored-key span fits the target
+    "q7_esdsl_auto_histogram" ->
+      ("WITH mm AS (SELECT min(epoch_ms(ts)) AS lo, " +
+       "max(epoch_ms(ts)) AS hi FROM events WHERE ts IS NOT NULL), " +
+       "ladder(iv, label) AS (VALUES (1000, '1s'), (5000, '5s'), " +
+       "(10000, '10s'), (30000, '30s'), (60000, '1m'), " +
+       "(300000, '5m'), (600000, '10m'), (1800000, '30m'), " +
+       "(3600000, '1h'), (10800000, '3h'), (43200000, '12h'), " +
+       "(86400000, '1d'), (604800000, '7d')), " +
+       "pick AS (SELECT iv, label FROM ladder, mm " +
+       "WHERE (hi // iv) - (lo // iv) + 1 <= 10 " +
+       "ORDER BY iv LIMIT 1) " +
+       "SELECT (epoch_ms(ts) // iv) * iv AS key, " +
+       "count(*) AS doc_count, " +
+       "count(DISTINCT user_id) AS actives, label AS \"interval\" " +
+       "FROM events, pick WHERE ts IS NOT NULL " +
+       "GROUP BY 1, label ORDER BY key"),
 
     // stats_bucket / percentiles_bucket siblings: scalar reductions of
     // the bucket CTE appended as constants; avg = exact sum ÷ count

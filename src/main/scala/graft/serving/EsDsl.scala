@@ -2585,6 +2585,13 @@ object EsDsl {
     "nested" -> Set("path"),
     "significant_terms" -> Set("field", "size"),
     "significant_text" -> Set("field", "size"),
+    "rare_terms" -> Set("field", "max_doc_count"),
+    "top_metrics" -> Set("metrics", "sort", "size"),
+    "boxplot" -> Set("field"),
+    "median_absolute_deviation" -> Set("field", "compression"),
+    "string_stats" -> Set("field"),
+    "matrix_stats" -> Set("fields"),
+    "auto_date_histogram" -> Set("field", "buckets"),
     "avg" -> Set("field"), "sum" -> Set("field"),
     "min" -> Set("field"), "max" -> Set("field"),
     "value_count" -> Set("field"), "cardinality" -> Set("field"),
@@ -2747,6 +2754,50 @@ object EsDsl {
           ((sum(when(col(f) <= x, 1L).otherwise(0L)) * lit(100.0)) /
             count(col(f))).as(s"${alias}_${percentName(x)}")
         }
+      case "top_metrics" =>
+        // ES top_metrics, size 1 (the flat projection carries one top
+        // row): the metric values of the row ranked first by `sort` —
+        // ONE max/min(struct) aggregate riding the enclosing
+        // aggregation, no extra pass. Lexicographic struct comparison
+        // makes ties break by the metric values themselves
+        // (deterministic — ES's tie order is undefined). Rows with a
+        // null sort value never win (the whole struct is nulled),
+        // like ES.
+        val sortNode = Option(mSpec.get("sort"))
+          .getOrElse(bad("top_metrics needs \"sort\""))
+        val sn =
+          if (sortNode.isArray) {
+            if (sortNode.size != 1)
+              bad("top_metrics supports exactly one sort key")
+            sortNode.get(0)
+          } else sortNode
+        val sit = sn.fieldNames()
+        if (!sit.hasNext) bad("empty top_metrics sort")
+        val sf = sit.next()
+        val ord = Option(sn.get(sf)).map { o =>
+          if (o.isTextual) o.asText
+          else Option(o.get("order")).map(_.asText).getOrElse("asc")
+        }.getOrElse("asc")
+        if (ord != "asc" && ord != "desc")
+          bad(s"unsupported sort order '$ord'")
+        val ms0 = Option(mSpec.get("metrics"))
+          .getOrElse(bad("top_metrics needs \"metrics\""))
+        val mfs = (if (ms0.isArray) (0 until ms0.size).map(ms0.get)
+          else Seq(ms0)).map(m => Option(m.get("field")).map(_.asText)
+            .getOrElse(bad("top_metrics metrics need \"field\"")))
+        if (mfs.isEmpty) bad("top_metrics needs at least one metric")
+        if (mfs.distinct.size != mfs.size)
+          bad("top_metrics metrics fields must be distinct")
+        val sz = Option(mSpec.get("size")).map(_.asInt).getOrElse(1)
+        if (sz != 1) bad("top_metrics size must be 1 (the flat " +
+          "projection carries one top row per bucket)")
+        val st = struct((col(sf).as("_s") +:
+          mfs.zipWithIndex.map { case (f, i) => col(f).as(s"_m$i") }): _*)
+        val gated = when(col(sf).isNotNull, st)
+        val top = if (ord == "desc") max(gated) else min(gated)
+        top.getField("_s").as(s"${alias}_sort") +:
+          mfs.zipWithIndex.map { case (f, i) =>
+            top.getField(s"_m$i").as(s"${alias}_$f") }
       case _ => metricColsSimple(mKind, mSpec, alias)
     }
     def metricColsSimple(mKind: String, mSpec: JsonNode,
@@ -3702,6 +3753,186 @@ object EsDsl {
           bad("global agg takes an empty body")
         val cols = metricSubs(spec)
         ctx.raw.agg(count(lit(1)).as("doc_count"), cols: _*)
+
+      case "rare_terms" =>
+        // ES rare_terms: the LONG TAIL — buckets whose doc_count is at
+        // most max_doc_count, ordered count-ascending then key (ES's
+        // rare-first order). ES bounds the set with an approximate
+        // CuckooFilter; one exact hash aggregation + a post-filter is
+        // both exact and scale-safe (the agg is dictionary-sized, the
+        // filter prunes before any ordering).
+        val rt = spec.get("rare_terms")
+        val f = Option(rt.get("field")).map(_.asText)
+          .getOrElse(bad("rare_terms agg needs \"field\""))
+        val maxDc = Option(rt.get("max_doc_count")).map(_.asInt)
+          .getOrElse(1)
+        // ES bounds max_doc_count at 100
+        if (maxDc < 1 || maxDc > 100)
+          bad("rare_terms max_doc_count must be 1..100")
+        df.filter(col(f).isNotNull)
+          .groupBy(col(f))
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .filter(col("doc_count") <= maxDc)
+          .orderBy(col("doc_count").asc, col(f).asc)
+
+      case "auto_date_histogram" =>
+        // ES auto_date_histogram: the engine, not the caller, picks
+        // the interval — the smallest rounding from a fixed ladder
+        // that fits the data's span into the `buckets` target. The
+        // span probe is ONE single-row min/max aggregate (bounded
+        // driver state, the broadcast-single-row precedent); bucketing
+        // is then the ordinary fixed-interval date_histogram shape.
+        // This engine's ladder is the FIXED-interval prefix of ES's
+        // rounding table (1s..7d); a span that overflows even 7-day
+        // buckets rejects by name (use date_histogram with
+        // calendar_interval) rather than silently re-bucketing by
+        // months, whose calendar keys a fixed ladder cannot mimic.
+        val ah = spec.get("auto_date_histogram")
+        val f = Option(ah.get("field")).map(_.asText)
+          .getOrElse(bad("auto_date_histogram agg needs \"field\""))
+        val target = Option(ah.get("buckets")).map(_.asInt).getOrElse(10)
+        if (target < 1 || target > 65536)
+          bad("auto_date_histogram buckets must be 1..65536")
+        val ladder = Seq(
+          1000L -> "1s", 5000L -> "5s", 10000L -> "10s", 30000L -> "30s",
+          60000L -> "1m", 300000L -> "5m", 600000L -> "10m",
+          1800000L -> "30m", 3600000L -> "1h", 10800000L -> "3h",
+          43200000L -> "12h", 86400000L -> "1d", 604800000L -> "7d")
+        val msE = s"unix_millis(cast(`$f` as timestamp))"
+        val ems = expr(msE)
+        val mm = df.filter(col(f).isNotNull)
+          .agg(min(ems).as("lo"), max(ems).as("hi")).collect().head
+        val (iv, label) =
+          if (mm.isNullAt(0)) ladder.head
+          else {
+            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+            ladder.find { case (iv, _) =>
+              Math.floorDiv(hi, iv) - Math.floorDiv(lo, iv) + 1 <= target
+            }.getOrElse(bad("auto_date_histogram span exceeds the " +
+              "7-day fixed-interval ladder at this buckets target — " +
+              "use date_histogram with a calendar_interval"))
+          }
+        df.filter(col(f).isNotNull)
+          // exact integer bucketing, the fixed date_histogram shape
+          .groupBy(expr(s"$msE - pmod($msE, ${iv}L)").as("key"))
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .withColumn("interval", lit(label))
+          .orderBy(col("key").asc)
+
+      case "boxplot" =>
+        // ES boxplot: min/max/q1/q2/q3 plus the IQR whiskers (nearest
+        // data points inside q1−1.5·IQR .. q3+1.5·IQR). EXACT
+        // interpolated quartiles (ES's TDigest is approximate), then
+        // one conditional pass for the whiskers — two scans, both
+        // simple aggregations; every post-aggregation value is a
+        // fixed IEEE op DAG (mirrored by the oracle).
+        val bx = spec.get("boxplot")
+        val f = Option(bx.get("field")).map(_.asText)
+          .getOrElse(bad("boxplot agg needs \"field\""))
+        val c = col(f)
+        val q = df.agg(
+          min(c).as("_min"), max(c).as("_max"),
+          expr(s"percentile(`$f`, 0.25d)").as("_q1"),
+          expr(s"percentile(`$f`, 0.5d)").as("_q2"),
+          expr(s"percentile(`$f`, 0.75d)").as("_q3"))
+        val loB = col("_q1") - lit(1.5) * (col("_q3") - col("_q1"))
+        val hiB = col("_q3") + lit(1.5) * (col("_q3") - col("_q1"))
+        df.crossJoin(broadcast(q)).agg(
+          min(col("_min")).as(s"${name}_min"),
+          max(col("_max")).as(s"${name}_max"),
+          min(col("_q1")).as(s"${name}_q1"),
+          min(col("_q2")).as(s"${name}_q2"),
+          min(col("_q3")).as(s"${name}_q3"),
+          min(when(c >= loB, c)).as(s"${name}_lower"),
+          max(when(c <= hiB, c)).as(s"${name}_upper"))
+
+      case "median_absolute_deviation" =>
+        // ES MAD (approximate there, EXACT here): median of absolute
+        // deviations from the median. The inner median broadcasts as
+        // one single-row frame; `compression` (the TDigest knob) is
+        // subsumed by exactness.
+        val md = spec.get("median_absolute_deviation")
+        val f = Option(md.get("field")).map(_.asText)
+          .getOrElse(bad("median_absolute_deviation agg needs \"field\""))
+        val med = df.agg(expr(s"percentile(`$f`, 0.5d)").as("_med"))
+        df.crossJoin(broadcast(med))
+          .agg(expr(s"percentile(abs(`$f` - _med), 0.5d)").as(name))
+
+      case "string_stats" =>
+        // ES string_stats: count / min..avg length in one pass;
+        // Shannon entropy over the corpus-wide CHARACTER distribution
+        // in a second (explode → char counts → −Σ p·log2 p). The
+        // entropy sum is rounded to 1e-4 (round4): a free-order sum of
+        // non-integral doubles is the one value a cross-engine oracle
+        // cannot pin bit-exactly, and ES itself reports entropy as an
+        // estimate.
+        val ss = spec.get("string_stats")
+        val f = Option(ss.get("field")).map(_.asText)
+          .getOrElse(bad("string_stats agg needs \"field\""))
+        val c = col(f)
+        val lens = df.agg(
+          count(c).as(s"${name}_count"),
+          min(length(c)).as(s"${name}_min_length"),
+          max(length(c)).as(s"${name}_max_length"),
+          avg(length(c)).as(s"${name}_avg_length"))
+        val chars = df.filter(c.isNotNull)
+          .select(explode(split(c, "")).as("_ch"))
+          .filter(length(col("_ch")) > 0)
+          .groupBy(col("_ch")).agg(count(lit(1)).as("_n"))
+        val total = sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+        val p = col("_n").cast("double") / total.cast("double")
+        val ent = chars.select(p.as("_p"))
+          .agg(Search.round4(-sum(col("_p") * log2(col("_p"))))
+            .as(s"${name}_entropy"))
+        lens.crossJoin(broadcast(ent))
+
+      case "matrix_stats" =>
+        // ES matrix_stats over exactly the complete observations (rows
+        // missing ANY field drop, like ES): per-field count/mean/
+        // variance plus per-pair covariance/correlation, all derived
+        // from integer-exact power sums in ONE aggregation with a
+        // fixed post-aggregation op DAG (sample n−1 normalization,
+        // ES's estimator). Higher moments (skewness/kurtosis) are not
+        // carried by the flat projection — their 4th-power sums
+        // overflow exact arithmetic on real columns, and a
+        // non-reproducible column is worse than an absent one.
+        val mx = spec.get("matrix_stats")
+        val fieldsNode = Option(mx.get("fields")).filter(_.isArray)
+          .filter(_.size > 1)
+          .getOrElse(bad("matrix_stats needs a \"fields\" array of " +
+            "at least two fields"))
+        val fs = (0 until fieldsNode.size).map(fieldsNode.get(_).asText)
+        if (fs.distinct.size != fs.size)
+          bad("matrix_stats fields must be distinct")
+        val complete = fs.map(col(_).isNotNull).reduce(_ && _)
+        val g = df.filter(complete)
+        val n = count(lit(1))
+        val nD = n.cast("double")
+        def meanOf(f: String) = sum(col(f)).cast("double") / nD
+        val perField = fs.flatMap { f =>
+          val m = meanOf(f)
+          val s2 = sum(col(f) * col(f)).cast("double")
+          Seq(n.as(s"${name}_${f}_count"), m.as(s"${name}_${f}_mean"),
+            ((s2 - sum(col(f)).cast("double") * m) / (nD - 1))
+              .as(s"${name}_${f}_variance"))
+        }
+        val pairs = for {
+          i <- fs.indices; j <- fs.indices if i < j
+        } yield (fs(i), fs(j))
+        val perPair = pairs.flatMap { case (a, b) =>
+          val cov = (sum(col(a) * col(b)).cast("double") -
+            sum(col(a)).cast("double") * meanOf(b)) / (nD - 1)
+          val va = (sum(col(a) * col(a)).cast("double") -
+            sum(col(a)).cast("double") * meanOf(a)) / (nD - 1)
+          val vb = (sum(col(b) * col(b)).cast("double") -
+            sum(col(b)).cast("double") * meanOf(b)) / (nD - 1)
+          Seq(cov.as(s"${name}_${a}_${b}_covariance"),
+            (cov / (sqrt(va) * sqrt(vb)))
+              .as(s"${name}_${a}_${b}_correlation"))
+        }
+        val cols = perField ++ perPair
+        g.agg(cols.head, cols.tail: _*)
 
       case mKind =>
         val cols = metricCols(mKind, spec.get(mKind), name)

@@ -1101,6 +1101,139 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("rare_terms: long-tail buckets at most max_doc_count, " +
+    "rare-first order; bounds validate") {
+    // source: src3 x2, src1 x1, null (skipped)
+    val r = q("""{"query": {"match_all": {}}, "aggs":
+      {"rare": {"rare_terms": {"field": "source"},
+       "aggs": {"mx": {"max": {"field": "n"}}}}},
+      "size": 0}""").collect()
+    assert(r.length == 1 && r.head.getAs[String]("source") == "src1" &&
+      r.head.getAs[Long]("doc_count") == 1L &&
+      r.head.getAs[Long]("mx") == 20L)
+    val r2 = q("""{"query": {"match_all": {}}, "aggs":
+      {"rare": {"rare_terms": {"field": "source",
+        "max_doc_count": 2}}}, "size": 0}""").collect()
+    assert(r2.map(_.getAs[String]("source")).toSeq == Seq("src1", "src3"))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"rare": {"rare_terms": {"field": "source",
+          "max_doc_count": 0}}}, "size": 0}""")
+    }
+  }
+
+  test("top_metrics: top-1 row's metrics by sort, null sort rows " +
+    "never win; knobs validate") {
+    val r = q("""{"query": {"match_all": {}}, "aggs":
+      {"best": {"top_metrics": {"metrics": [{"field": "doc_id"}],
+        "sort": [{"n": {"order": "desc"}}]}}},
+      "size": 0}""").collect()
+    assert(r.head.getAs[Long]("best_sort") == 40L &&
+      r.head.getAs[Long]("best_doc_id") == 4L)
+    val asc = q("""{"query": {"match_all": {}}, "aggs":
+      {"best": {"top_metrics": {"metrics": [{"field": "doc_id"}],
+        "sort": {"n": "asc"}}}}, "size": 0}""").collect()
+    assert(asc.head.getAs[Long]("best_sort") == 10L &&
+      asc.head.getAs[Long]("best_doc_id") == 1L)
+    // size != 1, duplicate metric fields: reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"b": {"top_metrics": {"metrics": [{"field": "doc_id"}],
+          "sort": {"n": "asc"}, "size": 2}}}, "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"b": {"top_metrics": {"metrics": [{"field": "n"},
+          {"field": "n"}], "sort": {"n": "asc"}}}}, "size": 0}""")
+    }
+  }
+
+  test("boxplot and median_absolute_deviation: exact quartiles, IQR " +
+    "whiskers, exact MAD") {
+    // n = 10,20,30,40: q1 17.5, q2 25, q3 32.5; whisker bounds
+    // -5 .. 55 -> lower 10, upper 40
+    val b = q("""{"query": {"match_all": {}}, "aggs":
+      {"nn": {"boxplot": {"field": "n"}}}, "size": 0}""").collect().head
+    assert(b.getAs[Long]("nn_min") == 10L && b.getAs[Long]("nn_max") == 40L)
+    assert(b.getAs[Double]("nn_q1") == 17.5 &&
+      b.getAs[Double]("nn_q2") == 25.0 &&
+      b.getAs[Double]("nn_q3") == 32.5)
+    assert(b.getAs[Long]("nn_lower") == 10L &&
+      b.getAs[Long]("nn_upper") == 40L)
+    // deviations from median 25: 15,5,5,15 -> MAD 10
+    val m = q("""{"query": {"match_all": {}}, "aggs":
+      {"sp": {"median_absolute_deviation": {"field": "n"}}},
+      "size": 0}""").collect().head
+    assert(m.getAs[Double]("sp") == 10.0)
+  }
+
+  test("string_stats: length stats and character entropy; " +
+    "matrix_stats: per-field stats and pairwise covariance") {
+    val s = q("""{"query": {"match_all": {}}, "aggs":
+      {"t": {"string_stats": {"field": "text"}}},
+      "size": 0}""").collect().head
+    assert(s.getAs[Long]("t_count") == 4L &&
+      s.getAs[Int]("t_min_length") == 11 &&
+      s.getAs[Int]("t_max_length") == 18 &&
+      s.getAs[Double]("t_avg_length") == 14.25)
+    val ent = s.getAs[Double]("t_entropy")
+    assert(ent > 0 && ent < 6) // bounded by log2(|alphabet|)
+    // doc_id (1..4) and n (10..40) are perfectly correlated
+    val mx = q("""{"query": {"match_all": {}}, "aggs":
+      {"m": {"matrix_stats": {"fields": ["doc_id", "n"]}}},
+      "size": 0}""").collect().head
+    assert(mx.getAs[Long]("m_doc_id_count") == 4L)
+    assert(math.abs(mx.getAs[Double]("m_doc_id_mean") - 2.5) < 1e-12)
+    assert(math.abs(mx.getAs[Double]("m_doc_id_variance") - 5.0 / 3) < 1e-12)
+    assert(math.abs(mx.getAs[Double]("m_doc_id_n_covariance") -
+      50.0 / 3) < 1e-12)
+    assert(math.abs(mx.getAs[Double]("m_doc_id_n_correlation") - 1.0)
+      < 1e-12)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"m": {"matrix_stats": {"fields": ["n"]}}}, "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"m": {"matrix_stats": {"fields": ["n", "n"]}}}, "size": 0}""")
+    }
+  }
+
+  test("auto_date_histogram: smallest ladder rung fitting the " +
+    "buckets target; overflow and bounds reject by name") {
+    import java.sql.Timestamp
+    val evs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:45")),
+      (3L, Timestamp.valueOf("2024-01-01 00:01:40"))
+    ).toDF("id", "ts")
+    // span 100 s: 1s->101, 5s->21, 10s->11 buckets, 30s->4 <= 10
+    val r = EsDsl.search(evs, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs":
+        {"a": {"auto_date_histogram": {"field": "ts"}}},
+        "size": 0}""")).collect()
+    assert(r.head.getAs[String]("interval") == "30s")
+    assert(r.map(_.getAs[Long]("doc_count")).sum == 3L)
+    // a 3-year span cannot fit 10 fixed 7d buckets: reject, never
+    // silently re-bucket
+    val wide = Seq(
+      (1L, Timestamp.valueOf("2020-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2023-01-01 00:00:00"))
+    ).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      EsDsl.search(wide, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs":
+          {"a": {"auto_date_histogram": {"field": "ts"}}},
+          "size": 0}""")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs":
+          {"a": {"auto_date_histogram": {"field": "ts",
+            "buckets": 0}}}, "size": 0}"""))
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
