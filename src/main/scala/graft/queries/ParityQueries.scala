@@ -1193,6 +1193,71 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // span_near (round 10): Lucene positional algebra — "the" followed
+    // by (window|batch) within 2 interleaved tokens, in order. The
+    // span_or rides the SAME position scan (one token-set slot);
+    // span-frequency scored.
+    "q7_esdsl_span_near" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_near": {"clauses": [
+          |   {"span_term": {"text": "the"}},
+          |   {"span_or": {"clauses": [
+          |     {"span_term": {"text": "window"}},
+          |     {"span_term": {"text": "batch"}}]}}],
+          |  "slop": 2, "in_order": true}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // unordered span_near (round 10): window and batch within 1
+    // interleaved token, either order.
+    "q7_esdsl_span_unordered" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_near": {"clauses": [
+          |   {"span_term": {"text": "window"}},
+          |   {"span_term": {"text": "batch"}}],
+          |  "slop": 1, "in_order": false}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_not (round 10): window occurrences with no batch within one
+    // token either side.
+    "q7_esdsl_span_not" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_not": {
+          |  "include": {"span_term": {"text": "window"}},
+          |  "exclude": {"span_term": {"text": "batch"}},
+          |  "pre": 1, "post": 1}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_first (round 10): (window|batch) among the first 5 tokens.
+    "q7_esdsl_span_first" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_first": {
+          |  "match": {"span_or": {"clauses": [
+          |    {"span_term": {"text": "window"}},
+          |    {"span_term": {"text": "batch"}}]}},
+          |  "end": 5}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // intervals (round 10): any_of over an ordered proximity rule and
+    // an unordered pair rule — interval-frequency sum scored.
+    "q7_esdsl_intervals" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"intervals": {"text": {"any_of": {"intervals": [
+          |   {"match": {"query": "the window", "max_gaps": 1,
+          |     "ordered": true}},
+          |   {"match": {"query": "window batch", "max_gaps": 2,
+          |     "ordered": false}}]}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -2246,6 +2311,16 @@ object ParityQueries {
     * DISTINCT start positions (Search.slopCount's contract). Shared by
     * the scan path, the positional-postings probe, and (recast with a
     * double _score + full columns) the DSL body. */
+  /** Shared positional CTE for the span/intervals oracles: tokens with
+    * 1-based positions (the arithmetic is relative, so the base does
+    * not matter — Spark's scan is 0-based). */
+  private val spanPosCte: String =
+    "WITH stoks AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
+      "x -> x <> '') AS ts FROM documents), " +
+    "spos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM stoks), "
+
   private def slopOracleCte(t1: String, t2: String, slop: Int): String =
     "WITH toks AS (SELECT doc_id, text, list_filter(" +
       "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
@@ -3426,6 +3501,71 @@ object ParityQueries {
        "count(DISTINCT user_id) AS actives " +
        "FROM events WHERE ts IS NOT NULL GROUP BY 1) " +
        "WHERE doc_count > actives * 2 ORDER BY key"),
+
+    // span family: positions re-derived by unnest + subscripts; the
+    // window arithmetic mirrors Search.spanNearCount/spanPairCount
+    "q7_esdsl_span_near" -> (spanPosCte +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok IN ('window', 'batch') " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 3 GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    "q7_esdsl_span_unordered" -> (spanPosCte +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'window' AND b.tok = 'batch' " +
+      "AND b.pos <> a.pos AND " +
+      "greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 1 " +
+      "GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    "q7_esdsl_span_not" -> (spanPosCte +
+      "m AS (SELECT t.doc_id, count(*) AS score FROM spos t " +
+      "WHERE t.tok = 'window' AND NOT EXISTS (SELECT 1 FROM spos e " +
+      "WHERE e.doc_id = t.doc_id AND e.tok = 'batch' " +
+      "AND e.pos >= t.pos - 1 AND e.pos <= t.pos + 1) " +
+      "GROUP BY t.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    "q7_esdsl_span_first" -> (spanPosCte +
+      "m AS (SELECT doc_id, count(*) AS score FROM spos " +
+      "WHERE tok IN ('window', 'batch') AND pos <= 5 " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // intervals any_of: interval-frequency sum of the ordered rule
+    // (gap <= 1) and the unordered pair rule (gap <= 2)
+    "q7_esdsl_intervals" -> (spanPosCte +
+      "m1 AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok = 'window' " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 2 GROUP BY a.doc_id), " +
+      "m2 AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'window' AND b.tok = 'batch' " +
+      "AND b.pos <> a.pos AND " +
+      "greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 2 " +
+      "GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(coalesce(m1.score, 0) + coalesce(m2.score, 0) AS DOUBLE) " +
+      "AS \"_score\" " +
+      "FROM documents d LEFT JOIN m1 USING (doc_id) " +
+      "LEFT JOIN m2 USING (doc_id) " +
+      "WHERE coalesce(m1.score, 0) + coalesce(m2.score, 0) > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
 
     // rare_terms: HAVING count <= 1, rare-first order
     "q7_esdsl_rare_terms" ->

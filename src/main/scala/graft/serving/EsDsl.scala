@@ -1366,6 +1366,76 @@ object EsDsl {
     b
   }
 
+  /** The lowercased term of a span_term body (short `{"f": "v"}` or
+    * object `{"f": {"value": "v"}}` form). */
+  private def spanTermValue(kind: String, spec: JsonNode): String =
+    (if (spec.isObject) Option(spec.get("value")).map(_.asText)
+      .getOrElse(bad(s"$kind needs \"value\""))
+    else spec.asText).toLowerCase
+
+  /** A span LEAF — `span_term`, or `span_or` of span_terms — compiled
+    * to (field, token matcher, terms). The composable subset every
+    * practical span body uses; deeper span nesting rejects by name at
+    * the call sites. Inner `boost` is rejected (a silently dropped
+    * inner boost would change scoring in ES). */
+  private def spanLeaf(node: JsonNode)
+      : (String, Column => Column, Seq[String]) = unwrap(node) match {
+    case ("span_term", tb) =>
+      val (f, spec) = unwrap(tb)
+      if (spec.isObject) {
+        val unknown = keysOf(spec).filterNot(Set("value"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported span_term key" +
+            s"${if (unknown.size == 1) "" else "s"} here: " +
+            unknown.mkString(", "))
+      }
+      val v = spanTermValue("span_term", spec)
+      (f, (x: Column) => x === lit(v), Seq(v))
+    case ("span_or", b) => spanOrLeaf(b)
+    case (other, _) =>
+      bad(s"unsupported span clause '$other' here — span_term or " +
+        "span_or of span_terms compose")
+  }
+
+  /** `span_or` of span_terms → one token-set matcher (the clauses ride
+    * a single position scan). */
+  private def spanOrLeaf(b: JsonNode)
+      : (String, Column => Column, Seq[String]) = {
+    val cs = Option(b.get("clauses")).filter(_.isArray)
+      .filter(_.size > 0)
+      .getOrElse(bad("span_or needs a non-empty \"clauses\" array"))
+    val leaves = (0 until cs.size).map { i =>
+      unwrap(cs.get(i)) match {
+        case ("span_term", tb) =>
+          val (f, spec) = unwrap(tb)
+          if (spec.isObject) {
+            val unknown = keysOf(spec).filterNot(Set("value"))
+            if (unknown.nonEmpty)
+              bad("unsupported span_term key" +
+                s"${if (unknown.size == 1) "" else "s"} here: " +
+                unknown.mkString(", "))
+          }
+          (f, spanTermValue("span_term", spec))
+        case (other, _) =>
+          bad(s"span_or clauses must be span_term (got '$other')")
+      }
+    }
+    val fields = leaves.map(_._1).distinct
+    if (fields.size != 1)
+      bad("span_or clauses must target one field " +
+        s"(got ${fields.mkString(", ")})")
+    val vs = leaves.map(_._2)
+    (fields.head, (x: Column) => x.isInCollection(vs), vs)
+  }
+
+  /** Occurrences of a leaf matcher's tokens in `f` — the span
+    * frequency of a standalone leaf. */
+  private def spanLeafCount(f: String, m: Column => Column): Column = {
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(col(f), lit(""))))
+    size(filter(toks, x => m(x))).cast("int")
+  }
+
   /** Apply a clause-level boost — ES multiplies the clause's score
     * (match set unchanged); 1.0 keeps the exact unboosted column. */
   private def boosted(c: Clause, boost: Double): Clause =
@@ -1685,6 +1755,160 @@ object EsDsl {
           "for analyzed text")
       boosted(matchClause(ctx, value, Seq(f -> 1.0), "or",
         minMatch = None, bestFields = false, Some(fz), knobs), fzBoost)
+
+    // ── span family (Lucene positional algebra; reference clients
+    // forward these verbatim, src/search_api.py:38-46). Leaves are
+    // span_term / span_or-of-span_terms; span_near composes leaves
+    // with slop and order over the SAME positional token scan the
+    // phrase family uses (Search.spanNearCount — HOFs over per-slot
+    // position lists, no explode). Scored by span frequency (the
+    // documented occurrence-count families); deeper nesting
+    // (span_near inside span_near, span_containing/within/
+    // field_masking_span) rejects by name, never silently wrong. ──
+    case ("span_term", b) =>
+      val (f, spec) = unwrap(b)
+      val boost = if (spec.isObject)
+        clauseBoost("span_term", spec, Set("value")) else 1.0
+      val v = spanTermValue("span_term", spec)
+      val cnt = Search.substrCount(Search.tokenNorm(col(f)), s" $v ")
+      boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    case ("span_or", b) =>
+      val boost = clauseBoost("span_or", b, Set("clauses"))
+      val (f, m, _) = spanOrLeaf(b)
+      val cnt = spanLeafCount(f, m)
+      boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    case ("span_near", b) =>
+      val snBoost =
+        clauseBoost("span_near", b, Set("clauses", "slop", "in_order"))
+      val cs = Option(b.get("clauses")).filter(_.isArray)
+        .filter(_.size > 0)
+        .getOrElse(bad("span_near needs a non-empty \"clauses\" array"))
+      val leaves = (0 until cs.size).map(i => spanLeaf(cs.get(i)))
+      val fieldsSeen = leaves.map(_._1).distinct
+      if (fieldsSeen.size != 1)
+        bad("span_near clauses must target one field " +
+          s"(got ${fieldsSeen.mkString(", ")})")
+      val f = fieldsSeen.head
+      val slop = Option(b.get("slop")).map(_.asInt).getOrElse(0)
+      if (slop < 0) bad("span_near slop must be >= 0")
+      // ES default: in_order false
+      val inOrder = Option(b.get("in_order")).exists(_.asBoolean)
+      val cnt =
+        if (leaves.size == 1) spanLeafCount(f, leaves.head._2)
+        else if (inOrder)
+          Search.spanNearCount(col(f), leaves.map(_._2), slop)
+        else if (leaves.size == 2)
+          Search.spanPairCount(col(f), leaves(0)._2, leaves(1)._2, slop)
+        else bad("unordered span_near supports two clauses (in_order " +
+          "true composes any number)")
+      boosted(Clause(cnt > 0, cnt.cast("double")), snBoost)
+
+    case ("span_first", b) =>
+      // Lucene span_first: the span must END by position `end` — for
+      // width-1 leaves, a match among the first `end` tokens
+      val boost = clauseBoost("span_first", b, Set("match", "end"))
+      val m0 = Option(b.get("match"))
+        .getOrElse(bad("span_first needs \"match\""))
+      val (f, m, _) = spanLeaf(m0)
+      val end = Option(b.get("end")).map(_.asInt)
+        .getOrElse(bad("span_first needs \"end\""))
+      if (end < 1) bad("span_first end must be >= 1")
+      val toks = graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(f), lit(""))))
+      val cnt = size(filter(slice(toks, 1, end), x => m(x))).cast("int")
+      boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    case ("span_not", b) =>
+      // Lucene span_not: include matches with no exclude match within
+      // `pre` tokens before .. `post` tokens after
+      val boost = clauseBoost("span_not", b,
+        Set("include", "exclude", "pre", "post", "dist"))
+      val inc0 = Option(b.get("include"))
+        .getOrElse(bad("span_not needs \"include\""))
+      val exc0 = Option(b.get("exclude"))
+        .getOrElse(bad("span_not needs \"exclude\""))
+      val (fi, mi, _) = spanLeaf(inc0)
+      val (fe, me, _) = spanLeaf(exc0)
+      if (fi != fe)
+        bad("span_not include/exclude must target one field")
+      val dist = Option(b.get("dist")).map(_.asInt)
+      val pre = dist.orElse(Option(b.get("pre")).map(_.asInt))
+        .getOrElse(0)
+      val post = dist.orElse(Option(b.get("post")).map(_.asInt))
+        .getOrElse(0)
+      if (pre < 0 || post < 0) bad("span_not pre/post must be >= 0")
+      val toks = graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(fi), lit(""))))
+      def posOf(m: Column => Column): Column =
+        filter(transform(toks, (x, i) =>
+          when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
+      val cnt = size(filter(posOf(mi), p =>
+        !exists(posOf(me), q =>
+          q >= p - lit(pre) && q <= p + lit(post)))).cast("int")
+      boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    case ("intervals", b) =>
+      // ES intervals query: `match` rules (ordered/max_gaps proximity
+      // over the analyzed tokens) composed by `any_of`. The ordered
+      // matcher is the span/phrase scan (gap sum <= max_gaps);
+      // unlimited-gap unordered is plain conjunction; bounded-gap
+      // unordered supports term pairs. `all_of` (nested interval
+      // algebra) rejects by name.
+      val (f, spec) = unwrap(b)
+      def ruleCount(rule: JsonNode): Column = {
+        val (kind, body) = unwrap(rule)
+        kind match {
+          case "match" =>
+            val unknown = keysOf(body)
+              .filterNot(Set("query", "max_gaps", "ordered"))
+            if (unknown.nonEmpty)
+              bad(s"unsupported intervals match key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
+            val text = Option(body.get("query")).map(_.asText)
+              .getOrElse(bad("intervals match needs \"query\""))
+            val terms = text.toLowerCase.split("\\s+")
+              .filter(_.nonEmpty).toSeq
+            if (terms.isEmpty) bad("empty intervals match query")
+            val maxGaps = Option(body.get("max_gaps")).map(_.asInt)
+              .getOrElse(-1) // ES default: unlimited
+            val ordered = Option(body.get("ordered")).exists(_.asBoolean)
+            val slots: Seq[Column => Column] =
+              terms.map(t => (x: Column) => x === lit(t))
+            if (terms.size == 1)
+              Search.substrCount(Search.tokenNorm(col(f)),
+                s" ${terms.head} ")
+            else if (ordered)
+              Search.spanNearCount(col(f), slots,
+                if (maxGaps < 0) 1 << 24 else maxGaps)
+            else if (maxGaps < 0) {
+              // unlimited unordered = all terms present; frequency =
+              // the head term's occurrences (documented convention)
+              val counts = terms.map(t => Search.substrCount(
+                Search.tokenNorm(col(f)), s" $t "))
+              when(counts.map(_ > 0).reduce(_ && _), counts.head)
+                .otherwise(lit(0))
+            } else if (terms.size == 2)
+              Search.spanPairCount(col(f), slots(0), slots(1), maxGaps)
+            else bad("unordered intervals match with max_gaps " +
+              "supports two terms (ordered composes any number)")
+          case "any_of" =>
+            val ivs = Option(body.get("intervals")).filter(_.isArray)
+              .filter(_.size > 0)
+              .getOrElse(bad("any_of needs a non-empty \"intervals\" " +
+                "array"))
+            (0 until ivs.size).map(i => ruleCount(ivs.get(i)))
+              .reduce(_ + _)
+          case "all_of" =>
+            bad("intervals all_of (nested interval algebra) is not " +
+              "supported — compose ordered `match` rules instead")
+          case other => bad(s"unsupported intervals rule '$other'")
+        }
+      }
+      val cnt = ruleCount(spec)
+      Clause(cnt > 0, cnt.cast("double"))
 
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST

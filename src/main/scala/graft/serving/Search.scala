@@ -781,6 +781,54 @@ object Search {
     size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
   }
 
+  /** [[slopCount]] generalized to arbitrary per-slot token matchers —
+    * the ORDERED span/intervals matcher (Lucene `span_near`
+    * `in_order:true`, intervals `ordered:true`). Counts head
+    * positions `p1` matching `slots(0)` from which every later slot
+    * `k` can be placed at some `p_k > p_(k-1)` with total interleave
+    * `p_n - p1 - (n-1) <= slop`. Each slot is a token predicate, so
+    * `span_or` sub-clauses (match any of a term set) ride the same
+    * scan. Same HOF-only shape as [[slopCount]]: per-slot position
+    * lists, no explode, no shuffle. */
+  private[graft] def spanNearCount(field: Column,
+                                   slots: Seq[Column => Column],
+                                   slop: Int): Column = {
+    require(slots.nonEmpty, "empty span slots")
+    val s = math.min(slop, 1 << 24)
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(field, lit(""))))
+    def posOf(k: Int): Column =
+      filter(transform(toks, (x, i) =>
+        when(slots(k)(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    def rest(k: Int, prev: Column, first: Column): Column =
+      if (k == slots.size) lit(true)
+      else exists(posOf(k), p =>
+        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
+    size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
+  }
+
+  /** UNORDERED two-slot proximity (Lucene `span_near`
+    * `in_order:false`, intervals `ordered:false` with `max_gaps`):
+    * counts positions `p` of the FIRST slot for which some second-slot
+    * position `q != p` sits within the window (`|p − q| − 1 <= slop`
+    * interleaved tokens). The head-position count is this engine's
+    * documented span-frequency convention (Lucene's non-overlapping
+    * enumeration differs only on pathological self-overlap). */
+  private[graft] def spanPairCount(field: Column,
+                                   a: Column => Column,
+                                   b: Column => Column,
+                                   slop: Int): Column = {
+    val s = math.min(slop, 1 << 24)
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(field, lit(""))))
+    def posOf(m: Column => Column): Column =
+      filter(transform(toks, (x, i) =>
+        when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    size(filter(posOf(a), p => exists(posOf(b), q =>
+      q =!= p && greatest(p, q) - least(p, q) - 1 <= lit(s))))
+      .cast("int")
+  }
+
   /** SLOPPY phrase (ES `match_phrase` with `slop`): the query's terms
     * must appear IN ORDER with at most `slop` extra tokens interleaved
     * in total — the ordered subset of Lucene's sloppy matcher (its

@@ -1234,6 +1234,116 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("span family: ordered/unordered proximity, span_or token " +
+    "sets, span_first prefix window, span_not exclusion") {
+    // docs: 1 "window batch run", 2 "window only", 3 "nothing here",
+    // 4 "batch batch window"
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).toSeq
+    // in-order batch->window, slop 0: only doc 4 (batch@1, window@2)
+    val near = q("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "batch"}},
+      {"span_term": {"text": "window"}}],
+      "slop": 0, "in_order": true}}, "size": 10}""").collect()
+    assert(ids(near) == Seq(4L) &&
+      near.head.getAs[Double]("_score") == 1.0)
+    // unordered adjacency: docs 1 (window batch) and 4 (batch window)
+    val uno = q("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "window"}},
+      {"span_term": {"text": "batch"}}],
+      "slop": 0, "in_order": false}}, "size": 10}""").collect()
+    assert(ids(uno) == Seq(1L, 4L))
+    // span_or: per-doc token-set frequency
+    val or = q("""{"query": {"span_or": {"clauses": [
+      {"span_term": {"text": "window"}},
+      {"span_term": {"text": "batch"}}]}}, "size": 10}""").collect()
+    assert(or.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 2.0, 2L -> 1.0, 4L -> 3.0))
+    // span_first: window among the first token only -> docs 1, 2
+    val first = q("""{"query": {"span_first": {
+      "match": {"span_term": {"text": "window"}}, "end": 1}},
+      "size": 10}""").collect()
+    assert(ids(first) == Seq(1L, 2L))
+    // span_not: batch with no window in [p, p+1] -> docs 1 and 4
+    // (doc 4's batch@1 is excluded, batch@0 survives)
+    val not = q("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "batch"}},
+      "exclude": {"span_term": {"text": "window"}},
+      "post": 1}}, "size": 10}""").collect()
+    assert(not.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 4L -> 1.0))
+    // pre=1 widens the exclusion window backwards: doc 1's batch@1
+    // now sees window@0
+    val pre = q("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "batch"}},
+      "exclude": {"span_term": {"text": "window"}},
+      "pre": 1, "post": 1}}, "size": 10}""").collect()
+    assert(ids(pre) == Seq(4L))
+    // rejections: unordered 3 clauses, mixed fields, nested
+    // span_near, inner boost
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+        {"span_term": {"text": "c"}}],
+        "slop": 1, "in_order": false}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}},
+        {"span_term": {"source": "b"}}], "slop": 1}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_near": {"clauses": [{"span_term": {"text": "a"}}],
+          "slop": 0}},
+        {"span_term": {"text": "b"}}], "slop": 1}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": {"value": "a", "boost": 2}}},
+        {"span_term": {"text": "b"}}], "slop": 1}}}""")
+    }
+  }
+
+  test("intervals: ordered/unordered match rules, any_of union, " +
+    "all_of rejects by name; filter context compiles to predicate") {
+    // ordered batch->window max_gaps 0: doc 4 only
+    val iv = q("""{"query": {"intervals": {"text": {"match":
+      {"query": "batch window", "max_gaps": 0, "ordered": true}}}},
+      "size": 10}""").collect()
+    assert(iv.map(_.getLong(0)).toSeq == Seq(4L))
+    // unlimited unordered = conjunction; frequency = head term count
+    val conj = q("""{"query": {"intervals": {"text": {"match":
+      {"query": "run window"}}}}, "size": 10}""").collect()
+    assert(conj.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0))
+    // any_of sums rule frequencies
+    val any = q("""{"query": {"intervals": {"text": {"any_of":
+      {"intervals": [
+        {"match": {"query": "only"}},
+        {"match": {"query": "nothing here", "max_gaps": 0,
+          "ordered": true}}]}}}}, "size": 10}""").collect()
+    assert(any.map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L))
+    // intervals inside bool.filter: match set only, no scoring frame
+    val filtered = q("""{"query": {"bool": {
+      "filter": [{"intervals": {"text": {"match":
+        {"query": "batch window", "max_gaps": 0, "ordered": true}}}}]}},
+      "size": 10}""").collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(4L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"all_of":
+        {"intervals": []}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"match":
+        {"query": "a b c", "max_gaps": 1, "ordered": false}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"match":
+        {"query": "a b", "fuzzy": {}}}}}}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
