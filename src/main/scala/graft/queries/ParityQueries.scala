@@ -1258,6 +1258,30 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // terms-level pipelines (round 10): ES's HAVING over the returned
+    // terms buckets — bucket_script computes chars-per-doc, a chained
+    // bucket_selector filters on it, bucket_sort re-orders and pages.
+    // All reduce-phase (<= size buckets), applied after the top-size
+    // cut like ES.
+    "q7_esdsl_terms_having" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_src": {"terms":
+          |   {"field": "source", "size": 20},
+          |   "aggs": {
+          |     "chars": {"sum": {"field": "n_chars"}},
+          |     "per_doc": {"bucket_script":
+          |       {"buckets_path": {"s": "chars", "c": "_count"},
+          |        "script": "params.s / params.c"}},
+          |     "keep": {"bucket_selector":
+          |       {"buckets_path": {"p": "per_doc"},
+          |        "script": "params.p >= 300"}},
+          |     "top": {"bucket_sort": {"sort":
+          |       [{"per_doc": {"order": "desc"}}], "size": 5}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3566,6 +3590,19 @@ object ParityQueries {
       "LEFT JOIN m2 USING (doc_id) " +
       "WHERE coalesce(m1.score, 0) + coalesce(m2.score, 0) > 0 " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // terms-level pipelines: top-size cut, then script (one double
+    // division of exact longs), chained selector, bucket_sort page
+    "q7_esdsl_terms_having" ->
+      ("WITH b AS (SELECT source, count(*) AS doc_count, " +
+       "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
+       "WHERE source IS NOT NULL GROUP BY 1 " +
+       "ORDER BY doc_count DESC, source LIMIT 20), " +
+       "p AS (SELECT source, doc_count, chars, " +
+       "CAST(chars AS DOUBLE) / CAST(doc_count AS DOUBLE) AS per_doc " +
+       "FROM b) " +
+       "SELECT source, doc_count, chars, per_doc FROM p " +
+       "WHERE per_doc >= 300 ORDER BY per_doc DESC, source LIMIT 5"),
 
     // rare_terms: HAVING count <= 1, rare-first order
     "q7_esdsl_rare_terms" ->

@@ -2841,6 +2841,114 @@ object EsDsl {
     "extended_stats_bucket" -> Set("buckets_path", "sigma"),
     "percentiles_bucket" -> Set("buckets_path", "percents"))
 
+  /** The pipeline kinds ES allows on a terms parent — reduce-phase
+    * post-processing over the returned buckets. The histogram-only
+    * pipelines (cumulative_sum/derivative/serial_diff/moving_fn) need
+    * a total key order terms buckets don't have; they reject via the
+    * metric fold, like ES. */
+  private val TermsPipelineKinds =
+    Set("bucket_script", "bucket_selector", "bucket_sort")
+
+  /** Apply terms-level pipelines to the top-size bucket table, in
+    * request order (so a bucket_selector can reference an earlier
+    * bucket_script's column), bucket_sort last. The table is
+    * size-bounded (<= 1000 buckets), so this is reduce-phase work. */
+  private def applyTermsPipelines(buckets: DataFrame, f: String,
+                                  pipes: Seq[(String, String, JsonNode)],
+                                  defaultSort: Seq[Column]): DataFrame = {
+    var out = buckets
+    def pathCol(p: String, kind: String): Column = p match {
+      case "_count" => col("doc_count")
+      case "_key"   => col(f)
+      case name =>
+        if (!out.columns.contains(name))
+          bad(s"$kind buckets_path '$name' does not reference a " +
+            "sibling metric or earlier pipeline")
+        col(name)
+    }
+    pipes.filter(_._2 != "bucket_sort").foreach { case (n, kind, ms) =>
+      checkAggKeys(kind, ms)
+      kind match {
+        case "bucket_script" =>
+          out = out.withColumn(n,
+            scriptColumn(kind, ms, pathCol).cast("double"))
+        case "bucket_selector" =>
+          out = out.filter(scriptColumn(kind, ms, pathCol)
+            .cast("boolean"))
+      }
+    }
+    pipes.find(_._2 == "bucket_sort") match {
+      case None => out.orderBy(defaultSort: _*)
+      case Some((_, _, ms)) =>
+        checkAggKeys("bucket_sort", ms)
+        val sortKeys: Seq[Column] =
+          Option(ms.get("sort")).filter(_.isArray).toSeq.flatMap { s =>
+            (0 until s.size).map { i =>
+              val nd = s.get(i)
+              val (sf, ord) =
+                if (nd.isTextual) (nd.asText, "asc")
+                else {
+                  val it = nd.fieldNames()
+                  if (!it.hasNext) bad("empty bucket_sort sort entry")
+                  val fn = it.next()
+                  (fn, Option(nd.get(fn))
+                    .flatMap(o => Option(o.get("order"))).map(_.asText)
+                    .getOrElse("asc"))
+                }
+              val c = sf match {
+                case "_key"   => col(f)
+                case "_count" => col("doc_count")
+                case other =>
+                  if (!out.columns.contains(other))
+                    bad(s"bucket_sort sort key '$other' is not a " +
+                      "bucket value")
+                  col(other)
+              }
+              ord match {
+                case "asc"  => c.asc
+                case "desc" => c.desc
+                case o      => bad(s"unsupported sort order '$o'")
+              }
+            }
+          }
+        val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
+        val sz = Option(ms.get("size")).map(_.asInt)
+        if (from < 0 || sz.exists(_ <= 0))
+          bad("bucket_sort from must be >= 0 and size positive")
+        val sorted = out.orderBy(sortKeys :+ col(f).asc: _*)
+        val paged = if (from > 0) sorted.offset(from) else sorted
+        sz.map(paged.limit).getOrElse(paged)
+    }
+  }
+
+  /** gap_policy "skip" is ES's default and matches null-propagating
+    * Catalyst arithmetic; "insert_zeros" would CHANGE values, so it
+    * rejects by name rather than silently computing the skip answer. */
+  private def checkGapPolicy(kind: String, ms: JsonNode): Unit =
+    Option(ms.get("gap_policy")).map(_.asText).foreach {
+      case "skip" => ()
+      case other  => bad(s"unsupported $kind gap_policy '$other' " +
+        "(only the default 'skip' is supported)")
+    }
+
+  /** bucket_script/bucket_selector: buckets_path is a MAP of script
+    * param name -> sibling metric (or _count/_key); the script is the
+    * Painless arithmetic subset, compiled to one codegen'd Column. */
+  private def scriptColumn(kind: String, ms: JsonNode,
+                           pathCol: (String, String) => Column): Column = {
+    checkGapPolicy(kind, ms)
+    val bp = Option(ms.get("buckets_path")).filter(_.isObject)
+      .getOrElse(bad(s"$kind needs a buckets_path OBJECT " +
+        "(param name -> metric path)"))
+    val params: Map[String, Column] = keysOf(bp).map { p =>
+      p -> pathCol(bp.get(p).asText, kind)
+    }.toMap
+    val script = Option(ms.get("script")).map(_.asText)
+      .getOrElse(bad(s"$kind needs \"script\""))
+    try BucketScript.compile(script, params)
+    catch { case e: BucketScript.ScriptError => bad(e.msg) }
+  }
+
   private def checkAggKeys(kind: String, body: JsonNode): Unit =
     AggKnownKeys.get(kind).foreach { allowed =>
       if (body != null && body.isObject) {
@@ -3118,31 +3226,8 @@ object EsDsl {
               "sibling metric or earlier pipeline")
           col(name)
       }
-      // gap_policy "skip" is ES's default and matches null-propagating
-      // Catalyst arithmetic; "insert_zeros" would CHANGE values, so it
-      // rejects by name rather than silently computing the skip answer
-      def checkGapPolicy(kind: String, ms: JsonNode): Unit =
-        Option(ms.get("gap_policy")).map(_.asText).foreach {
-          case "skip" => ()
-          case other  => bad(s"unsupported $kind gap_policy '$other' " +
-            "(only the default 'skip' is supported)")
-        }
-      // bucket_script/bucket_selector: buckets_path is a MAP of script
-      // param name -> sibling metric (or _count); the script is the
-      // Painless arithmetic subset, compiled to one codegen'd Column
-      def scriptCol(kind: String, ms: JsonNode): Column = {
-        checkGapPolicy(kind, ms)
-        val bp = Option(ms.get("buckets_path")).filter(_.isObject)
-          .getOrElse(bad(s"$kind needs a buckets_path OBJECT " +
-            "(param name -> metric path)"))
-        val params: Map[String, Column] = keysOf(bp).map { p =>
-          p -> pathCol(bp.get(p).asText, kind)
-        }.toMap
-        val script = Option(ms.get("script")).map(_.asText)
-          .getOrElse(bad(s"$kind needs \"script\""))
-        try BucketScript.compile(script, params)
-        catch { case e: BucketScript.ScriptError => bad(e.msg) }
-      }
+      def scriptCol(kind: String, ms: JsonNode): Column =
+        scriptColumn(kind, ms, pathCol)
       pipes.filter(_._2 != "bucket_sort").foreach { case (n, kind, ms) =>
         checkAggKeys(kind, ms)
         def path = Option(ms.get("buckets_path")).map(_.asText)
@@ -3425,12 +3510,22 @@ object EsDsl {
         }
         nested match {
           case Nil =>
+            // terms-level pipelines (ES's reduce-phase post-processing
+            // over the RETURNED buckets — bucket_script computes,
+            // bucket_selector is the HAVING filter, bucket_sort
+            // re-orders/pages; they apply AFTER the top-size cut, like
+            // ES). Histogram-only pipelines (cumulative_sum and
+            // friends need a total key order) reject via metricCols.
+            val termsPipes = subEntries(spec)
+              .filter(e => TermsPipelineKinds(e._2))
             val keyCol = missing
               .map(m => coalesce(col(f), m)).getOrElse(col(f))
             val base = (if (missing.isDefined) df
               else df.filter(col(f).isNotNull))
               .groupBy(keyCol.as(f))
-              .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+              .agg(count(lit(1)).as("doc_count"),
+                subEntries(spec).filterNot(e => TermsPipelineKinds(e._2))
+                  .flatMap { case (n, mk, ms) => metricCols(mk, ms, n) }: _*)
             val gated = (includeGate.toSeq ++ excludeGate.toSeq)
               .foldLeft(base)(_ filter _)
             val pruned = minDocCount
@@ -3446,14 +3541,17 @@ object EsDsl {
                     if (!subEntries(spec).exists { case (n, mk, _) =>
                         n == metricName && !Set("stats",
                           "extended_stats", "percentiles",
-                          "percentile_ranks").contains(mk) })
+                          "percentile_ranks").contains(mk) &&
+                          !TermsPipelineKinds(mk) })
                       bad(s"order target '$metricName' is not a " +
                         "single-valued sub-metric of this terms agg")
                     col(metricName)
                 }
                 Seq(if (asc) c.asc else c.desc, col(f).asc)
             }
-            pruned.orderBy(sortKeys: _*).limit(size)
+            val cut = pruned.orderBy(sortKeys: _*).limit(size)
+            if (termsPipes.isEmpty) cut
+            else applyTermsPipelines(cut, f, termsPipes, sortKeys)
           case Seq((_, childSpec)) =>
             if (missing.isDefined || minDocCount.isDefined ||
                 orderSpec.isDefined || includeGate.isDefined ||

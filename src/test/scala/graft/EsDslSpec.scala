@@ -1344,6 +1344,44 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("terms-level pipelines: bucket_script/selector/sort apply " +
+    "after the top-size cut; histogram-only pipelines reject") {
+    // source: src3 x2 (n sum 50), src1 x1 (n 20); doc 3's null source
+    // drops. per = sum/count -> src3 25, src1 20
+    val r = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source"},
+       "aggs": {
+         "t": {"sum": {"field": "n"}},
+         "per": {"bucket_script": {
+           "buckets_path": {"t": "t", "c": "_count"},
+           "script": "params.t / params.c"}},
+         "keep": {"bucket_selector": {
+           "buckets_path": {"p": "per"},
+           "script": "params.p > 20"}}}}},
+      "size": 0}""").collect()
+    assert(r.length == 1 && r.head.getAs[String]("source") == "src3" &&
+      r.head.getAs[Double]("per") == 25.0)
+    // bucket_sort re-orders the cut by a script column
+    val bs = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source"},
+       "aggs": {
+         "t": {"sum": {"field": "n"}},
+         "per": {"bucket_script": {
+           "buckets_path": {"t": "t", "c": "_count"},
+           "script": "params.t / params.c"}},
+         "page": {"bucket_sort": {"sort": [{"per": {"order": "asc"}}],
+           "size": 1}}}}},
+      "size": 0}""").collect()
+    assert(bs.length == 1 && bs.head.getAs[String]("source") == "src1")
+    // cumulative_sum needs a total key order terms lacks: reject
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"s": {"terms": {"field": "source"},
+         "aggs": {"c": {"cumulative_sum":
+           {"buckets_path": "_count"}}}}}, "size": 0}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
