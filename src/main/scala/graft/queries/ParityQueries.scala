@@ -1282,6 +1282,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // script_score (round 10): re-score matches with a Painless
+    // arithmetic script — _score, doc['field'].value and
+    // script.params compile to ONE codegen'd projection
+    // (serving/BucketScript.scala), no joins.
+    "q7_esdsl_script_score" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"script_score": {
+          |  "query": {"query_string": {"query": "text:window"}},
+          |  "script": {
+          |    "source": "_score * (doc['n_chars'].value + params.base) / 100",
+          |    "params": {"base": 50}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3590,6 +3605,19 @@ object ParityQueries {
       "LEFT JOIN m2 USING (doc_id) " +
       "WHERE coalesce(m1.score, 0) + coalesce(m2.score, 0) > 0 " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // script_score: occurrence base score re-scored by the mirrored
+    // op DAG ((tf · (n_chars + 50)) / 100 — each step one IEEE op)
+    "q7_esdsl_script_score" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      s"WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$wc AS tc FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "((CAST(tc AS DOUBLE) * (CAST(n_chars AS DOUBLE) + 50)) / 100) " +
+        "AS \"_score\" " +
+      "FROM b WHERE tc > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
 
     // terms-level pipelines: top-size cut, then script (one double
     // division of exact longs), chained selector, bucket_sort page

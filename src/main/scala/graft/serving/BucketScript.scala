@@ -27,11 +27,21 @@ private[serving] object BucketScript {
     extends IllegalArgumentException(msg)
 
   /** Compile `script` to a Column over `params`. Numeric result —
-    * [[EsDsl]] casts/validates per call site. */
-  def compile(script: String, params: Map[String, Column]): Column =
-    new Parser(script, params).compile()
+    * [[EsDsl]] casts/validates per call site.
+    *
+    * `vars` binds BARE identifiers (`_score` in `script_score`);
+    * `fieldRef`, when given, enables `doc['field'].value` document
+    * references (the script_score/script-query surface — absent for
+    * bucket pipelines, where a doc ref is meaningless and rejects by
+    * name). */
+  def compile(script: String, params: Map[String, Column],
+              vars: Map[String, Column] = Map.empty,
+              fieldRef: Option[String => Column] = None): Column =
+    new Parser(script, params, vars, fieldRef).compile()
 
-  private final class Parser(src: String, params: Map[String, Column]) {
+  private final class Parser(src: String, params: Map[String, Column],
+                             vars: Map[String, Column],
+                             fieldRef: Option[String => Column]) {
     private var pos = 0
 
     def compile(): Column = {
@@ -142,10 +152,16 @@ private[serving] object BucketScript {
       } else if (src.startsWith("params.", pos) ||
           src.startsWith("params[", pos)) {
         paramRef()
+      } else if (src.startsWith("doc[", pos)) {
+        docRef()
       } else if (ch.isLetter || ch == '_') {
         val id = ident()
-        fail(s"unsupported identifier '$id' — only params.<name> " +
-          "references and numeric literals are supported")
+        vars.getOrElse(id,
+          fail(s"unsupported identifier '$id' — params.<name> " +
+            (if (fieldRef.isDefined) ", doc['<field>'].value" else "") +
+            (if (vars.nonEmpty)
+              s", ${vars.keys.toSeq.sorted.mkString("/")}" else "") +
+            " and numeric literals are supported"))
       } else fail(s"unexpected character '$ch'")
     }
 
@@ -155,6 +171,31 @@ private[serving] object BucketScript {
           src.charAt(pos) == '_')) pos += 1
       if (pos == start) fail("expected identifier")
       src.substring(start, pos)
+    }
+
+    /** `doc['field'].value` (or double-quoted) — the Painless doc-
+      * values accessor every real script uses. Other accessors
+      * (`.size()`, `.empty`, bare `doc['f']`) reject by name. */
+    private def docRef(): Column = {
+      val resolve = fieldRef.getOrElse(
+        fail("doc['<field>'] references are not available in this " +
+          "script context"))
+      pos += "doc[".length
+      skipWs()
+      if (pos >= src.length) fail("unterminated doc reference")
+      val q = src.charAt(pos)
+      if (q != '\'' && q != '"') fail("expected quoted field name")
+      pos += 1
+      val end = src.indexOf(q, pos)
+      if (end < 0) fail("unterminated field name")
+      val name = src.substring(pos, end)
+      pos = end + 1
+      skipWs()
+      if (!eat("]")) fail("expected ']'")
+      if (!eat(".value"))
+        fail(s"only doc['$name'].value is supported (not .size()/" +
+          ".empty)")
+      resolve(name)
     }
 
     private def paramRef(): Column = {

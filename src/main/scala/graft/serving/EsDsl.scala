@@ -1366,6 +1366,40 @@ object EsDsl {
     b
   }
 
+  /** Compile an ES `script` node (`{"source": "...", "params": {...}}`
+    * or the bare-string shorthand) to a numeric Column: the Painless
+    * arithmetic subset with `doc['field'].value` references and
+    * script.params literals bound as `params.*`. `vars` adds
+    * call-site bindings (`_score`). Parse failures reject by name. */
+  private def compileScoreScript(scriptNode: JsonNode,
+                                 vars: Map[String, Column]): Column = {
+    val sn = Option(scriptNode)
+      .getOrElse(bad("script-bearing clause needs \"script\""))
+    val src =
+      if (sn.isTextual) sn.asText
+      else {
+        val unknown = keysOf(sn).filterNot(Set("source", "params",
+          "lang"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported script key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+        Option(sn.get("lang")).map(_.asText).foreach {
+          case "painless" => ()
+          case other => bad(s"unsupported script lang '$other'")
+        }
+        Option(sn.get("source")).map(_.asText)
+          .getOrElse(bad("script needs \"source\""))
+      }
+    val params: Map[String, Column] =
+      (if (sn.isObject) Option(sn.get("params")) else None)
+        .map(pn => keysOf(pn).map(k => k -> litOf(pn.get(k))).toMap)
+        .getOrElse(Map.empty)
+    try BucketScript.compile(src, params, vars,
+      fieldRef = Some((f: String) => col(f).cast("double")))
+    catch { case e: BucketScript.ScriptError => bad(e.msg) }
+  }
+
   /** The lowercased term of a span_term body (short `{"f": "v"}` or
     * object `{"f": {"value": "v"}}` form). */
   private def spanTermValue(kind: String, spec: JsonNode): String =
@@ -1488,6 +1522,12 @@ object EsDsl {
         if (b != null && b.isObject) clauseBoost("match_all", b, Set())
         else 1.0
       Clause(lit(true), lit(boost))
+
+    case ("match_none", b) =>
+      // ES match_none: the empty match set
+      if (b != null && b.isObject && b.fieldNames().hasNext)
+        bad("match_none takes an empty body")
+      Clause(lit(false), lit(0.0))
 
     case ("term", b) =>
       val (f, v) = unwrap(b)
@@ -1909,6 +1949,43 @@ object EsDsl {
       }
       val cnt = ruleCount(spec)
       Clause(cnt > 0, cnt.cast("double"))
+
+    case ("script_score", b) =>
+      // ES script_score: re-score the inner query's matches with a
+      // script. The Painless ARITHMETIC subset compiles to one
+      // codegen'd Column (serving/BucketScript.scala) — `_score`, any
+      // `doc['field'].value`, `params.*` from script.params, numeric
+      // operators; method calls (Math.*, saturation) reject by name
+      // at parse time. `min_score` filters on the NEW score, so the
+      // inner query keeps real scoring even in filter context (the
+      // function_score min_score escape). ES rejects negative script
+      // scores at runtime; a plan-compiled column cannot, so negative
+      // values pass through — documented deviation, fail-visible in
+      // the score itself.
+      val ssBoost = clauseBoost("script_score", b,
+        Set("query", "script", "min_score"))
+      val minScoreOpt = Option(b.get("min_score")).map(_.asDouble)
+      val inner = Option(b.get("query")).map(qn =>
+          if (minScoreOpt.isDefined) ctx.scoringNeeded { clause(qn, ctx) }
+          else clause(qn, ctx))
+        .getOrElse(bad("script_score needs \"query\""))
+      val score = compileScoreScript(b.get("script"),
+        Map("_score" -> inner.score.cast("double")))
+      val pred = minScoreOpt match {
+        case Some(ms) => inner.pred && score >= ms
+        case None     => inner.pred
+      }
+      boosted(Clause(pred, score), ssBoost)
+
+    case ("script", b) =>
+      // ES script query: a boolean doc-values script as a FILTER —
+      // constant-scored 1.0 like the other filter-context clauses
+      // (range/exists), same Painless subset as script_score (no
+      // `_score` — a filter has none).
+      clauseBoost("script", b, Set("script"))
+      val pred = compileScoreScript(b.get("script"), Map.empty)
+        .cast("boolean")
+      Clause(coalesce(pred, lit(false)), lit(1.0))
 
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST
@@ -2362,7 +2439,10 @@ object EsDsl {
           else clause(qn, ctx))
         .getOrElse(Clause(lit(true), lit(1.0)))
       def parseFn(fn: JsonNode): (Column, Column) = {
-        for (k <- Seq("random_score", "script_score", "gauss", "exp",
+        // random_score (nondeterministic) and the decay functions
+        // (gauss/exp/linear) reject by name; script_score functions
+        // compile through the Painless arithmetic subset below
+        for (k <- Seq("random_score", "gauss", "exp",
             "linear") if fn.hasNonNull(k))
           bad(s"unsupported function_score function '$k'")
         val applies = Option(fn.get("filter"))
@@ -2370,6 +2450,15 @@ object EsDsl {
             lit(false)))
           .getOrElse(lit(true))
         val weight = Option(fn.get("weight")).map(_.asDouble)
+        Option(fn.get("script_score")).foreach { ss =>
+          if (fn.hasNonNull("field_value_factor"))
+            bad("a function_score function takes script_score OR " +
+              "field_value_factor, not both")
+          // functions see doc values only — no _score binding, like ES
+          val v = compileScoreScript(ss.get("script"), Map.empty)
+          return (applies,
+            weight.map(v * _).getOrElse(v).cast("double"))
+        }
         val value: Column = Option(fn.get("field_value_factor")) match {
           case Some(s) =>
             val f = Option(s.get("field")).map(_.asText)

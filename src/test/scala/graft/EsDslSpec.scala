@@ -1382,6 +1382,63 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("script_score / script query / match_none: Painless arithmetic " +
+    "subset with _score, doc refs and params; rejections by name") {
+    // base: term window (docs 1, 2, 4 score 1); script: _score * n / 10
+    val ss = q("""{"query": {"script_score": {
+      "query": {"query_string": {"query": "text:window"}},
+      "script": {"source": "_score * doc['n'].value / params.d",
+        "params": {"d": 10}}}}, "size": 10}""").collect()
+    assert(ss.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 2L -> 2.0, 4L -> 4.0))
+    // min_score filters on the NEW score
+    val ms = q("""{"query": {"script_score": {
+      "query": {"query_string": {"query": "text:window"}},
+      "script": "_score * doc['n'].value / 10",
+      "min_score": 2.5}}, "size": 10}""").collect()
+    assert(ms.map(_.getLong(0)).toSeq == Seq(4L))
+    // script query: boolean filter, constant score 1
+    val sq = q("""{"query": {"script": {"script":
+      {"source": "doc['n'].value > 15 && doc['n'].value < 35"}}},
+      "size": 10}""").collect()
+    assert(sq.map(_.getLong(0)).toSeq == Seq(2L, 3L) &&
+      sq.head.getAs[Double]("_score") == 1.0)
+    // script_score FUNCTION inside function_score (no _score binding)
+    val fs = q("""{"query": {"function_score": {
+      "query": {"query_string": {"query": "text:window"}},
+      "functions": [{"script_score":
+        {"script": "doc['n'].value / 10"}}],
+      "boost_mode": "replace"}}, "size": 10}""").collect()
+    assert(fs.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 2L -> 2.0, 4L -> 4.0))
+    // match_none: empty set
+    assert(q("""{"query": {"match_none": {}}, "size": 10}""")
+      .collect().isEmpty)
+    // rejections: non-painless lang, Math.* call, _score inside a
+    // function, doc refs inside bucket_script
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"script": {"script": {"source": "1",
+        "lang": "mustache"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": "Math.log(doc['n'].value)"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"script_score": {"script": "_score * 2"}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"s": {"bucket_script": {
+           "buckets_path": {"c": "_count"},
+           "script": "doc['n'].value"}}}}}, "size": 0}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
