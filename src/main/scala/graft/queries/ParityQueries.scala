@@ -1297,6 +1297,19 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // post_filter + top-level min_score (round 10): the faceted-search
+    // staple — hits gated by the query-phase score floor, then
+    // narrowed by the post filter (aggs, when present, would keep the
+    // full match set; hits-only here for the oracle).
+    "q7_esdsl_post_filter" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:window"}},
+          | "post_filter": {"term": {"lang": "en"}},
+          | "min_score": 2,
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3616,6 +3629,18 @@ object ParityQueries {
         "((CAST(tc AS DOUBLE) * (CAST(n_chars AS DOUBLE) + 50)) / 100) " +
         "AS \"_score\" " +
       "FROM b WHERE tc > 0 " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+    },
+
+    // post_filter + min_score: score floor then hit-list narrowing
+    "q7_esdsl_post_filter" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+      s"WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+        s"$wc AS tc FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(tc AS DOUBLE) AS \"_score\" " +
+      "FROM b WHERE tc > 0 AND CAST(tc AS DOUBLE) >= 2 " +
+        "AND lang = 'en' " +
       "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
     },
 

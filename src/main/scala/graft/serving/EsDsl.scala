@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   * `match_bool_prefix`, `terms_set` (per-document match threshold),
   * `more_like_this` (tf·idf term selection over text likes),
   * `rank_feature` / `distance_feature` / `pinned` (ranking family),
+  * the SPAN family (`span_term` / `span_or` / `span_near` ordered and
+  * unordered / `span_first` / `span_not` — positional algebra over
+  * the same token scan the phrase family uses, span-frequency
+  * scored), `intervals` (`match` rules with ordered/max_gaps,
+  * `any_of` union), `script_score` / `script` / `match_none` (the
+  * Painless ARITHMETIC subset — `_score`, `doc['f'].value`,
+  * `params.*` — compiled to codegen'd Columns by [[BucketScript]];
+  * method calls reject by name),
   * `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
@@ -45,9 +53,14 @@ import org.apache.spark.sql.functions._
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
   * extended_bounds, range/date_range/filters/missing/adjacency_matrix,
-  * significant_terms/significant_text, nested, filter, global, the
-  * full metric set, parent pipelines cumulative_sum/derivative/
-  * moving_fn/bucket_sort and sibling *_bucket reductions) lives in
+  * significant_terms/significant_text, nested, filter, global,
+  * rare_terms, auto_date_histogram, the full metric set plus
+  * top_metrics/boxplot/median_absolute_deviation/string_stats/
+  * matrix_stats, parent pipelines cumulative_sum/derivative/
+  * serial_diff/moving_fn/normalize/bucket_script/bucket_selector/
+  * bucket_sort — the scripted pair also on terms parents, ES's
+  * reduce-phase HAVING — and sibling *_bucket reductions including
+  * stats/extended_stats/percentiles_bucket) lives in
   * [[aggregations]]. Anything outside
   * this core throws `IllegalArgumentException` — the HTTP layer maps it
   * to a 400 with the offending construct named, never a silently-wrong
@@ -930,6 +943,25 @@ object EsDsl {
     // [[suggest]]/[[parseSuggest]] and serves both sections; this
     // function returns the hits (+aggs) pair and leaves the suggest
     // section alone
+    //
+    // TOP-LEVEL key inventory — the same fail-loud contract the
+    // clause and agg surfaces carry: an unknown body key (a typo'd
+    // "agg", a response-shaping option this engine does not model —
+    // explain/profile/stored_fields/...) rejects BY NAME instead of
+    // being silently dropped. track_total_hits and timeout are
+    // accepted and ignored: totals here are exact (subsuming every
+    // track_total_hits setting) and timeout is a partial-results
+    // latency knob — ignoring it returns the complete answer.
+    // "index" is the HTTP envelope's routing key.
+    val unknownTop = keysOf(body).filterNot(Set(
+      "query", "aggs", "aggregations", "sort", "collapse",
+      "search_after", "rescore", "highlight", "suggest", "rank", "knn",
+      "from", "size", "_source", "min_score", "post_filter",
+      "track_total_hits", "timeout", "index"))
+    if (unknownTop.nonEmpty)
+      bad(s"unsupported body key" +
+        s"${if (unknownTop.size == 1) "" else "s"}: " +
+        unknownTop.mkString(", "))
     if (body.hasNonNull("knn") && !body.hasNonNull("query")) {
       val idName0 = if (tiebreak.nonEmpty) tiebreak.head
         else df.columns.head
@@ -1002,6 +1034,22 @@ object EsDsl {
          body.hasNonNull("search_after")))
       bad("rescore cannot be combined with sort, collapse, or " +
         "search_after")
+    // top-level min_score: exclude hits below the query-phase score.
+    // Aggregations compile without score joins, so a min_score-gated
+    // agg set cannot resolve — reject the combination by name (the
+    // same escape rule function_score's min_score documents).
+    val minScoreTop = Option(body.get("min_score")).map(_.asDouble)
+    if (minScoreTop.isDefined &&
+        (body.hasNonNull("aggs") || body.hasNonNull("aggregations")))
+      bad("top-level min_score with aggregations is not supported " +
+        "(aggregations compile without scoring frames)")
+    // post_filter: ES's faceted-search staple — hits are additionally
+    // filtered AFTER aggregations are computed, so the buckets see the
+    // full query match set while the hit list narrows. Filter context
+    // by definition.
+    val postFilter: Option[Column] = Option(body.get("post_filter"))
+      .map(pf => coalesce(ctx.inFilter { clause(pf, ctx) }.pred,
+        lit(false)))
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
@@ -1052,7 +1100,10 @@ object EsDsl {
         (Clause(coalesce(c.pred, lit(false)) ||
             col("__knn_score").isNotNull, score), joined)
     }
-    val filtered = base.filter(cEff.pred)
+    val filtered0 = base.filter(cEff.pred)
+    // post_filter narrows the HIT list only — aggs below keep the
+    // un-narrowed predicate, ES's faceted-search contract
+    val filtered = postFilter.map(filtered0.filter).getOrElse(filtered0)
     val aggsOut =
       if (body.hasNonNull("aggs") || body.hasNonNull("aggregations"))
         // aggregation clauses compile AFTER the score-join fold — a
@@ -1068,13 +1119,17 @@ object EsDsl {
       rescoreOpt.map { case (rc, _, _, _) =>
         when(coalesce(rc.pred, lit(false)), rc.score.cast("double"))
           .otherwise(lit(0.0)).as("__rescore") }: _*)
+    // min_score gates the query-phase score, BEFORE the rescore window
+    // (ES applies it in the query phase)
+    val scoredMin = minScoreTop
+      .map(ms => scored0.filter(col("_score") >= ms)).getOrElse(scored0)
     // rescore window: top window_size by the PRIMARY order (one
     // TakeOrdered), then the combined score replaces _score — the
     // default effective sort below re-orders by it
     val scored = rescoreOpt match {
-      case None => scored0
+      case None => scoredMin
       case Some((_, window, qw, rw)) =>
-        scored0
+        scoredMin
           .orderBy(col("_score").desc +: tieNames.map(col(_).asc): _*)
           .limit(window)
           .withColumn("_score",
@@ -1261,6 +1316,30 @@ object EsDsl {
           try qsTerms(parse(s0, andDef))
           catch { case _: ParseError => () }
         }
+      case ("span_term", b) =>
+        val (_, spec) = unwrap(b)
+        out += spanTermValue("span_term", spec)
+      case ("span_or" | "span_near", b) =>
+        Option(b.get("clauses")).filter(_.isArray).foreach(cs =>
+          (0 until cs.size).foreach(i => walk(cs.get(i))))
+      case ("span_first", b) =>
+        Option(b.get("match")).foreach(walk)
+      case ("span_not", b) =>
+        Option(b.get("include")).foreach(walk) // excluded spans don't
+                                               // highlight
+      case ("intervals", b) =>
+        val (_, spec) = unwrap(b)
+        def rule(nd: JsonNode): Unit = unwrap(nd) match {
+          case ("match", mb) =>
+            Option(mb.get("query")).map(_.asText).foreach(addText)
+          case ("any_of", ab) =>
+            Option(ab.get("intervals")).filter(_.isArray).foreach(ivs =>
+              (0 until ivs.size).foreach(i => rule(ivs.get(i))))
+          case _ => ()
+        }
+        rule(spec)
+      case ("script_score", b) =>
+        Option(b.get("query")).foreach(walk)
       case ("bool", b) =>
         Seq("must", "filter", "should").foreach(k =>
           sub(b, k).foreach(walk)) // must_not terms don't highlight

@@ -1439,6 +1439,47 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("top-level min_score, post_filter, and the body-key " +
+    "inventory: unknown keys reject by name, accuracy knobs ignored") {
+    // query_string window scores 1 per doc; script-free gate
+    val ms = q("""{"query": {"script_score": {
+      "query": {"query_string": {"query": "text:window"}},
+      "script": "_score * doc['n'].value"}},
+      "min_score": 25, "size": 10}""").collect()
+    assert(ms.map(_.getLong(0)).toSeq == Seq(4L))
+    // post_filter narrows hits AFTER the match set; with aggs the
+    // buckets keep the full set (asserted via searchParts)
+    val (hits, aggs) = EsDsl.searchParts(docs, mapper.readTree(
+      """{"query": {"query_string": {"query": "text:window"}},
+        | "post_filter": {"term": {"source": "src3"}},
+        | "aggs": {"by_src": {"terms": {"field": "source"}}},
+        | "size": 10}""".stripMargin))
+    assert(hits.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 4L))
+    // aggs see docs 1, 2, 4 (the un-narrowed match set): src3 x2 +
+    // src1 x1
+    val buckets = aggs.get.collect()
+    assert(buckets.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("src3" -> 2L, "src1" -> 1L))
+    // exact totals subsume track_total_hits; timeout is a
+    // partial-results knob — both accepted and ignored
+    assert(q("""{"query": {"match_all": {}},
+      "track_total_hits": true, "timeout": "2s", "size": 10}""")
+      .collect().length == 4)
+    // a typo'd "agg" (and any unknown top-level key) rejects by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "agg": {"x": {"terms": {"field": "source"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "explain": true}""")
+    }
+    // min_score + aggs cannot resolve scoring in the agg frame
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "min_score": 1,
+        "aggs": {"x": {"terms": {"field": "source"}}}, "size": 0}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
