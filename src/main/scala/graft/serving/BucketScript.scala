@@ -239,10 +239,17 @@ private[serving] object BucketScript {
         while (pos < src.length && src.charAt(pos).isDigit) pos += 1
       }
       val text = src.substring(start, pos)
-      if (isDouble) lit(text.toDouble)
-      else lit(text.toLong) // integral literal stays integral, like
-                            // Painless — 5 / 2 over long paths is
-                            // still Spark's true division (double)
+      // a malformed literal ("2e", an over-Long integer) must surface
+      // as the parser's named error, not a raw NumberFormatException
+      try {
+        if (isDouble) lit(text.toDouble)
+        else lit(text.toLong) // integral literal stays integral, like
+                              // Painless — 5 / 2 over long paths is
+                              // still Spark's true division (double)
+      } catch {
+        case _: NumberFormatException =>
+          fail(s"malformed numeric literal '$text'")
+      }
     }
   }
 }

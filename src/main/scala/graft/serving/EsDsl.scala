@@ -963,6 +963,13 @@ object EsDsl {
         s"${if (unknownTop.size == 1) "" else "s"}: " +
         unknownTop.mkString(", "))
     if (body.hasNonNull("knn") && !body.hasNonNull("query")) {
+      // the knn-only serve path ranks exactly k hits by vector
+      // similarity — a score floor or post filter would silently
+      // change that contract, so both reject by name here (they work
+      // on the hybrid knn+query path, which flows through the scored
+      // pipeline below)
+      for (k <- Seq("min_score", "post_filter") if body.hasNonNull(k))
+        bad(s"$k is not supported on a knn-only body")
       val idName0 = if (tiebreak.nonEmpty) tiebreak.head
         else df.columns.head
       val sid0 =
@@ -1481,10 +1488,17 @@ object EsDsl {
 
   /** The lowercased term of a span_term body (short `{"f": "v"}` or
     * object `{"f": {"value": "v"}}` form). */
-  private def spanTermValue(kind: String, spec: JsonNode): String =
-    (if (spec.isObject) Option(spec.get("value")).map(_.asText)
+  private def spanTermValue(kind: String, spec: JsonNode): String = {
+    val v = (if (spec.isObject) Option(spec.get("value")).map(_.asText)
       .getOrElse(bad(s"$kind needs \"value\""))
     else spec.asText).toLowerCase
+    // an empty value would degenerate the padded substring probe to
+    // the token separator (matching every multi-token doc); a
+    // whitespace-bearing value can never equal one token
+    if (v.isEmpty || v.exists(_.isWhitespace))
+      bad(s"$kind value must be a single non-empty token")
+    v
+  }
 
   /** A span LEAF — `span_term`, or `span_or` of span_terms — compiled
     * to (field, token matcher, terms). The composable subset every
@@ -2014,6 +2028,11 @@ object EsDsl {
             else bad("unordered intervals match with max_gaps " +
               "supports two terms (ordered composes any number)")
           case "any_of" =>
+            val unknown = keysOf(body).filterNot(Set("intervals"))
+            if (unknown.nonEmpty)
+              bad(s"unsupported intervals any_of key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
             val ivs = Option(body.get("intervals")).filter(_.isArray)
               .filter(_.size > 0)
               .getOrElse(bad("any_of needs a non-empty \"intervals\" " +
@@ -2061,10 +2080,10 @@ object EsDsl {
       // constant-scored 1.0 like the other filter-context clauses
       // (range/exists), same Painless subset as script_score (no
       // `_score` — a filter has none).
-      clauseBoost("script", b, Set("script"))
+      val scBoost = clauseBoost("script", b, Set("script"))
       val pred = compileScoreScript(b.get("script"), Map.empty)
         .cast("boolean")
-      Clause(coalesce(pred, lit(false)), lit(1.0))
+      boosted(Clause(coalesce(pred, lit(false)), lit(1.0)), scBoost)
 
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST
@@ -3009,6 +3028,60 @@ object EsDsl {
     "extended_stats_bucket" -> Set("buckets_path", "sigma"),
     "percentiles_bucket" -> Set("buckets_path", "percents"))
 
+  /** Apply ONE bucket_sort spec to a bucket table — the shared
+    * reduce-phase sorter for histogram and terms parents (the key
+    * column differs, nothing else). A missing `sort` key preserves
+    * the parent's existing bucket order (ES: from/size-only
+    * truncation); entries accept the array form or a single bare
+    * entry. `tiebreak` (the bucket key asc) is always appended so
+    * paging is deterministic. */
+  private def applyBucketSort(out: DataFrame, ms: JsonNode,
+                              keyCol: Column,
+                              parentOrder: Seq[Column]): DataFrame = {
+    checkAggKeys("bucket_sort", ms)
+    val sortEntries: Seq[JsonNode] = Option(ms.get("sort")) match {
+      case None                 => Nil
+      case Some(s) if s.isArray => (0 until s.size).map(s.get)
+      case Some(s)              => Seq(s)
+    }
+    val sortKeys: Seq[Column] = sortEntries.map { nd =>
+      val (f, ord) =
+        if (nd.isTextual) (nd.asText, "asc")
+        else {
+          val it = nd.fieldNames()
+          if (!it.hasNext) bad("empty bucket_sort sort entry")
+          val fn = it.next()
+          if (it.hasNext)
+            bad("a bucket_sort sort entry carries exactly one field")
+          (fn, Option(nd.get(fn))
+            .flatMap(o => Option(o.get("order"))).map(_.asText)
+            .getOrElse("asc"))
+        }
+      val c = f match {
+        case "_key"   => keyCol
+        case "_count" => col("doc_count")
+        case other =>
+          if (!out.columns.contains(other))
+            bad(s"bucket_sort sort key '$other' is not a bucket value")
+          col(other)
+      }
+      ord match {
+        case "asc"  => c.asc
+        case "desc" => c.desc
+        case o      => bad(s"unsupported sort order '$o'")
+      }
+    }
+    val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
+    val sz = Option(ms.get("size")).map(_.asInt)
+    if (from < 0 || sz.exists(_ <= 0))
+      bad("bucket_sort from must be >= 0 and size positive")
+    val sorted =
+      if (sortKeys.isEmpty) out.orderBy(parentOrder: _*)
+      else out.orderBy(sortKeys :+ keyCol.asc: _*)
+    val paged = if (from > 0) sorted.offset(from) else sorted
+    sz.map(paged.limit).getOrElse(paged)
+  }
+
   /** The pipeline kinds ES allows on a terms parent — reduce-phase
     * post-processing over the returned buckets. The histogram-only
     * pipelines (cumulative_sum/derivative/serial_diff/moving_fn) need
@@ -3045,47 +3118,12 @@ object EsDsl {
             .cast("boolean"))
       }
     }
-    pipes.find(_._2 == "bucket_sort") match {
-      case None => out.orderBy(defaultSort: _*)
-      case Some((_, _, ms)) =>
-        checkAggKeys("bucket_sort", ms)
-        val sortKeys: Seq[Column] =
-          Option(ms.get("sort")).filter(_.isArray).toSeq.flatMap { s =>
-            (0 until s.size).map { i =>
-              val nd = s.get(i)
-              val (sf, ord) =
-                if (nd.isTextual) (nd.asText, "asc")
-                else {
-                  val it = nd.fieldNames()
-                  if (!it.hasNext) bad("empty bucket_sort sort entry")
-                  val fn = it.next()
-                  (fn, Option(nd.get(fn))
-                    .flatMap(o => Option(o.get("order"))).map(_.asText)
-                    .getOrElse("asc"))
-                }
-              val c = sf match {
-                case "_key"   => col(f)
-                case "_count" => col("doc_count")
-                case other =>
-                  if (!out.columns.contains(other))
-                    bad(s"bucket_sort sort key '$other' is not a " +
-                      "bucket value")
-                  col(other)
-              }
-              ord match {
-                case "asc"  => c.asc
-                case "desc" => c.desc
-                case o      => bad(s"unsupported sort order '$o'")
-              }
-            }
-          }
-        val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
-        val sz = Option(ms.get("size")).map(_.asInt)
-        if (from < 0 || sz.exists(_ <= 0))
-          bad("bucket_sort from must be >= 0 and size positive")
-        val sorted = out.orderBy(sortKeys :+ col(f).asc: _*)
-        val paged = if (from > 0) sorted.offset(from) else sorted
-        sz.map(paged.limit).getOrElse(paged)
+    pipes.filter(_._2 == "bucket_sort") match {
+      case Seq() => out.orderBy(defaultSort: _*)
+      case Seq((_, _, ms)) =>
+        applyBucketSort(out, ms, col(f), defaultSort)
+      case many =>
+        bad(s"at most one bucket_sort per parent (got ${many.size})")
     }
   }
 
@@ -3178,7 +3216,9 @@ object EsDsl {
             count(c).as(s"${sn}_count"), min(c).as(s"${sn}_min"),
             max(c).as(s"${sn}_max"), avg(c).as(s"${sn}_avg"),
             sum(c).as(s"${sn}_sum"),
-            sum(c * c).as(s"${sn}_sum_of_squares"),
+            // double products — same wrap guard as extended_stats
+            sum(c.cast("double") * c.cast("double"))
+              .as(s"${sn}_sum_of_squares"),
             var_pop(c).as(s"${sn}_variance"),
             stddev_pop(c).as(s"${sn}_std_deviation"))
           case "percentiles_bucket" =>
@@ -3274,6 +3314,8 @@ object EsDsl {
         val sit = sn.fieldNames()
         if (!sit.hasNext) bad("empty top_metrics sort")
         val sf = sit.next()
+        if (sit.hasNext)
+          bad("top_metrics supports exactly one sort key")
         val ord = Option(sn.get(sf)).map { o =>
           if (o.isTextual) o.asText
           else Option(o.get("order")).map(_.asText).getOrElse("asc")
@@ -3320,7 +3362,10 @@ object EsDsl {
           count(c).as(s"${alias}_count"), min(c).as(s"${alias}_min"),
           max(c).as(s"${alias}_max"), avg(c).as(s"${alias}_avg"),
           sum(c).as(s"${alias}_sum"),
-          sum(c * c).as(s"${alias}_sum_of_squares"),
+          // double products: a long² sum wraps silently at real scale
+          // (ES computes this in double too)
+          sum(c.cast("double") * c.cast("double"))
+            .as(s"${alias}_sum_of_squares"),
           var_pop(c).as(s"${alias}_variance"),
           stddev_pop(c).as(s"${alias}_std_deviation"))
         case "percentiles" =>
@@ -3487,47 +3532,12 @@ object EsDsl {
             out = out.withColumn(n, fn(pathCol(path, kind)).over(frame))
         }
       }
-      pipes.find(_._2 == "bucket_sort") match {
-        case None => out.orderBy(col("key").asc)
-        case Some((_, _, ms)) =>
-          checkAggKeys("bucket_sort", ms)
-          val sortKeys: Seq[Column] =
-            Option(ms.get("sort")).filter(_.isArray).toSeq.flatMap { s =>
-              (0 until s.size).map { i =>
-                val nd = s.get(i)
-                val (f, ord) =
-                  if (nd.isTextual) (nd.asText, "asc")
-                  else {
-                    val it = nd.fieldNames()
-                    if (!it.hasNext) bad("empty bucket_sort sort entry")
-                    val fn = it.next()
-                    (fn, Option(nd.get(fn))
-                      .flatMap(o => Option(o.get("order"))).map(_.asText)
-                      .getOrElse("asc"))
-                  }
-                val c = f match {
-                  case "_key"   => col("key")
-                  case "_count" => col("doc_count")
-                  case other =>
-                    if (!out.columns.contains(other))
-                      bad(s"bucket_sort sort key '$other' is not a " +
-                        "bucket value")
-                    col(other)
-                }
-                ord match {
-                  case "asc"  => c.asc
-                  case "desc" => c.desc
-                  case o      => bad(s"unsupported sort order '$o'")
-                }
-              }
-            }
-          val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
-          val sz = Option(ms.get("size")).map(_.asInt)
-          if (from < 0 || sz.exists(_ <= 0))
-            bad("bucket_sort from must be >= 0 and size positive")
-          val sorted = out.orderBy(sortKeys :+ col("key").asc: _*)
-          val paged = if (from > 0) sorted.offset(from) else sorted
-          sz.map(paged.limit).getOrElse(paged)
+      pipes.filter(_._2 == "bucket_sort") match {
+        case Seq() => out.orderBy(col("key").asc)
+        case Seq((_, _, ms)) =>
+          applyBucketSort(out, ms, col("key"), Seq(col("key").asc))
+        case many =>
+          bad(s"at most one bucket_sort per parent (got ${many.size})")
       }
     }
     // ONE-PASS bucket table for request-enumerated buckets (range /
@@ -4395,28 +4405,53 @@ object EsDsl {
         val fs = (0 until fieldsNode.size).map(fieldsNode.get(_).asText)
         if (fs.distinct.size != fs.size)
           bad("matrix_stats fields must be distinct")
+        // name unknown fields HERE — analysis would otherwise surface
+        // the caller's typo as a plan-time exception (a 500)
+        fs.filterNot(df.columns.contains).foreach(f =>
+          bad(s"unknown matrix_stats field '$f'"))
         val complete = fs.map(col(_).isNotNull).reduce(_ && _)
         val g = df.filter(complete)
         val n = count(lit(1))
         val nD = n.cast("double")
-        def meanOf(f: String) = sum(col(f)).cast("double") / nD
+        // power sums: INTEGRAL columns ride DECIMAL(38) — 64-bit long
+        // products/sums of squared key columns wrap silently at real
+        // scale (o_orderkey² summed over 10⁶ rows exceeds Long
+        // range); decimal(19) operands make the product decimal(38)
+        // and the sum 128-bit exact, the same arithmetic the oracle's
+        // HUGEINT uses. FLOATING columns keep plain double sums (a
+        // decimal cast would truncate fractions); ES computes in
+        // double there too.
+        import org.apache.spark.sql.types.{ByteType, IntegerType,
+          LongType, ShortType}
+        def integral(f: String): Boolean =
+          df.schema.find(_.name == f)
+            .getOrElse(bad(s"unknown matrix_stats field '$f'"))
+            .dataType match {
+              case LongType | IntegerType | ShortType | ByteType => true
+              case _ => false
+            }
+        def d19(f: String) = col(f).cast("decimal(19,0)")
+        def s1(f: String) =
+          if (integral(f)) sum(d19(f)).cast("double")
+          else sum(col(f).cast("double"))
+        def s2of(a: String, b: String) =
+          if (integral(a) && integral(b))
+            sum(d19(a) * d19(b)).cast("double")
+          else sum(col(a).cast("double") * col(b).cast("double"))
+        def meanOf(f: String) = s1(f) / nD
         val perField = fs.flatMap { f =>
           val m = meanOf(f)
-          val s2 = sum(col(f) * col(f)).cast("double")
           Seq(n.as(s"${name}_${f}_count"), m.as(s"${name}_${f}_mean"),
-            ((s2 - sum(col(f)).cast("double") * m) / (nD - 1))
+            ((s2of(f, f) - s1(f) * m) / (nD - 1))
               .as(s"${name}_${f}_variance"))
         }
         val pairs = for {
           i <- fs.indices; j <- fs.indices if i < j
         } yield (fs(i), fs(j))
         val perPair = pairs.flatMap { case (a, b) =>
-          val cov = (sum(col(a) * col(b)).cast("double") -
-            sum(col(a)).cast("double") * meanOf(b)) / (nD - 1)
-          val va = (sum(col(a) * col(a)).cast("double") -
-            sum(col(a)).cast("double") * meanOf(a)) / (nD - 1)
-          val vb = (sum(col(b) * col(b)).cast("double") -
-            sum(col(b)).cast("double") * meanOf(b)) / (nD - 1)
+          val cov = (s2of(a, b) - s1(a) * meanOf(b)) / (nD - 1)
+          val va = (s2of(a, a) - s1(a) * meanOf(a)) / (nD - 1)
+          val vb = (s2of(b, b) - s1(b) * meanOf(b)) / (nD - 1)
           Seq(cov.as(s"${name}_${a}_${b}_covariance"),
             (cov / (sqrt(va) * sqrt(vb)))
               .as(s"${name}_${a}_${b}_correlation"))

@@ -258,7 +258,7 @@ class EsDslSpec extends SparkSpec {
     assert(st.getAs[Long]("s_max") == 40L)
     assert(st.getAs[Double]("s_avg") == 25.0)
     assert(st.getAs[Long]("s_sum") == 100L)
-    assert(st.getAs[Long]("s_sum_of_squares") == 3000L)
+    assert(st.getAs[Double]("s_sum_of_squares") == 3000.0)
     // population variance: E[x²] − E[x]² = 750 − 625 = 125
     assert(math.abs(st.getAs[Double]("s_variance") - 125.0) < 1e-9)
     assert(math.abs(st.getAs[Double]("s_std_deviation") -
@@ -1087,7 +1087,7 @@ class EsDslSpec extends SparkSpec {
     assert(r.getAs[Long]("es_count") == 3L &&
       r.getAs[Long]("es_min") == 1L && r.getAs[Long]("es_max") == 2L &&
       r.getAs[Long]("es_sum") == 4L &&
-      r.getAs[Long]("es_sum_of_squares") == 6L)
+      r.getAs[Double]("es_sum_of_squares") == 6.0)
     assert(math.abs(r.getAs[Double]("es_avg") - 4.0 / 3) < 1e-12)
     assert(math.abs(r.getAs[Double]("es_variance") - 2.0 / 9) < 1e-12)
     assert(math.abs(r.getAs[Double]("es_std_deviation") -
@@ -1477,6 +1477,88 @@ class EsDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "min_score": 1,
         "aggs": {"x": {"terms": {"field": "source"}}}, "size": 0}""")
+    }
+  }
+
+  test("round-10 review regressions: sortless bucket_sort preserves " +
+    "parent order, single-entry sort form, script boost, degenerate " +
+    "span terms, double matrix_stats") {
+    // from/size-only bucket_sort truncates the TERMS order (count
+    // desc) — src3 (2 docs) survives, not the alphabetical first
+    val cut = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source"},
+       "aggs": {"page": {"bucket_sort": {"size": 1}}}}},
+      "size": 0}""").collect()
+    assert(cut.length == 1 && cut.head.getAs[String]("source") == "src3")
+    // the single-object (non-array) sort form is honored, not dropped
+    val obj = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source"},
+       "aggs": {"page": {"bucket_sort":
+         {"sort": {"_key": {"order": "desc"}}, "size": 1}}}}},
+      "size": 0}""").collect()
+    assert(obj.head.getAs[String]("source") == "src3")
+    // two bucket_sorts on one parent: reject, never silently drop one
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"s": {"terms": {"field": "source"},
+         "aggs": {"a": {"bucket_sort": {"size": 1}},
+                  "b": {"bucket_sort": {"size": 2}}}}}, "size": 0}""")
+    }
+    // knn-only bodies reject a silent score floor / post filter
+    intercept[IllegalArgumentException] {
+      EsDsl.search(vecs, mapper.readTree(
+        """{"knn": {"field": "embedding", "query_vector": [1, 0, 0],
+          |  "k": 2, "num_candidates": 5}, "min_score": 0.5}"""
+          .stripMargin))
+    }
+    // script query boost multiplies the constant score
+    val sb = q("""{"query": {"script": {"script":
+      {"source": "doc['n'].value > 15"}, "boost": 3}},
+      "size": 10}""").collect()
+    assert(sb.head.getAs[Double]("_score") == 3.0)
+    // empty span_term value would match every multi-token doc via the
+    // separator needle: reject
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_term": {"text": ""}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "a b"}}], "slop": 0}}}""")
+    }
+    // intervals any_of validates its own keys (a silently dropped
+    // `filter` would change the match set)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"any_of":
+        {"intervals": [{"match": {"query": "x"}}],
+         "filter": {}}}}}}""")
+    }
+    // top_metrics object-form sort with two fields: reject
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"b": {"top_metrics": {"metrics": [{"field": "doc_id"}],
+          "sort": {"n": "asc", "doc_id": "desc"}}}}, "size": 0}""")
+    }
+    // malformed numeric literal surfaces as the parser's named error
+    val e = intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"s": {"bucket_script": {
+           "buckets_path": {"c": "_count"},
+           "script": "params.c * 2e"}}}}}, "size": 0}""")
+    }
+    assert(e.getMessage.contains("malformed numeric literal"))
+    // matrix_stats on a DOUBLE column: no decimal truncation (n as
+    // double via n * 1.0 is not expressible here, so pair the long
+    // doc_id with itself scaled — variance of doc_id is 5/3)
+    val mx = q("""{"query": {"match_all": {}}, "aggs":
+      {"m": {"matrix_stats": {"fields": ["doc_id", "n"]}}},
+      "size": 0}""").collect().head
+    assert(math.abs(mx.getAs[Double]("m_doc_id_variance") - 5.0 / 3)
+      < 1e-12)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"m": {"matrix_stats": {"fields": ["doc_id", "nope"]}}},
+        "size": 0}""")
     }
   }
 
