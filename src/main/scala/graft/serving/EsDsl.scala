@@ -675,8 +675,13 @@ object EsDsl {
                        tieNames: Seq[String],
                        candidates: (KnnSpec, DataFrame) => DataFrame)
       : DataFrame = {
+    // min_score/post_filter sit here, IN the shared scaffold, so the
+    // public searchKnnIvf route rejects them identically to search()
+    // — the knn-only serve ranks exactly k hits by similarity; a
+    // silent score floor or post filter would change that contract
     for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
-        "search_after", "rescore", "highlight", "suggest", "rank")
+        "search_after", "rescore", "highlight", "suggest", "rank",
+        "min_score", "post_filter")
         if body.hasNonNull(bad0))
       bad(s"knn cannot be combined with $bad0")
     val spec = parseKnn(body.get("knn"))
@@ -963,13 +968,8 @@ object EsDsl {
         s"${if (unknownTop.size == 1) "" else "s"}: " +
         unknownTop.mkString(", "))
     if (body.hasNonNull("knn") && !body.hasNonNull("query")) {
-      // the knn-only serve path ranks exactly k hits by vector
-      // similarity — a score floor or post filter would silently
-      // change that contract, so both reject by name here (they work
-      // on the hybrid knn+query path, which flows through the scored
-      // pipeline below)
-      for (k <- Seq("min_score", "post_filter") if body.hasNonNull(k))
-        bad(s"$k is not supported on a knn-only body")
+      // min_score/post_filter reject inside knnServe (the shared
+      // scaffold), covering this route AND the public searchKnnIvf
       val idName0 = if (tiebreak.nonEmpty) tiebreak.head
         else df.columns.head
       val sid0 =
@@ -1171,19 +1171,8 @@ object EsDsl {
     val effKeys: Seq[(Column, Boolean)] =
       (if (sortEntries.isEmpty) Seq((col("_score"), false))
        else sortEntries.map { n =>
-         if (n.isTextual) sortPair(checkSortField(n.asText), "asc")
-         else {
-           val names = keysOf(n)
-           if (names.isEmpty) bad("empty sort entry")
-           if (names.size > 1)
-             bad("a sort entry must carry exactly one field, got: " +
-               names.mkString(", "))
-           val f = names.head
-           val ord = Option(n.get(f))
-             .flatMap(o => Option(o.get("order"))).map(_.asText)
-             .getOrElse("asc")
-           sortPair(checkSortField(f), ord)
-         }
+         val (f, ord) = sortEntryOf(n, "body")
+         sortPair(checkSortField(f), ord)
        }) ++ tieNames.map(t => (col(t), true))
     val keyCols = effKeys.map { case (cc, asc) =>
       if (asc) cc.asc else cc.desc }
@@ -3028,6 +3017,40 @@ object EsDsl {
     "extended_stats_bucket" -> Set("buckets_path", "sigma"),
     "percentiles_bucket" -> Set("buckets_path", "percents"))
 
+  /** ONE sort entry, the shared grammar for every sort surface
+    * (top-level body sort, top_hits, bucket_sort): a bare field
+    * string, the `{"f": "desc"}` string shorthand, or
+    * `{"f": {"order": "desc"}}`. Exactly one field per entry; the
+    * object form's other knobs (missing, mode, format — each CHANGES
+    * results in ES) reject by name, and so does a bad order value —
+    * the shorthand silently defaulting to ascending was a review
+    * finding, not a feature. Returns (field, "asc"|"desc"). */
+  private def sortEntryOf(nd: JsonNode, context: String)
+      : (String, String) = {
+    if (nd.isTextual) return (nd.asText, "asc")
+    if (!nd.isObject) bad(s"malformed $context sort entry")
+    val names = keysOf(nd)
+    if (names.isEmpty) bad(s"empty $context sort entry")
+    if (names.size > 1)
+      bad(s"a $context sort entry must carry exactly one field, " +
+        "got: " + names.mkString(", "))
+    val f = names.head
+    val spec = nd.get(f)
+    val ord =
+      if (spec.isTextual) spec.asText
+      else if (spec.isObject) {
+        val unknown = keysOf(spec).filterNot(Set("order"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported $context sort entry key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+        Option(spec.get("order")).map(_.asText).getOrElse("asc")
+      } else bad(s"malformed $context sort entry for '$f'")
+    if (ord != "asc" && ord != "desc")
+      bad(s"unsupported sort order '$ord'")
+    (f, ord)
+  }
+
   /** Apply ONE bucket_sort spec to a bucket table — the shared
     * reduce-phase sorter for histogram and terms parents (the key
     * column differs, nothing else). A missing `sort` key preserves
@@ -3045,18 +3068,7 @@ object EsDsl {
       case Some(s)              => Seq(s)
     }
     val sortKeys: Seq[Column] = sortEntries.map { nd =>
-      val (f, ord) =
-        if (nd.isTextual) (nd.asText, "asc")
-        else {
-          val it = nd.fieldNames()
-          if (!it.hasNext) bad("empty bucket_sort sort entry")
-          val fn = it.next()
-          if (it.hasNext)
-            bad("a bucket_sort sort entry carries exactly one field")
-          (fn, Option(nd.get(fn))
-            .flatMap(o => Option(o.get("order"))).map(_.asText)
-            .getOrElse("asc"))
-        }
+      val (f, ord) = sortEntryOf(nd, "bucket_sort")
       val c = f match {
         case "_key"   => keyCol
         case "_count" => col("doc_count")
@@ -3065,11 +3077,7 @@ object EsDsl {
             bad(s"bucket_sort sort key '$other' is not a bucket value")
           col(other)
       }
-      ord match {
-        case "asc"  => c.asc
-        case "desc" => c.desc
-        case o      => bad(s"unsupported sort order '$o'")
-      }
+      if (ord == "asc") c.asc else c.desc
     }
     val from = Option(ms.get("from")).map(_.asInt).getOrElse(0)
     val sz = Option(ms.get("size")).map(_.asInt)
@@ -3640,23 +3648,10 @@ object EsDsl {
             .getOrElse(bad("top_hits needs an explicit \"sort\" array " +
               "(_score is not defined inside aggregations)"))
           val sorts = (0 until sortNode.size).map { i =>
-            val n = sortNode.get(i)
-            if (n.isTextual) {
-              // the textual form must hit the same _score rejection as
-              // the object form (no _score column exists in agg frames)
-              if (n.asText == "_score")
-                bad("top_hits cannot sort by _score")
-              sortKey(n.asText, "asc")
-            } else {
-              val it = n.fieldNames()
-              if (!it.hasNext) bad("empty top_hits sort entry")
-              val sf = it.next()
-              if (sf == "_score") bad("top_hits cannot sort by _score")
-              val ord = Option(n.get(sf))
-                .flatMap(o => Option(o.get("order"))).map(_.asText)
-                .getOrElse("asc")
-              sortKey(sf, ord)
-            }
+            val (sf, ord) = sortEntryOf(sortNode.get(i), "top_hits")
+            // no _score column exists in agg frames
+            if (sf == "_score") bad("top_hits cannot sort by _score")
+            sortKey(sf, ord)
           }
           val realCols = df.columns.filterNot(c =>
             c == IdColMarker || c == SidCol || c == "__knn_score" ||
@@ -4423,13 +4418,13 @@ object EsDsl {
         // double there too.
         import org.apache.spark.sql.types.{ByteType, IntegerType,
           LongType, ShortType}
+        // fields were validated against df.columns above, so the
+        // schema lookup cannot miss
         def integral(f: String): Boolean =
-          df.schema.find(_.name == f)
-            .getOrElse(bad(s"unknown matrix_stats field '$f'"))
-            .dataType match {
-              case LongType | IntegerType | ShortType | ByteType => true
-              case _ => false
-            }
+          df.schema(df.schema.fieldIndex(f)).dataType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }
         def d19(f: String) = col(f).cast("decimal(19,0)")
         def s1(f: String) =
           if (integral(f)) sum(d19(f)).cast("double")

@@ -1547,18 +1547,48 @@ class EsDslSpec extends SparkSpec {
            "script": "params.c * 2e"}}}}}, "size": 0}""")
     }
     assert(e.getMessage.contains("malformed numeric literal"))
-    // matrix_stats on a DOUBLE column: no decimal truncation (n as
-    // double via n * 1.0 is not expressible here, so pair the long
-    // doc_id with itself scaled — variance of doc_id is 5/3)
-    val mx = q("""{"query": {"match_all": {}}, "aggs":
-      {"m": {"matrix_stats": {"fields": ["doc_id", "n"]}}},
-      "size": 0}""").collect().head
-    assert(math.abs(mx.getAs[Double]("m_doc_id_variance") - 5.0 / 3)
+    // matrix_stats DOUBLE branch: fractional values must NOT truncate
+    // through the decimal path (x: 1.5, 2.5, 4.0 -> sample variance
+    // 19/12, covariance with id 5/4)
+    val dmx = EsDsl.search(
+      Seq((1L, 1.5), (2L, 2.5), (3L, 4.0)).toDF("id", "x"),
+      mapper.readTree("""{"query": {"match_all": {}}, "aggs":
+        {"m": {"matrix_stats": {"fields": ["id", "x"]}}},
+        "size": 0}""")).collect().head
+    assert(math.abs(dmx.getAs[Double]("m_x_variance") - 19.0 / 12)
+      < 1e-12)
+    assert(math.abs(dmx.getAs[Double]("m_id_x_covariance") - 1.25)
       < 1e-12)
     intercept[IllegalArgumentException] {
       q("""{"query": {"match_all": {}}, "aggs":
         {"m": {"matrix_stats": {"fields": ["doc_id", "nope"]}}},
         "size": 0}""")
+    }
+    // the {"field": "desc"} string shorthand is honored on all three
+    // sort surfaces (was silently ascending)
+    val sh = q("""{"query": {"match_all": {}},
+      "sort": [{"n": "desc"}], "size": 2}""").collect()
+    assert(sh.map(_.getLong(0)).toSeq == Seq(4L, 3L))
+    val shb = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source"},
+       "aggs": {"page": {"bucket_sort":
+         {"sort": [{"_count": "asc"}], "size": 1}}}}},
+      "size": 0}""").collect()
+    assert(shb.head.getAs[String]("source") == "src1")
+    val shh = q("""{"query": {"match_all": {}}, "aggs":
+      {"s": {"terms": {"field": "source", "size": 2},
+       "aggs": {"top": {"top_hits": {"size": 1,
+         "sort": [{"n": "desc"}]}}}}}, "size": 0}""").collect()
+    // src3's best hit by n desc is doc 4 (n=40), not doc 1
+    assert(shh.find(_.getAs[String]("source") == "src3")
+      .get.getAs[Long]("n") == 40L)
+    // a bad order value and unknown entry knobs reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "sort": [{"n": "descc"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "sort": [{"n": {"order": "desc", "missing": "_last"}}]}""")
     }
   }
 
