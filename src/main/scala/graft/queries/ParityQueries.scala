@@ -1310,6 +1310,31 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // date_histogram offset (round 10): day buckets shifted to 06:00
+    // boundaries — ES's day-boundary knob; exact long arithmetic.
+    "q7_esdsl_offset_histogram" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d", "offset": "+6h"},
+          |   "aggs": {"peak": {"max": {"field": "value"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
+    // numeric histogram offset (round 10): price buckets anchored at
+    // 25000 + k*50000 — floor((x − o)/iv)·iv + o, each step one IEEE
+    // op, mirrored.
+    "q7_esdsl_offset_price" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"price": {"histogram":
+          |   {"field": "o_totalprice", "interval": 50000,
+          |    "offset": 25000}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3656,6 +3681,18 @@ object ParityQueries {
        "FROM b) " +
        "SELECT source, doc_count, chars, per_doc FROM p " +
        "WHERE per_doc >= 300 ORDER BY per_doc DESC, source LIMIT 5"),
+
+    // offset bucketing: keys on the shifted grid, arithmetic mirrored
+    "q7_esdsl_offset_histogram" ->
+      ("SELECT ((epoch_ms(ts) - 21600000) // 86400000) * 86400000 " +
+       "+ 21600000 AS key, count(*) AS doc_count, " +
+       "max(value) AS peak FROM events WHERE ts IS NOT NULL " +
+       "GROUP BY 1 ORDER BY key"),
+
+    "q7_esdsl_offset_price" ->
+      ("SELECT floor((o_totalprice - 25000) / 50000) * 50000 + 25000 " +
+       "AS key, count(*) AS doc_count FROM orders " +
+       "WHERE o_totalprice IS NOT NULL GROUP BY 1 ORDER BY key"),
 
     // rare_terms: HAVING count <= 1, rare-first order
     "q7_esdsl_rare_terms" ->

@@ -2974,9 +2974,9 @@ object EsDsl {
     "composite" -> Set("size", "sources", "after"),
     "date_histogram" -> Set("field", "fixed_interval",
       "calendar_interval", "min_doc_count", "extended_bounds",
-      "time_zone"),
+      "time_zone", "offset"),
     "histogram" -> Set("field", "interval", "min_doc_count",
-      "extended_bounds"),
+      "extended_bounds", "offset"),
     "range" -> Set("field", "ranges"),
     "date_range" -> Set("field", "ranges"),
     "filters" -> Set("filters"),
@@ -3978,6 +3978,22 @@ object EsDsl {
             bad(s"malformed time_zone '$tz'")
         }
         val ms = s"unix_millis(cast(`$f` as timestamp))"
+        // "offset": shifts every bucket boundary by a signed fixed
+        // duration ("+3h" / "-30m") — keys land on offset + k·interval,
+        // ES's day-boundary-shifting knob. Exact long arithmetic
+        // (pmod handles the negative side); calendar intervals reject
+        // (ES's calendar offset shifts zone-local boundaries this
+        // engine's date_trunc bucketing cannot mimic).
+        val offsetMs: Long = Option(h.get("offset")).map(_.asText)
+          .map { o =>
+            if (calendar.nonEmpty)
+              bad("offset with calendar_interval is not supported")
+            val (sign, mag) =
+              if (o.startsWith("-")) (-1L, o.substring(1))
+              else if (o.startsWith("+")) (1L, o.substring(1))
+              else (1L, o)
+            sign * fixedIntervalMs(mag)
+          }.getOrElse(0L)
         // (bucket key column, key-sequence generator for min_doc_count
         // 0 gap filling — lo/hi epoch-millis bounds → every aligned
         // bucket key in [lo, hi])
@@ -3985,13 +4001,13 @@ object EsDsl {
           fixed match {
             case Some(ivSpec) =>
               val intervalMs = fixedIntervalMs(ivSpec)
-              (expr(s"$ms - pmod($ms, ${intervalMs}L)"),
+              (expr(s"$ms - pmod($ms - (${offsetMs}L), ${intervalMs}L)"),
                (lo0: Column, hi0: Column) => {
-                 // align extended bounds down to bucket starts, then
-                 // ES's search.max_buckets guard: gap filling must not
-                 // materialize an unbounded key range
-                 val lo = lo0 - pmod(lo0, lit(intervalMs))
-                 val hi = hi0 - pmod(hi0, lit(intervalMs))
+                 // align extended bounds down to bucket starts (on the
+                 // offset grid), then ES's search.max_buckets guard:
+                 // gap filling must not materialize an unbounded range
+                 val lo = lo0 - pmod(lo0 - offsetMs, lit(intervalMs))
+                 val hi = hi0 - pmod(hi0 - offsetMs, lit(intervalMs))
                  when((hi - lo) / intervalMs > 65536,
                    raise_error(lit("too many date_histogram buckets " +
                      "(search.max_buckets 65536)")).cast("array<long>"))
@@ -4068,7 +4084,12 @@ object EsDsl {
         val interval = Option(h.get("interval")).map(_.asDouble)
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
-        val keySeq = (lo0: Column, hi0: Column) => {
+        // "offset": shifts bucket boundaries — key = floor((x − o)/iv)
+        // · iv + o, ES's histogram offset knob
+        val off = Option(h.get("offset")).map(_.asDouble).getOrElse(0.0)
+        val keySeq = (lo00: Column, hi00: Column) => {
+          val lo0 = lo00 - off
+          val hi0 = hi00 - off
           // the bounds reaching here are BUCKET KEYS (idx·interval —
           // data keys by construction, extended bounds pre-aligned
           // through the same group-key expression below), so the
@@ -4082,18 +4103,20 @@ object EsDsl {
             raise_error(lit("too many histogram buckets " +
               "(search.max_buckets 65536)")).cast("array<bigint>"))
             .otherwise(sequence(loIdx, hiIdx))
-          transform(s0, i => i.cast("double") * interval)
+          transform(s0, i => i.cast("double") * interval + off)
         }
         applyPipelines(
           gapFill(
             df.filter(col(f).isNotNull)
-              .groupBy((floor(col(f) / interval) * interval).as("key"))
+              .groupBy((floor((col(f) - off) / interval) * interval
+                + off).as("key"))
               .agg(count(lit(1)).as("doc_count"),
                 metricSubsNonPipeline(spec): _*),
             h, keySeq,
             // extended bounds are raw VALUES — align them to bucket
             // keys with the exact group-key expression
-            align = v => floor(v / interval) * interval), spec)
+            align = v => floor((v - off) / interval) * interval + off),
+          spec)
       case "multi_terms" =>
         // ES multi_terms: terms buckets over a COMPOSITE key — one
         // hash aggregation on all key fields, top-size by doc_count

@@ -168,10 +168,25 @@ class EsDslSpec extends SparkSpec {
     assert(buckets == Map(nyDayStartMs("2024-03-09") -> 1L,
       nyDayStartMs("2024-03-10") -> 2L), s"tz buckets: $buckets")
     // result-changing knobs the engine does not model reject by name
+    // (offset is SUPPORTED since round 10 — `format` still rewrites
+    // keys this flat projection does not model)
     intercept[IllegalArgumentException] {
       EsDsl.search(evs, mapper.readTree(
         """{"query": {"match_all": {}}, "aggs": {"d": {"date_histogram":
           |  {"field": "ts", "fixed_interval": "1d",
+          |   "format": "yyyy-MM-dd"}}}, "size": 0}""".stripMargin))
+    }
+    // offset buckets on the shifted grid; calendar offset rejects
+    val offs = EsDsl.search(evs, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs": {"d": {"date_histogram":
+        |  {"field": "ts", "fixed_interval": "1d",
+        |   "offset": "+6h"}}}, "size": 0}""".stripMargin)).collect()
+    assert(offs.forall(r =>
+      Math.floorMod(r.getLong(0), 86400000L) == 21600000L))
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"d": {"date_histogram":
+          |  {"field": "ts", "calendar_interval": "day",
           |   "offset": "+6h"}}}, "size": 0}""".stripMargin))
     }
     intercept[IllegalArgumentException] { // script metrics
