@@ -230,4 +230,32 @@ class EsDslPlanCheckSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"rescore window is not a TakeOrdered:\n${plan.take(2000)}")
   }
+
+  test("span family and script_score are pure single-scan " +
+    "projections: one corpus leaf, no join, page is TakeOrdered") {
+    Seq("q7_esdsl_span_near", "q7_esdsl_span_unordered",
+        "q7_esdsl_span_not", "q7_esdsl_span_first",
+        "q7_esdsl_intervals", "q7_esdsl_script_score",
+        "q7_esdsl_post_filter").foreach { qn =>
+      val df = queries.ParityQueries.queries(qn)(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(scans == 1, s"$qn scanned the corpus $scans times")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"$qn joined:\n${plan.take(2000)}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$qn page is not a TakeOrdered:\n${plan.take(2000)}")
+    }
+  }
+
+  test("terms-level pipelines post-process the size-bounded bucket " +
+    "cut — the corpus is aggregated once") {
+    val df = queries.ParityQueries.queries("q7_esdsl_terms_having")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"terms_having scanned the corpus $scans times")
+  }
 }
