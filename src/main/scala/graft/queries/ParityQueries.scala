@@ -1335,6 +1335,36 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // filters other_bucket (round 10): the catch-all bucket — docs
+    // matching NO named filter, riding the same single conditional
+    // pass, custom key honored.
+    "q7_esdsl_filters_other" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"kinds": {"filters": {
+          |   "filters": {
+          |     "short_docs": {"range": {"n_chars": {"lt": 200}}},
+          |     "src3": {"term": {"source": "src3"}}},
+          |   "other_bucket_key": "rest"},
+          |   "aggs": {"min_len": {"min": {"field": "n_chars"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // significant_terms background_filter (round 10): sources
+    // over-represented among 'dup' docs vs the ENGLISH background
+    // only — ES's narrowed-context knob; same one-pass conditional
+    // JLH, bg-absent terms dropped like ES.
+    "q7_esdsl_sig_background" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:dup"}},
+          | "aggs": {"sig_src": {"significant_terms":
+          |   {"field": "source", "size": 10,
+          |    "background_filter": {"term": {"lang": "en"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3693,6 +3723,44 @@ object ParityQueries {
       ("SELECT floor((o_totalprice - 25000) / 50000) * 50000 + 25000 " +
        "AS key, count(*) AS doc_count FROM orders " +
        "WHERE o_totalprice IS NOT NULL GROUP BY 1 ORDER BY key"),
+
+    // filters other_bucket: the none-matched catch-all in the same
+    // conditional pass
+    "q7_esdsl_filters_other" ->
+      ("SELECT 'short_docs' AS key, " +
+       "count(CASE WHEN n_chars < 200 THEN 1 END) AS doc_count, " +
+       "min(CASE WHEN n_chars < 200 THEN n_chars END) AS min_len " +
+       "FROM documents " +
+       "UNION ALL SELECT 'src3', " +
+       "count(CASE WHEN source = 'src3' THEN 1 END), " +
+       "min(CASE WHEN source = 'src3' THEN n_chars END) " +
+       "FROM documents " +
+       "UNION ALL SELECT 'rest', " +
+       "count(CASE WHEN NOT (coalesce(n_chars < 200, false) OR " +
+         "coalesce(source = 'src3', false)) THEN 1 END), " +
+       "min(CASE WHEN NOT (coalesce(n_chars < 200, false) OR " +
+         "coalesce(source = 'src3', false)) THEN n_chars END) " +
+       "FROM documents"),
+
+    // significant_terms with a narrowed background: bg counts and the
+    // bg total conditional on the filter, bg-absent terms dropped
+    "q7_esdsl_sig_background" -> {
+      val wc = substrCountSql(s"(${tokenNormSql("text")})", " dup ")
+      s"WITH fg AS (SELECT source AS key, count(*) AS doc_count " +
+        s"FROM documents WHERE $wc > 0 AND source IS NOT NULL " +
+        "GROUP BY 1), " +
+      "bg AS (SELECT source AS key, count(*) AS bg_count " +
+        "FROM documents WHERE lang = 'en' AND source IS NOT NULL " +
+        "GROUP BY 1), " +
+      s"ft AS (SELECT count(*) AS fgt FROM documents WHERE $wc > 0), " +
+      "bt AS (SELECT count(*) AS bgt FROM documents " +
+        "WHERE lang = 'en') " +
+      "SELECT * FROM (SELECT key, doc_count, bg_count, " +
+        "(doc_count/fgt - bg_count/bgt) * " +
+        "((doc_count/fgt) / (bg_count/bgt)) AS score " +
+        "FROM fg JOIN bg USING (key) CROSS JOIN ft CROSS JOIN bt) " +
+      "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"
+    },
 
     // rare_terms: HAVING count <= 1, rare-first order
     "q7_esdsl_rare_terms" ->

@@ -2762,13 +2762,19 @@ object EsDsl {
     * desc. The operation order is one IEEE op per step — mirrored
     * verbatim by the DuckDB oracles. */
   private def jlhSignificance(counts: DataFrame, base: DataFrame,
-                              pred: Column, size0: Int): DataFrame = {
+                              pred: Column, size0: Int,
+                              bgPred: Option[Column] = None): DataFrame = {
     val totals = base.agg(
       count(when(pred, lit(1))).as("__fg_total"),
-      count(lit(1)).as("__bg_total"))
+      bgPred.map(p => count(when(p, lit(1))))
+        .getOrElse(count(lit(1))).as("__bg_total"))
     val fgp = col("doc_count") / col("__fg_total")
     val bgp = col("bg_count") / col("__bg_total")
     counts
+      // under a background_filter a foreground term can be absent
+      // from the background — ES drops it (no significance without a
+      // background frequency); without the filter bg >= fg always
+      .filter(col("bg_count") > 0)
       .crossJoin(broadcast(totals))
       .withColumn("score", (fgp - bgp) * (fgp / bgp))
       .filter(col("score") > 0)
@@ -2979,11 +2985,11 @@ object EsDsl {
       "extended_bounds", "offset"),
     "range" -> Set("field", "ranges"),
     "date_range" -> Set("field", "ranges"),
-    "filters" -> Set("filters"),
+    "filters" -> Set("filters", "other_bucket", "other_bucket_key"),
     "missing" -> Set("field"),
     "adjacency_matrix" -> Set("filters"),
     "nested" -> Set("path"),
-    "significant_terms" -> Set("field", "size"),
+    "significant_terms" -> Set("field", "size", "background_filter"),
     "significant_text" -> Set("field", "size"),
     "rare_terms" -> Set("field", "max_doc_count"),
     "top_metrics" -> Set("metrics", "sort", "size"),
@@ -3939,7 +3945,23 @@ object EsDsl {
         if (names.isEmpty) bad("filters agg needs at least one filter")
         val conds = ctx.inFilter { names.map(n =>
           coalesce(clause(fs.get(n), ctx).pred, lit(false))) }
-        enumeratedBuckets(names, conds, spec)
+        // other_bucket: ES's catch-all — docs matching NO named
+        // filter land in one more bucket (key "_other_" or
+        // other_bucket_key), riding the same single conditional pass
+        val otherKey = Option(h.get("other_bucket_key")).map(_.asText)
+        val withOther = otherKey.isDefined ||
+          Option(h.get("other_bucket")).exists(_.asBoolean)
+        if (otherKey.isDefined &&
+            Option(h.get("other_bucket")).exists(!_.asBoolean))
+          bad("other_bucket_key with other_bucket false is " +
+            "contradictory")
+        if (withOther) {
+          val ok = otherKey.getOrElse("_other_")
+          if (names.contains(ok))
+            bad(s"other bucket key '$ok' collides with a named filter")
+          enumeratedBuckets(names :+ ok,
+            conds :+ !conds.reduce(_ || _), spec)
+        } else enumeratedBuckets(names, conds, spec)
 
       case "date_histogram" =>
         // ES date_histogram over a timestamp column; bucket `key` is
@@ -4220,15 +4242,23 @@ object EsDsl {
         val size0 = Option(t.get("size")).map(_.asInt).getOrElse(10)
         if (size0 <= 0 || size0 > 1000)
           bad("significant_terms size must be 1..1000")
+        // background_filter: ES's narrowed-context knob — the
+        // background set becomes the docs matching the filter (fg
+        // stays the query's match set); filter context, riding the
+        // SAME conditional pass
+        val bgPred: Option[Column] = Option(t.get("background_filter"))
+          .map(bf => coalesce(ctx.inFilter { clause(bf, ctx) }.pred,
+            lit(false)))
         // ONE pass: the whole corpus grouped by term with the match
         // predicate as a conditional count — fg and bg from the same
         // scan (the previous fg-frame/bg-frame join was four scans)
         val counts = base.filter(col(f).isNotNull)
           .groupBy(col(f).as("key"))
           .agg(count(when(pred, lit(1))).as("doc_count"),
-            count(lit(1)).as("bg_count"))
+            bgPred.map(p => count(when(p, lit(1))))
+              .getOrElse(count(lit(1))).as("bg_count"))
           .filter(col("doc_count") > 0)
-        jlhSignificance(counts, base, pred, size0)
+        jlhSignificance(counts, base, pred, size0, bgPred)
 
       case "significant_text" =>
         // ES significant_text: the free-text variant — TOKENS of an

@@ -1607,6 +1607,29 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("filters other_bucket: the none-matched catch-all; knob " +
+    "contradictions and key collisions reject") {
+    val r = q("""{"query": {"match_all": {}}, "aggs":
+      {"k": {"filters": {"filters": {
+        "win": {"query_string": {"query": "text:window"}}},
+        "other_bucket": true}}},
+      "size": 0}""").collect()
+    // windows: docs 1, 2, 4; other: doc 3
+    assert(r.map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      Map("win" -> 3L, "_other_" -> 1L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"k": {"filters": {"filters": {"a": {"match_all": {}}},
+          "other_bucket": false, "other_bucket_key": "x"}}},
+        "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs":
+        {"k": {"filters": {"filters": {"a": {"match_all": {}}},
+          "other_bucket_key": "a"}}}, "size": 0}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
