@@ -1475,6 +1475,55 @@ object EsDsl {
     catch { case e: BucketScript.ScriptError => bad(e.msg) }
   }
 
+  /** A geo point literal — the `{"lat": .., "lon": ..}` object or the
+    * `"lat,lon"` string shorthand; bounds-checked like ES. */
+  private def geoPoint(node: JsonNode, kind: String): (Double, Double) = {
+    val (lat, lon) =
+      if (node == null) bad(s"$kind needs a point")
+      else if (node.isTextual) {
+        val parts = node.asText.split(",").map(_.trim)
+        if (parts.length != 2) bad(s"$kind point must be \"lat,lon\"")
+        try (parts(0).toDouble, parts(1).toDouble)
+        catch { case _: NumberFormatException =>
+          bad(s"$kind point must be \"lat,lon\"") }
+      } else if (node.isObject) {
+        (Option(node.get("lat")).filter(_.isNumber).map(_.asDouble)
+          .getOrElse(bad(s"$kind point needs numeric \"lat\"")),
+         Option(node.get("lon")).filter(_.isNumber).map(_.asDouble)
+          .getOrElse(bad(s"$kind point needs numeric \"lon\"")))
+      } else bad(s"$kind point must be an object or \"lat,lon\"")
+    if (lat < -90 || lat > 90) bad(s"$kind lat must be in [-90, 90]")
+    if (lon < -180 || lon > 180)
+      bad(s"$kind lon must be in [-180, 180]")
+    (lat, lon)
+  }
+
+  /** ES distance grammar ("200km", "5mi", "750m") → meters. */
+  private def geoDistanceMeters(spec: String): Double = {
+    val m = "([0-9]+(?:\\.[0-9]+)?)(m|km|mi)".r
+    spec.trim match {
+      case m(v, "m")  => v.toDouble
+      case m(v, "km") => v.toDouble * 1000.0
+      case m(v, "mi") => v.toDouble * 1609.344
+      case other => bad(s"malformed distance '$other' (m/km/mi)")
+    }
+  }
+
+  /** Haversine great-circle distance in meters over a mean-radius
+    * sphere (6371 km — the arc distance ES's default distance_type
+    * computes). Codegen'd trigonometry, no UDF. */
+  private def haversineMeters(lat1: Column, lon1: Column,
+                              lat2: Double, lon2: Double): Column = {
+    val r = 6371000.0
+    val phi1 = radians(lat1)
+    val phi2 = math.toRadians(lat2)
+    val dPhi = radians(lit(lat2) - lat1)
+    val dLam = radians(lit(lon2) - lon1)
+    val a = sin(dPhi / 2) * sin(dPhi / 2) +
+      cos(phi1) * lit(math.cos(phi2)) * sin(dLam / 2) * sin(dLam / 2)
+    lit(2 * r) * asin(sqrt(a))
+  }
+
   /** The lowercased term of a span_term body (short `{"f": "v"}` or
     * object `{"f": {"value": "v"}}` form). */
   private def spanTermValue(kind: String, spec: JsonNode): String = {
@@ -2073,6 +2122,64 @@ object EsDsl {
       val pred = compileScoreScript(b.get("script"), Map.empty)
         .cast("boolean")
       boosted(Clause(coalesce(pred, lit(false)), lit(1.0)), scBoost)
+
+    // ── geo family. A geo_point field here is a STRUCT column with
+    // `lat`/`lon` DOUBLE sub-fields (the relational projection of
+    // ES's geo_point; reference mappings would land here as
+    // {"type": "geo_point"} → struct<lat,lon>). Filter context like
+    // ES: constant score, no distance frame. ──
+    case ("geo_distance", b) =>
+      // {"geo_distance": {"distance": "200km", "<field>": {"lat":..,
+      //  "lon":..}}} — haversine radius filter; "distance" grammar
+      // accepts m/km/mi suffixes (ES's common units; others reject)
+      val keys = keysOf(b).filterNot(Set("distance", "boost",
+        "distance_type", "validation_method", "_name"))
+      if (keys.size != 1)
+        bad("geo_distance needs exactly one point field beside " +
+          "\"distance\"")
+      Option(b.get("distance_type")).map(_.asText).foreach {
+        case "arc"  => () // haversine IS the arc distance
+        case other  => bad(s"unsupported distance_type '$other' " +
+          "(only the default 'arc')")
+      }
+      val f = keys.head
+      val (qLat, qLon) = geoPoint(b.get(f), "geo_distance")
+      val meters = Option(b.get("distance")).map(_.asText)
+        .map(geoDistanceMeters)
+        .getOrElse(bad("geo_distance needs \"distance\""))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      val pred = haversineMeters(col(s"$f.lat"), col(s"$f.lon"),
+        qLat, qLon) <= meters
+      boosted(Clause(coalesce(pred, lit(false)), lit(1.0)), boost)
+
+    case ("geo_bounding_box", b) =>
+      // {"geo_bounding_box": {"<field>": {"top_left": {...},
+      //  "bottom_right": {...}}}} — lat between the corners, lon
+      // range with DATE-LINE WRAP (left > right → the box spans 180°:
+      // lon >= left OR lon <= right), ES's semantics
+      val keys = keysOf(b).filterNot(Set("boost",
+        "validation_method", "_name"))
+      if (keys.size != 1)
+        bad("geo_bounding_box needs exactly one point field")
+      val f = keys.head
+      val box = b.get(f)
+      val (tlLat, tlLon) = geoPoint(Option(box.get("top_left"))
+        .getOrElse(bad("geo_bounding_box needs \"top_left\"")),
+        "geo_bounding_box")
+      val (brLat, brLon) = geoPoint(Option(box.get("bottom_right"))
+        .getOrElse(bad("geo_bounding_box needs \"bottom_right\"")),
+        "geo_bounding_box")
+      if (brLat > tlLat)
+        bad("geo_bounding_box: top_left.lat must be >= " +
+          "bottom_right.lat")
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      val latOk = col(s"$f.lat") <= tlLat && col(s"$f.lat") >= brLat
+      val lonOk =
+        if (tlLon <= brLon)
+          col(s"$f.lon") >= tlLon && col(s"$f.lon") <= brLon
+        else col(s"$f.lon") >= tlLon || col(s"$f.lon") <= brLon
+      boosted(Clause(coalesce(latOk && lonOk, lit(false)), lit(1.0)),
+        boost)
 
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST

@@ -1630,6 +1630,64 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("geo family: haversine radius filter and bounding box with " +
+    "date-line wrap over struct<lat,lon> points") {
+    import org.apache.spark.sql.functions.{struct => fstruct, col => fcol}
+    // Paris (48.8566, 2.3522), London (51.5074, -0.1278),
+    // Auckland (-36.85, 174.76), Suva (-18.14, 178.44),
+    // Papeete (-17.53, -149.57) — the last two straddle 180°
+    val places = Seq(
+      (1L, "paris", 48.8566, 2.3522),
+      (2L, "london", 51.5074, -0.1278),
+      (3L, "auckland", -36.85, 174.76),
+      (4L, "suva", -18.14, 178.44),
+      (5L, "papeete", -17.53, -149.57)
+    ).toDF("id", "name", "_lat", "_lon")
+      .select(fcol("id"), fcol("name"),
+        fstruct(fcol("_lat").as("lat"), fcol("_lon").as("lon"))
+          .as("location"))
+    def g(json: String) =
+      EsDsl.search(places, mapper.readTree(json)).collect()
+    // Paris→London ≈ 344 km: 400km catches both, 200km only Paris
+    val near = g("""{"query": {"geo_distance": {"distance": "400km",
+      "location": {"lat": 48.8566, "lon": 2.3522}}}, "size": 10}""")
+    assert(near.map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+    val tight = g("""{"query": {"geo_distance": {"distance": "200km",
+      "location": "48.8566,2.3522"}}, "size": 10}""")
+    assert(tight.map(_.getLong(0)).toSeq == Seq(1L))
+    // bounding box around western Europe
+    val eu = g("""{"query": {"geo_bounding_box": {"location": {
+      "top_left": {"lat": 55, "lon": -5},
+      "bottom_right": {"lat": 45, "lon": 10}}}}, "size": 10}""")
+    assert(eu.map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+    // date-line wrap: left 170 > right -140 spans 180° — Auckland,
+    // Suva AND Papeete are inside, Europe is not
+    val pacific = g("""{"query": {"geo_bounding_box": {"location": {
+      "top_left": {"lat": 0, "lon": 170},
+      "bottom_right": {"lat": -50, "lon": -140}}}}, "size": 10}""")
+    assert(pacific.map(_.getLong(0)).toSeq.sorted == Seq(3L, 4L, 5L))
+    // validation: bad unit, out-of-range lat, inverted box, two point
+    // fields
+    intercept[IllegalArgumentException] {
+      g("""{"query": {"geo_distance": {"distance": "3parsec",
+        "location": {"lat": 0, "lon": 0}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      g("""{"query": {"geo_distance": {"distance": "1km",
+        "location": {"lat": 91, "lon": 0}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      g("""{"query": {"geo_bounding_box": {"location": {
+        "top_left": {"lat": -50, "lon": 0},
+        "bottom_right": {"lat": 50, "lon": 10}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      g("""{"query": {"geo_distance": {"distance": "1km",
+        "location": {"lat": 0, "lon": 0},
+        "other": {"lat": 0, "lon": 0}}}}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
