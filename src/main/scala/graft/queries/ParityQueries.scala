@@ -3712,10 +3712,13 @@ object ParityQueries {
        "SELECT source, doc_count, chars, per_doc FROM p " +
        "WHERE per_doc >= 300 ORDER BY per_doc DESC, source LIMIT 5"),
 
-    // offset bucketing: keys on the shifted grid, arithmetic mirrored
+    // offset bucketing: keys on the shifted grid. FLOOR-mod form —
+    // DuckDB's // truncates toward zero, which would diverge from the
+    // engine's pmod (floor semantics) for pre-1970T06:00Z timestamps
     "q7_esdsl_offset_histogram" ->
-      ("SELECT ((epoch_ms(ts) - 21600000) // 86400000) * 86400000 " +
-       "+ 21600000 AS key, count(*) AS doc_count, " +
+      ("SELECT (epoch_ms(ts) - 21600000) - " +
+       "(((epoch_ms(ts) - 21600000) % 86400000) + 86400000) " +
+       "% 86400000 + 21600000 AS key, count(*) AS doc_count, " +
        "max(value) AS peak FROM events WHERE ts IS NOT NULL " +
        "GROUP BY 1 ORDER BY key"),
 

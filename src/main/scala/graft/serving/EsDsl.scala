@@ -1509,12 +1509,13 @@ object EsDsl {
     }
   }
 
-  /** Haversine great-circle distance in meters over a mean-radius
-    * sphere (6371 km — the arc distance ES's default distance_type
-    * computes). Codegen'd trigonometry, no UDF. */
+  /** Haversine great-circle distance in meters over the IUGG mean
+    * radius 6371008.7714 m — the constant Lucene's
+    * GeoUtils.EARTH_MEAN_RADIUS_METERS uses, so radii agree with
+    * ES's arc distance_type. Codegen'd trigonometry, no UDF. */
   private def haversineMeters(lat1: Column, lon1: Column,
                               lat2: Double, lon2: Double): Column = {
-    val r = 6371000.0
+    val r = 6371008.7714
     val phi1 = radians(lat1)
     val phi2 = math.toRadians(lat2)
     val dPhi = radians(lit(lat2) - lat1)
@@ -2132,8 +2133,10 @@ object EsDsl {
       // {"geo_distance": {"distance": "200km", "<field>": {"lat":..,
       //  "lon":..}}} — haversine radius filter; "distance" grammar
       // accepts m/km/mi suffixes (ES's common units; others reject)
+      // validation_method CHANGES the match set (coercion rules) —
+      // absent from the allowed set, so it rejects by name below
       val keys = keysOf(b).filterNot(Set("distance", "boost",
-        "distance_type", "validation_method", "_name"))
+        "distance_type", "_name"))
       if (keys.size != 1)
         bad("geo_distance needs exactly one point field beside " +
           "\"distance\"")
@@ -2157,12 +2160,20 @@ object EsDsl {
       //  "bottom_right": {...}}}} — lat between the corners, lon
       // range with DATE-LINE WRAP (left > right → the box spans 180°:
       // lon >= left OR lon <= right), ES's semantics
-      val keys = keysOf(b).filterNot(Set("boost",
-        "validation_method", "_name"))
+      val keys = keysOf(b).filterNot(Set("boost", "_name"))
       if (keys.size != 1)
         bad("geo_bounding_box needs exactly one point field")
       val f = keys.head
       val box = b.get(f)
+      // alternative corner specs (top_right/bottom_left, wkt) and
+      // typos must not be silently dropped
+      val unknownCorners = keysOf(box)
+        .filterNot(Set("top_left", "bottom_right"))
+      if (unknownCorners.nonEmpty)
+        bad(s"unsupported geo_bounding_box corner key" +
+          s"${if (unknownCorners.size == 1) "" else "s"}: " +
+          unknownCorners.mkString(", ") +
+          " (top_left + bottom_right compose)")
       val (tlLat, tlLon) = geoPoint(Option(box.get("top_left"))
         .getOrElse(bad("geo_bounding_box needs \"top_left\"")),
         "geo_bounding_box")
@@ -4214,8 +4225,13 @@ object EsDsl {
           .getOrElse(bad("histogram agg needs \"interval\""))
         if (interval <= 0) bad("histogram interval must be positive")
         // "offset": shifts bucket boundaries — key = floor((x − o)/iv)
-        // · iv + o, ES's histogram offset knob
-        val off = Option(h.get("offset")).map(_.asDouble).getOrElse(0.0)
+        // · iv + o, ES's histogram offset knob. Jackson's asDouble
+        // coerces garbage to 0.0 — a silently dropped knob; validate
+        // the node type first
+        val off = Option(h.get("offset")).map { n =>
+          if (!n.isNumber) bad("histogram offset must be numeric")
+          n.asDouble
+        }.getOrElse(0.0)
         val keySeq = (lo00: Column, hi00: Column) => {
           val lo0 = lo00 - off
           val hi0 = hi00 - off
