@@ -1365,6 +1365,23 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // linear decay function_score (round 10): score decays with
+    // distance from a price origin — ES's proximity booster. Pure
+    // IEEE arithmetic (no exp/ln in the hot path), op order mirrored;
+    // the transcendental tiers (gauss/exp) are spec-gated like the
+    // other libm-dependent families.
+    "q7_esdsl_decay" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"function_score": {
+          |  "query": {"match_all": {}},
+          |  "functions": [{"linear": {"o_totalprice":
+          |    {"origin": 100000, "scale": 50000, "offset": 10000,
+          |     "decay": 0.5}}}],
+          |  "boost_mode": "replace"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // query_string (round 9): the STRICT full Lucene classic syntax —
     // field scoping, classic AND occur resolution (the leading clause
     // is retroactively promoted to MUST by the following AND), a
@@ -3764,6 +3781,17 @@ object ParityQueries {
         "FROM fg JOIN bg USING (key) CROSS JOIN ft CROSS JOIN bt) " +
       "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"
     },
+
+    // linear decay: dist = max(|x − origin| − offset, 0); score =
+    // max((s − dist)/s, 0) with s = scale/(1 − decay) = 100000 — each
+    // step one IEEE op, mirrored
+    "q7_esdsl_decay" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority, " +
+       "greatest((100000.0 - greatest(abs(o_totalprice - 100000.0) " +
+       "- 10000.0, 0.0)) / 100000.0, 0.0) AS \"_score\" " +
+       "FROM orders " +
+       "ORDER BY \"_score\" DESC, o_orderkey LIMIT 100"),
 
     // rare_terms: HAVING count <= 1, rare-first order
     "q7_esdsl_rare_terms" ->

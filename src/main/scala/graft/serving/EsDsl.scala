@@ -1655,6 +1655,27 @@ object EsDsl {
         else 1.0
       Clause(lit(true), lit(boost))
 
+    case ("wrapper", b) =>
+      // ES wrapper: a base64-encoded JSON query, decoded and compiled
+      // like any inline clause — the escape hatch SDKs use to embed
+      // raw queries. Malformed base64/JSON is the caller's error.
+      val wBoost = clauseBoost("wrapper", b, Set("query"))
+      val q64 = Option(b.get("query")).map(_.asText)
+        .getOrElse(bad("wrapper needs \"query\""))
+      val json =
+        try new String(java.util.Base64.getDecoder.decode(q64),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: IllegalArgumentException =>
+          bad("wrapper query is not valid base64") }
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(json)
+        catch { case _: com.fasterxml.jackson.core.JacksonException =>
+          bad("wrapper query does not decode to JSON") }
+      if (node == null || !node.isObject)
+        bad("wrapper query must decode to a JSON object")
+      boosted(clause(node, ctx), wBoost)
+
     case ("match_none", b) =>
       // ES match_none: the empty match set
       if (b != null && b.isObject && b.fieldNames().hasNext)
@@ -2079,8 +2100,82 @@ object EsDsl {
             (0 until ivs.size).map(i => ruleCount(ivs.get(i)))
               .reduce(_ + _)
           case "all_of" =>
-            bad("intervals all_of (nested interval algebra) is not " +
-              "supported — compose ordered `match` rules instead")
+            // all_of over SINGLE-TOKEN sub-intervals (`match` of one
+            // term, or `any_of` of such matches) reduces to the span
+            // slot matcher — the composable subset real all_of bodies
+            // use (ordered sequences with per-position alternatives).
+            // Wider sub-intervals (multi-token matches, nested
+            // all_of) reject by name.
+            val unknown = keysOf(body)
+              .filterNot(Set("intervals", "max_gaps", "ordered"))
+            if (unknown.nonEmpty)
+              bad(s"unsupported intervals all_of key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
+            val ivs = Option(body.get("intervals")).filter(_.isArray)
+              .filter(_.size > 0)
+              .getOrElse(bad("all_of needs a non-empty " +
+                "\"intervals\" array"))
+            def singleToken(mb: JsonNode): String = {
+              val u2 = keysOf(mb).filterNot(Set("query"))
+              if (u2.nonEmpty)
+                bad("all_of sub-match supports only \"query\": " +
+                  u2.mkString(", "))
+              val ts = Option(mb.get("query")).map(_.asText)
+                .getOrElse(bad("intervals match needs \"query\""))
+                .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+              if (ts.size != 1)
+                bad("all_of sub-intervals must be single tokens " +
+                  "(use one ordered match rule for a sequence)")
+              ts.head
+            }
+            def slotOf(nd: JsonNode): Column => Column =
+              unwrap(nd) match {
+                case ("match", mb) =>
+                  val t = singleToken(mb)
+                  (x: Column) => x === lit(t)
+                case ("any_of", ab) =>
+                  val u2 = keysOf(ab).filterNot(Set("intervals"))
+                  if (u2.nonEmpty)
+                    bad("unsupported intervals any_of key" +
+                      s"${if (u2.size == 1) "" else "s"}: " +
+                      u2.mkString(", "))
+                  val sub0 = Option(ab.get("intervals"))
+                    .filter(_.isArray).filter(_.size > 0)
+                    .getOrElse(bad("any_of needs a non-empty " +
+                      "\"intervals\" array"))
+                  val set = (0 until sub0.size).map { j =>
+                    unwrap(sub0.get(j)) match {
+                      case ("match", mb) => singleToken(mb)
+                      case (other, _) => bad("all_of any_of " +
+                        s"sub-intervals must be matches (got '$other')")
+                    }
+                  }
+                  (x: Column) => x.isInCollection(set)
+                case (other, _) =>
+                  bad(s"unsupported all_of sub-interval '$other'")
+              }
+            val slots = (0 until ivs.size).map(i => slotOf(ivs.get(i)))
+            val maxGaps = Option(body.get("max_gaps")).map(_.asInt)
+              .getOrElse(-1)
+            val ordered = Option(body.get("ordered"))
+              .exists(_.asBoolean)
+            lazy val toks = graft.functions.TextFunctions.tokens(
+              lower(coalesce(col(f), lit(""))))
+            def slotCnt(m: Column => Column): Column =
+              size(filter(toks, x => m(x))).cast("int")
+            if (slots.size == 1) slotCnt(slots.head)
+            else if (ordered)
+              Search.spanNearCount(col(f), slots,
+                if (maxGaps < 0) 1 << 24 else maxGaps)
+            else if (maxGaps < 0) {
+              val counts = slots.map(slotCnt)
+              when(counts.map(_ > 0).reduce(_ && _), counts.head)
+                .otherwise(lit(0))
+            } else if (slots.size == 2)
+              Search.spanPairCount(col(f), slots(0), slots(1), maxGaps)
+            else bad("unordered all_of with max_gaps supports two " +
+              "sub-intervals (ordered composes any number)")
           case other => bad(s"unsupported intervals rule '$other'")
         }
       }
@@ -2634,7 +2729,8 @@ object EsDsl {
       // be silently dropped — the key inventory covers it
       val fsBoost = clauseBoost("function_score", b,
         Set("query", "functions", "field_value_factor", "weight",
-          "score_mode", "boost_mode", "max_boost", "min_score"))
+          "score_mode", "boost_mode", "max_boost", "min_score",
+          "script_score", "gauss", "exp", "linear"))
       // min_score's PREDICATE reads the combined score, so the base
       // query must keep real scoring even in filter context — the one
       // construct that escapes the filter-context suppression
@@ -2644,12 +2740,10 @@ object EsDsl {
           else clause(qn, ctx))
         .getOrElse(Clause(lit(true), lit(1.0)))
       def parseFn(fn: JsonNode): (Column, Column) = {
-        // random_score (nondeterministic) and the decay functions
-        // (gauss/exp/linear) reject by name; script_score functions
-        // compile through the Painless arithmetic subset below
-        for (k <- Seq("random_score", "gauss", "exp",
-            "linear") if fn.hasNonNull(k))
-          bad(s"unsupported function_score function '$k'")
+        // random_score (nondeterministic) rejects by name; the decay
+        // functions and script_score compile below
+        if (fn.hasNonNull("random_score"))
+          bad("unsupported function_score function 'random_score'")
         val applies = Option(fn.get("filter"))
           .map(f => coalesce(ctx.inFilter { clause(f, ctx) }.pred,
             lit(false)))
@@ -2663,6 +2757,83 @@ object EsDsl {
           val v = compileScoreScript(ss.get("script"), Map.empty)
           return (applies,
             weight.map(v * _).getOrElse(v).cast("double"))
+        }
+        // DECAY functions (gauss / exp / linear): deterministic decay
+        // of the score with distance from an origin — ES's recency/
+        // proximity booster. Numeric fields take numeric origin/scale/
+        // offset; a TEXTUAL origin means a timestamp field (ISO
+        // instant; scale/offset in the fixed-duration grammar). "now"
+        // as an origin is nondeterministic and rejects by name. Docs
+        // missing the field score 1.0, like ES.
+        for (dk <- Seq("gauss", "exp", "linear") if fn.hasNonNull(dk)) {
+          if (fn.hasNonNull("field_value_factor"))
+            bad("a function_score function takes one function kind")
+          val body = fn.get(dk)
+          val (f, spec0) = unwrap(body)
+          val unknown = keysOf(spec0)
+            .filterNot(Set("origin", "scale", "offset", "decay"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported $dk key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          val originN = Option(spec0.get("origin"))
+            .getOrElse(bad(s"$dk needs \"origin\""))
+          val scaleN = Option(spec0.get("scale"))
+            .getOrElse(bad(s"$dk needs \"scale\""))
+          val decay = Option(spec0.get("decay")).map(_.asDouble)
+            .getOrElse(0.5)
+          if (decay <= 0 || decay >= 1)
+            bad(s"$dk decay must be in (0, 1)")
+          val (v, origin, scale, offset) =
+            if (originN.isTextual) {
+              val o = originN.asText
+              if (o == "now" || o.startsWith("now"))
+                bad(s"$dk origin 'now' is nondeterministic — pass an " +
+                  "explicit instant")
+              val oMs =
+                try java.time.Instant.parse(o).toEpochMilli
+                catch { case _: java.time.format.DateTimeParseException =>
+                  bad(s"$dk origin must be an ISO instant") }
+              val sMs = fixedIntervalMs(scaleN.asText).toDouble
+              val offMs = Option(spec0.get("offset")).map(n =>
+                fixedIntervalMs(n.asText).toDouble).getOrElse(0.0)
+              (expr(s"unix_millis(cast(`$f` as timestamp))")
+                .cast("double"), oMs.toDouble, sMs, offMs)
+            } else {
+              if (!originN.isNumber) bad(s"$dk origin must be numeric " +
+                "or an ISO instant")
+              if (!scaleN.isNumber) bad(s"$dk numeric scale must be " +
+                "numeric")
+              val offV = Option(spec0.get("offset")).map { n =>
+                if (!n.isNumber) bad(s"$dk numeric offset must be " +
+                  "numeric")
+                n.asDouble
+              }.getOrElse(0.0)
+              (col(f).cast("double"), originN.asDouble,
+                scaleN.asDouble, offV)
+            }
+          if (scale <= 0) bad(s"$dk scale must be positive")
+          if (offset < 0) bad(s"$dk offset must be >= 0")
+          val dist = greatest(abs(v - origin) - offset, lit(0.0))
+          val decayed: Column = dk match {
+            case "linear" =>
+              // s = scale/(1-decay); value = max((s - dist)/s, 0)
+              val s = scale / (1 - decay)
+              greatest((lit(s) - dist) / s, lit(0.0))
+            case "exp" =>
+              // λ = ln(decay)/scale; value = e^(λ·dist)
+              val lambda = math.log(decay) / scale
+              org.apache.spark.sql.functions.exp(dist * lambda)
+            case "gauss" =>
+              // σ² = -scale²/(2·ln(decay)); value = e^(−dist²/(2σ²))
+              val sigma2 = -(scale * scale) / (2 * math.log(decay))
+              org.apache.spark.sql.functions.exp(
+                -(dist * dist) / (2 * sigma2))
+          }
+          // a missing field value decays to 1.0 (ES's contract)
+          val vDecayed = coalesce(decayed, lit(1.0))
+          return (applies,
+            weight.map(vDecayed * _).getOrElse(vDecayed).cast("double"))
         }
         val value: Column = Option(fn.get("field_value_factor")) match {
           case Some(s) =>
@@ -2699,8 +2870,9 @@ object EsDsl {
         Option(b.get("functions")).filter(_.isArray) match {
           case Some(a) => (0 until a.size).map(i => parseFn(a.get(i)))
           case None =>
-            if (b.hasNonNull("field_value_factor") ||
-                b.hasNonNull("weight")) Seq(parseFn(b))
+            if (Seq("field_value_factor", "weight", "script_score",
+                "gauss", "exp", "linear").exists(b.hasNonNull))
+              Seq(parseFn(b))
             else Nil
         }
       val scoreMode = Option(b.get("score_mode")).map(_.asText)

@@ -1688,6 +1688,85 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("decay functions: linear/exp/gauss score decay with distance " +
+    "from an origin; wrapper decodes base64 queries; all_of reduces " +
+    "single-token sequences") {
+    // linear on n: origin 10, scale 15, decay 0.5 -> s = 30;
+    // dist 0,10,20,30 -> 1.0, 2/3, 1/3, 0.0
+    val lin = q("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"linear": {"n":
+        {"origin": 10, "scale": 15, "decay": 0.5}}}],
+      "boost_mode": "replace"}}, "size": 10}""").collect()
+    val byId = lin.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap
+    assert(byId(1L) == 1.0 && math.abs(byId(2L) - 2.0 / 3) < 1e-12 &&
+      math.abs(byId(3L) - 1.0 / 3) < 1e-12 && byId(4L) == 0.0)
+    // exp at the scale point decays to exactly `decay`
+    val ex = q("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"exp": {"n":
+        {"origin": 10, "scale": 10, "decay": 0.25}}}],
+      "boost_mode": "replace"}}, "size": 10}""").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("_score")).toMap
+    assert(ex(1L) == 1.0 && math.abs(ex(2L) - 0.25) < 1e-12 &&
+      math.abs(ex(3L) - 0.0625) < 1e-12)
+    // gauss at the scale point equals decay; offset flattens the top
+    val ga = q("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "functions": [{"gauss": {"n":
+        {"origin": 10, "scale": 10, "offset": 10, "decay": 0.5}}}],
+      "boost_mode": "replace"}}, "size": 10}""").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("_score")).toMap
+    // dist(n=20) = 0 (inside offset) -> 1.0; dist(n=30) = 10 = scale
+    // -> 0.5
+    assert(ga(1L) == 1.0 && ga(2L) == 1.0 &&
+      math.abs(ga(3L) - 0.5) < 1e-12)
+    // shorthand position + weight compose
+    val sh = q("""{"query": {"function_score": {
+      "query": {"match_all": {}},
+      "linear": {"n": {"origin": 10, "scale": 15, "decay": 0.5}},
+      "weight": 3, "boost_mode": "replace"}}, "size": 10}""").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("_score")).toMap
+    assert(sh(1L) == 3.0 && math.abs(sh(2L) - 2.0) < 1e-12)
+    // 'now' origin and bad decay reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"gauss": {"n":
+          {"origin": "now", "scale": "1d"}}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"linear": {"n":
+          {"origin": 0, "scale": 10, "decay": 1}}}]}}}""")
+    }
+    // wrapper: base64 of {"query_string": {"query": "text:window"}}
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"query_string": {"query": "text:window"}}"""
+        .getBytes("UTF-8"))
+    val wr = q(s"""{"query": {"wrapper": {"query": "$b64"}},
+      "size": 10}""").collect()
+    assert(wr.map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"wrapper": {"query": "!!!not-base64!!!"}}}""")
+    }
+    // all_of: batch then (window|run), ordered, adjacent -> docs 1
+    // ("batch run") and 4 ("batch window")
+    val ao = q("""{"query": {"intervals": {"text": {"all_of": {
+      "ordered": true, "max_gaps": 0, "intervals": [
+        {"match": {"query": "batch"}},
+        {"any_of": {"intervals": [{"match": {"query": "window"}},
+                                  {"match": {"query": "run"}}]}}]}}}},
+      "size": 10}""").collect()
+    assert(ao.map(_.getLong(0)).toSeq.sorted == Seq(1L, 4L))
+    // multi-token sub-interval rejects by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "two tokens"}},
+                      {"match": {"query": "x"}}]}}}}}""")
+    }
+  }
+
   test("review regressions: fractional-interval gap fill keeps " +
     "populated buckets; malformed inputs 400, never 500 or silence") {
     // fractional interval: group key floor(0.65/0.1)*0.1 =
