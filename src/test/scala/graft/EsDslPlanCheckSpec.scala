@@ -236,7 +236,7 @@ class EsDslPlanCheckSpec extends SparkSpec {
     Seq("q7_esdsl_span_near", "q7_esdsl_span_unordered",
         "q7_esdsl_span_not", "q7_esdsl_span_first",
         "q7_esdsl_intervals", "q7_esdsl_script_score",
-        "q7_esdsl_post_filter").foreach { qn =>
+        "q7_esdsl_post_filter", "q7_esdsl_decay").foreach { qn =>
       val df = queries.ParityQueries.queries(qn)(
         spark, "/root/testdata/sf0.001")
       df.collect()

@@ -384,6 +384,38 @@ class HttpApiSpec extends SparkSpec
     val scores = "\"_score\":([0-9.]+)".r
       .findAllMatchIn(r.body()).map(_.group(1).toDouble).toSeq
     assert(scores.nonEmpty && scores == scores.sorted.reverse)
+    // round-10 surface serves over HTTP: span proximity, a decay
+    // function, and a terms HAVING pipeline
+    val sp = post("/search/advanced",
+      """{"query": {"span_near": {"clauses": [
+        |   {"span_term": {"text": "the"}},
+        |   {"span_term": {"text": "window"}}],
+        |  "slop": 2, "in_order": true}},
+        | "size": 3, "index": "documents"}""".stripMargin)
+    assert(sp.statusCode() == 200, sp.body().take(300))
+    assert(sp.body().contains("\"_score\""))
+    val dec = post("/search/advanced",
+      """{"query": {"function_score": {
+        |  "query": {"match_all": {}},
+        |  "functions": [{"linear": {"n_chars":
+        |    {"origin": 300, "scale": 200, "decay": 0.5}}}],
+        |  "boost_mode": "replace"}},
+        | "size": 3, "index": "documents"}""".stripMargin)
+    assert(dec.statusCode() == 200, dec.body().take(300))
+    val having = post("/search/advanced",
+      """{"query": {"match_all": {}},
+        | "aggs": {"by_src": {"terms": {"field": "source", "size": 20},
+        |   "aggs": {"keep": {"bucket_selector":
+        |     {"buckets_path": {"c": "_count"},
+        |      "script": "params.c > 0"}}}}},
+        | "size": 0, "index": "documents"}""".stripMargin)
+    assert(having.statusCode() == 200, having.body().take(300))
+    assert(having.body().contains("\"by_src\""))
+    // a typo'd top-level key 400s by name over HTTP
+    val typo = post("/search/advanced",
+      """{"query": {"match_all": {}}, "agg": {}, "index": "documents"}""")
+    assert(typo.statusCode() == 400 && typo.body().contains("agg"),
+      typo.body())
     // query_string serves over HTTP (round 9); its strict syntax
     // errors surface as 400s naming the defect
     val qs = post("/search/advanced",
