@@ -1328,7 +1328,7 @@ object EsDsl {
         def rule(nd: JsonNode): Unit = unwrap(nd) match {
           case ("match", mb) =>
             Option(mb.get("query")).map(_.asText).foreach(addText)
-          case ("any_of", ab) =>
+          case ("any_of" | "all_of", ab) =>
             Option(ab.get("intervals")).filter(_.isArray).foreach(ivs =>
               (0 until ivs.size).foreach(i => rule(ivs.get(i))))
           case _ => ()
@@ -1336,6 +1336,16 @@ object EsDsl {
         rule(spec)
       case ("script_score", b) =>
         Option(b.get("query")).foreach(walk)
+      case ("wrapper", b) =>
+        // best-effort: a malformed wrapper already 400ed at compile
+        // time, so decode failures here cannot happen on served hits
+        Option(b.get("query")).map(_.asText).foreach { q64 =>
+          try walk(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new String(
+              java.util.Base64.getDecoder.decode(q64),
+              java.nio.charset.StandardCharsets.UTF_8)))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       case ("bool", b) =>
         Seq("must", "filter", "should").foreach(k =>
           sub(b, k).foreach(walk)) // must_not terms don't highlight
@@ -1984,10 +1994,16 @@ object EsDsl {
         bad("span_near clauses must target one field " +
           s"(got ${fieldsSeen.mkString(", ")})")
       val f = fieldsSeen.head
-      val slop = Option(b.get("slop")).map(_.asInt).getOrElse(0)
+      val slop = Option(b.get("slop")).map { n =>
+        if (!n.isIntegralNumber) bad("span_near slop must be an integer")
+        n.asInt
+      }.getOrElse(0)
       if (slop < 0) bad("span_near slop must be >= 0")
       // ES default: in_order false
-      val inOrder = Option(b.get("in_order")).exists(_.asBoolean)
+      val inOrder = Option(b.get("in_order")).exists { n =>
+        if (!n.isBoolean) bad("span_near in_order must be boolean")
+        n.asBoolean
+      }
       val cnt =
         if (leaves.size == 1) spanLeafCount(f, leaves.head._2)
         else if (inOrder)
@@ -2050,6 +2066,18 @@ object EsDsl {
       // unordered supports term pairs. `all_of` (nested interval
       // algebra) rejects by name.
       val (f, spec) = unwrap(b)
+      // Jackson's asInt/asBoolean coerce garbage to 0/false — a
+      // silently dropped knob; validate node types first
+      def gapKnob(body: JsonNode): Int =
+        Option(body.get("max_gaps")).map { n =>
+          if (!n.isIntegralNumber) bad("max_gaps must be an integer")
+          n.asInt
+        }.getOrElse(-1) // ES default: unlimited
+      def orderedKnob(body: JsonNode): Boolean =
+        Option(body.get("ordered")).exists { n =>
+          if (!n.isBoolean) bad("ordered must be boolean")
+          n.asBoolean
+        }
       def ruleCount(rule: JsonNode): Column = {
         val (kind, body) = unwrap(rule)
         kind match {
@@ -2065,9 +2093,8 @@ object EsDsl {
             val terms = text.toLowerCase.split("\\s+")
               .filter(_.nonEmpty).toSeq
             if (terms.isEmpty) bad("empty intervals match query")
-            val maxGaps = Option(body.get("max_gaps")).map(_.asInt)
-              .getOrElse(-1) // ES default: unlimited
-            val ordered = Option(body.get("ordered")).exists(_.asBoolean)
+            val maxGaps = gapKnob(body)
+            val ordered = orderedKnob(body)
             val slots: Seq[Column => Column] =
               terms.map(t => (x: Column) => x === lit(t))
             if (terms.size == 1)
@@ -2156,14 +2183,10 @@ object EsDsl {
                   bad(s"unsupported all_of sub-interval '$other'")
               }
             val slots = (0 until ivs.size).map(i => slotOf(ivs.get(i)))
-            val maxGaps = Option(body.get("max_gaps")).map(_.asInt)
-              .getOrElse(-1)
-            val ordered = Option(body.get("ordered"))
-              .exists(_.asBoolean)
-            lazy val toks = graft.functions.TextFunctions.tokens(
-              lower(coalesce(col(f), lit(""))))
+            val maxGaps = gapKnob(body)
+            val ordered = orderedKnob(body)
             def slotCnt(m: Column => Column): Column =
-              size(filter(toks, x => m(x))).cast("int")
+              spanLeafCount(f, m)
             if (slots.size == 1) slotCnt(slots.head)
             else if (ordered)
               Search.spanNearCount(col(f), slots,
@@ -2720,13 +2743,14 @@ object EsDsl {
       // score 1), the combined factor is capped by `max_boost`, then
       // joined with the query score under `boost_mode`
       // (multiply/sum/replace/max/min/avg). `min_score` filters the
-      // final score. random_score/script_score/decay functions are
-      // rejected by name (nondeterministic or script-bearing). The
-      // whole construct stays one codegen'd projection — arrays of
-      // (applies, value) structs folded with `aggregate`, no joins.
-      // a stray random_score/script_score/decay key in the
-      // single-function shorthand position must reject by name, never
-      // be silently dropped — the key inventory covers it
+      // final score. Functions: field_value_factor, filtered weights,
+      // script_score (the Painless arithmetic subset) and the
+      // gauss/exp/linear decay family all compile; random_score
+      // (nondeterministic) rejects by name. The whole construct stays
+      // one codegen'd projection — arrays of (applies, value) structs
+      // folded with `aggregate`, no joins. A body carrying BOTH a
+      // functions array and a shorthand function key rejects (the
+      // shorthand would otherwise be silently dropped).
       val fsBoost = clauseBoost("function_score", b,
         Set("query", "functions", "field_value_factor", "weight",
           "score_mode", "boost_mode", "max_boost", "min_score",
@@ -2741,18 +2765,22 @@ object EsDsl {
         .getOrElse(Clause(lit(true), lit(1.0)))
       def parseFn(fn: JsonNode): (Column, Column) = {
         // random_score (nondeterministic) rejects by name; the decay
-        // functions and script_score compile below
+        // functions and script_score compile below. Exactly ONE
+        // function kind per entry — a second kind would be silently
+        // shadowed by evaluation order otherwise (ES rejects too).
         if (fn.hasNonNull("random_score"))
           bad("unsupported function_score function 'random_score'")
+        val kindsPresent = Seq("script_score", "gauss", "exp",
+          "linear", "field_value_factor").filter(fn.hasNonNull)
+        if (kindsPresent.size > 1)
+          bad("a function_score function takes one function kind, " +
+            s"got: ${kindsPresent.mkString(", ")}")
         val applies = Option(fn.get("filter"))
           .map(f => coalesce(ctx.inFilter { clause(f, ctx) }.pred,
             lit(false)))
           .getOrElse(lit(true))
         val weight = Option(fn.get("weight")).map(_.asDouble)
         Option(fn.get("script_score")).foreach { ss =>
-          if (fn.hasNonNull("field_value_factor"))
-            bad("a function_score function takes script_score OR " +
-              "field_value_factor, not both")
           // functions see doc values only — no _score binding, like ES
           val v = compileScoreScript(ss.get("script"), Map.empty)
           return (applies,
@@ -2766,8 +2794,6 @@ object EsDsl {
         // as an origin is nondeterministic and rejects by name. Docs
         // missing the field score 1.0, like ES.
         for (dk <- Seq("gauss", "exp", "linear") if fn.hasNonNull(dk)) {
-          if (fn.hasNonNull("field_value_factor"))
-            bad("a function_score function takes one function kind")
           val body = fn.get(dk)
           val (f, spec0) = unwrap(body)
           val unknown = keysOf(spec0)
@@ -2866,13 +2892,21 @@ object EsDsl {
         }
         (applies, value.cast("double"))
       }
+      val ShorthandFnKeys = Seq("field_value_factor", "weight",
+        "script_score", "gauss", "exp", "linear")
       val fns: Seq[(Column, Column)] =
         Option(b.get("functions")).filter(_.isArray) match {
-          case Some(a) => (0 until a.size).map(i => parseFn(a.get(i)))
+          case Some(a) =>
+            // a shorthand function key NEXT TO the functions array
+            // would be silently dropped — reject by name
+            val stray = ShorthandFnKeys.filter(b.hasNonNull)
+            if (stray.nonEmpty)
+              bad("function_score takes a functions array OR a " +
+                "single shorthand function, not both (got: " +
+                s"${stray.mkString(", ")} beside functions)")
+            (0 until a.size).map(i => parseFn(a.get(i)))
           case None =>
-            if (Seq("field_value_factor", "weight", "script_score",
-                "gauss", "exp", "linear").exists(b.hasNonNull))
-              Seq(parseFn(b))
+            if (ShorthandFnKeys.exists(b.hasNonNull)) Seq(parseFn(b))
             else Nil
         }
       val scoreMode = Option(b.get("score_mode")).map(_.asText)

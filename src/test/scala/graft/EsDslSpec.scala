@@ -1765,6 +1765,40 @@ class EsDslSpec extends SparkSpec {
         "intervals": [{"match": {"query": "two tokens"}},
                       {"match": {"query": "x"}}]}}}}}""")
     }
+    // fourth review pass pins: a shorthand function key NEXT TO a
+    // functions array rejects (was silently dropped); two function
+    // kinds in one entry reject; garbage max_gaps/ordered/slop knobs
+    // reject instead of coercing to 0/false; wrapper queries highlight
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"weight": 2}],
+        "linear": {"n": {"origin": 0, "scale": 10}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"script_score": {"script": "2"},
+          "gauss": {"n": {"origin": 0, "scale": 10}}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"match":
+        {"query": "a b", "max_gaps": "unbounded"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"intervals": {"text": {"match":
+        {"query": "a b", "ordered": "yes"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+        "slop": "lots"}}}""")
+    }
+    val wb64 = java.util.Base64.getEncoder.encodeToString(
+      """{"query_string": {"query": "text:window"}}"""
+        .getBytes("UTF-8"))
+    val hl = q(s"""{"query": {"wrapper": {"query": "$wb64"}},
+      "highlight": {"fields": {"text": {}}}, "size": 10}""").collect()
+    assert(hl.exists(_.getAs[String]("highlight_text")
+      .contains("<em>window</em>")))
   }
 
   test("review regressions: fractional-interval gap fill keeps " +
