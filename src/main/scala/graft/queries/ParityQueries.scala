@@ -1209,6 +1209,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // index-probe twin: the SAME span_near body served from the
+    // write-time positional postings (query-term-sized IO, no corpus
+    // scan) — shares the scan path's oracle, one oracle two plans.
+    "q7_esdsl_span_near_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.spanRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents",
+        Seq(Seq("the"), Seq("window", "batch")), 2, inOrder = true,
+        Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // unordered span_near (round 10): window and batch within 1
     // interleaved token, either order.
     "q7_esdsl_span_unordered" -> ((s, dir) => {
@@ -2445,6 +2460,16 @@ object ParityQueries {
     "spos AS (SELECT doc_id, unnest(ts) AS tok, " +
       "generate_subscripts(ts, 1) AS pos FROM stoks), "
 
+  private lazy val spanNearOracleSql: String = spanPosCte +
+    "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+    "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+    "AND a.tok = 'the' AND b.tok IN ('window', 'batch') " +
+    "AND b.pos > a.pos AND b.pos <= a.pos + 3 GROUP BY a.doc_id) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+    "CAST(m.score AS DOUBLE) AS \"_score\" " +
+    "FROM documents d JOIN m USING (doc_id) " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+
   private def slopOracleCte(t1: String, t2: String, slop: Int): String =
     "WITH toks AS (SELECT doc_id, text, list_filter(" +
       "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
@@ -3628,15 +3653,9 @@ object ParityQueries {
 
     // span family: positions re-derived by unnest + subscripts; the
     // window arithmetic mirrors Search.spanNearCount/spanPairCount
-    "q7_esdsl_span_near" -> (spanPosCte +
-      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
-      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
-      "AND a.tok = 'the' AND b.tok IN ('window', 'batch') " +
-      "AND b.pos > a.pos AND b.pos <= a.pos + 3 GROUP BY a.doc_id) " +
-      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
-      "CAST(m.score AS DOUBLE) AS \"_score\" " +
-      "FROM documents d JOIN m USING (doc_id) " +
-      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+    "q7_esdsl_span_near" -> spanNearOracleSql,
+    // the postings-probe twin shares the oracle verbatim
+    "q7_esdsl_span_near_indexed" -> spanNearOracleSql,
 
     "q7_esdsl_span_unordered" -> (spanPosCte +
       "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +

@@ -426,6 +426,77 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** SPAN-NEAR probe — the index-side twin of the DSL span family's
+    * scan matcher ([[graft.serving.Search.spanNearCount]] /
+    * `spanPairCount`): each slot is a token SET (a `span_term` or
+    * `span_or` leaf), matched over the positional postings with the
+    * SAME window arithmetic (ordered: head positions admitting an
+    * in-order completion with gap sum <= slop; unordered pairs:
+    * |p − q| − 1 <= slop), span-frequency scored like the scan path's
+    * occurrence-count convention. IO is query-term-sized postings
+    * rows only — no corpus scan; bit-identical hits and scores to the
+    * scan path (one oracle, two plans — [[SearchIndexSpec]] pins it). */
+  def spanRanked(spark: SparkSession, path: String,
+                 slots: Seq[Seq[String]], slop: Int,
+                 inOrder: Boolean,
+                 fields: Seq[String] = Nil,
+                 limit: Int = 100): DataFrame = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty),
+      "empty span slots")
+    require(slop >= 0, "slop must be >= 0")
+    require(inOrder || slots.size <= 2,
+      "unordered span supports two slots (in_order composes any number)")
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val idCol = meta.idCol
+    val useFields = if (fields.isEmpty) meta.fields else fields
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = useFields.filterNot(fidOf.contains)
+    require(missing.isEmpty,
+      s"fields not in index: ${missing.mkString(", ")}")
+    val fids = useFields.map(fidOf)
+    val allTerms = slots.flatten.distinct.map(_.toLowerCase)
+    val lowSlots = slots.map(_.map(_.toLowerCase).distinct)
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(allTerms: _*) &&
+        col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("term"), col("pos"))
+    val cand = p.groupBy(col(idCol), col("fid"))
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("pos")))).as("tp"))
+    // per-slot positions: the sorted distinct union of the slot's
+    // terms' position lists (a position holds ONE token, so the union
+    // is exactly the scan path's posOf set)
+    def posOf(i: Int): Column = array_sort(array_distinct(flatten(
+      array(lowSlots(i).map(t =>
+        coalesce(element_at(col("tp"), lit(t)),
+          array().cast("array<int>"))): _*))))
+    val present = lowSlots.indices.map(i => size(posOf(i)) > 0)
+      .reduce(_ && _)
+    val sl = math.min(slop, 1 << 24)
+    val cnt: Column =
+      if (lowSlots.size == 1) size(posOf(0))
+      else if (inOrder) {
+        def rest(i: Int, prev: Column, first: Column): Column =
+          if (i == lowSlots.size) lit(true)
+          else org.apache.spark.sql.functions.exists(posOf(i), pp =>
+            pp > prev && pp <= first + lit(i + sl) &&
+              rest(i + 1, pp, first))
+        size(filter(posOf(0), s => rest(1, s, s)))
+      } else
+        size(filter(posOf(0), pp =>
+          org.apache.spark.sql.functions.exists(posOf(1), qq =>
+            qq =!= pp &&
+              greatest(pp, qq) - least(pp, qq) - 1 <= lit(sl))))
+    cand.filter(present)
+      .select(col(idCol), cnt.as("_pf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_pf")).cast("double").as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
   /** `minimum_should_match` / `operator: "and"` probe: at least
     * `minMatch` of the query's distinct terms must token-match in some
     * field (clamped to all-terms — AND — above the term count, like

@@ -340,6 +340,49 @@ class SearchIndexSpec extends SparkSpec {
     assert(probe.exists(_.startsWith("[8,")), "inserted doc not phrased")
   }
 
+  test("indexed spanRanked == scan-path span matchers: ordered slot " +
+    "sets, unordered pairs; validation") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = tmp("graft-idx-span-")
+    SearchIndex.build(docs, Seq("text"), "doc_id", path)
+    // ordered: the -> (window|batch), slop 1 — scan-path counts via
+    // Search.spanNearCount over the same corpus
+    val slots: Seq[Column => Column] = Seq(
+      (x: Column) => x === lit("the"),
+      (x: Column) => x.isInCollection(Seq("window", "batch")))
+    val scan = docs
+      .select(col("doc_id"),
+        Search.spanNearCount(col("text"), slots, 1).as("c"))
+      .filter(col("c") > 0)
+      .select(col("doc_id"), col("c").cast("double").as("score"))
+    val probe = SearchIndex.spanRanked(spark, path,
+      Seq(Seq("the"), Seq("window", "batch")), 1, inOrder = true,
+      Seq("text"))
+    assert(sortedRows(scan) == sortedRows(probe))
+    // unordered pair: window/batch adjacency either order
+    val scanU = docs
+      .select(col("doc_id"),
+        Search.spanPairCount(col("text"),
+          (x: Column) => x === lit("window"),
+          (x: Column) => x === lit("batch"), 0).as("c"))
+      .filter(col("c") > 0)
+      .select(col("doc_id"), col("c").cast("double").as("score"))
+    val probeU = SearchIndex.spanRanked(spark, path,
+      Seq(Seq("window"), Seq("batch")), 0, inOrder = false,
+      Seq("text"))
+    assert(sortedRows(scanU) == sortedRows(probeU))
+    // unordered 3 slots and unknown fields are the caller's error
+    intercept[IllegalArgumentException] {
+      SearchIndex.spanRanked(spark, path,
+        Seq(Seq("a"), Seq("b"), Seq("c")), 1, inOrder = false)
+    }
+    intercept[IllegalArgumentException] {
+      SearchIndex.spanRanked(spark, path, Seq(Seq("a")), 0,
+        inOrder = true, Seq("nope"))
+    }
+  }
+
   test("generation pointer is atomic: a half-staged generation is " +
     "invisible, upsert flips the pointer and collects the old one") {
     val path = tmp("graft-idx-gen-")
