@@ -44,12 +44,21 @@ import org.apache.spark.sql.functions._
   * Painless ARITHMETIC subset — `_score`, `doc['f'].value`,
   * `params.*` — compiled to codegen'd Columns by [[BucketScript]];
   * method calls reject by name),
+  * `function_score` decay functions (gauss/exp/linear over numeric
+  * and timestamp origins), `wrapper` (base64 decode + recurse),
+  * `geo_distance` / `geo_bounding_box` (struct<lat,lon> geo_point
+  * columns, haversine on the Lucene mean radius, date-line wrap),
   * `bool`
   * (must/filter/should/must_not with ES's scoring and
   * minimum_should_match defaulting), plus top-level `from`/`size`,
-  * `sort` (field asc/desc and `_score`), `_source`, `collapse`,
+  * `sort` (field asc/desc and `_score`; one shared entry grammar with
+  * the string shorthand), `_source`, `collapse`,
   * `search_after`, `highlight`, `rescore` (two-phase window
-  * re-ranking), and suggest-only bodies (the term suggester). The
+  * re-ranking), `min_score`, `post_filter` (hits narrow AFTER
+  * aggregations — the faceted-search contract), a validated top-level
+  * key inventory (unknown keys reject by name; track_total_hits and
+  * timeout accepted-ignored), and suggest-only bodies (the term
+  * suggester). The
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
   * extended_bounds, range/date_range/filters/missing/adjacency_matrix,
