@@ -1346,15 +1346,10 @@ object EsDsl {
       case ("script_score", b) =>
         Option(b.get("query")).foreach(walk)
       case ("wrapper", b) =>
-        // best-effort: a malformed wrapper already 400ed at compile
-        // time, so decode failures here cannot happen on served hits
-        Option(b.get("query")).map(_.asText).foreach { q64 =>
-          try walk(new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new String(
-              java.util.Base64.getDecoder.decode(q64),
-              java.nio.charset.StandardCharsets.UTF_8)))
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
+        // a malformed wrapper already 400ed at compile time, so
+        // failures here cannot happen on served hits
+        Option(b.get("query")).map(_.asText).foreach(q64 =>
+          decodeWrapper(q64).foreach(walk))
       case ("bool", b) =>
         Seq("must", "filter", "should").foreach(k =>
           sub(b, k).foreach(walk)) // must_not terms don't highlight
@@ -1413,6 +1408,33 @@ object EsDsl {
     }
   }
 
+  /** Decode a wrapper clause's base64 JSON — shared by the compile
+    * path (failures reject by name) and the highlight walker (which
+    * only sees bodies the compile path already accepted). */
+  private def decodeWrapper(q64: String): Either[String, JsonNode] =
+    try {
+      val json = new String(java.util.Base64.getDecoder.decode(q64),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json)
+      if (node == null || !node.isObject)
+        Left("wrapper query must decode to a JSON object")
+      else Right(node)
+    } catch {
+      case _: IllegalArgumentException =>
+        Left("wrapper query is not valid base64")
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        Left("wrapper query does not decode to JSON")
+    }
+
+  /** A numeric knob value — Jackson coerces non-numeric nodes to 0.0
+    * through asDouble, silently dropping (or inverting) the knob;
+    * validate the node type first. */
+  private def numKnob(n: JsonNode, name: String): Double = {
+    if (!n.isNumber) bad(s"$name must be numeric")
+    n.asDouble
+  }
+
   private def litOf(v: JsonNode): Column =
     if (v.isTextual) lit(v.asText)
     else if (v.isIntegralNumber) lit(v.asLong)
@@ -1455,7 +1477,8 @@ object EsDsl {
       bad(s"unsupported $kind key" +
         s"${if (unknown.size == 1) "" else "s"}: " +
         unknown.mkString(", "))
-    val b = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+    val b = Option(body.get("boost"))
+      .map(numKnob(_, s"$kind boost")).getOrElse(1.0)
     if (b < 0) bad(s"$kind boost must be >= 0")
     b
   }
@@ -1681,19 +1704,8 @@ object EsDsl {
       val wBoost = clauseBoost("wrapper", b, Set("query"))
       val q64 = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("wrapper needs \"query\""))
-      val json =
-        try new String(java.util.Base64.getDecoder.decode(q64),
-          java.nio.charset.StandardCharsets.UTF_8)
-        catch { case _: IllegalArgumentException =>
-          bad("wrapper query is not valid base64") }
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(json)
-        catch { case _: com.fasterxml.jackson.core.JacksonException =>
-          bad("wrapper query does not decode to JSON") }
-      if (node == null || !node.isObject)
-        bad("wrapper query must decode to a JSON object")
-      boosted(clause(node, ctx), wBoost)
+      boosted(clause(decodeWrapper(q64).fold(bad, identity), ctx),
+        wBoost)
 
     case ("match_none", b) =>
       // ES match_none: the empty match set
@@ -2030,8 +2042,11 @@ object EsDsl {
       val m0 = Option(b.get("match"))
         .getOrElse(bad("span_first needs \"match\""))
       val (f, m, _) = spanLeaf(m0)
-      val end = Option(b.get("end")).map(_.asInt)
-        .getOrElse(bad("span_first needs \"end\""))
+      val end = Option(b.get("end")).map { n =>
+        if (!n.isIntegralNumber)
+          bad("span_first end must be an integer")
+        n.asInt
+      }.getOrElse(bad("span_first needs \"end\""))
       if (end < 1) bad("span_first end must be >= 1")
       val toks = graft.functions.TextFunctions.tokens(
         lower(coalesce(col(f), lit(""))))
@@ -2051,11 +2066,15 @@ object EsDsl {
       val (fe, me, _) = spanLeaf(exc0)
       if (fi != fe)
         bad("span_not include/exclude must target one field")
-      val dist = Option(b.get("dist")).map(_.asInt)
-      val pre = dist.orElse(Option(b.get("pre")).map(_.asInt))
-        .getOrElse(0)
-      val post = dist.orElse(Option(b.get("post")).map(_.asInt))
-        .getOrElse(0)
+      def intWin(name: String): Option[Int] =
+        Option(b.get(name)).map { n =>
+          if (!n.isIntegralNumber)
+            bad(s"span_not $name must be an integer")
+          n.asInt
+        }
+      val dist = intWin("dist")
+      val pre = dist.orElse(intWin("pre")).getOrElse(0)
+      val post = dist.orElse(intWin("post")).getOrElse(0)
       if (pre < 0 || post < 0) bad("span_not pre/post must be >= 0")
       val toks = graft.functions.TextFunctions.tokens(
         lower(coalesce(col(fi), lit(""))))
@@ -2228,7 +2247,8 @@ object EsDsl {
       // the score itself.
       val ssBoost = clauseBoost("script_score", b,
         Set("query", "script", "min_score"))
-      val minScoreOpt = Option(b.get("min_score")).map(_.asDouble)
+      val minScoreOpt = Option(b.get("min_score"))
+        .map(numKnob(_, "min_score"))
       val inner = Option(b.get("query")).map(qn =>
           if (minScoreOpt.isDefined) ctx.scoringNeeded { clause(qn, ctx) }
           else clause(qn, ctx))
@@ -2767,7 +2787,8 @@ object EsDsl {
       // min_score's PREDICATE reads the combined score, so the base
       // query must keep real scoring even in filter context — the one
       // construct that escapes the filter-context suppression
-      val minScoreOpt = Option(b.get("min_score")).map(_.asDouble)
+      val minScoreOpt = Option(b.get("min_score"))
+        .map(numKnob(_, "min_score"))
       val base = Option(b.get("query")).map(qn =>
           if (minScoreOpt.isDefined) ctx.scoringNeeded { clause(qn, ctx) }
           else clause(qn, ctx))
@@ -2788,7 +2809,8 @@ object EsDsl {
           .map(f => coalesce(ctx.inFilter { clause(f, ctx) }.pred,
             lit(false)))
           .getOrElse(lit(true))
-        val weight = Option(fn.get("weight")).map(_.asDouble)
+        val weight = Option(fn.get("weight"))
+          .map(numKnob(_, "function weight"))
         Option(fn.get("script_score")).foreach { ss =>
           // functions see doc values only — no _score binding, like ES
           val v = compileScoreScript(ss.get("script"), Map.empty)
@@ -2903,6 +2925,11 @@ object EsDsl {
       }
       val ShorthandFnKeys = Seq("field_value_factor", "weight",
         "script_score", "gauss", "exp", "linear")
+      // a present-but-non-array functions value would silently drop
+      // the whole function spec through the isArray filter
+      Option(b.get("functions")).filter(!_.isNull).foreach(n =>
+        if (!n.isArray)
+          bad("function_score functions must be an array"))
       val fns: Seq[(Column, Column)] =
         Option(b.get("functions")).filter(_.isArray) match {
           case Some(a) =>
@@ -2945,7 +2972,8 @@ object EsDsl {
           }
           when(n === 0, lit(1.0)).otherwise(combined)
         }
-      val capped = Option(b.get("max_boost")).map(_.asDouble)
+      val capped = Option(b.get("max_boost"))
+        .map(numKnob(_, "max_boost"))
         .map(mb => least(fnScore, lit(mb))).getOrElse(fnScore)
       // ES/Lucene push the query-level boost into the SUB-QUERY's
       // weight: it multiplies the query score BEFORE the boost_mode

@@ -314,15 +314,24 @@ object SearchIndex {
     * self-overlapping phrases ("a a" in "a a a") count greedily
     * left-to-right, the scan path's replace() semantics. Returns
     * (idCol, fid, dl, _pf). */
+  /** Pruned positional postings rows for a term/field set — the ONE
+    * candidate-construction read the positional probes (phrase and
+    * span) share, so the layout/pruning predicate lives in a single
+    * place. */
+  private def prunedPostings(spark: SparkSession, dir: String,
+                             idCol: String, fids: Seq[Int],
+                             terms: Seq[String]): DataFrame =
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*) &&
+        col("fid").isin(fids: _*))
+      .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
+
   private def phraseCounts(spark: SparkSession, dir: String,
                            idCol: String, fids: Seq[Int],
                            terms: Seq[String], slop: Int): DataFrame = {
     val distinctTerms = terms.distinct
     val k = terms.size
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(distinctTerms: _*) &&
-        col("fid").isin(fids: _*))
-      .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
+    val p = prunedPostings(spark, dir, idCol, fids, distinctTerms)
     // dl is constant per (id, fid); min() is the deterministic pick
     val candidates = p.groupBy(col(idCol), col("fid"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
@@ -457,11 +466,8 @@ object SearchIndex {
     val fids = useFields.map(fidOf)
     val allTerms = slots.flatten.distinct.map(_.toLowerCase)
     val lowSlots = slots.map(_.map(_.toLowerCase).distinct)
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(allTerms: _*) &&
-        col("fid").isin(fids: _*))
-      .select(col(idCol), col("fid"), col("term"), col("pos"))
-    val cand = p.groupBy(col(idCol), col("fid"))
+    val cand = prunedPostings(spark, dir, idCol, fids, allTerms)
+      .groupBy(col(idCol), col("fid"))
       .agg(map_from_entries(
         collect_list(struct(col("term"), col("pos")))).as("tp"))
     // per-slot positions: the sorted distinct union of the slot's

@@ -1799,6 +1799,29 @@ class EsDslSpec extends SparkSpec {
       "highlight": {"fields": {"text": {}}}, "size": 10}""").collect()
     assert(hl.exists(_.getAs[String]("highlight_text")
       .contains("<em>window</em>")))
+    // fifth pass: a non-array functions value, garbage numeric knobs
+    // (max_boost / clause boost) and fractional span windows all 400
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": {"weight": 2}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"weight": 2}], "max_boost": "ten"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"term": {"source": {"value": "src3",
+        "boost": "two"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_first": {"match":
+        {"span_term": {"text": "a"}}, "end": 2.9}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_not": {
+        "include": {"span_term": {"text": "a"}},
+        "exclude": {"span_term": {"text": "b"}}, "pre": 1.9}}}""")
+    }
   }
 
   test("review regressions: fractional-interval gap fill keeps " +
