@@ -1554,6 +1554,149 @@ object ParityQueries {
           t(s, dir, "lineitem"), t(s, dir, "part")), body)
     }),
 
+    // reverse_nested (round 10): the nested agg's join-back — each
+    // brand bucket ALSO reports how many parent orders contributed
+    // labels (distinct parent ids riding the same aggregation).
+    "q7_esdsl_reverse_nested" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"labels": {"nested": {"path": "labels"},
+          |   "aggs": {"by_color": {"terms":
+          |     {"field": "labels.color", "size": 10},
+          |     "aggs": {"orders": {"reverse_nested": {}}}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(
+        graft.operators.Denormalize.labelStructsPerOrder(
+          t(s, dir, "lineitem"), t(s, dir, "part")), body)
+    }),
+
+    // ── Geo / sampling / ip family (round 10): the testdata carries
+    // no geo_point or ip column, so BOTH engines derive identical
+    // synthetic values from c_custkey (custGeo/custIp and their SQL
+    // twins) — the oracles pin real end-to-end behavior, not fixtures.
+
+    // geo_distance QUERY: haversine radius filter (Lucene mean-radius
+    // arc), constant-score in query context.
+    "q7_esdsl_geo_distance" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"geo_distance": {"distance": "3000km",
+          |   "loc": {"lat": 0, "lon": 0}}},
+          | "size": 10000}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+        .drop("loc")
+    }),
+
+    // geo_bounding_box QUERY across the date line (left 150 > right
+    // -120 → the lon disjunction branch).
+    "q7_esdsl_geo_bbox" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"geo_bounding_box": {"loc": {
+          |   "top_left": {"lat": 60, "lon": 150},
+          |   "bottom_right": {"lat": -20, "lon": -120}}}},
+          | "size": 10000}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+        .drop("loc")
+    }),
+
+    // geo_bounds AGG: the data spans almost the whole lon circle, so
+    // ES's wrap_longitude default picks the date-line-crossing box —
+    // the wrap branch is what this query pins.
+    "q7_esdsl_geo_bounds" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"viewport": {"geo_bounds": {"field": "loc"}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // geo_centroid AGG: mean lat/lon + contributing count (round4 on
+    // the free-order double means — the string_stats precedent).
+    "q7_esdsl_geo_centroid" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"range": {"c_acctbal": {"gte": 0}}}, "size": 0,
+          | "aggs": {"center": {"geo_centroid": {"field": "loc"}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // geo_distance AGG: km ring buckets around a fixed origin with a
+    // per-ring max metric — one conditional pass, zero joins.
+    "q7_esdsl_geo_distance_agg" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"rings": {"geo_distance": {"field": "loc",
+          |   "origin": {"lat": 0, "lon": 30}, "unit": "km",
+          |   "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+          |              {"from": 8000}]},
+          |  "aggs": {"top_bal": {"max": {"field": "c_acctbal"}}}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // geotile_grid AGG: slippy-map tiles at zoom 4 — pure column
+    // arithmetic, one hash agg.
+    "q7_esdsl_geotile_grid" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"tiles": {"geotile_grid":
+          |   {"field": "loc", "precision": 4}}}}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // geohash_grid AGG: from-scratch base32 geohash (bit-interleave
+    // column arithmetic) at precision 2; the oracle re-derives the
+    // hash with independently generated DuckDB bit SQL.
+    "q7_esdsl_geohash_grid" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"cells": {"geohash_grid":
+          |   {"field": "loc", "precision": 2}}}}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // ip_range AGG: from/to buckets plus the CIDR mask form over a
+    // derived dotted-quad column (string → u32 in codegen'd column
+    // arithmetic; the oracle parses the same strings in SQL).
+    "q7_esdsl_ip_range" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"nets": {"ip_range": {"field": "ip",
+          |   "ranges": [{"to": "10.0.8.0"},
+          |              {"from": "10.0.8.0", "to": "10.0.32.0"},
+          |              {"mask": "10.0.32.0/19"},
+          |              {"from": "10.0.64.0"}]}}}}""".stripMargin)
+      graft.serving.EsDsl.search(custIp(t(s, dir, "customer")), body)
+    }),
+
+    // sampler AGG: sub-aggregations over the top-scoring shard_size
+    // docs (one TakeOrdered; deterministic via the id tiebreak where
+    // ES's per-shard cut is topology-dependent).
+    "q7_esdsl_sampler" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:window"}},
+          | "size": 0,
+          | "aggs": {"sample": {"sampler": {"shard_size": 50},
+          |   "aggs": {"top_len": {"max": {"field": "n_chars"}},
+          |            "n": {"value_count": {"field": "doc_id"}}}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // diversified_sampler AGG: per-lang cap (max_docs_per_value 3)
+    // before the top cut, then a child terms agg RECURSES over the
+    // sample frame — the bucket-child composition path.
+    "q7_esdsl_diversified_sampler" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {"query": "text:window"}},
+          | "size": 0,
+          | "aggs": {"sample": {"diversified_sampler":
+          |   {"shard_size": 30, "field": "lang",
+          |    "max_docs_per_value": 3},
+          |   "aggs": {"langs": {"terms":
+          |     {"field": "lang", "size": 20}}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // rescore (round 9): two-phase ranking — occurrence-ranked
     // primary, top-50 window recombined with a double-weighted phrase
     // score. The window is one TakeOrdered; the page re-sorts within
@@ -2357,6 +2500,83 @@ object ParityQueries {
     s"WITH ${ctes.mkString(", ")} " +
       s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) u " +
       """ORDER BY score DESC, document_id, "table" LIMIT 100"""
+  }
+
+  /** Deterministic synthetic geo_point on customer — the testdata has
+    * no geo column, so BOTH engines derive the same struct<lat,lon>
+    * from c_custkey (the multipliers are coprime to the moduli, so
+    * points spread over the whole globe; lat stays clear of the ±90
+    * poles and the mercator clamp edge). SQL twins: [[GeoLatSql]] /
+    * [[GeoLonSql]]. */
+  private def custGeo(df: DataFrame): DataFrame =
+    df.withColumn("loc", struct(
+      ((col("c_custkey") * 7919 % 17000) / 100.0 - 85.0).as("lat"),
+      ((col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).as("lon")))
+  private val GeoLatSql = "((c_custkey * 7919 % 17000) / 100.0 - 85.0)"
+  private val GeoLonSql =
+    "((c_custkey * 104729 % 36000) / 100.0 - 180.0)"
+
+  /** Deterministic synthetic dotted-quad IPv4 on customer (10.x.y.z
+    * from c_custkey octets); SQL twin: [[IpSql]]. */
+  private def custIp(df: DataFrame): DataFrame =
+    df.withColumn("ip", concat_ws(".", lit(10),
+      (col("c_custkey") / 65536).cast("long") % 256,
+      (col("c_custkey") / 256).cast("long") % 256,
+      col("c_custkey") % 256))
+  private val IpSql = "('10.' || ((c_custkey // 65536) % 256) || " +
+    "'.' || ((c_custkey // 256) % 256) || '.' || (c_custkey % 256))"
+
+  /** Haversine meters from a fixed origin, as DuckDB SQL MIRRORING
+    * EsDsl's column DAG op for op (the origin-lat cosine folds to 1.0
+    * for the lat-0 origins the geo queries use — the same constant
+    * the Scala side inlines). */
+  private def haversineSql(oLat: Double, oLon: Double): String = {
+    require(oLat == 0.0, "oracle mirrors math.cos(0) = 1.0 only")
+    val dPhi = s"radians(0.0 - $GeoLatSql)"
+    val dLam = s"radians($oLon - $GeoLonSql)"
+    s"((2.0 * 6371008.7714) * asin(sqrt(" +
+      s"sin($dPhi / 2) * sin($dPhi / 2) + " +
+      s"cos(radians($GeoLatSql)) * 1.0 * " +
+      s"sin($dLam / 2) * sin($dLam / 2))))"
+  }
+
+  /** The geotile x/y tile indexes as DuckDB SQL (mirrors
+    * EsDsl.geotile arithmetic: clamp, slippy-map formulas, top-edge
+    * clamp to n−1). */
+  private def geotileSql(z: Int): (String, String) = {
+    val n = math.pow(2, z)
+    val maxLat = "85.0511287798066"
+    val latC = s"greatest(least($GeoLatSql, $maxLat), -$maxLat)"
+    val x = s"CAST(least(floor((($GeoLonSql + 180.0) / 360.0) * $n), " +
+      s"${n - 1}) AS BIGINT)"
+    val y = s"CAST(least(floor(((1.0 - ln(tan(radians($latC)) + " +
+      s"1.0 / cos(radians($latC))) / pi()) / 2.0) * $n), " +
+      s"${n - 1}) AS BIGINT)"
+    (x, y)
+  }
+
+  /** Base32 geohash at `p` chars as INDEPENDENTLY GENERATED DuckDB
+    * bit SQL (quantize → unrolled interleave → alphabet slices) —
+    * the oracle twin of EsDsl.geohashColumn. */
+  private def geohashSql(p: Int): String = {
+    val totalBits = 5 * p
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val lonQ = s"least(CAST(floor((($GeoLonSql + 180.0) / 360.0) * " +
+      s"${math.pow(2, lonBits)}) AS BIGINT), ${(1L << lonBits) - 1})"
+    val latQ = s"least(CAST(floor((($GeoLatSql + 90.0) / 180.0) * " +
+      s"${math.pow(2, latBits)}) AS BIGINT), ${(1L << latBits) - 1})"
+    val lonTerms = (0 until lonBits).map(i =>
+      s"((($lonQ >> ${lonBits - 1 - i}) & 1) << " +
+        s"${totalBits - 1 - 2 * i})")
+    val latTerms = (0 until latBits).map(i =>
+      s"((($latQ >> ${latBits - 1 - i}) & 1) << " +
+        s"${totalBits - 1 - (2 * i + 1)})")
+    val code = (lonTerms ++ latTerms).mkString("(", " + ", ")")
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    (0 until p).map(g =>
+      s"substr('$alpha', CAST((($code >> ${5 * (p - 1 - g)}) & 31) " +
+        "AS INT) + 1, 1)").mkString("(", " || ", ")")
   }
 
   /** `' ' || tokens-joined-by-DOUBLE-spaces || ' '` — token-exact
@@ -3516,6 +3736,110 @@ object ParityQueries {
          "p_brand FROM lineitem JOIN part ON l_partkey = p_partkey) " +
        "SELECT p_brand AS key, count(*) AS doc_count FROM lb " +
        "GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"),
+
+    "q7_esdsl_reverse_nested" ->
+      ("WITH lb AS (SELECT DISTINCT l_orderkey, p_partkey, p_name, " +
+         "p_brand FROM lineitem JOIN part ON l_partkey = p_partkey) " +
+       "SELECT p_brand AS key, count(*) AS doc_count, " +
+       "count(DISTINCT l_orderkey) AS orders_doc_count FROM lb " +
+       "GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"),
+
+    "q7_esdsl_geo_distance" ->
+      (s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       s"FROM customer WHERE ${haversineSql(0.0, 0.0)} <= 3000000.0"),
+
+    "q7_esdsl_geo_bbox" ->
+      (s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       s"FROM customer WHERE $GeoLatSql <= 60 AND $GeoLatSql >= -20 " +
+       s"AND ($GeoLonSql >= 150 OR $GeoLonSql <= -120)"),
+
+    "q7_esdsl_geo_bounds" ->
+      (s"WITH g AS (SELECT $GeoLatSql AS lat, $GeoLonSql AS lon " +
+       "FROM customer), a AS (SELECT max(lat) AS t, min(lat) AS b, " +
+       "min(CASE WHEN lon >= 0 THEN lon END) AS pl, " +
+       "max(CASE WHEN lon >= 0 THEN lon END) AS pr, " +
+       "min(CASE WHEN lon < 0 THEN lon END) AS nl, " +
+       "max(CASE WHEN lon < 0 THEN lon END) AS nr FROM g) " +
+       "SELECT t AS viewport_top_left_lat, " +
+       "CASE WHEN pl IS NULL THEN nl WHEN nl IS NULL THEN pl " +
+       "WHEN (pr - nl) <= ((180.0 - pl) - (-180.0 - nr)) THEN nl " +
+       "ELSE pl END AS viewport_top_left_lon, " +
+       "b AS viewport_bottom_right_lat, " +
+       "CASE WHEN pl IS NULL THEN nr WHEN nl IS NULL THEN pr " +
+       "WHEN (pr - nl) <= ((180.0 - pl) - (-180.0 - nr)) THEN pr " +
+       "ELSE nr END AS viewport_bottom_right_lon FROM a"),
+
+    "q7_esdsl_geo_centroid" ->
+      (s"SELECT floor(avg($GeoLatSql) * 10000.0 + 0.5) / 10000.0 " +
+       "AS center_lat, " +
+       s"floor(avg($GeoLonSql) * 10000.0 + 0.5) / 10000.0 " +
+       "AS center_lon, count(*) AS center_count " +
+       "FROM customer WHERE c_acctbal >= 0"),
+
+    "q7_esdsl_geo_distance_agg" -> {
+      val d = s"(${haversineSql(0.0, 30.0)} / 1000.0)"
+      s"WITH g AS (SELECT $d AS d, c_acctbal FROM customer) " +
+      "SELECT '*-3000.0' AS key, " +
+      "count(CASE WHEN d < 3000.0 THEN 1 END) AS doc_count, " +
+      "max(CASE WHEN d < 3000.0 THEN c_acctbal END) AS top_bal " +
+      "FROM g UNION ALL SELECT '3000.0-8000.0', " +
+      "count(CASE WHEN d >= 3000.0 AND d < 8000.0 THEN 1 END), " +
+      "max(CASE WHEN d >= 3000.0 AND d < 8000.0 THEN c_acctbal END) " +
+      "FROM g UNION ALL SELECT '8000.0-*', " +
+      "count(CASE WHEN d >= 8000.0 THEN 1 END), " +
+      "max(CASE WHEN d >= 8000.0 THEN c_acctbal END) FROM g"
+    },
+
+    "q7_esdsl_geotile_grid" -> {
+      val (x, y) = geotileSql(4)
+      s"SELECT ('4/' || $x || '/' || $y) AS key, " +
+      "count(*) AS doc_count FROM customer " +
+      "GROUP BY 1 ORDER BY doc_count DESC, key"
+    },
+
+    "q7_esdsl_geohash_grid" ->
+      (s"SELECT ${geohashSql(2)} AS key, count(*) AS doc_count " +
+       "FROM customer GROUP BY 1 ORDER BY doc_count DESC, key"),
+
+    "q7_esdsl_ip_range" -> {
+      val ipn = s"((c_custkey // 65536) % 256) * 65536 + " +
+        s"((c_custkey // 256) % 256) * 256 + (c_custkey % 256) + " +
+        "10 * 16777216"
+      val n = s"($ipn)"
+      s"WITH g AS (SELECT $n AS ip FROM customer) " +
+      "SELECT '*-10.0.8.0' AS key, " +
+      "count(CASE WHEN ip < 167774208 THEN 1 END) AS doc_count " +
+      "FROM g UNION ALL SELECT '10.0.8.0-10.0.32.0', " +
+      "count(CASE WHEN ip >= 167774208 AND ip < 167780352 THEN 1 END) " +
+      "FROM g UNION ALL SELECT '10.0.32.0/19', " +
+      "count(CASE WHEN ip >= 167780352 AND ip < 167788544 THEN 1 END) " +
+      "FROM g UNION ALL SELECT '10.0.64.0-*', " +
+      "count(CASE WHEN ip >= 167788544 THEN 1 END) FROM g"
+    },
+
+    "q7_esdsl_sampler" -> {
+      val wc = substrCountSql(tokenNormSql("text"), " window ")
+      s"WITH b AS (SELECT doc_id, n_chars, $wc AS sc FROM documents), " +
+      "s AS (SELECT * FROM b WHERE sc > 0 " +
+      "ORDER BY sc DESC, doc_id LIMIT 50) " +
+      "SELECT count(*) AS doc_count, max(n_chars) AS top_len, " +
+      "count(doc_id) AS n FROM s"
+    },
+
+    "q7_esdsl_diversified_sampler" -> {
+      val wc = substrCountSql(tokenNormSql("text"), " window ")
+      s"WITH b AS (SELECT doc_id, lang, $wc AS sc FROM documents), " +
+      "d AS (SELECT doc_id, lang, sc, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY sc DESC, doc_id) AS rn " +
+      "FROM b WHERE sc > 0), " +
+      "p AS (SELECT lang, sc, doc_id FROM d WHERE rn <= 3 " +
+      "ORDER BY sc DESC, doc_id LIMIT 30) " +
+      "SELECT lang, count(*) AS doc_count FROM p " +
+      "WHERE lang IS NOT NULL GROUP BY 1 " +
+      "ORDER BY doc_count DESC, lang LIMIT 20"
+    },
 
     "q7_esdsl_moving_fn" ->
       ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +

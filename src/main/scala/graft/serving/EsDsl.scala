@@ -62,7 +62,16 @@ import org.apache.spark.sql.functions._
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
   * extended_bounds, range/date_range/filters/missing/adjacency_matrix,
-  * significant_terms/significant_text, nested, filter, global,
+  * ip_range (from/to + CIDR masks over dotted quads),
+  * significant_terms/significant_text, nested (+ reverse_nested
+  * parent counts riding the same aggregation), filter, global,
+  * sampler/diversified_sampler (sub-aggs over the top-scoring
+  * shard_size docs — deterministic via the id tiebreak — with the
+  * per-value diversity cap; metric children or ONE recursing bucket
+  * child), the geo family — geo_distance rings, geotile_grid
+  * slippy-map tiles, geohash_grid from-scratch base32 cells (all
+  * pure column arithmetic), geo_bounds with ES's wrap_longitude
+  * resolve rule, geo_centroid —
   * rare_terms, auto_date_histogram, the full metric set plus
   * top_metrics/boxplot/median_absolute_deviation/string_stats/
   * matrix_stats, parent pipelines cumulative_sum/derivative/
@@ -1126,6 +1135,7 @@ object EsDsl {
         // scoring registration here could never resolve, so the
         // min_score escape rejects by name instead
         Some(ctx.withoutScoreJoins { aggregations(base, cEff.pred,
+          cEff.score.cast("double"),
           Option(body.get("aggs")).getOrElse(body.get("aggregations")),
           ctx) })
       else None
@@ -1565,6 +1575,80 @@ object EsDsl {
     val a = sin(dPhi / 2) * sin(dPhi / 2) +
       cos(phi1) * lit(math.cos(phi2)) * sin(dLam / 2) * sin(dLam / 2)
     lit(2 * r) * asin(sqrt(a))
+  }
+
+  /** Metric-family agg kinds — what the sampler uses to distinguish a
+    * metric-only child set (one .agg over the sample) from a single
+    * bucket child it recurses into. */
+  private val MetricKinds = Set("avg", "sum", "min", "max",
+    "value_count", "cardinality", "stats", "extended_stats",
+    "percentiles", "percentile_ranks", "weighted_avg", "top_metrics",
+    "geo_bounds", "geo_centroid")
+
+  /** Dotted-quad IPv4 → its unsigned-32 value in a Long; None when
+    * malformed. Literal side of `ip_range` — the column twin is
+    * [[ipv4LongColumn]]. */
+  private def ipv4Long(ip: String): Option[Long] = {
+    val parts = ip.split("\\.", -1)
+    if (parts.length != 4) return None
+    try {
+      val os = parts.map(_.toLong)
+      if (os.exists(o => o < 0 || o > 255)) None
+      else Some(os(0) * 16777216L + os(1) * 65536L + os(2) * 256L +
+        os(3))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Column twin of [[ipv4Long]]: null on malformed rows (shape gate +
+    * octet range check), codegen'd string/arithmetic ops only. */
+  private def ipv4LongColumn(c: Column): Column = {
+    val parts = split(c, "\\.")
+    def oct(i: Int) = parts.getItem(i).cast("long")
+    val num = oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L +
+      oct(3)
+    when(c.rlike("^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\." +
+      "[0-9]{1,3}$") &&
+      oct(0) <= 255 && oct(1) <= 255 && oct(2) <= 255 && oct(3) <= 255,
+      num)
+  }
+
+  /** Base32 geohash of a point at `precision` chars — Niemeyer's
+    * layout (even bits longitude, MSB first) as pure column bit
+    * arithmetic: quantize lon/lat to ceil(5p/2)/floor(5p/2) cell
+    * bits, interleave into ONE long (5·12 = 60 bits fits), then slice
+    * 5-bit groups onto the base32 alphabet. Codegen'd end to end — no
+    * geo library, no UDF. */
+  private[graft] def geohashColumn(lat: Column, lon: Column,
+                                   precision: Int): Column = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    // quantized cell indexes; the top edge (+90 / +180) is clamped
+    // into the last cell, matching the encode convention
+    val lonQ = least(floor(lon.plus(lit(180.0)).divide(lit(360.0))
+      .multiply(lit(math.pow(2, lonBits)))).cast("long"),
+      lit((1L << lonBits) - 1))
+    val latQ = least(floor(lat.plus(lit(90.0)).divide(lit(180.0))
+      .multiply(lit(math.pow(2, latBits)))).cast("long"),
+      lit((1L << latBits) - 1))
+    // interleave MSB-first: lon bit i → combined bit 2i, lat bit i →
+    // combined bit 2i+1 (combined bit 0 = the code's MSB)
+    val lonTerms = (0 until lonBits).map { i =>
+      shiftleft(shiftrightunsigned(lonQ, lonBits - 1 - i) % 2,
+        totalBits - 1 - 2 * i)
+    }
+    val latTerms = (0 until latBits).map { i =>
+      shiftleft(shiftrightunsigned(latQ, latBits - 1 - i) % 2,
+        totalBits - 1 - (2 * i + 1))
+    }
+    val code = (lonTerms ++ latTerms).reduce(_ + _)
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = (0 until precision).map { g =>
+      lit(alpha).substr(
+        (shiftrightunsigned(code, 5 * (precision - 1 - g)) % 32)
+          .cast("int") + 1, lit(1))
+    }
+    concat(chars: _*)
   }
 
   /** The lowercased term of a span_term body (short `{"f": "v"}` or
@@ -3350,6 +3434,17 @@ object EsDsl {
     "missing" -> Set("field"),
     "adjacency_matrix" -> Set("filters"),
     "nested" -> Set("path"),
+    "reverse_nested" -> Set(),
+    "sampler" -> Set("shard_size"),
+    "diversified_sampler" ->
+      Set("shard_size", "field", "max_docs_per_value"),
+    "geo_distance" -> Set("field", "origin", "ranges", "unit",
+      "distance_type"),
+    "geotile_grid" -> Set("field", "precision", "size"),
+    "geohash_grid" -> Set("field", "precision", "size"),
+    "ip_range" -> Set("field", "ranges"),
+    "geo_bounds" -> Set("field", "wrap_longitude"),
+    "geo_centroid" -> Set("field"),
     "significant_terms" -> Set("field", "size", "background_filter"),
     "significant_text" -> Set("field", "size"),
     "rare_terms" -> Set("field", "max_doc_count"),
@@ -3542,7 +3637,7 @@ object EsDsl {
       }
     }
 
-  private def aggregations(base: DataFrame, pred: Column,
+  private def aggregations(base: DataFrame, pred: Column, score: Column,
                            aggs: JsonNode, ctx: Ctx): DataFrame = {
     // SIBLING pipeline aggregations (`avg_bucket` / `sum_bucket` /
     // `min_bucket` / `max_bucket`): a second top-level entry whose
@@ -3561,7 +3656,8 @@ object EsDsl {
         bad("exactly ONE top-level bucket aggregation is supported " +
           "(plus sibling *_bucket pipelines)")
       val (baseName, baseSpec) = bases.head
-      var out = aggregationsOne(base, pred, baseName, baseSpec, ctx)
+      var out = aggregationsOne(base, pred, score, baseName, baseSpec,
+        ctx)
       siblings.foreach { case (sn, sSpec) =>
         val kind = kindOf(sSpec)
         val body = sSpec.get(kind)
@@ -3617,11 +3713,12 @@ object EsDsl {
       }
       return out
     }
-    aggregationsOne(base, pred, entries.head._1, entries.head._2,
-      ctx)
+    aggregationsOne(base, pred, score, entries.head._1,
+      entries.head._2, ctx)
   }
 
   private def aggregationsOne(base: DataFrame, pred: Column,
+                              score: Column,
                               name: String, spec: JsonNode,
                               ctx: Ctx): DataFrame = {
     // the query's match set; significance aggs below keep `base` +
@@ -3715,6 +3812,54 @@ object EsDsl {
         top.getField("_s").as(s"${alias}_sort") +:
           mfs.zipWithIndex.map { case (f, i) =>
             top.getField(s"_m$i").as(s"${alias}_$f") }
+      case "geo_bounds" =>
+        // ES geo_bounds: the smallest box covering every point.
+        // wrap_longitude (default true) picks the NARROWER of the
+        // unwrapped envelope and the date-line-crossing one — ES's
+        // resolve rule over Lucene's bounded per-sign min/max state.
+        // Six conditional aggregates in one pass, no per-point state.
+        val f = Option(mSpec.get("field")).map(_.asText)
+          .getOrElse(bad("geo_bounds needs \"field\""))
+        val wrap = Option(mSpec.get("wrap_longitude"))
+          .forall(_.asBoolean)
+        val lat = col(s"$f.lat"); val lon = col(s"$f.lon")
+        val posLeft = min(when(lon >= 0, lon))
+        val posRight = max(when(lon >= 0, lon))
+        val negLeft = min(when(lon < 0, lon))
+        val negRight = max(when(lon < 0, lon))
+        val (left, right) =
+          if (!wrap) (coalesce(negLeft, posLeft),
+            coalesce(posRight, negRight))
+          else {
+            val unwrappedW = posRight - negLeft
+            val wrappedW = (lit(180.0) - posLeft) -
+              (lit(-180.0) - negRight)
+            (when(posLeft.isNull, negLeft)
+               .when(negLeft.isNull, posLeft)
+               .when(unwrappedW <= wrappedW, negLeft)
+               .otherwise(posLeft),
+             when(posLeft.isNull, negRight)
+               .when(negLeft.isNull, posRight)
+               .when(unwrappedW <= wrappedW, posRight)
+               .otherwise(negRight))
+          }
+        Seq(max(lat).as(s"${alias}_top_left_lat"),
+          left.as(s"${alias}_top_left_lon"),
+          min(lat).as(s"${alias}_bottom_right_lat"),
+          right.as(s"${alias}_bottom_right_lon"))
+      case "geo_centroid" =>
+        // ES geo_centroid: arithmetic mean of lat/lon over docs
+        // carrying a point, plus the contributing count. The means
+        // are free-order double sums — rounded to 1e-4 (the
+        // string_stats entropy precedent) so the value is
+        // reproducible cross-engine and across partitionings.
+        val f = Option(mSpec.get("field")).map(_.asText)
+          .getOrElse(bad("geo_centroid needs \"field\""))
+        val lat = col(s"$f.lat"); val lon = col(s"$f.lon")
+        val has = lat.isNotNull && lon.isNotNull
+        Seq(Search.round4(avg(when(has, lat))).as(s"${alias}_lat"),
+          Search.round4(avg(when(has, lon))).as(s"${alias}_lon"),
+          count(when(has, lit(1))).as(s"${alias}_count"))
       case _ => metricColsSimple(mKind, mSpec, alias)
     }
     def metricColsSimple(mKind: String, mSpec: JsonNode,
@@ -4570,16 +4715,35 @@ object EsDsl {
         // ES nested AGGREGATION: bucket over the ELEMENTS of an
         // array-of-struct column — doc_count counts nested docs
         // (elements), ES's convention. One explode + one hash agg;
-        // supports a single child `terms` agg over `path.field`.
+        // supports a single child `terms` agg over `path.field`. The
+        // child terms may carry `reverse_nested` sub-aggregations —
+        // ES's join-back-to-parent: each bucket also reports how many
+        // PARENT documents contributed elements, computed as a
+        // distinct count of the parent id riding the SAME aggregation
+        // (no second pass, no join back).
         val nspec = spec.get("nested")
         val path = Option(nspec.get("path")).map(_.asText)
           .getOrElse(bad("nested agg needs \"path\""))
         val nFields = ctx.nestedFields(path).getOrElse(
           bad(s"nested path '$path' is not an array-of-struct column"))
-        val subs = subEntries(spec)
-        if (subs.size != 1 || subs.head._2 != "terms")
+        val childAggs = Option(spec.get("aggs"))
+          .orElse(Option(spec.get("aggregations")))
+          .getOrElse(bad("nested agg supports exactly one child " +
+            "terms agg"))
+        val childNames = keysOf(childAggs)
+        if (childNames.size != 1)
           bad("nested agg supports exactly one child terms agg")
-        val (_, _, cs) = subs.head
+        val cnode = childAggs.get(childNames.head)
+        if (kindOf(cnode) != "terms")
+          bad("nested agg supports exactly one child terms agg")
+        val cs = cnode.get("terms")
+        // only the implemented child-terms knobs — a silently-dropped
+        // order/missing/include would change ES's answer
+        val unknownChild = keysOf(cs).filterNot(Set("field", "size"))
+        if (unknownChild.nonEmpty)
+          bad("unsupported nested child terms key" +
+            s"${if (unknownChild.size == 1) "" else "s"}: " +
+            unknownChild.mkString(", "))
         val f = Option(cs.get("field")).map(_.asText)
           .getOrElse(bad("terms agg needs \"field\""))
         if (!f.startsWith(path + "."))
@@ -4588,9 +4752,26 @@ object EsDsl {
         if (!nFields.contains(sub0)) bad(s"unknown nested field '$f'")
         val size1 = Option(cs.get("size")).map(_.asInt).getOrElse(10)
         if (size1 <= 0 || size1 > 1000) bad("terms size must be 1..1000")
-        df.select(explode(col(path)).as("__el"))
+        // grandchildren: reverse_nested only (each an EMPTY body —
+        // ES's climb-to-an-intermediate-path form has no meaning on
+        // one nesting level)
+        val revCols = Option(cnode.get("aggs"))
+          .orElse(Option(cnode.get("aggregations"))).toSeq
+          .flatMap(a => keysOf(a).map(n => n -> a.get(n)))
+          .map { case (rn, rspec) =>
+            if (kindOf(rspec) != "reverse_nested")
+              bad("nested child terms sub-aggregations support only " +
+                "reverse_nested")
+            if (keysOf(rspec).exists(k => k == "aggs" ||
+                k == "aggregations"))
+              bad("reverse_nested sub-aggregations are not supported")
+            if (rspec.get("reverse_nested").fieldNames().hasNext)
+              bad("reverse_nested takes an empty body")
+            countDistinct(col(SidCol)).as(s"${rn}_doc_count")
+          }
+        df.select(col(SidCol), explode(col(path)).as("__el"))
           .groupBy(col(s"__el.$sub0").as("key"))
-          .agg(count(lit(1)).as("doc_count"))
+          .agg(count(lit(1)).as("doc_count"), revCols: _*)
           .orderBy(col("doc_count").desc, col("key").asc)
           .limit(size1)
 
@@ -4667,6 +4848,240 @@ object EsDsl {
           bad("global agg takes an empty body")
         val cols = metricSubs(spec)
         ctx.raw.agg(count(lit(1)).as("doc_count"), cols: _*)
+
+      case "sampler" | "diversified_sampler" =>
+        // ES sampler: restrict sub-aggregation processing to the
+        // TOP-SCORING shard_size docs of the match set. ONE logical
+        // shard here, so the sample is the global top shard_size by
+        // (_score desc, id asc) — a single TakeOrdered, DETERMINISTIC
+        // where ES's per-shard cut depends on shard topology (the id
+        // tiebreak is this engine's usual pagination guarantee). The
+        // score is the TOP-LEVEL query's score expression, resolvable
+        // here because the score-join frames ride `base` — no new
+        // scoring registration happens inside the agg.
+        // diversified_sampler first caps docs per distinct `field`
+        // value (max_docs_per_value, default 1) with one ranked
+        // window — ES's de-biasing knob.
+        val sp = spec.get(kind)
+        val shardSize = Option(sp.get("shard_size")).map { n =>
+          if (!n.isIntegralNumber) bad("shard_size must be an integer")
+          n.asInt
+        }.getOrElse(100)
+        if (shardSize < 1 || shardSize > MaxResultWindow)
+          bad(s"shard_size must be 1..$MaxResultWindow")
+        val ord = Seq(score.desc, col(SidCol).asc)
+        val pool =
+          if (kind == "sampler") df
+          else {
+            val f = Option(sp.get("field")).map(_.asText)
+              .getOrElse(bad("diversified_sampler needs \"field\""))
+            if (!df.columns.contains(f))
+              bad(s"unknown diversified_sampler field '$f'")
+            val maxPer = Option(sp.get("max_docs_per_value")).map { n =>
+              if (!n.isIntegralNumber)
+                bad("max_docs_per_value must be an integer")
+              n.asInt
+            }.getOrElse(1)
+            if (maxPer < 1 || maxPer > 100)
+              bad("max_docs_per_value must be 1..100")
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col(f)).orderBy(ord: _*)
+            df.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= maxPer).drop("__rn")
+          }
+        val sample = pool.orderBy(ord: _*).limit(shardSize)
+        // sub-aggregations: ONE child bucket agg recurses over the
+        // sample frame (the sample carries the id/score machinery, so
+        // any bucket kind composes); metric-only children ride one
+        // .agg alongside the sample's doc_count
+        val childAggs = Option(spec.get("aggs"))
+          .orElse(Option(spec.get("aggregations")))
+        val bucketChild = childAggs
+          .filter(a => keysOf(a).size == 1 &&
+            !MetricKinds(kindOf(a.get(keysOf(a).head))))
+          .map(a => keysOf(a).head -> a.get(keysOf(a).head))
+        bucketChild match {
+          case Some((n0, cspec)) =>
+            aggregationsOne(sample, lit(true), score, n0, cspec, ctx)
+          case None =>
+            sample.agg(count(lit(1)).as("doc_count"),
+              metricSubs(spec): _*)
+        }
+
+      case "geo_distance" =>
+        // ES geo_distance AGG: enumerated range buckets over the
+        // haversine distance from a fixed origin — the `range` agg's
+        // single-pass conditional shape with the distance expression
+        // as the bucketed value (computed once per row, zero joins).
+        // `unit` scales the REQUEST's bounds (data stays in meters);
+        // distance_type accepts only the default arc, like the query.
+        val h = spec.get("geo_distance")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("geo_distance agg needs \"field\""))
+        val (oLat, oLon) = geoPoint(Option(h.get("origin"))
+          .getOrElse(bad("geo_distance agg needs \"origin\"")),
+          "geo_distance")
+        Option(h.get("distance_type")).map(_.asText).foreach {
+          case "arc" => ()
+          case other => bad(s"unsupported distance_type '$other' " +
+            "(only the default 'arc')")
+        }
+        val unitM = Option(h.get("unit")).map(_.asText).map {
+          case "m" => 1.0
+          case "km" => 1000.0
+          case "mi" => 1609.344
+          case other => bad(s"unsupported geo_distance unit '$other' " +
+            "(m/km/mi)")
+        }.getOrElse(1.0)
+        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("geo_distance agg needs a non-empty " +
+            "\"ranges\" array"))
+        val ranges = (0 until rangesNode.size).map { i =>
+          val r = rangesNode.get(i)
+          val from = Option(r.get("from")).map(_.asDouble)
+          val to = Option(r.get("to")).map(_.asDouble)
+          if (from.isEmpty && to.isEmpty)
+            bad("each range needs \"from\" and/or \"to\"")
+          val key = Option(r.get("key")).map(_.asText).getOrElse(
+            s"${from.map(_.toString).getOrElse("*")}-" +
+              s"${to.map(_.toString).getOrElse("*")}")
+          (key, from, to)
+        }
+        val dist = haversineMeters(col(s"$f.lat"), col(s"$f.lon"),
+          oLat, oLon) / lit(unitM)
+        val conds = ranges.map { case (_, from, to) =>
+          Seq(Some(dist.isNotNull), from.map(dist >= _),
+            to.map(dist < _)).flatten.reduce(_ && _)
+        }
+        enumeratedBuckets(ranges.map(_._1), conds, spec)
+
+      case "geotile_grid" =>
+        // ES geotile_grid: web-mercator map tiles, bucket key "z/x/y"
+        // at zoom `precision` — the slippy-map formulas as pure
+        // column arithmetic (ONE hash agg, no geo library), lat
+        // clamped to the mercator domain exactly like ES.
+        val h = spec.get("geotile_grid")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("geotile_grid agg needs \"field\""))
+        val z = Option(h.get("precision")).map { n =>
+          if (!n.isIntegralNumber) bad("precision must be an integer")
+          n.asInt
+        }.getOrElse(7)
+        if (z < 0 || z > 29) bad("geotile_grid precision must be 0..29")
+        val size1 = Option(h.get("size")).map(_.asInt).getOrElse(10000)
+        if (size1 < 1 || size1 > 100000)
+          bad("geotile_grid size must be 1..100000")
+        val n = math.pow(2, z) // exact: 2^z <= 2^29 in a double
+        val MaxLat = 85.0511287798066 // atan(sinh(π)) — mercator edge
+        val lon = col(s"$f.lon")
+        val lat = greatest(least(col(s"$f.lat"), lit(MaxLat)),
+          lit(-MaxLat))
+        val xt = least(floor(lon.plus(lit(180.0)).divide(lit(360.0))
+          .multiply(lit(n))), lit(n - 1)).cast("long")
+        val latR = radians(lat)
+        val yt = least(floor(
+          lit(1.0).minus(log(tan(latR).plus(lit(1.0).divide(cos(latR))))
+            .divide(lit(math.Pi)))
+            .divide(lit(2.0)).multiply(lit(n))), lit(n - 1))
+          .cast("long")
+        val key = concat_ws("/", lit(z.toString), xt, yt)
+        df.filter(lon.isNotNull && col(s"$f.lat").isNotNull)
+          .groupBy(key.as("key"))
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size1)
+
+      case "geohash_grid" =>
+        // ES geohash_grid: base32 geohash cells at `precision` 1..12.
+        // The hash is computed FROM SCRATCH as column bit arithmetic —
+        // quantize lon/lat to ceil(5p/2)/floor(5p/2) bits, interleave
+        // (even bits longitude, Niemeyer's layout), then map 5-bit
+        // groups onto the base32 alphabet. 5p <= 60 bits rides one
+        // long; the whole key is codegen'd scalar arithmetic, one
+        // hash agg.
+        val h = spec.get("geohash_grid")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("geohash_grid agg needs \"field\""))
+        val p = Option(h.get("precision")).map { n =>
+          if (!n.isIntegralNumber) bad("precision must be an integer")
+          n.asInt
+        }.getOrElse(5)
+        if (p < 1 || p > 12) bad("geohash_grid precision must be 1..12")
+        val size1 = Option(h.get("size")).map(_.asInt).getOrElse(10000)
+        if (size1 < 1 || size1 > 100000)
+          bad("geohash_grid size must be 1..100000")
+        val key = geohashColumn(col(s"$f.lat"), col(s"$f.lon"), p)
+        df.filter(col(s"$f.lat").isNotNull && col(s"$f.lon").isNotNull)
+          .groupBy(key.as("key"))
+          .agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size1)
+
+      case "ip_range" =>
+        // ES ip_range: enumerated buckets over IPv4 addresses compared
+        // NUMERICALLY — from inclusive, to exclusive, plus the CIDR
+        // "mask" form. Dotted quads become one long via split + octet
+        // arithmetic (codegen'd, null on malformed rows — an
+        // unparseable address matches no bucket); the range agg's
+        // single conditional pass serves every bucket.
+        val h = spec.get("ip_range")
+        val f = Option(h.get("field")).map(_.asText)
+          .getOrElse(bad("ip_range agg needs \"field\""))
+        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
+          .filter(_.size > 0)
+          .getOrElse(bad("ip_range agg needs a non-empty \"ranges\" " +
+            "array"))
+        val ranges = (0 until rangesNode.size).map { i =>
+          val r = rangesNode.get(i)
+          val unknown = keysOf(r).filterNot(Set("from", "to", "key",
+            "mask"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported ip_range range key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          Option(r.get("mask")).map(_.asText) match {
+            case Some(mask) =>
+              if (r.hasNonNull("from") || r.hasNonNull("to"))
+                bad("an ip_range range takes \"mask\" or " +
+                  "\"from\"/\"to\", not both")
+              val (net, bits) = mask.split("/", 2) match {
+                case Array(ip, b) =>
+                  (ipv4Long(ip).getOrElse(
+                    bad(s"malformed ip in mask '$mask'")),
+                    try b.toInt catch { case _: NumberFormatException =>
+                      bad(s"malformed prefix in mask '$mask'") })
+                case _ => bad(s"malformed mask '$mask' (ip/prefix)")
+              }
+              if (bits < 0 || bits > 32)
+                bad(s"mask prefix must be 0..32 in '$mask'")
+              val span = 1L << (32 - bits)
+              val lo = net - (net % span) // align to the block
+              val key = Option(r.get("key")).map(_.asText)
+                .getOrElse(mask)
+              (key, Some(lo), Some(lo + span))
+            case None =>
+              val from = Option(r.get("from")).map(_.asText)
+                .map(ip => ipv4Long(ip).getOrElse(
+                  bad(s"malformed ip '$ip'")))
+              val to = Option(r.get("to")).map(_.asText)
+                .map(ip => ipv4Long(ip).getOrElse(
+                  bad(s"malformed ip '$ip'")))
+              if (from.isEmpty && to.isEmpty)
+                bad("each ip_range range needs \"from\", \"to\", or " +
+                  "\"mask\"")
+              val key = Option(r.get("key")).map(_.asText).getOrElse(
+                s"${Option(r.get("from")).map(_.asText).getOrElse("*")}-" +
+                  s"${Option(r.get("to")).map(_.asText).getOrElse("*")}")
+              (key, from, to)
+          }
+        }
+        val ipc = ipv4LongColumn(col(f))
+        val conds = ranges.map { case (_, from, to) =>
+          Seq(Some(ipc.isNotNull), from.map(ipc >= _),
+            to.map(ipc < _)).flatten.reduce(_ && _)
+        }
+        enumeratedBuckets(ranges.map(_._1), conds, spec)
 
       case "rare_terms" =>
         // ES rare_terms: the LONG TAIL — buckets whose doc_count is at

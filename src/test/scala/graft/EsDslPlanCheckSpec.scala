@@ -258,4 +258,33 @@ class EsDslPlanCheckSpec extends SparkSpec {
     val scans = df.queryExecution.optimizedPlan.collectLeaves().size
     assert(scans == 1, s"terms_having scanned the corpus $scans times")
   }
+
+  test("geo / ip aggregations are single-scan column arithmetic: one " +
+    "corpus leaf, no join, no union of per-bucket scans") {
+    Seq("q7_esdsl_geo_distance_agg", "q7_esdsl_geotile_grid",
+        "q7_esdsl_geohash_grid", "q7_esdsl_ip_range",
+        "q7_esdsl_geo_bounds", "q7_esdsl_geo_centroid").foreach { qn =>
+      val df = queries.ParityQueries.queries(qn)(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(scans == 1, s"$qn scanned the corpus $scans times")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$qn joined:\n${plan.take(2000)}")
+      assert(!plan.contains("Union"),
+        s"$qn unioned per-bucket scans:\n${plan.take(2000)}")
+    }
+  }
+
+  test("sampler: the sample cut is a TakeOrdered (never a global " +
+    "sort), and the whole body stays on one corpus scan") {
+    val df = queries.ParityQueries.queries("q7_esdsl_sampler")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sampler cut is not a TakeOrdered:\n${plan.take(2000)}")
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"sampler scanned the corpus $scans times")
+  }
 }
