@@ -1585,18 +1585,25 @@ object EsDsl {
     "percentiles", "percentile_ranks", "weighted_avg", "top_metrics",
     "geo_bounds", "geo_centroid")
 
+  /** Monotonic suffix for sampler membership-flag columns (nested
+    * samplers must not collide on the name). */
+  private val SamplerDepth = new java.util.concurrent.atomic.AtomicLong
+
   /** Dotted-quad IPv4 → its unsigned-32 value in a Long; None when
     * malformed. Literal side of `ip_range` — the column twin is
     * [[ipv4LongColumn]]. */
   private def ipv4Long(ip: String): Option[Long] = {
     val parts = ip.split("\\.", -1)
-    if (parts.length != 4) return None
-    try {
-      val os = parts.map(_.toLong)
-      if (os.exists(o => o < 0 || o > 255)) None
-      else Some(os(0) * 16777216L + os(1) * 65536L + os(2) * 256L +
-        os(3))
-    } catch { case _: NumberFormatException => None }
+    // digits only — String.toLong would accept a leading sign, which
+    // the column twin's shape regex rejects; the twins must agree on
+    // what is a valid address
+    if (parts.length != 4 ||
+        parts.exists(p => p.isEmpty || p.length > 3 ||
+          !p.forall(_.isDigit))) return None
+    val os = parts.map(_.toLong)
+    if (os.exists(_ > 255)) None
+    else Some(os(0) * 16777216L + os(1) * 65536L + os(2) * 256L +
+      os(3))
   }
 
   /** Column twin of [[ipv4Long]]: null on malformed rows (shape gate +
@@ -3822,7 +3829,12 @@ object EsDsl {
           .getOrElse(bad("geo_bounds needs \"field\""))
         val wrap = Option(mSpec.get("wrap_longitude"))
           .forall(_.asBoolean)
-        val lat = col(s"$f.lat"); val lon = col(s"$f.lon")
+        // COMPLETE points only (ES never indexes a half geo_point; a
+        // row with one null coordinate must not stretch one axis
+        // while invisible on the other — the geo_centroid gate)
+        val has = col(s"$f.lat").isNotNull && col(s"$f.lon").isNotNull
+        val lat = when(has, col(s"$f.lat"))
+        val lon = when(has, col(s"$f.lon"))
         val posLeft = min(when(lon >= 0, lon))
         val posRight = max(when(lon >= 0, lon))
         val negLeft = min(when(lon < 0, lon))
@@ -4065,6 +4077,45 @@ object EsDsl {
     // aggregation, then one explode reshapes the single row into
     // buckets IN REQUEST ORDER — ES returns every enumerated bucket,
     // empty ones included (doc_count 0), unlike terms
+    // ONE from/to ranges grammar for the enumerated-bucket family
+    // (range, geo_distance, and — via numeric bounds — ip_range):
+    // bounds validated by TYPE (a coerced string would silently
+    // bucket as 0.0), unknown per-range keys rejected by name,
+    // default keys in ES's "from-to" format with * for an open end.
+    def numericRanges(h: JsonNode, kind: String)
+        : Seq[(String, Option[Double], Option[Double])] = {
+      val rangesNode = Option(h.get("ranges")).filter(_.isArray)
+        .filter(_.size > 0)
+        .getOrElse(bad(s"$kind agg needs a non-empty \"ranges\" " +
+          "array"))
+      (0 until rangesNode.size).map { i =>
+        val r = rangesNode.get(i)
+        val unknown = keysOf(r).filterNot(Set("from", "to", "key"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported $kind range key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+        def num(k: String) = Option(r.get(k)).map { n =>
+          if (!n.isNumber) bad(s"$kind range \"$k\" must be numeric")
+          n.asDouble
+        }
+        val from = num("from"); val to = num("to")
+        if (from.isEmpty && to.isEmpty)
+          bad("each range needs \"from\" and/or \"to\"")
+        val key = Option(r.get("key")).map(_.asText).getOrElse(
+          s"${from.map(_.toString).getOrElse("*")}-" +
+            s"${to.map(_.toString).getOrElse("*")}")
+        (key, from, to)
+      }
+    }
+    // from inclusive / to exclusive over a bucketed value expression
+    def boundConds(v: Column,
+        ranges: Seq[(String, Option[Double], Option[Double])])
+        : Seq[Column] =
+      ranges.map { case (_, from, to) =>
+        Seq(Some(v.isNotNull), from.map(v >= _), to.map(v < _))
+          .flatten.reduce(_ && _)
+      }
     def enumeratedBuckets(keys: Seq[String], conds: Seq[Column],
                           parent: JsonNode): DataFrame = {
       val subs = subEntries(parent)
@@ -4419,25 +4470,9 @@ object EsDsl {
         val h = spec.get("range")
         val f = Option(h.get("field")).map(_.asText)
           .getOrElse(bad("range agg needs \"field\""))
-        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
-          .filter(_.size > 0)
-          .getOrElse(bad("range agg needs a non-empty \"ranges\" array"))
-        val ranges = (0 until rangesNode.size).map { i =>
-          val r = rangesNode.get(i)
-          val from = Option(r.get("from")).map(_.asDouble)
-          val to = Option(r.get("to")).map(_.asDouble)
-          if (from.isEmpty && to.isEmpty)
-            bad("each range needs \"from\" and/or \"to\"")
-          val key = Option(r.get("key")).map(_.asText).getOrElse(
-            s"${from.map(_.toString).getOrElse("*")}-" +
-              s"${to.map(_.toString).getOrElse("*")}")
-          (key, from, to)
-        }
-        val conds = ranges.map { case (_, from, to) =>
-          Seq(Some(col(f).isNotNull), from.map(col(f) >= _),
-            to.map(col(f) < _)).flatten.reduce(_ && _)
-        }
-        enumeratedBuckets(ranges.map(_._1), conds, spec)
+        val ranges = numericRanges(h, "range")
+        enumeratedBuckets(ranges.map(_._1), boundConds(col(f), ranges),
+          spec)
 
       case "filters" =>
         // ES filters agg: NAMED buckets, one per filter clause
@@ -4890,19 +4925,42 @@ object EsDsl {
               .filter(col("__rn") <= maxPer).drop("__rn")
           }
         val sample = pool.orderBy(ord: _*).limit(shardSize)
-        // sub-aggregations: ONE child bucket agg recurses over the
-        // sample frame (the sample carries the id/score machinery, so
-        // any bucket kind composes); metric-only children ride one
-        // .agg alongside the sample's doc_count
+        // sub-aggregations: ONE child bucket agg recurses with
+        // base = the ORIGINAL frame flagged by sample membership (a
+        // shard_size-bounded broadcast semi-join) and pred = the
+        // flag. Plain bucket kinds see base.filter(pred) == the
+        // sample; significance kinds keep the WHOLE index as their
+        // background corpus against the sample foreground — ES's
+        // sampler>significant_terms semantics (recursing over the
+        // bare sample frame made fg == bg, so every JLH score was 0
+        // and the flagship sampler pairing silently returned empty).
+        // Metric-only children ride one .agg over the sample frame
+        // alongside its doc_count; whole-frame single aggs (boxplot,
+        // matrix_stats, ...) compose as the single bucket child but
+        // cannot MIX with metric children — that combination rejects
+        // by name instead of surfacing a misleading metric error.
         val childAggs = Option(spec.get("aggs"))
           .orElse(Option(spec.get("aggregations")))
+        childAggs.filter(a => keysOf(a).size > 1).foreach { a =>
+          keysOf(a).map(n => kindOf(a.get(n)))
+            .filterNot(MetricKinds).foreach(k =>
+              bad(s"$k must be the sampler's only child aggregation"))
+        }
         val bucketChild = childAggs
           .filter(a => keysOf(a).size == 1 &&
             !MetricKinds(kindOf(a.get(keysOf(a).head))))
           .map(a => keysOf(a).head -> a.get(keysOf(a).head))
         bucketChild match {
           case Some((n0, cspec)) =>
-            aggregationsOne(sample, lit(true), score, n0, cspec, ctx)
+            // unique flag name so sampler-in-sampler nesting cannot
+            // collide on the membership column
+            val fl = s"__smp_${SamplerDepth.getAndIncrement()}"
+            val flagged = base.join(
+              broadcast(sample.select(col(SidCol))
+                .withColumn(fl, lit(true))),
+              Seq(SidCol), "left")
+            aggregationsOne(flagged,
+              coalesce(col(fl), lit(false)), score, n0, cspec, ctx)
           case None =>
             sample.agg(count(lit(1)).as("doc_count"),
               metricSubs(spec): _*)
@@ -4933,28 +4991,11 @@ object EsDsl {
           case other => bad(s"unsupported geo_distance unit '$other' " +
             "(m/km/mi)")
         }.getOrElse(1.0)
-        val rangesNode = Option(h.get("ranges")).filter(_.isArray)
-          .filter(_.size > 0)
-          .getOrElse(bad("geo_distance agg needs a non-empty " +
-            "\"ranges\" array"))
-        val ranges = (0 until rangesNode.size).map { i =>
-          val r = rangesNode.get(i)
-          val from = Option(r.get("from")).map(_.asDouble)
-          val to = Option(r.get("to")).map(_.asDouble)
-          if (from.isEmpty && to.isEmpty)
-            bad("each range needs \"from\" and/or \"to\"")
-          val key = Option(r.get("key")).map(_.asText).getOrElse(
-            s"${from.map(_.toString).getOrElse("*")}-" +
-              s"${to.map(_.toString).getOrElse("*")}")
-          (key, from, to)
-        }
+        val ranges = numericRanges(h, "geo_distance")
         val dist = haversineMeters(col(s"$f.lat"), col(s"$f.lon"),
           oLat, oLon) / lit(unitM)
-        val conds = ranges.map { case (_, from, to) =>
-          Seq(Some(dist.isNotNull), from.map(dist >= _),
-            to.map(dist < _)).flatten.reduce(_ && _)
-        }
-        enumeratedBuckets(ranges.map(_._1), conds, spec)
+        enumeratedBuckets(ranges.map(_._1), boundConds(dist, ranges),
+          spec)
 
       case "geotile_grid" =>
         // ES geotile_grid: web-mercator map tiles, bucket key "z/x/y"
@@ -4969,7 +5010,10 @@ object EsDsl {
           n.asInt
         }.getOrElse(7)
         if (z < 0 || z > 29) bad("geotile_grid precision must be 0..29")
-        val size1 = Option(h.get("size")).map(_.asInt).getOrElse(10000)
+        val size1 = Option(h.get("size")).map { n =>
+          if (!n.isIntegralNumber) bad("size must be an integer")
+          n.asInt
+        }.getOrElse(10000)
         if (size1 < 1 || size1 > 100000)
           bad("geotile_grid size must be 1..100000")
         val n = math.pow(2, z) // exact: 2^z <= 2^29 in a double
@@ -5008,7 +5052,10 @@ object EsDsl {
           n.asInt
         }.getOrElse(5)
         if (p < 1 || p > 12) bad("geohash_grid precision must be 1..12")
-        val size1 = Option(h.get("size")).map(_.asInt).getOrElse(10000)
+        val size1 = Option(h.get("size")).map { n =>
+          if (!n.isIntegralNumber) bad("size must be an integer")
+          n.asInt
+        }.getOrElse(10000)
         if (size1 < 1 || size1 > 100000)
           bad("geohash_grid size must be 1..100000")
         val key = geohashColumn(col(s"$f.lat"), col(s"$f.lon"), p)
@@ -5077,11 +5124,11 @@ object EsDsl {
           }
         }
         val ipc = ipv4LongColumn(col(f))
-        val conds = ranges.map { case (_, from, to) =>
-          Seq(Some(ipc.isNotNull), from.map(ipc >= _),
-            to.map(ipc < _)).flatten.reduce(_ && _)
-        }
-        enumeratedBuckets(ranges.map(_._1), conds, spec)
+        // u32 values sit far below 2^53 — the shared double-bound
+        // conds are exact
+        enumeratedBuckets(ranges.map(_._1),
+          boundConds(ipc, ranges.map { case (k, from, to) =>
+            (k, from.map(_.toDouble), to.map(_.toDouble)) }), spec)
 
       case "rare_terms" =>
         // ES rare_terms: the LONG TAIL — buckets whose doc_count is at

@@ -163,6 +163,35 @@ class EsDslGeoSamplingSpec extends SparkSpec {
     assert(rows("10.0.1.99/24") == 1L)        // aligned to 10.0.1.0/24
   }
 
+  test("sampler > significant_terms: the sample is the FOREGROUND " +
+    "and the whole index stays the background corpus") {
+    val rows = EsDsl.search(docs, mapper.readTree(
+      """{"query": {"query_string": {"query": "text:window"}},
+        | "size": 0,
+        | "aggs": {"s": {"sampler": {"shard_size": 2},
+        |   "aggs": {"sig": {"significant_terms":
+        |     {"field": "source", "size": 10}}}}}}""".stripMargin))
+      .collect()
+    // sample = docs 1 (src3) and 2 (src1); index: src3 ×2, src1 ×1.
+    // src1: fg 50% vs bg 25% → significant; src3: 50% vs 50% → not.
+    // (fg == bg — the pre-fix recursion — returned ZERO buckets.)
+    assert(rows.map(_.getAs[String]("key")).toSeq == Seq("src1"))
+  }
+
+  test("geo_bounds: a row with one null coordinate is excluded from " +
+    "BOTH axes, not just the null one") {
+    val df = Seq((1L, Some(10.0), Some(20.0)),
+      (2L, Some(80.0), None: Option[Double]))
+      .toDF("id", "lat", "lon")
+      .selectExpr("id", "named_struct('lat', lat, 'lon', lon) AS loc")
+    val r = EsDsl.search(df, mapper.readTree(
+      """{"query": {"match_all": {}}, "size": 0,
+        | "aggs": {"v": {"geo_bounds": {"field": "loc"}}}}"""
+        .stripMargin)).collect()(0)
+    assert(r.getAs[Double]("v_top_left_lat") == 10.0)
+    assert(r.getAs[Double]("v_bottom_right_lat") == 10.0)
+  }
+
   test("named rejection: every new knob fails loud, never silently " +
     "wrong") {
     def rej(agg: String, needle: String): Unit = {
@@ -195,6 +224,22 @@ class EsDslGeoSamplingSpec extends SparkSpec {
       "not both")
     rej("""{"geo_bounds": {"field": "loc", "ignore_unmapped": true}}""",
       "ignore_unmapped")
+    rej("""{"geo_distance": {"field": "loc",
+        |"origin": {"lat": 0, "lon": 0},
+        |"ranges": [{"to": "5km"}]}}""".stripMargin, "numeric")
+    rej("""{"geotile_grid": {"field": "loc", "precision": 4,
+        |"size": 10.5}}""".stripMargin, "integer")
+    // a whole-frame single agg cannot MIX with metric children under
+    // the sampler — named rejection, not a misleading metric error
+    val mix = intercept[IllegalArgumentException] {
+      EsDsl.search(docs, mapper.readTree(
+        """{"query": {"match_all": {}}, "size": 0,
+          | "aggs": {"s": {"sampler": {"shard_size": 5},
+          |   "aggs": {"bp": {"boxplot": {"field": "n"}},
+          |            "c": {"value_count": {"field": "n"}}}}}}"""
+          .stripMargin)).collect()
+    }
+    assert(mix.getMessage.contains("only child"))
     // reverse_nested outside its nested-terms home
     val e = intercept[IllegalArgumentException] {
       EsDsl.search(orders, mapper.readTree(
