@@ -1697,6 +1697,61 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // runtime_mappings: a search-time computed field drives the
+    // query, the sort, and the fields response section — the raw
+    // column never reaches the hits (ES's runtime-fields contract).
+    "q7_esdsl_runtime" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"runtime_mappings": {"total": {"type": "double",
+          |   "script": {"source":
+          |     "emit(doc['c_acctbal'].value * params.f + 10)",
+          |     "params": {"f": 2}}}},
+          | "query": {"range": {"total": {"gte": 15000}}},
+          | "sort": [{"total": "desc"}],
+          | "fields": ["total"],
+          | "size": 10000}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "customer"), body)
+    }),
+
+    // script_fields + fields in one body: a per-hit computed value
+    // (page-sized work, ES's fetch phase) beside a concrete-column
+    // fields entry.
+    "q7_esdsl_script_fields" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"term": {"c_mktsegment": "BUILDING"}},
+          | "script_fields": {"ratio": {"script": {"source":
+          |   "doc['c_acctbal'].value / params.d",
+          |   "params": {"d": 100}}}},
+          | "fields": ["c_name"],
+          | "size": 10000}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "customer"), body)
+    }),
+
+    // _geo_distance sort: nearest-first page around an origin — the
+    // haversine sort key computes per row, the page is one
+    // TakeOrdered, missing points sort at Infinity.
+    "q7_esdsl_geo_sort" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "sort": [{"_geo_distance": {"loc": {"lat": 0, "lon": 30},
+          |   "order": "asc", "unit": "km"}}],
+          | "size": 120}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+        .drop("loc")
+    }),
+
+    // _script sort: the computed-key sort twin — painless arithmetic
+    // over the hit row picks the page.
+    "q7_esdsl_script_sort" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "sort": [{"_script": {"type": "number",
+          |   "script": {"source": "0 - doc['c_acctbal'].value"},
+          |   "order": "asc"}}],
+          | "size": 150}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "customer"), body)
+    }),
+
     // rescore (round 9): two-phase ranking — occurrence-ranked
     // primary, top-50 window recombined with a double-weighted phrase
     // score. The window is one TakeOrdered; the page re-sorts within
@@ -3840,6 +3895,30 @@ object ParityQueries {
       "WHERE lang IS NOT NULL GROUP BY 1 " +
       "ORDER BY doc_count DESC, lang LIMIT 20"
     },
+
+    "q7_esdsl_runtime" ->
+      ("SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\", " +
+       "(c_acctbal * 2 + 10) AS fields_total FROM customer " +
+       "WHERE (c_acctbal * 2 + 10) >= 15000"),
+
+    "q7_esdsl_script_fields" ->
+      ("SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\", " +
+       "(c_acctbal / 100) AS fields_ratio, c_name AS fields_c_name " +
+       "FROM customer WHERE c_mktsegment = 'BUILDING'"),
+
+    "q7_esdsl_geo_sort" ->
+      (s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       s"FROM customer ORDER BY (${haversineSql(0.0, 30.0)} / 1000.0) " +
+       "ASC, c_custkey LIMIT 120"),
+
+    "q7_esdsl_script_sort" ->
+      ("SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       "FROM customer ORDER BY (0 - c_acctbal) ASC, c_custkey " +
+       "LIMIT 150"),
 
     "q7_esdsl_moving_fn" ->
       ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +

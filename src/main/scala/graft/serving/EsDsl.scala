@@ -699,7 +699,8 @@ object EsDsl {
     // silent score floor or post filter would change that contract
     for (bad0 <- Seq("query", "aggs", "aggregations", "sort", "collapse",
         "search_after", "rescore", "highlight", "suggest", "rank",
-        "min_score", "post_filter")
+        "min_score", "post_filter", "runtime_mappings", "fields",
+        "script_fields")
         if body.hasNonNull(bad0))
       bad(s"knn cannot be combined with $bad0")
     val spec = parseKnn(body.get("knn"))
@@ -957,7 +958,7 @@ object EsDsl {
   /** Execute `body` and return (hits page, aggregation buckets if the
     * body has `aggs`) — ES returns BOTH in one response (`size: 0` is
     * how a caller opts out of hits, not the presence of `aggs`). */
-  def searchParts(df: DataFrame, body: JsonNode,
+  def searchParts(df0: DataFrame, body: JsonNode,
                   tiebreak: Seq[String] = Nil,
                   statsIndex: Option[String] = None)
       : (DataFrame, Option[DataFrame]) = {
@@ -980,6 +981,7 @@ object EsDsl {
       "query", "aggs", "aggregations", "sort", "collapse",
       "search_after", "rescore", "highlight", "suggest", "rank", "knn",
       "from", "size", "_source", "min_score", "post_filter",
+      "runtime_mappings", "fields", "script_fields",
       "track_total_hits", "timeout", "index"))
     if (unknownTop.nonEmpty)
       bad(s"unsupported body key" +
@@ -987,17 +989,33 @@ object EsDsl {
         unknownTop.mkString(", "))
     if (body.hasNonNull("knn") && !body.hasNonNull("query")) {
       // min_score/post_filter reject inside knnServe (the shared
-      // scaffold), covering this route AND the public searchKnnIvf
+      // scaffold), covering this route AND the public searchKnnIvf;
+      // runtime_mappings/fields/script_fields reject there too — the
+      // knn-only serve keeps its exact-k hit contract
       val idName0 = if (tiebreak.nonEmpty) tiebreak.head
-        else df.columns.head
+        else df0.columns.head
       val sid0 =
         if (tiebreak.size > 1)
           concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
         else col(idName0)
       val tieNames0 = if (tiebreak.nonEmpty) tiebreak
-        else Seq(df.columns.head)
-      return (knnParts(df, body, new Ctx(df, sid0), tieNames0), None)
+        else Seq(df0.columns.head)
+      return (knnParts(df0, body, new Ctx(df0, sid0), tieNames0), None)
     }
+    // "runtime_mappings": ES search-time runtime fields — each one an
+    // emit(<painless arithmetic>) script compiled to ONE codegen'd
+    // Column and appended to the frame, so the field works everywhere
+    // a mapped column does (query clauses, sort, aggregations,
+    // collapse). Like ES, runtime fields are NOT part of _source: the
+    // raw columns are dropped from the hit shape below and only
+    // surface through the "fields" option. Shadowing a mapped column
+    // rejects by name (ES shadows the mapped field at search time but
+    // keeps the original _source text — a split this flat hit shape
+    // cannot represent honestly).
+    val runtime: Seq[(String, Column)] =
+      parseRuntimeMappings(body, df0.columns.toSeq)
+    val df = runtime.foldLeft(df0) {
+      case (d, (n, c)) => d.withColumn(n, c) }
     val q = Option(body.get("query")).getOrElse(bad("missing \"query\""))
     val idName = if (tiebreak.nonEmpty) tiebreak.head else df.columns.head
     val sid =
@@ -1190,8 +1208,19 @@ object EsDsl {
     val effKeys: Seq[(Column, Boolean)] =
       (if (sortEntries.isEmpty) Seq((col("_score"), false))
        else sortEntries.map { n =>
-         val (f, ord) = sortEntryOf(n, "body")
-         sortPair(checkSortField(f), ord)
+         // computed sort entries — _geo_distance (haversine from an
+         // origin; a missing point sorts at Infinity, ES's contract)
+         // and _script (painless arithmetic over the hit row) — are
+         // BODY-sort-only: top_hits/bucket_sort keep the plain
+         // field grammar, like ES
+         if (n.isObject && keysOf(n) == Seq("_geo_distance"))
+           geoDistanceSortPair(n.get("_geo_distance"))
+         else if (n.isObject && keysOf(n) == Seq("_script"))
+           scriptSortPair(n.get("_script"))
+         else {
+           val (f, ord) = sortEntryOf(n, "body")
+           sortPair(checkSortField(f), ord)
+         }
        }) ++ tieNames.map(t => (col(t), true))
     val keyCols = effKeys.map { case (cc, asc) =>
       if (asc) cc.asc else cc.desc }
@@ -1266,12 +1295,73 @@ object EsDsl {
           s"highlight_$f" -> array_join(marked, " ")
         }
       }
+    // "fields": ES's fields option — requested fields (mapped OR
+    // runtime) surface as `fields_<name>` columns of the hit page,
+    // the flat projection of ES's per-hit fields section (the
+    // highlight_<field> precedent). This is the ONLY way a runtime
+    // field reaches the response — _source never carries one, like
+    // ES. Entry objects accept {"field": name}; "format" changes
+    // values, so it rejects by name, and so do wildcard patterns.
+    val fieldsReq: Seq[String] = Option(body.get("fields")).map { fn =>
+      if (!fn.isArray) bad("fields must be an array")
+      (0 until fn.size).map { i =>
+        val e = fn.get(i)
+        val name =
+          if (e.isTextual) e.asText
+          else if (e.isObject) {
+            val unknown = keysOf(e).filterNot(Set("field"))
+            if (unknown.nonEmpty)
+              bad(s"unsupported fields entry key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
+            Option(e.get("field")).map(_.asText)
+              .getOrElse(bad("fields entry needs \"field\""))
+          } else bad("malformed fields entry")
+        if (name.contains("*"))
+          bad("wildcard fields patterns are not supported")
+        if (!df.columns.contains(name))
+          bad(s"unknown fields entry '$name'")
+        name
+      }
+    }.getOrElse(Nil)
+    // "script_fields": per-hit computed values — the same painless
+    // arithmetic subset (doc refs, params, _score), computed on the
+    // PAGE like ES's fetch phase, surfaced as fields_<name> columns
+    // alongside the fields option's.
+    val scriptFieldCols: Seq[(String, Column)] =
+      Option(body.get("script_fields")).toSeq.flatMap { sf =>
+        if (!sf.isObject) bad("script_fields must be an object")
+        keysOf(sf).map { name =>
+          val e = sf.get(name)
+          if (!e.isObject)
+            bad(s"script field '$name' must be an object")
+          val unknown = keysOf(e).filterNot(Set("script"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported script_fields key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          name -> compileScoreScript(e.get("script"),
+            Map("_score" -> col("_score")))
+        }
+      }
+    val fieldCols: Seq[(String, Column)] =
+      fieldsReq.map(f => s"fields_$f" -> col(f)) ++
+      scriptFieldCols.map { case (n, c) => (s"fields_$n", c) }
+    fieldCols.map(_._1).groupBy(identity).collect {
+      case (n, dup) if dup.size > 1 =>
+        bad(s"duplicate fields entry '${n.stripPrefix("fields_")}'")
+    }
     def withHl(d: DataFrame): DataFrame =
-      hlCols.foldLeft(d) { case (acc, (n, cexpr)) =>
+      (hlCols ++ fieldCols).foldLeft(d) { case (acc, (n, cexpr)) =>
         acc.withColumn(n, cexpr) }
-    val hlNames = hlCols.map(n => col(n._1))
-    val hits = sourceProjected(page, body, df.columns.toSeq, idName,
+    val hlNames = (hlCols ++ fieldCols).map(n => col(n._1))
+    // _source validates against the MAPPED columns (df0) — a runtime
+    // field is never source, exactly ES; the raw runtime columns are
+    // dropped from every hit shape (their fields_<name> copies above
+    // are the response surface)
+    val hits0 = sourceProjected(page, body, df0.columns.toSeq, idName,
       withHl, hlNames)
+    val hits = runtime.map(_._1).foldLeft(hits0)(_ drop _)
     (hits, aggsOut)
   }
 
@@ -1418,6 +1508,70 @@ object EsDsl {
     }
   }
 
+  /** `{"_geo_distance": {"<field>": <point>, "order": ..., "unit":
+    * m|km|mi, "distance_type": "arc"}}` — sort hits by haversine
+    * distance from the origin. A row with a missing/half point sorts
+    * at Infinity (ES's missing-geo contract, which Spark's
+    * nulls-first default would invert). mode / ignore_unmapped /
+    * nested change results — they reject by name. */
+  private def geoDistanceSortPair(b: JsonNode): (Column, Boolean) = {
+    if (b == null || !b.isObject)
+      bad("malformed _geo_distance sort entry")
+    for (k <- Seq("mode", "ignore_unmapped", "nested", "nested_path")
+        if b.hasNonNull(k))
+      bad(s"unsupported _geo_distance sort key: $k")
+    val fieldKeys =
+      keysOf(b).filterNot(Set("order", "unit", "distance_type"))
+    if (fieldKeys.size != 1)
+      bad("_geo_distance sort needs exactly one point field beside " +
+        "its knobs")
+    val f = fieldKeys.head
+    val (oLat, oLon) = geoPoint(b.get(f), "_geo_distance sort")
+    Option(b.get("distance_type")).map(_.asText).foreach {
+      case "arc"  => () // haversine IS the arc distance
+      case other  => bad(s"unsupported distance_type '$other' " +
+        "(only the default 'arc')")
+    }
+    val unitM = Option(b.get("unit")).map(_.asText).map {
+      case "m"   => 1.0
+      case "km"  => 1000.0
+      case "mi"  => 1609.344
+      case other => bad(s"unsupported _geo_distance unit '$other' " +
+        "(m/km/mi)")
+    }.getOrElse(1.0)
+    val ord = Option(b.get("order")).map(_.asText).getOrElse("asc")
+    if (ord != "asc" && ord != "desc")
+      bad(s"unsupported sort order '$ord'")
+    val dist = haversineMeters(col(s"$f.lat"), col(s"$f.lon"),
+      oLat, oLon) / lit(unitM)
+    (coalesce(dist, lit(Double.PositiveInfinity)), ord == "asc")
+  }
+
+  /** `{"_script": {"type": "number", "script": {...}, "order": ...}}`
+    * — sort by a computed painless-arithmetic value over the hit row
+    * (doc refs, script params, `_score`). Only type "number" (the
+    * arithmetic subset's output domain); "string" rejects by name. */
+  private def scriptSortPair(b: JsonNode): (Column, Boolean) = {
+    if (b == null || !b.isObject) bad("malformed _script sort entry")
+    val unknown = keysOf(b).filterNot(Set("type", "script", "order"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported _script sort key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val tpe = Option(b.get("type")).map(_.asText)
+      .getOrElse(bad("_script sort needs \"type\""))
+    if (tpe != "number")
+      bad(s"unsupported _script sort type '$tpe' (only number)")
+    val ord = Option(b.get("order")).map(_.asText).getOrElse("asc")
+    if (ord != "asc" && ord != "desc")
+      bad(s"unsupported sort order '$ord'")
+    val c = compileScoreScript(
+      Option(b.get("script"))
+        .getOrElse(bad("_script sort needs \"script\"")),
+      Map("_score" -> col("_score")))
+    (c, ord == "asc")
+  }
+
   /** Decode a wrapper clause's base64 JSON — shared by the compile
     * path (failures reject by name) and the highlight walker (which
     * only sees bodies the compile path already accepted). */
@@ -1500,6 +1654,17 @@ object EsDsl {
     * call-site bindings (`_score`). Parse failures reject by name. */
   private def compileScoreScript(scriptNode: JsonNode,
                                  vars: Map[String, Column]): Column = {
+    val (src, params) = scriptSrcParams(scriptNode)
+    try BucketScript.compile(src, params, vars,
+      fieldRef = Some((f: String) => col(f).cast("double")))
+    catch { case e: BucketScript.ScriptError => bad(e.msg) }
+  }
+
+  /** The shared ES `script` node grammar — source + bound params,
+    * unknown keys and non-painless langs rejected by name. Callers
+    * ([[compileScoreScript]], runtime mappings) own the compile. */
+  private def scriptSrcParams(scriptNode: JsonNode)
+      : (String, Map[String, Column]) = {
     val sn = Option(scriptNode)
       .getOrElse(bad("script-bearing clause needs \"script\""))
     val src =
@@ -1522,10 +1687,54 @@ object EsDsl {
       (if (sn.isObject) Option(sn.get("params")) else None)
         .map(pn => keysOf(pn).map(k => k -> litOf(pn.get(k))).toMap)
         .getOrElse(Map.empty)
-    try BucketScript.compile(src, params, vars,
-      fieldRef = Some((f: String) => col(f).cast("double")))
-    catch { case e: BucketScript.ScriptError => bad(e.msg) }
+    (src, params)
   }
+
+  /** `runtime_mappings` — ES search-time runtime fields. Each field
+    * is `{"type": double|long|boolean, "script": {"source":
+    * "emit(<painless arithmetic>)"}}`: the emit() wrapper is ES's
+    * runtime-field contract (exactly one emit, the whole source),
+    * its argument compiles through [[BucketScript]] with
+    * `doc['field'].value` references and script params, and the
+    * result casts to the declared type. Other runtime types (keyword,
+    * date, ip, geo_point, composite, lookup) and shadowing reject by
+    * name — never a silently-wrong value. */
+  private def parseRuntimeMappings(body: JsonNode,
+                                   mapped: Seq[String])
+      : Seq[(String, Column)] =
+    Option(body.get("runtime_mappings")).map { rm =>
+      if (!rm.isObject) bad("runtime_mappings must be an object")
+      keysOf(rm).map { name =>
+        if (mapped.contains(name))
+          bad(s"runtime field '$name' shadows a mapped column " +
+            "(unsupported — rename the runtime field)")
+        val spec = rm.get(name)
+        if (!spec.isObject) bad(s"runtime field '$name' must be an " +
+          "object")
+        val unknown = keysOf(spec).filterNot(Set("type", "script"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported runtime field key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+        val tpe = Option(spec.get("type")).map(_.asText)
+          .getOrElse(bad(s"runtime field '$name' needs \"type\""))
+        if (!Set("double", "long", "boolean")(tpe))
+          bad(s"unsupported runtime field type '$tpe' " +
+            "(double/long/boolean)")
+        val (src, params) = scriptSrcParams(
+          Option(spec.get("script"))
+            .getOrElse(bad(s"runtime field '$name' needs \"script\"")))
+        val t = src.trim
+        if (!t.startsWith("emit(") || !t.endsWith(")"))
+          bad(s"runtime field '$name' script must be emit(<expr>)")
+        val inner = t.substring("emit(".length, t.length - 1)
+        val c =
+          try BucketScript.compile(inner, params, Map.empty,
+            fieldRef = Some((f: String) => col(f).cast("double")))
+          catch { case e: BucketScript.ScriptError => bad(e.msg) }
+        name -> c.cast(tpe)
+      }
+    }.getOrElse(Nil)
 
   /** A geo point literal — the `{"lat": .., "lon": ..}` object or the
     * `"lat,lon"` string shorthand; bounds-checked like ES. */
