@@ -1697,6 +1697,14 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // _count API: the match-set size of a query body — filter-context
+    // compile (no scoring machinery), one distributed aggregate.
+    "q7_esdsl_count" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": "window"}}}""")
+      graft.serving.EsDsl.countFrame(t(s, dir, "documents"), body)
+    }),
+
     // runtime_mappings: a search-time computed field drives the
     // query, the sort, and the fields response section — the raw
     // column never reaches the hits (ES's runtime-fields contract).
@@ -3894,6 +3902,11 @@ object ParityQueries {
       "SELECT lang, count(*) AS doc_count FROM p " +
       "WHERE lang IS NOT NULL GROUP BY 1 " +
       "ORDER BY doc_count DESC, lang LIMIT 20"
+    },
+
+    "q7_esdsl_count" -> {
+      val wc = substrCountSql(tokenNormSql("text"), " window ")
+      s"SELECT count(*) AS count FROM documents WHERE $wc > 0"
     },
 
     "q7_esdsl_runtime" ->

@@ -958,6 +958,40 @@ object EsDsl {
   /** Execute `body` and return (hits page, aggregation buckets if the
     * body has `aggs`) — ES returns BOTH in one response (`size: 0` is
     * how a caller opts out of hits, not the presence of `aggs`). */
+  /** ES `_count` — the match-set size of a query body. The clause
+    * compiles in FILTER context (a score can never change a count, so
+    * the scoring machinery is skipped entirely — ES rewrites _count
+    * queries to constant score the same way) and the result is ONE
+    * aggregate row (`count` long): fully distributed, no driver-side
+    * value, no paging machinery. Body keys beyond query/index reject
+    * by name — a _count body carrying from/size/sort is a caller
+    * error in ES too. */
+  def countFrame(df: DataFrame, body: JsonNode,
+                 tiebreak: Seq[String] = Nil): DataFrame = {
+    val unknown = keysOf(body).filterNot(Set("query", "index"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported _count body key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val idName = if (tiebreak.nonEmpty) tiebreak.head
+      else df.columns.head
+    val sid =
+      if (tiebreak.size > 1)
+        concat_ws(1.toChar.toString,
+          tiebreak.map(c => col(c).cast("string")): _*)
+      else col(idName)
+    val ctx = new Ctx(df, sid)
+    val pred = Option(body.get("query")) match {
+      case None => lit(true) // ES: a bodyless _count is match_all
+      case Some(q) =>
+        coalesce(
+          ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
+          lit(false))
+    }
+    df.withColumn(IdColMarker, col(idName)).filter(pred)
+      .agg(count(lit(1)).as("count"))
+  }
+
   def searchParts(df0: DataFrame, body: JsonNode,
                   tiebreak: Seq[String] = Nil,
                   statsIndex: Option[String] = None)

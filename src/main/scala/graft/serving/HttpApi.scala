@@ -164,6 +164,10 @@ final class HttpApi(
           advancedSearch(ex, body(ex))
         case ("POST", "search" :: "scroll" :: Nil) =>
           scrollContinue(ex, body(ex))
+        case ("POST", "search" :: "count" :: Nil) =>
+          countSearch(ex, body(ex))
+        case ("POST", "search" :: "msearch" :: Nil) =>
+          msearch(ex, rawBody(ex))
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(entity) match {
             case None =>
@@ -692,6 +696,130 @@ final class HttpApi(
     * as TakeOrdered (top-k per partition), NOT a full corpus sort. A
     * result with un-orderable columns (maps) serves page 1 capped with
     * no token. */
+  /** The DSL search core shared by `/search/advanced` and `_msearch`:
+    * route the body (suggest-only, ranked-wildcard, or the general
+    * searchParts path with an index-probe statsIndex) and build the
+    * hits-response JSON. Throws `IllegalArgumentException` /
+    * `AnalysisException` for the callers' 400 mapping. */
+  private def dslSearchJson(index: String, df: DataFrame,
+                            ties: Seq[String], req: JsonNode): String = {
+    // suggest-only body: the term suggester's flat
+    // (token, suggestion, distance, freq) table
+    if (req.hasNonNull("suggest") && !req.hasNonNull("query") &&
+        !req.hasNonNull("knn"))
+      return hitsJson(suggestFrame(index, df, req.get("suggest")))
+    // data_lake_* wildcard bodies of the rankable multi_match
+    // shape score with PER-INDEX statistics (ES's wildcard
+    // semantics — IDF is index-local) through the entity
+    // postings indexes, the same ranking /search rank=bm25
+    // serves; other wildcard bodies keep the union view
+    // (corpus-wide statistics, documented)
+    if ((index == "*" || index.endsWith("_*")) && wildcardRankable(req))
+      return hitsJson(EsDsl.searchAcrossIndexes(spark, srcDir, runTs,
+        req, indexRoot = Some(entityIndexRoot())))
+    // named-table bodies that NAME match-family or
+    // more_like_this clauses ride the table's write-time
+    // index: match clauses score by postings probes (zero
+    // corpus scans) and MLT reads fieldstats/termstats —
+    // bit-identical to the scan pass either way. The build is
+    // paid ONCE per table per server lifetime on the first
+    // such request (a body whose match clauses all end up in
+    // filter context, or a column literally named "match",
+    // also triggers it — a bounded one-time cost accepted for
+    // a routing probe that needs no DSL re-parse); term-level
+    // bodies never pay it.
+    val statsIdx =
+      if (index != "*" && !index.endsWith("_*") &&
+          Seq("more_like_this", "match", "multi_match")
+            .exists(hasKeyDeep(req, _)))
+        Some(tableIndexPath(index))
+      else None
+    // ES returns hits AND aggregations in one response; the
+    // flat bucket table rides an "aggregations" section keyed
+    // by the body's top-level agg name
+    val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx)
+    // the section is keyed by the BASE bucket agg's name —
+    // never a sibling pipeline's, regardless of body key order
+    val aggName = aggs.map(_ => EsDsl.responseAggName(
+      Option(req.get("aggs")).getOrElse(req.get("aggregations"))))
+    // a `suggest` section NEXT TO the query rides the same
+    // response (ES's combined body), keyed by the suggester
+    val suggestOut = Option(req.get("suggest"))
+      .filter(!_.isNull).map(sg =>
+        (suggestFrame(index, df, sg), sg.fieldNames().next()))
+    hitsJson(page, aggs = aggs.zip(aggName), suggest = suggestOut)
+  }
+
+  /** POST /search/count — ES's `_count` API: `{"index": ...,
+    * "query": {...}}` → `{"count": N}`. The query compiles in filter
+    * context ([[EsDsl.countFrame]] — scores never change a count) and
+    * the count is one distributed aggregate. */
+  private def countSearch(ex: HttpExchange, req: JsonNode): Unit = {
+    val index = textOr(req, "index", "*")
+    dslTarget(index) match {
+      case None =>
+        respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+      case Some((df, ties)) =>
+        try {
+          val n = EsDsl.countFrame(df, req, ties)
+            .collect()(0).getLong(0)
+          respond(ex, 200, s"""{"count": $n}""")
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 400, mapper.createObjectNode()
+              .put("error", String.valueOf(e.getMessage)).toString)
+          case e: org.apache.spark.sql.AnalysisException =>
+            respond(ex, 400, mapper.createObjectNode()
+              .put("error", String.valueOf(e.getMessage)).toString)
+        }
+    }
+  }
+
+  /** POST /search/msearch — ES's `_msearch` API: ndjson header/body
+    * line pairs (`{"index": ...}` then a search body), answered as
+    * `{"responses": [...]}` in request order. ES's per-item error
+    * contract: a failing sub-search becomes an error object WITH a
+    * status in its slot and the envelope stays 200 — one bad body
+    * never voids its siblings. Scroll cannot ride msearch (ES rejects
+    * it there too). */
+  private def msearch(ex: HttpExchange, raw: String): Unit = {
+    val lines = raw.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty || lines.length % 2 != 0) {
+      respond(ex, 400, """{"error": "msearch expects ndjson """ +
+        """header/body line pairs"}""")
+      return
+    }
+    def errObj(status: Int, msg: String): String =
+      mapper.createObjectNode().put("status", status)
+        .put("error", String.valueOf(msg)).toString
+    val responses = lines.grouped(2).map { pair =>
+      try {
+        val header = mapper.readTree(pair(0))
+        val body0 = mapper.readTree(pair(1))
+        val index = textOr(header, "index",
+          textOr(body0, "index", "*"))
+        if (body0.hasNonNull("scroll"))
+          errObj(400, "scroll cannot ride msearch")
+        else dslTarget(index) match {
+          case None => errObj(404, s"unknown index '$index'")
+          case Some((df, ties)) =>
+            try dslSearchJson(index, df, ties, body0)
+            catch {
+              case e: IllegalArgumentException =>
+                errObj(400, e.getMessage)
+              case e: org.apache.spark.sql.AnalysisException =>
+                errObj(400, e.getMessage)
+            }
+        }
+      } catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          errObj(400, s"malformed msearch line: ${e.getMessage}")
+      }
+    }
+    respond(ex, 200,
+      s"""{"responses": [${responses.mkString(", ")}]}""")
+  }
+
   private def advancedSearch(ex: HttpExchange, req: JsonNode): Unit = {
     // a body carrying "query" is an ES-DSL search request — the exact
     // shape the reference forwards verbatim to ES
@@ -720,57 +848,7 @@ final class HttpApi(
               scrollStart(ex, req, index, df, ties)
               return
             }
-            // suggest-only body: the term suggester's flat
-            // (token, suggestion, distance, freq) table
-            if (req.hasNonNull("suggest") && !req.hasNonNull("query") &&
-                !req.hasNonNull("knn")) {
-              hits(ex, suggestFrame(index, df, req.get("suggest")))
-              return
-            }
-            // data_lake_* wildcard bodies of the rankable multi_match
-            // shape score with PER-INDEX statistics (ES's wildcard
-            // semantics — IDF is index-local) through the entity
-            // postings indexes, the same ranking /search rank=bm25
-            // serves; other wildcard bodies keep the union view
-            // (corpus-wide statistics, documented)
-            if ((index == "*" || index.endsWith("_*")) &&
-                wildcardRankable(req)) {
-              hits(ex, EsDsl.searchAcrossIndexes(spark, srcDir, runTs,
-                req, indexRoot = Some(entityIndexRoot())))
-              return
-            }
-            // named-table bodies that NAME match-family or
-            // more_like_this clauses ride the table's write-time
-            // index: match clauses score by postings probes (zero
-            // corpus scans) and MLT reads fieldstats/termstats —
-            // bit-identical to the scan pass either way. The build is
-            // paid ONCE per table per server lifetime on the first
-            // such request (a body whose match clauses all end up in
-            // filter context, or a column literally named "match",
-            // also triggers it — a bounded one-time cost accepted for
-            // a routing probe that needs no DSL re-parse); term-level
-            // bodies never pay it.
-            val statsIdx =
-              if (index != "*" && !index.endsWith("_*") &&
-                  Seq("more_like_this", "match", "multi_match")
-                    .exists(hasKeyDeep(req, _)))
-                Some(tableIndexPath(index))
-              else None
-            // ES returns hits AND aggregations in one response; the
-            // flat bucket table rides an "aggregations" section keyed
-            // by the body's top-level agg name
-            val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx)
-            // the section is keyed by the BASE bucket agg's name —
-            // never a sibling pipeline's, regardless of body key order
-            val aggName = aggs.map(_ => EsDsl.responseAggName(
-              Option(req.get("aggs")).getOrElse(req.get("aggregations"))))
-            // a `suggest` section NEXT TO the query rides the same
-            // response (ES's combined body), keyed by the suggester
-            val suggestOut = Option(req.get("suggest"))
-              .filter(!_.isNull).map(sg =>
-                (suggestFrame(index, df, sg), sg.fieldNames().next()))
-            hits(ex, page, aggs = aggs.zip(aggName),
-              suggest = suggestOut)
+            respond(ex, 200, dslSearchJson(index, df, ties, req))
           } catch {
             case e: IllegalArgumentException =>
               respond(ex, 400, mapper.createObjectNode()
@@ -851,7 +929,17 @@ final class HttpApi(
                    nextToken: () => Option[String] = () => None,
                    baseOffset: Int = 0,
                    aggs: Option[(DataFrame, String)] = None,
-                   suggest: Option[(DataFrame, String)] = None): Unit = {
+                   suggest: Option[(DataFrame, String)] = None): Unit =
+    respond(ex, 200, hitsJson(df, nextToken, baseOffset, aggs, suggest))
+
+  /** The hits-response JSON builder behind [[hits]] — shared with
+    * `_msearch`, whose per-item responses embed in one envelope. */
+  private def hitsJson(df: DataFrame,
+                       nextToken: () => Option[String] = () => None,
+                       baseOffset: Int = 0,
+                       aggs: Option[(DataFrame, String)] = None,
+                       suggest: Option[(DataFrame, String)] = None)
+      : String = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
     val page = if (capped) rows.take(maxHits) else rows
@@ -881,11 +969,10 @@ final class HttpApi(
       s""", "suggest": {${mapper.writeValueAsString(name)}: [${
         entries.mkString(", ")}]}"""
     }.getOrElse("")
-    respond(ex, 200,
-      s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
-        }"relation": "$relation"}, "max_hits": $maxHits, ${""
-        }"capped": $capped$tokenField, "hits": [${
-        page.mkString(", ")}]}$aggsField$suggestField}""")
+    s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
+      }"relation": "$relation"}, "max_hits": $maxHits, ${""
+      }"capped": $capped$tokenField, "hits": [${
+      page.mkString(", ")}]}$aggsField$suggestField}"""
   }
 
   // -------------------------------------------------------------------
@@ -1036,6 +1123,11 @@ final class HttpApi(
     if (bytes.isEmpty) mapper.createObjectNode()
     else mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
   }
+
+  /** Raw request text — the ndjson surface (`_msearch`), where the
+    * body is LINES of JSON, not one document. */
+  private def rawBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
   private def textOr(node: JsonNode, field: String, dflt: String): String =
     Option(node.get(field)).map(_.asText()).getOrElse(dflt)

@@ -52,6 +52,61 @@ class HttpApiSpec extends SparkSpec
     assert(r.body().contains("\"_score\""))
   }
 
+  test("POST /search/count returns the exact match-set size; " +
+    "hit knobs reject by name; bodyless counts everything") {
+    val r = post("/search/count",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).get("count").asLong
+    // cross-check against the actual hits of an uncapped-size search
+    val s = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}, "size": 1000}"""
+        .stripMargin)
+    val total = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s.body()).get("hits").get("hits").size.toLong
+    assert(n == total && n > 0, s"count $n vs hits $total")
+    val all = post("/search/count", """{"index": "documents"}""")
+    assert(all.statusCode() == 200)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(all.body()).get("count").asLong >= n)
+    val badKnob = post("/search/count",
+      """{"index": "documents", "query": {"match_all": {}},
+        | "size": 5}""".stripMargin)
+    assert(badKnob.statusCode() == 400 && badKnob.body().contains("size"))
+    val badIdx = post("/search/count", """{"index": "nope"}""")
+    assert(badIdx.statusCode() == 404)
+  }
+
+  test("POST /search/msearch answers ndjson pairs in order; a failing " +
+    "item errors IN ITS SLOT and the envelope stays 200") {
+    val nd =
+      """{"index": "documents"}
+        |{"query": {"match": {"text": "window"}}, "size": 2}
+        |{"index": "nope"}
+        |{"query": {"match_all": {}}}
+        |{"index": "documents"}
+        |{"query": {"bogus_clause": {}}}
+        |{}
+        |{"query": {"term": {"table": "documents"}}, "size": 1}
+        |""".stripMargin
+    val r = post("/search/msearch", nd)
+    assert(r.statusCode() == 200, r.body())
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body())
+    val rs = tree.get("responses")
+    assert(rs != null && rs.isArray && rs.size == 4, r.body().take(400))
+    assert(rs.get(0).has("hits"))
+    assert(rs.get(1).get("status").asInt == 404)
+    assert(rs.get(2).get("status").asInt == 400 &&
+      rs.get(2).get("error").asText.contains("bogus_clause"))
+    assert(rs.get(3).has("hits")) // headerless {} defaults to "*"
+    val odd = post("/search/msearch", """{"index": "documents"}""")
+    assert(odd.statusCode() == 400 && odd.body().contains("pairs"))
+  }
+
   test("scroll: a 3-page walk covers the match set in order, with no " +
     "overlap, and the cursor ends when the set is exhausted") {
     val open = post("/search/advanced",
