@@ -1260,6 +1260,63 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // span_containing (round 10): big spans [the → window|batch,
+    // slop 2, in order] that cover a 'data' token — big-span
+    // frequency scored (Lucene returns the big side's spans).
+    "q7_esdsl_span_containing" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_containing": {
+          |  "big": {"span_near": {"clauses": [
+          |    {"span_term": {"text": "the"}},
+          |    {"span_or": {"clauses": [
+          |      {"span_term": {"text": "window"}},
+          |      {"span_term": {"text": "batch"}}]}}],
+          |   "slop": 2, "in_order": true}},
+          |  "little": {"span_term": {"text": "data"}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_within (round 10): the SAME interval relation scored from
+    // the little side — 'data' occurrences covered by a big span.
+    "q7_esdsl_span_within" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_within": {
+          |  "big": {"span_near": {"clauses": [
+          |    {"span_term": {"text": "the"}},
+          |    {"span_or": {"clauses": [
+          |      {"span_term": {"text": "window"}},
+          |      {"span_term": {"text": "batch"}}]}}],
+          |   "slop": 2, "in_order": true}},
+          |  "little": {"span_term": {"text": "data"}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_multi (round 10): a prefix pattern lifted into span
+    // position — token-occurrence frequency, no expansion-set cap.
+    "q7_esdsl_span_multi" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_multi": {
+          |  "match": {"prefix": {"text": {"value": "win"}}}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_multi as a span_near SLOT (round 10): 'the' followed by a
+    // win-prefixed token within one interleaved token — the pattern
+    // matcher rides the same per-slot position scan.
+    "q7_esdsl_span_multi_near" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_near": {"clauses": [
+          |   {"span_term": {"text": "the"}},
+          |   {"span_multi": {
+          |     "match": {"prefix": {"text": {"value": "win"}}}}}],
+          |  "slop": 1, "in_order": true}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // intervals (round 10): any_of over an ordered proximity rule and
     // an unordered pair rule — interval-frequency sum scored.
     "q7_esdsl_intervals" -> ((s, dir) => {
@@ -4100,6 +4157,59 @@ object ParityQueries {
       "m AS (SELECT doc_id, count(*) AS score FROM spos " +
       "WHERE tok IN ('window', 'batch') AND pos <= 5 " +
       "GROUP BY doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // span_containing: big head positions [the → window|batch, in
+    // order, slop 2] whose span covers a 'data' position. The three-way
+    // position join mirrors Search.spanContainCount's exists-nesting
+    // (conjunctive constraints — quantifier order is immaterial).
+    "q7_esdsl_span_containing" -> (spanPosCte +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok IN ('window', 'batch') " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 3 " +
+      "JOIN spos l ON l.doc_id = a.doc_id AND l.tok = 'data' " +
+      "AND l.pos >= a.pos AND l.pos <= b.pos " +
+      "GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // span_within: the same relation counted from the little side —
+    // DISTINCT covered 'data' positions
+    "q7_esdsl_span_within" -> (spanPosCte +
+      "m AS (SELECT a.doc_id, count(DISTINCT l.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok IN ('window', 'batch') " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 3 " +
+      "JOIN spos l ON l.doc_id = a.doc_id AND l.tok = 'data' " +
+      "AND l.pos >= a.pos AND l.pos <= b.pos " +
+      "GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // span_multi standalone: win-prefixed token occurrences
+    "q7_esdsl_span_multi" -> (spanPosCte +
+      "m AS (SELECT doc_id, count(*) AS score FROM spos " +
+      "WHERE tok LIKE 'win%' GROUP BY doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // span_multi inside span_near: 'the' then a win-prefixed token,
+    // slop 1 in order — head-position frequency
+    "q7_esdsl_span_multi_near" -> (spanPosCte +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok LIKE 'win%' " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 2 GROUP BY a.doc_id) " +
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
       "CAST(m.score AS DOUBLE) AS \"_score\" " +
       "FROM documents d JOIN m USING (doc_id) " +

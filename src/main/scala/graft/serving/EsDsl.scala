@@ -1466,6 +1466,11 @@ object EsDsl {
       case ("span_not", b) =>
         Option(b.get("include")).foreach(walk) // excluded spans don't
                                                // highlight
+      case ("span_containing" | "span_within", b) =>
+        // both sides' spans sit inside served hits
+        Seq("big", "little").foreach(k => Option(b.get(k)).foreach(walk))
+      case ("span_multi", _) =>
+        () // pattern expansions aren't enumerable — no highlight terms
       case ("intervals", b) =>
         val (_, spec) = unwrap(b)
         def rule(nd: JsonNode): Unit = unwrap(nd) match {
@@ -1934,9 +1939,81 @@ object EsDsl {
       val v = spanTermValue("span_term", spec)
       (f, (x: Column) => x === lit(v), Seq(v))
     case ("span_or", b) => spanOrLeaf(b)
+    case ("span_multi", b) => spanMultiLeaf(b)
     case (other, _) =>
-      bad(s"unsupported span clause '$other' here — span_term or " +
-        "span_or of span_terms compose")
+      bad(s"unsupported span clause '$other' here — span_term, " +
+        "span_or of span_terms, or span_multi compose")
+  }
+
+  /** Lucene `span_multi`: a multi-term query (`prefix` / `wildcard` /
+    * `regexp` / `fuzzy`) lifted into span position. The wrapped
+    * pattern becomes a TOKEN matcher over the same positional scan
+    * every span clause rides — no expansion-set enumeration is needed
+    * (Lucene rewrites to an expanded span_or; matching the pattern
+    * per token is the same match set without the term-count cap).
+    * Pattern values are lowercased like [[spanTermValue]] (the span
+    * scan tokenizes lowercased text — the engine's span convention);
+    * a `regexp` pattern is taken verbatim against the lowercased
+    * tokens, anchored like the top-level regexp clause. Highlight
+    * terms are not enumerable for a pattern, so the leaf contributes
+    * none. */
+  private def spanMultiLeaf(b: JsonNode)
+      : (String, Column => Column, Seq[String]) = {
+    val unknown = keysOf(b).filterNot(Set("match"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported span_multi key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val m0 = Option(b.get("match"))
+      .getOrElse(bad("span_multi needs \"match\""))
+    unwrap(m0) match {
+      case ("prefix", pb) =>
+        val (f, spec) = unwrap(pb)
+        valueOnlyKeys("prefix", spec)
+        val v = spanTermValue("prefix", spec)
+        (f, (x: Column) => x.startsWith(lit(v)), Seq.empty)
+      case ("wildcard", wb) =>
+        val (f, spec) = unwrap(wb)
+        valueOnlyKeys("wildcard", spec)
+        val v = spanTermValue("wildcard", spec)
+        val like = wildcardToLike(v)
+        (f, (x: Column) => x.like(like), Seq.empty)
+      case ("regexp", rb) =>
+        val (f, spec) = unwrap(rb)
+        valueOnlyKeys("regexp", spec)
+        val pat = if (spec.isObject)
+          Option(spec.get("value")).map(_.asText)
+            .getOrElse(bad("regexp needs \"value\""))
+          else spec.asText
+        var esc = false
+        pat.foreach { ch =>
+          if (esc) esc = false
+          else if (ch == '\\') esc = true
+          else if ("&~<>".contains(ch))
+            bad(s"Lucene-specific regexp operator '$ch' is not " +
+              "supported")
+        }
+        val re = "^(?:" + pat + ")$"
+        (f, (x: Column) => x.rlike(re), Seq.empty)
+      case ("fuzzy", fb) =>
+        val (f, spec) = unwrap(fb)
+        val (v, fz) =
+          if (spec.isObject) {
+            val unknown2 = keysOf(spec).filterNot(Set("value", "fuzziness"))
+            if (unknown2.nonEmpty)
+              bad(s"unsupported fuzzy key" +
+                s"${if (unknown2.size == 1) "" else "s"} here: " +
+                unknown2.mkString(", "))
+            (spanTermValue("fuzzy", spec),
+             Option(spec.get("fuzziness")).map(_.asText).getOrElse("AUTO"))
+          } else (spanTermValue("fuzzy", spec), "AUTO")
+        val e = Search.fuzzyEdits(v, fz)
+          .getOrElse(bad(s"unsupported fuzziness '$fz' (AUTO/0/1/2)"))
+        (f, (x: Column) => levenshtein(x, lit(v)) <= e, Seq.empty)
+      case (other, _) =>
+        bad(s"unsupported span_multi match '$other' " +
+          "(prefix/wildcard/regexp/fuzzy)")
+    }
   }
 
   /** `span_or` of span_terms → one token-set matcher (the clauses ride
@@ -1969,6 +2046,19 @@ object EsDsl {
     val vs = leaves.map(_._2)
     (fields.head, (x: Column) => x.isInCollection(vs), vs)
   }
+
+  /** Reject every spec key beyond `value` — span_multi's wrapped
+    * term-level queries carry none of their top-level knobs (a
+    * silently dropped `rewrite`/`case_insensitive` would change the
+    * match set). */
+  private def valueOnlyKeys(kind: String, spec: JsonNode): Unit =
+    if (spec.isObject) {
+      val unknown = keysOf(spec).filterNot(Set("value"))
+      if (unknown.nonEmpty)
+        bad(s"unsupported $kind key" +
+          s"${if (unknown.size == 1) "" else "s"} here: " +
+          unknown.mkString(", "))
+    }
 
   /** Occurrences of a leaf matcher's tokens in `f` — the span
     * frequency of a standalone leaf. */
@@ -2320,9 +2410,12 @@ object EsDsl {
     // with slop and order over the SAME positional token scan the
     // phrase family uses (Search.spanNearCount — HOFs over per-slot
     // position lists, no explode). Scored by span frequency (the
-    // documented occurrence-count families); deeper nesting
-    // (span_near inside span_near, span_containing/within/
-    // field_masking_span) rejects by name, never silently wrong. ──
+    // documented occurrence-count families). span_multi lifts
+    // prefix/wildcard/regexp/fuzzy patterns into span position;
+    // span_containing/span_within relate in-order near spans to a
+    // width-1 little by interval containment. Deeper nesting
+    // (span_near inside span_near, field_masking_span) rejects by
+    // name, never silently wrong. ──
     case ("span_term", b) =>
       val (f, spec) = unwrap(b)
       val boost = if (spec.isObject)
@@ -2418,6 +2511,71 @@ object EsDsl {
       val cnt = size(filter(posOf(mi), p =>
         !exists(posOf(me), q =>
           q >= p - lit(pre) && q <= p + lit(post)))).cast("int")
+      boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    case ("span_multi", b) =>
+      // standalone span_multi: the wrapped pattern's token-occurrence
+      // count is its span frequency (each matching token is a
+      // width-1 span)
+      val (f, m, _) = spanMultiLeaf(b)
+      val cnt = spanLeafCount(f, m)
+      Clause(cnt > 0, cnt.cast("double"))
+
+    case (kind @ ("span_containing" | "span_within"), b) =>
+      // Lucene span_containing/span_within: spans of `big` related to
+      // spans of `little` by interval containment. `big` is an
+      // in-order span_near (its spans have enumerable ends) or a
+      // width-1 leaf; `little` is a leaf (width 1, so Lucene's
+      // start/end inequalities collapse to position-in-interval —
+      // Search.spanContainCount). containing scores big-span
+      // frequency, within scores little-span frequency (Lucene's
+      // contract: each query returns ITS side's spans).
+      val boost = clauseBoost(kind, b, Set("big", "little"))
+      val big0 = Option(b.get("big"))
+        .getOrElse(bad(s"$kind needs \"big\""))
+      val little0 = Option(b.get("little"))
+        .getOrElse(bad(s"$kind needs \"little\""))
+      val (bigField, slots, slop) = unwrap(big0) match {
+        case ("span_near", nb) =>
+          val unknown = keysOf(nb)
+            .filterNot(Set("clauses", "slop", "in_order"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported span_near key" +
+              s"${if (unknown.size == 1) "" else "s"} here: " +
+              unknown.mkString(", "))
+          val cs = Option(nb.get("clauses")).filter(_.isArray)
+            .filter(_.size > 0)
+            .getOrElse(bad("span_near needs a non-empty \"clauses\" " +
+              "array"))
+          val leaves = (0 until cs.size).map(i => spanLeaf(cs.get(i)))
+          val fieldsSeen = leaves.map(_._1).distinct
+          if (fieldsSeen.size != 1)
+            bad("span_near clauses must target one field " +
+              s"(got ${fieldsSeen.mkString(", ")})")
+          val sl = Option(nb.get("slop")).map { n =>
+            if (!n.isIntegralNumber)
+              bad("span_near slop must be an integer")
+            n.asInt
+          }.getOrElse(0)
+          if (sl < 0) bad("span_near slop must be >= 0")
+          val inOrder = Option(nb.get("in_order")).exists { n =>
+            if (!n.isBoolean) bad("span_near in_order must be boolean")
+            n.asBoolean
+          }
+          if (leaves.size > 1 && !inOrder)
+            bad(s"$kind big must be in_order: true (unordered spans " +
+              "have no enumerable ends)")
+          (fieldsSeen.head, leaves.map(_._2), sl)
+        case _ =>
+          val (f, m, _) = spanLeaf(big0)
+          (f, Seq(m), 0)
+      }
+      val (lf, lm, _) = spanLeaf(little0)
+      if (lf != bigField)
+        bad(s"$kind big/little must target one field " +
+          s"(got $bigField, $lf)")
+      val cnt = Search.spanContainCount(col(bigField), slots, slop, lm,
+        within = kind == "span_within")
       boosted(Clause(cnt > 0, cnt.cast("double")), boost)
 
     case ("intervals", b) =>

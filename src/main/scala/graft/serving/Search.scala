@@ -807,6 +807,46 @@ object Search {
     size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
   }
 
+  /** Lucene `span_containing` / `span_within`: spans of the BIG query
+    * (an ordered multi-slot near — `slots` with total interleave
+    * `slop`, or a width-1 leaf when `slots.size == 1`) related to
+    * matches of the width-1 LITTLE matcher. A big span `[p1, pn]`
+    * contains a little position `q` iff `p1 <= q <= pn` (width-1
+    * little starts and ends at `q`, so Lucene's start/end inequalities
+    * collapse to the interval test). `within = false` counts big head
+    * positions that contain SOME little match (span_containing's
+    * big-span frequency); `within = true` counts little positions
+    * covered by SOME big span (span_within's little-span frequency).
+    * Same HOF-only shape as [[spanNearCount]] — per-slot position
+    * lists, the `pn >= q` requirement threads through the recursive
+    * placement as the end-of-assignment check; no explode, no
+    * shuffle. */
+  private[graft] def spanContainCount(field: Column,
+                                      slots: Seq[Column => Column],
+                                      slop: Int,
+                                      little: Column => Column,
+                                      within: Boolean): Column = {
+    require(slots.nonEmpty, "empty span slots")
+    val s = math.min(slop, 1 << 24)
+    val toks = graft.functions.TextFunctions.tokens(
+      lower(coalesce(field, lit(""))))
+    def posOf(m: Column => Column): Column =
+      filter(transform(toks, (x, i) =>
+        when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    // place slots k.. after prev inside the slop window; the LAST
+    // placed slot is the span end, which must reach q
+    def rest(k: Int, prev: Column, first: Column, q: Column): Column =
+      if (k == slots.size) prev >= q
+      else exists(posOf(slots(k)), p =>
+        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first, q))
+    if (within)
+      size(filter(posOf(little), q => exists(posOf(slots.head), p1 =>
+        p1 <= q && rest(1, p1, p1, q)))).cast("int")
+    else
+      size(filter(posOf(slots.head), p1 => exists(posOf(little), q =>
+        q >= p1 && rest(1, p1, p1, q)))).cast("int")
+  }
+
   /** UNORDERED two-slot proximity (Lucene `span_near`
     * `in_order:false`, intervals `ordered:false` with `max_gaps`):
     * counts positions `p` of the FIRST slot for which some second-slot

@@ -1320,6 +1320,90 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("span_containing/span_within interval relations; span_multi " +
+    "pattern leaves; rejection edges") {
+    // docs: 1 "window batch run", 2 "window only", 3 "nothing here",
+    // 4 "batch batch window"
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).toSeq
+    val bigNear = """{"span_near": {"clauses": [
+      {"span_term": {"text": "batch"}},
+      {"span_term": {"text": "window"}}],
+      "slop": 0, "in_order": true}}"""
+    // doc 4's only big span is batch@1..window@2; it contains batch@1
+    val containing = q(s"""{"query": {"span_containing": {
+      "big": $bigNear, "little": {"span_term": {"text": "batch"}}}},
+      "size": 10}""").collect()
+    assert(containing.map(r => r.getLong(0) ->
+      r.getAs[Double]("_score")).toMap == Map(4L -> 1.0))
+    // within counts the little side: batch@1 is covered, batch@0 not
+    val within = q(s"""{"query": {"span_within": {
+      "big": $bigNear, "little": {"span_term": {"text": "batch"}}}},
+      "size": 10}""").collect()
+    assert(within.map(r => r.getLong(0) ->
+      r.getAs[Double]("_score")).toMap == Map(4L -> 1.0))
+    // width-1 big: containment degenerates to position coincidence
+    val coincide = q("""{"query": {"span_containing": {
+      "big": {"span_term": {"text": "window"}},
+      "little": {"span_term": {"text": "window"}}}},
+      "size": 10}""").collect()
+    assert(ids(coincide) == Seq(1L, 2L, 4L))
+    assert(q("""{"query": {"span_containing": {
+      "big": {"span_term": {"text": "window"}},
+      "little": {"span_term": {"text": "batch"}}}},
+      "size": 10}""").collect().isEmpty)
+    // span_multi: prefix / wildcard / regexp / fuzzy token patterns
+    val pre = q("""{"query": {"span_multi": {"match":
+      {"prefix": {"text": {"value": "win"}}}}}, "size": 10}""")
+      .collect()
+    assert(ids(pre) == Seq(1L, 2L, 4L))
+    val wild = q("""{"query": {"span_multi": {"match":
+      {"wildcard": {"text": {"value": "b?tch"}}}}}, "size": 10}""")
+      .collect()
+    assert(wild.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 4L -> 2.0))
+    val rex = q("""{"query": {"span_multi": {"match":
+      {"regexp": {"text": {"value": "b.tch"}}}}}, "size": 10}""")
+      .collect()
+    assert(rex.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 4L -> 2.0))
+    val fz = q("""{"query": {"span_multi": {"match":
+      {"fuzzy": {"text": {"value": "windoe", "fuzziness": "1"}}}}},
+      "size": 10}""").collect()
+    assert(ids(fz) == Seq(1L, 2L, 4L))
+    // span_multi rides a span_near slot
+    val slot = q("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "batch"}},
+      {"span_multi": {"match": {"prefix": {"text":
+        {"value": "win"}}}}}],
+      "slop": 0, "in_order": true}}, "size": 10}""").collect()
+    assert(ids(slot) == Seq(4L))
+    // rejections: unordered big, mixed fields, unknown span_multi
+    // match kind, stray knob inside the wrapped pattern
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+          {"span_term": {"text": "a"}},
+          {"span_term": {"text": "b"}}],
+          "slop": 1, "in_order": false}},
+        "little": {"span_term": {"text": "c"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_within": {
+        "big": {"span_term": {"text": "a"}},
+        "little": {"span_term": {"source": "b"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_multi": {"match":
+        {"term": {"text": "window"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_multi": {"match":
+        {"prefix": {"text": {"value": "win", "rewrite":
+          "top_terms_10"}}}}}}""")
+    }
+  }
+
   test("intervals: ordered/unordered match rules, any_of union, " +
     "all_of rejects by name; filter context compiles to predicate") {
     // ordered batch->window max_gaps 0: doc 4 only
