@@ -1762,6 +1762,20 @@ object ParityQueries {
       graft.serving.EsDsl.countFrame(t(s, dir, "documents"), body)
     }),
 
+    // terms LOOKUP (round 10): the term list is READ from another
+    // document at compile time (doc 7's lang) — ES's GET-by-id
+    // rewrite, here a bounded point-lookup collect through the same
+    // index resolver the HTTP layer registers.
+    "q7_esdsl_terms_lookup" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"terms": {"lang":
+          |  {"index": "documents", "id": "7", "path": "lang"}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        lookup = Some(name =>
+          scala.util.Try(t(s, dir, name)).toOption.map(df => (df, Nil))))
+    }),
+
     // runtime_mappings: a search-time computed field drives the
     // query, the sort, and the fields response section — the raw
     // column never reaches the hits (ES's runtime-fields contract).
@@ -3965,6 +3979,12 @@ object ParityQueries {
       val wc = substrCountSql(tokenNormSql("text"), " window ")
       s"SELECT count(*) AS count FROM documents WHERE $wc > 0"
     },
+
+    "q7_esdsl_terms_lookup" ->
+      ("SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST(1.0 AS DOUBLE) AS \"_score\" FROM documents " +
+       "WHERE lang = (SELECT lang FROM documents WHERE doc_id = 7) " +
+       "ORDER BY doc_id LIMIT 100"),
 
     "q7_esdsl_runtime" ->
       ("SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +

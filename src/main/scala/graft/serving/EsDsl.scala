@@ -193,8 +193,43 @@ object EsDsl {
   /** Per-request translation context: carries the target frame so
     * match-family clauses can derive their BM25 (id, score) join
     * frames while the clause tree is compiled. */
+  /** Resolves an index NAME to its target frame + tiebreak columns —
+    * the HTTP layer's `dslTarget` shape, threaded to the clauses that
+    * reference OTHER indexes (terms lookup). */
+  type IndexResolver = String => Option[(DataFrame, Seq[String])]
+
   private final class Ctx(df: DataFrame, sid: Column,
-                          statsIndex: Option[String] = None) {
+                          statsIndex: Option[String] = None,
+                          lookupResolver: Option[IndexResolver] = None) {
+
+    /** ES terms-LOOKUP resolution (`{"terms": {f: {index, id,
+      * path}}}`): the referenced document's `path` values become the
+      * clause's term list. ES performs ONE GET by id at query-rewrite
+      * time; the equivalent here is a point-lookup collect of a single
+      * row's single field — a bounded driver artifact (the id
+      * predicate pushes to the lookup scan). A missing document
+      * resolves to NO terms (ES's contract: the clause matches
+      * nothing), never an error. */
+    def termsLookup(index: String, id: String, path: String): Seq[Any] = {
+      val resolve = lookupResolver.getOrElse(
+        bad("terms lookup needs an index catalog — serve this body " +
+          "through a caller that registers one (the HTTP layer does)"))
+      val (ldf, lties) = resolve(index).getOrElse(
+        bad(s"unknown terms-lookup index '$index'"))
+      if (!ldf.columns.contains(path))
+        bad(s"terms-lookup path '$path' is not a field of '$index'")
+      val idCol = lties.headOption.getOrElse(ldf.columns.head)
+      val rows = ldf.filter(col(idCol).cast("string") === lit(id))
+        .select(col(path)).limit(2).collect()
+      if (rows.length > 1)
+        bad(s"terms-lookup id '$id' is not unique in '$index'")
+      rows.headOption.map(_.get(0)).toSeq.flatMap {
+        case null                       => Seq.empty[Any]
+        case s: scala.collection.Seq[_] =>
+          s.toSeq.filter(_ != null)
+        case a                          => Seq(a)
+      }
+    }
     /** Match-family clauses QUEUED for the one shared scoring pass
       * ([[Search.rankedAllMulti]]) — replaces round 9's
       * one-`rankedAll`-frame-per-clause design, where a bool with K
@@ -484,7 +519,8 @@ object EsDsl {
     * (document_id, table) since neither alone is unique. */
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil,
-             statsIndex: Option[String] = None): DataFrame = {
+             statsIndex: Option[String] = None,
+             lookup: Option[IndexResolver] = None): DataFrame = {
     // a knn-only body with suggest reaches searchParts, whose knn
     // branch rejects the stray suggest BY NAME; hybrid (query + knn)
     // with suggest hits the same single-frame rejection as
@@ -497,7 +533,7 @@ object EsDsl {
       if (!body.hasNonNull("knn"))
         return suggest(df, body.get("suggest"))
     }
-    val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex)
+    val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex, lookup)
     aggs.getOrElse(hits)
   }
 
@@ -967,7 +1003,8 @@ object EsDsl {
     * by name — a _count body carrying from/size/sort is a caller
     * error in ES too. */
   def countFrame(df: DataFrame, body: JsonNode,
-                 tiebreak: Seq[String] = Nil): DataFrame = {
+                 tiebreak: Seq[String] = Nil,
+                 lookup: Option[IndexResolver] = None): DataFrame = {
     val unknown = keysOf(body).filterNot(Set("query", "index"))
     if (unknown.nonEmpty)
       bad(s"unsupported _count body key" +
@@ -980,7 +1017,7 @@ object EsDsl {
         concat_ws(1.toChar.toString,
           tiebreak.map(c => col(c).cast("string")): _*)
       else col(idName)
-    val ctx = new Ctx(df, sid)
+    val ctx = new Ctx(df, sid, lookupResolver = lookup)
     val pred = Option(body.get("query")) match {
       case None => lit(true) // ES: a bodyless _count is match_all
       case Some(q) =>
@@ -994,7 +1031,8 @@ object EsDsl {
 
   def searchParts(df0: DataFrame, body: JsonNode,
                   tiebreak: Seq[String] = Nil,
-                  statsIndex: Option[String] = None)
+                  statsIndex: Option[String] = None,
+                  lookup: Option[IndexResolver] = None)
       : (DataFrame, Option[DataFrame]) = {
     // a `suggest` section next to `query` is legal (ES returns hits
     // AND suggestions in one response) — the caller compiles it with
@@ -1034,7 +1072,8 @@ object EsDsl {
         else col(idName0)
       val tieNames0 = if (tiebreak.nonEmpty) tiebreak
         else Seq(df0.columns.head)
-      return (knnParts(df0, body, new Ctx(df0, sid0), tieNames0), None)
+      return (knnParts(df0, body,
+        new Ctx(df0, sid0, lookupResolver = lookup), tieNames0), None)
     }
     // "runtime_mappings": ES search-time runtime fields — each one an
     // emit(<painless arithmetic>) script compiled to ONE codegen'd
@@ -1056,7 +1095,7 @@ object EsDsl {
       if (tiebreak.size > 1)
         concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
       else col(idName)
-    val ctx = new Ctx(df, sid, statsIndex)
+    val ctx = new Ctx(df, sid, statsIndex, lookup)
     val c = clause(q, ctx)
     // HYBRID knn + query (ES 8.x): the hit set is the UNION of the
     // query's matches and the knn section's k nearest; a doc in both
@@ -2153,21 +2192,40 @@ object EsDsl {
         bad("terms needs exactly one field")
       val f = fieldKeys.head
       val vs = b.get(f)
-      if (!vs.isArray)
-        bad("terms needs an array (document-lookup terms are not " +
-          "supported)")
       val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
       if (boost < 0) bad("terms boost must be >= 0")
-      val values: Seq[Any] = (0 until vs.size).map { i =>
-        val v = vs.get(i)
-        if (v.isTextual) v.asText
-        else if (v.isIntegralNumber) v.asLong
-        else if (v.isNumber) v.asDouble
-        else if (v.isBoolean) v.asBoolean
-        else bad(s"unsupported literal $v")
-      }
-      if (values.isEmpty) bad("terms needs at least one value")
-      boosted(Clause(col(f).isInCollection(values), lit(1.0)), boost)
+      val values: Seq[Any] =
+        if (vs.isArray) {
+          val inline: Seq[Any] = (0 until vs.size).map { i =>
+            val v = vs.get(i)
+            if (v.isTextual) v.asText
+            else if (v.isIntegralNumber) v.asLong
+            else if (v.isNumber) v.asDouble
+            else if (v.isBoolean) v.asBoolean
+            else bad(s"unsupported literal $v")
+          }
+          if (inline.isEmpty) bad("terms needs at least one value")
+          inline
+        } else if (vs.isObject) {
+          // ES terms LOOKUP: the referenced document's `path` values
+          // are the term list (resolved once at compile time —
+          // Ctx.termsLookup). `routing` addresses a shard of a
+          // sharded ES index — no analogue here, rejected by name.
+          val unknown = keysOf(vs).filterNot(Set("index", "id", "path"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported terms-lookup key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          def need(k: String): String = Option(vs.get(k)).map(_.asText)
+            .getOrElse(bad(s"terms lookup needs \"$k\""))
+          ctx.termsLookup(need("index"), need("id"), need("path"))
+        } else bad("terms needs an array of values or a lookup " +
+          "object {index, id, path}")
+      // an empty LOOKUP result (missing doc / null field) matches
+      // nothing — ES's contract; inline empty arrays rejected above
+      boosted(Clause(
+        if (values.isEmpty) lit(false)
+        else col(f).isInCollection(values), lit(1.0)), boost)
 
     case ("terms_set", b) =>
       // ES terms_set: the doc matches when at least

@@ -737,7 +737,8 @@ final class HttpApi(
     // ES returns hits AND aggregations in one response; the
     // flat bucket table rides an "aggregations" section keyed
     // by the body's top-level agg name
-    val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx)
+    val (page, aggs) =
+      EsDsl.searchParts(df, req, ties, statsIdx, Some(dslTarget _))
     // the section is keyed by the BASE bucket agg's name —
     // never a sibling pipeline's, regardless of body key order
     val aggName = aggs.map(_ => EsDsl.responseAggName(
@@ -761,7 +762,7 @@ final class HttpApi(
         respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
       case Some((df, ties)) =>
         try {
-          val n = EsDsl.countFrame(df, req, ties)
+          val n = EsDsl.countFrame(df, req, ties, Some(dslTarget _))
             .collect()(0).getLong(0)
           respond(ex, 200, s"""{"count": $n}""")
         } catch {

@@ -1320,6 +1320,47 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("terms lookup: referenced doc's field values become the term " +
+    "list; missing doc matches nothing; edges reject by name") {
+    val lkp: EsDsl.IndexResolver =
+      name => if (name == "docs") Some((docs, Nil)) else None
+    def ql(json: String) =
+      EsDsl.search(docs, mapper.readTree(json), lookup = Some(lkp))
+    // doc 1's source is src3 -> docs 1 and 4 match on source
+    val hit = ql("""{"query": {"terms": {"source":
+      {"index": "docs", "id": "1", "path": "source"}}},
+      "size": 10}""").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(1L, 4L) &&
+      hit.forall(_.getAs[Double]("_score") == 1.0))
+    // doc 3's source is null -> no terms -> matches nothing
+    assert(ql("""{"query": {"terms": {"source":
+      {"index": "docs", "id": "3", "path": "source"}}}}""")
+      .collect().isEmpty)
+    // missing doc -> matches nothing (ES contract), not an error
+    assert(ql("""{"query": {"terms": {"source":
+      {"index": "docs", "id": "99", "path": "source"}}}}""")
+      .collect().isEmpty)
+    // unknown lookup index / unknown path / routing knob / absent
+    // resolver: all 400 by name
+    intercept[IllegalArgumentException] {
+      ql("""{"query": {"terms": {"source":
+        {"index": "nope", "id": "1", "path": "source"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      ql("""{"query": {"terms": {"source":
+        {"index": "docs", "id": "1", "path": "missing_col"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      ql("""{"query": {"terms": {"source":
+        {"index": "docs", "id": "1", "path": "source",
+         "routing": "r"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"terms": {"source":
+        {"index": "docs", "id": "1", "path": "source"}}}}""")
+    }
+  }
+
   test("span_containing/span_within interval relations; span_multi " +
     "pattern leaves; rejection edges") {
     // docs: 1 "window batch run", 2 "window only", 3 "nothing here",

@@ -80,6 +80,22 @@ class HttpApiSpec extends SparkSpec
     assert(badIdx.statusCode() == 404)
   }
 
+  test("terms lookup resolves through the HTTP layer's index catalog") {
+    val r = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"terms": {"lang":
+        |   {"index": "documents", "id": "7", "path": "lang"}}},
+        | "size": 3}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"lang\":\"en\""), r.body().take(300))
+    val badIdx = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"terms": {"lang":
+        |   {"index": "nope", "id": "7", "path": "lang"}}}}"""
+        .stripMargin)
+    assert(badIdx.statusCode() == 400 && badIdx.body().contains("nope"))
+  }
+
   test("POST /search/msearch answers ndjson pairs in order; a failing " +
     "item errors IN ITS SLOT and the envelope stays 200") {
     val nd =
