@@ -1144,6 +1144,36 @@ object ParityQueries {
     // median_absolute_deviation (round 10): EXACT median of absolute
     // deviations from the exact median (ES's TDigest `compression`
     // knob subsumed by exactness).
+    // t_test (round 10): Welch's unpooled two-sample t (ES's default
+    // heteroscedastic type) between en and fr documents' n_chars —
+    // filters compile in filter context, the statistic derives from
+    // integer-exact power sums in one pass.
+    "q7_esdsl_ttest" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"t": {"t_test": {
+          |   "a": {"field": "n_chars",
+          |     "filter": {"term": {"lang": "en"}}},
+          |   "b": {"field": "n_chars",
+          |     "filter": {"term": {"lang": "fr"}}},
+          |   "type": "heteroscedastic"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // paired t_test (round 10): per-row differences of two integral
+    // columns of one table — decimal-exact difference power sums.
+    "q7_esdsl_ttest_paired" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"t": {"t_test": {
+          |   "a": {"field": "l_partkey"},
+          |   "b": {"field": "l_suppkey"},
+          |   "type": "paired"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "lineitem"), body)
+    }),
+
     "q7_esdsl_mad" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"query": {"match_all": {}},
@@ -4396,6 +4426,41 @@ object ParityQueries {
        "FROM q"),
 
     // exact MAD: median of |x − median|, inner median broadcast
+    // Welch t: HUGEINT power sums cast double, then the IDENTICAL
+    // post-aggregation op DAG as the engine (m = s/n; v = (q − s·m)/
+    // (n−1); t = (ma − mb)/sqrt(va/na + vb/nb))
+    "q7_esdsl_ttest" ->
+      ("WITH s AS (SELECT " +
+       "CAST(count(*) FILTER (WHERE lang = 'en' " +
+         "AND n_chars IS NOT NULL) AS DOUBLE) AS na, " +
+       "CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS DOUBLE) AS sa, " +
+       "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) " +
+         "FILTER (WHERE lang = 'en') AS DOUBLE) AS qa, " +
+       "CAST(count(*) FILTER (WHERE lang = 'fr' " +
+         "AND n_chars IS NOT NULL) AS DOUBLE) AS nb, " +
+       "CAST(sum(n_chars) FILTER (WHERE lang = 'fr') AS DOUBLE) AS sb, " +
+       "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) " +
+         "FILTER (WHERE lang = 'fr') AS DOUBLE) AS qb " +
+       "FROM documents), " +
+       "m AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, " +
+       "(qa - sa * (sa / na)) / (na - 1.0) AS va, " +
+       "(qb - sb * (sb / nb)) / (nb - 1.0) AS vb FROM s) " +
+       "SELECT (ma - mb) / sqrt(va / na + vb / nb) AS t FROM m"),
+
+    // paired t: exact HUGEINT difference sums, same op DAG
+    // (m = s/n; v = (q − s·m)/(n−1); t = m/sqrt(v/n))
+    "q7_esdsl_ttest_paired" ->
+      ("WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+       "CAST(sum(CAST(l_partkey - l_suppkey AS HUGEINT)) AS DOUBLE) " +
+         "AS sd, " +
+       "CAST(sum(CAST(l_partkey - l_suppkey AS HUGEINT) * " +
+         "CAST(l_partkey - l_suppkey AS HUGEINT)) AS DOUBLE) AS qd " +
+       "FROM lineitem " +
+       "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL), " +
+       "m AS (SELECT n, sd / n AS md, " +
+       "(qd - sd * (sd / n)) / (n - 1.0) AS vd FROM s) " +
+       "SELECT md / sqrt(vd / n) AS t FROM m"),
+
     "q7_esdsl_mad" ->
       ("WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md " +
        "FROM orders) " +

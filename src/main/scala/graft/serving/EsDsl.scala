@@ -3916,6 +3916,7 @@ object EsDsl {
     "rare_terms" -> Set("field", "max_doc_count"),
     "top_metrics" -> Set("metrics", "sort", "size"),
     "boxplot" -> Set("field"),
+    "t_test" -> Set("a", "b", "type"),
     "median_absolute_deviation" -> Set("field", "compression"),
     "string_stats" -> Set("field"),
     "matrix_stats" -> Set("fields"),
@@ -5680,6 +5681,102 @@ object EsDsl {
           min(col("_q3")).as(s"${name}_q3"),
           min(when(c >= loB, c)).as(s"${name}_lower"),
           max(when(c <= hiB, c)).as(s"${name}_upper"))
+
+      case "t_test" =>
+        // ES t_test: Student's t statistic between populations `a`
+        // and `b`. `paired` works over per-document differences
+        // (both fields on one row; ES rejects filters there, so does
+        // this); `homoscedastic` pools the two sample variances;
+        // `heteroscedastic` (ES's default) is Welch's unpooled form.
+        // All three derive from power sums in ONE aggregation —
+        // integral columns ride decimal(19) exact sums (the
+        // matrix_stats discipline, mirrored by the oracle's HUGEINT),
+        // floating columns keep double sums — with a fixed
+        // post-aggregation IEEE op DAG.
+        val tt = spec.get("t_test")
+        def ttSide(k: String): (String, Option[Column]) = {
+          val nd = Option(tt.get(k))
+            .getOrElse(bad(s"t_test needs \"$k\""))
+          val unknown = keysOf(nd).filterNot(Set("field", "filter"))
+          if (unknown.nonEmpty)
+            bad(s"unsupported t_test $k key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          val f = Option(nd.get("field")).map(_.asText)
+            .getOrElse(bad(s"t_test $k needs \"field\""))
+          if (!df.columns.contains(f))
+            bad(s"unknown t_test field '$f'")
+          (f, Option(nd.get("filter")).map(fn =>
+            coalesce(ctx.inFilter { clause(fn, ctx) }.pred,
+              lit(false))))
+        }
+        val (fa, filtA) = ttSide("a")
+        val (fb, filtB) = ttSide("b")
+        val tpe = Option(tt.get("type")).map(_.asText)
+          .getOrElse("heteroscedastic")
+        import org.apache.spark.sql.types.{ByteType, IntegerType,
+          LongType, ShortType}
+        def integral(f: String): Boolean =
+          df.schema(df.schema.fieldIndex(f)).dataType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }
+        def d19(f: String) = col(f).cast("decimal(19,0)")
+        tpe match {
+          case "paired" =>
+            if (filtA.nonEmpty || filtB.nonEmpty)
+              bad("paired t_test cannot take filters (ES contract: " +
+                "both fields come from the same documents)")
+            val both = col(fa).isNotNull && col(fb).isNotNull
+            // |a − b| < 1e19 for any pair of longs — the narrowing
+            // cast cannot lose digits, and keeps d·d inside
+            // decimal(38)
+            val dEx: Column =
+              if (integral(fa) && integral(fb))
+                (d19(fa) - d19(fb)).cast("decimal(19,0)")
+              else col(fa).cast("double") - col(fb).cast("double")
+            val agged = df.agg(
+              count(when(both, lit(1))).as("_n"),
+              sum(when(both, dEx)).cast("double").as("_s"),
+              sum(when(both, dEx * dEx)).cast("double").as("_q"))
+            val nD = col("_n").cast("double")
+            val m = col("_s") / nD
+            val v = (col("_q") - col("_s") * m) / (nD - lit(1.0))
+            agged.select((m / sqrt(v / nD)).as(name))
+          case "homoscedastic" | "heteroscedastic" =>
+            def sums(f: String, filt: Option[Column], tag: String) = {
+              val in = filt.map(_ && col(f).isNotNull)
+                .getOrElse(col(f).isNotNull)
+              val x: Column =
+                if (integral(f)) d19(f) else col(f).cast("double")
+              Seq(count(when(in, lit(1))).as(s"_n$tag"),
+                sum(when(in, x)).cast("double").as(s"_s$tag"),
+                sum(when(in, x * x)).cast("double").as(s"_q$tag"))
+            }
+            val cols = sums(fa, filtA, "a") ++ sums(fb, filtB, "b")
+            val agged = df.agg(cols.head, cols.tail: _*)
+            def stats(tag: String) = {
+              val nD = col(s"_n$tag").cast("double")
+              val m = col(s"_s$tag") / nD
+              val v = (col(s"_q$tag") - col(s"_s$tag") * m) /
+                (nD - lit(1.0))
+              (nD, m, v)
+            }
+            val (na, ma, va) = stats("a")
+            val (nb, mb, vb) = stats("b")
+            val t =
+              if (tpe == "heteroscedastic")
+                (ma - mb) / sqrt(va / na + vb / nb)
+              else {
+                val sp2 = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+                  (na + nb - lit(2.0))
+                (ma - mb) / sqrt(sp2 * (lit(1.0) / na + lit(1.0) / nb))
+              }
+            agged.select(t.as(name))
+          case other =>
+            bad(s"unsupported t_test type '$other' " +
+              "(paired/homoscedastic/heteroscedastic)")
+        }
 
       case "median_absolute_deviation" =>
         // ES MAD (approximate there, EXACT here): median of absolute

@@ -1320,6 +1320,59 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("t_test: Welch / pooled / paired statistics; paired rejects " +
+    "filters; unknown type and side keys reject by name") {
+    val tdf = Seq(
+      (1L, "a", 10L, 4L), (2L, "a", 20L, 4L), (5L, "a", 30L, 2L),
+      (3L, "b", 40L, 1L), (4L, "b", 80L, 1L)
+    ).toDF("id", "g", "v", "w")
+    def tval(body: String): Double =
+      EsDsl.search(tdf, mapper.readTree(body)).collect()
+        .head.getAs[Double]("t")
+    // a: 10,20,30 (m=20, var=100); b: 40,80 (m=60, var=800)
+    val welch = tval("""{"query": {"match_all": {}}, "aggs":
+      {"t": {"t_test": {
+        "a": {"field": "v", "filter": {"term": {"g": "a"}}},
+        "b": {"field": "v", "filter": {"term": {"g": "b"}}}}}},
+      "size": 0}""")
+    // (20-60)/sqrt(100/3 + 800/2)
+    assert(math.abs(welch - (-40.0 / math.sqrt(100.0 / 3 + 400))) < 1e-9)
+    val pooled = tval("""{"query": {"match_all": {}}, "aggs":
+      {"t": {"t_test": {
+        "a": {"field": "v", "filter": {"term": {"g": "a"}}},
+        "b": {"field": "v", "filter": {"term": {"g": "b"}}},
+        "type": "homoscedastic"}}}, "size": 0}""")
+    // sp2 = (2·100 + 1·800)/3; t = -40/sqrt(sp2·(1/3 + 1/2))
+    assert(math.abs(pooled -
+      (-40.0 / math.sqrt(1000.0 / 3 * (1.0 / 3 + 0.5)))) < 1e-9)
+    // paired over a-rows' (v, w): d = 6, 16, 28 -> m=50/3,
+    // var=(124²-...)  — compute directly: d mean 50/3, sample var
+    // ((6-50/3)²+(16-50/3)²+(28-50/3)²)/2 = 368/3... assert vs direct
+    val paired = tval("""{"query": {"term": {"g": "a"}}, "aggs":
+      {"t": {"t_test": {"a": {"field": "v"}, "b": {"field": "w"},
+        "type": "paired"}}}, "size": 0}""")
+    val ds = Seq(6.0, 16.0, 28.0)
+    val m = ds.sum / 3
+    val vv = ds.map(d => (d - m) * (d - m)).sum / 2
+    assert(math.abs(paired - m / math.sqrt(vv / 3)) < 1e-9)
+    intercept[IllegalArgumentException] {
+      tval("""{"query": {"match_all": {}}, "aggs":
+        {"t": {"t_test": {
+          "a": {"field": "v", "filter": {"term": {"g": "a"}}},
+          "b": {"field": "w"}, "type": "paired"}}}, "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      tval("""{"query": {"match_all": {}}, "aggs":
+        {"t": {"t_test": {"a": {"field": "v"}, "b": {"field": "w"},
+          "type": "zscore"}}}, "size": 0}""")
+    }
+    intercept[IllegalArgumentException] {
+      tval("""{"query": {"match_all": {}}, "aggs":
+        {"t": {"t_test": {"a": {"field": "v", "script": "x"},
+          "b": {"field": "w"}}}}, "size": 0}""")
+    }
+  }
+
   test("terms lookup: referenced doc's field values become the term " +
     "list; missing doc matches nothing; edges reject by name") {
     val lkp: EsDsl.IndexResolver =
