@@ -168,6 +168,18 @@ final class HttpApi(
           countSearch(ex, body(ex))
         case ("POST", "search" :: "msearch" :: Nil) =>
           msearch(ex, rawBody(ex))
+        case ("POST", "search" :: "validate" :: Nil) =>
+          validateQuery(ex, body(ex))
+        case ("POST", "search" :: "field_caps" :: Nil) =>
+          fieldCaps(ex, body(ex))
+        case ("POST", "search" :: "analyze" :: Nil) =>
+          analyzeText(ex, body(ex))
+        case ("POST", "search" :: "mget" :: Nil) =>
+          mget(ex, body(ex))
+        case ("POST", "search" :: "termvectors" :: Nil) =>
+          termvectors(ex, body(ex))
+        case ("POST", "search" :: "explain" :: Nil) =>
+          explainDoc(ex, body(ex))
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(entity) match {
             case None =>
@@ -820,6 +832,294 @@ final class HttpApi(
     respond(ex, 200,
       s"""{"responses": [${responses.mkString(", ")}]}""")
   }
+
+  private def jsonKeys(n: JsonNode): Seq[String] = {
+    val it = n.fieldNames()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) out += it.next()
+    out.toSeq
+  }
+
+  /** 400 with the message — the auxiliary APIs' shared fail-loud
+    * path (thrown inside a handler, mapped by [[aux]]). */
+  private def auxBad(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Run an auxiliary-API handler body with the standard error
+    * mapping: IllegalArgumentException/AnalysisException → 400. */
+  private def aux(ex: HttpExchange)(body: => Unit): Unit =
+    try body catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, mapper.createObjectNode()
+          .put("error", String.valueOf(e.getMessage)).toString)
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 400, mapper.createObjectNode()
+          .put("error", String.valueOf(e.getMessage)).toString)
+    }
+
+  /** POST /search/validate — ES `_validate/query`: compile the body's
+    * query WITHOUT executing it. A malformed query is a 200 with
+    * `valid: false` plus the compile error (ES's contract — the API
+    * exists to report query errors, so they can't BE transport
+    * errors); only an unknown index stays 404. Forcing the analyzed
+    * plan catches unresolved columns too, still with zero execution. */
+  private def validateQuery(ex: HttpExchange, req: JsonNode): Unit = {
+    val index = textOr(req, "index", "*")
+    dslTarget(index) match {
+      case None =>
+        respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+      case Some((df, ties)) =>
+        try {
+          EsDsl.countFrame(df, req, ties, Some(dslTarget _))
+            .queryExecution.analyzed
+          respond(ex, 200, """{"valid": true}""")
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 200, mapper.createObjectNode()
+              .put("valid", false)
+              .put("error", String.valueOf(e.getMessage)).toString)
+          case e: org.apache.spark.sql.AnalysisException =>
+            respond(ex, 200, mapper.createObjectNode()
+              .put("valid", false)
+              .put("error", String.valueOf(e.getMessage)).toString)
+        }
+    }
+  }
+
+  /** POST /search/field_caps — ES `_field_caps`: per-field type and
+    * capability flags from the target's schema (type mapping =
+    * [[DocumentSink.esType]], the same derivation the index-create
+    * DDL uses, so the two can never drift). `fields` accepts ES
+    * wildcard patterns; default every field. Every served column is
+    * both searchable and aggregatable here — one analyzer, exact
+    * aggregation over the same column; there is no text/keyword
+    * split to report. */
+  private def fieldCaps(ex: HttpExchange, req: JsonNode): Unit =
+    aux(ex) {
+      val index = textOr(req, "index", "*")
+      dslTarget(index) match {
+        case None =>
+          respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        case Some((df, _)) =>
+          val pats: Seq[String] = Option(req.get("fields")) match {
+            case None => Seq("*")
+            case Some(n) if n.isArray =>
+              if (n.size == 0) auxBad("field_caps fields must not be " +
+                "an empty array")
+              (0 until n.size).map(n.get(_).asText)
+            case Some(n) if n.isTextual => Seq(n.asText)
+            case Some(_) =>
+              auxBad("field_caps fields must be a string or an array")
+          }
+          def wildRe(p: String): String = p.flatMap {
+            case '*' => ".*"
+            case '?' => "."
+            case c if "\\.[]{}()+^$|".contains(c) => "\\" + c
+            case c   => c.toString
+          }
+          val res = pats.map(p => java.util.regex.Pattern
+            .compile("^(?:" + wildRe(p) + ")$"))
+          val fieldsJson = mapper.createObjectNode()
+          df.schema.fields.sortBy(_.name)
+            .filter(f => res.exists(_.matcher(f.name).matches()))
+            .foreach { f =>
+              val t = DocumentSink.esType(f.dataType)
+              fieldsJson.putObject(f.name).putObject(t)
+                .put("type", t)
+                .put("searchable", true).put("aggregatable", true)
+              ()
+            }
+          val resp = mapper.createObjectNode()
+          resp.putArray("indices").add(index)
+          resp.set[com.fasterxml.jackson.databind.node.ObjectNode](
+            "fields", fieldsJson)
+          respond(ex, 200, resp.toString)
+      }
+    }
+
+  /** POST /search/analyze — ES `_analyze`: the engine's ONE analyzer
+    * (lowercase + whitespace split, the tokenization every scorer,
+    * span matcher, and index build uses — [[Search
+    * .analyzeWithOffsets]]) over the supplied text, with the
+    * start/end offsets and positions ES reports. Any OTHER analyzer
+    * name rejects by name — silently standard-analyzing a request
+    * for `french` would misreport what the engine actually indexes. */
+  private def analyzeText(ex: HttpExchange, req: JsonNode): Unit =
+    aux(ex) {
+      val textN = Option(req.get("text")).filter(!_.isNull)
+        .getOrElse(auxBad("_analyze needs \"text\""))
+      if (!textN.isTextual)
+        auxBad("_analyze text must be a string")
+      Option(req.get("analyzer")).map(_.asText).foreach {
+        case "standard" | "whitespace" | "default" => ()
+        case other => auxBad(s"unsupported analyzer '$other' — this " +
+          "engine has one analyzer (lowercase + whitespace split)")
+      }
+      val toks = Search.analyzeWithOffsets(textN.asText).map {
+        case (t, s0, e0, p) =>
+          mapper.createObjectNode().put("token", t)
+            .put("start_offset", s0).put("end_offset", e0)
+            .put("type", "<ALPHANUM>").put("position", p).toString
+      }
+      respond(ex, 200, s"""{"tokens": [${toks.mkString(", ")}]}""")
+    }
+
+  /** POST /search/mget — ES `_mget`: `{"index", "ids": [...]}` →
+    * docs in REQUEST order, `{"_id", "found"}` (+`_source` when
+    * found). ONE distributed point-set filter — the id predicate
+    * pushes to the scan — then a collect bounded by the ids list
+    * (itself capped at maxHits). A concrete index is required: ids
+    * are only unique per table (ES _mget addresses one index too). */
+  private def mget(ex: HttpExchange, req: JsonNode): Unit =
+    aux(ex) {
+      val index = textOr(req, "index", "")
+      if (index.isEmpty) auxBad("_mget needs \"index\"")
+      if (index == "*" || index.endsWith("_*"))
+        auxBad("_mget needs a concrete index (ids are per-table)")
+      dslTarget(index) match {
+        case None =>
+          respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        case Some((df, ties)) =>
+          val idsN = Option(req.get("ids")).filter(_.isArray)
+            .getOrElse(auxBad("_mget needs an \"ids\" array"))
+          if (idsN.size == 0) auxBad("_mget ids must not be empty")
+          if (idsN.size > maxHits)
+            auxBad(s"_mget ids capped at $maxHits")
+          val ids = (0 until idsN.size).map(idsN.get(_).asText)
+          val idName = ties.headOption.getOrElse(df.columns.head)
+          val rows = df
+            .filter(col(idName).cast("string").isInCollection(ids))
+            .toJSON.collect()
+          val byId = rows.flatMap { j =>
+            Option(mapper.readTree(j).get(idName)).map(_.asText -> j)
+          }.toMap
+          val docs = ids.map { id =>
+            val idJ = mapper.writeValueAsString(id)
+            byId.get(id) match {
+              case Some(src) =>
+                s"""{"_id": $idJ, "found": true, "_source": $src}"""
+              case None => s"""{"_id": $idJ, "found": false}"""
+            }
+          }
+          respond(ex, 200, s"""{"docs": [${docs.mkString(", ")}]}""")
+      }
+    }
+
+  /** POST /search/termvectors — ES `_termvectors`: one document's
+    * per-field term vectors — term_freq plus per-occurrence
+    * position/offsets — from a point lookup analyzed with the
+    * engine's one analyzer. String fields only (term vectors are
+    * defined over analyzed text); others reject by name. */
+  private def termvectors(ex: HttpExchange, req: JsonNode): Unit =
+    aux(ex) {
+      val index = textOr(req, "index", "")
+      if (index.isEmpty || index == "*" || index.endsWith("_*"))
+        auxBad("_termvectors needs a concrete index")
+      val id = textOr(req, "id", "")
+      if (id.isEmpty) auxBad("_termvectors needs \"id\"")
+      dslTarget(index) match {
+        case None =>
+          respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        case Some((df, ties)) =>
+          val stringCols = df.schema.fields.collect {
+            case f if f.dataType ==
+              org.apache.spark.sql.types.StringType => f.name
+          }.toSeq
+          val fields: Seq[String] = Option(req.get("fields")) match {
+            case None => stringCols
+            case Some(n) if n.isArray =>
+              val fs = (0 until n.size).map(n.get(_).asText)
+              fs.filterNot(stringCols.contains).foreach(f =>
+                auxBad(s"_termvectors field '$f' is not an analyzed " +
+                  "text field of this index"))
+              fs
+            case Some(_) => auxBad("_termvectors fields must be an array")
+          }
+          val idName = ties.headOption.getOrElse(df.columns.head)
+          val rows = df.filter(col(idName).cast("string") === id)
+            .select(fields.map(col): _*).limit(2).collect()
+          if (rows.length > 1)
+            auxBad(s"id '$id' is not unique in '$index'")
+          val idJ = mapper.writeValueAsString(id)
+          if (rows.isEmpty) {
+            respond(ex, 200, s"""{"_id": $idJ, "found": false}""")
+          } else {
+            val row = rows.head
+            val tv = mapper.createObjectNode()
+            fields.zipWithIndex.foreach { case (f, i) =>
+              val text = if (row.isNullAt(i)) "" else row.getString(i)
+              val terms = tv.putObject(f).putObject("terms")
+              Search.analyzeWithOffsets(text)
+                .groupBy(_._1).toSeq.sortBy(_._1)
+                .foreach { case (tok, occs) =>
+                  val t = terms.putObject(tok)
+                  t.put("term_freq", occs.size)
+                  val arr = t.putArray("tokens")
+                  occs.foreach { case (_, s0, e0, p) =>
+                    arr.addObject().put("position", p)
+                      .put("start_offset", s0).put("end_offset", e0)
+                    ()
+                  }
+                }
+            }
+            respond(ex, 200, s"""{"_id": $idJ, "found": true, ${""
+              }"term_vectors": $tv}""")
+          }
+      }
+    }
+
+  /** POST /search/explain — ES `_explain`: does `id` match `query`,
+    * and with what score? The query compiles EXACTLY as a search —
+    * the score statistics stay corpus-wide — narrowed to the one
+    * document by an injected ids post_filter, so the reported score
+    * is bit-identical to the document's score in the full search
+    * response. */
+  private def explainDoc(ex: HttpExchange, req: JsonNode): Unit =
+    aux(ex) {
+      val unknown = jsonKeys(req)
+        .filterNot(Set("index", "id", "query"))
+      if (unknown.nonEmpty)
+        auxBad(s"unsupported _explain body key" +
+          s"${if (unknown.size == 1) "" else "s"}: " +
+          unknown.mkString(", "))
+      val index = textOr(req, "index", "")
+      if (index.isEmpty || index == "*" || index.endsWith("_*"))
+        auxBad("_explain needs a concrete index")
+      val idN = Option(req.get("id")).filter(!_.isNull)
+        .getOrElse(auxBad("_explain needs \"id\""))
+      val qN = Option(req.get("query")).filter(!_.isNull)
+        .getOrElse(auxBad("_explain needs \"query\""))
+      dslTarget(index) match {
+        case None =>
+          respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+        case Some((df, ties)) =>
+          val built = mapper.createObjectNode()
+          built.set[com.fasterxml.jackson.databind.node.ObjectNode](
+            "query", qN)
+          built.putObject("post_filter").putObject("ids")
+            .putArray("values").add(idN)
+          built.put("size", 1)
+          val statsIdx =
+            if (Seq("more_like_this", "match", "multi_match")
+                .exists(hasKeyDeep(req, _)))
+              Some(tableIndexPath(index))
+            else None
+          val (page, _) = EsDsl.searchParts(df, built, ties, statsIdx,
+            Some(dslTarget _))
+          val rows = page.collect()
+          val idJ = mapper.writeValueAsString(idN.asText)
+          if (rows.isEmpty)
+            respond(ex, 200, s"""{"_id": $idJ, "matched": false}""")
+          else {
+            val score = rows.head.getAs[Double]("_score")
+            respond(ex, 200,
+              s"""{"_id": $idJ, "matched": true, "explanation": ${""
+                }{"value": $score, "description": "sum of clause ${""
+                }scores (match family: BM25 over corpus statistics; ${""
+                }documented count families otherwise)"}}""")
+          }
+      }
+    }
 
   private def advancedSearch(ex: HttpExchange, req: JsonNode): Unit = {
     // a body carrying "query" is an ES-DSL search request — the exact

@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Driver-side twin of the engine's ONE analyzer (lowercase +
+    * whitespace split — `TextFunctions.tokens ∘ lower`), with the
+    * offsets the Spark-side scan never needs but the `_analyze` /
+    * `_termvectors` APIs report: (token, start_offset, end_offset,
+    * position) per token, offsets into the ORIGINAL text (ES's
+    * contract — the token is lowercased, the offsets are not). */
+  private[graft] def analyzeWithOffsets(text: String)
+      : Seq[(String, Int, Int, Int)] = {
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, Int)]
+    while (m.find()) {
+      out += ((m.group.toLowerCase, m.start, m.end, out.length))
+    }
+    out.toSeq
+  }
+
   /** Occurrences of `term` in `c` (case-insensitive):
     * (len(x) - len(remove(x, term))) / len(term). */
   def occurrences(c: Column, term: String): Column = {

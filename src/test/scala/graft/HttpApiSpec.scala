@@ -80,6 +80,140 @@ class HttpApiSpec extends SparkSpec
     assert(badIdx.statusCode() == 404)
   }
 
+  test("POST /search/validate compiles without executing: valid " +
+    "true/false with the compile error, 404 only for unknown index") {
+    val ok = post("/search/validate",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}}""".stripMargin)
+    assert(ok.statusCode() == 200 && ok.body().contains("true"))
+    val badQ = post("/search/validate",
+      """{"index": "documents",
+        | "query": {"bogus_clause": {}}}""".stripMargin)
+    assert(badQ.statusCode() == 200, badQ.body())
+    assert(badQ.body().contains("\"valid\":false") &&
+      badQ.body().contains("bogus_clause"), badQ.body())
+    val badCol = post("/search/validate",
+      """{"index": "documents",
+        | "query": {"term": {"no_such_col": 1}}}""".stripMargin)
+    assert(badCol.statusCode() == 200 &&
+      badCol.body().contains("\"valid\":false"), badCol.body())
+    assert(post("/search/validate", """{"index": "nope"}""")
+      .statusCode() == 404)
+  }
+
+  test("POST /search/field_caps maps the schema; wildcard field " +
+    "patterns filter") {
+    val r = post("/search/field_caps", """{"index": "documents"}""")
+    assert(r.statusCode() == 200, r.body())
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body())
+    val fs = tree.get("fields")
+    assert(fs.get("text").get("text").get("type").asText == "text")
+    assert(fs.get("n_chars").get("long").get("type").asText == "long")
+    assert(fs.get("n_chars").get("long").get("aggregatable").asBoolean)
+    val pat = post("/search/field_caps",
+      """{"index": "documents", "fields": ["n_*"]}""")
+    val pfs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(pat.body()).get("fields")
+    assert(pfs.has("n_chars") && !pfs.has("text") && !pfs.has("lang"))
+  }
+
+  test("POST /search/analyze runs THE engine analyzer with offsets; " +
+    "foreign analyzer names reject") {
+    val r = post("/search/analyze", """{"text": "The  Window batch"}""")
+    assert(r.statusCode() == 200, r.body())
+    val toks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).get("tokens")
+    assert(toks.size == 3)
+    assert(toks.get(0).get("token").asText == "the" &&
+      toks.get(0).get("start_offset").asInt == 0 &&
+      toks.get(0).get("end_offset").asInt == 3)
+    // offsets point into the ORIGINAL text (double space skipped)
+    assert(toks.get(1).get("token").asText == "window" &&
+      toks.get(1).get("start_offset").asInt == 5 &&
+      toks.get(1).get("end_offset").asInt == 11 &&
+      toks.get(1).get("position").asInt == 1)
+    assert(post("/search/analyze",
+      """{"text": "x", "analyzer": "french"}""").statusCode() == 400)
+    assert(post("/search/analyze", """{}""").statusCode() == 400)
+  }
+
+  test("POST /search/mget returns docs in request order with found " +
+    "flags; wildcard index rejects") {
+    val r = post("/search/mget",
+      """{"index": "documents", "ids": ["3", "999999", "1"]}""")
+    assert(r.statusCode() == 200, r.body())
+    val docs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).get("docs")
+    assert(docs.size == 3)
+    assert(docs.get(0).get("_id").asText == "3" &&
+      docs.get(0).get("found").asBoolean &&
+      docs.get(0).get("_source").get("doc_id").asLong == 3L)
+    assert(!docs.get(1).get("found").asBoolean &&
+      !docs.get(1).has("_source"))
+    assert(docs.get(2).get("_id").asText == "1" &&
+      docs.get(2).get("found").asBoolean)
+    assert(post("/search/mget", """{"index": "*", "ids": ["1"]}""")
+      .statusCode() == 400)
+    assert(post("/search/mget", """{"index": "documents"}""")
+      .statusCode() == 400)
+  }
+
+  test("POST /search/termvectors reports term_freq + positions and " +
+    "offsets per analyzed field; missing doc found=false") {
+    val r = post("/search/termvectors",
+      """{"index": "documents", "id": "1", "fields": ["text"]}""")
+    assert(r.statusCode() == 200, r.body())
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body())
+    assert(tree.get("found").asBoolean)
+    val terms = tree.get("term_vectors").get("text").get("terms")
+    assert(terms.fieldNames().hasNext)
+    val first = terms.get(terms.fieldNames().next())
+    assert(first.get("term_freq").asInt >= 1 &&
+      first.get("tokens").get(0).has("position") &&
+      first.get("tokens").get(0).has("start_offset"))
+    val gone = post("/search/termvectors",
+      """{"index": "documents", "id": "999999"}""")
+    assert(gone.statusCode() == 200 &&
+      !new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(gone.body()).get("found").asBoolean)
+    assert(post("/search/termvectors",
+      """{"index": "documents", "id": "1", "fields": ["n_chars"]}""")
+      .statusCode() == 400)
+  }
+
+  test("POST /search/explain scores one doc with corpus statistics — " +
+    "bit-identical to the doc's score in the full search") {
+    // find a matching doc and its score from the search response
+    val s = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}, "size": 1}"""
+        .stripMargin)
+    val hit = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s.body()).get("hits").get("hits").get(0)
+    val (hid, hscore) =
+      (hit.get("doc_id").asLong, hit.get("_score").asDouble)
+    val e = post("/search/explain",
+      s"""{"index": "documents", "id": "$hid",
+         | "query": {"match": {"text": "window"}}}""".stripMargin)
+    assert(e.statusCode() == 200, e.body())
+    val et = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(e.body())
+    assert(et.get("matched").asBoolean)
+    assert(et.get("explanation").get("value").asDouble == hscore)
+    val miss = post("/search/explain",
+      """{"index": "documents", "id": "999999",
+        | "query": {"match": {"text": "window"}}}""".stripMargin)
+    assert(miss.statusCode() == 200 &&
+      !new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(miss.body()).get("matched").asBoolean)
+    assert(post("/search/explain",
+      """{"index": "documents", "id": "1",
+        | "query": {"match_all": {}}, "size": 5}""".stripMargin)
+      .statusCode() == 400)
+  }
+
   test("terms lookup resolves through the HTTP layer's index catalog") {
     val r = post("/search/advanced",
       """{"index": "documents",
