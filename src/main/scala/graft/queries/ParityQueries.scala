@@ -1144,6 +1144,63 @@ object ParityQueries {
     // median_absolute_deviation (round 10): EXACT median of absolute
     // deviations from the exact median (ES's TDigest `compression`
     // knob subsumed by exactness).
+    // ── parent/child family (round 10): ES join-field queries over
+    // the lake's REAL foreign keys (orders ← lineitem on l_orderkey).
+    // The child query compiles on the child frame, aggregates on the
+    // join key (parent-cardinality-bounded), and folds into the hit
+    // path as one left join — two shuffles, no fan-out. ──
+
+    // has_child score_mode sum: parents of >= 2 high-quantity items,
+    // scored by the matching-child count (each child term/range
+    // clause scores 1.0 — sum = count, deterministic)
+    "q7_esdsl_has_child" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"has_child": {"type": "lineitem",
+          |   "query": {"range": {"l_quantity": {"gte": 45}}},
+          |   "score_mode": "sum", "min_children": 2}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body,
+        relations = tpchRelations(s, dir))
+    }),
+
+    // has_parent: items of urgent orders — a key semi-join, constant
+    // score, explicit composite sort for determinism
+    "q7_esdsl_has_parent" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"has_parent": {"parent_type": "orders",
+          |   "query": {"term": {"o_orderpriority": "1-URGENT"}}}},
+          | "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}],
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "lineitem"), body,
+        relations = tpchRelations(s, dir))
+    }),
+
+    // parent_id: the children of ONE parent (type names the parent
+    // relation here — documented deviation, validated by name)
+    "q7_esdsl_parent_id" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"parent_id": {"type": "orders", "id": "7"}},
+          | "sort": [{"l_linenumber": "asc"}], "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "lineitem"), body,
+        relations = tpchRelations(s, dir))
+    }),
+
+    // children agg: metrics over the matching parents' children (a
+    // left-semi join switch of aggregation context)
+    "q7_esdsl_children_agg" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"term": {"o_orderpriority": "1-URGENT"}},
+          | "aggs": {"kids": {"children": {"type": "lineitem"},
+          |   "aggs": {
+          |     "min_qty": {"min": {"field": "l_quantity"}},
+          |     "max_qty": {"max": {"field": "l_quantity"}},
+          |     "n_items": {"value_count": {"field": "l_quantity"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body,
+        relations = tpchRelations(s, dir))
+    }),
+
     // t_test (round 10): Welch's unpooled two-sample t (ES's default
     // heteroscedastic type) between en and fr documents' n_chars —
     // filters compile in filter context, the statistic derives from
@@ -2837,6 +2894,16 @@ object ParityQueries {
   /** Shared positional CTE for the span/intervals oracles: tokens with
     * 1-based positions (the arithmetic is relative, so the base does
     * not matter — Spark's scan is 0-based). */
+  /** The lake's real foreign keys as DSL parent/child relations:
+    * orders ← lineitem on l_orderkey (reference entity model —
+    * src/ticket_sync.py's parent/child document shape). */
+  private def tpchRelations(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.serving.EsDsl.Relations =
+    graft.serving.EsDsl.Relations(
+      children = Map("lineitem" -> ((t(s, dir, "lineitem"),
+        "l_orderkey"))),
+      parents = Map("orders" -> ((t(s, dir, "orders"), "l_orderkey"))))
+
   private val spanPosCte: String =
     "WITH stoks AS (SELECT doc_id, list_filter(" +
       "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
@@ -4426,6 +4493,34 @@ object ParityQueries {
        "FROM q"),
 
     // exact MAD: median of |x − median|, inner median broadcast
+    // has_child sum-scored: child count per parent, min_children cut
+    "q7_esdsl_has_child" ->
+      ("WITH m AS (SELECT l_orderkey, count(*) AS c FROM lineitem " +
+       "WHERE l_quantity >= 45 GROUP BY 1 HAVING count(*) >= 2) " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority, CAST(c AS DOUBLE) AS \"_score\" " +
+       "FROM orders JOIN m ON o_orderkey = l_orderkey " +
+       "ORDER BY \"_score\" DESC, o_orderkey LIMIT 100"),
+
+    "q7_esdsl_has_parent" ->
+      ("SELECT l.*, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       "FROM lineitem l WHERE l_orderkey IN " +
+       "(SELECT o_orderkey FROM orders " +
+       "WHERE o_orderpriority = '1-URGENT') " +
+       "ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+
+    "q7_esdsl_parent_id" ->
+      ("SELECT l.*, CAST(1.0 AS DOUBLE) AS \"_score\" " +
+       "FROM lineitem l WHERE l_orderkey = 7 " +
+       "ORDER BY l_linenumber LIMIT 100"),
+
+    "q7_esdsl_children_agg" ->
+      ("SELECT count(*) AS doc_count, " +
+       "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+       "count(l_quantity) AS n_items FROM lineitem " +
+       "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+       "WHERE o_orderpriority = '1-URGENT')"),
+
     // Welch t: HUGEINT power sums cast double, then the IDENTICAL
     // post-aggregation op DAG as the engine (m = s/n; v = (q − s·m)/
     // (n−1); t = (ma − mb)/sqrt(va/na + vb/nb))

@@ -130,6 +130,9 @@ object EsDsl {
     * can reference the document identity positionally, like ES's _id. */
   private val IdColMarker = "__graft_id__"
 
+  /** The sub-compiled clause's score column ([[subCompile]]). */
+  private val SubScore = "__sub_score__"
+
   /** Synthetic unique-row key the BM25 score joins ride on (equals the
     * id column, or the concat of the union view's (document_id, table)
     * pair — neither alone is unique there). */
@@ -198,9 +201,59 @@ object EsDsl {
     * reference OTHER indexes (terms lookup). */
   type IndexResolver = String => Option[(DataFrame, Seq[String])]
 
+  /** Parent/child relations for a DSL target — the relational analog
+    * of ES's join field. `children` maps a child TYPE name to (child
+    * frame, the child column holding the parent's id); `parents` maps
+    * a parent TYPE name to (parent frame, THIS table's column holding
+    * that parent's id). The parent's own id is its first column (the
+    * same identity every scorer tiebreaks on). Registered per target
+    * by the caller — the HTTP layer derives them from the lake's
+    * foreign keys; ES derives the same structure from the join-field
+    * mapping. */
+  final case class Relations(
+    children: Map[String, (DataFrame, String)] = Map.empty,
+    parents: Map[String, (DataFrame, String)] = Map.empty)
+
   private final class Ctx(df: DataFrame, sid: Column,
                           statsIndex: Option[String] = None,
-                          lookupResolver: Option[IndexResolver] = None) {
+                          lookupResolver: Option[IndexResolver] = None,
+                          relations: Relations = Relations()) {
+
+    def childRelation(tpe: String): (DataFrame, String) =
+      relations.children.getOrElse(tpe,
+        bad(s"unknown child type '$tpe' — no child relation is " +
+          "registered for this index"))
+
+    def parentRelation(tpe: String): (DataFrame, String) =
+      relations.parents.getOrElse(tpe,
+        bad(s"unknown parent type '$tpe' — no parent relation is " +
+          "registered for this index"))
+
+    /** Per-document AUXILIARY join frames (parent/child clauses): each
+      * entry is (left join key, a frame whose first column
+      * `<tag>_key` joins against it). [[foldJoins]] left-joins them
+      * into the hit path after the score fold — the clause's
+      * pred/score columns resolve there. Keys are grouped on the
+      * child side first, so each frame is parent-cardinality-bounded
+      * and the join never fans out. */
+    private val joinFrames = ArrayBuffer[(Column, DataFrame)]()
+
+    /** Queue `frame` for the hit-path fold; returns the tag naming
+      * its columns (`<tag>_key`, `<tag>_cnt`, `<tag>_score`). `key`
+      * defaults to the document id. */
+    def registerJoin(frame: String => DataFrame,
+                     key: Option[Column] = None): String = {
+      val tag = s"__join_${joinFrames.size}"
+      joinFrames += ((key.getOrElse(sid), frame(tag)))
+      tag
+    }
+
+    def foldJoins(base: DataFrame): DataFrame =
+      joinFrames.foldLeft(base) { case (b, (k, fr)) =>
+        val keyCol = fr.columns.head
+        b.join(fr, k.cast("string") === fr(keyCol).cast("string"),
+          "left").drop(keyCol)
+      }
 
     /** ES terms-LOOKUP resolution (`{"terms": {f: {index, id,
       * path}}}`): the referenced document's `path` values become the
@@ -520,7 +573,8 @@ object EsDsl {
   def search(df: DataFrame, body: JsonNode,
              tiebreak: Seq[String] = Nil,
              statsIndex: Option[String] = None,
-             lookup: Option[IndexResolver] = None): DataFrame = {
+             lookup: Option[IndexResolver] = None,
+             relations: Relations = Relations()): DataFrame = {
     // a knn-only body with suggest reaches searchParts, whose knn
     // branch rejects the stray suggest BY NAME; hybrid (query + knn)
     // with suggest hits the same single-frame rejection as
@@ -533,7 +587,8 @@ object EsDsl {
       if (!body.hasNonNull("knn"))
         return suggest(df, body.get("suggest"))
     }
-    val (hits, aggs) = searchParts(df, body, tiebreak, statsIndex, lookup)
+    val (hits, aggs) =
+      searchParts(df, body, tiebreak, statsIndex, lookup, relations)
     aggs.getOrElse(hits)
   }
 
@@ -1004,7 +1059,8 @@ object EsDsl {
     * error in ES too. */
   def countFrame(df: DataFrame, body: JsonNode,
                  tiebreak: Seq[String] = Nil,
-                 lookup: Option[IndexResolver] = None): DataFrame = {
+                 lookup: Option[IndexResolver] = None,
+                 relations: Relations = Relations()): DataFrame = {
     val unknown = keysOf(body).filterNot(Set("query", "index"))
     if (unknown.nonEmpty)
       bad(s"unsupported _count body key" +
@@ -1017,7 +1073,8 @@ object EsDsl {
         concat_ws(1.toChar.toString,
           tiebreak.map(c => col(c).cast("string")): _*)
       else col(idName)
-    val ctx = new Ctx(df, sid, lookupResolver = lookup)
+    val ctx = new Ctx(df, sid, lookupResolver = lookup,
+      relations = relations)
     val pred = Option(body.get("query")) match {
       case None => lit(true) // ES: a bodyless _count is match_all
       case Some(q) =>
@@ -1025,14 +1082,15 @@ object EsDsl {
           ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
           lit(false))
     }
-    df.withColumn(IdColMarker, col(idName)).filter(pred)
-      .agg(count(lit(1)).as("count"))
+    ctx.foldJoins(df.withColumn(IdColMarker, col(idName)))
+      .filter(pred).agg(count(lit(1)).as("count"))
   }
 
   def searchParts(df0: DataFrame, body: JsonNode,
                   tiebreak: Seq[String] = Nil,
                   statsIndex: Option[String] = None,
-                  lookup: Option[IndexResolver] = None)
+                  lookup: Option[IndexResolver] = None,
+                  relations: Relations = Relations())
       : (DataFrame, Option[DataFrame]) = {
     // a `suggest` section next to `query` is legal (ES returns hits
     // AND suggestions in one response) — the caller compiles it with
@@ -1095,7 +1153,7 @@ object EsDsl {
       if (tiebreak.size > 1)
         concat_ws("\u0001", tiebreak.map(c => col(c).cast("string")): _*)
       else col(idName)
-    val ctx = new Ctx(df, sid, statsIndex, lookup)
+    val ctx = new Ctx(df, sid, statsIndex, lookup, relations)
     val c = clause(q, ctx)
     // HYBRID knn + query (ES 8.x): the hit set is the UNION of the
     // query's matches and the knn section's k nearest; a doc in both
@@ -1186,8 +1244,10 @@ object EsDsl {
     val base1 = ctx.scoreFrame
       .map(fr => base0.join(fr, Seq(SidCol), "left")).getOrElse(base0)
     // phrase-BM25 statistics: one single-row broadcast per body
-    val base2 = ctx.phraseStatsFrame
+    val base2a = ctx.phraseStatsFrame
       .map(st => base1.crossJoin(broadcast(st))).getOrElse(base1)
+    // parent/child auxiliary frames (key-cardinality-bounded)
+    val base2 = ctx.foldJoins(base2a)
     val tieNames = if (tiebreak.nonEmpty) tiebreak
       else Seq(df.columns.head)
     // hybrid knn: join the k-nearest frame, widen the match set to
@@ -2152,6 +2212,28 @@ object EsDsl {
     sb.append(ch); ()
   }
 
+  /** Compile `q` against ANOTHER index's frame with its own [[Ctx]]
+    * and a minimal score fold (shared BM25 frame + phrase statistics
+    * — the two folds a sub-query can register) — the parent/child
+    * clauses' sub-compile. Returns the MATCHED rows of `other` with
+    * their score in [[SubScore]]. Parent/child clauses do not nest
+    * (the sub-Ctx carries no relations — a nested has_child fails by
+    * name), matching ES's one-level join-field contract. */
+  private def subCompile(other: DataFrame, q: JsonNode): DataFrame = {
+    val sid = col(other.columns.head)
+    val sctx = new Ctx(other, sid)
+    val c = clause(q, sctx)
+    val b0 = other.withColumn(IdColMarker, col(other.columns.head))
+      .withColumn(SidCol, sid)
+    val b1 = sctx.scoreFrame
+      .map(fr => b0.join(fr, Seq(SidCol), "left")).getOrElse(b0)
+    val b2 = sctx.phraseStatsFrame
+      .map(ps => b1.crossJoin(broadcast(ps))).getOrElse(b1)
+    sctx.foldJoins(b2)
+      .filter(coalesce(c.pred, lit(false)))
+      .withColumn(SubScore, c.score.cast("double"))
+  }
+
   private def clause(q: JsonNode, ctx: Ctx): Clause = unwrap(q) match {
     case ("match_all", b) =>
       // ES match_all: every doc, score = boost
@@ -2635,6 +2717,116 @@ object EsDsl {
       val cnt = Search.spanContainCount(col(bigField), slots, slop, lm,
         within = kind == "span_within")
       boosted(Clause(cnt > 0, cnt.cast("double")), boost)
+
+    // ── parent/child family (ES join field, relationally: the
+    // registered foreign keys — Relations). The OTHER index's query
+    // compiles with its own Ctx + score fold (subCompile), is
+    // AGGREGATED on the join key (so each auxiliary frame is
+    // key-cardinality-bounded and the hit-path join never fans out),
+    // and folds into the hit path as one left join
+    // (Ctx.registerJoin). Two shuffles — the child-side hash
+    // aggregate and the key join — no cartesian anywhere. ──
+    case ("has_child", b) =>
+      val unknown = keysOf(b).filterNot(Set("type", "query",
+        "score_mode", "min_children", "max_children", "boost"))
+      if (unknown.nonEmpty)
+        bad(s"unsupported has_child key" +
+          s"${if (unknown.size == 1) "" else "s"}: " +
+          unknown.mkString(", "))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      if (boost < 0) bad("has_child boost must be >= 0")
+      val tpe = Option(b.get("type")).map(_.asText)
+        .getOrElse(bad("has_child needs \"type\""))
+      val (childDf, fk) = ctx.childRelation(tpe)
+      val cq = Option(b.get("query"))
+        .getOrElse(bad("has_child needs \"query\""))
+      val scoreMode = Option(b.get("score_mode")).map(_.asText)
+        .getOrElse("none")
+      def intKnob(k: String, dflt: Int): Int =
+        Option(b.get(k)).map { n =>
+          if (!n.isIntegralNumber) bad(s"has_child $k must be an integer")
+          n.asInt
+        }.getOrElse(dflt)
+      val minC = intKnob("min_children", 1)
+      val maxC = intKnob("max_children", Int.MaxValue)
+      if (minC < 1 || maxC < minC)
+        bad("has_child needs 1 <= min_children <= max_children")
+      val matched = subCompile(childDf, cq)
+      val scoreAgg: Column = scoreMode match {
+        case "none" => lit(0.0)
+        case "sum"  => sum(col(SubScore))
+        case "max"  => max(col(SubScore))
+        case "min"  => min(col(SubScore))
+        case "avg"  => avg(col(SubScore))
+        case other  => bad(s"unsupported has_child score_mode " +
+          s"'$other' (none/sum/max/min/avg)")
+      }
+      val tag = ctx.registerJoin(t =>
+        matched.groupBy(col(fk).as(s"${t}_key"))
+          .agg(count(lit(1)).as(s"${t}_cnt"),
+            scoreAgg.as(s"${t}_score")))
+      val cnt = coalesce(col(s"${tag}_cnt"), lit(0L))
+      val pred =
+        if (maxC == Int.MaxValue) cnt >= minC
+        else cnt >= minC && cnt <= maxC
+      val score =
+        if (scoreMode == "none") lit(1.0)
+        else coalesce(col(s"${tag}_score"), lit(0.0))
+      boosted(Clause(pred, score), boost)
+
+    case ("has_parent", b) =>
+      val unknown = keysOf(b)
+        .filterNot(Set("parent_type", "query", "score", "boost"))
+      if (unknown.nonEmpty)
+        bad(s"unsupported has_parent key" +
+          s"${if (unknown.size == 1) "" else "s"}: " +
+          unknown.mkString(", "))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      if (boost < 0) bad("has_parent boost must be >= 0")
+      val tpe = Option(b.get("parent_type")).map(_.asText)
+        .getOrElse(bad("has_parent needs \"parent_type\""))
+      val (parentDf, fkSelf) = ctx.parentRelation(tpe)
+      val pq = Option(b.get("query"))
+        .getOrElse(bad("has_parent needs \"query\""))
+      val withScore = Option(b.get("score")).exists { n =>
+        if (!n.isBoolean) bad("has_parent score must be boolean")
+        n.asBoolean
+      }
+      val matched = subCompile(parentDf, pq)
+      val pid = col(parentDf.columns.head)
+      // parent ids are unique by contract; the defensive groupBy
+      // keeps a malformed parent table from fanning out child rows
+      val tag = ctx.registerJoin(t =>
+        matched.groupBy(pid.as(s"${t}_key"))
+          .agg(count(lit(1)).as(s"${t}_cnt"),
+            max(col(SubScore)).as(s"${t}_score")),
+        key = Some(col(fkSelf)))
+      val score =
+        if (withScore) coalesce(col(s"${tag}_score"), lit(0.0))
+        else lit(1.0)
+      boosted(Clause(coalesce(col(s"${tag}_cnt"), lit(0L)) >= 1,
+        score), boost)
+
+    case ("parent_id", b) =>
+      // ES parent_id: children of ONE parent. DEVIATION, documented:
+      // `type` names the PARENT relation here (ES names the child
+      // type, which this engine's relation registry does not know) —
+      // validated against the registered parents, so a typo still
+      // fails by name.
+      val unknown = keysOf(b).filterNot(Set("type", "id", "boost"))
+      if (unknown.nonEmpty)
+        bad(s"unsupported parent_id key" +
+          s"${if (unknown.size == 1) "" else "s"}: " +
+          unknown.mkString(", "))
+      val boost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      if (boost < 0) bad("parent_id boost must be >= 0")
+      val tpe = Option(b.get("type")).map(_.asText)
+        .getOrElse(bad("parent_id needs \"type\""))
+      val (_, fkSelf) = ctx.parentRelation(tpe)
+      val idV = Option(b.get("id")).map(_.asText)
+        .getOrElse(bad("parent_id needs \"id\""))
+      boosted(Clause(col(fkSelf).cast("string") === lit(idV),
+        lit(1.0)), boost)
 
     case ("intervals", b) =>
       // ES intervals query: `match` rules (ordered/max_gaps proximity
@@ -3917,6 +4109,8 @@ object EsDsl {
     "top_metrics" -> Set("metrics", "sort", "size"),
     "boxplot" -> Set("field"),
     "t_test" -> Set("a", "b", "type"),
+    "children" -> Set("type"),
+    "parent" -> Set("type"),
     "median_absolute_deviation" -> Set("field", "compression"),
     "string_stats" -> Set("field"),
     "matrix_stats" -> Set("fields"),
@@ -5343,6 +5537,37 @@ object EsDsl {
           bad("global agg takes an empty body")
         val cols = metricSubs(spec)
         ctx.raw.agg(count(lit(1)).as("doc_count"), cols: _*)
+
+      case "children" =>
+        // ES children agg: switch the aggregation context to the
+        // CHILD documents of the query's matching parents — a
+        // left-semi join of the child frame against the matched
+        // parent ids (no fan-out, no cartesian), then doc_count +
+        // metric sub-aggs over the child rows.
+        val ch = spec.get("children")
+        val tpe = Option(ch.get("type")).map(_.asText)
+          .getOrElse(bad("children agg needs \"type\""))
+        val (childDf, fk) = ctx.childRelation(tpe)
+        val pids = df.select(col(SidCol).cast("string").as("__pid"))
+          .distinct()
+        val kids = childDf.join(pids,
+          col(fk).cast("string") === col("__pid"), "left_semi")
+        kids.agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
+
+      case "parent" =>
+        // ES parent agg: the reverse switch — the PARENT documents of
+        // the query's matching children (distinct: many children, one
+        // parent), doc_count + metrics over the parent rows.
+        val pa = spec.get("parent")
+        val tpe = Option(pa.get("type")).map(_.asText)
+          .getOrElse(bad("parent agg needs \"type\""))
+        val (parentDf, fkSelf) = ctx.parentRelation(tpe)
+        val cids = df.select(col(fkSelf).cast("string").as("__cid"))
+          .distinct()
+        val pid = col(parentDf.columns.head)
+        val parents = parentDf.join(cids,
+          pid.cast("string") === col("__cid"), "left_semi")
+        parents.agg(count(lit(1)).as("doc_count"), metricSubs(spec): _*)
 
       case "sampler" | "diversified_sampler" =>
         // ES sampler: restrict sub-aggregation processing to the

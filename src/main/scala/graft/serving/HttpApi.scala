@@ -477,6 +477,24 @@ final class HttpApi(
       Some((Tables(spark, srcDir, index), Nil))
     else None
 
+  /** The lake's foreign keys as DSL parent/child relations per
+    * target table — the relational stand-in for ES's join-field
+    * mapping (each relation: the other frame + the child-side column
+    * holding the parent's id). */
+  private def relationsFor(index: String): EsDsl.Relations = {
+    def tbl(n: String) = Tables(spark, srcDir, n)
+    index match {
+      case "orders" => EsDsl.Relations(
+        children = Map("lineitem" -> ((tbl("lineitem"), "l_orderkey"))),
+        parents = Map("customer" -> ((tbl("customer"), "o_custkey"))))
+      case "lineitem" => EsDsl.Relations(
+        parents = Map("orders" -> ((tbl("orders"), "l_orderkey"))))
+      case "customer" => EsDsl.Relations(
+        children = Map("orders" -> ((tbl("orders"), "o_custkey"))))
+      case _ => EsDsl.Relations()
+    }
+  }
+
   /** The suggest section's frame — ONE routing for suggest-only and
     * combined (query + suggest) bodies: a named table with the field
     * indexed probes the termstats vocabulary (term-cardinality-sized);
@@ -749,8 +767,8 @@ final class HttpApi(
     // ES returns hits AND aggregations in one response; the
     // flat bucket table rides an "aggregations" section keyed
     // by the body's top-level agg name
-    val (page, aggs) =
-      EsDsl.searchParts(df, req, ties, statsIdx, Some(dslTarget _))
+    val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx,
+      Some(dslTarget _), relationsFor(index))
     // the section is keyed by the BASE bucket agg's name —
     // never a sibling pipeline's, regardless of body key order
     val aggName = aggs.map(_ => EsDsl.responseAggName(
@@ -774,8 +792,8 @@ final class HttpApi(
         respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
       case Some((df, ties)) =>
         try {
-          val n = EsDsl.countFrame(df, req, ties, Some(dslTarget _))
-            .collect()(0).getLong(0)
+          val n = EsDsl.countFrame(df, req, ties, Some(dslTarget _),
+            relationsFor(index)).collect()(0).getLong(0)
           respond(ex, 200, s"""{"count": $n}""")
         } catch {
           case e: IllegalArgumentException =>
@@ -870,8 +888,8 @@ final class HttpApi(
         respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
       case Some((df, ties)) =>
         try {
-          EsDsl.countFrame(df, req, ties, Some(dslTarget _))
-            .queryExecution.analyzed
+          EsDsl.countFrame(df, req, ties, Some(dslTarget _),
+            relationsFor(index)).queryExecution.analyzed
           respond(ex, 200, """{"valid": true}""")
         } catch {
           case e: IllegalArgumentException =>
@@ -1105,7 +1123,7 @@ final class HttpApi(
               Some(tableIndexPath(index))
             else None
           val (page, _) = EsDsl.searchParts(df, built, ties, statsIdx,
-            Some(dslTarget _))
+            Some(dslTarget _), relationsFor(index))
           val rows = page.collect()
           val idJ = mapper.writeValueAsString(idN.asText)
           if (rows.isEmpty)

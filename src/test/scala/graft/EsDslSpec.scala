@@ -1320,6 +1320,94 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("parent/child: has_child score modes and children bounds, " +
+    "has_parent, parent_id, children/parent aggs, bool composition") {
+    val kids = Seq(
+      (10L, 1L, "alpha", 5L), (11L, 1L, "beta", 7L),
+      (12L, 2L, "alpha alpha", 9L), (13L, 99L, "gamma", 1L)
+    ).toDF("kid_id", "parent_id", "ktext", "kv")
+    val relP = EsDsl.Relations(
+      children = Map("kid" -> ((kids, "parent_id"))))
+    val relC = EsDsl.Relations(
+      parents = Map("doc" -> ((docs, "parent_id"))))
+    def qp(json: String) = EsDsl.search(docs,
+      mapper.readTree(json), relations = relP)
+    def qc(json: String) = EsDsl.search(kids,
+      mapper.readTree(json), relations = relC)
+    // score_mode sum over a constant-scored child clause = child count
+    val sum2 = qp("""{"query": {"has_child": {"type": "kid",
+      "query": {"range": {"kv": {"gte": 5}}},
+      "score_mode": "sum"}}, "size": 10}""").collect()
+    assert(sum2.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 2.0, 2L -> 1.0))
+    // min_children / max_children cut on the matching-child count
+    assert(qp("""{"query": {"has_child": {"type": "kid",
+      "query": {"range": {"kv": {"gte": 5}}},
+      "min_children": 2}}, "size": 10}""").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(qp("""{"query": {"has_child": {"type": "kid",
+      "query": {"range": {"kv": {"gte": 5}}},
+      "max_children": 1}}, "size": 10}""").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // default score_mode none: constant 1.0, boost applies
+    val none = qp("""{"query": {"has_child": {"type": "kid",
+      "query": {"match": {"ktext": "alpha"}}, "boost": 3}},
+      "size": 10}""").collect()
+    assert(none.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 3.0, 2L -> 3.0))
+    // has_child composes inside bool (join fold resolves post-compile)
+    val boolQ = qp("""{"query": {"bool": {
+      "must": [{"has_child": {"type": "kid",
+        "query": {"range": {"kv": {"gte": 5}}}}}],
+      "filter": [{"term": {"source": "src3"}}]}}, "size": 10}""")
+      .collect()
+    assert(boolQ.map(_.getLong(0)).toSeq == Seq(1L))
+    // has_parent: children of src3 parents (docs 1, 4 — only 1 has
+    // kids); score: true carries the parent's score
+    val hp = qc("""{"query": {"has_parent": {"parent_type": "doc",
+      "query": {"term": {"source": "src3"}}}},
+      "sort": [{"kid_id": "asc"}], "size": 10}""").collect()
+    assert(hp.map(_.getLong(0)).toSeq == Seq(10L, 11L) &&
+      hp.forall(_.getAs[Double]("_score") == 1.0))
+    // parent_id: one parent's children; unknown type fails by name
+    assert(qc("""{"query": {"parent_id": {"type": "doc", "id": "2"}},
+      "size": 10}""").collect().map(_.getLong(0)).toSeq == Seq(12L))
+    intercept[IllegalArgumentException] {
+      qc("""{"query": {"parent_id": {"type": "nope", "id": "2"}}}""")
+    }
+    // children agg: kids of the matching parents (kid 13's parent 99
+    // is no doc — excluded by the semi-join)
+    val ca = qp("""{"query": {"match_all": {}},
+      "aggs": {"kids": {"children": {"type": "kid"}, "aggs": {
+        "min_v": {"min": {"field": "kv"}},
+        "max_v": {"max": {"field": "kv"}}}}}, "size": 0}""").collect()
+    assert(ca.head.getAs[Long]("doc_count") == 3L &&
+      ca.head.getAs[Long]("min_v") == 5L &&
+      ca.head.getAs[Long]("max_v") == 9L)
+    // parent agg: distinct parents of the matching children
+    val pa = qc("""{"query": {"match": {"ktext": "alpha"}},
+      "aggs": {"ps": {"parent": {"type": "doc"}, "aggs": {
+        "n": {"value_count": {"field": "doc_id"}}}}}, "size": 0}""")
+      .collect()
+    assert(pa.head.getAs[Long]("doc_count") == 2L &&
+      pa.head.getAs[Long]("n") == 2L)
+    // nested parent/child rejects (one-level join contract); unknown
+    // child type and score_mode reject by name
+    intercept[IllegalArgumentException] {
+      qp("""{"query": {"has_child": {"type": "kid", "query":
+        {"has_child": {"type": "kid", "query":
+          {"match_all": {}}}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      qp("""{"query": {"has_child": {"type": "nope",
+        "query": {"match_all": {}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      qp("""{"query": {"has_child": {"type": "kid",
+        "query": {"match_all": {}}, "score_mode": "mul"}}}""")
+    }
+  }
+
   test("t_test: Welch / pooled / paired statistics; paired rejects " +
     "filters; unknown type and side keys reject by name") {
     val tdf = Seq(

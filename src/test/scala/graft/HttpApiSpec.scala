@@ -230,6 +230,36 @@ class HttpApiSpec extends SparkSpec
     assert(badIdx.statusCode() == 400 && badIdx.body().contains("nope"))
   }
 
+  test("parent/child rides HTTP: has_child over the lake's foreign " +
+    "keys, and _count folds the child join too") {
+    val r = post("/search/advanced",
+      """{"index": "orders",
+        | "query": {"has_child": {"type": "lineitem",
+        |   "query": {"range": {"l_quantity": {"gte": 45}}},
+        |   "score_mode": "sum", "min_children": 2}},
+        | "size": 3}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    val hits = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(r.body()).get("hits").get("hits")
+    assert(hits.size > 0 && hits.get(0).get("_score").asDouble >= 2.0,
+      r.body().take(300))
+    val c = post("/search/count",
+      """{"index": "orders",
+        | "query": {"has_child": {"type": "lineitem",
+        |   "query": {"range": {"l_quantity": {"gte": 45}}},
+        |   "min_children": 2}}}""".stripMargin)
+    assert(c.statusCode() == 200, c.body())
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(c.body()).get("count").asLong > 0)
+    // documents has no registered relations: fails by name
+    val bad = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"has_child": {"type": "lineitem",
+        |   "query": {"match_all": {}}}}}""".stripMargin)
+    assert(bad.statusCode() == 400 &&
+      bad.body().contains("child"), bad.body())
+  }
+
   test("POST /search/msearch answers ndjson pairs in order; a failing " +
     "item errors IN ITS SLOT and the envelope stays 200") {
     val nd =
