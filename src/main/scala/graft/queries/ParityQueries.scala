@@ -1010,6 +1010,42 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "events"), body)
     }),
 
+    // rate agg (round 10, second lap): per-day order and fill rates
+    // inside MONTH calendar buckets — the divisor is each bucket's
+    // ACTUAL calendar length (Jan/31, Feb/28 or 29), ES's example
+    // arithmetic. doc_count mode and value_count mode in one body;
+    // integer numerators keep the one double division bit-stable.
+    "q7_esdsl_rate" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_month": {"date_histogram":
+          |   {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "orders_per_day": {"rate": {"unit": "day"}},
+          |     "fills_per_day": {"rate": {"field": "o_custkey",
+          |       "mode": "value_count", "unit": "day"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
+    // cumulative_cardinality (round 10, second lap): distinct
+    // customers seen up to each month. ES merges per-bucket HLL
+    // sketches; the engine's exact form credits each customer to its
+    // FIRST month (one hash agg on the key, one on the bucket, a
+    // bucket-table join + running sum — no second corpus pass).
+    "q7_esdsl_cum_cardinality" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_month": {"date_histogram":
+          |   {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "actives": {"cardinality": {"field": "o_custkey"}},
+          |     "total_customers": {"cumulative_cardinality":
+          |       {"buckets_path": "actives"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // serial_diff (round 10): week-over-week differencing of daily
     // event volume — x_t − x_{t−7} over the bucket table; the first 7
     // buckets are null (ES's omitted key under gap_policy skip).
@@ -1737,6 +1773,28 @@ object ParityQueries {
         """{"query": {"geo_bounding_box": {"loc": {
           |   "top_left": {"lat": 60, "lon": 150},
           |   "bottom_right": {"lat": -20, "lon": -120}}}},
+          | "size": 10000}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+        .drop("loc")
+    }),
+
+    // geo_shape QUERY (round 10, second lap): polygon-WITH-HOLE
+    // membership via even-odd ray casting unrolled into column
+    // arithmetic (one crossing term per edge). The oracle proves the
+    // SAME region with half-plane tests (the outer diamond is
+    // convex) minus the hole box — two independent formulations, one
+    // membership. Vertices end in .005 so the two-decimal synthetic
+    // grid never lands on a boundary.
+    "q7_esdsl_geo_shape" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"geo_shape": {"loc": {"shape":
+          |  {"type": "polygon", "coordinates": [
+          |    [[-60.005, 0], [0, -50.005], [60.005, 0], [0, 50.005],
+          |     [-60.005, 0]],
+          |    [[-20.005, -15.005], [20.005, -15.005],
+          |     [20.005, 15.005], [-20.005, 15.005],
+          |     [-20.005, -15.005]]]},
+          |  "relation": "intersects"}}},
           | "size": 10000}""".stripMargin)
       graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
         .drop("loc")
@@ -3986,6 +4044,22 @@ object ParityQueries {
        s"FROM customer WHERE $GeoLatSql <= 60 AND $GeoLatSql >= -20 " +
        s"AND ($GeoLonSql >= 150 OR $GeoLonSql <= -120)"),
 
+    // half-plane membership for the convex outer diamond (CCW edge
+    // cross products all positive) minus the open hole box — the
+    // region the engine's ray casting decides; boundaries are
+    // unrepresentable on the synthetic grid so strictness never bites
+    "q7_esdsl_geo_shape" ->
+      (s"WITH g AS (SELECT *, $GeoLatSql AS lat, $GeoLonSql AS lon " +
+       "FROM customer) " +
+       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+       "c_mktsegment, CAST(1.0 AS DOUBLE) AS \"_score\" FROM g " +
+       "WHERE (60.005 * lat + 50.005 * (lon + 60.005) > 0) " +
+       "AND (60.005 * (lat + 50.005) - 50.005 * lon > 0) " +
+       "AND (-60.005 * lat - 50.005 * (lon - 60.005) > 0) " +
+       "AND (-60.005 * (lat - 50.005) + 50.005 * lon > 0) " +
+       "AND NOT (lat > -15.005 AND lat < 15.005 " +
+       "AND lon > -20.005 AND lon < 20.005)"),
+
     "q7_esdsl_geo_bounds" ->
       (s"WITH g AS (SELECT $GeoLatSql AS lat, $GeoLonSql AS lon " +
        "FROM customer), a AS (SELECT max(lat) AS t, min(lat) AS b, " +
@@ -4195,6 +4269,43 @@ object ParityQueries {
        "count(DISTINCT user_id) AS actives " +
        "FROM events WHERE ts IS NOT NULL " +
        "GROUP BY 1 ORDER BY key"),
+
+    // rate: integer numerators (count(*) / count(o_custkey)), one
+    // double multiply-then-divide in both engines — (n · unit_ms) /
+    // actual_month_ms, IEEE-identical
+    "q7_esdsl_rate" ->
+      ("WITH b AS (SELECT " +
+       "epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) " +
+       "AS key, " +
+       "epoch_ms(CAST(date_trunc('month', o_orderdate) " +
+       "+ INTERVAL 1 MONTH AS TIMESTAMP)) AS nxt, " +
+       "count(*) AS doc_count, count(o_custkey) AS nc " +
+       "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2) " +
+       "SELECT key, doc_count, " +
+       "CAST(doc_count AS DOUBLE) * 86400000.0 " +
+         "/ CAST(nxt - key AS DOUBLE) AS orders_per_day, " +
+       "CAST(nc AS DOUBLE) * 86400000.0 " +
+         "/ CAST(nxt - key AS DOUBLE) AS fills_per_day " +
+       "FROM b ORDER BY key"),
+
+    // cumulative_cardinality: each customer credited to its FIRST
+    // month, then a running sum — the exact relational mirror of the
+    // engine's plan; pure long arithmetic
+    "q7_esdsl_cum_cardinality" ->
+      ("WITH base AS (SELECT " +
+       "epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) " +
+       "AS key, o_custkey " +
+       "FROM orders WHERE o_orderdate IS NOT NULL), " +
+       "b AS (SELECT key, count(*) AS doc_count, " +
+       "count(DISTINCT o_custkey) AS actives FROM base GROUP BY 1), " +
+       "f AS (SELECT o_custkey, min(key) AS key FROM base " +
+       "WHERE o_custkey IS NOT NULL GROUP BY 1), " +
+       "n AS (SELECT key, count(*) AS newc FROM f GROUP BY 1) " +
+       "SELECT b.key, b.doc_count, b.actives, " +
+       "CAST(sum(coalesce(n.newc, 0)) OVER (ORDER BY b.key " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+       "AS total_customers " +
+       "FROM b LEFT JOIN n ON b.key = n.key ORDER BY b.key"),
 
     // serial_diff: lagged difference over the bucket CTE — exact long
     // arithmetic, first `lag` buckets NULL like ES's omitted keys

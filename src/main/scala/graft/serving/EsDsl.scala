@@ -1897,6 +1897,104 @@ object EsDsl {
     (lat, lon)
   }
 
+  /** GeoJSON position array `[lon, lat]` → (lon, lat). */
+  private def geoJsonPos(node: JsonNode): (Double, Double) = {
+    if (node == null || !node.isArray || node.size < 2 ||
+        !node.get(0).isNumber || !node.get(1).isNumber)
+      bad("geo_shape coordinates must be [lon, lat] positions")
+    (node.get(0).asDouble, node.get(1).asDouble)
+  }
+
+  /** One GeoJSON linear ring → its vertex list (closed; the repeated
+    * last vertex dropped). Rejects rings under 3 distinct vertices,
+    * over 256 (the unrolled-expression bound), and date-line-crossing
+    * edges (ES's own > 180°-span heuristic). */
+  private def geoJsonRing(node: JsonNode): Seq[(Double, Double)] = {
+    if (node == null || !node.isArray || node.size < 4)
+      bad("geo_shape polygon rings need at least 4 positions " +
+        "(closed: first == last)")
+    if (node.size > 257)
+      bad("geo_shape polygon rings are capped at 256 vertices")
+    val pts = (0 until node.size).map(i => geoJsonPos(node.get(i)))
+    if (pts.head != pts.last)
+      bad("geo_shape polygon rings must be closed (first == last)")
+    val ring = pts.dropRight(1)
+    ring.zip(ring.tail :+ ring.head).foreach { case ((x1, _), (x2, _)) =>
+      if (math.abs(x2 - x1) > 180.0)
+        bad("geo_shape polygons must not cross the date line " +
+          "(an edge spans > 180° of longitude)")
+    }
+    ring
+  }
+
+  /** Even-odd ray casting over a LITERAL ring: one crossing term per
+    * edge (horizontal edges contribute none), summed and tested for
+    * odd parity — pure column arithmetic that rides the scan inside
+    * whole-stage codegen. Boundary behavior is the usual ray-casting
+    * convention (measure zero for real data). */
+  private def ringContains(ring: Seq[(Double, Double)],
+                           lat: Column, lon: Column): Column = {
+    val crossings = ring.zip(ring.tail :+ ring.head).flatMap {
+      case ((x1, y1), (x2, y2)) =>
+        if (y1 == y2) None
+        else Some(when(
+          (lit(y1) > lat) =!= (lit(y2) > lat) &&
+            lon < (lit(x2 - x1) * (lat - lit(y1)) / lit(y2 - y1) +
+              lit(x1)),
+          1).otherwise(0))
+    }
+    if (crossings.isEmpty) lit(false)
+    else pmod(crossings.reduce(_ + _), lit(2)) === 1
+  }
+
+  /** Inline GeoJSON shape → point-membership column. Envelope wraps
+    * at the date line like geo_bounding_box; polygon = outer ring
+    * minus holes; multipolygon = the union. */
+  private def shapeContains(shape: JsonNode, lat: Column,
+                            lon: Column): Column = {
+    val unknown = keysOf(shape).filterNot(Set("type", "coordinates"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported geo_shape shape key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val coords = Option(shape.get("coordinates"))
+      .getOrElse(bad("geo_shape shape needs \"coordinates\""))
+    def polygon(rings: JsonNode): Column = {
+      if (!rings.isArray || rings.size == 0)
+        bad("polygon coordinates must be an array of rings")
+      val outer = ringContains(geoJsonRing(rings.get(0)), lat, lon)
+      val holes = (1 until rings.size)
+        .map(i => ringContains(geoJsonRing(rings.get(i)), lat, lon))
+      holes.foldLeft(outer)((acc, h) => acc && !h)
+    }
+    Option(shape.get("type")).map(_.asText)
+      .getOrElse(bad("geo_shape shape needs \"type\"")) match {
+      case "envelope" =>
+        // [[minLon, maxLat], [maxLon, minLat]] — ES's envelope order
+        if (!coords.isArray || coords.size != 2)
+          bad("envelope coordinates must be [top_left, bottom_right]")
+        val (l, t) = geoJsonPos(coords.get(0))
+        val (r, bo) = geoJsonPos(coords.get(1))
+        if (bo > t)
+          bad("envelope: top_left lat must be >= bottom_right lat")
+        val latOk = lat <= t && lat >= bo
+        val lonOk =
+          if (l <= r) lon >= l && lon <= r
+          else lon >= l || lon <= r // date-line wrap
+        latOk && lonOk
+      case "polygon" | "Polygon" => polygon(coords)
+      case "multipolygon" | "MultiPolygon" =>
+        if (!coords.isArray || coords.size == 0)
+          bad("multipolygon coordinates must be a non-empty array " +
+            "of polygons")
+        (0 until coords.size).map(i => polygon(coords.get(i)))
+          .reduce(_ || _)
+      case other =>
+        bad(s"unsupported geo_shape type '$other' " +
+          "(envelope/polygon/multipolygon)")
+    }
+  }
+
   /** ES distance grammar ("200km", "5mi", "750m") → meters. */
   private def geoDistanceMeters(spec: String): Double = {
     val m = "([0-9]+(?:\\.[0-9]+)?)(m|km|mi)".r
@@ -3081,6 +3179,49 @@ object EsDsl {
       boosted(Clause(coalesce(latOk && lonOk, lit(false)), lit(1.0)),
         boost)
 
+    case ("geo_shape", b) =>
+      // ES geo_shape over a geo_point column with an INLINE GeoJSON
+      // shape: envelope, polygon (with holes), multipolygon.
+      // Relations for point docs: intersects == within (a point
+      // intersects a shape iff it lies within it), disjoint = the
+      // complement over docs that carry a point; `contains` can never
+      // match a point field against an area shape — rejected by name,
+      // like the pre-indexed `indexed_shape` form. Point-in-polygon
+      // is EVEN-ODD RAY CASTING unrolled over the literal vertex
+      // list: one crossing term per edge, pure codegen'd column
+      // arithmetic riding the scan — no UDF, no geometry library.
+      // Polygons crossing the date line reject (ES's own heuristic:
+      // an edge spanning > 180° of longitude); the envelope handles
+      // the wrap like geo_bounding_box. Filter context like every
+      // term-level geo query: constant 1.0 in query position.
+      val gsKeys = keysOf(b).filterNot(
+        Set("boost", "ignore_unmapped", "_name"))
+      if (gsKeys.size != 1) bad("geo_shape needs exactly one point field")
+      val gsF = gsKeys.head
+      val gsSpec = b.get(gsF)
+      val gsUnknown = keysOf(gsSpec).filterNot(Set("shape", "relation"))
+      if (gsUnknown.nonEmpty)
+        bad(s"unsupported geo_shape key" +
+          s"${if (gsUnknown.size == 1) "" else "s"}: " +
+          gsUnknown.mkString(", ") +
+          " (inline \"shape\" + \"relation\" compose; indexed_shape " +
+          "is not supported)")
+      val gsShape = Option(gsSpec.get("shape"))
+        .getOrElse(bad("geo_shape needs an inline \"shape\""))
+      val gsLat = col(s"$gsF.lat"); val gsLon = col(s"$gsF.lon")
+      val gsInside = shapeContains(gsShape, gsLat, gsLon)
+      val gsHas = gsLat.isNotNull && gsLon.isNotNull
+      val gsPred = Option(gsSpec.get("relation")).map(_.asText)
+        .getOrElse("intersects") match {
+        case "intersects" | "within" => gsHas && gsInside
+        case "disjoint"              => gsHas && !gsInside
+        case "contains" => bad("geo_shape relation 'contains' never " +
+          "matches a point field (a point contains only itself)")
+        case other => bad(s"unsupported geo_shape relation '$other'")
+      }
+      val gsBoost = Option(b.get("boost")).map(_.asDouble).getOrElse(1.0)
+      boosted(Clause(coalesce(gsPred, lit(false)), lit(1.0)), gsBoost)
+
     case ("dis_max", b) =>
       // ES dis_max: matches when ANY subquery matches; scores the BEST
       // subquery plus tie_breaker times the other matching subqueries
@@ -4125,6 +4266,8 @@ object EsDsl {
     "weighted_avg" -> Set("value", "weight"),
     "top_hits" -> Set("size", "sort", "_source"),
     "cumulative_sum" -> Set("buckets_path"),
+    "cumulative_cardinality" -> Set("buckets_path"),
+    "rate" -> Set("field", "unit", "mode"),
     "derivative" -> Set("buckets_path"),
     "serial_diff" -> Set("buckets_path", "lag", "gap_policy"),
     "normalize" -> Set("buckets_path", "method"),
@@ -4605,12 +4748,27 @@ object EsDsl {
     // not data-sized, so single-partition ordering is the honest
     // shape even at 100 TB of underlying rows.
     val PipelineKinds =
-      Set("cumulative_sum", "derivative", "bucket_sort", "moving_fn",
+      Set("cumulative_sum", "cumulative_cardinality", "derivative",
+        "bucket_sort", "moving_fn",
         "serial_diff", "normalize", "bucket_script", "bucket_selector")
-    def metricSubsNonPipeline(parent: JsonNode): Seq[Column] =
-      subEntries(parent).filterNot(e => PipelineKinds(e._2))
+    // `rate` is excluded here because the date_histogram parent owns
+    // it (its divisor needs the bucket key); any OTHER parent must
+    // reject it loudly, never drop it
+    def metricSubsNonPipeline(parent: JsonNode,
+                              allowRate: Boolean = false): Seq[Column] = {
+      if (!allowRate && subEntries(parent).exists(_._2 == "rate"))
+        bad("rate is only supported inside date_histogram")
+      subEntries(parent).filterNot(e =>
+          PipelineKinds(e._2) || e._2 == "rate")
         .flatMap { case (n, mk, ms) => metricCols(mk, ms, n) }
-    def applyPipelines(buckets: DataFrame, parent: JsonNode): DataFrame = {
+    }
+    // raw match-set rows + the bucket-key expression over them —
+    // cumulative_cardinality's exact path needs BOTH (each distinct
+    // value counts once, at its FIRST bucket; a sum of per-bucket
+    // cardinalities would double-count values spanning buckets)
+    def applyPipelines(buckets: DataFrame, parent: JsonNode,
+                       cumCtx: Option[(DataFrame, Column)] = None)
+        : DataFrame = {
       val pipes = subEntries(parent).filter(e => PipelineKinds(e._2))
       if (pipes.isEmpty) return buckets.orderBy(col("key").asc)
       import org.apache.spark.sql.expressions.Window
@@ -4635,6 +4793,43 @@ object EsDsl {
           case "cumulative_sum" =>
             out = out.withColumn(n, sum(pathCol(path, kind)).over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          case "cumulative_cardinality" =>
+            // ES cumulative_cardinality (buckets_path names a sibling
+            // `cardinality` agg): distinct values seen up to and
+            // including each bucket. ES merges per-bucket HLL
+            // sketches; the exact relational form: each distinct
+            // value counts ONCE, at its FIRST bucket — one hash agg
+            // on the value, one bucket-sized count, a bucket-table
+            // join, and a running sum. Two extra hash aggs, no
+            // second corpus pass beyond them, exact where ES is
+            // approximate (documented deviation, like `cardinality`).
+            val (rawDf, keyExpr) = cumCtx.getOrElse(
+              bad("cumulative_cardinality is only supported on " +
+                "histogram-family parents"))
+            val card = subEntries(parent).find(_._1 == path)
+              .getOrElse(bad("cumulative_cardinality buckets_path " +
+                s"'$path' does not reference a sibling aggregation"))
+            if (card._2 != "cardinality")
+              bad("cumulative_cardinality buckets_path must reference " +
+                s"a cardinality aggregation ('$path' is a ${card._2})")
+            val cf = Option(card._3.get("field")).map(_.asText)
+              .getOrElse(bad("cardinality needs \"field\""))
+            if (Option(parent.get(kindOf(parent)))
+                .flatMap(h => Option(h.get("min_doc_count")))
+                .exists(_.asInt > 1))
+              bad("cumulative_cardinality with min_doc_count > 1 is " +
+                "not supported (dropped buckets would shift first-" +
+                "seen credit)")
+            val newc = s"__new_$n"
+            val firsts = rawDf.filter(col(cf).isNotNull)
+              .groupBy(col(cf).as("__v"))
+              .agg(min(keyExpr).as("key"))
+              .groupBy(col("key")).agg(count(lit(1)).as(newc))
+            out = out.join(firsts, Seq("key"), "left")
+              .withColumn(n,
+                sum(coalesce(col(newc), lit(0L))).over(w.rowsBetween(
+                  Window.unboundedPreceding, Window.currentRow)))
+              .drop(newc)
           case "derivative" =>
             // first bucket: null (ES omits the derivative there — null
             // is the flat-relational projection of an absent key)
@@ -5211,6 +5406,19 @@ object EsDsl {
               else (1L, o)
             sign * fixedIntervalMs(mag)
           }.getOrElse(0L)
+        // ES calendar units (singular names + the 1x shorthands;
+        // JSON is case-sensitive: 1m = minute, 1M = month)
+        val calUnit: Option[String] = calendar.map {
+          case "minute" | "1m"  => "minute"
+          case "hour" | "1h"    => "hour"
+          case "day" | "1d"     => "day"
+          case "week" | "1w"    => "week"
+          case "month" | "1M"   => "month"
+          case "quarter" | "1q" => "quarter"
+          case "year" | "1y"    => "year"
+          case other =>
+            bad(s"unsupported calendar_interval '$other'")
+        }
         // (bucket key column, key-sequence generator for min_doc_count
         // 0 gap filling — lo/hi epoch-millis bounds → every aligned
         // bucket key in [lo, hi])
@@ -5231,19 +5439,7 @@ object EsDsl {
                  .otherwise(sequence(lo, hi, lit(intervalMs)))
                })
             case None =>
-              // ES calendar units (singular names + the 1x shorthands;
-              // JSON is case-sensitive: 1m = minute, 1M = month)
-              val unit = calendar.get match {
-                case "minute" | "1m"  => "minute"
-                case "hour" | "1h"    => "hour"
-                case "day" | "1d"     => "day"
-                case "week" | "1w"    => "week"
-                case "month" | "1M"   => "month"
-                case "quarter" | "1q" => "quarter"
-                case "year" | "1y"    => "year"
-                case other =>
-                  bad(s"unsupported calendar_interval '$other'")
-              }
+              val unit = calUnit.get
               val step = unit match {
                 case "week"    => "interval 7 day"
                 case "quarter" => "interval 3 month"
@@ -5282,13 +5478,89 @@ object EsDsl {
                  transform(s0, x => unix_millis(x))
                })
           }
+        // ES `rate` (date_histogram-only sub-agg): the per-bucket sum
+        // (field + mode sum), value count (mode value_count), or
+        // doc_count (no field), rescaled to a per-`unit` rate by the
+        // bucket's ACTUAL duration — a January month bucket with
+        // unit=day divides by 31, exactly ES's example arithmetic.
+        // The sum rides the one bucket aggregation; the rescale is a
+        // key-derived projection — no extra pass.
+        val rateSpecs: Seq[(String, JsonNode)] =
+          subEntries(spec).filter(_._2 == "rate")
+            .map { case (n, _, ms) => (n, ms) }
+        val rateAggCols: Seq[Column] = rateSpecs.flatMap { case (n, ms) =>
+          checkAggKeys("rate", ms)
+          val mode = Option(ms.get("mode")).map(_.asText).getOrElse("sum")
+          if (mode != "sum" && mode != "value_count")
+            bad(s"unsupported rate mode '$mode' (sum/value_count)")
+          Option(ms.get("field")).map(_.asText).map { f0 =>
+            (if (mode == "sum") sum(col(f0)) else count(col(f0)))
+              .as(s"__rate_$n")
+          }.toSeq
+        }
+        if (rateSpecs.nonEmpty && timeZone.nonEmpty)
+          bad("rate with time_zone is not supported (zone-local " +
+            "bucket durations vary under DST)")
+        // bucket duration in ms as a function of the key column —
+        // constant for fixed intervals and sub-month calendar units,
+        // key-dependent (actual calendar length) for month and up
+        lazy val bucketLenMs: Column => Column = fixed match {
+          case Some(ivSpec) =>
+            val ivMs = fixedIntervalMs(ivSpec); _ => lit(ivMs)
+          case None => calUnit.get match {
+            case "minute" => _ => lit(60000L)
+            case "hour"   => _ => lit(3600000L)
+            case "day"    => _ => lit(86400000L)
+            case "week"   => _ => lit(604800000L)
+            case u =>
+              val months = u match {
+                case "month" => 1
+                case "quarter" => 3
+                case _ => 12
+              }
+              k => unix_millis(timestamp_millis(k) +
+                expr(s"interval $months month")) - k
+          }
+        }
+        val withRates: DataFrame => DataFrame = bt0 =>
+          rateSpecs.foldLeft(bt0) { case (bt, (n, ms)) =>
+            val base =
+              if (ms.hasNonNull("field"))
+                coalesce(col(s"__rate_$n"), lit(0L)).cast("double")
+              else col("doc_count").cast("double")
+            val v = Option(ms.get("unit")).map(_.asText) match {
+              case None => base // default unit = the bucket interval
+              case Some(us) =>
+                val uMs = us match {
+                  case "second" => 1000L
+                  case "minute" => 60000L
+                  case "hour"   => 3600000L
+                  case "day"    => 86400000L
+                  case "week"   => 604800000L
+                  case other =>
+                    // month/quarter/year have no fixed millis — only
+                    // the identity rescale (unit == parent interval)
+                    // is well-defined
+                    if (calUnit.contains(other)) -1L
+                    else bad(s"unsupported rate unit '$other' " +
+                      "(second/minute/hour/day/week, or the " +
+                      "parent's own calendar unit)")
+                }
+                if (uMs < 0) base
+                else base * lit(uMs.toDouble) /
+                  bucketLenMs(col("key")).cast("double")
+            }
+            bt.withColumn(n, v).drop(s"__rate_$n")
+          }
         applyPipelines(
-          gapFill(
+          withRates(gapFill(
             df.filter(col(f).isNotNull)
               .groupBy(bucket.as("key"))
               .agg(count(lit(1)).as("doc_count"),
-                metricSubsNonPipeline(spec): _*),
-            h, keySeq), spec)
+                metricSubsNonPipeline(spec, allowRate = true)
+                  ++ rateAggCols: _*),
+            h, keySeq)), spec,
+          Some((df.filter(col(f).isNotNull), bucket)))
 
       case "histogram" =>
         // fixed-interval buckets keyed by their lower bound (ES
@@ -5327,18 +5599,18 @@ object EsDsl {
             .otherwise(sequence(loIdx, hiIdx))
           transform(s0, i => i.cast("double") * interval + off)
         }
+        val hkey = floor((col(f) - off) / interval) * interval + off
         applyPipelines(
           gapFill(
             df.filter(col(f).isNotNull)
-              .groupBy((floor((col(f) - off) / interval) * interval
-                + off).as("key"))
+              .groupBy(hkey.as("key"))
               .agg(count(lit(1)).as("doc_count"),
                 metricSubsNonPipeline(spec): _*),
             h, keySeq,
             // extended bounds are raw VALUES — align them to bucket
             // keys with the exact group-key expression
             align = v => floor((v - off) / interval) * interval + off),
-          spec)
+          spec, Some((df.filter(col(f).isNotNull), hkey)))
       case "multi_terms" =>
         // ES multi_terms: terms buckets over a COMPOSITE key — one
         // hash aggregation on all key fields, top-size by doc_count

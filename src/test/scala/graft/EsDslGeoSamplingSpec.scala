@@ -41,6 +41,64 @@ class EsDslGeoSamplingSpec extends SparkSpec {
     assert(out(3).getString(2) == "ge2ku") // Reykjavík
   }
 
+  test("geo_shape: envelope wrap, polygon with hole, multipolygon " +
+    "union, disjoint complement, and the rejection contract") {
+    def hits(body: String): Set[Long] =
+      EsDsl.search(geoDf, mapper.readTree(body)).collect()
+        .map(_.getAs[Long]("id")).toSet
+    // envelope across the date line: lon >= 140 OR lon <= -15 picks
+    // Sydney (151.2) and Reykjavík (-21.9); London (-0.13) is out
+    assert(hits(
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "envelope",
+        |  "coordinates": [[140, 70], [-15, -40]]}}}},
+        | "size": 10}""".stripMargin) == Set(3L, 4L))
+    // polygon around northern Europe with a hole excising Denmark:
+    // the outer box holds 1 (57.6,10.4), 2 (51.5,-0.1), 4 (64.1,
+    // -21.9); the hole [5..15]x[55..60] swallows point 1
+    assert(hits(
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "polygon",
+        |  "coordinates": [
+        |   [[-30, 45], [20, 45], [20, 70], [-30, 70], [-30, 45]],
+        |   [[5, 55], [15, 55], [15, 60], [5, 60], [5, 55]]]},
+        |  "relation": "within"}}}, "size": 10}""".stripMargin) ==
+      Set(2L, 4L))
+    // multipolygon: the Denmark hole as its own polygon ∪ a Sydney
+    // box — the union matches 1 and 3
+    assert(hits(
+      """{"query": {"geo_shape": {"loc": {"shape":
+        |  {"type": "multipolygon", "coordinates": [
+        |   [[[5, 55], [15, 55], [15, 60], [5, 60], [5, 55]]],
+        |   [[[150, -35], [152, -35], [152, -33], [150, -33],
+        |     [150, -35]]]]}}}}, "size": 10}""".stripMargin) ==
+      Set(1L, 3L))
+    // disjoint = the complement over docs carrying a point: only
+    // Sydney sits outside the (un-holed) northern-Europe box
+    assert(hits(
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "polygon",
+        |  "coordinates": [
+        |   [[-30, 45], [20, 45], [20, 70], [-30, 70], [-30, 45]]]},
+        |  "relation": "disjoint"}}}, "size": 10}""".stripMargin) ==
+      Set(3L))
+    // rejections by name: contains on a point field, indexed_shape,
+    // unclosed ring, date-line-crossing polygon edge, unknown type
+    def rej(body: String) = intercept[IllegalArgumentException] {
+      EsDsl.search(geoDf, mapper.readTree(body))
+    }
+    rej("""{"query": {"geo_shape": {"loc": {"shape": {"type":
+      "polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,1],[0,0]]]},
+      "relation": "contains"}}}, "size": 10}""")
+    rej("""{"query": {"geo_shape": {"loc": {"indexed_shape":
+      {"index": "shapes", "id": "x"}}}}, "size": 10}""")
+    rej("""{"query": {"geo_shape": {"loc": {"shape": {"type":
+      "polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,1]]]}}}},
+      "size": 10}""")
+    rej("""{"query": {"geo_shape": {"loc": {"shape": {"type":
+      "polygon", "coordinates": [[[-170,0],[170,0],[180,10],
+      [-170,0]]]}}}}, "size": 10}""")
+    rej("""{"query": {"geo_shape": {"loc": {"shape": {"type":
+      "circle", "coordinates": [0, 0]}}}}, "size": 10}""")
+  }
+
   test("geotile_grid: OSM tile identities and the single-bucket sum") {
     val body = mapper.readTree(
       """{"query": {"match_all": {}}, "size": 0,

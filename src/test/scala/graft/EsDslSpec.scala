@@ -143,6 +143,77 @@ class EsDslSpec extends SparkSpec {
     assert(rw.nonEmpty)
   }
 
+  test("rate divides by the bucket's ACTUAL calendar length (leap " +
+    "Feb included), doc_count and value_count modes; " +
+    "cumulative_cardinality credits each value once, at its first " +
+    "bucket; both reject off their supported parents") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val evs = Seq(
+      (1L, ts("2024-01-05T00:00:00Z"), "u1"),
+      (2L, ts("2024-01-20T00:00:00Z"), "u2"),
+      (3L, ts("2024-02-10T00:00:00Z"), "u1"), // u1 again — not new
+      (4L, ts("2024-02-11T00:00:00Z"), "u3"),
+      (5L, ts("2024-04-01T00:00:00Z"), "u4"),
+      (6L, ts("2024-02-12T00:00:00Z"), null.asInstanceOf[String])
+    ).toDF("id", "ts", "u")
+    val rows = EsDsl.search(evs, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+        |  {"field": "ts", "calendar_interval": "month"},
+        |  "aggs": {
+        |    "per_day": {"rate": {"unit": "day"}},
+        |    "users": {"cardinality": {"field": "u"}},
+        |    "vc_per_day": {"rate": {"field": "u",
+        |       "mode": "value_count", "unit": "day"}},
+        |    "total_users": {"cumulative_cardinality":
+        |       {"buckets_path": "users"}}}}},
+        | "size": 0}""".stripMargin)).collect()
+    // Jan/31d: 2 docs; Feb 2024/29d (leap): 3 docs, 2 with a user;
+    // Mar: empty (omitted at the min_doc_count=1 default); Apr/30d: 1
+    assert(rows.length == 3)
+    val byKey = rows.map(r => r.getAs[Long]("key") -> r).toMap
+    def monthMs(iso: String) =
+      java.time.Instant.parse(iso).toEpochMilli
+    val jan = byKey(monthMs("2024-01-01T00:00:00Z"))
+    val feb = byKey(monthMs("2024-02-01T00:00:00Z"))
+    val apr = byKey(monthMs("2024-04-01T00:00:00Z"))
+    assert(jan.getAs[Double]("per_day") == 2.0 * 86400000.0 /
+      (31L * 86400000L).toDouble)
+    assert(feb.getAs[Double]("per_day") == 3.0 * 86400000.0 /
+      (29L * 86400000L).toDouble)
+    assert(feb.getAs[Double]("vc_per_day") == 2.0 * 86400000.0 /
+      (29L * 86400000L).toDouble)
+    assert(apr.getAs[Double]("per_day") == 1.0 * 86400000.0 /
+      (30L * 86400000L).toDouble)
+    assert(jan.getAs[Long]("total_users") == 2L)
+    assert(feb.getAs[Long]("total_users") == 3L) // u1 NOT re-counted
+    assert(apr.getAs[Long]("total_users") == 4L)
+    // rate outside date_histogram rejects by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}}, "aggs": {"h": {"histogram":
+        {"field": "n", "interval": 10},
+        "aggs": {"r": {"rate": {"unit": "day"}}}}}, "size": 0}""")
+    }
+    // cumulative_cardinality's path must be a cardinality agg
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+          |  {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"s": {"sum": {"field": "id"}},
+          |    "t": {"cumulative_cardinality":
+          |      {"buckets_path": "s"}}}}}, "size": 0}""".stripMargin))
+    }
+    // month-unit rate on a month parent is the identity; a month
+    // unit on a DAY parent has no fixed millis — rejects
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+          |  {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"r": {"rate": {"unit": "month"}}}}},
+          | "size": 0}""".stripMargin))
+    }
+  }
+
   test("date_histogram time_zone buckets in the zone-local frame " +
     "(DST-aware for named zones); unknown agg knobs reject by name") {
     import java.sql.Timestamp
