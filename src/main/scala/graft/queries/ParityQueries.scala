@@ -1046,6 +1046,26 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // moving_percentiles (round 10, second lap): quarterly price
+    // percentiles over a 3-month trailing window (current bucket
+    // INCLUDED — ES's shift default of 1 here, unlike moving_fn).
+    // ES merges TDigest sketches; the engine recomputes exactly over
+    // the window's raw values — same interpolation as the sibling
+    // percentiles metric, same documented exact-vs-sketch deviation.
+    "q7_esdsl_moving_percentiles" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_month": {"date_histogram":
+          |   {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "price": {"percentiles": {"field": "o_totalprice",
+          |       "percents": [25, 50, 75]}},
+          |     "mp": {"moving_percentiles":
+          |       {"buckets_path": "price", "window": 3}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // serial_diff (round 10): week-over-week differencing of daily
     // event volume — x_t − x_{t−7} over the bucket table; the first 7
     // buckets are null (ES's omitted key under gap_policy skip).
@@ -1436,6 +1456,24 @@ object ParityQueries {
           |   {"span_multi": {
           |     "match": {"prefix": {"text": {"value": "win"}}}}}],
           |  "slop": 1, "in_order": true}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // span_field_masking (round 10, second lap): cross-field span
+    // composition — the source-field term's positions overlay text's
+    // position space (Lucene's analyzer-compatible multi-field
+    // contract), then ordinary in-order span_near proximity applies.
+    // source is a one-token stream, so the masked slot anchors the
+    // window at position 1.
+    "q7_esdsl_span_masked" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"span_near": {"clauses": [
+          |   {"span_field_masking": {
+          |     "query": {"span_term": {"source": "src3"}},
+          |     "field": "text"}},
+          |   {"span_term": {"text": "window"}}],
+          |  "slop": 3, "in_order": true}},
           | "size": 100}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
@@ -4307,6 +4345,31 @@ object ParityQueries {
        "AS total_customers " +
        "FROM b LEFT JOIN n ON b.key = n.key ORDER BY b.key"),
 
+    // moving_percentiles: bucket-index range join maps each bucket to
+    // its trailing 3-bucket window of raw values; quantile_cont is
+    // the same p·(n−1) linear interpolation the engine computes
+    "q7_esdsl_moving_percentiles" ->
+      ("WITH base AS (SELECT " +
+       "epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) " +
+       "AS key, CAST(o_totalprice AS DOUBLE) AS v " +
+       "FROM orders WHERE o_orderdate IS NOT NULL), " +
+       "b AS (SELECT key, count(*) AS doc_count, " +
+       "quantile_cont(v, 0.25) AS price_p25, " +
+       "quantile_cont(v, 0.50) AS price_p50, " +
+       "quantile_cont(v, 0.75) AS price_p75 FROM base GROUP BY 1), " +
+       "bi AS (SELECT key, row_number() OVER (ORDER BY key) AS rn " +
+       "FROM b), " +
+       "rv AS (SELECT bi.rn, base.v FROM base JOIN bi USING (key)), " +
+       "wv AS (SELECT bi.key, " +
+       "quantile_cont(rv.v, 0.25) AS mp_p25, " +
+       "quantile_cont(rv.v, 0.50) AS mp_p50, " +
+       "quantile_cont(rv.v, 0.75) AS mp_p75 " +
+       "FROM bi JOIN rv ON rv.rn BETWEEN bi.rn - 2 AND bi.rn " +
+       "GROUP BY 1) " +
+       "SELECT b.key, b.doc_count, b.price_p25, b.price_p50, " +
+       "b.price_p75, wv.mp_p25, wv.mp_p50, wv.mp_p75 " +
+       "FROM b JOIN wv USING (key) ORDER BY b.key"),
+
     // serial_diff: lagged difference over the bucket CTE — exact long
     // arithmetic, first `lag` buckets NULL like ES's omitted keys
     "q7_esdsl_serial_diff" ->
@@ -4438,6 +4501,24 @@ object ParityQueries {
       "FROM spos a JOIN spos b ON a.doc_id = b.doc_id " +
       "AND a.tok = 'the' AND b.tok LIKE 'win%' " +
       "AND b.pos > a.pos AND b.pos <= a.pos + 2 GROUP BY a.doc_id) " +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS \"_score\" " +
+      "FROM documents d JOIN m USING (doc_id) " +
+      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"),
+
+    // span_field_masking: slot 0's positions come from SOURCE's own
+    // token stream (a one-token stream — src3 at position 1), slot
+    // 1's from text; the in-order window compares them in one space
+    "q7_esdsl_span_masked" -> (spanPosCte +
+      "sstoks AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(coalesce(source, '')), '\\s+'), " +
+      "x -> x <> '') AS ss FROM documents), " +
+      "sspos AS (SELECT doc_id, unnest(ss) AS tok, " +
+      "generate_subscripts(ss, 1) AS pos FROM sstoks), " +
+      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM sspos a JOIN spos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'src3' AND b.tok = 'window' " +
+      "AND b.pos > a.pos AND b.pos <= a.pos + 4 GROUP BY a.doc_id) " +
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
       "CAST(m.score AS DOUBLE) AS \"_score\" " +
       "FROM documents d JOIN m USING (doc_id) " +

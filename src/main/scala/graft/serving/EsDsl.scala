@@ -1568,6 +1568,8 @@ object EsDsl {
       case ("span_containing" | "span_within", b) =>
         // both sides' spans sit inside served hits
         Seq("big", "little").foreach(k => Option(b.get(k)).foreach(walk))
+      case ("span_field_masking" | "field_masking_span", b) =>
+        Option(b.get("query")).foreach(walk)
       case ("span_multi", _) =>
         () // pattern expansions aren't enumerable — no highlight terms
       case ("intervals", b) =>
@@ -2142,6 +2144,31 @@ object EsDsl {
         "span_or of span_terms, or span_multi compose")
   }
 
+  /** A span_near clause slot, mask-aware: `(reported field, source
+    * field, matcher)`. `span_field_masking` (ES 8; `field_masking_span`
+    * in older clients) REPORTS the masked field for span_near's
+    * same-field check while its positions come from the wrapped
+    * query's own field — Lucene's composition for analyzer-compatible
+    * multi-fields. Unmasked leaves report their own field. */
+  private def spanMaskedLeaf(node: JsonNode)
+      : (String, String, Column => Column) = unwrap(node) match {
+    case (k @ ("span_field_masking" | "field_masking_span"), mb) =>
+      val unknown = keysOf(mb).filterNot(Set("query", "field"))
+      if (unknown.nonEmpty)
+        bad(s"unsupported $k key" +
+          s"${if (unknown.size == 1) "" else "s"}: " +
+          unknown.mkString(", "))
+      val inner = Option(mb.get("query"))
+        .getOrElse(bad(s"$k needs \"query\""))
+      val masked = Option(mb.get("field")).map(_.asText)
+        .getOrElse(bad(s"$k needs \"field\""))
+      val (src, m, _) = spanLeaf(inner)
+      (masked, src, m)
+    case _ =>
+      val (f, m, _) = spanLeaf(node)
+      (f, f, m)
+  }
+
   /** Lucene `span_multi`: a multi-term query (`prefix` / `wildcard` /
     * `regexp` / `fuzzy`) lifted into span position. The wrapped
     * pattern becomes a TOKEN matcher over the same positional scan
@@ -2674,12 +2701,15 @@ object EsDsl {
       val cs = Option(b.get("clauses")).filter(_.isArray)
         .filter(_.size > 0)
         .getOrElse(bad("span_near needs a non-empty \"clauses\" array"))
-      val leaves = (0 until cs.size).map(i => spanLeaf(cs.get(i)))
+      // mask-aware slots: the same-field check runs on REPORTED
+      // fields (what span_field_masking exists to satisfy); position
+      // streams come from each slot's SOURCE field
+      val leaves = (0 until cs.size).map(i => spanMaskedLeaf(cs.get(i)))
       val fieldsSeen = leaves.map(_._1).distinct
       if (fieldsSeen.size != 1)
         bad("span_near clauses must target one field " +
-          s"(got ${fieldsSeen.mkString(", ")})")
-      val f = fieldsSeen.head
+          s"(got ${fieldsSeen.mkString(", ")}); wrap cross-field " +
+          "clauses in span_field_masking")
       val slop = Option(b.get("slop")).map { n =>
         if (!n.isIntegralNumber) bad("span_near slop must be an integer")
         n.asInt
@@ -2690,12 +2720,20 @@ object EsDsl {
         if (!n.isBoolean) bad("span_near in_order must be boolean")
         n.asBoolean
       }
+      val oneSrc = leaves.map(_._2).distinct.size == 1
+      val f = leaves.head._2
       val cnt =
-        if (leaves.size == 1) spanLeafCount(f, leaves.head._2)
+        if (leaves.size == 1) spanLeafCount(f, leaves.head._3)
+        else if (inOrder && oneSrc)
+          Search.spanNearCount(col(f), leaves.map(_._3), slop)
         else if (inOrder)
-          Search.spanNearCount(col(f), leaves.map(_._2), slop)
+          Search.spanNearCountFields(
+            leaves.map(l => (col(l._2), l._3)), slop)
+        else if (leaves.size == 2 && oneSrc)
+          Search.spanPairCount(col(f), leaves(0)._3, leaves(1)._3, slop)
         else if (leaves.size == 2)
-          Search.spanPairCount(col(f), leaves(0)._2, leaves(1)._2, slop)
+          Search.spanPairCountFields(col(leaves(0)._2), leaves(0)._3,
+            col(leaves(1)._2), leaves(1)._3, slop)
         else bad("unordered span_near supports two clauses (in_order " +
           "true composes any number)")
       boosted(Clause(cnt > 0, cnt.cast("double")), snBoost)
@@ -2758,6 +2796,17 @@ object EsDsl {
       val (f, m, _) = spanMultiLeaf(b)
       val cnt = spanLeafCount(f, m)
       Clause(cnt > 0, cnt.cast("double"))
+
+    case (k @ ("span_field_masking" | "field_masking_span"), b) =>
+      // standalone mask: match set and score ARE the wrapped span's —
+      // the masked name only matters inside a composing span_near
+      // (Lucene's contract; the mask changes reported field, not
+      // matching)
+      val boost = clauseBoost(k, b, Set("query", "field"))
+      if (Option(b.get("field")).isEmpty) bad(s"$k needs \"field\"")
+      val inner = Option(b.get("query"))
+        .getOrElse(bad(s"$k needs \"query\""))
+      boosted(clause(inner, ctx), boost)
 
     case (kind @ ("span_containing" | "span_within"), b) =>
       // Lucene span_containing/span_within: spans of `big` related to
@@ -4274,6 +4323,7 @@ object EsDsl {
     "bucket_script" -> Set("buckets_path", "script", "gap_policy"),
     "bucket_selector" -> Set("buckets_path", "script", "gap_policy"),
     "moving_fn" -> Set("buckets_path", "window", "shift", "script"),
+    "moving_percentiles" -> Set("buckets_path", "window", "shift"),
     "bucket_sort" -> Set("sort", "from", "size"),
     "avg_bucket" -> Set("buckets_path"),
     "sum_bucket" -> Set("buckets_path"),
@@ -4749,7 +4799,7 @@ object EsDsl {
     // shape even at 100 TB of underlying rows.
     val PipelineKinds =
       Set("cumulative_sum", "cumulative_cardinality", "derivative",
-        "bucket_sort", "moving_fn",
+        "bucket_sort", "moving_fn", "moving_percentiles",
         "serial_diff", "normalize", "bucket_script", "bucket_selector")
     // `rate` is excluded here because the date_histogram parent owns
     // it (its divisor needs the bucket key); any OTHER parent must
@@ -4884,6 +4934,77 @@ object EsDsl {
             // filters the bucket TABLE (drops buckets, adds no column);
             // applied at its request-order position, like ES's reduce
             out = out.filter(scriptCol(kind, ms).cast("boolean"))
+          case "moving_percentiles" =>
+            // ES moving_percentiles (buckets_path names a sibling
+            // `percentiles` agg): percentiles over a sliding window
+            // of buckets. ES merges the window buckets' TDigest
+            // sketches; the exact relational form recomputes over the
+            // window's RAW values — per-bucket value arrays built in
+            // one hash agg, a window collect + flatten + sort, then
+            // the SAME linear interpolation the sibling percentiles
+            // metric uses (exact where ES is approximate, the
+            // documented `percentiles` deviation). Unlike moving_fn,
+            // ES's window here INCLUDES the current bucket: shift
+            // defaults to 1, so the frame is the trailing `window`
+            // buckets ending at the current one.
+            val (rawDf, keyExpr) = cumCtx.getOrElse(
+              bad("moving_percentiles is only supported on " +
+                "histogram-family parents"))
+            val sib = subEntries(parent).find(_._1 == path)
+              .getOrElse(bad("moving_percentiles buckets_path " +
+                s"'$path' does not reference a sibling aggregation"))
+            if (sib._2 != "percentiles")
+              bad("moving_percentiles buckets_path must reference a " +
+                s"percentiles aggregation ('$path' is a ${sib._2})")
+            val mf = Option(sib._3.get("field")).map(_.asText)
+              .getOrElse(bad("percentiles needs \"field\""))
+            val percents = Option(sib._3.get("percents")).map { a =>
+              if (!a.isArray || a.size == 0)
+                bad("percents must be a non-empty array")
+              (0 until a.size).map(a.get(_).asDouble)
+            }.getOrElse(DefaultPercents)
+            val win = Option(ms.get("window")).map { v =>
+              if (!v.isNumber) bad("moving_percentiles window must " +
+                "be numeric")
+              v.asInt
+            }.getOrElse(bad("moving_percentiles needs \"window\""))
+            if (win <= 0) bad("moving_percentiles window must be " +
+              "positive")
+            val shift = Option(ms.get("shift")).map { v =>
+              if (!v.isNumber) bad("moving_percentiles shift must " +
+                "be numeric")
+              v.asInt
+            }.getOrElse(1)
+            val valsCol = s"__mp_$n"
+            val perBucket = rawDf.filter(col(mf).isNotNull)
+              .groupBy(keyExpr.as("key"))
+              .agg(collect_list(col(mf).cast("double")).as(valsCol))
+            // collect_list over the frame skips null entries, so
+            // gap-filled empty buckets contribute nothing — exactly
+            // ES's merge of an empty sketch
+            val frame = w.rowsBetween(-win.toLong + shift, -1L + shift)
+            val sortedW = s"__mpw_$n"
+            out = out.join(perBucket, Seq("key"), "left")
+              .withColumn(sortedW, sort_array(flatten(
+                collect_list(col(valsCol)).over(frame))))
+              .drop(valsCol)
+            val nSz = size(col(sortedW))
+            percents.foreach { p =>
+              if (p < 0 || p > 100) bad("percents must be in [0, 100]")
+              // position = p·(n−1) on the sorted values, linear
+              // interpolation between the straddling elements — the
+              // formula Spark's `percentile` (and the DuckDB oracle's
+              // quantile_cont) computes
+              val rank = lit(p / 100.0) * (nSz - 1).cast("double")
+              val lo = floor(rank).cast("int")
+              val loV = element_at(col(sortedW), lo + 1)
+              val hiV = element_at(col(sortedW),
+                ceil(rank).cast("int") + 1)
+              val v = loV + (hiV - loV) * (rank - lo.cast("double"))
+              out = out.withColumn(s"${n}_${percentName(p)}",
+                when(nSz > 0, v))
+            }
+            out = out.drop(sortedW)
           case "moving_fn" =>
             // ES moving_fn with the builtin MovingFunctions scripts —
             // a sliding window over the PRECEDING `window` buckets

@@ -871,6 +871,48 @@ object Search {
     * interleaved tokens). The head-position count is this engine's
     * documented span-frequency convention (Lucene's non-overlapping
     * enumeration differs only on pathological self-overlap). */
+  /** [[spanNearCount]] with PER-SLOT source columns — Lucene's
+    * `span_field_masking` composition: each slot's positions come
+    * from ITS OWN field's token stream, and the slots compare in ONE
+    * position space (exactly Lucene's overlay semantics for
+    * analyzer-compatible multi-fields). Same HOF-only shape — per-row
+    * position lists, no explode, no shuffle. */
+  private[graft] def spanNearCountFields(
+      slots: Seq[(Column, Column => Column)], slop: Int): Column = {
+    require(slots.nonEmpty, "empty span slots")
+    val s = math.min(slop, 1 << 24)
+    def posOf(k: Int): Column = {
+      val toks = graft.functions.TextFunctions.tokens(
+        lower(coalesce(slots(k)._1, lit(""))))
+      filter(transform(toks, (x, i) =>
+        when(slots(k)._2(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    }
+    def rest(k: Int, prev: Column, first: Column): Column =
+      if (k == slots.size) lit(true)
+      else exists(posOf(k), p =>
+        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
+    size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
+  }
+
+  /** [[spanPairCount]] with per-slot source columns — the unordered
+    * two-clause `span_near` under `span_field_masking`. With distinct
+    * source fields the `q != p` self-overlap guard is kept: Lucene's
+    * masked spans still collide when they occupy the same position. */
+  private[graft] def spanPairCountFields(fa: Column, a: Column => Column,
+                                         fb: Column, b: Column => Column,
+                                         slop: Int): Column = {
+    val s = math.min(slop, 1 << 24)
+    def posOf(f: Column, m: Column => Column): Column = {
+      val toks = graft.functions.TextFunctions.tokens(
+        lower(coalesce(f, lit(""))))
+      filter(transform(toks, (x, i) =>
+        when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
+    }
+    size(filter(posOf(fa, a), p => exists(posOf(fb, b), q =>
+      q =!= p && greatest(p, q) - least(p, q) - 1 <= lit(s))))
+      .cast("int")
+  }
+
   private[graft] def spanPairCount(field: Column,
                                    a: Column => Column,
                                    b: Column => Column,

@@ -1391,6 +1391,77 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("span_field_masking: cross-field span_near in one position " +
+    "space, unordered pair, standalone mask, knob validation") {
+    // docs: 1 "window batch run"/src3, 2 "window only"/src1,
+    // 3 "nothing here"/null, 4 "batch batch window"/src3.
+    // source is a one-token stream: src3 sits at position 0.
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).toSeq
+    // masked src3@0 (reported as text) then window within slop 1:
+    // doc 4's window@2 is in (0, 2]; doc 1's window@0 is not after 0
+    val ordered = q("""{"query": {"span_near": {"clauses": [
+      {"span_field_masking": {
+        "query": {"span_term": {"source": "src3"}}, "field": "text"}},
+      {"span_term": {"text": "window"}}],
+      "slop": 1, "in_order": true}}, "size": 10}""").collect()
+    assert(ids(ordered) == Seq(4L) &&
+      ordered.head.getAs[Double]("_score") == 1.0)
+    // three in-order slots across two source fields: src3@0 ->
+    // batch <= pos 2 -> window <= pos 3: doc 4 only (doc 1's window
+    // precedes its batch)
+    val three = q("""{"query": {"span_near": {"clauses": [
+      {"span_field_masking": {
+        "query": {"span_term": {"source": "src3"}}, "field": "text"}},
+      {"span_term": {"text": "batch"}},
+      {"span_term": {"text": "window"}}],
+      "slop": 1, "in_order": true}}, "size": 10}""").collect()
+    assert(ids(three) == Seq(4L))
+    // unordered masked pair: src3@0 within one token of a batch —
+    // doc 1 (batch@1) and doc 4 (batch@1; batch@0 collides at p=q)
+    val uno = q("""{"query": {"span_near": {"clauses": [
+      {"span_field_masking": {
+        "query": {"span_term": {"source": "src3"}}, "field": "text"}},
+      {"span_term": {"text": "batch"}}],
+      "slop": 0, "in_order": false}}, "size": 10}""").collect()
+    assert(ids(uno) == Seq(1L, 4L))
+    // standalone mask: match set and score ARE the wrapped span's
+    val alone = q("""{"query": {"span_field_masking": {
+      "query": {"span_term": {"text": "batch"}},
+      "field": "source"}}, "size": 10}""").collect()
+    assert(alone.map(r => r.getLong(0) -> r.getAs[Double]("_score"))
+      .toMap == Map(1L -> 1.0, 4L -> 2.0))
+    // legacy client name
+    val legacy = q("""{"query": {"span_near": {"clauses": [
+      {"field_masking_span": {
+        "query": {"span_term": {"source": "src3"}}, "field": "text"}},
+      {"span_term": {"text": "window"}}],
+      "slop": 1, "in_order": true}}, "size": 10}""").collect()
+    assert(ids(legacy) == Seq(4L))
+    // rejections: missing query, missing field, unknown key, and a
+    // mask that still leaves span_near's reported fields mixed
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_field_masking": {"field": "text"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_field_masking": {
+        "query": {"span_term": {"text": "a"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_field_masking": {
+          "query": {"span_term": {"source": "a"}}, "field": "text",
+          "bogus": 1}},
+        {"span_term": {"text": "b"}}], "slop": 1}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"span_near": {"clauses": [
+        {"span_field_masking": {
+          "query": {"span_term": {"source": "a"}}, "field": "other"}},
+        {"span_term": {"text": "b"}}], "slop": 1}}}""")
+    }
+  }
+
   test("parent/child: has_child score modes and children bounds, " +
     "has_parent, parent_id, children/parent aggs, bool composition") {
     val kids = Seq(
