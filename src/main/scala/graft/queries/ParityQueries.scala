@@ -627,6 +627,26 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // search template (round 10, second lap): mustache substitution —
+    // scalar var, {{#toJson}} array, conditional section — renders to
+    // an ordinary DSL body, then runs through the same translator; the
+    // template phase is request text only, zero execution machinery.
+    "q7_esdsl_template" -> ((s, dir) => {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val source =
+        """{"query": {"bool": {"filter": [
+          |  {"range": {"o_totalprice": {"gte": {{min_total}}}}},
+          |  {"terms": {"o_orderpriority": {{#toJson}}prios{{/toJson}}}}
+          |  {{#status}},{"term": {"o_orderstatus": "{{status}}"}}{{/status}}
+          |]}},
+          | "size": 100, "sort": [{"o_orderkey": "asc"}]}""".stripMargin
+      val params = mapper.readTree(
+        """{"min_total": 150000, "prios": ["1-URGENT", "2-HIGH"],
+          | "status": "F"}""".stripMargin)
+      val body = graft.serving.SearchTemplate.renderBody(source, params)
+      graft.serving.EsDsl.search(t(s, dir, "orders"), body)
+    }),
+
     // ES aggregations through the DSL translator: a filtered terms
     // bucket agg with metric sub-aggs (ES default bucket order:
     // doc_count desc, key asc). Metrics chosen order-independent
@@ -4841,6 +4861,16 @@ object ParityQueries {
        "FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 50000 " +
        "AND o_orderstatus IN ('O', 'F') " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    // search template: the oracle is the RENDERED query's SQL — the
+    // template phase must be semantically invisible
+    "q7_esdsl_template" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority, CAST(0.0 AS DOUBLE) AS \"_score\" " +
+       "FROM orders WHERE o_totalprice >= 150000 " +
+       "AND o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+       "AND o_orderstatus = 'F' " +
+       "ORDER BY o_orderkey LIMIT 100"),
 
     "q7_esdsl_aggs" ->
       ("SELECT o_orderstatus, count(*) AS doc_count, " +

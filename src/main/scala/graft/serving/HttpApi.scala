@@ -180,6 +180,16 @@ final class HttpApi(
           termvectors(ex, body(ex))
         case ("POST", "search" :: "explain" :: Nil) =>
           explainDoc(ex, body(ex))
+        case ("POST", "search" :: "template" :: Nil) =>
+          aux(ex) { searchTemplate(ex, body(ex)) }
+        case ("POST", "search" :: "render" :: Nil) =>
+          aux(ex) { renderTemplate(ex, body(ex)) }
+        case ("PUT" | "POST", "search" :: "scripts" :: id :: Nil) =>
+          aux(ex) { putScript(ex, id, body(ex)) }
+        case ("GET", "search" :: "scripts" :: id :: Nil) =>
+          getScript(ex, id)
+        case ("DELETE", "search" :: "scripts" :: id :: Nil) =>
+          deleteScript(ex, id)
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(entity) match {
             case None =>
@@ -558,6 +568,103 @@ final class HttpApi(
   // -------------------------------------------------------------------
   // Scroll — ES's legacy deep-export surface, emulated STATELESSLY
   // -------------------------------------------------------------------
+
+  // -------------------------------------------------------------------
+  // Search templates — ES's `_search/template` / `_render/template` /
+  // `_scripts/{id}` surface ([[SearchTemplate]]): a mustache phase in
+  // front of the ordinary DSL path. Stored templates are server CONFIG
+  // (ES keeps them in cluster state), so an in-memory map is the
+  // honest analogue — they are request text, not data.
+  // -------------------------------------------------------------------
+
+  private val storedTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The request's template text: inline `source`, or a stored `id` —
+    * exactly one of the two (ES's contract). */
+  private def templateSource(req: JsonNode): String =
+    (Option(req.get("source")).filter(!_.isNull),
+      Option(req.get("id")).filter(!_.isNull)) match {
+      case (Some(_), Some(_)) =>
+        auxBad("template takes \"source\" OR \"id\", not both")
+      case (Some(s), None) => SearchTemplate.sourceText(s)
+      case (None, Some(i)) =>
+        val id = i.asText
+        Option(storedTemplates.get(id))
+          .getOrElse(auxBad(s"unknown stored template '$id'"))
+      case (None, None) => auxBad("template needs \"source\" or \"id\"")
+    }
+
+  /** Substituted + parsed body for a template request (shared by run
+    * and render). Unknown envelope keys reject by name — the rendered
+    * BODY's keys are validated downstream by the DSL itself. */
+  private def renderedBody(req: JsonNode)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val unknown = jsonKeys(req)
+      .filterNot(Set("source", "id", "params", "index"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported template key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val node = SearchTemplate.renderBody(
+      templateSource(req), req.get("params"))
+    node match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => auxBad("rendered template must be a JSON object")
+    }
+  }
+
+  /** POST /search/template — render, then serve exactly like
+    * /search/advanced (same routing, scroll included). The envelope's
+    * `index` wins over one the rendered body carries (ES puts the
+    * index in the URL, outside the template). */
+  private def searchTemplate(ex: HttpExchange, req: JsonNode): Unit = {
+    val merged = renderedBody(req)
+    Option(req.get("index")).filter(_.isTextual)
+      .foreach(i => merged.set[JsonNode]("index", i))
+    advancedSearch(ex, merged)
+  }
+
+  /** POST /search/render — ES `_render/template`: the substituted body
+    * WITHOUT running it (the template-debugging contract). */
+  private def renderTemplate(ex: HttpExchange, req: JsonNode): Unit =
+    respond(ex, 200, s"""{"template_output": ${renderedBody(req)}}""")
+
+  /** PUT/POST /search/scripts/{id} — store a mustache template. Like
+    * ES, the template is COMPILED at store time (malformed mustache is
+    * a 400 here, not at first use); substitution happens per search. */
+  private def putScript(ex: HttpExchange, id: String,
+                        req: JsonNode): Unit = {
+    val script = Option(req.get("script")).filter(_.isObject)
+      .getOrElse(auxBad("stored script needs a \"script\" object"))
+    val lang = textOr(script, "lang", "mustache")
+    if (lang != "mustache")
+      auxBad(s"unsupported stored-script lang '$lang' (mustache only)")
+    val src = SearchTemplate.sourceText(script.get("source"))
+    SearchTemplate.validate(src)
+    storedTemplates.put(id, src)
+    respond(ex, 200, """{"acknowledged": true}""")
+  }
+
+  /** GET /search/scripts/{id} — ES `GET _scripts/{id}`. */
+  private def getScript(ex: HttpExchange, id: String): Unit =
+    Option(storedTemplates.get(id)) match {
+      case None =>
+        respond(ex, 404, mapper.createObjectNode()
+          .put("_id", id).put("found", false).toString)
+      case Some(src) =>
+        val out = mapper.createObjectNode()
+        out.put("_id", id).put("found", true)
+        out.putObject("script").put("lang", "mustache")
+          .put("source", src)
+        respond(ex, 200, out.toString)
+    }
+
+  /** DELETE /search/scripts/{id}. */
+  private def deleteScript(ex: HttpExchange, id: String): Unit =
+    if (storedTemplates.remove(id) != null)
+      respond(ex, 200, """{"acknowledged": true}""")
+    else respond(ex, 404, mapper.createObjectNode()
+      .put("_id", id).put("found", false).toString)
 
   /** A `scroll` search opens a cursor over the match set; POST
     * /search/scroll with the returned `_scroll_id` walks it page by

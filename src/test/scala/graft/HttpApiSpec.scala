@@ -910,4 +910,69 @@ class HttpApiSpec extends SparkSpec
     assert(post("/customer/batch", "{}").statusCode() == 400)
     assert(post("/search/advanced", "{}").statusCode() == 400)
   }
+
+  private def put(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("search templates: render substitutes without running; a " +
+    "stored template runs identically to its rendered body; scripts " +
+    "CRUD round-trips; malformed mustache rejects at store time") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // render only: the substituted body comes back, nothing runs
+    val rr = post("/search/render",
+      """{"source": {"query": {"term": {"lang": "{{l}}"}}, "size": "{{n}}"},
+        | "params": {"l": "en", "n": 5}}""".stripMargin)
+    assert(rr.statusCode() == 200, rr.body())
+    val rendered = mapper.readTree(rr.body()).get("template_output")
+    assert(rendered.get("query").get("term").get("lang").asText == "en")
+    // store -> get -> run -> delete lifecycle
+    val src = """{\"index\": \"documents\", \"query\": {\"term\": """ +
+      """{\"lang\": \"{{l}}\"}}, \"size\": 3}"""
+    assert(put("/search/scripts/by_lang",
+      s"""{"script": {"lang": "mustache", "source": "$src"}}""")
+      .statusCode() == 200)
+    val got = get("/search/scripts/by_lang")
+    assert(got.statusCode() == 200 &&
+      mapper.readTree(got.body()).get("found").asBoolean)
+    val viaTemplate = post("/search/template",
+      """{"id": "by_lang", "params": {"l": "en"}}""")
+    assert(viaTemplate.statusCode() == 200, viaTemplate.body())
+    val direct = post("/search/advanced",
+      """{"index": "documents", "query": {"term": {"lang": "en"}},
+        | "size": 3}""".stripMargin)
+    assert(viaTemplate.body() == direct.body(),
+      "template route must serve exactly the rendered body's response")
+    assert(delete("/search/scripts/by_lang").statusCode() == 200)
+    assert(get("/search/scripts/by_lang").statusCode() == 404)
+    assert(post("/search/template",
+      """{"id": "by_lang", "params": {"l": "en"}}""").statusCode() == 400)
+    // store-time compile: malformed mustache is a 400 at PUT
+    assert(put("/search/scripts/bad",
+      """{"script": {"source": "{{#s}}never closed"}}""")
+      .statusCode() == 400)
+    assert(get("/search/scripts/bad").statusCode() == 404)
+    // envelope validation: source XOR id, unknown keys named
+    assert(post("/search/template",
+      """{"source": "{}", "id": "x"}""").statusCode() == 400)
+    assert(post("/search/template",
+      """{"source": "{}", "bogus": 1}""").statusCode() == 400)
+    // the envelope's index wins over the rendered body's
+    val overridden = post("/search/template",
+      """{"index": "documents",
+        | "source": {"index": "orders",
+        |   "query": {"term": {"lang": "en"}}, "size": 1},
+        | "params": {}}""".stripMargin)
+    assert(overridden.statusCode() == 200, overridden.body())
+    assert(overridden.body().contains("\"lang\""))
+  }
 }
