@@ -627,6 +627,29 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "orders"), body)
     }),
 
+    // percolation (round 10, second lap): corpus-centric reverse
+    // search — K stored queries compiled ONCE to filter-context
+    // predicates and evaluated as K branches inside one scan's
+    // projection (zero joins/shuffles — the saved-search fan-out /
+    // taxonomy-tagging shape that survives 100 TB). matched_queries
+    // is the comma-joined id list in stored order.
+    "q7_esdsl_percolate" -> ((s, dir) => {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val qs = Seq(
+        "pq_window" -> m.readTree("""{"match": {"text": "window"}}"""),
+        "pq_long" -> m.readTree(
+          """{"range": {"n_chars": {"gte": 200}}}"""),
+        "pq_en_short" -> m.readTree(
+          """{"bool": {"filter": [{"term": {"lang": "en"}},
+            |  {"range": {"n_chars": {"lt": 150}}}]}}""".stripMargin),
+        "pq_src1x" -> m.readTree(
+          """{"prefix": {"source": {"value": "src1"}}}"""))
+      graft.serving.Percolate.tagAll(t(s, dir, "documents"), qs)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("matched_queries"))
+        .orderBy(col("doc_id"))
+    }),
+
     // search template (round 10, second lap): mustache substitution —
     // scalar var, {{#toJson}} array, conditional section — renders to
     // an ordinary DSL body, then runs through the same translator; the
@@ -4861,6 +4884,21 @@ object ParityQueries {
        "FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 50000 " +
        "AND o_orderstatus IN ('O', 'F') " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    // percolation: each stored query as one CASE branch over the
+    // normalized row; concat_ws skips non-matching (NULL) branches in
+    // both engines, keeping stored order
+    "q7_esdsl_percolate" ->
+      ("WITH nrm AS (SELECT doc_id, lang, source, n_chars, " +
+       s"${tokenNormSql("text")} AS nt FROM documents), " +
+       "m AS (SELECT doc_id, lang, source, n_chars, concat_ws(',', " +
+       "CASE WHEN instr(nt, ' window ') > 0 THEN 'pq_window' END, " +
+       "CASE WHEN n_chars >= 200 THEN 'pq_long' END, " +
+       "CASE WHEN lang = 'en' AND n_chars < 150 " +
+         "THEN 'pq_en_short' END, " +
+       "CASE WHEN source LIKE 'src1%' THEN 'pq_src1x' END) " +
+       "AS matched_queries FROM nrm) " +
+       "SELECT * FROM m WHERE matched_queries <> '' ORDER BY doc_id"),
 
     // search template: the oracle is the RENDERED query's SQL — the
     // template phase must be semantically invisible

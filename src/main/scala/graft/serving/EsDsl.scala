@@ -128,7 +128,7 @@ object EsDsl {
 
   /** Marker column [[search]] binds to the table's id so `ids` clauses
     * can reference the document identity positionally, like ES's _id. */
-  private val IdColMarker = "__graft_id__"
+  private[serving] val IdColMarker = "__graft_id__"
 
   /** The sub-compiled clause's score column ([[subCompile]]). */
   private val SubScore = "__sub_score__"
@@ -1057,6 +1057,39 @@ object EsDsl {
     * value, no paging machinery. Body keys beyond query/index reject
     * by name — a _count body carrying from/size/sort is a caller
     * error in ES too. */
+  /** Percolation compile entry ([[Percolate]]): each stored query
+    * compiled to a FILTER-CONTEXT predicate over `df` — no score
+    * joins, no relations, the exact countFrame predicate shape.
+    * Returns the marker-bearing frame (so `ids` queries resolve
+    * against the first column, like every other entry point) and one
+    * predicate per query: `None` when the query references a field
+    * the frame lacks (ES's percolator semantics — a query on a field
+    * the document does not carry simply never matches), a resolved
+    * `Some(pred)` otherwise. Unsupported constructs still throw — a
+    * named caller error, never a silent non-match. */
+  private[serving] def percolatePreds(df: DataFrame,
+                                      queries: Seq[JsonNode])
+      : (DataFrame, Seq[Option[Column]]) = {
+    val idName = df.columns.head
+    val marked = df.withColumn(IdColMarker, col(idName))
+    val ctx = new Ctx(marked, col(idName))
+    val preds = queries.map { q =>
+      val pred = coalesce(
+        ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
+        lit(false))
+      // resolution probe: driver-side analysis only, zero execution —
+      // an unresolvable column (a field this document shape lacks)
+      // means "never matches", exactly ES's percolator behavior
+      try {
+        marked.select(pred).queryExecution.analyzed
+        Some(pred)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    }
+    (marked, preds)
+  }
+
   def countFrame(df: DataFrame, body: JsonNode,
                  tiebreak: Seq[String] = Nil,
                  lookup: Option[IndexResolver] = None,

@@ -190,6 +190,14 @@ final class HttpApi(
           getScript(ex, id)
         case ("DELETE", "search" :: "scripts" :: id :: Nil) =>
           deleteScript(ex, id)
+        case ("POST", "search" :: "percolate" :: Nil) =>
+          aux(ex) { percolateDocs(ex, body(ex)) }
+        case ("PUT" | "POST", "search" :: "percolators" :: id :: Nil) =>
+          aux(ex) { putPercolator(ex, id, body(ex)) }
+        case ("GET", "search" :: "percolators" :: id :: Nil) =>
+          getPercolator(ex, id)
+        case ("DELETE", "search" :: "percolators" :: id :: Nil) =>
+          deletePercolator(ex, id)
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(entity) match {
             case None =>
@@ -665,6 +673,96 @@ final class HttpApi(
       respond(ex, 200, """{"acknowledged": true}""")
     else respond(ex, 404, mapper.createObjectNode()
       .put("_id", id).put("found", false).toString)
+
+  // -------------------------------------------------------------------
+  // Percolation ([[Percolate]]) — ES's reverse search: stored queries
+  // matched against request documents. The percolator store mirrors
+  // the scripts store (stored queries are configuration); documents
+  // are the data side and never persist here.
+  // -------------------------------------------------------------------
+
+  private val storedPercolators =
+    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+
+  /** PUT/POST /search/percolators/{id} — store `{"query": {...}}`.
+    * Store-time validation is structural (a JSON object under
+    * "query"); field resolution is percolate-time by design — the
+    * document shape is unknown until documents arrive. */
+  private def putPercolator(ex: HttpExchange, id: String,
+                            req: JsonNode): Unit = {
+    val unknown = jsonKeys(req).filterNot(_ == "query")
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported percolator key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val q = Option(req.get("query")).filter(_.isObject)
+      .getOrElse(auxBad("stored percolator needs a \"query\" object"))
+    storedPercolators.put(id, q)
+    respond(ex, 200, """{"acknowledged": true}""")
+  }
+
+  /** GET /search/percolators/{id}. */
+  private def getPercolator(ex: HttpExchange, id: String): Unit =
+    Option(storedPercolators.get(id)) match {
+      case None =>
+        respond(ex, 404, mapper.createObjectNode()
+          .put("_id", id).put("found", false).toString)
+      case Some(q) =>
+        val out = mapper.createObjectNode()
+        out.put("_id", id).put("found", true)
+        out.set[JsonNode]("query", q)
+        respond(ex, 200, out.toString)
+    }
+
+  /** DELETE /search/percolators/{id}. */
+  private def deletePercolator(ex: HttpExchange, id: String): Unit =
+    if (storedPercolators.remove(id) != null)
+      respond(ex, 200, """{"acknowledged": true}""")
+    else respond(ex, 404, mapper.createObjectNode()
+      .put("_id", id).put("found", false).toString)
+
+  /** POST /search/percolate — `{"document": {...}}` or
+    * `{"documents": [...]}`: which stored percolators match. Hits are
+    * the stored queries (id + query + matching document slots),
+    * ordered by store id — ES's percolate-hit shape over the
+    * engine's percolator store. */
+  private def percolateDocs(ex: HttpExchange, req: JsonNode): Unit = {
+    val unknown = jsonKeys(req)
+      .filterNot(Set("document", "documents"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported percolate key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val docs: Seq[JsonNode] =
+      (Option(req.get("document")), Option(req.get("documents"))) match {
+        case (Some(_), Some(_)) =>
+          auxBad("percolate takes \"document\" OR \"documents\", not both")
+        case (Some(d), None) => Seq(d)
+        case (None, Some(ds)) if ds.isArray =>
+          (0 until ds.size).map(ds.get)
+        case (None, Some(_)) =>
+          auxBad("\"documents\" must be an array")
+        case (None, None) =>
+          auxBad("percolate needs \"document\" or \"documents\"")
+      }
+    val stored = {
+      import scala.jdk.CollectionConverters._
+      storedPercolators.entrySet().asScala.toSeq
+        .map(e => (e.getKey, e.getValue)).sortBy(_._1)
+    }
+    val hits = Percolate.matches(spark, stored, docs)
+    val out = mapper.createObjectNode()
+    val hitsObj = out.putObject("hits")
+    hitsObj.put("total", hits.size)
+    val arr = hitsObj.putArray("hits")
+    hits.foreach { case (id, slots) =>
+      val h = arr.addObject()
+      h.put("_id", id)
+      h.put("_score", 1.0)
+      h.set[JsonNode]("query", storedPercolators.get(id))
+      val sl = h.putArray("_percolator_document_slot")
+      slots.foreach(sl.add)
+    }
+    respond(ex, 200, out.toString)
+  }
 
   /** A `scroll` search opens a cursor over the match set; POST
     * /search/scroll with the returned `_scroll_id` walks it page by

@@ -287,4 +287,24 @@ class EsDslPlanCheckSpec extends SparkSpec {
     val scans = df.queryExecution.optimizedPlan.collectLeaves().size
     assert(scans == 1, s"sampler scanned the corpus $scans times")
   }
+
+  test("percolate tagAll: K stored queries are K projection branches " +
+    "on ONE scan — zero joins, zero exchanges (the 100 TB tagging " +
+    "contract)") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val tagged = serving.Percolate.tagAll(docs, Seq(
+      "a" -> m.readTree("""{"match": {"text": "window"}}"""),
+      "b" -> m.readTree("""{"range": {"n_chars": {"gte": 200}}}"""),
+      "c" -> m.readTree("""{"term": {"lang": "en"}}""")))
+    tagged.collect()
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      s"tagAll planned a join:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange"),
+      s"tagAll planned a shuffle:\n${plan.take(2000)}")
+    val scans = tagged.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"tagAll scanned the corpus $scans times")
+  }
 }

@@ -975,4 +975,55 @@ class HttpApiSpec extends SparkSpec
     assert(overridden.statusCode() == 200, overridden.body())
     assert(overridden.body().contains("\"lang\""))
   }
+
+  test("percolate: stored queries match request documents with " +
+    "slots; store CRUD; validation names the offender") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(put("/search/percolators/alert_window",
+      """{"query": {"match": {"text": "window"}}}""").statusCode() == 200)
+    assert(put("/search/percolators/route_de",
+      """{"query": {"term": {"lang": "de"}}}""").statusCode() == 200)
+    val got = get("/search/percolators/alert_window")
+    assert(got.statusCode() == 200 &&
+      mapper.readTree(got.body()).get("found").asBoolean)
+    val r = post("/search/percolate",
+      """{"documents": [
+        |  {"text": "a window appears", "lang": "en"},
+        |  {"text": "nichts", "lang": "de"},
+        |  {"text": "window", "lang": "de"}]}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    val hits = mapper.readTree(r.body()).get("hits")
+    assert(hits.get("total").asInt == 2)
+    val byId = (0 until hits.get("hits").size)
+      .map(hits.get("hits").get)
+      .map(h => h.get("_id").asText ->
+        (0 until h.get("_percolator_document_slot").size)
+          .map(h.get("_percolator_document_slot").get(_).asLong))
+      .toMap
+    assert(byId("alert_window") == Seq(0L, 2L))
+    assert(byId("route_de") == Seq(1L, 2L))
+    // single-document form
+    val one = post("/search/percolate",
+      """{"document": {"text": "no match at all", "lang": "fr"}}""")
+    assert(mapper.readTree(one.body()).get("hits").get("total")
+      .asInt == 0)
+    // validation: both forms at once, unknown keys, bad store bodies
+    assert(post("/search/percolate",
+      """{"document": {}, "documents": []}""").statusCode() == 400)
+    assert(post("/search/percolate",
+      """{"document": {}, "bogus": 1}""").statusCode() == 400)
+    assert(put("/search/percolators/bad",
+      """{"notquery": {}}""").statusCode() == 400)
+    // an unsupported construct in a stored query names itself at
+    // percolate time (store time cannot know the document shape)
+    assert(put("/search/percolators/broken",
+      """{"query": {"made_up": {}}}""").statusCode() == 200)
+    val err = post("/search/percolate",
+      """{"document": {"text": "x"}}""")
+    assert(err.statusCode() == 400 && err.body().contains("made_up"))
+    assert(delete("/search/percolators/broken").statusCode() == 200)
+    assert(delete("/search/percolators/alert_window").statusCode() == 200)
+    assert(delete("/search/percolators/route_de").statusCode() == 200)
+    assert(get("/search/percolators/route_de").statusCode() == 404)
+  }
 }
