@@ -192,6 +192,11 @@ final class HttpApi(
           deleteScript(ex, id)
         case ("POST", "search" :: "percolate" :: Nil) =>
           aux(ex) { percolateDocs(ex, body(ex)) }
+        case ("POST", "search" :: "pit" :: Nil) =>
+          aux(ex) { openPit(ex, body(ex)) }
+        case ("DELETE", "search" :: "pit" :: Nil) =>
+          // stateless by design: nothing server-side to free
+          respond(ex, 200, """{"succeeded": true, "num_freed": 0}""")
         case ("PUT" | "POST", "search" :: "percolators" :: id :: Nil) =>
           aux(ex) { putPercolator(ex, id, body(ex)) }
         case ("GET", "search" :: "percolators" :: id :: Nil) =>
@@ -519,9 +524,10 @@ final class HttpApi(
     * the union view and unindexed fields take the corpus scan — same
     * oracle either way (SearchIndex.suggest's contract). */
   private def suggestFrame(index: String, df: DataFrame,
-                           sgNode: JsonNode): DataFrame = {
+                           sgNode: JsonNode,
+                           allowProbe: Boolean = true): DataFrame = {
     val sp = EsDsl.parseSuggest(sgNode)
-    if (index != "*" && !index.endsWith("_*"))
+    if (allowProbe && index != "*" && !index.endsWith("_*"))
       indexedOrScan(index, df, Seq(sp.field),
         p => graft.sinks.SearchIndex.suggest(spark, p, sp.field,
           sp.text, sp.size, sp.maxEdits, sp.modeMissing),
@@ -673,6 +679,67 @@ final class HttpApi(
       respond(ex, 200, """{"acknowledged": true}""")
     else respond(ex, 404, mapper.createObjectNode()
       .put("_id", id).put("found", false).toString)
+
+  // -------------------------------------------------------------------
+  // Point-in-time — ES's `_pit` API: a search context pinned to one
+  // consistent view. This engine's storage is ALREADY immutable per
+  // server lifetime (srcDir parquet snapshots; the search index's
+  // immutable generations behind an atomic pointer), so a PIT is a
+  // STATELESS token — (index, pinned index generation) — with nothing
+  // server-side to expire: `keep_alive` is accepted and ignored
+  // (documented; every PIT outlives any keep_alive a client could
+  // ask for). If the search index was rebuilt since the PIT opened
+  // (generation advanced), searches under the PIT route to the CORPUS
+  // SCAN path over the unchanged parquet snapshot — bit-identical
+  // scores to the probe path by SearchIndexSpec's pinned equality, so
+  // the pinned view is served either way, never a mixed one.
+  // -------------------------------------------------------------------
+
+  /** The table-index directory WITHOUT triggering a lazy build (PIT
+    * open must not pay an index build). */
+  private def currentGen(index: String): Int =
+    if (index == "*" || index.endsWith("_*")) -1
+    else {
+      val p = s"$outDir/_search_index/tables/$index"
+      if (graft.sinks.SearchIndex.exists(p))
+        graft.sinks.SearchIndex.readMeta(p).gen
+      else -1
+    }
+
+  /** POST /search/pit — `{"index": ..., "keep_alive": ...}` →
+    * `{"id": ...}`. */
+  private def openPit(ex: HttpExchange, req: JsonNode): Unit = {
+    val unknown = jsonKeys(req).filterNot(Set("index", "keep_alive"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported pit key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val index = textOr(req, "index", "*")
+    if (dslTarget(index).isEmpty) {
+      respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
+      return
+    }
+    val node = mapper.createObjectNode()
+      .put("index", index).put("gen", currentGen(index))
+    val id = java.util.Base64.getUrlEncoder.encodeToString(
+      node.toString.getBytes(StandardCharsets.UTF_8))
+    respond(ex, 200, s"""{"id": "$id"}""")
+  }
+
+  /** Decode a search body's `pit` section → (index, pinned gen). */
+  private def decodePit(pitNode: JsonNode): (String, Int) = {
+    val unknown = jsonKeys(pitNode).filterNot(Set("id", "keep_alive"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported pit key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val id = textOr(pitNode, "id", "")
+    if (id.isEmpty) auxBad("pit needs \"id\"")
+    val decoded = scala.util.Try(mapper.readTree(
+      new String(java.util.Base64.getUrlDecoder.decode(id),
+        StandardCharsets.UTF_8))).toOption
+      .filter(c => c.hasNonNull("index") && c.hasNonNull("gen"))
+      .getOrElse(auxBad("malformed pit id"))
+    (decoded.get("index").asText, decoded.get("gen").asInt)
+  }
 
   // -------------------------------------------------------------------
   // Percolation ([[Percolate]]) — ES's reverse search: stored queries
@@ -937,12 +1004,14 @@ final class HttpApi(
     * hits-response JSON. Throws `IllegalArgumentException` /
     * `AnalysisException` for the callers' 400 mapping. */
   private def dslSearchJson(index: String, df: DataFrame,
-                            ties: Seq[String], req: JsonNode): String = {
+                            ties: Seq[String], req: JsonNode,
+                            allowProbe: Boolean = true): String = {
     // suggest-only body: the term suggester's flat
     // (token, suggestion, distance, freq) table
     if (req.hasNonNull("suggest") && !req.hasNonNull("query") &&
         !req.hasNonNull("knn"))
-      return hitsJson(suggestFrame(index, df, req.get("suggest")))
+      return hitsJson(suggestFrame(index, df, req.get("suggest"),
+        allowProbe))
     // data_lake_* wildcard bodies of the rankable multi_match
     // shape score with PER-INDEX statistics (ES's wildcard
     // semantics — IDF is index-local) through the entity
@@ -964,7 +1033,7 @@ final class HttpApi(
     // a routing probe that needs no DSL re-parse); term-level
     // bodies never pay it.
     val statsIdx =
-      if (index != "*" && !index.endsWith("_*") &&
+      if (allowProbe && index != "*" && !index.endsWith("_*") &&
           Seq("more_like_this", "match", "multi_match")
             .exists(hasKeyDeep(req, _)))
         Some(tableIndexPath(index))
@@ -982,7 +1051,8 @@ final class HttpApi(
     // response (ES's combined body), keyed by the suggester
     val suggestOut = Option(req.get("suggest"))
       .filter(!_.isNull).map(sg =>
-        (suggestFrame(index, df, sg), sg.fieldNames().next()))
+        (suggestFrame(index, df, sg, allowProbe),
+          sg.fieldNames().next()))
     hitsJson(page, aggs = aggs.zip(aggName), suggest = suggestOut)
   }
 
@@ -1036,6 +1106,8 @@ final class HttpApi(
           textOr(body0, "index", "*"))
         if (body0.hasNonNull("scroll"))
           errObj(400, "scroll cannot ride msearch")
+        else if (body0.hasNonNull("pit"))
+          errObj(400, "pit cannot ride msearch")
         else dslTarget(index) match {
           case None => errObj(404, s"unknown index '$index'")
           case Some((df, ties)) =>
@@ -1353,6 +1425,38 @@ final class HttpApi(
     // error: EsDsl names it in a 400, never returns a wrong result.
     if (req.hasNonNull("query") || req.hasNonNull("suggest") ||
         req.hasNonNull("knn")) {
+      // a `pit` section pins the search to a point-in-time token: the
+      // index comes FROM the pit (ES 400s a pit combined with an
+      // index), and a stale pinned generation forces the scan route
+      // over the unchanged snapshot ([[openPit]] doc).
+      Option(req.get("pit")).filter(!_.isNull).foreach { pitNode =>
+        try {
+          if (req.hasNonNull("index"))
+            auxBad("pit cannot be combined with index")
+          if (req.hasNonNull("scroll"))
+            auxBad("pit cannot be combined with scroll")
+          val (pitIndex, pinnedGen) = decodePit(pitNode)
+          dslTarget(pitIndex) match {
+            case None =>
+              respond(ex, 404,
+                s"""{"error": "pit index '$pitIndex' is gone"}""")
+            case Some((df, ties)) =>
+              val clean = req
+                .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+              clean.remove("pit")
+              respond(ex, 200, dslSearchJson(pitIndex, df, ties, clean,
+                allowProbe = pinnedGen == currentGen(pitIndex)))
+          }
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 400, mapper.createObjectNode()
+              .put("error", String.valueOf(e.getMessage)).toString)
+          case e: org.apache.spark.sql.AnalysisException =>
+            respond(ex, 400, mapper.createObjectNode()
+              .put("error", String.valueOf(e.getMessage)).toString)
+        }
+        return
+      }
       // index "*" / data_lake_* = the union document view, the exact
       // target the reference's passthrough queries (its es_connector
       // always searches index_prefix*) — and therefore the DEFAULT: a

@@ -1026,4 +1026,64 @@ class HttpApiSpec extends SparkSpec
     assert(delete("/search/percolators/route_de").statusCode() == 200)
     assert(get("/search/percolators/route_de").statusCode() == 404)
   }
+
+  test("point-in-time: a pit search serves the pinned view exactly " +
+    "like the named-index search; a rebuilt index (stale generation) " +
+    "still serves identical results through the scan route; " +
+    "combination and forgery are named 400s") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val opened = post("/search/pit",
+      """{"index": "documents", "keep_alive": "1m"}""")
+    assert(opened.statusCode() == 200, opened.body())
+    val pitId = mapper.readTree(opened.body()).get("id").asText
+    val body = s"""{"pit": {"id": "$pitId", "keep_alive": "1m"},
+      | "query": {"match": {"text": "window"}}, "size": 5}""".stripMargin
+    val viaPit = post("/search/advanced", body)
+    assert(viaPit.statusCode() == 200, viaPit.body())
+    val named = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}, "size": 5}"""
+        .stripMargin)
+    assert(viaPit.body() == named.body(),
+      "pit search must serve the named-index response verbatim")
+    // advance the index generation under the PIT: the pinned view is
+    // the unchanged parquet snapshot, so the stale pit routes to the
+    // corpus scan and the response stays IDENTICAL
+    val docs = graft.sources.Tables(spark, srcDir, "documents")
+    val strCols = docs.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    graft.sinks.SearchIndex.build(docs, strCols, "doc_id",
+      s"$outDir/_search_index/tables/documents")
+    val stale = post("/search/advanced", body)
+    assert(stale.statusCode() == 200, stale.body())
+    assert(stale.body() == named.body(),
+      "stale-generation pit must still serve the pinned view")
+    // delete is a stateless acknowledge
+    val del = delete("/search/pit")
+    assert(del.statusCode() == 200 &&
+      mapper.readTree(del.body()).get("succeeded").asBoolean)
+    // rejections: pit+index, pit+scroll, malformed id, unknown keys,
+    // pit inside msearch, unknown pit index at open
+    assert(post("/search/advanced",
+      s"""{"index": "documents", "pit": {"id": "$pitId"},
+        | "query": {"match_all": {}}}""".stripMargin).statusCode() == 400)
+    assert(post("/search/advanced",
+      s"""{"pit": {"id": "$pitId"}, "scroll": "1m",
+        | "query": {"match_all": {}}}""".stripMargin).statusCode() == 400)
+    assert(post("/search/advanced",
+      """{"pit": {"id": "bogus!!"}, "query": {"match_all": {}}}""")
+      .statusCode() == 400)
+    assert(post("/search/advanced",
+      s"""{"pit": {"id": "$pitId", "bogus": 1},
+        | "query": {"match_all": {}}}""".stripMargin).statusCode() == 400)
+    assert(post("/search/pit", """{"index": "nosuch"}""")
+      .statusCode() == 404)
+    val ms = post("/search/msearch",
+      "{\"index\": \"documents\"}\n" +
+        s"""{"pit": {"id": "$pitId"}, "query": {"match_all": {}}}""" +
+        "\n")
+    assert(ms.statusCode() == 200 &&
+      ms.body().contains("pit cannot ride msearch"))
+  }
 }
