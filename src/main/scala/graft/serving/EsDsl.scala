@@ -4904,9 +4904,21 @@ object EsDsl {
                 "not supported (dropped buckets would shift first-" +
                 "seen credit)")
             val newc = s"__new_$n"
+            // first-seen credit goes to the value's first SURVIVING
+            // bucket: an earlier pipeline (bucket_selector) may have
+            // dropped buckets, and ES's reduce merges only the
+            // remaining buckets' HLL sketches — a value first seen in
+            // a dropped bucket surfaces at its next surviving one,
+            // not never. The semi-join target is bucket-count-sized
+            // (broadcast); with nothing dropped it is the identity.
+            val kc = s"__cck_$n"
+            val surviving = broadcast(
+              out.select(col("key").as(kc)).distinct())
             val firsts = rawDf.filter(col(cf).isNotNull)
-              .groupBy(col(cf).as("__v"))
-              .agg(min(keyExpr).as("key"))
+              .select(col(cf).as("__v"), keyExpr.as(kc))
+              .join(surviving, Seq(kc), "leftsemi")
+              .groupBy(col("__v"))
+              .agg(min(col(kc)).as("key"))
               .groupBy(col("key")).agg(count(lit(1)).as(newc))
             out = out.join(firsts, Seq("key"), "left")
               .withColumn(n,
@@ -5647,6 +5659,11 @@ object EsDsl {
           val mode = Option(ms.get("mode")).map(_.asText).getOrElse("sum")
           if (mode != "sum" && mode != "value_count")
             bad(s"unsupported rate mode '$mode' (sum/value_count)")
+          // ES rejects a mode with no field (there is nothing to
+          // value-count or sum); silently falling back to the
+          // doc_count rate would answer a different question
+          if (ms.hasNonNull("mode") && !ms.hasNonNull("field"))
+            bad(s"rate mode '$mode' needs \"field\"")
           Option(ms.get("field")).map(_.asText).map { f0 =>
             (if (mode == "sum") sum(col(f0)) else count(col(f0)))
               .as(s"__rate_$n")

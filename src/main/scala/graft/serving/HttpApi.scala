@@ -648,8 +648,21 @@ final class HttpApi(
     * a 400 here, not at first use); substitution happens per search. */
   private def putScript(ex: HttpExchange, id: String,
                         req: JsonNode): Unit = {
+    // same fail-loud envelope contract as the sibling endpoints: an
+    // extra key (ES "options" we do not model, a misspelled "source")
+    // rejects by name instead of being silently dropped
+    val unknownEnv = jsonKeys(req).filterNot(Set("script"))
+    if (unknownEnv.nonEmpty)
+      auxBad(s"unsupported stored-script key" +
+        s"${if (unknownEnv.size == 1) "" else "s"}: " +
+        unknownEnv.mkString(", "))
     val script = Option(req.get("script")).filter(_.isObject)
       .getOrElse(auxBad("stored script needs a \"script\" object"))
+    val unknownScript = jsonKeys(script).filterNot(Set("lang", "source"))
+    if (unknownScript.nonEmpty)
+      auxBad(s"unsupported script key" +
+        s"${if (unknownScript.size == 1) "" else "s"}: " +
+        unknownScript.mkString(", "))
     val lang = textOr(script, "lang", "mustache")
     if (lang != "mustache")
       auxBad(s"unsupported stored-script lang '$lang' (mustache only)")
@@ -816,6 +829,10 @@ final class HttpApi(
         .map(e => (e.getKey, e.getValue)).sortBy(_._1)
     }
     val hits = Percolate.matches(spark, stored, docs)
+    // the response serializes the SNAPSHOT the match ran against —
+    // re-reading the store here would race a concurrent DELETE into a
+    // "query": null hit
+    val byId = stored.toMap
     val out = mapper.createObjectNode()
     val hitsObj = out.putObject("hits")
     hitsObj.put("total", hits.size)
@@ -824,7 +841,7 @@ final class HttpApi(
       val h = arr.addObject()
       h.put("_id", id)
       h.put("_score", 1.0)
-      h.set[JsonNode]("query", storedPercolators.get(id))
+      h.set[JsonNode]("query", byId(id))
       val sl = h.putArray("_percolator_document_slot")
       slots.foreach(sl.add)
     }
@@ -923,7 +940,19 @@ final class HttpApi(
                               body: com.fasterxml.jackson.databind.node.ObjectNode,
                               df: DataFrame, ties: Seq[String]): Unit = {
     try {
-      val (page, _) = EsDsl.searchParts(df, body, ties)
+      // same routing as the non-scroll path: the write-time index
+      // serves match/MLT statistics, terms lookups resolve through
+      // the registry, and the table's foreign keys register as
+      // parent/child relations — a scrollable body is exactly a
+      // searchable body plus a cursor
+      val statsIdx =
+        if (index != "*" && !index.endsWith("_*") &&
+            Seq("more_like_this", "match", "multi_match")
+              .exists(hasKeyDeep(body, _)))
+          Some(tableIndexPath(index))
+        else None
+      val (page, _) = EsDsl.searchParts(df, body, ties, statsIdx,
+        Some(dslTarget _), relationsFor(index))
       val capped = page.limit(maxHits)
       val tieNames = if (ties.nonEmpty) ties else Seq(df.columns.head)
       // ONE collect per page (the deep-export path is O(page) by
@@ -1089,7 +1118,11 @@ final class HttpApi(
     * never voids its siblings. Scroll cannot ride msearch (ES rejects
     * it there too). */
   private def msearch(ex: HttpExchange, raw: String): Unit = {
-    val lines = raw.split("\n").map(_.trim).filter(_.nonEmpty)
+    // ES accepts a BLANK header line (same as {}) — dropping blanks
+    // wholesale would shift the header/body pairing and run the wrong
+    // searches; only the trailing newline's empty cells are padding
+    val lines = raw.split("\n", -1).map(_.trim)
+      .reverse.dropWhile(_.isEmpty).reverse.toSeq
     if (lines.isEmpty || lines.length % 2 != 0) {
       respond(ex, 400, """{"error": "msearch expects ndjson """ +
         """header/body line pairs"}""")
@@ -1099,8 +1132,11 @@ final class HttpApi(
       mapper.createObjectNode().put("status", status)
         .put("error", String.valueOf(msg)).toString
     val responses = lines.grouped(2).map { pair =>
-      try {
-        val header = mapper.readTree(pair(0))
+      if (pair(1).isEmpty) errObj(400, "msearch body line is empty")
+      else try {
+        val header =
+          if (pair(0).isEmpty) mapper.createObjectNode()
+          else mapper.readTree(pair(0))
         val body0 = mapper.readTree(pair(1))
         val index = textOr(header, "index",
           textOr(body0, "index", "*"))

@@ -112,15 +112,17 @@ object SearchTemplate {
     if (path == ".") return scopes.headOption
     val parts = path.split("\\.", -1)
     if (parts.exists(_.isEmpty)) bad(s"malformed path '$path'")
-    // the HEAD name picks the scope (first scope that has it), then
-    // the rest of the path walks inside — mustache's resolution rule
-    scopes.iterator.flatMap { s =>
-      Option(s.get(parts.head)).map { start =>
-        parts.tail.foldLeft(Option(start): Option[JsonNode]) {
-          case (acc, p) => acc.flatMap(n => Option(n.get(p)))
-        }
+    // the HEAD name picks the scope (FIRST scope that has it), then
+    // the rest of the path walks inside — and if the walk misses
+    // there, resolution FAILS rather than falling through to an outer
+    // scope that also owns the head (mustache's dotted-name rule: the
+    // head is resolved against the stack, the tail only against the
+    // head's owner)
+    scopes.find(s => s.get(parts.head) != null).flatMap { s =>
+      parts.tail.foldLeft(Option(s.get(parts.head))) {
+        case (acc, p) => acc.flatMap(n => Option(n.get(p)))
       }
-    }.collectFirst { case Some(n) => n }
+    }
   }
 
   /** JSON-escape the characters that could break out of a string

@@ -212,6 +212,38 @@ class EsDslSpec extends SparkSpec {
           |  "aggs": {"r": {"rate": {"unit": "month"}}}}},
           | "size": 0}""".stripMargin))
     }
+    // an explicit mode with no field has nothing to count — ES
+    // rejects; a silent doc_count fallback would answer a different
+    // question
+    val noField = intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+          |  {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"r": {"rate": {"mode": "value_count",
+          |    "unit": "day"}}}}}, "size": 0}""".stripMargin))
+    }
+    assert(noField.getMessage.contains("field"))
+    // an earlier bucket_selector drops Jan (doc_count 2): first-seen
+    // credit moves to each value's first SURVIVING bucket — u1/u3
+    // surface in Feb, u2 (Jan-only) never, u4 in Apr — ES's merge of
+    // the remaining buckets' sketches
+    val surv = EsDsl.search(evs, mapper.readTree(
+      """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+        |  {"field": "ts", "calendar_interval": "month"},
+        |  "aggs": {
+        |    "users": {"cardinality": {"field": "u"}},
+        |    "keep": {"bucket_selector": {
+        |      "buckets_path": {"c": "_count"},
+        |      "script": "!(params.c == 2)"}},
+        |    "total_users": {"cumulative_cardinality":
+        |       {"buckets_path": "users"}}}}},
+        | "size": 0}""".stripMargin)).collect()
+    assert(surv.length == 2)
+    val sByKey = surv.map(r => r.getAs[Long]("key") -> r).toMap
+    assert(sByKey(monthMs("2024-02-01T00:00:00Z"))
+      .getAs[Long]("total_users") == 2L)
+    assert(sByKey(monthMs("2024-04-01T00:00:00Z"))
+      .getAs[Long]("total_users") == 3L)
   }
 
   test("date_histogram time_zone buckets in the zone-local frame " +

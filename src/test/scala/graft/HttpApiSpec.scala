@@ -1086,4 +1086,73 @@ class HttpApiSpec extends SparkSpec
     assert(ms.statusCode() == 200 &&
       ms.body().contains("pit cannot ride msearch"))
   }
+
+  test("scroll carries the full search routing: a has_child body " +
+    "scrolls (relations registered), and the walk matches the " +
+    "non-scroll match set") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body =
+      """{"index": "orders", "scroll": "1m",
+        | "query": {"has_child": {"type": "lineitem",
+        |   "query": {"range": {"l_quantity": {"gte": 45}}},
+        |   "min_children": 2}}, "size": 50}""".stripMargin
+    val direct = post("/search/count",
+      """{"index": "orders",
+        | "query": {"has_child": {"type": "lineitem",
+        |   "query": {"range": {"l_quantity": {"gte": 45}}},
+        |   "min_children": 2}}}""".stripMargin)
+    val want = mapper.readTree(direct.body()).get("count").asLong
+    assert(want > 0)
+    var r = post("/search/advanced", body)
+    var seen = 0L
+    var guard = 0
+    while (r != null && guard < 100) {
+      assert(r.statusCode() == 200, r.body().take(400))
+      val tree = mapper.readTree(r.body())
+      seen += tree.get("hits").get("hits").size
+      val sid = Option(tree.get("_scroll_id")).map(_.asText)
+      r = sid.map(s =>
+        post("/search/scroll", s"""{"scroll_id": "$s"}""")).orNull
+      guard += 1
+    }
+    assert(seen == want, s"scroll walked $seen of $want matches")
+  }
+
+  test("msearch accepts ES's blank header lines without shifting the " +
+    "pairing; an empty body line errors in its slot") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nd =
+      "\n{\"query\": {\"match_all\": {}}, \"size\": 2}\n" +
+        "\n{\"query\": {\"term\": {\"table\": \"documents\"}}, \"size\": 1}\n"
+    val r = post("/search/msearch", nd)
+    assert(r.statusCode() == 200, r.body())
+    val rs = mapper.readTree(r.body()).get("responses")
+    assert(rs.size == 2, r.body().take(400))
+    assert(rs.get(0).has("hits") && rs.get(1).has("hits"),
+      r.body().take(400))
+    // header present, body line blank: the slot errors, siblings serve
+    val mixed = "{\"index\": \"documents\"}\n\n" +
+      "{}\n{\"query\": {\"match_all\": {}}, \"size\": 1}\n"
+    val m = post("/search/msearch", mixed)
+    assert(m.statusCode() == 200, m.body())
+    val mr = mapper.readTree(m.body()).get("responses")
+    assert(mr.size == 2 &&
+      mr.get(0).get("status").asInt == 400 &&
+      mr.get(1).has("hits"), m.body().take(400))
+  }
+
+  test("stored-script envelopes fail loud on unknown keys at both " +
+    "levels") {
+    val env = put("/search/scripts/strict1",
+      """{"script": {"lang": "mustache", "source": "{}"},
+        | "params": {}}""".stripMargin)
+    assert(env.statusCode() == 400 &&
+      env.body().contains("params"), env.body())
+    val inner = put("/search/scripts/strict1",
+      """{"script": {"lang": "mustache", "source": "{}",
+        | "options": {}}}""".stripMargin)
+    assert(inner.statusCode() == 400 &&
+      inner.body().contains("options"), inner.body())
+    assert(get("/search/scripts/strict1").statusCode() == 404)
+  }
 }

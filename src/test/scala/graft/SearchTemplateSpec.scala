@@ -63,6 +63,17 @@ class SearchTemplateSpec extends AnyFunSuite {
     // truthy string section: renders once, outer scope intact
     assert(SearchTemplate.renderText("""{{#s}}v={{s}}{{/s}}""",
       p("""{"s": "x"}""")) == "v=x")
+    // dotted-name rule: the FIRST scope owning the head wins; a tail
+    // miss there renders empty rather than falling through to an
+    // outer scope that also owns the head (mustache/ES semantics)
+    assert(SearchTemplate.renderText(
+      """{{#user}}[{{address.city}}]{{/user}}""",
+      p("""{"user": {"address": {}},
+        |  "address": {"city": "Paris"}}""".stripMargin)) == "[]")
+    assert(SearchTemplate.renderText(
+      """{{#user}}[{{address.city}}]{{/user}}""",
+      p("""{"user": {"x": 1},
+        |  "address": {"city": "Paris"}}""".stripMargin)) == "[Paris]")
   }
 
   test("renderBody parses the substituted text; non-JSON rendering " +
