@@ -2114,6 +2114,18 @@ object ParityQueries {
       graft.sinks.SearchIndex.suggest(s,
         s"${searchIndexRoot(s, dir)}/documents", "text", "windoq bath")),
 
+    // phrase suggester: whole-phrase corrections ranked by the bigram
+    // stupid-backoff language model over the corpus (single-token
+    // error budget, ES's max_errors default) — 'windoq' corrects to
+    // the vocabulary word whose bigram context (the _, _ scan) the
+    // corpus likes best.
+    "q7_esdsl_phrase_suggest" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"fix": {"text": "windoq bath scan",
+          |  "phrase": {"field": "text"}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -3011,6 +3023,61 @@ object ParityQueries {
       "WHERE distance > 0 AND ex = 0) " +
     "SELECT token, suggestion, distance, freq FROM ranked " +
     "WHERE rn <= 5 ORDER BY token, distance, freq DESC, suggestion"
+
+  /** Phrase-suggester oracle — the bigram stupid-backoff LM from first
+    * principles: unigram/bigram counts over the whitespace-tokenized
+    * corpus, per-position candidates within 2 edits (identity
+    * excluded, top 32 by distance/freq/term), each single-token
+    * correction scored log10 P(w0) + Σ log10 P(w_j | w_{j-1}) with
+    * stupid-backoff 0.4·(u(w)+1)/(N+V) and add-one unigram prior. The
+    * query text "windoq bath scan" is inlined positionally. */
+  private val phraseSuggestOracleSql: String = {
+    def word(j: Int): String = {
+      val lit = Seq("'windoq'", "'bath'", "'scan'")(j)
+      s"CASE WHEN i = $j THEN term ELSE $lit END"
+    }
+    "WITH docs AS (SELECT list_filter(string_split_regex(lower(" +
+      "coalesce(text, '')), '\\s+'), x -> x <> '') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+    "uni AS (SELECT t AS term, count(*) AS u FROM (" +
+      "SELECT unnest(ts) AS t FROM docs) GROUP BY 1), " +
+    "stats AS (SELECT CAST(sum(u) AS DOUBLE) AS n_tok, " +
+      "CAST(count(*) AS DOUBLE) AS v_sz FROM uni), " +
+    "bi AS (SELECT a, w, count(*) AS b FROM (" +
+      "SELECT ts[g.i] AS a, ts[g.i + 1] AS w FROM docs, " +
+      "unnest(generate_series(1, len(ts) - 1)) AS g(i)) GROUP BY 1, 2), " +
+    "pos AS (SELECT * FROM (VALUES (0, 'windoq'), (1, 'bath'), " +
+      "(2, 'scan')) AS p(i, tok)), " +
+    "cand0 AS (SELECT p.i, u.term, u.u, " +
+      "CAST(levenshtein(p.tok, u.term) AS INT) AS d " +
+      "FROM uni u CROSS JOIN pos p " +
+      "WHERE levenshtein(p.tok, u.term) <= 2 AND u.term <> p.tok), " +
+    "cand AS (SELECT * FROM (SELECT *, row_number() OVER (" +
+      "PARTITION BY i ORDER BY d, u DESC, term) AS rn FROM cand0) " +
+      "WHERE rn <= 32), " +
+    "sugg AS (SELECT i, term, concat_ws(' ', " +
+      s"${word(0)}, ${word(1)}, ${word(2)}) AS suggestion " +
+      "FROM cand), " +
+    "pairs AS (" +
+      s"SELECT suggestion, 0 AS j, NULL AS a, ${word(0)} AS w " +
+        "FROM sugg UNION ALL " +
+      s"SELECT suggestion, 1, ${word(0)}, ${word(1)} " +
+        "FROM sugg UNION ALL " +
+      s"SELECT suggestion, 2, ${word(1)}, ${word(2)} FROM sugg), " +
+    "scored AS (SELECT p.suggestion, CASE " +
+      "WHEN p.j = 0 THEN log10((coalesce(uw.u, 0) + 1.0) / " +
+        "(s.n_tok + s.v_sz)) " +
+      "WHEN b.b IS NOT NULL THEN log10(CAST(b.b AS DOUBLE) / " +
+        "CAST(ua.u AS DOUBLE)) " +
+      "ELSE log10(0.4 * (coalesce(uw.u, 0) + 1.0) / " +
+        "(s.n_tok + s.v_sz)) END AS sc " +
+      "FROM pairs p " +
+      "LEFT JOIN bi b ON b.a = p.a AND b.w = p.w " +
+      "LEFT JOIN uni ua ON ua.term = p.a " +
+      "LEFT JOIN uni uw ON uw.term = p.w CROSS JOIN stats s) " +
+    "SELECT suggestion, sum(sc) AS score FROM scored GROUP BY 1 " +
+    "ORDER BY score DESC, suggestion LIMIT 5"
+  }
 
   /** Phrase / operator=and / minimum_should_match oracles — shared by
     * the scan-path queries and their write-time-index twins: one oracle,
@@ -4068,6 +4135,7 @@ object ParityQueries {
     // scan path and the termstats index probe
     "q7_esdsl_suggest" -> suggestOracleSql,
     "q7_esdsl_suggest_indexed" -> suggestOracleSql,
+    "q7_esdsl_phrase_suggest" -> phraseSuggestOracleSql,
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

@@ -57,7 +57,9 @@ import org.apache.spark.sql.functions._
   * re-ranking), `min_score`, `post_filter` (hits narrow AFTER
   * aggregations — the faceted-search contract), a validated top-level
   * key inventory (unknown keys reject by name; track_total_hits and
-  * timeout accepted-ignored), and suggest-only bodies (the term
+  * timeout accepted-ignored), the phrase suggester (whole-phrase
+  * corrections under a bigram stupid-backoff LM — [[phraseSuggest]]),
+  * and suggest-only bodies (the term
   * suggester). The
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
@@ -608,6 +610,7 @@ object EsDsl {
     * this engine ranks by the same (distance, frequency) keys Lucene
     * uses to break score ties — deterministic and oracle-able. */
   def suggest(df: DataFrame, sg: JsonNode): DataFrame = {
+    if (suggesterKind(sg) == "phrase") return phraseSuggest(df, sg)
     val sp = parseSuggest(sg)
     val f = sp.field
     val size = sp.size
@@ -644,7 +647,8 @@ object EsDsl {
     val text = Option(s.get("text")).map(_.asText)
       .getOrElse(bad("suggest needs \"text\""))
     val term = Option(s.get("term"))
-      .getOrElse(bad("only the term suggester is supported"))
+      .getOrElse(bad("only the term and phrase suggesters are " +
+        "supported"))
     val f = Option(term.get("field")).map(_.asText)
       .getOrElse(bad("term suggester needs \"field\""))
     val size = Option(term.get("size")).map(_.asInt).getOrElse(5)
@@ -658,6 +662,167 @@ object EsDsl {
     val spec = SuggestSpec(f, text, size, maxEdits, mode == "missing")
     if (spec.tokens.isEmpty) bad("suggest text has no tokens")
     spec
+  }
+
+  /** Which suggester a suggest body's one named entry carries —
+    * routing for the HTTP layer (only the term suggester has a
+    * termstats index probe) and [[suggest]]. */
+  private[graft] def suggesterKind(sg: JsonNode): String = {
+    val names = keysOf(sg)
+    if (names.size != 1) bad("exactly one named suggester is supported")
+    val s = sg.get(names.head)
+    if (s.hasNonNull("term")) "term"
+    else if (s.hasNonNull("phrase")) "phrase"
+    else bad("only the term and phrase suggesters are supported")
+  }
+
+  /** Per-position candidate budget for the phrase suggester — the
+    * Lucene DirectCandidateGenerator shape (its default num_candidates
+    * is 5 per generator; this engine keeps a wider fixed window so the
+    * LM, not the generator, picks the winner). */
+  private val PhraseCandidatesPerPosition = 32
+
+  private[graft] final case class PhraseSuggestSpec(field: String,
+                                                    text: String,
+                                                    size: Int,
+                                                    maxEdits: Int) {
+    def tokens: Seq[String] = text.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private[graft] def parsePhraseSuggest(sg: JsonNode): PhraseSuggestSpec = {
+    val names = keysOf(sg)
+    if (names.size != 1) bad("exactly one named suggester is supported")
+    val s = sg.get(names.head)
+    val unknown = keysOf(s).filterNot(Set("text", "phrase"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported suggester key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val text = Option(s.get("text")).map(_.asText)
+      .getOrElse(bad("suggest needs \"text\""))
+    val ph = s.get("phrase")
+    val unknownP = keysOf(ph)
+      .filterNot(Set("field", "size", "max_edits", "max_errors"))
+    if (unknownP.nonEmpty)
+      bad(s"unsupported phrase-suggester key" +
+        s"${if (unknownP.size == 1) "" else "s"}: " +
+        unknownP.mkString(", "))
+    val f = Option(ph.get("field")).map(_.asText)
+      .getOrElse(bad("phrase suggester needs \"field\""))
+    val size = Option(ph.get("size")).map(_.asInt).getOrElse(5)
+    if (size <= 0 || size > 100) bad("suggest size must be 1..100")
+    val maxEdits = Option(ph.get("max_edits")).map(_.asInt).getOrElse(2)
+    if (maxEdits < 1 || maxEdits > 2) bad("max_edits must be 1 or 2")
+    Option(ph.get("max_errors")).foreach { me =>
+      if (!me.isNumber || me.asDouble != 1.0)
+        bad("only max_errors 1 is supported (single-token corrections)")
+    }
+    val spec = PhraseSuggestSpec(f, text, size, maxEdits)
+    if (spec.tokens.isEmpty) bad("suggest text has no tokens")
+    spec
+  }
+
+  /** ES PHRASE SUGGESTER (`{"suggest": {"<name>": {"text": ...,
+    * "phrase": {"field": ...}}}}`): whole-phrase corrections, ranked
+    * by a word LANGUAGE MODEL over the corpus — ES's design (Lucene
+    * PhraseSuggester: per-token candidate generation, then an n-gram
+    * LM with stupid-backoff smoothing scores each corrected phrase;
+    * reference clients reach it through the same verbatim-body
+    * passthrough as every other suggester). This engine's model,
+    * documented: single-token corrections (max_errors 1, the ES
+    * default), candidates within `max_edits` of one token ranked
+    * (distance, frequency, term) and capped at
+    * [[PhraseCandidatesPerPosition]], each corrected phrase scored by
+    * a BIGRAM stupid-backoff LM — log10 P(w0) + Σ log10 P(w_j|w_{j-1})
+    * with P(w|a) = bigram(a,w)/unigram(a) when the bigram exists, else
+    * 0.4·(unigram(w)+1)/(N+V), and the add-one unigram prior
+    * (unigram(w)+1)/(N+V) — all counts TOTAL occurrences, exactly
+    * reproducible by the DuckDB oracle. Scale: unigram and bigram
+    * tables are two aggregations over one tokenized scan; candidate
+    * and pair frames are query-sized, so every statistics lookup is
+    * an inner join against a BROADCAST key set (the big tables are
+    * filtered, never shuffled); the final rank is a
+    * suggestion-count-sized sort. */
+  def phraseSuggest(df: DataFrame, sg: JsonNode): DataFrame = {
+    val sp = parsePhraseSuggest(sg)
+    val toks = sp.tokens
+    val n = toks.length
+    val docs = df.filter(col(sp.field).isNotNull)
+      .select(graft.functions.TextFunctions
+        .tokens(lower(col(sp.field))).as("__ts"))
+    val uni = docs.select(explode(col("__ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("u"))
+    val stats = uni.agg(sum(col("u")).cast("double").as("N"),
+      count(lit(1)).cast("double").as("V"))
+    val adjLen = greatest(size(col("__ts")) - 1, lit(0))
+    val bi = docs
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), adjLen),
+        slice(col("__ts"), lit(2), adjLen),
+        (a, w) => struct(a.as("a"), w.as("w")))).as("p"))
+      .select(col("p.a").as("a"), col("p.w").as("w"))
+      .groupBy(col("a"), col("w")).agg(count(lit(1)).as("b"))
+    // per-position candidates: vocabulary terms within max_edits of
+    // that token, identity excluded, ranked (distance, freq, term)
+    val posArr = array(toks.zipWithIndex.map { case (t, i) =>
+      struct(lit(i).as("i"), lit(t).as("tok")) }: _*)
+    val cand0 = uni
+      .select(col("term"), col("u"), explode(posArr).as("p"))
+      .select(col("term"), col("u"), col("p.i").as("i"),
+        col("p.tok").as("tok"))
+      .withColumn("d", levenshtein(col("tok"), col("term")))
+      .filter(col("d") <= sp.maxEdits && col("term") =!= col("tok"))
+    val perPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i"))
+      .orderBy(col("d").asc, col("u").desc, col("term").asc)
+    val cand = cand0.withColumn("__rn", row_number().over(perPos))
+      .filter(col("__rn") <= PhraseCandidatesPerPosition).drop("__rn")
+    // the corrected phrase and its (prev, word) pairs; j = 0 is the
+    // first word's unigram-prior slot (a = null)
+    def word(j: Int): Column =
+      when(col("i") === j, col("term")).otherwise(lit(toks(j)))
+    val pairRows = cand
+      .withColumn("suggestion",
+        concat_ws(" ", (0 until n).map(word): _*))
+      .select(col("suggestion"),
+        explode(array((0 until n).map { j =>
+          struct(lit(j).as("j"),
+            (if (j == 0) lit(null).cast("string")
+             else word(j - 1)).as("a"),
+            word(j).as("w"))
+        }: _*)).as("pr"))
+      .select(col("suggestion"), col("pr.j").as("j"),
+        col("pr.a").as("a"), col("pr.w").as("w"))
+    // statistics lookups: filter the corpus tables down to the
+    // query's keys with broadcast inner joins, then broadcast the
+    // (tiny) hits back onto the pair frame
+    val abKeys = pairRows.filter(col("a").isNotNull)
+      .select(col("a"), col("w")).distinct()
+    val bHits = bi.join(broadcast(abKeys), Seq("a", "w"))
+    val uaHits = uni
+      .withColumnRenamed("term", "a").withColumnRenamed("u", "ua")
+      .join(broadcast(abKeys.select(col("a")).distinct()), Seq("a"))
+    val uwHits = uni
+      .withColumnRenamed("term", "w").withColumnRenamed("u", "uw")
+      .join(broadcast(pairRows.select(col("w")).distinct()), Seq("w"))
+    val scored = pairRows
+      .join(broadcast(bHits), Seq("a", "w"), "left")
+      .join(broadcast(uaHits), Seq("a"), "left")
+      .join(broadcast(uwHits), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        when(col("j") === 0,
+          log10((coalesce(col("uw"), lit(0L)) + lit(1.0)) /
+            (col("N") + col("V"))))
+          .when(col("b").isNotNull,
+            log10(col("b").cast("double") / col("ua").cast("double")))
+          .otherwise(log10(lit(0.4) *
+            (coalesce(col("uw"), lit(0L)) + lit(1.0)) /
+            (col("N") + col("V")))))
+    scored.groupBy(col("suggestion"))
+      .agg(sum(col("__s")).as("score"))
+      .orderBy(col("score").desc, col("suggestion").asc)
+      .limit(sp.size)
   }
 
   /** Candidate ranking shared by the corpus-scan suggester above and

@@ -526,6 +526,10 @@ final class HttpApi(
   private def suggestFrame(index: String, df: DataFrame,
                            sgNode: JsonNode,
                            allowProbe: Boolean = true): DataFrame = {
+    // only the TERM suggester has a termstats probe; the phrase
+    // suggester's bigram LM needs the corpus scan either way
+    if (EsDsl.suggesterKind(sgNode) == "phrase")
+      return EsDsl.suggest(df, sgNode)
     val sp = EsDsl.parseSuggest(sgNode)
     if (allowProbe && index != "*" && !index.endsWith("_*"))
       indexedOrScan(index, df, Seq(sp.field),

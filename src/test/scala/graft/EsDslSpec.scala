@@ -2526,6 +2526,37 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("phrase suggester: single-token corrections ranked by the " +
+    "bigram stupid-backoff LM; knobs fail loud") {
+    // corpus: u(window)=3 u(batch)=3 u(run)=u(only)=u(nothing)=
+    // u(here)=1, N=10, V=6; bigrams (window,batch) (batch,run)
+    // (window,only) (nothing,here) (batch,batch) (batch,window) ×1
+    val s1 = q("""{"suggest": {"fix": {"text": "windoq batch",
+      "phrase": {"field": "text"}}}}""")
+      .select("suggestion", "score").as[(String, Double)].collect().toSeq
+    assert(s1.map(_._1) == Seq("window batch"), s1)
+    // log10(4/16) + log10(1/3)
+    assert(math.abs(s1.head._2 -
+      (math.log10(0.25) + math.log10(1.0 / 3.0))) < 1e-12)
+    // backoff: (only, window) is not a corpus bigram ->
+    // log10((1+1)/16) + log10(0.4*(3+1)/16)
+    val s2 = q("""{"suggest": {"fix": {"text": "only windoq",
+      "phrase": {"field": "text"}}}}""")
+      .select("suggestion", "score").as[(String, Double)].collect().toSeq
+    assert(s2.map(_._1) == Seq("only window"), s2)
+    assert(math.abs(s2.head._2 -
+      (math.log10(2.0 / 16.0) + math.log10(0.1))) < 1e-12)
+    // multi-error budgets and unknown knobs reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"suggest": {"fix": {"text": "windoq batch",
+        "phrase": {"field": "text", "max_errors": 2}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"suggest": {"fix": {"text": "windoq",
+        "phrase": {"field": "text", "gram_size": 3}}}}""")
+    }
+  }
+
   test("rescore recombines the top primary window only; terms_set " +
     "matches against a per-document threshold field") {
     // primary: 'window' count (docs 1, 2, 4 all score 1); window_size

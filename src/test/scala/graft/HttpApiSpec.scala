@@ -686,6 +686,16 @@ class HttpApiSpec extends SparkSpec
     assert(sug.statusCode() == 200, sug.body().take(300))
     assert(sug.body().contains("\"suggestion\""), sug.body().take(300))
     assert(sug.body().contains("window"), sug.body().take(300))
+    // phrase suggester rides the same suggest section (scan path —
+    // the bigram LM has no index probe)
+    val ph = post("/search/advanced",
+      """{"suggest": {"fix": {"text": "windoq bath",
+        | "phrase": {"field": "text"}}}, "index": "documents"}"""
+        .stripMargin)
+    assert(ph.statusCode() == 200, ph.body().take(300))
+    // single-error budget: each suggestion corrects ONE token
+    assert(ph.body().contains("windoq batch") &&
+      ph.body().contains("window bath"), ph.body().take(500))
     // unsupported construct: named rejection, not a wrong result
     val bad = post("/search/advanced",
       """{"query": {"percolate": {"field": "q"}}, "index": "documents"}""")
