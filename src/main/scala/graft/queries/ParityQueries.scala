@@ -1800,6 +1800,25 @@ object ParityQueries {
         .withColumn("labels", to_json(col("labels")))
     }),
 
+    // nested + inner_hits: the matching elements ride each hit as an
+    // array column (element order — ES's constant-score inner order),
+    // capped at size 2; jsonified for the oracle hash like the parent
+    // array.
+    "q7_esdsl_inner_hits" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"nested": {"path": "labels", "score_mode": "sum",
+          |  "query": {"bool": {"must": [
+          |    {"term": {"labels.color": "Brand#12"}},
+          |    {"range": {"labels.id": {"lte": 1000}}}]}},
+          |  "inner_hits": {"size": 2}}},
+          | "size": 100, "sort": [{"l_orderkey": {"order": "asc"}}],
+          | "_source": ["l_orderkey"]}""".stripMargin)
+      graft.serving.EsDsl.search(
+        graft.operators.Denormalize.labelStructsPerOrder(
+          t(s, dir, "lineitem"), t(s, dir, "part")), body)
+        .withColumn("inner_hits_labels", to_json(col("inner_hits_labels")))
+    }),
+
     // nested aggregation: label-color distribution over the nested
     // elements (doc_count = nested docs, ES's convention) — one
     // explode + one hash agg.
@@ -3993,6 +4012,19 @@ object ParityQueries {
        "SELECT a.l_orderkey, a.labels, CAST(m.c AS DOUBLE) AS \"_score\" " +
        "FROM agg a JOIN m USING (l_orderkey) " +
        "ORDER BY a.l_orderkey LIMIT 100"),
+
+    // inner_hits: the matching elements of the SORTED per-order label
+    // array, first 2 (list slicing mirrors slice(filter(...), 1, 2))
+    "q7_esdsl_inner_hits" ->
+      ("WITH lb AS (SELECT DISTINCT l_orderkey, struct_pack(" +
+         "id := p_partkey, name := p_name, color := p_brand) AS s " +
+         "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+       "agg AS (SELECT l_orderkey, list_filter(list(s ORDER BY s), " +
+         "x -> x.color = 'Brand#12' AND x.id <= 1000) AS mh " +
+         "FROM lb GROUP BY 1) " +
+       "SELECT l_orderkey, CAST(len(mh) AS DOUBLE) AS \"_score\", " +
+       "CAST(to_json(mh[1:2]) AS VARCHAR) AS inner_hits_labels " +
+       "FROM agg WHERE len(mh) > 0 ORDER BY l_orderkey LIMIT 100"),
 
     // combined_fields: the SAME per-field BM25 CTE builder over the
     // concatenated expression — one synthetic field, one dl/df/avgdl

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * `knn` + `query` (additive union) and `rank: {"rrf"}` (reciprocal
   * rank fusion over both retrievers' windows),
   * `function_score` (field_value_factor / filtered weights with
-  * score_mode/boost_mode/max_boost/min_score), `nested` (per-element
+  * score_mode/boost_mode/max_boost/min_score), `nested` with
+  * `inner_hits` (the matching elements ride each hit) (per-element
   * queries and element-bucketing aggs over array-of-struct columns),
   * `match_bool_prefix`, `terms_set` (per-document match threshold),
   * `more_like_this` (tf·idf term selection over text likes),
@@ -285,6 +286,21 @@ object EsDsl {
         case a                          => Seq(a)
       }
     }
+    /** inner_hits projections queued by nested clauses: (response
+      * column name, the matching-elements array). Applied to the hit
+      * PAGE alongside highlight/fields columns (page-sized work,
+      * surviving _source the same way) — a pure array projection, no
+      * join, no extra scan. */
+    private val innerHits = ArrayBuffer[(String, Column)]()
+
+    def registerInnerHits(name: String, c: Column): Unit = {
+      if (innerHits.exists(_._1 == name))
+        bad(s"duplicate inner_hits name '${name.stripPrefix("inner_hits_")}'")
+      innerHits += ((name, c)); ()
+    }
+
+    def innerHitCols: Seq[(String, Column)] = innerHits.toSeq
+
     /** Match-family clauses QUEUED for the one shared scoring pass
       * ([[Search.rankedAllMulti]]) — replaces round 9's
       * one-`rankedAll`-frame-per-clause design, where a bool with K
@@ -1459,6 +1475,8 @@ object EsDsl {
           for (bad0 <- Seq("aggs", "aggregations", "highlight")
               if body.hasNonNull(bad0))
             bad(s"rank (rrf) cannot be combined with $bad0")
+          if (ctx.innerHitCols.nonEmpty)
+            bad("inner_hits cannot be combined with rank (rrf)")
           return (rrfParts(df, body, c, (spec, kPred), base0, base2,
             idName, tieNames), None)
         }
@@ -1683,9 +1701,10 @@ object EsDsl {
         bad(s"duplicate fields entry '${n.stripPrefix("fields_")}'")
     }
     def withHl(d: DataFrame): DataFrame =
-      (hlCols ++ fieldCols).foldLeft(d) { case (acc, (n, cexpr)) =>
-        acc.withColumn(n, cexpr) }
-    val hlNames = (hlCols ++ fieldCols).map(n => col(n._1))
+      (hlCols ++ fieldCols ++ ctx.innerHitCols).foldLeft(d) {
+        case (acc, (n, cexpr)) => acc.withColumn(n, cexpr) }
+    val hlNames = (hlCols ++ fieldCols ++ ctx.innerHitCols)
+      .map(n => col(n._1))
     // _source validates against the MAPPED columns (df0) — a runtime
     // field is never source, exactly ES; the raw runtime columns are
     // dropped from every hit shape (their fields_<name> copies above
@@ -3871,7 +3890,7 @@ object EsDsl {
       // (ES's value for constant-score children), sum = the matching
       // element count, none = 0.
       val nBoost = clauseBoost("nested", b,
-        Set("path", "query", "score_mode"))
+        Set("path", "query", "score_mode", "inner_hits"))
       val path = Option(b.get("path")).map(_.asText)
         .getOrElse(bad("nested needs \"path\""))
       val inner = Option(b.get("query"))
@@ -3879,6 +3898,28 @@ object EsDsl {
       val nFields = ctx.nestedFields(path).getOrElse(
         bad(s"nested path '$path' is not an array-of-struct column"))
       val per = nestedElemPred(inner, path, nFields)
+      // "inner_hits": ES returns the MATCHING nested elements with
+      // each hit. Constant-score inner queries tie, so ES's
+      // score-desc inner order IS index order — slice(filter(...))
+      // reproduces it exactly as a projection on the hit page.
+      Option(b.get("inner_hits")).filter(!_.isNull).foreach { ih =>
+        if (!ih.isObject) bad("inner_hits must be an object")
+        val unknown = keysOf(ih).filterNot(Set("name", "size"))
+        if (unknown.nonEmpty)
+          bad(s"unsupported inner_hits key" +
+            s"${if (unknown.size == 1) "" else "s"}: " +
+            unknown.mkString(", "))
+        val ihName = Option(ih.get("name")).map(_.asText).getOrElse(path)
+        val ihSize = Option(ih.get("size")).map { v =>
+          if (!v.isNumber) bad("inner_hits size must be numeric")
+          v.asInt
+        }.getOrElse(3)
+        if (ihSize < 0 || ihSize > 100)
+          bad("inner_hits size must be 0..100")
+        ctx.registerInnerHits(s"inner_hits_$ihName",
+          slice(filter(col(path), x => coalesce(per(x), lit(false))),
+            1, ihSize))
+      }
       val cnt = coalesce(
         size(filter(col(path), x => coalesce(per(x), lit(false)))),
         lit(0))

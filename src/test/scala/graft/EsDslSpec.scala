@@ -2632,8 +2632,32 @@ class EsDslSpec extends SparkSpec {
         "size": 0}""")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(na == Map("red" -> 2L, "blue" -> 1L))
+    // inner_hits: the MATCHING elements ride the hit as an
+    // `inner_hits_<name>` array column, in element order (ES's
+    // score-desc order degenerates to index order for constant-score
+    // inner queries), capped at `size`
+    val ih = EsDsl.search(nest, mapper.readTree(
+      """{"query": {"nested": {"path": "labels", "score_mode": "sum",
+        |  "query": {"term": {"labels.color": "red"}},
+        |  "inner_hits": {"size": 1}}}}""".stripMargin))
+      .selectExpr("id", "inner_hits_labels[0].color",
+        "size(inner_hits_labels)")
+      .as[(Int, String, Int)].collect().toSeq
+      .map { case (k, c, s) => k -> ((c, s)) }.toMap
+    assert(ih.keySet == Set(1, 2) &&
+      ih.values.toSeq.distinct == Seq(("red", 1)), ih)
+    // a custom name renames the column; survives _source subsetting
+    val named = EsDsl.search(nest, mapper.readTree(
+      """{"query": {"nested": {"path": "labels",
+        |  "query": {"term": {"labels.color": "blue"}},
+        |  "inner_hits": {"name": "blues"}}}, "_source": ["id"]}"""
+        .stripMargin))
+    assert(named.columns.toSeq ==
+      Seq("id", "_score", "inner_hits_blues"), named.columns.toSeq)
+    assert(named.selectExpr("inner_hits_blues[0].n")
+      .as[Int].collect().toSeq == Seq(2))
     // errors: flat/unknown path, field outside the path, scored
-    // clauses inside nested
+    // clauses inside nested, unknown inner_hits knob
     for (body <- Seq(
         """{"query": {"nested": {"path": "id",
            "query": {"match_all": {}}}}}""",
@@ -2642,7 +2666,10 @@ class EsDslSpec extends SparkSpec {
         """{"query": {"nested": {"path": "labels",
            "query": {"term": {"color": "red"}}}}}""",
         """{"query": {"nested": {"path": "labels",
-           "query": {"match": {"labels.color": "red"}}}}}"""))
+           "query": {"match": {"labels.color": "red"}}}}}""",
+        """{"query": {"nested": {"path": "labels",
+           "query": {"match_all": {}},
+           "inner_hits": {"from": 2}}}}"""))
       intercept[IllegalArgumentException] {
         EsDsl.search(nest, mapper.readTree(body))
       }
