@@ -3070,10 +3070,13 @@ object ParityQueries {
     "cand0 AS (SELECT p.i, u.term, u.u, " +
       "CAST(levenshtein(p.tok, u.term) AS INT) AS d " +
       "FROM uni u CROSS JOIN pos p " +
-      "WHERE levenshtein(p.tok, u.term) <= 2 AND u.term <> p.tok), " +
+      "WHERE levenshtein(p.tok, u.term) <= 2), " +
+    // the identity row (d = 0, an in-vocabulary token) rides the
+    // window rank — it occupies a candidate slot in the engine's one
+    // collected pass — and is excluded from the suggestions after
     "cand AS (SELECT * FROM (SELECT *, row_number() OVER (" +
       "PARTITION BY i ORDER BY d, u DESC, term) AS rn FROM cand0) " +
-      "WHERE rn <= 32), " +
+      "WHERE rn <= 32 AND d > 0), " +
     "sugg AS (SELECT i, term, concat_ws(' ', " +
       s"${word(0)}, ${word(1)}, ${word(2)}) AS suggestion " +
       "FROM cand), " +

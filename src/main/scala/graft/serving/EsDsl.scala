@@ -660,6 +660,10 @@ object EsDsl {
     val names = keysOf(sg)
     if (names.size != 1) bad("exactly one named suggester is supported")
     val s = sg.get(names.head)
+    val unknown = keysOf(s).filterNot(Set("text", "term"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported suggester key" +
+        s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
     val text = Option(s.get("text")).map(_.asText)
       .getOrElse(bad("suggest needs \"text\""))
     val term = Option(s.get("term"))
@@ -687,6 +691,8 @@ object EsDsl {
     val names = keysOf(sg)
     if (names.size != 1) bad("exactly one named suggester is supported")
     val s = sg.get(names.head)
+    if (s.hasNonNull("term") && s.hasNonNull("phrase"))
+      bad("a suggester entry takes term OR phrase, not both")
     if (s.hasNonNull("term")) "term"
     else if (s.hasNonNull("phrase")) "phrase"
     else bad("only the term and phrase suggesters are supported")
@@ -716,7 +722,8 @@ object EsDsl {
         s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
     val text = Option(s.get("text")).map(_.asText)
       .getOrElse(bad("suggest needs \"text\""))
-    val ph = s.get("phrase")
+    val ph = Option(s.get("phrase")).filter(_.isObject)
+      .getOrElse(bad("phrase suggester needs a \"phrase\" object"))
     val unknownP = keysOf(ph)
       .filterNot(Set("field", "size", "max_edits", "max_errors"))
     if (unknownP.nonEmpty)
@@ -753,33 +760,34 @@ object EsDsl {
     * with P(w|a) = bigram(a,w)/unigram(a) when the bigram exists, else
     * 0.4·(unigram(w)+1)/(N+V), and the add-one unigram prior
     * (unigram(w)+1)/(N+V) — all counts TOTAL occurrences, exactly
-    * reproducible by the DuckDB oracle. Scale: unigram and bigram
-    * tables are two aggregations over one tokenized scan; candidate
-    * and pair frames are query-sized, so every statistics lookup is
-    * an inner join against a BROADCAST key set (the big tables are
-    * filtered, never shuffled); the final rank is a
-    * suggestion-count-sized sort. */
+    * reproducible by the DuckDB oracle. Scale: THREE driver-bounded
+    * actions, the MLT doc-freq-probe pattern — (1) corpus totals (one
+    * row), (2) per-position candidates + the query tokens' own counts
+    * (≤ positions × the candidate cap rows), (3) exactly the
+    * corrected phrases' bigram counts (a literal key-set filter that
+    * pushes into the tokenized scan) — then query-sized arithmetic on
+    * the driver; nothing corpus-sized shuffles or broadcasts. */
   def phraseSuggest(df: DataFrame, sg: JsonNode): DataFrame = {
     val sp = parsePhraseSuggest(sg)
     val toks = sp.tokens
     val n = toks.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    def emptyOut: DataFrame =
+      Seq.empty[(String, Double)].toDF("suggestion", "score")
     val docs = df.filter(col(sp.field).isNotNull)
       .select(graft.functions.TextFunctions
         .tokens(lower(col(sp.field))).as("__ts"))
     val uni = docs.select(explode(col("__ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("u"))
-    val stats = uni.agg(sum(col("u")).cast("double").as("N"),
-      count(lit(1)).cast("double").as("V"))
-    val adjLen = greatest(size(col("__ts")) - 1, lit(0))
-    val bi = docs
-      .select(explode(zip_with(
-        slice(col("__ts"), lit(1), adjLen),
-        slice(col("__ts"), lit(2), adjLen),
-        (a, w) => struct(a.as("a"), w.as("w")))).as("p"))
-      .select(col("p.a").as("a"), col("p.w").as("w"))
-      .groupBy(col("a"), col("w")).agg(count(lit(1)).as("b"))
-    // per-position candidates: vocabulary terms within max_edits of
-    // that token, identity excluded, ranked (distance, freq, term)
+    // scan 1: corpus totals (one row)
+    val statsRow = uni
+      .agg(sum(col("u")).as("N"), count(lit(1)).as("V")).collect()(0)
+    if (statsRow.isNullAt(0)) return emptyOut
+    val nv = statsRow.getLong(0).toDouble + statsRow.getLong(1).toDouble
+    // scan 2: per-position candidates (within max_edits, identity
+    // excluded, windowed cap) UNION the query tokens' own counts —
+    // ONE query-sized collect, the MLT doc-freq-probe pattern
     val posArr = array(toks.zipWithIndex.map { case (t, i) =>
       struct(lit(i).as("i"), lit(t).as("tok")) }: _*)
     val cand0 = uni
@@ -787,58 +795,52 @@ object EsDsl {
       .select(col("term"), col("u"), col("p.i").as("i"),
         col("p.tok").as("tok"))
       .withColumn("d", levenshtein(col("tok"), col("term")))
-      .filter(col("d") <= sp.maxEdits && col("term") =!= col("tok"))
+      .filter((col("d") <= sp.maxEdits && col("term") =!= col("tok")) ||
+        col("d") === 0)
     val perPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("i"))
       .orderBy(col("d").asc, col("u").desc, col("term").asc)
-    val cand = cand0.withColumn("__rn", row_number().over(perPos))
-      .filter(col("__rn") <= PhraseCandidatesPerPosition).drop("__rn")
-    // the corrected phrase and its (prev, word) pairs; j = 0 is the
-    // first word's unigram-prior slot (a = null)
-    def word(j: Int): Column =
-      when(col("i") === j, col("term")).otherwise(lit(toks(j)))
-    val pairRows = cand
-      .withColumn("suggestion",
-        concat_ws(" ", (0 until n).map(word): _*))
-      .select(col("suggestion"),
-        explode(array((0 until n).map { j =>
-          struct(lit(j).as("j"),
-            (if (j == 0) lit(null).cast("string")
-             else word(j - 1)).as("a"),
-            word(j).as("w"))
-        }: _*)).as("pr"))
-      .select(col("suggestion"), col("pr.j").as("j"),
-        col("pr.a").as("a"), col("pr.w").as("w"))
-    // statistics lookups: filter the corpus tables down to the
-    // query's keys with broadcast inner joins, then broadcast the
-    // (tiny) hits back onto the pair frame
-    val abKeys = pairRows.filter(col("a").isNotNull)
-      .select(col("a"), col("w")).distinct()
-    val bHits = bi.join(broadcast(abKeys), Seq("a", "w"))
-    val uaHits = uni
-      .withColumnRenamed("term", "a").withColumnRenamed("u", "ua")
-      .join(broadcast(abKeys.select(col("a")).distinct()), Seq("a"))
-    val uwHits = uni
-      .withColumnRenamed("term", "w").withColumnRenamed("u", "uw")
-      .join(broadcast(pairRows.select(col("w")).distinct()), Seq("w"))
-    val scored = pairRows
-      .join(broadcast(bHits), Seq("a", "w"), "left")
-      .join(broadcast(uaHits), Seq("a"), "left")
-      .join(broadcast(uwHits), Seq("w"), "left")
-      .crossJoin(broadcast(stats))
-      .withColumn("__s",
-        when(col("j") === 0,
-          log10((coalesce(col("uw"), lit(0L)) + lit(1.0)) /
-            (col("N") + col("V"))))
-          .when(col("b").isNotNull,
-            log10(col("b").cast("double") / col("ua").cast("double")))
-          .otherwise(log10(lit(0.4) *
-            (coalesce(col("uw"), lit(0L)) + lit(1.0)) /
-            (col("N") + col("V")))))
-    scored.groupBy(col("suggestion"))
-      .agg(sum(col("__s")).as("score"))
-      .orderBy(col("score").desc, col("suggestion").asc)
-      .limit(sp.size)
+    val candRows = cand0.withColumn("__rn", row_number().over(perPos))
+      .filter(col("__rn") <= PhraseCandidatesPerPosition ||
+        col("d") === 0)
+      .select(col("i"), col("term"), col("u"), col("d"))
+      .collect()
+    val uCount: Map[String, Long] = candRows
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val cands: Seq[(Int, String)] = candRows.toSeq
+      .filter(_.getInt(3) > 0)
+      .map(r => (r.getInt(0), r.getString(1)))
+    if (cands.isEmpty) return emptyOut
+    // the corrected phrases and every bigram key they need
+    val phrases: Seq[(String, Seq[String])] = cands.map { case (i, c) =>
+      val seqd = toks.updated(i, c)
+      (seqd.mkString(" "), seqd)
+    }
+    val bKeys = phrases.flatMap { case (_, s) =>
+      (1 until n).map(j => s(j - 1) + "\u0001" + s(j)) }.distinct
+    // scan 3: exactly the needed bigram counts (query-sized result)
+    val adjLen = greatest(size(col("__ts")) - 1, lit(0))
+    val bCount: Map[String, Long] = docs
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), adjLen),
+        slice(col("__ts"), lit(2), adjLen),
+        (a, w) => concat_ws("\u0001", a, w))).as("k"))
+      .filter(col("k").isInCollection(bKeys))
+      .groupBy(col("k")).agg(count(lit(1)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side scoring over the query-sized candidate set — the
+    // exact formula the oracle replays (j ascending, one sum)
+    def u(w: String): Long = uCount.getOrElse(w, 0L)
+    val scoredOut = phrases.map { case (text, s) =>
+      val prior = math.log10((u(s.head) + 1.0) / nv)
+      val rest = (1 until n).map { j =>
+        val b = bCount.getOrElse(s(j - 1) + "\u0001" + s(j), 0L)
+        if (b > 0) math.log10(b.toDouble / u(s(j - 1)).toDouble)
+        else math.log10(0.4 * (u(s(j)) + 1.0) / nv)
+      }
+      (text, prior + rest.sum)
+    }.sortBy { case (text, score) => (-score, text) }.take(sp.size)
+    scoredOut.toDF("suggestion", "score")
   }
 
   /** Candidate ranking shared by the corpus-scan suggester above and
@@ -984,6 +986,10 @@ object EsDsl {
     // fold, so a min_score escape is rejected by name
     val filterPred = spec.filter.map(f =>
       ctx.withoutScoreJoins { ctx.inFilter { clause(f, ctx) } }.pred)
+    // the exact-k hit shape cannot carry a nested clause's queued
+    // inner_hits — reject by name, never drop the section
+    if (ctx.innerHitCols.nonEmpty)
+      bad("inner_hits is not supported inside a knn filter")
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
@@ -1258,6 +1264,10 @@ object EsDsl {
       val pred = coalesce(
         ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
         lit(false))
+      // percolation answers "which stored queries match" — there are
+      // no document hits for inner_hits to ride; reject by name
+      if (ctx.innerHitCols.nonEmpty)
+        bad("inner_hits is not supported in percolator queries")
       // resolution probe: driver-side analysis only, zero execution —
       // an unresolvable column (a field this document shape lacks)
       // means "never matches", exactly ES's percolator behavior
@@ -1296,6 +1306,9 @@ object EsDsl {
           ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
           lit(false))
     }
+    // a count has no hits for inner_hits to ride — reject by name
+    if (ctx.innerHitCols.nonEmpty)
+      bad("inner_hits is not supported in a _count body")
     ctx.foldJoins(df.withColumn(IdColMarker, col(idName)))
       .filter(pred).agg(count(lit(1)).as("count"))
   }
@@ -1344,6 +1357,8 @@ object EsDsl {
         else col(idName0)
       val tieNames0 = if (tiebreak.nonEmpty) tiebreak
         else Seq(df0.columns.head)
+      // a nested clause in the knn FILTER that queues inner_hits is
+      // rejected by name inside knnServe (the shared scaffold)
       return (knnParts(df0, body,
         new Ctx(df0, sid0, lookupResolver = lookup), tieNames0), None)
     }
@@ -2565,6 +2580,12 @@ object EsDsl {
     val sid = col(other.columns.head)
     val sctx = new Ctx(other, sid)
     val c = clause(q, sctx)
+    // the other frame's rows never surface as response hits, so an
+    // inner_hits queued by a nested sub-clause has nowhere to land —
+    // reject by name rather than silently dropping the section
+    if (sctx.innerHitCols.nonEmpty)
+      bad("inner_hits is not supported inside has_child/has_parent " +
+        "sub-queries")
     val b0 = other.withColumn(IdColMarker, col(other.columns.head))
       .withColumn(SidCol, sid)
     val b1 = sctx.scoreFrame

@@ -500,6 +500,25 @@ final class HttpApi(
       Some((Tables(spark, srcDir, index), Nil))
     else None
 
+  /** The write-time table index that serves a DSL body's match/MLT
+    * statistics: a NAMED table whose body names a match-family or
+    * more_like_this clause (ONE routing shared by /search/advanced,
+    * scroll pages, and _explain, so the trigger-key list cannot
+    * drift between them). `allowProbe = false` pins a
+    * stale-generation PIT to the corpus scan. The build is paid once
+    * per table per server lifetime on the first such request (a body
+    * whose match clauses all end up in filter context, or a column
+    * literally named "match", also triggers it — a bounded one-time
+    * cost for a routing probe that needs no DSL re-parse);
+    * term-level bodies never pay it. */
+  private def statsIdxFor(index: String, body: JsonNode,
+                          allowProbe: Boolean = true): Option[String] =
+    if (allowProbe && index != "*" && !index.endsWith("_*") &&
+        Seq("more_like_this", "match", "multi_match")
+          .exists(hasKeyDeep(body, _)))
+      Some(tableIndexPath(index))
+    else None
+
   /** The lake's foreign keys as DSL parent/child relations per
     * target table — the relational stand-in for ES's join-field
     * mapping (each relation: the other frame + the child-side column
@@ -949,14 +968,8 @@ final class HttpApi(
       // the registry, and the table's foreign keys register as
       // parent/child relations — a scrollable body is exactly a
       // searchable body plus a cursor
-      val statsIdx =
-        if (index != "*" && !index.endsWith("_*") &&
-            Seq("more_like_this", "match", "multi_match")
-              .exists(hasKeyDeep(body, _)))
-          Some(tableIndexPath(index))
-        else None
-      val (page, _) = EsDsl.searchParts(df, body, ties, statsIdx,
-        Some(dslTarget _), relationsFor(index))
+      val (page, _) = EsDsl.searchParts(df, body, ties,
+        statsIdxFor(index, body), Some(dslTarget _), relationsFor(index))
       val capped = page.limit(maxHits)
       val tieNames = if (ties.nonEmpty) ties else Seq(df.columns.head)
       // ONE collect per page (the deep-export path is O(page) by
@@ -1056,25 +1069,14 @@ final class HttpApi(
         req, indexRoot = Some(entityIndexRoot())))
     // named-table bodies that NAME match-family or
     // more_like_this clauses ride the table's write-time
-    // index: match clauses score by postings probes (zero
-    // corpus scans) and MLT reads fieldstats/termstats —
-    // bit-identical to the scan pass either way. The build is
-    // paid ONCE per table per server lifetime on the first
-    // such request (a body whose match clauses all end up in
-    // filter context, or a column literally named "match",
-    // also triggers it — a bounded one-time cost accepted for
-    // a routing probe that needs no DSL re-parse); term-level
-    // bodies never pay it.
-    val statsIdx =
-      if (allowProbe && index != "*" && !index.endsWith("_*") &&
-          Seq("more_like_this", "match", "multi_match")
-            .exists(hasKeyDeep(req, _)))
-        Some(tableIndexPath(index))
-      else None
+    // index ([[statsIdxFor]]): match clauses score by postings
+    // probes (zero corpus scans) and MLT reads fieldstats/
+    // termstats — bit-identical to the scan pass either way.
     // ES returns hits AND aggregations in one response; the
     // flat bucket table rides an "aggregations" section keyed
     // by the body's top-level agg name
-    val (page, aggs) = EsDsl.searchParts(df, req, ties, statsIdx,
+    val (page, aggs) = EsDsl.searchParts(df, req, ties,
+      statsIdxFor(index, req, allowProbe),
       Some(dslTarget _), relationsFor(index))
     // the section is keyed by the BASE bucket agg's name —
     // never a sibling pipeline's, regardless of body key order
@@ -1434,13 +1436,9 @@ final class HttpApi(
           built.putObject("post_filter").putObject("ids")
             .putArray("values").add(idN)
           built.put("size", 1)
-          val statsIdx =
-            if (Seq("more_like_this", "match", "multi_match")
-                .exists(hasKeyDeep(req, _)))
-              Some(tableIndexPath(index))
-            else None
-          val (page, _) = EsDsl.searchParts(df, built, ties, statsIdx,
-            Some(dslTarget _), relationsFor(index))
+          val (page, _) = EsDsl.searchParts(df, built, ties,
+            statsIdxFor(index, req), Some(dslTarget _),
+            relationsFor(index))
           val rows = page.collect()
           val idJ = mapper.writeValueAsString(idN.asText)
           if (rows.isEmpty)
