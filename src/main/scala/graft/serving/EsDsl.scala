@@ -60,7 +60,8 @@ import org.apache.spark.sql.functions._
   * key inventory (unknown keys reject by name; track_total_hits and
   * timeout accepted-ignored), the phrase suggester (whole-phrase
   * corrections under a bigram stupid-backoff LM — [[phraseSuggest]]),
-  * and suggest-only bodies (the term
+  * and — several named suggesters per body, each its own response
+  * section — suggest-only bodies (the term
   * suggester). The
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
@@ -658,7 +659,8 @@ object EsDsl {
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
     val names = keysOf(sg)
-    if (names.size != 1) bad("exactly one named suggester is supported")
+    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
+      "(the HTTP layer serves multi-suggester bodies)")
     val s = sg.get(names.head)
     val unknown = keysOf(s).filterNot(Set("text", "term"))
     if (unknown.nonEmpty)
@@ -684,12 +686,32 @@ object EsDsl {
     spec
   }
 
+  /** The suggest section's named entries, in body order — ES allows
+    * several suggesters per body; the single-frame [[suggest]] API
+    * takes one, and the HTTP layer iterates, serving each name as its
+    * own response section through [[oneSuggester]] wrappers. */
+  private[graft] def suggesterNames(sg: JsonNode): Seq[String] = {
+    val names = keysOf(sg)
+    if (names.isEmpty) bad("suggest needs at least one named suggester")
+    names
+  }
+
+  /** A single-entry wrapper for one named suggester of a multi-entry
+    * suggest section — the shape every single-suggester path expects. */
+  private[graft] def oneSuggester(sg: JsonNode, name: String): JsonNode = {
+    val on = com.fasterxml.jackson.databind.node.JsonNodeFactory
+      .instance.objectNode()
+    on.set[JsonNode](name, sg.get(name))
+    on
+  }
+
   /** Which suggester a suggest body's one named entry carries —
     * routing for the HTTP layer (only the term suggester has a
     * termstats index probe) and [[suggest]]. */
   private[graft] def suggesterKind(sg: JsonNode): String = {
     val names = keysOf(sg)
-    if (names.size != 1) bad("exactly one named suggester is supported")
+    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
+      "(the HTTP layer serves multi-suggester bodies)")
     val s = sg.get(names.head)
     if (s.hasNonNull("term") && s.hasNonNull("phrase"))
       bad("a suggester entry takes term OR phrase, not both")
@@ -714,7 +736,8 @@ object EsDsl {
 
   private[graft] def parsePhraseSuggest(sg: JsonNode): PhraseSuggestSpec = {
     val names = keysOf(sg)
-    if (names.size != 1) bad("exactly one named suggester is supported")
+    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
+      "(the HTTP layer serves multi-suggester bodies)")
     val s = sg.get(names.head)
     val unknown = keysOf(s).filterNot(Set("text", "phrase"))
     if (unknown.nonEmpty)

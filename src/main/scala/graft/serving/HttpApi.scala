@@ -1052,12 +1052,20 @@ final class HttpApi(
   private def dslSearchJson(index: String, df: DataFrame,
                             ties: Seq[String], req: JsonNode,
                             allowProbe: Boolean = true): String = {
-    // suggest-only body: the term suggester's flat
-    // (token, suggestion, distance, freq) table
+    // suggest-only body: ONE suggester keeps the flat-table-as-hits
+    // shape (the registered-query contract); SEVERAL named suggesters
+    // each get their own response section, ES's multi-suggester body
     if (req.hasNonNull("suggest") && !req.hasNonNull("query") &&
-        !req.hasNonNull("knn"))
-      return hitsJson(suggestFrame(index, df, req.get("suggest"),
-        allowProbe))
+        !req.hasNonNull("knn")) {
+      val sg = req.get("suggest")
+      val names = EsDsl.suggesterNames(sg)
+      if (names.size == 1)
+        return hitsJson(suggestFrame(index, df, sg, allowProbe))
+      return hitsJson(spark.emptyDataFrame,
+        suggest = names.map(n =>
+          (suggestFrame(index, df, EsDsl.oneSuggester(sg, n),
+            allowProbe), n)))
+    }
     // data_lake_* wildcard bodies of the rankable multi_match
     // shape score with PER-INDEX statistics (ES's wildcard
     // semantics — IDF is index-local) through the entity
@@ -1085,9 +1093,11 @@ final class HttpApi(
     // a `suggest` section NEXT TO the query rides the same
     // response (ES's combined body), keyed by the suggester
     val suggestOut = Option(req.get("suggest"))
-      .filter(!_.isNull).map(sg =>
-        (suggestFrame(index, df, sg, allowProbe),
-          sg.fieldNames().next()))
+      .filter(!_.isNull).toSeq.flatMap { sg =>
+        EsDsl.suggesterNames(sg).map(n =>
+          (suggestFrame(index, df, EsDsl.oneSuggester(sg, n),
+            allowProbe), n))
+      }
     hitsJson(page, aggs = aggs.zip(aggName), suggest = suggestOut)
   }
 
@@ -1595,7 +1605,7 @@ final class HttpApi(
                    nextToken: () => Option[String] = () => None,
                    baseOffset: Int = 0,
                    aggs: Option[(DataFrame, String)] = None,
-                   suggest: Option[(DataFrame, String)] = None): Unit =
+                   suggest: Seq[(DataFrame, String)] = Nil): Unit =
     respond(ex, 200, hitsJson(df, nextToken, baseOffset, aggs, suggest))
 
   /** The hits-response JSON builder behind [[hits]] — shared with
@@ -1604,7 +1614,7 @@ final class HttpApi(
                        nextToken: () => Option[String] = () => None,
                        baseOffset: Int = 0,
                        aggs: Option[(DataFrame, String)] = None,
-                       suggest: Option[(DataFrame, String)] = None)
+                       suggest: Seq[(DataFrame, String)] = Nil)
       : String = {
     val rows = df.limit(maxHits + 1).toJSON.collect()
     val capped = rows.length > maxHits
@@ -1628,13 +1638,14 @@ final class HttpApi(
         }{"buckets": [${buckets.mkString(", ")}]}}"""
     }.getOrElse("")
     // ES returns the suggest section NEXT TO hits in the same
-    // response — the flat (token, suggestion, distance, freq) table
-    // keyed by the body's suggester name
-    val suggestField = suggest.map { case (sdf, name) =>
-      val entries = sdf.limit(maxHits).toJSON.collect()
-      s""", "suggest": {${mapper.writeValueAsString(name)}: [${
-        entries.mkString(", ")}]}"""
-    }.getOrElse("")
+    // response — one flat table per named suggester, keyed by its
+    // body name (several suggesters ride one body, like ES)
+    val suggestField =
+      if (suggest.isEmpty) ""
+      else suggest.map { case (sdf, name) =>
+        val entries = sdf.limit(maxHits).toJSON.collect()
+        s"${mapper.writeValueAsString(name)}: [${entries.mkString(", ")}]"
+      }.mkString(""", "suggest": {""", ", ", "}")
     s"""{"hits": {"total": {"value": ${baseOffset + rows.length}, ${""
       }"relation": "$relation"}, "max_hits": $maxHits, ${""
       }"capped": $capped$tokenField, "hits": [${

@@ -1151,6 +1151,37 @@ class HttpApiSpec extends SparkSpec
       mr.get(1).has("hits"), m.body().take(400))
   }
 
+  test("several named suggesters ride one body: each gets its own " +
+    "response section, suggest-only and alongside a query") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body =
+      """{"index": "documents", "suggest": {
+        | "fix": {"text": "windoq", "term": {"field": "text"}},
+        | "rephrase": {"text": "windoq bath",
+        |   "phrase": {"field": "text"}}}}""".stripMargin
+    val r = post("/search/advanced", body)
+    assert(r.statusCode() == 200, r.body().take(400))
+    val sg = mapper.readTree(r.body()).get("suggest")
+    assert(sg != null && sg.hasNonNull("fix") &&
+      sg.hasNonNull("rephrase"), r.body().take(400))
+    assert(sg.get("fix").toString.contains("window"))
+    assert(sg.get("rephrase").toString.contains("windoq batch"))
+    // alongside a query: hits AND both sections in one response
+    val combined = post("/search/advanced",
+      """{"index": "documents",
+        | "query": {"match": {"text": "window"}}, "size": 2,
+        | "suggest": {
+        |  "fix": {"text": "windoq", "term": {"field": "text"}},
+        |  "rephrase": {"text": "windoq bath",
+        |    "phrase": {"field": "text"}}}}""".stripMargin)
+    assert(combined.statusCode() == 200, combined.body().take(400))
+    val ct = mapper.readTree(combined.body())
+    assert(ct.get("hits").get("hits").size > 0)
+    assert(ct.get("suggest").hasNonNull("fix") &&
+      ct.get("suggest").hasNonNull("rephrase"),
+      combined.body().take(400))
+  }
+
   test("stored-script envelopes fail loud on unknown keys at both " +
     "levels") {
     val env = put("/search/scripts/strict1",
