@@ -762,6 +762,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // collapse + inner_hits: each kept hit carries its group's top-2
+    // docs under the effective sort (winner included), as an array of
+    // source-column structs — jsonified for the oracle hash.
+    "q7_esdsl_collapse_inner" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "collapse": {"field": "lang",
+          |   "inner_hits": {"name": "top_docs", "size": 2}},
+          | "sort": [{"n_chars": {"order": "desc"}}],
+          | "size": 10}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+        .withColumn("inner_hits_top_docs",
+          to_json(col("inner_hits_top_docs")))
+    }),
+
     // ES search_after deep pagination (round 9): resume STRICTLY
     // AFTER the last hit's sort values (explicit key + id tiebreak) —
     // the cursor contract that stays O(page) at any depth, where
@@ -3777,6 +3792,24 @@ object ParityQueries {
        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) " +
        "SELECT doc_id, text, lang, source, n_chars, _score FROM r " +
        "WHERE rn = 1 ORDER BY n_chars DESC, doc_id LIMIT 10"),
+
+    // collapse inner_hits: the group's top-2 rows in effective-sort
+    // order as a jsonified struct list (struct fields in table order,
+    // mirroring Spark's struct(df.columns))
+    "q7_esdsl_collapse_inner" ->
+      ("WITH r AS (SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST(1.0 AS DOUBLE) AS _score, " +
+       "row_number() OVER (PARTITION BY lang " +
+       "ORDER BY n_chars DESC, doc_id) AS rn FROM documents), " +
+       "g AS (SELECT lang AS chk, CAST(to_json(list(struct_pack(" +
+         "doc_id := doc_id, text := text, lang := lang, " +
+         "source := source, n_chars := n_chars) ORDER BY rn)) " +
+         "AS VARCHAR) AS inner_hits_top_docs " +
+         "FROM r WHERE rn <= 2 GROUP BY 1) " +
+       "SELECT r.doc_id, r.text, r.lang, r.source, r.n_chars, " +
+       "r._score, g.inner_hits_top_docs FROM r " +
+       "JOIN g ON r.lang IS NOT DISTINCT FROM g.chk WHERE rn = 1 " +
+       "ORDER BY r.n_chars DESC, r.doc_id LIMIT 10"),
 
     // search_after: strictly-after (n_chars desc, doc_id asc) resume
     "q7_esdsl_search_after" ->

@@ -1615,16 +1615,57 @@ object EsDsl {
     // keeps only each field value's BEST hit under the effective sort
     // (nulls collapse into one group — documented). One per-group
     // window limit, no extra scan.
-    val collapsed = Option(body.get("collapse")) match {
-      case None => scored
+    val (collapsed, collapseIhCols) =
+      Option(body.get("collapse")) match {
+      case None => (scored, Seq.empty[String])
       case Some(cn) =>
+        val unknownC = keysOf(cn).filterNot(Set("field", "inner_hits"))
+        if (unknownC.nonEmpty)
+          bad(s"unsupported collapse key" +
+            s"${if (unknownC.size == 1) "" else "s"}: " +
+            unknownC.mkString(", "))
         val f = Option(cn.get("field")).map(_.asText)
           .getOrElse(bad("collapse needs \"field\""))
         if (!df.columns.contains(f)) bad(s"unknown collapse field '$f'")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(f)).orderBy(keyCols: _*)
-        scored.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val ranked = scored.withColumn("__rn", row_number().over(w))
+        val winners = ranked.filter(col("__rn") === 1).drop("__rn")
+        Option(cn.get("inner_hits")).filter(!_.isNull) match {
+          case None => (winners, Seq.empty[String])
+          case Some(ih) =>
+            // ES collapse inner_hits: each collapsed hit carries its
+            // group's top `size` docs (the winner included) under the
+            // EFFECTIVE sort — here an array of source-column structs
+            // in that order (a group top-k window + one group-keyed
+            // join; the group frame is group-cardinality-bounded)
+            if (!ih.isObject) bad("inner_hits must be an object")
+            val unknown = keysOf(ih).filterNot(Set("name", "size"))
+            if (unknown.nonEmpty)
+              bad(s"unsupported inner_hits key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
+            val ihName = Option(ih.get("name")).map(_.asText)
+              .getOrElse(f)
+            val ihSize = Option(ih.get("size")).map { v =>
+              if (!v.isNumber) bad("inner_hits size must be numeric")
+              v.asInt
+            }.getOrElse(3)
+            if (ihSize < 0 || ihSize > 100)
+              bad("inner_hits size must be 0..100")
+            val outCol = s"inner_hits_$ihName"
+            if (ctx.innerHitCols.exists(_._1 == outCol))
+              bad(s"duplicate inner_hits name '$ihName'")
+            val grp = ranked.filter(col("__rn") <= ihSize)
+              .groupBy(col(f).as("__chk"))
+              .agg(sort_array(collect_list(struct(
+                col("__rn").as("r"),
+                struct(df.columns.map(col): _*).as("h")))).as("__l"))
+              .select(col("__chk"),
+                transform(col("__l"), x => x.getField("h")).as(outCol))
+            (winners.join(grp, winners(f) <=> grp("__chk"), "left")
+              .drop("__chk"), Seq(outCol))
+        }
     }
     // "search_after": the last hit's values for EVERY effective sort
     // key (explicit keys + the appended tiebreak) — resumes strictly
@@ -1742,7 +1783,7 @@ object EsDsl {
       (hlCols ++ fieldCols ++ ctx.innerHitCols).foldLeft(d) {
         case (acc, (n, cexpr)) => acc.withColumn(n, cexpr) }
     val hlNames = (hlCols ++ fieldCols ++ ctx.innerHitCols)
-      .map(n => col(n._1))
+      .map(n => col(n._1)) ++ collapseIhCols.map(col)
     // _source validates against the MAPPED columns (df0) — a runtime
     // field is never source, exactly ES; the raw runtime columns are
     // dropped from every hit shape (their fields_<name> copies above

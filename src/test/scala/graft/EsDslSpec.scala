@@ -485,6 +485,29 @@ class EsDslSpec extends SparkSpec {
       "sort": [{"n": {"order": "desc"}}], "size": 10}""")
       .collect().map(_.getLong(0)).toSeq
     assert(cl == Seq(4L, 3L, 2L))
+    // collapse inner_hits: each kept hit carries its group's top-2
+    // docs under the effective sort (winner included); the null
+    // group collapses and carries its own inner list
+    val ihRows = q("""{"query": {"match_all": {}},
+      "collapse": {"field": "source",
+        "inner_hits": {"name": "grp", "size": 2}},
+      "sort": [{"n": {"order": "desc"}}], "size": 10}""")
+      .selectExpr("doc_id",
+        "transform(inner_hits_grp, x -> x.doc_id)")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(ihRows == Map(4L -> Seq(4L, 1L), 3L -> Seq(3L),
+      2L -> Seq(2L)), ihRows)
+    // knob hygiene: unknown collapse/inner_hits keys reject by name
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "collapse": {"field": "source", "max_concurrent_group_searches":
+          4}, "size": 1}""")
+    }
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "collapse": {"field": "source", "inner_hits": {"sort":
+          [{"n": "asc"}]}}, "size": 1}""")
+    }
     // walk ALL docs by (n desc, doc_id) in pages of 2 via search_after
     val p1 = q("""{"query": {"match_all": {}},
       "sort": [{"n": {"order": "desc"}}], "size": 2}""")
