@@ -1651,16 +1651,22 @@ object EsDsl {
               if (!v.isNumber) bad("inner_hits size must be numeric")
               v.asInt
             }.getOrElse(3)
-            if (ihSize < 0 || ihSize > 100)
-              bad("inner_hits size must be 0..100")
+            // size 0 would leave a NULL list whose key vanishes from
+            // the JSON hit — reject rather than silently drop the
+            // requested section
+            if (ihSize < 1 || ihSize > 100)
+              bad("inner_hits size must be 1..100")
             val outCol = s"inner_hits_$ihName"
             if (ctx.innerHitCols.exists(_._1 == outCol))
               bad(s"duplicate inner_hits name '$ihName'")
+            // inner structs carry the MAPPED columns only (df0) —
+            // runtime fields never reach a hit shape, and a top-level
+            // drop cannot prune fields nested inside array structs
             val grp = ranked.filter(col("__rn") <= ihSize)
               .groupBy(col(f).as("__chk"))
               .agg(sort_array(collect_list(struct(
                 col("__rn").as("r"),
-                struct(df.columns.map(col): _*).as("h")))).as("__l"))
+                struct(df0.columns.map(col): _*).as("h")))).as("__l"))
               .select(col("__chk"),
                 transform(col("__l"), x => x.getField("h")).as(outCol))
             (winners.join(grp, winners(f) <=> grp("__chk"), "left")

@@ -508,6 +508,13 @@ class EsDslSpec extends SparkSpec {
         "collapse": {"field": "source", "inner_hits": {"sort":
           [{"n": "asc"}]}}, "size": 1}""")
     }
+    // size 0 would leave a NULL list whose key vanishes from the
+    // JSON hit — rejected, never silently dropped
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"match_all": {}},
+        "collapse": {"field": "source", "inner_hits": {"size": 0}},
+        "size": 1}""")
+    }
     // walk ALL docs by (n desc, doc_id) in pages of 2 via search_after
     val p1 = q("""{"query": {"match_all": {}},
       "sort": [{"n": {"order": "desc"}}], "size": 2}""")
