@@ -9,9 +9,10 @@ import graft.sources.Tables
 
 /** Training-data-pipeline queries (dedup, similarity search, text
   * analysis, multimodal) over the `documents` and `embeddings` tables —
-  * the beyond-reference layer. Oracle SQL validated against DuckDB 1.0;
-  * entries without an oracle (simhash, LSH ANN: their hash functions
-  * don't exist in DuckDB) get the driver's rows-only check.
+  * the beyond-reference layer. EVERY entry has a full DuckDB-1.0 oracle
+  * in [[oracleSql]] (simhash/LSH hash arithmetic is replayed in SQL;
+  * BPE's fixed merge rounds unroll into a static CTE chain) — there is
+  * no rows-only tier left.
   */
 object PipelineQueries {
 

@@ -149,6 +149,28 @@ object EsDsl {
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** A clause referenced a field the frame does not carry. Separate
+    * type so [[percolatePreds]] can map EXACTLY the missing-field case
+    * to ES's percolator never-matches semantics while every other
+    * caller error (unsupported construct, malformed body) still 400s,
+    * and while search-route callers keep the 400 they had. */
+  private[serving] final class MissingFieldException(val field: String)
+      extends IllegalArgumentException(s"unknown field '$field'")
+
+  private def missingField(name: String): Nothing =
+    throw new MissingFieldException(name)
+
+  /** True when a driver-side analysis probe failed because a column
+    * could not be resolved (the document shape lacks the field) — the
+    * ONLY AnalysisException [[percolatePreds]] may map to never-match;
+    * a type error in a stored query must stay loud. */
+  private def isUnresolvedColumn(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c.startsWith("UNRESOLVED_COLUMN") ||
+        c.startsWith("UNRESOLVED_FIELD") ||
+        c.startsWith("FIELD_NOT_FOUND"))
+
   /** An object node's key list (Jackson's iterator, materialized). */
   private def keysOf(n: JsonNode): Seq[String] = {
     val it = n.fieldNames()
@@ -1282,23 +1304,34 @@ object EsDsl {
       : (DataFrame, Seq[Option[Column]]) = {
     val idName = df.columns.head
     val marked = df.withColumn(IdColMarker, col(idName))
-    val ctx = new Ctx(marked, col(idName))
     val preds = queries.map { q =>
-      val pred = coalesce(
-        ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
-        lit(false))
-      // percolation answers "which stored queries match" — there are
-      // no document hits for inner_hits to ride; reject by name
-      if (ctx.innerHitCols.nonEmpty)
-        bad("inner_hits is not supported in percolator queries")
-      // resolution probe: driver-side analysis only, zero execution —
-      // an unresolvable column (a field this document shape lacks)
-      // means "never matches", exactly ES's percolator behavior
+      // fresh Ctx per stored query: a query mapped to never-matches
+      // below must not leak compile state (inner-hit registrations)
+      // into its successors' checks
+      val ctx = new Ctx(marked, col(idName))
+      // missing-field → never-matches applies to the WHOLE compile:
+      // eagerly-validated clauses (combined_fields, query_string
+      // field lists) raise MissingFieldException, lazily-resolved
+      // ones surface at the analysis probe — both are the same ES
+      // percolator case. Everything else stays loud: unsupported
+      // constructs 400 by name, and a TYPE error in a stored query
+      // (range over a struct, say) rethrows — silently dropping it
+      // in tagAll would untag documents at scale.
       try {
+        val pred = coalesce(
+          ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
+          lit(false))
+        // percolation answers "which stored queries match" — there
+        // are no document hits for inner_hits to ride; reject by name
+        if (ctx.innerHitCols.nonEmpty)
+          bad("inner_hits is not supported in percolator queries")
+        // resolution probe: driver-side analysis only, zero execution
         marked.select(pred).queryExecution.analyzed
         Some(pred)
       } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
+        case _: MissingFieldException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if isUnresolvedColumn(e) => None
       }
     }
     (marked, preds)
@@ -3691,7 +3724,7 @@ object EsDsl {
       cfFields.foreach { f =>
         if (f.contains("^"))
           bad("per-field boosts are not supported in combined_fields")
-        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+        if (!ctx.columns.contains(f)) missingField(f)
       }
       val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
       if (operator != "and" && operator != "or")
@@ -4486,7 +4519,7 @@ object EsDsl {
     import QueryString._
     def fieldsFor(f: Option[String]): Seq[(String, Double)] = f match {
       case Some(name) =>
-        if (!ctx.columns.contains(name)) bad(s"unknown field '$name'")
+        if (!ctx.columns.contains(name)) missingField(name)
         Seq(name -> 1.0)
       case None => defaults
     }
@@ -4525,7 +4558,7 @@ object EsDsl {
           size(filter(tokensOf(fn), x => levenshtein(x, lit(t)) <= e)))
         Clause(cnt > 0, cnt.cast("double"))
       case Range(f, lo, hi, il, ih) =>
-        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+        if (!ctx.columns.contains(f)) missingField(f)
         def boundLit(s: String): Column =
           scala.util.Try(lit(s.toLong))
             .orElse(scala.util.Try(lit(s.toDouble)))
@@ -4537,7 +4570,7 @@ object EsDsl {
                       else col(f) < boundLit(v)).toSeq
         Clause(preds.reduce(_ && _), lit(1.0))
       case Exists(f) =>
-        if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+        if (!ctx.columns.contains(f)) missingField(f)
         Clause(col(f).isNotNull, lit(1.0))
       case Boost(x, b) =>
         val c = go(x)
@@ -6014,6 +6047,26 @@ object EsDsl {
                       "(second/minute/hour/day/week, or the " +
                       "parent's own calendar unit)")
                 }
+                // ES rejects a rate unit LARGER than the histogram
+                // interval (a per-week rate of daily buckets would be
+                // a ×7 extrapolation ES never produces) — compare
+                // against the parent's interval millis; month-and-up
+                // calendar parents use their minimum length, which is
+                // already above every fixed unit here
+                val parentMs: Long = fixed match {
+                  case Some(ivSpec) => fixedIntervalMs(ivSpec)
+                  case None => calUnit.get match {
+                    case "minute" => 60000L
+                    case "hour"   => 3600000L
+                    case "day"    => 86400000L
+                    case "week"   => 604800000L
+                    case _        => 28L * 86400000L // month and up
+                  }
+                }
+                if (uMs > parentMs)
+                  bad(s"rate unit '$us' is larger than the " +
+                    "date_histogram interval — ES rejects rate units " +
+                    "above the bucket interval")
                 if (uMs < 0) base
                 else base * lit(uMs.toDouble) /
                   bucketLenMs(col("key")).cast("double")

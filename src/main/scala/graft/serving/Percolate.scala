@@ -62,17 +62,72 @@ object Percolate {
       bad(s"$n stored queries exceed the percolator bound $MaxQueries" +
         " — shard the query set")
 
+  /** JSON node kind for the cross-document type-conflict check —
+    * `number` covers int/long/double together (schema inference widens
+    * them numerically, which preserves comparison semantics); `null`
+    * is compatible with everything. */
+  private def kindOf(n: JsonNode): String =
+    if (n == null || n.isNull) "null"
+    else if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isBoolean) "boolean"
+    else if (n.isNumber) "number"
+    else "string"
+
+  /** Structural validation of ONE request document (object shape,
+    * reserved slot field) — also run by [[matches]] before its
+    * empty-query early return so a malformed request 400s whether or
+    * not any percolator is stored. */
+  private def checkDocument(d: JsonNode, slot: Int): Unit = {
+    if (d == null || !d.isObject)
+      bad(s"percolate document at slot $slot must be a JSON object")
+    if (d.has(SlotCol)) bad(s"document field $SlotCol is reserved")
+  }
+
+  /** Reject cross-document TYPE conflicts by name: schema inference
+    * merges all documents into one frame, and a field numeric in one
+    * document but string in another would widen to string — flipping
+    * range/term comparisons to lexicographic for every document. ES
+    * percolates each document in its own typed in-memory index, so
+    * the merged frame is only faithful when kinds agree. Recurses
+    * through nested objects; fail-loud beats silently-wrong. */
+  private def checkTypeConflicts(documents: Seq[JsonNode]): Unit = {
+    val seen = scala.collection.mutable.Map[String, (String, Int)]()
+    def walk(path: String, n: JsonNode, slot: Int): Unit = {
+      val k = kindOf(n)
+      if (k != "null") {
+        seen.get(path) match {
+          case Some((k0, s0)) if k0 != k =>
+            bad(s"percolate documents disagree on the type of field " +
+              s"'$path' ($k0 at slot $s0 vs $k at slot $slot) — send " +
+              "type-conflicting documents in separate requests")
+          case _ => seen(path) = (k, slot)
+        }
+        if (k == "object") {
+          val it = n.fieldNames()
+          while (it.hasNext) {
+            val name = it.next()
+            val child = if (path.isEmpty) name else s"$path.$name"
+            walk(child, n.get(name), slot)
+          }
+        }
+      }
+    }
+    documents.zipWithIndex.foreach { case (d, i) => walk("", d, i) }
+  }
+
   /** One in-memory frame for the request's documents, slot-stamped
     * (slot = position in `documents`, ES's `_percolator_document_slot`
     * identity). Schema is inferred over ALL documents together, so a
-    * field present in any document resolves for every predicate. */
+    * field present in any document resolves for every predicate;
+    * cross-document type conflicts reject by name (see
+    * [[checkTypeConflicts]]). */
   private def documentFrame(spark: SparkSession,
                             documents: Seq[JsonNode]): DataFrame = {
     if (documents.isEmpty) bad("percolate needs at least one document")
+    documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
+    checkTypeConflicts(documents)
     val slotted = documents.zipWithIndex.map { case (d, i) =>
-      if (d == null || !d.isObject)
-        bad(s"percolate document at slot $i must be a JSON object")
-      if (d.has(SlotCol)) bad(s"document field $SlotCol is reserved")
       val c = d.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
       c.put(SlotCol, i)
       c.toString
@@ -89,6 +144,12 @@ object Percolate {
   def matches(spark: SparkSession, queries: Seq[(String, JsonNode)],
               documents: Seq[JsonNode]): Seq[(String, Seq[Long])] = {
     checkCount(queries.size)
+    // validate the request documents BEFORE the empty-query early
+    // return: a malformed document must 400 whether the store holds
+    // zero queries or a thousand — same contract either way
+    if (documents.isEmpty) bad("percolate needs at least one document")
+    documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
+    checkTypeConflicts(documents)
     if (queries.isEmpty) return Nil
     val docs = documentFrame(spark, documents)
     val (marked, preds) = EsDsl.percolatePreds(docs, queries.map(_._2))

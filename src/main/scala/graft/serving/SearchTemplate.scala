@@ -89,6 +89,12 @@ object SearchTemplate {
             }
           case '&' | '>' | '=' | '!' =>
             bad(s"unsupported mustache construct '{{${tag.charAt(0)}...'")
+          case '{' =>
+            // triple mustache {{{var}}} (unescaped interpolation):
+            // reject by name like '&' — parsing it as a var named
+            // "{var" would render empty and leave a stray '}' behind
+            bad("unsupported mustache construct '{{{...}}}' " +
+              "(unescaped triple mustache)")
           case _ =>
             out += Var(tag)
             i = close + 2

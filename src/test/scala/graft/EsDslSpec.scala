@@ -212,6 +212,23 @@ class EsDslSpec extends SparkSpec {
           |  "aggs": {"r": {"rate": {"unit": "month"}}}}},
           | "size": 0}""".stripMargin))
     }
+    // a unit LARGER than the bucket interval rejects by name (ES
+    // does): a per-week rate of daily buckets would extrapolate ×7
+    val tooBig = intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+          |  {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"r": {"rate": {"unit": "week"}}}}},
+          | "size": 0}""".stripMargin))
+    }
+    assert(tooBig.getMessage.contains("larger than"))
+    intercept[IllegalArgumentException] {
+      EsDsl.search(evs, mapper.readTree(
+        """{"query": {"match_all": {}}, "aggs": {"m": {"date_histogram":
+          |  {"field": "ts", "fixed_interval": "1h"},
+          |  "aggs": {"r": {"rate": {"unit": "day"}}}}},
+          | "size": 0}""".stripMargin))
+    }
     // an explicit mode with no field has nothing to count — ES
     // rejects; a silent doc_count fallback would answer a different
     // question

@@ -108,4 +108,63 @@ class PercolateSpec extends SparkSpec {
       Percolate.matches(spark, stored, Seq(q("[1]")))
     }
   }
+
+  test("document validation runs BEFORE the empty-query early return: " +
+    "a malformed document 400s identically with zero stored queries") {
+    intercept[IllegalArgumentException] {
+      Percolate.matches(spark, Nil, Seq(q("[1]")))
+    }
+    intercept[IllegalArgumentException] {
+      Percolate.matches(spark, Nil,
+        Seq(q("""{"__percolator_slot__": 1}""")))
+    }
+    intercept[IllegalArgumentException] { Percolate.matches(spark, Nil, Nil) }
+    // well-formed documents against an empty store: still no hits
+    assert(Percolate.matches(spark, Nil,
+      Seq(q("""{"text": "x"}"""))) == Nil)
+  }
+
+  test("cross-document TYPE conflicts reject by name (merged schema " +
+    "inference would flip comparisons to lexicographic)") {
+    val e = intercept[IllegalArgumentException] {
+      Percolate.matches(spark, stored, Seq(
+        q("""{"n_chars": 250, "text": "a"}"""),
+        q("""{"n_chars": "many", "text": "b"}""")))
+    }
+    assert(e.getMessage.contains("n_chars") &&
+      e.getMessage.contains("number") && e.getMessage.contains("string"))
+    // nested objects recurse; null is compatible with anything;
+    // int vs double is NOT a conflict (numeric widening is faithful)
+    intercept[IllegalArgumentException] {
+      Percolate.matches(spark, stored, Seq(
+        q("""{"meta": {"depth": 1}}"""),
+        q("""{"meta": {"depth": [2]}}""")))
+    }
+    assert(Percolate.matches(spark,
+      Seq("pq" -> q("""{"range": {"n_chars": {"gte": 2}}}""")),
+      Seq(q("""{"n_chars": 1}"""), q("""{"n_chars": null}"""),
+        q("""{"n_chars": 2.5}"""))) == Seq("pq" -> Seq(2L)))
+  }
+
+  test("a stored query with a TYPE error stays loud instead of " +
+    "silently never-matching (only missing fields map to no-match)") {
+    // range over a field the documents carry as an OBJECT: the
+    // analysis probe fails with a non-resolution error -> rethrown
+    intercept[Exception] {
+      Percolate.matches(spark,
+        Seq("bad" -> q("""{"range": {"meta": {"gte": 1}}}""")),
+        Seq(q("""{"meta": {"a": 1}}""")))
+    }
+    // eagerly-validated clause kinds route through the SAME
+    // never-match path as lazily-resolved ones: combined_fields and
+    // query_string on a missing field no-match instead of 400ing
+    assert(Percolate.matches(spark,
+      Seq("cf" -> q(
+        """{"combined_fields": {"query": "x", "fields": ["ghost"]}}""")),
+      Seq(q("""{"text": "x"}"""))) == Nil)
+    assert(Percolate.matches(spark,
+      Seq("qs" -> q(
+        """{"query_string": {"query": "ghost:[1 TO 2]"}}""")),
+      Seq(q("""{"text": "x"}"""))) == Nil)
+  }
 }

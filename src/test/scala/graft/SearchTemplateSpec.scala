@@ -96,7 +96,7 @@ class SearchTemplateSpec extends AnyFunSuite {
   test("fail-loud parsing: unclosed tags/sections, mismatched close, " +
     "unsupported constructs; validate() compiles without params") {
     for (t <- Seq("{{q", "{{#s}}x", "{{#a}}{{/b}}", "{{/x}}", "{{}}",
-        "{{&raw}}", "{{>partial}}", "{{=<% %>=}}"))
+        "{{&raw}}", "{{>partial}}", "{{=<% %>=}}", "{{{raw}}}"))
       intercept[IllegalArgumentException] {
         SearchTemplate.renderText(t, p("{}"))
       }
