@@ -56,4 +56,11 @@ object ArrayExpressions {
     * [[org.apache.spark.sql.graft.QuantizeRoundTrip]]. */
   def quantizeRoundTrip(vec: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.quantizeRoundTrip(vec)
+
+  /** Codegen'd full Damerau–Levenshtein distance (adjacent-character
+    * transpositions as primitive edits) — ES `fuzziness` under its
+    * default `transpositions: true`; pinned to DuckDB's
+    * `damerau_levenshtein` for oracle replay. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.damerauLevenshtein(a, b)
 }

@@ -17,11 +17,63 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization, empty tokens dropped (split on ^\s or a
-    * leading separator produces ""). */
+    * leading separator produces "") — the PIPELINE layer's tokenizer
+    * (shingles, token budgeting, dedup units), where whitespace words
+    * are the deliberate unit. The SEARCH surfaces analyze with
+    * [[analyzerTokens]] instead. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** ES `standard`-analyzer tokenization (the analyzer every `text`
+    * mapping in the reference's ES stack uses — src/ticket_sync.py:36-42
+    * maps `text` fields, ES 8.11 analyzes them standard): lowercase +
+    * UAX#29-style word segmentation. Tokens are runs of Unicode
+    * letters/digits/underscore, optionally joined by word-INTERNAL
+    * apostrophes or dots (UAX#29 MidNumLet/Single_Quote: `don't`,
+    * `u.s.a`, `3.14` stay whole; punctuation between words splits:
+    * `hello, world!` → `hello`, `world`). Lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB oracle) tokenize identically — verified
+    * over punctuation/apostrophe/number/Unicode samples. Documented
+    * deviations from full UAX#29: `,` never joins digits (`1,000` →
+    * two tokens) and no script-specific rules (Katakana, Hebrew
+    * gershayim). */
+  val AnalyzerPattern = "[\\p{L}\\p{N}_]+(?:['.][\\p{L}\\p{N}_]+)*"
+
+  /** [[AnalyzerPattern]] spelled for embedding in a single-quoted
+    * DuckDB SQL string literal (the apostrophe doubled). */
+  val AnalyzerPatternSql: String = AnalyzerPattern.replace("'", "''")
+
+  /** The DuckDB replay of [[analyzerTokens]] over a SQL expression —
+    * oracle fragments build on this so both engines share ONE token
+    * grammar. */
+  def analyzerTokensSql(expr: String): String =
+    s"regexp_extract_all(lower(coalesce($expr, '')), " +
+      s"'$AnalyzerPatternSql')"
+
+  /** Standard-analyzer tokens of a column: one native
+    * `regexp_extract_all` over the lowercased text — codegen'd, no HOF
+    * filter pass (the pattern can't produce empty tokens). */
+  def analyzerTokens(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit(AnalyzerPattern), lit(0))
+
+  /** Analyzed-token count — BM25's document length under the standard
+    * analyzer. */
+  def analyzerTokenCount(text: Column): Column = size(analyzerTokens(text))
+
+  private lazy val analyzerRegex =
+    java.util.regex.Pattern.compile(AnalyzerPattern)
+
+  /** Driver-side twin of [[analyzerTokens]] — query-string analysis
+    * (ES analyzes the QUERY text with the field's analyzer too). */
+  def analyzeText(s: String): Seq[String] = {
+    val m = analyzerRegex.matcher(s.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
 
   /** BPE-ish subword token count: a GPT-2-style pre-tokenizer regex
     * (letter runs / digit runs / punctuation runs, each with optional

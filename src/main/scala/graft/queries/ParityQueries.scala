@@ -1034,6 +1034,29 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // fuzzy under ES's DEFAULT transpositions=true: 'windwo' is ONE
+    // Damerau edit (adjacent swap) from 'window', so fuzziness 1
+    // matches — plain Levenshtein would need 2. The oracle replays
+    // with DuckDB's damerau_levenshtein (fuzz-pinned identical to the
+    // engine's codegen expression).
+    "q7_esdsl_fuzzy_damerau" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"fuzzy": {"text": {"value": "windwo",
+          |  "fuzziness": "1"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // the explicit transpositions:false path stays plain Levenshtein:
+    // same probe term and budget, so the two result sets bracket the
+    // metric difference and both are oracled.
+    "q7_esdsl_fuzzy_lev" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"fuzzy": {"text": {"value": "windwo",
+          |  "fuzziness": "1", "transpositions": false}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // calendar_interval date_histogram (round 9): calendar WEEK
     // buckets (Monday starts — ES's default, and both engines'
     // date_trunc convention) via date_trunc under the session's pinned
@@ -1162,6 +1185,57 @@ object ParityQueries {
     // Painless arithmetic script over buckets_path params, compiled to
     // one codegen'd Column over the bucket table. Long count / long
     // cardinality = ONE double division, bit-stable cross-engine.
+    // scripted_metric (round 11): the canonical sum-fold — weighted
+    // value-length accumulation with a ternary gate inside the map
+    // expression; folds to ONE aggregate expression (ScriptedMetric),
+    // both top-level and per-bucket under the date_histogram twin.
+    "q7_esdsl_scripted_metric" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"weighted_chars": {"scripted_metric": {
+          |   "init_script": "state.total = 0",
+          |   "map_script": "state.total += doc['n_chars'].value * params.w",
+          |   "combine_script": "return state",
+          |   "reduce_script":
+          |     "double t = 0; for (a in states) { t += a.total } return t",
+          |   "params": {"w": 2}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    "q7_esdsl_scripted_metric_bucketed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"by_lang": {"terms": {"field": "lang", "size": 50},
+          |   "aggs": {"long_docs": {"scripted_metric": {
+          |     "init_script": "state.n = 0",
+          |     "map_script":
+          |       "state.n += doc['n_chars'].value > params.cut ? 1 : 0",
+          |     "combine_script": "return state.n",
+          |     "reduce_script":
+          |       "double t = 0; for (a in states) { t += a } return t",
+          |     "params": {"cut": 500}}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // bucket_script with a ternary + Math call (round 11): the
+    // Painless surface real pipeline scripts use beyond arithmetic.
+    "q7_esdsl_bucket_script_ternary" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"per_day": {"date_histogram":
+          |   {"field": "ts", "fixed_interval": "1d"},
+          |   "aggs": {
+          |     "actives": {"cardinality": {"field": "user_id"}},
+          |     "load": {"bucket_script":
+          |       {"buckets_path": {"c": "_count", "u": "actives"},
+          |        "script":
+          |  "params.u > 0 ? Math.max(params.c / params.u, 1.5) : 0"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "events"), body)
+    }),
+
     "q7_esdsl_bucket_script" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"query": {"match_all": {}},
@@ -2384,8 +2458,9 @@ object ParityQueries {
     }),
 
     // ES match fuzziness=1: a text token matches a query term within
-    // one edit ("windos" still hits "window"). Scan path = per-token
-    // Levenshtein HOF; DuckDB mirrors it with its own levenshtein.
+    // one edit ("windos" still hits "window"; transpositions default
+    // true like ES — Damerau). Scan path = per-token distance HOF;
+    // DuckDB mirrors it with damerau_levenshtein.
     "q2_search_fuzzy" -> ((s, dir) =>
       graft.serving.Search.multiFieldFuzzy(
         t(s, dir, "documents").select("doc_id", "text"),
@@ -2812,11 +2887,10 @@ object ParityQueries {
         s"CAST(0.75 AS DOUBLE) * tf$i.dl / st$i.avgdl))) END), " +
         "CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"dls$i AS (SELECT $idExpr AS doc_id, len(list_filter(" +
-      s"string_split_regex($field, '\\s+'), x -> x <> '')) AS dl, " +
+    s"dls$i AS (SELECT $idExpr AS doc_id, " +
+      s"len(${anToksSql(field)}) AS dl, " +
       s"$field AS f FROM $src), " +
-    s"toks$i AS (SELECT doc_id, dl, unnest(list_filter(" +
-      s"string_split_regex(lower(f), '\\s+'), x -> x <> '')) AS term " +
+    s"toks$i AS (SELECT doc_id, dl, unnest(${anToksSql("f")}) AS term " +
       s"FROM dls$i), " +
     s"q$i AS (SELECT doc_id, dl, term FROM toks$i WHERE term IN ($in)), " +
     s"st$i AS (SELECT count(*) AS n, " +
@@ -2985,12 +3059,18 @@ object ParityQueries {
         "AS INT) + 1, 1)").mkString("(", " || ", ")")
   }
 
+  /** DuckDB replay of the standard-analyzer token grammar
+    * ([[graft.functions.TextFunctions.analyzerTokens]]) — ONE shared
+    * spelling for every search oracle, so the engine's analysis chain
+    * and the oracle's cannot drift. */
+  private def anToksSql(expr: String): String =
+    graft.functions.TextFunctions.analyzerTokensSql(expr)
+
   /** `' ' || tokens-joined-by-DOUBLE-spaces || ' '` — token-exact
     * substring probes (mirrors Search.tokenNorm, incl. the two-space
     * separator that keeps back-to-back matches countable). */
   private def tokenNormSql(field: String): String =
-    s"' ' || array_to_string(list_filter(string_split_regex(" +
-      s"lower(coalesce($field, '')), '\\s+'), x -> x <> ''), '  ') || ' '"
+    s"' ' || array_to_string(${anToksSql(field)}, '  ') || ' '"
 
   /** Non-overlapping occurrence count of `needle` in the SQL expr
     * `hay` (mirrors Search.substrCount). */
@@ -3012,12 +3092,10 @@ object ParityQueries {
         "CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
     "WITH dls AS (" +
-     "  SELECT doc_id, text, len(list_filter(" +
-     "    string_split_regex(text, '\\s+'), x -> x <> '')) AS dl" +
+     "  SELECT doc_id, text, len(" + anToksSql("text") + ") AS dl" +
      "  FROM documents" +
      "), toks AS (" +
-     "  SELECT doc_id, dl, unnest(list_filter(" +
-     "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
+     "  SELECT doc_id, dl, unnest(" + anToksSql("text") + ") AS term" +
      "  FROM dls" +
      "), q AS (SELECT doc_id, dl, term FROM toks " +
      "  WHERE term IN ('window', 'the', 'of')), " +
@@ -3036,19 +3114,18 @@ object ParityQueries {
      "ORDER BY score DESC, doc_id LIMIT 100"
   }
 
-  /** Term-suggester oracle — doc-frequency vocabulary + levenshtein
-    * ranking; shared by the corpus-scan path and the termstats index
-    * probe (the index's df_t IS the doc frequency). */
+  /** Term-suggester oracle — doc-frequency vocabulary + Damerau
+    * distance ranking; shared by the corpus-scan path and the
+    * termstats index probe (the index's df_t IS the doc frequency). */
   private val suggestOracleSql: String =
     "WITH vocab AS (SELECT t AS term, count(*) AS freq FROM (" +
-      "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
-      "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+      "SELECT unnest(list_distinct(" + anToksSql("text") + ")) AS t " +
       "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
     "cand AS (SELECT tok.token, v.term, v.freq, " +
-      "CAST(levenshtein(tok.token, v.term) AS INT) AS distance " +
+      "CAST(damerau_levenshtein(tok.token, v.term) AS INT) AS distance " +
       "FROM vocab v CROSS JOIN (SELECT unnest(" +
       "['windoq', 'bath']) AS token) tok " +
-      "WHERE levenshtein(tok.token, v.term) <= 2), " +
+      "WHERE damerau_levenshtein(tok.token, v.term) <= 2), " +
     "gated AS (SELECT *, max(CASE WHEN distance = 0 THEN 1 ELSE 0 " +
       "END) OVER (PARTITION BY token) AS ex FROM cand), " +
     "ranked AS (SELECT token, term AS suggestion, distance, freq, " +
@@ -3070,8 +3147,7 @@ object ParityQueries {
       val lit = Seq("'windoq'", "'bath'", "'scan'")(j)
       s"CASE WHEN i = $j THEN term ELSE $lit END"
     }
-    "WITH docs AS (SELECT list_filter(string_split_regex(lower(" +
-      "coalesce(text, '')), '\\s+'), x -> x <> '') AS ts " +
+    "WITH docs AS (SELECT " + anToksSql("text") + " AS ts " +
       "FROM documents WHERE text IS NOT NULL), " +
     "uni AS (SELECT t AS term, count(*) AS u FROM (" +
       "SELECT unnest(ts) AS t FROM docs) GROUP BY 1), " +
@@ -3083,9 +3159,9 @@ object ParityQueries {
     "pos AS (SELECT * FROM (VALUES (0, 'windoq'), (1, 'bath'), " +
       "(2, 'scan')) AS p(i, tok)), " +
     "cand0 AS (SELECT p.i, u.term, u.u, " +
-      "CAST(levenshtein(p.tok, u.term) AS INT) AS d " +
+      "CAST(damerau_levenshtein(p.tok, u.term) AS INT) AS d " +
       "FROM uni u CROSS JOIN pos p " +
-      "WHERE levenshtein(p.tok, u.term) <= 2), " +
+      "WHERE damerau_levenshtein(p.tok, u.term) <= 2), " +
     // the identity row (d = 0, an in-vocabulary token) rides the
     // window rank — it occupies a candidate slot in the engine's one
     // collected pass — and is excluded from the suggestions after
@@ -3148,9 +3224,8 @@ object ParityQueries {
       parents = Map("orders" -> ((t(s, dir, "orders"), "l_orderkey"))))
 
   private val spanPosCte: String =
-    "WITH stoks AS (SELECT doc_id, list_filter(" +
-      "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
-      "x -> x <> '') AS ts FROM documents), " +
+    "WITH stoks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
     "spos AS (SELECT doc_id, unnest(ts) AS tok, " +
       "generate_subscripts(ts, 1) AS pos FROM stoks), "
 
@@ -3165,9 +3240,8 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
 
   private def slopOracleCte(t1: String, t2: String, slop: Int): String =
-    "WITH toks AS (SELECT doc_id, text, list_filter(" +
-      "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
-      "x -> x <> '') AS ts FROM documents), " +
+    "WITH toks AS (SELECT doc_id, text, " + anToksSql("text") +
+      " AS ts FROM documents), " +
     "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
       "generate_subscripts(ts, 1) AS pos FROM toks), " +
     "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
@@ -3196,16 +3270,16 @@ object ParityQueries {
   }
 
   /** Fuzzy-match oracle: per-token Levenshtein within 1 edit of each
-    * query term, counts summed in query order — DuckDB's levenshtein
-    * mirrors Spark's (plain edit distance, no transposition discount). */
+    * query term, counts summed in query order — transpositions
+    * default TRUE like ES; DuckDB's damerau_levenshtein mirrors the
+    * engine's codegen Damerau expression (fuzz-tested identical). */
   private val fuzzyOracleSql: String =
-    ("WITH ts AS (SELECT doc_id, text, list_filter(" +
-     "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
-     "x -> x <> '') AS ts FROM documents), " +
+    ("WITH ts AS (SELECT doc_id, text, " + anToksSql("text") +
+     " AS ts FROM documents), " +
      "c AS (SELECT doc_id, text, " +
-     "CAST(len(list_filter(ts, x -> levenshtein(x, 'window') <= 1)) " +
+     "CAST(len(list_filter(ts, x -> damerau_levenshtein(x, 'window') <= 1)) " +
      "AS INT) AS c0, " +
-     "CAST(len(list_filter(ts, x -> levenshtein(x, 'batch') <= 1)) " +
+     "CAST(len(list_filter(ts, x -> damerau_levenshtein(x, 'batch') <= 1)) " +
      "AS INT) AS c1 FROM ts) " +
      "SELECT doc_id, text, (c0 + c1) AS score FROM c " +
      "WHERE (c0 + c1) > 0 ORDER BY score DESC, doc_id LIMIT 100")
@@ -3215,16 +3289,15 @@ object ParityQueries {
     * budget, ORDER BY distance/token LIMIT n — the deterministic cap
     * both engine paths implement), then tokens count by membership. */
   private val fuzzyKnobsOracleSql: String =
-    ("WITH ts AS (SELECT doc_id, text, list_filter(" +
-     "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
-     "x -> x <> '') AS ts FROM documents), " +
+    ("WITH ts AS (SELECT doc_id, text, " + anToksSql("text") +
+     " AS ts FROM documents), " +
      "vocab AS (SELECT DISTINCT unnest(ts) AS tok FROM ts), " +
      "e0 AS (SELECT tok FROM vocab WHERE substr(tok, 1, 1) = 'p' " +
-       "AND levenshtein(tok, 'pat') <= 2 " +
-       "ORDER BY levenshtein(tok, 'pat'), tok LIMIT 2), " +
+       "AND damerau_levenshtein(tok, 'pat') <= 2 " +
+       "ORDER BY damerau_levenshtein(tok, 'pat'), tok LIMIT 2), " +
      "e1 AS (SELECT tok FROM vocab WHERE substr(tok, 1, 1) = 's' " +
-       "AND levenshtein(tok, 'sot') <= 2 " +
-       "ORDER BY levenshtein(tok, 'sot'), tok LIMIT 2), " +
+       "AND damerau_levenshtein(tok, 'sot') <= 2 " +
+       "ORDER BY damerau_levenshtein(tok, 'sot'), tok LIMIT 2), " +
      "pos AS (SELECT doc_id, unnest(ts) AS tok FROM ts), " +
      "c0 AS (SELECT doc_id, count(*) AS c FROM pos " +
        "JOIN e0 USING (tok) GROUP BY doc_id), " +
@@ -3267,8 +3340,7 @@ object ParityQueries {
   private def phraseBm25Body(terms: Seq[String], fromSql: String,
                              pfExpr: String): String = {
     val dt = terms.distinct
-    val dlExpr = "len(list_filter(string_split_regex(text, '\\s+'), " +
-      "x -> x <> ''))"
+    val dlExpr = "len(" + anToksSql("text") + ")"
     val dfCols = dt.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN ${substrCountSql(s"(${tokenNormSql("text")})",
         s" $t ")} > 0 THEN 1 ELSE 0 END) AS d$i" }.mkString(", ")
@@ -3656,8 +3728,7 @@ object ParityQueries {
         s"coalesce(sum(CASE WHEN term = '$t' THEN tf.tf * idf.idf END), 0.0)")
         .mkString(" + ")
       "WITH toks AS (" +
-       "  SELECT doc_id, unnest(list_filter(" +
-       "    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term" +
+       "  SELECT doc_id, unnest(" + anToksSql("text") + ") AS term" +
        "  FROM documents" +
        "), q AS (SELECT doc_id, term FROM toks " +
        "  WHERE term IN ('window', 'the', 'of')), " +
@@ -3777,7 +3848,8 @@ object ParityQueries {
       " SELECT doc_id, ph_score AS _score, " +
         "array_to_string(list_transform(list_filter(" +
         "string_split_regex(coalesce(text, ''), '\\s+'), " +
-        "x -> x <> ''), x -> CASE WHEN lower(x) IN ('the', 'window') " +
+        "x -> x <> ''), x -> CASE WHEN len(list_filter(" +
+        anToksSql("x") + ", t -> t IN ('the', 'window'))) > 0 " +
         "THEN '<em>' || x || '</em>' ELSE x END), ' ') " +
         "AS highlight_text " +
       "FROM pb WHERE pf > 0 " +
@@ -3944,9 +4016,8 @@ object ParityQueries {
     // match_phrase_prefix "the s": 'the' then any token LIKE 's%'
     // immediately after; score = count of start positions
     "q7_esdsl_phrase_prefix" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(" +
-        "string_split_regex(lower(coalesce(text, '')), '\\s+'), " +
-        "x -> x <> '') AS ts FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+        " AS ts FROM documents), " +
       "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
         "generate_subscripts(ts, 1) AS pos FROM toks), " +
       "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
@@ -3958,17 +4029,38 @@ object ParityQueries {
       "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
       "ORDER BY _score DESC, d.doc_id LIMIT 100"),
 
-    // term-level fuzzy 'windoq' (AUTO → 2 edits): per-token
-    // Levenshtein count, double-scored
-    "q7_esdsl_fuzzy" ->
+    // fuzzy 'windwo' fuzziness 1 under the Damerau default (an
+    // adjacent swap is one edit) vs the explicit Levenshtein path
+    "q7_esdsl_fuzzy_damerau" ->
       ("WITH ts AS (SELECT doc_id, text, lang, source, n_chars, " +
-        "list_filter(string_split_regex(lower(coalesce(text, '')), " +
-        "'\\s+'), x -> x <> '') AS ts FROM documents) " +
+        anToksSql("text") + " AS ts FROM documents) " +
       "SELECT doc_id, text, lang, source, n_chars, " +
         "CAST(len(list_filter(ts, x -> " +
-        "levenshtein(x, 'windoq') <= 2)) AS DOUBLE) AS _score " +
+        "damerau_levenshtein(x, 'windwo') <= 1)) AS DOUBLE) AS _score " +
       "FROM ts WHERE len(list_filter(ts, x -> " +
-        "levenshtein(x, 'windoq') <= 2)) > 0 " +
+        "damerau_levenshtein(x, 'windwo') <= 1)) > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
+
+    "q7_esdsl_fuzzy_lev" ->
+      ("WITH ts AS (SELECT doc_id, text, lang, source, n_chars, " +
+        anToksSql("text") + " AS ts FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(len(list_filter(ts, x -> " +
+        "levenshtein(x, 'windwo') <= 1)) AS DOUBLE) AS _score " +
+      "FROM ts WHERE len(list_filter(ts, x -> " +
+        "levenshtein(x, 'windwo') <= 1)) > 0 " +
+      "ORDER BY _score DESC, doc_id LIMIT 100"),
+
+    // term-level fuzzy 'windoq' (AUTO → 2 edits): per-token
+    // Damerau count (ES default transpositions), double-scored
+    "q7_esdsl_fuzzy" ->
+      ("WITH ts AS (SELECT doc_id, text, lang, source, n_chars, " +
+        anToksSql("text") + " AS ts FROM documents) " +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(len(list_filter(ts, x -> " +
+        "damerau_levenshtein(x, 'windoq') <= 2)) AS DOUBLE) AS _score " +
+      "FROM ts WHERE len(list_filter(ts, x -> " +
+        "damerau_levenshtein(x, 'windoq') <= 2)) > 0 " +
       "ORDER BY _score DESC, doc_id LIMIT 100"),
 
     "q2_search_fuzzy" -> fuzzyOracleSql,
@@ -4008,9 +4100,8 @@ object ParityQueries {
       val wc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
       "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
         s"$wc AS wc, " +
-        "len(list_filter(list_filter(string_split_regex(" +
-          "lower(coalesce(text, '')), '\\s+'), x -> x <> ''), " +
-          "x -> x LIKE 'sc_n')) AS sc, " +
+        "len(list_filter(" + anToksSql("text") +
+          ", x -> x LIKE 'sc_n')) AS sc, " +
         "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END + " +
           "CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS lc " +
       "FROM documents) " +
@@ -4183,12 +4274,10 @@ object ParityQueries {
     "q7_esdsl_significant_text" ->
       ("WITH fgd AS (SELECT * FROM documents WHERE lang = 'zh'), " +
        "fg AS (SELECT t AS key, count(*) AS doc_count FROM (" +
-         "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
-         "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+         "SELECT unnest(list_distinct(" + anToksSql("text") + ")) AS t " +
          "FROM fgd WHERE text IS NOT NULL) GROUP BY 1), " +
        "bg AS (SELECT t AS key, count(*) AS bg_count FROM (" +
-         "SELECT unnest(list_distinct(list_filter(string_split_regex(" +
-         "lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) AS t " +
+         "SELECT unnest(list_distinct(" + anToksSql("text") + ")) AS t " +
          "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
        "ft AS (SELECT count(*) AS fgt FROM fgd), " +
        "bt AS (SELECT count(*) AS bgt FROM documents) " +
@@ -4199,7 +4288,8 @@ object ParityQueries {
        "WHERE score > 0 ORDER BY score DESC, key LIMIT 10"),
 
     // term suggester: DOC-frequency vocabulary (list_distinct per
-    // doc) + levenshtein, ranked per token — shared verbatim by the
+    // doc) + Damerau distance (ES string_distance "internal" counts
+    // transpositions), ranked per token — shared verbatim by the
     // scan path and the termstats index probe
     "q7_esdsl_suggest" -> suggestOracleSql,
     "q7_esdsl_suggest_indexed" -> suggestOracleSql,
@@ -4419,9 +4509,8 @@ object ParityQueries {
       val thec = substrCountSql(s"(${tokenNormSql("text")})", " the ")
       "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
         s"$thec AS tc, " +
-        "len(list_filter(list_filter(string_split_regex(" +
-          "lower(coalesce(text, '')), '\\s+'), x -> x <> ''), " +
-          "x -> x LIKE 'win%')) AS pc " +
+        "len(list_filter(" + anToksSql("text") +
+          ", x -> x LIKE 'win%')) AS pc " +
       "FROM documents) " +
       "SELECT doc_id, text, lang, source, n_chars, " +
         "CAST(tc + pc AS DOUBLE) AS \"_score\" " +
@@ -4577,6 +4666,28 @@ object ParityQueries {
 
     // bucket_script: long count / long cardinality = one IEEE double
     // division in both engines
+    // scripted_metric: seed 0 + sum of the map expression; empty
+    // match sets reduce to 0.0. The bucketed twin rides terms buckets.
+    "q7_esdsl_scripted_metric" ->
+      ("SELECT coalesce(CAST(sum(CAST(n_chars AS DOUBLE) * 2) " +
+       "AS DOUBLE), 0.0) AS weighted_chars FROM documents"),
+
+    "q7_esdsl_scripted_metric_bucketed" ->
+      ("SELECT lang, count(*) AS doc_count, " +
+       "coalesce(CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) " +
+       "AS DOUBLE), 0.0) AS long_docs " +
+       "FROM documents WHERE lang IS NOT NULL " +
+       "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 50"),
+
+    "q7_esdsl_bucket_script_ternary" ->
+      ("SELECT key, doc_count, actives, " +
+       "CASE WHEN actives > 0 THEN greatest(" +
+         "CAST(doc_count AS DOUBLE) / CAST(actives AS DOUBLE), 1.5) " +
+         "ELSE CAST(0 AS DOUBLE) END AS load " +
+       "FROM (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
+         "count(*) AS doc_count, count(DISTINCT user_id) AS actives " +
+         "FROM events WHERE ts IS NOT NULL GROUP BY 1) ORDER BY key"),
+
     "q7_esdsl_bucket_script" ->
       ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS key, " +
        "count(*) AS doc_count, count(DISTINCT user_id) AS actives, " +
@@ -4689,9 +4800,8 @@ object ParityQueries {
     // token stream (a one-token stream — src3 at position 1), slot
     // 1's from text; the in-order window compares them in one space
     "q7_esdsl_span_masked" -> (spanPosCte +
-      "sstoks AS (SELECT doc_id, list_filter(" +
-      "string_split_regex(lower(coalesce(source, '')), '\\s+'), " +
-      "x -> x <> '') AS ss FROM documents), " +
+      "sstoks AS (SELECT doc_id, " + anToksSql("source") +
+      " AS ss FROM documents), " +
       "sspos AS (SELECT doc_id, unnest(ss) AS tok, " +
       "generate_subscripts(ss, 1) AS pos FROM sstoks), " +
       "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   * by the agg's `buckets_path` map, numeric literals, `+ - * / %`,
   * comparisons, `&& ||`, unary `- !`, parentheses — compiled straight
   * to a Catalyst [[Column]] so the script runs inside whole-stage
-  * codegen over the bucket table. Anything outside the grammar
-  * (method calls, strings, ternaries, assignments) rejects BY NAME at
-  * parse time: a silently-misread script must never yield a silently
-  * different bucket value.
+  * codegen over the bucket table. Also in the grammar (round 11):
+  * the ternary `?:` and the `Math.*` members real scripts lean on
+  * (abs/max/min/sqrt/pow/log/log10/exp/floor/ceil — each maps to the
+  * engine-identical DuckDB function, so scripted oracles replay).
+  * Anything outside (other method calls, strings, assignments)
+  * rejects BY NAME at parse time: a silently-misread script must
+  * never yield a silently different bucket value.
   *
-  * Precedence (loosest to tightest): `||`, `&&`, equality `== !=`,
-  * relational `< <= > >=`, additive `+ -`, multiplicative `* / %`,
-  * unary `- !`, primary. Mirrors Java/Painless, so a script means
-  * here exactly what it means in ES.
+  * Precedence (loosest to tightest): ternary `?:`
+  * (right-associative), `||`, `&&`, equality `== !=`, relational
+  * `< <= > >=`, additive `+ -`, multiplicative `* / %`, unary `- !`,
+  * primary. Mirrors Java/Painless, so a script means here exactly
+  * what it means in ES.
   */
 private[serving] object BucketScript {
 
@@ -45,11 +49,23 @@ private[serving] object BucketScript {
     private var pos = 0
 
     def compile(): Column = {
-      val c = orExpr()
+      val c = ternary()
       skipWs()
       if (pos < src.length)
         fail(s"unexpected trailing input '${src.substring(pos)}'")
       c
+    }
+
+    /** `cond ? a : b`, right-associative like Java/Painless; both
+      * arms are full ternaries themselves. */
+    private def ternary(): Column = {
+      val c = orExpr()
+      if (eat("?")) {
+        val t = ternary()
+        if (!eat(":")) fail("expected ':' of ternary")
+        val f = ternary()
+        when(c, t).otherwise(f)
+      } else c
     }
 
     private def fail(msg: String): Nothing =
@@ -143,7 +159,7 @@ private[serving] object BucketScript {
       val ch = src.charAt(pos)
       if (ch == '(') {
         pos += 1
-        val c = orExpr()
+        val c = ternary()
         if (!eat(")")) fail("expected ')'")
         c
       } else if (ch.isDigit || (ch == '.' && pos + 1 < src.length &&
@@ -154,6 +170,8 @@ private[serving] object BucketScript {
         paramRef()
       } else if (src.startsWith("doc[", pos)) {
         docRef()
+      } else if (src.startsWith("Math.", pos)) {
+        mathCall()
       } else if (ch.isLetter || ch == '_') {
         val id = ident()
         vars.getOrElse(id,
@@ -163,6 +181,44 @@ private[serving] object BucketScript {
               s", ${vars.keys.toSeq.sorted.mkString("/")}" else "") +
             " and numeric literals are supported"))
       } else fail(s"unexpected character '$ch'")
+    }
+
+    /** `Math.<member>(args)` — the Painless/Java Math members that
+      * have an engine-identical DuckDB twin. Unary: abs sqrt log
+      * log10 exp floor ceil; binary: max min pow. Other members
+      * reject by name. */
+    private def mathCall(): Column = {
+      pos += "Math.".length
+      val member = ident()
+      skipWs()
+      if (!eat("(")) fail(s"expected '(' after Math.$member")
+      val args = scala.collection.mutable.ArrayBuffer(ternary())
+      while (eat(",")) args += ternary()
+      if (!eat(")")) fail(s"expected ')' closing Math.$member")
+      def one: Column = {
+        if (args.size != 1)
+          fail(s"Math.$member takes exactly one argument")
+        args(0)
+      }
+      def two: (Column, Column) = {
+        if (args.size != 2)
+          fail(s"Math.$member takes exactly two arguments")
+        (args(0), args(1))
+      }
+      member match {
+        case "abs"   => abs(one)
+        case "sqrt"  => sqrt(one)
+        case "log"   => log(one)          // natural log, like Java
+        case "log10" => log10(one)
+        case "exp"   => exp(one)
+        case "floor" => floor(one)
+        case "ceil"  => ceil(one)
+        case "max"   => { val (a, b) = two; greatest(a, b) }
+        case "min"   => { val (a, b) = two; least(a, b) }
+        case "pow"   => { val (a, b) = two; pow(a, b) }
+        case other   => fail(s"unsupported Math member '$other' " +
+          "(abs/sqrt/log/log10/exp/floor/ceil/max/min/pow)")
+      }
     }
 
     private def ident(): String = {

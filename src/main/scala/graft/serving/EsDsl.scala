@@ -390,9 +390,10 @@ object EsDsl {
       * [[Search.fuzzyExpansionSets]] (bounded driver artifact: ≤ n
       * tokens per query term). */
     def expansions(fields: Seq[String], terms: Seq[String],
-                   edits: Seq[Int], prefixLength: Int,
-                   n: Int): Map[String, Seq[String]] =
-      Search.fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n)
+                   edits: Seq[Int], prefixLength: Int, n: Int,
+                   transpositions: Boolean): Map[String, Seq[String]] =
+      Search.fuzzyExpansionSets(df, fields, terms, edits, prefixLength,
+        n, transpositions)
 
     /** Capped prefix expansion ([[Search.prefixExpansionSet]]) for
       * match_phrase_prefix's final slot. */
@@ -449,8 +450,7 @@ object EsDsl {
         return graft.sinks.SearchIndex.docFreqs(
           df.sparkSession, p, fields.head, terms)
       }
-      val toks = fields.map(f => graft.functions.TextFunctions.tokens(
-        lower(coalesce(col(f).cast("string"), lit("")))))
+      val toks = fields.map(f => graft.functions.TextFunctions.analyzerTokens(col(f).cast("string")))
       val all = if (toks.size == 1) array_distinct(toks.head)
         else array_distinct(flatten(array(toks: _*)))
       val freqs = df.select(explode(all).as("__t"))
@@ -494,7 +494,7 @@ object EsDsl {
     /** The analyzed term list every ranked scorer derives —
       * [[Search.rankedAll]]'s exact tokenization. */
     private def analyze(query: String): Seq[String] =
-      query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      graft.functions.TextFunctions.analyzeText(query).distinct.toSeq
 
     // -- phrase-frequency BM25 ------------------------------------------
     // ES scores match_phrase with BM25: idf = the SUM of the phrase
@@ -675,8 +675,7 @@ object EsDsl {
                                               text: String, size: Int,
                                               maxEdits: Int,
                                               modeMissing: Boolean) {
-    def tokens: Seq[String] = text.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    def tokens: Seq[String] = graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
   }
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
@@ -752,8 +751,7 @@ object EsDsl {
                                                     text: String,
                                                     size: Int,
                                                     maxEdits: Int) {
-    def tokens: Seq[String] = text.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    def tokens: Seq[String] = graft.functions.TextFunctions.analyzeText(text).toSeq
   }
 
   private[graft] def parsePhraseSuggest(sg: JsonNode): PhraseSuggestSpec = {
@@ -839,7 +837,8 @@ object EsDsl {
       .select(col("term"), col("u"), explode(posArr).as("p"))
       .select(col("term"), col("u"), col("p.i").as("i"),
         col("p.tok").as("tok"))
-      .withColumn("d", levenshtein(col("tok"), col("term")))
+      .withColumn("d", graft.functions.ArrayExpressions
+        .damerauLevenshtein(col("tok"), col("term")))
       .filter((col("d") <= sp.maxEdits && col("term") =!= col("tok")) ||
         col("d") === 0)
     val perPos = org.apache.spark.sql.expressions.Window
@@ -900,7 +899,8 @@ object EsDsl {
     val cand = vocab
       .select(col("term"), col("freq"),
         explode(array(toks.map(lit): _*)).as("token"))
-      .withColumn("distance", levenshtein(col("token"), col("term")))
+      .withColumn("distance", graft.functions.ArrayExpressions
+        .damerauLevenshtein(col("token"), col("term")))
       .filter(col("distance") <= maxEdits)
     val perToken = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token"))
@@ -1251,7 +1251,7 @@ object EsDsl {
         "(one multi_match without explicit fields)")
     val text = Option(b.get("query")).map(_.asText)
       .getOrElse(bad("multi_match needs \"query\""))
-    if (text.toLowerCase.split("\\s+").forall(_.isEmpty))
+    if (graft.functions.TextFunctions.analyzeText(text).isEmpty)
       bad("empty multi_match query")
     if (b.hasNonNull("fields"))
       bad("explicit fields are not supported on the wildcard target; " +
@@ -1754,10 +1754,16 @@ object EsDsl {
             "family or simple_query_string) to source terms from")
         keysOf(fieldsNode).map { f =>
           if (!df.columns.contains(f)) bad(s"unknown highlight field '$f'")
+          // whitespace CHUNKS of the original text (the surface form
+          // the snippet must preserve); a chunk highlights when any
+          // of its ANALYZED tokens is a query term — so "window,"
+          // highlights for query `window`, like ES's analyzed-offset
+          // highlighting at word granularity
           val toks = filter(split(coalesce(col(f), lit("")), "\\s+"),
             x => x =!= lit(""))
           val marked = transform(toks, x =>
-            when(lower(x).isInCollection(terms),
+            when(exists(graft.functions.TextFunctions.analyzerTokens(x),
+              t => t.isInCollection(terms)),
               concat(lit(pre), x, lit(post))).otherwise(x))
           s"highlight_$f" -> array_join(marked, " ")
         }
@@ -1842,7 +1848,7 @@ object EsDsl {
   private def analyzedTerms(q: JsonNode): Set[String] = {
     val out = scala.collection.mutable.Set[String]()
     def addText(t: String): Unit =
-      t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(out += _)
+      graft.functions.TextFunctions.analyzeText(t).foreach(out += _)
     def walk(n: JsonNode): Unit = unwrap(n) match {
       case ("match" | "match_phrase" | "match_phrase_prefix" |
             "match_bool_prefix", b) =>
@@ -2365,7 +2371,7 @@ object EsDsl {
   private val MetricKinds = Set("avg", "sum", "min", "max",
     "value_count", "cardinality", "stats", "extended_stats",
     "percentiles", "percentile_ranks", "weighted_avg", "top_metrics",
-    "geo_bounds", "geo_centroid")
+    "geo_bounds", "geo_centroid", "scripted_metric")
 
   /** Monotonic suffix for sampler membership-flag columns (nested
     * samplers must not collide on the name). */
@@ -2568,7 +2574,8 @@ object EsDsl {
           } else (spanTermValue("fuzzy", spec), "AUTO")
         val e = Search.fuzzyEdits(v, fz)
           .getOrElse(bad(s"unsupported fuzziness '$fz' (AUTO/0/1/2)"))
-        (f, (x: Column) => levenshtein(x, lit(v)) <= e, Seq.empty)
+        (f, (x: Column) => Search.editDistance(x, v, true) <= e,
+          Seq.empty)
       case (other, _) =>
         bad(s"unsupported span_multi match '$other' " +
           "(prefix/wildcard/regexp/fuzzy)")
@@ -2622,8 +2629,7 @@ object EsDsl {
   /** Occurrences of a leaf matcher's tokens in `f` — the span
     * frequency of a standalone leaf. */
   private def spanLeafCount(f: String, m: Column => Column): Column = {
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(col(f), lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(col(f))
     size(filter(toks, x => m(x))).cast("int")
   }
 
@@ -2908,7 +2914,7 @@ object EsDsl {
       val slop = if (spec.isObject)
         Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
       if (slop < 0) bad("slop must be >= 0")
-      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
       if (terms.isEmpty) bad("empty match_phrase query")
       // matcher: token ADJACENCY on the normalized token string (slop
       // 0 — Search.phrase's semantics) or ordered proximity (gap sum
@@ -2940,7 +2946,7 @@ object EsDsl {
       else "or"
       if (operator != "and" && operator != "or")
         bad(s"unsupported operator '$operator'")
-      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
       if (terms.isEmpty) bad("empty match_bool_prefix query")
       val counts: Seq[Column] =
         terms.init.map(t =>
@@ -2972,7 +2978,7 @@ object EsDsl {
         Option(spec.get("max_expansions")).map(_.asInt) else None
       maxExp.foreach(n => if (n <= 0 || n > Search.MaxExpansionsCeiling)
         bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
-      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
       if (terms.isEmpty) bad("empty match_phrase_prefix query")
       val expansion = maxExp.map(n =>
         ctx.prefixExpansion(Seq(f), terms.last, n))
@@ -2983,15 +2989,9 @@ object EsDsl {
       // term-level fuzzy: ONE unanalyzed term within its edit budget
       // of a field token (multi-word input is the caller confusing it
       // with match+fuzziness — reject, don't guess). Scored by the
-      // fuzzy-occurrence count, the engine's documented fuzzy family.
+      // fuzzy-occurrence count. Metric: Damerau under ES's default
+      // transpositions=true, Levenshtein under explicit false.
       val (f, spec) = unwrap(b)
-      // `transpositions: false` matches this engine's plain
-      // Levenshtein exactly; true (Damerau, ES's default when SET)
-      // is a different metric — reject rather than mis-measure
-      if (spec.isObject &&
-          Option(spec.get("transpositions")).exists(_.asBoolean))
-        bad("fuzzy transpositions=true (Damerau distance) is not " +
-          "supported; this engine measures plain Levenshtein")
       val fzBoost =
         if (spec.isObject)
           clauseBoost("fuzzy", spec, Set("value", "fuzziness",
@@ -3003,7 +3003,7 @@ object EsDsl {
              .getOrElse(bad("fuzzy needs \"value\"")),
            Option(spec.get("fuzziness")).map(_.asText).getOrElse("AUTO"),
            fuzzyKnobs(Some(spec)))
-        else (spec.asText, "AUTO", (0, Option.empty[Int]))
+        else (spec.asText, "AUTO", (0, Option.empty[Int], true))
       if (value.trim.split("\\s+").length != 1)
         bad("fuzzy is term-level (one term); use match with fuzziness " +
           "for analyzed text")
@@ -3092,8 +3092,7 @@ object EsDsl {
         n.asInt
       }.getOrElse(bad("span_first needs \"end\""))
       if (end < 1) bad("span_first end must be >= 1")
-      val toks = graft.functions.TextFunctions.tokens(
-        lower(coalesce(col(f), lit(""))))
+      val toks = graft.functions.TextFunctions.analyzerTokens(col(f))
       val cnt = size(filter(slice(toks, 1, end), x => m(x))).cast("int")
       boosted(Clause(cnt > 0, cnt.cast("double")), boost)
 
@@ -3120,8 +3119,7 @@ object EsDsl {
       val pre = dist.orElse(intWin("pre")).getOrElse(0)
       val post = dist.orElse(intWin("post")).getOrElse(0)
       if (pre < 0 || post < 0) bad("span_not pre/post must be >= 0")
-      val toks = graft.functions.TextFunctions.tokens(
-        lower(coalesce(col(fi), lit(""))))
+      val toks = graft.functions.TextFunctions.analyzerTokens(col(fi))
       def posOf(m: Column => Column): Column =
         filter(transform(toks, (x, i) =>
           when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -3348,8 +3346,7 @@ object EsDsl {
                 unknown.mkString(", "))
             val text = Option(body.get("query")).map(_.asText)
               .getOrElse(bad("intervals match needs \"query\""))
-            val terms = text.toLowerCase.split("\\s+")
-              .filter(_.nonEmpty).toSeq
+            val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
             if (terms.isEmpty) bad("empty intervals match query")
             val maxGaps = gapKnob(body)
             val ordered = orderedKnob(body)
@@ -3406,9 +3403,9 @@ object EsDsl {
               if (u2.nonEmpty)
                 bad("all_of sub-match supports only \"query\": " +
                   u2.mkString(", "))
-              val ts = Option(mb.get("query")).map(_.asText)
-                .getOrElse(bad("intervals match needs \"query\""))
-                .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+              val ts = graft.functions.TextFunctions.analyzeText(
+                Option(mb.get("query")).map(_.asText)
+                  .getOrElse(bad("intervals match needs \"query\"")))
               if (ts.size != 1)
                 bad("all_of sub-intervals must be single tokens " +
                   "(use one ordered match rule for a sequence)")
@@ -3663,7 +3660,7 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match", spec, Set("query", "operator",
           "fuzziness", "prefix_length", "max_expansions",
-          "minimum_should_match"))
+          "transpositions", "minimum_should_match"))
       else 1.0
       val (text, operator, fuzziness) =
         if (spec.isObject)
@@ -3682,7 +3679,8 @@ object EsDsl {
     case ("multi_match", b) =>
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
-        "fuzziness", "prefix_length", "max_expansions"))
+        "fuzziness", "prefix_length", "max_expansions",
+        "transpositions"))
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -3729,7 +3727,7 @@ object EsDsl {
       val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
       if (operator != "and" && operator != "or")
         bad(s"unsupported operator '$operator'")
-      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val terms = graft.functions.TextFunctions.analyzeText(text)
         .distinct.toSeq
       if (terms.isEmpty) bad("empty combined_fields query")
       val combined = concat_ws(" ",
@@ -3787,18 +3785,26 @@ object EsDsl {
         }.reduce(_ + _)
       def compile(n: SimpleQueryString.Node): Clause = n match {
         case SimpleQueryString.Term(t) =>
-          val cnt = overFields(f =>
-            Search.substrCount(Search.tokenNorm(col(f)), s" $t "))
-          Clause(cnt > 0, cnt.cast("double"))
+          // the atom is ANALYZED like ES does (the lexer only split on
+          // syntax): several analyzed tokens OR together, score = the
+          // summed token counts; an atom analyzing to nothing (pure
+          // punctuation) never matches
+          val ts = graft.functions.TextFunctions.analyzeText(t)
+          if (ts.isEmpty) Clause(lit(false), lit(0.0))
+          else {
+            val cnt = ts.map(tok => overFields(f =>
+              Search.substrCount(Search.tokenNorm(col(f)), s" $tok ")))
+              .reduce(_ + _)
+            Clause(cnt > 0, cnt.cast("double"))
+          }
         case SimpleQueryString.Prefix(p) =>
           val cnt = overFields(f =>
             Search.phrasePrefixCount(col(f), Seq(p), 0))
           Clause(cnt > 0, cnt.cast("double"))
         case SimpleQueryString.Fuzzy(t, e) =>
           val cnt = overFields(f => size(filter(
-            graft.functions.TextFunctions.tokens(
-              lower(coalesce(col(f), lit("")))),
-            x => levenshtein(x, lit(t)) <= e)))
+            graft.functions.TextFunctions.analyzerTokens(col(f)),
+            x => Search.editDistance(x, t, true) <= e)))
           Clause(cnt > 0, cnt.cast("double"))
         case SimpleQueryString.Phrase(terms, slop) =>
           val cnt =
@@ -3972,7 +3978,7 @@ object EsDsl {
       val mltMsm = Option(b.get("minimum_should_match")).map(msmSpec)
         .getOrElse("30%")
       val likeTf: Map[String, Int] = likes
-        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .flatMap(graft.functions.TextFunctions.analyzeText(_))
         .groupBy(identity).view.mapValues(_.size).toMap
         .filter(_._2 >= minTf)
       if (likeTf.isEmpty) Clause(lit(false), lit(0.0))
@@ -4529,13 +4535,20 @@ object EsDsl {
         if (boost == 1.0) c else c * boost
       }.reduce(_ + _)
     def tokensOf(fn: String): Column =
-      graft.functions.TextFunctions.tokens(
-        lower(coalesce(col(fn).cast("string"), lit(""))))
+      graft.functions.TextFunctions.analyzerTokens(col(fn).cast("string"))
     def go(n: Node): Clause = n match {
       case Term(f, t) =>
-        val cnt = overFields(f)(fn =>
-          Search.substrCount(Search.tokenNorm(col(fn)), s" $t "))
-        Clause(cnt > 0, cnt.cast("double"))
+        // analyze the atom (the lexer only split on query syntax):
+        // multi-token atoms OR together like ES's analyzed atoms,
+        // pure-punctuation atoms never match
+        val ts = graft.functions.TextFunctions.analyzeText(t)
+        if (ts.isEmpty) Clause(lit(false), lit(0.0))
+        else {
+          val cnt = ts.map(tok => overFields(f)(fn =>
+            Search.substrCount(Search.tokenNorm(col(fn)), s" $tok ")))
+            .reduce(_ + _)
+          Clause(cnt > 0, cnt.cast("double"))
+        }
       case Phrase(f, terms, slop) =>
         val cnt =
           if (slop == 0) overFields(f)(fn => Search.substrCount(
@@ -4554,8 +4567,8 @@ object EsDsl {
           size(filter(tokensOf(fn), x => x.like(like))))
         Clause(cnt > 0, cnt.cast("double"))
       case Fuzzy(f, t, e) =>
-        val cnt = overFields(f)(fn =>
-          size(filter(tokensOf(fn), x => levenshtein(x, lit(t)) <= e)))
+        val cnt = overFields(f)(fn => size(filter(tokensOf(fn),
+          x => Search.editDistance(x, t, true) <= e)))
         Clause(cnt > 0, cnt.cast("double"))
       case Range(f, lo, hi, il, ih) =>
         if (!ctx.columns.contains(f)) missingField(f)
@@ -4665,6 +4678,8 @@ object EsDsl {
     "children" -> Set("type"),
     "parent" -> Set("type"),
     "median_absolute_deviation" -> Set("field", "compression"),
+    "scripted_metric" -> Set("init_script", "map_script",
+      "combine_script", "reduce_script", "params"),
     "string_stats" -> Set("field"),
     "matrix_stats" -> Set("fields"),
     "auto_date_histogram" -> Set("field", "buckets"),
@@ -5082,6 +5097,14 @@ object EsDsl {
         Seq(Search.round4(avg(when(has, lat))).as(s"${alias}_lat"),
           Search.round4(avg(when(has, lon))).as(s"${alias}_lon"),
           count(when(has, lit(1))).as(s"${alias}_count"))
+      case "scripted_metric" =>
+        // the canonical sum-fold family compiles to ONE aggregate
+        // expression ([[ScriptedMetric]]) — it rides this hash
+        // aggregation top-level and under every bucket agg alike
+        Seq(ScriptedMetric.compile(mSpec, alias, f => {
+          if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+          col(f)
+        }))
       case _ => metricColsSimple(mKind, mSpec, alias)
     }
     def metricColsSimple(mKind: String, mSpec: JsonNode,
@@ -6306,8 +6329,7 @@ object EsDsl {
         // the match predicate riding along as a flag
         val counts = base.filter(col(f).isNotNull)
           .select(pred.as("__fg"), explode(array_distinct(
-            graft.functions.TextFunctions.tokens(
-              lower(col(f))))).as("key"))
+            graft.functions.TextFunctions.analyzerTokens(col(f)))).as("key"))
           .groupBy(col("key"))
           .agg(count(when(col("__fg"), lit(1))).as("doc_count"),
             count(lit(1)).as("bg_count"))
@@ -6932,7 +6954,8 @@ object EsDsl {
   /** The (prefix_length, max_expansions) pair of a match-family body —
     * ES's fuzzy-rewrite knobs, honored only when `fuzziness` is set
     * (ES ignores them on exact matches too). */
-  private def fuzzyKnobs(spec: Option[JsonNode]): (Int, Option[Int]) = {
+  private def fuzzyKnobs(spec: Option[JsonNode])
+      : (Int, Option[Int], Boolean) = {
     val pl = spec.flatMap(s => Option(s.get("prefix_length")))
       .map(_.asInt).getOrElse(0)
     if (pl < 0) bad("prefix_length must be >= 0")
@@ -6940,7 +6963,14 @@ object EsDsl {
       .map(_.asInt)
     me.foreach(n => if (n <= 0 || n > Search.MaxExpansionsCeiling)
       bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
-    (pl, me)
+    // ES defaults transpositions to TRUE (Damerau — an adjacent swap
+    // is one edit); explicit false selects plain Levenshtein. A
+    // non-boolean node would silently coerce — reject by type.
+    val tr = spec.flatMap(s => Option(s.get("transpositions"))).map { n =>
+      if (!n.isBoolean) bad("transpositions must be a boolean")
+      n.asBoolean
+    }.getOrElse(true)
+    (pl, me, tr)
   }
 
   private def matchClause(ctx: Ctx, text: String,
@@ -6948,10 +6978,11 @@ object EsDsl {
                           operator: String, minMatch: Option[String],
                           bestFields: Boolean,
                           fuzziness: Option[String],
-                          knobs: (Int, Option[Int]) = (0, None)): Clause = {
-    import Search.{fuzzyEdits, substrCount, tokenNorm}
-    val (prefixLength, maxExpansions) = knobs
-    val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+                          knobs: (Int, Option[Int], Boolean) =
+                            (0, None, true)): Clause = {
+    import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
+    val (prefixLength, maxExpansions, transpositions) = knobs
+    val terms = graft.functions.TextFunctions.analyzeText(text)
       .distinct.toSeq
     if (terms.isEmpty) bad("empty match query")
     // capped expansion sets (ES max_expansions), one per query term,
@@ -6961,15 +6992,14 @@ object EsDsl {
         val edits = terms.map(t => fuzzyEdits(t, fz)
           .getOrElse(bad(s"invalid fuzziness '$fz'")))
         ctx.expansions(fields.map(_._1), terms, edits, prefixLength,
-          maxExpansions.get)
+          maxExpansions.get, transpositions)
       case _ => Map.empty
     }
     def cnt(f: String, t: String): Column = fuzziness match {
       case None => substrCount(tokenNorm(col(f)), s" $t ")
       case Some(fz) =>
         val e = fuzzyEdits(t, fz).getOrElse(bad(s"invalid fuzziness '$fz'"))
-        val toks = graft.functions.TextFunctions.tokens(
-          lower(coalesce(col(f), lit(""))))
+        val toks = graft.functions.TextFunctions.analyzerTokens(col(f))
         if (maxExpansions.isDefined) {
           val set = expSets(t)
           if (set.isEmpty) lit(0)
@@ -6977,9 +7007,9 @@ object EsDsl {
         } else {
           val p = t.take(prefixLength)
           if (p.isEmpty)
-            size(filter(toks, x => levenshtein(x, lit(t)) <= e))
+            size(filter(toks, x => editDistance(x, t, transpositions) <= e))
           else size(filter(toks, x =>
-            x.startsWith(p) && levenshtein(x, lit(t)) <= e))
+            x.startsWith(p) && editDistance(x, t, transpositions) <= e))
         }
     }
     def termCount(t: String): Column =

@@ -281,8 +281,8 @@ final class HttpApi(
             entityIndexRoot(), term, Int.MaxValue, limit, after3))
         case _ if req.hasNonNull("minimum_should_match") =>
           val mm = req.get("minimum_should_match")
-          val nTerms = term.toLowerCase.split("\\s+")
-            .filter(_.nonEmpty).distinct.length
+          val nTerms = graft.functions.TextFunctions
+            .analyzeText(term).distinct.length
           // integral nodes route through the SAME grammar resolver as
           // text specs: ES's negative-integer form (-2 = all-but-2
           // required) must resolve against the term count, not clamp
@@ -428,8 +428,8 @@ final class HttpApi(
         // distinct-term count (MinShouldMatch); a malformed spec is the
         // caller's error — 400, never a silent degrade to plain OR
         val mm = req.get("minimum_should_match")
-        val nTerms = term.toLowerCase.split("\\s+")
-          .filter(_.nonEmpty).distinct.length
+        val nTerms = graft.functions.TextFunctions
+          .analyzeText(term).distinct.length
         // integral nodes route through the SAME grammar resolver as
         // text specs: ES's negative-integer form (-2 = all-but-2
         // required) must resolve against the term count, not clamp

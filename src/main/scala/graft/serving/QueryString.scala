@@ -255,8 +255,7 @@ object QueryString {
         i += 1
         slop = readIntStrict("phrase slop")
       }
-      val terms = sb.toString.toLowerCase.split("\\s+")
-        .filter(_.nonEmpty).toSeq
+      val terms = graft.functions.TextFunctions.analyzeText(sb.toString)
       if (terms.isEmpty) throw ParseError("empty phrase")
       Phrase(field, terms, slop)
     }

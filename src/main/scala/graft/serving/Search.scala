@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Driver-side twin of the engine's ONE analyzer (lowercase +
-    * whitespace split — `TextFunctions.tokens ∘ lower`), with the
+  /** Driver-side twin of the engine's ONE analyzer (the ES
+    * `standard`-analyzer chain — `TextFunctions.analyzerTokens`), with the
     * offsets the Spark-side scan never needs but the `_analyze` /
     * `_termvectors` APIs report: (token, start_offset, end_offset,
     * position) per token, offsets into the ORIGINAL text (ES's
     * contract — the token is lowercased, the offsets are not). */
   private[graft] def analyzeWithOffsets(text: String)
       : Seq[(String, Int, Int, Int)] = {
-    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val m = java.util.regex.Pattern
+      .compile(graft.functions.TextFunctions.AnalyzerPattern)
+      .matcher(text)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Int, Int)]
     while (m.find()) {
@@ -257,7 +259,8 @@ object Search {
                                 limit: Int = 100,
                                 after: Option[(Double, String, String)] =
                                   None, prefixLength: Int = 0,
-                                maxExpansions: Option[Int] = None): DataFrame = {
+                                maxExpansions: Option[Int] = None,
+                                transpositions: Boolean = true): DataFrame = {
     import graft.catalog.EntityCatalog
     val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
       .map { spec =>
@@ -265,7 +268,7 @@ object Search {
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
         graft.sinks.SearchIndex.fuzzy(spark, s"$indexRoot/${spec.name}",
           query, Nil, fuzziness, limit, Map.empty, branchAfter, inclusive,
-          prefixLength, maxExpansions)
+          prefixLength, maxExpansions, transpositions)
           .select(lit(spec.name).as("table"), col("document_id"),
             col("score"))
       }
@@ -416,9 +419,10 @@ object Search {
                                fields: Seq[String], idCol: String,
                                bm25: Boolean, bestFields: Boolean,
                                boosts: Map[String, Double]): DataFrame = {
-    import graft.functions.TextFunctions.tokenCount
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     require(fields.nonEmpty, "at least one field to rank")
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct.toArray
     val anyTerm = fields.flatMap(f =>
         terms.map(t => lower(col(f)).contains(lit(t))))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -428,7 +432,8 @@ object Search {
       .select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"),
           (if (bm25) tokenCount(col(f)) else lit(0)).as("dl"),
-          split(lower(col(f)), "\\s+").as("toks"))
+          graft.functions.TextFunctions.analyzerTokens(col(f))
+            .as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
         explode(col("fs.toks")).as("term"))
@@ -520,7 +525,7 @@ object Search {
   private[graft] def rankedAllMulti(df: DataFrame, idCol: String,
                                     fieldExprs: Seq[(String, Column)],
                                     clauses: Seq[RankClause]): DataFrame = {
-    import graft.functions.TextFunctions.tokenCount
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     require(clauses.nonEmpty, "at least one clause to rank")
     require(fieldExprs.nonEmpty, "at least one field to rank")
     val fidOf = fieldExprs.map(_._1).zipWithIndex.toMap
@@ -540,7 +545,8 @@ object Search {
     val stacked = df.filter(anyTerm)
       .select(col(idCol), explode(array(fieldExprs.zipWithIndex.map {
         case ((_, e), i) => struct(lit(i).as("fid"),
-          tokenCount(e).as("dl"), split(lower(e), "\\s+").as("toks"))
+          tokenCount(e).as("dl"),
+          graft.functions.TextFunctions.analyzerTokens(e).as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
         explode(col("fs.toks")).as("term"))
@@ -610,8 +616,9 @@ object Search {
     * combination can sum/max field scores before the one rounding. */
   private def rankedScores(df: DataFrame, query: String, textCol: String,
                            idCol: String, bm25: Boolean): DataFrame = {
-    import graft.functions.TextFunctions.tokenCount
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct.toArray
     // substring prefilter BEFORE tokenizing: a doc with no query term as
     // a substring can't have one as a token, so the (codegen'd, scan-
     // evaluated) contains-any test skips tokenize+explode for most of
@@ -619,17 +626,16 @@ object Search {
     // die at the post-explode token filter, so results are unchanged
     val anyTerm = terms.map(t => lower(col(textCol)).contains(lit(t)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    // explode(split(...)) not TextFunctions.tokens: the HOF filter
-    // inside tokens() is interpreted per element and knocks the stage
-    // out of whole-stage codegen, and the isin() below already drops
-    // the empty strings tokens() exists to remove. BM25 additionally
-    // carries the doc length (non-empty token count, matching avgdl's
-    // definition) on each exploded row.
+    // analyzerTokens is ONE native regexp_extract_all — codegen'd,
+    // no HOF filter pass. BM25 additionally carries the doc length
+    // (analyzed token count, matching avgdl's definition) on each
+    // exploded row.
     val baseCols =
       if (bm25) Seq(col(idCol), tokenCount(col(textCol)).as("dl"))
       else Seq(col(idCol))
     val toks = df.filter(anyTerm).select(
-        baseCols :+ explode(split(lower(col(textCol)), "\\s+")).as("term"): _*)
+        baseCols :+ explode(graft.functions.TextFunctions
+          .analyzerTokens(col(textCol))).as("term"): _*)
       .filter(col("term").isin(terms.toSeq: _*))
     // corpus statistics: one tiny aggregate of the full scan. sum(dl) is
     // an exact integer sum, so avgdl = one double division — the same
@@ -688,8 +694,7 @@ object Search {
     * leaves one space behind for the next match. */
   private[graft] def tokenNorm(c: Column): Column =
     concat(lit(" "),
-      array_join(filter(split(lower(coalesce(c, lit(""))), "\\s+"),
-        x => x =!= lit("")), "  "),
+      array_join(graft.functions.TextFunctions.analyzerTokens(c), "  "),
       lit(" "))
 
   /** Non-overlapping occurrence count of `needle` in `hay` — both
@@ -714,8 +719,7 @@ object Search {
              limit: Int = 100,
              after: Option[(Double, Any)] = None,
              boosts: Map[String, Double] = Map.empty): DataFrame = {
-    val terms = phraseQuery.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
     require(terms.nonEmpty, "empty phrase")
     val needle = terms.mkString(" ", "  ", " ") // [[tokenNorm]] spacing
     val prefilter = fields.map(f =>
@@ -749,8 +753,7 @@ object Search {
     // Int.MaxValue) would wrap negative and silently match nothing;
     // 2^24 positions exceed any tokenizable document
     val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(field, lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posOf(t: String): Column =
       filter(transform(toks, (x, i) =>
         when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -777,8 +780,7 @@ object Search {
     require(terms.nonEmpty, "empty phrase prefix")
     // same overflow clamp as slopCount (k + slop in Int arithmetic)
     val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(field, lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posWhere(m: Column => Column): Column =
       filter(transform(toks, (x, i) =>
         when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -812,8 +814,7 @@ object Search {
                                    slop: Int): Column = {
     require(slots.nonEmpty, "empty span slots")
     val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(field, lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posOf(k: Int): Column =
       filter(transform(toks, (x, i) =>
         when(slots(k)(x), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -845,8 +846,7 @@ object Search {
                                       within: Boolean): Column = {
     require(slots.nonEmpty, "empty span slots")
     val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(field, lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posOf(m: Column => Column): Column =
       filter(transform(toks, (x, i) =>
         when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -882,8 +882,7 @@ object Search {
     require(slots.nonEmpty, "empty span slots")
     val s = math.min(slop, 1 << 24)
     def posOf(k: Int): Column = {
-      val toks = graft.functions.TextFunctions.tokens(
-        lower(coalesce(slots(k)._1, lit(""))))
+      val toks = graft.functions.TextFunctions.analyzerTokens(slots(k)._1)
       filter(transform(toks, (x, i) =>
         when(slots(k)._2(x), i).otherwise(lit(-1))), p => p >= lit(0))
     }
@@ -903,8 +902,7 @@ object Search {
                                          slop: Int): Column = {
     val s = math.min(slop, 1 << 24)
     def posOf(f: Column, m: Column => Column): Column = {
-      val toks = graft.functions.TextFunctions.tokens(
-        lower(coalesce(f, lit(""))))
+      val toks = graft.functions.TextFunctions.analyzerTokens(f)
       filter(transform(toks, (x, i) =>
         when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
     }
@@ -918,8 +916,7 @@ object Search {
                                    b: Column => Column,
                                    slop: Int): Column = {
     val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.tokens(
-      lower(coalesce(field, lit(""))))
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posOf(m: Column => Column): Column =
       filter(transform(toks, (x, i) =>
         when(m(x), i).otherwise(lit(-1))), p => p >= lit(0))
@@ -948,8 +945,7 @@ object Search {
     require(slop >= 0, "slop must be >= 0")
     if (slop == 0)
       return phrase(df, phraseQuery, fields, limit, after, boosts)
-    val terms = phraseQuery.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
     require(terms.nonEmpty, "empty phrase")
     val prefilter = fields.map(f =>
         terms.map(t => lower(coalesce(col(f), lit("")))
@@ -991,8 +987,8 @@ object Search {
                           limit: Int = 100,
                           after: Option[(Double, Any)] = None,
                           boosts: Map[String, Double] = Map.empty): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct
     require(terms.nonEmpty, "empty query")
     val need = math.max(1, math.min(minMatch, terms.size))
     val norms = fields.zip(fields.map(f => tokenNorm(col(f))))
@@ -1021,6 +1017,18 @@ object Search {
     * AUTO resolves per term but is always valid). */
   private[graft] def fuzzyEditsValid(fuzziness: String): Boolean =
     fuzzyEdits("probe", fuzziness).isDefined
+
+  /** The fuzzy metric: full Damerau–Levenshtein (adjacent
+    * transpositions are ONE edit) under ES's default
+    * `transpositions: true`; plain Levenshtein under explicit
+    * `false`. One switch point for every fuzzy surface so the scan
+    * path, the index probe, and the DuckDB oracle stay on one
+    * metric. */
+  private[graft] def editDistance(x: Column, t: String,
+                                  transpositions: Boolean): Column =
+    if (transpositions)
+      graft.functions.ArrayExpressions.damerauLevenshtein(x, lit(t))
+    else levenshtein(x, lit(t))
 
   private[graft] def fuzzyEdits(term: String,
                                 fuzziness: String): Option[Int] =
@@ -1051,12 +1059,11 @@ object Search {
   private[graft] def fuzzyExpansionSets(
       df: DataFrame, fields: Seq[String], terms: Seq[String],
       edits: Seq[Int], prefixLength: Int,
-      n: Int): Map[String, Seq[String]] = {
+      n: Int, transpositions: Boolean = true): Map[String, Seq[String]] = {
     require(n > 0 && n <= MaxExpansionsCeiling,
       s"max_expansions must be 1..$MaxExpansionsCeiling")
     val toksAll = fields.map(f =>
-        graft.functions.TextFunctions.tokens(
-          lower(coalesce(col(f), lit("")))))
+        graft.functions.TextFunctions.analyzerTokens(col(f)))
       .reduce((a, b) => concat(a, b))
     val vocab = df.select(explode(toksAll).as("tok")).distinct()
     terms.zip(edits).map { case (t, e) =>
@@ -1064,8 +1071,8 @@ object Search {
       val base =
         if (p.isEmpty) vocab
         else vocab.filter(col("tok").startsWith(p))
-      t -> base.filter(levenshtein(col("tok"), lit(t)) <= e)
-        .withColumn("_d", levenshtein(col("tok"), lit(t)))
+      t -> base.filter(editDistance(col("tok"), t, transpositions) <= e)
+        .withColumn("_d", editDistance(col("tok"), t, transpositions))
         .orderBy(col("_d").asc, col("tok").asc)
         .limit(n)
         .select("tok").collect().map(_.getString(0)).toSeq
@@ -1084,8 +1091,7 @@ object Search {
     require(n > 0 && n <= MaxExpansionsCeiling,
       s"max_expansions must be 1..$MaxExpansionsCeiling")
     val toksAll = fields.map(f =>
-        graft.functions.TextFunctions.tokens(
-          lower(coalesce(col(f), lit("")))))
+        graft.functions.TextFunctions.analyzerTokens(col(f)))
       .reduce((a, b) => concat(a, b))
     df.select(explode(toksAll).as("tok")).distinct()
       .filter(col("tok").startsWith(prefix))
@@ -1095,7 +1101,9 @@ object Search {
 
   /** FUZZY search (ES `match` with `fuzziness`): a field token matches a
     * query term when their Levenshtein distance is within the term's
-    * resolved edit budget; scored by the total count of fuzzy-matching
+    * resolved edit budget (Damerau–Levenshtein under the default
+    * `transpositions = true`, ES's default; plain Levenshtein under
+    * explicit false); scored by the total count of fuzzy-matching
     * tokens across `fields` (OR across terms), full rows returned like
     * [[multiField]]. The per-token HOF distance scan is the corpus-scan
     * oracle twin of [[graft.sinks.SearchIndex.fuzzy]]'s
@@ -1114,19 +1122,20 @@ object Search {
                       after: Option[(Double, Any)] = None,
                       boosts: Map[String, Double] = Map.empty,
                       prefixLength: Int = 0,
-                      maxExpansions: Option[Int] = None): DataFrame = {
+                      maxExpansions: Option[Int] = None,
+                      transpositions: Boolean = true): DataFrame = {
     require(prefixLength >= 0, "prefix_length must be >= 0")
-    val terms = query.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct
     require(terms.nonEmpty, "empty query")
     val edits = terms.map(t => fuzzyEdits(t, fuzziness).getOrElse(
       throw new IllegalArgumentException(
         s"invalid fuzziness '$fuzziness'")))
     val expansions = maxExpansions.map(n =>
-      fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n))
+      fuzzyExpansionSets(df, fields, terms, edits, prefixLength, n,
+        transpositions))
     val toks = fields.map(f => f ->
-      graft.functions.TextFunctions.tokens(
-        lower(coalesce(col(f), lit("")))))
+      graft.functions.TextFunctions.analyzerTokens(col(f)))
     def cnt(t: String, e: Int): Seq[(String, Column)] = toks.map {
       case (f, ts) =>
         val c = expansions match {
@@ -1136,7 +1145,8 @@ object Search {
             else size(filter(ts, x => x.isInCollection(set)))
           case None =>
             val p = t.take(prefixLength)
-            val fuzzyOk = (x: Column) => levenshtein(x, lit(t)) <= e
+            val fuzzyOk =
+              (x: Column) => editDistance(x, t, transpositions) <= e
             if (p.isEmpty) size(filter(ts, fuzzyOk))
             else size(filter(ts, x => x.startsWith(p) && fuzzyOk(x)))
         }

@@ -78,8 +78,8 @@ object SimpleQueryString {
           val (n, j) = readInt(q, i + 1)
           slop = n.getOrElse(0); i = j
         }
-        val terms = sb.toString.toLowerCase.split("\\s+")
-          .filter(_.nonEmpty).toSeq
+        val terms =
+          graft.functions.TextFunctions.analyzeText(sb.toString)
         if (terms.nonEmpty) out += Atom(Phrase(terms, slop))
       } else {
         // bare term, possibly term* (prefix) or term~N (fuzzy)

@@ -84,16 +84,16 @@ object SearchIndex {
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
     * explode tagged `fid` — the same single-scan shape
     * Search.rankedFields uses, minus the query-term filter (an index
-    * keeps every term). Positions index the FILTERED token sequence
-    * (empty split artifacts removed first), matching Search.tokenNorm's
-    * adjacency semantics where whitespace runs collapse. */
+    * keeps every term). Positions index the standard-analyzed
+    * token sequence ([[graft.functions.TextFunctions.analyzerTokens]]),
+    * matching Search.tokenNorm's adjacency semantics. */
   private def postingsOf(docs: DataFrame, fields: Seq[String],
                          idCol: String): DataFrame = {
-    import graft.functions.TextFunctions.tokenCount
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"),
           tokenCount(col(f)).as("dl"),
-          filter(split(lower(col(f)), "\\s+"), t => t =!= lit(""))
+          graft.functions.TextFunctions.analyzerTokens(col(f))
             .as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
@@ -116,7 +116,7 @@ object SearchIndex {
     * exactly as the scan-path `count(*)` does). */
   private def doclensOf(docs: DataFrame, fields: Seq[String],
                         idCol: String): DataFrame = {
-    import graft.functions.TextFunctions.tokenCount
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"), tokenCount(col(f)).as("dl"))
       }: _*)).as("fs"))
@@ -203,7 +203,8 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val terms = graft.functions.TextFunctions.analyzeText(query)
+      .distinct.toArray
     // postings probe: both predicates reach the parquet scan as pushed
     // filters — the surviving rows are (query term × matching doc)-sized
     val p = spark.read.parquet(s"$dir/postings")
@@ -285,8 +286,7 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = phraseQuery.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
     require(terms.nonEmpty, "empty phrase")
     val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
     def fieldScore(i: Int): Column = {
@@ -392,8 +392,7 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = phraseQuery.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
     require(terms.nonEmpty, "empty phrase")
     val distinctTerms = terms.distinct
     val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
@@ -526,8 +525,8 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = query.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct
     require(terms.nonEmpty, "empty query")
     val need = math.max(1, math.min(minMatch, terms.size))
     val p = spark.read.parquet(s"$dir/postings")
@@ -571,8 +570,8 @@ object SearchIndex {
     val dir = tableDir(path, meta)
     val fidOf = meta.fields.zipWithIndex.toMap
     require(fidOf.contains(field), s"field not in index: $field")
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .distinct.toSeq
+    val toks =
+      graft.functions.TextFunctions.analyzeText(text).distinct
     require(toks.nonEmpty, "suggest text has no tokens")
     val vocab = spark.read.parquet(s"$dir/termstats")
       .filter(col("fid") === fidOf(field))
@@ -598,8 +597,9 @@ object SearchIndex {
             after: Option[(Double, Any)] = None,
             afterInclusive: Boolean = false,
             prefixLength: Int = 0,
-            maxExpansions: Option[Int] = None): DataFrame = {
-    import graft.serving.Search.{afterPredicate, fuzzyEdits}
+            maxExpansions: Option[Int] = None,
+            transpositions: Boolean = true): DataFrame = {
+    import graft.serving.Search.{afterPredicate, editDistance, fuzzyEdits}
     require(prefixLength >= 0, "prefix_length must be >= 0")
     maxExpansions.foreach(n => require(
       n > 0 && n <= graft.serving.Search.MaxExpansionsCeiling,
@@ -612,8 +612,8 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = query.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct
     require(terms.nonEmpty, "empty query")
     val edits = terms.map(t => fuzzyEdits(t, fuzziness).getOrElse(
       throw new IllegalArgumentException(
@@ -633,12 +633,14 @@ object SearchIndex {
         val p = t.take(prefixLength)
         val pre = if (p.isEmpty) vocab
           else vocab.filter(col("term").startsWith(p))
-        val v = pre.filter(levenshtein(col("term"), lit(t)) <= edits(qi))
+        val v = pre.filter(
+          editDistance(col("term"), t, transpositions) <= edits(qi))
         val capped = maxExpansions match {
           case None => v
           case Some(n) =>
             val e = v.select(col("term")).distinct()
-              .withColumn("_d", levenshtein(col("term"), lit(t)))
+              .withColumn("_d", editDistance(col("term"), t,
+                transpositions))
               .orderBy(col("_d").asc, col("term").asc)
               .limit(n).select("term")
             v.join(e, Seq("term"))

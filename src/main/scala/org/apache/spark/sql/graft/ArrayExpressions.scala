@@ -533,6 +533,81 @@ object QuantizeRoundTrip {
   }
 }
 
+/** Full Damerau–Levenshtein distance (Lowrance–Wagner: insertions,
+  * deletions, substitutions, and TRANSPOSITIONS of adjacent characters
+  * as primitive edits) between two string columns — ES's `fuzziness`
+  * metric under its default `transpositions: true` (Lucene FuzzyQuery;
+  * the engine's plain `levenshtein` serves the explicit `false` path).
+  * Semantics are pinned to DuckDB's `damerau_levenshtein` (fuzz-tested
+  * identical over random pairs), so fuzzy oracles replay exactly.
+  * Generated code calls the static [[DamerauLevenshtein.compute]] —
+  * one tight DP over the two strings, no allocation beyond the DP
+  * table; stays inside whole-stage codegen. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.DamerauLevenshtein.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  /** Lowrance–Wagner DP over code points. `da` maps each code point to
+    * the last row where it occurred; the (maxDist+2)-row trick is not
+    * used — fuzzy terms are short tokens, the full table is cheap. */
+  def compute(au: UTF8String, bu: UTF8String): Int = {
+    val a = au.toString
+    val b = bu.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k: Int = {
+          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue()
+        }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
+          else 1
+        var m = d(i)(j) + cost                       // substitute / match
+        if (d(i + 1)(j) + 1 < m) m = d(i + 1)(j) + 1 // insert
+        if (d(i)(j + 1) + 1 < m) m = d(i)(j + 1) + 1 // delete
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transpose
+        if (tr < m) m = tr
+        d(i + 1)(j + 1) = m
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -570,4 +645,9 @@ object ArrayExpressions {
   def quantizeRoundTrip(vec: Column): Column =
     ExpressionUtils.column(QuantizeRoundTrip(
       ExpressionUtils.expression(vec)))
+
+  /** Column API for [[DamerauLevenshtein]]. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    ExpressionUtils.column(DamerauLevenshtein(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -53,6 +53,97 @@ class EsDslSpec extends SparkSpec {
     assert(filtered.map(_.getAs[Double]("_score")).toSeq == Seq(0.5, 0.0))
   }
 
+  test("scripted_metric: sum-fold family computes; everything " +
+    "outside the shape rejects by name (non-zero seed, list state, " +
+    "non-sum reduce, unseeded accumulators)") {
+    def sm(init: String, map: String, combine: String, reduce: String) =
+      q(s"""{"query": {"match_all": {}}, "aggs": {"m":
+        {"scripted_metric": {
+          "init_script": "$init", "map_script": "$map",
+          "combine_script": "$combine", "reduce_script": "$reduce",
+          "params": {"w": 3}}}}, "size": 0}""")
+    val v = sm("state.t = 0", "state.t += doc['n'].value * params.w",
+      "return state",
+      "double s = 0; for (a in states) { s += a.t } return s")
+      .collect()(0).getDouble(0)
+    assert(v == (10 + 20 + 30 + 40) * 3.0)
+    // scalar combine + scalar fold; ternary in the map expression
+    val c = sm("state.n = 0",
+      "state.n += doc['n'].value > 15 ? 1 : 0", "return state.n",
+      "double s = 0; for (a in states) { s += a } return s")
+      .collect()(0).getDouble(0)
+    assert(c == 3.0)
+    def badSm(init: String, map: String, combine: String,
+              reduce: String): Unit =
+      intercept[IllegalArgumentException] { sm(init, map, combine, reduce) }
+    badSm("state.t = 7", "state.t += 1", "return state",
+      "double s = 0; for (a in states) { s += a.t } return s")
+    badSm("state.t = []", "state.t += 1", "return state",
+      "double s = 0; for (a in states) { s += a.t } return s")
+    badSm("state.t = 0", "state.u += 1", "return state",
+      "double s = 0; for (a in states) { s += a.t } return s")
+    badSm("state.t = 0", "state.t += 1", "return state",
+      "double s = 1; for (a in states) { s += a.t } return s")
+    badSm("state.t = 0", "state.t += 1", "return state",
+      "double s = 0; for (a in states) { s = Math.max(s, a.t) } return s")
+    badSm("state.t = 0", "state.t += 1", "return state.u",
+      "double s = 0; for (a in states) { s += a } return s")
+  }
+
+  test("standard analyzer: punctuated text matches its bare terms " +
+    "(\"hello, world!\" matches query hello) across the match family") {
+    import spark.implicits._
+    val punct = Seq(
+      (1L, "Hello, world!"),
+      (2L, "don't stop"),
+      (3L, "plain hello text"),
+      (4L, "CUSTOMER#42 shipped")
+    ).toDF("doc_id", "text")
+    def run(body: String) =
+      EsDsl.search(punct, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    // punctuation splits: "Hello," analyzes to hello
+    assert(run("""{"query": {"match": {"text": "hello"}}}""")
+      == Seq(1L, 3L))
+    // the QUERY text analyzes too: "hello," finds the same docs
+    assert(run("""{"query": {"match": {"text": "HELLO,"}}}""")
+      == Seq(1L, 3L))
+    // word-internal apostrophe stays one token
+    assert(run("""{"query": {"match": {"text": "don't"}}}""") == Seq(2L))
+    // '#' splits like ES's standard tokenizer: customer and 42
+    assert(run("""{"query": {"match": {"text": "customer"}}}""") == Seq(4L))
+    assert(run("""{"query": {"match": {"text": "42"}}}""") == Seq(4L))
+    // phrase adjacency across punctuation: "hello, world!" is the
+    // token sequence [hello, world]
+    assert(run("""{"query": {"match_phrase": {"text": "hello world"}}}""")
+      == Seq(1L))
+  }
+
+  test("fuzziness defaults to transpositions=true (Damerau): abcd " +
+    "fuzzy-matches abdc at distance 1; explicit false stays Levenshtein") {
+    import spark.implicits._
+    val df = Seq((1L, "abdc xyz"), (2L, "abcd here")).toDF("doc_id", "text")
+    def ids(body: String) =
+      EsDsl.search(df, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    // Damerau: abcd -> abdc is ONE adjacent transposition
+    assert(ids("""{"query": {"fuzzy": {"text": {"value": "abcd",
+      "fuzziness": "1"}}}}""") == Seq(1L, 2L))
+    // plain Levenshtein needs 2 edits for the swap
+    assert(ids("""{"query": {"fuzzy": {"text": {"value": "abcd",
+      "fuzziness": "1", "transpositions": false}}}}""") == Seq(2L))
+    // match + fuzziness takes the same default
+    assert(ids("""{"query": {"match": {"text": {"query": "abcd",
+      "fuzziness": "1"}}}}""") == Seq(1L, 2L))
+    assert(ids("""{"query": {"match": {"text": {"query": "abcd",
+      "fuzziness": "1", "transpositions": false}}}}""") == Seq(2L))
+    // non-boolean transpositions rejects by type
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"fuzzy": {"text": {"value": "abcd",
+        "transpositions": "yes"}}}}""")
+    }
+  }
+
   test("knn knob validation: k/num_candidates bounds, zero-norm and " +
     "unknown-field rejection, size caps the k hits") {
     def knn(body: String) = EsDsl.search(vecs, mapper.readTree(body))
@@ -1221,13 +1312,30 @@ class EsDslSpec extends SparkSpec {
            "buckets_path": {"c": "_count"}, "script": "$script"}}}}},
         "size": 0}""")
     }
-    // unknown param, method call, ternary, comment, trailing garbage:
-    // all reject at parse time, by name
+    // unknown param, unknown Math member, comment, trailing
+    // garbage: all reject at parse time, by name. Ternary and the
+    // supported Math.* members compile (round 11).
     badScript("params.c + params.missing")
-    badScript("Math.log(params.c)")
-    badScript("params.c > 1 ? 1 : 0")
+    badScript("Math.cbrt(params.c)")
+    badScript("Math.max(params.c)") // wrong arity rejects
+    badScript("params.c > 1 ? 1")   // missing ':' rejects
     badScript("params.c // 2")
     badScript("params.c + 1 extra")
+    def scripted(script: String) =
+      q(s"""{"query": {"match_all": {}}, "aggs":
+        {"h": {"histogram": {"field": "n", "interval": 10},
+         "aggs": {"s": {"bucket_script": {
+           "buckets_path": {"c": "_count"}, "script": "$script"}}}}},
+        "size": 0}""").orderBy(col("key"))
+        .select("s").collect().map(_.getDouble(0)).toSeq
+    // docs: n = 10, 20, 30, 40 -> buckets 10..40, one doc each
+    assert(scripted("params.c > 1 ? 1 : 0") == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(scripted("Math.max(params.c, 2)") == Seq(2.0, 2.0, 2.0, 2.0))
+    assert(scripted("Math.log(Math.exp(params.c))") ==
+      Seq(1.0, 1.0, 1.0, 1.0))
+    // right-associative ternary chains like Java
+    assert(scripted("params.c == 1 ? 5 : params.c == 2 ? 6 : 7") ==
+      Seq(5.0, 5.0, 5.0, 5.0))
     // a STRING buckets_path (the single-path form) is the map form's
     // caller error here
     intercept[IllegalArgumentException] {
@@ -1916,8 +2024,9 @@ class EsDslSpec extends SparkSpec {
     // match_none: empty set
     assert(q("""{"query": {"match_none": {}}, "size": 10}""")
       .collect().isEmpty)
-    // rejections: non-painless lang, Math.* call, _score inside a
-    // function, doc refs inside bucket_script
+    // rejections: non-painless lang, unsupported Math member,
+    // _score inside a function, doc refs inside bucket_script —
+    // supported Math.* members now COMPILE in score scripts
     intercept[IllegalArgumentException] {
       q("""{"query": {"script": {"script": {"source": "1",
         "lang": "mustache"}}}}""")
@@ -1925,8 +2034,13 @@ class EsDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       q("""{"query": {"script_score": {
         "query": {"match_all": {}},
-        "script": "Math.log(doc['n'].value)"}}}""")
+        "script": "Math.atan2(doc['n'].value, 1)"}}}""")
     }
+    assert(q("""{"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": "Math.sqrt(doc['n'].value)"}}, "size": 1,
+        "sort": [{"_score": "desc"}]}""")
+      .collect()(0).getAs[Double]("_score") == math.sqrt(40.0))
     intercept[IllegalArgumentException] {
       q("""{"query": {"function_score": {
         "query": {"match_all": {}},

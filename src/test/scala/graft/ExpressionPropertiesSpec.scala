@@ -147,6 +147,33 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("DamerauLevenshtein: full DL (transpositions + shifted " +
+    "substring re-edits), pinned to DuckDB's damerau_levenshtein " +
+    "values; null-safe") {
+    import spark.implicits._
+    // (a, b, expected) — expected values are DuckDB 1.0's
+    // damerau_levenshtein outputs (the oracle's metric)
+    val cases = Seq(
+      ("abcd", "abdc", 1), ("ab", "ba", 1), ("ca", "abc", 2),
+      ("abc", "ca", 2), ("window", "windwo", 1), ("a", "", 1),
+      ("", "", 0), ("same", "same", 0), ("kitten", "sitting", 3),
+      ("windoq", "window", 1), ("xy", "yxz", 2))
+    val got = cases.toDF("a", "b", "want")
+      .select(graft.functions.ArrayExpressions
+        .damerauLevenshtein(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("d"),
+        org.apache.spark.sql.functions.col("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null propagates
+    val n = Seq((Option.empty[String], "x")).toDF("a", "b")
+      .select(graft.functions.ArrayExpressions.damerauLevenshtein(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))

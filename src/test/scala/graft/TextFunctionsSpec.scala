@@ -14,6 +14,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("  a  b\tc ", tokenCount(col("text"))) == 3)
   }
 
+  test("analyzerTokens: standard-analyzer segmentation — punctuation " +
+    "splits, word-internal apostrophe/dot join, lowercase; the " +
+    "driver-side twin analyzeText agrees") {
+    val cases = Seq(
+      "Hello, world!" -> Seq("hello", "world"),
+      "don't stop-me now" -> Seq("don't", "stop", "me", "now"),
+      "U.S.A. rocks" -> Seq("u.s.a", "rocks"),
+      "3.14 is pi" -> Seq("3.14", "is", "pi"),
+      "foo_bar baz's" -> Seq("foo_bar", "baz's"),
+      "CUSTOMER#000000042" -> Seq("customer", "000000042"),
+      "4-NOT SPECIFIED" -> Seq("4", "not", "specified"),
+      "a''b" -> Seq("a", "b"),
+      "'quoted'" -> Seq("quoted"),
+      "" -> Nil,
+      "  ,.!  " -> Nil)
+    cases.foreach { case (text, want) =>
+      assert(one(text, analyzerTokens(col("text")))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq == want,
+        s"column path: '$text'")
+      assert(analyzeText(text) == want, s"driver path: '$text'")
+    }
+    // null column analyzes to the empty token array (coalesced)
+    import spark.implicits._
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(analyzerTokenCount(col("text"))).collect()(0).getInt(0)
+    assert(n == 0)
+  }
+
+  test("analyzerTokensSql spells the SAME grammar for DuckDB (RE2): " +
+    "pattern constants stay in lockstep") {
+    assert(AnalyzerPatternSql == AnalyzerPattern.replace("'", "''"))
+    assert(analyzerTokensSql("text").contains(AnalyzerPatternSql))
+  }
+
   test("shingles builds word n-grams; short docs collapse to one") {
     assert(one("a b c d", shingles(col("text"), 3))
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b c", "b c d"))
