@@ -242,6 +242,16 @@ object PipelineQueries {
     // 1.0) and the filtered knn top-50; overlapping docs SUM both
     // sides. Exercises the union predicate, the guarded score sum,
     // and the k-row knn join beside a query clause.
+    // knn `similarity` cutoff (round 11): candidates below the raw
+    // cosine floor drop BEFORE the top-k, so the hit list can be
+    // shorter than k — ES's min-similarity contract.
+    "q7_esdsl_knn_sim" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(knnSimBody)
+      graft.serving.EsDsl.search(t(s, dir, "embeddings"), body,
+        tiebreak = Seq("vec_id"))
+    }),
+
     "q7_esdsl_knn_hybrid" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(knnHybridBody)
@@ -827,6 +837,14 @@ object PipelineQueries {
        | "size": 50, "_source": ["vec_id"]}""".stripMargin
   }
 
+  private[graft] lazy val knnSimBody: String = {
+    val vec = knnQueryVec.mkString("[", ", ", "]")
+    s"""{"knn": {"field": "embedding", "query_vector": $vec,
+       |  "k": 50, "num_candidates": 100, "similarity": 0.2,
+       |  "filter": {"range": {"vec_id": {"gte": 100}}}},
+       | "size": 50, "_source": ["vec_id"]}""".stripMargin
+  }
+
   private[graft] lazy val knnHybridBody: String = {
     val vec = knnQueryVec.mkString("[", ", ", "]")
     s"""{"query": {"range": {"vec_id": {"lt": 150}}},
@@ -867,6 +885,27 @@ object PipelineQueries {
        |        generate_series(1, len(unit)), i -> unit[i] * q[i])))
        |      / 2.0) * 10000.0 + 0.5) / 10000.0 AS s
        |  FROM u CROSS JOIN qv WHERE vec_id >= 100
+       |), ranked AS (
+       |  SELECT vec_id, s,
+       |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, s AS "_score" FROM ranked WHERE rank <= 50"""
+      .stripMargin
+
+  /** q7_esdsl_knn_sim oracle — the knn oracle with the raw-cosine
+    * cutoff applied before ranking (the engine gates on the identical
+    * unrounded dot product, so the boundary is shared). */
+  private val knnSimSql: String =
+    s"""$UnitCte, qv AS (SELECT $knnQunitLit::DOUBLE[] AS q),
+       |raw AS (
+       |  SELECT vec_id, list_sum(list_transform(
+       |      generate_series(1, len(unit)), i -> unit[i] * q[i])) AS c
+       |  FROM u CROSS JOIN qv WHERE vec_id >= 100
+       |), scored AS (
+       |  SELECT vec_id,
+       |    floor(((1.0 + c) / 2.0) * 10000.0 + 0.5) / 10000.0 AS s
+       |  FROM raw WHERE c >= 0.2
        |), ranked AS (
        |  SELECT vec_id, s,
        |    row_number() OVER (ORDER BY s DESC, vec_id) AS rank
@@ -1231,6 +1270,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> ivfSql,
     "q7_esdsl_knn" -> knnSql,
+    "q7_esdsl_knn_sim" -> knnSimSql,
     "q7_esdsl_knn_ivf" -> knnIvfSql,
     "q7_esdsl_knn_hybrid" -> knnHybridSql,
     "q7_esdsl_rrf" -> knnRrfSql,

@@ -170,6 +170,14 @@ private[serving] object BucketScript {
         paramRef()
       } else if (src.startsWith("doc[", pos)) {
         docRef()
+      } else if (src.startsWith("ctx._source.", pos)) {
+        // update-by-query scripts reference fields as ctx._source.<f>
+        // — same resolver as doc['<f>'].value
+        val resolve = fieldRef.getOrElse(
+          fail("ctx._source references are not available in this " +
+            "script context"))
+        pos += "ctx._source.".length
+        resolve(ident())
       } else if (src.startsWith("Math.", pos)) {
         mathCall()
       } else if (ch.isLetter || ch == '_') {

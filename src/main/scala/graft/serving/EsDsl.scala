@@ -925,7 +925,8 @@ object EsDsl {
   private final case class KnnSpec(field: String, qv: Seq[Double],
                                    k: Int, numCandidates: Int,
                                    filter: Option[JsonNode],
-                                   boost: Double)
+                                   boost: Double,
+                                   similarity: Option[Double])
 
   private def parseKnn(kn: JsonNode): KnnSpec = {
     val field = Option(kn.get("field")).map(_.asText)
@@ -950,9 +951,14 @@ object EsDsl {
     val unknown = keysOf(kn).filterNot(Set("field", "query_vector", "k",
       "num_candidates", "filter", "boost", "similarity"))
     if (unknown.nonEmpty) bad(s"unknown knn keys: ${unknown.mkString(", ")}")
-    if (kn.hasNonNull("similarity"))
-      bad("knn \"similarity\" (the min-score cutoff) is not supported")
-    KnnSpec(field, qv, k, nc, Option(kn.get("filter")), boost)
+    // ES knn "similarity": the minimum RAW metric value (cosine here)
+    // a candidate must reach — applied before boost and before the
+    // score transform, exactly ES's contract
+    val sim = Option(kn.get("similarity")).map { n =>
+      if (!n.isNumber) bad("knn similarity must be numeric")
+      n.asDouble
+    }
+    KnnSpec(field, qv, k, nc, Option(kn.get("filter")), boost, sim)
   }
 
   /** The knn hit frame BEFORE paging: every candidate row of `base`
@@ -975,7 +981,15 @@ object EsDsl {
     val raw = (lit(1.0) + cos) / 2.0
     val score = Search.round4(
       if (spec.boost == 1.0) raw else raw * spec.boost)
-    base.select(cols.map(col) :+ score.as("_score"): _*)
+    // the similarity cutoff gates on the RAW cosine (pre-transform,
+    // pre-round, pre-boost) — ES drops candidates below it; a null
+    // cosine (null/zero-norm vector) fails the predicate like the
+    // null-score filter below
+    val kept = spec.similarity match {
+      case Some(simMin) => base.filter(cos >= lit(simMin))
+      case None         => base
+    }
+    kept.select(cols.map(col) :+ score.as("_score"): _*)
       .filter(col("_score").isNotNull)
   }
 
@@ -1367,6 +1381,35 @@ object EsDsl {
       bad("inner_hits is not supported in a _count body")
     ctx.foldJoins(df.withColumn(IdColMarker, col(idName)))
       .filter(pred).agg(count(lit(1)).as("count"))
+  }
+
+  /** The distinct ids matching a bare `{"query": ...}` in FILTER
+    * context — `_update_by_query` / `_delete_by_query`'s match set
+    * (reference stack: ES 8.11 serves both, docker-compose.yml:5).
+    * Exactly [[countFrame]]'s predicate machinery, returning the id
+    * frame instead of the count; a missing query matches everything
+    * (ES's contract for both APIs). */
+  def matchingIds(df: DataFrame, body: JsonNode, idCol: String,
+                  lookup: Option[IndexResolver] = None,
+                  relations: Relations = Relations()): DataFrame = {
+    val unknown = keysOf(body).filterNot(Set("query"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported by-query body key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val ctx = new Ctx(df, col(idCol), lookupResolver = lookup,
+      relations = relations)
+    val pred = Option(body.get("query")) match {
+      case None => lit(true)
+      case Some(q) =>
+        coalesce(
+          ctx.withoutScoreJoins { ctx.inFilter { clause(q, ctx) } }.pred,
+          lit(false))
+    }
+    if (ctx.innerHitCols.nonEmpty)
+      bad("inner_hits is not supported in a by-query body")
+    ctx.foldJoins(df.withColumn(IdColMarker, col(idCol)))
+      .filter(pred).select(col(idCol)).distinct()
   }
 
   def searchParts(df0: DataFrame, body: JsonNode,

@@ -56,6 +56,19 @@ final class HttpApi(
   private val mapper = new ObjectMapper()
   @volatile private var server: HttpServer = _
 
+  /** Index aliases (ES _aliases): alias -> concrete index name.
+    * Server-lifetime config like the script/percolator stores; every
+    * request-side index read resolves through [[resolveIndex]], so
+    * aliases work for search, count, msearch, PIT, mget,
+    * termvectors, explain, field_caps, analyze-by-field, templates,
+    * and the by-query mutations alike. One level (an alias may not
+    * point at an alias — rejected at registration). */
+  private val aliasStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def resolveIndex(name: String): String =
+    Option(aliasStore.get(name)).getOrElse(name)
+
   Tables.registerAll(spark, srcDir) // /search/advanced addresses views
 
   // -------------------------------------------------------------------
@@ -197,6 +210,12 @@ final class HttpApi(
         case ("DELETE", "search" :: "pit" :: Nil) =>
           // stateless by design: nothing server-side to free
           respond(ex, 200, """{"succeeded": true, "num_freed": 0}""")
+        case ("PUT" | "POST", "search" :: "aliases" :: alias :: Nil) =>
+          aux(ex) { putAlias(ex, alias, body(ex)) }
+        case ("GET", "search" :: "aliases" :: Nil) =>
+          listAliases(ex)
+        case ("DELETE", "search" :: "aliases" :: alias :: Nil) =>
+          deleteAlias(ex, alias)
         case ("PUT" | "POST", "search" :: "percolators" :: id :: Nil) =>
           aux(ex) { putPercolator(ex, id, body(ex)) }
         case ("GET", "search" :: "percolators" :: id :: Nil) =>
@@ -204,18 +223,23 @@ final class HttpApi(
         case ("DELETE", "search" :: "percolators" :: id :: Nil) =>
           deletePercolator(ex, id)
         case ("POST", entity :: rest) =>
-          EntityCatalog.entities.get(entity) match {
+          EntityCatalog.entities.get(resolveIndex(entity)) match {
             case None =>
               respond(ex, 404, s"""{"error": "unknown entity '$entity'"}""")
             case Some(spec) => rest match {
               case Nil            => insertOne(ex, spec, body(ex))
               case "batch" :: Nil => insertBatch(ex, spec, body(ex))
               case "sync" :: Nil  => syncOne(ex, spec, body(ex))
+              case "update_by_query" :: Nil =>
+                aux(ex) { updateByQuery(ex, spec, body(ex)) }
+              case "delete_by_query" :: Nil =>
+                aux(ex) { deleteByQuery(ex, spec, body(ex)) }
               case _ => respond(ex, 404, """{"error": "not found"}""")
             }
           }
-        case ("GET", entity :: rest)
-            if EntityCatalog.entities.contains(entity) =>
+        case ("GET", entity0 :: rest)
+            if EntityCatalog.entities.contains(resolveIndex(entity0)) =>
+          val entity = resolveIndex(entity0)
           rest match {
             case Nil       => listDocs(ex, entity)
             case id :: Nil => getDoc(ex, entity, id)
@@ -242,7 +266,7 @@ final class HttpApi(
     if (term.isEmpty) {
       respond(ex, 400, """{"error": "search_term is required"}"""); return
     }
-    val index = textOr(req, "index", "documents")
+    val index = resolveIndex(textOr(req, "index", "documents"))
     // "*" (or the reference's "data_lake_*") = search EVERY entity index
     // at once — es_connector.py:85-95 defaults to exactly this
     // wildcard. rank=bm25|tfidf scores each index with its OWN
@@ -749,7 +773,7 @@ final class HttpApi(
     if (unknown.nonEmpty)
       auxBad(s"unsupported pit key" +
         s"${if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
-    val index = textOr(req, "index", "*")
+    val index = resolveIndex(textOr(req, "index", "*"))
     if (dslTarget(index).isEmpty) {
       respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
       return
@@ -936,7 +960,7 @@ final class HttpApi(
       case None =>
         respond(ex, 400, """{"error": "malformed scroll_id"}""")
       case Some(c) =>
-        val index = c.get("index").asText
+        val index = resolveIndex(c.get("index").asText)
         dslTarget(index) match {
           case None =>
             respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
@@ -1106,7 +1130,7 @@ final class HttpApi(
     * context ([[EsDsl.countFrame]] — scores never change a count) and
     * the count is one distributed aggregate. */
   private def countSearch(ex: HttpExchange, req: JsonNode): Unit = {
-    val index = textOr(req, "index", "*")
+    val index = resolveIndex(textOr(req, "index", "*"))
     dslTarget(index) match {
       case None =>
         respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
@@ -1154,8 +1178,8 @@ final class HttpApi(
           if (pair(0).isEmpty) mapper.createObjectNode()
           else mapper.readTree(pair(0))
         val body0 = mapper.readTree(pair(1))
-        val index = textOr(header, "index",
-          textOr(body0, "index", "*"))
+        val index = resolveIndex(textOr(header, "index",
+          textOr(body0, "index", "*")))
         if (body0.hasNonNull("scroll"))
           errObj(400, "scroll cannot ride msearch")
         else if (body0.hasNonNull("pit"))
@@ -1211,7 +1235,7 @@ final class HttpApi(
     * errors); only an unknown index stays 404. Forcing the analyzed
     * plan catches unresolved columns too, still with zero execution. */
   private def validateQuery(ex: HttpExchange, req: JsonNode): Unit = {
-    val index = textOr(req, "index", "*")
+    val index = resolveIndex(textOr(req, "index", "*"))
     dslTarget(index) match {
       case None =>
         respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
@@ -1243,7 +1267,7 @@ final class HttpApi(
     * split to report. */
   private def fieldCaps(ex: HttpExchange, req: JsonNode): Unit =
     aux(ex) {
-      val index = textOr(req, "index", "*")
+      val index = resolveIndex(textOr(req, "index", "*"))
       dslTarget(index) match {
         case None =>
           respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
@@ -1319,7 +1343,7 @@ final class HttpApi(
     * are only unique per table (ES _mget addresses one index too). */
   private def mget(ex: HttpExchange, req: JsonNode): Unit =
     aux(ex) {
-      val index = textOr(req, "index", "")
+      val index = resolveIndex(textOr(req, "index", ""))
       if (index.isEmpty) auxBad("_mget needs \"index\"")
       if (index == "*" || index.endsWith("_*"))
         auxBad("_mget needs a concrete index (ids are per-table)")
@@ -1359,7 +1383,7 @@ final class HttpApi(
     * defined over analyzed text); others reject by name. */
   private def termvectors(ex: HttpExchange, req: JsonNode): Unit =
     aux(ex) {
-      val index = textOr(req, "index", "")
+      val index = resolveIndex(textOr(req, "index", ""))
       if (index.isEmpty || index == "*" || index.endsWith("_*"))
         auxBad("_termvectors needs a concrete index")
       val id = textOr(req, "id", "")
@@ -1429,7 +1453,7 @@ final class HttpApi(
         auxBad(s"unsupported _explain body key" +
           s"${if (unknown.size == 1) "" else "s"}: " +
           unknown.mkString(", "))
-      val index = textOr(req, "index", "")
+      val index = resolveIndex(textOr(req, "index", ""))
       if (index.isEmpty || index == "*" || index.endsWith("_*"))
         auxBad("_explain needs a concrete index")
       val idN = Option(req.get("id")).filter(!_.isNull)
@@ -1512,7 +1536,7 @@ final class HttpApi(
       // corpus the reference would. A named table addresses that table
       // directly. The union's pagination tiebreak needs BOTH id columns
       // — document_ids can collide across entities.
-      val index = textOr(req, "index", "*")
+      val index = resolveIndex(textOr(req, "index", "*"))
       dslTarget(index) match {
         case None =>
           respond(ex, 404, s"""{"error": "unknown index '$index'"}""")
@@ -1768,6 +1792,128 @@ final class HttpApi(
           respond(ex, 404, s"""{"error": "document '$id' not found"}""")
         else respond(ex, 200, rows.head)
     }
+
+  /** PUT /search/aliases/{alias} — `{"index": ...}`: register an
+    * alias for a concrete index name (a registered table, an entity,
+    * or the wildcard). An alias may not shadow a real name and may
+    * not point at another alias — ES rejects alias cycles the same
+    * way; one level keeps resolution O(1) and loop-free. */
+  private def putAlias(ex: HttpExchange, alias: String,
+                       req: JsonNode): Unit = {
+    val unknown = jsonKeys(req).filterNot(Set("index"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported alias key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val target = textOr(req, "index", "")
+    if (target.isEmpty) auxBad("alias needs \"index\"")
+    if (Tables.names.contains(alias) ||
+        EntityCatalog.entities.contains(alias))
+      auxBad(s"'$alias' is a real index name — aliases may not shadow")
+    if (aliasStore.containsKey(target))
+      auxBad(s"alias target '$target' is itself an alias")
+    val known = target == "*" || target.endsWith("_*") ||
+      Tables.names.contains(target) ||
+      EntityCatalog.entities.contains(target)
+    if (!known) auxBad(s"unknown alias target '$target'")
+    aliasStore.put(alias, target)
+    respond(ex, 200, s"""{"acknowledged": true, "alias": "$alias"}""")
+  }
+
+  private def listAliases(ex: HttpExchange): Unit = {
+    val node = mapper.createObjectNode()
+    aliasStore.forEach((a, t) => { node.put(a, t); () })
+    respond(ex, 200, node.toString)
+  }
+
+  private def deleteAlias(ex: HttpExchange, alias: String): Unit =
+    if (aliasStore.remove(alias) != null)
+      respond(ex, 200, """{"acknowledged": true}""")
+    else respond(ex, 404, s"""{"error": "unknown alias '$alias'"}""")
+
+  /** POST /{entity}/update_by_query — ES `_update_by_query`:
+    * `{"query": {...}, "script": "ctx._source.f = <expr>"}` mutates
+    * the SYNCED DOCUMENT STORE (never the source of truth): the
+    * query compiles to the filter-context match set
+    * ([[EsDsl.matchingIds]]), the script's `;`-separated assignments
+    * (the Painless arithmetic subset + ctx._source refs) rewrite the
+    * matched rows, and the batch funnels through
+    * [[DocumentSink.upsert]]'s replace-by-id path — so the adjacent
+    * search index delta-updates exactly as REST upserts do. */
+  private def updateByQuery(ex: HttpExchange, spec: EntitySpec,
+                            req: JsonNode): Unit = {
+    val unknown = jsonKeys(req).filterNot(Set("query", "script"))
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported update_by_query key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        unknown.mkString(", "))
+    val df = index(spec.name).getOrElse(
+      auxBad(s"no synced index for '${spec.name}'"))
+    val scriptSrc = Option(req.get("script")) match {
+      case Some(n) if n.isTextual => n.asText
+      case Some(n) if n.isObject &&
+          jsonKeys(n).forall(Set("source", "params")) =>
+        textOr(n, "source", "")
+      case Some(_) => auxBad("malformed script")
+      case None => auxBad("update_by_query needs \"script\"")
+    }
+    if (scriptSrc.isEmpty) auxBad("empty update script")
+    val params: Map[String, org.apache.spark.sql.Column] =
+      Option(req.get("script")).filter(_.isObject)
+        .flatMap(n => Option(n.get("params"))).map { pn =>
+          if (!pn.isObject) auxBad("script params must be an object")
+          jsonKeys(pn).map { k =>
+            val v = pn.get(k)
+            if (!v.isNumber) auxBad(s"script params.$k must be numeric")
+            k -> (if (v.isIntegralNumber) lit(v.asLong)
+                  else lit(v.asDouble))
+          }.toMap
+        }.getOrElse(Map.empty)
+    val Assign = """ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    val fieldRef: String => org.apache.spark.sql.Column = f => {
+      if (!df.columns.contains(f)) auxBad(s"unknown field '$f'")
+      col(f)
+    }
+    val assigns: Seq[(String, org.apache.spark.sql.Column)] =
+      scriptSrc.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
+        case Assign(f, expr) =>
+          if (!df.columns.contains(f))
+            auxBad(s"unknown field '$f'")
+          f -> (try BucketScript.compile(expr, params,
+              fieldRef = Some(fieldRef)) catch {
+            case e: BucketScript.ScriptError => auxBad(e.msg)
+          })
+        case other => auxBad(s"unsupported update statement '$other' " +
+          "(ctx._source.<field> = <expr>)")
+      }
+    if (assigns.isEmpty) auxBad("update script assigns nothing")
+    val queryBody = mapper.createObjectNode()
+    Option(req.get("query")).foreach(q =>
+      queryBody.set[JsonNode]("query", q))
+    val ids = EsDsl.matchingIds(df, queryBody, "document_id")
+    val matched = df.join(ids, Seq("document_id"))
+    val updated = assigns.foldLeft(matched) { case (d, (f, c)) =>
+      // preserve the column's stored type: ES keeps the mapping
+      d.withColumn(f, c.cast(d.schema(f).dataType))
+    }
+    val n = updated.count()
+    if (n > 0) DocumentSink.upsert(updated, s"$outDir/${spec.name}")
+    respond(ex, 200, s"""{"updated": $n}""")
+  }
+
+  /** POST /{entity}/delete_by_query — ES `_delete_by_query`: drop
+    * the query's match set from the synced document store; the
+    * adjacent search index subtracts the same ids through the
+    * integer-delta machinery ([[DocumentSink.deleteByIds]]). */
+  private def deleteByQuery(ex: HttpExchange, spec: EntitySpec,
+                            req: JsonNode): Unit = {
+    val df = index(spec.name).getOrElse(
+      auxBad(s"no synced index for '${spec.name}'"))
+    val ids = EsDsl.matchingIds(df, req, "document_id")
+    val n = ids.count()
+    if (n > 0) DocumentSink.deleteByIds(ids, s"$outDir/${spec.name}")
+    respond(ex, 200, s"""{"deleted": $n}""")
+  }
 
   /** POST /{entity}/sync — `{"id": ...}`: re-read the record from the
     * source of truth and re-index it (the reference's DB-webhook route,

@@ -238,6 +238,34 @@ object DocumentSink {
     n
   }
 
+  /** Delete-by-ids — `_delete_by_query`'s storage half: drop the
+    * given document_ids from the store (same staged-generation swap
+    * as [[upsert]]) and subtract them from the adjacent search index
+    * through the SAME integer-delta machinery replaced docs use
+    * ([[SearchIndex.upsert]] with a deletes frame). Returns the count
+    * AFTER deletion. `ids` must be the single `document_id` column. */
+  def deleteByIds(ids: DataFrame, path: String): Long = {
+    val spark = ids.sparkSession
+    val dataPath = s"$path/data"
+    val existing = spark.read.parquet(dataPath)
+    val merged = existing.join(ids.select("document_id"),
+      Seq("document_id"), "left_anti")
+    val tmpPath =
+      s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
+      new org.apache.hadoop.fs.Path(dataPath))
+    writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
+    writeSidecar(s"$path/_meta.json",
+      s"""{"doc_count": $n, "mode": "overwrite"}""")
+    if (SearchIndex.exists(s"$path/_search_index"))
+      SearchIndex.upsert(existing.limit(0),
+        Some(ids.select("document_id")), s"$path/_search_index")
+    n
+  }
+
   /** Count verification (reference: src/es_connector.py:76-83). */
   def count(spark: org.apache.spark.sql.SparkSession, path: String): Long =
     spark.read.parquet(s"$path/data").count()

@@ -902,6 +902,99 @@ class HttpApiSpec extends SparkSpec
     assert(get("/part").statusCode() == 404)
   }
 
+  test("update_by_query mutates the synced store by the query's " +
+    "match set; the script is the Painless subset with ctx._source " +
+    "refs; counts verify") {
+    // seed a fresh entity store: 3 suppliers via batch
+    val seed = post("/supplier/batch",
+      """[{"s_suppkey": 991001, "s_name": "alpha", "s_nationkey": 77,
+        |   "s_acctbal": 100.0},
+        |  {"s_suppkey": 991002, "s_name": "beta", "s_nationkey": 77,
+        |   "s_acctbal": 200.0},
+        |  {"s_suppkey": 991003, "s_name": "gamma", "s_nationkey": 78,
+        |   "s_acctbal": 300.0}]""".stripMargin)
+    assert(seed.statusCode() == 200, seed.body())
+    val r = post("/supplier/update_by_query",
+      """{"query": {"term": {"supplier_s_nationkey": 77}},
+        | "script": {"source":
+        |   "ctx._source.supplier_s_acctbal = ctx._source.supplier_s_acctbal * params.f + 5",
+        |   "params": {"f": 2}}}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == """{"updated": 2}""", r.body())
+    val stored = spark.read.parquet(s"$outDir/supplier/data")
+    def bal(id: Long): Double =
+      stored.filter(stored("supplier_s_suppkey") === id)
+        .select("supplier_s_acctbal").collect()(0).getDouble(0)
+    assert(bal(991001L) == 205.0 && bal(991002L) == 405.0 &&
+      bal(991003L) == 300.0)
+    // fail-loud: unknown field, non-assignment statement, bad key
+    assert(post("/supplier/update_by_query",
+      """{"script": "ctx._source.nope = 1"}""").statusCode() == 400)
+    assert(post("/supplier/update_by_query",
+      """{"script": "return 1"}""").statusCode() == 400)
+    assert(post("/supplier/update_by_query",
+      """{"script": "ctx._source.supplier_s_acctbal = 1",
+        | "extra": 1}""".stripMargin).statusCode() == 400)
+    assert(post("/supplier/update_by_query",
+      """{"query": {"match_all": {}}}""").statusCode() == 400)
+  }
+
+  test("delete_by_query drops the match set from the store and " +
+    "reports the deleted count; a bodyless query deletes everything") {
+    val before = spark.read.parquet(s"$outDir/supplier/data").count()
+    assert(before >= 3)
+    val r = post("/supplier/delete_by_query",
+      """{"query": {"term": {"supplier_s_nationkey": 78}}}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == """{"deleted": 1}""", r.body())
+    val after = spark.read.parquet(s"$outDir/supplier/data")
+    assert(after.count() == before - 1)
+    assert(after.filter(
+      after("supplier_s_suppkey") === 991003L).count() == 0)
+    // deleting nothing reports 0 and leaves the store intact
+    val zero = post("/supplier/delete_by_query",
+      """{"query": {"term": {"supplier_s_nationkey": 999}}}""")
+    assert(zero.body() == """{"deleted": 0}""")
+    assert(spark.read.parquet(s"$outDir/supplier/data").count()
+      == before - 1)
+  }
+
+  test("index aliases resolve on every search surface and on the " +
+    "entity routes; shadowing and alias-of-alias reject") {
+    assert(put("/search/aliases/docs_alias",
+      """{"index": "documents"}""").statusCode() == 200)
+    // /search/count through the alias == through the real name
+    def countOf(idx: String): Long = {
+      val r = post("/search/count",
+        s"""{"index": "$idx", "query": {"match": {"text": "window"}}}""")
+      assert(r.statusCode() == 200, r.body())
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(r.body()).get("count").asLong
+    }
+    assert(countOf("docs_alias") == countOf("documents"))
+    // entity alias: GET routes resolve (customer synced earlier)
+    assert(put("/search/aliases/cust_alias",
+      """{"index": "customer"}""").statusCode() == 200)
+    assert(get("/cust_alias/990001").statusCode() == 200)
+    // listing carries both
+    val ls = get("/search/aliases")
+    assert(ls.body().contains("docs_alias") &&
+      ls.body().contains("cust_alias"))
+    // rejections: shadow a real name, alias-of-alias, unknown target
+    assert(put("/search/aliases/documents",
+      """{"index": "orders"}""").statusCode() == 400)
+    assert(put("/search/aliases/chain",
+      """{"index": "docs_alias"}""").statusCode() == 400)
+    assert(put("/search/aliases/ghost",
+      """{"index": "no_such"}""").statusCode() == 400)
+    // delete: the alias stops resolving
+    assert(delete("/search/aliases/docs_alias").statusCode() == 200)
+    assert(post("/search/count",
+      """{"index": "docs_alias"}""").statusCode() == 404)
+    assert(delete("/search/aliases/docs_alias").statusCode() == 404)
+    assert(delete("/search/aliases/cust_alias").statusCode() == 200)
+  }
+
   test("concurrent searches on one session all succeed (thread safety)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
