@@ -57,6 +57,20 @@ object ArrayExpressions {
   def quantizeRoundTrip(vec: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.quantizeRoundTrip(vec)
 
+  /** Codegen'd standard-analyzer tokenization (one generated char
+    * scan; bit-identical to the regex spelling the oracles replay). */
+  def analyzerTokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.analyzerTokens(text)
+
+  /** Codegen'd analyzed-token count (no array materialization). */
+  def analyzerTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.analyzerTokenCount(text)
+
+  /** Codegen'd Search.tokenNorm: the padded double-space-joined
+    * analyzed-token string, one pass. */
+  def analyzerNorm(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.analyzerNorm(text)
+
   /** Codegen'd full Damerau–Levenshtein distance (adjacent-character
     * transpositions as primitive edits) — ES `fuzziness` under its
     * default `transpositions: true`; pinned to DuckDB's

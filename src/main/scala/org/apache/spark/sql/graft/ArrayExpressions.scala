@@ -608,6 +608,142 @@ object DamerauLevenshtein {
   }
 }
 
+/** Standard-analyzer tokenization as ONE generated char scan —
+  * semantically IDENTICAL to
+  * `regexp_extract_all(lower(text), TextFunctions.AnalyzerPattern)`
+  * (ExpressionPropertiesSpec fuzz-pins the equivalence) but without
+  * the regex engine: tokens are runs of Unicode letters/numbers/'_',
+  * optionally joined by single word-internal apostrophes or dots.
+  * The regex formulation measured ~2× slower across the match-family
+  * scorers (java.util.regex \\p{L} classes per row); this scan is the
+  * hot path of every search scan-route query. Lowercasing goes
+  * through UTF8String.toLowerCase — the exact `lower()` the regex
+  * path composed with. */
+case class AnalyzerTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_analyzer_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnalyzerTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.AnalyzerTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AnalyzerTokens = copy(child = newChild)
+}
+
+object AnalyzerTokens {
+  /** Unicode \\p{L} | \\p{N} | '_' — the token-run character class. */
+  @inline private def isTok(cp: Int): Boolean = {
+    if (cp == '_') return true
+    val t = Character.getType(cp)
+    (t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_LETTER) ||
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
+  /** The (start, end) code-unit spans of the analyzed tokens of `s` —
+    * the exact matches of [[graft.functions.TextFunctions
+    * .AnalyzerPattern]]: a token-char run plus any number of
+    * single-joiner ('\'' or '.') + token-char-run extensions. */
+  private[graft] def spans(s: String): scala.collection.Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp0 = s.codePointAt(i)
+      if (isTok(cp0)) {
+        val start = i
+        i += Character.charCount(cp0)
+        var run = true
+        while (run) {
+          // consume the token-char run
+          while (i < n && isTok(s.codePointAt(i)))
+            i += Character.charCount(s.codePointAt(i))
+          // one joiner followed by a token char extends the token
+          if (i + 1 < n && (s.charAt(i) == '\'' || s.charAt(i) == '.') &&
+              isTok(s.codePointAt(i + 1)))
+            i += 1
+          else run = false
+        }
+        out += ((start, i))
+      } else i += Character.charCount(cp0)
+    }
+    out
+  }
+
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val sp = spans(s)
+    val arr = new Array[Any](sp.length)
+    var k = 0
+    while (k < sp.length) {
+      arr(k) = UTF8String.fromString(s.substring(sp(k)._1, sp(k)._2))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  def count(input: UTF8String): Int =
+    spans(input.toLowerCase.toString).length
+
+  /** `" t1  t2  …  tk "` in one pass — Search.tokenNorm's padded
+    * double-space-joined form without materializing the array. */
+  def norm(input: UTF8String): UTF8String = {
+    val s = input.toLowerCase.toString
+    val sp = spans(s)
+    val sb = new java.lang.StringBuilder(s.length + 2 + 2 * sp.length)
+    sb.append(' ')
+    var k = 0
+    while (k < sp.length) {
+      if (k > 0) sb.append(' ')
+      sb.append(s, sp(k)._1, sp(k)._2)
+      sb.append(' ')
+      k += 1
+    }
+    if (sp.isEmpty) sb.append(' ')
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Analyzed-token COUNT without materializing the token array — the
+  * BM25 document length every stats aggregate computes corpus-wide. */
+case class AnalyzerTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_analyzer_token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    AnalyzerTokens.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.AnalyzerTokens.count($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): AnalyzerTokenCount = copy(child = newChild)
+}
+
+/** Search.tokenNorm in one generated pass: the padded
+  * double-space-joined analyzed-token string the phrase/term substring
+  * probes run over. */
+case class AnalyzerNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_analyzer_norm"
+  override protected def nullSafeEval(input: Any): Any =
+    AnalyzerTokens.norm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.AnalyzerTokens.norm($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): AnalyzerNorm = copy(child = newChild)
+}
+
 object ArrayExpressions {
   /** Column API for [[DotProduct]] — codegen'd dot product of two
     * double-array columns. */
@@ -645,6 +781,19 @@ object ArrayExpressions {
   def quantizeRoundTrip(vec: Column): Column =
     ExpressionUtils.column(QuantizeRoundTrip(
       ExpressionUtils.expression(vec)))
+
+  /** Column API for [[AnalyzerTokens]]. */
+  def analyzerTokens(text: Column): Column =
+    ExpressionUtils.column(AnalyzerTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[AnalyzerTokenCount]]. */
+  def analyzerTokenCount(text: Column): Column =
+    ExpressionUtils.column(
+      AnalyzerTokenCount(ExpressionUtils.expression(text)))
+
+  /** Column API for [[AnalyzerNorm]]. */
+  def analyzerNorm(text: Column): Column =
+    ExpressionUtils.column(AnalyzerNorm(ExpressionUtils.expression(text)))
 
   /** Column API for [[DamerauLevenshtein]]. */
   def damerauLevenshtein(a: Column, b: Column): Column =

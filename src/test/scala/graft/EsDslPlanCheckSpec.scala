@@ -126,6 +126,28 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"expected ONE left score join, got:\n${multi.optimizedPlan}")
   }
 
+  test("wildcard BM25 is ONE shared pass across entities: the whole " +
+    "ranking plans a constant handful of aggregates/joins, not a " +
+    "per-entity scoring pipeline") {
+    val df = serving.Search.acrossIndexesRanked(spark,
+      "/root/testdata/sf0.001", operators.Denormalize.RunTs,
+      "small error household")
+    df.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val p = df.queryExecution.optimizedPlan
+    val aggs = p.collect { case a: Aggregate => a }.size
+    val joins = p.collect { case j: Join => j }.size
+    // stacked shape: stats + df + tf + final (+ countDistinct's
+    // expand) = 5 aggregates and 3 joins TOTAL; the round-10
+    // per-entity shape planned ~4 aggregates and 2+ joins PER entity
+    // (5 entities -> ~20/10) — regressing to per-leg scoring trips
+    // these bounds long before it hurts at scale
+    assert(aggs <= 6, s"wildcard ranking plans $aggs aggregates — " +
+      "per-entity legs are back")
+    assert(joins <= 4, s"wildcard ranking plans $joins joins — " +
+      "per-entity legs are back")
+  }
+
   test("index-probe scoring: a statsIndex body's match clauses score " +
     "from postings — exactly ONE corpus scan (the hit path) remains") {
     val df = queries.ParityQueries.queries("q7_esdsl_bm25_probe")(

@@ -174,6 +174,46 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("AnalyzerTokens/Count/Norm == the regex formulation the " +
+    "oracles replay, over adversarial and random strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adversarial = Seq(
+      "Hello, world!", "don't stop-me now", "U.S.A. rocks", "3.14 is pi",
+      "foo_bar baz's", "a''b", "x. y", "trailing.", "'quoted'",
+      "1,000 items", "CUSTOMER#000000042", "4-NOT SPECIFIED",
+      "a.b.c_d'e", "", "   ", ".", "'", "..a..", "a.", ".a", "a'",
+      "'a", "_", "__a__", "caf\u00e9 na\u00efve \u00dcber",
+      "\u4e2d\u6587 tokens", "a.b..c", "x'.y", "x.'y", "5.5.5",
+      "tab\tsep\nnewline")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab1.' _-,!A\u00e9"
+    val random = (1 to 500).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ random).toDF("text")
+    val cmp = df.select(
+      graft.functions.TextFunctions.analyzerTokens(col("text")).as("a"),
+      graft.functions.TextFunctions.analyzerTokensRegex(col("text"))
+        .as("b"),
+      graft.functions.TextFunctions.analyzerTokenCount(col("text"))
+        .as("ca"),
+      graft.serving.SearchTestAccess.tokenNorm(col("text")).as("na"),
+      concat(lit(" "), array_join(
+        graft.functions.TextFunctions.analyzerTokensRegex(col("text")),
+        "  "), lit(" ")).as("nb"),
+      col("text"))
+    cmp.collect().foreach { r =>
+      val a = r.getSeq[String](0)
+      val b = r.getSeq[String](1)
+      assert(a == b, s"tokens mismatch on '${r.getString(5)}'")
+      assert(r.getInt(2) == b.size,
+        s"count mismatch on '${r.getString(5)}'")
+      assert(r.getString(3) == r.getString(4),
+        s"norm mismatch on '${r.getString(5)}'")
+    }
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))
