@@ -129,11 +129,25 @@ object EntityCatalog {
     * so "search everything" costs one pruned pass per entity table and
     * no shuffle (the serving top-k is a TakeOrdered). */
   def unionDocuments(spark: org.apache.spark.sql.SparkSession,
-                     srcDir: String, runTs: String): DataFrame =
-    entities.values.toSeq.sortBy(_.name)
+                     srcDir: String, runTs: String,
+                     only: Seq[String] = Nil): DataFrame = {
+    val specs0 = entities.values.toSeq.sortBy(_.name)
+    // `only` = a comma-list target's entity subset (ES multi-index
+    // search names several indexes); empty = the full data_lake_*
+    // wildcard. Unknown names are the caller's error.
+    val specs =
+      if (only.isEmpty) specs0
+      else {
+        val unknown = only.filterNot(entities.contains)
+        require(unknown.isEmpty,
+          s"unknown entities: ${unknown.mkString(", ")}")
+        specs0.filter(sp => only.contains(sp.name))
+      }
+    specs
       .map(spec => pipeline(
         graft.sources.Tables(spark, srcDir, spec.name), spec, runTs))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** P7/F4: API-insert defaulting — null id → `uuid()`, null audit
     * timestamps → now (reference: prepare_entity_data,

@@ -2547,6 +2547,15 @@ object ParityQueries {
       graft.serving.Search.acrossIndexesRanked(
         s, dir, RunTs, "small error household")),
 
+    // ES comma-separated multi-index target (round 11): the SAME
+    // per-index ranking restricted to a named entity subset — 'small'
+    // hits part, 'household' customer; events' 'error' hits drop out
+    // because events is not in the list.
+    "q4_union_search_bm25_pair" -> ((s, dir) =>
+      graft.serving.Search.acrossIndexesRanked(
+        s, dir, RunTs, "small error household",
+        only = Seq("customer", "part"))),
+
     // The SAME wildcard ranking through the DSL front door (round 10):
     // a verbatim ES multi_match body against data_lake_* now scores
     // with per-index statistics — /search and /search/advanced rank
@@ -2950,8 +2959,9 @@ object ParityQueries {
     * per-branch, unioned, global top-k. Branch field lists match the
     * entity pipelines' string columns IN SCHEMA ORDER (the fixed-order
     * float sum makes order load-bearing). */
-  private def unionBm25Sql(terms: Seq[String]): String = {
-    val branches = Seq(
+  private def unionBm25Sql(terms: Seq[String],
+                           only: Set[String] = Set.empty): String = {
+    val branches0 = Seq(
       ("customer", "c_custkey", Seq("c_name", "c_mktsegment"),
         Seq("c_custkey", "c_name")),
       ("events", "event_id", Seq("event_type", "props"),
@@ -2966,6 +2976,8 @@ object ParityQueries {
         Seq("r_regionkey", "r_name")),
       ("supplier", "s_suppkey", Seq("s_name"),
         Seq("s_suppkey", "s_name")))
+    val branches =
+      if (only.isEmpty) branches0 else branches0.filter(b => only(b._1))
     val (ctes, selects) = branches.map { case (t, id, fs, req) =>
       val src = s"(SELECT * FROM $t WHERE ${
         req.map(c => s"$c IS NOT NULL").mkString(" AND ")}) ${t}_v"
@@ -3755,6 +3767,11 @@ object ParityQueries {
 
     "q4_union_search_bm25" ->
       unionBm25Sql(Seq("small", "error", "household")),
+
+    // comma-list target: the same per-entity branches, subset-filtered
+    "q4_union_search_bm25_pair" ->
+      unionBm25Sql(Seq("small", "error", "household"),
+        only = Set("customer", "part")),
 
     // the indexed twins must reproduce the scan-path oracles BIT FOR
     // BIT — same SQL, so any drift between the materialized index and

@@ -521,7 +521,8 @@ object EsDsl {
       terms.distinct.foreach(t =>
         if (!phbTerms.contains((field, t))) { phbTerms += ((field, t)); () })
       val fi = phbFields.indexOf(field)
-      val dl = graft.functions.TextFunctions.tokenCount(col(field))
+      val dl = graft.functions.TextFunctions.analyzerTokenCount(
+        col(field))
       val idfSum = terms.map { t =>
         val d = col(s"__phb_df_${phbTerms.indexOf((field, t))}")
         log(lit(1.0) + (col("__phb_n") - d + 0.5) / (d + 0.5))
@@ -539,8 +540,8 @@ object EsDsl {
       else {
         val aggs =
           phbFields.toSeq.zipWithIndex.map { case (f, fi) =>
-            sum(graft.functions.TextFunctions.tokenCount(col(f)))
-              .as(s"__phb_sumdl_$fi") } ++
+            sum(graft.functions.TextFunctions.analyzerTokenCount(
+              col(f))).as(s"__phb_sumdl_$fi") } ++
           phbTerms.toSeq.zipWithIndex.map { case ((f, t), ti) =>
             sum(when(Search.substrCount(Search.tokenNorm(col(f)),
               s" $t ") > 0, 1L).otherwise(0L)).as(s"__phb_df_$ti") }
@@ -1253,7 +1254,8 @@ object EsDsl {
     * entity's own table, like ES fetches `_source` after scoring. */
   def searchAcrossIndexes(spark: org.apache.spark.sql.SparkSession,
                           srcDir: String, runTs: String, body: JsonNode,
-                          indexRoot: Option[String] = None): DataFrame = {
+                          indexRoot: Option[String] = None,
+                          only: Seq[String] = Nil): DataFrame = {
     for (k <- Seq("aggs", "aggregations", "sort", "collapse",
         "search_after", "rescore", "highlight", "suggest", "knn",
         "_source") if body.hasNonNull(k))
@@ -1285,9 +1287,10 @@ object EsDsl {
       bad(s"from + size must stay within 0..$MaxResultWindow")
     val ranked = indexRoot match {
       case Some(root) => Search.acrossIndexesRankedIndexed(
-        spark, root, text, from + size, bestFields)
+        spark, root, text, from + size, bestFields, only = only)
       case None => Search.acrossIndexesRanked(
-        spark, srcDir, runTs, text, from + size, bestFields)
+        spark, srcDir, runTs, text, from + size, bestFields,
+        only = only)
     }
     if (from > 0) ranked.offset(from) else ranked
   }
@@ -2950,7 +2953,9 @@ object EsDsl {
     case ("match_phrase", b) =>
       val (f, spec) = unwrap(b)
       val boost = if (spec.isObject)
-        clauseBoost("match_phrase", spec, Set("query", "slop")) else 1.0
+        clauseBoost("match_phrase", spec,
+          Set("query", "slop", "analyzer")) else 1.0
+      if (spec.isObject) analyzerKnob(spec)
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
@@ -3703,7 +3708,7 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match", spec, Set("query", "operator",
           "fuzziness", "prefix_length", "max_expansions",
-          "transpositions", "minimum_should_match"))
+          "transpositions", "minimum_should_match", "analyzer"))
       else 1.0
       val (text, operator, fuzziness) =
         if (spec.isObject)
@@ -3715,6 +3720,7 @@ object EsDsl {
       val msm = if (spec.isObject)
         Option(spec.get("minimum_should_match")).map(msmSpec)
       else None
+      if (spec.isObject) analyzerKnob(spec)
       boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
         fuzzyKnobs(if (spec.isObject) Some(spec) else None)), boost)
@@ -3723,7 +3729,8 @@ object EsDsl {
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
-        "transpositions"))
+        "transpositions", "analyzer"))
+      analyzerKnob(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -6997,6 +7004,19 @@ object EsDsl {
   /** The (prefix_length, max_expansions) pair of a match-family body —
     * ES's fuzzy-rewrite knobs, honored only when `fuzziness` is set
     * (ES ignores them on exact matches too). */
+  /** The `analyzer` knob: "standard"/"default" IS the engine's one
+    * analysis chain — validated and accepted; any other name (a
+    * language analyzer, custom chains) rejects by name, because
+    * silently standard-analyzing a French request would answer a
+    * different question. */
+  private def analyzerKnob(spec: JsonNode): Unit =
+    if (spec != null && spec.isObject)
+      Option(spec.get("analyzer")).map(_.asText).foreach {
+        case "standard" | "default" => ()
+        case other => bad(s"unsupported analyzer '$other' (the " +
+          "engine's one chain is the standard analyzer)")
+      }
+
   private def fuzzyKnobs(spec: Option[JsonNode])
       : (Int, Option[Int], Boolean) = {
     val pl = spec.flatMap(s => Option(s.get("prefix_length")))

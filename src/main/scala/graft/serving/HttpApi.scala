@@ -69,6 +69,22 @@ final class HttpApi(
   private def resolveIndex(name: String): String =
     Option(aliasStore.get(name)).getOrElse(name)
 
+  /** ES comma-separated multi-index targets ("customer,part"): each
+    * component alias-resolves, and every component must be a catalog
+    * ENTITY (the per-index scoring machinery is entity-shaped — an
+    * arbitrary-table comma list would silently score with combined
+    * statistics, which is the wildcard-union documented behavior, not
+    * ES's). Returns the distinct entity subset, or the unknown names
+    * for the caller's 404. */
+  private def commaEntities(index: String)
+      : Either[String, Seq[String]] = {
+    val parts = index.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(resolveIndex).toSeq.distinct
+    if (parts.isEmpty) return Left(index)
+    val unknown = parts.filterNot(EntityCatalog.entities.contains)
+    if (unknown.nonEmpty) Left(unknown.mkString(", ")) else Right(parts)
+  }
+
   Tables.registerAll(spark, srcDir) // /search/advanced addresses views
 
   // -------------------------------------------------------------------
@@ -272,7 +288,17 @@ final class HttpApi(
     // wildcard. rank=bm25|tfidf scores each index with its OWN
     // statistics (ES semantics: IDF is index-local) and merges; the
     // default occurrence scorer runs over the union document view.
-    if (index == "*" || index.endsWith("_*")) {
+    if (index == "*" || index.endsWith("_*") || index.contains(",")) {
+      // a comma list is the wildcard machinery restricted to the named
+      // entity subset — same per-index statistics, same cursor
+      val only: Seq[String] =
+        if (index.contains(",")) commaEntities(index) match {
+          case Right(parts) => parts
+          case Left(unknown) =>
+            respond(ex, 404,
+              s"""{"error": "unknown index '$unknown'"}""")
+            return
+        } else Nil
       val limit = Option(req.get("limit")).map(_.asInt).getOrElse(100)
       val best = textOr(req, "type", "most_fields") == "best_fields"
       // wildcard cursor = the last hit's [score, document_id, table]
@@ -287,7 +313,7 @@ final class HttpApi(
         case r @ ("bm25" | "tfidf") =>
           hits(ex, Search.acrossIndexesRankedIndexed(spark,
             entityIndexRoot(), term, limit, bestFields = best,
-            bm25 = r == "bm25", after = after3))
+            bm25 = r == "bm25", after = after3, only = only))
         // phrase / and / min_should span the wildcard through the
         // per-entity positional indexes too — ES honors these modes on
         // multi-index multi_match, so the wildcard must not silently
@@ -299,10 +325,11 @@ final class HttpApi(
             return
           }
           hits(ex, Search.acrossIndexesPhraseIndexed(spark,
-            entityIndexRoot(), term, limit, after3, slop))
+            entityIndexRoot(), term, limit, after3, slop, only))
         case _ if textOr(req, "operator", "or") == "and" =>
           hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
-            entityIndexRoot(), term, Int.MaxValue, limit, after3))
+            entityIndexRoot(), term, Int.MaxValue, limit, after3,
+            only))
         case _ if req.hasNonNull("minimum_should_match") =>
           val mm = req.get("minimum_should_match")
           val nTerms = graft.functions.TextFunctions
@@ -322,7 +349,7 @@ final class HttpApi(
                 """spec like \"2<-25% 9<-3\""}""")
             case Some(n) =>
               hits(ex, Search.acrossIndexesMinShouldIndexed(spark,
-                entityIndexRoot(), term, n, limit, after3))
+                entityIndexRoot(), term, n, limit, after3, only))
           }
         case _ if req.hasNonNull("fuzziness") =>
           val fz = req.get("fuzziness")
@@ -339,12 +366,14 @@ final class HttpApi(
           }
           if (Search.fuzzyEditsValid(spec))
             hits(ex, Search.acrossIndexesFuzzyIndexed(spark,
-              entityIndexRoot(), term, spec, limit, after3, pl, me))
+              entityIndexRoot(), term, spec, limit, after3, pl, me,
+              only = only))
           else
             respond(ex, 400, """{"error": "invalid fuzziness; use """ +
               """\"AUTO\" or an edit distance 0..2"}""")
         case _ =>
-          val lake = EntityCatalog.unionDocuments(spark, srcDir, runTs)
+          val lake =
+            EntityCatalog.unionDocuments(spark, srcDir, runTs, only)
           val fields = lake.schema.fields
             .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
             .map(_.name).filterNot(Set("table", "document_id")).toSeq
@@ -520,6 +549,12 @@ final class HttpApi(
     if (index == "*" || index.endsWith("_*"))
       Some((EntityCatalog.unionDocuments(spark, srcDir, runTs),
         Seq("document_id", "table")))
+    else if (index.contains(","))
+      // comma list = the union view restricted to the named entities
+      // (same 2-key pagination identity as the wildcard)
+      commaEntities(index).toOption.map(parts =>
+        (EntityCatalog.unionDocuments(spark, srcDir, runTs, parts),
+          Seq("document_id", "table")))
     else if (Tables.names.contains(index))
       Some((Tables(spark, srcDir, index), Nil))
     else None
@@ -538,6 +573,7 @@ final class HttpApi(
   private def statsIdxFor(index: String, body: JsonNode,
                           allowProbe: Boolean = true): Option[String] =
     if (allowProbe && index != "*" && !index.endsWith("_*") &&
+        !index.contains(",") &&
         Seq("more_like_this", "match", "multi_match")
           .exists(hasKeyDeep(body, _)))
       Some(tableIndexPath(index))
@@ -1099,6 +1135,10 @@ final class HttpApi(
     if ((index == "*" || index.endsWith("_*")) && wildcardRankable(req))
       return hitsJson(EsDsl.searchAcrossIndexes(spark, srcDir, runTs,
         req, indexRoot = Some(entityIndexRoot())))
+    if (index.contains(",") && wildcardRankable(req))
+      commaEntities(index).foreach(parts =>
+        return hitsJson(EsDsl.searchAcrossIndexes(spark, srcDir, runTs,
+          req, indexRoot = Some(entityIndexRoot()), only = parts)))
     // named-table bodies that NAME match-family or
     // more_like_this clauses ride the table's write-time
     // index ([[statsIdxFor]]): match clauses score by postings
@@ -1308,29 +1348,44 @@ final class HttpApi(
       }
     }
 
-  /** POST /search/analyze — ES `_analyze`: the engine's ONE analyzer
-    * (lowercase + whitespace split, the tokenization every scorer,
+  /** POST /search/analyze — ES `_analyze`: the engine's default
+    * chain is the STANDARD analyzer (the tokenization every scorer,
     * span matcher, and index build uses — [[Search
-    * .analyzeWithOffsets]]) over the supplied text, with the
-    * start/end offsets and positions ES reports. Any OTHER analyzer
-    * name rejects by name — silently standard-analyzing a request
-    * for `french` would misreport what the engine actually indexes. */
+    * .analyzeWithOffsets]]); `analyzer: "whitespace"` serves ES's
+    * whitespace analyzer (raw `\S+` tokens, no lowercase — the
+    * pipeline layer's unit). Offsets point into the ORIGINAL text,
+    * like ES. Any OTHER analyzer name rejects by name — silently
+    * standard-analyzing a request for `french` would misreport what
+    * the engine actually indexes. */
   private def analyzeText(ex: HttpExchange, req: JsonNode): Unit =
     aux(ex) {
       val textN = Option(req.get("text")).filter(!_.isNull)
         .getOrElse(auxBad("_analyze needs \"text\""))
       if (!textN.isTextual)
         auxBad("_analyze text must be a string")
-      Option(req.get("analyzer")).map(_.asText).foreach {
-        case "standard" | "whitespace" | "default" => ()
-        case other => auxBad(s"unsupported analyzer '$other' — this " +
-          "engine has one analyzer (lowercase + whitespace split)")
+      val which = Option(req.get("analyzer")).map(_.asText)
+        .getOrElse("standard") match {
+        case "standard" | "default" => "standard"
+        case "whitespace"           => "whitespace"
+        case other => auxBad(s"unsupported analyzer '$other' — " +
+          "standard (the engine's chain) and whitespace only")
       }
-      val toks = Search.analyzeWithOffsets(textN.asText).map {
+      val spans =
+        if (which == "standard") Search.analyzeWithOffsets(textN.asText)
+        else {
+          val m = java.util.regex.Pattern.compile("\\S+")
+            .matcher(textN.asText)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Int, Int)]
+          while (m.find()) out += ((m.group, m.start, m.end, out.length))
+          out.toSeq
+        }
+      val ttype = if (which == "standard") "<ALPHANUM>" else "word"
+      val toks = spans.map {
         case (t, s0, e0, p) =>
           mapper.createObjectNode().put("token", t)
             .put("start_offset", s0).put("end_offset", e0)
-            .put("type", "<ALPHANUM>").put("position", p).toString
+            .put("type", ttype).put("position", p).toString
       }
       respond(ex, 200, s"""{"tokens": [${toks.mkString(", ")}]}""")
     }

@@ -136,7 +136,8 @@ object Search {
                           runTs: String, query: String, limit: Int = 100,
                           bestFields: Boolean = false,
                           bm25: Boolean = true,
-                          after: Option[(Double, String, String)] = None)
+                          after: Option[(Double, String, String)] = None,
+                          only: Seq[String] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.types.StringType
     import graft.catalog.EntityCatalog
@@ -155,8 +156,13 @@ object Search {
     // scores are non-negative, so best_fields' greatest is unchanged),
     // stats divisions are the same exact-integer-sum ÷ count, and
     // rounding happens once — the oracle is shared verbatim.
-    val specs = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-    val union = EntityCatalog.unionDocuments(spark, srcDir, runTs)
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    // `only` restricts the wildcard to a comma-list's entity subset —
+    // same per-index statistics, fewer stacked branches
+    val specs =
+      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
+    require(specs.nonEmpty, "no entities to search")
+    val union = EntityCatalog.unionDocuments(spark, srcDir, runTs, only)
     // entity-major (entity, field) pairs, schema order within entity —
     // the per-entity path's exact field order
     val pairs: Seq[(String, String)] = specs.flatMap { spec =>
@@ -273,10 +279,15 @@ object Search {
                                  query: String, limit: Int = 100,
                                  bestFields: Boolean = false,
                                  bm25: Boolean = true,
-                                 after: Option[(Double, String, String)] = None)
+                                 after: Option[(Double, String, String)] = None,
+                                 only: Seq[String] = Nil)
       : DataFrame = {
     import graft.catalog.EntityCatalog
-    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs =
+      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
+    require(specs.nonEmpty, "no entities to search")
+    val branches = specs
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -303,9 +314,14 @@ object Search {
   def acrossIndexesPhraseIndexed(spark: SparkSession, indexRoot: String,
                                  phraseQuery: String, limit: Int = 100,
                                  after: Option[(Double, String, String)] =
-                                   None, slop: Int = 0): DataFrame = {
+                                   None, slop: Int = 0,
+                                  only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs =
+      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
+    require(specs.nonEmpty, "no entities to search")
+    val branches = specs
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -330,9 +346,14 @@ object Search {
                                     minMatch: Int = Int.MaxValue,
                                     limit: Int = 100,
                                     after: Option[(Double, String, String)] =
-                                      None): DataFrame = {
+                                      None,
+                                  only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs =
+      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
+    require(specs.nonEmpty, "no entities to search")
+    val branches = specs
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -356,9 +377,14 @@ object Search {
                                 after: Option[(Double, String, String)] =
                                   None, prefixLength: Int = 0,
                                 maxExpansions: Option[Int] = None,
-                                transpositions: Boolean = true): DataFrame = {
+                                transpositions: Boolean = true,
+                                  only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val branches = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    val specs =
+      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
+    require(specs.nonEmpty, "no entities to search")
+    val branches = specs
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }

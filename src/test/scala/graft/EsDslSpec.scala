@@ -53,6 +53,30 @@ class EsDslSpec extends SparkSpec {
     assert(filtered.map(_.getAs[Double]("_score")).toSeq == Seq(0.5, 0.0))
   }
 
+  test("analyzer knob: \"standard\"/\"default\" accepted (it IS the " +
+    "engine's chain), language analyzers reject by name") {
+    import spark.implicits._
+    val d = docs
+    def ids(body: String) =
+      EsDsl.search(d, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids("""{"query": {"match": {"text": {"query": "window",
+      "analyzer": "standard"}}}}""") ==
+      ids("""{"query": {"match": {"text": "window"}}}"""))
+    assert(ids("""{"query": {"multi_match": {"query": "window",
+      "fields": ["text"], "analyzer": "default"}}}""").nonEmpty)
+    assert(ids("""{"query": {"match_phrase": {"text": {"query":
+      "window batch", "analyzer": "standard"}}}}""") == Set(1L))
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"match": {"text": {"query": "window",
+        "analyzer": "english"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"multi_match": {"query": "window",
+        "fields": ["text"], "analyzer": "whitespace"}}}""")
+    }
+  }
+
   test("scripted_metric: sum-fold family computes; everything " +
     "outside the shape rejects by name (non-zero seed, list state, " +
     "non-sum reduce, unseeded accumulators)") {
@@ -215,9 +239,11 @@ class EsDslSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("_score")).toSet
     assert(bb == Set(4.0), s"bool boost: $bb")
     // silently-dropped result-changing knobs now reject by name
+    // (analyzer "standard" is accepted since round 11 — it IS the
+    // engine's chain; a language analyzer still rejects)
     intercept[IllegalArgumentException] {
       q("""{"query": {"match": {"text": {"query": "x",
-        "analyzer": "standard"}}}}""")
+        "analyzer": "french"}}}}""")
     }
     intercept[IllegalArgumentException] {
       q("""{"query": {"range": {"n": {"gte": 1,

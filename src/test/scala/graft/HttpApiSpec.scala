@@ -136,6 +136,23 @@ class HttpApiSpec extends SparkSpec
     assert(post("/search/analyze",
       """{"text": "x", "analyzer": "french"}""").statusCode() == 400)
     assert(post("/search/analyze", """{}""").statusCode() == 400)
+    // explicit standard == the default; whitespace = raw \S+ tokens,
+    // NO lowercase (ES's whitespace analyzer)
+    val std = post("/search/analyze",
+      """{"text": "The Window,x", "analyzer": "standard"}""")
+    val stdToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(std.body()).get("tokens")
+    assert(stdToks.size == 3 &&
+      stdToks.get(0).get("token").asText == "the" &&
+      stdToks.get(1).get("token").asText == "window" &&
+      stdToks.get(2).get("token").asText == "x")
+    val ws = post("/search/analyze",
+      """{"text": "The Window,x", "analyzer": "whitespace"}""")
+    val wsToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(ws.body()).get("tokens")
+    assert(wsToks.size == 2 &&
+      wsToks.get(0).get("token").asText == "The" &&
+      wsToks.get(1).get("token").asText == "Window,x")
   }
 
   test("POST /search/mget returns docs in request order with found " +
@@ -957,6 +974,42 @@ class HttpApiSpec extends SparkSpec
     assert(zero.body() == """{"deleted": 0}""")
     assert(spark.read.parquet(s"$outDir/supplier/data").count()
       == before - 1)
+  }
+
+  test("comma-separated multi-index targets: per-index ranking over " +
+    "the named entity subset on /search and /search/advanced; " +
+    "unknown components 404") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pair = post("/search",
+      """{"search_term": "small error household",
+        | "index": "customer,part", "rank": "bm25"}""".stripMargin)
+    assert(pair.statusCode() == 200, pair.body())
+    val tables = om.readTree(pair.body()).get("hits").get("hits")
+    val seen = (0 until tables.size)
+      .map(i => tables.get(i).get("table").asText).toSet
+    assert(seen == Set("customer", "part"), seen)
+    // advanced multi_match body over the same comma target: same route
+    val adv = post("/search/advanced",
+      """{"index": "customer,part",
+        | "query": {"multi_match": {"query": "small error household"}},
+        | "size": 100}""".stripMargin)
+    assert(adv.statusCode() == 200, adv.body())
+    val advTables = om.readTree(adv.body()).get("hits").get("hits")
+    assert((0 until advTables.size)
+      .map(i => advTables.get(i).get("table").asText).toSet ==
+      Set("customer", "part"))
+    // a filter-context body over the comma target rides the union
+    // subset view (count = the two entities' doc counts)
+    val cnt = post("/search/count",
+      """{"index": "customer,part"}""")
+    assert(cnt.statusCode() == 200, cnt.body())
+    assert(om.readTree(cnt.body()).get("count").asLong > 0)
+    // unknown component -> 404 naming it
+    val bad404 = post("/search",
+      """{"search_term": "x", "index": "customer,nope"}""")
+    assert(bad404.statusCode() == 404 && bad404.body().contains("nope"))
+    assert(post("/search/count",
+      """{"index": "customer,nope"}""").statusCode() == 404)
   }
 
   test("index aliases resolve on every search surface and on the " +
