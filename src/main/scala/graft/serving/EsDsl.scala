@@ -3056,7 +3056,8 @@ object EsDsl {
         bad("fuzzy is term-level (one term); use match with fuzziness " +
           "for analyzed text")
       boosted(matchClause(ctx, value, Seq(f -> 1.0), "or",
-        minMatch = None, bestFields = false, Some(fz), knobs), fzBoost)
+        minMatch = None, bestFields = false, Some(fz), knobs,
+        rawTerm = true), fzBoost)
 
     // ── span family (Lucene positional algebra; reference clients
     // forward these verbatim, src/search_api.py:38-46). Leaves are
@@ -7042,12 +7043,19 @@ object EsDsl {
                           bestFields: Boolean,
                           fuzziness: Option[String],
                           knobs: (Int, Option[Int], Boolean) =
-                            (0, None, true)): Clause = {
+                            (0, None, true),
+                          rawTerm: Boolean = false): Clause = {
     import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
     val (prefixLength, maxExpansions, transpositions) = knobs
-    val terms = graft.functions.TextFunctions.analyzeText(text)
-      .distinct.toSeq
-    if (terms.isEmpty) bad("empty match query")
+    // rawTerm = the term-level `fuzzy` clause: Lucene's FuzzyQuery
+    // term is NOT analyzed (only lowercased here, the engine's token
+    // case) — analyzing would split a punctuated value like
+    // "foo-bar" into OR'd per-word fuzzy matches ES never runs
+    val terms =
+      if (rawTerm) Seq(text.trim.toLowerCase).filter(_.nonEmpty)
+      else graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
+    if (terms.isEmpty)
+      bad(if (rawTerm) "empty fuzzy value" else "empty match query")
     // capped expansion sets (ES max_expansions), one per query term,
     // derived from this request's target frame — bounded driver work
     lazy val expSets: Map[String, Seq[String]] = fuzziness match {

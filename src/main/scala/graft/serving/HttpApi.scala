@@ -1862,6 +1862,11 @@ final class HttpApi(
         unknown.mkString(", "))
     val target = textOr(req, "index", "")
     if (target.isEmpty) auxBad("alias needs \"index\"")
+    // the NAME itself must not be routable syntax: '*'/'_*' would
+    // hijack every defaulted wildcard request, ',' breaks comma-list
+    // parsing (ES rejects '*' and ',' in alias names too)
+    if (alias.isEmpty || alias.contains("*") || alias.contains(","))
+      auxBad(s"invalid alias name '$alias' ('*' and ',' are reserved)")
     if (Tables.names.contains(alias) ||
         EntityCatalog.entities.contains(alias))
       auxBad(s"'$alias' is a real index name — aliases may not shadow")

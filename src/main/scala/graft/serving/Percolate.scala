@@ -110,6 +110,13 @@ object Percolate {
             val child = if (path.isEmpty) name else s"$path.$name"
             walk(child, n.get(name), slot)
           }
+        } else if (k == "array") {
+          // element kinds conflict the same way scalars do (a numeric
+          // array in one doc vs a string array in another widens to
+          // array<string> — lexicographic comparisons for both); the
+          // shared "[]" path also catches MIXED types inside one array
+          val it = n.elements()
+          while (it.hasNext) walk(s"$path[]", it.next(), slot)
         }
       }
     }
@@ -144,13 +151,17 @@ object Percolate {
   def matches(spark: SparkSession, queries: Seq[(String, JsonNode)],
               documents: Seq[JsonNode]): Seq[(String, Seq[Long])] = {
     checkCount(queries.size)
-    // validate the request documents BEFORE the empty-query early
-    // return: a malformed document must 400 whether the store holds
-    // zero queries or a thousand — same contract either way
-    if (documents.isEmpty) bad("percolate needs at least one document")
-    documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
-    checkTypeConflicts(documents)
-    if (queries.isEmpty) return Nil
+    if (queries.isEmpty) {
+      // validate the request documents even on the empty-query early
+      // return: a malformed document must 400 whether the store holds
+      // zero queries or a thousand (documentFrame validates on the
+      // non-empty path, so this runs the checks exactly once)
+      if (documents.isEmpty)
+        bad("percolate needs at least one document")
+      documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
+      checkTypeConflicts(documents)
+      return Nil
+    }
     val docs = documentFrame(spark, documents)
     val (marked, preds) = EsDsl.percolatePreds(docs, queries.map(_._2))
     val aggCols: Seq[Column] = preds.zipWithIndex.map { case (p, i) =>

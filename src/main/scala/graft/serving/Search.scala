@@ -162,16 +162,22 @@ object Search {
     val specs =
       if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
     require(specs.nonEmpty, "no entities to search")
-    val union = EntityCatalog.unionDocuments(spark, srcDir, runTs, only)
+    // each entity's document pipeline is built ONCE and serves both
+    // the union frame and the field-list derivation (building a
+    // second throwaway pipeline per entity just to read its schema
+    // doubled the driver-side analysis cost per request)
+    val specDocs = specs.map(spec => spec -> EntityCatalog.pipeline(
+      graft.sources.Tables(spark, srcDir, spec.name), spec, runTs))
+    val union = specDocs.map(_._2)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // entity-major (entity, field) pairs, schema order within entity —
     // the per-entity path's exact field order
-    val pairs: Seq[(String, String)] = specs.flatMap { spec =>
-      val docs = EntityCatalog.pipeline(
-        graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
-      docs.schema.fields
-        .filter(_.dataType == StringType)
-        .map(_.name).filterNot(Set("table", "document_id"))
-        .map(spec.name -> _)
+    val pairs: Seq[(String, String)] = specDocs.flatMap {
+      case (spec, docs) =>
+        docs.schema.fields
+          .filter(_.dataType == StringType)
+          .map(_.name).filterNot(Set("table", "document_id"))
+          .map(spec.name -> _)
     }
     val entityIdx = specs.map(_.name).zipWithIndex.toMap
     def gate(e: String): Column = col("table") === e

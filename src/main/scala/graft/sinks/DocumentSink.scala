@@ -221,6 +221,18 @@ object DocumentSink {
     val tmpPath =
       s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
+    // incremental index maintenance: the SAME replace-by-id batch
+    // delta-updates the adjacent search index (df/n/sumdl integer
+    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
+    // upsert path (REST insert, batch, re-sync, streaming changelog,
+    // update_by_query) funnels through here, so the index tracks all
+    // of them. This runs BEFORE the data swap: `batch` may be a lazy
+    // plan over the CURRENT data generation (update_by_query derives
+    // its rewritten rows from the store), and evaluating it after
+    // swapIn would read deleted files — pre-swap evaluation also pins
+    // the honest snapshot semantics (the match set as of the request).
+    if (SearchIndex.exists(s"$path/_search_index"))
+      SearchIndex.upsert(batch, s"$path/_search_index")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
@@ -228,13 +240,6 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
-    // incremental index maintenance: the SAME replace-by-id batch
-    // delta-updates the adjacent search index (df/n/sumdl integer
-    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
-    // upsert path (REST insert, batch, re-sync, streaming changelog)
-    // funnels through here, so the index tracks all of them.
-    if (SearchIndex.exists(s"$path/_search_index"))
-      SearchIndex.upsert(batch, s"$path/_search_index")
     n
   }
 
@@ -253,6 +258,14 @@ object DocumentSink {
     val tmpPath =
       s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
+    // index subtraction BEFORE the data swap: `ids` is typically a
+    // lazy match-set plan over the CURRENT data generation
+    // (delete_by_query), and evaluating it after swapIn would read
+    // deleted files — the pre-swap order evaluates the honest
+    // pre-delete snapshot
+    if (SearchIndex.exists(s"$path/_search_index"))
+      SearchIndex.upsert(existing.limit(0),
+        Some(ids.select("document_id")), s"$path/_search_index")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
@@ -260,9 +273,6 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
-    if (SearchIndex.exists(s"$path/_search_index"))
-      SearchIndex.upsert(existing.limit(0),
-        Some(ids.select("document_id")), s"$path/_search_index")
     n
   }
 

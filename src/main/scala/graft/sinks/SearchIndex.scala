@@ -807,6 +807,11 @@ object SearchIndex {
     gcGenerations(path, keep = gen2)
   }
 
+  /** Version history: 2 = whitespace tokens + plain Levenshtein;
+    * 3 = standard-analyzer tokens + Damerau fuzzy (round 11). Bumping
+    * invalidates pre-change on-disk indexes so they REBUILD instead of
+    * silently serving mismatched postings against analyzer-tokenized
+    * queries. */
   /** Does `path` hold a CURRENT-layout index (sidecar present, version
     * ≥ 2 = generation-pointer layout with positional postings)? Upsert
     * hooks use this to maintain an index only where one was built; a
@@ -819,7 +824,7 @@ object SearchIndex {
           .readTree(new String(
             Files.readAllBytes(Paths.get(s"$path/_index_meta.json")),
             StandardCharsets.UTF_8))
-        node.hasNonNull("gen") && node.get("version").asInt() >= 2
+        node.hasNonNull("gen") && node.get("version").asInt() >= 3
       } catch { case _: Exception => false })
 
   /** Best-effort removal of stale generation directories — crash
@@ -854,7 +859,7 @@ object SearchIndex {
   private def writeMeta(path: String, meta: Meta): Unit = {
     val json = s"""{"id_col": "${meta.idCol}", "fields": [${
       meta.fields.map(f => s""""$f"""").mkString(", ")
-    }], "gen": ${meta.gen}, "version": 2}"""
+    }], "gen": ${meta.gen}, "version": 3}"""
     val target = Paths.get(s"$path/_index_meta.json")
     Files.createDirectories(target.getParent)
     val tmp = Paths.get(s"$path/._index_meta_tmp_${

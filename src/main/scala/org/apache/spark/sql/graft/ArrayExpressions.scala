@@ -564,9 +564,11 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 }
 
 object DamerauLevenshtein {
-  /** Lowrance–Wagner DP over code points. `da` maps each code point to
-    * the last row where it occurred; the (maxDist+2)-row trick is not
-    * used — fuzzy terms are short tokens, the full table is cheap. */
+  /** Lowrance–Wagner DP over chars: one FLAT int table plus two small
+    * parallel arrays for the last-occurrence map (fuzzy terms are
+    * short tokens, so a linear scan over ≤len distinct chars beats a
+    * boxed HashMap on the per-token hot path — no boxing, two array
+    * allocations per call). */
   def compute(au: UTF8String, bu: UTF8String): Int = {
     val a = au.toString
     val b = bu.toString
@@ -575,36 +577,51 @@ object DamerauLevenshtein {
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = inf
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
     var i = 0
-    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last row each char of `a` occurred at: parallel (char, row)
+    // arrays, linear probe — at most la entries
+    val daChars = new Array[Char](la)
+    val daRows = new Array[Int](la)
+    var daN = 0
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = {
-          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue()
+        val bc = b.charAt(j - 1)
+        var k = 0
+        var p = 0
+        while (p < daN) {
+          if (daChars(p) == bc) { k = daRows(p); p = daN } else p += 1
         }
         val l = db
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
-          else 1
-        var m = d(i)(j) + cost                       // substitute / match
-        if (d(i + 1)(j) + 1 < m) m = d(i + 1)(j) + 1 // insert
-        if (d(i)(j + 1) + 1 < m) m = d(i)(j + 1) + 1 // delete
-        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transpose
+        val cost = if (a.charAt(i - 1) == bc) { db = j; 0 } else 1
+        var m = d(i * w + j) + cost                       // substitute
+        if (d((i + 1) * w + j) + 1 < m) m = d((i + 1) * w + j) + 1 // ins
+        if (d(i * w + j + 1) + 1 < m) m = d(i * w + j + 1) + 1     // del
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)      // swap
         if (tr < m) m = tr
-        d(i + 1)(j + 1) = m
+        d((i + 1) * w + j + 1) = m
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      // record/refresh a's char -> current row
+      val ac = a.charAt(i - 1)
+      var p = 0
+      var found = false
+      while (p < daN && !found) {
+        if (daChars(p) == ac) { daRows(p) = i; found = true }
+        p += 1
+      }
+      if (!found) { daChars(daN) = ac; daRows(daN) = i; daN += 1 }
       i += 1
     }
-    d(la + 1)(lb + 1)
+    d((la + 1) * w + lb + 1)
   }
 }
 

@@ -53,6 +53,26 @@ class EsDslSpec extends SparkSpec {
     assert(filtered.map(_.getAs[Double]("_score")).toSeq == Seq(0.5, 0.0))
   }
 
+  test("term-level fuzzy is UNANALYZED (one raw lowercased term): a " +
+    "punctuated value does not split into per-word fuzzy matches") {
+    import spark.implicits._
+    val df = Seq((1L, "fooxbar here"), (2L, "foo alone"),
+      (3L, "bar alone")).toDF("doc_id", "text")
+    def ids(body: String) =
+      EsDsl.search(df, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSet
+    // 'foo-bar' stays one term: fooxbar is 1 edit away; plain 'foo'
+    // (4 edits) and 'bar' (4 edits) are NOT within budget — analyzed
+    // per-word fuzzy would have matched docs 2 and 3
+    assert(ids("""{"query": {"fuzzy": {"text": {"value": "FOO-bar",
+      "fuzziness": "1"}}}}""") == Set(1L))
+    // pure punctuation is an empty fuzzy value — named 400
+    val e = intercept[IllegalArgumentException] {
+      ids("""{"query": {"fuzzy": {"text": {"value": "  "}}}}""")
+    }
+    assert(e.getMessage.contains("fuzzy"))
+  }
+
   test("analyzer knob: \"standard\"/\"default\" accepted (it IS the " +
     "engine's chain), language analyzers reject by name") {
     import spark.implicits._
