@@ -3709,7 +3709,7 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match", spec, Set("query", "operator",
           "fuzziness", "prefix_length", "max_expansions",
-          "transpositions", "minimum_should_match", "analyzer"))
+          "fuzzy_transpositions", "minimum_should_match", "analyzer"))
       else 1.0
       val (text, operator, fuzziness) =
         if (spec.isObject)
@@ -3730,7 +3730,7 @@ object EsDsl {
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
-        "transpositions", "analyzer"))
+        "fuzzy_transpositions", "analyzer"))
       analyzerKnob(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
@@ -7028,9 +7028,15 @@ object EsDsl {
     me.foreach(n => if (n <= 0 || n > Search.MaxExpansionsCeiling)
       bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
     // ES defaults transpositions to TRUE (Damerau — an adjacent swap
-    // is one edit); explicit false selects plain Levenshtein. A
-    // non-boolean node would silently coerce — reject by type.
-    val tr = spec.flatMap(s => Option(s.get("transpositions"))).map { n =>
+    // is one edit); explicit false selects plain Levenshtein. The
+    // knob is spelled `transpositions` on the term-level fuzzy query
+    // and `fuzzy_transpositions` on the match family — each clause's
+    // key allowlist admits only its own spelling, so reading either
+    // here cannot cross-accept. A non-boolean node would silently
+    // coerce — reject by type.
+    val tr = spec.flatMap(s =>
+      Option(s.get("transpositions"))
+        .orElse(Option(s.get("fuzzy_transpositions")))).map { n =>
       if (!n.isBoolean) bad("transpositions must be a boolean")
       n.asBoolean
     }.getOrElse(true)

@@ -282,6 +282,22 @@ final class HttpApi(
     if (term.isEmpty) {
       respond(ex, 400, """{"error": "search_term is required"}"""); return
     }
+    // every token-based rank mode analyzes the term (standard
+    // analyzer); a term of pure punctuation has no tokens to rank by
+    // — named 400 (the engine's empty-match convention), never a 500.
+    // The default substring scorer still serves it (q1 semantics).
+    val tokenMode = textOr(req, "rank", "") == "bm25" ||
+      textOr(req, "rank", "") == "tfidf" ||
+      textOr(req, "type", "") == "phrase" ||
+      textOr(req, "operator", "or") == "and" ||
+      req.hasNonNull("minimum_should_match") ||
+      req.hasNonNull("fuzziness")
+    if (tokenMode &&
+        graft.functions.TextFunctions.analyzeText(term).isEmpty) {
+      respond(ex, 400, """{"error": "search_term analyzes to no """ +
+        """tokens (punctuation only)"}""")
+      return
+    }
     val index = resolveIndex(textOr(req, "index", "documents"))
     // "*" (or the reference's "data_lake_*") = search EVERY entity index
     // at once — es_connector.py:85-95 defaults to exactly this
@@ -1955,10 +1971,13 @@ final class HttpApi(
     val updated = assigns.foldLeft(matched) { case (d, (f, c)) =>
       // preserve the column's stored type: ES keeps the mapping
       d.withColumn(f, c.cast(d.schema(f).dataType))
-    }
-    val n = updated.count()
-    if (n > 0) DocumentSink.upsert(updated, s"$outDir/${spec.name}")
-    respond(ex, 200, s"""{"updated": $n}""")
+    }.persist() // count + data rewrite + index delta pay the match
+                // query ONCE, and the snapshot is pinned pre-mutation
+    try {
+      val n = updated.count()
+      if (n > 0) DocumentSink.upsert(updated, s"$outDir/${spec.name}")
+      respond(ex, 200, s"""{"updated": $n}""")
+    } finally { updated.unpersist(); () }
   }
 
   /** POST /{entity}/delete_by_query — ES `_delete_by_query`: drop
@@ -1969,10 +1988,12 @@ final class HttpApi(
                             req: JsonNode): Unit = {
     val df = index(spec.name).getOrElse(
       auxBad(s"no synced index for '${spec.name}'"))
-    val ids = EsDsl.matchingIds(df, req, "document_id")
-    val n = ids.count()
-    if (n > 0) DocumentSink.deleteByIds(ids, s"$outDir/${spec.name}")
-    respond(ex, 200, s"""{"deleted": $n}""")
+    val ids = EsDsl.matchingIds(df, req, "document_id").persist()
+    try {
+      val n = ids.count()
+      if (n > 0) DocumentSink.deleteByIds(ids, s"$outDir/${spec.name}")
+      respond(ex, 200, s"""{"deleted": $n}""")
+    } finally { ids.unpersist(); () }
   }
 
   /** POST /{entity}/sync — `{"id": ...}`: re-read the record from the

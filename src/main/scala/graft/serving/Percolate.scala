@@ -84,6 +84,14 @@ object Percolate {
     if (d.has(SlotCol)) bad(s"document field $SlotCol is reserved")
   }
 
+  /** The one validation pass every percolate request runs: presence,
+    * per-document structure, cross-document type conflicts. */
+  private def validateDocuments(documents: Seq[JsonNode]): Unit = {
+    if (documents.isEmpty) bad("percolate needs at least one document")
+    documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
+    checkTypeConflicts(documents)
+  }
+
   /** Reject cross-document TYPE conflicts by name: schema inference
     * merges all documents into one frame, and a field numeric in one
     * document but string in another would widen to string — flipping
@@ -131,9 +139,8 @@ object Percolate {
     * [[checkTypeConflicts]]). */
   private def documentFrame(spark: SparkSession,
                             documents: Seq[JsonNode]): DataFrame = {
-    if (documents.isEmpty) bad("percolate needs at least one document")
-    documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
-    checkTypeConflicts(documents)
+    // validation happens in [[validateDocuments]] (one site, run by
+    // matches() before any early return)
     val slotted = documents.zipWithIndex.map { case (d, i) =>
       val c = d.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
       c.put(SlotCol, i)
@@ -151,17 +158,11 @@ object Percolate {
   def matches(spark: SparkSession, queries: Seq[(String, JsonNode)],
               documents: Seq[JsonNode]): Seq[(String, Seq[Long])] = {
     checkCount(queries.size)
-    if (queries.isEmpty) {
-      // validate the request documents even on the empty-query early
-      // return: a malformed document must 400 whether the store holds
-      // zero queries or a thousand (documentFrame validates on the
-      // non-empty path, so this runs the checks exactly once)
-      if (documents.isEmpty)
-        bad("percolate needs at least one document")
-      documents.zipWithIndex.foreach { case (d, i) => checkDocument(d, i) }
-      checkTypeConflicts(documents)
-      return Nil
-    }
+    // ONE validation site, before any early return: a malformed
+    // document must 400 whether the store holds zero queries or a
+    // thousand
+    validateDocuments(documents)
+    if (queries.isEmpty) return Nil
     val docs = documentFrame(spark, documents)
     val (marked, preds) = EsDsl.percolatePreds(docs, queries.map(_._2))
     val aggCols: Seq[Column] = preds.zipWithIndex.map { case (p, i) =>

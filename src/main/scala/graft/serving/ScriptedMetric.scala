@@ -145,7 +145,7 @@ private[serving] object ScriptedMetric {
     // combine: `return state` (reduce folds a named field) or
     // `return state.<v>` (reduce folds the scalar)
     val combine = norm(sourceOf(body.get("combine_script"),
-      "combine_script"))
+      "combine_script")).stripSuffix(";").trim
     val combineVar: Option[String] = combine match {
       case "return state" | "state" => None
       case s if s.startsWith("return state.") =>

@@ -180,7 +180,17 @@ class EsDslSpec extends SparkSpec {
     assert(ids("""{"query": {"match": {"text": {"query": "abcd",
       "fuzziness": "1"}}}}""") == Seq(1L, 2L))
     assert(ids("""{"query": {"match": {"text": {"query": "abcd",
-      "fuzziness": "1", "transpositions": false}}}}""") == Seq(2L))
+      "fuzziness": "1", "fuzzy_transpositions": false}}}}""") == Seq(2L))
+    // ES's key naming is per-family: `transpositions` on match 400s
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"match": {"text": {"query": "abcd",
+        "transpositions": false}}}}""")
+    }
+    // ...and `fuzzy_transpositions` on the term-level fuzzy 400s
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"fuzzy": {"text": {"value": "abcd",
+        "fuzzy_transpositions": false}}}}""")
+    }
     // non-boolean transpositions rejects by type
     intercept[IllegalArgumentException] {
       ids("""{"query": {"fuzzy": {"text": {"value": "abcd",

@@ -976,6 +976,20 @@ class HttpApiSpec extends SparkSpec
       == before - 1)
   }
 
+  test("a punctuation-only search_term 400s by name on token-based " +
+    "rank modes and still serves the substring scorer") {
+    val r = post("/search",
+      """{"search_term": "!!!", "index": "documents", "rank": "bm25"}""")
+    assert(r.statusCode() == 400 && r.body().contains("tokens"), r.body())
+    assert(post("/search",
+      """{"search_term": "!!!", "index": "*",
+        | "type": "phrase"}""".stripMargin).statusCode() == 400)
+    // the default occurrence scorer is substring-based — still 200
+    assert(post("/search",
+      """{"search_term": "!!!", "index": "documents"}""")
+      .statusCode() == 200)
+  }
+
   test("comma-separated multi-index targets: per-index ranking over " +
     "the named entity subset on /search and /search/advanced; " +
     "unknown components 404") {
