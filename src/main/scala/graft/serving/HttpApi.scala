@@ -188,7 +188,12 @@ final class HttpApi(
         case ("GET", "entities" :: Nil) =>
           respond(ex, 200, EntityCatalog.entities.keys.toSeq.sorted
             .map(e => s""""$e"""").mkString("""{"entities": [""", ", ", "]}"))
-        case ("POST", "search" :: Nil) => search(ex, body(ex))
+        case ("POST", "search" :: Nil) =>
+          // aux: a caller error surfacing as IllegalArgumentException
+          // anywhere below (e.g. a future token-mode branch whose
+          // empty-terms require the explicit guard misses) is a 400,
+          // never a 500
+          aux(ex) { search(ex, body(ex)) }
         case ("POST", "search" :: "advanced" :: Nil) =>
           advancedSearch(ex, body(ex))
         case ("POST", "search" :: "scroll" :: Nil) =>

@@ -105,6 +105,10 @@ object Percolate {
       val k = kindOf(n)
       if (k != "null") {
         seen.get(path) match {
+          case Some((k0, s0)) if k0 != k && s0 == slot =>
+            bad(s"percolate document at slot $slot mixes types inside " +
+              s"'$path' ($k0 vs $k) — a mixed-type array cannot map " +
+              "to one typed column")
           case Some((k0, s0)) if k0 != k =>
             bad(s"percolate documents disagree on the type of field " +
               s"'$path' ($k0 at slot $s0 vs $k at slot $slot) — send " +

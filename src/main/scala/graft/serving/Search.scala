@@ -123,6 +123,22 @@ object Search {
           (col("document_id") === id && col("table") > tbl)))
     }.getOrElse(lit(true))
 
+  /** The entity subset a comma-list target names — name-sorted specs,
+    * unknown names FAIL LOUD (a silent filter would narrow the search
+    * scope without anyone noticing). Empty = every catalog entity. */
+  private def entitySubset(only: Seq[String])
+      : Seq[graft.catalog.EntitySpec] = {
+    import graft.catalog.EntityCatalog
+    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
+    if (only.isEmpty) specs0
+    else {
+      val unknown = only.filterNot(EntityCatalog.entities.contains)
+      require(unknown.isEmpty,
+        s"unknown entities: ${unknown.mkString(", ")}")
+      specs0.filter(sp => only.contains(sp.name))
+    }
+  }
+
   /** Cross-index RANKED retrieval — the `data_lake_*` wildcard under
     * ES's real scorer: every entity index is scored with ITS OWN
     * per-index, per-field statistics (exactly what ES does when a
@@ -156,12 +172,9 @@ object Search {
     // scores are non-negative, so best_fields' greatest is unchanged),
     // stats divisions are the same exact-integer-sum ÷ count, and
     // rounding happens once — the oracle is shared verbatim.
-    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
     // `only` restricts the wildcard to a comma-list's entity subset —
     // same per-index statistics, fewer stacked branches
-    val specs =
-      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
-    require(specs.nonEmpty, "no entities to search")
+    val specs = entitySubset(only)
     // each entity's document pipeline is built ONCE and serves both
     // the union frame and the field-list derivation (building a
     // second throwaway pipeline per entity just to read its schema
@@ -289,11 +302,7 @@ object Search {
                                  only: Seq[String] = Nil)
       : DataFrame = {
     import graft.catalog.EntityCatalog
-    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-    val specs =
-      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
-    require(specs.nonEmpty, "no entities to search")
-    val branches = specs
+    val branches = entitySubset(only)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -323,11 +332,7 @@ object Search {
                                    None, slop: Int = 0,
                                   only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-    val specs =
-      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
-    require(specs.nonEmpty, "no entities to search")
-    val branches = specs
+    val branches = entitySubset(only)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -355,11 +360,7 @@ object Search {
                                       None,
                                   only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-    val specs =
-      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
-    require(specs.nonEmpty, "no entities to search")
-    val branches = specs
+    val branches = entitySubset(only)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }
@@ -386,11 +387,7 @@ object Search {
                                 transpositions: Boolean = true,
                                   only: Seq[String] = Nil): DataFrame = {
     import graft.catalog.EntityCatalog
-    val specs0 = EntityCatalog.entities.values.toSeq.sortBy(_.name)
-    val specs =
-      if (only.isEmpty) specs0 else specs0.filter(s => only.contains(s.name))
-    require(specs.nonEmpty, "no entities to search")
-    val branches = specs
+    val branches = entitySubset(only)
       .map { spec =>
         val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
         val inclusive = after.exists { case (_, _, t) => spec.name > t }

@@ -221,18 +221,25 @@ object DocumentSink {
     val tmpPath =
       s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
-    // incremental index maintenance: the SAME replace-by-id batch
-    // delta-updates the adjacent search index (df/n/sumdl integer
-    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
-    // upsert path (REST insert, batch, re-sync, streaming changelog,
-    // update_by_query) funnels through here, so the index tracks all
-    // of them. This runs BEFORE the data swap: `batch` may be a lazy
-    // plan over the CURRENT data generation (update_by_query derives
-    // its rewritten rows from the store), and evaluating it after
-    // swapIn would read deleted files — pre-swap evaluation also pins
-    // the honest snapshot semantics (the match set as of the request).
-    if (SearchIndex.exists(s"$path/_search_index"))
-      SearchIndex.upsert(batch, s"$path/_search_index")
+    val idxPath = s"$path/_search_index"
+    val maintainIdx = SearchIndex.exists(idxPath)
+    // `batch` may be a LAZY plan over the current data generation
+    // (update_by_query derives its rewritten rows from the store), so
+    // it must be EVALUATED before the swap deletes those files — but
+    // the index COMMIT must stay after the swap (pre-swap commit
+    // would leave the index AHEAD of the store on a swap failure: an
+    // inconsistent mix, where a post-swap failure only leaves the
+    // index one consistent snapshot behind). Snapshotting the batch
+    // to a temp parquet decouples the two: evaluate pre-swap, commit
+    // post-swap from stable files. The extra write is batch-sized
+    // (the match set), never corpus-sized.
+    val batchSnap =
+      if (maintainIdx) {
+        val p0 = s"$path/.batch_tmp_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        batch.write.mode(SaveMode.Overwrite).parquet(p0)
+        Some(p0)
+      } else None
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
@@ -240,6 +247,24 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
+    // incremental index maintenance: the SAME replace-by-id batch
+    // delta-updates the adjacent search index (df/n/sumdl integer
+    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
+    // upsert path (REST insert, batch, re-sync, streaming changelog,
+    // update_by_query) funnels through here, so the index tracks all
+    // of them.
+    batchSnap.foreach { p0 =>
+      try SearchIndex.upsert(spark.read.parquet(p0), idxPath)
+      finally { fs.delete(new org.apache.hadoop.fs.Path(p0), true); () }
+    }
+    // a PRE-CURRENT-VERSION index (retired token grammar) no longer
+    // `exists` — rebuild it from the post-swap store with its own
+    // field list instead of silently orphaning it
+    if (!maintainIdx && SearchIndex.staleVersion(idxPath)) {
+      val meta = SearchIndex.readMeta(idxPath)
+      SearchIndex.build(spark.read.parquet(dataPath), meta.fields,
+        meta.idCol, idxPath)
+    }
     n
   }
 
@@ -258,14 +283,18 @@ object DocumentSink {
     val tmpPath =
       s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
-    // index subtraction BEFORE the data swap: `ids` is typically a
-    // lazy match-set plan over the CURRENT data generation
-    // (delete_by_query), and evaluating it after swapIn would read
-    // deleted files — the pre-swap order evaluates the honest
-    // pre-delete snapshot
-    if (SearchIndex.exists(s"$path/_search_index"))
-      SearchIndex.upsert(existing.limit(0),
-        Some(ids.select("document_id")), s"$path/_search_index")
+    val idxPath = s"$path/_search_index"
+    val maintainIdx = SearchIndex.exists(idxPath)
+    // same evaluate-pre-swap / commit-post-swap split as [[upsert]]:
+    // `ids` is a lazy match-set plan over the current generation
+    val idsSnap =
+      if (maintainIdx) {
+        val p0 = s"$path/.ids_tmp_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        ids.select("document_id").write
+          .mode(SaveMode.Overwrite).parquet(p0)
+        Some(p0)
+      } else None
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
@@ -273,6 +302,16 @@ object DocumentSink {
     writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
+    idsSnap.foreach { p0 =>
+      try SearchIndex.upsert(spark.read.parquet(dataPath).limit(0),
+        Some(spark.read.parquet(p0)), idxPath)
+      finally { fs.delete(new org.apache.hadoop.fs.Path(p0), true); () }
+    }
+    if (!maintainIdx && SearchIndex.staleVersion(idxPath)) {
+      val meta = SearchIndex.readMeta(idxPath)
+      SearchIndex.build(spark.read.parquet(dataPath), meta.fields,
+        meta.idCol, idxPath)
+    }
     n
   }
 

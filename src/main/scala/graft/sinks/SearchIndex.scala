@@ -827,6 +827,22 @@ object SearchIndex {
         node.hasNonNull("gen") && node.get("version").asInt() >= 3
       } catch { case _: Exception => false })
 
+  /** Is there a PRE-CURRENT-version index at `path` (sidecar present
+    * and well-formed, version below the current layout)? Such an
+    * index no longer [[exists]] — its postings use a retired token
+    * grammar — but its meta (fields, id column) is still readable, so
+    * maintenance paths can REBUILD it from the store instead of
+    * silently orphaning it. */
+  def staleVersion(path: String): Boolean =
+    Files.exists(Paths.get(s"$path/_index_meta.json")) &&
+      (try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(
+            Files.readAllBytes(Paths.get(s"$path/_index_meta.json")),
+            StandardCharsets.UTF_8))
+        node.hasNonNull("gen") && node.get("version").asInt() < 3
+      } catch { case _: Exception => false })
+
   /** Best-effort removal of stale generation directories — crash
     * orphans and generations older than the one just replaced. The
     * JUST-REPLACED generation (`keep - 1`) is deliberately kept for one
