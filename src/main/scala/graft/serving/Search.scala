@@ -26,7 +26,17 @@ object Search {
     * offsets the Spark-side scan never needs but the `_analyze` /
     * `_termvectors` APIs report: (token, start_offset, end_offset,
     * position) per token, offsets into the ORIGINAL text (ES's
-    * contract — the token is lowercased, the offsets are not). */
+    * contract — the token is lowercased, the offsets are not).
+    *
+    * Documented edge: segmentation here runs on the ORIGINAL-case
+    * text (offsets must index it), while the scan path segments the
+    * lowercased text. The two differ only when lowercasing CHANGES a
+    * character's token-class membership (e.g. Turkish dotted capital
+    * İ lowercases to i + combining dot, a mark outside the class) —
+    * for such exotic inputs the reported tokens may split differently
+    * from the indexed ones; faithful offsets and faithful tokens are
+    * mutually exclusive there, and ES's own offset contract picks the
+    * original text too. */
   private[graft] def analyzeWithOffsets(text: String)
       : Seq[(String, Int, Int, Int)] = {
     val m = java.util.regex.Pattern
