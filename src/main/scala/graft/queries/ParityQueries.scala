@@ -977,6 +977,19 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // ... and the DSL front door with statsIndex (round 11): the SAME
+    // verbatim match_phrase body, but the phrase-BM25 STATISTICS
+    // (n/avgdl/df) come from fieldstats/termstats instead of a corpus
+    // aggregate — one corpus scan total (the positional hit path),
+    // down from two. Shares q7_esdsl_phrase_bm25's oracle.
+    "q7_esdsl_phrase_stats_probe" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": "the window"}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
     // match_phrase slop through the DSL translator (round 9): the same
     // ordered-proximity semantics as q2_search_phrase_slop, arriving in
     // a verbatim ES body; count-valued scores cast to _score doubles.
@@ -3829,6 +3842,7 @@ object ParityQueries {
     "q2_search_phrase_indexed" -> phraseOracleSql,
     "q7_esdsl_phrase_bm25" -> phraseBm25Sql,
     "q7_esdsl_phrase_bm25_indexed" -> phraseBm25Sql,
+    "q7_esdsl_phrase_stats_probe" -> phraseBm25Sql,
     "q2_search_phrase_slop" -> slopOracleSql,
     "q2_search_phrase_slop_indexed" -> slopOracleSql,
     "q7_esdsl_phrase_slop" -> (

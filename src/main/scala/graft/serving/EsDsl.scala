@@ -537,7 +537,23 @@ object EsDsl {
       * cross-joined into the hit path by [[searchParts]]. */
     def phraseStatsFrame: Option[DataFrame] =
       if (!phbUsed) None
-      else {
+      else statsIndex
+        .filter(graft.sinks.SearchIndex.exists)
+        .filter(p => {
+          val indexed = graft.sinks.SearchIndex.readMeta(p).fields.toSet
+          phbFields.forall(indexed.contains)
+        }) match {
+      case Some(p) =>
+        // the statistics live in the write-time index: n/sumdl in
+        // fieldstats, per-(field, term) doc frequency in termstats —
+        // integer-identical to the corpus aggregate below (the index
+        // maintains the same exact integer sums; SearchIndexSpec pins
+        // probe == rebuild), so the phrase scores stay bit-identical
+        // while the stats pass costs two tiny index reads instead of
+        // a corpus scan
+        Some(graft.sinks.SearchIndex.phraseStats(df.sparkSession, p,
+          phbFields.toSeq, phbTerms.toSeq))
+      case None =>
         val aggs =
           phbFields.toSeq.zipWithIndex.map { case (f, fi) =>
             sum(graft.functions.TextFunctions.analyzerTokenCount(
@@ -552,7 +568,7 @@ object EsDsl {
             (col(s"__phb_sumdl_$fi").cast("double") / col("__phb_n"))
               .as(s"__phb_avgdl_$fi")) ++
            phbTerms.indices.map(ti => col(s"__phb_df_$ti"))): _*))
-      }
+    }
 
     /** The ONE (sid, per-clause score) frame of every queued clause —
       * None when the body had no match-family clause. Built AFTER the

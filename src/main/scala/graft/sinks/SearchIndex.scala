@@ -807,6 +807,51 @@ object SearchIndex {
     gcGenerations(path, keep = gen2)
   }
 
+  /** The single-row phrase-BM25 statistics frame EsDsl's phrase
+    * clauses reference (`__phb_n`, `__phb_avgdl_<fi>`, `__phb_df_<ti>`
+    * — fi/ti = positions in `fields`/`terms`), served from
+    * fieldstats/termstats instead of a corpus aggregate. Values are
+    * the SAME exact integers the scan-path aggregate computes (n and
+    * sumdl are the index's maintained integer sums; df is the
+    * postings row count per (fid, term), i.e. docs holding the term),
+    * and avgdl is the identical long-over-long double division — so
+    * phrase scores stay bit-identical. Bounded driver artifact: the
+    * collects are |fields| + |terms| rows of tiny index tables. */
+  def phraseStats(spark: SparkSession, path: String,
+                  fields: Seq[String],
+                  terms: Seq[(String, String)]): DataFrame = {
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val fidOf = meta.fields.zipWithIndex.toMap
+    val missing = fields.filterNot(fidOf.contains)
+    require(missing.isEmpty,
+      s"fields not in index: ${missing.mkString(", ")}")
+    val fids = fields.map(fidOf)
+    val fsRows = spark.read.parquet(s"$dir/fieldstats")
+      .filter(col("fid").isin(fids: _*))
+      .select(col("fid"), col("n"), col("sumdl"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tsRows = spark.read.parquet(s"$dir/termstats")
+      .filter(col("fid").isin(fids.distinct: _*) &&
+        col("term").isin(terms.map(_._2).distinct: _*))
+      .select(col("fid"), col("term"), col("df_t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n: Long = fids.headOption.flatMap(fsRows.get).map(_._1)
+      .getOrElse(0L)
+    val cols: Seq[Column] =
+      lit(n).as("__phb_n") +:
+      (fields.indices.map { fi =>
+        val sumdl = fsRows.get(fids(fi)).map(_._2).getOrElse(0L)
+        (lit(sumdl).cast("double") / lit(n)).as(s"__phb_avgdl_$fi")
+      } ++
+      terms.zipWithIndex.map { case ((f, t), ti) =>
+        lit(tsRows.getOrElse((fidOf(f), t), 0L)).as(s"__phb_df_$ti")
+      })
+    spark.range(1).select(cols: _*)
+  }
+
   /** Version history: 2 = whitespace tokens + plain Levenshtein;
     * 3 = standard-analyzer tokens + Damerau fuzzy (round 11). Bumping
     * invalidates pre-change on-disk indexes so they REBUILD instead of

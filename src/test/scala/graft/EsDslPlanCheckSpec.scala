@@ -171,6 +171,30 @@ class EsDslPlanCheckSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("phrase statistics ride the index when statsIndex covers the " +
+    "field: exactly ONE corpus scan (the positional hit path) remains") {
+    val df = queries.ParityQueries.queries("q7_esdsl_phrase_stats_probe")(
+      spark, "/root/testdata/sf0.001")
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val corpusScans = "documents\\.parquet".r.findAllIn(plan).size
+      assert(corpusScans == 1,
+        s"phrase stats scanned the corpus $corpusScans times:\n${
+          plan.take(2000)}")
+    } finally spark.conf.set(key, saved)
+    // bit-identity with the corpus-aggregate route: same body, no
+    // statsIndex — identical hit rows and scores
+    val scan = queries.ParityQueries.queries("q7_esdsl_phrase_bm25")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.collect().toSeq == scan.collect().toSeq,
+      "index-served phrase stats diverged from the corpus aggregate")
+  }
+
   test("filter-context scoring clauses queue NOTHING: match and " +
     "match_phrase in filter position plan one corpus scan, no joins") {
     val json = new com.fasterxml.jackson.databind.ObjectMapper()
