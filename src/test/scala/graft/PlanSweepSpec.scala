@@ -23,12 +23,18 @@ class PlanSweepSpec extends SparkSpec {
     }
 
   /** Build sides that cannot grow with the corpus: a global aggregate
-    * (exactly one row) or a top-k/limit-bounded subtree. */
+    * (exactly one row), a top-k/limit-bounded subtree, or a literal
+    * ≤1-row leaf (range(1) / one-row local relation — the index-served
+    * statistics frames project driver-collected constants). */
   private def boundedRows(side: SparkPlan): Boolean =
     side.collectWithSubqueries {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
       case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case r: org.apache.spark.sql.execution.RangeExec
+          if r.range.numElements <= 1 => r
+      case lt: org.apache.spark.sql.execution.LocalTableScanExec
+          if lt.rows.lengthCompare(1) <= 0 => lt
     }.nonEmpty
 
   /** Deliberate broadcast-the-probes designs: the brute-force ANN tier
