@@ -19,9 +19,15 @@ import scala.util.control.NonFatal
   * Self-diagnosis fields (this box shares cores with the harness driver
   * and single runs have shown 2-10× contention noise — a 15k-row rollup
   * once measured 27 s):
-  *  - `"loadavg"`: 1-minute system load sampled before warmup, between
-  *    rounds, and after the last round — a poisoned run shows load far
-  *    above the 32 cores' idle baseline and is self-identifying.
+  *  - `"busy"`: EXTERNAL busy-cores sampled before each timed round
+  *    (/proc/stat busy fraction over a short idle window — see
+  *    [[externalBusyCores]]); every round waits, bounded, for this to
+  *    fall under [[QuietLoad]] before starting, so a round never
+  *    begins inside someone else's burst, and `"contaminated"` means
+  *    a round's wait timed out with the box still loaded.
+  *  - `"loadavg"`: 1-minute system load at the same points, kept for
+  *    continuity with earlier rounds' files (it carries our OWN tail
+  *    between rounds, so it reports but does not gate).
   *  - `"rounds"`: the RAW per-query samples of every timed round, so a
   *    reader can see whether the reported min came from two agreeing
   *    samples or one clean round next to a stalled one.
@@ -33,27 +39,63 @@ import scala.util.control.NonFatal
 object Bench {
   private val WarmupDir = "/root/testdata/sf0.001"
 
-  /** 1-min loadavg above this means another process is competing for
-    * the cores and the lap's numbers are not the plans' numbers. */
+  /** Busy CORES (not loadavg) above this means another process is
+    * competing for the cores and the round's numbers are not the
+    * plans' numbers. */
   private val QuietLoad = 1.5
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** Wait (bounded) for the box to go quiet before measuring — two
-    * consecutive rounds have been judged on laps polluted by a loaded
-    * box, so the requirement is now mechanical, not procedural.
-    * Returns the final pre-warmup load; the caller stamps
-    * `"contaminated": true` if it is still above [[QuietLoad]]. */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { line =>
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        // idle + iowait count as idle; everything else is busy
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (f.sum, idle)
+      } finally src.close()
+    } catch { case NonFatal(_) => None }
+
+  /** Cores busy RIGHT NOW, measured as the /proc/stat busy fraction
+    * over a short window while this JVM sits idle. The 1-minute
+    * loadavg cannot gate individual rounds: it carries the bench's
+    * OWN just-finished round for minutes (a 32-thread round leaves
+    * loadavg near the thread count long after the work stopped), so a
+    * between-round loadavg sample reads our tail, not the box. This
+    * window reads only what OTHER processes burn during the sleep.
+    * Falls back to loadavg where /proc/stat is unavailable. */
+  private def externalBusyCores(windowMs: Int = 1500): Double =
+    cpuJiffies() match {
+      case Some((t0, i0)) =>
+        Thread.sleep(windowMs)
+        cpuJiffies() match {
+          case Some((t1, i1)) if t1 > t0 =>
+            val busy = 1.0 - (i1 - i0).toDouble / (t1 - t0).toDouble
+            busy * Runtime.getRuntime.availableProcessors()
+          case _ => loadAvg()
+        }
+      case _ => loadAvg()
+    }
+
+  /** Wait (bounded) for the box to go quiet before measuring — rounds
+    * have been judged on laps polluted by a loaded box, so the
+    * requirement is mechanical, not procedural, and it gates EVERY
+    * round, not just the lap start (round 11's lap 3 carried a 50 s
+    * mid-lap interference spike that only best-of rescued). Returns
+    * the final pre-round busy-cores sample; the caller stamps
+    * `"contaminated": true` if any KEPT round started above
+    * [[QuietLoad]] (i.e. the wait timed out). */
   private def awaitQuiet(maxWaitSec: Int = 300): Double = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
-    var l = loadAvg()
+    var l = externalBusyCores()
     while (l > QuietLoad && System.nanoTime() < deadline) {
-      System.err.println(f"[bench] box loaded ($l%.2f > $QuietLoad); " +
-        "waiting for quiet before measuring")
-      Thread.sleep(15000)
-      l = loadAvg()
+      System.err.println(f"[bench] box loaded ($l%.2f busy cores > " +
+        f"$QuietLoad); waiting for quiet before measuring")
+      Thread.sleep(10000)
+      l = externalBusyCores()
     }
     l
   }
@@ -61,9 +103,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val preLoad = awaitQuiet()
-    val contaminated = preLoad > QuietLoad
     val spark = GraftSession("graft-bench")
-    val loads = scala.collection.mutable.ArrayBuffer(preLoad)
+    val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+    // pre-ROUND external-busy samples (cores): one per timed round,
+    // each taken after a bounded wait-for-quiet — the per-round gate
+    val busy = scala.collection.mutable.ArrayBuffer(preLoad)
     if (new java.io.File(WarmupDir).isDirectory && WarmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, WarmupDir).count() catch { case NonFatal(_) => () }
@@ -79,6 +123,10 @@ object Bench {
     // two rounds still disagree >3×, a third round breaks the tie.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def round(): Map[String, Double] = {
+      // per-round gate: wait (bounded) for other processes to go idle
+      // so a round never STARTS into someone else's burst; a timeout
+      // marks the lap contaminated via the recorded sample
+      busy += awaitQuiet(maxWaitSec = 120)
       loads += loadAvg()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -101,6 +149,9 @@ object Bench {
     }
     if (disputed) rounds += round()
     loads += loadAvg()
+    // a lap is contaminated iff some KEPT round's pre-gate timed out
+    // still loaded — the gate waited, the box never went quiet
+    val contaminated = busy.exists(_ > QuietLoad)
     val results = SparkEntry.queries.keys.map(n =>
       n -> rounds.map(_(n)).min).toMap
     def qjson(m: Map[String, Double]): String =
@@ -118,8 +169,9 @@ object Bench {
     // tail-truncating log capture ends on the honest best-of numbers,
     // not on a raw `rounds` sample that may hold one contention-noisy
     // lap (observed: a loadavg-3.6 lap with 2-3x inflated times)
+    val busyJson = busy.map(l => f"$l%.2f").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""rounds":$roundsJson,"loadavg":$loadsJson,""" +
+      s""""rounds":$roundsJson,"loadavg":$loadsJson,"busy":$busyJson,""" +
       s""""contaminated":$contaminated,""" +
       s""""cores":${Runtime.getRuntime.availableProcessors()}""" +
       s"""$errJson,"sf":"$sfDir","queries":$qs}"""
