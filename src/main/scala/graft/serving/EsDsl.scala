@@ -142,6 +142,12 @@ object EsDsl {
     * pair — neither alone is unique there). */
   private val SidCol = "__graft_sid__"
 
+  /** Intern-key prefix for an english-analyzed field in the shared
+    * scoring pass — keeps the same column's standard and english
+    * token streams apart ("__" cannot collide with a user column:
+    * [[graft.sinks.SearchIndex.Reserved]]-style contract). */
+  private val EnglishKeyPrefix = "__en__"
+
   /** ES default `index.max_result_window`: from + size must stay within
     * it; deeper pages are the caller's error (ES 400s identically). */
   private val MaxResultWindow = 10000
@@ -332,11 +338,14 @@ object EsDsl {
       * ONE join regardless of K, with bit-identical scores (each
       * clause keeps its own fixed-order conditional sums and its own
       * one-time rounding inside the shared aggregation). */
-    private val rankFields = ArrayBuffer[(String, Column)]()
+    private val rankFields = ArrayBuffer[Search.RankField]()
     private val rankClauses = ArrayBuffer[Search.RankClause]()
 
-    private def intern(key: String, expr: Column): Unit =
-      if (!rankFields.exists(_._1 == key)) { rankFields += (key -> expr); () }
+    private def intern(key: String, expr: Column,
+                       english: Boolean = false): Unit =
+      if (!rankFields.exists(_.key == key)) {
+        rankFields += Search.RankField(key, expr, english); ()
+      }
 
     /** FILTER-CONTEXT depth — ES skips scoring entirely inside filter
       * context (bool.filter, must_not, constant_score, function-score
@@ -483,18 +492,30 @@ object EsDsl {
       * — the shared pass evaluates [[Search.rankedAll]]'s expression
       * tree per clause. */
     def bm25Score(query: String, fields: Seq[(String, Double)],
-                  bestFields: Boolean): Column = {
+                  bestFields: Boolean, english: Boolean = false): Column = {
       if (inFilterCtx) return lit(0.0)
       val name = s"__bm25_${rankClauses.size}"
-      fields.foreach { case (f, _) => intern(f, col(f)) }
-      rankClauses += Search.RankClause(analyze(query), fields, bestFields)
+      // an english-analyzed clause interns its fields under distinct
+      // keys: the same column under the two analyzers carries two
+      // token streams, two document lengths, two statistics rows —
+      // exactly ES, where each analysis reads its own index terms
+      val keyed = fields.map { case (f, b) =>
+        (if (english) EnglishKeyPrefix + f else f) -> b }
+      keyed.zip(fields).foreach { case ((k, _), (f, _)) =>
+        intern(k, col(f), english) }
+      rankClauses += Search.RankClause(analyze(query, english), keyed,
+        bestFields, english)
       coalesce(col(name), lit(0.0))
     }
 
     /** The analyzed term list every ranked scorer derives —
-      * [[Search.rankedAll]]'s exact tokenization. */
-    private def analyze(query: String): Seq[String] =
-      graft.functions.TextFunctions.analyzeText(query).distinct.toSeq
+      * [[Search.rankedAll]]'s exact tokenization (standard), or the
+      * english chain's stems when the clause selected it. */
+    private def analyze(query: String,
+                        english: Boolean = false): Seq[String] =
+      if (english)
+        graft.functions.EnglishAnalysis.analyze(query).distinct.toSeq
+      else graft.functions.TextFunctions.analyzeText(query).distinct.toSeq
 
     // -- phrase-frequency BM25 ------------------------------------------
     // ES scores match_phrase with BM25: idf = the SUM of the phrase
@@ -594,8 +615,12 @@ object EsDsl {
           .filter { p =>
             val indexed =
               graft.sinks.SearchIndex.readMeta(p).fields.toSet
-            rankFields.forall { case (key, _) =>
-              !key.startsWith("__combined_") && indexed.contains(key) } &&
+            // english-analyzed clauses stay on the scan pass: the
+            // index's postings are standard-analyzer tokens, and a
+            // stem probe against them would read the wrong terms
+            rankFields.forall { rf =>
+              !rf.key.startsWith("__combined_") && !rf.english &&
+                indexed.contains(rf.key) } &&
             // a clause listing the same field twice keeps per-ENTRY
             // boosts on the scan path; the probe's boost Map would
             // collapse them — fall back rather than diverge
@@ -3737,17 +3762,18 @@ object EsDsl {
       val msm = if (spec.isObject)
         Option(spec.get("minimum_should_match")).map(msmSpec)
       else None
-      if (spec.isObject) analyzerKnob(spec)
+      val english = spec.isObject && matchAnalyzer(spec)
       boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
-        fuzzyKnobs(if (spec.isObject) Some(spec) else None)), boost)
+        fuzzyKnobs(if (spec.isObject) Some(spec) else None),
+        english = english), boost)
 
     case ("multi_match", b) =>
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
         "fuzzy_transpositions", "analyzer"))
-      analyzerKnob(b)
+      val mmEnglish = matchAnalyzer(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -3765,8 +3791,8 @@ object EsDsl {
       val msm = Option(b.get("minimum_should_match")).map(msmSpec)
       boosted(matchClause(ctx, text, fields, operator, msm,
         tpe == "best_fields",
-        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b))),
-        mmBoost)
+        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)),
+        english = mmEnglish), mmBoost)
 
     case ("combined_fields", b) =>
       // ES combined_fields (7.13+): term-centric BM25 treating the
@@ -7026,6 +7052,24 @@ object EsDsl {
     * language analyzer, custom chains) rejects by name, because
     * silently standard-analyzing a French request would answer a
     * different question. */
+  /** The `analyzer` knob on the match family (match / multi_match):
+    * "standard"/"default" is the engine's base chain; "english"
+    * selects the english chain (possessive strip → stop filter →
+    * Porter stem — the ES `english` analyzer). Returns whether the
+    * english chain was selected. Other clause kinds keep the
+    * standard-only [[analyzerKnob]] — phrase matching under a
+    * token-REMOVING analyzer needs stop-gap position increments the
+    * positional machinery does not model, so `match_phrase` +
+    * english rejects by name rather than matching across dropped
+    * stopwords ES would respect. */
+  private def matchAnalyzer(spec: JsonNode): Boolean =
+    Option(spec.get("analyzer")).map(_.asText) match {
+      case None | Some("standard") | Some("default") => false
+      case Some("english") => true
+      case Some(other) => bad(s"unsupported analyzer '$other' " +
+        "(supported here: standard, english)")
+    }
+
   private def analyzerKnob(spec: JsonNode): Unit =
     if (spec != null && spec.isObject)
       Option(spec.get("analyzer")).map(_.asText).foreach {
@@ -7066,16 +7110,28 @@ object EsDsl {
                           fuzziness: Option[String],
                           knobs: (Int, Option[Int], Boolean) =
                             (0, None, true),
-                          rawTerm: Boolean = false): Clause = {
+                          rawTerm: Boolean = false,
+                          english: Boolean = false): Clause = {
     import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
     val (prefixLength, maxExpansions, transpositions) = knobs
+    if (english && fuzziness.isDefined)
+      bad("fuzziness is not supported with the english analyzer " +
+        "(fuzzy expansion over stemmed terms needs the index " +
+        "vocabulary; use the standard analyzer or drop fuzziness)")
     // rawTerm = the term-level `fuzzy` clause: Lucene's FuzzyQuery
     // term is NOT analyzed (only lowercased here, the engine's token
     // case) — analyzing would split a punctuated value like
     // "foo-bar" into OR'd per-word fuzzy matches ES never runs
     val terms =
       if (rawTerm) Seq(text.trim.toLowerCase).filter(_.nonEmpty)
+      else if (english)
+        graft.functions.EnglishAnalysis.analyze(text).distinct.toSeq
       else graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
+    // a query that is ALL stopwords analyzes to zero terms under the
+    // english chain — ES's zero_terms_query default ("none"): the
+    // clause matches nothing, scores nothing, not an error
+    if (terms.isEmpty && english)
+      return Clause(lit(false), lit(0.0))
     if (terms.isEmpty)
       bad(if (rawTerm) "empty fuzzy value" else "empty match query")
     // capped expansion sets (ES max_expansions), one per query term,
@@ -7089,6 +7145,12 @@ object EsDsl {
       case _ => Map.empty
     }
     def cnt(f: String, t: String): Column = fuzziness match {
+      case None if english =>
+        // occurrences of the STEM among the field's english-analyzed
+        // tokens — the stream already carries stems, so equality is
+        // the term match
+        size(filter(graft.functions.TextFunctions.englishTokens(col(f)),
+          x => x === lit(t)))
       case None => substrCount(tokenNorm(col(f)), s" $t ")
       case Some(fz) =>
         val e = fuzzyEdits(t, fz).getOrElse(bad(s"invalid fuzziness '$fz'"))
@@ -7125,7 +7187,7 @@ object EsDsl {
         if (parts.size == 1) parts.head
         else if (bestFields) greatest(parts: _*)
         else parts.reduce(_ + _)
-      case None => ctx.bm25Score(text, fields, bestFields)
+      case None => ctx.bm25Score(text, fields, bestFields, english)
     }
     Clause(pred, score)
   }

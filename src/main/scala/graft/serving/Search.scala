@@ -634,7 +634,18 @@ object Search {
     * combine mode. */
   private[graft] final case class RankClause(terms: Seq[String],
                                              fields: Seq[(String, Double)],
-                                             bestFields: Boolean)
+                                             bestFields: Boolean,
+                                             english: Boolean = false)
+
+  /** One interned (key → column expression) entry of the shared
+    * scoring pass. `english = true` analyzes the DOCUMENT side with
+    * the english chain (possessive strip → stop filter → Porter stem)
+    * instead of the standard analyzer — a field queried under both
+    * analyzers interns twice under distinct keys, each with its own
+    * token stream, document length and statistics (exactly ES, where
+    * the two analyses read different index terms). */
+  private[graft] final case class RankField(key: String, expr: Column,
+                                            english: Boolean = false)
 
   /** EVERY match-family clause of one DSL body scored in ONE pass —
     * the multi-clause generalization of [[rankedAll]]: all clauses'
@@ -658,30 +669,49 @@ object Search {
     * plain column name or a derived combined-fields concat; `clauses`
     * reference keys. Returns (idCol, __bm25_0 … __bm25_{K-1}). */
   private[graft] def rankedAllMulti(df: DataFrame, idCol: String,
-                                    fieldExprs: Seq[(String, Column)],
+                                    fieldExprs: Seq[RankField],
                                     clauses: Seq[RankClause]): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     require(clauses.nonEmpty, "at least one clause to rank")
     require(fieldExprs.nonEmpty, "at least one field to rank")
-    val fidOf = fieldExprs.map(_._1).zipWithIndex.toMap
-    val exprOf = fieldExprs.toMap
+    val fidOf = fieldExprs.map(_.key).zipWithIndex.toMap
+    val exprOf = fieldExprs.map(f => f.key -> f.expr).toMap
+    def dlOf(rf: RankField): Column =
+      if (rf.english)
+        graft.functions.TextFunctions.englishTokenCount(rf.expr)
+      else tokenCount(rf.expr)
+    def toksOf(rf: RankField): Column =
+      if (rf.english)
+        graft.functions.TextFunctions.englishTokens(rf.expr)
+      else graft.functions.TextFunctions.analyzerTokens(rf.expr)
     val allTerms = clauses.flatMap(_.terms).distinct
     // codegen'd contains-any prefilter: clause order, fields outer,
     // terms inner (each clause's rankedAll shape, OR-folded across
     // clauses; duplicate (field, term) probes dropped first-wins) — a
     // doc matching NO clause's terms as substrings can't token-match
-    // any clause, so it skips tokenize+explode entirely
+    // any clause, so it skips tokenize+explode entirely. An ENGLISH
+    // clause's terms are stems: its safe probe is the stem minus the
+    // ≤3 suffix chars Porter can rewrite (EnglishAnalysis
+    // .prefilterProbe); a stem too short for a useful probe disables
+    // the prefilter for the whole pass (correctness first — a probe
+    // with false negatives would drop matching docs).
     val seen = scala.collection.mutable.Set[(String, String)]()
     val probes = for {
       c <- clauses; (f, _) <- c.fields; t <- c.terms
       if seen.add((f, t))
-    } yield lower(exprOf(f)).contains(lit(t))
-    val anyTerm = probes.reduceOption(_ || _).getOrElse(lit(false))
+    } yield {
+      if (!c.english) Some(lower(exprOf(f)).contains(lit(t)))
+      else graft.functions.EnglishAnalysis.prefilterProbe(t)
+        .map(p => lower(exprOf(f)).contains(lit(p)))
+    }
+    val anyTerm =
+      if (probes.exists(_.isEmpty)) lit(true)
+      else probes.flatten.reduceOption(_ || _).getOrElse(lit(false))
     val stacked = df.filter(anyTerm)
       .select(col(idCol), explode(array(fieldExprs.zipWithIndex.map {
-        case ((_, e), i) => struct(lit(i).as("fid"),
-          tokenCount(e).as("dl"),
-          graft.functions.TextFunctions.analyzerTokens(e).as("toks"))
+        case (rf, i) => struct(lit(i).as("fid"),
+          dlOf(rf).as("dl"),
+          toksOf(rf).as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
         explode(col("fs.toks")).as("term"))
@@ -690,8 +720,8 @@ object Search {
     // clause-independent (n is the corpus count; avgdl is a property
     // of the field), so clauses sharing a field share its statistics
     val statsWide = df.agg(count(lit(1)).as("n"),
-      fieldExprs.zipWithIndex.map { case ((_, e), i) =>
-        (sum(tokenCount(e)).cast("double") / count(lit(1)))
+      fieldExprs.zipWithIndex.map { case (rf, i) =>
+        (sum(dlOf(rf)).cast("double") / count(lit(1)))
           .as(s"avgdl_$i") }: _*)
     val stats = statsWide.select(explode(array(fieldExprs.indices.map(i =>
         struct(lit(i).as("fid"), col("n"),
