@@ -78,18 +78,4 @@ object ArrayExpressions {
   def damerauLevenshtein(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.damerauLevenshtein(a, b)
 
-  /** Codegen'd ES `english`-analyzer tokenization: standard
-    * segmentation → possessive strip → stop filter → Porter stem,
-    * one generated per-row chain. */
-  def englishTokens(text: Column): Column =
-    org.apache.spark.sql.graft.ArrayExpressions.englishTokens(text)
-
-  /** Codegen'd english-analyzed token count (post-stop — the BM25
-    * document length of an english-analyzed field). */
-  def englishTokenCount(text: Column): Column =
-    org.apache.spark.sql.graft.ArrayExpressions.englishTokenCount(text)
-
-  /** Codegen'd Porter stem of one already-lowercased token. */
-  def porterStem(token: Column): Column =
-    org.apache.spark.sql.graft.ArrayExpressions.porterStem(token)
 }

@@ -3,16 +3,19 @@ package graft.functions
 /** The ES `english` analyzer chain (standard tokenizer →
   * possessive stemmer → lowercase → english stop filter → Porter
   * stemmer) — the most common non-default analyzer a verbatim DSL
-  * body selects on the reference's ES stack (the reference's `text`
-  * mappings are standard-analyzed at write time, but `"analyzer":
-  * "english"` at query time analyzes the QUERY with this chain;
-  * src/search_api.py:38-46 forwards such bodies untouched).
+  * body selects on the reference's ES stack
+  * (src/search_api.py:38-46 forwards such bodies untouched).
   *
-  * Driver-side twin of the generated per-row chain
-  * ([[org.apache.spark.sql.graft.EnglishTokens]]): query text is
-  * analyzed HERE (bounded, per request), document text inside the
-  * scan. Both share [[stripPossessive]]/[[isStop]]/
-  * [[PorterStemmer.stem]], so the two sides cannot drift.
+  * QUERY-side only, exactly ES's query-time-analyzer semantics: the
+  * reference's `text` mappings are standard-analyzed at write time,
+  * so `"analyzer": "english"` on a match clause analyzes the QUERY
+  * with this chain and the resulting stems are searched as literal
+  * terms against the standard-analyzed document tokens and the
+  * standard BM25 statistics (a query for "running" matches only
+  * documents holding the literal token "run"). Documents are never
+  * english-analyzed — there is no per-row stemming expression, and
+  * stemmed terms ride every standard path unchanged (contains
+  * prefilter, postings probes, phrase statistics).
   */
 object EnglishAnalysis {
 
@@ -52,15 +55,4 @@ object EnglishAnalysis {
       .filterNot(isStop)
       .map(PorterStemmer.stem)
       .toSeq
-
-  /** The conservative substring probe for a PREFILTER on a stemmed
-    * term: Porter rewrites only suffixes, and no rule chain writes
-    * more than the final 3 characters of the stem, so every word
-    * stemming to `t` contains `t.dropRight(3)` as a prefix. Returns
-    * None (no safe probe — caller must not prefilter) when the
-    * remaining prefix is too short to prune anything. */
-  def prefilterProbe(t: String): Option[String] = {
-    val p = t.substring(0, math.max(0, t.length - 3))
-    if (p.length >= 3) Some(p) else None
-  }
 }

@@ -1,23 +1,25 @@
 package graft.functions
 
-/** Martin Porter's 1980 suffix-stripping algorithm ("An algorithm for
+/** Martin Porter's suffix-stripping algorithm ("An algorithm for
   * suffix stripping", Program 14(3), 1980) — the stemming stage of
   * Elasticsearch's `english` analyzer (standard tokenizer →
   * possessive stemmer → lowercase → stop filter → PorterStemFilter;
-  * the reference's ES 8.11 text mappings analyze with exactly that
-  * chain when `"analyzer": "english"` is selected — the reference
-  * forwards such bodies verbatim to ES, src/search_api.py:38-46).
+  * the reference's ES 8.11 stack runs exactly that chain when a
+  * verbatim DSL body selects `"analyzer": "english"` —
+  * src/search_api.py:38-46 forwards such bodies untouched).
   *
-  * This is a from-scratch implementation of the published algorithm:
-  * the five sequential suffix-rewrite steps over the (measure m,
-  * *v*, *d, *o) conditions, with the reference implementation's
-  * guard that words of length ≤ 2 are returned unchanged.
-  * [[PorterStemmerSpec]] pins hand-traced end-to-end vectors and the
-  * per-step examples from the paper.
+  * This is a from-scratch implementation of the published algorithm
+  * plus the two departures of the author's maintained reference code
+  * (which Lucene's PorterStemFilter ports): BLI -> BLE replacing
+  * ABLI -> ABLE, and LOGI -> LOG — see the Step2 table. Words of
+  * length ≤ 2 are returned unchanged (the reference implementation's
+  * guard). [[PorterStemmerSpec]] pins end-to-end vectors, the paper's
+  * per-step examples and the departure pairs.
   *
-  * Called per token from generated code
-  * ([[org.apache.spark.sql.graft.PorterStem]]) — allocation-light:
-  * one StringBuilder per call, no regex.
+  * Called per query term from driver-side query analysis
+  * ([[EnglishAnalysis.analyze]]) — query-time-analyzer semantics stem
+  * ONLY the query, never the documents, so there is no per-row
+  * stemming expression. Allocation-light: suffix tables, no regex.
   */
 object PorterStemmer {
 
@@ -78,14 +80,21 @@ object PorterStemmer {
   // condition fails ends the step without trying shorter suffixes.
   // Within each table, no listed suffix is a proper suffix of a later
   // one, so first-match ≡ longest-match here.
+  //
+  // Two DEPARTURES from the 1980 paper, matching Martin Porter's
+  // maintained reference code (and therefore Lucene's
+  // PorterStemFilter — the stemmer ES's `english` analyzer runs):
+  // the paper's (m>0) ABLI -> ABLE is replaced by (m>0) BLI -> BLE
+  // ("possibly" -> "possibl", conflating with "possible"), and
+  // (m>0) LOGI -> LOG is added. PorterStemmerSpec pins both.
   private val Step2: Array[(String, String)] = Array(
     "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
-    "anci" -> "ance", "izer" -> "ize", "abli" -> "able",
+    "anci" -> "ance", "izer" -> "ize", "bli" -> "ble",
     "alli" -> "al", "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
     "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
     "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
     "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
-    "biliti" -> "ble")
+    "biliti" -> "ble", "logi" -> "log")
 
   private val Step3: Array[(String, String)] = Array(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",

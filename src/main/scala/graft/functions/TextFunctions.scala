@@ -72,19 +72,6 @@ object TextFunctions {
   def analyzerTokenCount(text: Column): Column =
     ArrayExpressions.analyzerTokenCount(coalesce(text, lit("")))
 
-  /** ES `english`-analyzer tokens of a column (standard segmentation
-    * → possessive strip → stop filter → Porter stem) — one generated
-    * chain; [[EnglishAnalysis.analyze]] is the driver-side twin for
-    * query text. */
-  def englishTokens(text: Column): Column =
-    ArrayExpressions.englishTokens(coalesce(text, lit("")))
-
-  /** English-analyzed token count — the BM25 document length of an
-    * english-analyzed field (stop-filtered tokens only, matching
-    * Lucene's length norm under an analyzer that removes tokens). */
-  def englishTokenCount(text: Column): Column =
-    ArrayExpressions.englishTokenCount(coalesce(text, lit("")))
-
   private lazy val analyzerRegex =
     java.util.regex.Pattern.compile(AnalyzerPattern)
 

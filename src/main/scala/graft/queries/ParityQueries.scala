@@ -937,6 +937,32 @@ object ParityQueries {
         statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
     }),
 
+    // Query-time `"analyzer": "english"` (round 13): ES semantics
+    // against the reference's standard-analyzed mappings — the QUERY
+    // analyzes with possessive-strip → stop-filter → Porter stem
+    // ("the sorted windows" → stems [sort, window]; "the" drops), and
+    // the stems are searched as LITERAL terms against the standard
+    // document tokens with the standard BM25 statistics. The oracle
+    // therefore replays a plain standard match whose terms are the
+    // engine's precomputed stems.
+    "q7_esdsl_match_english" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {"query": "the sorted windows",
+          |  "analyzer": "english"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its write-time-index twin: stems are standard terms, so
+    // the standard postings are exactly the right index — one probe,
+    // zero corpus scans, same oracle.
+    "q7_esdsl_match_english_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {"query": "the sorted windows",
+          |  "analyzer": "english"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
     // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
     // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
@@ -3452,6 +3478,30 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
+  /** Shared oracle of q7_esdsl_match_english and its index twin:
+    * query-time english analysis rewrites ONLY the query — "the
+    * sorted windows" stems to [sort, window] ("the" is a stopword) —
+    * and the stems search the STANDARD document tokens with the
+    * standard BM25 statistics, so the oracle is a plain standard
+    * match whose terms are the precomputed stems
+    * ([[graft.functions.EnglishAnalysis.analyze]]; PorterStemmerSpec
+    * pins sorted→sort, windows→window). */
+  private lazy val matchEnglishSql: String = {
+    val nrm = tokenNormSql("text")
+    val cs = substrCountSql(s"($nrm)", " sort ")
+    val cw = substrCountSql(s"($nrm)", " window ")
+    s"WITH ${bm25FieldCtes("text", Seq("sort", "window"), "0")}, " +
+    s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$cs AS cs, $cw AS cw FROM documents) " +
+    "SELECT c.doc_id, text, lang, source, n_chars, " +
+      "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+    "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+    "WHERE (CASE WHEN cs > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN cw > 0 THEN 1 ELSE 0 END) >= 1 " +
+    "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -4112,6 +4162,10 @@ object ParityQueries {
     // lang: per-field statistics CTEs, greatest() combine for the must,
     // rounded once per clause, summed — mirroring EsDsl's bool rule
     "q7_esdsl_bm25" -> bm25BoolOracleSql,
+
+    "q7_esdsl_match_english" -> matchEnglishSql,
+
+    "q7_esdsl_match_english_indexed" -> matchEnglishSql,
     // the all-probes twin (every scoring clause = one postings probe)
     "q7_esdsl_bm25_probe" -> bm25BoolOracleSql,
 

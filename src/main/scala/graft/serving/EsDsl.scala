@@ -142,12 +142,6 @@ object EsDsl {
     * pair — neither alone is unique there). */
   private val SidCol = "__graft_sid__"
 
-  /** Intern-key prefix for an english-analyzed field in the shared
-    * scoring pass — keeps the same column's standard and english
-    * token streams apart ("__" cannot collide with a user column:
-    * [[graft.sinks.SearchIndex.Reserved]]-style contract). */
-  private val EnglishKeyPrefix = "__en__"
-
   /** ES default `index.max_result_window`: from + size must stay within
     * it; deeper pages are the caller's error (ES 400s identically). */
   private val MaxResultWindow = 10000
@@ -341,10 +335,9 @@ object EsDsl {
     private val rankFields = ArrayBuffer[Search.RankField]()
     private val rankClauses = ArrayBuffer[Search.RankClause]()
 
-    private def intern(key: String, expr: Column,
-                       english: Boolean = false): Unit =
+    private def intern(key: String, expr: Column): Unit =
       if (!rankFields.exists(_.key == key)) {
-        rankFields += Search.RankField(key, expr, english); ()
+        rankFields += Search.RankField(key, expr); ()
       }
 
     /** FILTER-CONTEXT depth — ES skips scoring entirely inside filter
@@ -495,16 +488,14 @@ object EsDsl {
                   bestFields: Boolean, english: Boolean = false): Column = {
       if (inFilterCtx) return lit(0.0)
       val name = s"__bm25_${rankClauses.size}"
-      // an english-analyzed clause interns its fields under distinct
-      // keys: the same column under the two analyzers carries two
-      // token streams, two document lengths, two statistics rows —
-      // exactly ES, where each analysis reads its own index terms
-      val keyed = fields.map { case (f, b) =>
-        (if (english) EnglishKeyPrefix + f else f) -> b }
-      keyed.zip(fields).foreach { case ((k, _), (f, _)) =>
-        intern(k, col(f), english) }
-      rankClauses += Search.RankClause(analyze(query, english), keyed,
-        bestFields, english)
+      // a query-time `english` analyzer changes ONLY the term list
+      // (the query's stems); the fields, document tokens and BM25
+      // statistics stay standard — exactly ES against the reference's
+      // standard-analyzed mappings, where the stemmed query terms are
+      // searched against the standard index terms
+      fields.foreach { case (f, _) => intern(f, col(f)) }
+      rankClauses += Search.RankClause(analyze(query, english), fields,
+        bestFields)
       coalesce(col(name), lit(0.0))
     }
 
@@ -615,11 +606,12 @@ object EsDsl {
           .filter { p =>
             val indexed =
               graft.sinks.SearchIndex.readMeta(p).fields.toSet
-            // english-analyzed clauses stay on the scan pass: the
-            // index's postings are standard-analyzer tokens, and a
-            // stem probe against them would read the wrong terms
+            // english clauses ride the probe path too: their terms
+            // are query-side stems searched as LITERAL standard
+            // terms, so the standard postings are exactly the right
+            // index for them
             rankFields.forall { rf =>
-              !rf.key.startsWith("__combined_") && !rf.english &&
+              !rf.key.startsWith("__combined_") &&
                 indexed.contains(rf.key) } &&
             // a clause listing the same field twice keeps per-ENTRY
             // boosts on the scan path; the probe's boost Map would
@@ -7055,13 +7047,18 @@ object EsDsl {
   /** The `analyzer` knob on the match family (match / multi_match):
     * "standard"/"default" is the engine's base chain; "english"
     * selects the english chain (possessive strip → stop filter →
-    * Porter stem — the ES `english` analyzer). Returns whether the
-    * english chain was selected. Other clause kinds keep the
-    * standard-only [[analyzerKnob]] — phrase matching under a
-    * token-REMOVING analyzer needs stop-gap position increments the
-    * positional machinery does not model, so `match_phrase` +
-    * english rejects by name rather than matching across dropped
-    * stopwords ES would respect. */
+    * Porter stem — the ES `english` analyzer) for the QUERY text
+    * only. ES query-time-analyzer semantics against the reference's
+    * standard-analyzed mappings: the query's stems are searched as
+    * literal terms against the standard document tokens and standard
+    * BM25 statistics — a query for "running" matches only documents
+    * holding the literal token "run". Returns whether the english
+    * chain was selected. Other clause kinds keep the standard-only
+    * [[analyzerKnob]] — phrase matching under a token-REMOVING
+    * analyzer needs stop-gap position increments the positional
+    * machinery does not model, so `match_phrase` + english rejects
+    * by name rather than matching across dropped stopwords ES would
+    * respect. */
   private def matchAnalyzer(spec: JsonNode): Boolean =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => false
@@ -7114,10 +7111,6 @@ object EsDsl {
                           english: Boolean = false): Clause = {
     import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
     val (prefixLength, maxExpansions, transpositions) = knobs
-    if (english && fuzziness.isDefined)
-      bad("fuzziness is not supported with the english analyzer " +
-        "(fuzzy expansion over stemmed terms needs the index " +
-        "vocabulary; use the standard analyzer or drop fuzziness)")
     // rawTerm = the term-level `fuzzy` clause: Lucene's FuzzyQuery
     // term is NOT analyzed (only lowercased here, the engine's token
     // case) — analyzing would split a punctuated value like
@@ -7144,13 +7137,12 @@ object EsDsl {
           maxExpansions.get, transpositions)
       case _ => Map.empty
     }
+    // terms (stems included — under a query-time english analyzer
+    // they are literal query-side rewrites) count against the
+    // STANDARD token stream: fuzziness expands each analyzed term
+    // over the standard vocabulary, exactly ES's match-with-fuzziness
+    // order (analyze first, fuzzy-rewrite the analyzed terms second)
     def cnt(f: String, t: String): Column = fuzziness match {
-      case None if english =>
-        // occurrences of the STEM among the field's english-analyzed
-        // tokens — the stream already carries stems, so equality is
-        // the term match
-        size(filter(graft.functions.TextFunctions.englishTokens(col(f)),
-          x => x === lit(t)))
       case None => substrCount(tokenNorm(col(f)), s" $t ")
       case Some(fz) =>
         val e = fuzzyEdits(t, fz).getOrElse(bad(s"invalid fuzziness '$fz'"))

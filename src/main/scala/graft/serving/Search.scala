@@ -628,24 +628,21 @@ object Search {
 
   /** One match-family clause of an ES-DSL body, queued by
     * [[EsDsl]] for the SHARED scoring pass ([[rankedAllMulti]]): the
-    * clause's analyzed terms (ordered, distinct, lowercased), its
-    * target fields as (key, boost) pairs resolved against the
-    * request's interned field list, and the best_fields/most_fields
-    * combine mode. */
+    * clause's analyzed terms (ordered, distinct, lowercased — under a
+    * query-time `english` analyzer these are the query's STEMS,
+    * searched as literal terms like any others), its target fields as
+    * (key, boost) pairs resolved against the request's interned field
+    * list, and the best_fields/most_fields combine mode. */
   private[graft] final case class RankClause(terms: Seq[String],
                                              fields: Seq[(String, Double)],
-                                             bestFields: Boolean,
-                                             english: Boolean = false)
+                                             bestFields: Boolean)
 
   /** One interned (key → column expression) entry of the shared
-    * scoring pass. `english = true` analyzes the DOCUMENT side with
-    * the english chain (possessive strip → stop filter → Porter stem)
-    * instead of the standard analyzer — a field queried under both
-    * analyzers interns twice under distinct keys, each with its own
-    * token stream, document length and statistics (exactly ES, where
-    * the two analyses read different index terms). */
-  private[graft] final case class RankField(key: String, expr: Column,
-                                            english: Boolean = false)
+    * scoring pass. Documents are ALWAYS standard-analyzed — exactly
+    * ES against the reference's standard-analyzed mappings, where a
+    * query-time analyzer rewrites only the query's terms and the
+    * index-side tokens and statistics stay standard. */
+  private[graft] final case class RankField(key: String, expr: Column)
 
   /** EVERY match-family clause of one DSL body scored in ONE pass —
     * the multi-clause generalization of [[rankedAll]]: all clauses'
@@ -676,42 +673,27 @@ object Search {
     require(fieldExprs.nonEmpty, "at least one field to rank")
     val fidOf = fieldExprs.map(_.key).zipWithIndex.toMap
     val exprOf = fieldExprs.map(f => f.key -> f.expr).toMap
-    def dlOf(rf: RankField): Column =
-      if (rf.english)
-        graft.functions.TextFunctions.englishTokenCount(rf.expr)
-      else tokenCount(rf.expr)
-    def toksOf(rf: RankField): Column =
-      if (rf.english)
-        graft.functions.TextFunctions.englishTokens(rf.expr)
-      else graft.functions.TextFunctions.analyzerTokens(rf.expr)
     val allTerms = clauses.flatMap(_.terms).distinct
     // codegen'd contains-any prefilter: clause order, fields outer,
     // terms inner (each clause's rankedAll shape, OR-folded across
     // clauses; duplicate (field, term) probes dropped first-wins) — a
     // doc matching NO clause's terms as substrings can't token-match
-    // any clause, so it skips tokenize+explode entirely. An ENGLISH
-    // clause's terms are stems: its safe probe is the stem minus the
-    // ≤3 suffix chars Porter can rewrite (EnglishAnalysis
-    // .prefilterProbe); a stem too short for a useful probe disables
-    // the prefilter for the whole pass (correctness first — a probe
-    // with false negatives would drop matching docs).
+    // any clause, so it skips tokenize+explode entirely. Safe for
+    // english clauses too: their terms are query-side STEMS matched
+    // by token equality against standard tokens, and any token equal
+    // to the stem is a substring of the raw text.
     val seen = scala.collection.mutable.Set[(String, String)]()
     val probes = for {
       c <- clauses; (f, _) <- c.fields; t <- c.terms
       if seen.add((f, t))
-    } yield {
-      if (!c.english) Some(lower(exprOf(f)).contains(lit(t)))
-      else graft.functions.EnglishAnalysis.prefilterProbe(t)
-        .map(p => lower(exprOf(f)).contains(lit(p)))
-    }
-    val anyTerm =
-      if (probes.exists(_.isEmpty)) lit(true)
-      else probes.flatten.reduceOption(_ || _).getOrElse(lit(false))
+    } yield lower(exprOf(f)).contains(lit(t))
+    val anyTerm = probes.reduceOption(_ || _).getOrElse(lit(false))
     val stacked = df.filter(anyTerm)
       .select(col(idCol), explode(array(fieldExprs.zipWithIndex.map {
         case (rf, i) => struct(lit(i).as("fid"),
-          dlOf(rf).as("dl"),
-          toksOf(rf).as("toks"))
+          tokenCount(rf.expr).as("dl"),
+          graft.functions.TextFunctions.analyzerTokens(rf.expr)
+            .as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
         explode(col("fs.toks")).as("term"))
@@ -721,7 +703,7 @@ object Search {
     // of the field), so clauses sharing a field share its statistics
     val statsWide = df.agg(count(lit(1)).as("n"),
       fieldExprs.zipWithIndex.map { case (rf, i) =>
-        (sum(dlOf(rf)).cast("double") / count(lit(1)))
+        (sum(tokenCount(rf.expr)).cast("double") / count(lit(1)))
           .as(s"avgdl_$i") }: _*)
     val stats = statsWide.select(explode(array(fieldExprs.indices.map(i =>
         struct(lit(i).as("fid"), col("n"),

@@ -817,116 +817,4 @@ object ArrayExpressions {
     ExpressionUtils.column(DamerauLevenshtein(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Column API for [[EnglishTokens]]. */
-  def englishTokens(text: Column): Column =
-    ExpressionUtils.column(EnglishTokens(ExpressionUtils.expression(text)))
-
-  /** Column API for [[EnglishTokenCount]]. */
-  def englishTokenCount(text: Column): Column =
-    ExpressionUtils.column(
-      EnglishTokenCount(ExpressionUtils.expression(text)))
-
-  /** Column API for [[PorterStem]]. */
-  def porterStem(token: Column): Column =
-    ExpressionUtils.column(PorterStem(ExpressionUtils.expression(token)))
-}
-
-/** ES `english`-analyzer tokenization as one generated per-row chain:
-  * [[AnalyzerTokens.spans]] segmentation (≡ the standard analyzer the
-  * oracles replay by regex), then per token possessive strip → stop
-  * filter → Porter stem — the exact filter order of ES's `english`
-  * analyzer (possessive before stop: `the's`→`the` drops; stop before
-  * stem: `was` drops BEFORE Porter could rewrite it). Stemming shares
-  * [[graft.functions.PorterStemmer.stem]] with the driver-side query
-  * analysis ([[graft.functions.EnglishAnalysis.analyze]]) so document
-  * and query sides cannot drift; the DuckDB oracles replay the same
-  * chain with a static corpus-vocabulary stem CASE. */
-case class EnglishTokens(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_english_tokens"
-
-  override protected def nullSafeEval(input: Any): Any =
-    EnglishTokens.tokenize(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.EnglishTokens.tokenize($c)")
-
-  override protected def withNewChildInternal(
-      newChild: Expression): EnglishTokens = copy(child = newChild)
-}
-
-object EnglishTokens {
-  import graft.functions.{EnglishAnalysis, PorterStemmer}
-
-  def tokenize(input: UTF8String): ArrayData = {
-    val s = input.toLowerCase.toString
-    val sp = AnalyzerTokens.spans(s)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](sp.length)
-    var k = 0
-    while (k < sp.length) {
-      val t = EnglishAnalysis.stripPossessive(
-        s.substring(sp(k)._1, sp(k)._2))
-      if (!EnglishAnalysis.isStop(t))
-        out += UTF8String.fromString(PorterStemmer.stem(t))
-      k += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
-  }
-
-  /** Post-stop token count — the english-analyzed BM25 document
-    * length (a stop filter REMOVES tokens from the length norm;
-    * stemming never changes the count, so the stemmer is skipped). */
-  def count(input: UTF8String): Int = {
-    val s = input.toLowerCase.toString
-    val sp = AnalyzerTokens.spans(s)
-    var n = 0
-    var k = 0
-    while (k < sp.length) {
-      val t = EnglishAnalysis.stripPossessive(
-        s.substring(sp(k)._1, sp(k)._2))
-      if (!EnglishAnalysis.isStop(t)) n += 1
-      k += 1
-    }
-    n
-  }
-}
-
-/** English-analyzed token COUNT without materializing the array — the
-  * BM25 document length of an english-analyzed field. */
-case class EnglishTokenCount(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_english_token_count"
-  override protected def nullSafeEval(input: Any): Any =
-    EnglishTokens.count(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.EnglishTokens.count($c)")
-  override protected def withNewChildInternal(
-      newChild: Expression): EnglishTokenCount = copy(child = newChild)
-}
-
-/** Porter stem of a single (already-analyzed, lowercased) token —
-  * exposed for per-token use inside higher-order functions and for
-  * the `graft_porter_stem` SQL function; the document hot path uses
-  * [[EnglishTokens]]'s fused chain instead. */
-case class PorterStem(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = StringType
-  override def prettyName: String = "graft_porter_stem"
-  override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(graft.functions.PorterStemmer.stem(
-      input.asInstanceOf[UTF8String].toString))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.PorterStemmer.stem($c.toString()))")
-  override protected def withNewChildInternal(
-      newChild: Expression): PorterStem = copy(child = newChild)
 }

@@ -74,7 +74,7 @@ class EsDslSpec extends SparkSpec {
   }
 
   test("analyzer knob: \"standard\"/\"default\" accepted (it IS the " +
-    "engine's chain), language analyzers reject by name") {
+    "engine's chain), unknown analyzers reject by name") {
     import spark.implicits._
     val d = docs
     def ids(body: String) =
@@ -88,12 +88,69 @@ class EsDslSpec extends SparkSpec {
     assert(ids("""{"query": {"match_phrase": {"text": {"query":
       "window batch", "analyzer": "standard"}}}}""") == Set(1L))
     intercept[IllegalArgumentException] {
-      ids("""{"query": {"match": {"text": {"query": "window",
-        "analyzer": "english"}}}}""")
-    }
-    intercept[IllegalArgumentException] {
       ids("""{"query": {"multi_match": {"query": "window",
         "fields": ["text"], "analyzer": "whitespace"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"match": {"text": {"query": "window",
+        "analyzer": "french"}}}}""")
+    }
+  }
+
+  test("query-time english analyzer: stems ONLY the query — the " +
+    "stems search the standard-analyzed document tokens (ES " +
+    "semantics against standard-analyzed mappings)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "they run the tests"),       // literal token "run"
+      (2L, "running tests all day"),    // only the inflection
+      (3L, "a runner runs daily"),      // "runs" -> standard "runs"
+      (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    def ids(body: String) =
+      EsDsl.search(df, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSet
+    def english(q: String) =
+      ids(s"""{"query": {"match": {"text": {"query": "$q",
+        "analyzer": "english"}}}}""")
+    // query "running" -> stem "run": matches the LITERAL token "run"
+    // only — doc 2's standard token stays "running" and doc 3's stays
+    // "runs", so neither matches (exactly ES, where the query-time
+    // stem is searched against the unstemmed index terms)
+    assert(english("running") == Set(1L))
+    assert(english("run") == Set(1L))
+    // stopwords drop from the query ("the" matches nothing even
+    // though docs contain it); remaining stems still match
+    assert(english("the running") == Set(1L))
+    // a query that is ALL stopwords analyzes to zero terms —
+    // zero_terms_query default "none": no hits, not an error
+    assert(english("the it was") == Set.empty)
+    // possessive strips before stemming: "runner's" -> "runner"
+    assert(english("runner's") == Set(3L))
+    // multi_match accepts the knob too
+    assert(ids("""{"query": {"multi_match": {"query": "running",
+      "fields": ["text"], "analyzer": "english"}}}""") == Set(1L))
+    // english + fuzziness composes in ES's order (analyze first,
+    // fuzzy-expand the analyzed stems second): stem "runninng" stays
+    // "runninng" (no -ing suffix), then 1 edit reaches doc 2's
+    // literal "running"
+    assert(ids("""{"query": {"match": {"text": {"query": "runninng",
+      "analyzer": "english", "fuzziness": "1"}}}}""") == Set(2L))
+    // BM25 scores ride the STANDARD statistics: english and standard
+    // spellings of the same literal term score identically
+    val std = EsDsl.search(df, mapper.readTree(
+      """{"query": {"match": {"text": "run"}}}"""))
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    val eng = EsDsl.search(df, mapper.readTree(
+      """{"query": {"match": {"text": {"query": "the running",
+        "analyzer": "english"}}}}"""))
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(std == eng)
+    // match_phrase + english still rejects by name (stop-gap
+    // position increments are not modeled)
+    intercept[IllegalArgumentException] {
+      ids("""{"query": {"match_phrase": {"text": {"query":
+        "running tests", "analyzer": "english"}}}}""")
     }
   }
 
