@@ -35,6 +35,13 @@ import graft.streaming.IncrementalSync
   *   POST /{entity}/batch    → bulk insert with per-item error
   *                             accounting (`add_*_batch`,
   *                             src/routes/ticket_routes.py:139-210)
+  *   POST /_bulk             → ES bulk wire: ndjson action/source
+  *                             pairs (index/create/update/delete),
+  *                             per-item status slots — the endpoint
+  *                             the reference's client speaks
+  *                             (src/es_connector.py:51-74); also
+  *                             POST /{entity}/_bulk with a default
+  *                             index
   *   POST /{entity}/sync     → re-read the record from the source of
   *                             truth and re-index it
   *                             (src/routes/ticket_routes.py:212-264)
@@ -243,6 +250,8 @@ final class HttpApi(
           getPercolator(ex, id)
         case ("DELETE", "search" :: "percolators" :: id :: Nil) =>
           deletePercolator(ex, id)
+        case ("POST" | "PUT", "_bulk" :: Nil) =>
+          aux(ex) { bulk(ex, None, rawBody(ex)) }
         case ("POST", entity :: rest) =>
           EntityCatalog.entities.get(resolveIndex(entity)) match {
             case None =>
@@ -250,6 +259,8 @@ final class HttpApi(
             case Some(spec) => rest match {
               case Nil            => insertOne(ex, spec, body(ex))
               case "batch" :: Nil => insertBatch(ex, spec, body(ex))
+              case "_bulk" :: Nil =>
+                aux(ex) { bulk(ex, Some(spec.name), rawBody(ex)) }
               case "sync" :: Nil  => syncOne(ex, spec, body(ex))
               case "update_by_query" :: Nil =>
                 aux(ex) { updateByQuery(ex, spec, body(ex)) }
@@ -1826,6 +1837,272 @@ final class HttpApi(
     if (!docs.isEmpty) DocumentSink.upsert(docs, s"$outDir/${spec.name}")
     respond(ex, 200,
       s"""{"indexed": ${req.size() - errors}, "errors": $errors}""")
+  }
+
+  // -------------------------------------------------------------------
+  // POST /_bulk — ES's bulk wire (the endpoint the reference's client
+  // speaks: elasticsearch.helpers.bulk with raise_on_error=False,
+  // src/es_connector.py:51-74): ndjson action/source line pairs over
+  // index/create/update/delete, applied IN ORDER with per-item status
+  // slots — a failing item never fails the request wholesale. The
+  // 100 TB shape: per-item work is request-bounded driver validation;
+  // the expensive store rewrite batches to ONE upsert + ONE delete
+  // swap per touched entity, never one swap per item.
+  // -------------------------------------------------------------------
+
+  private final case class BulkAct(op: String, entity: String,
+                                   id: Option[String],
+                                   source: Option[JsonNode])
+
+  /** Parse the ndjson frame. Structural errors (malformed JSON, a
+    * missing source line, an unknown op) reject the WHOLE request —
+    * ES 400s a malformed bulk body the same way; only per-DOCUMENT
+    * failures get item slots. */
+  private def parseBulk(defaultIndex: Option[String],
+                        raw: String): Seq[BulkAct] = {
+    val lines = raw.split("\n", -1).map(_.trim)
+      .reverse.dropWhile(_.isEmpty).reverse.toSeq
+    if (lines.isEmpty) auxBad("bulk expects ndjson action/source lines")
+    val acts = scala.collection.mutable.ArrayBuffer.empty[BulkAct]
+    var i = 0
+    while (i < lines.length) {
+      val node =
+        try mapper.readTree(lines(i))
+        catch { case e: com.fasterxml.jackson.core.JacksonException =>
+          auxBad(s"malformed bulk line ${i + 1}: ${e.getMessage}") }
+      if (!node.isObject || node.size() != 1)
+        auxBad(s"bulk action line ${i + 1} must hold exactly one of " +
+          "index/create/update/delete")
+      val op = node.fieldNames().next()
+      if (!Set("index", "create", "update", "delete").contains(op))
+        auxBad(s"unsupported bulk op '$op'")
+      val meta = node.get(op)
+      val entity = resolveIndex(
+        textOr(meta, "_index", defaultIndex.getOrElse("")))
+      if (entity.isEmpty)
+        auxBad(s"bulk action line ${i + 1} needs \"_index\" " +
+          "(no default index on /_bulk)")
+      val id = Option(meta.get("_id")).map(_.asText).filter(_.nonEmpty)
+      val source =
+        if (op == "delete") None
+        else {
+          i += 1
+          if (i >= lines.length || lines(i).isEmpty)
+            auxBad(s"missing source line for '$op'")
+          val s =
+            try mapper.readTree(lines(i))
+            catch { case e: com.fasterxml.jackson.core.JacksonException =>
+              auxBad(s"malformed bulk source line ${i + 1}: " +
+                e.getMessage) }
+          // update wraps the partial document: {"doc": {...}}
+          if (op == "update") {
+            val doc = s.get("doc")
+            if (doc == null || !doc.isObject)
+              auxBad("bulk update source must be {\"doc\": {...}}")
+            Some(doc)
+          } else if (!s.isObject)
+            auxBad(s"bulk source line ${i + 1} must be a JSON object")
+          else Some(s)
+        }
+      acts += BulkAct(op, entity, id, source)
+      i += 1
+    }
+    acts.toSeq
+  }
+
+  /** Validate + default + pipeline ONE bulk source doc (insertOne's
+    * exact path, with an explicit `_id` landing in the entity id
+    * column), pinned to a Row. Left = the per-item error reason. */
+  private def bulkDoc(spec: EntitySpec, id: Option[String],
+                      src: JsonNode)
+      : Either[String, (org.apache.spark.sql.Row,
+                        org.apache.spark.sql.types.StructType)] = {
+    val raw0 = bodyDf(src)
+    val raw = id match {
+      case Some(v) => raw0.withColumn(spec.idCol, lit(v))
+      case None if raw0.columns.contains(spec.idCol) => raw0
+      case None => raw0.withColumn(spec.idCol, lit(null).cast("string"))
+    }
+    val defaulted = EntityCatalog.defaulted(raw, spec)
+    val missing = spec.requiredCols.filterNot(defaulted.columns.contains)
+    if (missing.nonEmpty)
+      return Left(s"missing required fields: ${missing.mkString(", ")}")
+    val docs = EntityCatalog.pipeline(defaulted, spec, runTs)
+      .withColumn("document_id",
+        col(s"${spec.name}_${spec.idCol}").cast("string"))
+    // pin before any write: uuid() defaulting is nondeterministic per
+    // evaluation (insertOne's contract)
+    val out = docs.collect()
+    if (out.isEmpty) Left("validation failed (null required field)")
+    else Right((out.head, docs.schema))
+  }
+
+  /** Shallow-merge an update's `doc` fields into the stored row — ES
+    * `_update` partial-document semantics over the synced store's
+    * namespaced columns. Unknown columns and non-scalar values are the
+    * item's error (the store's schema is the mapping). */
+  private def bulkMerge(base: (org.apache.spark.sql.Row,
+                               org.apache.spark.sql.types.StructType),
+                        doc: JsonNode)
+      : Either[String, (org.apache.spark.sql.Row,
+                        org.apache.spark.sql.types.StructType)] = {
+    import org.apache.spark.sql.types._
+    val (row, schema) = base
+    val values = row.toSeq.toArray
+    val it = doc.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val idx = schema.fieldNames.indexOf(e.getKey)
+      if (idx < 0)
+        return Left(s"unknown field '${e.getKey}' (not in the mapping)")
+      val v = e.getValue
+      val coerced: Either[String, Any] =
+        if (v.isNull) Right(null)
+        else schema.fields(idx).dataType match {
+          case StringType => Right(v.asText)
+          case LongType => Right(v.asLong)
+          case IntegerType => Right(v.asInt)
+          case DoubleType => Right(v.asDouble)
+          case FloatType => Right(v.asDouble.toFloat)
+          case BooleanType => Right(v.asBoolean)
+          case dt => Left(s"field '${e.getKey}': cannot coerce to " +
+            dt.simpleString)
+        }
+      coerced match {
+        case Left(err) => return Left(err)
+        case Right(x) => values(idx) = x
+      }
+    }
+    Right((org.apache.spark.sql.Row.fromSeq(values.toSeq), schema))
+  }
+
+  /** POST /_bulk and /{entity}/_bulk. Items apply in request order
+    * (a later op on the same id sees the earlier one's effect); the
+    * response mirrors ES: `{"errors": ..., "items": [{"<op>":
+    * {"_index", "_id", "status", "result" | "error"}}]}`. */
+  private def bulk(ex: HttpExchange, defaultIndex: Option[String],
+                   raw: String): Unit = {
+    val acts = parseBulk(defaultIndex, raw)
+    type Doc = (org.apache.spark.sql.Row,
+                org.apache.spark.sql.types.StructType)
+    // one request-bounded store probe per touched entity: which of the
+    // request's EXPLICIT ids exist, and their rows (update bases) —
+    // a semi-join by id list, never a corpus collect
+    val byEntity = acts.groupBy(_.entity)
+    val stored = scala.collection.mutable.Map.empty[(String, String), Doc]
+    val storedIds = scala.collection.mutable.Set.empty[(String, String)]
+    for ((entity, as) <- byEntity
+         if EntityCatalog.entities.contains(entity)) {
+      val ids = as.flatMap(_.id).distinct
+      if (ids.nonEmpty) index(entity).foreach { df =>
+        val rows = df.filter(col("document_id").isin(ids: _*)).collect()
+        rows.foreach { r =>
+          val id = String.valueOf(r.getAs[Any]("document_id"))
+          storedIds += ((entity, id))
+          stored((entity, id)) = (r, df.schema)
+        }
+      }
+    }
+    // the in-order walk: `state` carries each touched id's CURRENT doc
+    // (None = deleted this request); absent key = whatever the store
+    // holds. Every mutation is request-bounded driver work.
+    val state = scala.collection.mutable.Map.empty[(String, String),
+                                                   Option[Doc]]
+    def liveDoc(k: (String, String)): Option[Doc] =
+      state.getOrElse(k, stored.get(k))
+    def exists(k: (String, String)): Boolean = liveDoc(k).isDefined
+    val items = acts.map { a =>
+      def item(id: String, status: Int, result: String): String =
+        s"""{"${a.op}": {"_index": "${a.entity}", "_id": ${
+          mapper.writeValueAsString(id)}, "status": $status, ${""
+          }"result": "$result"}}"""
+      def errItem(id: String, status: Int, tpe: String,
+                  reason: String): String =
+        s"""{"${a.op}": {"_index": "${a.entity}", "_id": ${
+          mapper.writeValueAsString(id)}, "status": $status, ${""
+          }"error": {"type": "$tpe", "reason": ${
+          mapper.writeValueAsString(reason)}}}}"""
+      EntityCatalog.entities.get(a.entity) match {
+        case None =>
+          errItem(a.id.getOrElse(""), 404, "index_not_found_exception",
+            s"unknown entity '${a.entity}'")
+        case Some(spec) => a.op match {
+          case "index" | "create" =>
+            bulkDoc(spec, a.id, a.source.get) match {
+              case Left(reason) =>
+                errItem(a.id.getOrElse(""), 400, "validation_exception",
+                  reason)
+              case Right(doc) =>
+                val id = String.valueOf(
+                  doc._1.getAs[Any](doc._2.fieldIndex("document_id")))
+                val k = (a.entity, id)
+                if (a.op == "create" && exists(k))
+                  errItem(id, 409, "version_conflict_engine_exception",
+                    s"document '$id' already exists")
+                else {
+                  val was = exists(k)
+                  state(k) = Some(doc)
+                  if (was) item(id, 200, "updated")
+                  else item(id, 201, "created")
+                }
+            }
+          case "update" =>
+            a.id match {
+              case None => errItem("", 400, "action_request_" +
+                "validation_exception", "update requires _id")
+              case Some(id) =>
+                val k = (a.entity, id)
+                liveDoc(k) match {
+                  case None =>
+                    errItem(id, 404, "document_missing_exception",
+                      s"document '$id' not found")
+                  case Some(base) =>
+                    bulkMerge(base, a.source.get) match {
+                      case Left(reason) =>
+                        errItem(id, 400, "validation_exception", reason)
+                      case Right(merged) =>
+                        state(k) = Some(merged)
+                        item(id, 200, "updated")
+                    }
+                }
+            }
+          case "delete" =>
+            a.id match {
+              case None => errItem("", 400, "action_request_" +
+                "validation_exception", "delete requires _id")
+              case Some(id) =>
+                val k = (a.entity, id)
+                if (!exists(k)) item(id, 404, "not_found")
+                else { state(k) = None; item(id, 200, "deleted") }
+            }
+        }
+      }
+    }
+    // batch-apply the NET effect: per entity, one upsert per distinct
+    // row schema (new inserts vs merged store rows may differ) and one
+    // delete swap — the store rewrite cost is O(entities touched),
+    // not O(items)
+    for ((entity, _) <- byEntity
+         if EntityCatalog.entities.contains(entity)) {
+      val touched = state.collect {
+        case ((e, id), v) if e == entity => (id, v) }
+      val upserts = touched.collect { case (_, Some(d)) => d }.toSeq
+      val deletes = touched.collect {
+        case (id, None) if storedIds((entity, id)) => id }.toSeq
+      upserts.groupBy(_._2).foreach { case (schema, docs) =>
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(docs.map(_._1): _*), schema)
+        DocumentSink.upsert(df, s"$outDir/$entity")
+      }
+      if (deletes.nonEmpty) {
+        import spark.implicits._
+        DocumentSink.deleteByIds(
+          deletes.toDF("document_id"), s"$outDir/$entity")
+      }
+    }
+    val errors = items.exists(_.contains("\"error\""))
+    respond(ex, 200, s"""{"errors": $errors, "items": [${
+      items.mkString(", ")}]}""")
   }
 
   /** The entity's synced document index, if a sync has run. Reads serve

@@ -1081,6 +1081,106 @@ class HttpApiSpec extends SparkSpec
     assert(post("/search/advanced", "{}").statusCode() == 400)
   }
 
+  test("POST /_bulk: mixed index/create/update/delete apply in order " +
+    "with ES per-item status slots; one failing item never fails the " +
+    "request; the store shows the net delta") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ndjson = Seq(
+      """{"index": {"_index": "part", "_id": "880001"}}""",
+      """{"p_name": "bulk one", "p_brand": "Brand#88"}""",
+      """{"create": {"_index": "part", "_id": "880002"}}""",
+      """{"p_name": "bulk two"}""",
+      // create of an id indexed EARLIER IN THIS REQUEST conflicts
+      """{"create": {"_index": "part", "_id": "880002"}}""",
+      """{"p_name": "dup"}""",
+      // update sees the in-request doc; fields are the store's
+      // namespaced columns
+      """{"update": {"_index": "part", "_id": "880001"}}""",
+      """{"doc": {"part_p_brand": "Brand#99"}}""",
+      """{"update": {"_index": "part", "_id": "880404"}}""",
+      """{"doc": {"part_p_brand": "X"}}""",
+      // minted id + null required field -> per-item validation error
+      """{"index": {"_index": "part"}}""",
+      """{"p_name": null}""",
+      """{"delete": {"_index": "part", "_id": "880002"}}""",
+      """{"delete": {"_index": "part", "_id": "880404"}}"""
+    ).mkString("\n") + "\n"
+    val r = post("/_bulk", ndjson)
+    assert(r.statusCode() == 200, r.body())
+    val root = om.readTree(r.body())
+    assert(root.get("errors").asBoolean, r.body())
+    val items = root.get("items")
+    assert(items.size == 8, r.body())
+    def at(i: Int, op: String) = {
+      val n = items.get(i).get(op)
+      assert(n != null, s"item $i is not '$op': ${items.get(i)}")
+      n
+    }
+    assert(at(0, "index").get("status").asInt == 201)
+    assert(at(0, "index").get("result").asText == "created")
+    assert(at(1, "create").get("status").asInt == 201)
+    assert(at(2, "create").get("status").asInt == 409)
+    assert(at(2, "create").get("error").get("type").asText ==
+      "version_conflict_engine_exception")
+    assert(at(3, "update").get("status").asInt == 200)
+    assert(at(4, "update").get("status").asInt == 404)
+    assert(at(4, "update").get("error").get("type").asText ==
+      "document_missing_exception")
+    assert(at(5, "index").get("status").asInt == 400)
+    // delete of an id created-then-deleted IN this request succeeds;
+    // delete of a missing id is not_found WITHOUT an error slot (ES)
+    assert(at(6, "delete").get("status").asInt == 200)
+    assert(at(7, "delete").get("status").asInt == 404)
+    assert(at(7, "delete").get("result").asText == "not_found")
+    assert(at(7, "delete").get("error") == null)
+    // net store delta: ONLY 880001 landed (880002 was deleted before
+    // the batch applied; the invalid row never indexed), and the
+    // update's merge is visible
+    val stored = spark.read.parquet(s"$outDir/part/data")
+    assert(stored.count() == 1, "net bulk delta")
+    val row = stored.collect().head
+    assert(String.valueOf(row.getAs[Any]("document_id")) == "880001")
+    assert(row.getAs[String]("part_p_brand") == "Brand#99")
+
+    // entity-scoped route defaults the index; deletes of STORED docs
+    // swap the store; unknown entity is a per-item 404
+    val r2 = post("/part/_bulk", Seq(
+      """{"index": {"_id": "880003"}}""",
+      """{"p_name": "bulk three"}""",
+      """{"delete": {"_id": "880001"}}""",
+      """{"index": {"_index": "nosuch", "_id": "1"}}""",
+      """{"x": 1}"""
+    ).mkString("\n"))
+    assert(r2.statusCode() == 200, r2.body())
+    val items2 = om.readTree(r2.body()).get("items")
+    assert(items2.get(0).get("index").get("status").asInt == 201)
+    assert(items2.get(1).get("delete").get("status").asInt == 200)
+    assert(items2.get(2).get("index").get("status").asInt == 404)
+    assert(items2.get(2).get("index").get("error").get("type").asText ==
+      "index_not_found_exception")
+    val after = spark.read.parquet(s"$outDir/part/data")
+    assert(after.count() == 1)
+    assert(String.valueOf(after.collect().head
+      .getAs[Any]("document_id")) == "880003")
+
+    // structural failures reject wholesale (ES 400s malformed ndjson):
+    // a dangling action line and an unknown op
+    assert(post("/_bulk",
+      """{"index": {"_index": "part"}}""").statusCode() == 400)
+    assert(post("/_bulk", Seq(
+      """{"upsert": {"_index": "part", "_id": "1"}}""",
+      """{"p_name": "x"}""").mkString("\n")).statusCode() == 400)
+    // update/delete need _id (per-item slots, not wholesale)
+    val r3 = post("/part/_bulk", Seq(
+      """{"update": {}}""",
+      """{"doc": {"part_p_brand": "Y"}}""",
+      """{"delete": {}}""").mkString("\n"))
+    assert(r3.statusCode() == 200, r3.body())
+    val items3 = om.readTree(r3.body()).get("items")
+    assert(items3.get(0).get("update").get("status").asInt == 400)
+    assert(items3.get(1).get("delete").get("status").asInt == 400)
+  }
+
   private def put(path: String, body: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
