@@ -1242,6 +1242,35 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // scripted_metric min/max folds (round 13): the other two
+    // order-independent families — a scalar Math.min fold (extreme
+    // seeds clamp instead of re-adding, so ANY literal seed is
+    // shard-count-independent) and an array-collect state folded to a
+    // per-shard max by the combine. Both compile to one aggregate
+    // expression; mismatched stage folds reject by name.
+    "q7_esdsl_scripted_metric_minmax" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {
+          |  "min_chars": {"scripted_metric": {
+          |   "init_script": "state.m = Double.MAX_VALUE",
+          |   "map_script":
+          |     "state.m = Math.min(state.m, doc['n_chars'].value * params.w)",
+          |   "combine_script": "return state",
+          |   "reduce_script":
+          |  "double m = Double.MAX_VALUE; for (a in states) { m = Math.min(m, a.m) } return m",
+          |   "params": {"w": 2}}},
+          |  "max_chars": {"scripted_metric": {
+          |   "init_script": "state.vals = []",
+          |   "map_script": "state.vals.add(doc['n_chars'].value)",
+          |   "combine_script":
+          |  "double x = -Double.MAX_VALUE; for (t in state.vals) { x = Math.max(x, t) } return x",
+          |   "reduce_script":
+          |  "double m = -Double.MAX_VALUE; for (a in states) { m = Math.max(m, a) } return m"}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     "q7_esdsl_scripted_metric_bucketed" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"query": {"match_all": {}},
@@ -4756,6 +4785,14 @@ object ParityQueries {
     "q7_esdsl_scripted_metric" ->
       ("SELECT coalesce(CAST(sum(CAST(n_chars AS DOUBLE) * 2) " +
        "AS DOUBLE), 0.0) AS weighted_chars FROM documents"),
+
+    // the extreme seeds (±Double.MAX_VALUE) clamp nothing on a
+    // non-empty corpus, so the folds reduce to plain min/max
+    "q7_esdsl_scripted_metric_minmax" ->
+      ("SELECT CAST(min(CAST(n_chars AS DOUBLE) * 2) AS DOUBLE) " +
+       "AS min_chars, " +
+       "CAST(max(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS max_chars " +
+       "FROM documents"),
 
     "q7_esdsl_scripted_metric_bucketed" ->
       ("SELECT lang, count(*) AS doc_count, " +

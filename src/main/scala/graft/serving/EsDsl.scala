@@ -4967,6 +4967,20 @@ object EsDsl {
       keysOf(aggs).map(n => n -> aggs.get(n))
     if (entries.isEmpty) bad("empty aggs")
     if (entries.size > 1) {
+      // several top-level SCRIPTED_METRIC entries fold to one shared
+      // hash-aggregate row (each compiles to one aggregate expression
+      // — ES returns the metrics side by side the same way); bucket
+      // aggs keep the one-base rule below
+      if (entries.forall(e => kindOf(e._2) == "scripted_metric")) {
+        val cols = entries.map { case (n, spec) =>
+          checkAggKeys("scripted_metric", spec.get("scripted_metric"))
+          ScriptedMetric.compile(spec.get("scripted_metric"), n, f => {
+            if (!ctx.columns.contains(f)) bad(s"unknown field '$f'")
+            col(f)
+          })
+        }
+        return base.filter(pred).agg(cols.head, cols.tail: _*)
+      }
       val (siblings, bases) =
         entries.partition(e => SiblingKinds(kindOf(e._2)))
       if (bases.size != 1)

@@ -191,6 +191,85 @@ class EsDslSpec extends SparkSpec {
       "double s = 0; for (a in states) { s += a } return s")
   }
 
+  test("scripted_metric min/max folds: scalar Math folds with " +
+    "clamping literal seeds, array-collect state with a fold-to-" +
+    "scalar combine; mismatched stage folds reject by name") {
+    def sm(init: String, map: String, combine: String, reduce: String) =
+      q(s"""{"query": {"match_all": {}}, "aggs": {"m":
+        {"scripted_metric": {
+          "init_script": "$init", "map_script": "$map",
+          "combine_script": "$combine", "reduce_script": "$reduce",
+          "params": {"w": 3}}}}, "size": 0}""")
+    def one(init: String, map: String, combine: String,
+            reduce: String): Double =
+      sm(init, map, combine, reduce).collect()(0).getDouble(0)
+    // scalar min with non-binding extreme seeds = plain min (n: 10..40)
+    assert(one("state.m = Double.MAX_VALUE",
+      "state.m = Math.min(state.m, doc['n'].value * params.w)",
+      "return state",
+      "double m = Double.MAX_VALUE; for (a in states) " +
+        "{ m = Math.min(m, a.m) } return m") == 30.0)
+    // scalar max via the scalar-combine form
+    assert(one("state.m = -Double.MAX_VALUE",
+      "state.m = Math.max(state.m, doc['n'].value)", "return state.m",
+      "double m = -Double.MAX_VALUE; for (a in states) " +
+        "{ m = Math.max(m, a) } return m") == 40.0)
+    // min/max seeds CLAMP (idempotent folds — shard-independent for
+    // any literal): a 25 seed floors the max at 25... and ceils the
+    // min at 25
+    assert(one("state.m = 25",
+      "state.m = Math.max(state.m, doc['n'].value)", "return state.m",
+      "double m = 25; for (a in states) { m = Math.max(m, a) } " +
+        "return m") == 40.0)
+    assert(one("state.m = 25",
+      "state.m = Math.min(state.m, doc['n'].value)", "return state",
+      "double m = 25; for (a in states) { m = Math.min(m, a.m) } " +
+        "return m") == 10.0)
+    assert(one("state.m = 5",
+      "state.m = Math.min(state.m, doc['n'].value)", "return state",
+      "double m = 5; for (a in states) { m = Math.min(m, a.m) } " +
+        "return m") == 5.0)
+    // array-collect state folded by the combine (sum and max)
+    assert(one("state.vals = []", "state.vals.add(doc['n'].value)",
+      "double x = 0; for (t in state.vals) { x += t } return x",
+      "double s = 0; for (a in states) { s += a } return s") == 100.0)
+    assert(one("state.vals = []", "state.vals.add(doc['n'].value)",
+      "double x = -Double.MAX_VALUE; for (t in state.vals) " +
+        "{ x = Math.max(x, t) } return x",
+      "double m = -Double.MAX_VALUE; for (a in states) " +
+        "{ m = Math.max(m, a) } return m") == 40.0)
+    def badSm(init: String, map: String, combine: String,
+              reduce: String): Unit =
+      intercept[IllegalArgumentException] { sm(init, map, combine, reduce) }
+    // min map + max reduce is shard-count-dependent — reject
+    badSm("state.m = 0", "state.m = Math.min(state.m, doc['n'].value)",
+      "return state",
+      "double m = 0; for (a in states) { m = Math.max(m, a.m) } " +
+        "return m")
+    // min-of-per-shard-sums — reject
+    badSm("state.t = 0", "state.t += doc['n'].value", "return state.t",
+      "double m = 0; for (a in states) { m = Math.min(m, a) } return m")
+    // a combine returning the raw LIST cannot reduce order-
+    // independently here — reject by name
+    badSm("state.vals = []", "state.vals.add(doc['n'].value)",
+      "return state.vals",
+      "double s = 0; for (a in states) { s += a } return s")
+    // array combine fold must match the reduce fold
+    badSm("state.vals = []", "state.vals.add(doc['n'].value)",
+      "double x = 0; for (t in state.vals) { x += t } return x",
+      "double m = 0; for (a in states) { m = Math.max(m, a) } return m")
+    // Math fold must fold the accumulator with itself
+    badSm("state.m = 0", "state.m = Math.min(state.x, doc['n'].value)",
+      "return state",
+      "double m = 0; for (a in states) { m = Math.min(m, a.m) } " +
+        "return m")
+    // non-literal init seeds reject
+    badSm("state.m = doc['n'].value",
+      "state.m = Math.min(state.m, doc['n'].value)", "return state",
+      "double m = 0; for (a in states) { m = Math.min(m, a.m) } " +
+        "return m")
+  }
+
   test("standard analyzer: punctuated text matches its bare terms " +
     "(\"hello, world!\" matches query hello) across the match family") {
     import spark.implicits._
