@@ -1318,7 +1318,21 @@ object EsDsl {
     val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
     if (size < 0 || from < 0 || from + size > MaxResultWindow)
       bad(s"from + size must stay within 0..$MaxResultWindow")
-    val ranked = indexRoot match {
+    // ROUTING IS ENGINE-SIDE: `indexRoot` names where the per-entity
+    // write-time indexes LIVE, not a forced path — the request probes
+    // them only when every in-scope entity's index exists (a stale-
+    // version index no longer `exists`) and covers exactly the fields
+    // the scan path would score, in the same order (the fixed-order
+    // float sum makes order load-bearing); anything short of full
+    // coverage falls back to the shared scan pass, bit-identical by
+    // the twins' shared oracle. The probe plan is the 100 TB answer
+    // (query-term-sized IO, zero corpus scans — EsDslPlanCheckSpec
+    // pins it), so a covered deployment gets it without the caller
+    // choosing.
+    val covered = indexRoot.filter { root =>
+      Search.entityIndexesCover(spark, srcDir, runTs, root, only)
+    }
+    val ranked = covered match {
       case Some(root) => Search.acrossIndexesRankedIndexed(
         spark, root, text, from + size, bestFields, only = only)
       case None => Search.acrossIndexesRanked(

@@ -293,6 +293,31 @@ object Search {
       .limit(limit)
   }
 
+  /** Whether the per-entity write-time indexes under `root` COVER a
+    * wildcard request over `only` (all entities when empty): each
+    * in-scope entity's index exists at the current version and its
+    * indexed field list EQUALS the field list the scan path would
+    * score — same names, same order (per-field scores sum in fixed
+    * field order, so order is part of the contract). Schema-only
+    * driver analysis, no scans. */
+  def entityIndexesCover(spark: SparkSession, srcDir: String,
+                         runTs: String, root: String,
+                         only: Seq[String] = Nil): Boolean = {
+    import org.apache.spark.sql.types.StringType
+    import graft.catalog.EntityCatalog
+    entitySubset(only).forall { spec =>
+      val p = s"$root/${spec.name}"
+      graft.sinks.SearchIndex.exists(p) && {
+        val expected = EntityCatalog.pipeline(
+            graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
+          .schema.fields
+          .filter(_.dataType == StringType)
+          .map(_.name).filterNot(Set("table", "document_id")).toSeq
+        graft.sinks.SearchIndex.readMeta(p).fields == expected
+      }
+    }
+  }
+
   /** Write-time-index twin of [[acrossIndexesRanked]]: the same
     * per-index BM25 ranking and 3-key cursor semantics, but every
     * branch PROBES its entity's materialized index

@@ -148,6 +148,58 @@ class EsDslPlanCheckSpec extends SparkSpec {
       "per-entity legs are back")
   }
 
+  test("wildcard DSL routing is engine-side: a COVERED indexRoot " +
+    "probes postings with ZERO entity-table scans; a missing entity " +
+    "index falls back to the shared scan pass, identical rows") {
+    val dir = "/root/testdata/sf0.001"
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def body = om.readTree(
+      """{"query": {"multi_match": {"query": "small error household"}},
+        | "size": 100}""".stripMargin)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-entity-idx-").toString
+    serving.Search.buildEntityIndexes(spark, dir, root,
+      operators.Denormalize.RunTs)
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    val (probedRows, scanRows) = try {
+      spark.conf.set(key, "10000")
+      val probed = serving.EsDsl.searchAcrossIndexes(spark, dir,
+        operators.Denormalize.RunTs, body, indexRoot = Some(root))
+      val rows = probed.collect().toSeq
+      val plan = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // zero scans of ANY entity source table — the whole ranking is
+      // postings probes (query-term-sized IO, the 100 TB plan)
+      val tableScans = "(\\w+)\\.parquet".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSeq
+        .filterNot(Set("postings", "fieldstats", "termstats"))
+      assert(tableScans.isEmpty,
+        s"covered wildcard still scanned: ${tableScans.distinct}")
+      assert(plan.contains("postings"), "no index probe in the plan")
+      (rows, serving.EsDsl.searchAcrossIndexes(spark, dir,
+        operators.Denormalize.RunTs, body).collect().toSeq)
+    } finally spark.conf.set(key, saved)
+    // bit-identity with the scan pass (the twins' shared oracle)
+    assert(probedRows == scanRows,
+      "indexed wildcard diverged from the scan pass")
+    // delete ONE entity's index -> the root no longer covers; the
+    // SAME call degrades to the scan pass with the same rows, never
+    // a missing-index failure
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/customer"))
+    val fallback = serving.EsDsl.searchAcrossIndexes(spark, dir,
+      operators.Denormalize.RunTs, body, indexRoot = Some(root))
+    assert(fallback.collect().toSeq == scanRows,
+      "fallback rows diverged from the scan pass")
+    assert(!fallback.queryExecution.executedPlan.toString
+        .contains("postings"),
+      "an uncovered root must not probe a partial index set")
+  }
+
   test("index-probe scoring: a statsIndex body's match clauses score " +
     "from postings — exactly ONE corpus scan (the hit path) remains") {
     val df = queries.ParityQueries.queries("q7_esdsl_bm25_probe")(
