@@ -59,45 +59,73 @@ object Bench {
       } finally src.close()
     } catch { case NonFatal(_) => None }
 
-  /** Cores busy RIGHT NOW, measured as the /proc/stat busy fraction
-    * over a short window while this JVM sits idle. The 1-minute
+  /** This process's own consumed jiffies (utime + stime from
+    * /proc/self/stat, the same USER_HZ unit /proc/stat aggregates) —
+    * subtracted from the window's busy count so the bench JVM's GC
+    * and Spark housekeeping threads between rounds don't read as
+    * EXTERNAL load and over-gate the round. */
+  private def selfJiffies(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        // comm (field 2) may hold spaces — fields resume after ')'
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        // rest(0) = state (field 3); utime/stime are fields 14/15
+        Some(rest(11).toLong + rest(12).toLong)
+      } finally src.close()
+    } catch { case NonFatal(_) => None }
+
+  /** Cores busy RIGHT NOW in OTHER processes, measured as the
+    * /proc/stat busy fraction over a short window minus this
+    * process's own CPU delta over the same window. The 1-minute
     * loadavg cannot gate individual rounds: it carries the bench's
     * OWN just-finished round for minutes (a 32-thread round leaves
     * loadavg near the thread count long after the work stopped), so a
-    * between-round loadavg sample reads our tail, not the box. This
-    * window reads only what OTHER processes burn during the sleep.
-    * Falls back to loadavg where /proc/stat is unavailable. */
-  private def externalBusyCores(windowMs: Int = 1500): Double =
+    * between-round loadavg sample reads our tail, not the box.
+    * Returns None where /proc is unavailable — the caller SKIPS
+    * per-round gating there rather than gating on tail-carrying
+    * loadavg. */
+  private def externalBusyCores(windowMs: Int = 1500): Option[Double] = {
+    val start = cpuJiffies()
+    if (start.isEmpty) return None
+    val Some((t0, i0)) = start
+    val s0 = selfJiffies()
+    Thread.sleep(windowMs.toLong)
     cpuJiffies() match {
-      case Some((t0, i0)) =>
-        Thread.sleep(windowMs)
-        cpuJiffies() match {
-          case Some((t1, i1)) if t1 > t0 =>
-            val busy = 1.0 - (i1 - i0).toDouble / (t1 - t0).toDouble
-            busy * Runtime.getRuntime.availableProcessors()
-          case _ => loadAvg()
-        }
-      case _ => loadAvg()
+      case Some((t1, i1)) if t1 > t0 =>
+        val self = (for (a <- s0; b <- selfJiffies())
+          yield (b - a).toDouble).getOrElse(0.0)
+        val busy =
+          math.max(0.0, (t1 - t0).toDouble - (i1 - i0).toDouble - self)
+        Some(busy / (t1 - t0).toDouble *
+          Runtime.getRuntime.availableProcessors())
+      case _ => None
     }
+  }
 
   /** Wait (bounded) for the box to go quiet before measuring — rounds
     * have been judged on laps polluted by a loaded box, so the
     * requirement is mechanical, not procedural, and it gates EVERY
     * round, not just the lap start (round 11's lap 3 carried a 50 s
     * mid-lap interference spike that only best-of rescued). Returns
-    * the final pre-round busy-cores sample; the caller stamps
-    * `"contaminated": true` if any KEPT round started above
+    * the final pre-round busy-cores sample, or -1.0 where /proc is
+    * unavailable (no gate — worst case there is an ungated round,
+    * never an over-gated or falsely-contaminated one); the caller
+    * stamps `"contaminated": true` if any KEPT round started above
     * [[QuietLoad]] (i.e. the wait timed out). */
   private def awaitQuiet(maxWaitSec: Int = 300): Double = {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
-    var l = externalBusyCores()
-    while (l > QuietLoad && System.nanoTime() < deadline) {
-      System.err.println(f"[bench] box loaded ($l%.2f busy cores > " +
-        f"$QuietLoad); waiting for quiet before measuring")
+    var sample = externalBusyCores()
+    if (sample.isEmpty) return -1.0
+    while (sample.exists(_ > QuietLoad) && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] box loaded (${sample.get}%.2f busy " +
+        f"cores > $QuietLoad); waiting for quiet before measuring")
       Thread.sleep(10000)
-      l = externalBusyCores()
+      sample = externalBusyCores()
+      if (sample.isEmpty) return -1.0
     }
-    l
+    sample.getOrElse(-1.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -178,21 +206,46 @@ object Bench {
     println(line)
     // Belt-and-braces for log-wrapping runners: also leave the line in a
     // file next to the build so a parser that misses stdout can recover
-    // it — but NEVER overwrite an existing CLEAN lap with a contaminated
-    // one: a lap that started on a loaded box measures the box, not the
-    // plans, and round-over-round comparison has been polluted twice.
+    // it — but NEVER overwrite an existing CLEAN lap with (a) a
+    // contaminated one (it measures the box, not the plans) or (b) a
+    // clean-but-SLOWER one over the same query set at the same SF (the
+    // two-lap-keep-better discipline, now mechanical: round 12 left a
+    // worse worktree lap shadowing the committed best). A lap over a
+    // DIFFERENT query set or SF always writes — totals aren't
+    // comparable across those.
     val latest = java.nio.file.Paths.get("BENCH_LATEST.json")
-    val keepExisting = contaminated && {
+    val existing: Option[com.fasterxml.jackson.databind.JsonNode] =
       try {
-        java.nio.file.Files.exists(latest) &&
-          !new String(java.nio.file.Files.readAllBytes(latest),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .contains("\"contaminated\":true")
-      } catch { case NonFatal(_) => false }
-    }
+        if (java.nio.file.Files.exists(latest))
+          Some(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(latest.toFile))
+        else None
+      } catch { case NonFatal(_) => None }
+    val oldClean =
+      existing.exists(n => !n.path("contaminated").asBoolean(true))
+    def comparable(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      n.path("sf").asText == sfDir && {
+        val q = n.path("queries")
+        q.isObject && {
+          val it = q.fieldNames()
+          val ks = Set.newBuilder[String]
+          while (it.hasNext) ks += it.next()
+          ks.result() == results.keySet
+        }
+      }
+    val keepExisting =
+      if (contaminated) oldClean
+      else oldClean && existing.exists(n =>
+        comparable(n) && total > n.path("value").asDouble(Double.MaxValue))
     if (keepExisting)
-      System.err.println("[bench] contaminated lap NOT written to " +
-        "BENCH_LATEST.json (a clean lap is already there)")
+      System.err.println(
+        if (contaminated)
+          "[bench] contaminated lap NOT written to BENCH_LATEST.json " +
+            "(a clean lap is already there)"
+        else
+          f"[bench] clean-but-slower lap ($total%.1f s) NOT written to " +
+            "BENCH_LATEST.json (a faster clean lap over the same " +
+            "queries is already there)")
     else try {
       java.nio.file.Files.write(latest,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
