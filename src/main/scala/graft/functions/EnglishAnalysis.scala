@@ -50,9 +50,18 @@ object EnglishAnalysis {
     * the query with the same analyzer as the field. Duplicates kept
     * (callers distinct where ES does). */
   def analyze(s: String): Seq[String] =
-    TextFunctions.analyzeText(s).iterator
-      .map(stripPossessive)
-      .filterNot(isStop)
-      .map(PorterStemmer.stem)
+    analyzeWithPositions(s).map(_._1)
+
+  /** [[analyze]] keeping each surviving stem's ORIGINAL token
+    * position — the stop filter removes tokens but CONSUMES positions
+    * (Lucene's enablePositionIncrements), so a phrase query analyzed
+    * with this chain carries gaps where stopwords stood ("sorted the
+    * windows" → (sort, 0), (window, 2)) and phrase matching honors
+    * them against the standard document positions. */
+  def analyzeWithPositions(s: String): Seq[(String, Int)] =
+    TextFunctions.analyzeText(s).iterator.zipWithIndex
+      .map { case (t, i) => (stripPossessive(t), i) }
+      .filter { case (t, _) => !isStop(t) }
+      .map { case (t, i) => (PorterStemmer.stem(t), i) }
       .toSeq
 }

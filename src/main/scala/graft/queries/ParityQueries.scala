@@ -963,6 +963,20 @@ object ParityQueries {
         statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
     }),
 
+    // match_phrase + english (round 13): the stop filter CONSUMES a
+    // position, so "sorted the windows" analyzes to (sort@0,
+    // window@2) and the phrase matches the literal token "sort" with
+    // "window" EXACTLY two standard positions later — Lucene's
+    // PhraseQuery over a gapped query, scored with phrase-frequency
+    // BM25 on the standard statistics.
+    "q7_esdsl_phrase_english" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "sorted the windows",
+          |  "analyzer": "english"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
     // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
     // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
@@ -3531,6 +3545,30 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
+  /** Oracle of q7_esdsl_phrase_english: the english analysis of
+    * "sorted the windows" is precomputed — stems (sort@0, window@2),
+    * the stop position surviving as a gap — and replayed as an
+    * exact-offset position join over the standard tokens; the score
+    * is the shared phrase-BM25 body over the stems with pf = the
+    * count of matching start positions. */
+  private lazy val phraseEnglishSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'sort' AND b.tok = 'window' " +
+      "AND b.pos = a.pos + 2 GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("sort", "window"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -4195,6 +4233,8 @@ object ParityQueries {
     "q7_esdsl_match_english" -> matchEnglishSql,
 
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
+
+    "q7_esdsl_phrase_english" -> phraseEnglishSql,
     // the all-probes twin (every scoring clause = one postings probe)
     "q7_esdsl_bm25_probe" -> bm25BoolOracleSql,
 

@@ -3002,25 +3002,52 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match_phrase", spec,
           Set("query", "slop", "analyzer")) else 1.0
-      if (spec.isObject) analyzerKnob(spec)
+      val english = if (spec.isObject) matchAnalyzer(spec) else false
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
       val slop = if (spec.isObject)
         Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
       if (slop < 0) bad("slop must be >= 0")
-      val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
-      if (terms.isEmpty) bad("empty match_phrase query")
+      if (english && slop > 0)
+        bad("slop is not supported with the english analyzer on " +
+          "match_phrase (Lucene's distance-weighted sloppy matching " +
+          "over stop-gap positions is not modeled; drop slop or use " +
+          "the standard analyzer)")
+      // a query-time english analyzer rewrites the QUERY terms to
+      // stems AND leaves position gaps where stopwords stood
+      // (Lucene's position increments); the gapped term list matches
+      // the STANDARD document positions — "sorted the windows" needs
+      // the literal token "sort" and, two positions later, "window"
+      val posTerms: Seq[(String, Int)] =
+        if (english) {
+          val pt = graft.functions.EnglishAnalysis
+            .analyzeWithPositions(text)
+          pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        } else graft.functions.TextFunctions.analyzeText(text)
+          .zipWithIndex.toSeq
+      // all-stopword english phrase: zero terms — ES's
+      // zero_terms_query default, matches nothing, not an error
+      if (posTerms.isEmpty && english)
+        return Clause(lit(false), lit(0.0))
+      if (posTerms.isEmpty) bad("empty match_phrase query")
+      val terms = posTerms.map(_._1)
       // matcher: token ADJACENCY on the normalized token string (slop
-      // 0 — Search.phrase's semantics) or ordered proximity (gap sum
-      // <= slop — Search.slopPhrase's). SCORE is phrase-frequency
+      // 0 — Search.phrase's semantics; gapless english stems ride the
+      // same form), ordered proximity (gap sum <= slop —
+      // Search.slopPhrase's), or exact-offset matching when the
+      // english analysis left stop gaps. SCORE is phrase-frequency
       // BM25, ES's PhraseQuery model (round 10; the count-valued
       // score was the earlier documented deviation): idf sums the
-      // phrase terms' idfs, tf is the phrase count.
+      // phrase terms' idfs (standard statistics — the stems are
+      // literal standard terms), tf is the phrase count.
+      val gapless = posTerms.zipWithIndex.forall {
+        case ((_, d), i) => d == i }
       val cnt =
-        if (slop == 0) Search.substrCount(Search.tokenNorm(col(f)),
+        if (slop > 0) Search.slopCount(col(f), terms, slop)
+        else if (gapless) Search.substrCount(Search.tokenNorm(col(f)),
           terms.mkString(" ", "  ", " "))
-        else Search.slopCount(col(f), terms, slop)
+        else Search.gappedPhraseCount(col(f), posTerms)
       boosted(Clause(cnt > 0, ctx.phraseBm25Score(f, terms, cnt)), boost)
 
     case ("match_bool_prefix", b) =>
@@ -7080,13 +7107,15 @@ object EsDsl {
     * standard-analyzed mappings: the query's stems are searched as
     * literal terms against the standard document tokens and standard
     * BM25 statistics — a query for "running" matches only documents
-    * holding the literal token "run". Returns whether the english
-    * chain was selected. Other clause kinds keep the standard-only
-    * [[analyzerKnob]] — phrase matching under a token-REMOVING
-    * analyzer needs stop-gap position increments the positional
-    * machinery does not model, so `match_phrase` + english rejects
-    * by name rather than matching across dropped stopwords ES would
-    * respect. */
+    * holding the literal token "run". On `match_phrase` the english
+    * chain additionally keeps POSITION GAPS where stopwords stood
+    * (Lucene's position increments) and the gapped stems match exact
+    * offsets in the standard token stream
+    * ([[graft.serving.Search.gappedPhraseCount]]); english + slop
+    * rejects by name (distance-weighted sloppy matching over gapped
+    * positions is not modeled). Returns whether the english chain was
+    * selected. Other clause kinds keep the standard-only
+    * [[analyzerKnob]]. */
   private def matchAnalyzer(spec: JsonNode): Boolean =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => false

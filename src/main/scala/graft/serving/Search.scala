@@ -935,6 +935,29 @@ object Search {
     size(filter(posOf(terms.head), p1 => rest(1, p1, p1))).cast("int")
   }
 
+  /** Phrase-frequency matcher for a query whose analyzed terms carry
+    * POSITION GAPS (a token-REMOVING query analyzer: english stop
+    * positions survive as increments — Lucene's PhraseQuery over a
+    * gapped term list): counts start positions `p` in the STANDARD
+    * token stream with `terms(i)._1` at exactly `p + terms(i)._2` for
+    * every i. Offsets are relative (`terms(0)._2 == 0`); consecutive
+    * offsets reduce to plain adjacency (callers route that to the
+    * cheaper normalized-substring count). Same HOF-only shape as
+    * [[slopCount]]: per-slot position lists, no explode, no shuffle. */
+  private[graft] def gappedPhraseCount(field: Column,
+                                       terms: Seq[(String, Int)]): Column = {
+    require(terms.nonEmpty && terms.head._2 == 0, "offsets are relative")
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
+    def posOf(t: String): Column =
+      filter(transform(toks, (x, i) =>
+        when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
+    def rest(k: Int, first: Column): Column =
+      if (k == terms.size) lit(true)
+      else exists(posOf(terms(k)._1), p =>
+        p === first + lit(terms(k)._2) && rest(k + 1, first))
+    size(filter(posOf(terms.head._1), p1 => rest(1, p1))).cast("int")
+  }
+
   /** [[slopCount]] with the LAST slot matched by PREFIX instead of
     * equality — ES `match_phrase_prefix`: the leading terms appear in
     * order (within `slop` total interleave) and the final position

@@ -146,11 +146,32 @@ class EsDslSpec extends SparkSpec {
         "analyzer": "english"}}}}"""))
       .select("doc_id", "_score").as[(Long, Double)].collect().toMap
     assert(std == eng)
-    // match_phrase + english still rejects by name (stop-gap
-    // position increments are not modeled)
+    // match_phrase + english: the query's stems keep POSITION GAPS
+    // where stopwords stood and match exact offsets in the standard
+    // token stream — "run the tests" analyzes to (run@0, test@2),
+    // which fits doc 1's "run the tests" (test ≠ tests... so pick
+    // stems that ARE literal tokens)
+    val phraseDf = Seq(
+      (1L, "they run the test daily"),  // run@1, test@3 — offset 2
+      (2L, "run test now"),             // adjacent — offset 1
+      (3L, "run a the test now"))       // run@0, test@3 — offset 3
+      .toDF("doc_id", "text")
+    def phrase(q: String) = EsDsl.search(phraseDf, mapper.readTree(
+      s"""{"query": {"match_phrase": {"text": {"query": "$q",
+        "analyzer": "english"}}}}"""))
+      .select("doc_id").as[Long].collect().toSet
+    // stems (run@0, test@2): exactly one token between them
+    assert(phrase("running the tests") == Set(1L))
+    // no interior stop -> plain adjacency of the stems
+    assert(phrase("running tests") == Set(2L))
+    // two interior stops -> gap of 3
+    assert(phrase("running a the tests") == Set(3L))
+    // all-stopword phrase analyzes to zero terms: no hits, no error
+    assert(phrase("the it was") == Set.empty)
+    // english + slop rejects by name
     intercept[IllegalArgumentException] {
       ids("""{"query": {"match_phrase": {"text": {"query":
-        "running tests", "analyzer": "english"}}}}""")
+        "running tests", "analyzer": "english", "slop": 1}}}}""")
     }
   }
 
