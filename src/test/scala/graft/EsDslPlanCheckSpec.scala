@@ -126,6 +126,33 @@ class EsDslPlanCheckSpec extends SparkSpec {
       s"expected ONE left score join, got:\n${multi.optimizedPlan}")
   }
 
+  test("a MIXED standard+english body keeps the contains prefilter " +
+    "on the shared scoring pass: stems are literal standard terms, " +
+    "so every clause contributes substring probes") {
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(
+        """{"query": {"bool": {"must": [
+          |  {"match": {"text": "window batch"}},
+          |  {"match": {"text": {"query": "the sorted windows",
+          |    "analyzer": "english"}}}
+          |]}}, "size": 10}""".stripMargin)
+    val docs = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val df = serving.EsDsl.search(docs, json)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the prefilter survives with BOTH clauses' terms: the standard
+    // clause's tokens AND the english clause's stems probe as
+    // Contains before tokenize+explode (round 12's document-side
+    // english design disabled the whole pass's prefilter when a stem
+    // lacked a safe probe — the query-side design never does)
+    for (t <- Seq("window", "batch", "sort"))
+      assert(plan.contains(s"Contains(lower(text"),
+        s"no contains prefilter in the scoring pass:\n${plan.take(1500)}")
+    assert(plan.contains("sort"),
+      "the english clause's stem is missing from the prefilter")
+  }
+
   test("wildcard BM25 is ONE shared pass across entities: the whole " +
     "ranking plans a constant handful of aggregates/joins, not a " +
     "per-entity scoring pipeline") {
