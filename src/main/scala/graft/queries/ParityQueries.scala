@@ -963,6 +963,20 @@ object ParityQueries {
         statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
     }),
 
+    // multi_match type=phrase (round 13): a match_phrase per listed
+    // field, best-field combine (ES = dis_max of field phrases).
+    // "the window" never phrase-matches the single-token source
+    // column, so its leg scores exactly 0.0 and greatest() keeps the
+    // text leg — the hits and scores equal q7_esdsl_phrase_bm25's,
+    // sharing its oracle (one oracle, two clause shapes).
+    "q7_esdsl_multimatch_phrase" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "the window",
+          |  "type": "phrase", "fields": ["text", "source"]}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // match_phrase + english (round 13): the stop filter CONSUMES a
     // position, so "sorted the windows" analyzes to (sort@0,
     // window@2) and the phrase matches the literal token "sort" with
@@ -4235,6 +4249,8 @@ object ParityQueries {
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 
     "q7_esdsl_phrase_english" -> phraseEnglishSql,
+
+    "q7_esdsl_multimatch_phrase" -> phraseBm25Sql,
     // the all-probes twin (every scoring clause = one postings probe)
     "q7_esdsl_bm25_probe" -> bm25BoolOracleSql,
 

@@ -3008,47 +3008,13 @@ object EsDsl {
       else spec.asText
       val slop = if (spec.isObject)
         Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
-      if (slop < 0) bad("slop must be >= 0")
-      if (english && slop > 0)
-        bad("slop is not supported with the english analyzer on " +
-          "match_phrase (Lucene's distance-weighted sloppy matching " +
-          "over stop-gap positions is not modeled; drop slop or use " +
-          "the standard analyzer)")
-      // a query-time english analyzer rewrites the QUERY terms to
-      // stems AND leaves position gaps where stopwords stood
-      // (Lucene's position increments); the gapped term list matches
-      // the STANDARD document positions — "sorted the windows" needs
-      // the literal token "sort" and, two positions later, "window"
-      val posTerms: Seq[(String, Int)] =
-        if (english) {
-          val pt = graft.functions.EnglishAnalysis
-            .analyzeWithPositions(text)
-          pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
-        } else graft.functions.TextFunctions.analyzeText(text)
-          .zipWithIndex.toSeq
-      // all-stopword english phrase: zero terms — ES's
-      // zero_terms_query default, matches nothing, not an error
-      if (posTerms.isEmpty && english)
-        return Clause(lit(false), lit(0.0))
-      if (posTerms.isEmpty) bad("empty match_phrase query")
-      val terms = posTerms.map(_._1)
-      // matcher: token ADJACENCY on the normalized token string (slop
-      // 0 — Search.phrase's semantics; gapless english stems ride the
-      // same form), ordered proximity (gap sum <= slop —
-      // Search.slopPhrase's), or exact-offset matching when the
-      // english analysis left stop gaps. SCORE is phrase-frequency
-      // BM25, ES's PhraseQuery model (round 10; the count-valued
-      // score was the earlier documented deviation): idf sums the
-      // phrase terms' idfs (standard statistics — the stems are
-      // literal standard terms), tf is the phrase count.
-      val gapless = posTerms.zipWithIndex.forall {
-        case ((_, d), i) => d == i }
-      val cnt =
-        if (slop > 0) Search.slopCount(col(f), terms, slop)
-        else if (gapless) Search.substrCount(Search.tokenNorm(col(f)),
-          terms.mkString(" ", "  ", " "))
-        else Search.gappedPhraseCount(col(f), posTerms)
-      boosted(Clause(cnt > 0, ctx.phraseBm25Score(f, terms, cnt)), boost)
+      phraseLeg(ctx, f, text, slop, english) match {
+        // all-stopword english phrase: zero terms — ES's
+        // zero_terms_query default, matches nothing, not an error
+        case None => Clause(lit(false), lit(0.0))
+        case Some((cnt, score)) =>
+          boosted(Clause(cnt > 0, score), boost)
+      }
 
     case ("match_bool_prefix", b) =>
       // ES match_bool_prefix: the terms are independent bool clauses
@@ -3805,7 +3771,7 @@ object EsDsl {
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
-        "fuzzy_transpositions", "analyzer"))
+        "fuzzy_transpositions", "analyzer", "slop"))
       val mmEnglish = matchAnalyzer(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
@@ -3818,14 +3784,48 @@ object EsDsl {
         }
       }
       val tpe = Option(b.get("type")).map(_.asText).getOrElse("most_fields")
-      if (tpe != "most_fields" && tpe != "best_fields")
-        bad(s"unsupported multi_match type '$tpe'")
-      val operator = Option(b.get("operator")).map(_.asText).getOrElse("or")
-      val msm = Option(b.get("minimum_should_match")).map(msmSpec)
-      boosted(matchClause(ctx, text, fields, operator, msm,
-        tpe == "best_fields",
-        Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)),
-        english = mmEnglish), mmBoost)
+      if (tpe == "phrase") {
+        // ES multi_match type=phrase: a match_phrase per field,
+        // best-field combine (Lucene dis_max, tie_breaker 0) — hit =
+        // the phrase in ANY field, score = the best field's
+        // phrase-BM25 (× that field's ^boost). The boolean knobs
+        // reject by name rather than silently not gating the phrase.
+        for (k <- Seq("operator", "minimum_should_match", "fuzziness",
+            "prefix_length", "max_expansions", "fuzzy_transpositions")
+            if b.hasNonNull(k))
+          bad(s"multi_match type=phrase does not support $k")
+        val slop = Option(b.get("slop")).map(_.asInt).getOrElse(0)
+        if (fields.isEmpty)
+          bad("multi_match needs a non-empty \"fields\"")
+        val legs = fields.map { case (f, fb) =>
+          phraseLeg(ctx, f, text, slop, mmEnglish)
+            .map { case (cnt, score) =>
+              (cnt, if (fb == 1.0) score else score * fb) }
+        }
+        // zero-terms english phrase: matches nothing (the match
+        // family's zero_terms_query default) — legs are all-or-none
+        // (one shared analysis), so checking the head suffices
+        if (legs.exists(_.isEmpty)) Clause(lit(false), lit(0.0))
+        else {
+          val (cnts, scores) = legs.flatten.unzip
+          val pred = cnts.map(_ > 0).reduce(_ || _)
+          val score =
+            if (scores.size == 1) scores.head else greatest(scores: _*)
+          boosted(Clause(pred, score), mmBoost)
+        }
+      } else {
+        if (tpe != "most_fields" && tpe != "best_fields")
+          bad(s"unsupported multi_match type '$tpe'")
+        if (b.hasNonNull("slop"))
+          bad(s"multi_match slop applies to type=phrase only")
+        val operator = Option(b.get("operator")).map(_.asText)
+          .getOrElse("or")
+        val msm = Option(b.get("minimum_should_match")).map(msmSpec)
+        boosted(matchClause(ctx, text, fields, operator, msm,
+          tpe == "best_fields",
+          Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)),
+          english = mmEnglish), mmBoost)
+      }
 
     case ("combined_fields", b) =>
       // ES combined_fields (7.13+): term-centric BM25 treating the
@@ -7155,6 +7155,48 @@ object EsDsl {
       n.asBoolean
     }.getOrElse(true)
     (pl, me, tr)
+  }
+
+  /** The match_phrase matcher + phrase-BM25 score for ONE field —
+    * shared by `match_phrase` and `multi_match type=phrase` (ES's
+    * phrase type = a per-field phrase query with a best-field
+    * combine). Matching: token ADJACENCY on the normalized token
+    * string (slop 0; gapless english stems ride the same form),
+    * ordered proximity (gap sum <= slop — Search.slopPhrase's), or
+    * EXACT-OFFSET matching when a query-time english analysis left
+    * stop gaps (the stop filter consumes positions — Lucene's
+    * position increments — so "sorted the windows" needs the literal
+    * token "sort" and, two positions later, "window"). The SCORE is
+    * phrase-frequency BM25, ES's PhraseQuery model: idf sums the
+    * phrase terms' idfs over the STANDARD statistics (english stems
+    * are literal standard terms), tf is the phrase count. None = an
+    * english analysis yielded zero terms (all stopwords). */
+  private def phraseLeg(ctx: Ctx, f: String, text: String, slop: Int,
+                        english: Boolean): Option[(Column, Column)] = {
+    if (slop < 0) bad("slop must be >= 0")
+    if (english && slop > 0)
+      bad("slop is not supported with the english analyzer on " +
+        "the phrase family (Lucene's distance-weighted sloppy " +
+        "matching over stop-gap positions is not modeled; drop slop " +
+        "or use the standard analyzer)")
+    val posTerms: Seq[(String, Int)] =
+      if (english) {
+        val pt = graft.functions.EnglishAnalysis
+          .analyzeWithPositions(text)
+        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+      } else graft.functions.TextFunctions.analyzeText(text)
+        .zipWithIndex.toSeq
+    if (posTerms.isEmpty && english) return None
+    if (posTerms.isEmpty) bad("empty phrase query")
+    val terms = posTerms.map(_._1)
+    val gapless = posTerms.zipWithIndex.forall {
+      case ((_, d), i) => d == i }
+    val cnt =
+      if (slop > 0) Search.slopCount(col(f), terms, slop)
+      else if (gapless) Search.substrCount(Search.tokenNorm(col(f)),
+        terms.mkString(" ", "  ", " "))
+      else Search.gappedPhraseCount(col(f), posTerms)
+    Some((cnt, ctx.phraseBm25Score(f, terms, cnt)))
   }
 
   private def matchClause(ctx: Ctx, text: String,

@@ -175,6 +175,60 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("multi_match type=phrase: a match_phrase per field with a " +
+    "BEST-FIELD combine (dis_max); ^boosts scale the per-field " +
+    "phrase score; slop rides; boolean knobs reject by name") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha window batch", "nothing here"),
+      (2L, "nothing here", "window batch again"),
+      (3L, "window batch", "window batch"),   // both fields match
+      (4L, "window then batch", "no"))        // neither (not adjacent)
+      .toDF("doc_id", "title", "body")
+    def run(bodyJson: String) =
+      EsDsl.search(df, mapper.readTree(bodyJson))
+        .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    val multi = run("""{"query": {"multi_match": {"query":
+      "window batch", "type": "phrase",
+      "fields": ["title", "body"]}}, "size": 10}""")
+    assert(multi.keySet == Set(1L, 2L, 3L))
+    // best-field: each doc's score equals the max of the single-field
+    // match_phrase scores
+    val title = run("""{"query": {"match_phrase":
+      {"title": "window batch"}}, "size": 10}""")
+    val body = run("""{"query": {"match_phrase":
+      {"body": "window batch"}}, "size": 10}""")
+    for (id <- multi.keySet)
+      assert(multi(id) ==
+        math.max(title.getOrElse(id, 0.0), body.getOrElse(id, 0.0)),
+        s"doc $id best-field combine")
+    // ^boost scales the per-field leg BEFORE the max
+    val boosted = run("""{"query": {"multi_match": {"query":
+      "window batch", "type": "phrase",
+      "fields": ["title^3", "body"]}}, "size": 10}""")
+    assert(boosted(1L) == 3.0 * title(1L))
+    // slop lets the gap through on doc 4's title
+    assert(run("""{"query": {"multi_match": {"query": "window batch",
+      "type": "phrase", "slop": 1,
+      "fields": ["title", "body"]}}, "size": 10}""").contains(4L))
+    // slop outside type=phrase rejects by name
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "window batch",
+        "slop": 1, "fields": ["title"]}}, "size": 10}""")
+    }
+    // boolean knobs make no sense on a phrase — named 400
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "window batch",
+        "type": "phrase", "operator": "and",
+        "fields": ["title", "body"]}}, "size": 10}""")
+    }
+    // english analysis rides per leg: stems + stop gaps
+    val eng = run("""{"query": {"multi_match": {"query":
+      "the windows batches", "type": "phrase",
+      "analyzer": "english", "fields": ["title", "body"]}}, "size": 10}""")
+    assert(eng.keySet == Set(1L, 2L, 3L))
+  }
+
   test("scripted_metric: sum-fold family computes; everything " +
     "outside the shape rejects by name (non-zero seed, list state, " +
     "non-sum reduce, unseeded accumulators)") {
