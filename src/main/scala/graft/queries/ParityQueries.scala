@@ -977,6 +977,28 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // multi_match type=phrase_prefix / bool_prefix (round 13): the
+    // remaining per-field compose types — phrase_prefix takes the
+    // best field, bool_prefix SUMS the per-field scores. The
+    // single-token source column never matches "the s*" / "the win",
+    // so its leg contributes exactly 0 under either combine and both
+    // share their single-field twins' oracles.
+    "q7_esdsl_multimatch_phrase_prefix" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "the s",
+          |  "type": "phrase_prefix", "fields": ["text", "source"]}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    "q7_esdsl_multimatch_bool_prefix" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "the win",
+          |  "type": "bool_prefix", "fields": ["text", "source"]}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // match_phrase + english (round 13): the stop filter CONSUMES a
     // position, so "sorted the windows" analyzes to (sort@0,
     // window@2) and the phrase matches the literal token "sort" with
@@ -3559,6 +3581,39 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
+  /** Shared oracle of q7_esdsl_phrase_prefix and its multi_match
+    * type=phrase_prefix twin (the source leg never matches "the s*",
+    * so the best-field combine keeps the text leg verbatim). */
+  private lazy val phrasePrefixOracleSql: String =
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'the' AND b.tok LIKE 's%' " +
+      "AND b.pos = a.pos + 1 GROUP BY a.doc_id) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "CAST(m.score AS DOUBLE) AS _score " +
+    "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
+    "ORDER BY _score DESC, d.doc_id LIMIT 100"
+
+  /** Shared oracle of q7_esdsl_bool_prefix and its multi_match
+    * type=bool_prefix twin (per-field scores SUM; the source leg's
+    * sum is exactly 0 on "the win"). */
+  private lazy val boolPrefixOracleSql: String = {
+    val thec = substrCountSql(s"(${tokenNormSql("text")})", " the ")
+    "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$thec AS tc, " +
+      "len(list_filter(" + anToksSql("text") +
+        ", x -> x LIKE 'win%')) AS pc " +
+    "FROM documents) " +
+    "SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(tc + pc AS DOUBLE) AS \"_score\" " +
+    "FROM b WHERE tc > 0 OR pc > 0 " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Oracle of q7_esdsl_phrase_english: the english analysis of
     * "sorted the windows" is precomputed — stems (sort@0, window@2),
     * the stop position surviving as a gap — and replayed as an
@@ -4177,19 +4232,9 @@ object ParityQueries {
 
     // match_phrase_prefix "the s": 'the' then any token LIKE 's%'
     // immediately after; score = count of start positions
-    "q7_esdsl_phrase_prefix" ->
-      ("WITH toks AS (SELECT doc_id, " + anToksSql("text") +
-        " AS ts FROM documents), " +
-      "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
-        "generate_subscripts(ts, 1) AS pos FROM toks), " +
-      "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
-        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
-        "AND a.tok = 'the' AND b.tok LIKE 's%' " +
-        "AND b.pos = a.pos + 1 GROUP BY a.doc_id) " +
-      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
-        "CAST(m.score AS DOUBLE) AS _score " +
-      "FROM documents d JOIN m ON d.doc_id = m.doc_id " +
-      "ORDER BY _score DESC, d.doc_id LIMIT 100"),
+    "q7_esdsl_phrase_prefix" -> phrasePrefixOracleSql,
+
+    "q7_esdsl_multimatch_phrase_prefix" -> phrasePrefixOracleSql,
 
     // fuzzy 'windwo' fuzziness 1 under the Damerau default (an
     // adjacent swap is one edit) vs the explicit Levenshtein path
@@ -4675,18 +4720,12 @@ object ParityQueries {
        "(SELECT max(doc_count) FROM b) AS peak_daily " +
        "FROM b ORDER BY key"),
 
-    "q7_esdsl_bool_prefix" -> {
-      val thec = substrCountSql(s"(${tokenNormSql("text")})", " the ")
-      "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
-        s"$thec AS tc, " +
-        "len(list_filter(" + anToksSql("text") +
-          ", x -> x LIKE 'win%')) AS pc " +
-      "FROM documents) " +
-      "SELECT doc_id, text, lang, source, n_chars, " +
-        "CAST(tc + pc AS DOUBLE) AS \"_score\" " +
-      "FROM b WHERE tc > 0 OR pc > 0 " +
-      "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
-    },
+    "q7_esdsl_bool_prefix" -> boolPrefixOracleSql,
+
+    // the multi_match compose twins: the source leg contributes
+    // exactly 0 (single-token column, no phrase/prefix match), so the
+    // single-field oracles replay verbatim — one oracle, two shapes
+    "q7_esdsl_multimatch_bool_prefix" -> boolPrefixOracleSql,
 
     // significant_terms: JLH re-derived — (fg% − bg%)·(fg%/bg%) with
     // the exact operation order mirrored (each step one IEEE op, so

@@ -3813,6 +3813,83 @@ object EsDsl {
             if (scores.size == 1) scores.head else greatest(scores: _*)
           boosted(Clause(pred, score), mmBoost)
         }
+      } else if (tpe == "phrase_prefix") {
+        // ES multi_match type=phrase_prefix: a match_phrase_prefix
+        // per field, best-field combine — count-scored like the
+        // single-field form; per-field capped expansion under
+        // max_expansions. A stemmed PREFIX is not a meaningful probe
+        // — english rejects by name on the prefix types.
+        for (k <- Seq("operator", "minimum_should_match", "fuzziness",
+            "prefix_length", "fuzzy_transpositions")
+            if b.hasNonNull(k))
+          bad(s"multi_match type=phrase_prefix does not support $k")
+        if (mmEnglish)
+          bad("the english analyzer is not supported on prefix types " +
+            "(a Porter stem is not a token prefix)")
+        if (fields.isEmpty)
+          bad("multi_match needs a non-empty \"fields\"")
+        val slop = Option(b.get("slop")).map(_.asInt).getOrElse(0)
+        if (slop < 0) bad("slop must be >= 0")
+        val maxExp = Option(b.get("max_expansions")).map(_.asInt)
+        maxExp.foreach(n =>
+          if (n <= 0 || n > Search.MaxExpansionsCeiling)
+            bad(s"max_expansions must be 1..${Search.MaxExpansionsCeiling}"))
+        val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
+        if (terms.isEmpty) bad("empty multi_match query")
+        val legs = fields.map { case (f, fb) =>
+          val expansion = maxExp.map(n =>
+            ctx.prefixExpansion(Seq(f), terms.last, n))
+          val cnt = Search.phrasePrefixCount(col(f), terms, slop,
+            expansion)
+          (cnt, if (fb == 1.0) cnt.cast("double")
+                else cnt.cast("double") * fb)
+        }
+        val pred = legs.map(_._1 > 0).reduce(_ || _)
+        val score = if (legs.size == 1) legs.head._2
+          else greatest(legs.map(_._2): _*)
+        boosted(Clause(pred, score), mmBoost)
+      } else if (tpe == "bool_prefix") {
+        // ES multi_match type=bool_prefix: a match_bool_prefix per
+        // field (leading terms token-exact, last term a prefix;
+        // operator gates per field) with the per-field scores
+        // COMBINED by sum — ES's documented "combines the _score
+        // from each field", unlike the best-field phrase types.
+        for (k <- Seq("minimum_should_match", "fuzziness",
+            "prefix_length", "max_expansions", "fuzzy_transpositions",
+            "slop") if b.hasNonNull(k))
+          bad(s"multi_match type=bool_prefix does not support $k")
+        if (mmEnglish)
+          bad("the english analyzer is not supported on prefix types " +
+            "(a Porter stem is not a token prefix)")
+        if (fields.isEmpty)
+          bad("multi_match needs a non-empty \"fields\"")
+        val operator = Option(b.get("operator")).map(_.asText)
+          .getOrElse("or")
+        if (operator != "and" && operator != "or")
+          bad(s"unsupported operator '$operator'")
+        val terms = graft.functions.TextFunctions.analyzeText(text).toSeq
+        if (terms.isEmpty) bad("empty multi_match query")
+        val legs = fields.map { case (f, fb) =>
+          val counts: Seq[Column] =
+            terms.init.map(t =>
+              Search.substrCount(Search.tokenNorm(col(f)), s" $t ")) :+
+            Search.phrasePrefixCount(col(f), Seq(terms.last), 0)
+          val preds = counts.map(_ > 0)
+          val pred = if (operator == "and") preds.reduce(_ && _)
+            else preds.reduce(_ || _)
+          // a field that fails ITS OWN gate contributes nothing (an
+          // ES bool that doesn't match scores 0 in the combine) —
+          // under operator=or the gate equals counts > 0, so the
+          // conditional only bites on partially-matched `and` fields
+          val raw = when(pred, counts.reduce(_ + _).cast("double"))
+            .otherwise(lit(0.0))
+          (pred, if (fb == 1.0) raw else raw * fb)
+        }
+        val pred = legs.map(_._1).reduce(_ || _)
+        // ... and the per-field scores SUM across fields (ES's
+        // documented bool_prefix combine)
+        val score = legs.map(_._2).reduce(_ + _)
+        boosted(Clause(pred, score), mmBoost)
       } else {
         if (tpe != "most_fields" && tpe != "best_fields")
           bad(s"unsupported multi_match type '$tpe'")

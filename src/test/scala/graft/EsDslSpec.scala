@@ -229,6 +229,50 @@ class EsDslSpec extends SparkSpec {
     assert(eng.keySet == Set(1L, 2L, 3L))
   }
 
+  test("multi_match type=phrase_prefix (best field) and " +
+    "type=bool_prefix (per-field sums, own-gate-scored)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha window batch", "window beta"),
+      (2L, "nothing", "window batch online"),
+      (3L, "window alone", "batch alone"))
+      .toDF("doc_id", "title", "body")
+    def run(bodyJson: String) =
+      EsDsl.search(df, mapper.readTree(bodyJson))
+        .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    // phrase_prefix "window ba*": title leg hits doc 1, body leg doc 2
+    val pp = run("""{"query": {"multi_match": {"query": "window ba",
+      "type": "phrase_prefix", "fields": ["title", "body"]}},
+      "size": 10}""")
+    assert(pp.keySet == Set(1L, 2L))
+    // best-field: each equals its single-field count
+    assert(pp(1L) == 1.0 && pp(2L) == 1.0)
+    // bool_prefix sums across fields: doc 1 scores title(window=1,
+    // ba*=1) + body(window=1) = 3; doc 3 scores 1 + 1 = 2
+    val bp = run("""{"query": {"multi_match": {"query": "window ba",
+      "type": "bool_prefix", "fields": ["title", "body"]}},
+      "size": 10}""")
+    assert(bp.keySet == Set(1L, 2L, 3L))
+    assert(bp(1L) == 3.0, s"doc1 sums fields: $bp")
+    assert(bp(3L) == 2.0, s"doc3 sums fields: $bp")
+    // operator=and gates PER FIELD and a failing field scores 0:
+    // doc 3 has window in title only, batch-prefix in body only —
+    // neither field satisfies and, so it drops; doc 1's title
+    // satisfies and (window + ba*) and contributes alone (body has
+    // window but no ba* -> gated to 0)
+    val bpAnd = run("""{"query": {"multi_match": {"query": "window ba",
+      "type": "bool_prefix", "operator": "and",
+      "fields": ["title", "body"]}}, "size": 10}""")
+    assert(bpAnd.keySet == Set(1L, 2L))
+    assert(bpAnd(1L) == 2.0, s"failing field must score 0: $bpAnd")
+    // english on prefix types rejects by name
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "window ba",
+        "type": "phrase_prefix", "analyzer": "english",
+        "fields": ["title"]}}, "size": 10}""")
+    }
+  }
+
   test("scripted_metric: sum-fold family computes; everything " +
     "outside the shape rejects by name (non-zero seed, list state, " +
     "non-sum reduce, unseeded accumulators)") {
