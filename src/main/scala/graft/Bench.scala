@@ -233,8 +233,11 @@ object Bench {
           ks.result() == results.keySet
         }
       }
+    // both refusals apply to COMPARABLE laps only — a lap over a new
+    // query set or SF always writes (the old artifact can't stand in
+    // for it, clean or not)
     val keepExisting =
-      if (contaminated) oldClean
+      if (contaminated) oldClean && existing.exists(comparable)
       else oldClean && existing.exists(n =>
         comparable(n) && total > n.path("value").asDouble(Double.MaxValue))
     if (keepExisting)

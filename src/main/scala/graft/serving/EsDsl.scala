@@ -1305,9 +1305,13 @@ object EsDsl {
     if (b.hasNonNull("fields"))
       bad("explicit fields are not supported on the wildcard target; " +
         "each index scores its own string fields (ES's [\"*\"] default)")
-    for (k <- Seq("operator", "minimum_should_match", "fuzziness")
-        if b.hasNonNull(k))
+    for (k <- Seq("operator", "minimum_should_match", "fuzziness",
+        "slop") if b.hasNonNull(k))
       bad(s"multi_match $k is not supported on the wildcard target")
+    // result-changing analyzers reject by name here too — silently
+    // standard-analyzing an english request would answer a different
+    // question than the same body against a single index
+    analyzerKnob(b)
     val bestFields = Option(b.get("type")).map(_.asText)
       .getOrElse("most_fields") match {
       case "most_fields" => false

@@ -1939,19 +1939,29 @@ final class HttpApi(
 
   /** Shallow-merge an update's `doc` fields into the stored row — ES
     * `_update` partial-document semantics over the synced store's
-    * namespaced columns. Unknown columns and non-scalar values are the
-    * item's error (the store's schema is the mapping). */
-  private def bulkMerge(base: (org.apache.spark.sql.Row,
+    * namespaced columns. Unknown columns, IDENTITY columns
+    * (document_id / the namespaced id / the `table` discriminator —
+    * ES's _update cannot change _id either; rewriting them here would
+    * fork the row under a new id while reporting an update) and
+    * non-scalar values are the item's error (the store's schema is
+    * the mapping). */
+  private def bulkMerge(spec: EntitySpec,
+                        base: (org.apache.spark.sql.Row,
                                org.apache.spark.sql.types.StructType),
                         doc: JsonNode)
       : Either[String, (org.apache.spark.sql.Row,
                         org.apache.spark.sql.types.StructType)] = {
     import org.apache.spark.sql.types._
+    val identity =
+      Set("document_id", "table", s"${spec.name}_${spec.idCol}")
     val (row, schema) = base
     val values = row.toSeq.toArray
     val it = doc.fields()
     while (it.hasNext) {
       val e = it.next()
+      if (identity(e.getKey))
+        return Left(s"field '${e.getKey}' is the document identity " +
+          "— an update cannot re-id a document (delete + index)")
       val idx = schema.fieldNames.indexOf(e.getKey)
       if (idx < 0)
         return Left(s"unknown field '${e.getKey}' (not in the mapping)")
@@ -1985,15 +1995,38 @@ final class HttpApi(
     val acts = parseBulk(defaultIndex, raw)
     type Doc = (org.apache.spark.sql.Row,
                 org.apache.spark.sql.types.StructType)
-    // one request-bounded store probe per touched entity: which of the
-    // request's EXPLICIT ids exist, and their rows (update bases) —
-    // a semi-join by id list, never a corpus collect
     val byEntity = acts.groupBy(_.entity)
+    // PHASE 1 — derive every index/create action's pinned document
+    // up front (validate/default/pipeline; side-effect-free), so the
+    // store probe below sees DERIVED ids too: a create whose id rides
+    // the SOURCE body (no explicit _id) must still 409 against an
+    // existing doc, and an index must report created vs updated
+    // truthfully. Keyed by action position (several actions may share
+    // an id).
+    val derived: Map[Int, Either[String, Doc]] =
+      acts.zipWithIndex.collect {
+        case (a, i) if (a.op == "index" || a.op == "create") &&
+            EntityCatalog.entities.contains(a.entity) =>
+          i -> bulkDoc(EntityCatalog.entities(a.entity), a.id,
+            a.source.get)
+      }.toMap
+    def derivedId(i: Int): Option[String] = derived.get(i).flatMap {
+      case Right((row, schema)) => Some(String.valueOf(
+        row.getAs[Any](schema.fieldIndex("document_id"))))
+      case Left(_) => None
+    }
+    // PHASE 2 — one request-bounded store probe per touched entity:
+    // which of the request's ids (explicit AND derived) exist, and
+    // their rows (update bases) — a semi-join by id list, never a
+    // corpus collect
     val stored = scala.collection.mutable.Map.empty[(String, String), Doc]
     val storedIds = scala.collection.mutable.Set.empty[(String, String)]
-    for ((entity, as) <- byEntity
+    for ((entity, _) <- byEntity
          if EntityCatalog.entities.contains(entity)) {
-      val ids = as.flatMap(_.id).distinct
+      val ids = acts.zipWithIndex.collect {
+        case (a, i) if a.entity == entity =>
+          a.id.orElse(derivedId(i))
+      }.flatten.distinct
       if (ids.nonEmpty) index(entity).foreach { df =>
         val rows = df.filter(col("document_id").isin(ids: _*)).collect()
         rows.foreach { r =>
@@ -2003,22 +2036,26 @@ final class HttpApi(
         }
       }
     }
-    // the in-order walk: `state` carries each touched id's CURRENT doc
-    // (None = deleted this request); absent key = whatever the store
-    // holds. Every mutation is request-bounded driver work.
+    // PHASE 3 — the in-order walk: `state` carries each touched id's
+    // CURRENT doc (None = deleted this request); absent key = whatever
+    // the store holds. Every mutation is request-bounded driver work.
     val state = scala.collection.mutable.Map.empty[(String, String),
                                                    Option[Doc]]
     def liveDoc(k: (String, String)): Option[Doc] =
       state.getOrElse(k, stored.get(k))
     def exists(k: (String, String)): Boolean = liveDoc(k).isDefined
-    val items = acts.map { a =>
+    val items = acts.zipWithIndex.map { case (a, ai) =>
+      // every caller-controlled value is Jackson-escaped — _index
+      // included (an unknown entity echoes the raw request string)
       def item(id: String, status: Int, result: String): String =
-        s"""{"${a.op}": {"_index": "${a.entity}", "_id": ${
+        s"""{"${a.op}": {"_index": ${
+          mapper.writeValueAsString(a.entity)}, "_id": ${
           mapper.writeValueAsString(id)}, "status": $status, ${""
           }"result": "$result"}}"""
       def errItem(id: String, status: Int, tpe: String,
                   reason: String): String =
-        s"""{"${a.op}": {"_index": "${a.entity}", "_id": ${
+        s"""{"${a.op}": {"_index": ${
+          mapper.writeValueAsString(a.entity)}, "_id": ${
           mapper.writeValueAsString(id)}, "status": $status, ${""
           }"error": {"type": "$tpe", "reason": ${
           mapper.writeValueAsString(reason)}}}}"""
@@ -2028,7 +2065,7 @@ final class HttpApi(
             s"unknown entity '${a.entity}'")
         case Some(spec) => a.op match {
           case "index" | "create" =>
-            bulkDoc(spec, a.id, a.source.get) match {
+            derived(ai) match {
               case Left(reason) =>
                 errItem(a.id.getOrElse(""), 400, "validation_exception",
                   reason)
@@ -2057,7 +2094,7 @@ final class HttpApi(
                     errItem(id, 404, "document_missing_exception",
                       s"document '$id' not found")
                   case Some(base) =>
-                    bulkMerge(base, a.source.get) match {
+                    bulkMerge(spec, base, a.source.get) match {
                       case Left(reason) =>
                         errItem(id, 400, "validation_exception", reason)
                       case Right(merged) =>

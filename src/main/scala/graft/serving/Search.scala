@@ -194,13 +194,11 @@ object Search {
     val union = specDocs.map(_._2)
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // entity-major (entity, field) pairs, schema order within entity —
-    // the per-entity path's exact field order
+    // the per-entity path's exact field order (ONE derivation shared
+    // with the index builder and the coverage check)
     val pairs: Seq[(String, String)] = specDocs.flatMap {
       case (spec, docs) =>
-        docs.schema.fields
-          .filter(_.dataType == StringType)
-          .map(_.name).filterNot(Set("table", "document_id"))
-          .map(spec.name -> _)
+        searchableDocFields(docs.schema).map(spec.name -> _)
     }
     val entityIdx = specs.map(_.name).zipWithIndex.toMap
     def gate(e: String): Column = col("table") === e
@@ -293,26 +291,46 @@ object Search {
       .limit(limit)
   }
 
+  /** The SEARCHABLE fields of an entity document frame — its string
+    * columns in schema order, minus the `table` discriminator and the
+    * id. ONE definition shared by the index builder, the wildcard
+    * scorers and the coverage check, so the field contract cannot
+    * drift between what gets indexed and what gets scored. */
+  private[graft] def searchableDocFields(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).filterNot(Set("table", "document_id")).toSeq
+
+  /** Per-(srcDir, entity) memo of the entity pipeline's searchable
+    * field list — `srcDir` tables are an immutable snapshot (the same
+    * assumption the HTTP layer's index memoization rests on), so the
+    * schema-analysis cost is paid once per entity, not once per
+    * wildcard request. */
+  private val coverFieldsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+                                               Seq[String]]()
+
   /** Whether the per-entity write-time indexes under `root` COVER a
     * wildcard request over `only` (all entities when empty): each
     * in-scope entity's index exists at the current version and its
     * indexed field list EQUALS the field list the scan path would
     * score — same names, same order (per-field scores sum in fixed
     * field order, so order is part of the contract). Schema-only
-    * driver analysis, no scans. */
+    * driver analysis, memoized per (srcDir, entity) — no scans, no
+    * per-request pipeline rebuilds. */
   def entityIndexesCover(spark: SparkSession, srcDir: String,
                          runTs: String, root: String,
                          only: Seq[String] = Nil): Boolean = {
-    import org.apache.spark.sql.types.StringType
     import graft.catalog.EntityCatalog
     entitySubset(only).forall { spec =>
       val p = s"$root/${spec.name}"
       graft.sinks.SearchIndex.exists(p) && {
-        val expected = EntityCatalog.pipeline(
-            graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
-          .schema.fields
-          .filter(_.dataType == StringType)
-          .map(_.name).filterNot(Set("table", "document_id")).toSeq
+        val expected = coverFieldsMemo.computeIfAbsent(
+          (srcDir, spec.name), _ =>
+            searchableDocFields(EntityCatalog.pipeline(
+              graft.sources.Tables(spark, srcDir, spec.name), spec,
+              runTs).schema))
         graft.sinks.SearchIndex.readMeta(p).fields == expected
       }
     }
@@ -444,16 +462,12 @@ object Search {
     * [[acrossIndexesRanked]] scores. */
   def buildEntityIndexes(spark: SparkSession, srcDir: String, root: String,
                          runTs: String): Unit = {
-    import org.apache.spark.sql.types.StringType
     import graft.catalog.EntityCatalog
     EntityCatalog.entities.values.toSeq.sortBy(_.name).foreach { spec =>
       val docs = EntityCatalog.pipeline(
         graft.sources.Tables(spark, srcDir, spec.name), spec, runTs)
-      val fields = docs.schema.fields
-        .filter(_.dataType == StringType)
-        .map(_.name).filterNot(Set("table", "document_id")).toSeq
-      graft.sinks.SearchIndex.build(docs, fields, "document_id",
-        s"$root/${spec.name}")
+      graft.sinks.SearchIndex.build(docs, searchableDocFields(docs.schema),
+        "document_id", s"$root/${spec.name}")
     }
   }
 

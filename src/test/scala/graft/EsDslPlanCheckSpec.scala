@@ -145,12 +145,13 @@ class EsDslPlanCheckSpec extends SparkSpec {
     // clause's tokens AND the english clause's stems probe as
     // Contains before tokenize+explode (round 12's document-side
     // english design disabled the whole pass's prefilter when a stem
-    // lacked a safe probe — the query-side design never does)
-    for (t <- Seq("window", "batch", "sort"))
-      assert(plan.contains(s"Contains(lower(text"),
-        s"no contains prefilter in the scoring pass:\n${plan.take(1500)}")
-    assert(plan.contains("sort"),
-      "the english clause's stem is missing from the prefilter")
+    // lacked a safe probe — the query-side design never does).
+    // Checked PER TERM: Contains(lower(text#<id>), <term>)
+    for (t <- Seq("window", "batch", "sort", "window"))
+      assert(s"Contains\\(lower\\(text#\\d+\\), $t\\)".r
+          .findFirstIn(plan).isDefined,
+        s"term '$t' missing from the contains prefilter:\n${
+          plan.take(1500)}")
   }
 
   test("wildcard BM25 is ONE shared pass across entities: the whole " +

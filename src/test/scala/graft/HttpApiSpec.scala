@@ -1179,6 +1179,40 @@ class HttpApiSpec extends SparkSpec
     val items3 = om.readTree(r3.body()).get("items")
     assert(items3.get(0).get("update").get("status").asInt == 400)
     assert(items3.get(1).get("delete").get("status").asInt == 400)
+
+    // a create whose id rides the SOURCE body (no explicit _id) still
+    // conflicts with the STORED doc (the probe covers derived ids);
+    // index over it reports updated, not created; and an update may
+    // not rewrite the document identity
+    val r4 = post("/part/_bulk", Seq(
+      """{"create": {}}""",
+      """{"p_partkey": 880003, "p_name": "sneaky"}""",
+      """{"index": {}}""",
+      """{"p_partkey": 880003, "p_name": "re-index"}""",
+      """{"update": {"_id": "880003"}}""",
+      """{"doc": {"document_id": "999999"}}""").mkString("\n"))
+    assert(r4.statusCode() == 200, r4.body())
+    val items4 = om.readTree(r4.body()).get("items")
+    assert(items4.get(0).get("create").get("status").asInt == 409,
+      r4.body())
+    assert(items4.get(1).get("index").get("status").asInt == 200)
+    assert(items4.get(1).get("index").get("result").asText == "updated")
+    assert(items4.get(2).get("update").get("status").asInt == 400)
+    assert(items4.get(2).get("update").get("error").get("reason")
+      .asText.contains("identity"))
+    val after4 = spark.read.parquet(s"$outDir/part/data")
+    assert(after4.count() == 1, "the conflicting create must not fork")
+    val row4 = after4.collect().head
+    assert(String.valueOf(row4.getAs[Any]("document_id")) == "880003")
+    assert(row4.getAs[String]("part_p_name") == "re-index")
+
+    // a quote in an unknown _index must not break the response JSON
+    val rEsc = post("/_bulk",
+      """{"delete": {"_index": "a\"b", "_id": "1"}}""")
+    assert(rEsc.statusCode() == 200, rEsc.body())
+    val escItems = om.readTree(rEsc.body()).get("items")
+    assert(escItems.get(0).get("delete").get("status").asInt == 404)
+    assert(escItems.get(0).get("delete").get("_index").asText == "a\"b")
   }
 
   private def put(path: String, body: String): HttpResponse[String] =
