@@ -977,6 +977,21 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // multi_match type=cross_fields (round 13): TERM-centric — each
+    // term may live in any field ('window' in text, 'src3' in
+    // source), operator=and gates per TERM across fields, and each
+    // term scores its best field under ONE blended idf whose df is
+    // the max across fields (Lucene's BlendedTermQuery). Statistics
+    // ride the shared single-row phrase-stats frame.
+    "q7_esdsl_cross_fields" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"multi_match": {"query": "window src3",
+          |  "type": "cross_fields", "operator": "and",
+          |  "fields": ["text", "source"]}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // multi_match type=phrase_prefix / bool_prefix (round 13): the
     // remaining per-field compose types — phrase_prefix takes the
     // best field, bool_prefix SUMS the per-field scores. The
@@ -3581,6 +3596,53 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
+  /** Oracle of q7_esdsl_cross_fields: op-for-op replay of
+    * Ctx.crossFieldsScore over (text, source) with terms
+    * (window, src3) — one stats row (n, per-field avgdl,
+    * per-(field, term) token-presence df), blended idf per term from
+    * the MAX df across fields, per-field saturated tf under that idf,
+    * dis_max per term (tie_breaker 0), terms summed in query order,
+    * one floor-rounding to the 1e-4 grid; operator=and gates each
+    * term's any-field presence. */
+  private lazy val crossFieldsOracleSql: String = {
+    val nt = tokenNormSql("text")
+    val ns = tokenNormSql("source")
+    def cnt(nrm: String, t: String) = substrCountSql(s"($nrm)", s" $t ")
+    def dfOf(nrm: String, t: String) =
+      s"sum(CASE WHEN ${cnt(nrm, t)} > 0 THEN 1 ELSE 0 END)"
+    def idf(dfA: String, dfB: String) =
+      s"ln(CAST(1.0 AS DOUBLE) + (n - greatest($dfA, $dfB) + " +
+        s"CAST(0.5 AS DOUBLE)) / (greatest($dfA, $dfB) + " +
+        "CAST(0.5 AS DOUBLE)))"
+    def sat(tf: String, dl: String, avgdl: String) =
+      s"(($tf * CAST(2.2 AS DOUBLE)) / ($tf + CAST(1.2 AS DOUBLE) * " +
+        s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * $dl / $avgdl)))"
+    "WITH st AS (SELECT count(*) AS n, " +
+      s"CAST(sum(len(${anToksSql("text")})) AS DOUBLE) / count(*) " +
+        "AS avgdl_t, " +
+      s"CAST(sum(len(${anToksSql("source")})) AS DOUBLE) / count(*) " +
+        "AS avgdl_s, " +
+      s"${dfOf(nt, "window")} AS df_tw, ${dfOf(ns, "window")} AS df_sw, " +
+      s"${dfOf(nt, "src3")} AS df_ts, ${dfOf(ns, "src3")} AS df_ss " +
+      "FROM documents), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"${cnt(nt, "window")} AS tw, ${cnt(ns, "window")} AS sw, " +
+      s"${cnt(nt, "src3")} AS ts, ${cnt(ns, "src3")} AS ss, " +
+      s"len(${anToksSql("text")}) AS dlt, " +
+      s"len(${anToksSql("source")}) AS dls FROM documents) " +
+    "SELECT doc_id, text, lang, source, n_chars, " +
+      "floor((greatest(" +
+        s"${idf("df_tw", "df_sw")} * ${sat("tw", "dlt", "avgdl_t")}, " +
+        s"${idf("df_tw", "df_sw")} * ${sat("sw", "dls", "avgdl_s")}) + " +
+      "greatest(" +
+        s"${idf("df_ts", "df_ss")} * ${sat("ts", "dlt", "avgdl_t")}, " +
+        s"${idf("df_ts", "df_ss")} * ${sat("ss", "dls", "avgdl_s")})) " +
+      "* 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM c CROSS JOIN st " +
+    "WHERE (tw > 0 OR sw > 0) AND (ts > 0 OR ss > 0) " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_phrase_prefix and its multi_match
     * type=phrase_prefix twin (the source leg never matches "the s*",
     * so the best-field combine keeps the text leg verbatim). */
@@ -4296,6 +4358,8 @@ object ParityQueries {
     "q7_esdsl_phrase_english" -> phraseEnglishSql,
 
     "q7_esdsl_multimatch_phrase" -> phraseBm25Sql,
+
+    "q7_esdsl_cross_fields" -> crossFieldsOracleSql,
     // the all-probes twin (every scoring clause = one postings probe)
     "q7_esdsl_bm25_probe" -> bm25BoolOracleSql,
 

@@ -544,6 +544,47 @@ object EsDsl {
           lit(0.75) * dl / col(s"__phb_avgdl_$fi")))))
     }
 
+    /** Cross-fields BM25 (ES `multi_match type=cross_fields` —
+      * Lucene's BlendedTermQuery): per TERM, every field's saturated
+      * tf scores with ONE blended idf whose document frequency is the
+      * MAX across the fields (the blend — a term frequent in any
+      * field is "frequent" for all of them), the per-field scores
+      * combine via dis_max + `tie_breaker`, and the terms sum. The
+      * statistics (n, per-field avgdl, per-(field, term) df) ride the
+      * SAME single-row frame as the phrase family — one corpus
+      * aggregate (or one index probe) serves both. */
+    def crossFieldsScore(terms: Seq[String],
+                         fields: Seq[(String, Double)],
+                         tieBreaker: Double): Column = {
+      if (inFilterCtx) return lit(0.0)
+      fields.foreach { case (f, _) =>
+        if (!phbFields.contains(f)) { phbFields += f; () } }
+      for ((f, _) <- fields; t <- terms)
+        if (!phbTerms.contains((f, t))) { phbTerms += ((f, t)); () }
+      val termScores = terms.map { t =>
+        val dfs = fields.map { case (f, _) =>
+          col(s"__phb_df_${phbTerms.indexOf((f, t))}") }
+        val dfMax = if (dfs.size == 1) dfs.head else greatest(dfs: _*)
+        val idf = log(lit(1.0) +
+          (col("__phb_n") - dfMax + 0.5) / (dfMax + 0.5))
+        val parts = fields.map { case (f, b) =>
+          val fi = phbFields.indexOf(f)
+          val tf = Search.substrCount(Search.tokenNorm(col(f)), s" $t ")
+          val dl = graft.functions.TextFunctions.analyzerTokenCount(
+            col(f))
+          val raw = idf * ((tf * 2.2) /
+            (tf + lit(1.2) * (lit(0.25) +
+              lit(0.75) * dl / col(s"__phb_avgdl_$fi"))))
+          if (b == 1.0) raw else raw * b
+        }
+        val best = if (parts.size == 1) parts.head
+          else greatest(parts: _*)
+        if (tieBreaker == 0.0) best
+        else best + lit(tieBreaker) * (parts.reduce(_ + _) - best)
+      }
+      Search.round4(termScores.reduce(_ + _))
+    }
+
     /** The ONE single-row statistics frame every phrase clause's score
       * references — None when the body had no scored phrase. Broadcast
       * cross-joined into the hit path by [[searchParts]]. */
@@ -3775,7 +3816,7 @@ object EsDsl {
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
-        "fuzzy_transpositions", "analyzer", "slop"))
+        "fuzzy_transpositions", "analyzer", "slop", "tie_breaker"))
       val mmEnglish = matchAnalyzer(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
@@ -3788,7 +3829,57 @@ object EsDsl {
         }
       }
       val tpe = Option(b.get("type")).map(_.asText).getOrElse("most_fields")
-      if (tpe == "phrase") {
+      // tie_breaker is the cross_fields dis-max knob — on any other
+      // type silently ignoring it would answer a different question
+      if (b.hasNonNull("tie_breaker") && tpe != "cross_fields")
+        bad("tie_breaker applies to type=cross_fields only here")
+      if (tpe == "cross_fields") {
+        // ES cross_fields: TERM-centric — a term may live in any
+        // field ("first name in one column, last name in another");
+        // operator/minimum_should_match gate per TERM across fields,
+        // and each term scores its best field under ONE blended idf
+        // ([[Ctx.crossFieldsScore]]). A query-time english analyzer
+        // rewrites the terms like the rest of the match family.
+        for (k <- Seq("fuzziness", "prefix_length", "max_expansions",
+            "fuzzy_transpositions", "slop") if b.hasNonNull(k))
+          bad(s"multi_match type=cross_fields does not support $k")
+        if (fields.isEmpty)
+          bad("multi_match needs a non-empty \"fields\"")
+        val tieBreaker = Option(b.get("tie_breaker"))
+          .map(_.asDouble).getOrElse(0.0)
+        if (tieBreaker < 0.0 || tieBreaker > 1.0)
+          bad("tie_breaker must be in [0, 1]")
+        val operator = Option(b.get("operator")).map(_.asText)
+          .getOrElse("or")
+        if (operator != "and" && operator != "or")
+          bad(s"unsupported operator '$operator'")
+        val terms =
+          if (mmEnglish) graft.functions.EnglishAnalysis.analyze(text)
+            .distinct.toSeq
+          else graft.functions.TextFunctions.analyzeText(text)
+            .distinct.toSeq
+        if (terms.isEmpty && mmEnglish) Clause(lit(false), lit(0.0))
+        else {
+          if (terms.isEmpty) bad("empty multi_match query")
+          // per-TERM presence in ANY field; operator/msm count terms
+          val present = terms.map(t => fields.map { case (f, _) =>
+            Search.substrCount(Search.tokenNorm(col(f)), s" $t ") > 0
+          }.reduce(_ || _))
+          val matched = present.map(p =>
+            when(p, 1).otherwise(0)).reduce(_ + _)
+          val need = Option(b.get("minimum_should_match"))
+            .map(msmSpec) match {
+            case Some(spec) =>
+              MinShouldMatch.resolve(spec, terms.size).getOrElse(
+                bad(s"malformed minimum_should_match '$spec'"))
+            case None => if (operator == "and") terms.size else 1
+          }
+          val pred =
+            matched >= math.max(1, math.min(need, terms.size))
+          boosted(Clause(pred,
+            ctx.crossFieldsScore(terms, fields, tieBreaker)), mmBoost)
+        }
+      } else if (tpe == "phrase") {
         // ES multi_match type=phrase: a match_phrase per field,
         // best-field combine (Lucene dis_max, tie_breaker 0) — hit =
         // the phrase in ANY field, score = the best field's

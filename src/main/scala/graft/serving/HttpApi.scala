@@ -1956,16 +1956,16 @@ final class HttpApi(
       Set("document_id", "table", s"${spec.name}_${spec.idCol}")
     val (row, schema) = base
     val values = row.toSeq.toArray
-    val it = doc.fields()
-    while (it.hasNext) {
-      val e = it.next()
-      if (identity(e.getKey))
-        return Left(s"field '${e.getKey}' is the document identity " +
+    val names = doc.fieldNames()
+    while (names.hasNext) {
+      val key = names.next()
+      if (identity(key))
+        return Left(s"field '$key' is the document identity " +
           "— an update cannot re-id a document (delete + index)")
-      val idx = schema.fieldNames.indexOf(e.getKey)
+      val idx = schema.fieldNames.indexOf(key)
       if (idx < 0)
-        return Left(s"unknown field '${e.getKey}' (not in the mapping)")
-      val v = e.getValue
+        return Left(s"unknown field '$key' (not in the mapping)")
+      val v = doc.get(key)
       val coerced: Either[String, Any] =
         if (v.isNull) Right(null)
         else schema.fields(idx).dataType match {
@@ -1975,7 +1975,7 @@ final class HttpApi(
           case DoubleType => Right(v.asDouble)
           case FloatType => Right(v.asDouble.toFloat)
           case BooleanType => Right(v.asBoolean)
-          case dt => Left(s"field '${e.getKey}': cannot coerce to " +
+          case dt => Left(s"field '$key': cannot coerce to " +
             dt.simpleString)
         }
       coerced match {

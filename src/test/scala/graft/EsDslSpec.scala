@@ -273,6 +273,65 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("multi_match type=cross_fields: term-centric — operator gates " +
+    "per TERM across fields; blended idf; dis_max + tie_breaker per " +
+    "term") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ada", "lovelace"),   // first name one field, last the other
+      (2L, "lovelace", "ada"),
+      (3L, "ada", "byron"),      // only one of the two terms
+      (4L, "grace", "hopper"),
+      (5L, "ada", "ada king"))   // 'ada' in BOTH fields
+      .toDF("doc_id", "first", "last")
+    def run(bodyJson: String) =
+      EsDsl.search(df, mapper.readTree(bodyJson))
+        .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    // operator=and requires EVERY term in SOME field — the
+    // first-name-in-one-column use case cross_fields exists for
+    val and = run("""{"query": {"multi_match": {"query":
+      "ada lovelace", "type": "cross_fields", "operator": "and",
+      "fields": ["first", "last"]}}, "size": 10}""")
+    assert(and.keySet == Set(1L, 2L))
+    // default or: any term anywhere
+    val or = run("""{"query": {"multi_match": {"query":
+      "ada lovelace", "type": "cross_fields",
+      "fields": ["first", "last"]}}, "size": 10}""")
+    assert(or.keySet == Set(1L, 2L, 3L, 5L))
+    // tie_breaker adds the non-best field's score: only doc 5 holds
+    // 'ada' in both fields, so only its score moves
+    val tb = run("""{"query": {"multi_match": {"query":
+      "ada lovelace", "type": "cross_fields", "tie_breaker": 0.5,
+      "fields": ["first", "last"]}}, "size": 10}""")
+    assert(tb(5L) > or(5L), "tie_breaker must add the second field")
+    for (id <- Seq(1L, 2L, 3L))
+      assert(tb(id) == or(id), s"doc $id has no second-field score")
+    // minimum_should_match counts TERMS (not fields)
+    val msm = run("""{"query": {"multi_match": {"query":
+      "ada lovelace byron", "type": "cross_fields",
+      "minimum_should_match": "2",
+      "fields": ["first", "last"]}}, "size": 10}""")
+    assert(msm.keySet == Set(1L, 2L, 3L),
+      "doc 3 holds ada+byron; docs 1/2 hold ada+lovelace")
+    // named rejections: fuzziness on cross_fields, tie_breaker
+    // outside cross_fields, out-of-range tie_breaker
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "ada",
+        "type": "cross_fields", "fuzziness": "1",
+        "fields": ["first"]}}, "size": 10}""")
+    }
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "ada",
+        "type": "best_fields", "tie_breaker": 0.3,
+        "fields": ["first"]}}, "size": 10}""")
+    }
+    intercept[IllegalArgumentException] {
+      run("""{"query": {"multi_match": {"query": "ada",
+        "type": "cross_fields", "tie_breaker": 1.5,
+        "fields": ["first"]}}, "size": 10}""")
+    }
+  }
+
   test("scripted_metric: sum-fold family computes; everything " +
     "outside the shape rejects by name (non-zero seed, list state, " +
     "non-sum reduce, unseeded accumulators)") {
