@@ -42,6 +42,9 @@ import graft.streaming.IncrementalSync
   *                             (src/es_connector.py:51-74); also
   *                             POST /{entity}/_bulk with a default
   *                             index
+  *   POST /{entity}/_update/{id} → single-doc partial update (ES
+  *                             _update: {"doc": ...} shallow merge)
+  *   DELETE /{entity}/{id}   → single-doc delete (ES DELETE _doc)
   *   POST /{entity}/sync     → re-read the record from the source of
   *                             truth and re-index it
   *                             (src/routes/ticket_routes.py:212-264)
@@ -266,8 +269,15 @@ final class HttpApi(
                 aux(ex) { updateByQuery(ex, spec, body(ex)) }
               case "delete_by_query" :: Nil =>
                 aux(ex) { deleteByQuery(ex, spec, body(ex)) }
+              case "_update" :: id :: Nil =>
+                aux(ex) { updateOne(ex, spec, id, body(ex)) }
               case _ => respond(ex, 404, """{"error": "not found"}""")
             }
+          }
+        case ("DELETE", entity :: id :: Nil)
+            if EntityCatalog.entities.contains(resolveIndex(entity)) =>
+          aux(ex) {
+            deleteOne(ex, EntityCatalog.entities(resolveIndex(entity)), id)
           }
         case ("GET", entity0 :: rest)
             if EntityCatalog.entities.contains(resolveIndex(entity0)) =>
@@ -1985,6 +1995,64 @@ final class HttpApi(
     }
     Right((org.apache.spark.sql.Row.fromSeq(values.toSeq), schema))
   }
+
+  /** POST /{entity}/_update/{id} — ES's single-document `_update`
+    * wire: `{"doc": {...}}` shallow-merges over the stored namespaced
+    * columns through the SAME [[bulkMerge]] machinery the bulk
+    * endpoint's update action uses (identity columns and unknown
+    * fields reject by name); a missing document is a named 404, like
+    * ES's document_missing_exception. */
+  private def updateOne(ex: HttpExchange, spec: EntitySpec, id: String,
+                        req: JsonNode): Unit = {
+    val unknown = jsonKeys(req).filterNot(_ == "doc")
+    if (unknown.nonEmpty)
+      auxBad(s"unsupported _update key${
+        if (unknown.size == 1) "" else "s"}: ${unknown.mkString(", ")}")
+    val doc = Option(req.get("doc")).filter(_.isObject)
+      .getOrElse(auxBad("_update expects {\"doc\": {...}}"))
+    index(spec.name) match {
+      case None => respond(ex, 404,
+        s"""{"error": "no synced index for '${spec.name}'"}""")
+      case Some(df) =>
+        val rows = df.filter(col("document_id") === id).collect()
+        if (rows.isEmpty)
+          respond(ex, 404, s"""{"error": "document '$id' not found"}""")
+        else bulkMerge(spec, (rows.head, df.schema), doc) match {
+          case Left(reason) =>
+            respond(ex, 400, mapper.createObjectNode()
+              .put("error", reason).toString)
+          case Right((row, schema)) =>
+            DocumentSink.upsert(spark.createDataFrame(
+              java.util.Arrays.asList(row), schema),
+              s"$outDir/${spec.name}")
+            respond(ex, 200,
+              s"""{"result": "updated", "document_id": ${
+                mapper.writeValueAsString(id)}}""")
+        }
+    }
+  }
+
+  /** DELETE /{entity}/{id} — single-document delete on the synced
+    * store (ES's DELETE /{index}/_doc/{id}): 200 deleted / 404
+    * not_found, through the same delete swap + index-delta machinery
+    * the by-query and bulk paths use. */
+  private def deleteOne(ex: HttpExchange, spec: EntitySpec,
+                        id: String): Unit =
+    index(spec.name) match {
+      case None => respond(ex, 404,
+        s"""{"error": "no synced index for '${spec.name}'"}""")
+      case Some(df) =>
+        val exists =
+          df.filter(col("document_id") === id).limit(1).count() > 0
+        if (!exists)
+          respond(ex, 404, """{"result": "not_found"}""")
+        else {
+          import spark.implicits._
+          DocumentSink.deleteByIds(Seq(id).toDF("document_id"),
+            s"$outDir/${spec.name}")
+          respond(ex, 200, """{"result": "deleted"}""")
+        }
+    }
 
   /** POST /_bulk and /{entity}/_bulk. Items apply in request order
     * (a later op on the same id sees the earlier one's effect); the

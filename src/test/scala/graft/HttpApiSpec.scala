@@ -1215,6 +1215,34 @@ class HttpApiSpec extends SparkSpec
     assert(escItems.get(0).get("delete").get("_index").asText == "a\"b")
   }
 
+  test("single-doc _update and DELETE ride the same store machinery: " +
+    "partial merge with identity protection, 404s by name") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the bulk test above left part doc 880003 in the store
+    val up = post("/part/_update/880003",
+      """{"doc": {"part_p_name": "renamed"}}""")
+    assert(up.statusCode() == 200, up.body())
+    val stored = spark.read.parquet(s"$outDir/part/data")
+    assert(stored.filter(stored("document_id") === "880003")
+      .collect().head.getAs[String]("part_p_name") == "renamed")
+    // identity columns reject; unknown doc 404s; bad envelope 400s
+    assert(post("/part/_update/880003",
+      """{"doc": {"document_id": "999"}}""").statusCode() == 400)
+    assert(post("/part/_update/nope",
+      """{"doc": {"part_p_name": "x"}}""").statusCode() == 404)
+    assert(post("/part/_update/880003",
+      """{"doc": {"part_p_name": "x"}, "upsert": {}}""")
+      .statusCode() == 400)
+    // DELETE /{entity}/{id}: deleted then not_found
+    assert(delete("/part/880003").statusCode() == 200)
+    val afterDel = spark.read.parquet(s"$outDir/part/data")
+    assert(afterDel.filter(afterDel("document_id") === "880003")
+      .count() == 0)
+    assert(delete("/part/880003").statusCode() == 404)
+    assert(om.readTree(delete("/part/880404").body())
+      .get("result").asText == "not_found")
+  }
+
   private def put(path: String, body: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
