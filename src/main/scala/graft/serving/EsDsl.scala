@@ -1346,8 +1346,11 @@ object EsDsl {
     if (b.hasNonNull("fields"))
       bad("explicit fields are not supported on the wildcard target; " +
         "each index scores its own string fields (ES's [\"*\"] default)")
+    // tie_breaker blends non-best fields into best_fields ranking
+    // and boost scales the RETURNED scores — both result-changing,
+    // both reject by name like the single-index path
     for (k <- Seq("operator", "minimum_should_match", "fuzziness",
-        "slop") if b.hasNonNull(k))
+        "slop", "tie_breaker", "boost") if b.hasNonNull(k))
       bad(s"multi_match $k is not supported on the wildcard target")
     // result-changing analyzers reject by name here too — silently
     // standard-analyzing an english request would answer a different

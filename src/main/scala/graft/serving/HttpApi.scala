@@ -1969,28 +1969,36 @@ final class HttpApi(
     val names = doc.fieldNames()
     while (names.hasNext) {
       val key = names.next()
-      if (identity(key))
-        return Left(s"field '$key' is the document identity " +
-          "— an update cannot re-id a document (delete + index)")
       val idx = schema.fieldNames.indexOf(key)
       if (idx < 0)
         return Left(s"unknown field '$key' (not in the mapping)")
       val v = doc.get(key)
-      val coerced: Either[String, Any] =
-        if (v.isNull) Right(null)
-        else schema.fields(idx).dataType match {
-          case StringType => Right(v.asText)
-          case LongType => Right(v.asLong)
-          case IntegerType => Right(v.asInt)
-          case DoubleType => Right(v.asDouble)
-          case FloatType => Right(v.asDouble.toFloat)
-          case BooleanType => Right(v.asBoolean)
-          case dt => Left(s"field '$key': cannot coerce to " +
-            dt.simpleString)
+      if (identity(key)) {
+        // a read-modify-write client ECHOES the fetched document —
+        // an identity key carrying the UNCHANGED value is a no-op,
+        // only an actual re-id rejects
+        val same = !v.isNull && values(idx) != null &&
+          v.asText == String.valueOf(values(idx))
+        if (!same)
+          return Left(s"field '$key' is the document identity " +
+            "— an update cannot re-id a document (delete + index)")
+      } else {
+        val coerced: Either[String, Any] =
+          if (v.isNull) Right(null)
+          else schema.fields(idx).dataType match {
+            case StringType => Right(v.asText)
+            case LongType => Right(v.asLong)
+            case IntegerType => Right(v.asInt)
+            case DoubleType => Right(v.asDouble)
+            case FloatType => Right(v.asDouble.toFloat)
+            case BooleanType => Right(v.asBoolean)
+            case dt => Left(s"field '$key': cannot coerce to " +
+              dt.simpleString)
+          }
+        coerced match {
+          case Left(err) => return Left(err)
+          case Right(x) => values(idx) = x
         }
-      coerced match {
-        case Left(err) => return Left(err)
-        case Right(x) => values(idx) = x
       }
     }
     Right((org.apache.spark.sql.Row.fromSeq(values.toSeq), schema))
@@ -2016,7 +2024,8 @@ final class HttpApi(
       case Some(df) =>
         val rows = df.filter(col("document_id") === id).collect()
         if (rows.isEmpty)
-          respond(ex, 404, s"""{"error": "document '$id' not found"}""")
+          respond(ex, 404, mapper.createObjectNode()
+            .put("error", s"document '$id' not found").toString)
         else bulkMerge(spec, (rows.head, df.schema), doc) match {
           case Left(reason) =>
             respond(ex, 400, mapper.createObjectNode()
@@ -2247,7 +2256,8 @@ final class HttpApi(
       case Some(df) =>
         val rows = df.filter(col("document_id") === id).toJSON.collect()
         if (rows.isEmpty)
-          respond(ex, 404, s"""{"error": "document '$id' not found"}""")
+          respond(ex, 404, mapper.createObjectNode()
+            .put("error", s"document '$id' not found").toString)
         else respond(ex, 200, rows.head)
     }
 

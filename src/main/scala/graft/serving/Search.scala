@@ -304,9 +304,10 @@ object Search {
 
   /** Per-(srcDir, entity) memo of the entity pipeline's searchable
     * field list — `srcDir` tables are an immutable snapshot (the same
-    * assumption the HTTP layer's index memoization rests on), so the
-    * schema-analysis cost is paid once per entity, not once per
-    * wildcard request. */
+    * assumption the HTTP layer's index memoization rests on; a
+    * mutated srcDir requires a redeploy there too, so the memo adds
+    * no NEW staleness surface), so the schema-analysis cost is paid
+    * once per entity, not once per wildcard request. */
   private val coverFieldsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
                                                Seq[String]]()

@@ -1218,10 +1218,21 @@ class HttpApiSpec extends SparkSpec
   test("single-doc _update and DELETE ride the same store machinery: " +
     "partial merge with identity protection, 404s by name") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    // the bulk test above left part doc 880003 in the store
+    // seed the doc HERE (order-independent; the upsert is idempotent
+    // whether or not the bulk test ran first)
+    assert(post("/part/_bulk", Seq(
+      """{"index": {"_id": "880003"}}""",
+      """{"p_name": "bulk three"}""").mkString("\n"))
+      .statusCode() == 200)
     val up = post("/part/_update/880003",
       """{"doc": {"part_p_name": "renamed"}}""")
     assert(up.statusCode() == 200, up.body())
+    // a read-modify-write echo of UNCHANGED identity values is a
+    // no-op, not a rejection
+    assert(post("/part/_update/880003",
+      """{"doc": {"document_id": "880003",
+        | "part_p_name": "renamed"}}""".stripMargin)
+      .statusCode() == 200)
     val stored = spark.read.parquet(s"$outDir/part/data")
     assert(stored.filter(stored("document_id") === "880003")
       .collect().head.getAs[String]("part_p_name") == "renamed")
