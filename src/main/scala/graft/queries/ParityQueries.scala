@@ -894,6 +894,19 @@ object ParityQueries {
     // the default _count desc (with size 3 the SELECTED set changes,
     // so the knob is hash-visible), missing maps nulls to a stand-in
     // key (no-op on this corpus; semantics spec-gated).
+    // terms order by a SUB-METRIC (round 13 oracle for the existing
+    // knob): with size 3 the selected bucket set changes, so the
+    // order target is hash-visible, not just cosmetic.
+    "q7_esdsl_terms_order_metric" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_all": {}},
+          | "aggs": {"langs": {"terms": {"field": "lang",
+          |   "order": {"avg_chars": "asc"}, "size": 3},
+          |   "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+          | "size": 0}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     "q7_esdsl_terms_knobs" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"query": {"match_all": {}},
@@ -4267,6 +4280,12 @@ object ParityQueries {
        "count(*) AS doc_count, count(n_chars) AS n_docs " +
        "FROM documents GROUP BY 1 HAVING count(*) >= 71 " +
        "ORDER BY lang LIMIT 3"),
+
+    "q7_esdsl_terms_order_metric" ->
+      ("SELECT lang, count(*) AS doc_count, " +
+       "avg(n_chars) AS avg_chars FROM documents " +
+       "WHERE lang IS NOT NULL GROUP BY lang " +
+       "ORDER BY avg_chars ASC, lang LIMIT 3"),
 
     // dis_max: phrase-count subscore vs constant term subscore —
     // max + tie_breaker·(sum − max) over MATCHING subqueries only

@@ -237,4 +237,32 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(ids(0) === ids(1))
     assert(ids(0) !== ids(2))
   }
+
+  test("gappedPhraseCount ≡ the brute-force start scan on generated " +
+    "corpora (the english stop-gap phrase matcher)") {
+    // tiny alphabet so repeats and overlaps actually occur
+    val tokGen = Gen.oneOf("a", "b", "c", "ab")
+    val textGen: Gen[String] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val patternGen: Gen[Seq[(String, Int)]] = for {
+      k <- Gen.choose(1, 3)
+      terms <- Gen.listOfN(k, tokGen)
+      gaps <- Gen.listOfN(k - 1, Gen.choose(1, 3))
+    } yield terms.zip(0 +: gaps.scanLeft(0)(_ + _).tail).toSeq
+    val texts = samples(textGen)
+    val patterns = samples(patternGen).take(6)
+    def model(text: String, p: Seq[(String, Int)]): Int = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      toks.indices.count(s => p.forall { case (t, d) =>
+        s + d < toks.length && toks(s + d) == t })
+    }
+    val df = texts.toDF("text")
+    val cols = patterns.zipWithIndex.map { case (p, i) =>
+      graft.serving.Search.gappedPhraseCount(col("text"), p).as(s"c$i")
+    }
+    val rows = df.select(col("text") +: cols: _*).collect()
+    for (r <- rows; (p, i) <- patterns.zipWithIndex)
+      assert(r.getInt(i + 1) === model(r.getString(0), p),
+        s"pattern $p on '${r.getString(0)}'")
+  }
 }
