@@ -1409,20 +1409,34 @@ final class HttpApi(
         .getOrElse("standard") match {
         case "standard" | "default" => "standard"
         case "whitespace"           => "whitespace"
+        case "english"              => "english"
         case other => auxBad(s"unsupported analyzer '$other' — " +
-          "standard (the engine's chain) and whitespace only")
+          "standard (the engine's chain), english and whitespace only")
       }
-      val spans =
-        if (which == "standard") Search.analyzeWithOffsets(textN.asText)
-        else {
+      val spans = which match {
+        case "standard" => Search.analyzeWithOffsets(textN.asText)
+        case "english" =>
+          // the query-side english chain with ES's _analyze contract:
+          // token = the stem, offsets = the ORIGINAL token's span,
+          // position = the original slot (stopwords consume positions
+          // — the gaps the phrase machinery matches against)
+          Search.analyzeWithOffsets(textN.asText).flatMap {
+            case (t, s0, e0, p) =>
+              val stripped =
+                graft.functions.EnglishAnalysis.stripPossessive(t)
+              if (graft.functions.EnglishAnalysis.isStop(stripped)) None
+              else Some((graft.functions.PorterStemmer.stem(stripped),
+                s0, e0, p))
+          }
+        case _ =>
           val m = java.util.regex.Pattern.compile("\\S+")
             .matcher(textN.asText)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(String, Int, Int, Int)]
           while (m.find()) out += ((m.group, m.start, m.end, out.length))
           out.toSeq
-        }
-      val ttype = if (which == "standard") "<ALPHANUM>" else "word"
+      }
+      val ttype = if (which == "whitespace") "word" else "<ALPHANUM>"
       val toks = spans.map {
         case (t, s0, e0, p) =>
           mapper.createObjectNode().put("token", t)

@@ -153,6 +153,22 @@ class HttpApiSpec extends SparkSpec
     assert(wsToks.size == 2 &&
       wsToks.get(0).get("token").asText == "The" &&
       wsToks.get(1).get("token").asText == "Window,x")
+    // english: stems, ORIGINAL offsets, positions with stop gaps
+    // (the stop at position 0 is consumed, not renumbered)
+    val en = post("/search/analyze",
+      """{"text": "The runner's running shoes",
+        | "analyzer": "english"}""".stripMargin)
+    val enToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(en.body()).get("tokens")
+    assert(enToks.size == 3, en.body())
+    assert(enToks.get(0).get("token").asText == "runner" &&
+      enToks.get(0).get("position").asInt == 1 &&
+      enToks.get(0).get("start_offset").asInt == 4 &&
+      enToks.get(0).get("end_offset").asInt == 12)
+    assert(enToks.get(1).get("token").asText == "run" &&
+      enToks.get(1).get("position").asInt == 2)
+    assert(enToks.get(2).get("token").asText == "shoe" &&
+      enToks.get(2).get("position").asInt == 3)
   }
 
   test("POST /search/mget returns docs in request order with found " +
