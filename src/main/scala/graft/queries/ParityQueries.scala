@@ -1041,6 +1041,39 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // english phrase + SLOP (round 14): each gapped stem may drift
+    // ±slop standard positions from its stop-gap offset, in order
+    // (Search.gappedSlopCount) — "sorted the windows" with slop 1
+    // also matches "sort windows" (a document omitting the stopword
+    // places "window" one position EARLY, which costs slop) and
+    // "sorted the big windows" (one extra token pushes it late).
+    // Phrase-frequency BM25 over the standard statistics, like the
+    // gapless form.
+    "q7_esdsl_phrase_english_slop" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "sorted the windows",
+          |  "analyzer": "english", "slop": 1}}}, "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and the positional-postings twin of the gapless english
+    // phrase (round 14): query-side english analysis (stems + stop
+    // gaps) matched and scored entirely from the index tables
+    // (SearchIndex.phraseRanked analyzer="english") — bit-identical
+    // to q7_esdsl_phrase_english, one oracle, no corpus scan.
+    "q7_esdsl_phrase_english_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "sorted the windows",
+        Seq("text"), analyzer = "english")
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
     // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
     // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
@@ -3713,6 +3746,30 @@ object ParityQueries {
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
   }
 
+  /** Oracle of q7_esdsl_phrase_english_slop: the gapped stems (sort@0,
+    * window@2) with slop 1 — "window" lands anywhere in [p+1, p+3]
+    * after a "sort" at p (the ±slop window around the expected offset
+    * intersected with the in-order constraint); pf counts distinct
+    * valid head positions, scored by the shared phrase-BM25 body. */
+  private lazy val phraseEnglishSlopSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'sort' AND b.tok = 'window' " +
+      "AND b.pos BETWEEN a.pos + 1 AND a.pos + 3 " +
+      "GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("sort", "window"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -4375,6 +4432,8 @@ object ParityQueries {
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 
     "q7_esdsl_phrase_english" -> phraseEnglishSql,
+    "q7_esdsl_phrase_english_indexed" -> phraseEnglishSql,
+    "q7_esdsl_phrase_english_slop" -> phraseEnglishSlopSql,
 
     "q7_esdsl_multimatch_phrase" -> phraseBm25Sql,
 

@@ -7287,10 +7287,10 @@ object EsDsl {
     * (Lucene's position increments) and the gapped stems match exact
     * offsets in the standard token stream
     * ([[graft.serving.Search.gappedPhraseCount]]); english + slop
-    * rejects by name (distance-weighted sloppy matching over gapped
-    * positions is not modeled). Returns whether the english chain was
-    * selected. Other clause kinds keep the standard-only
-    * [[analyzerKnob]]. */
+    * relaxes each stem's position by ±slop around its gapped offset
+    * ([[graft.serving.Search.gappedSlopCount]]). Returns whether the
+    * english chain was selected. Other clause kinds keep the
+    * standard-only [[analyzerKnob]]. */
   private def matchAnalyzer(spec: JsonNode): Boolean =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => false
@@ -7337,11 +7337,13 @@ object EsDsl {
     * phrase type = a per-field phrase query with a best-field
     * combine). Matching: token ADJACENCY on the normalized token
     * string (slop 0; gapless english stems ride the same form),
-    * ordered proximity (gap sum <= slop — Search.slopPhrase's), or
+    * ordered proximity (gap sum <= slop — Search.slopPhrase's),
     * EXACT-OFFSET matching when a query-time english analysis left
     * stop gaps (the stop filter consumes positions — Lucene's
     * position increments — so "sorted the windows" needs the literal
-    * token "sort" and, two positions later, "window"). The SCORE is
+    * token "sort" and, two positions later, "window"), or the gapped
+    * SLOPPY walk when both (each stem within ±slop of its gapped
+    * offset, in order — Search.gappedSlopCount). The SCORE is
     * phrase-frequency BM25, ES's PhraseQuery model: idf sums the
     * phrase terms' idfs over the STANDARD statistics (english stems
     * are literal standard terms), tf is the phrase count. None = an
@@ -7349,11 +7351,6 @@ object EsDsl {
   private def phraseLeg(ctx: Ctx, f: String, text: String, slop: Int,
                         english: Boolean): Option[(Column, Column)] = {
     if (slop < 0) bad("slop must be >= 0")
-    if (english && slop > 0)
-      bad("slop is not supported with the english analyzer on " +
-        "the phrase family (Lucene's distance-weighted sloppy " +
-        "matching over stop-gap positions is not modeled; drop slop " +
-        "or use the standard analyzer)")
     val posTerms: Seq[(String, Int)] =
       if (english) {
         val pt = graft.functions.EnglishAnalysis
@@ -7367,7 +7364,8 @@ object EsDsl {
     val gapless = posTerms.zipWithIndex.forall {
       case ((_, d), i) => d == i }
     val cnt =
-      if (slop > 0) Search.slopCount(col(f), terms, slop)
+      if (slop > 0 && gapless) Search.slopCount(col(f), terms, slop)
+      else if (slop > 0) Search.gappedSlopCount(col(f), posTerms, slop)
       else if (gapless) Search.substrCount(Search.tokenNorm(col(f)),
         terms.mkString(" ", "  ", " "))
       else Search.gappedPhraseCount(col(f), posTerms)

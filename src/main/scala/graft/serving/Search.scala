@@ -973,6 +973,38 @@ object Search {
     size(filter(posOf(terms.head._1), p1 => rest(1, p1))).cast("int")
   }
 
+  /** [[gappedPhraseCount]] with slop — sloppy matching of a
+    * position-GAPPED query term list (english stop gaps): counts head
+    * positions `p1` admitting an in-order assignment where every term
+    * `k` lands within ±`slop` of its expected standard position
+    * `p1 + offset_k` (`p_k > p_(k-1)` and
+    * `|p_k - p1 - offset_k| <= slop`). The symmetric window is the
+    * Lucene phrase-position intuition (a term may drift EITHER way —
+    * a document that omits the stopword places the next stem one
+    * position EARLY, which costs slop): at `slop = 0` this is exactly
+    * [[gappedPhraseCount]], and for a dense query (`offset_k == k`)
+    * the lower bound is subsumed by the order constraint and it is
+    * exactly [[slopCount]] — one model, three degenerate forms. Same
+    * HOF-only shape: per-slot position lists, no explode, no
+    * shuffle. */
+  private[graft] def gappedSlopCount(field: Column,
+                                     terms: Seq[(String, Int)],
+                                     slop: Int): Column = {
+    require(terms.nonEmpty && terms.head._2 == 0, "offsets are relative")
+    // same overflow clamp as slopCount (offset + slop in Int arithmetic)
+    val s = math.min(slop, 1 << 24)
+    val toks = graft.functions.TextFunctions.analyzerTokens(field)
+    def posOf(t: String): Column =
+      filter(transform(toks, (x, i) =>
+        when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
+    def rest(k: Int, prev: Column, first: Column): Column =
+      if (k == terms.size) lit(true)
+      else exists(posOf(terms(k)._1), p =>
+        p > prev && p >= first + lit(terms(k)._2 - s) &&
+          p <= first + lit(terms(k)._2 + s) && rest(k + 1, p, first))
+    size(filter(posOf(terms.head._1), p1 => rest(1, p1, p1))).cast("int")
+  }
+
   /** [[slopCount]] with the LAST slot matched by PREFIX instead of
     * equality — ES `match_phrase_prefix`: the leading terms appear in
     * order (within `slop` total interleave) and the final position

@@ -288,7 +288,8 @@ object SearchIndex {
     val fids = useFields.map(fidOf)
     val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
     require(terms.nonEmpty, "empty phrase")
-    val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
+    val perField =
+      phraseCounts(spark, dir, idCol, fids, terms.zipWithIndex, slop)
     def fieldScore(i: Int): Column = {
       val raw = coalesce(sum(when(col("fid") === fids(i), col("_pf"))),
         lit(0)).cast("int")
@@ -328,9 +329,14 @@ object SearchIndex {
 
   private def phraseCounts(spark: SparkSession, dir: String,
                            idCol: String, fids: Seq[Int],
-                           terms: Seq[String], slop: Int): DataFrame = {
+                           posTerms: Seq[(String, Int)],
+                           slop: Int): DataFrame = {
+    val terms = posTerms.map(_._1)
     val distinctTerms = terms.distinct
     val k = terms.size
+    // phrase span in positions — the greedy non-overlap stride; for a
+    // dense query (offset_i == i) this is the old term count k
+    val width = posTerms.last._2 + 1
     val p = prunedPostings(spark, dir, idCol, fids, distinctTerms)
     // dl is constant per (id, fid); min() is the deterministic pick
     val candidates = p.groupBy(col(idCol), col("fid"))
@@ -340,17 +346,22 @@ object SearchIndex {
     val headPos = element_at(col("tp"), lit(terms.head))
     val starts =
       if (k == 1) headPos
-      else if (slop == 0) filter(headPos, s => terms.zipWithIndex.drop(1).map {
-        case (t, i) =>
-          array_contains(element_at(col("tp"), lit(t)), s + lit(i))
+      else if (slop == 0) filter(headPos, s => posTerms.drop(1).map {
+        case (t, off) =>
+          array_contains(element_at(col("tp"), lit(t)), s + lit(off))
       }.reduce(_ && _))
       else {
+        // Search.gappedSlopCount's window (±slop around each gapped
+        // offset, in order) — for a dense query the lower bound is
+        // subsumed by `pp > prev` and this is exactly the old
+        // slot-index recursion (Search.slopCount's contract)
         val sl = math.min(slop, 1 << 24)
         def rest(i: Int, prev: Column, first: Column): Column =
           if (i == k) lit(true)
           else org.apache.spark.sql.functions.exists(
             element_at(col("tp"), lit(terms(i))), pp =>
-            pp > prev && pp <= first + lit(i + sl) &&
+            pp > prev && pp >= first + lit(posTerms(i)._2 - sl) &&
+              pp <= first + lit(posTerms(i)._2 + sl) &&
               rest(i + 1, pp, first))
         filter(headPos, s => rest(1, s, s))
       }
@@ -360,7 +371,7 @@ object SearchIndex {
         struct(lit(0).as("c"), lit(-1).as("free")),
         (acc, s) => when(s >= acc.getField("free"),
             struct((acc.getField("c") + lit(1)).as("c"),
-              (s + lit(k)).as("free")))
+              (s + lit(width)).as("free")))
           .otherwise(acc),
         acc => acc.getField("c"))
     candidates.select(col(idCol), col("fid"), col("dl"), cnt.as("_pf"))
@@ -381,7 +392,8 @@ object SearchIndex {
                    fields: Seq[String] = Nil, limit: Int = 100,
                    slop: Int = 0,
                    after: Option[(Double, Any)] = None,
-                   afterInclusive: Boolean = false): DataFrame = {
+                   afterInclusive: Boolean = false,
+                   analyzer: String = "standard"): DataFrame = {
     require(slop >= 0, "slop must be >= 0")
     import graft.serving.Search.{afterPredicate, round4}
     val meta = readMeta(path)
@@ -392,10 +404,25 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
-    require(terms.nonEmpty, "empty phrase")
+    // QUERY-side analyzer only (the postings are standard-analyzed —
+    // english stems are matched as literal standard terms with
+    // stop-position gaps, exactly the scan path's phraseLeg)
+    val posTerms: Seq[(String, Int)] = analyzer match {
+      case "standard" =>
+        graft.functions.TextFunctions.analyzeText(phraseQuery)
+          .zipWithIndex.toSeq
+      case "english" =>
+        val pt = graft.functions.EnglishAnalysis
+          .analyzeWithPositions(phraseQuery)
+        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported analyzer '$other' (standard, english)")
+    }
+    require(posTerms.nonEmpty, "empty phrase")
+    val terms = posTerms.map(_._1)
     val distinctTerms = terms.distinct
-    val perField = phraseCounts(spark, dir, idCol, fids, terms, slop)
+    val perField = phraseCounts(spark, dir, idCol, fids, posTerms, slop)
     val stats = spark.read.parquet(s"$dir/fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"),

@@ -168,11 +168,25 @@ class EsDslSpec extends SparkSpec {
     assert(phrase("running a the tests") == Set(3L))
     // all-stopword phrase analyzes to zero terms: no hits, no error
     assert(phrase("the it was") == Set.empty)
-    // english + slop rejects by name
-    intercept[IllegalArgumentException] {
-      ids("""{"query": {"match_phrase": {"text": {"query":
-        "running tests", "analyzer": "english", "slop": 1}}}}""")
-    }
+    // english + slop (round 14): each gapped stem may drift ±slop
+    // from its stop-gap offset, in order. Stems (run@0, test@2) with
+    // slop 1: doc 1 sits at the exact offset (dev 0), doc 2's
+    // adjacent "run test" pulls test one EARLY (dev 1 — the document
+    // omits the stopword), doc 3's extra token pushes it one LATE
+    // (dev 1) — all three match; at slop 0 only doc 1 does.
+    def phraseSlop(q: String, slop: Int) =
+      EsDsl.search(phraseDf, mapper.readTree(
+        s"""{"query": {"match_phrase": {"text": {"query": "$q",
+          "analyzer": "english", "slop": $slop}}}}"""))
+        .select("doc_id").as[Long].collect().toSet
+    assert(phraseSlop("running the tests", 1) == Set(1L, 2L, 3L))
+    assert(phraseSlop("running the tests", 0) == Set(1L))
+    // a DENSE english query (no interior stopword) rides the plain
+    // ordered-proximity walk: "running tests" -> (run@0, test@1),
+    // slop 1 admits one interleaved token (doc 1's gap of 2 needs
+    // test <= run + 1 + slop — exactly on the cap), not doc 3's
+    // gap of 3
+    assert(phraseSlop("running tests", 1) == Set(1L, 2L))
   }
 
   test("multi_match type=phrase: a match_phrase per field with a " +
