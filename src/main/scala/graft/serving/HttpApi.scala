@@ -2025,7 +2025,7 @@ final class HttpApi(
     * fields reject by name); a missing document is a named 404, like
     * ES's document_missing_exception. */
   private def updateOne(ex: HttpExchange, spec: EntitySpec, id: String,
-                        req: JsonNode): Unit = {
+                        req: JsonNode): Unit = writeLock.synchronized {
     val unknown = jsonKeys(req).filterNot(_ == "doc")
     if (unknown.nonEmpty)
       auxBad(s"unsupported _update key${
@@ -2048,9 +2048,11 @@ final class HttpApi(
             DocumentSink.upsert(spark.createDataFrame(
               java.util.Arrays.asList(row), schema),
               s"$outDir/${spec.name}")
+            val (v, s) = bumpOne(spec.name, id)
             respond(ex, 200,
               s"""{"result": "updated", "document_id": ${
-                mapper.writeValueAsString(id)}}""")
+                mapper.writeValueAsString(id)}, "_version": $v, ${""
+                }"_seq_no": $s, "_primary_term": 1}""")
         }
     }
   }
@@ -2060,7 +2062,7 @@ final class HttpApi(
     * not_found, through the same delete swap + index-delta machinery
     * the by-query and bulk paths use. */
   private def deleteOne(ex: HttpExchange, spec: EntitySpec,
-                        id: String): Unit =
+                        id: String): Unit = writeLock.synchronized {
     index(spec.name) match {
       case None => respond(ex, 404,
         s"""{"error": "no synced index for '${spec.name}'"}""")
@@ -2073,16 +2075,28 @@ final class HttpApi(
           import spark.implicits._
           DocumentSink.deleteByIds(Seq(id).toDF("document_id"),
             s"$outDir/${spec.name}")
-          respond(ex, 200, """{"result": "deleted"}""")
+          val (v, s) = bumpOne(spec.name, id)
+          respond(ex, 200, s"""{"result": "deleted", "_version": $v, ${""
+            }"_seq_no": $s, "_primary_term": 1}""")
         }
     }
+  }
 
   /** POST /_bulk and /{entity}/_bulk. Items apply in request order
     * (a later op on the same id sees the earlier one's effect); the
-    * response mirrors ES: `{"errors": ..., "items": [{"<op>":
-    * {"_index", "_id", "status", "result" | "error"}}]}`. */
+    * response mirrors ES's full wire: `{"took", "errors", "items":
+    * [{"<op>": {"_index", "_id", "_version", "result", "_shards",
+    * "_seq_no", "_primary_term", "status"} | {..., "error"}}]}`.
+    * Every completed write op — index, create, update, delete,
+    * including a not_found delete (ES writes a tombstone) — bumps the
+    * document's `_version` and takes a fresh index-monotonic
+    * `_seq_no`; failed items (400/404/409) take neither, like ES.
+    * Serialized by [[writeLock]]: the store's generation swap and the
+    * version sidecar are not concurrent-safe, and ES likewise
+    * serializes writes per shard. */
   private def bulk(ex: HttpExchange, defaultIndex: Option[String],
-                   raw: String): Unit = {
+                   raw: String): Unit = writeLock.synchronized {
+    val t0 = System.nanoTime()
     val acts = parseBulk(defaultIndex, raw)
     type Doc = (org.apache.spark.sql.Row,
                 org.apache.spark.sql.types.StructType)
@@ -2127,29 +2141,71 @@ final class HttpApi(
         }
       }
     }
+    // PHASE 2b — the same request-bounded probe against the VERSION
+    // sidecar: current version per touched id (explicit and derived),
+    // plus each entity's next sequence number. One id-list filter per
+    // entity, never a corpus read.
+    val baseVer =
+      scala.collection.mutable.Map.empty[(String, String), Long]
+    val seqCtr = scala.collection.mutable.Map.empty[String, Long]
+    for ((entity, _) <- byEntity
+         if EntityCatalog.entities.contains(entity)) {
+      val ids = acts.zipWithIndex.collect {
+        case (a, i) if a.entity == entity =>
+          a.id.orElse(derivedId(i))
+      }.flatten.distinct
+      val path = s"$outDir/$entity"
+      DocumentSink.readVersions(spark, path, ids).foreach {
+        case (id, (v, _)) => baseVer((entity, id)) = v }
+      seqCtr(entity) = DocumentSink.nextSeqNo(path)
+    }
     // PHASE 3 — the in-order walk: `state` carries each touched id's
     // CURRENT doc (None = deleted this request); absent key = whatever
-    // the store holds. Every mutation is request-bounded driver work.
+    // the store holds. `vstate` carries its CURRENT (version, seq_no):
+    // a doc in the store with no sidecar row is version 1 (written
+    // once, by the batch sync); an id never seen is 0, so its first
+    // bump lands on 1. Every mutation is request-bounded driver work.
     val state = scala.collection.mutable.Map.empty[(String, String),
                                                    Option[Doc]]
+    val vstate = scala.collection.mutable.Map.empty[(String, String),
+                                                    (Long, Long)]
     def liveDoc(k: (String, String)): Option[Doc] =
       state.getOrElse(k, stored.get(k))
     def exists(k: (String, String)): Boolean = liveDoc(k).isDefined
+    def curVer(k: (String, String)): Long =
+      vstate.get(k).map(_._1).getOrElse(baseVer.getOrElse(k,
+        if (stored.contains(k)) 1L else 0L))
+    def bump(k: (String, String)): (Long, Long) = {
+      val v = curVer(k) + 1
+      val s = seqCtr(k._1)
+      seqCtr(k._1) = s + 1
+      vstate(k) = (v, s)
+      (v, s)
+    }
     val items = acts.zipWithIndex.map { case (a, ai) =>
       // every caller-controlled value is Jackson-escaped — _index
-      // included (an unknown entity echoes the raw request string)
-      def item(id: String, status: Int, result: String): String =
-        s"""{"${a.op}": {"_index": ${
+      // included (an unknown entity echoes the raw request string).
+      // `item` = a COMPLETED write op, so it is exactly the bump
+      // boundary; `errItem` = a failed op (no version, no seq_no).
+      // The Boolean is the structural errors flag — carried alongside
+      // the rendered JSON, never re-derived by scanning it.
+      def item(id: String, status: Int, result: String):
+          (String, Boolean) = {
+        val (v, s) = bump((a.entity, id))
+        (s"""{"${a.op}": {"_index": ${
           mapper.writeValueAsString(a.entity)}, "_id": ${
-          mapper.writeValueAsString(id)}, "status": $status, ${""
-          }"result": "$result"}}"""
+          mapper.writeValueAsString(id)}, "_version": $v, ${""
+          }"result": "$result", "_shards": {"total": 1, ${""
+          }"successful": 1, "failed": 0}, "_seq_no": $s, ${""
+          }"_primary_term": 1, "status": $status}}""", false)
+      }
       def errItem(id: String, status: Int, tpe: String,
-                  reason: String): String =
-        s"""{"${a.op}": {"_index": ${
+                  reason: String): (String, Boolean) =
+        (s"""{"${a.op}": {"_index": ${
           mapper.writeValueAsString(a.entity)}, "_id": ${
           mapper.writeValueAsString(id)}, "status": $status, ${""
           }"error": {"type": "$tpe", "reason": ${
-          mapper.writeValueAsString(reason)}}}}"""
+          mapper.writeValueAsString(reason)}}}}""", true)
       EntityCatalog.entities.get(a.entity) match {
         case None =>
           errItem(a.id.getOrElse(""), 404, "index_not_found_exception",
@@ -2228,9 +2284,39 @@ final class HttpApi(
           deletes.toDF("document_id"), s"$outDir/$entity")
       }
     }
-    val errors = items.exists(_.contains("\"error\""))
-    respond(ex, 200, s"""{"errors": $errors, "items": [${
-      items.mkString(", ")}]}""")
+    // persist version metadata AFTER the data swap (metadata trails
+    // data: a crash between the two leaves versions one consistent
+    // snapshot behind, never ahead) — one sidecar rewrite per touched
+    // entity, entry count = ids written this request
+    for ((entity, _) <- byEntity
+         if EntityCatalog.entities.contains(entity)) {
+      val entries = vstate.collect {
+        case ((e, id), vs) if e == entity => id -> vs }.toMap
+      if (entries.nonEmpty)
+        DocumentSink.writeVersions(spark, s"$outDir/$entity",
+          entries, seqCtr(entity))
+    }
+    val errors = items.exists(_._2)
+    val took = math.max(1L, (System.nanoTime() - t0) / 1000000L)
+    respond(ex, 200, s"""{"took": $took, "errors": $errors, ${""
+      }"items": [${items.map(_._1).mkString(", ")}]}""")
+  }
+
+  /** Serializes every store-mutating endpoint: the parquet generation
+    * swap and the version sidecar are single-writer structures (ES
+    * likewise serializes writes per shard). Reads never take it. */
+  private val writeLock = new Object
+
+  /** Allocate the next version + seq_no for one EXISTING doc and
+    * persist the sidecar — the single-doc twin of the bulk walk's
+    * bump (base version 1 when the doc predates the version wire). */
+  private def bumpOne(entity: String, id: String): (Long, Long) = {
+    val path = s"$outDir/$entity"
+    val v = DocumentSink.readVersions(spark, path, Seq(id))
+      .get(id).map(_._1).getOrElse(1L) + 1
+    val s = DocumentSink.nextSeqNo(path)
+    DocumentSink.writeVersions(spark, path, Map(id -> ((v, s))), s + 1)
+    (v, s)
   }
 
   /** The entity's synced document index, if a sync has run. Reads serve

@@ -319,6 +319,87 @@ object DocumentSink {
   def count(spark: org.apache.spark.sql.SparkSession, path: String): Long =
     spark.read.parquet(s"$path/data").count()
 
+  // ---- per-document version metadata (ES `_version`/`_seq_no` wire) ----
+  //
+  // ES clients — including the reference's own bulk consumer
+  // (src/es_connector.py:51-74 via elasticsearch.helpers.bulk) — read
+  // `_version` from write-op responses for optimistic concurrency, and
+  // `_seq_no`/`_primary_term` for compare-and-swap writes. Here that
+  // metadata lives in a sidecar parquet table `{path}/_versions`
+  // (document_id, version, seq_no) plus `{path}/_versions_meta.json`
+  // holding the index's next sequence number — INDEX metadata, like
+  // ES's per-doc version in Lucene, never columns of the synced store,
+  // so the sync pipeline's schema and every oracle stay untouched.
+  // Deleted ids keep a TOMBSTONE row (ES keeps version tombstones for
+  // `index.gc_deletes`, default 60 s; here: until the next sync
+  // rebuild), so a re-created id continues its version line instead of
+  // restarting at 1. A doc written by the batch sync with no sidecar
+  // row is version 1. Reads are request-bounded (filter by the
+  // request's id list — a semi-join, never a corpus collect); the
+  // write-back rewrites the sidecar generation through the same
+  // crash-safe [[Lake.swapIn]] two-rename as the store itself, AFTER
+  // the data swap — a crash between the two leaves versions one
+  // consistent snapshot behind, never ahead.
+
+  /** Current versions for the given ids: id → (version, seq_no).
+    * Absent key = the id has never been written through the
+    * version-aware wire. */
+  def readVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                   ids: Seq[String]): Map[String, (Long, Long)] = {
+    if (ids.isEmpty) return Map.empty
+    val df =
+      try spark.read.parquet(s"$path/_versions")
+      catch { case _: Exception => return Map.empty }
+    df.filter(col("document_id").isin(ids: _*)).collect()
+      .map(r => String.valueOf(r.getAs[Any]("document_id")) ->
+        ((r.getAs[Long]("version"), r.getAs[Long]("seq_no")))).toMap
+  }
+
+  /** The index's next `_seq_no` (monotonic per index, like ES's
+    * per-shard sequence). 0 for a never-versioned index. */
+  def nextSeqNo(path: String): Long = {
+    val p = Paths.get(s"$path/_versions_meta.json")
+    if (!Files.exists(p)) 0L
+    else "\"next_seq_no\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1).toLong).getOrElse(0L)
+  }
+
+  /** Replace-by-id the given ids' version rows and advance the
+    * sequence counter. `entries`: id → (new version, seq_no of its
+    * latest op this batch). */
+  def writeVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                    entries: Map[String, (Long, Long)],
+                    nextSeq: Long): Unit = {
+    if (entries.nonEmpty) {
+      val vp = s"$path/_versions"
+      val schema = StructType(Seq(
+        StructField("document_id", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("seq_no", LongType, nullable = false)))
+      val rows = entries.toSeq.map { case (id, (v, s)) =>
+        org.apache.spark.sql.Row(id, v, s) }
+      val batch = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val existing =
+        try spark.read.parquet(vp)
+        catch { case _: Exception => spark.emptyDataFrame }
+      val merged =
+        if (existing.columns.isEmpty) batch
+        else existing.join(batch.select("document_id"),
+          Seq("document_id"), "left_anti").unionByName(batch)
+      val tmp = s"$path/._versions_tmp_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(vp))
+    }
+    writeSidecar(s"$path/_versions_meta.json",
+      s"""{"next_seq_no": $nextSeq}""")
+  }
+
   private def writeSidecar(file: String, content: String): Unit = {
     val p = Paths.get(file)
     Files.createDirectories(p.getParent)

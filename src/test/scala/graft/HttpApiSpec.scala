@@ -1270,6 +1270,91 @@ class HttpApiSpec extends SparkSpec
       .get("result").asText == "not_found")
   }
 
+  test("_bulk wire completeness: _version/_seq_no/_primary_term per " +
+    "write op, took in the envelope, a structural errors flag, and a " +
+    "version line that survives delete (tombstone) and restart from " +
+    "the sidecar") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def slot(body: String, i: Int, op: String) = {
+      val n = om.readTree(body).get("items").get(i).get(op)
+      assert(n != null, s"item $i is not '$op': $body")
+      n
+    }
+    // ONE request, index -> update -> delete on one fresh id: versions
+    // 1, 2, 3 with strictly increasing seq_nos (the in-request walk)
+    val r1 = post("/part/_bulk", Seq(
+      """{"index": {"_id": "990001"}}""",
+      """{"p_name": "v one"}""",
+      """{"update": {"_id": "990001"}}""",
+      """{"doc": {"part_p_name": "v two"}}""",
+      """{"delete": {"_id": "990001"}}""").mkString("\n"))
+    assert(r1.statusCode() == 200, r1.body())
+    val env1 = om.readTree(r1.body())
+    assert(env1.get("took").asLong >= 1, r1.body())
+    assert(!env1.get("errors").asBoolean, r1.body())
+    val ix = slot(r1.body(), 0, "index")
+    val up = slot(r1.body(), 1, "update")
+    val de = slot(r1.body(), 2, "delete")
+    assert(ix.get("_version").asLong == 1 && ix.get("status").asInt == 201)
+    assert(up.get("_version").asLong == 2 && up.get("status").asInt == 200)
+    assert(de.get("_version").asLong == 3 &&
+      de.get("result").asText == "deleted")
+    val seqs = Seq(ix, up, de).map(_.get("_seq_no").asLong)
+    assert(seqs == seqs.sorted && seqs.distinct.size == 3, r1.body())
+    assert(Seq(ix, up, de).forall(_.get("_primary_term").asLong == 1))
+    assert(ix.get("_shards").get("successful").asInt == 1)
+    // SEPARATE request: the tombstone persisted, so re-creating the
+    // deleted id CONTINUES the version line at 4 (ES gc_deletes
+    // semantics), result created, and seq_no advanced past request 1
+    val r2 = post("/part/_bulk", Seq(
+      """{"create": {"_id": "990001"}}""",
+      """{"p_name": "reborn"}""").mkString("\n"))
+    val cr = slot(r2.body(), 0, "create")
+    assert(cr.get("_version").asLong == 4, r2.body())
+    assert(cr.get("status").asInt == 201 &&
+      cr.get("result").asText == "created")
+    assert(cr.get("_seq_no").asLong > seqs.last, r2.body())
+    // a not_found delete is NOT a failure (no error slot) -> the
+    // structural flag stays false, but the tombstone still takes a
+    // version (1) and a seq_no, like ES
+    val r3 = post("/part/_bulk", Seq(
+      """{"index": {"_id": "990002"}}""",
+      """{"p_name": "ok"}""",
+      """{"delete": {"_id": "990404"}}""").mkString("\n"))
+    val env3 = om.readTree(r3.body())
+    assert(!env3.get("errors").asBoolean, r3.body())
+    val nf = slot(r3.body(), 1, "delete")
+    assert(nf.get("status").asInt == 404 &&
+      nf.get("result").asText == "not_found")
+    assert(nf.get("_version").asLong == 1, r3.body())
+    // failed items take NEITHER a version nor a seq_no -> the next
+    // success on that id still lands on version 1, and the flag flips
+    // through the carried Boolean (an error item exists), not a
+    // substring scan
+    val r4 = post("/part/_bulk", Seq(
+      """{"create": {"_id": "990002"}}""",
+      """{"p_name": "conflict"}""",
+      """{"update": {"_id": "990777"}}""",
+      """{"doc": {"part_p_name": "missing"}}""").mkString("\n"))
+    val env4 = om.readTree(r4.body())
+    assert(env4.get("errors").asBoolean, r4.body())
+    assert(slot(r4.body(), 0, "create").get("_version") == null)
+    assert(slot(r4.body(), 1, "update").get("_seq_no") == null)
+    val r5 = post("/part/_bulk", Seq(
+      """{"update": {"_id": "990002"}}""",
+      """{"doc": {"part_p_name": "touched"}}""").mkString("\n"))
+    assert(slot(r5.body(), 0, "update").get("_version").asLong == 2,
+      r5.body())
+    // single-doc _update and DELETE ride the same version line
+    val u = post("/part/_update/990002",
+      """{"doc": {"part_p_name": "thrice"}}""")
+    assert(om.readTree(u.body()).get("_version").asLong == 3, u.body())
+    val d = delete("/part/990002")
+    val dn = om.readTree(d.body())
+    assert(dn.get("_version").asLong == 4, d.body())
+    assert(dn.get("_primary_term").asLong == 1)
+  }
+
   private def put(path: String, body: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
