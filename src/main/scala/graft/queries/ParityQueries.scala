@@ -1074,6 +1074,40 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // english phrase + slop with THREE gapped stems (round 15): the
+    // stems spend ONE SHARED slop budget — the span of adjusted
+    // positions pos_k - offset_k, Lucene's sloppy matchLength — not
+    // ±slop each. "joined the batches ordered" analyzes to (join@0,
+    // batch@2, order@3); with slop 1 the whole tail may shift one
+    // position together, but a stem pulled early AND a stem pushed
+    // late together cost 2 and must NOT match
+    // (Search.gappedSlopCount; the >=3-stem budget is what round 14's
+    // per-term window got wrong).
+    "q7_esdsl_phrase_english_budget" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "joined the batches ordered",
+          |  "analyzer": "english", "slop": 1}}}, "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its positional-postings twin
+    // (SearchIndex.phraseRanked analyzer="english" slop=1): the SAME
+    // shared-budget walk over the postings' position lists —
+    // bit-identical hits and scores, one oracle, no corpus scan.
+    "q7_esdsl_phrase_english_budget_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents",
+        "joined the batches ordered", Seq("text"),
+        slop = 1, analyzer = "english")
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
     // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
     // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
@@ -3770,6 +3804,34 @@ object ParityQueries {
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
   }
 
+  /** Oracle of q7_esdsl_phrase_english_budget (+ its indexed twin):
+    * three gapped stems (join@0, batch@2, order@3) with slop 1 under
+    * the SHARED budget — an in-order alignment is admitted iff the
+    * span of adjusted positions, max − min over (pos_k − offset_k),
+    * fits the slop (Lucene's sloppy matchLength); pf counts distinct
+    * valid head positions, scored by the shared phrase-BM25 body. */
+  private lazy val phraseEnglishBudgetSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "JOIN pos c ON a.doc_id = c.doc_id " +
+      "WHERE a.tok = 'join' AND b.tok = 'batch' AND c.tok = 'order' " +
+      "AND b.pos > a.pos AND c.pos > b.pos " +
+      "AND greatest(a.pos, b.pos - 2, c.pos - 3) - " +
+        "least(a.pos, b.pos - 2, c.pos - 3) <= 1 " +
+      "GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("join", "batch", "order"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Shared oracle of q7_esdsl_mlt and its index-stats twin: the three
     * surviving selected terms enumerated statically (selection
     * invariance documented at the query; the twin's statistics are
@@ -4434,6 +4496,8 @@ object ParityQueries {
     "q7_esdsl_phrase_english" -> phraseEnglishSql,
     "q7_esdsl_phrase_english_indexed" -> phraseEnglishSql,
     "q7_esdsl_phrase_english_slop" -> phraseEnglishSlopSql,
+    "q7_esdsl_phrase_english_budget" -> phraseEnglishBudgetSql,
+    "q7_esdsl_phrase_english_budget_indexed" -> phraseEnglishBudgetSql,
 
     "q7_esdsl_multimatch_phrase" -> phraseBm25Sql,
 

@@ -7287,8 +7287,10 @@ object EsDsl {
     * (Lucene's position increments) and the gapped stems match exact
     * offsets in the standard token stream
     * ([[graft.serving.Search.gappedPhraseCount]]); english + slop
-    * relaxes each stem's position by ±slop around its gapped offset
-    * ([[graft.serving.Search.gappedSlopCount]]). Returns whether the
+    * spends ONE shared slop budget across the phrase — the adjusted
+    * positions `p_k - offset_k` may span at most `slop`, Lucene's
+    * sloppy matchLength ([[graft.serving.Search.gappedSlopCount]],
+    * which pins the in-order-only divergence). Returns whether the
     * english chain was selected. Other clause kinds keep the
     * standard-only [[analyzerKnob]]. */
   private def matchAnalyzer(spec: JsonNode): Boolean =
@@ -7342,8 +7344,9 @@ object EsDsl {
     * stop gaps (the stop filter consumes positions — Lucene's
     * position increments — so "sorted the windows" needs the literal
     * token "sort" and, two positions later, "window"), or the gapped
-    * SLOPPY walk when both (each stem within ±slop of its gapped
-    * offset, in order — Search.gappedSlopCount). The SCORE is
+    * SLOPPY walk when both (in order, one SHARED slop budget: the
+    * stems' adjusted positions span <= slop —
+    * Search.gappedSlopCount). The SCORE is
     * phrase-frequency BM25, ES's PhraseQuery model: idf sums the
     * phrase terms' idfs over the STANDARD statistics (english stems
     * are literal standard terms), tf is the phrase count. None = an

@@ -975,18 +975,25 @@ object Search {
 
   /** [[gappedPhraseCount]] with slop — sloppy matching of a
     * position-GAPPED query term list (english stop gaps): counts head
-    * positions `p1` admitting an in-order assignment where every term
-    * `k` lands within ±`slop` of its expected standard position
-    * `p1 + offset_k` (`p_k > p_(k-1)` and
-    * `|p_k - p1 - offset_k| <= slop`). The symmetric window is the
-    * Lucene phrase-position intuition (a term may drift EITHER way —
-    * a document that omits the stopword places the next stem one
-    * position EARLY, which costs slop): at `slop = 0` this is exactly
-    * [[gappedPhraseCount]], and for a dense query (`offset_k == k`)
-    * the lower bound is subsumed by the order constraint and it is
-    * exactly [[slopCount]] — one model, three degenerate forms. Same
-    * HOF-only shape: per-slot position lists, no explode, no
-    * shuffle. */
+    * positions `p1` admitting an in-order assignment whose ADJUSTED
+    * positions `adj_k = p_k - offset_k` span at most `slop`
+    * (`p_k > p_(k-1)` and `max_k adj_k - min_k adj_k <= slop`). The
+    * span of adjusted positions is exactly Lucene's sloppy-phrase
+    * `matchLength` (SloppyPhraseMatcher: each PhrasePositions carries
+    * `position - offset`; a match costs `end - min`), i.e. ONE SHARED
+    * slop budget across the phrase — a stem one early AND a stem one
+    * late together cost 2, not 1 each. At `slop = 0` all adjusted
+    * positions must coincide — exactly [[gappedPhraseCount]]; for a
+    * dense query (`offset_k == k`) the order constraint forces
+    * `adj_k >= p1` so the span reduces to `max_k adj_k - p1` — exactly
+    * [[slopCount]]. One model, three degenerate forms.
+    *
+    * Pinned divergence vs ES (EsDslSpec): the walk admits IN-ORDER
+    * alignments only, while Lucene additionally admits out-of-order
+    * (transposed) alignments whose adjusted span still fits the
+    * budget — reachable from `slop >= 2`. Within in-order alignments
+    * the budget is exact. Same HOF-only shape: per-slot position
+    * lists, no explode, no shuffle. */
   private[graft] def gappedSlopCount(field: Column,
                                      terms: Seq[(String, Int)],
                                      slop: Int): Column = {
@@ -997,12 +1004,17 @@ object Search {
     def posOf(t: String): Column =
       filter(transform(toks, (x, i) =>
         when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
-    def rest(k: Int, prev: Column, first: Column): Column =
+    // thread the running [lo, hi] adjusted-position envelope; a slot
+    // is admissible iff including it keeps hi - lo <= slop
+    def rest(k: Int, prev: Column, lo: Column, hi: Column): Column =
       if (k == terms.size) lit(true)
-      else exists(posOf(terms(k)._1), p =>
-        p > prev && p >= first + lit(terms(k)._2 - s) &&
-          p <= first + lit(terms(k)._2 + s) && rest(k + 1, p, first))
-    size(filter(posOf(terms.head._1), p1 => rest(1, p1, p1))).cast("int")
+      else exists(posOf(terms(k)._1), p => {
+        val adj = p - lit(terms(k)._2)
+        p > prev && adj >= hi - lit(s) && adj <= lo + lit(s) &&
+          rest(k + 1, p, least(lo, adj), greatest(hi, adj))
+      })
+    size(filter(posOf(terms.head._1), p1 => rest(1, p1, p1, p1)))
+      .cast("int")
   }
 
   /** [[slopCount]] with the LAST slot matched by PREFIX instead of

@@ -351,22 +351,31 @@ object SearchIndex {
           array_contains(element_at(col("tp"), lit(t)), s + lit(off))
       }.reduce(_ && _))
       else {
-        // Search.gappedSlopCount's window (±slop around each gapped
-        // offset, in order) — for a dense query the lower bound is
-        // subsumed by `pp > prev` and this is exactly the old
-        // slot-index recursion (Search.slopCount's contract)
+        // Search.gappedSlopCount's shared-budget walk (the adjusted
+        // positions pp - offset_i must span <= slop — Lucene's
+        // matchLength over in-order alignments); for a dense query
+        // `pp > prev` forces adjusted >= head and this reduces to
+        // Search.slopCount's contract
         val sl = math.min(slop, 1 << 24)
-        def rest(i: Int, prev: Column, first: Column): Column =
+        def rest(i: Int, prev: Column, lo: Column, hi: Column): Column =
           if (i == k) lit(true)
           else org.apache.spark.sql.functions.exists(
-            element_at(col("tp"), lit(terms(i))), pp =>
-            pp > prev && pp >= first + lit(posTerms(i)._2 - sl) &&
-              pp <= first + lit(posTerms(i)._2 + sl) &&
-              rest(i + 1, pp, first))
-        filter(headPos, s => rest(1, s, s))
+            element_at(col("tp"), lit(terms(i))), pp => {
+              val adj = pp - lit(posTerms(i)._2)
+              pp > prev && adj >= hi - lit(sl) && adj <= lo + lit(sl) &&
+                rest(i + 1, pp, least(lo, adj), greatest(hi, adj))
+            })
+        filter(headPos, s => rest(1, s, s, s))
       }
+    // pf counting must mirror each route's SCAN twin exactly: every
+    // gapped or sloppy twin (gappedPhraseCount / gappedSlopCount /
+    // slopCount) counts DISTINCT HEAD positions — overlapping matches
+    // each count — so only the dense slop-0 repeated-term case (whose
+    // twin is substrCount's non-overlapping forward scan) takes the
+    // greedy stride fold
+    val gapless = posTerms.zipWithIndex.forall { case ((_, o), i) => o == i }
     val cnt =
-      if (slop > 0 || distinctTerms.size == k) size(starts)
+      if (slop > 0 || distinctTerms.size == k || !gapless) size(starts)
       else aggregate(starts,
         struct(lit(0).as("c"), lit(-1).as("free")),
         (acc, s) => when(s >= acc.getField("free"),
@@ -419,6 +428,13 @@ object SearchIndex {
         throw new IllegalArgumentException(
           s"unsupported analyzer '$other' (standard, english)")
     }
+    // an all-stopword english phrase analyzes to zero terms — the scan
+    // path's phraseLeg returns None (ES zero_terms_query "none": no
+    // hits, not an error); the indexed twin must mirror that, so the
+    // empty result keeps the (id, score) shape without reading postings
+    if (posTerms.isEmpty && analyzer == "english")
+      return spark.read.parquet(s"$dir/postings")
+        .select(col(idCol), lit(0.0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
     val terms = posTerms.map(_._1)
     val distinctTerms = terms.distinct

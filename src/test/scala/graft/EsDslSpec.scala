@@ -187,6 +187,30 @@ class EsDslSpec extends SparkSpec {
     // test <= run + 1 + slop — exactly on the cap), not doc 3's
     // gap of 3
     assert(phraseSlop("running tests", 1) == Set(1L, 2L))
+    // round 15: >=3 gapped stems spend ONE SHARED slop budget — the
+    // span of adjusted positions p_k - offset_k, Lucene's sloppy
+    // matchLength — not ±slop per stem. Query "run the test batch"
+    // -> stems (run@0, test@2, batch@3). Doc 2 pulls test one EARLY
+    // (adj -1) and pushes batch one LATE (adj +1): the opposite
+    // drifts SUM to span 2, so slop 1 must NOT match (the old
+    // per-term window wrongly admitted it). Doc 3 drifts test and
+    // batch one late TOGETHER (adj +1, +1): span 1, so slop 1
+    // matches — the budget charges the span, not the drift count.
+    // Pinned divergence vs ES: in-order alignments only (Lucene also
+    // admits transposed alignments within the budget from slop >= 2).
+    val budgetDf = Seq(
+      (1L, "run the test batch"),  // exact stop-gap offsets
+      (2L, "run test x x batch"),  // test@1 (adj -1), batch@4 (adj +1)
+      (3L, "run a a test batch"))  // test@3 (adj +1), batch@4 (adj +1)
+      .toDF("doc_id", "text")
+    def budget(slop: Int) = EsDsl.search(budgetDf, mapper.readTree(
+      s"""{"query": {"match_phrase": {"text": {"query":
+        "running the tests batched", "analyzer": "english",
+        "slop": $slop}}}}"""))
+      .select("doc_id").as[Long].collect().toSet
+    assert(budget(0) == Set(1L))
+    assert(budget(1) == Set(1L, 3L))
+    assert(budget(2) == Set(1L, 2L, 3L))
   }
 
   test("multi_match type=phrase: a match_phrase per field with a " +

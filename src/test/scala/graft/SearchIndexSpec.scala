@@ -283,6 +283,65 @@ class SearchIndexSpec extends SparkSpec {
     assert(n2 >= n0, "slop narrowed the match set")
   }
 
+  test("phraseRanked analyzer=english == the DSL scan path: exact " +
+    "stop-gap offsets at slop 0, the shared-budget walk at slop > 0, " +
+    "DISTINCT-HEAD counting for overlapping gapped matches, and an " +
+    "all-stopword phrase returning empty like zero_terms_query") {
+    import org.apache.spark.sql.functions.col
+    val pdocs = Seq(
+      (1L, "sort sort window window"), // overlapping gapped matches:
+                                       // heads 0 AND 1 both fit
+                                       // (sort@0,window@2) — pf 2
+      (2L, "sort the window"),         // exact stop-gap offset
+      (3L, "sort window"),             // window one EARLY (slop 1)
+      (4L, "sort x y window"),         // window one LATE (slop 1)
+      (5L, "run test x x batch"),      // 3 stems: 1 early + 1 late —
+                                       // shared budget 2, NOT slop 1
+      (6L, "run a a test batch"),      // tail drifts together: span 1
+      (7L, "run the test batch"),      // exact 3-stem offsets
+      (8L, "no match here")
+    ).toDF("doc_id", "text")
+    val path = tmp("graft-idx-eng-")
+    SearchIndex.build(pdocs, Seq("text"), "doc_id", path)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def scan(q: String, slop: Int): Seq[String] =
+      graft.serving.EsDsl.search(pdocs, om.readTree(
+        s"""{"query": {"match_phrase": {"text": {"query": "$q",
+          "analyzer": "english", "slop": $slop}}}, "size": 100}"""))
+        .select(col("doc_id"), col("_score"))
+        .collect().map(_.toString).sorted.toSeq
+    def probe(q: String, slop: Int): Seq[String] =
+      SearchIndex.phraseRanked(spark, path, q, Seq("text"),
+        slop = slop, analyzer = "english")
+        .select(col("doc_id"), col("score"))
+        .collect().map(_.toString).sorted.toSeq
+    // bit-identical hits AND scores across slop tiers and stem
+    // counts. The overlapping doc 1 is the counting-model pin: the
+    // scan twin (gappedPhraseCount / gappedSlopCount) counts DISTINCT
+    // HEADS, so pf = 2 there — a greedy non-overlap fold on the index
+    // side would score it differently and fail this parity.
+    for (slop <- Seq(0, 1, 2);
+         q <- Seq("sorted the windows", "running the tests batched")) {
+      val (sc, pr) = (scan(q, slop), probe(q, slop))
+      assert(pr == sc, s"'$q' slop=$slop diverged\n$sc\nvs\n$pr")
+    }
+    // the overlapping doc matches at slop 0 on both routes
+    assert(probe("sorted the windows", 0)
+      .exists(_.startsWith("[1,")), "overlapping doc missing")
+    // shared budget: doc 5 (span 2) appears at slop 2, not slop 1;
+    // doc 6 (span 1) already at slop 1
+    def ids(rows: Seq[String]): Set[Long] =
+      rows.map(_.drop(1).takeWhile(_ != ',').toLong).toSet
+    val q3 = "running the tests batched"
+    assert(!ids(probe(q3, 1)).contains(5L) &&
+      ids(probe(q3, 2)).contains(5L), "shared budget violated")
+    assert(ids(probe(q3, 1)).contains(6L))
+    // an all-stopword english phrase is zero hits, not an error —
+    // mirroring the scan path's zero_terms_query "none"
+    assert(SearchIndex.phraseRanked(spark, path, "the it was",
+      Seq("text"), analyzer = "english").count() == 0)
+  }
+
   test("indexed fuzzy (vocabulary expansion) == scan-path Levenshtein " +
     "HOF across fuzziness specs, including AUTO's length ladder") {
     val path = tmp("graft-idx-fz-")
