@@ -2447,6 +2447,20 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // completion suggester (round 15): autocomplete over a string
+    // column's values — options are documents whose value starts with
+    // the typed prefix (case-folded, ES's `simple` completion
+    // analyzer), weightless score 1.0, ranked by surface form then id
+    // (the FST's term-order traversal). The third ES suggester family
+    // alongside term and phrase.
+    "q7_esdsl_completion_suggest" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "wind",
+          |  "completion": {"field": "text", "size": 10}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -4715,6 +4729,10 @@ object ParityQueries {
     "q7_esdsl_suggest" -> suggestOracleSql,
     "q7_esdsl_suggest_indexed" -> suggestOracleSql,
     "q7_esdsl_phrase_suggest" -> phraseSuggestOracleSql,
+    "q7_esdsl_completion_suggest" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "ORDER BY suggestion, doc_id LIMIT 10"),
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

@@ -724,7 +724,11 @@ object EsDsl {
     * this engine ranks by the same (distance, frequency) keys Lucene
     * uses to break score ties — deterministic and oracle-able. */
   def suggest(df: DataFrame, sg: JsonNode): DataFrame = {
-    if (suggesterKind(sg) == "phrase") return phraseSuggest(df, sg)
+    suggesterKind(sg) match {
+      case "phrase" => return phraseSuggest(df, sg)
+      case "completion" => return completionSuggest(df, sg)
+      case _ => ()
+    }
     val sp = parseSuggest(sg)
     val f = sp.field
     val size = sp.size
@@ -809,11 +813,12 @@ object EsDsl {
     if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
       "(the HTTP layer serves multi-suggester bodies)")
     val s = sg.get(names.head)
-    if (s.hasNonNull("term") && s.hasNonNull("phrase"))
-      bad("a suggester entry takes term OR phrase, not both")
-    if (s.hasNonNull("term")) "term"
-    else if (s.hasNonNull("phrase")) "phrase"
-    else bad("only the term and phrase suggesters are supported")
+    val kinds = Seq("term", "phrase", "completion").filter(s.hasNonNull)
+    if (kinds.size > 1)
+      bad("a suggester entry takes exactly one of term/phrase/" +
+        s"completion, got: ${kinds.mkString(", ")}")
+    kinds.headOption.getOrElse(bad(
+      "only the term, phrase and completion suggesters are supported"))
   }
 
   /** Per-position candidate budget for the phrase suggester — the
@@ -960,6 +965,84 @@ object EsDsl {
       (text, prior + rest.sum)
     }.sortBy { case (text, score) => (-score, text) }.take(sp.size)
     scoredOut.toDF("suggestion", "score")
+  }
+
+  /** The one named completion-suggester of a suggest body: the typed
+    * prefix, the target field, the option cap, and the distinct-value
+    * gate. */
+  private[graft] final case class CompletionSuggestSpec(
+      field: String, prefix: String, size: Int, skipDuplicates: Boolean)
+
+  private[graft] def parseCompletionSuggest(
+      sg: JsonNode): CompletionSuggestSpec = {
+    val names = keysOf(sg)
+    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
+      "(the HTTP layer serves multi-suggester bodies)")
+    val s = sg.get(names.head)
+    val unknown = keysOf(s).filterNot(Set("prefix", "completion"))
+    if (unknown.nonEmpty)
+      bad(s"unsupported completion-suggester key" +
+        s"${if (unknown.size == 1) "" else "s"}: " +
+        s"${unknown.mkString(", ")} (regex completion is not supported)")
+    val prefix = Option(s.get("prefix")).map(_.asText)
+      .getOrElse(bad("completion suggester needs \"prefix\""))
+    if (prefix.isEmpty) bad("completion prefix must be non-empty")
+    val cp = Option(s.get("completion")).filter(_.isObject)
+      .getOrElse(bad("completion suggester needs a \"completion\" object"))
+    val unknownC = keysOf(cp)
+      .filterNot(Set("field", "size", "skip_duplicates"))
+    if (unknownC.nonEmpty)
+      bad(s"unsupported completion key" +
+        s"${if (unknownC.size == 1) "" else "s"}: " +
+        s"${unknownC.mkString(", ")} (fuzzy prefixes are not supported)")
+    val f = Option(cp.get("field")).map(_.asText)
+      .getOrElse(bad("completion suggester needs \"field\""))
+    val size = Option(cp.get("size")).map(_.asInt).getOrElse(5)
+    if (size <= 0 || size > 100) bad("suggest size must be 1..100")
+    val skip = Option(cp.get("skip_duplicates")).map { n =>
+      if (!n.isBoolean) bad("skip_duplicates must be a boolean")
+      n.asBoolean
+    }.getOrElse(false)
+    CompletionSuggestSpec(f, prefix, size, skip)
+  }
+
+  /** ES COMPLETION SUGGESTER (`{"suggest": {"<name>": {"prefix": ...,
+    * "completion": {"field": ...}}}}`) — the autocomplete surface,
+    * the third suggester family (in ES a dedicated `completion`-mapped
+    * field holds input strings in an in-memory FST and the typed
+    * prefix walks it). This engine's model, documented: a string
+    * column IS its own completion input (the mapping layer derives
+    * types from the schema — there is no separate completion mapping),
+    * so an option is a document whose VALUE starts with the typed
+    * prefix, case-folded like ES's default `simple` completion
+    * analyzer. Weightless inputs score 1.0 (ES's contract for inputs
+    * indexed without a weight) and options rank by surface form then
+    * id — the FST's term-order traversal; `skip_duplicates` keeps the
+    * lowest-id option per distinct value. Output is the flat
+    * (id, suggestion, score) table — the relational projection of
+    * ES's options array (text, _id, _score).
+    *
+    * Scale: one corpus pass with the prefix predicate evaluated
+    * inside the scan and a global top-k (TakeOrdered — no full sort,
+    * no shuffle before the cap); the FST-shaped path at 100 TB is a
+    * sorted value DICTIONARY generation in the write-time index (the
+    * same layout-versioned sidecar the postings ride) probed by
+    * prefix range. */
+  def completionSuggest(df: DataFrame, sg: JsonNode): DataFrame = {
+    val sp = parseCompletionSuggest(sg)
+    val idCol = df.columns.head
+    val hits = df
+      .filter(col(sp.field).isNotNull &&
+        lower(col(sp.field)).startsWith(sp.prefix.toLowerCase))
+    val opts =
+      if (!sp.skipDuplicates)
+        hits.select(col(idCol), col(sp.field).as("suggestion"))
+      else hits.groupBy(col(sp.field).as("suggestion"))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col("suggestion"))
+    opts.select(col(idCol), col("suggestion"), lit(1.0).as("score"))
+      .orderBy(col("score").desc, col("suggestion").asc, col(idCol).asc)
+      .limit(sp.size)
   }
 
   /** Candidate ranking shared by the corpus-scan suggester above and

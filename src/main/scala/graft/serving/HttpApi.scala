@@ -648,8 +648,9 @@ final class HttpApi(
                            sgNode: JsonNode,
                            allowProbe: Boolean = true): DataFrame = {
     // only the TERM suggester has a termstats probe; the phrase
-    // suggester's bigram LM needs the corpus scan either way
-    if (EsDsl.suggesterKind(sgNode) == "phrase")
+    // suggester's bigram LM and the completion suggester's
+    // whole-value prefix walk take the corpus scan either way
+    if (EsDsl.suggesterKind(sgNode) != "term")
       return EsDsl.suggest(df, sgNode)
     val sp = EsDsl.parseSuggest(sgNode)
     if (allowProbe && index != "*" && !index.endsWith("_*"))

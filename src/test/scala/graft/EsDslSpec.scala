@@ -3126,6 +3126,62 @@ class EsDslSpec extends SparkSpec {
     }
   }
 
+  test("completion suggester: whole-value prefix autocomplete — " +
+    "case-folded prefix, weightless score 1.0, surface-form then id " +
+    "order, skip_duplicates collapses repeated values; fuzzy/regex " +
+    "and stray keys reject by name") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Window functions"),
+      (2L, "window functions"), // the same value, case-varied
+      (3L, "window aggregate"),
+      (4L, "windmill"),
+      (7L, "windmill"),         // exact duplicate value
+      (5L, "batch jobs"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def sugg(body: String) =
+      EsDsl.search(df, mapper.readTree(body))
+        .as[(Long, String, Double)].collect().toSeq
+    // case-folded prefix; all scores 1.0 (weightless inputs); rank =
+    // surface form asc ('W' < 'm' < 'o' in ASCII), id breaks the tie
+    // between the two windmills
+    assert(sugg("""{"suggest": {"ac": {"prefix": "Wind",
+        "completion": {"field": "text", "size": 10}}}}""") == Seq(
+      (1L, "Window functions", 1.0),
+      (4L, "windmill", 1.0),
+      (7L, "windmill", 1.0),
+      (3L, "window aggregate", 1.0),
+      (2L, "window functions", 1.0)))
+    // size caps the options after the rank
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wind",
+        "completion": {"field": "text", "size": 2}}}}""").map(_._1) ==
+      Seq(1L, 4L))
+    // skip_duplicates keeps ONE option per distinct value (lowest id)
+    assert(sugg("""{"suggest": {"ac": {"prefix": "windmill",
+        "completion": {"field": "text",
+        "skip_duplicates": true}}}}""") == Seq((4L, "windmill", 1.0)))
+    // no match is an empty options table, not an error
+    assert(sugg("""{"suggest": {"ac": {"prefix": "zzz",
+        "completion": {"field": "text"}}}}""").isEmpty)
+    // knobs this engine does not model reject BY NAME
+    for (body <- Seq(
+      """{"suggest": {"ac": {"prefix": "w", "completion":
+        {"field": "text", "fuzzy": {"fuzziness": 1}}}}}""",
+      """{"suggest": {"ac": {"regex": "w.*", "completion":
+        {"field": "text"}}}}""",
+      """{"suggest": {"ac": {"prefix": "", "completion":
+        {"field": "text"}}}}""",
+      """{"suggest": {"ac": {"prefix": "w", "completion":
+        {"field": "text", "size": 0}}}}""",
+      """{"suggest": {"ac": {"prefix": "w", "completion":
+        {"field": "text", "skip_duplicates": "yes"}}}}""",
+      """{"suggest": {"ac": {"prefix": "w",
+        "completion": {"field": "text"},
+        "term": {"field": "text"}}}}"""))
+      intercept[IllegalArgumentException] { sugg(body) }
+  }
+
   test("rescore recombines the top primary window only; terms_set " +
     "matches against a per-document threshold field") {
     // primary: 'window' count (docs 1, 2, 4 all score 1); window_size
