@@ -66,6 +66,14 @@ object ArrayExpressions {
   def analyzerTokenCount(text: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.analyzerTokenCount(text)
 
+  /** Codegen'd ENGLISH-analyzer tokenization with positions
+    * (array<struct<term, pos>>) — the executor-side twin of
+    * [[EnglishAnalysis.analyzeWithPositions]]: possessive strip →
+    * stop filter (position consumed) → Porter stem. The write-time
+    * tokenizer of SearchIndex's index-time english analyzer. */
+  def englishTokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.englishTokens(text)
+
   /** Codegen'd Search.tokenNorm: the padded double-space-joined
     * analyzed-token string, one pass. */
   def analyzerNorm(text: Column): Column =

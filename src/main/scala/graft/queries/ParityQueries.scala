@@ -62,6 +62,26 @@ object ParityQueries {
       })
     }
 
+  private val engIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built ENGLISH-mapPED documents index — index-TIME
+    * `"analyzer": "english"` (write-time stems, stop-consumed
+    * positions, stop-filtered dl), the commoner ES deployment where
+    * stemming happens at bulk-index time rather than per query. The
+    * q7_idx_english_* twins probe it. */
+  private def englishIndexRoot(s: SparkSession, dir: String): String =
+    engIndexRoots.synchronized {
+      engIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-eng-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "english")
+        root
+      })
+    }
+
   /** The testdata events' fixed event-type domain — an explicit pivot
     * value list (open-ended pivot would cost a distinct-discovery pass). */
   private val EventTypes =
@@ -974,6 +994,70 @@ object ParityQueries {
           |  "analyzer": "english"}}}, "size": 100}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body,
         statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
+    // INDEX-TIME english analyzer (round 15): the index holds
+    // write-time STEMS (possessive strip → stop filter → Porter) with
+    // stop-consumed positions and stop-filtered dl — ES's mapping
+    // `"analyzer": "english"`, the commoner deployment (stem at bulk
+    // time, not per query). The query analyzes with the FIELD's chain
+    // (search_analyzer defaults to the mapping's), so "merging" stems
+    // to 'merg' and matches every document holding "merge" — which NO
+    // standard-index route can do. BM25 statistics (df/dl/avgdl) are
+    // english-side; the oracle replays the stop filter and the fixed
+    // testdata vocabulary's stem classes literally.
+    "q7_idx_english_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${englishIndexRoot(s, dir)}/documents",
+        "the sorted windows merging", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // ... and match_phrase against the english-mapped index: BOTH
+    // sides carry stop gaps — query "sorted the windows" analyzes to
+    // (sort@0, window@2) and the postings hold stems at their
+    // original token indices, so the phrase finds "sort <stop>
+    // window" documents; phrase-frequency BM25 over the ENGLISH
+    // statistics (stemmed idf sum, stop-filtered dl).
+    "q7_idx_english_phrase" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${englishIndexRoot(s, dir)}/documents",
+        "sorted the windows", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // query-time whitespace analyzer (round 15): whitespace-only
+    // splitting, CASE KEPT (ES's whitespace analyzer does not
+    // lowercase) — "window BATCH" analyzes to [window, BATCH]; the
+    // documents are standard-analyzed (lowercase tokens), so 'BATCH'
+    // is a term absent from the index (it still counts toward
+    // operator / minimum_should_match totals, matching nothing) and
+    // the clause scores exactly as a one-term window match.
+    "q7_esdsl_match_whitespace" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {"query": "window BATCH",
+          |  "analyzer": "whitespace"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // query-time keyword analyzer (round 15): the WHOLE input is one
+    // term — a single word probes the standard token stream like a
+    // one-term match (sharing the whitespace query's surviving-term
+    // oracle); a multi-word input is one token that cannot exist in
+    // a standard-analyzed index (spec-pinned zero hits).
+    "q7_esdsl_match_keyword" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {"query": "window",
+          |  "analyzer": "keyword"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
     // multi_match type=phrase (round 13): a match_phrase per listed
@@ -3770,6 +3854,132 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
   }
 
+  /** English-analyzed tokens of `expr` in SQL — the oracle-side replay
+    * of the INDEX-TIME english chain over the FIXED testdata
+    * vocabulary (TESTDATA.md's documents corpus holds the same 31
+    * words at every SF; no possessives): standard tokens → the Lucene
+    * english stop set → Porter stems, with the vocabulary's six
+    * non-fixpoint words mapped literally (merge→merg, query→queri,
+    * table→tabl, value→valu, customer→custom, key→kei).
+    * SearchIndexSpec pins this literal map against the engine's
+    * stemmer over the full vocabulary, so the oracle cannot drift. */
+  private def enToksSql(expr: String): String = {
+    val stops = graft.functions.EnglishAnalysis.StopWords
+      .map(w => s"'$w'").mkString(", ")
+    s"list_transform(list_filter(${anToksSql(expr)}, " +
+    s"t -> t NOT IN ($stops)), " +
+    "t -> CASE t WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' " +
+    "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' " +
+    "WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei' " +
+    "ELSE t END)"
+  }
+
+  /** Oracle of q7_idx_english_match: BM25 over ENGLISH-analyzed
+    * documents — tf/df/dl/avgdl all derive from the stop-filtered
+    * stemmed token stream ([[enToksSql]]); the arithmetic is the
+    * exact per-term saturation the standard bm25FieldCtes replays,
+    * with the engine's one final rounding. Query stems precomputed:
+    * "the sorted windows merging" → (sort, window, merg). */
+  private lazy val idxEnglishMatchSql: String = {
+    val terms = Seq("sort", "window", "merg")
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    val termSum = terms.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN idf0.idf * " +
+        "((tf0.tf * CAST(2.2 AS DOUBLE)) / (tf0.tf + " +
+        "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * tf0.dl / st0.avgdl))) END), " +
+        "CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    s"WITH dls0 AS (SELECT doc_id, len(${enToksSql("text")}) AS dl, " +
+      "text AS f FROM documents), " +
+    s"toks0 AS (SELECT doc_id, dl, unnest(${enToksSql("f")}) AS term " +
+      "FROM dls0), " +
+    s"q0 AS (SELECT doc_id, dl, term FROM toks0 WHERE term IN ($in)), " +
+    "st0 AS (SELECT count(*) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls0), " +
+    "idf0 AS (SELECT term, " +
+      "ln(CAST(1.0 AS DOUBLE) + (st0.n - count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE))) AS idf " +
+      "FROM q0 CROSS JOIN st0 GROUP BY term, st0.n), " +
+    "tf0 AS (SELECT doc_id, dl, term, count(*) AS tf " +
+      "FROM q0 GROUP BY 1, 2, 3), " +
+    s"sc0 AS (SELECT doc_id, $termSum AS s_0 " +
+      "FROM tf0 JOIN idf0 USING (term) CROSS JOIN st0 " +
+      "GROUP BY doc_id) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(sc0.s_0 * 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN sc0 ON d.doc_id = sc0.doc_id " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_idx_english_phrase: both sides english — the gapped
+    * query stems (sort@0, window@2) position-join the STOP-FILTERED
+    * stemmed stream at ORIGINAL token indices (stop positions
+    * consumed, not reassigned), pf counts distinct heads, and the
+    * phrase-BM25 body reads english statistics (stemmed df, english
+    * dl/avgdl). */
+  private lazy val idxEnglishPhraseSql: String = {
+    val stops = graft.functions.EnglishAnalysis.StopWords
+      .map(w => s"'$w'").mkString(", ")
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "ep AS (SELECT doc_id, CASE tok WHEN 'merge' THEN 'merg' " +
+      "WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl' " +
+      "WHEN 'value' THEN 'valu' WHEN 'customer' THEN 'custom' " +
+      "WHEN 'key' THEN 'kei' ELSE tok END AS term, pos " +
+      s"FROM pos WHERE tok NOT IN ($stops)), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf " +
+      "FROM ep a JOIN ep b ON a.doc_id = b.doc_id " +
+      "AND a.term = 'sort' AND b.term = 'window' " +
+      "AND b.pos = a.pos + 2 GROUP BY a.doc_id), " +
+    "dls AS (SELECT doc_id, count(term) AS dl FROM ep GROUP BY doc_id), " +
+    "st AS (SELECT count(*) AS n, " +
+      "CAST(sum(coalesce(dls.dl, 0)) AS DOUBLE) / count(*) AS avgdl " +
+      "FROM documents d LEFT JOIN dls ON d.doc_id = dls.doc_id), " +
+    "idfs AS (SELECT " +
+      "ln(CAST(1.0 AS DOUBLE) + (st.n - s.df + CAST(0.5 AS DOUBLE)) " +
+        "/ (s.df + CAST(0.5 AS DOUBLE))) + " +
+      "ln(CAST(1.0 AS DOUBLE) + (st.n - w.df + CAST(0.5 AS DOUBLE)) " +
+        "/ (w.df + CAST(0.5 AS DOUBLE))) AS idfsum FROM st, " +
+      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        "WHERE term = 'sort') s, " +
+      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        "WHERE term = 'window') w) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(idfs.idfsum * ((gp.pf * CAST(2.2 AS DOUBLE)) / " +
+      "(gp.pf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      "CAST(0.75 AS DOUBLE) * coalesce(dls.dl, 0) / st.avgdl))) " +
+      "* 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN gp ON d.doc_id = gp.doc_id " +
+    "LEFT JOIN dls ON d.doc_id = dls.doc_id " +
+    "CROSS JOIN st CROSS JOIN idfs WHERE gp.pf > 0 " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
+  }
+
+  /** Shared oracle of q7_esdsl_match_whitespace and
+    * q7_esdsl_match_keyword: in both, exactly ONE analyzed query term
+    * can exist in the standard index ('window' — whitespace keeps
+    * 'BATCH''s case so it matches nothing; keyword's whole single-word
+    * input IS the term), and a term absent from the index contributes
+    * exactly 0.0 to the BM25 sum — so both equal a one-term standard
+    * match. */
+  private lazy val matchOneTermSql: String = {
+    val nrm = tokenNormSql("text")
+    val cw = substrCountSql(s"($nrm)", " window ")
+    s"WITH ${bm25FieldCtes("text", Seq("window"), "0")}, " +
+    s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$cw AS cw FROM documents) " +
+    "SELECT c.doc_id, text, lang, source, n_chars, " +
+      "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+    "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+    "WHERE cw > 0 " +
+    "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
   /** Oracle of q7_esdsl_phrase_english: the english analysis of
     * "sorted the windows" is precomputed — stems (sort@0, window@2),
     * the stop position surviving as a gap — and replayed as an
@@ -4504,6 +4714,10 @@ object ParityQueries {
     "q7_esdsl_bm25" -> bm25BoolOracleSql,
 
     "q7_esdsl_match_english" -> matchEnglishSql,
+    "q7_esdsl_match_whitespace" -> matchOneTermSql,
+    "q7_esdsl_match_keyword" -> matchOneTermSql,
+    "q7_idx_english_match" -> idxEnglishMatchSql,
+    "q7_idx_english_phrase" -> idxEnglishPhraseSql,
 
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 

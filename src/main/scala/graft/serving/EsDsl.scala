@@ -474,8 +474,8 @@ object EsDsl {
       val key = s"__combined_${rankClauses.size}__"
       intern(key, concat_ws(" ",
         fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*))
-      rankClauses += Search.RankClause(analyze(query), Seq(key -> 1.0),
-        bestFields = false)
+      rankClauses += Search.RankClause(queryTerms(query, "standard"),
+        Seq(key -> 1.0), bestFields = false)
       coalesce(col(name), lit(0.0))
     }
 
@@ -485,28 +485,21 @@ object EsDsl {
       * — the shared pass evaluates [[Search.rankedAll]]'s expression
       * tree per clause. */
     def bm25Score(query: String, fields: Seq[(String, Double)],
-                  bestFields: Boolean, english: Boolean = false): Column = {
+                  bestFields: Boolean,
+                  analyzer: String = "standard"): Column = {
       if (inFilterCtx) return lit(0.0)
       val name = s"__bm25_${rankClauses.size}"
-      // a query-time `english` analyzer changes ONLY the term list
-      // (the query's stems); the fields, document tokens and BM25
-      // statistics stay standard — exactly ES against the reference's
-      // standard-analyzed mappings, where the stemmed query terms are
-      // searched against the standard index terms
+      // a query-time analyzer changes ONLY the term list (english's
+      // stems, whitespace's case-kept splits, keyword's whole value);
+      // the fields, document tokens and BM25 statistics stay
+      // standard — exactly ES against the reference's
+      // standard-analyzed mappings, where the rewritten query terms
+      // are searched against the standard index terms
       fields.foreach { case (f, _) => intern(f, col(f)) }
-      rankClauses += Search.RankClause(analyze(query, english), fields,
-        bestFields)
+      rankClauses += Search.RankClause(queryTerms(query, analyzer),
+        fields, bestFields)
       coalesce(col(name), lit(0.0))
     }
-
-    /** The analyzed term list every ranked scorer derives —
-      * [[Search.rankedAll]]'s exact tokenization (standard), or the
-      * english chain's stems when the clause selected it. */
-    private def analyze(query: String,
-                        english: Boolean = false): Seq[String] =
-      if (english)
-        graft.functions.EnglishAnalysis.analyze(query).distinct.toSeq
-      else graft.functions.TextFunctions.analyzeText(query).distinct.toSeq
 
     // -- phrase-frequency BM25 ------------------------------------------
     // ES scores match_phrase with BM25: idf = the SUM of the phrase
@@ -3133,15 +3126,16 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match_phrase", spec,
           Set("query", "slop", "analyzer")) else 1.0
-      val english = if (spec.isObject) matchAnalyzer(spec) else false
+      val qa = if (spec.isObject) matchAnalyzer(spec) else "standard"
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
       val slop = if (spec.isObject)
         Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
-      phraseLeg(ctx, f, text, slop, english) match {
-        // all-stopword english phrase: zero terms — ES's
-        // zero_terms_query default, matches nothing, not an error
+      phraseLeg(ctx, f, text, slop, qa) match {
+        // zero analyzed terms (all-stopword english phrase, empty
+        // whitespace/keyword input) — ES's zero_terms_query default,
+        // matches nothing, not an error
         case None => Clause(lit(false), lit(0.0))
         case Some((cnt, score)) =>
           boosted(Clause(cnt > 0, score), boost)
@@ -3892,18 +3886,18 @@ object EsDsl {
       val msm = if (spec.isObject)
         Option(spec.get("minimum_should_match")).map(msmSpec)
       else None
-      val english = spec.isObject && matchAnalyzer(spec)
+      val qa = if (spec.isObject) matchAnalyzer(spec) else "standard"
       boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
         fuzzyKnobs(if (spec.isObject) Some(spec) else None),
-        english = english), boost)
+        analyzer = qa), boost)
 
     case ("multi_match", b) =>
       val mmBoost = clauseBoost("multi_match", b, Set("query",
         "fields", "type", "operator", "minimum_should_match",
         "fuzziness", "prefix_length", "max_expansions",
         "fuzzy_transpositions", "analyzer", "slop", "tie_breaker"))
-      val mmEnglish = matchAnalyzer(b)
+      val mmAnalyzer = matchAnalyzer(b)
       val text = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("multi_match needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -3939,12 +3933,9 @@ object EsDsl {
           .getOrElse("or")
         if (operator != "and" && operator != "or")
           bad(s"unsupported operator '$operator'")
-        val terms =
-          if (mmEnglish) graft.functions.EnglishAnalysis.analyze(text)
-            .distinct.toSeq
-          else graft.functions.TextFunctions.analyzeText(text)
-            .distinct.toSeq
-        if (terms.isEmpty && mmEnglish) Clause(lit(false), lit(0.0))
+        val terms = queryTerms(text, mmAnalyzer)
+        if (terms.isEmpty && mmAnalyzer != "standard")
+          Clause(lit(false), lit(0.0))
         else {
           if (terms.isEmpty) bad("empty multi_match query")
           // per-TERM presence in ANY field; operator/msm count terms
@@ -3979,7 +3970,7 @@ object EsDsl {
         if (fields.isEmpty)
           bad("multi_match needs a non-empty \"fields\"")
         val legs = fields.map { case (f, fb) =>
-          phraseLeg(ctx, f, text, slop, mmEnglish)
+          phraseLeg(ctx, f, text, slop, mmAnalyzer)
             .map { case (cnt, score) =>
               (cnt, if (fb == 1.0) score else score * fb) }
         }
@@ -4004,9 +3995,9 @@ object EsDsl {
             "prefix_length", "fuzzy_transpositions")
             if b.hasNonNull(k))
           bad(s"multi_match type=phrase_prefix does not support $k")
-        if (mmEnglish)
-          bad("the english analyzer is not supported on prefix types " +
-            "(a Porter stem is not a token prefix)")
+        if (mmAnalyzer != "standard")
+          bad(s"the $mmAnalyzer analyzer is not supported on prefix " +
+            "types (the expansion dictionary is standard-analyzed)")
         if (fields.isEmpty)
           bad("multi_match needs a non-empty \"fields\"")
         val slop = Option(b.get("slop")).map(_.asInt).getOrElse(0)
@@ -4039,9 +4030,9 @@ object EsDsl {
             "prefix_length", "max_expansions", "fuzzy_transpositions",
             "slop") if b.hasNonNull(k))
           bad(s"multi_match type=bool_prefix does not support $k")
-        if (mmEnglish)
-          bad("the english analyzer is not supported on prefix types " +
-            "(a Porter stem is not a token prefix)")
+        if (mmAnalyzer != "standard")
+          bad(s"the $mmAnalyzer analyzer is not supported on prefix " +
+            "types (the expansion dictionary is standard-analyzed)")
         if (fields.isEmpty)
           bad("multi_match needs a non-empty \"fields\"")
         val operator = Option(b.get("operator")).map(_.asText)
@@ -4082,7 +4073,7 @@ object EsDsl {
         boosted(matchClause(ctx, text, fields, operator, msm,
           tpe == "best_fields",
           Option(b.get("fuzziness")).map(_.asText), fuzzyKnobs(Some(b)),
-          english = mmEnglish), mmBoost)
+          analyzer = mmAnalyzer), mmBoost)
       }
 
     case ("combined_fields", b) =>
@@ -7373,15 +7364,56 @@ object EsDsl {
     * spends ONE shared slop budget across the phrase — the adjusted
     * positions `p_k - offset_k` may span at most `slop`, Lucene's
     * sloppy matchLength ([[graft.serving.Search.gappedSlopCount]],
-    * which pins the in-order-only divergence). Returns whether the
-    * english chain was selected. Other clause kinds keep the
-    * standard-only [[analyzerKnob]]. */
-  private def matchAnalyzer(spec: JsonNode): Boolean =
+    * which pins the in-order-only divergence). "whitespace" and
+    * "keyword" are query-side term-list rewrites too (see
+    * [[queryTerms]]). Returns the selected analyzer name. Other
+    * clause kinds keep the standard-only [[analyzerKnob]]; the full
+    * accept/reject inventory is pinned in EsDslSpec. */
+  private def matchAnalyzer(spec: JsonNode): String =
     Option(spec.get("analyzer")).map(_.asText) match {
-      case None | Some("standard") | Some("default") => false
-      case Some("english") => true
+      case None | Some("standard") | Some("default") => "standard"
+      case Some(a @ ("english" | "whitespace" | "keyword")) => a
       case Some(other) => bad(s"unsupported analyzer '$other' " +
-        "(supported here: standard, english)")
+        "(supported here: standard, english, whitespace, keyword)")
+    }
+
+  /** The analyzed QUERY term list of a match-family clause — the one
+    * place a query-time analyzer acts. `standard` is the engine's
+    * base chain; `english` stems (possessive strip → stop filter →
+    * Porter); `whitespace` splits on whitespace only, CASE KEPT (ES's
+    * whitespace analyzer does not lowercase); `keyword` emits the
+    * whole input as one term. The documents and statistics stay
+    * standard-analyzed, so a produced term can only ever match if it
+    * IS a standard token of itself (lowercase, the index's token
+    * alphabet) — any other term is mapped to a per-position sentinel
+    * that matches nothing, exactly ES's behavior for a term absent
+    * from the index (it still counts toward operator=and /
+    * minimum_should_match totals), and immune to the normalized-
+    * substring counters bridging token boundaries on a keyword term
+    * with internal spaces. */
+  private[graft] def queryTerms(text: String,
+                                analyzer: String): Seq[String] =
+    analyzer match {
+      case "english" =>
+        graft.functions.EnglishAnalysis.analyze(text).distinct.toSeq
+      case "whitespace" =>
+        literalTerms(text.split("\\s+").toSeq.filter(_.nonEmpty))
+      case "keyword" =>
+        literalTerms(Seq(text).filter(_.nonEmpty))
+      case _ =>
+        graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
+    }
+
+  /** Gate literal (whitespace/keyword) query terms against the
+    * standard token alphabet: a term that does not standard-analyze
+    * to itself cannot exist in the index — it becomes a unique
+    * sentinel (df 0, tf 0 everywhere) so term COUNTS stay ES-exact
+    * while nothing can spuriously match. Dedup first: ES counts each
+    * distinct analyzed term once. */
+  private def literalTerms(raw: Seq[String]): Seq[String] =
+    raw.distinct.zipWithIndex.map { case (t, i) =>
+      if (graft.functions.TextFunctions.analyzeText(t).toSeq == Seq(t)) t
+      else "\ue000" + i
     }
 
   private def analyzerKnob(spec: JsonNode): Unit =
@@ -7435,16 +7467,28 @@ object EsDsl {
     * are literal standard terms), tf is the phrase count. None = an
     * english analysis yielded zero terms (all stopwords). */
   private def phraseLeg(ctx: Ctx, f: String, text: String, slop: Int,
-                        english: Boolean): Option[(Column, Column)] = {
+                        analyzer: String): Option[(Column, Column)] = {
     if (slop < 0) bad("slop must be >= 0")
-    val posTerms: Seq[(String, Int)] =
-      if (english) {
+    val posTerms: Seq[(String, Int)] = analyzer match {
+      case "english" =>
         val pt = graft.functions.EnglishAnalysis
           .analyzeWithPositions(text)
         pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
-      } else graft.functions.TextFunctions.analyzeText(text)
+      case "whitespace" | "keyword" =>
+        // positional duplicates must stay (a phrase can repeat a
+        // term), so gate each POSITION against the standard token
+        // alphabet rather than deduping through queryTerms
+        val raw =
+          if (analyzer == "keyword") Seq(text).filter(_.nonEmpty)
+          else text.split("\\s+").toSeq.filter(_.nonEmpty)
+        raw.zipWithIndex.map { case (t, i) =>
+          (if (graft.functions.TextFunctions.analyzeText(t)
+            .toSeq == Seq(t)) t else "\ue000" + i, i)
+        }
+      case _ => graft.functions.TextFunctions.analyzeText(text)
         .zipWithIndex.toSeq
-    if (posTerms.isEmpty && english) return None
+    }
+    if (posTerms.isEmpty && analyzer != "standard") return None
     if (posTerms.isEmpty) bad("empty phrase query")
     val terms = posTerms.map(_._1)
     val gapless = posTerms.zipWithIndex.forall {
@@ -7466,22 +7510,29 @@ object EsDsl {
                           knobs: (Int, Option[Int], Boolean) =
                             (0, None, true),
                           rawTerm: Boolean = false,
-                          english: Boolean = false): Clause = {
+                          analyzer: String = "standard"): Clause = {
     import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
     val (prefixLength, maxExpansions, transpositions) = knobs
+    // fuzzy rewriting runs over the standard vocabulary — a
+    // case-keeping (whitespace) or whole-value (keyword) term has no
+    // meaningful expansion set there, so the combination rejects by
+    // name rather than answering a different question
+    if (fuzziness.isDefined &&
+        (analyzer == "whitespace" || analyzer == "keyword"))
+      bad(s"fuzziness with the $analyzer analyzer is not supported " +
+        "(fuzzy expansion runs on the standard/english chains)")
     // rawTerm = the term-level `fuzzy` clause: Lucene's FuzzyQuery
     // term is NOT analyzed (only lowercased here, the engine's token
     // case) — analyzing would split a punctuated value like
     // "foo-bar" into OR'd per-word fuzzy matches ES never runs
     val terms =
       if (rawTerm) Seq(text.trim.toLowerCase).filter(_.nonEmpty)
-      else if (english)
-        graft.functions.EnglishAnalysis.analyze(text).distinct.toSeq
-      else graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
-    // a query that is ALL stopwords analyzes to zero terms under the
-    // english chain — ES's zero_terms_query default ("none"): the
-    // clause matches nothing, scores nothing, not an error
-    if (terms.isEmpty && english)
+      else queryTerms(text, analyzer)
+    // a query that analyzes to ZERO terms (all stopwords under the
+    // english chain, empty whitespace/keyword input) — ES's
+    // zero_terms_query default ("none"): the clause matches nothing,
+    // scores nothing, not an error
+    if (terms.isEmpty && analyzer != "standard")
       return Clause(lit(false), lit(0.0))
     if (terms.isEmpty)
       bad(if (rawTerm) "empty fuzzy value" else "empty match query")
@@ -7537,7 +7588,7 @@ object EsDsl {
         if (parts.size == 1) parts.head
         else if (bestFields) greatest(parts: _*)
         else parts.reduce(_ + _)
-      case None => ctx.bm25Score(text, fields, bestFields, english)
+      case None => ctx.bm25Score(text, fields, bestFields, analyzer)
     }
     Clause(pred, score)
   }

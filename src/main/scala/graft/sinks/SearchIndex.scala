@@ -72,7 +72,15 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndex {
 
-  final case class Meta(idCol: String, fields: Seq[String], gen: Int)
+  /** `analyzer` is the index-TIME analysis chain ("standard" |
+    * "english") — ES's mapping-level `"analyzer": "english"`, where
+    * documents stem at WRITE time. It is part of the index's grammar:
+    * probes analyze queries with it (ES's search_analyzer defaults to
+    * the index analyzer) and upserts re-tokenize with it, so a
+    * generation can never mix analysis chains. Pre-round-15 metas
+    * carry no key and read as "standard". */
+  final case class Meta(idCol: String, fields: Seq[String], gen: Int,
+                        analyzer: String = "standard")
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score")
@@ -81,16 +89,55 @@ object SearchIndex {
   private def tableDir(path: String, meta: Meta): String =
     s"$path/g${meta.gen}"
 
+  /** Query analysis under the INDEX's analyzer — ES's search_analyzer
+    * defaults to the mapping's analyzer, so an english-mapped index
+    * stems the query too (and both sides carry stop gaps). */
+  private def queryAnalyze(meta: Meta, text: String): Seq[String] =
+    if (meta.analyzer == "english")
+      graft.functions.EnglishAnalysis.analyze(text).toSeq
+    else graft.functions.TextFunctions.analyzeText(text).toSeq
+
+  /** [[queryAnalyze]] with head-relative positions for the phrase
+    * probes: english keeps stop-gap offsets (Lucene position
+    * increments); standard is dense. */
+  private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
+    if (meta.analyzer == "english") {
+      val pt = graft.functions.EnglishAnalysis.analyzeWithPositions(text)
+      pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+    } else
+      graft.functions.TextFunctions.analyzeText(text).zipWithIndex.toSeq
+
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
     * explode tagged `fid` — the same single-scan shape
     * Search.rankedFields uses, minus the query-term filter (an index
-    * keeps every term). Positions index the standard-analyzed
-    * token sequence ([[graft.functions.TextFunctions.analyzerTokens]]),
-    * matching Search.tokenNorm's adjacency semantics. */
+    * keeps every term). Under the standard analyzer, positions index
+    * the standard-analyzed token sequence
+    * ([[graft.functions.TextFunctions.analyzerTokens]]), matching
+    * Search.tokenNorm's adjacency semantics. Under the index-time
+    * `english` analyzer, terms are write-time STEMS and positions are
+    * the original token indices with stopword positions CONSUMED —
+    * Lucene's enablePositionIncrements, so phrases carry gaps where
+    * stopwords stood — and `dl` counts the EMITTED stems (Lucene's
+    * field length excludes stop-filtered tokens). */
   private def postingsOf(docs: DataFrame, fields: Seq[String],
-                         idCol: String): DataFrame = {
+                         idCol: String,
+                         analyzer: String = "standard"): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
-    docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
+    if (analyzer == "english") {
+      def etoks(f: String) = graft.functions.ArrayExpressions
+        .englishTokens(coalesce(col(f), lit("")))
+      docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
+          case (f, i) => struct(lit(i).as("fid"),
+            size(etoks(f)).as("dl"), etoks(f).as("toks"))
+        }: _*)).as("fs"))
+        .select(col(idCol), col("fs.fid").as("fid"),
+          col("fs.dl").as("dl"), explode(col("fs.toks")).as("t"))
+        .select(col(idCol), col("fid"), col("dl"),
+          col("t.term").as("term"), col("t.pos").as("pos"))
+        .groupBy(col(idCol), col("fid"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("pos"))
+    } else docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"),
           tokenCount(col(f)).as("dl"),
           graft.functions.TextFunctions.analyzerTokens(col(f))
@@ -115,10 +162,16 @@ object SearchIndex {
     * field is null (such docs have no postings but still count in `n`,
     * exactly as the scan-path `count(*)` does). */
   private def doclensOf(docs: DataFrame, fields: Seq[String],
-                        idCol: String): DataFrame = {
+                        idCol: String,
+                        analyzer: String = "standard"): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
+    def dlOf(f: String): Column =
+      if (analyzer == "english")
+        size(graft.functions.ArrayExpressions
+          .englishTokens(coalesce(col(f), lit(""))))
+      else tokenCount(col(f))
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
-        case (f, i) => struct(lit(i).as("fid"), tokenCount(col(f)).as("dl"))
+        case (f, i) => struct(lit(i).as("fid"), dlOf(f).as("dl"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"))
   }
@@ -130,17 +183,19 @@ object SearchIndex {
     * declared. Rebuild over an existing index stages the next generation
     * and flips the pointer — readers mid-request keep the old one. */
   def build(docs: DataFrame, fields: Seq[String], idCol: String,
-            path: String): Unit = {
+            path: String, analyzer: String = "standard"): Unit = {
     require(fields.nonEmpty, "at least one field to index")
     require(!Reserved.contains(idCol),
       s"id column '$idCol' collides with an index-internal name")
+    require(analyzer == "standard" || analyzer == "english",
+      s"unsupported index analyzer '$analyzer' (standard, english)")
     val spark = docs.sparkSession
     val gen = if (exists(path)) readMeta(path).gen + 1 else 0
     val dir = s"$path/g$gen"
-    postingsOf(docs, fields, idCol)
+    postingsOf(docs, fields, idCol, analyzer)
       .sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-    doclensOf(docs, fields, idCol)
+    doclensOf(docs, fields, idCol, analyzer)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
     // derive the stats tables from the WRITTEN postings/doclens (a
     // cheap re-read) rather than recomputing the corpus scan twice
@@ -151,7 +206,7 @@ object SearchIndex {
       .groupBy(col("fid"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
-    writeMeta(path, Meta(idCol, fields, gen))
+    writeMeta(path, Meta(idCol, fields, gen, analyzer))
     gcGenerations(path, keep = gen)
   }
 
@@ -203,8 +258,7 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = graft.functions.TextFunctions.analyzeText(query)
-      .distinct.toArray
+    val terms = queryAnalyze(meta, query).distinct.toArray
     // postings probe: both predicates reach the parquet scan as pushed
     // filters — the surviving rows are (query term × matching doc)-sized
     val p = spark.read.parquet(s"$dir/postings")
@@ -286,10 +340,15 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms = graft.functions.TextFunctions.analyzeText(phraseQuery)
-    require(terms.nonEmpty, "empty phrase")
+    val posTerms = queryPosTerms(meta, phraseQuery)
+    // an all-stopword phrase against an english index analyzes to
+    // zero terms: no hits, not an error (zero_terms_query "none")
+    if (posTerms.isEmpty && meta.analyzer == "english")
+      return spark.read.parquet(s"$dir/postings")
+        .select(col(idCol), lit(0).as("score")).limit(0)
+    require(posTerms.nonEmpty, "empty phrase")
     val perField =
-      phraseCounts(spark, dir, idCol, fids, terms.zipWithIndex, slop)
+      phraseCounts(spark, dir, idCol, fids, posTerms, slop)
     def fieldScore(i: Int): Column = {
       val raw = coalesce(sum(when(col("fid") === fids(i), col("_pf"))),
         lit(0)).cast("int")
@@ -413,10 +472,15 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    // QUERY-side analyzer only (the postings are standard-analyzed —
-    // english stems are matched as literal standard terms with
-    // stop-position gaps, exactly the scan path's phraseLeg)
-    val posTerms: Seq[(String, Int)] = analyzer match {
+    // against a STANDARD index, `analyzer` is the QUERY-side knob
+    // (english stems matched as literal standard terms with
+    // stop-position gaps, exactly the scan path's phraseLeg); an
+    // ENGLISH-mapped index analyzes the query with the FIELD's chain
+    // regardless (ES's search_analyzer defaults to the mapping's
+    // analyzer — both sides stem, both sides carry stop gaps)
+    val effAnalyzer =
+      if (meta.analyzer == "english") "english" else analyzer
+    val posTerms: Seq[(String, Int)] = effAnalyzer match {
       case "standard" =>
         graft.functions.TextFunctions.analyzeText(phraseQuery)
           .zipWithIndex.toSeq
@@ -432,7 +496,7 @@ object SearchIndex {
     // path's phraseLeg returns None (ES zero_terms_query "none": no
     // hits, not an error); the indexed twin must mirror that, so the
     // empty result keeps the (id, score) shape without reading postings
-    if (posTerms.isEmpty && analyzer == "english")
+    if (posTerms.isEmpty && effAnalyzer == "english")
       return spark.read.parquet(s"$dir/postings")
         .select(col(idCol), lit(0.0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
@@ -568,8 +632,7 @@ object SearchIndex {
     val missing = useFields.filterNot(fidOf.contains)
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
-    val terms =
-      graft.functions.TextFunctions.analyzeText(query).distinct
+    val terms = queryAnalyze(meta, query).distinct
     require(terms.nonEmpty, "empty query")
     val need = math.max(1, math.min(minMatch, terms.size))
     val p = spark.read.parquet(s"$dir/postings")
@@ -799,8 +862,10 @@ object SearchIndex {
       .map(d => full.select(col(idCol)).unionByName(d.toDF(idCol)))
       .getOrElse(full.select(col(idCol)))
       .distinct()
-    val newPost = postingsOf(full, meta.fields, idCol)
-    val newLens = doclensOf(full, meta.fields, idCol)
+    // the batch re-tokenizes with the INDEX's analysis chain — a
+    // generation can never mix standard and english postings
+    val newPost = postingsOf(full, meta.fields, idCol, meta.analyzer)
+    val newLens = doclensOf(full, meta.fields, idCol, meta.analyzer)
     val oldPost = spark.read.parquet(s"$dir/postings")
     val oldLens = spark.read.parquet(s"$dir/doclens")
     val remPost = oldPost.join(keys, Seq(idCol), "left_semi")
@@ -963,7 +1028,8 @@ object SearchIndex {
   private def writeMeta(path: String, meta: Meta): Unit = {
     val json = s"""{"id_col": "${meta.idCol}", "fields": [${
       meta.fields.map(f => s""""$f"""").mkString(", ")
-    }], "gen": ${meta.gen}, "version": 3}"""
+    }], "gen": ${meta.gen}, "analyzer": "${meta.analyzer}", ${""
+    }"version": 3}"""
     val target = Paths.get(s"$path/_index_meta.json")
     Files.createDirectories(target.getParent)
     val tmp = Paths.get(s"$path/._index_meta_tmp_${
@@ -981,6 +1047,7 @@ object SearchIndex {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val fields = (0 until node.get("fields").size())
       .map(node.get("fields").get(_).asText())
-    Meta(node.get("id_col").asText(), fields, node.get("gen").asInt())
+    Meta(node.get("id_col").asText(), fields, node.get("gen").asInt(),
+      Option(node.get("analyzer")).map(_.asText()).getOrElse("standard"))
   }
 }

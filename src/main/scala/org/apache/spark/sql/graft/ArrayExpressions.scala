@@ -625,6 +625,62 @@ object DamerauLevenshtein {
   }
 }
 
+/** ENGLISH-analyzer tokenization with positions, as one generated
+  * scan — the executor-side twin of
+  * [[graft.functions.EnglishAnalysis.analyzeWithPositions]] (the
+  * query-side chain): standard tokenize ([[AnalyzerTokens.spans]]) →
+  * possessive strip → english stop filter (the token drops, its
+  * POSITION is consumed — Lucene's enablePositionIncrements, so
+  * surviving stems keep their original token index and phrases carry
+  * gaps where stopwords stood) → Porter stem. Returns
+  * `array<struct<term string, pos int>>` — the write-time tokenizer
+  * of [[graft.sinks.SearchIndex]]'s index-time `english` analyzer
+  * (ES's `"analyzer": "english"` mapping, where stemming happens at
+  * INDEX time rather than query time). Driver/executor parity is
+  * fuzz-pinned in ExpressionPropertiesSpec. */
+case class EnglishTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_english_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    EnglishTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.EnglishTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): EnglishTokens = copy(child = newChild)
+}
+
+object EnglishTokens {
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val sp = AnalyzerTokens.spans(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](sp.length)
+    var k = 0
+    while (k < sp.length) {
+      val base = graft.functions.EnglishAnalysis
+        .stripPossessive(s.substring(sp(k)._1, sp(k)._2))
+      if (!graft.functions.EnglishAnalysis.isStop(base))
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(
+            graft.functions.PorterStemmer.stem(base)),
+          k)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(out.toArray)
+  }
+}
+
 /** Standard-analyzer tokenization as ONE generated char scan —
   * semantically IDENTICAL to
   * `regexp_extract_all(lower(text), TextFunctions.AnalyzerPattern)`
@@ -802,6 +858,10 @@ object ArrayExpressions {
   /** Column API for [[AnalyzerTokens]]. */
   def analyzerTokens(text: Column): Column =
     ExpressionUtils.column(AnalyzerTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[EnglishTokens]]. */
+  def englishTokens(text: Column): Column =
+    ExpressionUtils.column(EnglishTokens(ExpressionUtils.expression(text)))
 
   /** Column API for [[AnalyzerTokenCount]]. */
   def analyzerTokenCount(text: Column): Column =

@@ -87,10 +87,10 @@ class EsDslSpec extends SparkSpec {
       "fields": ["text"], "analyzer": "default"}}}""").nonEmpty)
     assert(ids("""{"query": {"match_phrase": {"text": {"query":
       "window batch", "analyzer": "standard"}}}}""") == Set(1L))
-    intercept[IllegalArgumentException] {
-      ids("""{"query": {"multi_match": {"query": "window",
-        "fields": ["text"], "analyzer": "whitespace"}}}""")
-    }
+    // whitespace joined the accepted inventory in round 15: a
+    // lowercase single word analyzes identically under it
+    assert(ids("""{"query": {"multi_match": {"query": "window",
+      "fields": ["text"], "analyzer": "whitespace"}}}""").nonEmpty)
     intercept[IllegalArgumentException] {
       ids("""{"query": {"match": {"text": {"query": "window",
         "analyzer": "french"}}}}""")
@@ -211,6 +211,118 @@ class EsDslSpec extends SparkSpec {
     assert(budget(0) == Set(1L))
     assert(budget(1) == Set(1L, 3L))
     assert(budget(2) == Set(1L, 2L, 3L))
+  }
+
+  test("whitespace and keyword query analyzers: case-kept splits / " +
+    "whole-value terms matched against the standard-analyzed index; " +
+    "absent terms still count toward operator totals") {
+    def ids(body: String): Set[Long] =
+      q(body).select("doc_id").as[Long].collect().toSet
+    // whitespace keeps case: 'BATCH' can never be a standard token,
+    // so it matches nothing — but under operator=or 'window' carries
+    assert(ids("""{"query": {"match": {"text": {"query":
+      "window BATCH", "analyzer": "whitespace"}}}}""") ==
+      Set(1L, 2L, 4L))
+    // ... and under operator=and the absent term gates the clause
+    // (ES: a term not in the index fails the conjunction)
+    assert(ids("""{"query": {"match": {"text": {"query":
+      "window BATCH", "analyzer": "whitespace",
+      "operator": "and"}}}}""") == Set.empty)
+    assert(ids("""{"query": {"match": {"text": {"query":
+      "window batch", "analyzer": "whitespace",
+      "operator": "and"}}}}""") == Set(1L, 4L))
+    // when one term survives, the score IS the one-term standard
+    // match score (the absent term contributes exactly 0.0)
+    val ws = q("""{"query": {"match": {"text": {"query":
+      "window BATCH", "analyzer": "whitespace"}}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    val std = q("""{"query": {"match": {"text": "window"}}}""")
+      .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(ws == std)
+    // keyword: the WHOLE input is one term — a single word probes
+    // the token stream; multi-word or case-varied inputs cannot
+    // exist in a standard-analyzed index
+    assert(ids("""{"query": {"match": {"text": {"query": "window",
+      "analyzer": "keyword"}}}}""") == Set(1L, 2L, 4L))
+    assert(ids("""{"query": {"match": {"text": {"query":
+      "window batch", "analyzer": "keyword"}}}}""") == Set.empty)
+    assert(ids("""{"query": {"match": {"text": {"query": "Window",
+      "analyzer": "keyword"}}}}""") == Set.empty)
+    // phrases: whitespace terms are dense positions (adjacency);
+    // keyword's single term degenerates to a term probe
+    assert(ids("""{"query": {"match_phrase": {"text": {"query":
+      "window batch", "analyzer": "whitespace"}}}}""") == Set(1L))
+    assert(ids("""{"query": {"match_phrase": {"text": {"query":
+      "window Batch", "analyzer": "whitespace"}}}}""") == Set.empty)
+    assert(ids("""{"query": {"match_phrase": {"text": {"query":
+      "window", "analyzer": "keyword"}}}}""") == Set(1L, 2L, 4L))
+    // multi-word keyword phrase: ONE term with an internal space —
+    // never bridges token boundaries in the normalized stream
+    assert(ids("""{"query": {"match_phrase": {"text": {"query":
+      "window batch", "analyzer": "keyword"}}}}""") == Set.empty)
+    // empty/whitespace-only input analyzes to zero terms: no hits,
+    // not an error (zero_terms_query "none"), like the english chain
+    assert(q("""{"query": {"match": {"text": {"query": "   ",
+      "analyzer": "whitespace"}}}}""").count() == 0)
+    // multi_match rides the same term rewrite across fields
+    assert(ids("""{"query": {"multi_match": {"query": "window SRC3",
+      "fields": ["text", "source"],
+      "analyzer": "whitespace"}}}""") == Set(1L, 2L, 4L))
+    assert(ids("""{"query": {"multi_match": {"query": "window src3",
+      "fields": ["text", "source"],
+      "analyzer": "whitespace"}}}""") == Set(1L, 2L, 4L))
+  }
+
+  test("analyzer inventory is a CONTRACT: match/match_phrase/" +
+    "multi_match accept standard/default/english/whitespace/keyword; " +
+    "every other name rejects by name; prefix types and fuzziness " +
+    "combinations reject; other clause kinds stay standard-only") {
+    // accepted inventory — none of these may throw
+    for (a <- Seq("standard", "default", "english", "whitespace",
+        "keyword")) {
+      q(s"""{"query": {"match": {"text": {"query": "window",
+        "analyzer": "$a"}}}}""").count()
+      q(s"""{"query": {"match_phrase": {"text": {"query": "window",
+        "analyzer": "$a"}}}}""").count()
+      q(s"""{"query": {"multi_match": {"query": "window",
+        "fields": ["text"], "analyzer": "$a"}}}""").count()
+      q(s"""{"query": {"multi_match": {"query": "window",
+        "fields": ["text", "source"], "type": "cross_fields",
+        "analyzer": "$a"}}}""").count()
+    }
+    // every other name rejects BY NAME on the match family
+    for (a <- Seq("french", "simple", "stop", "snowball",
+        "my_custom")) {
+      val e = intercept[IllegalArgumentException] {
+        q(s"""{"query": {"match": {"text": {"query": "window",
+          "analyzer": "$a"}}}}""")
+      }
+      assert(e.getMessage.contains(a), e.getMessage)
+    }
+    // prefix types take no analyzer rewrite (the expansion
+    // dictionary is standard-analyzed)
+    for (a <- Seq("english", "whitespace", "keyword");
+         t <- Seq("phrase_prefix", "bool_prefix"))
+      intercept[IllegalArgumentException] {
+        q(s"""{"query": {"multi_match": {"query": "window",
+          "fields": ["text"], "type": "$t", "analyzer": "$a"}}}""")
+      }
+    // fuzzy expansion runs on the standard/english chains only
+    for (a <- Seq("whitespace", "keyword"))
+      intercept[IllegalArgumentException] {
+        q(s"""{"query": {"match": {"text": {"query": "windoq",
+          "analyzer": "$a", "fuzziness": "1"}}}}""")
+      }
+    // clause kinds outside the match family keep the standard-only
+    // knob (or no analyzer key at all) — whitespace must not leak in
+    for (body <- Seq(
+      """{"query": {"match_bool_prefix": {"text": {"query": "win",
+        "analyzer": "whitespace"}}}}""",
+      """{"query": {"match_phrase_prefix": {"text": {"query": "win",
+        "analyzer": "whitespace"}}}}""",
+      """{"query": {"combined_fields": {"query": "window",
+        "fields": ["text"], "analyzer": "whitespace"}}}"""))
+      intercept[IllegalArgumentException] { q(body) }
   }
 
   test("multi_match type=phrase: a match_phrase per field with a " +

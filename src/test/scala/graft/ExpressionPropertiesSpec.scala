@@ -214,6 +214,36 @@ class ExpressionPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("EnglishTokens (executor) == EnglishAnalysis.analyzeWithPositions " +
+    "(driver), over adversarial, stopword-heavy and random strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adversarial = Seq(
+      "the sorted windows", "running the tests batched",
+      "it's the owner's table", "The THE tHe", "a an and are",
+      "", "   ", "don't stop-me now", "3.14 is pi",
+      "they're querying VALUES", "keys tables merges queries",
+      "café naïve", "x'.y", "..a..", "customers' customers")
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "a", "of", "window", "running", "sorted",
+      "batches", "it's", "key", "merge", "x.y", "don't", "1,000")
+    val random = (1 to 400).map(_ =>
+      (0 to rnd.nextInt(8)).map(_ =>
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = (adversarial ++ random).toDF("text")
+    val rows = df.select(col("text"),
+      graft.functions.ArrayExpressions.englishTokens(col("text"))
+        .as("et")).collect()
+    rows.foreach { r =>
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getInt(1)))
+      val want = graft.functions.EnglishAnalysis
+        .analyzeWithPositions(r.getString(0))
+      assert(got == want, s"english tokens mismatch on '${
+        r.getString(0)}'\n$want\nvs\n$got")
+    }
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))

@@ -161,6 +161,101 @@ class SearchIndexSpec extends SparkSpec {
     assert(qi == qs, "upserted index ranks differently from scan path")
   }
 
+  test("index-time english analyzer: write-time stems at stop-consumed " +
+    "positions with stop-filtered dl; queries analyze with the FIELD's " +
+    "chain; upsert == rebuild; the testdata vocabulary's stem classes " +
+    "equal the oracle's literal map") {
+    import org.apache.spark.sql.functions.col
+    // pin the oracle-side literal stem map (ParityQueries.enToksSql)
+    // against the engine's stemmer over the FULL testdata vocabulary —
+    // if either drifts, this fails before the driver gate does
+    val vocabulary = Seq("a", "agg", "batch", "big", "column",
+      "customer", "data", "dup", "fast", "filter", "group", "hash",
+      "join", "key", "line", "merge", "order", "part", "query", "row",
+      "scan", "slow", "small", "sort", "spark", "stream", "table",
+      "the", "value", "vector", "window")
+    val mapped = Map("merge" -> "merg", "query" -> "queri",
+      "table" -> "tabl", "value" -> "valu", "customer" -> "custom",
+      "key" -> "kei")
+    val stops = Set("a", "the")
+    vocabulary.filterNot(stops).foreach { w =>
+      assert(graft.functions.EnglishAnalysis.analyze(w) ==
+        Seq(mapped.getOrElse(w, w)), s"stem drift on '$w'")
+    }
+    stops.foreach(w =>
+      assert(graft.functions.EnglishAnalysis.analyze(w).isEmpty))
+
+    // two docs whose DIFFERENT surface forms stem to the same postings
+    val edocs = Seq(
+      (1L, "sort the window merge"),       // sort@0 window@2 merg@3
+      (2L, "sorting the windows merges"),  // identical stems+positions
+      (3L, "sort window now"),             // adjacent: window@1
+      (4L, "the a the"))                   // all stopwords: dl 0
+      .toDF("doc_id", "text")
+    val eng = tmp("graft-idx-eng-map-")
+    SearchIndex.build(edocs, Seq("text"), "doc_id", eng,
+      analyzer = "english")
+    assert(SearchIndex.readMeta(eng).analyzer == "english")
+    val post = spark.read.parquet(s"${tdir(eng)}/postings")
+    // write-time stems at ORIGINAL token indices, stop positions
+    // consumed; dl counts emitted stems only
+    val d1 = post.filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
+    assert(d1 == Set(("sort", Seq(0), 3), ("window", Seq(2), 3),
+      ("merg", Seq(3), 3)), d1.toString)
+    val d2 = post.filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"))).toSet
+    assert(d2 == Set(("sort", Seq(0)), ("window", Seq(2)),
+      ("merg", Seq(3))), "inflections must stem to doc 1's postings")
+    assert(post.filter(col("doc_id") === 4L).count() == 0)
+    // the query analyzes with the field's chain: "merging" stems to
+    // 'merg' and matches docs holding "merge"/"merges" — impossible
+    // against a standard index of the same corpus
+    val std = tmp("graft-idx-eng-std-")
+    SearchIndex.build(edocs, Seq("text"), "doc_id", std)
+    assert(SearchIndex.ranked(spark, eng, "merging", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(SearchIndex.ranked(spark, std, "merging", Seq("text"))
+      .count() == 0)
+    // phrases: BOTH sides gapped — "sorted the windows" (sort@0,
+    // window@2) finds the stop-gap docs, not the adjacent one; the
+    // dense "sorted windows" (sort@0, window@1) finds only doc 3
+    def phr(q: String): Set[Long] =
+      SearchIndex.phraseRanked(spark, eng, q, Seq("text"))
+        .collect().map(_.getLong(0)).toSet
+    assert(phr("sorted the windows") == Set(1L, 2L))
+    assert(phr("sorted windows") == Set(3L))
+    // all-stopword phrase: zero hits, no error, on both phrase probes
+    assert(phr("the a") == Set.empty)
+    assert(SearchIndex.phrase(spark, eng, "the a", Seq("text"))
+      .count() == 0)
+    // docs 1 and 2 carry identical postings and dl -> identical score
+    val sc = SearchIndex.ranked(spark, eng, "merging the sort",
+      Seq("text")).collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(sc(1L) == sc(2L), sc.toString)
+    // upsert re-tokenizes with the INDEX's analyzer: tables and
+    // probes equal a full english rebuild
+    val v2 = Seq((3L, "merged value keys"),
+      (9L, "the sorted customer queries"))
+      .toDF("doc_id", "text")
+    val mergedDocs = edocs.filter(col("doc_id") =!= 3L)
+      .unionByName(v2)
+    SearchIndex.upsert(v2, eng)
+    val reb = tmp("graft-idx-eng-reb-")
+    SearchIndex.build(mergedDocs, Seq("text"), "doc_id", reb,
+      analyzer = "english")
+    for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(eng)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"english $t diverged after upsert\n$a\nvs\n$b")
+    }
+    assert(SearchIndex.ranked(spark, eng, "querying customers",
+        Seq("text")).collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
   test("upsert with deletes: dropped docs leave through the same " +
     "integer-delta machinery — tables and probes equal a rebuild") {
     val v2new = Seq((3L, "batch of batch window", "src9"))
