@@ -4987,12 +4987,16 @@ object EsDsl {
     * optional nesting, `date_histogram`, `histogram`, `range`,
     * `filters`) optionally carrying metric sub-aggs, or a single
     * global metric agg (one row). Metrics: avg/sum/min/max/
-    * value_count, `cardinality` as an EXACT distinct count (ES's is
-    * approximate HLL; exact is deterministic and oracle-able — the
-    * sketch tier lives in operators/Sketches), `stats` /
-    * `extended_stats` (flattened to `<name>_count` … `<name>_
-    * std_deviation`; population variance, like ES), and `percentiles`
-    * (EXACT interpolated — ES's TDigest is approximate; flattened to
+    * value_count, `cardinality` as an EXACT distinct count by default
+    * (deterministic and oracle-able; ES's is approximate HLL) with
+    * `precision_threshold` OPTING INTO the HLL sketch at ES's own
+    * register budget ([[lgkFromThreshold]]; error-bounded in
+    * EsDslSpec), `stats` / `extended_stats` (flattened to
+    * `<name>_count` … `<name>_std_deviation`; population variance,
+    * like ES), and `percentiles` (EXACT interpolated by default —
+    * ES's TDigest default is approximate — with a `tdigest` object
+    * opting into the mergeable quantile sketch at
+    * `accuracy = compression × 100`; flattened to
     * `<name>_p<percent>`). Histogram-family buckets also accept ES's
     * PARENT pipeline aggs — `cumulative_sum` / `derivative`
     * (buckets_path to a sibling metric, `_count`, or an earlier
@@ -5004,11 +5008,79 @@ object EsDsl {
   /** Accuracy/distribution knobs EXACT evaluation subsumes — accepted
     * and ignored (this engine's exact answers meet or beat every one
     * of these knobs' intent, so dropping them cannot change a result
-    * for the worse): shard-level sizing/collection hints and the HLL
-    * precision bound (cardinality here is exact). */
+    * for the worse): shard-level sizing/collection hints and response
+    * shaping. `precision_threshold` is NOT here — since round 15 it
+    * OPTS INTO the HLL sketch (see the cardinality metric), because a
+    * user setting it asks for the memory/accuracy trade, not for a
+    * bigger exact bill. */
   private val IgnoredAccuracyKnobs = Set("shard_size",
     "shard_min_doc_count", "execution_hint", "collect_mode",
-    "show_term_doc_count_error", "precision_threshold", "keyed")
+    "show_term_doc_count_error", "keyed")
+
+  /** ES's threshold→HLL-precision mapping
+    * (HyperLogLogPlusPlus.precisionFromThreshold: bits required for a
+    * 0.75-load-factor hash table of `t` int entries, clamped 4..18) —
+    * reused verbatim as the DataSketches `lgConfigK`, so the sketch
+    * spends the same register budget ES would. The ESTIMATOR differs
+    * (DataSketches HLL vs ES's bias-corrected HLL++) — a documented
+    * deviation; both are exact in sparse mode well past the
+    * threshold and carry ~1.04/sqrt(2^lgK) relative standard error
+    * beyond it (EsDslSpec pins the bounds). */
+  private[graft] def lgkFromThreshold(t: Long): Int = {
+    val entries = math.ceil(t / 0.75).toLong
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, entries * 4))
+    math.max(4, math.min(18, bits))
+  }
+
+  /** The cardinality metric's aggregation column: EXACT distinct
+    * count (the oracle tier) unless the body carries
+    * `precision_threshold` — ES's knob for the HLL memory/accuracy
+    * trade — which opts into the mergeable HLL sketch at ES's own
+    * register budget. Values hash via their string form (injective
+    * for the atomic types the agg surface admits). */
+  private def cardinalityCol(c: Column, mSpec: JsonNode,
+                             alias: String): Column =
+    Option(mSpec.get("precision_threshold")) match {
+      case None => countDistinct(c).as(alias)
+      case Some(n) =>
+        if (!n.isIntegralNumber || n.asLong < 0 || n.asLong > 40000)
+          bad("precision_threshold must be an integer in 0..40000")
+        hll_sketch_estimate(hll_sketch_agg(c.cast("string"),
+          lit(lgkFromThreshold(math.max(1L, n.asLong))))).as(alias)
+    }
+
+  /** The percentiles metric's per-percent columns: EXACT interpolated
+    * percentiles (the oracle tier) unless the body carries a
+    * `tdigest` object — ES's approximate default, honored here as an
+    * opt-in — mapped onto Spark's mergeable quantile sketch with
+    * `accuracy = compression × 100` (ES's default compression 100 =
+    * Spark's default accuracy 10000; rank error ≤ 1/accuracy,
+    * EsDslSpec pins the bound). A documented estimator deviation:
+    * KLL/GK rank error is uniform where TDigest's tightens at the
+    * tails. */
+  private def percentileCols(f: String, mSpec: JsonNode,
+                             named: Seq[(Double, String)]): Seq[Column] =
+    Option(mSpec.get("tdigest")) match {
+      case None =>
+        named.map { case (p, nm) =>
+          expr(s"percentile(`$f`, ${p / 100.0}d)").as(nm) }
+      case Some(td) =>
+        if (!td.isObject) bad("tdigest must be an object")
+        val unknown = keysOf(td).filterNot(_ == "compression")
+        if (unknown.nonEmpty)
+          bad(s"unsupported tdigest key${
+            if (unknown.size == 1) "" else "s"}: ${
+            unknown.mkString(", ")}")
+        val comp = Option(td.get("compression")).map(_.asDouble)
+          .getOrElse(100.0)
+        if (comp < 20 || comp > 10000)
+          bad("tdigest compression must be in 20..10000")
+        val acc = math.max(100L, math.min(100000L, (comp * 100).toLong))
+        named.map { case (p, nm) =>
+          expr(s"approx_percentile(CAST(`$f` AS DOUBLE), ${
+            p / 100.0}d, ${acc}L)").cast("double").as(nm) }
+    }
 
   /** Per-kind KNOWN-KEY inventory for the aggregation surface. A body
     * carrying a key outside its kind's set is rejected BY NAME — a
@@ -5060,10 +5132,11 @@ object EsDsl {
     "auto_date_histogram" -> Set("field", "buckets"),
     "avg" -> Set("field"), "sum" -> Set("field"),
     "min" -> Set("field"), "max" -> Set("field"),
-    "value_count" -> Set("field"), "cardinality" -> Set("field"),
+    "value_count" -> Set("field"),
+    "cardinality" -> Set("field", "precision_threshold"),
     "stats" -> Set("field"),
     "extended_stats" -> Set("field", "sigma"),
-    "percentiles" -> Set("field", "percents"),
+    "percentiles" -> Set("field", "percents", "tdigest"),
     "percentile_ranks" -> Set("field", "values"),
     "weighted_avg" -> Set("value", "weight"),
     "top_hits" -> Set("size", "sort", "_source"),
@@ -5507,7 +5580,7 @@ object EsDsl {
         case "min"         => Seq(min(c).as(alias))
         case "max"         => Seq(max(c).as(alias))
         case "value_count" => Seq(count(c).as(alias))
-        case "cardinality" => Seq(countDistinct(c).as(alias))
+        case "cardinality" => Seq(cardinalityCol(c, mSpec, alias))
         case "stats" => Seq(
           count(c).as(s"${alias}_count"), min(c).as(s"${alias}_min"),
           max(c).as(s"${alias}_max"), avg(c).as(s"${alias}_avg"),
@@ -5530,8 +5603,8 @@ object EsDsl {
           }.getOrElse(DefaultPercents)
           percents.foreach(p =>
             if (p < 0 || p > 100) bad("percents must be in [0, 100]"))
-          percents.map(p => expr(s"percentile(`$f`, ${p / 100.0}d)")
-            .as(s"${alias}_${percentName(p)}"))
+          percentileCols(f, mSpec,
+            percents.map(p => p -> s"${alias}_${percentName(p)}"))
         case other => bad(s"unsupported metric agg '$other'")
       }
     }
@@ -5549,7 +5622,7 @@ object EsDsl {
         case "min"         => Seq(min(c).as(alias))
         case "max"         => Seq(max(c).as(alias))
         case "value_count" => Seq(count(c).as(alias))
-        case "cardinality" => Seq(countDistinct(c).as(alias))
+        case "cardinality" => Seq(cardinalityCol(c, mSpec, alias))
         case other => bad(s"metric '$other' is not supported inside " +
           "range/filters buckets")
       }

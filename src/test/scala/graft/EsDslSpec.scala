@@ -3294,6 +3294,68 @@ class EsDslSpec extends SparkSpec {
       intercept[IllegalArgumentException] { sugg(body) }
   }
 
+  test("approximate-sketch knobs: cardinality precision_threshold " +
+    "opts into the HLL sketch at ES's register budget (error-" +
+    "bounded); percentiles tdigest opts into the mergeable quantile " +
+    "sketch (rank-error-bounded); without the knobs both stay EXACT " +
+    "(the oracle tier); bad knob values reject by name") {
+    val df = spark.range(20000L).select(
+      col("id").as("doc_id"),
+      (col("id") % 17000L).as("v"),
+      (col("id") % 2500L).as("w"),
+      col("id").cast("double").as("x"))
+    def one(body: String) =
+      EsDsl.search(df, mapper.readTree(body)).collect().head
+    // ES's threshold -> precision mapping, reused as lgConfigK
+    assert(EsDsl.lgkFromThreshold(3000) == 14)
+    assert(EsDsl.lgkFromThreshold(1) == 4)
+    assert(EsDsl.lgkFromThreshold(40000) == 18)
+    // exact default — bit-exact distinct count, the oracle tier
+    assert(one("""{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "v"}}},
+      "size": 0}""").getAs[Long]("u") == 17000L)
+    // knobbed: threshold 3000 -> lgK 14 -> relative standard error
+    // 1.04/sqrt(2^14) ~ 0.81%; assert inside +-3 sigma
+    val est = one("""{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "v",
+      "precision_threshold": 3000}}}, "size": 0}""")
+      .getAs[Long]("u").toDouble
+    assert(math.abs(est - 17000.0) / 17000.0 < 0.025,
+      s"HLL estimate $est out of the 3-sigma band")
+    // below the threshold: ES promises "almost exact" (its HLL++
+    // linear-counting regime); DataSketches' estimator lands within
+    // well under 1% there — pin that band (measured 2491/2500)
+    val low = one("""{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "w",
+      "precision_threshold": 3000}}}, "size": 0}""")
+      .getAs[Long]("u").toDouble
+    assert(math.abs(low - 2500.0) / 2500.0 < 0.01,
+      s"below-threshold estimate $low outside the almost-exact band")
+    // percentiles: exact interpolation by default
+    assert(one("""{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
+      "percents": [50]}}}, "size": 0}""").getAs[Double]("q_p50")
+      == 9999.5)
+    // tdigest opts into the quantile sketch: compression 100 ->
+    // accuracy 10000 -> rank error <= 1e-4 -> within a couple of
+    // ranks on 20k uniform values (generous 20-value slack)
+    val ap = one("""{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
+      "percents": [50], "tdigest": {"compression": 100}}}},
+      "size": 0}""").getAs[Double]("q_p50")
+    assert(math.abs(ap - 9999.5) <= 20.0,
+      s"approx p50 $ap outside the rank-error band")
+    // knob validation — all reject by name, never silently degrade
+    for (body <- Seq(
+      """{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "v",
+        "precision_threshold": 40001}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "v",
+        "precision_threshold": -1}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
+        "tdigest": {"compression": 5}}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
+        "tdigest": {"zeal": 1}}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
+        "hdr": {"number_of_significant_value_digits": 3}}}},
+        "size": 0}"""))
+      intercept[IllegalArgumentException] { one(body) }
+  }
+
   test("rescore recombines the top primary window only; terms_set " +
     "matches against a per-document threshold field") {
     // primary: 'window' count (docs 1, 2, 4 all score 1); window_size
