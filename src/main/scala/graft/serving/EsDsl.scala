@@ -58,11 +58,13 @@ import org.apache.spark.sql.functions._
   * re-ranking), `min_score`, `post_filter` (hits narrow AFTER
   * aggregations — the faceted-search contract), a validated top-level
   * key inventory (unknown keys reject by name; track_total_hits and
-  * timeout accepted-ignored), the phrase suggester (whole-phrase
-  * corrections under a bigram stupid-backoff LM — [[phraseSuggest]]),
-  * and — several named suggesters per body, each its own response
-  * section — suggest-only bodies (the term
-  * suggester). The
+  * timeout accepted-ignored), and all THREE ES suggester families —
+  * the term suggester (spell correction from the vocabulary), the
+  * phrase suggester (whole-phrase corrections under a bigram
+  * stupid-backoff LM — [[phraseSuggest]]), and the completion
+  * suggester (whole-value prefix autocomplete —
+  * [[completionSuggest]]) — with several named suggesters per body,
+  * each its own response section. The
   * aggregation surface (terms with knobs and nesting, multi_terms,
   * composite, histogram family with min_doc_count 0 gap filling +
   * extended_bounds, range/date_range/filters/missing/adjacency_matrix,

@@ -1592,14 +1592,21 @@ class HttpApiSpec extends SparkSpec
       """{"index": "documents", "suggest": {
         | "fix": {"text": "windoq", "term": {"field": "text"}},
         | "rephrase": {"text": "windoq bath",
-        |   "phrase": {"field": "text"}}}}""".stripMargin
+        |   "phrase": {"field": "text"}},
+        | "ac": {"prefix": "wind",
+        |   "completion": {"field": "text", "size": 3}}}}""".stripMargin
     val r = post("/search/advanced", body)
     assert(r.statusCode() == 200, r.body().take(400))
     val sg = mapper.readTree(r.body()).get("suggest")
     assert(sg != null && sg.hasNonNull("fix") &&
-      sg.hasNonNull("rephrase"), r.body().take(400))
+      sg.hasNonNull("rephrase") && sg.hasNonNull("ac"),
+      r.body().take(400))
     assert(sg.get("fix").toString.contains("window"))
     assert(sg.get("rephrase").toString.contains("windoq batch"))
+    // the completion section's options are whole corpus values
+    // starting with the prefix, score 1.0
+    assert(sg.get("ac").toString.toLowerCase.contains("wind"),
+      sg.get("ac").toString.take(200))
     // alongside a query: hits AND both sections in one response
     val combined = post("/search/advanced",
       """{"index": "documents",
