@@ -2545,6 +2545,17 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // ... and the completion suggester's INDEX twin: the same options
+    // from the write-time index's (fid, lowercased-input)-SORTED
+    // inputs dictionary — the prefix probe is a pushed
+    // StringStartsWith whose range skips non-matching row groups, the
+    // columnar analog of ES's FST walk; zero corpus scans, one
+    // oracle, two plans.
+    "q7_esdsl_completion_suggest_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.completionRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
+        size = 10)),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -4944,6 +4955,10 @@ object ParityQueries {
     "q7_esdsl_suggest_indexed" -> suggestOracleSql,
     "q7_esdsl_phrase_suggest" -> phraseSuggestOracleSql,
     "q7_esdsl_completion_suggest" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_suggest_indexed" ->
       ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
        "FROM documents WHERE lower(text) LIKE 'wind%' " +
        "ORDER BY suggestion, doc_id LIMIT 10"),

@@ -647,11 +647,23 @@ final class HttpApi(
   private def suggestFrame(index: String, df: DataFrame,
                            sgNode: JsonNode,
                            allowProbe: Boolean = true): DataFrame = {
-    // only the TERM suggester has a termstats probe; the phrase
-    // suggester's bigram LM and the completion suggester's
-    // whole-value prefix walk take the corpus scan either way
-    if (EsDsl.suggesterKind(sgNode) != "term")
+    // the phrase suggester's bigram LM needs the corpus scan either
+    // way; term and completion serve from the index when it covers
+    // the field (termstats vocabulary / sorted inputs dictionary)
+    if (EsDsl.suggesterKind(sgNode) == "phrase")
       return EsDsl.suggest(df, sgNode)
+    if (EsDsl.suggesterKind(sgNode) == "completion") {
+      val cp = EsDsl.parseCompletionSuggest(sgNode)
+      return if (allowProbe && index != "*" && !index.endsWith("_*"))
+        indexedOrScan(index, df, Seq(cp.field),
+          p =>
+            if (graft.sinks.SearchIndex.hasInputs(p))
+              graft.sinks.SearchIndex.completionRanked(spark, p,
+                cp.prefix, cp.field, cp.size, cp.skipDuplicates)
+            else EsDsl.suggest(df, sgNode),
+          () => EsDsl.suggest(df, sgNode))
+      else EsDsl.suggest(df, sgNode)
+    }
     val sp = EsDsl.parseSuggest(sgNode)
     if (allowProbe && index != "*" && !index.endsWith("_*"))
       indexedOrScan(index, df, Seq(sp.field),

@@ -83,7 +83,7 @@ object SearchIndex {
                         analyzer: String = "standard")
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
-    "sumdl", "score")
+    "sumdl", "score", "input", "input_lc")
 
   /** Current generation's table directory. */
   private def tableDir(path: String, meta: Meta): String =
@@ -176,6 +176,28 @@ object SearchIndex {
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"))
   }
 
+  /** COMPLETION INPUTS — the index-side dictionary behind the
+    * completion suggester (ES keeps every completion input in an
+    * in-memory FST; this engine keeps them as a parquet table SORTED
+    * by (fid, lowercased input), so a prefix probe is a pushed
+    * StringStartsWith whose range skips non-matching row groups via
+    * min/max statistics — the columnar analog of an FST prefix walk,
+    * zero corpus scans). One row per (doc, field) with a non-null
+    * value; `input_lc` precomputes the case fold so the probe
+    * predicate stays pushdown-eligible. Storage cost: a copy of the
+    * indexed string columns — exactly what ES's completion fields
+    * cost. */
+  private def inputsOf(docs: DataFrame, fields: Seq[String],
+                       idCol: String): DataFrame =
+    docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
+        case (f, i) => struct(lit(i).as("fid"),
+          col(f).cast("string").as("input"))
+      }: _*)).as("fs"))
+      .select(col(idCol), col("fs.fid").as("fid"),
+        col("fs.input").as("input"))
+      .filter(col("input").isNotNull)
+      .withColumn("input_lc", lower(col("input")))
+
   /** Build the index for `docs` at `path` (drop-and-recreate — the same
     * destructive contract as `DocumentSink.save` Overwrite, which is
     * what ES's delete-and-bulk-reindex does). Missing `fields` columns
@@ -197,6 +219,9 @@ object SearchIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
     doclensOf(docs, fields, idCol, analyzer)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
+    inputsOf(docs, fields, idCol)
+      .sortWithinPartitions(col("fid"), col("input_lc"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/inputs")
     // derive the stats tables from the WRITTEN postings/doclens (a
     // cheap re-read) rather than recomputing the corpus scan twice
     termstatsOf(spark.read.parquet(s"$dir/postings"))
@@ -902,12 +927,24 @@ object SearchIndex {
       .unionByName(newPost)
     val doclens2 = oldLens.join(keys, Seq(idCol), "left_anti")
       .unionByName(newLens)
+    // completion inputs ride the same replace-by-id delta; an index
+    // whose current generation predates the inputs table (built
+    // pre-round-15) skips it — its completion probes fall back to the
+    // scan path until the next full rebuild
+    val inputs2 =
+      if (new java.io.File(s"$dir/inputs").isDirectory)
+        Some(spark.read.parquet(s"$dir/inputs")
+          .join(keys, Seq(idCol), "left_anti")
+          .unionByName(inputsOf(full, meta.fields, idCol)))
+      else None
     // ---- stage the next generation, then flip the pointer --------------
     val gen2 = meta.gen + 1
     val dir2 = s"$path/g$gen2"
     postings2.sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir2/postings")
     doclens2.write.mode(SaveMode.Overwrite).parquet(s"$dir2/doclens")
+    inputs2.foreach(_.sortWithinPartitions(col("fid"), col("input_lc"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir2/inputs"))
     termstats2.sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir2/termstats")
     fieldstats2.write.mode(SaveMode.Overwrite).parquet(s"$dir2/fieldstats")
@@ -970,6 +1007,53 @@ object SearchIndex {
     * hooks use this to maintain an index only where one was built; a
     * sidecar from an older layout reads as absent so callers rebuild
     * rather than probe tables that moved. */
+  /** Does the CURRENT generation carry the completion-inputs
+    * dictionary? False for an index whose last full build predates
+    * round 15 — completion probes must fall back to the scan path
+    * there rather than erroring. */
+  def hasInputs(path: String): Boolean =
+    exists(path) && new java.io.File(
+      s"${tableDir(path, readMeta(path))}/inputs").isDirectory
+
+  /** COMPLETION-SUGGESTER probe — the index-side twin of
+    * [[graft.serving.EsDsl.completionSuggest]] (the scan path is its
+    * oracle): options are documents whose stored input starts with
+    * the typed prefix, case-folded; weightless score 1.0; rank =
+    * surface form then id; `skipDuplicates` keeps the lowest id per
+    * distinct value. Bit-identical output to the scan twin because
+    * `input_lc` IS `lower(input)` — but the predicate lands on the
+    * precomputed column, so the plan is a pushed StringStartsWith
+    * over the (fid, input_lc)-sorted dictionary: row-group min/max
+    * statistics skip everything outside the prefix range, the
+    * columnar analog of ES's FST walk. No corpus scan
+    * (SearchIndexSpec pins plan and parity). */
+  def completionRanked(spark: SparkSession, path: String,
+                       prefix: String, field: String,
+                       size: Int = 5,
+                       skipDuplicates: Boolean = false): DataFrame = {
+    require(prefix.nonEmpty, "empty completion prefix")
+    require(size >= 1 && size <= 100, "suggest size must be 1..100")
+    val meta = readMeta(path)
+    val dir = tableDir(path, meta)
+    val fidOf = meta.fields.zipWithIndex.toMap
+    require(fidOf.contains(field), s"field not in index: $field")
+    require(new java.io.File(s"$dir/inputs").isDirectory,
+      "index carries no completion inputs (pre-round-15 build)")
+    val idCol = meta.idCol
+    val hits = spark.read.parquet(s"$dir/inputs")
+      .filter(col("fid") === fidOf(field) &&
+        col("input_lc").startsWith(prefix.toLowerCase))
+    val opts =
+      if (!skipDuplicates)
+        hits.select(col(idCol), col("input").as("suggestion"))
+      else hits.groupBy(col("input").as("suggestion"))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col("suggestion"))
+    opts.select(col(idCol), col("suggestion"), lit(1.0).as("score"))
+      .orderBy(col("score").desc, col("suggestion").asc, col(idCol).asc)
+      .limit(size)
+  }
+
   def exists(path: String): Boolean =
     Files.exists(Paths.get(s"$path/_index_meta.json")) &&
       (try {

@@ -98,6 +98,73 @@ class SearchIndexSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("completionRanked == the scan-path completion suggester bit " +
+    "for bit (case fold, rank, skip_duplicates), with the prefix " +
+    "predicate PUSHED to the sorted inputs dictionary — no corpus " +
+    "scan; upsert maintains the dictionary like a rebuild") {
+    import org.apache.spark.sql.functions.col
+    val cdocs = Seq(
+      (1L, "Window functions", "alpha"),
+      (2L, "window functions", "Windy day"), // duplicate value, cased
+      (3L, "windmill", null),
+      (7L, "windmill", "windy night"),
+      (5L, "batch jobs", "beta"))
+      .toDF("doc_id", "text", "source")
+    val src = tmp("graft-idx-comp-src-")
+    cdocs.write.mode("overwrite").parquet(s"$src/docs.parquet")
+    val onDisk = spark.read.parquet(s"$src/docs.parquet")
+    val path = tmp("graft-idx-comp-")
+    SearchIndex.build(onDisk, Seq("text", "source"), "doc_id", path)
+    assert(SearchIndex.hasInputs(path))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def scan(prefix: String, field: String, skip: Boolean) =
+      graft.serving.EsDsl.completionSuggest(onDisk, om.readTree(
+        s"""{"ac": {"prefix": "$prefix", "completion": {"field":
+          "$field", "size": 10, "skip_duplicates": $skip}}}"""))
+    for ((p, f, sk) <- Seq(("Wind", "text", false),
+        ("wind", "text", true), ("windy", "source", false),
+        ("WINDY", "source", true), ("zzz", "text", false))) {
+      val a = sortedRows(scan(p, f, sk))
+      val b = sortedRows(SearchIndex.completionRanked(spark, path,
+        p, f, size = 10, skipDuplicates = sk))
+      assert(a == b, s"completion '$p' on $f (skip=$sk) diverged\n" +
+        s"$a\nvs\n$b")
+    }
+    // plan: the probe reads ONLY the inputs dictionary, with the
+    // case-folded prefix pushed as StartsWith — the FST-walk analog
+    val probe = SearchIndex.completionRanked(spark, path, "Wind",
+      "text", size = 10)
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains(src),
+        s"completion probe scans the corpus:\n$plan")
+      assert(plan.contains("StartsWith(input_lc,wind"),
+        s"prefix not pushed to the inputs scan:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k is not a TakeOrdered:\n$plan")
+    } finally spark.conf.set(key, saved)
+    // upsert: replaced and inserted values move through the same
+    // delta; dictionary == a full rebuild's
+    val v2 = Seq((3L, "wind turbine", "gamma"),
+      (9L, "windowsill", null)).toDF("doc_id", "text", "source")
+    SearchIndex.upsert(v2, path)
+    val reb = tmp("graft-idx-comp-reb-")
+    SearchIndex.build(
+      onDisk.filter(col("doc_id") =!= 3L).unionByName(v2),
+      Seq("text", "source"), "doc_id", reb)
+    val a = sortedRows(spark.read.parquet(s"${tdir(path)}/inputs"))
+    val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/inputs"))
+    assert(a == b, s"inputs diverged after upsert\n$a\nvs\n$b")
+    assert(sortedRows(SearchIndex.completionRanked(spark, path,
+        "wind", "text", size = 10)) ==
+      sortedRows(SearchIndex.completionRanked(spark, reb,
+        "wind", "text", size = 10)))
+  }
+
   test("MLT statistics probe: integer-identical to the scan-path " +
     "docFreqs, and both probe frames read ONLY index tables") {
     val src = tmp("graft-idx-mltsrc-")
@@ -146,7 +213,7 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.build(docs, Seq("text", "source"), "doc_id", inc)
     SearchIndex.upsert(v2new, inc)
     SearchIndex.build(merged, Seq("text", "source"), "doc_id", reb)
-    for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
+    for (t <- Seq("postings", "doclens", "inputs", "termstats", "fieldstats")) {
       val a = sortedRows(spark.read.parquet(s"${tdir(inc)}/$t"))
       val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
       assert(a == b, s"$t diverged after upsert\nupserted: $a\nrebuilt:  $b")
@@ -247,7 +314,7 @@ class SearchIndexSpec extends SparkSpec {
     val reb = tmp("graft-idx-eng-reb-")
     SearchIndex.build(mergedDocs, Seq("text"), "doc_id", reb,
       analyzer = "english")
-    for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
+    for (t <- Seq("postings", "doclens", "inputs", "termstats", "fieldstats")) {
       val a = sortedRows(spark.read.parquet(s"${tdir(eng)}/$t"))
       val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
       assert(a == b, s"english $t diverged after upsert\n$a\nvs\n$b")
@@ -267,7 +334,7 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.build(docs, Seq("text", "source"), "doc_id", inc)
     SearchIndex.upsert(v2new, Some(Seq(5L).toDF("id")), inc)
     SearchIndex.build(merged, Seq("text", "source"), "doc_id", reb)
-    for (t <- Seq("postings", "doclens", "termstats", "fieldstats")) {
+    for (t <- Seq("postings", "doclens", "inputs", "termstats", "fieldstats")) {
       val a = sortedRows(spark.read.parquet(s"${tdir(inc)}/$t"))
       val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
       assert(a == b, s"$t diverged after delete-upsert")
