@@ -2556,6 +2556,30 @@ object ParityQueries {
         s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
         size = 10)),
 
+    // FUZZY completion (round 15): the typed prefix may differ from
+    // the matched input prefix by <= fuzziness edits (Damerau, ES's
+    // default transpositions), first prefix_length chars exact
+    // (default 1) — "wimd" reaches every "wind..." value at one
+    // substitution (Search.completionPrefixPredicate: a bounded
+    // disjunction of substring edit distances, ES's Levenshtein-
+    // automaton-over-FST model).
+    "q7_esdsl_completion_fuzzy" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "wimd",
+          |  "completion": {"field": "text", "size": 10,
+          |  "fuzzy": {"fuzziness": 1}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its dictionary-probe twin: the exact head still pushes
+    // as StartsWith into the sorted inputs scan; the edit-distance
+    // disjunction filters the surviving row groups. One oracle, two
+    // plans, zero corpus scans.
+    "q7_esdsl_completion_fuzzy_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.completionRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "wimd", "text",
+        size = 10, edits = 1)),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -3970,6 +3994,18 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
   }
 
+  /** Shared oracle of q7_esdsl_completion_fuzzy and its dictionary
+    * twin: some prefix of the lowercased value within 1 Damerau edit
+    * of "wimd" (candidate lengths 3..5 — outside that band length
+    * difference alone exceeds the budget), first character exact. */
+  private lazy val completionFuzzySql: String =
+    "SELECT doc_id, text AS suggestion, 1.0 AS score FROM documents " +
+    "WHERE substr(lower(text), 1, 1) = 'w' AND (" +
+      "damerau_levenshtein(substr(lower(text), 1, 3), 'wimd') <= 1 OR " +
+      "damerau_levenshtein(substr(lower(text), 1, 4), 'wimd') <= 1 OR " +
+      "damerau_levenshtein(substr(lower(text), 1, 5), 'wimd') <= 1) " +
+    "ORDER BY suggestion, doc_id LIMIT 10"
+
   /** Shared oracle of q7_esdsl_match_whitespace and
     * q7_esdsl_match_keyword: in both, exactly ONE analyzed query term
     * can exist in the standard index ('window' — whitespace keeps
@@ -4962,6 +4998,8 @@ object ParityQueries {
       ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
        "FROM documents WHERE lower(text) LIKE 'wind%' " +
        "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_fuzzy" -> completionFuzzySql,
+    "q7_esdsl_completion_fuzzy_indexed" -> completionFuzzySql,
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

@@ -963,10 +963,14 @@ object EsDsl {
   }
 
   /** The one named completion-suggester of a suggest body: the typed
-    * prefix, the target field, the option cap, and the distinct-value
-    * gate. */
+    * prefix, the target field, the option cap, the distinct-value
+    * gate, and the resolved FUZZY knobs — `edits` already folds the
+    * AUTO ladder (on the prefix, like ES) and `min_length` (a prefix
+    * shorter than it matches exactly), so 0 = plain prefix. */
   private[graft] final case class CompletionSuggestSpec(
-      field: String, prefix: String, size: Int, skipDuplicates: Boolean)
+      field: String, prefix: String, size: Int, skipDuplicates: Boolean,
+      edits: Int = 0, fuzzyPrefixLength: Int = 1,
+      transpositions: Boolean = true)
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
@@ -985,11 +989,11 @@ object EsDsl {
     val cp = Option(s.get("completion")).filter(_.isObject)
       .getOrElse(bad("completion suggester needs a \"completion\" object"))
     val unknownC = keysOf(cp)
-      .filterNot(Set("field", "size", "skip_duplicates"))
+      .filterNot(Set("field", "size", "skip_duplicates", "fuzzy"))
     if (unknownC.nonEmpty)
       bad(s"unsupported completion key" +
         s"${if (unknownC.size == 1) "" else "s"}: " +
-        s"${unknownC.mkString(", ")} (fuzzy prefixes are not supported)")
+        s"${unknownC.mkString(", ")}")
     val f = Option(cp.get("field")).map(_.asText)
       .getOrElse(bad("completion suggester needs \"field\""))
     val size = Option(cp.get("size")).map(_.asInt).getOrElse(5)
@@ -998,7 +1002,47 @@ object EsDsl {
       if (!n.isBoolean) bad("skip_duplicates must be a boolean")
       n.asBoolean
     }.getOrElse(false)
-    CompletionSuggestSpec(f, prefix, size, skip)
+    // ES's fuzzy completion: boolean true = all defaults, an object
+    // carries the knobs. AUTO fuzziness resolves on the PREFIX length
+    // (the typed text is what the automaton matches) and min_length
+    // gates fuzziness off for short prefixes — both fold into `edits`
+    // here so every consumer sees one resolved number.
+    val (edits, fpl, ftr) = Option(cp.get("fuzzy")) match {
+      case None => (0, 1, true)
+      case Some(fn) if fn.isBoolean =>
+        if (!fn.asBoolean) (0, 1, true)
+        else (if (prefix.length < 3) 0
+              else Search.fuzzyEdits(prefix, "AUTO").get, 1, true)
+      case Some(fn) if fn.isObject =>
+        val unknownF = keysOf(fn).filterNot(Set("fuzziness",
+          "prefix_length", "min_length", "transpositions",
+          "unicode_aware"))
+        if (unknownF.nonEmpty)
+          bad(s"unsupported completion fuzzy key" +
+            s"${if (unknownF.size == 1) "" else "s"}: " +
+            unknownF.mkString(", "))
+        val fzSpec = Option(fn.get("fuzziness")).map(_.asText)
+          .getOrElse("AUTO")
+        val e0 = Search.fuzzyEdits(prefix, fzSpec)
+          .getOrElse(bad(s"invalid fuzziness '$fzSpec'"))
+        val pl = Option(fn.get("prefix_length")).map(_.asInt)
+          .getOrElse(1)
+        if (pl < 0) bad("fuzzy prefix_length must be >= 0")
+        val ml = Option(fn.get("min_length")).map(_.asInt).getOrElse(3)
+        if (ml < 0) bad("fuzzy min_length must be >= 0")
+        val tr = Option(fn.get("transpositions")).map { n =>
+          if (!n.isBoolean) bad("transpositions must be a boolean")
+          n.asBoolean
+        }.getOrElse(true)
+        Option(fn.get("unicode_aware")).foreach { n =>
+          if (!n.isBoolean || n.asBoolean)
+            bad("unicode_aware true is not supported (inputs match " +
+              "on UTF-16 code units, the engine's string unit)")
+        }
+        (if (prefix.length < ml) 0 else e0, pl, tr)
+      case Some(_) => bad("fuzzy must be a boolean or an object")
+    }
+    CompletionSuggestSpec(f, prefix, size, skip, edits, fpl, ftr)
   }
 
   /** ES COMPLETION SUGGESTER (`{"suggest": {"<name>": {"prefix": ...,
@@ -1013,9 +1057,16 @@ object EsDsl {
     * analyzer. Weightless inputs score 1.0 (ES's contract for inputs
     * indexed without a weight) and options rank by surface form then
     * id — the FST's term-order traversal; `skip_duplicates` keeps the
-    * lowest-id option per distinct value. Output is the flat
-    * (id, suggestion, score) table — the relational projection of
-    * ES's options array (text, _id, _score).
+    * lowest-id option per distinct value. FUZZY completion (`fuzzy`
+    * true or an object) matches inputs some PREFIX of which lies
+    * within `fuzziness` edits of the typed prefix
+    * ([[graft.serving.Search.completionPrefixPredicate]] — ES's
+    * Levenshtein-automaton-over-FST model), with `prefix_length`
+    * exact head chars (default 1), AUTO resolving on the prefix
+    * length, and `min_length` gating fuzziness off for short
+    * prefixes. Output is the flat (id, suggestion, score) table — the
+    * relational projection of ES's options array (text, _id,
+    * _score).
     *
     * Scale: one corpus pass with the prefix predicate evaluated
     * inside the scan and a global top-k (TakeOrdered — no full sort,
@@ -1028,7 +1079,8 @@ object EsDsl {
     val idCol = df.columns.head
     val hits = df
       .filter(col(sp.field).isNotNull &&
-        lower(col(sp.field)).startsWith(sp.prefix.toLowerCase))
+        Search.completionPrefixPredicate(lower(col(sp.field)),
+          sp.prefix, sp.edits, sp.fuzzyPrefixLength, sp.transpositions))
     val opts =
       if (!sp.skipDuplicates)
         hits.select(col(idCol), col(sp.field).as("suggestion"))

@@ -659,7 +659,8 @@ final class HttpApi(
           p =>
             if (graft.sinks.SearchIndex.hasInputs(p))
               graft.sinks.SearchIndex.completionRanked(spark, p,
-                cp.prefix, cp.field, cp.size, cp.skipDuplicates)
+                cp.prefix, cp.field, cp.size, cp.skipDuplicates,
+                cp.edits, cp.fuzzyPrefixLength, cp.transpositions)
             else EsDsl.suggest(df, sgNode),
           () => EsDsl.suggest(df, sgNode))
       else EsDsl.suggest(df, sgNode)

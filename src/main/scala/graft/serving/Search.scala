@@ -1297,6 +1297,37 @@ object Search {
     * clauses than a BooleanQuery may hold). */
   private[graft] val MaxExpansionsCeiling = 1024
 
+  /** Fuzzy-COMPLETION prefix predicate over a LOWERCASED input
+    * column — ES's fuzzy completion model (a Levenshtein automaton
+    * intersected with the FST): an input matches iff SOME PREFIX of
+    * it lies within `edits` of the typed (lowercased) prefix, with
+    * the first `prefixLength` characters exact (ES default 1).
+    * Candidate prefix lengths are bounded to len(p) ± edits (length
+    * difference alone exceeds the budget outside that band), so the
+    * predicate is a fixed ≤(2·edits+1)-way disjunction of substring
+    * edit distances on the ONE shared fuzzy metric ([[editDistance]]
+    * — Damerau under ES's default transpositions) — codegen-friendly,
+    * and the exact head still pushes down as StartsWith on the sorted
+    * inputs dictionary. At `edits = 0` this IS the plain prefix
+    * startsWith. */
+  private[graft] def completionPrefixPredicate(inputLc: Column,
+      prefix: String, edits: Int, prefixLength: Int,
+      transpositions: Boolean): Column = {
+    val p = prefix.toLowerCase
+    if (edits == 0) inputLc.startsWith(p)
+    else {
+      val head = p.take(prefixLength)
+      val base =
+        if (head.isEmpty) lit(true) else inputLc.startsWith(head)
+      val lens = math.max(math.max(1, prefixLength),
+        p.length - edits) to (p.length + edits)
+      val anyLen = lens.map(l =>
+        editDistance(substring(inputLc, 1, l), p, transpositions) <=
+          edits).reduce(_ || _)
+      base && anyLen
+    }
+  }
+
   /** The capped fuzzy EXPANSION SET per query term (ES
     * `max_expansions`): the first `n` distinct corpus tokens within
     * the term's edit budget (and sharing its `prefixLength`-char

@@ -1030,7 +1030,9 @@ object SearchIndex {
   def completionRanked(spark: SparkSession, path: String,
                        prefix: String, field: String,
                        size: Int = 5,
-                       skipDuplicates: Boolean = false): DataFrame = {
+                       skipDuplicates: Boolean = false,
+                       edits: Int = 0, fuzzyPrefixLength: Int = 1,
+                       transpositions: Boolean = true): DataFrame = {
     require(prefix.nonEmpty, "empty completion prefix")
     require(size >= 1 && size <= 100, "suggest size must be 1..100")
     val meta = readMeta(path)
@@ -1040,9 +1042,15 @@ object SearchIndex {
     require(new java.io.File(s"$dir/inputs").isDirectory,
       "index carries no completion inputs (pre-round-15 build)")
     val idCol = meta.idCol
+    // the fuzzy walk keeps the pushdown: the predicate's exact head
+    // (first fuzzyPrefixLength chars; the WHOLE prefix at edits 0) is
+    // a StartsWith the scan prunes row groups with, and the bounded
+    // substring-distance disjunction filters the survivors
     val hits = spark.read.parquet(s"$dir/inputs")
       .filter(col("fid") === fidOf(field) &&
-        col("input_lc").startsWith(prefix.toLowerCase))
+        graft.serving.Search.completionPrefixPredicate(
+          col("input_lc"), prefix, edits, fuzzyPrefixLength,
+          transpositions))
     val opts =
       if (!skipDuplicates)
         hits.select(col(idCol), col("input").as("suggestion"))

@@ -3240,8 +3240,10 @@ class EsDslSpec extends SparkSpec {
 
   test("completion suggester: whole-value prefix autocomplete — " +
     "case-folded prefix, weightless score 1.0, surface-form then id " +
-    "order, skip_duplicates collapses repeated values; fuzzy/regex " +
-    "and stray keys reject by name") {
+    "order, skip_duplicates collapses repeated values, FUZZY " +
+    "prefixes within the edit budget (AUTO on the prefix, min_length " +
+    "gate, exact head, transpositions knob); regex and stray keys " +
+    "reject by name") {
     import spark.implicits._
     val df = Seq(
       (1L, "Window functions"),
@@ -3276,10 +3278,45 @@ class EsDslSpec extends SparkSpec {
     // no match is an empty options table, not an error
     assert(sugg("""{"suggest": {"ac": {"prefix": "zzz",
         "completion": {"field": "text"}}}}""").isEmpty)
+    // FUZZY: "wimd" is one substitution from the inputs' "wind"
+    // prefix — fuzziness 1 (and the AUTO ladder via "fuzzy": true,
+    // which gives 1 at length 4) reaches every wind* value; the
+    // first character stays exact (ES prefix_length default 1)
+    val windIds = Set(1L, 2L, 3L, 4L, 7L)
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wimd",
+        "completion": {"field": "text", "size": 10,
+        "fuzzy": {"fuzziness": 1}}}}}""").map(_._1).toSet == windIds)
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wimd",
+        "completion": {"field": "text", "size": 10,
+        "fuzzy": true}}}}""").map(_._1).toSet == windIds)
+    // min_length gates fuzziness off for short prefixes: "xa" (2 <
+    // default 3) stays exact and matches nothing, even though "ba"
+    // is one edit away; with min_length 0 and a free head it reaches
+    // "batch jobs"
+    assert(sugg("""{"suggest": {"ac": {"prefix": "xa",
+        "completion": {"field": "text",
+        "fuzzy": {"fuzziness": 1}}}}}""").isEmpty)
+    assert(sugg("""{"suggest": {"ac": {"prefix": "xa",
+        "completion": {"field": "text", "fuzzy": {"fuzziness": 1,
+        "min_length": 0, "prefix_length": 0}}}}}""")
+      .map(_._1).toSet == Set(5L))
+    // transpositions: the interior swap "wnid" ~ "wind" is ONE
+    // Damerau edit (default) but TWO plain-Levenshtein edits
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wnidmill",
+        "completion": {"field": "text",
+        "fuzzy": {"fuzziness": 1}}}}}""").map(_._1).toSet ==
+      Set(4L, 7L))
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wnidmill",
+        "completion": {"field": "text", "fuzzy": {"fuzziness": 1,
+        "transpositions": false}}}}}""").isEmpty)
     // knobs this engine does not model reject BY NAME
     for (body <- Seq(
       """{"suggest": {"ac": {"prefix": "w", "completion":
-        {"field": "text", "fuzzy": {"fuzziness": 1}}}}}""",
+        {"field": "text", "fuzzy": {"zeal": 1}}}}}""",
+      """{"suggest": {"ac": {"prefix": "w", "completion":
+        {"field": "text", "fuzzy": {"unicode_aware": true}}}}}""",
+      """{"suggest": {"ac": {"prefix": "w", "completion":
+        {"field": "text", "fuzzy": {"fuzziness": "3"}}}}}""",
       """{"suggest": {"ac": {"regex": "w.*", "completion":
         {"field": "text"}}}}""",
       """{"suggest": {"ac": {"prefix": "", "completion":

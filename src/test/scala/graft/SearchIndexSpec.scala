@@ -130,6 +130,22 @@ class SearchIndexSpec extends SparkSpec {
       assert(a == b, s"completion '$p' on $f (skip=$sk) diverged\n" +
         s"$a\nvs\n$b")
     }
+    // FUZZY parity: misspelled prefix, interior transposition with
+    // the Damerau/Levenshtein switch — scan twin and probe identical
+    def scanF(prefix: String, f: Int, tr: Boolean) =
+      graft.serving.EsDsl.completionSuggest(onDisk, om.readTree(
+        s"""{"ac": {"prefix": "$prefix", "completion": {"field":
+          "text", "size": 10, "fuzzy": {"fuzziness": "$f",
+          "min_length": 0, "transpositions": $tr}}}}"""))
+    for ((p, f, tr) <- Seq(("Wimd", 1, true), ("wnidmill", 1, true),
+        ("wnidmill", 1, false), ("widnow", 2, false))) {
+      val a = sortedRows(scanF(p, f, tr))
+      val b = sortedRows(SearchIndex.completionRanked(spark, path,
+        p, "text", size = 10, edits = f, transpositions = tr))
+      assert(a == b,
+        s"fuzzy completion '$p' (f=$f, tr=$tr) diverged\n$a\nvs\n$b")
+      if (p == "wnidmill" && tr) assert(a.nonEmpty)
+    }
     // plan: the probe reads ONLY the inputs dictionary, with the
     // case-folded prefix pushed as StartsWith — the FST-walk analog
     val probe = SearchIndex.completionRanked(spark, path, "Wind",
