@@ -2580,6 +2580,24 @@ object ParityQueries {
         s, s"${searchIndexRoot(s, dir)}/documents", "wimd", "text",
         size = 10, edits = 1)),
 
+    // completion CATEGORY contexts (round 15): a context name is a
+    // sibling column — options must hold one of the listed values
+    // there (names intersect, values union, ES's category-context
+    // gating). Scan path filters the column; the dictionary twin
+    // semi-joins the prefix hits against the context field's own
+    // inputs rows with the value list pushed down.
+    "q7_esdsl_completion_contexts" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "wind",
+          |  "completion": {"field": "text", "size": 10,
+          |  "contexts": {"lang": ["en", "fr"]}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+    "q7_esdsl_completion_contexts_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.completionRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
+        size = 10, contexts = Seq("lang" -> Seq("en", "fr")))),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -5000,6 +5018,16 @@ object ParityQueries {
        "ORDER BY suggestion, doc_id LIMIT 10"),
     "q7_esdsl_completion_fuzzy" -> completionFuzzySql,
     "q7_esdsl_completion_fuzzy_indexed" -> completionFuzzySql,
+    "q7_esdsl_completion_contexts" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "AND lang IN ('en', 'fr') " +
+       "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_contexts_indexed" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "AND lang IN ('en', 'fr') " +
+       "ORDER BY suggestion, doc_id LIMIT 10"),
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

@@ -970,7 +970,8 @@ object EsDsl {
   private[graft] final case class CompletionSuggestSpec(
       field: String, prefix: String, size: Int, skipDuplicates: Boolean,
       edits: Int = 0, fuzzyPrefixLength: Int = 1,
-      transpositions: Boolean = true)
+      transpositions: Boolean = true,
+      contexts: Seq[(String, Seq[String])] = Nil)
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
@@ -989,7 +990,8 @@ object EsDsl {
     val cp = Option(s.get("completion")).filter(_.isObject)
       .getOrElse(bad("completion suggester needs a \"completion\" object"))
     val unknownC = keysOf(cp)
-      .filterNot(Set("field", "size", "skip_duplicates", "fuzzy"))
+      .filterNot(Set("field", "size", "skip_duplicates", "fuzzy",
+        "contexts"))
     if (unknownC.nonEmpty)
       bad(s"unsupported completion key" +
         s"${if (unknownC.size == 1) "" else "s"}: " +
@@ -1042,7 +1044,41 @@ object EsDsl {
         (if (prefix.length < ml) 0 else e0, pl, tr)
       case Some(_) => bad("fuzzy must be a boolean or an object")
     }
-    CompletionSuggestSpec(f, prefix, size, skip, edits, fpl, ftr)
+    // ES CATEGORY contexts — in this engine a context NAME is a
+    // sibling column (the mapping layer derives everything from the
+    // schema): an option must hold one of the listed values there.
+    // Several context names intersect (ES: every context type must
+    // match); values within one name union. Entries are strings or
+    // ES's `{"context": ...}` objects — boosted and geo contexts are
+    // not modeled and reject by name.
+    val contexts: Seq[(String, Seq[String])] =
+      Option(cp.get("contexts")).map { cn =>
+        if (!cn.isObject) bad("contexts must be an object")
+        val names = keysOf(cn)
+        if (names.isEmpty) bad("contexts must name at least one context")
+        names.map { name =>
+          val v = cn.get(name)
+          if (!v.isArray || v.size == 0)
+            bad(s"context '$name' needs a non-empty array")
+          name -> (0 until v.size).map { i =>
+            val e = v.get(i)
+            if (e.isTextual) e.asText
+            else if (e.isObject) {
+              val unknownE = keysOf(e).filterNot(_ == "context")
+              if (unknownE.nonEmpty)
+                bad(s"unsupported context key" +
+                  s"${if (unknownE.size == 1) "" else "s"}: " +
+                  s"${unknownE.mkString(", ")} (boosted and geo " +
+                  "contexts are not modeled)")
+              Option(e.get("context")).map(_.asText)
+                .getOrElse(bad("context object needs \"context\""))
+            } else bad("context entries are strings or " +
+              "{\"context\": ...} objects")
+          }
+        }
+      }.getOrElse(Nil)
+    CompletionSuggestSpec(f, prefix, size, skip, edits, fpl, ftr,
+      contexts)
   }
 
   /** ES COMPLETION SUGGESTER (`{"suggest": {"<name>": {"prefix": ...,
@@ -1077,8 +1113,14 @@ object EsDsl {
   def completionSuggest(df: DataFrame, sg: JsonNode): DataFrame = {
     val sp = parseCompletionSuggest(sg)
     val idCol = df.columns.head
+    sp.contexts.foreach { case (cf, _) =>
+      if (!df.columns.contains(cf)) bad(s"unknown context '$cf'") }
+    val ctxPred = sp.contexts
+      .map { case (cf, vals) =>
+        col(cf).cast("string").isInCollection(vals) }
+      .reduceOption(_ && _).getOrElse(lit(true))
     val hits = df
-      .filter(col(sp.field).isNotNull &&
+      .filter(col(sp.field).isNotNull && ctxPred &&
         Search.completionPrefixPredicate(lower(col(sp.field)),
           sp.prefix, sp.edits, sp.fuzzyPrefixLength, sp.transpositions))
     val opts =

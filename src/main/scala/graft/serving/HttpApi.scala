@@ -655,12 +655,13 @@ final class HttpApi(
     if (EsDsl.suggesterKind(sgNode) == "completion") {
       val cp = EsDsl.parseCompletionSuggest(sgNode)
       return if (allowProbe && index != "*" && !index.endsWith("_*"))
-        indexedOrScan(index, df, Seq(cp.field),
+        indexedOrScan(index, df, cp.field +: cp.contexts.map(_._1),
           p =>
             if (graft.sinks.SearchIndex.hasInputs(p))
               graft.sinks.SearchIndex.completionRanked(spark, p,
                 cp.prefix, cp.field, cp.size, cp.skipDuplicates,
-                cp.edits, cp.fuzzyPrefixLength, cp.transpositions)
+                cp.edits, cp.fuzzyPrefixLength, cp.transpositions,
+                cp.contexts)
             else EsDsl.suggest(df, sgNode),
           () => EsDsl.suggest(df, sgNode))
       else EsDsl.suggest(df, sgNode)

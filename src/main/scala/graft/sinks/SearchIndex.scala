@@ -1032,13 +1032,17 @@ object SearchIndex {
                        size: Int = 5,
                        skipDuplicates: Boolean = false,
                        edits: Int = 0, fuzzyPrefixLength: Int = 1,
-                       transpositions: Boolean = true): DataFrame = {
+                       transpositions: Boolean = true,
+                       contexts: Seq[(String, Seq[String])] = Nil)
+      : DataFrame = {
     require(prefix.nonEmpty, "empty completion prefix")
     require(size >= 1 && size <= 100, "suggest size must be 1..100")
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
     val fidOf = meta.fields.zipWithIndex.toMap
     require(fidOf.contains(field), s"field not in index: $field")
+    contexts.foreach { case (cf, _) => require(fidOf.contains(cf),
+      s"context field not in index: $cf") }
     require(new java.io.File(s"$dir/inputs").isDirectory,
       "index carries no completion inputs (pre-round-15 build)")
     val idCol = meta.idCol
@@ -1046,11 +1050,23 @@ object SearchIndex {
     // (first fuzzyPrefixLength chars; the WHOLE prefix at edits 0) is
     // a StartsWith the scan prunes row groups with, and the bounded
     // substring-distance disjunction filters the survivors
-    val hits = spark.read.parquet(s"$dir/inputs")
+    val hits0 = spark.read.parquet(s"$dir/inputs")
       .filter(col("fid") === fidOf(field) &&
         graft.serving.Search.completionPrefixPredicate(
           col("input_lc"), prefix, edits, fuzzyPrefixLength,
           transpositions))
+    // CATEGORY contexts — each context name is a sibling indexed
+    // field: its candidate ids come from the SAME dictionary with
+    // `input IN (values)` pushed down (value-list-sized rows), and
+    // gate the prefix hits by LEFT SEMI join. Both sides are pruned
+    // scans; nothing corpus-sized moves.
+    val hits = contexts.foldLeft(hits0) { case (h, (cf, vals)) =>
+      h.join(spark.read.parquet(s"$dir/inputs")
+          .filter(col("fid") === fidOf(cf) &&
+            col("input").isInCollection(vals))
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
     val opts =
       if (!skipDuplicates)
         hits.select(col(idCol), col("input").as("suggestion"))

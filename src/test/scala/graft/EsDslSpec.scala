@@ -3309,6 +3309,27 @@ class EsDslSpec extends SparkSpec {
     assert(sugg("""{"suggest": {"ac": {"prefix": "wnidmill",
         "completion": {"field": "text", "fuzzy": {"fuzziness": 1,
         "transpositions": false}}}}}""").isEmpty)
+    // CATEGORY contexts: a context name is a sibling column; names
+    // intersect, values union, object entries carry "context" only
+    val cdf = Seq(
+      (1L, "window functions", "en", "docs"),
+      (2L, "window aggregate", "fr", "docs"),
+      (3L, "windmill", "en", "blog"),
+      (4L, "batch", "en", "docs"))
+      .toDF("doc_id", "text", "lang", "source")
+    def csugg(ctx: String): Set[Long] =
+      EsDsl.search(cdf, mapper.readTree(
+        s"""{"suggest": {"ac": {"prefix": "wind", "completion":
+          {"field": "text", "size": 10, "contexts": $ctx}}}}"""))
+        .as[(Long, String, Double)].collect().map(_._1).toSet
+    assert(csugg("""{"lang": ["en"]}""") == Set(1L, 3L))
+    assert(csugg("""{"lang": ["en", "fr"]}""") == Set(1L, 2L, 3L))
+    assert(csugg("""{"lang": ["en"], "source": ["docs"]}""") ==
+      Set(1L))
+    assert(csugg("""{"lang": [{"context": "fr"}]}""") == Set(2L))
+    for (ctx <- Seq("""{"lang": [{"context": "fr", "boost": 2}]}""",
+        """{"nope": ["x"]}""", """{"lang": []}""", """{}"""))
+      intercept[IllegalArgumentException] { csugg(ctx) }
     // knobs this engine does not model reject BY NAME
     for (body <- Seq(
       """{"suggest": {"ac": {"prefix": "w", "completion":

@@ -130,6 +130,18 @@ class SearchIndexSpec extends SparkSpec {
       assert(a == b, s"completion '$p' on $f (skip=$sk) diverged\n" +
         s"$a\nvs\n$b")
     }
+    // CATEGORY-context parity: the probe gates prefix hits by a
+    // semi-join against the context field's own dictionary rows
+    val aCtx = sortedRows(graft.serving.EsDsl.completionSuggest(
+      onDisk, om.readTree(
+        """{"ac": {"prefix": "wind", "completion": {"field": "text",
+          "size": 10, "contexts": {"source":
+          ["alpha", "Windy day"]}}}}""")))
+    val bCtx = sortedRows(SearchIndex.completionRanked(spark, path,
+      "wind", "text", size = 10,
+      contexts = Seq("source" -> Seq("alpha", "Windy day"))))
+    assert(aCtx == bCtx && aCtx.size == 2,
+      s"context completion diverged\n$aCtx\nvs\n$bCtx")
     // FUZZY parity: misspelled prefix, interior transposition with
     // the Damerau/Levenshtein switch — scan twin and probe identical
     def scanF(prefix: String, f: Int, tr: Boolean) =
