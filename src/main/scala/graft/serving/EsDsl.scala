@@ -753,10 +753,7 @@ object EsDsl {
   }
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
-    val names = keysOf(sg)
-    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
-      "(the HTTP layer serves multi-suggester bodies)")
-    val s = sg.get(names.head)
+    val s = soleSuggester(sg)
     val unknown = keysOf(s).filterNot(Set("text", "term"))
     if (unknown.nonEmpty)
       bad(s"unsupported suggester key" +
@@ -785,18 +782,46 @@ object EsDsl {
     * several suggesters per body; the single-frame [[suggest]] API
     * takes one, and the HTTP layer iterates, serving each name as its
     * own response section through [[oneSuggester]] wrappers. */
+  /** The one named entry of a suggest section, NORMALIZED: the
+    * suggest-level shared `text` injected ([[oneSuggester]]) and
+    * exactly one name enforced — the single entry every one-frame
+    * parser reads. */
+  private def soleSuggester(sg: JsonNode): JsonNode = {
+    val names = suggesterNames(sg)
+    if (names.size != 1)
+      bad("this single-frame API takes exactly one named suggester " +
+        "(the HTTP layer serves multi-suggester bodies)")
+    oneSuggester(sg, names.head).get(names.head)
+  }
+
   private[graft] def suggesterNames(sg: JsonNode): Seq[String] = {
-    val names = keysOf(sg)
+    // a suggest-level "text" is ES's SHARED default for every named
+    // suggester, not a suggester itself
+    val names = keysOf(sg).filterNot(_ == "text")
     if (names.isEmpty) bad("suggest needs at least one named suggester")
     names
   }
 
   /** A single-entry wrapper for one named suggester of a multi-entry
-    * suggest section — the shape every single-suggester path expects. */
+    * suggest section — the shape every single-suggester path expects.
+    * The suggest-level shared `text` (ES's global default) is
+    * injected into entries that carry neither their own `text` nor a
+    * completion `prefix` (per-entry values override the global, and
+    * the completion suggester reads the global text AS its prefix —
+    * ES's fallback). */
   private[graft] def oneSuggester(sg: JsonNode, name: String): JsonNode = {
     val on = com.fasterxml.jackson.databind.node.JsonNodeFactory
       .instance.objectNode()
-    on.set[JsonNode](name, sg.get(name))
+    val entry = sg.get(name)
+    val e2 =
+      if (sg.hasNonNull("text") && entry.isObject &&
+          !entry.hasNonNull("text") && !entry.hasNonNull("prefix")) {
+        val copy = entry.deepCopy[JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        copy.set[JsonNode]("text", sg.get("text"))
+        copy
+      } else entry
+    on.set[JsonNode](name, e2)
     on
   }
 
@@ -804,10 +829,7 @@ object EsDsl {
     * routing for the HTTP layer (only the term suggester has a
     * termstats index probe) and [[suggest]]. */
   private[graft] def suggesterKind(sg: JsonNode): String = {
-    val names = keysOf(sg)
-    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
-      "(the HTTP layer serves multi-suggester bodies)")
-    val s = sg.get(names.head)
+    val s = soleSuggester(sg)
     val kinds = Seq("term", "phrase", "completion").filter(s.hasNonNull)
     if (kinds.size > 1)
       bad("a suggester entry takes exactly one of term/phrase/" +
@@ -830,10 +852,7 @@ object EsDsl {
   }
 
   private[graft] def parsePhraseSuggest(sg: JsonNode): PhraseSuggestSpec = {
-    val names = keysOf(sg)
-    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
-      "(the HTTP layer serves multi-suggester bodies)")
-    val s = sg.get(names.head)
+    val s = soleSuggester(sg)
     val unknown = keysOf(s).filterNot(Set("text", "phrase"))
     if (unknown.nonEmpty)
       bad(s"unsupported suggester key" +
@@ -975,16 +994,16 @@ object EsDsl {
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
-    val names = keysOf(sg)
-    if (names.size != 1) bad("this single-frame API takes exactly one named suggester " +
-      "(the HTTP layer serves multi-suggester bodies)")
-    val s = sg.get(names.head)
-    val unknown = keysOf(s).filterNot(Set("prefix", "completion"))
+    val s = soleSuggester(sg)
+    val unknown = keysOf(s).filterNot(Set("prefix", "text", "completion"))
     if (unknown.nonEmpty)
       bad(s"unsupported completion-suggester key" +
         s"${if (unknown.size == 1) "" else "s"}: " +
         s"${unknown.mkString(", ")} (regex completion is not supported)")
-    val prefix = Option(s.get("prefix")).map(_.asText)
+    // `text` is ES's prefix fallback (the suggest-level shared text
+    // reaches completion entries this way); an explicit prefix wins
+    val prefix = Option(s.get("prefix")).orElse(Option(s.get("text")))
+      .map(_.asText)
       .getOrElse(bad("completion suggester needs \"prefix\""))
     if (prefix.isEmpty) bad("completion prefix must be non-empty")
     val cp = Option(s.get("completion")).filter(_.isObject)

@@ -1410,7 +1410,9 @@ final class HttpApi(
     * span matcher, and index build uses — [[Search
     * .analyzeWithOffsets]]); `analyzer: "whitespace"` serves ES's
     * whitespace analyzer (raw `\S+` tokens, no lowercase — the
-    * pipeline layer's unit). Offsets point into the ORIGINAL text,
+    * pipeline layer's unit) and `"keyword"` the whole input as one
+    * token — the SAME inventory the match family accepts. Offsets
+    * point into the ORIGINAL text,
     * like ES. Any OTHER analyzer name rejects by name — silently
     * standard-analyzing a request for `french` would misreport what
     * the engine actually indexes. */
@@ -1425,11 +1427,18 @@ final class HttpApi(
         case "standard" | "default" => "standard"
         case "whitespace"           => "whitespace"
         case "english"              => "english"
+        case "keyword"              => "keyword"
         case other => auxBad(s"unsupported analyzer '$other' — " +
-          "standard (the engine's chain), english and whitespace only")
+          "standard (the engine's chain), english, whitespace and " +
+          "keyword only")
       }
       val spans = which match {
         case "standard" => Search.analyzeWithOffsets(textN.asText)
+        case "keyword" =>
+          // ES's keyword analyzer: the WHOLE input as one token,
+          // verbatim — offsets span the original text
+          val t = textN.asText
+          if (t.isEmpty) Seq.empty else Seq((t, 0, t.length, 0))
         case "english" =>
           // the query-side english chain with ES's _analyze contract:
           // token = the stem, offsets = the ORIGINAL token's span,
@@ -1451,7 +1460,9 @@ final class HttpApi(
           while (m.find()) out += ((m.group, m.start, m.end, out.length))
           out.toSeq
       }
-      val ttype = if (which == "whitespace") "word" else "<ALPHANUM>"
+      val ttype =
+        if (which == "whitespace" || which == "keyword") "word"
+        else "<ALPHANUM>"
       val toks = spans.map {
         case (t, s0, e0, p) =>
           mapper.createObjectNode().put("token", t)

@@ -3205,6 +3205,23 @@ class EsDslSpec extends SparkSpec {
       q("""{"query": {"match_all": {}}, "suggest":
         {"s": {"text": "x", "term": {"field": "text"}}}}""")
     }
+    // suggest-level shared "text" (ES's global default): the named
+    // entry inherits it; the completion suggester reads it as its
+    // prefix; a per-entry text overrides the global
+    assert(q("""{"suggest": {"text": "windoq",
+      "fix": {"term": {"field": "text"}}}}""")
+      .select("suggestion").as[String].collect().contains("window"))
+    assert(q("""{"suggest": {"text": "windo",
+      "ac": {"completion": {"field": "text"}}}}""")
+      .as[(Long, String, Double)].collect().map(_._1).toSet ==
+      Set(1L, 2L))
+    assert(q("""{"suggest": {"text": "zzzzz",
+      "fix": {"text": "windoq", "term": {"field": "text"}}}}""")
+      .select("suggestion").as[String].collect().contains("window"))
+    // text alone is not a suggester
+    intercept[IllegalArgumentException] {
+      q("""{"suggest": {"text": "windoq"}}""")
+    }
   }
 
   test("phrase suggester: single-token corrections ranked by the " +

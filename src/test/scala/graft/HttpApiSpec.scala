@@ -1607,6 +1607,17 @@ class HttpApiSpec extends SparkSpec
     // starting with the prefix, score 1.0
     assert(sg.get("ac").toString.toLowerCase.contains("wind"),
       sg.get("ac").toString.take(200))
+    // suggest-level SHARED text: both named entries inherit it
+    val rg = post("/search/advanced",
+      """{"index": "documents", "suggest": {"text": "windoq",
+        | "fix": {"term": {"field": "text"}},
+        | "rephrase": {"phrase": {"field": "text"}}}}""".stripMargin)
+    assert(rg.statusCode() == 200, rg.body().take(400))
+    val sgg = mapper.readTree(rg.body()).get("suggest")
+    assert(sgg.hasNonNull("fix") && sgg.hasNonNull("rephrase"),
+      rg.body().take(400))
+    assert(sgg.get("fix").toString.contains("window"),
+      sgg.get("fix").toString.take(200))
     // alongside a query: hits AND both sections in one response
     val combined = post("/search/advanced",
       """{"index": "documents",
