@@ -2519,6 +2519,24 @@ object ParityQueries {
       graft.sinks.SearchIndex.suggest(s,
         s"${searchIndexRoot(s, dir)}/documents", "text", "windoq bath")),
 
+    // suggest_mode=popular + sort=frequency (round 15): popular keeps
+    // only candidates MORE FREQUENT than the input token (so the
+    // in-vocabulary 'window' gets nothing — no neighbor outranks it —
+    // while the absent 'windoq' gets its corrections), and the
+    // frequency sort puts the corpus-frequency key first. Scan and
+    // termstats-probe twins share the oracle.
+    "q7_esdsl_suggest_popular" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"fix": {"text": "windoq window",
+          |  "term": {"field": "text", "suggest_mode": "popular",
+          |  "sort": "frequency"}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+    "q7_esdsl_suggest_popular_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.suggest(s,
+        s"${searchIndexRoot(s, dir)}/documents", "text",
+        "windoq window", mode = "popular", byFrequency = true)),
+
     // phrase suggester: whole-phrase corrections ranked by the bigram
     // stupid-backoff language model over the corpus (single-token
     // error budget, ES's max_errors default) — 'windoq' corrects to
@@ -3510,6 +3528,29 @@ object ParityQueries {
       "WHERE distance > 0 AND ex = 0) " +
     "SELECT token, suggestion, distance, freq FROM ranked " +
     "WHERE rn <= 5 ORDER BY token, distance, freq DESC, suggestion"
+
+  /** Oracle of q7_esdsl_suggest_popular (+ its termstats twin):
+    * popular-mode gating (candidate freq must EXCEED the input
+    * token's own doc frequency, 0 when absent) with the frequency
+    * sort (freq desc, distance, term). */
+  private val suggestPopularOracleSql: String =
+    "WITH vocab AS (SELECT t AS term, count(*) AS freq FROM (" +
+      "SELECT unnest(list_distinct(" + anToksSql("text") + ")) AS t " +
+      "FROM documents WHERE text IS NOT NULL) GROUP BY 1), " +
+    "cand AS (SELECT tok.token, v.term, v.freq, " +
+      "CAST(damerau_levenshtein(tok.token, v.term) AS INT) AS distance " +
+      "FROM vocab v CROSS JOIN (SELECT unnest(" +
+      "['windoq', 'window']) AS token) tok " +
+      "WHERE damerau_levenshtein(tok.token, v.term) <= 2), " +
+    "gated AS (SELECT *, coalesce(max(CASE WHEN distance = 0 THEN " +
+      "freq END) OVER (PARTITION BY token), 0) AS selffreq " +
+      "FROM cand), " +
+    "ranked AS (SELECT token, term AS suggestion, distance, freq, " +
+      "row_number() OVER (PARTITION BY token ORDER BY freq DESC, " +
+      "distance, term) AS rn FROM gated " +
+      "WHERE distance > 0 AND freq > selffreq) " +
+    "SELECT token, suggestion, distance, freq FROM ranked " +
+    "WHERE rn <= 5 ORDER BY token, freq DESC, distance, suggestion"
 
   /** Phrase-suggester oracle — the bigram stupid-backoff LM from first
     * principles: unigram/bigram counts over the whitespace-tokenized
@@ -5007,6 +5048,8 @@ object ParityQueries {
     // scan path and the termstats index probe
     "q7_esdsl_suggest" -> suggestOracleSql,
     "q7_esdsl_suggest_indexed" -> suggestOracleSql,
+    "q7_esdsl_suggest_popular" -> suggestPopularOracleSql,
+    "q7_esdsl_suggest_popular_indexed" -> suggestPopularOracleSql,
     "q7_esdsl_phrase_suggest" -> phraseSuggestOracleSql,
     "q7_esdsl_completion_suggest" ->
       ("SELECT doc_id, text AS suggestion, 1.0 AS score " +

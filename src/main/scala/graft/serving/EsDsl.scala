@@ -726,10 +726,6 @@ object EsDsl {
     }
     val sp = parseSuggest(sg)
     val f = sp.field
-    val size = sp.size
-    val maxEdits = sp.maxEdits
-    val mode = if (sp.modeMissing) "missing" else "always"
-    val toks = sp.tokens
     // vocabulary with DOCUMENT frequencies (array_distinct before the
     // explode) — ES's suggester `freq` is the doc freq, the same
     // number the write-time index's termstats carries, so the indexed
@@ -738,17 +734,20 @@ object EsDsl {
       .select(explode(array_distinct(graft.functions.TextFunctions
         .tokens(lower(col(f))))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-    suggestFromVocab(vocab, toks, size, maxEdits, mode == "missing")
+    suggestFromVocab(vocab, sp.tokens, sp.size, sp.maxEdits, sp.mode,
+      sp.sortByFreq)
   }
 
   /** The one named term-suggester of a suggest body, validated —
     * shared by the scan path above and the HTTP layer's index
     * routing (which needs the field/knobs to pick the termstats
-    * probe). */
+    * probe). `mode` is ES's suggest_mode (missing / always /
+    * popular); `sortByFreq` is its `sort: "frequency"`. */
   private[graft] final case class SuggestSpec(field: String,
                                               text: String, size: Int,
                                               maxEdits: Int,
-                                              modeMissing: Boolean) {
+                                              mode: String,
+                                              sortByFreq: Boolean) {
     def tokens: Seq[String] = graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
   }
 
@@ -763,17 +762,41 @@ object EsDsl {
     val term = Option(s.get("term"))
       .getOrElse(bad("only the term and phrase suggesters are " +
         "supported"))
+    val unknownT = keysOf(term).filterNot(Set("field", "size",
+      "max_edits", "suggest_mode", "sort", "string_distance"))
+    if (unknownT.nonEmpty)
+      bad(s"unsupported term-suggester key" +
+        s"${if (unknownT.size == 1) "" else "s"}: " +
+        unknownT.mkString(", "))
     val f = Option(term.get("field")).map(_.asText)
       .getOrElse(bad("term suggester needs \"field\""))
     val size = Option(term.get("size")).map(_.asInt).getOrElse(5)
     if (size <= 0 || size > 100) bad("suggest size must be 1..100")
     val maxEdits = Option(term.get("max_edits")).map(_.asInt).getOrElse(2)
     if (maxEdits < 1 || maxEdits > 2) bad("max_edits must be 1 or 2")
+    // all three ES modes: `missing` stays silent for in-vocabulary
+    // tokens, `always` suggests regardless, `popular` suggests only
+    // terms MORE FREQUENT than the input token (0 when absent)
     val mode = Option(term.get("suggest_mode")).map(_.asText)
       .getOrElse("missing")
-    if (mode != "missing" && mode != "always")
-      bad(s"unsupported suggest_mode '$mode' (missing/always)")
-    val spec = SuggestSpec(f, text, size, maxEdits, mode == "missing")
+    if (mode != "missing" && mode != "always" && mode != "popular")
+      bad(s"unsupported suggest_mode '$mode' (missing/always/popular)")
+    // sort: "score" is the engine's documented (distance, freq) rank;
+    // "frequency" puts the corpus-frequency key first, ES's contract
+    val sortByFreq = Option(term.get("sort")).map(_.asText) match {
+      case None | Some("score") => false
+      case Some("frequency")    => true
+      case Some(other) =>
+        bad(s"unsupported suggest sort '$other' (score/frequency)")
+    }
+    // the engine's ONE fuzzy metric is full Damerau (ES's `internal`
+    // default) — other distances would answer a different question
+    Option(term.get("string_distance")).map(_.asText).foreach {
+      case "internal" | "damerau_levenshtein" => ()
+      case other => bad(s"unsupported string_distance '$other' " +
+        "(the engine's metric is damerau_levenshtein, ES's internal)")
+    }
+    val spec = SuggestSpec(f, text, size, maxEdits, mode, sortByFreq)
     if (spec.tokens.isEmpty) bad("suggest text has no tokens")
     spec
   }
@@ -1156,12 +1179,17 @@ object EsDsl {
   /** Candidate ranking shared by the corpus-scan suggester above and
     * [[graft.sinks.SearchIndex.suggest]]'s termstats probe: `vocab` =
     * (term, freq=doc frequency); per input token, terms within
-    * `maxEdits`, missing-mode gating, rank (distance, freq desc,
-    * term), cut to `size`. */
+    * `maxEdits`, suggest_mode gating (`missing` stays silent for
+    * in-vocabulary tokens; `popular` keeps only candidates MORE
+    * FREQUENT than the input token — 0 when absent, ES's contract),
+    * rank (distance, freq desc, term) — or (freq desc, distance,
+    * term) under `sort: "frequency"` — cut to `size`. */
   private[graft] def suggestFromVocab(vocab: DataFrame,
                                       toks: Seq[String], size: Int,
                                       maxEdits: Int,
-                                      modeMissing: Boolean): DataFrame = {
+                                      mode: String,
+                                      byFrequency: Boolean = false)
+      : DataFrame = {
     val cand = vocab
       .select(col("term"), col("freq"),
         explode(array(toks.map(lit): _*)).as("token"))
@@ -1170,19 +1198,36 @@ object EsDsl {
       .filter(col("distance") <= maxEdits)
     val perToken = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token"))
-    val flagged = cand.withColumn("__exists",
-      max(when(col("distance") === 0, 1).otherwise(0)).over(perToken))
-    val kept = flagged.filter(col("distance") > 0 &&
-      (if (modeMissing) col("__exists") === 0 else lit(true)))
+    val flagged = cand
+      .withColumn("__exists",
+        max(when(col("distance") === 0, 1).otherwise(0)).over(perToken))
+      .withColumn("__selffreq", coalesce(
+        max(when(col("distance") === 0, col("freq"))).over(perToken),
+        lit(0L)))
+    val kept = flagged.filter(col("distance") > 0 && (mode match {
+      case "missing" => col("__exists") === 0
+      case "popular" => col("freq") > col("__selffreq")
+      case _         => lit(true)
+    }))
+    val rankKeys =
+      if (byFrequency)
+        Seq(col("freq").desc, col("distance").asc, col("term").asc)
+      else
+        Seq(col("distance").asc, col("freq").desc, col("term").asc)
     val rank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token"))
-      .orderBy(col("distance").asc, col("freq").desc, col("term").asc)
+      .partitionBy(col("token")).orderBy(rankKeys: _*)
+    val outKeys =
+      if (byFrequency)
+        Seq(col("freq").desc, col("distance").asc,
+          col("suggestion").asc)
+      else
+        Seq(col("distance").asc, col("freq").desc,
+          col("suggestion").asc)
     kept.withColumn("__rn", row_number().over(rank))
       .filter(col("__rn") <= size)
       .select(col("token"), col("term").as("suggestion"),
         col("distance"), col("freq"))
-      .orderBy(col("token").asc, col("distance").asc,
-        col("freq").desc, col("suggestion").asc)
+      .orderBy(col("token").asc +: outKeys: _*)
   }
 
   /** A parsed top-level `knn` section (ES 8.x first-class vector

@@ -670,7 +670,7 @@ final class HttpApi(
     if (allowProbe && index != "*" && !index.endsWith("_*"))
       indexedOrScan(index, df, Seq(sp.field),
         p => graft.sinks.SearchIndex.suggest(spark, p, sp.field,
-          sp.text, sp.size, sp.maxEdits, sp.modeMissing),
+          sp.text, sp.size, sp.maxEdits, sp.mode, sp.sortByFreq),
         () => EsDsl.suggest(df, sgNode))
     else EsDsl.suggest(df, sgNode)
   }

@@ -694,7 +694,8 @@ object SearchIndex {
     * two plans. */
   def suggest(spark: SparkSession, path: String, field: String,
               text: String, size: Int = 5, maxEdits: Int = 2,
-              modeMissing: Boolean = true): DataFrame = {
+              mode: String = "missing",
+              byFrequency: Boolean = false): DataFrame = {
     require(maxEdits >= 1 && maxEdits <= 2, "max_edits must be 1 or 2")
     require(size >= 1 && size <= 100, "suggest size must be 1..100")
     val meta = readMeta(path)
@@ -708,7 +709,7 @@ object SearchIndex {
       .filter(col("fid") === fidOf(field))
       .select(col("term"), col("df_t").as("freq"))
     graft.serving.EsDsl.suggestFromVocab(vocab, toks, size, maxEdits,
-      modeMissing)
+      mode, byFrequency)
   }
 
   /** FUZZY probe (ES `match` `fuzziness`): each query term expands

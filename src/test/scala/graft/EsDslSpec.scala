@@ -3205,6 +3205,45 @@ class EsDslSpec extends SparkSpec {
       q("""{"query": {"match_all": {}}, "suggest":
         {"s": {"text": "x", "term": {"field": "text"}}}}""")
     }
+    // suggest_mode=popular: only candidates MORE FREQUENT than the
+    // input token (0 when absent); sort=frequency puts the corpus
+    // frequency first where the score sort puts edit distance first
+    val pdf = Seq((1L, "spark sparc"), (2L, "spark"),
+      (3L, "spark stark")).toDF("doc_id", "text")
+    def tsug(body: String): Seq[String] =
+      EsDsl.search(pdf, mapper.readTree(body))
+        .select("suggestion").as[String].collect().toSeq
+    // 'sparc' is in the vocabulary at freq 1: spark (3) outranks it,
+    // stark (1) does not exceed it
+    assert(tsug("""{"suggest": {"fix": {"text": "sparc",
+      "term": {"field": "text", "suggest_mode": "popular"}}}}""") ==
+      Seq("spark"))
+    assert(tsug("""{"suggest": {"fix": {"text": "sparc",
+      "term": {"field": "text", "suggest_mode": "always"}}}}""")
+      .toSet == Set("spark", "stark"))
+    // score sort ranks stark (1 edit) first; frequency sort ranks
+    // spark (freq 3, 2 edits) first
+    assert(tsug("""{"suggest": {"fix": {"text": "star",
+      "term": {"field": "text", "suggest_mode": "always"}}}}""") ==
+      Seq("stark", "spark", "sparc"))
+    assert(tsug("""{"suggest": {"fix": {"text": "star",
+      "term": {"field": "text", "suggest_mode": "always",
+      "sort": "frequency"}}}}""") == Seq("spark", "stark", "sparc"))
+    // string_distance: the engine's one metric accepted under both
+    // ES spellings; other metrics and stray term keys reject by name
+    assert(tsug("""{"suggest": {"fix": {"text": "sparc",
+      "term": {"field": "text", "suggest_mode": "popular",
+      "string_distance": "internal"}}}}""") == Seq("spark"))
+    for (body <- Seq(
+      """{"suggest": {"fix": {"text": "sparc", "term":
+        {"field": "text", "string_distance": "jaro_winkler"}}}}""",
+      """{"suggest": {"fix": {"text": "sparc", "term":
+        {"field": "text", "sort": "sideways"}}}}""",
+      """{"suggest": {"fix": {"text": "sparc", "term":
+        {"field": "text", "suggest_mode": "sometimes"}}}}""",
+      """{"suggest": {"fix": {"text": "sparc", "term":
+        {"field": "text", "prefix_length": 1}}}}"""))
+      intercept[IllegalArgumentException] { tsug(body) }
     // suggest-level shared "text" (ES's global default): the named
     // entry inherits it; the completion suggester reads it as its
     // prefix; a per-entry text overrides the global
