@@ -2095,9 +2095,14 @@ final class HttpApi(
       case Some(df) =>
         val exists =
           df.filter(col("document_id") === id).limit(1).count() > 0
-        if (!exists)
-          respond(ex, 404, """{"result": "not_found"}""")
-        else {
+        if (!exists) {
+          // ES writes a tombstone even for a missing id: the 404 still
+          // bumps _version/_seq_no — same as the bulk route's
+          // not_found delete (base 0 for a never-stored id).
+          val (v, s) = bumpOne(spec.name, id, unseenBase = 0L)
+          respond(ex, 404, s"""{"result": "not_found", "_version": $v, ${""
+            }"_seq_no": $s, "_primary_term": 1}""")
+        } else {
           import spark.implicits._
           DocumentSink.deleteByIds(Seq(id).toDF("document_id"),
             s"$outDir/${spec.name}")
@@ -2333,13 +2338,17 @@ final class HttpApi(
     * likewise serializes writes per shard). Reads never take it. */
   private val writeLock = new Object
 
-  /** Allocate the next version + seq_no for one EXISTING doc and
-    * persist the sidecar — the single-doc twin of the bulk walk's
-    * bump (base version 1 when the doc predates the version wire). */
-  private def bumpOne(entity: String, id: String): (Long, Long) = {
+  /** Allocate the next version + seq_no for one doc and persist the
+    * sidecar — the single-doc twin of the bulk walk's bump.
+    * `unseenBase` mirrors the bulk walk's `curVer`: 1 when the doc is
+    * in the store but predates the version wire (the default), 0 for
+    * an id the store has never held (a not_found delete's tombstone
+    * lands on version 1, like ES and the bulk route). */
+  private def bumpOne(entity: String, id: String,
+                      unseenBase: Long = 1L): (Long, Long) = {
     val path = s"$outDir/$entity"
     val v = DocumentSink.readVersions(spark, path, Seq(id))
-      .get(id).map(_._1).getOrElse(1L) + 1
+      .get(id).map(_._1).getOrElse(unseenBase) + 1
     val s = DocumentSink.nextSeqNo(path)
     DocumentSink.writeVersions(spark, path, Map(id -> ((v, s))), s + 1)
     (v, s)
@@ -2508,7 +2517,7 @@ final class HttpApi(
     * adjacent search index subtracts the same ids through the
     * integer-delta machinery ([[DocumentSink.deleteByIds]]). */
   private def deleteByQuery(ex: HttpExchange, spec: EntitySpec,
-                            req: JsonNode): Unit = {
+                            req: JsonNode): Unit = writeLock.synchronized {
     val df = index(spec.name).getOrElse(
       auxBad(s"no synced index for '${spec.name}'"))
     val ids = EsDsl.matchingIds(df, req, "document_id").persist()
@@ -2524,7 +2533,7 @@ final class HttpApi(
     * src/routes/ticket_routes.py:212-264). The point predicate pushes
     * below the pipeline (Catalyst), so one key's data is touched. */
   private def syncOne(ex: HttpExchange, spec: EntitySpec,
-                      req: JsonNode): Unit = {
+                      req: JsonNode): Unit = writeLock.synchronized {
     val id = textOr(req, "id", "")
     if (id.isEmpty) {
       respond(ex, 400, """{"error": "id is required"}"""); return

@@ -1316,15 +1316,20 @@ object Search {
     val p = prefix.toLowerCase
     if (edits == 0) inputLc.startsWith(p)
     else {
-      val head = p.take(prefixLength)
-      val base =
-        if (head.isEmpty) lit(true) else inputLc.startsWith(head)
-      val lens = math.max(math.max(1, prefixLength),
-        p.length - edits) to (p.length + edits)
-      val anyLen = lens.map(l =>
-        editDistance(substring(inputLc, 1, l), p, transpositions) <=
-          edits).reduce(_ || _)
-      base && anyLen
+      val lo = math.max(math.max(1, prefixLength), p.length - edits)
+      val hi = p.length + edits
+      // prefix_length past the whole edit band (ES accepts it): the
+      // exact-head constraint subsumes the budget — plain prefix.
+      if (lo > hi) inputLc.startsWith(p)
+      else {
+        val head = p.take(prefixLength)
+        val base =
+          if (head.isEmpty) lit(true) else inputLc.startsWith(head)
+        val anyLen = (lo to hi).map(l =>
+          editDistance(substring(inputLc, 1, l), p, transpositions) <=
+            edits).reduce(_ || _)
+        base && anyLen
+      }
     }
   }
 

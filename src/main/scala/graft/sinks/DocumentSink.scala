@@ -347,12 +347,27 @@ object DocumentSink {
   def readVersions(spark: org.apache.spark.sql.SparkSession, path: String,
                    ids: Seq[String]): Map[String, (Long, Long)] = {
     if (ids.isEmpty) return Map.empty
-    val df =
-      try spark.read.parquet(s"$path/_versions")
-      catch { case _: Exception => return Map.empty }
-    df.filter(col("document_id").isin(ids: _*)).collect()
-      .map(r => String.valueOf(r.getAs[Any]("document_id")) ->
-        ((r.getAs[Long]("version"), r.getAs[Long]("seq_no")))).toMap
+    // Missing sidecar = never versioned; any OTHER read failure
+    // (corrupt parquet, transient IO) must propagate — silently
+    // restarting version lines at the base would answer wrong
+    // _version values instead of failing the request.
+    readVersionsDf(spark, path) match {
+      case None => Map.empty
+      case Some(df) =>
+        df.filter(col("document_id").isin(ids: _*)).collect()
+          .map(r => String.valueOf(r.getAs[Any]("document_id")) ->
+            ((r.getAs[Long]("version"), r.getAs[Long]("seq_no")))).toMap
+    }
+  }
+
+  /** The `_versions` sidecar as a DataFrame, or None iff the sidecar
+    * has never been written (path absent). */
+  private def readVersionsDf(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[
+      org.apache.spark.sql.DataFrame] = {
+    val vp = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val fs = vp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(vp)) None else Some(spark.read.parquet(vp.toString))
   }
 
   /** The index's next `_seq_no` (monotonic per index, like ES's
@@ -381,13 +396,15 @@ object DocumentSink {
         org.apache.spark.sql.Row(id, v, s) }
       val batch = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
-      val existing =
-        try spark.read.parquet(vp)
-        catch { case _: Exception => spark.emptyDataFrame }
-      val merged =
-        if (existing.columns.isEmpty) batch
-        else existing.join(batch.select("document_id"),
-          Seq("document_id"), "left_anti").unionByName(batch)
+      // same contract as readVersions: only an ABSENT sidecar reads
+      // as empty; a corrupt one fails the write rather than silently
+      // dropping every other doc's version line
+      val merged = readVersionsDf(spark, path) match {
+        case None           => batch
+        case Some(existing) =>
+          existing.join(batch.select("document_id"),
+            Seq("document_id"), "left_anti").unionByName(batch)
+      }
       val tmp = s"$path/._versions_tmp_" +
         java.util.UUID.randomUUID().toString.take(8)
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -3365,6 +3365,16 @@ class EsDslSpec extends SparkSpec {
     assert(sugg("""{"suggest": {"ac": {"prefix": "wnidmill",
         "completion": {"field": "text", "fuzzy": {"fuzziness": 1,
         "transpositions": false}}}}}""").isEmpty)
+    // prefix_length past the whole edit band (valid in ES): the exact
+    // head subsumes the budget — degrades to plain prefix matching
+    // instead of crashing on an empty candidate-length band
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wind",
+        "completion": {"field": "text", "size": 10, "fuzzy":
+        {"fuzziness": 1, "prefix_length": 9}}}}}""").map(_._1).toSet ==
+      windIds)
+    assert(sugg("""{"suggest": {"ac": {"prefix": "wimd",
+        "completion": {"field": "text", "fuzzy":
+        {"fuzziness": 1, "prefix_length": 9}}}}}""").isEmpty)
     // CATEGORY contexts: a context name is a sibling column; names
     // intersect, values union, object entries carry "context" only
     val cdf = Seq(

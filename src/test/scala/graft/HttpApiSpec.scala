@@ -1268,6 +1268,15 @@ class HttpApiSpec extends SparkSpec
     assert(delete("/part/880003").statusCode() == 404)
     assert(om.readTree(delete("/part/880404").body())
       .get("result").asText == "not_found")
+    // ES writes a tombstone even for a missing id: the single-doc 404
+    // bumps _version/_seq_no exactly like the bulk route's not_found
+    // delete (never-stored id -> tombstone version 1, then 2, ...)
+    val nfA = om.readTree(delete("/part/880405").body())
+    assert(nfA.get("result").asText == "not_found")
+    assert(nfA.get("_version").asLong == 1L)
+    val nfB = om.readTree(delete("/part/880405").body())
+    assert(nfB.get("_version").asLong == 2L)
+    assert(nfB.get("_seq_no").asLong > nfA.get("_seq_no").asLong)
   }
 
   test("_bulk wire completeness: _version/_seq_no/_primary_term per " +
