@@ -82,6 +82,42 @@ object ParityQueries {
       })
     }
 
+  private val wsIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built WHITESPACE-mapped documents index — index-TIME
+    * `"analyzer": "whitespace"` (write-time whitespace splits, case
+    * and punctuation KEPT). The q7_idx_whitespace_* twins probe it. */
+  private def wsIndexRoot(s: SparkSession, dir: String): String =
+    wsIndexRoots.synchronized {
+      wsIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-ws-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "whitespace")
+        root
+      })
+    }
+
+  private val kwIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built KEYWORD-mapped documents index over `source` —
+    * index-TIME `"analyzer": "keyword"` (the whole field value is ONE
+    * term). The q7_idx_keyword_* twins probe it. */
+  private def kwIndexRoot(s: SparkSession, dir: String): String =
+    kwIndexRoots.synchronized {
+      kwIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-kw-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("source"), "doc_id", s"$root/documents",
+          analyzer = "keyword")
+        root
+      })
+    }
+
   /** The testdata events' fixed event-type domain — an explicit pivot
     * value list (open-ended pivot would cost a distinct-discovery pass). */
   private val EventTypes =
@@ -1034,6 +1070,43 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // INDEX-TIME whitespace analyzer (round 16): the mapping's chain
+    // tokenizes at WRITE time (whitespace splits, case/punctuation
+    // KEPT) and the query analyzes with the FIELD's chain
+    // (search_analyzer defaults to the mapping's) — "window BATCH"
+    // keeps 'BATCH' uppercase, a term no whitespace-analyzed document
+    // holds (the corpus is lowercase), so it contributes exactly 0.0
+    // and the hit set + score are the one-term 'window' BM25 over
+    // WHITESPACE statistics. A standard index would fold 'BATCH' to
+    // 'batch' and answer differently — the oracle distinguishes the
+    // mapping.
+    "q7_idx_whitespace_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${wsIndexRoot(s, dir)}/documents",
+        "window BATCH", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // INDEX-TIME keyword analyzer (round 16): the whole field value
+    // is ONE write-time term (ES's noop chain — the keyword-mapped
+    // `source` column), and the query is one whole-value term too, so
+    // match("src3") is an exact-value lookup scored BM25 with tf 1
+    // and dl 1 — ES's keyword-field scoring shape.
+    "q7_idx_keyword_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${kwIndexRoot(s, dir)}/documents",
+        "src3", Seq("source"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // query-time whitespace analyzer (round 15): whitespace-only
     // splitting, CASE KEPT (ES's whitespace analyzer does not
     // lowercase) — "window BATCH" analyzes to [window, BATCH]; the
@@ -1126,7 +1199,7 @@ object ParityQueries {
     }),
 
     // english phrase + SLOP (round 14): each gapped stem may drift
-    // ±slop standard positions from its stop-gap offset, in order
+    // ±slop standard positions from its stop-gap offset
     // (Search.gappedSlopCount) — "sorted the windows" with slop 1
     // also matches "sort windows" (a document omitting the stopword
     // places "window" one position EARLY, which costs slop) and
@@ -1192,6 +1265,63 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // TRANSPOSED sloppy phrase (round 16 — full Lucene parity):
+    // "window the" at slop 2 matches every adjacent "the window" in
+    // the corpus through the OUT-OF-ORDER alignment (the swap's
+    // adjusted-position span is exactly 2 — ES matches "fox quick"
+    // for "quick fox" at slop 2). The oracle's windowed join is
+    // two-sided: 'the' anywhere in [window - 1, window + 3].
+    "q7_esdsl_phrase_slop_transposed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text":
+          |  {"query": "window the", "slop": 2}}}, "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its positional-postings twin: the same order-free
+    // shared-budget walk over the postings' position lists
+    // (SearchIndex.phraseCounts) — bit-identical hits and scores, one
+    // oracle, no corpus scan.
+    "q7_esdsl_phrase_slop_transposed_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "window the",
+        Seq("text"), slop = 2)
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // transposed GAPPED stems (round 16): "windows the sorting"
+    // analyzes to (window@0, sort@2) — the reverse of the corpus's
+    // "sort ... window" family, so every hit is an out-of-order
+    // alignment: "sort window" costs span 3, "sorted the windows"
+    // span 4; slop 4 admits both (Search.gappedSlopCount's
+    // order-free walk over stop-gap offsets).
+    "q7_esdsl_phrase_english_transposed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "windows the sorting",
+          |  "analyzer": "english", "slop": 4}}}, "size": 100}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its positional-postings twin — one oracle, two plans.
+    "q7_esdsl_phrase_english_transposed_indexed" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents",
+        "windows the sorting", Seq("text"),
+        slop = 4, analyzer = "english")
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // Term-level pattern clauses (round 9): ES wildcard (whole-value,
     // * / ?) -> SQL LIKE, prefix -> LIKE 'x%' (pushed to the scan as
     // StringStartsWith — EsDslPlanCheckSpec pins it), regexp ->
@@ -1246,8 +1376,9 @@ object ParityQueries {
     }),
 
     // match_phrase slop through the DSL translator (round 9): the same
-    // ordered-proximity semantics as q2_search_phrase_slop, arriving in
-    // a verbatim ES body; count-valued scores cast to _score doubles.
+    // sloppy-proximity semantics as q2_search_phrase_slop (transposed
+    // alignments included from slop >= 2), arriving in a verbatim ES
+    // body; scored with phrase-frequency BM25.
     "q7_esdsl_phrase_slop" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"query": {"match_phrase": {"text":
@@ -2616,6 +2747,29 @@ object ParityQueries {
         s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
         size = 10, contexts = Seq("lang" -> Seq("en", "fr")))),
 
+    // REGEX completion (round 16 — ES's third completion input
+    // form): the pattern matches from the START of the case-folded
+    // input with an open end (the FST-regex intersection: any
+    // continuation completes) — "wi[nm]d" reaches the wind* values
+    // through the character class.
+    "q7_esdsl_completion_regex" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"regex": "wi[nm]d",
+          |  "completion": {"field": "text", "size": 10}}}}"""
+          .stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its dictionary twin: the same anchored pattern filters
+    // the sorted inputs dictionary (no prefix pushdown — RLIKE is
+    // not a pushed predicate — but the read stays dictionary-sized,
+    // never corpus-sized; ES's own regex FST walk is likewise
+    // super-linear in the automaton).
+    "q7_esdsl_completion_regex_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.completionRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "", "text",
+        size = 10, regex = Some("wi[nm]d"))),
+
     // gap-filled date_histogram (round 9): min_doc_count 0 +
     // extended_bounds — every aligned day bucket in the extended
     // range appears, empties with doc_count 0 and null metrics (ES's
@@ -2804,12 +2958,12 @@ object ParityQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
-    // ES match_phrase slop (round 9): ordered proximity — the terms in
-    // order with at most `slop` extra tokens interleaved in total (gap
-    // sum <= slop; Lucene's cost-2 transpositions out of scope,
-    // documented). slop=2 widens "the window" from 23 adjacent hits to
-    // 70 proximity hits at sf0.01 — the oracle re-derives the match set
-    // from first principles (token positions + windowed join).
+    // ES match_phrase slop (round 9; full Lucene model round 16):
+    // sloppy proximity — the terms' adjusted positions span at most
+    // `slop`, transposed alignments included ("window ... the" counts
+    // from slop >= 2, exactly Lucene's sloppy matchLength). The oracle
+    // re-derives the match set from first principles (token positions
+    // + a two-sided windowed join).
     "q2_search_phrase_slop" -> ((s, dir) =>
       graft.serving.Search.slopPhrase(
         t(s, dir, "documents").select("doc_id", "text"),
@@ -3623,8 +3777,11 @@ object ParityQueries {
 
   /** Sloppy-phrase oracle — first-principles re-derivation: token
     * positions via unnest + generate_subscripts, a windowed self-join
-    * for "t2 after t1 within 1 + slop positions", score = count of
-    * DISTINCT start positions (Search.slopCount's contract). Shared by
+    * for "t2 within `slop` of its expected slot a.pos + 1 on EITHER
+    * side" (|adj_t2 - adj_t1| <= slop — Lucene's sloppy matchLength
+    * with transposed alignments, Search.slopCount's contract; the
+    * out-of-order side only opens from slop >= 2 since a transposition
+    * costs 2), score = count of DISTINCT head positions. Shared by
     * the scan path, the positional-postings probe, and (recast with a
     * double _score + full columns) the DSL body. */
   /** Shared positional CTE for the span/intervals oracles: tokens with
@@ -3664,7 +3821,7 @@ object ParityQueries {
     "m AS (SELECT a.doc_id, count(DISTINCT a.pos) AS score " +
       s"FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
       s"AND a.tok = '$t1' AND b.tok = '$t2' " +
-      s"AND b.pos > a.pos AND b.pos <= a.pos + ${1 + slop} " +
+      s"AND b.pos >= a.pos + ${1 - slop} AND b.pos <= a.pos + ${1 + slop} " +
       "GROUP BY a.doc_id) "
 
   private val slopOracleSql: String =
@@ -4157,6 +4314,115 @@ object ParityQueries {
       "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
       "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
     phraseBm25Body(Seq("join", "batch", "order"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
+  /** Whitespace-analyzed token array (mirrors SearchIndex.plainTokens
+    * "whitespace": split on whitespace runs, case/punctuation kept,
+    * empties dropped, null propagated). */
+  private def wsToksSql(expr: String): String =
+    s"list_filter(string_split_regex($expr, '\\s+'), x -> x <> '')"
+
+  /** Oracle of q7_idx_whitespace_match: BM25 over WHITESPACE-analyzed
+    * documents — query "window BATCH" under the field's chain keeps
+    * 'BATCH' uppercase, a term with no postings, which contributes
+    * exactly 0.0; the score is therefore the one-term 'window' BM25
+    * over whitespace statistics (tf/df/dl/avgdl from the
+    * case-and-punctuation-kept split), the engine's one final
+    * rounding. */
+  private lazy val idxWhitespaceMatchSql: String = {
+    s"WITH dls0 AS (SELECT doc_id, len(${wsToksSql("text")}) AS dl, " +
+      "text AS f FROM documents), " +
+    s"toks0 AS (SELECT doc_id, dl, unnest(${wsToksSql("f")}) AS term " +
+      "FROM dls0), " +
+    "q0 AS (SELECT doc_id, dl, term FROM toks0 " +
+      "WHERE term = 'window'), " +
+    "st0 AS (SELECT count(*) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls0), " +
+    "idf0 AS (SELECT " +
+      "ln(CAST(1.0 AS DOUBLE) + (st0.n - count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE))) AS idf FROM q0 CROSS JOIN st0 " +
+      "GROUP BY st0.n), " +
+    "tf0 AS (SELECT doc_id, dl, count(*) AS tf FROM q0 " +
+      "GROUP BY 1, 2), " +
+    "sc0 AS (SELECT doc_id, idf0.idf * ((tf0.tf * " +
+      "CAST(2.2 AS DOUBLE)) / (tf0.tf + CAST(1.2 AS DOUBLE) * " +
+      "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf0.dl / " +
+      "st0.avgdl))) AS s0 FROM tf0 CROSS JOIN idf0 CROSS JOIN st0) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(sc0.s0 * 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN sc0 ON d.doc_id = sc0.doc_id " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_idx_keyword_match: the keyword chain makes the
+    * whole `source` value ONE term — match("src3") is an exact-value
+    * lookup with tf 1 and dl 1 per doc, BM25 over whole-value
+    * statistics (df = docs whose source IS 'src3'; avgdl = share of
+    * non-null sources), the engine's one final rounding. */
+  private lazy val idxKeywordMatchSql: String = {
+    "WITH dls0 AS (SELECT doc_id, " +
+      "CASE WHEN source IS NULL THEN NULL ELSE 1 END AS dl, source " +
+      "FROM documents), " +
+    "q0 AS (SELECT doc_id, dl FROM dls0 WHERE source = 'src3'), " +
+    "st0 AS (SELECT count(*) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls0), " +
+    "idf0 AS (SELECT " +
+      "ln(CAST(1.0 AS DOUBLE) + (st0.n - count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE))) AS idf FROM q0 CROSS JOIN st0 " +
+      "GROUP BY st0.n), " +
+    "sc0 AS (SELECT doc_id, idf0.idf * ((CAST(1.0 AS DOUBLE) * " +
+      "CAST(2.2 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      "CAST(0.75 AS DOUBLE) * q0.dl / st0.avgdl))) AS s0 " +
+      "FROM q0 CROSS JOIN idf0 CROSS JOIN st0) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(sc0.s0 * 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN sc0 ON d.doc_id = sc0.doc_id " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
+  }
+
+  /** Shared oracle of q7_esdsl_phrase_slop_transposed (+ indexed
+    * twin): dense "window the" at slop 2 — 'the' lands on EITHER side
+    * of its expected slot (|adj_the - adj_window| <= 2, i.e. the.pos
+    * in [window.pos - 1, window.pos + 3]): Lucene's transposed
+    * sloppy alignments; pf counts distinct head ('window') positions,
+    * scored by the shared phrase-BM25 body. */
+  private lazy val phraseSlopTransposedSql: String =
+    slopOracleCte("window", "the", 2) + ", " +
+    phraseBm25Body(Seq("window", "the"),
+      "documents d LEFT JOIN m USING (doc_id)",
+      "coalesce(m.score, 0)") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+    "ph_score AS _score " +
+    "FROM pb WHERE pf > 0 " +
+    "ORDER BY _score DESC, doc_id LIMIT 100"
+
+  /** Shared oracle of q7_esdsl_phrase_english_transposed (+ indexed
+    * twin): gapped stems (window@0, sort@2) at slop 4 — 'sort' lands
+    * on EITHER side of its expected offset (|adj_sort - adj_window|
+    * <= 4, i.e. sort.pos in [window.pos - 2, window.pos + 6]), which
+    * admits the corpus's reversed "sort ... window" family entirely
+    * through out-of-order alignments; pf counts distinct head
+    * ('window') positions, scored by the shared phrase-BM25 body. */
+  private lazy val phraseEnglishTransposedSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'window' AND b.tok = 'sort' " +
+      "AND b.pos BETWEEN a.pos - 2 AND a.pos + 6 " +
+      "GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("window", "sort"), "gd", "pf0") +
     " SELECT doc_id, text, lang, source, n_chars, " +
       "ph_score AS \"_score\" " +
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
@@ -4824,6 +5090,8 @@ object ParityQueries {
     "q7_esdsl_match_keyword" -> matchOneTermSql,
     "q7_idx_english_match" -> idxEnglishMatchSql,
     "q7_idx_english_phrase" -> idxEnglishPhraseSql,
+    "q7_idx_whitespace_match" -> idxWhitespaceMatchSql,
+    "q7_idx_keyword_match" -> idxKeywordMatchSql,
 
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 
@@ -4832,6 +5100,11 @@ object ParityQueries {
     "q7_esdsl_phrase_english_slop" -> phraseEnglishSlopSql,
     "q7_esdsl_phrase_english_budget" -> phraseEnglishBudgetSql,
     "q7_esdsl_phrase_english_budget_indexed" -> phraseEnglishBudgetSql,
+    "q7_esdsl_phrase_slop_transposed" -> phraseSlopTransposedSql,
+    "q7_esdsl_phrase_slop_transposed_indexed" -> phraseSlopTransposedSql,
+    "q7_esdsl_phrase_english_transposed" -> phraseEnglishTransposedSql,
+    "q7_esdsl_phrase_english_transposed_indexed" ->
+      phraseEnglishTransposedSql,
 
     "q7_esdsl_multimatch_phrase" -> phraseBm25Sql,
 
@@ -5071,6 +5344,14 @@ object ParityQueries {
        "FROM documents WHERE lower(text) LIKE 'wind%' " +
        "AND lang IN ('en', 'fr') " +
        "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_regex" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE regexp_matches(lower(text), " +
+       "'^(?:wi[nm]d)') ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_regex_indexed" ->
+      ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
+       "FROM documents WHERE regexp_matches(lower(text), " +
+       "'^(?:wi[nm]d)') ORDER BY suggestion, doc_id LIMIT 10"),
 
     // rescore: top-50 by primary count, combined score re-sort inside
     // the window (1·primary + 2·phrase)

@@ -1005,30 +1005,51 @@ object EsDsl {
   }
 
   /** The one named completion-suggester of a suggest body: the typed
-    * prefix, the target field, the option cap, the distinct-value
-    * gate, and the resolved FUZZY knobs — `edits` already folds the
-    * AUTO ladder (on the prefix, like ES) and `min_length` (a prefix
-    * shorter than it matches exactly), so 0 = plain prefix. */
+    * prefix (or the `regex` form instead — ES's third completion
+    * input shape, anchored at the input's start with an open end),
+    * the target field, the option cap, the distinct-value gate, and
+    * the resolved FUZZY knobs — `edits` already folds the AUTO ladder
+    * (on the prefix, like ES) and `min_length` (a prefix shorter than
+    * it matches exactly), so 0 = plain prefix. */
   private[graft] final case class CompletionSuggestSpec(
       field: String, prefix: String, size: Int, skipDuplicates: Boolean,
       edits: Int = 0, fuzzyPrefixLength: Int = 1,
       transpositions: Boolean = true,
-      contexts: Seq[(String, Seq[String])] = Nil)
+      contexts: Seq[(String, Seq[String])] = Nil,
+      regex: Option[String] = None)
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
     val s = soleSuggester(sg)
-    val unknown = keysOf(s).filterNot(Set("prefix", "text", "completion"))
+    val unknown = keysOf(s)
+      .filterNot(Set("prefix", "text", "completion", "regex"))
     if (unknown.nonEmpty)
       bad(s"unsupported completion-suggester key" +
         s"${if (unknown.size == 1) "" else "s"}: " +
-        s"${unknown.mkString(", ")} (regex completion is not supported)")
+        s"${unknown.mkString(", ")}")
+    // ES's REGEX completion form: the pattern matches from the START
+    // of the (case-folded) input with an open end — the FST walk
+    // intersects the regex automaton and any continuation completes.
+    // Mutually exclusive with a typed prefix, like ES's parser.
+    val regex = Option(s.get("regex")).map { n =>
+      if (!n.isTextual) bad("completion regex must be a string " +
+        "(regex options are not supported)")
+      val pat = n.asText
+      if (pat.isEmpty) bad("completion regex must be non-empty")
+      if (s.hasNonNull("prefix"))
+        bad("completion takes \"prefix\" or \"regex\", not both")
+      rejectLuceneRegexOps(pat)
+      pat
+    }
     // `text` is ES's prefix fallback (the suggest-level shared text
     // reaches completion entries this way); an explicit prefix wins
-    val prefix = Option(s.get("prefix")).orElse(Option(s.get("text")))
-      .map(_.asText)
-      .getOrElse(bad("completion suggester needs \"prefix\""))
-    if (prefix.isEmpty) bad("completion prefix must be non-empty")
+    val prefix =
+      if (regex.isDefined) ""
+      else Option(s.get("prefix")).orElse(Option(s.get("text")))
+        .map(_.asText)
+        .getOrElse(bad("completion suggester needs \"prefix\""))
+    if (prefix.isEmpty && regex.isEmpty)
+      bad("completion prefix must be non-empty")
     val cp = Option(s.get("completion")).filter(_.isObject)
       .getOrElse(bad("completion suggester needs a \"completion\" object"))
     val unknownC = keysOf(cp)
@@ -1051,6 +1072,8 @@ object EsDsl {
     // (the typed text is what the automaton matches) and min_length
     // gates fuzziness off for short prefixes — both fold into `edits`
     // here so every consumer sees one resolved number.
+    if (regex.isDefined && cp.hasNonNull("fuzzy"))
+      bad("fuzzy applies to the prefix completion form, not regex")
     val (edits, fpl, ftr) = Option(cp.get("fuzzy")) match {
       case None => (0, 1, true)
       case Some(fn) if fn.isBoolean =>
@@ -1120,7 +1143,7 @@ object EsDsl {
         }
       }.getOrElse(Nil)
     CompletionSuggestSpec(f, prefix, size, skip, edits, fpl, ftr,
-      contexts)
+      contexts, regex)
   }
 
   /** ES COMPLETION SUGGESTER (`{"suggest": {"<name>": {"prefix": ...,
@@ -1161,10 +1184,16 @@ object EsDsl {
       .map { case (cf, vals) =>
         col(cf).cast("string").isInCollection(vals) }
       .reduceOption(_ && _).getOrElse(lit(true))
-    val hits = df
-      .filter(col(sp.field).isNotNull && ctxPred &&
-        Search.completionPrefixPredicate(lower(col(sp.field)),
-          sp.prefix, sp.edits, sp.fuzzyPrefixLength, sp.transpositions))
+    // the regex form matches from the START of the case-folded input
+    // with an open end (the FST-regex intersection: any continuation
+    // completes); the pattern is taken verbatim against the LOWERCASED
+    // value, like the span regexp leaf
+    val inputPred = sp.regex match {
+      case Some(re) => lower(col(sp.field)).rlike("^(?:" + re + ")")
+      case None => Search.completionPrefixPredicate(lower(col(sp.field)),
+        sp.prefix, sp.edits, sp.fuzzyPrefixLength, sp.transpositions)
+    }
+    val hits = df.filter(col(sp.field).isNotNull && ctxPred && inputPred)
     val opts =
       if (!sp.skipDuplicates)
         hits.select(col(idCol), col(sp.field).as("suggestion"))
@@ -3016,6 +3045,21 @@ object EsDsl {
     if (boost == 1.0) c
     else Clause(c.pred, c.score.cast("double") * boost)
 
+  /** The Lucene-only regex operators (`&` intersection, `~`
+    * complement, `<>` numeric intervals) have no Java-regex
+    * equivalent — reject them rather than mistranslate; the shared
+    * core (. * + ? [] () |) is dialect-identical. Shared by the
+    * `regexp` clause and the completion suggester's `regex` form. */
+  private def rejectLuceneRegexOps(pat: String): Unit = {
+    var esc = false
+    pat.foreach { ch =>
+      if (esc) esc = false
+      else if (ch == '\\') esc = true
+      else if ("&~<>".contains(ch))
+        bad(s"Lucene-specific regexp operator '$ch' is not supported")
+    }
+  }
+
   /** A term-level pattern clause's (field, value, case_insensitive) —
     * ES allows both the short `{"field": "pat"}` and the object
     * `{"field": {"value": "pat", "case_insensitive": true}}` forms. */
@@ -3248,13 +3292,7 @@ object EsDsl {
       // rather than mistranslate; the shared core (. * + ? [] () |) is
       // dialect-identical.
       val (f, pat, ci, boost) = patternSpec(b, "regexp")
-      var esc = false
-      pat.foreach { ch =>
-        if (esc) esc = false
-        else if (ch == '\\') esc = true
-        else if ("&~<>".contains(ch))
-          bad(s"Lucene-specific regexp operator '$ch' is not supported")
-      }
+      rejectLuceneRegexOps(pat)
       val re = (if (ci) "(?i)" else "") + "^(?:" + pat + ")$"
       boosted(Clause(col(f).rlike(re), lit(1.0)), boost)
 
@@ -7596,8 +7634,8 @@ object EsDsl {
     * ([[graft.serving.Search.gappedPhraseCount]]); english + slop
     * spends ONE shared slop budget across the phrase — the adjusted
     * positions `p_k - offset_k` may span at most `slop`, Lucene's
-    * sloppy matchLength ([[graft.serving.Search.gappedSlopCount]],
-    * which pins the in-order-only divergence). "whitespace" and
+    * sloppy matchLength with transposed alignments
+    * ([[graft.serving.Search.gappedSlopCount]]). "whitespace" and
     * "keyword" are query-side term-list rewrites too (see
     * [[queryTerms]]). Returns the selected analyzer name. Other
     * clause kinds keep the standard-only [[analyzerKnob]]; the full
@@ -7692,8 +7730,8 @@ object EsDsl {
     * stop gaps (the stop filter consumes positions — Lucene's
     * position increments — so "sorted the windows" needs the literal
     * token "sort" and, two positions later, "window"), or the gapped
-    * SLOPPY walk when both (in order, one SHARED slop budget: the
-    * stems' adjusted positions span <= slop —
+    * SLOPPY walk when both (one SHARED slop budget: the stems'
+    * adjusted positions span <= slop, transposed alignments included —
     * Search.gappedSlopCount). The SCORE is
     * phrase-frequency BM25, ES's PhraseQuery model: idf sums the
     * phrase terms' idfs over the STANDARD statistics (english stems

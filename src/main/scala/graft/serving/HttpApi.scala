@@ -661,7 +661,7 @@ final class HttpApi(
               graft.sinks.SearchIndex.completionRanked(spark, p,
                 cp.prefix, cp.field, cp.size, cp.skipDuplicates,
                 cp.edits, cp.fuzzyPrefixLength, cp.transpositions,
-                cp.contexts)
+                cp.contexts, cp.regex)
             else EsDsl.suggest(df, sgNode),
           () => EsDsl.suggest(df, sgNode))
       else EsDsl.suggest(df, sgNode)

@@ -924,31 +924,17 @@ object Search {
       .limit(limit)
   }
 
-  /** Count of in-order sloppy matches of `terms` in a text column: the
-    * number of start positions `p1` (positions of the head term) from
-    * which every later term `k` can be placed at some `p_k` with
-    * `p_k > p_(k-1)` and `p_k <= p1 + k + slop` — i.e. the terms appear
-    * IN ORDER with at most `slop` extra tokens interleaved in total
-    * (gap sum = `p_n - p1 - (n-1) <= slop`). Evaluated entirely with
-    * array HOFs over the token array (per-term position lists are
-    * occurrence-sized) — no explode, no shuffle, no UDF. */
+  /** Count of sloppy matches of a DENSE phrase (`terms(k)` expected at
+    * relative offset `k`) in a text column — [[gappedSlopCount]] with
+    * consecutive offsets: the number of head-term positions `p_0` from
+    * which every slot `k` can be placed at some DISTINCT `p_k` whose
+    * adjusted positions `p_k - k` span at most `slop` (Lucene's sloppy
+    * `matchLength`, transposed alignments included). Evaluated
+    * entirely with array HOFs over the token array (per-term position
+    * lists are occurrence-sized) — no explode, no shuffle, no UDF. */
   private[graft] def slopCount(field: Column, terms: Seq[String],
-                               slop: Int): Column = {
-    // clamp BEFORE the `k + slop` Int arithmetic: a saturated caller
-    // value (simple_query_string lexes absurd ~N suffixes to
-    // Int.MaxValue) would wrap negative and silently match nothing;
-    // 2^24 positions exceed any tokenizable document
-    val s = math.min(slop, 1 << 24)
-    val toks = graft.functions.TextFunctions.analyzerTokens(field)
-    def posOf(t: String): Column =
-      filter(transform(toks, (x, i) =>
-        when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
-    def rest(k: Int, prev: Column, first: Column): Column =
-      if (k == terms.size) lit(true)
-      else exists(posOf(terms(k)), p =>
-        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
-    size(filter(posOf(terms.head), p1 => rest(1, p1, p1))).cast("int")
-  }
+                               slop: Int): Column =
+    gappedSlopCount(field, terms.zipWithIndex, slop)
 
   /** Phrase-frequency matcher for a query whose analyzed terms carry
     * POSITION GAPS (a token-REMOVING query analyzer: english stop
@@ -975,57 +961,77 @@ object Search {
 
   /** [[gappedPhraseCount]] with slop — sloppy matching of a
     * position-GAPPED query term list (english stop gaps): counts head
-    * positions `p1` admitting an in-order assignment whose ADJUSTED
+    * positions `p_0` admitting an assignment of every slot `k` to a
+    * DISTINCT document position `p_k` of its term whose ADJUSTED
     * positions `adj_k = p_k - offset_k` span at most `slop`
-    * (`p_k > p_(k-1)` and `max_k adj_k - min_k adj_k <= slop`). The
-    * span of adjusted positions is exactly Lucene's sloppy-phrase
-    * `matchLength` (SloppyPhraseMatcher: each PhrasePositions carries
+    * (`max_k adj_k - min_k adj_k <= slop`). The span of adjusted
+    * positions is exactly Lucene's sloppy-phrase `matchLength`
+    * (SloppyPhraseMatcher: each PhrasePositions carries
     * `position - offset`; a match costs `end - min`), i.e. ONE SHARED
     * slop budget across the phrase — a stem one early AND a stem one
-    * late together cost 2, not 1 each. At `slop = 0` all adjusted
-    * positions must coincide — exactly [[gappedPhraseCount]]; for a
-    * dense query (`offset_k == k`) the order constraint forces
-    * `adj_k >= p1` so the span reduces to `max_k adj_k - p1` — exactly
-    * [[slopCount]]. One model, three degenerate forms.
+    * late together cost 2, not 1 each. The assignment is NOT
+    * order-constrained: transposed (out-of-order) alignments match
+    * when their span fits, exactly Lucene — ES matches "fox quick"
+    * for `"quick fox"` at slop 2. No ordering case-split is needed:
+    * for any slot pair placed out of query order the span arithmetic
+    * alone costs `(p_j - p_k) + (offset_k - offset_j) >= 2`, so
+    * `slop <= 1` walks are in-order for free and transpositions
+    * surface from `slop >= 2`, like Lucene. At `slop = 0` all
+    * adjusted positions must coincide — exactly [[gappedPhraseCount]];
+    * a dense query (`offset_k == k`) is [[slopCount]]. One model,
+    * three degenerate forms.
     *
-    * Pinned divergence vs ES (EsDslSpec): the walk admits IN-ORDER
-    * alignments only, while Lucene additionally admits out-of-order
-    * (transposed) alignments whose adjusted span still fits the
-    * budget — reachable from `slop >= 2`. Within in-order alignments
-    * the budget is exact. Same HOF-only shape: per-slot position
-    * lists, no explode, no shuffle. */
+    * Distinctness mirrors Lucene's repeating-terms rule (two phrase
+    * positions never share a document position); slots of DIFFERENT
+    * terms can't collide anyway (one token per position), so the
+    * check compiles only between same-term slots. Same HOF-only
+    * shape: per-slot position lists, no explode, no shuffle. */
   private[graft] def gappedSlopCount(field: Column,
                                      terms: Seq[(String, Int)],
                                      slop: Int): Column = {
     require(terms.nonEmpty && terms.head._2 == 0, "offsets are relative")
-    // same overflow clamp as slopCount (offset + slop in Int arithmetic)
+    // clamp BEFORE the `offset + slop` Int arithmetic: a saturated
+    // caller value (simple_query_string lexes absurd ~N suffixes to
+    // Int.MaxValue) would wrap negative and silently match nothing;
+    // 2^24 positions exceed any tokenizable document
     val s = math.min(slop, 1 << 24)
     val toks = graft.functions.TextFunctions.analyzerTokens(field)
     def posOf(t: String): Column =
       filter(transform(toks, (x, i) =>
         when(x === lit(t), i).otherwise(lit(-1))), p => p >= lit(0))
-    // thread the running [lo, hi] adjusted-position envelope; a slot
-    // is admissible iff including it keeps hi - lo <= slop
-    def rest(k: Int, prev: Column, lo: Column, hi: Column): Column =
+    // thread the running [lo, hi] adjusted-position envelope and the
+    // positions already taken; a slot is admissible iff its position
+    // is fresh (same-term slots only) and including its adjusted
+    // position keeps hi - lo <= slop
+    def rest(k: Int, taken: List[(String, Column)],
+             lo: Column, hi: Column): Column =
       if (k == terms.size) lit(true)
       else exists(posOf(terms(k)._1), p => {
         val adj = p - lit(terms(k)._2)
-        p > prev && adj >= hi - lit(s) && adj <= lo + lit(s) &&
-          rest(k + 1, p, least(lo, adj), greatest(hi, adj))
+        val fresh = taken.collect { case (t, q) if t == terms(k)._1 =>
+          p =!= q }.foldLeft(adj >= hi - lit(s) && adj <= lo + lit(s))(
+          _ && _)
+        fresh && rest(k + 1, (terms(k)._1, p) :: taken,
+          least(lo, adj), greatest(hi, adj))
       })
-    size(filter(posOf(terms.head._1), p1 => rest(1, p1, p1, p1)))
-      .cast("int")
+    size(filter(posOf(terms.head._1), p1 =>
+      rest(1, List((terms.head._1, p1)), p1, p1))).cast("int")
   }
 
   /** [[slopCount]] with the LAST slot matched by PREFIX instead of
-    * equality — ES `match_phrase_prefix`: the leading terms appear in
-    * order (within `slop` total interleave) and the final position
-    * holds any token starting with the last "term" (the user's
-    * still-being-typed prefix). `lastExpansion`, when present, caps
-    * the final slot to membership in that token set (ES
-    * `max_expansions` — the caller derives the first-N prefix
-    * expansion; None = unbounded prefix match). Single-term queries
-    * degenerate to a prefix-token count. */
+    * equality — ES `match_phrase_prefix`: the leading terms and a
+    * final slot holding any token starting with the last "term" (the
+    * user's still-being-typed prefix), aligned by the same shared
+    * slop budget as [[gappedSlopCount]] (adjusted-position span
+    * `<= slop`, transposed alignments included — Lucene's
+    * MultiPhrasePrefixQuery rides the same SloppyPhraseMatcher).
+    * `lastExpansion`, when present, caps the final slot to membership
+    * in that token set (ES `max_expansions` — the caller derives the
+    * first-N prefix expansion; None = unbounded prefix match).
+    * Distinctness is ALL-pairs here (the prefix slot can land on an
+    * exact slot's token when that term matches the prefix — Lucene
+    * never lets two phrase positions share a document position).
+    * Single-term queries degenerate to a prefix-token count. */
   private[graft] def phrasePrefixCount(field: Column, terms: Seq[String],
                                        slop: Int,
                                        lastExpansion: Option[Seq[String]]
@@ -1046,11 +1052,16 @@ object Search {
     def posOf(k: Int): Column =
       if (k == terms.size - 1) posWhere(lastMatch)
       else posWhere(_ === lit(terms(k)))
-    def rest(k: Int, prev: Column, first: Column): Column =
+    def rest(k: Int, taken: List[Column],
+             lo: Column, hi: Column): Column =
       if (k == terms.size) lit(true)
-      else exists(posOf(k), p =>
-        p > prev && p <= first + lit(k + s) && rest(k + 1, p, first))
-    size(filter(posOf(0), p1 => rest(1, p1, p1))).cast("int")
+      else exists(posOf(k), p => {
+        val adj = p - lit(k)
+        taken.map(p =!= _).foldLeft(
+          adj >= hi - lit(s) && adj <= lo + lit(s))(_ && _) &&
+          rest(k + 1, p :: taken, least(lo, adj), greatest(hi, adj))
+      })
+    size(filter(posOf(0), p1 => rest(1, List(p1), p1, p1))).cast("int")
   }
 
   /** [[slopCount]] generalized to arbitrary per-slot token matchers —
@@ -1179,13 +1190,13 @@ object Search {
   }
 
   /** SLOPPY phrase (ES `match_phrase` with `slop`): the query's terms
-    * must appear IN ORDER with at most `slop` extra tokens interleaved
-    * in total — the ordered subset of Lucene's sloppy matcher (its
-    * cost-2 transpositions are out of scope: a reordered phrase needs
-    * its own query; documented, fail-safe narrower). `slop = 0`
-    * delegates to [[phrase]] (exact adjacency, non-overlap-counted).
-    * Scored by the count of start positions that admit an in-order
-    * match within the window ([[slopCount]]), summed across `fields`.
+    * must appear with an adjusted-position span of at most `slop` —
+    * Lucene's full sloppy matcher, transposed (out-of-order)
+    * alignments included from `slop >= 2` ([[gappedSlopCount]]'s
+    * model). `slop = 0` delegates to [[phrase]] (exact adjacency,
+    * non-overlap-counted). Scored by the count of head positions that
+    * admit a match within the budget ([[slopCount]]), summed across
+    * `fields`.
     *
     * Scale: the codegen'd per-term `contains` prefilter keeps the HOF
     * position scan off every row missing some term as a substring; the

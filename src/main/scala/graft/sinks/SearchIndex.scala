@@ -73,14 +73,22 @@ import org.apache.spark.sql.functions._
 object SearchIndex {
 
   /** `analyzer` is the index-TIME analysis chain ("standard" |
-    * "english") — ES's mapping-level `"analyzer": "english"`, where
-    * documents stem at WRITE time. It is part of the index's grammar:
+    * "english" | "whitespace" | "keyword") — ES's mapping-level
+    * `"analyzer": ...`, where documents tokenize at WRITE time
+    * (english additionally stems). It is part of the index's grammar:
     * probes analyze queries with it (ES's search_analyzer defaults to
     * the index analyzer) and upserts re-tokenize with it, so a
     * generation can never mix analysis chains. Pre-round-15 metas
     * carry no key and read as "standard". */
   final case class Meta(idCol: String, fields: Seq[String], gen: Int,
                         analyzer: String = "standard")
+
+  /** The index-time analyzers [[build]]/upsert accept. `whitespace`
+    * splits on whitespace runs and KEEPS case/punctuation; `keyword`
+    * emits the whole field value as ONE term (ES's noop chain) —
+    * both exactly their query-time twins in the DSL. */
+  private val IndexAnalyzers =
+    Set("standard", "english", "whitespace", "keyword")
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score", "input", "input_lc")
@@ -93,19 +101,23 @@ object SearchIndex {
     * defaults to the mapping's analyzer, so an english-mapped index
     * stems the query too (and both sides carry stop gaps). */
   private def queryAnalyze(meta: Meta, text: String): Seq[String] =
-    if (meta.analyzer == "english")
-      graft.functions.EnglishAnalysis.analyze(text).toSeq
-    else graft.functions.TextFunctions.analyzeText(text).toSeq
+    meta.analyzer match {
+      case "english" =>
+        graft.functions.EnglishAnalysis.analyze(text).toSeq
+      case "whitespace" =>
+        text.split("\\s+").toSeq.filter(_.nonEmpty)
+      case "keyword" => Seq(text).filter(_.nonEmpty)
+      case _ => graft.functions.TextFunctions.analyzeText(text).toSeq
+    }
 
   /** [[queryAnalyze]] with head-relative positions for the phrase
     * probes: english keeps stop-gap offsets (Lucene position
-    * increments); standard is dense. */
+    * increments); standard/whitespace/keyword are dense. */
   private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
     if (meta.analyzer == "english") {
       val pt = graft.functions.EnglishAnalysis.analyzeWithPositions(text)
       pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
-    } else
-      graft.functions.TextFunctions.analyzeText(text).zipWithIndex.toSeq
+    } else queryAnalyze(meta, text).zipWithIndex
 
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
     * explode tagged `fid` — the same single-scan shape
@@ -139,9 +151,9 @@ object SearchIndex {
           sort_array(collect_list(col("pos"))).as("pos"))
     } else docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"),
-          tokenCount(col(f)).as("dl"),
-          graft.functions.TextFunctions.analyzerTokens(col(f))
-            .as("toks"))
+          (if (analyzer == "standard") tokenCount(col(f))
+           else size(plainTokens(f, analyzer))).as("dl"),
+          plainTokens(f, analyzer).as("toks"))
       }: _*)).as("fs"))
       .select(col(idCol), col("fs.fid").as("fid"), col("fs.dl").as("dl"),
         posexplode(col("fs.toks")).as(Seq("pos", "term")))
@@ -149,6 +161,21 @@ object SearchIndex {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("pos"))
   }
+
+  /** Write-time token array of the non-stemming analyzers (dense
+    * positions — the english chain is the only gapped one).
+    * `whitespace` splits on whitespace runs, case and punctuation
+    * KEPT; `keyword` emits the whole value as one term. Null fields
+    * propagate to a null array (no postings, null dl — the same
+    * contract as the standard chain). */
+  private def plainTokens(f: String, analyzer: String): Column =
+    analyzer match {
+      case "whitespace" =>
+        filter(split(col(f).cast("string"), "\\s+"), x => x =!= lit(""))
+      case "keyword" =>
+        when(col(f).isNotNull, array(col(f).cast("string")))
+      case _ => graft.functions.TextFunctions.analyzerTokens(col(f))
+    }
 
   /** Per-(field, term) document frequency. Postings are unique per
     * (id, fid, term) by construction (the groupBy in [[postingsOf]]), so
@@ -169,7 +196,8 @@ object SearchIndex {
       if (analyzer == "english")
         size(graft.functions.ArrayExpressions
           .englishTokens(coalesce(col(f), lit(""))))
-      else tokenCount(col(f))
+      else if (analyzer == "standard") tokenCount(col(f))
+      else size(plainTokens(f, analyzer))
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
         case (f, i) => struct(lit(i).as("fid"), dlOf(f).as("dl"))
       }: _*)).as("fs"))
@@ -209,8 +237,9 @@ object SearchIndex {
     require(fields.nonEmpty, "at least one field to index")
     require(!Reserved.contains(idCol),
       s"id column '$idCol' collides with an index-internal name")
-    require(analyzer == "standard" || analyzer == "english",
-      s"unsupported index analyzer '$analyzer' (standard, english)")
+    require(IndexAnalyzers.contains(analyzer),
+      s"unsupported index analyzer '$analyzer' " +
+        s"(${IndexAnalyzers.toSeq.sorted.mkString(", ")})")
     val spark = docs.sparkSession
     val gen = if (exists(path)) readMeta(path).gen + 1 else 0
     val dir = s"$path/g$gen"
@@ -340,8 +369,8 @@ object SearchIndex {
     * normalized-substring `replace` scan produces, so both paths share
     * one oracle. Returns (idCol, score) — the caller fetches document
     * bodies by id, like ES fetches `_source` after scoring. `slop > 0`
-    * switches to ordered proximity (terms in order, at most `slop`
-    * extra tokens interleaved in total) counted by start positions —
+    * switches to sloppy proximity (adjusted-position span `<= slop`,
+    * transposed alignments included) counted by head positions —
     * [[graft.serving.Search.slopCount]]'s contract, so the sloppy
     * scan path and this probe also share one oracle.
     *
@@ -366,9 +395,10 @@ object SearchIndex {
     require(missing.isEmpty, s"fields not in index: ${missing.mkString(", ")}")
     val fids = useFields.map(fidOf)
     val posTerms = queryPosTerms(meta, phraseQuery)
-    // an all-stopword phrase against an english index analyzes to
-    // zero terms: no hits, not an error (zero_terms_query "none")
-    if (posTerms.isEmpty && meta.analyzer == "english")
+    // an all-stopword phrase against an english index (or a blank one
+    // against whitespace/keyword) analyzes to zero terms: no hits,
+    // not an error (zero_terms_query "none")
+    if (posTerms.isEmpty && meta.analyzer != "standard")
       return spark.read.parquet(s"$dir/postings")
         .select(col(idCol), lit(0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
@@ -393,10 +423,10 @@ object SearchIndex {
     * never diverge. Candidates must hold every distinct term
     * (postings are term-unique per (id, fid), so the row count IS the
     * distinct-term count); match starts intersect the sorted position
-    * lists — shifted adjacency at slop 0, the slop-clamped
-    * ordered-proximity recursion otherwise (Search.slopCount's
-    * contract, same `i + slop` Int overflow clamp); slop-0
-    * self-overlapping phrases ("a a" in "a a a") count greedily
+    * lists — shifted adjacency at slop 0, the shared-budget sloppy
+    * walk otherwise (Search.gappedSlopCount's contract: adjusted-span
+    * <= slop, transposed alignments included, same overflow clamp);
+    * slop-0 self-overlapping phrases ("a a" in "a a a") count greedily
     * left-to-right, the scan path's replace() semantics. Returns
     * (idCol, fid, dl, _pf). */
   /** Pruned positional postings rows for a term/field set — the ONE
@@ -437,19 +467,26 @@ object SearchIndex {
       else {
         // Search.gappedSlopCount's shared-budget walk (the adjusted
         // positions pp - offset_i must span <= slop — Lucene's
-        // matchLength over in-order alignments); for a dense query
-        // `pp > prev` forces adjusted >= head and this reduces to
-        // Search.slopCount's contract
+        // matchLength), order-free like Lucene's SloppyPhraseMatcher:
+        // transposed alignments match when their span fits (the span
+        // arithmetic alone prices any out-of-order pair >= 2, so slop
+        // 0/1 stay in-order for free). Same-term slots must take
+        // distinct positions (Lucene's repeating-terms rule; distinct
+        // terms can't collide — one token per position).
         val sl = math.min(slop, 1 << 24)
-        def rest(i: Int, prev: Column, lo: Column, hi: Column): Column =
+        def rest(i: Int, taken: List[(String, Column)],
+                 lo: Column, hi: Column): Column =
           if (i == k) lit(true)
           else org.apache.spark.sql.functions.exists(
             element_at(col("tp"), lit(terms(i))), pp => {
               val adj = pp - lit(posTerms(i)._2)
-              pp > prev && adj >= hi - lit(sl) && adj <= lo + lit(sl) &&
-                rest(i + 1, pp, least(lo, adj), greatest(hi, adj))
+              taken.collect { case (t, q) if t == terms(i) =>
+                pp =!= q }.foldLeft(
+                adj >= hi - lit(sl) && adj <= lo + lit(sl))(_ && _) &&
+                rest(i + 1, (terms(i), pp) :: taken,
+                  least(lo, adj), greatest(hi, adj))
             })
-        filter(headPos, s => rest(1, s, s, s))
+        filter(headPos, s => rest(1, List((terms.head, s)), s, s))
       }
     // pf counting must mirror each route's SCAN twin exactly: every
     // gapped or sloppy twin (gappedPhraseCount / gappedSlopCount /
@@ -499,12 +536,13 @@ object SearchIndex {
     val fids = useFields.map(fidOf)
     // against a STANDARD index, `analyzer` is the QUERY-side knob
     // (english stems matched as literal standard terms with
-    // stop-position gaps, exactly the scan path's phraseLeg); an
-    // ENGLISH-mapped index analyzes the query with the FIELD's chain
-    // regardless (ES's search_analyzer defaults to the mapping's
-    // analyzer — both sides stem, both sides carry stop gaps)
+    // stop-position gaps, exactly the scan path's phraseLeg); a
+    // NON-standard-mapped index analyzes the query with the FIELD's
+    // chain regardless (ES's search_analyzer defaults to the
+    // mapping's analyzer — both sides stem / split / keep the value
+    // whole together)
     val effAnalyzer =
-      if (meta.analyzer == "english") "english" else analyzer
+      if (meta.analyzer != "standard") meta.analyzer else analyzer
     val posTerms: Seq[(String, Int)] = effAnalyzer match {
       case "standard" =>
         graft.functions.TextFunctions.analyzeText(phraseQuery)
@@ -513,15 +551,21 @@ object SearchIndex {
         val pt = graft.functions.EnglishAnalysis
           .analyzeWithPositions(phraseQuery)
         pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+      case "whitespace" | "keyword" if meta.analyzer == effAnalyzer =>
+        // only as the INDEX's own chain — the query-side
+        // whitespace/keyword rewrites against a standard index live
+        // in the DSL's scan path (sentinel-gated), not here
+        queryPosTerms(meta, phraseQuery)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported analyzer '$other' (standard, english)")
     }
-    // an all-stopword english phrase analyzes to zero terms — the scan
-    // path's phraseLeg returns None (ES zero_terms_query "none": no
-    // hits, not an error); the indexed twin must mirror that, so the
-    // empty result keeps the (id, score) shape without reading postings
-    if (posTerms.isEmpty && effAnalyzer == "english")
+    // an all-stopword english phrase (or a blank whitespace/keyword
+    // one) analyzes to zero terms — the scan path's phraseLeg returns
+    // None (ES zero_terms_query "none": no hits, not an error); the
+    // indexed twin must mirror that, so the empty result keeps the
+    // (id, score) shape without reading postings
+    if (posTerms.isEmpty && effAnalyzer != "standard")
       return spark.read.parquet(s"$dir/postings")
         .select(col(idCol), lit(0.0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
@@ -889,7 +933,7 @@ object SearchIndex {
       .getOrElse(full.select(col(idCol)))
       .distinct()
     // the batch re-tokenizes with the INDEX's analysis chain — a
-    // generation can never mix standard and english postings
+    // generation can never mix analysis chains
     val newPost = postingsOf(full, meta.fields, idCol, meta.analyzer)
     val newLens = doclensOf(full, meta.fields, idCol, meta.analyzer)
     val oldPost = spark.read.parquet(s"$dir/postings")
@@ -1034,9 +1078,11 @@ object SearchIndex {
                        skipDuplicates: Boolean = false,
                        edits: Int = 0, fuzzyPrefixLength: Int = 1,
                        transpositions: Boolean = true,
-                       contexts: Seq[(String, Seq[String])] = Nil)
+                       contexts: Seq[(String, Seq[String])] = Nil,
+                       regex: Option[String] = None)
       : DataFrame = {
-    require(prefix.nonEmpty, "empty completion prefix")
+    require(regex.isDefined || prefix.nonEmpty,
+      "empty completion prefix")
     require(size >= 1 && size <= 100, "suggest size must be 1..100")
     val meta = readMeta(path)
     val dir = tableDir(path, meta)
@@ -1050,12 +1096,19 @@ object SearchIndex {
     // the fuzzy walk keeps the pushdown: the predicate's exact head
     // (first fuzzyPrefixLength chars; the WHOLE prefix at edits 0) is
     // a StartsWith the scan prunes row groups with, and the bounded
-    // substring-distance disjunction filters the survivors
+    // substring-distance disjunction filters the survivors. The REGEX
+    // form pushes NO prefix head (RLIKE is not a pushdown predicate):
+    // it filters the dictionary linearly — dictionary-sized, not
+    // corpus-sized, the same tier as the fuzzy path (ES's own
+    // regex-automaton FST intersection is likewise super-linear).
+    val inputPred = regex match {
+      case Some(re) => col("input_lc").rlike("^(?:" + re + ")")
+      case None => graft.serving.Search.completionPrefixPredicate(
+        col("input_lc"), prefix, edits, fuzzyPrefixLength,
+        transpositions)
+    }
     val hits0 = spark.read.parquet(s"$dir/inputs")
-      .filter(col("fid") === fidOf(field) &&
-        graft.serving.Search.completionPrefixPredicate(
-          col("input_lc"), prefix, edits, fuzzyPrefixLength,
-          transpositions))
+      .filter(col("fid") === fidOf(field) && inputPred)
     // CATEGORY contexts — each context name is a sibling indexed
     // field: its candidate ids come from the SAME dictionary with
     // `input IN (values)` pushed down (value-list-sized rows), and

@@ -196,12 +196,15 @@ class EsDslSpec extends SparkSpec {
     // per-term window wrongly admitted it). Doc 3 drifts test and
     // batch one late TOGETHER (adj +1, +1): span 1, so slop 1
     // matches — the budget charges the span, not the drift count.
-    // Pinned divergence vs ES: in-order alignments only (Lucene also
-    // admits transposed alignments within the budget from slop >= 2).
+    // Round 16: TRANSPOSED alignments within the budget — full parity
+    // with Lucene's SloppyPhraseMatcher (no in-order restriction).
+    // Doc 4 swaps test before run: adj (run@1 -> 1, test@0 -> -2,
+    // batch@2 -> -1) spans 3, so slop 3 admits it and slop 2 does not.
     val budgetDf = Seq(
       (1L, "run the test batch"),  // exact stop-gap offsets
       (2L, "run test x x batch"),  // test@1 (adj -1), batch@4 (adj +1)
-      (3L, "run a a test batch"))  // test@3 (adj +1), batch@4 (adj +1)
+      (3L, "run a a test batch"),  // test@3 (adj +1), batch@4 (adj +1)
+      (4L, "test run batch"))      // transposed: span 3
       .toDF("doc_id", "text")
     def budget(slop: Int) = EsDsl.search(budgetDf, mapper.readTree(
       s"""{"query": {"match_phrase": {"text": {"query":
@@ -211,6 +214,36 @@ class EsDslSpec extends SparkSpec {
     assert(budget(0) == Set(1L))
     assert(budget(1) == Set(1L, 3L))
     assert(budget(2) == Set(1L, 2L, 3L))
+    assert(budget(3) == Set(1L, 2L, 3L, 4L))
+    // dense transposition, the canonical ES example shape: "quick
+    // fox" matches "fox quick" at slop 2 (swap costs span 2), not at
+    // slop 1 — out-of-order placements price >= 2 by the span
+    // arithmetic alone, so low slops stay in-order with no case-split
+    val transDf = Seq(
+      (1L, "run test now"),   // in order, adjacent
+      (2L, "test run now"),   // transposed: span 2
+      (3L, "test x run"))     // transposed with a gap: span 3
+      .toDF("doc_id", "text")
+    def trans(slop: Int) = EsDsl.search(transDf, mapper.readTree(
+      s"""{"query": {"match_phrase": {"text": {"query":
+        "running tests", "analyzer": "english",
+        "slop": $slop}}}}"""))
+      .select("doc_id").as[Long].collect().toSet
+    assert(trans(0) == Set(1L))
+    assert(trans(1) == Set(1L))
+    assert(trans(2) == Set(1L, 2L))
+    assert(trans(3) == Set(1L, 2L, 3L))
+    // repeating terms keep Lucene's distinct-positions rule: "test
+    // test" needs TWO occurrences, at any slop
+    val repDf = Seq(
+      (1L, "test and test"),
+      (2L, "one test only")).toDF("doc_id", "text")
+    def rep(slop: Int) = EsDsl.search(repDf, mapper.readTree(
+      s"""{"query": {"match_phrase": {"text": {"query": "test test",
+        "slop": $slop}}}}"""))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep(1) == Set(1L))
+    assert(rep(4) == Set(1L))
   }
 
   test("whitespace and keyword query analyzers: case-kept splits / " +
@@ -1386,8 +1419,9 @@ class EsDslSpec extends SparkSpec {
     assert(cs.forall(_.getDouble(4) == 2.5))
   }
 
-  test("match_phrase slop: ordered proximity through the DSL — " +
-    "slop widens the match set, order stays required, negative rejects") {
+  test("match_phrase slop: sloppy proximity through the DSL — " +
+    "slop widens the match set, transposed alignments cost their " +
+    "adjusted span (Lucene parity), negative rejects") {
     // adjacency misses doc 4 ("batch batch window": gap 1, in order)
     val p0 = q("""{"query": {"match_phrase": {"text": "batch window"}},
       "size": 10}""").collect().map(_.getLong(0)).toSet
@@ -1399,10 +1433,16 @@ class EsDslSpec extends SparkSpec {
     val p0run = q("""{"query": {"match_phrase": {"text":
       {"query": "window run", "slop": 0}}}, "size": 10}""").collect()
     assert(p0run.isEmpty) // not adjacent anywhere
-    // order still required under slop
-    val rev = q("""{"query": {"match_phrase": {"text":
-      {"query": "run window", "slop": 3}}}, "size": 10}""").collect()
-    assert(rev.isEmpty)
+    // transposed alignment (round 16 — Lucene's SloppyPhraseMatcher):
+    // the reversed "run window" reaches doc 1's "window batch run"
+    // once the adjusted-position span fits — run@2 adj 2, window@0
+    // adj -1, span 3 — so slop 3 matches and slop 2 does not
+    assert(q("""{"query": {"match_phrase": {"text":
+      {"query": "run window", "slop": 2}}}, "size": 10}""")
+      .collect().isEmpty)
+    assert(q("""{"query": {"match_phrase": {"text":
+      {"query": "run window", "slop": 3}}}, "size": 10}""")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
     val e = intercept[IllegalArgumentException] {
       q("""{"query": {"match_phrase": {"text":
         {"query": "a b", "slop": -1}}}}""")
@@ -3298,8 +3338,8 @@ class EsDslSpec extends SparkSpec {
     "case-folded prefix, weightless score 1.0, surface-form then id " +
     "order, skip_duplicates collapses repeated values, FUZZY " +
     "prefixes within the edit budget (AUTO on the prefix, min_length " +
-    "gate, exact head, transpositions knob); regex and stray keys " +
-    "reject by name") {
+    "gate, exact head, transpositions knob), REGEX form anchored at " +
+    "the input's start; stray keys reject by name") {
     import spark.implicits._
     val df = Seq(
       (1L, "Window functions"),
@@ -3375,6 +3415,22 @@ class EsDslSpec extends SparkSpec {
     assert(sugg("""{"suggest": {"ac": {"prefix": "wimd",
         "completion": {"field": "text", "fuzzy":
         {"fuzziness": 1, "prefix_length": 9}}}}}""").isEmpty)
+    // REGEX completion (round 16 — ES's third input form): the
+    // pattern matches from the START of the case-folded input with an
+    // open end (any continuation completes); "windm?ill" has an
+    // optional char, "w.*gg" needs the literal tail INSIDE the value
+    assert(sugg("""{"suggest": {"ac": {"regex": "windm.l+",
+        "completion": {"field": "text", "size": 10}}}}""")
+      .map(_._1).toSet == Set(4L, 7L))
+    assert(sugg("""{"suggest": {"ac": {"regex": "window (f|a)",
+        "completion": {"field": "text", "size": 10}}}}""")
+      .map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(sugg("""{"suggest": {"ac": {"regex": "zzz.*",
+        "completion": {"field": "text"}}}}""").isEmpty)
+    // ... with skip_duplicates and size riding unchanged
+    assert(sugg("""{"suggest": {"ac": {"regex": "windmill",
+        "completion": {"field": "text",
+        "skip_duplicates": true}}}}""") == Seq((4L, "windmill", 1.0)))
     // CATEGORY contexts: a context name is a sibling column; names
     // intersect, values union, object entries carry "context" only
     val cdf = Seq(
@@ -3404,7 +3460,15 @@ class EsDslSpec extends SparkSpec {
         {"field": "text", "fuzzy": {"unicode_aware": true}}}}}""",
       """{"suggest": {"ac": {"prefix": "w", "completion":
         {"field": "text", "fuzzy": {"fuzziness": "3"}}}}}""",
+      """{"suggest": {"ac": {"regex": "w.*", "prefix": "w",
+        "completion": {"field": "text"}}}}""",
       """{"suggest": {"ac": {"regex": "w.*", "completion":
+        {"field": "text", "fuzzy": {"fuzziness": 1}}}}}""",
+      """{"suggest": {"ac": {"regex": "", "completion":
+        {"field": "text"}}}}""",
+      """{"suggest": {"ac": {"regex": "a~b", "completion":
+        {"field": "text"}}}}""",
+      """{"suggest": {"ac": {"regex": {"value": "w.*"}, "completion":
         {"field": "text"}}}}""",
       """{"suggest": {"ac": {"prefix": "", "completion":
         {"field": "text"}}}}""",

@@ -158,6 +158,24 @@ class SearchIndexSpec extends SparkSpec {
         s"fuzzy completion '$p' (f=$f, tr=$tr) diverged\n$a\nvs\n$b")
       if (p == "wnidmill" && tr) assert(a.nonEmpty)
     }
+    // REGEX parity (round 16): the pattern anchors at the input's
+    // start with an open end, on both routes — scan twin and probe
+    // identical; contexts still gate
+    for (re <- Seq("windm.l+", "window (f|a)", "w[io]nd", "zzz")) {
+      val a = sortedRows(graft.serving.EsDsl.completionSuggest(
+        onDisk, om.readTree(s"""{"ac": {"regex": "$re", "completion":
+          {"field": "text", "size": 10}}}""")))
+      val b = sortedRows(SearchIndex.completionRanked(spark, path,
+        "", "text", size = 10, regex = Some(re)))
+      assert(a == b, s"regex completion '$re' diverged\n$a\nvs\n$b")
+    }
+    assert(sortedRows(SearchIndex.completionRanked(spark, path,
+        "", "text", size = 10, regex = Some("wind.*"),
+        contexts = Seq("source" -> Seq("alpha")))) ==
+      sortedRows(graft.serving.EsDsl.completionSuggest(onDisk,
+        om.readTree("""{"ac": {"regex": "wind.*", "completion":
+          {"field": "text", "size": 10, "contexts":
+          {"source": ["alpha"]}}}}"""))))
     // plan: the probe reads ONLY the inputs dictionary, with the
     // case-folded prefix pushed as StartsWith — the FST-walk analog
     val probe = SearchIndex.completionRanked(spark, path, "Wind",
@@ -351,6 +369,112 @@ class SearchIndexSpec extends SparkSpec {
         Seq("text")).collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
+  test("index-time whitespace analyzer: case and punctuation KEPT at " +
+    "write time, queries analyze with the field's chain, phrases ride " +
+    "whitespace positions; upsert == rebuild") {
+    import org.apache.spark.sql.functions.col
+    val wdocs = Seq(
+      (1L, "Spark SQL window"),   // case kept: 'Spark' != 'spark'
+      (2L, "spark sql  Window,"), // run of spaces; trailing comma KEPT
+      (3L, "spark window"),
+      (4L, null.asInstanceOf[String])) // null: no postings, null dl
+      .toDF("doc_id", "text")
+    val ws = tmp("graft-idx-ws-")
+    SearchIndex.build(wdocs, Seq("text"), "doc_id", ws,
+      analyzer = "whitespace")
+    assert(SearchIndex.readMeta(ws).analyzer == "whitespace")
+    val post = spark.read.parquet(s"${tdir(ws)}/postings")
+    // doc 2: whitespace runs collapse, the comma stays on the token
+    val d2 = post.filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
+    assert(d2 == Set(("spark", Seq(0), 3), ("sql", Seq(1), 3),
+      ("Window,", Seq(2), 3)), d2.toString)
+    assert(post.filter(col("doc_id") === 4L).count() == 0)
+    // the query keeps case too (ES whitespace analyzer does not
+    // lowercase): 'Spark' hits doc 1 only; 'spark' docs 2 and 3; the
+    // standard index of the same corpus folds them together
+    def ids(q: String): Set[Long] =
+      SearchIndex.ranked(spark, ws, q, Seq("text"))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("Spark") == Set(1L))
+    assert(ids("spark") == Set(2L, 3L))
+    assert(ids("Window,") == Set(2L))
+    val std = tmp("graft-idx-ws-std-")
+    SearchIndex.build(wdocs, Seq("text"), "doc_id", std)
+    assert(SearchIndex.ranked(spark, std, "Spark", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // phrases position-join the whitespace stream, case-exact
+    def phr(q: String): Set[Long] =
+      SearchIndex.phraseRanked(spark, ws, q, Seq("text"))
+        .collect().map(_.getLong(0)).toSet
+    assert(phr("Spark SQL") == Set(1L))
+    assert(phr("spark sql") == Set(2L))
+    assert(phr("spark window") == Set(3L))
+    // blank query: zero terms -> zero hits, not an error
+    assert(SearchIndex.phraseRanked(spark, ws, "  ", Seq("text"))
+      .count() == 0)
+    // upsert re-tokenizes with the index's chain == full rebuild
+    val v2 = Seq((3L, "SPARK Window"), (9L, "new Spark doc"))
+      .toDF("doc_id", "text")
+    SearchIndex.upsert(v2, ws)
+    val reb = tmp("graft-idx-ws-reb-")
+    SearchIndex.build(wdocs.filter(col("doc_id") =!= 3L).unionByName(v2),
+      Seq("text"), "doc_id", reb, analyzer = "whitespace")
+    for (t <- Seq("postings", "doclens", "inputs", "termstats",
+        "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(ws)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"whitespace $t diverged after upsert\n$a\nvs\n$b")
+    }
+    assert(ids("SPARK") == Set(3L))
+  }
+
+  test("index-time keyword analyzer: the whole field value is ONE " +
+    "term (case and spaces kept, dl 1), match needs the exact value; " +
+    "upsert == rebuild") {
+    import org.apache.spark.sql.functions.col
+    val kdocs = Seq(
+      (1L, "src3"),
+      (2L, "src3 extra"),  // spaces kept: a DIFFERENT single term
+      (3L, "SRC3"),        // case kept
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val kw = tmp("graft-idx-kw-")
+    SearchIndex.build(kdocs, Seq("source"), "doc_id", kw,
+      analyzer = "keyword")
+    assert(SearchIndex.readMeta(kw).analyzer == "keyword")
+    val post = spark.read.parquet(s"${tdir(kw)}/postings")
+    val d2 = post.filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
+    assert(d2 == Set(("src3 extra", Seq(0), 1)), d2.toString)
+    assert(post.filter(col("doc_id") === 4L).count() == 0)
+    // the query is ONE whole-value term under the field's chain
+    def ids(q: String): Set[Long] =
+      SearchIndex.ranked(spark, kw, q, Seq("source"))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("src3") == Set(1L))
+    assert(ids("src3 extra") == Set(2L))
+    assert(ids("SRC3") == Set(3L))
+    assert(ids("src") == Set.empty)
+    // upsert re-tokenizes with the index's chain == full rebuild
+    val v2 = Seq((1L, "src9"), (9L, "multi word value"))
+      .toDF("doc_id", "source")
+    SearchIndex.upsert(v2, kw)
+    val reb = tmp("graft-idx-kw-reb-")
+    SearchIndex.build(kdocs.filter(col("doc_id") =!= 1L).unionByName(v2),
+      Seq("source"), "doc_id", reb, analyzer = "keyword")
+    for (t <- Seq("postings", "doclens", "inputs", "termstats",
+        "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(kw)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"keyword $t diverged after upsert\n$a\nvs\n$b")
+    }
+    assert(ids("multi word value") == Set(9L))
+    assert(ids("src9") == Set(1L))
+  }
+
   test("upsert with deletes: dropped docs leave through the same " +
     "integer-delta machinery — tables and probes equal a rebuild") {
     val v2new = Seq((3L, "batch of batch window", "src9"))
@@ -489,7 +613,8 @@ class SearchIndexSpec extends SparkSpec {
                                        // shared budget 2, NOT slop 1
       (6L, "run a a test batch"),      // tail drifts together: span 1
       (7L, "run the test batch"),      // exact 3-stem offsets
-      (8L, "no match here")
+      (8L, "no match here"),
+      (9L, "window sort")              // TRANSPOSED stems: adj span 3
     ).toDF("doc_id", "text")
     val path = tmp("graft-idx-eng-")
     SearchIndex.build(pdocs, Seq("text"), "doc_id", path)
@@ -510,7 +635,7 @@ class SearchIndexSpec extends SparkSpec {
     // scan twin (gappedPhraseCount / gappedSlopCount) counts DISTINCT
     // HEADS, so pf = 2 there — a greedy non-overlap fold on the index
     // side would score it differently and fail this parity.
-    for (slop <- Seq(0, 1, 2);
+    for (slop <- Seq(0, 1, 2, 3);
          q <- Seq("sorted the windows", "running the tests batched")) {
       val (sc, pr) = (scan(q, slop), probe(q, slop))
       assert(pr == sc, s"'$q' slop=$slop diverged\n$sc\nvs\n$pr")
@@ -526,6 +651,12 @@ class SearchIndexSpec extends SparkSpec {
     assert(!ids(probe(q3, 1)).contains(5L) &&
       ids(probe(q3, 2)).contains(5L), "shared budget violated")
     assert(ids(probe(q3, 1)).contains(6L))
+    // transposed stems (round 16): doc 9 reverses (sort@0, window@2)
+    // — its adjusted span is 3 (window@0 adj -2, sort@1 adj 1), so
+    // slop 3 admits it on BOTH routes and slop 2 does not
+    val q2 = "sorted the windows"
+    assert(!ids(probe(q2, 2)).contains(9L) &&
+      ids(probe(q2, 3)).contains(9L), "transposed alignment missing")
     // an all-stopword english phrase is zero hits, not an error —
     // mirroring the scan path's zero_terms_query "none"
     assert(SearchIndex.phraseRanked(spark, path, "the it was",

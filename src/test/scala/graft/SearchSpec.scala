@@ -77,13 +77,14 @@ class SearchSpec extends SparkSpec {
     assert(out.head.getAs[Int]("score") == 2)
   }
 
-  test("slopPhrase: ordered proximity — gap sum bounded by slop, " +
-    "order still required, slop=0 equals exact adjacency") {
+  test("slopPhrase: sloppy proximity — the adjusted-position span is " +
+    "bounded by slop (transposed alignments included, Lucene " +
+    "parity), slop=0 equals exact adjacency") {
     val d = Seq(
       (1L, "the window opens"),        // adjacent: matches any slop
       (2L, "the big window"),          // gap 1: needs slop >= 1
       (3L, "the very big window"),     // gap 2: needs slop >= 2
-      (4L, "window the"),              // wrong order: never matches
+      (4L, "window the"),              // TRANSPOSED: span 2 (r16)
       (5L, "the big window the big window"), // two sloppy starts, 0 adjacent
       (6L, "quick brown the fox lazy window dog") // gap 2 mid-sentence
     ).toDF("doc_id", "text")
@@ -91,8 +92,11 @@ class SearchSpec extends SparkSpec {
       slop).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids(0) == Set(1L))
     assert(ids(1) == Set(1L, 2L, 5L))
-    assert(ids(2) == Set(1L, 2L, 3L, 5L, 6L))
-    // score = count of start positions admitting a match
+    // doc 4's swap costs exactly its span: the@1 adj 1, window@0
+    // adj -1 — out-of-order placements price >= 2, so it appears at
+    // slop 2 and never at slop 1 (ES's "fox quick" for "quick fox")
+    assert(ids(2) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // score = count of head positions admitting a match
     val s2 = Search.slopPhrase(d, "the window", Seq("text"), 2)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Int]("score")).toMap
@@ -100,19 +104,21 @@ class SearchSpec extends SparkSpec {
     assert(s2(1L) == 1)
   }
 
-  test("slopPhrase: 3-term window is anchored at the FIRST term — the " +
-    "total gap budget is shared, not per-adjacent-pair") {
+  test("slopPhrase: 3-term matches spend ONE shared budget — the span " +
+    "of adjusted positions, not per-adjacent-pair gaps; a " +
+    "transposition is priced by the same span") {
     val d = Seq(
       (1L, "a x b y c"),   // gaps 1+1 = 2: needs slop >= 2
       (2L, "a b x x c"),   // gaps 0+2 = 2: needs slop >= 2
       (3L, "a x x b y c"), // gaps 2+1 = 3: needs slop >= 3
-      (4L, "a c b")        // order violated
+      (4L, "a c b")        // b/c transposed: span 2 (r16)
     ).toDF("doc_id", "text")
     def ids(slop: Int) = Search.slopPhrase(d, "a b c", Seq("text"), slop)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids(1) == Set())
-    assert(ids(2) == Set(1L, 2L))
-    assert(ids(3) == Set(1L, 2L, 3L))
+    // doc 4's swap: a@0 adj 0, b@2 adj 1, c@1 adj -1 — span 2
+    assert(ids(2) == Set(1L, 2L, 4L))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L))
   }
 
   test("multiFieldFuzzy knobs: prefix_length exempts the prefix from " +
