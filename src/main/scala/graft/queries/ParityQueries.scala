@@ -2745,7 +2745,27 @@ object ParityQueries {
     "q7_esdsl_completion_contexts_indexed" -> ((s, dir) =>
       graft.sinks.SearchIndex.completionRanked(
         s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
-        size = 10, contexts = Seq("lang" -> Seq("en", "fr")))),
+        size = 10,
+        contexts = Seq("lang" -> Seq("en" -> 1.0, "fr" -> 1.0)))),
+
+    // BOOSTED category contexts (round 16): a matched
+    // `{"context": ..., "boost": ...}` entry multiplies the option's
+    // weightless 1.0 — 'en' options score 2.0 and outrank the 'fr'
+    // ones (several matching contexts would take the max, ES's
+    // documented multi-context scoring).
+    "q7_esdsl_completion_context_boost" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "wind",
+          |  "completion": {"field": "text", "size": 10,
+          |  "contexts": {"lang": [{"context": "en", "boost": 2},
+          |               "fr"]}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+    "q7_esdsl_completion_context_boost_indexed" -> ((s, dir) =>
+      graft.sinks.SearchIndex.completionRanked(
+        s, s"${searchIndexRoot(s, dir)}/documents", "wind", "text",
+        size = 10,
+        contexts = Seq("lang" -> Seq("en" -> 2.0, "fr" -> 1.0)))),
 
     // REGEX completion (round 16 — ES's third completion input
     // form): the pattern matches from the START of the case-folded
@@ -5344,6 +5364,18 @@ object ParityQueries {
        "FROM documents WHERE lower(text) LIKE 'wind%' " +
        "AND lang IN ('en', 'fr') " +
        "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_context_boost" ->
+      ("SELECT doc_id, text AS suggestion, " +
+       "CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "AND lang IN ('en', 'fr') " +
+       "ORDER BY score DESC, suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_context_boost_indexed" ->
+      ("SELECT doc_id, text AS suggestion, " +
+       "CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END AS score " +
+       "FROM documents WHERE lower(text) LIKE 'wind%' " +
+       "AND lang IN ('en', 'fr') " +
+       "ORDER BY score DESC, suggestion, doc_id LIMIT 10"),
     "q7_esdsl_completion_regex" ->
       ("SELECT doc_id, text AS suggestion, 1.0 AS score " +
        "FROM documents WHERE regexp_matches(lower(text), " +

@@ -1015,7 +1015,7 @@ object EsDsl {
       field: String, prefix: String, size: Int, skipDuplicates: Boolean,
       edits: Int = 0, fuzzyPrefixLength: Int = 1,
       transpositions: Boolean = true,
-      contexts: Seq[(String, Seq[String])] = Nil,
+      contexts: Seq[(String, Seq[(String, Double)])] = Nil,
       regex: Option[String] = None)
 
   private[graft] def parseCompletionSuggest(
@@ -1113,10 +1113,13 @@ object EsDsl {
     // sibling column (the mapping layer derives everything from the
     // schema): an option must hold one of the listed values there.
     // Several context names intersect (ES: every context type must
-    // match); values within one name union. Entries are strings or
-    // ES's `{"context": ...}` objects — boosted and geo contexts are
-    // not modeled and reject by name.
-    val contexts: Seq[(String, Seq[String])] =
+    // match); values within one name union. Entries are strings
+    // (boost 1) or ES's `{"context": ..., "boost": ...}` objects —
+    // a matched boosted entry multiplies the option's weightless 1.0,
+    // and when several contexts match the option takes the MAXIMUM
+    // (ES's documented multi-context scoring). Geo contexts are not
+    // modeled and reject by name (any key beyond context/boost).
+    val contexts: Seq[(String, Seq[(String, Double)])] =
       Option(cp.get("contexts")).map { cn =>
         if (!cn.isObject) bad("contexts must be an object")
         val names = keysOf(cn)
@@ -1127,16 +1130,23 @@ object EsDsl {
             bad(s"context '$name' needs a non-empty array")
           name -> (0 until v.size).map { i =>
             val e = v.get(i)
-            if (e.isTextual) e.asText
+            if (e.isTextual) (e.asText, 1.0)
             else if (e.isObject) {
-              val unknownE = keysOf(e).filterNot(_ == "context")
+              val unknownE = keysOf(e)
+                .filterNot(Set("context", "boost"))
               if (unknownE.nonEmpty)
                 bad(s"unsupported context key" +
                   s"${if (unknownE.size == 1) "" else "s"}: " +
-                  s"${unknownE.mkString(", ")} (boosted and geo " +
-                  "contexts are not modeled)")
-              Option(e.get("context")).map(_.asText)
+                  s"${unknownE.mkString(", ")} (geo contexts are " +
+                  "not modeled)")
+              val cv = Option(e.get("context")).map(_.asText)
                 .getOrElse(bad("context object needs \"context\""))
+              val b = Option(e.get("boost")).map { n =>
+                if (!n.isNumber || n.asDouble <= 0)
+                  bad("context boost must be a positive number")
+                n.asDouble
+              }.getOrElse(1.0)
+              (cv, b)
             } else bad("context entries are strings or " +
               "{\"context\": ...} objects")
           }
@@ -1156,9 +1166,12 @@ object EsDsl {
     * so an option is a document whose VALUE starts with the typed
     * prefix, case-folded like ES's default `simple` completion
     * analyzer. Weightless inputs score 1.0 (ES's contract for inputs
-    * indexed without a weight) and options rank by surface form then
-    * id — the FST's term-order traversal; `skip_duplicates` keeps the
-    * lowest-id option per distinct value. FUZZY completion (`fuzzy`
+    * indexed without a weight), times the matched BOOSTED context's
+    * boost when one applies (max across matching contexts — ES's
+    * documented multi-context scoring); options rank by score then
+    * surface form then id — the FST's term-order traversal;
+    * `skip_duplicates` keeps the best-scoring (then lowest-id) option
+    * per distinct value. FUZZY completion (`fuzzy`
     * true or an object) matches inputs some PREFIX of which lies
     * within `fuzziness` edits of the typed prefix
     * ([[graft.serving.Search.completionPrefixPredicate]] — ES's
@@ -1182,8 +1195,19 @@ object EsDsl {
       if (!df.columns.contains(cf)) bad(s"unknown context '$cf'") }
     val ctxPred = sp.contexts
       .map { case (cf, vals) =>
-        col(cf).cast("string").isInCollection(vals) }
+        col(cf).cast("string").isInCollection(vals.map(_._1)) }
       .reduceOption(_ && _).getOrElse(lit(true))
+    // an option's score is its weightless 1.0 times the matched
+    // entry's boost; several matching contexts take the MAX (ES's
+    // documented multi-context scoring). greatest() skips the nulls
+    // of non-matching entries; ctxPred guarantees one entry per name
+    // matches.
+    val scoreCol = sp.contexts
+      .map { case (cf, vals) =>
+        vals.map { case (v, b) =>
+          when(col(cf).cast("string") === v, lit(b)) }
+          .reduce((a, b) => greatest(a, b)) }
+      .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(1.0))
     // the regex form matches from the START of the case-folded input
     // with an open end (the FST-regex intersection: any continuation
     // completes); the pattern is taken verbatim against the LOWERCASED
@@ -1194,13 +1218,21 @@ object EsDsl {
         sp.prefix, sp.edits, sp.fuzzyPrefixLength, sp.transpositions)
     }
     val hits = df.filter(col(sp.field).isNotNull && ctxPred && inputPred)
+      .select(col(idCol), col(sp.field).as("suggestion"),
+        scoreCol.cast("double").as("score"))
     val opts =
-      if (!sp.skipDuplicates)
-        hits.select(col(idCol), col(sp.field).as("suggestion"))
-      else hits.groupBy(col(sp.field).as("suggestion"))
-        .agg(min(col(idCol)).as(idCol))
-        .select(col(idCol), col("suggestion"))
-    opts.select(col(idCol), col("suggestion"), lit(1.0).as("score"))
+      if (!sp.skipDuplicates) hits
+      else {
+        // skip_duplicates keeps the BEST-scoring option per distinct
+        // value (ES), id breaking ties — with unboosted contexts this
+        // is exactly the old lowest-id pick
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("suggestion"))
+          .orderBy(col("score").desc, col(idCol).asc)
+        hits.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    opts.select(col(idCol), col("suggestion"), col("score"))
       .orderBy(col("score").desc, col("suggestion").asc, col(idCol).asc)
       .limit(sp.size)
   }
@@ -5259,25 +5291,34 @@ object EsDsl {
     * tails. */
   private def percentileCols(f: String, mSpec: JsonNode,
                              named: Seq[(Double, String)]): Seq[Column] =
-    Option(mSpec.get("tdigest")) match {
+    tdigestAccuracy(mSpec) match {
       case None =>
         named.map { case (p, nm) =>
           expr(s"percentile(`$f`, ${p / 100.0}d)").as(nm) }
-      case Some(td) =>
-        if (!td.isObject) bad("tdigest must be an object")
-        val unknown = keysOf(td).filterNot(_ == "compression")
-        if (unknown.nonEmpty)
-          bad(s"unsupported tdigest key${
-            if (unknown.size == 1) "" else "s"}: ${
-            unknown.mkString(", ")}")
-        val comp = Option(td.get("compression")).map(_.asDouble)
-          .getOrElse(100.0)
-        if (comp < 20 || comp > 10000)
-          bad("tdigest compression must be in 20..10000")
-        val acc = math.max(100L, math.min(100000L, (comp * 100).toLong))
+      case Some(acc) =>
         named.map { case (p, nm) =>
           expr(s"approx_percentile(CAST(`$f` AS DOUBLE), ${
             p / 100.0}d, ${acc}L)").cast("double").as(nm) }
+    }
+
+  /** The `tdigest` knob, validated: None without the knob, the
+    * mergeable-quantile-sketch accuracy (`compression × 100`, ES's
+    * default compression 100 = Spark's default accuracy 10000; rank
+    * error <= 1/accuracy) with it. Shared by `percentiles`, `boxplot`
+    * and `percentile_ranks`. */
+  private def tdigestAccuracy(mSpec: JsonNode): Option[Long] =
+    Option(mSpec.get("tdigest")).map { td =>
+      if (!td.isObject) bad("tdigest must be an object")
+      val unknown = keysOf(td).filterNot(_ == "compression")
+      if (unknown.nonEmpty)
+        bad(s"unsupported tdigest key${
+          if (unknown.size == 1) "" else "s"}: ${
+          unknown.mkString(", ")}")
+      val comp = Option(td.get("compression")).map(_.asDouble)
+        .getOrElse(100.0)
+      if (comp < 20 || comp > 10000)
+        bad("tdigest compression must be in 20..10000")
+      math.max(100L, math.min(100000L, (comp * 100).toLong))
     }
 
   /** Per-kind KNOWN-KEY inventory for the aggregation surface. A body
@@ -5318,7 +5359,7 @@ object EsDsl {
     "significant_text" -> Set("field", "size"),
     "rare_terms" -> Set("field", "max_doc_count"),
     "top_metrics" -> Set("metrics", "sort", "size"),
-    "boxplot" -> Set("field"),
+    "boxplot" -> Set("field", "tdigest"),
     "t_test" -> Set("a", "b", "type"),
     "children" -> Set("type"),
     "parent" -> Set("type"),
@@ -5335,7 +5376,7 @@ object EsDsl {
     "stats" -> Set("field"),
     "extended_stats" -> Set("field", "sigma"),
     "percentiles" -> Set("field", "percents", "tdigest"),
-    "percentile_ranks" -> Set("field", "values"),
+    "percentile_ranks" -> Set("field", "values", "tdigest"),
     "weighted_avg" -> Set("value", "weight"),
     "top_hits" -> Set("size", "sort", "_source"),
     "cumulative_sum" -> Set("buckets_path"),
@@ -5646,7 +5687,15 @@ object EsDsl {
       case "percentile_ranks" =>
         // EXACT: percent of non-null values <= x (ES's TDigest is
         // approximate); flattened to `<name>_p<value>` like
-        // percentiles
+        // percentiles. The `tdigest` knob is VALIDATED and then
+        // answered exactly — unlike percentiles (full sort) or
+        // cardinality (distinct hash table), the exact rank is
+        // already a constant-memory streaming aggregate (one
+        // conditional counter per query value), so the sketch's
+        // memory/accuracy trade buys nothing here: honoring it by
+        // approximating would spend MORE memory for LESS accuracy.
+        // Exact trivially meets the <= 1/accuracy rank-error bound.
+        val _ = tdigestAccuracy(mSpec)
         val f = Option(mSpec.get("field")).map(_.asText)
           .getOrElse(bad("percentile_ranks needs \"field\""))
         val vs = Option(mSpec.get("values")).filter(_.isArray)
@@ -6001,7 +6050,13 @@ object EsDsl {
             // one hash agg, a window collect + flatten + sort, then
             // the SAME linear interpolation the sibling percentiles
             // metric uses (exact where ES is approximate, the
-            // documented `percentiles` deviation). Unlike moving_fn,
+            // documented `percentiles` deviation). A sibling carrying
+            // the `tdigest` knob is ACCEPTED (ES's approximation
+            // rides the sibling — moving_percentiles itself has no
+            // tdigest key): the sibling's own columns go approximate,
+            // while the moving recompute stays the exact tier —
+            // exact subsumes the merged-sketch accuracy, spec-pinned.
+            // Unlike moving_fn,
             // ES's window here INCLUDES the current bucket: shift
             // defaults to 1, so the frame is the trailing `window`
             // buckets ending at the current one.
@@ -7358,19 +7413,29 @@ object EsDsl {
       case "boxplot" =>
         // ES boxplot: min/max/q1/q2/q3 plus the IQR whiskers (nearest
         // data points inside q1−1.5·IQR .. q3+1.5·IQR). EXACT
-        // interpolated quartiles (ES's TDigest is approximate), then
-        // one conditional pass for the whiskers — two scans, both
-        // simple aggregations; every post-aggregation value is a
-        // fixed IEEE op DAG (mirrored by the oracle).
+        // interpolated quartiles by default (ES's TDigest is
+        // approximate); a `tdigest` object opts the QUARTILES into
+        // the mergeable quantile sketch like the percentiles metric
+        // (min/max stay exact — they are in ES too), and the whisker
+        // pass then bounds on the approximate quartiles, exactly how
+        // ES derives whiskers from its sketch. Two scans, both simple
+        // aggregations; every post-aggregation value is a fixed IEEE
+        // op DAG (mirrored by the oracle on the exact tier).
         val bx = spec.get("boxplot")
         val f = Option(bx.get("field")).map(_.asText)
           .getOrElse(bad("boxplot agg needs \"field\""))
         val c = col(f)
+        def quart(p: Double): Column = tdigestAccuracy(bx) match {
+          case None => expr(s"percentile(`$f`, ${p}d)")
+          case Some(acc) => expr(
+            s"approx_percentile(CAST(`$f` AS DOUBLE), ${p}d, ${acc}L)")
+            .cast("double")
+        }
         val q = df.agg(
           min(c).as("_min"), max(c).as("_max"),
-          expr(s"percentile(`$f`, 0.25d)").as("_q1"),
-          expr(s"percentile(`$f`, 0.5d)").as("_q2"),
-          expr(s"percentile(`$f`, 0.75d)").as("_q3"))
+          quart(0.25).as("_q1"),
+          quart(0.5).as("_q2"),
+          quart(0.75).as("_q3"))
         val loB = col("_q1") - lit(1.5) * (col("_q3") - col("_q1"))
         val hiB = col("_q3") + lit(1.5) * (col("_q3") - col("_q1"))
         df.crossJoin(broadcast(q)).agg(

@@ -1078,7 +1078,8 @@ object SearchIndex {
                        skipDuplicates: Boolean = false,
                        edits: Int = 0, fuzzyPrefixLength: Int = 1,
                        transpositions: Boolean = true,
-                       contexts: Seq[(String, Seq[String])] = Nil,
+                       contexts: Seq[(String, Seq[(String, Double)])] =
+                         Nil,
                        regex: Option[String] = None)
       : DataFrame = {
     require(regex.isDefined || prefix.nonEmpty,
@@ -1112,22 +1113,43 @@ object SearchIndex {
     // CATEGORY contexts — each context name is a sibling indexed
     // field: its candidate ids come from the SAME dictionary with
     // `input IN (values)` pushed down (value-list-sized rows), and
-    // gate the prefix hits by LEFT SEMI join. Both sides are pruned
-    // scans; nothing corpus-sized moves.
-    val hits = contexts.foldLeft(hits0) { case (h, (cf, vals)) =>
-      h.join(spark.read.parquet(s"$dir/inputs")
-          .filter(col("fid") === fidOf(cf) &&
-            col("input").isInCollection(vals))
-          .select(col(idCol)),
-        Seq(idCol), "left_semi")
+    // gate the prefix hits by join — carrying the matched entry's
+    // BOOST as a column. Both sides are pruned scans; nothing
+    // corpus-sized moves.
+    val hits1 = contexts.zipWithIndex.foldLeft(
+      hits0.select(col(idCol), col("input"))) {
+      case (h, ((cf, vals), i)) =>
+        val b = vals.map { case (v, bo) =>
+          when(col("input") === v, lit(bo)) }
+          .reduce((a, x) => greatest(a, x))
+        h.join(spark.read.parquet(s"$dir/inputs")
+            .filter(col("fid") === fidOf(cf) &&
+              col("input").isInCollection(vals.map(_._1)))
+            .select(col(idCol), b.as(s"__b$i")),
+          Seq(idCol), "inner")
     }
+    // score = weightless 1.0 times the matched boost; several
+    // matching contexts take the MAX (ES's multi-context scoring) —
+    // identical to the scan twin's scoreCol
+    val scoreCol =
+      if (contexts.isEmpty) lit(1.0)
+      else contexts.indices.map(i => col(s"__b$i"))
+        .reduce((a, b) => greatest(a, b))
+    val hits = hits1
+      .select(col(idCol), col("input").as("suggestion"),
+        scoreCol.cast("double").as("score"))
     val opts =
-      if (!skipDuplicates)
-        hits.select(col(idCol), col("input").as("suggestion"))
-      else hits.groupBy(col("input").as("suggestion"))
-        .agg(min(col(idCol)).as(idCol))
-        .select(col(idCol), col("suggestion"))
-    opts.select(col(idCol), col("suggestion"), lit(1.0).as("score"))
+      if (!skipDuplicates) hits
+      else {
+        // best-scoring (then lowest-id) option per distinct value —
+        // the scan twin's skip_duplicates pick
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("suggestion"))
+          .orderBy(col("score").desc, col(idCol).asc)
+        hits.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    opts.select(col(idCol), col("suggestion"), col("score"))
       .orderBy(col("score").desc, col("suggestion").asc, col(idCol).asc)
       .limit(size)
   }

@@ -3449,7 +3449,24 @@ class EsDslSpec extends SparkSpec {
     assert(csugg("""{"lang": ["en"], "source": ["docs"]}""") ==
       Set(1L))
     assert(csugg("""{"lang": [{"context": "fr"}]}""") == Set(2L))
-    for (ctx <- Seq("""{"lang": [{"context": "fr", "boost": 2}]}""",
+    // BOOSTED entries (round 16): the matched boost multiplies the
+    // weightless 1.0; several matching contexts take the MAX (ES's
+    // multi-context scoring) — here the doc matches lang=en (boost 3)
+    // and source=docs (boost 2), so it scores 3.0 and en outranks fr
+    val boosted = EsDsl.search(cdf, mapper.readTree(
+      """{"suggest": {"ac": {"prefix": "wind", "completion":
+        {"field": "text", "size": 10, "contexts":
+        {"lang": [{"context": "en", "boost": 3}, "fr"],
+         "source": [{"context": "docs", "boost": 2},
+                    {"context": "blog"}]}}}}}"""))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(boosted.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 3.0, 2L -> 2.0, 3L -> 3.0), boosted.toString)
+    assert(boosted.head._3 == 3.0, "score must lead the rank")
+    for (ctx <- Seq(
+        """{"lang": [{"context": "fr", "boost": 0}]}""",
+        """{"lang": [{"context": "fr", "boost": "x"}]}""",
+        """{"lang": [{"context": "fr", "precision": 2}]}""",
         """{"nope": ["x"]}""", """{"lang": []}""", """{}"""))
       intercept[IllegalArgumentException] { csugg(ctx) }
     // knobs this engine does not model reject BY NAME
@@ -3484,9 +3501,12 @@ class EsDslSpec extends SparkSpec {
 
   test("approximate-sketch knobs: cardinality precision_threshold " +
     "opts into the HLL sketch at ES's register budget (error-" +
-    "bounded); percentiles tdigest opts into the mergeable quantile " +
-    "sketch (rank-error-bounded); without the knobs both stay EXACT " +
-    "(the oracle tier); bad knob values reject by name") {
+    "bounded); percentiles AND boxplot tdigest opt into the " +
+    "mergeable quantile sketch (rank-error-bounded, boxplot min/max " +
+    "stay exact); percentile_ranks tdigest validates then answers " +
+    "exactly; a tdigest sibling feeds moving_percentiles; without " +
+    "the knobs all stay EXACT (the oracle tier); bad knob values " +
+    "reject by name") {
     val df = spark.range(20000L).select(
       col("id").as("doc_id"),
       (col("id") % 17000L).as("v"),
@@ -3528,6 +3548,51 @@ class EsDslSpec extends SparkSpec {
       "size": 0}""").getAs[Double]("q_p50")
     assert(math.abs(ap - 9999.5) <= 20.0,
       s"approx p50 $ap outside the rank-error band")
+    // boxplot tdigest (round 16): the QUARTILES ride the same sketch
+    // at the same accuracy (rank error <= 1/accuracy); min/max stay
+    // exact like ES's
+    val bxe = one("""{"query": {"match_all": {}}, "aggs": {"b": {"boxplot": {"field": "x"}}},
+      "size": 0}""")
+    assert(bxe.getAs[Double]("b_q2") == 9999.5 &&
+      bxe.getAs[Double]("b_min") == 0.0 &&
+      bxe.getAs[Double]("b_max") == 19999.0)
+    val bxa = one("""{"query": {"match_all": {}}, "aggs": {"b": {"boxplot": {"field": "x",
+      "tdigest": {"compression": 100}}}}, "size": 0}""")
+    assert(math.abs(bxa.getAs[Double]("b_q2") - 9999.5) <= 20.0 &&
+      math.abs(bxa.getAs[Double]("b_q1") - 4999.75) <= 20.0 &&
+      math.abs(bxa.getAs[Double]("b_q3") - 14999.25) <= 20.0,
+      s"approx quartiles outside the rank-error band: $bxa")
+    assert(bxa.getAs[Double]("b_min") == 0.0 &&
+      bxa.getAs[Double]("b_max") == 19999.0,
+      "boxplot min/max must stay exact under tdigest")
+    // percentile_ranks tdigest (round 16): VALIDATED then answered
+    // exactly — the exact rank is already a constant-memory streaming
+    // aggregate, so the sketch trade buys nothing; exact trivially
+    // meets the rank-error bound (documented at the metric)
+    val pre = one("""{"query": {"match_all": {}}, "aggs": {"r": {"percentile_ranks": {"field": "x",
+      "values": [9999.5]}}}, "size": 0}""").getAs[Double]("r_p9999_5")
+    val pra = one("""{"query": {"match_all": {}}, "aggs": {"r": {"percentile_ranks": {"field": "x",
+      "values": [9999.5], "tdigest": {"compression": 100}}}},
+      "size": 0}""").getAs[Double]("r_p9999_5")
+    assert(pra == pre, s"knobbed ranks must equal exact: $pra vs $pre")
+    // moving_percentiles over a tdigest-knobbed SIBLING percentiles
+    // (where ES's approximation actually rides): accepted — the
+    // sibling's columns go approximate, the moving recompute stays
+    // the exact tier
+    val mp = EsDsl.search(df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "timestampadd(SECOND, CAST(doc_id AS INT), " +
+          "timestamp'2024-01-01')")),
+      mapper.readTree("""{"query": {"match_all": {}}, "aggs": {"h":
+        {"date_histogram": {"field": "ts", "fixed_interval": "1h"},
+         "aggs": {"q": {"percentiles": {"field": "x",
+           "percents": [50], "tdigest": {"compression": 100}}},
+          "mq": {"moving_percentiles": {"buckets_path": "q",
+            "window": 2}}}}}, "size": 0}"""))
+      .collect()
+    assert(mp.length > 2 && mp.drop(1).forall(r =>
+      !r.isNullAt(r.fieldIndex("mq_p50"))),
+      "sibling-tdigest moving_percentiles must run")
     // knob validation — all reject by name, never silently degrade
     for (body <- Seq(
       """{"query": {"match_all": {}}, "aggs": {"u": {"cardinality": {"field": "v",
@@ -3538,6 +3603,10 @@ class EsDslSpec extends SparkSpec {
         "tdigest": {"compression": 5}}}}, "size": 0}""",
       """{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
         "tdigest": {"zeal": 1}}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"b": {"boxplot": {"field": "x",
+        "tdigest": {"compression": 10001}}}}, "size": 0}""",
+      """{"query": {"match_all": {}}, "aggs": {"r": {"percentile_ranks": {"field": "x",
+        "values": [1], "tdigest": {"zeal": 1}}}}, "size": 0}""",
       """{"query": {"match_all": {}}, "aggs": {"q": {"percentiles": {"field": "x",
         "hdr": {"number_of_significant_value_digits": 3}}}},
         "size": 0}"""))

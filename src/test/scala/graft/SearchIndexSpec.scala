@@ -139,9 +139,24 @@ class SearchIndexSpec extends SparkSpec {
           ["alpha", "Windy day"]}}}}""")))
     val bCtx = sortedRows(SearchIndex.completionRanked(spark, path,
       "wind", "text", size = 10,
-      contexts = Seq("source" -> Seq("alpha", "Windy day"))))
+      contexts = Seq("source" ->
+        Seq("alpha" -> 1.0, "Windy day" -> 1.0))))
     assert(aCtx == bCtx && aCtx.size == 2,
       s"context completion diverged\n$aCtx\nvs\n$bCtx")
+    // BOOSTED contexts (round 16): the matched entry's boost rides
+    // the option score on both routes — 'alpha' options outrank the
+    // 'Windy day' one; skip_duplicates keeps the best-scoring dup
+    val aB = sortedRows(graft.serving.EsDsl.completionSuggest(
+      onDisk, om.readTree(
+        """{"ac": {"prefix": "wind", "completion": {"field": "text",
+          "size": 10, "contexts": {"source":
+          [{"context": "alpha", "boost": 3}, "Windy day"]}}}}""")))
+    val bB = sortedRows(SearchIndex.completionRanked(spark, path,
+      "wind", "text", size = 10,
+      contexts = Seq("source" ->
+        Seq("alpha" -> 3.0, "Windy day" -> 1.0))))
+    assert(aB == bB, s"boosted context diverged\n$aB\nvs\n$bB")
+    assert(aB.exists(_.contains("3.0")), s"boost not applied: $aB")
     // FUZZY parity: misspelled prefix, interior transposition with
     // the Damerau/Levenshtein switch — scan twin and probe identical
     def scanF(prefix: String, f: Int, tr: Boolean) =
@@ -171,7 +186,7 @@ class SearchIndexSpec extends SparkSpec {
     }
     assert(sortedRows(SearchIndex.completionRanked(spark, path,
         "", "text", size = 10, regex = Some("wind.*"),
-        contexts = Seq("source" -> Seq("alpha")))) ==
+        contexts = Seq("source" -> Seq("alpha" -> 1.0)))) ==
       sortedRows(graft.serving.EsDsl.completionSuggest(onDisk,
         om.readTree("""{"ac": {"regex": "wind.*", "completion":
           {"field": "text", "size": 10, "contexts":
