@@ -74,6 +74,12 @@ object ArrayExpressions {
   def englishTokens(text: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.englishTokens(text)
 
+  /** Codegen'd write-time FRENCH analysis — (term, pos) structs with
+    * elision, stop-consumed positions and Snowball french stems
+    * (the english expression's twin). */
+  def frenchTokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.frenchTokens(text)
+
   /** Codegen'd Search.tokenNorm: the padded double-space-joined
     * analyzed-token string, one pass. */
   def analyzerNorm(text: Column): Column =

@@ -82,6 +82,25 @@ object ParityQueries {
       })
     }
 
+  private val frIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built FRENCH-mapped documents index — index-TIME
+    * `"analyzer": "french"` (write-time Snowball french stems via
+    * the codegen FrenchTokens expression, stop-consumed positions,
+    * stop-filtered dl). The q7_idx_french_* twins probe it. */
+  private def frIndexRoot(s: SparkSession, dir: String): String =
+    frIndexRoots.synchronized {
+      frIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-fr-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "french")
+        root
+      })
+    }
+
   private val wsIndexRoots =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -1070,6 +1089,45 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // INDEX-TIME french analyzer (round 16): the index holds
+    // write-time SNOWBALL FRENCH stems (elision → french_stop →
+    // FrenchStemmer, stop-consumed positions, stop-filtered dl) —
+    // ES's mapping-level french chain with the documented Snowball
+    // stemmer choice. The query analyzes with the FIELD's chain:
+    // "le filter des data" drops the french stopwords and stems
+    // filter→filt, data→dat — terms only THIS index holds (the
+    // standard index keeps the surface forms). BM25 statistics are
+    // french-side; the oracle replays the fixed testdata
+    // vocabulary's french stem classes literally
+    // (FrenchStemmerSpec pins the map against the engine).
+    "q7_idx_french_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${frIndexRoot(s, dir)}/documents",
+        "le filter des data", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // ... and match_phrase against the french-mapped index: BOTH
+    // sides carry stop gaps — "le filter de la data" analyzes to
+    // (filt@0, dat@3) and the postings hold french stems at original
+    // token indices (the corpus has no french stopwords, so its
+    // positions are dense); phrase-frequency BM25 over the FRENCH
+    // statistics.
+    "q7_idx_french_phrase" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${frIndexRoot(s, dir)}/documents",
+        "le filter de la data", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // INDEX-TIME whitespace analyzer (round 16): the mapping's chain
     // tokenizes at WRITE time (whitespace splits, case/punctuation
     // KEPT) and the query analyzes with the FIELD's chain
@@ -1105,6 +1163,47 @@ object ParityQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), col("score").as("_score"))
         .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // query-time FRENCH analyzer (round 16 — the second language
+    // chain, proving the english plumbing generalizes): elision →
+    // lowercase → french_stop → SNOWBALL french stemmer
+    // (functions/FrenchAnalysis; the stemmer choice — ES's
+    // `stemmer: "french"` rather than the prebuilt analyzer's
+    // light_french default — is documented and golden-vector-pinned
+    // in FrenchStemmerSpec). "les groupes et les parts" analyzes to
+    // stems [group, part] (stopwords consumed), searched as literal
+    // terms against the standard tokens and statistics.
+    "q7_esdsl_match_french" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "les groupes et les parts",
+          |  "analyzer": "french"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its write-time-index twin: french stems are standard
+    // terms, so the standard postings serve them — one probe, zero
+    // corpus scans, same oracle.
+    "q7_esdsl_match_french_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "les groupes et les parts",
+          |  "analyzer": "french"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
+    // french match_phrase: the stop filter consumes positions like
+    // english — "les groupes de la sorte" analyzes to (group@0,
+    // sort@3), matched at exact offsets in the standard token stream
+    // (Search.gappedPhraseCount), phrase-BM25 scored.
+    "q7_esdsl_phrase_french" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "les groupes de la sorte",
+          |  "analyzer": "french"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
     // query-time whitespace analyzer (round 15): whitespace-only
@@ -4263,6 +4362,50 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
+  /** Shared oracle of q7_esdsl_match_french (+ indexed twin): the
+    * french analysis of "les groupes et les parts" is precomputed —
+    * stopwords (les, et) drop, "groupes"/"parts" stem to the literal
+    * corpus tokens group/part (FrenchStemmerSpec pins the classes) —
+    * and the score is standard two-term BM25 under operator=or. */
+  private lazy val matchFrenchSql: String = {
+    val nrm = tokenNormSql("text")
+    val cg = substrCountSql(s"($nrm)", " group ")
+    val cp = substrCountSql(s"($nrm)", " part ")
+    s"WITH ${bm25FieldCtes("text", Seq("group", "part"), "0")}, " +
+    s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
+    "c AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$cg AS cg, $cp AS cp FROM documents) " +
+    "SELECT c.doc_id, text, lang, source, n_chars, " +
+      "COALESCE(msc.score, CAST(0.0 AS DOUBLE)) AS \"_score\" " +
+    "FROM c LEFT JOIN msc ON c.doc_id = msc.doc_id " +
+    "WHERE (CASE WHEN cg > 0 THEN 1 ELSE 0 END + " +
+      "CASE WHEN cp > 0 THEN 1 ELSE 0 END) >= 1 " +
+    "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_esdsl_phrase_french: the french analysis of
+    * "les groupes de la sorte" is precomputed — stems (group@0,
+    * sort@3), three stop positions surviving as the gap — and
+    * replayed as an exact-offset position join over the standard
+    * tokens, scored by the shared phrase-BM25 body. */
+  private lazy val phraseFrenchSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'group' AND b.tok = 'sort' " +
+      "AND b.pos = a.pos + 3 GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("group", "sort"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
   /** Oracle of q7_esdsl_phrase_english: the english analysis of
     * "sorted the windows" is precomputed — stems (sort@0, window@2),
     * the stop position surviving as a gap — and replayed as an
@@ -4337,6 +4480,103 @@ object ParityQueries {
     " SELECT doc_id, text, lang, source, n_chars, " +
       "ph_score AS \"_score\" " +
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
+  /** The fixed testdata vocabulary's FRENCH stem classes as a SQL
+    * CASE — the literal map FrenchStemmerSpec pins against the
+    * engine's Snowball stemmer (identity on every other token). */
+  private def frCaseSql(v: String): String =
+    s"CASE $v WHEN 'customer' THEN 'custom' WHEN 'data' THEN 'dat' " +
+    s"WHEN 'filter' THEN 'filt' WHEN 'line' THEN 'lin' " +
+    s"WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl' " +
+    s"WHEN 'value' THEN 'valu' ELSE $v END"
+
+  private def frStopsSql: String =
+    graft.functions.FrenchAnalysis.StopWords
+      .map(w => s"'$w'").mkString(", ")
+
+  /** French-analyzed token array over the testdata corpus (stop
+    * filter + the literal stem classes; elision vanishes — the
+    * corpus holds no apostrophes). */
+  private def frToksSql(expr: String): String =
+    s"list_transform(list_filter(${anToksSql(expr)}, " +
+    s"t -> t NOT IN ($frStopsSql)), t -> ${frCaseSql("t")})"
+
+  /** Oracle of q7_idx_french_match: BM25 over FRENCH-analyzed
+    * documents — tf/df/dl/avgdl from the stop-filtered french-stemmed
+    * stream ([[frToksSql]]), the same per-term saturation and single
+    * final rounding as the english idx oracle. Query stems
+    * precomputed: "le filter des data" → (filt, dat). */
+  private lazy val idxFrenchMatchSql: String = {
+    val terms = Seq("filt", "dat")
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    val termSum = terms.map(t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN idf0.idf * " +
+        "((tf0.tf * CAST(2.2 AS DOUBLE)) / (tf0.tf + " +
+        "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * tf0.dl / st0.avgdl))) END), " +
+        "CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    s"WITH dls0 AS (SELECT doc_id, len(${frToksSql("text")}) AS dl, " +
+      "text AS f FROM documents), " +
+    s"toks0 AS (SELECT doc_id, dl, unnest(${frToksSql("f")}) AS term " +
+      "FROM dls0), " +
+    s"q0 AS (SELECT doc_id, dl, term FROM toks0 WHERE term IN ($in)), " +
+    "st0 AS (SELECT count(*) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls0), " +
+    "idf0 AS (SELECT term, " +
+      "ln(CAST(1.0 AS DOUBLE) + (st0.n - count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE)) / (count(DISTINCT doc_id) " +
+      "+ CAST(0.5 AS DOUBLE))) AS idf " +
+      "FROM q0 CROSS JOIN st0 GROUP BY term, st0.n), " +
+    "tf0 AS (SELECT doc_id, dl, term, count(*) AS tf " +
+      "FROM q0 GROUP BY 1, 2, 3), " +
+    s"sc0 AS (SELECT doc_id, $termSum AS s_0 " +
+      "FROM tf0 JOIN idf0 USING (term) CROSS JOIN st0 " +
+      "GROUP BY doc_id) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(sc0.s_0 * 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN sc0 ON d.doc_id = sc0.doc_id " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_idx_french_phrase: both sides french — the gapped
+    * query stems (filt@0, dat@3) position-join the french-stemmed
+    * stream at ORIGINAL token indices, pf counts distinct heads, and
+    * the phrase-BM25 body reads french statistics. */
+  private lazy val idxFrenchPhraseSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    s"ep AS (SELECT doc_id, ${frCaseSql("tok")} AS term, pos " +
+      s"FROM pos WHERE tok NOT IN ($frStopsSql)), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf " +
+      "FROM ep a JOIN ep b ON a.doc_id = b.doc_id " +
+      "AND a.term = 'filt' AND b.term = 'dat' " +
+      "AND b.pos = a.pos + 3 GROUP BY a.doc_id), " +
+    "dls AS (SELECT doc_id, count(term) AS dl FROM ep GROUP BY doc_id), " +
+    "st AS (SELECT count(*) AS n, " +
+      "CAST(sum(coalesce(dls.dl, 0)) AS DOUBLE) / count(*) AS avgdl " +
+      "FROM documents d LEFT JOIN dls ON d.doc_id = dls.doc_id), " +
+    "idfs AS (SELECT " +
+      "ln(CAST(1.0 AS DOUBLE) + (st.n - s.df + CAST(0.5 AS DOUBLE)) " +
+        "/ (s.df + CAST(0.5 AS DOUBLE))) + " +
+      "ln(CAST(1.0 AS DOUBLE) + (st.n - w.df + CAST(0.5 AS DOUBLE)) " +
+        "/ (w.df + CAST(0.5 AS DOUBLE))) AS idfsum FROM st, " +
+      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        "WHERE term = 'filt') s, " +
+      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        "WHERE term = 'dat') w) " +
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "floor(idfs.idfsum * ((gp.pf * CAST(2.2 AS DOUBLE)) / " +
+      "(gp.pf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      "CAST(0.75 AS DOUBLE) * coalesce(dls.dl, 0) / st.avgdl))) " +
+      "* 10000.0 + 0.5) / 10000.0 AS \"_score\" " +
+    "FROM documents d JOIN gp ON d.doc_id = gp.doc_id " +
+    "LEFT JOIN dls ON d.doc_id = dls.doc_id CROSS JOIN st " +
+    "CROSS JOIN idfs WHERE gp.pf > 0 " +
+    "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
   }
 
   /** Whitespace-analyzed token array (mirrors SearchIndex.plainTokens
@@ -5112,6 +5352,11 @@ object ParityQueries {
     "q7_idx_english_phrase" -> idxEnglishPhraseSql,
     "q7_idx_whitespace_match" -> idxWhitespaceMatchSql,
     "q7_idx_keyword_match" -> idxKeywordMatchSql,
+    "q7_esdsl_match_french" -> matchFrenchSql,
+    "q7_esdsl_match_french_indexed" -> matchFrenchSql,
+    "q7_esdsl_phrase_french" -> phraseFrenchSql,
+    "q7_idx_french_match" -> idxFrenchMatchSql,
+    "q7_idx_french_phrase" -> idxFrenchPhraseSql,
 
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 

@@ -7708,9 +7708,11 @@ object EsDsl {
   private def matchAnalyzer(spec: JsonNode): String =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => "standard"
-      case Some(a @ ("english" | "whitespace" | "keyword")) => a
+      case Some(a @ ("english" | "french" | "whitespace" |
+                     "keyword")) => a
       case Some(other) => bad(s"unsupported analyzer '$other' " +
-        "(supported here: standard, english, whitespace, keyword)")
+        "(supported here: standard, english, french, whitespace, " +
+        "keyword)")
     }
 
   /** The analyzed QUERY term list of a match-family clause — the one
@@ -7732,6 +7734,8 @@ object EsDsl {
     analyzer match {
       case "english" =>
         graft.functions.EnglishAnalysis.analyze(text).distinct.toSeq
+      case "french" =>
+        graft.functions.FrenchAnalysis.analyze(text).distinct.toSeq
       case "whitespace" =>
         literalTerms(text.split("\\s+").toSeq.filter(_.nonEmpty))
       case "keyword" =>
@@ -7808,6 +7812,12 @@ object EsDsl {
     val posTerms: Seq[(String, Int)] = analyzer match {
       case "english" =>
         val pt = graft.functions.EnglishAnalysis
+          .analyzeWithPositions(text)
+        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+      case "french" =>
+        // same gapped contract as english: the french stop filter
+        // consumes positions, so the stems carry stop gaps
+        val pt = graft.functions.FrenchAnalysis
           .analyzeWithPositions(text)
         pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
       case "whitespace" | "keyword" =>

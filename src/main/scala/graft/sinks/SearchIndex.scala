@@ -88,7 +88,7 @@ object SearchIndex {
     * emits the whole field value as ONE term (ES's noop chain) —
     * both exactly their query-time twins in the DSL. */
   private val IndexAnalyzers =
-    Set("standard", "english", "whitespace", "keyword")
+    Set("standard", "english", "french", "whitespace", "keyword")
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score", "input", "input_lc")
@@ -104,6 +104,8 @@ object SearchIndex {
     meta.analyzer match {
       case "english" =>
         graft.functions.EnglishAnalysis.analyze(text).toSeq
+      case "french" =>
+        graft.functions.FrenchAnalysis.analyze(text).toSeq
       case "whitespace" =>
         text.split("\\s+").toSeq.filter(_.nonEmpty)
       case "keyword" => Seq(text).filter(_.nonEmpty)
@@ -114,8 +116,11 @@ object SearchIndex {
     * probes: english keeps stop-gap offsets (Lucene position
     * increments); standard/whitespace/keyword are dense. */
   private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
-    if (meta.analyzer == "english") {
-      val pt = graft.functions.EnglishAnalysis.analyzeWithPositions(text)
+    if (meta.analyzer == "english" || meta.analyzer == "french") {
+      val pt =
+        if (meta.analyzer == "english")
+          graft.functions.EnglishAnalysis.analyzeWithPositions(text)
+        else graft.functions.FrenchAnalysis.analyzeWithPositions(text)
       pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
     } else queryAnalyze(meta, text).zipWithIndex
 
@@ -135,9 +140,12 @@ object SearchIndex {
                          idCol: String,
                          analyzer: String = "standard"): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
-    if (analyzer == "english") {
-      def etoks(f: String) = graft.functions.ArrayExpressions
-        .englishTokens(coalesce(col(f), lit("")))
+    if (analyzer == "english" || analyzer == "french") {
+      def etoks(f: String) =
+        if (analyzer == "english") graft.functions.ArrayExpressions
+          .englishTokens(coalesce(col(f), lit("")))
+        else graft.functions.ArrayExpressions
+          .frenchTokens(coalesce(col(f), lit("")))
       docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
           case (f, i) => struct(lit(i).as("fid"),
             size(etoks(f)).as("dl"), etoks(f).as("toks"))
@@ -196,6 +204,9 @@ object SearchIndex {
       if (analyzer == "english")
         size(graft.functions.ArrayExpressions
           .englishTokens(coalesce(col(f), lit(""))))
+      else if (analyzer == "french")
+        size(graft.functions.ArrayExpressions
+          .frenchTokens(coalesce(col(f), lit(""))))
       else if (analyzer == "standard") tokenCount(col(f))
       else size(plainTokens(f, analyzer))
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
@@ -551,6 +562,10 @@ object SearchIndex {
         val pt = graft.functions.EnglishAnalysis
           .analyzeWithPositions(phraseQuery)
         pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+      case "french" =>
+        val pt = graft.functions.FrenchAnalysis
+          .analyzeWithPositions(phraseQuery)
+        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
       case "whitespace" | "keyword" if meta.analyzer == effAnalyzer =>
         // only as the INDEX's own chain — the query-side
         // whitespace/keyword rewrites against a standard index live
@@ -558,7 +573,7 @@ object SearchIndex {
         queryPosTerms(meta, phraseQuery)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported analyzer '$other' (standard, english)")
+          s"unsupported analyzer '$other' (standard, english, french)")
     }
     // an all-stopword english phrase (or a blank whitespace/keyword
     // one) analyzes to zero terms — the scan path's phraseLeg returns

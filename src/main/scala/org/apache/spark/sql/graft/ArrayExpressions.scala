@@ -681,6 +681,55 @@ object EnglishTokens {
   }
 }
 
+/** Write-time FRENCH analysis of one string value — the french twin
+  * of [[EnglishTokens]], same (term, pos) struct-array contract:
+  * standard-analyzer token spans, elision, french stop filter with
+  * CONSUMED positions (Lucene's increments), Snowball french stems
+  * ([[graft.functions.FrenchStemmer]]). One generated call per row;
+  * the whole chain is allocation-light JVM code. */
+case class FrenchTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_french_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FrenchTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.FrenchTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FrenchTokens = copy(child = newChild)
+}
+
+object FrenchTokens {
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val sp = AnalyzerTokens.spans(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](sp.length)
+    var k = 0
+    while (k < sp.length) {
+      val base = graft.functions.FrenchAnalysis
+        .elide(s.substring(sp(k)._1, sp(k)._2))
+      if (base.nonEmpty && !graft.functions.FrenchAnalysis.isStop(base))
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(
+            graft.functions.FrenchStemmer.stem(base)),
+          k)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(out.toArray)
+  }
+}
+
 /** Standard-analyzer tokenization as ONE generated char scan —
   * semantically IDENTICAL to
   * `regexp_extract_all(lower(text), TextFunctions.AnalyzerPattern)`
@@ -862,6 +911,10 @@ object ArrayExpressions {
   /** Column API for [[EnglishTokens]]. */
   def englishTokens(text: Column): Column =
     ExpressionUtils.column(EnglishTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[FrenchTokens]]. */
+  def frenchTokens(text: Column): Column =
+    ExpressionUtils.column(FrenchTokens(ExpressionUtils.expression(text)))
 
   /** Column API for [[AnalyzerTokenCount]]. */
   def analyzerTokenCount(text: Column): Column =

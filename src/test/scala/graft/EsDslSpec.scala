@@ -91,9 +91,12 @@ class EsDslSpec extends SparkSpec {
     // lowercase single word analyzes identically under it
     assert(ids("""{"query": {"multi_match": {"query": "window",
       "fields": ["text"], "analyzer": "whitespace"}}}""").nonEmpty)
+    // french joined in round 16 ("window" is its own french stem)
+    assert(ids("""{"query": {"match": {"text": {"query": "window",
+      "analyzer": "french"}}}}""").nonEmpty)
     intercept[IllegalArgumentException] {
       ids("""{"query": {"match": {"text": {"query": "window",
-        "analyzer": "french"}}}}""")
+        "analyzer": "german"}}}}""")
     }
   }
 
@@ -307,12 +310,13 @@ class EsDslSpec extends SparkSpec {
   }
 
   test("analyzer inventory is a CONTRACT: match/match_phrase/" +
-    "multi_match accept standard/default/english/whitespace/keyword; " +
-    "every other name rejects by name; prefix types and fuzziness " +
-    "combinations reject; other clause kinds stay standard-only") {
+    "multi_match accept standard/default/english/french/whitespace/" +
+    "keyword; every other name rejects by name; prefix types and " +
+    "fuzziness combinations reject; other clause kinds stay " +
+    "standard-only") {
     // accepted inventory — none of these may throw
-    for (a <- Seq("standard", "default", "english", "whitespace",
-        "keyword")) {
+    for (a <- Seq("standard", "default", "english", "french",
+        "whitespace", "keyword")) {
       q(s"""{"query": {"match": {"text": {"query": "window",
         "analyzer": "$a"}}}}""").count()
       q(s"""{"query": {"match_phrase": {"text": {"query": "window",
@@ -324,7 +328,7 @@ class EsDslSpec extends SparkSpec {
         "analyzer": "$a"}}}""").count()
     }
     // every other name rejects BY NAME on the match family
-    for (a <- Seq("french", "simple", "stop", "snowball",
+    for (a <- Seq("german", "simple", "stop", "snowball",
         "my_custom")) {
       val e = intercept[IllegalArgumentException] {
         q(s"""{"query": {"match": {"text": {"query": "window",
@@ -334,7 +338,7 @@ class EsDslSpec extends SparkSpec {
     }
     // prefix types take no analyzer rewrite (the expansion
     // dictionary is standard-analyzed)
-    for (a <- Seq("english", "whitespace", "keyword");
+    for (a <- Seq("english", "french", "whitespace", "keyword");
          t <- Seq("phrase_prefix", "bool_prefix"))
       intercept[IllegalArgumentException] {
         q(s"""{"query": {"multi_match": {"query": "window",
@@ -767,10 +771,11 @@ class EsDslSpec extends SparkSpec {
     assert(bb == Set(4.0), s"bool boost: $bb")
     // silently-dropped result-changing knobs now reject by name
     // (analyzer "standard" is accepted since round 11 — it IS the
-    // engine's chain; a language analyzer still rejects)
+    // engine's chain; english/french joined the inventory in r13/r16,
+    // so the rejection pin moved to a language the engine lacks)
     intercept[IllegalArgumentException] {
       q("""{"query": {"match": {"text": {"query": "x",
-        "analyzer": "french"}}}}""")
+        "analyzer": "german"}}}}""")
     }
     intercept[IllegalArgumentException] {
       q("""{"query": {"range": {"n": {"gte": 1,

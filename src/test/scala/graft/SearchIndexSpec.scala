@@ -384,6 +384,71 @@ class SearchIndexSpec extends SparkSpec {
         Seq("text")).collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
+  test("index-time french analyzer: write-time Snowball stems with " +
+    "elision and stop-consumed positions; queries analyze with the " +
+    "field's chain; upsert == rebuild") {
+    import org.apache.spark.sql.functions.col
+    val fdocs = Seq(
+      (1L, "la continuation de la table"), // continu@1, tabl@4
+      (2L, "continuer les tables"),        // continu@0, tabl@2
+      (3L, "l'analogie du filtre"),        // analog@0(elided), filtr@2
+      (4L, "le la les"))                   // all stopwords: dl 0
+      .toDF("doc_id", "text")
+    val fr = tmp("graft-idx-fr-")
+    SearchIndex.build(fdocs, Seq("text"), "doc_id", fr,
+      analyzer = "french")
+    assert(SearchIndex.readMeta(fr).analyzer == "french")
+    val post = spark.read.parquet(s"${tdir(fr)}/postings")
+    // write-time stems at ORIGINAL token indices, stop positions
+    // consumed; elision strips l'; dl counts emitted stems only
+    val d1 = post.filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
+    assert(d1 == Set(("continu", Seq(1), 2), ("tabl", Seq(4), 2)),
+      d1.toString)
+    val d3 = post.filter(col("doc_id") === 3L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"))).toSet
+    assert(d3 == Set(("analog", Seq(0)), ("filtr", Seq(2))),
+      d3.toString)
+    assert(post.filter(col("doc_id") === 4L).count() == 0)
+    // the query analyzes with the field's chain: "continuait" stems
+    // to 'continu' and matches docs 1 and 2 — impossible against a
+    // standard index of the same corpus
+    val std = tmp("graft-idx-fr-std-")
+    SearchIndex.build(fdocs, Seq("text"), "doc_id", std)
+    assert(SearchIndex.ranked(spark, fr, "continuait", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(SearchIndex.ranked(spark, std, "continuait", Seq("text"))
+      .count() == 0)
+    // phrases: BOTH sides gapped — "la continuation de la table"
+    // analyzes to (continu@0, tabl@3), matching doc 1's stop-gap
+    // layout, not doc 2's (continu@0, tabl@2)
+    def phr(q: String): Set[Long] =
+      SearchIndex.phraseRanked(spark, fr, q, Seq("text"))
+        .collect().map(_.getLong(0)).toSet
+    assert(phr("la continuation de la table") == Set(1L))
+    assert(phr("continuer les tables") == Set(2L))
+    // all-stopword phrase: zero hits, not an error
+    assert(phr("le la les de") == Set.empty)
+    // upsert re-tokenizes with the INDEX's analyzer == full rebuild
+    val v2 = Seq((2L, "les analogies continuaient"),
+      (9L, "la valeur des filtres"))
+      .toDF("doc_id", "text")
+    SearchIndex.upsert(v2, fr)
+    val reb = tmp("graft-idx-fr-reb-")
+    SearchIndex.build(fdocs.filter(col("doc_id") =!= 2L).unionByName(v2),
+      Seq("text"), "doc_id", reb, analyzer = "french")
+    for (t <- Seq("postings", "doclens", "inputs", "termstats",
+        "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(fr)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"french $t diverged after upsert\n$a\nvs\n$b")
+    }
+    assert(SearchIndex.ranked(spark, fr, "analogie", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("index-time whitespace analyzer: case and punctuation KEPT at " +
     "write time, queries analyze with the field's chain, phrases ride " +
     "whitespace positions; upsert == rebuild") {
