@@ -335,11 +335,20 @@ object DocumentSink {
   // rebuild), so a re-created id continues its version line instead of
   // restarting at 1. A doc written by the batch sync with no sidecar
   // row is version 1. Reads are request-bounded (filter by the
-  // request's id list — a semi-join, never a corpus collect); the
-  // write-back rewrites the sidecar generation through the same
-  // crash-safe [[Lake.swapIn]] two-rename as the store itself, AFTER
-  // the data swap — a crash between the two leaves versions one
-  // consistent snapshot behind, never ahead.
+  // request's id list — a semi-join, never a corpus collect).
+  //
+  // The sidecar is LOG-STRUCTURED (ES's translog-then-merge shape):
+  // each write request APPENDS one request-sized parquet file to
+  // `_versions_delta` — O(request), not O(store) — and the current
+  // line is base ∪ deltas with the highest seq_no winning per id
+  // (seq_nos are index-monotonic, so max-seq IS latest). Once
+  // [[VersionsCompactThreshold]] delta files accumulate, the write
+  // folds them into the `_versions` base through the same crash-safe
+  // [[Lake.swapIn]] two-rename as the store itself and clears the
+  // delta dir. Crash windows are benign by construction: versions
+  // write AFTER the data swap (one snapshot behind, never ahead);
+  // a crash between the compaction swap and the delta delete leaves
+  // deltas that REPLAY idempotently (max-seq per id is unchanged).
 
   /** Current versions for the given ids: id → (version, seq_no).
     * Absent key = the id has never been written through the
@@ -351,23 +360,45 @@ object DocumentSink {
     // (corrupt parquet, transient IO) must propagate — silently
     // restarting version lines at the base would answer wrong
     // _version values instead of failing the request.
-    readVersionsDf(spark, path) match {
+    versionLine(spark, path,
+        df => df.filter(col("document_id").isin(ids: _*))) match {
       case None => Map.empty
       case Some(df) =>
-        df.filter(col("document_id").isin(ids: _*)).collect()
+        df.collect()
           .map(r => String.valueOf(r.getAs[Any]("document_id")) ->
             ((r.getAs[Long]("version"), r.getAs[Long]("seq_no")))).toMap
     }
   }
 
-  /** The `_versions` sidecar as a DataFrame, or None iff the sidecar
-    * has never been written (path absent). */
-  private def readVersionsDf(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Option[
+  /** Delta files folded into the base per compaction — the knob that
+    * bounds both the per-request write cost (always O(request): one
+    * appended file) and the read fan-in (at most this many small
+    * delta files beside one base snapshot). */
+  private[graft] val VersionsCompactThreshold = 16
+
+  /** The CURRENT version line (base snapshot ∪ append-only deltas,
+    * max seq_no winning per id), or None iff the store has never been
+    * versioned. `pre` narrows BOTH sides BEFORE the latest-wins
+    * reduce — the id-list pushdown that keeps reads request-bounded. */
+  private def versionLine(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          pre: org.apache.spark.sql.DataFrame =>
+                               org.apache.spark.sql.DataFrame =
+                            identity): Option[
       org.apache.spark.sql.DataFrame] = {
-    val vp = new org.apache.hadoop.fs.Path(s"$path/_versions")
-    val fs = vp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(vp)) None else Some(spark.read.parquet(vp.toString))
+    val conf = spark.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(s"$path/_versions")
+    val dp = new org.apache.hadoop.fs.Path(s"$path/_versions_delta")
+    val fs = bp.getFileSystem(conf)
+    val sides = Seq(bp, dp).filter(fs.exists)
+      .map(p => pre(spark.read.parquet(p.toString)))
+    if (sides.isEmpty) None
+    else Some(sides.reduce(_.unionByName(_))
+      .groupBy(col("document_id"))
+      .agg(max(struct(col("seq_no"), col("version"))).as("_vs"))
+      .select(col("document_id"),
+        col("_vs.version").as("version"),
+        col("_vs.seq_no").as("seq_no")))
   }
 
   /** The index's next `_seq_no` (monotonic per index, like ES's
@@ -382,12 +413,13 @@ object DocumentSink {
 
   /** Replace-by-id the given ids' version rows and advance the
     * sequence counter. `entries`: id → (new version, seq_no of its
-    * latest op this batch). */
+    * latest op this batch). O(request) on the write path: the batch
+    * APPENDS one delta file; only every [[VersionsCompactThreshold]]th
+    * call pays the base fold (amortized O(store / threshold)). */
   def writeVersions(spark: org.apache.spark.sql.SparkSession, path: String,
                     entries: Map[String, (Long, Long)],
                     nextSeq: Long): Unit = {
     if (entries.nonEmpty) {
-      val vp = s"$path/_versions"
       val schema = StructType(Seq(
         StructField("document_id", StringType, nullable = false),
         StructField("version", LongType, nullable = false),
@@ -396,25 +428,38 @@ object DocumentSink {
         org.apache.spark.sql.Row(id, v, s) }
       val batch = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
-      // same contract as readVersions: only an ABSENT sidecar reads
-      // as empty; a corrupt one fails the write rather than silently
-      // dropping every other doc's version line
-      val merged = readVersionsDf(spark, path) match {
-        case None           => batch
-        case Some(existing) =>
-          existing.join(batch.select("document_id"),
-            Seq("document_id"), "left_anti").unionByName(batch)
-      }
-      val tmp = s"$path/._versions_tmp_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(vp))
+      val dp = new org.apache.hadoop.fs.Path(s"$path/_versions_delta")
+      batch.coalesce(1).write.mode(SaveMode.Append).parquet(dp.toString)
+      compactVersionsIfNeeded(spark, path)
     }
     writeSidecar(s"$path/_versions_meta.json",
       s"""{"next_seq_no": $nextSeq}""")
+  }
+
+  /** Fold the delta log into the `_versions` base once enough delta
+    * files accumulate: materialize the current line (latest seq wins
+    * — a corrupt base or delta fails the fold rather than silently
+    * dropping version rows), swap it in as the new base, then clear
+    * the deltas. A crash after the swap leaves deltas that replay
+    * idempotently against the new base. */
+  private def compactVersionsIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dp = new org.apache.hadoop.fs.Path(s"$path/_versions_delta")
+    val fs = dp.getFileSystem(conf)
+    if (!fs.exists(dp)) return
+    val parts = fs.listStatus(dp)
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    if (parts < VersionsCompactThreshold) return
+    versionLine(spark, path).foreach { line =>
+      val tmp = s"$path/._versions_tmp_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      line.write.mode(SaveMode.Overwrite).parquet(tmp)
+      Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/_versions"))
+      fs.delete(dp, true)
+      ()
+    }
   }
 
   private def writeSidecar(file: String, content: String): Unit = {

@@ -189,6 +189,61 @@ class DocumentSinkSpec extends SparkSpec {
       """{"id":11,"name":"bolt","color":"Brand#2"}]""")
   }
 
+  test("log-structured _versions: each write appends ONE delta file " +
+    "(O(request), not O(store)); reads reduce base+deltas latest-seq " +
+    "wins; the threshold compacts into the base; leftover deltas " +
+    "replay idempotently (the crash window)") {
+    val path = tmp()
+    def deltaFiles: Int = {
+      val d = new java.io.File(s"$path/_versions_delta")
+      if (!d.isDirectory) 0
+      else d.listFiles.count(f =>
+        f.isFile && f.getName.startsWith("part-"))
+    }
+    // a fresh write creates one delta file, no base yet
+    DocumentSink.writeVersions(spark, path, Map("a" -> ((1L, 0L))), 1L)
+    assert(deltaFiles == 1)
+    assert(!new java.io.File(s"$path/_versions").isDirectory)
+    assert(DocumentSink.readVersions(spark, path, Seq("a")) ==
+      Map("a" -> ((1L, 0L))))
+    assert(DocumentSink.nextSeqNo(path) == 1L)
+    // later writes supersede by HIGHEST seq_no, one file each
+    DocumentSink.writeVersions(spark, path,
+      Map("a" -> ((2L, 1L)), "b" -> ((1L, 2L))), 3L)
+    assert(deltaFiles == 2)
+    assert(DocumentSink.readVersions(spark, path, Seq("a", "b")) ==
+      Map("a" -> ((2L, 1L)), "b" -> ((1L, 2L))))
+    // drive past the threshold: the 16-file log folds into the base
+    // mid-loop and clears; only the writes after that fold remain
+    var seq = 3L
+    (1 to DocumentSink.VersionsCompactThreshold).foreach { i =>
+      DocumentSink.writeVersions(spark, path,
+        Map(s"k$i" -> ((1L, seq))), seq + 1)
+      seq += 1
+    }
+    // 2 pre-existing + 14 writes hit the 16-file threshold and fold;
+    // the 2 writes after the fold are the only files left
+    assert(deltaFiles == 2,
+      s"compaction must clear the folded log (left: $deltaFiles)")
+    assert(new java.io.File(s"$path/_versions").isDirectory,
+      "compaction must have produced a base snapshot")
+    assert(DocumentSink.readVersions(spark, path, Seq("a", "b", "k1")) ==
+      Map("a" -> ((2L, 1L)), "b" -> ((1L, 2L)), "k1" -> ((1L, 3L))))
+    // crash window: a delta that survived a compaction (its rows
+    // already folded into the base) replays idempotently — re-append
+    // a stale entry (a's OLD line, seq 1) and re-read
+    DocumentSink.writeVersions(spark, path, Map("a" -> ((3L, seq))),
+      seq + 1)
+    assert(deltaFiles == 3)
+    val before = DocumentSink.readVersions(spark, path,
+      Seq("a", "b", "k1"))
+    Seq(("a", 2L, 1L)).toDF("document_id", "version", "seq_no")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/_versions_delta")
+    assert(DocumentSink.readVersions(spark, path,
+      Seq("a", "b", "k1")) == before, "delta replay must be idempotent")
+  }
+
   test("overwrite mode is drop-and-recreate (destructive, like the ES sink)") {
     val path = tmp()
     DocumentSink.save(Seq((1L, "a")).toDF("id", "v"), path)
