@@ -234,10 +234,18 @@ object FrenchStemmer {
             if (inRegion(r2, suf)) { del(suf.length); step2Changed = true }
         }
       }
-      changed = step1Changed || step2Changed
     }
+    // Success of the combined suffix phase (the Snowball program's
+    // `standard_suffix or i_verb_suffix or verb_suffix`): a
+    // ment/amment/emment match FAILS standard_suffix by construction
+    // (its entries end in `fail` — that is how "do 2a when ment was
+    // found" is implemented), so a ment-family alteration alone never
+    // selects step 3; the verb steps must land, else the residual
+    // step runs ("ambiguëment" → ment drops → 2a/2b fail → residual's
+    // guë-rule → "ambigu", not "ambiguë").
+    changed = (step1Changed && !mentFound) || step2Changed
 
-    // ---- step 3 (after a change) or step 4 (otherwise) ---------------
+    // ---- step 3 (suffix phase landed) or step 4 (it failed) ----------
     if (changed) {
       if (b.nonEmpty && b.charAt(b.length - 1) == 'Y') rep(1, "i")
       else if (b.nonEmpty && b.charAt(b.length - 1) == 'ç') rep(1, "c")

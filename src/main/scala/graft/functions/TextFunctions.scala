@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Rebase an analyzed (term, position) list to a ZERO head offset —
+    * the shared prelude of every gapped phrase walk (english/french
+    * stop gaps are relative; the matchers require the head at 0). */
+  def rebase(pt: Seq[(String, Int)]): Seq[(String, Int)] =
+    pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+
   /** Whitespace tokenization, empty tokens dropped (split on ^\s or a
     * leading separator produces "") — the PIPELINE layer's tokenizer
     * (shingles, token budgeting, dedup units), where whitespace words

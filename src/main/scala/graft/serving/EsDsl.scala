@@ -3080,8 +3080,11 @@ object EsDsl {
   /** The Lucene-only regex operators (`&` intersection, `~`
     * complement, `<>` numeric intervals) have no Java-regex
     * equivalent — reject them rather than mistranslate; the shared
-    * core (. * + ? [] () |) is dialect-identical. Shared by the
-    * `regexp` clause and the completion suggester's `regex` form. */
+    * core (. * + ? [] () |) is dialect-identical. MALFORMED syntax
+    * also rejects here, at the wire (ES 400s a bad regex; letting it
+    * reach rlike would surface as an internal error at plan time).
+    * Shared by the `regexp` clause and the completion suggester's
+    * `regex` form. */
   private def rejectLuceneRegexOps(pat: String): Unit = {
     var esc = false
     pat.foreach { ch =>
@@ -3090,6 +3093,12 @@ object EsDsl {
       else if ("&~<>".contains(ch))
         bad(s"Lucene-specific regexp operator '$ch' is not supported")
     }
+    try java.util.regex.Pattern.compile(pat)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        bad(s"malformed regexp: ${e.getDescription}")
+    }
+    ()
   }
 
   /** A term-level pattern clause's (field, value, case_insensitive) —
@@ -7811,15 +7820,13 @@ object EsDsl {
     if (slop < 0) bad("slop must be >= 0")
     val posTerms: Seq[(String, Int)] = analyzer match {
       case "english" =>
-        val pt = graft.functions.EnglishAnalysis
-          .analyzeWithPositions(text)
-        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        graft.functions.TextFunctions.rebase(
+          graft.functions.EnglishAnalysis.analyzeWithPositions(text))
       case "french" =>
         // same gapped contract as english: the french stop filter
         // consumes positions, so the stems carry stop gaps
-        val pt = graft.functions.FrenchAnalysis
-          .analyzeWithPositions(text)
-        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        graft.functions.TextFunctions.rebase(
+          graft.functions.FrenchAnalysis.analyzeWithPositions(text))
       case "whitespace" | "keyword" =>
         // positional duplicates must stay (a phrase can repeat a
         // term), so gate each POSITION against the standard token

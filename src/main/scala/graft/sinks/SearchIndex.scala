@@ -117,11 +117,10 @@ object SearchIndex {
     * increments); standard/whitespace/keyword are dense. */
   private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
     if (meta.analyzer == "english" || meta.analyzer == "french") {
-      val pt =
+      graft.functions.TextFunctions.rebase(
         if (meta.analyzer == "english")
           graft.functions.EnglishAnalysis.analyzeWithPositions(text)
-        else graft.functions.FrenchAnalysis.analyzeWithPositions(text)
-      pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        else graft.functions.FrenchAnalysis.analyzeWithPositions(text))
     } else queryAnalyze(meta, text).zipWithIndex
 
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
@@ -171,17 +170,20 @@ object SearchIndex {
   }
 
   /** Write-time token array of the non-stemming analyzers (dense
-    * positions — the english chain is the only gapped one).
+    * positions — the gapped chains ride their own expressions).
     * `whitespace` splits on whitespace runs, case and punctuation
-    * KEPT; `keyword` emits the whole value as one term. Null fields
-    * propagate to a null array (no postings, null dl — the same
-    * contract as the standard chain). */
+    * KEPT; `keyword` emits the whole value as one term — an EMPTY
+    * value emits none (the query side filters empties the same way,
+    * so an "" term could never be asked for; indexing it would only
+    * skew dl/avgdl). Null fields propagate to a null array (no
+    * postings, null dl — the same contract as the standard chain). */
   private def plainTokens(f: String, analyzer: String): Column =
     analyzer match {
       case "whitespace" =>
         filter(split(col(f).cast("string"), "\\s+"), x => x =!= lit(""))
       case "keyword" =>
-        when(col(f).isNotNull, array(col(f).cast("string")))
+        when(col(f).isNotNull,
+          filter(array(col(f).cast("string")), x => x =!= lit("")))
       case _ => graft.functions.TextFunctions.analyzerTokens(col(f))
     }
 
@@ -559,13 +561,11 @@ object SearchIndex {
         graft.functions.TextFunctions.analyzeText(phraseQuery)
           .zipWithIndex.toSeq
       case "english" =>
-        val pt = graft.functions.EnglishAnalysis
-          .analyzeWithPositions(phraseQuery)
-        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        graft.functions.TextFunctions.rebase(graft.functions
+          .EnglishAnalysis.analyzeWithPositions(phraseQuery))
       case "french" =>
-        val pt = graft.functions.FrenchAnalysis
-          .analyzeWithPositions(phraseQuery)
-        pt.map { case (t, p) => (t, p - pt.headOption.fold(0)(_._2)) }
+        graft.functions.TextFunctions.rebase(graft.functions
+          .FrenchAnalysis.analyzeWithPositions(phraseQuery))
       case "whitespace" | "keyword" if meta.analyzer == effAnalyzer =>
         // only as the INDEX's own chain — the query-side
         // whitespace/keyword rewrites against a standard index live
@@ -573,7 +573,9 @@ object SearchIndex {
         queryPosTerms(meta, phraseQuery)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported analyzer '$other' (standard, english, french)")
+          s"unsupported analyzer '$other' (query-side: standard, " +
+          "english, french; whitespace/keyword only as the index's " +
+          "own mapping chain)")
     }
     // an all-stopword english phrase (or a blank whitespace/keyword
     // one) analyzes to zero terms — the scan path's phraseLeg returns

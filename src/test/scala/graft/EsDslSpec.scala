@@ -1371,6 +1371,11 @@ class EsDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       q("""{"query": {"regexp": {"text": "a~b"}}, "size": 10}""")
     }
+    // malformed syntax 400s at the wire like ES, never a plan-time
+    // internal error (round 16)
+    intercept[IllegalArgumentException] {
+      q("""{"query": {"regexp": {"text": "(unclosed"}}, "size": 10}""")
+    }
     intercept[IllegalArgumentException] {
       q("""{"query": {"regexp": {"text": "a&b"}}, "size": 10}""")
     }
@@ -3489,6 +3494,8 @@ class EsDslSpec extends SparkSpec {
       """{"suggest": {"ac": {"regex": "", "completion":
         {"field": "text"}}}}""",
       """{"suggest": {"ac": {"regex": "a~b", "completion":
+        {"field": "text"}}}}""",
+      """{"suggest": {"ac": {"regex": "(", "completion":
         {"field": "text"}}}}""",
       """{"suggest": {"ac": {"regex": {"value": "w.*"}, "completion":
         {"field": "text"}}}}""",

@@ -60,6 +60,13 @@ class FrenchStemmerSpec extends AnyFunSuite {
     // undouble: enn/onn/ett/ell/eill drop the last letter
     assert(s("belle") == "bel" && s("bonne") == "bon")
     assert(s("cadette") == "cadet" && s("pareille") == "pareil")
+    // the ment-family FAIL semantics (the Snowball program, not the
+    // prose): a ment/amment/emment alteration alone never selects
+    // step 3 — the verb steps must land, else the RESIDUAL step runs
+    assert(s("gentiment") == "gent")       // ment, then 2a's i
+    assert(s("abondamment") == "abond")    // amment -> ant, 2b's ant
+    assert(s("évidemment") == "évident")   // emment -> ent, rest fail
+    assert(s("ambiguëment") == "ambigu")   // ment, then residual guë
   }
 
   test("analyzer chain: elision strips leading articles, the stop " +

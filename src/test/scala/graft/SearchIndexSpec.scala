@@ -518,7 +518,9 @@ class SearchIndexSpec extends SparkSpec {
       (1L, "src3"),
       (2L, "src3 extra"),  // spaces kept: a DIFFERENT single term
       (3L, "SRC3"),        // case kept
-      (4L, null.asInstanceOf[String]))
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))            // empty value: NO term (query side can
+                           // never ask for ""), dl 0
       .toDF("doc_id", "source")
     val kw = tmp("graft-idx-kw-")
     SearchIndex.build(kdocs, Seq("source"), "doc_id", kw,
@@ -530,6 +532,12 @@ class SearchIndexSpec extends SparkSpec {
         r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
     assert(d2 == Set(("src3 extra", Seq(0), 1)), d2.toString)
     assert(post.filter(col("doc_id") === 4L).count() == 0)
+    assert(post.filter(col("doc_id") === 5L).count() == 0,
+      "an empty keyword value must emit no term")
+    val dl5 = spark.read.parquet(s"${tdir(kw)}/doclens")
+      .filter(col("doc_id") === 5L).collect()
+    assert(dl5.length == 1 && dl5.head.getAs[Any]("dl") == 0,
+      s"empty value dl must be 0: ${dl5.mkString}")
     // the query is ONE whole-value term under the field's chain
     def ids(q: String): Set[Long] =
       SearchIndex.ranked(spark, kw, q, Seq("source"))
