@@ -1427,10 +1427,11 @@ final class HttpApi(
         case "standard" | "default" => "standard"
         case "whitespace"           => "whitespace"
         case "english"              => "english"
+        case "french"               => "french"
         case "keyword"              => "keyword"
         case other => auxBad(s"unsupported analyzer '$other' — " +
-          "standard (the engine's chain), english, whitespace and " +
-          "keyword only")
+          "standard (the engine's chain), english, french, " +
+          "whitespace and keyword only")
       }
       val spans = which match {
         case "standard" => Search.analyzeWithOffsets(textN.asText)
@@ -1450,6 +1451,18 @@ final class HttpApi(
                 graft.functions.EnglishAnalysis.stripPossessive(t)
               if (graft.functions.EnglishAnalysis.isStop(stripped)) None
               else Some((graft.functions.PorterStemmer.stem(stripped),
+                s0, e0, p))
+          }
+        case "french" =>
+          // the french chain under the same contract: elision keeps
+          // the ORIGINAL token's offsets (ES's ElisionFilter does),
+          // stopwords consume positions, token = the Snowball stem
+          Search.analyzeWithOffsets(textN.asText).flatMap {
+            case (t, s0, e0, p) =>
+              val elided = graft.functions.FrenchAnalysis.elide(t)
+              if (elided.isEmpty ||
+                  graft.functions.FrenchAnalysis.isStop(elided)) None
+              else Some((graft.functions.FrenchStemmer.stem(elided),
                 s0, e0, p))
           }
         case _ =>

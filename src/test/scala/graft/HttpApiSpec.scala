@@ -134,7 +134,7 @@ class HttpApiSpec extends SparkSpec
       toks.get(1).get("end_offset").asInt == 11 &&
       toks.get(1).get("position").asInt == 1)
     assert(post("/search/analyze",
-      """{"text": "x", "analyzer": "french"}""").statusCode() == 400)
+      """{"text": "x", "analyzer": "german"}""").statusCode() == 400)
     assert(post("/search/analyze", """{}""").statusCode() == 400)
     // explicit standard == the default; whitespace = raw \S+ tokens,
     // NO lowercase (ES's whitespace analyzer)
@@ -169,6 +169,22 @@ class HttpApiSpec extends SparkSpec
       enToks.get(1).get("position").asInt == 2)
     assert(enToks.get(2).get("token").asText == "shoe" &&
       enToks.get(2).get("position").asInt == 3)
+    // french (round 16): elision keeps the ORIGINAL token offsets,
+    // stopwords consume positions, tokens are Snowball stems
+    val fr = post("/search/analyze",
+      """{"text": "la continuation de l'analogie",
+        | "analyzer": "french"}""".stripMargin)
+    val frToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(fr.body()).get("tokens")
+    assert(frToks.size == 2, fr.body())
+    assert(frToks.get(0).get("token").asText == "continu" &&
+      frToks.get(0).get("position").asInt == 1 &&
+      frToks.get(0).get("start_offset").asInt == 3 &&
+      frToks.get(0).get("end_offset").asInt == 15)
+    assert(frToks.get(1).get("token").asText == "analog" &&
+      frToks.get(1).get("position").asInt == 3 &&
+      frToks.get(1).get("start_offset").asInt == 19 &&
+      frToks.get(1).get("end_offset").asInt == 29)
   }
 
   test("POST /search/mget returns docs in request order with found " +
