@@ -1206,6 +1206,18 @@ object ParityQueries {
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
+    // zero_terms_query "all" (round 16): a query the french stop
+    // filter removes ENTIRELY ("le la les" → zero stems) acts as
+    // match_all — every document, constant score 1.0 (ES's escape
+    // hatch for stopword-only user input under a removing analyzer).
+    "q7_esdsl_zero_terms_all" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {"query": "le la les",
+          |  "analyzer": "french", "zero_terms_query": "all"}}},
+          | "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
     // query-time whitespace analyzer (round 15): whitespace-only
     // splitting, CASE KEPT (ES's whitespace analyzer does not
     // lowercase) — "window BATCH" analyzes to [window, BATCH]; the
@@ -5352,6 +5364,10 @@ object ParityQueries {
     "q7_idx_english_phrase" -> idxEnglishPhraseSql,
     "q7_idx_whitespace_match" -> idxWhitespaceMatchSql,
     "q7_idx_keyword_match" -> idxKeywordMatchSql,
+    "q7_esdsl_zero_terms_all" ->
+      ("SELECT doc_id, text, lang, source, n_chars, " +
+       "CAST(1.0 AS DOUBLE) AS \"_score\" FROM documents " +
+       "ORDER BY doc_id LIMIT 100"),
     "q7_esdsl_match_french" -> matchFrenchSql,
     "q7_esdsl_match_french_indexed" -> matchFrenchSql,
     "q7_esdsl_phrase_french" -> phraseFrenchSql,

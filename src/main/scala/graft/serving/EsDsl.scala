@@ -3364,17 +3364,20 @@ object EsDsl {
       val (f, spec) = unwrap(b)
       val boost = if (spec.isObject)
         clauseBoost("match_phrase", spec,
-          Set("query", "slop", "analyzer")) else 1.0
+          Set("query", "slop", "analyzer", "zero_terms_query"))
+        else 1.0
       val qa = if (spec.isObject) matchAnalyzer(spec) else "standard"
       val text = if (spec.isObject) Option(spec.get("query"))
         .map(_.asText).getOrElse(bad("match_phrase needs \"query\""))
       else spec.asText
       val slop = if (spec.isObject)
         Option(spec.get("slop")).map(_.asInt).getOrElse(0) else 0
+      val pzta = spec.isObject && zeroTermsAll(spec)
       phraseLeg(ctx, f, text, slop, qa) match {
-        // zero analyzed terms (all-stopword english phrase, empty
-        // whitespace/keyword input) — ES's zero_terms_query default,
-        // matches nothing, not an error
+        // zero analyzed terms (all-stopword english/french phrase,
+        // empty whitespace/keyword input): ES's zero_terms_query —
+        // "none" (default) matches nothing; "all" acts as match_all
+        case None if pzta => boosted(Clause(lit(true), lit(1.0)), boost)
         case None => Clause(lit(false), lit(0.0))
         case Some((cnt, score)) =>
           boosted(Clause(cnt > 0, score), boost)
@@ -4113,7 +4116,8 @@ object EsDsl {
       val boost = if (spec.isObject)
         clauseBoost("match", spec, Set("query", "operator",
           "fuzziness", "prefix_length", "max_expansions",
-          "fuzzy_transpositions", "minimum_should_match", "analyzer"))
+          "fuzzy_transpositions", "minimum_should_match", "analyzer",
+          "zero_terms_query"))
       else 1.0
       val (text, operator, fuzziness) =
         if (spec.isObject)
@@ -4126,10 +4130,11 @@ object EsDsl {
         Option(spec.get("minimum_should_match")).map(msmSpec)
       else None
       val qa = if (spec.isObject) matchAnalyzer(spec) else "standard"
+      val zta = spec.isObject && zeroTermsAll(spec)
       boosted(matchClause(ctx, text, Seq(f -> 1.0), operator, msm,
         bestFields = false, fuzziness,
         fuzzyKnobs(if (spec.isObject) Some(spec) else None),
-        analyzer = qa), boost)
+        analyzer = qa, zeroTermsAll = zta), boost)
 
     case ("multi_match", b) =>
       val mmBoost = clauseBoost("multi_match", b, Set("query",
@@ -7714,6 +7719,20 @@ object EsDsl {
     * [[queryTerms]]). Returns the selected analyzer name. Other
     * clause kinds keep the standard-only [[analyzerKnob]]; the full
     * accept/reject inventory is pinned in EsDslSpec. */
+  /** ES `zero_terms_query` — what a clause whose analysis removes
+    * EVERY token does: "none" (the default; no hits) or "all" (the
+    * clause acts as match_all, constant 1.0 before boost). Any other
+    * value rejects by name. Meaningful exactly where a removing
+    * analyzer (english/french stop filters, blank whitespace/keyword
+    * input) can empty the term list. */
+  private def zeroTermsAll(spec: JsonNode): Boolean =
+    Option(spec.get("zero_terms_query")).map(_.asText) match {
+      case None | Some("none") => false
+      case Some("all")         => true
+      case Some(other) =>
+        bad(s"unsupported zero_terms_query '$other' (none, all)")
+    }
+
   private def matchAnalyzer(spec: JsonNode): String =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => "standard"
@@ -7863,7 +7882,8 @@ object EsDsl {
                           knobs: (Int, Option[Int], Boolean) =
                             (0, None, true),
                           rawTerm: Boolean = false,
-                          analyzer: String = "standard"): Clause = {
+                          analyzer: String = "standard",
+                          zeroTermsAll: Boolean = false): Clause = {
     import Search.{editDistance, fuzzyEdits, substrCount, tokenNorm}
     val (prefixLength, maxExpansions, transpositions) = knobs
     // fuzzy rewriting runs over the standard vocabulary — a
@@ -7881,12 +7901,14 @@ object EsDsl {
     val terms =
       if (rawTerm) Seq(text.trim.toLowerCase).filter(_.nonEmpty)
       else queryTerms(text, analyzer)
-    // a query that analyzes to ZERO terms (all stopwords under the
-    // english chain, empty whitespace/keyword input) — ES's
-    // zero_terms_query default ("none"): the clause matches nothing,
-    // scores nothing, not an error
+    // a query that analyzes to ZERO terms (all stopwords under a
+    // removing chain, empty whitespace/keyword input) — ES's
+    // zero_terms_query: "none" (default) matches nothing, scores
+    // nothing, not an error; "all" acts as match_all (constant 1.0,
+    // the caller's boost multiplies)
     if (terms.isEmpty && analyzer != "standard")
-      return Clause(lit(false), lit(0.0))
+      return if (zeroTermsAll) Clause(lit(true), lit(1.0))
+        else Clause(lit(false), lit(0.0))
     if (terms.isEmpty)
       bad(if (rawTerm) "empty fuzzy value" else "empty match query")
     // capped expansion sets (ES max_expansions), one per query term,

@@ -171,6 +171,27 @@ class EsDslSpec extends SparkSpec {
     assert(phrase("running a the tests") == Set(3L))
     // all-stopword phrase analyzes to zero terms: no hits, no error
     assert(phrase("the it was") == Set.empty)
+    // zero_terms_query (round 16): "all" turns the all-removed
+    // analysis into match_all (constant 1.0 times the boost), on
+    // match AND match_phrase; a term-ful query is unaffected; any
+    // other value rejects by name
+    def zt(kind: String, q: String, ztq: String) =
+      EsDsl.search(phraseDf, mapper.readTree(
+        s"""{"query": {"$kind": {"text": {"query": "$q",
+          "analyzer": "english", "zero_terms_query": "$ztq",
+          "boost": 2}}}, "size": 10}"""))
+        .select("doc_id", "_score").as[(Long, Double)].collect().toMap
+    assert(zt("match", "the it was", "all") ==
+      Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0))
+    assert(zt("match", "the it was", "none").isEmpty)
+    assert(zt("match_phrase", "the it was", "all") ==
+      Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0))
+    assert(zt("match_phrase", "the it was", "none").isEmpty)
+    assert(zt("match", "running", "all") ==
+      zt("match", "running", "none"), "a term-ful query is unaffected")
+    intercept[IllegalArgumentException] {
+      zt("match", "the", "sometimes")
+    }
     // english + slop (round 14): each gapped stem may drift ±slop
     // from its stop-gap offset, in order. Stems (run@0, test@2) with
     // slop 1: doc 1 sits at the exact offset (dev 0), doc 2's
