@@ -75,10 +75,16 @@ object ArrayExpressions {
     org.apache.spark.sql.graft.ArrayExpressions.englishTokens(text)
 
   /** Codegen'd write-time FRENCH analysis — (term, pos) structs with
-    * elision, stop-consumed positions and Snowball french stems
+    * elision, stop-consumed positions and light_french stems
     * (the english expression's twin). */
   def frenchTokens(text: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.frenchTokens(text)
+
+  /** Codegen'd write-time GERMAN analysis — (term, pos) structs with
+    * stop-consumed positions, german_normalization and light_german
+    * stems (the third language twin). */
+  def germanTokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.germanTokens(text)
 
   /** Codegen'd Search.tokenNorm: the padded double-space-joined
     * analyzed-token string, one pass. */

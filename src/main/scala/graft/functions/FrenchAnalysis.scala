@@ -1,17 +1,19 @@
 package graft.functions
 
 /** The engine's FRENCH analyzer chain (standard tokenizer → elision
-  * → lowercase → french stop filter → Snowball french stemmer) —
+  * → lowercase → french stop filter → LIGHT french stemmer) —
   * the second language chain, proving the english plumbing
   * ([[EnglishAnalysis]]) generalizes: same shape, different filters.
   *
   * ES's prebuilt `french` analyzer runs
   * `french_elision → lowercase → french_stop → french_stemmer`
-  * where `french_stemmer` defaults to `light_french`; this chain
-  * substitutes the Snowball variant (`stemmer: "french"` — also a
-  * first-class ES option) because Snowball is the precisely
-  * published algorithm ([[FrenchStemmer]]). A documented choice,
-  * pinned by golden vectors.
+  * where `french_stemmer` defaults to `light_french` (Savoy's light
+  * stemmer — [[FrenchLightStemmer]]); since round 17 this chain
+  * stems with exactly that, so a verbatim ES body naming `french`
+  * answers here as it does on ES 8.11. The heavier Snowball
+  * algorithm remains available as [[FrenchStemmer]] — ES's
+  * `stemmer: "french"` token-filter form, reachable through
+  * `_analyze`'s explicit filter-chain route.
   *
   * QUERY-side (like english): documents stay standard-analyzed, the
   * stems search as literal terms against standard tokens and
@@ -91,6 +93,6 @@ object FrenchAnalysis {
     TextFunctions.analyzeText(s).iterator.zipWithIndex
       .map { case (t, i) => (elide(t), i) }
       .filter { case (t, _) => t.nonEmpty && !isStop(t) }
-      .map { case (t, i) => (FrenchStemmer.stem(t), i) }
+      .map { case (t, i) => (FrenchLightStemmer.stem(t), i) }
       .toSeq
 }

@@ -90,6 +90,21 @@ object TextFunctions {
     out.toSeq
   }
 
+  private val letterRunRegex = java.util.regex.Pattern.compile("\\p{L}+")
+
+  /** ES `simple` analyzer tokenization (Lucene's LowerCaseTokenizer):
+    * maximal Unicode-LETTER runs, lowercased — digits, underscores
+    * and punctuation all split, unlike the standard chain
+    * ("window7batch" → [window, batch] where standard keeps one
+    * token). The `stop` analyzer = this + the classic english stop
+    * set ([[EnglishAnalysis.isStop]]), positions consumed. */
+  def simpleTokens(s: String): Seq[String] = {
+    val m = letterRunRegex.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group().toLowerCase
+    out.toSeq
+  }
+
   /** BPE-ish subword token count: a GPT-2-style pre-tokenizer regex
     * (letter runs / digit runs / punctuation runs, each with optional
     * leading space) — the cheap LLM-token estimator a training-data

@@ -86,7 +86,7 @@ object ParityQueries {
     scala.collection.mutable.Map.empty[String, String]
 
   /** Lazily-built FRENCH-mapped documents index — index-TIME
-    * `"analyzer": "french"` (write-time Snowball french stems via
+    * `"analyzer": "french"` (write-time light_french stems via
     * the codegen FrenchTokens expression, stop-consumed positions,
     * stop-filtered dl). The q7_idx_french_* twins probe it. */
   private def frIndexRoot(s: SparkSession, dir: String): String =
@@ -97,6 +97,26 @@ object ParityQueries {
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "french")
+        root
+      })
+    }
+
+  private val deIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built GERMAN-mapped documents index — index-TIME
+    * `"analyzer": "german"` (write-time light_german stems via the
+    * codegen GermanTokens expression: stop-consumed positions,
+    * german_normalization, stop-filtered dl). The q7_idx_german_*
+    * twins probe it. */
+  private def deIndexRoot(s: SparkSession, dir: String): String =
+    deIndexRoots.synchronized {
+      deIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-de-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "german")
         root
       })
     }
@@ -1089,13 +1109,14 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
-    // INDEX-TIME french analyzer (round 16): the index holds
-    // write-time SNOWBALL FRENCH stems (elision → french_stop →
-    // FrenchStemmer, stop-consumed positions, stop-filtered dl) —
-    // ES's mapping-level french chain with the documented Snowball
-    // stemmer choice. The query analyzes with the FIELD's chain:
-    // "le filter des data" drops the french stopwords and stems
-    // filter→filt, data→dat — terms only THIS index holds (the
+    // INDEX-TIME french analyzer (round 16; light_french since
+    // round 17): the index holds write-time LIGHT FRENCH stems
+    // (elision → french_stop → FrenchLightStemmer, stop-consumed
+    // positions, stop-filtered dl) — exactly ES 8.11's
+    // mapping-level prebuilt french chain. The query analyzes with
+    // the FIELD's chain: "le filter des data" drops the french
+    // stopwords and stems filter→filt, data→data (light keeps
+    // 4-letter words whole) — `filt` only THIS index holds (the
     // standard index keeps the surface forms). BM25 statistics are
     // french-side; the oracle replays the fixed testdata
     // vocabulary's french stem classes literally
@@ -1113,7 +1134,7 @@ object ParityQueries {
 
     // ... and match_phrase against the french-mapped index: BOTH
     // sides carry stop gaps — "le filter de la data" analyzes to
-    // (filt@0, dat@3) and the postings hold french stems at original
+    // (filt@0, data@3) and the postings hold french stems at original
     // token indices (the corpus has no french stopwords, so its
     // positions are dense); phrase-frequency BM25 over the FRENCH
     // statistics.
@@ -1121,6 +1142,41 @@ object ParityQueries {
       val hits = graft.sinks.SearchIndex.phraseRanked(
         s, s"${frIndexRoot(s, dir)}/documents",
         "le filter de la data", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // INDEX-TIME german analyzer (round 17 — the THIRD language
+    // mapping, proving the chain plumbing is N-ary): the index holds
+    // write-time LIGHT GERMAN stems (lowercase → german_stop →
+    // german_normalization → GermanLightStemmer — exactly ES 8.11's
+    // prebuilt german chain). "die filtern von der data" drops the
+    // german stopwords and stems filtern→filt, data→data; BM25
+    // statistics are german-side (line→lin stems here where
+    // light_french keeps it, so the streams genuinely differ).
+    "q7_idx_german_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${deIndexRoot(s, dir)}/documents",
+        "die filtern von der data", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // ... and match_phrase against the german-mapped index: "die
+    // filtern von der data" analyzes to (filt@1, data@4) — the three
+    // consumed stop positions survive as the +3 gap — matched at
+    // exact offsets in the german-stemmed postings, phrase-BM25 over
+    // GERMAN statistics.
+    "q7_idx_german_phrase" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${deIndexRoot(s, dir)}/documents",
+        "die filtern von der data", Seq("text"))
       t(s, dir, "documents")
         .join(broadcast(hits), Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -1167,10 +1223,9 @@ object ParityQueries {
 
     // query-time FRENCH analyzer (round 16 — the second language
     // chain, proving the english plumbing generalizes): elision →
-    // lowercase → french_stop → SNOWBALL french stemmer
-    // (functions/FrenchAnalysis; the stemmer choice — ES's
-    // `stemmer: "french"` rather than the prebuilt analyzer's
-    // light_french default — is documented and golden-vector-pinned
+    // lowercase → french_stop → LIGHT french stemmer
+    // (functions/FrenchAnalysis → FrenchLightStemmer — since round
+    // 17 exactly ES 8.11's prebuilt-french default, golden-pinned
     // in FrenchStemmerSpec). "les groupes et les parts" analyzes to
     // stems [group, part] (stopwords consumed), searched as literal
     // terms against the standard tokens and statistics.
@@ -1203,6 +1258,109 @@ object ParityQueries {
         """{"query": {"match_phrase": {"text": {
           |  "query": "les groupes de la sorte",
           |  "analyzer": "french"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // query-time GERMAN analyzer (round 17 — the third language
+    // chain): lowercase → german_stop → german_normalization →
+    // LIGHT german stemmer (functions/GermanAnalysis — exactly ES
+    // 8.11's prebuilt german analyzer; GermanStemmerSpec pins the
+    // vectors). "die sorten und die batches" analyzes to stems
+    // [sort, batch] (stopwords consumed, -en/-es stripped),
+    // searched as literal terms against the standard tokens and
+    // statistics.
+    "q7_esdsl_match_german" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "die sorten und die batches",
+          |  "analyzer": "german"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its write-time-index twin: german stems are standard
+    // terms, so the standard postings serve them — one probe, zero
+    // corpus scans, same oracle.
+    "q7_esdsl_match_german_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "die sorten und die batches",
+          |  "analyzer": "german"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
+    // german match_phrase: the stop filter consumes positions like
+    // english/french — "die groupen an der sorten" analyzes to
+    // (group@1, sort@4), the +3 stop gap matched at exact offsets
+    // in the standard token stream, phrase-BM25 scored. The oracle
+    // is SHARED with the french phrase (same stems, same gap) —
+    // two different engine-side chains, one answer.
+    "q7_esdsl_phrase_german" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "die groupen an der sorten",
+          |  "analyzer": "german"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ES `simple` analyzer (round 17): lowercase LETTER-run
+    // tokenization — "Window7Batch" splits at the digit into
+    // [window, batch] where the standard chain keeps ONE token
+    // window7batch (matching nothing here); scored as a plain
+    // two-term BM25 over the standard statistics.
+    "q7_esdsl_match_simple" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "Window7Batch",
+          |  "analyzer": "simple"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ES `stop` analyzer (round 17): simple + the classic english
+    // stop set — "The Window And The Batch" analyzes to
+    // [window, batch], the same two-term BM25 oracle as the simple
+    // twin (two different chains, one answer).
+    "q7_esdsl_match_stop" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "The Window And The Batch",
+          |  "analyzer": "stop"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // stop-analyzer match_phrase: the stop filter consumes positions
+    // — "sort the window" analyzes to (sort@0, window@2), the same
+    // stop-gap layout as the english phrase twin, so the oracle is
+    // SHARED with q7_esdsl_phrase_english.
+    "q7_esdsl_phrase_stop" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "sort the window",
+          |  "analyzer": "stop"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // `analyzer` on query_string (round 17): ES accepts the knob on
+    // the classic syntax too — TERM atoms analyze with the named
+    // chain ("sorten batches" german-stems to sort/batch, searched
+    // as literal standard tokens), occurrence-count scored under
+    // the default OR (matching shoulds sum).
+    "q7_esdsl_query_string_german" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"query_string": {
+          |  "query": "sorten batches", "default_field": "text",
+          |  "analyzer": "german"}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // `analyzer` on simple_query_string (round 17): "sorted +
+    // windows" under the english chain — both term atoms stem
+    // (sort, window), the + requires both, the scores sum.
+    "q7_esdsl_sqs_english" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"simple_query_string": {
+          |  "query": "sorted + windows", "fields": ["text"],
+          |  "analyzer": "english"}}, "size": 100}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
@@ -4374,16 +4532,16 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
   }
 
-  /** Shared oracle of q7_esdsl_match_french (+ indexed twin): the
-    * french analysis of "les groupes et les parts" is precomputed —
-    * stopwords (les, et) drop, "groupes"/"parts" stem to the literal
-    * corpus tokens group/part (FrenchStemmerSpec pins the classes) —
-    * and the score is standard two-term BM25 under operator=or. */
-  private lazy val matchFrenchSql: String = {
+  /** Two precomputed query-analyzer stems scored as standard
+    * two-term BM25 under operator=or — the shared oracle shape of
+    * the query-time language-analyzer match queries (the language
+    * chain runs engine-side only; the oracle replays its OUTPUT
+    * stems, which the stemmer specs pin as literal corpus tokens). */
+  private def matchStemsSql(t1: String, t2: String): String = {
     val nrm = tokenNormSql("text")
-    val cg = substrCountSql(s"($nrm)", " group ")
-    val cp = substrCountSql(s"($nrm)", " part ")
-    s"WITH ${bm25FieldCtes("text", Seq("group", "part"), "0")}, " +
+    val cg = substrCountSql(s"($nrm)", s" $t1 ")
+    val cp = substrCountSql(s"($nrm)", s" $t2 ")
+    s"WITH ${bm25FieldCtes("text", Seq(t1, t2), "0")}, " +
     s"msc AS (${bm25CombineSql(Seq("0"), bestFields = false)}), " +
     "c AS (SELECT doc_id, text, lang, source, n_chars, " +
       s"$cg AS cg, $cp AS cp FROM documents) " +
@@ -4393,6 +4551,55 @@ object ParityQueries {
     "WHERE (CASE WHEN cg > 0 THEN 1 ELSE 0 END + " +
       "CASE WHEN cp > 0 THEN 1 ELSE 0 END) >= 1 " +
     "ORDER BY \"_score\" DESC, c.doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_esdsl_match_french (+ indexed twin): "les groupes
+    * et les parts" analyzes to the stems (group, part) — stopwords
+    * drop, light_french strips the plural/e tails. */
+  private lazy val matchFrenchSql: String = matchStemsSql("group", "part")
+
+  /** Oracle of q7_esdsl_match_german (+ indexed twin): "die sorten
+    * und die batches" analyzes to the stems (sort, batch) — german
+    * stopwords drop, light_german strips -en and -es
+    * (GermanStemmerSpec pins the classes). */
+  private lazy val matchGermanSql: String = matchStemsSql("sort", "batch")
+
+  /** Shared oracle of q7_esdsl_match_simple / _stop: both chains
+    * analyze their query text to exactly (window, batch) — the
+    * simple tokenizer splits "Window7Batch" at the digit, the stop
+    * chain drops The/And — and the score is standard two-term BM25
+    * under operator=or. */
+  private lazy val matchSimpleStopSql: String =
+    matchStemsSql("window", "batch")
+
+  /** Oracle of q7_esdsl_query_string_german: two german-stemmed term
+    * atoms (sort, batch) under the classic default OR — matching
+    * shoulds' occurrence counts sum (query_string's count-family
+    * scoring, not BM25). */
+  private lazy val qsGermanSql: String = {
+    val sc = substrCountSql(s"(${tokenNormSql("text")})", " sort ")
+    val bc = substrCountSql(s"(${tokenNormSql("text")})", " batch ")
+    "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$sc AS sc, $bc AS bc FROM documents) " +
+    "SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(sc + bc AS DOUBLE) AS \"_score\" " +
+    "FROM b WHERE sc > 0 OR bc > 0 " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_esdsl_sqs_english: "sorted + windows" under the
+    * english chain — term atoms stem to (sort, window), the +
+    * requires BOTH, matching scores sum (simple_query_string's
+    * count-family scoring). */
+  private lazy val sqsEnglishSql: String = {
+    val rc = substrCountSql(s"(${tokenNormSql("text")})", " sort ")
+    val sc = substrCountSql(s"(${tokenNormSql("text")})", " window ")
+    "WITH b AS (SELECT doc_id, text, lang, source, n_chars, " +
+      s"$rc AS rc, $sc AS sc FROM documents) " +
+    "SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(rc + sc AS DOUBLE) AS \"_score\" " +
+    "FROM b WHERE rc > 0 AND sc > 0 " +
+    "ORDER BY \"_score\" DESC, doc_id LIMIT 100"
   }
 
   /** Oracle of q7_esdsl_phrase_french: the french analysis of
@@ -4496,12 +4703,16 @@ object ParityQueries {
 
   /** The fixed testdata vocabulary's FRENCH stem classes as a SQL
     * CASE — the literal map FrenchStemmerSpec pins against the
-    * engine's Snowball stemmer (identity on every other token). */
+    * engine's light_french stemmer, ES 8.11's prebuilt-`french`
+    * default (identity on every other token; `data`/`line` stay
+    * whole under the light algorithm's length-4 guard where
+    * Snowball stripped them — the round-17 parity swap). */
   private def frCaseSql(v: String): String =
-    s"CASE $v WHEN 'customer' THEN 'custom' WHEN 'data' THEN 'dat' " +
-    s"WHEN 'filter' THEN 'filt' WHEN 'line' THEN 'lin' " +
-    s"WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl' " +
-    s"WHEN 'value' THEN 'valu' ELSE $v END"
+    s"CASE $v WHEN 'customer' THEN 'custom' " +
+    s"WHEN 'filter' THEN 'filt' WHEN 'merge' THEN 'merg' " +
+    s"WHEN 'order' THEN 'ord' WHEN 'small' THEN 'smal' " +
+    s"WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' " +
+    s"WHEN 'vector' THEN 'vecto' ELSE $v END"
 
   private def frStopsSql: String =
     graft.functions.FrenchAnalysis.StopWords
@@ -4514,13 +4725,36 @@ object ParityQueries {
     s"list_transform(list_filter(${anToksSql(expr)}, " +
     s"t -> t NOT IN ($frStopsSql)), t -> ${frCaseSql("t")})"
 
-  /** Oracle of q7_idx_french_match: BM25 over FRENCH-analyzed
-    * documents — tf/df/dl/avgdl from the stop-filtered french-stemmed
-    * stream ([[frToksSql]]), the same per-term saturation and single
-    * final rounding as the english idx oracle. Query stems
-    * precomputed: "le filter des data" → (filt, dat). */
-  private lazy val idxFrenchMatchSql: String = {
-    val terms = Seq("filt", "dat")
+  /** The fixed testdata vocabulary's GERMAN stem classes as a SQL
+    * CASE — the literal map GermanStemmerSpec pins against the
+    * engine's light_german chain (normalization folds value's ue,
+    * the stemmer strips -er/-e; identity on every other token). */
+  private def deCaseSql(v: String): String =
+    s"CASE $v WHEN 'customer' THEN 'custom' " +
+    s"WHEN 'filter' THEN 'filt' WHEN 'line' THEN 'lin' " +
+    s"WHEN 'merge' THEN 'merg' WHEN 'order' THEN 'ord' " +
+    s"WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' " +
+    s"ELSE $v END"
+
+  private def deStopsSql: String =
+    graft.functions.GermanAnalysis.StopWords
+      .map(w => s"'$w'").mkString(", ")
+
+  /** German-analyzed token array over the testdata corpus (stop
+    * filter + the literal stem classes — no corpus token is a
+    * german stopword, but the filter stays for fidelity). */
+  private def deToksSql(expr: String): String =
+    s"list_transform(list_filter(${anToksSql(expr)}, " +
+    s"t -> t NOT IN ($deStopsSql)), t -> ${deCaseSql("t")})"
+
+  /** BM25 over a LANGUAGE-analyzed document stream — tf/df/dl/avgdl
+    * from the stop-filtered stem-mapped token pipeline (the language
+    * twin of the english idx oracle: same per-term saturation,
+    * single final rounding). Shared by the idx_french and idx_german
+    * twins; each passes its own corpus pipeline and precomputed
+    * query stems. */
+  private def idxLangMatchSql(langToks: String => String,
+                              terms: Seq[String]): String = {
     val in = terms.map(t => s"'$t'").mkString(", ")
     val termSum = terms.map(t =>
       s"coalesce(sum(CASE WHEN term = '$t' THEN idf0.idf * " +
@@ -4529,9 +4763,9 @@ object ParityQueries {
         "CAST(0.75 AS DOUBLE) * tf0.dl / st0.avgdl))) END), " +
         "CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"WITH dls0 AS (SELECT doc_id, len(${frToksSql("text")}) AS dl, " +
+    s"WITH dls0 AS (SELECT doc_id, len(${langToks("text")}) AS dl, " +
       "text AS f FROM documents), " +
-    s"toks0 AS (SELECT doc_id, dl, unnest(${frToksSql("f")}) AS term " +
+    s"toks0 AS (SELECT doc_id, dl, unnest(${langToks("f")}) AS term " +
       "FROM dls0), " +
     s"q0 AS (SELECT doc_id, dl, term FROM toks0 WHERE term IN ($in)), " +
     "st0 AS (SELECT count(*) AS n, " +
@@ -4552,21 +4786,36 @@ object ParityQueries {
     "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
   }
 
-  /** Oracle of q7_idx_french_phrase: both sides french — the gapped
-    * query stems (filt@0, dat@3) position-join the french-stemmed
-    * stream at ORIGINAL token indices, pf counts distinct heads, and
-    * the phrase-BM25 body reads french statistics. */
-  private lazy val idxFrenchPhraseSql: String = {
+  /** Oracle of q7_idx_french_match: query "le filter des data" →
+    * stems (filt, data) over the light_french corpus pipeline. */
+  private lazy val idxFrenchMatchSql: String =
+    idxLangMatchSql(frToksSql, Seq("filt", "data"))
+
+  /** Oracle of q7_idx_german_match: query "die filtern von der
+    * data" → the SAME stems (filt, data) over the light_german
+    * corpus pipeline (its stem classes differ from french — line
+    * stems, small/vector stay whole — so the statistics differ). */
+  private lazy val idxGermanMatchSql: String =
+    idxLangMatchSql(deToksSql, Seq("filt", "data"))
+
+  /** Both sides language-analyzed match_phrase — the gapped query
+    * stems (a@0, b@offset) position-join the stem-mapped stream at
+    * ORIGINAL token indices, pf counts distinct heads, and the
+    * phrase-BM25 body reads the language-side statistics. Shared by
+    * the idx_french and idx_german phrase twins. */
+  private def idxLangPhraseSql(caseSql: String => String,
+                               stopsSql: String, ta: String,
+                               tb: String, off: Int): String = {
     "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
       " AS ts FROM documents), " +
     "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
       "generate_subscripts(ts, 1) AS pos FROM toks), " +
-    s"ep AS (SELECT doc_id, ${frCaseSql("tok")} AS term, pos " +
-      s"FROM pos WHERE tok NOT IN ($frStopsSql)), " +
+    s"ep AS (SELECT doc_id, ${caseSql("tok")} AS term, pos " +
+      s"FROM pos WHERE tok NOT IN ($stopsSql)), " +
     "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf " +
       "FROM ep a JOIN ep b ON a.doc_id = b.doc_id " +
-      "AND a.term = 'filt' AND b.term = 'dat' " +
-      "AND b.pos = a.pos + 3 GROUP BY a.doc_id), " +
+      s"AND a.term = '$ta' AND b.term = '$tb' " +
+      s"AND b.pos = a.pos + $off GROUP BY a.doc_id), " +
     "dls AS (SELECT doc_id, count(term) AS dl FROM ep GROUP BY doc_id), " +
     "st AS (SELECT count(*) AS n, " +
       "CAST(sum(coalesce(dls.dl, 0)) AS DOUBLE) / count(*) AS avgdl " +
@@ -4576,10 +4825,10 @@ object ParityQueries {
         "/ (s.df + CAST(0.5 AS DOUBLE))) + " +
       "ln(CAST(1.0 AS DOUBLE) + (st.n - w.df + CAST(0.5 AS DOUBLE)) " +
         "/ (w.df + CAST(0.5 AS DOUBLE))) AS idfsum FROM st, " +
-      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
-        "WHERE term = 'filt') s, " +
-      "(SELECT count(DISTINCT doc_id) AS df FROM ep " +
-        "WHERE term = 'dat') w) " +
+      s"(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        s"WHERE term = '$ta') s, " +
+      s"(SELECT count(DISTINCT doc_id) AS df FROM ep " +
+        s"WHERE term = '$tb') w) " +
     "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
       "floor(idfs.idfsum * ((gp.pf * CAST(2.2 AS DOUBLE)) / " +
       "(gp.pf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
@@ -4590,6 +4839,17 @@ object ParityQueries {
     "CROSS JOIN idfs WHERE gp.pf > 0 " +
     "ORDER BY \"_score\" DESC, d.doc_id LIMIT 100"
   }
+
+  /** Oracle of q7_idx_french_phrase: "le filter de la data" →
+    * (filt@0, data@3) over the light_french pipeline. */
+  private lazy val idxFrenchPhraseSql: String =
+    idxLangPhraseSql(frCaseSql, frStopsSql, "filt", "data", 3)
+
+  /** Oracle of q7_idx_german_phrase: "die filtern von der data" →
+    * (filt@1, data@4), the same +3 stop gap, over the light_german
+    * pipeline and ITS statistics. */
+  private lazy val idxGermanPhraseSql: String =
+    idxLangPhraseSql(deCaseSql, deStopsSql, "filt", "data", 3)
 
   /** Whitespace-analyzed token array (mirrors SearchIndex.plainTokens
     * "whitespace": split on whitespace runs, case/punctuation kept,
@@ -5373,6 +5633,16 @@ object ParityQueries {
     "q7_esdsl_phrase_french" -> phraseFrenchSql,
     "q7_idx_french_match" -> idxFrenchMatchSql,
     "q7_idx_french_phrase" -> idxFrenchPhraseSql,
+    "q7_esdsl_match_german" -> matchGermanSql,
+    "q7_esdsl_match_german_indexed" -> matchGermanSql,
+    "q7_esdsl_phrase_german" -> phraseFrenchSql,
+    "q7_idx_german_match" -> idxGermanMatchSql,
+    "q7_idx_german_phrase" -> idxGermanPhraseSql,
+    "q7_esdsl_match_simple" -> matchSimpleStopSql,
+    "q7_esdsl_match_stop" -> matchSimpleStopSql,
+    "q7_esdsl_phrase_stop" -> phraseEnglishSql,
+    "q7_esdsl_query_string_german" -> qsGermanSql,
+    "q7_esdsl_sqs_english" -> sqsEnglishSql,
 
     "q7_esdsl_match_english_indexed" -> matchEnglishSql,
 

@@ -747,8 +747,17 @@ object EsDsl {
                                               text: String, size: Int,
                                               maxEdits: Int,
                                               mode: String,
-                                              sortByFreq: Boolean) {
-    def tokens: Seq[String] = graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
+                                              sortByFreq: Boolean,
+                                              analyzer: String =
+                                                "standard") {
+    /** The analyzed suggest-text tokens — under a non-standard
+      * `analyzer` (ES accepts the knob here too) the chain's output
+      * terms are checked against the field's STANDARD vocabulary,
+      * the same query-time-analyzer contract as the match family. */
+    def tokens: Seq[String] =
+      if (analyzer == "standard")
+        graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
+      else EsDsl.queryTerms(text, analyzer)
   }
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
@@ -763,7 +772,8 @@ object EsDsl {
       .getOrElse(bad("only the term and phrase suggesters are " +
         "supported"))
     val unknownT = keysOf(term).filterNot(Set("field", "size",
-      "max_edits", "suggest_mode", "sort", "string_distance"))
+      "max_edits", "suggest_mode", "sort", "string_distance",
+      "analyzer"))
     if (unknownT.nonEmpty)
       bad(s"unsupported term-suggester key" +
         s"${if (unknownT.size == 1) "" else "s"}: " +
@@ -796,7 +806,8 @@ object EsDsl {
       case other => bad(s"unsupported string_distance '$other' " +
         "(the engine's metric is damerau_levenshtein, ES's internal)")
     }
-    val spec = SuggestSpec(f, text, size, maxEdits, mode, sortByFreq)
+    val spec = SuggestSpec(f, text, size, maxEdits, mode, sortByFreq,
+      matchAnalyzer(term))
     if (spec.tokens.isEmpty) bad("suggest text has no tokens")
     spec
   }
@@ -4374,7 +4385,12 @@ object EsDsl {
       // match/multi_match and /search rank=bm25. Matching clauses'
       // scores sum, ES's combination rule.
       val sqsBoost = clauseBoost("simple_query_string", b,
-        Set("query", "fields", "default_operator"))
+        Set("query", "fields", "default_operator", "analyzer"))
+      // the analyzer knob (round 17): ES accepts `analyzer` here
+      // too — it analyzes the lexer's TERM atoms (phrase/prefix/
+      // fuzzy atoms keep their own machinery, which is standard-
+      // chain-bound in this engine: combined reject by name below)
+      val sqsAnalyzer = matchAnalyzer(b)
       val qstr = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("simple_query_string needs \"query\""))
       val fields: Seq[(String, Double)] =
@@ -4407,8 +4423,14 @@ object EsDsl {
           // the atom is ANALYZED like ES does (the lexer only split on
           // syntax): several analyzed tokens OR together, score = the
           // summed token counts; an atom analyzing to nothing (pure
-          // punctuation) never matches
-          val ts = graft.functions.TextFunctions.analyzeText(t)
+          // punctuation, or all-stopword under a removing chain)
+          // never matches. A non-standard analyzer produces terms
+          // that search as literal standard tokens (the match
+          // family's contract).
+          val ts =
+            if (sqsAnalyzer == "standard")
+              graft.functions.TextFunctions.analyzeText(t)
+            else queryTerms(t, sqsAnalyzer)
           if (ts.isEmpty) Clause(lit(false), lit(0.0))
           else {
             val cnt = ts.map(tok => overFields(f =>
@@ -4417,15 +4439,27 @@ object EsDsl {
             Clause(cnt > 0, cnt.cast("double"))
           }
         case SimpleQueryString.Prefix(p) =>
+          if (sqsAnalyzer != "standard")
+            bad("analyzer on simple_query_string applies to term " +
+              "atoms only — prefix atoms expand over the standard " +
+              "chain (drop the * or the analyzer)")
           val cnt = overFields(f =>
             Search.phrasePrefixCount(col(f), Seq(p), 0))
           Clause(cnt > 0, cnt.cast("double"))
         case SimpleQueryString.Fuzzy(t, e) =>
+          if (sqsAnalyzer != "standard")
+            bad("analyzer on simple_query_string applies to term " +
+              "atoms only — fuzzy atoms expand over the standard " +
+              "chain (drop the ~N or the analyzer)")
           val cnt = overFields(f => size(filter(
             graft.functions.TextFunctions.analyzerTokens(col(f)),
             x => Search.editDistance(x, t, true) <= e)))
           Clause(cnt > 0, cnt.cast("double"))
         case SimpleQueryString.Phrase(terms, slop) =>
+          if (sqsAnalyzer != "standard")
+            bad("analyzer on simple_query_string applies to term " +
+              "atoms only — quoted phrases ride the standard chain " +
+              "(use match_phrase for analyzer-aware phrases)")
           val cnt =
             if (slop == 0) overFields(f => Search.substrCount(
               Search.tokenNorm(col(f)), terms.mkString(" ", "  ", " ")))
@@ -4926,7 +4960,13 @@ object EsDsl {
       // constant-score rewrite. BM25 relevance lives on
       // match/multi_match and /search rank=bm25.
       val qsBoost = clauseBoost("query_string", b,
-        Set("query", "fields", "default_field", "default_operator"))
+        Set("query", "fields", "default_field", "default_operator",
+          "analyzer"))
+      // ES accepts `analyzer` on query_string too (round 17): it
+      // analyzes TERM atoms; syntax-bound atoms (phrase, prefix,
+      // wildcard, fuzzy) keep the standard chain and the combination
+      // rejects by name inside qsCompile
+      val qsAnalyzer = matchAnalyzer(b)
       val qstr = Option(b.get("query")).map(_.asText)
         .getOrElse(bad("query_string needs \"query\""))
       val fieldsNode = Option(b.get("fields")).filter(_.isArray)
@@ -4956,7 +4996,7 @@ object EsDsl {
         case other => bad(s"unsupported default_operator '$other'")
       }
       boosted(qsCompile(QueryString.parse(qstr, defaultAnd), defaults,
-        ctx), qsBoost)
+        ctx, qsAnalyzer), qsBoost)
 
     case ("bool", b) =>
       val boolBoost = clauseBoost("bool", b, Set("must", "filter",
@@ -5140,7 +5180,8 @@ object EsDsl {
     * is only required when no must/filter context exists. */
   private def qsCompile(root: QueryString.Node,
                         defaults: Seq[(String, Double)],
-                        ctx: Ctx): Clause = {
+                        ctx: Ctx,
+                        analyzer: String = "standard"): Clause = {
     import QueryString._
     def fieldsFor(f: Option[String]): Seq[(String, Double)] = f match {
       case Some(name) =>
@@ -5159,8 +5200,13 @@ object EsDsl {
       case Term(f, t) =>
         // analyze the atom (the lexer only split on query syntax):
         // multi-token atoms OR together like ES's analyzed atoms,
-        // pure-punctuation atoms never match
-        val ts = graft.functions.TextFunctions.analyzeText(t)
+        // pure-punctuation (or all-stopword-under-a-removing-chain)
+        // atoms never match. A non-standard analyzer's terms search
+        // as literal standard tokens (the match family's contract).
+        val ts =
+          if (analyzer == "standard")
+            graft.functions.TextFunctions.analyzeText(t)
+          else queryTerms(t, analyzer)
         if (ts.isEmpty) Clause(lit(false), lit(0.0))
         else {
           val cnt = ts.map(tok => overFields(f)(fn =>
@@ -5169,16 +5215,26 @@ object EsDsl {
           Clause(cnt > 0, cnt.cast("double"))
         }
       case Phrase(f, terms, slop) =>
+        if (analyzer != "standard")
+          bad("analyzer on query_string applies to term atoms only " +
+            "— quoted phrases ride the standard chain (use " +
+            "match_phrase for analyzer-aware phrases)")
         val cnt =
           if (slop == 0) overFields(f)(fn => Search.substrCount(
             Search.tokenNorm(col(fn)), terms.mkString(" ", "  ", " ")))
           else overFields(f)(fn => Search.slopCount(col(fn), terms, slop))
         Clause(cnt > 0, cnt.cast("double"))
       case Prefix(f, p) =>
+        if (analyzer != "standard")
+          bad("analyzer on query_string applies to term atoms only " +
+            "— prefix atoms expand over the standard chain")
         val cnt = overFields(f)(fn =>
           Search.phrasePrefixCount(col(fn), Seq(p), 0))
         Clause(cnt > 0, cnt.cast("double"))
       case Wild(f, pat) =>
+        if (analyzer != "standard")
+          bad("analyzer on query_string applies to term atoms only " +
+            "— wildcard atoms rewrite over the standard chain")
         // token-level wildcard: the analyzed-field analog of ES's
         // wildcard query — count of tokens matching the LIKE rewrite
         val like = wildcardToLike(pat)
@@ -5186,6 +5242,9 @@ object EsDsl {
           size(filter(tokensOf(fn), x => x.like(like))))
         Clause(cnt > 0, cnt.cast("double"))
       case Fuzzy(f, t, e) =>
+        if (analyzer != "standard")
+          bad("analyzer on query_string applies to term atoms only " +
+            "— fuzzy atoms expand over the standard chain")
         val cnt = overFields(f)(fn => size(filter(tokensOf(fn),
           x => Search.editDistance(x, t, true) <= e)))
         Clause(cnt > 0, cnt.cast("double"))
@@ -7736,11 +7795,11 @@ object EsDsl {
   private def matchAnalyzer(spec: JsonNode): String =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => "standard"
-      case Some(a @ ("english" | "french" | "whitespace" |
-                     "keyword")) => a
+      case Some(a @ ("english" | "french" | "german" | "simple" |
+                     "stop" | "whitespace" | "keyword")) => a
       case Some(other) => bad(s"unsupported analyzer '$other' " +
-        "(supported here: standard, english, french, whitespace, " +
-        "keyword)")
+        "(supported here: standard, english, french, german, " +
+        "simple, stop, whitespace, keyword)")
     }
 
   /** The analyzed QUERY term list of a match-family clause — the one
@@ -7764,6 +7823,16 @@ object EsDsl {
         graft.functions.EnglishAnalysis.analyze(text).distinct.toSeq
       case "french" =>
         graft.functions.FrenchAnalysis.analyze(text).distinct.toSeq
+      case "german" =>
+        graft.functions.GermanAnalysis.analyze(text).distinct.toSeq
+      case "simple" =>
+        // ES's simple analyzer: lowercase LETTER runs — every token
+        // is trivially a standard token of itself, no sentinel needed
+        graft.functions.TextFunctions.simpleTokens(text).distinct
+      case "stop" =>
+        // ES's stop analyzer: simple + the classic english stop set
+        graft.functions.TextFunctions.simpleTokens(text)
+          .filterNot(graft.functions.EnglishAnalysis.isStop).distinct
       case "whitespace" =>
         literalTerms(text.split("\\s+").toSeq.filter(_.nonEmpty))
       case "keyword" =>
@@ -7846,6 +7915,20 @@ object EsDsl {
         // consumes positions, so the stems carry stop gaps
         graft.functions.TextFunctions.rebase(
           graft.functions.FrenchAnalysis.analyzeWithPositions(text))
+      case "german" =>
+        graft.functions.TextFunctions.rebase(
+          graft.functions.GermanAnalysis.analyzeWithPositions(text))
+      case "simple" =>
+        // dense letter-run positions (the simple tokenizer has no
+        // removing filter)
+        graft.functions.TextFunctions.simpleTokens(text).zipWithIndex
+      case "stop" =>
+        // the stop filter consumes positions — phrases carry gaps
+        // where stopwords stood, like the language chains
+        graft.functions.TextFunctions.rebase(
+          graft.functions.TextFunctions.simpleTokens(text).zipWithIndex
+            .filterNot { case (t, _) =>
+              graft.functions.EnglishAnalysis.isStop(t) })
       case "whitespace" | "keyword" =>
         // positional duplicates must stay (a phrase can repeat a
         // term), so gate each POSITION against the standard token

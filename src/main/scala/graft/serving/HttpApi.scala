@@ -1411,10 +1411,11 @@ final class HttpApi(
     * .analyzeWithOffsets]]); `analyzer: "whitespace"` serves ES's
     * whitespace analyzer (raw `\S+` tokens, no lowercase — the
     * pipeline layer's unit) and `"keyword"` the whole input as one
-    * token — the SAME inventory the match family accepts. Offsets
-    * point into the ORIGINAL text,
+    * token — the SAME inventory the match family accepts (the
+    * language chains english/french/german, and simple/stop since
+    * round 17). Offsets point into the ORIGINAL text,
     * like ES. Any OTHER analyzer name rejects by name — silently
-    * standard-analyzing a request for `french` would misreport what
+    * standard-analyzing a request for `spanish` would misreport what
     * the engine actually indexes. */
   private def analyzeText(ex: HttpExchange, req: JsonNode): Unit =
     aux(ex) {
@@ -1428,10 +1429,13 @@ final class HttpApi(
         case "whitespace"           => "whitespace"
         case "english"              => "english"
         case "french"               => "french"
+        case "german"               => "german"
+        case "simple"               => "simple"
+        case "stop"                 => "stop"
         case "keyword"              => "keyword"
         case other => auxBad(s"unsupported analyzer '$other' — " +
-          "standard (the engine's chain), english, french, " +
-          "whitespace and keyword only")
+          "standard (the engine's chain), english, french, german, " +
+          "simple, stop, whitespace and keyword only")
       }
       val spans = which match {
         case "standard" => Search.analyzeWithOffsets(textN.asText)
@@ -1456,15 +1460,44 @@ final class HttpApi(
         case "french" =>
           // the french chain under the same contract: elision keeps
           // the ORIGINAL token's offsets (ES's ElisionFilter does),
-          // stopwords consume positions, token = the Snowball stem
+          // stopwords consume positions, token = the light_french
+          // stem (the prebuilt analyzer's default stemmer)
           Search.analyzeWithOffsets(textN.asText).flatMap {
             case (t, s0, e0, p) =>
               val elided = graft.functions.FrenchAnalysis.elide(t)
               if (elided.isEmpty ||
                   graft.functions.FrenchAnalysis.isStop(elided)) None
-              else Some((graft.functions.FrenchStemmer.stem(elided),
+              else Some(
+                (graft.functions.FrenchLightStemmer.stem(elided),
+                  s0, e0, p))
+          }
+        case "german" =>
+          // the german chain: stopwords consume positions, then
+          // german_normalization (ß→ss, ae/oe/ue folds) and the
+          // light_german stem — offsets stay the ORIGINAL token's
+          Search.analyzeWithOffsets(textN.asText).flatMap {
+            case (t, s0, e0, p) =>
+              if (graft.functions.GermanAnalysis.isStop(t)) None
+              else Some((graft.functions.GermanLightStemmer.stem(
+                graft.functions.GermanAnalysis.normalize(t)),
                 s0, e0, p))
           }
+        case "simple" | "stop" =>
+          // ES's simple analyzer (lowercase LETTER runs — digits and
+          // punctuation split) and its stop sibling (+ the classic
+          // english stop set, positions consumed)
+          val m = java.util.regex.Pattern.compile("\\p{L}+")
+            .matcher(textN.asText)
+          val runs = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Int, Int)]
+          var pos = 0
+          while (m.find()) {
+            runs += ((m.group.toLowerCase, m.start, m.end, pos))
+            pos += 1
+          }
+          if (which == "simple") runs.toSeq
+          else runs.toSeq.filterNot { case (t, _, _, _) =>
+            graft.functions.EnglishAnalysis.isStop(t) }
         case _ =>
           val m = java.util.regex.Pattern.compile("\\S+")
             .matcher(textN.asText)
@@ -1474,7 +1507,8 @@ final class HttpApi(
           out.toSeq
       }
       val ttype =
-        if (which == "whitespace" || which == "keyword") "word"
+        if (which == "whitespace" || which == "keyword" ||
+            which == "simple" || which == "stop") "word"
         else "<ALPHANUM>"
       val toks = spans.map {
         case (t, s0, e0, p) =>
@@ -2370,11 +2404,12 @@ final class HttpApi(
   /** The entity's synced document index, if a sync has run. Reads serve
     * from the INDEX (like the reference's ES-backed GETs,
     * README-advertised listings), never the source of truth — serving
-    * and extraction stay decoupled. */
-  private def index(entity: String): Option[DataFrame] = {
-    val data = new java.io.File(s"$outDir/$entity/data")
-    if (data.isDirectory) Some(spark.read.parquet(data.toString)) else None
-  }
+    * and extraction stay decoupled. Since round 17 the store is
+    * log-structured, so reads go through [[graft.sinks.DocumentSink
+    * .readOpt]]'s resolved line (base ∪ API-write delta generations,
+    * latest wins, tombstones dropped). */
+  private def index(entity: String): Option[DataFrame] =
+    graft.sinks.DocumentSink.readOpt(spark, s"$outDir/$entity")
 
   /** GET /{entity}?limit=N&after=ID — list synced documents (hits
     * envelope), document_id-ordered; `after` is the last document_id of

@@ -27,9 +27,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   - drop-and-recreate ⇒ `SaveMode.Overwrite` (src/es_connector.py:23-25
   *     deletes the index if it exists) — destructive, kept explicit;
   *   - append-only historized sync vs upsert-by-id: the *caller* chooses
-  *     the id strategy ([[DocId]]); `Upsert` rewrites partitions
-  *     containing matching ids (parquet has no point update — at scale
-  *     this becomes a Delta/Iceberg MERGE, same logical contract);
+  *     the id strategy ([[DocId]]); `Upsert` lands the batch as an
+  *     O(request) LSM delta generation resolved latest-wins at read
+  *     time and folded into the base by threshold compaction (see the
+  *     log-structured-store section — at scale the same logical
+  *     contract is a Delta/Iceberg MERGE);
   *   - bulk partial-failure side-channel (src/es_connector.py:62-68
   *     `raise_on_error=False`) ⇒ [[validatedWrite]] splits invalid rows
   *     to a quarantine directory instead of failing the job.
@@ -159,6 +161,15 @@ object DocumentSink {
   def save(df: DataFrame, path: String,
            mode: SaveMode = SaveMode.Overwrite,
            fieldTypes: Map[String, String] = Map.empty): Long = {
+    // drop-and-recreate DROPS pending API-write deltas too — that is
+    // the declared semantics (the reference deletes the ES index);
+    // Append (historized sync, ids unique by construction) leaves
+    // them in place
+    if (mode == SaveMode.Overwrite) {
+      val fs = hadoopFs(df.sparkSession, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/data_delta"), true)
+      ()
+    }
     val n = writeCounted(df, s"$path/data", mode)
     writeSidecar(s"$path/_mapping.json", mappingJson(df.schema, fieldTypes))
     writeSidecar(s"$path/_meta.json",
@@ -196,128 +207,246 @@ object DocumentSink {
     (n, nBad)
   }
 
-  /** Upsert by `document_id`: replace existing docs sharing an id with
-    * the incoming batch (REST per-record re-sync semantics,
-    * src/routes/ticket_routes.py:91-96). Parquet cannot overwrite a path
-    * it is reading, so the merged table is staged in a sibling temp
-    * directory and swapped in with [[graft.sinks.Lake.swapIn]]'s
-    * crash-safe two-rename (old aside → new in → delete aside; a crash
-    * at any point leaves at least one complete generation on disk —
-    * never delete-then-rename, whose window has zero copies). The first
-    * cut staged via `localCheckpoint`, which materializes the ENTIRE
-    * merged index in executor block-manager memory — a scale-killer the
-    * swap avoids; on object stores without atomic rename the same
-    * logical contract lands on a Delta/Iceberg MERGE INTO. */
-  def upsert(batch: DataFrame, path: String): Long = {
-    val spark = batch.sparkSession
-    val dataPath = s"$path/data"
-    val existing =
-      try spark.read.parquet(dataPath)
-      catch { case _: Exception => spark.emptyDataFrame }
-    val merged =
-      if (existing.columns.isEmpty) batch
-      else existing.join(batch.select("document_id"), Seq("document_id"),
-        "left_anti").unionByName(batch, allowMissingColumns = true)
-    val tmpPath =
-      s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
-    val idxPath = s"$path/_search_index"
-    val maintainIdx = SearchIndex.exists(idxPath)
-    // `batch` may be a LAZY plan over the current data generation
-    // (update_by_query derives its rewritten rows from the store), so
-    // it must be EVALUATED before the swap deletes those files — but
-    // the index COMMIT must stay after the swap (pre-swap commit
-    // would leave the index AHEAD of the store on a swap failure: an
-    // inconsistent mix, where a post-swap failure only leaves the
-    // index one consistent snapshot behind). Snapshotting the batch
-    // to a temp parquet decouples the two: evaluate pre-swap, commit
-    // post-swap from stable files. The extra write is batch-sized
-    // (the match set), never corpus-sized.
-    val batchSnap =
-      if (maintainIdx) {
-        val p0 = s"$path/.batch_tmp_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        batch.write.mode(SaveMode.Overwrite).parquet(p0)
-        Some(p0)
-      } else None
-    val fs = new org.apache.hadoop.fs.Path(path)
+  // ---- the LOG-STRUCTURED store (round 17) -------------------------
+  //
+  // Until round 16, [[upsert]]/[[deleteByIds]] rewrote the ENTIRE
+  // store per API write (left-anti + union + crash-safe swap) —
+  // correct, but O(store) per request: the exact cost class the
+  // `_versions` sidecar escaped in round 16. The store now rides the
+  // same LSM shape: each write request stages its batch to a temp dir
+  // and lands it as ONE atomically-renamed delta GENERATION under
+  // `{path}/data_delta/delta-NNNNNN` (doc columns + `_op`
+  // upsert|delete + `_seq`, the generation's monotonic number) —
+  // O(request) written bytes. The current document line is
+  //
+  //   base `data`  minus  delta-touched ids  union  the latest
+  //   generation's rows per id (tombstones drop the id),
+  //
+  // resolved by [[readOpt]]: the delta side is at most
+  // [[StoreCompactThreshold]] request-sized generations, so the
+  // resolve is a BROADCAST anti-join against the base scan — one
+  // pass, no corpus shuffle, and the zero-delta fast path is the
+  // plain base read. Once the threshold accumulates, the write folds
+  // the line into a new base through [[Lake.swapIn]]'s crash-safe
+  // two-rename and clears the deltas. Crash windows are benign: a
+  // crash before the delta rename leaves an invisible dot-dir; after
+  // the compaction swap but before the delta delete, the deltas
+  // REPLAY idempotently (latest-generation-wins is unchanged when the
+  // base already equals the fold). On object stores without atomic
+  // rename the same logical contract lands on a Delta/Iceberg table.
+
+  /** Delta generations folded into the base per compaction — bounds
+    * both the per-request write cost (one staged rename) and the
+    * read fan-in (at most this many request-sized generations beside
+    * one base snapshot). */
+  private[graft] val StoreCompactThreshold = 16
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
-      new org.apache.hadoop.fs.Path(dataPath))
-    writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
-    writeSidecar(s"$path/_meta.json",
-      s"""{"doc_count": $n, "mode": "overwrite"}""")
-    // incremental index maintenance: the SAME replace-by-id batch
-    // delta-updates the adjacent search index (df/n/sumdl integer
-    // deltas — SearchIndex.upsert), never a corpus re-tokenize. Every
-    // upsert path (REST insert, batch, re-sync, streaming changelog,
-    // update_by_query) funnels through here, so the index tracks all
-    // of them.
-    batchSnap.foreach { p0 =>
-      try SearchIndex.upsert(spark.read.parquet(p0), idxPath)
-      finally { fs.delete(new org.apache.hadoop.fs.Path(p0), true); () }
-    }
-    // a PRE-CURRENT-VERSION index (retired token grammar) no longer
-    // `exists` — rebuild it from the post-swap store with its own
-    // field list instead of silently orphaning it
-    if (!maintainIdx && SearchIndex.staleVersion(idxPath)) {
-      val meta = SearchIndex.readMeta(idxPath)
-      SearchIndex.build(spark.read.parquet(dataPath), meta.fields,
-        meta.idCol, idxPath)
-    }
+
+  private def deltaGens(fs: org.apache.hadoop.fs.FileSystem,
+                        deltaRoot: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(deltaRoot)) Seq.empty
+    else fs.listStatus(deltaRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta-"))
+      .map(_.getPath.getName.stripPrefix("delta-").toLong)
+
+  /** The CURRENT document line of the store at `path` — base ∪ delta
+    * generations with the latest generation winning per document_id
+    * and delete tombstones dropped — or None iff nothing was ever
+    * written. Zero deltas (a freshly-synced or just-compacted store)
+    * is the fast path: the plain base read, no joins. */
+  def readOpt(spark: org.apache.spark.sql.SparkSession,
+              path: String): Option[DataFrame] = {
+    val fs = hadoopFs(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(s"$path/data")
+    val dp = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    val hasBase = fs.exists(bp)
+    val hasDelta = deltaGens(fs, dp).nonEmpty
+    if (!hasBase && !hasDelta) return None
+    if (!hasDelta) return Some(spark.read.parquet(bp.toString))
+    // generations are request-sized and bounded by the compaction
+    // threshold — everything delta-side is SMALL
+    val deltas = spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true").parquet(dp.toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("document_id"))
+    val winners = deltas
+      .withColumn("_wseq", max(col("_seq")).over(w))
+      .filter(col("_seq") === col("_wseq") && col("_op") === "upsert")
+      .drop("_op", "_seq", "_wseq")
+    val touched = deltas.select("document_id").distinct()
+    if (!hasBase) return Some(winners)
+    Some(spark.read.parquet(bp.toString)
+      .join(broadcast(touched), Seq("document_id"), "left_anti")
+      .unionByName(winners, allowMissingColumns = true))
+  }
+
+  /** [[readOpt]] for a store known to exist. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           path: String): DataFrame =
+    readOpt(spark, path).getOrElse(
+      throw new IllegalStateException(s"no document store at $path"))
+
+  /** The store's current doc count as the LAST WRITER recorded it —
+    * the arithmetic the O(request) write path maintains. A sidecar
+    * written by an Append-mode batch sync records only that call's
+    * rows, so it cannot seed the arithmetic — fall back to one
+    * resolved count (and the next write re-records the total). */
+  private def metaDocCount(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Long = {
+    val p = Paths.get(s"$path/_meta.json")
+    val parsed =
+      if (!Files.exists(p)) None
+      else {
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+        if (!s.contains("\"mode\": \"overwrite\"")) None
+        else "\"doc_count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong)
+      }
+    parsed.getOrElse(read(spark, path).count())
+  }
+
+  /** Stage `df` (already carrying `_op`/`_seq`) and land it as delta
+    * generation `seq` with ONE atomic rename. Returns the row count
+    * (from the staging write's own observe metric). */
+  private def appendDelta(df: DataFrame, path: String,
+                          seq: Long): Long = {
+    val spark = df.sparkSession
+    val fs = hadoopFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.delta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val n = writeCounted(df, tmp.toString, SaveMode.Overwrite)
+    val root = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    fs.mkdirs(root)
+    val dest = new org.apache.hadoop.fs.Path(root, f"delta-$seq%06d")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"delta rename failed: $dest")
     n
   }
 
-  /** Delete-by-ids — `_delete_by_query`'s storage half: drop the
-    * given document_ids from the store (same staged-generation swap
-    * as [[upsert]]) and subtract them from the adjacent search index
-    * through the SAME integer-delta machinery replaced docs use
+  /** Fold the delta generations into a new base once the threshold
+    * accumulates: resolved line → staged write → [[Lake.swapIn]] →
+    * clear deltas. The fold's own count re-records the exact total
+    * (healing any arithmetic lost to a crashed sidecar write). */
+  private def compactStoreIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val dp = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    if (deltaGens(fs, dp).size < StoreCompactThreshold) return
+    val line = read(spark, path)
+    val tmp =
+      s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = writeCounted(line, tmp, SaveMode.Overwrite)
+    Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/data"))
+    fs.delete(dp, true)
+    writeSidecar(s"$path/_meta.json",
+      s"""{"doc_count": $n, "mode": "overwrite"}""")
+  }
+
+  /** Upsert by `document_id`: replace existing docs sharing an id
+    * with the incoming batch (REST per-record re-sync semantics,
+    * src/routes/ticket_routes.py:91-96). O(request): the batch lands
+    * as ONE delta generation ([[appendDelta]] — which also EVALUATES
+    * a batch that is a lazy plan over the current line, e.g.
+    * update_by_query's rewrite, before anything moves). The count
+    * contract (docs after merge) rides an id-list-bounded probe of
+    * the pre-append line — a single-column broadcast semi-join, the
+    * same request-bounded tier as [[readVersions]]; at cluster scale,
+    * bucketing the base by document_id turns it into the columnar
+    * point lookup ES does internally. The adjacent search index
+    * delta-updates from the landed generation's stable files
+    * (a crash in between leaves the index one consistent snapshot
+    * behind, never ahead). */
+  def upsert(batch: DataFrame, path: String): Long = {
+    val spark = batch.sparkSession
+    val pre = readOpt(spark, path) match {
+      case None =>
+        // bootstrap: the batch IS the store — a plain base write
+        return save(batch, path)
+      case Some(df) => df
+    }
+    require(!batch.columns.contains("_op") &&
+      !batch.columns.contains("_seq"),
+      "_op/_seq are reserved delta-log column names")
+    val fs = hadoopFs(spark, path)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    val prevTotal = metaDocCount(spark, path)
+    val seq = (deltaGens(fs, deltaRoot) :+ 0L).max + 1
+    val bCount = appendDelta(
+      batch.withColumn("_op", lit("upsert"))
+        .withColumn("_seq", lit(seq)),
+      path, seq)
+    val landed = spark.read.parquet(
+      s"$path/data_delta/" + f"delta-$seq%06d")
+    val ids = landed.select("document_id").distinct()
+    val replaced =
+      pre.join(broadcast(ids), Seq("document_id"), "left_semi").count()
+    val n = prevTotal - replaced + bCount
+    writeSidecar(s"$path/_mapping.json",
+      mappingJson(read(spark, path).schema))
+    writeSidecar(s"$path/_meta.json",
+      s"""{"doc_count": $n, "mode": "overwrite"}""")
+    val idxPath = s"$path/_search_index"
+    if (SearchIndex.exists(idxPath))
+      SearchIndex.upsert(landed.drop("_op", "_seq"), idxPath)
+    else if (SearchIndex.staleVersion(idxPath)) {
+      // a PRE-CURRENT-VERSION index (retired token grammar) no longer
+      // `exists` — rebuild it from the current line with its own
+      // field list instead of silently orphaning it
+      val meta = SearchIndex.readMeta(idxPath)
+      SearchIndex.build(read(spark, path), meta.fields, meta.idCol,
+        idxPath)
+    }
+    compactStoreIfNeeded(spark, path)
+    n
+  }
+
+  /** Delete-by-ids — `_delete_by_query`'s storage half: land the ids
+    * as a TOMBSTONE delta generation (O(request), like [[upsert]])
+    * and subtract them from the adjacent search index through the
+    * SAME integer-delta machinery replaced docs use
     * ([[SearchIndex.upsert]] with a deletes frame). Returns the count
     * AFTER deletion. `ids` must be the single `document_id` column. */
   def deleteByIds(ids: DataFrame, path: String): Long = {
     val spark = ids.sparkSession
-    val dataPath = s"$path/data"
-    val existing = spark.read.parquet(dataPath)
-    val merged = existing.join(ids.select("document_id"),
-      Seq("document_id"), "left_anti")
-    val tmpPath =
-      s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = writeCounted(merged, tmpPath, SaveMode.Overwrite)
-    val idxPath = s"$path/_search_index"
-    val maintainIdx = SearchIndex.exists(idxPath)
-    // same evaluate-pre-swap / commit-post-swap split as [[upsert]]:
-    // `ids` is a lazy match-set plan over the current generation
-    val idsSnap =
-      if (maintainIdx) {
-        val p0 = s"$path/.ids_tmp_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        ids.select("document_id").write
-          .mode(SaveMode.Overwrite).parquet(p0)
-        Some(p0)
-      } else None
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmpPath),
-      new org.apache.hadoop.fs.Path(dataPath))
-    writeSidecar(s"$path/_mapping.json", mappingJson(merged.schema))
+    val pre = read(spark, path)
+    val fs = hadoopFs(spark, path)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    val prevTotal = metaDocCount(spark, path)
+    val seq = (deltaGens(fs, deltaRoot) :+ 0L).max + 1
+    appendDelta(
+      ids.select("document_id").distinct()
+        .withColumn("_op", lit("delete"))
+        .withColumn("_seq", lit(seq)),
+      path, seq)
+    val landed = spark.read.parquet(
+      s"$path/data_delta/" + f"delta-$seq%06d")
+    val deleted = pre.join(broadcast(landed.select("document_id")),
+      Seq("document_id"), "left_semi").count()
+    val n = prevTotal - deleted
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
-    idsSnap.foreach { p0 =>
-      try SearchIndex.upsert(spark.read.parquet(dataPath).limit(0),
-        Some(spark.read.parquet(p0)), idxPath)
-      finally { fs.delete(new org.apache.hadoop.fs.Path(p0), true); () }
-    }
-    if (!maintainIdx && SearchIndex.staleVersion(idxPath)) {
+    val idxPath = s"$path/_search_index"
+    if (SearchIndex.exists(idxPath))
+      SearchIndex.upsert(pre.limit(0),
+        Some(landed.select("document_id")), idxPath)
+    else if (SearchIndex.staleVersion(idxPath)) {
       val meta = SearchIndex.readMeta(idxPath)
-      SearchIndex.build(spark.read.parquet(dataPath), meta.fields,
-        meta.idCol, idxPath)
+      SearchIndex.build(read(spark, path), meta.fields, meta.idCol,
+        idxPath)
     }
+    compactStoreIfNeeded(spark, path)
     n
   }
 
-  /** Count verification (reference: src/es_connector.py:76-83). */
+  /** Count verification (reference: src/es_connector.py:76-83) —
+    * counts the RESOLVED line (base ∪ deltas). */
   def count(spark: org.apache.spark.sql.SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/data").count()
+    read(spark, path).count()
 
   // ---- per-document version metadata (ES `_version`/`_seq_no` wire) ----
   //

@@ -73,7 +73,8 @@ import org.apache.spark.sql.functions._
 object SearchIndex {
 
   /** `analyzer` is the index-TIME analysis chain ("standard" |
-    * "english" | "whitespace" | "keyword") — ES's mapping-level
+    * "english" | "french" | "german" | "whitespace" | "keyword") —
+    * ES's mapping-level
     * `"analyzer": ...`, where documents tokenize at WRITE time
     * (english additionally stems). It is part of the index's grammar:
     * probes analyze queries with it (ES's search_analyzer defaults to
@@ -86,9 +87,11 @@ object SearchIndex {
   /** The index-time analyzers [[build]]/upsert accept. `whitespace`
     * splits on whitespace runs and KEEPS case/punctuation; `keyword`
     * emits the whole field value as ONE term (ES's noop chain) —
-    * both exactly their query-time twins in the DSL. */
+    * both exactly their query-time twins in the DSL. The language
+    * chains (english/french/german) stem at write time. */
   private val IndexAnalyzers =
-    Set("standard", "english", "french", "whitespace", "keyword")
+    Set("standard", "english", "french", "german", "whitespace",
+      "keyword")
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score", "input", "input_lc")
@@ -106,6 +109,8 @@ object SearchIndex {
         graft.functions.EnglishAnalysis.analyze(text).toSeq
       case "french" =>
         graft.functions.FrenchAnalysis.analyze(text).toSeq
+      case "german" =>
+        graft.functions.GermanAnalysis.analyze(text).toSeq
       case "whitespace" =>
         text.split("\\s+").toSeq.filter(_.nonEmpty)
       case "keyword" => Seq(text).filter(_.nonEmpty)
@@ -116,12 +121,15 @@ object SearchIndex {
     * probes: english keeps stop-gap offsets (Lucene position
     * increments); standard/whitespace/keyword are dense. */
   private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
-    if (meta.analyzer == "english" || meta.analyzer == "french") {
-      graft.functions.TextFunctions.rebase(
-        if (meta.analyzer == "english")
-          graft.functions.EnglishAnalysis.analyzeWithPositions(text)
-        else graft.functions.FrenchAnalysis.analyzeWithPositions(text))
-    } else queryAnalyze(meta, text).zipWithIndex
+    meta.analyzer match {
+      case "english" => graft.functions.TextFunctions.rebase(
+        graft.functions.EnglishAnalysis.analyzeWithPositions(text))
+      case "french" => graft.functions.TextFunctions.rebase(
+        graft.functions.FrenchAnalysis.analyzeWithPositions(text))
+      case "german" => graft.functions.TextFunctions.rebase(
+        graft.functions.GermanAnalysis.analyzeWithPositions(text))
+      case _ => queryAnalyze(meta, text).zipWithIndex
+    }
 
   /** One stacked pass over `docs`: every field's (dl, tokens) rides one
     * explode tagged `fid` — the same single-scan shape
@@ -139,12 +147,16 @@ object SearchIndex {
                          idCol: String,
                          analyzer: String = "standard"): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
-    if (analyzer == "english" || analyzer == "french") {
-      def etoks(f: String) =
-        if (analyzer == "english") graft.functions.ArrayExpressions
+    if (analyzer == "english" || analyzer == "french" ||
+        analyzer == "german") {
+      def etoks(f: String) = analyzer match {
+        case "english" => graft.functions.ArrayExpressions
           .englishTokens(coalesce(col(f), lit("")))
-        else graft.functions.ArrayExpressions
+        case "french" => graft.functions.ArrayExpressions
           .frenchTokens(coalesce(col(f), lit("")))
+        case _ => graft.functions.ArrayExpressions
+          .germanTokens(coalesce(col(f), lit("")))
+      }
       docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
           case (f, i) => struct(lit(i).as("fid"),
             size(etoks(f)).as("dl"), etoks(f).as("toks"))
@@ -209,6 +221,9 @@ object SearchIndex {
       else if (analyzer == "french")
         size(graft.functions.ArrayExpressions
           .frenchTokens(coalesce(col(f), lit(""))))
+      else if (analyzer == "german")
+        size(graft.functions.ArrayExpressions
+          .germanTokens(coalesce(col(f), lit(""))))
       else if (analyzer == "standard") tokenCount(col(f))
       else size(plainTokens(f, analyzer))
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
@@ -566,6 +581,9 @@ object SearchIndex {
       case "french" =>
         graft.functions.TextFunctions.rebase(graft.functions
           .FrenchAnalysis.analyzeWithPositions(phraseQuery))
+      case "german" =>
+        graft.functions.TextFunctions.rebase(graft.functions
+          .GermanAnalysis.analyzeWithPositions(phraseQuery))
       case "whitespace" | "keyword" if meta.analyzer == effAnalyzer =>
         // only as the INDEX's own chain — the query-side
         // whitespace/keyword rewrites against a standard index live
@@ -574,8 +592,8 @@ object SearchIndex {
       case other =>
         throw new IllegalArgumentException(
           s"unsupported analyzer '$other' (query-side: standard, " +
-          "english, french; whitespace/keyword only as the index's " +
-          "own mapping chain)")
+          "english, french, german; whitespace/keyword only as the " +
+          "index's own mapping chain)")
     }
     // an all-stopword english phrase (or a blank whitespace/keyword
     // one) analyzes to zero terms — the scan path's phraseLeg returns

@@ -684,8 +684,9 @@ object EnglishTokens {
 /** Write-time FRENCH analysis of one string value — the french twin
   * of [[EnglishTokens]], same (term, pos) struct-array contract:
   * standard-analyzer token spans, elision, french stop filter with
-  * CONSUMED positions (Lucene's increments), Snowball french stems
-  * ([[graft.functions.FrenchStemmer]]). One generated call per row;
+  * CONSUMED positions (Lucene's increments), light french stems
+  * ([[graft.functions.FrenchLightStemmer]] — ES's prebuilt `french`
+  * analyzer default). One generated call per row;
   * the whole chain is allocation-light JVM code. */
 case class FrenchTokens(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -721,7 +722,56 @@ object FrenchTokens {
       if (base.nonEmpty && !graft.functions.FrenchAnalysis.isStop(base))
         out += org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(
-            graft.functions.FrenchStemmer.stem(base)),
+            graft.functions.FrenchLightStemmer.stem(base)),
+          k)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(out.toArray)
+  }
+}
+
+/** Write-time GERMAN analysis of one string value — the third
+  * language twin of [[EnglishTokens]]/[[FrenchTokens]], same
+  * (term, pos) struct-array contract: standard-analyzer token
+  * spans, german stop filter with CONSUMED positions,
+  * german_normalization (ß→ss, ae/oe/ue folds), light german stems
+  * ([[graft.functions.GermanLightStemmer]] — ES's prebuilt `german`
+  * analyzer default). One generated call per row. */
+case class GermanTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_german_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GermanTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GermanTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GermanTokens = copy(child = newChild)
+}
+
+object GermanTokens {
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val sp = AnalyzerTokens.spans(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](sp.length)
+    var k = 0
+    while (k < sp.length) {
+      val base = s.substring(sp(k)._1, sp(k)._2)
+      if (!graft.functions.GermanAnalysis.isStop(base))
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(graft.functions.GermanLightStemmer
+            .stem(graft.functions.GermanAnalysis.normalize(base))),
           k)
       k += 1
     }
@@ -915,6 +965,10 @@ object ArrayExpressions {
   /** Column API for [[FrenchTokens]]. */
   def frenchTokens(text: Column): Column =
     ExpressionUtils.column(FrenchTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[GermanTokens]]. */
+  def germanTokens(text: Column): Column =
+    ExpressionUtils.column(GermanTokens(ExpressionUtils.expression(text)))
 
   /** Column API for [[AnalyzerTokenCount]]. */
   def analyzerTokenCount(text: Column): Column =

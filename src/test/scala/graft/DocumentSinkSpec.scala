@@ -57,7 +57,7 @@ class DocumentSinkSpec extends SparkSpec {
       Seq((1L, "new")).toDF("id", "v"), BareId("id"))
     val n = DocumentSink.upsert(v2, path)
     assert(n == 2)
-    val out = spark.read.parquet(s"$path/data")
+    val out = DocumentSink.read(spark, path)
       .orderBy("id").collect().map(_.getAs[String]("v")).toSeq
     assert(out == Seq("new", "keep"))
   }
@@ -106,11 +106,12 @@ class DocumentSinkSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       "upsert left materialized RDDs behind (checkpoint staging)")
-    // and no stray temp staging dirs survive the swap
+    // and no stray temp staging dirs survive the delta landing
     val strays = new java.io.File(path).listFiles()
-      .map(_.getName).filter(_.startsWith(".data_tmp_"))
+      .map(_.getName).filter(n => n.startsWith(".data_tmp_") ||
+        n.startsWith(".delta_tmp_"))
     assert(strays.isEmpty, strays.mkString(", "))
-    assert(spark.read.parquet(s"$path/data").count() == 2)
+    assert(DocumentSink.count(spark, path) == 2)
   }
 
   test("validatedWrite: per-call counts under Append; empty requiredCols OK") {
@@ -251,5 +252,69 @@ class DocumentSinkSpec extends SparkSpec {
       SaveMode.Overwrite)
     val rows = spark.read.parquet(s"$path/data").collect()
     assert(rows.length == 1 && rows(0).getAs[String]("v") == "b")
+  }
+
+  test("log-structured store: upserts and deletes land as O(request) " +
+    "delta generations; the resolved line equals a from-scratch " +
+    "rebuild; _meta doc_count tracks the arithmetic") {
+    val path = tmp()
+    def doc(rows: (Long, String)*) = DocumentSink.withDocId(
+      rows.toDF("id", "v"), BareId("id"))
+    DocumentSink.save(doc(1L -> "a", 2L -> "b", 3L -> "c"), path)
+    assert(DocumentSink.upsert(doc(2L -> "B", 4L -> "d"), path) == 4)
+    assert(DocumentSink.deleteByIds(
+      Seq("1").toDF("document_id"), path) == 3)
+    assert(DocumentSink.upsert(doc(1L -> "A2"), path) == 4)
+    // deltas exist, the base was NEVER rewritten (O(request) writes)
+    val gens = new java.io.File(s"$path/data_delta").listFiles()
+      .map(_.getName).filter(_.startsWith("delta-")).sorted
+    assert(gens.length == 3, gens.mkString(", "))
+    val line = DocumentSink.read(spark, path)
+      .orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
+    assert(line == Seq(1L -> "A2", 2L -> "B", 3L -> "c", 4L -> "d"))
+    assert(DocumentSink.count(spark, path) == 4)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_meta.json")))
+    assert(meta.contains("\"doc_count\": 4"), meta)
+    // a deleted-then-reinserted id serves the LATEST generation
+    assert(DocumentSink.read(spark, path)
+      .filter(col("id") === 1L).collect()
+      .map(_.getAs[String]("v")).toSeq == Seq("A2"))
+  }
+
+  test("log-structured store: threshold compaction folds the deltas " +
+    "into a new base; stale-delta replay after a simulated crash is " +
+    "idempotent") {
+    val path = tmp()
+    def doc(rows: (Long, String)*) = DocumentSink.withDocId(
+      rows.toDF("id", "v"), BareId("id"))
+    DocumentSink.save(doc(0L -> "base"), path)
+    // drive exactly threshold generations: the last write compacts
+    (1 to DocumentSink.StoreCompactThreshold).foreach { i =>
+      DocumentSink.upsert(doc(i.toLong -> s"v$i"), path)
+    }
+    val deltaDir = new java.io.File(s"$path/data_delta")
+    assert(!deltaDir.exists || deltaDir.listFiles().isEmpty,
+      "compaction must clear the delta generations")
+    val n = DocumentSink.StoreCompactThreshold + 1
+    assert(DocumentSink.count(spark, path) == n)
+    assert(spark.read.parquet(s"$path/data").count() == n,
+      "the fold must land in the BASE")
+    // simulated crash window: a stale delta (its rows already folded)
+    // left behind replays idempotently — latest-wins is unchanged
+    val snap = DocumentSink.read(spark, path)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val last = DocumentSink.StoreCompactThreshold.toLong
+    Seq((last, s"v$last", s"$last", "upsert", 999L))
+      .toDF("id", "v", "document_id", "_op", "_seq")
+      .write.parquet(s"$path/data_delta/delta-000999")
+    val replayed = DocumentSink.read(spark, path)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(replayed == snap, "stale-delta replay changed the line")
+    // and drop-and-recreate clears pending deltas (declared semantics)
+    DocumentSink.save(doc(7L -> "fresh"), path)
+    assert(!new java.io.File(s"$path/data_delta").exists)
+    assert(DocumentSink.count(spark, path) == 1)
   }
 }

@@ -91,12 +91,15 @@ class EsDslSpec extends SparkSpec {
     // lowercase single word analyzes identically under it
     assert(ids("""{"query": {"multi_match": {"query": "window",
       "fields": ["text"], "analyzer": "whitespace"}}}""").nonEmpty)
-    // french joined in round 16 ("window" is its own french stem)
+    // french joined in round 16 ("window" is its own french stem),
+    // german in round 17
     assert(ids("""{"query": {"match": {"text": {"query": "window",
       "analyzer": "french"}}}}""").nonEmpty)
+    assert(ids("""{"query": {"match": {"text": {"query": "window",
+      "analyzer": "german"}}}}""").nonEmpty)
     intercept[IllegalArgumentException] {
       ids("""{"query": {"match": {"text": {"query": "window",
-        "analyzer": "german"}}}}""")
+        "analyzer": "spanish"}}}}""")
     }
   }
 
@@ -331,13 +334,13 @@ class EsDslSpec extends SparkSpec {
   }
 
   test("analyzer inventory is a CONTRACT: match/match_phrase/" +
-    "multi_match accept standard/default/english/french/whitespace/" +
-    "keyword; every other name rejects by name; prefix types and " +
-    "fuzziness combinations reject; other clause kinds stay " +
-    "standard-only") {
+    "multi_match accept standard/default/english/french/german/" +
+    "simple/stop/whitespace/keyword; every other name rejects by " +
+    "name; prefix types and fuzziness combinations reject; " +
+    "query_string/simple_query_string take the knob on TERM atoms") {
     // accepted inventory — none of these may throw
     for (a <- Seq("standard", "default", "english", "french",
-        "whitespace", "keyword")) {
+        "german", "simple", "stop", "whitespace", "keyword")) {
       q(s"""{"query": {"match": {"text": {"query": "window",
         "analyzer": "$a"}}}}""").count()
       q(s"""{"query": {"match_phrase": {"text": {"query": "window",
@@ -349,8 +352,7 @@ class EsDslSpec extends SparkSpec {
         "analyzer": "$a"}}}""").count()
     }
     // every other name rejects BY NAME on the match family
-    for (a <- Seq("german", "simple", "stop", "snowball",
-        "my_custom")) {
+    for (a <- Seq("spanish", "snowball", "my_custom")) {
       val e = intercept[IllegalArgumentException] {
         q(s"""{"query": {"match": {"text": {"query": "window",
           "analyzer": "$a"}}}}""")
@@ -359,7 +361,8 @@ class EsDslSpec extends SparkSpec {
     }
     // prefix types take no analyzer rewrite (the expansion
     // dictionary is standard-analyzed)
-    for (a <- Seq("english", "french", "whitespace", "keyword");
+    for (a <- Seq("english", "french", "german", "simple", "stop",
+        "whitespace", "keyword");
          t <- Seq("phrase_prefix", "bool_prefix"))
       intercept[IllegalArgumentException] {
         q(s"""{"query": {"multi_match": {"query": "window",
@@ -792,11 +795,12 @@ class EsDslSpec extends SparkSpec {
     assert(bb == Set(4.0), s"bool boost: $bb")
     // silently-dropped result-changing knobs now reject by name
     // (analyzer "standard" is accepted since round 11 — it IS the
-    // engine's chain; english/french joined the inventory in r13/r16,
-    // so the rejection pin moved to a language the engine lacks)
+    // engine's chain; english/french/german joined the inventory in
+    // r13/r16/r17, so the rejection pin moved to a language the
+    // engine lacks)
     intercept[IllegalArgumentException] {
       q("""{"query": {"match": {"text": {"query": "x",
-        "analyzer": "german"}}}}""")
+        "analyzer": "spanish"}}}}""")
     }
     intercept[IllegalArgumentException] {
       q("""{"query": {"range": {"n": {"gte": 1,
@@ -3954,5 +3958,75 @@ class EsDslSpec extends SparkSpec {
         """{"query": {"query_string": {"query": "x",
            "fields": ["text"], "default_field": "text"}}}"""))
       intercept[IllegalArgumentException] { q(body).collect() }
+  }
+
+  test("simple and stop query analyzers (round 17): letter-run " +
+    "lowercase tokenization, stop drops the classic english set " +
+    "and consumes positions; analyzer rides query_string/" +
+    "simple_query_string term atoms and the term suggester; " +
+    "syntax-bound atoms reject the combination by name") {
+    import spark.implicits._
+    val d = docs
+    def ids(body: String) =
+      EsDsl.search(d, mapper.readTree(body))
+        .select("doc_id").as[Long].collect().toSet
+    // simple splits at the digit where standard keeps one token
+    assert(ids("""{"query": {"match": {"text": {
+      "query": "Batch7Window", "analyzer": "simple"}}}}""") ==
+      ids("""{"query": {"match": {"text": "batch window"}}}"""))
+    assert(ids("""{"query": {"match": {"text": {
+      "query": "batch7window", "analyzer": "standard"}}}}""").isEmpty)
+    // stop = simple + the classic english stop set
+    assert(ids("""{"query": {"match": {"text": {
+      "query": "The Window And The Batch",
+      "analyzer": "stop"}}}}""") ==
+      ids("""{"query": {"match": {"text": "window batch"}}}"""))
+    // an all-stopword stop-analyzed query: zero terms — none, or
+    // match_all under zero_terms_query "all"
+    assert(ids("""{"query": {"match": {"text": {"query": "the and",
+      "analyzer": "stop"}}}}""").isEmpty)
+    assert(ids("""{"query": {"match": {"text": {"query": "the and",
+      "analyzer": "stop", "zero_terms_query": "all"}}}}""").size == 4)
+    // stop phrase carries the consumed position as a gap:
+    // (batch@0, window@2) matches doc 4's batch batch window
+    assert(ids("""{"query": {"match_phrase": {"text": {
+      "query": "batch the window", "analyzer": "stop"}}}}""") ==
+      Set(4L))
+    assert(ids("""{"query": {"match_phrase": {"text": {
+      "query": "batch the window",
+      "analyzer": "standard"}}}}""").isEmpty)
+    // query_string / simple_query_string: term atoms analyze with
+    // the knob (german batches -> batch)
+    assert(ids("""{"query": {"query_string": {"query": "batches",
+      "default_field": "text", "analyzer": "german"}}}""") ==
+      Set(1L, 4L))
+    assert(ids("""{"query": {"simple_query_string": {
+      "query": "windows + batches", "fields": ["text"],
+      "analyzer": "english"}}}""") == Set(1L, 4L))
+    // syntax-bound atoms (phrase/prefix/wildcard/fuzzy) reject the
+    // analyzer combination by name
+    for (body <- Seq(
+        """{"query": {"query_string": {"query": "\"window batch\"",
+           "default_field": "text", "analyzer": "german"}}}""",
+        """{"query": {"query_string": {"query": "bat*",
+           "default_field": "text", "analyzer": "english"}}}""",
+        """{"query": {"query_string": {"query": "windoq~1",
+           "default_field": "text", "analyzer": "english"}}}""",
+        """{"query": {"simple_query_string": {"query": "\"a b\"",
+           "fields": ["text"], "analyzer": "english"}}}""",
+        """{"query": {"simple_query_string": {"query": "bat*",
+           "fields": ["text"], "analyzer": "german"}}}"""))
+      assert(intercept[IllegalArgumentException] {
+        ids(body)
+      }.getMessage.contains("analyzer"), body)
+    // term suggester takes the knob: "the windoq" under stop drops
+    // the stopword (no suggestions row for it) and corrects windoq
+    val sug = EsDsl.suggest(d, mapper.readTree(
+      """{"fix": {"text": "the windoq", "term": {"field": "text",
+        |  "analyzer": "stop"}}}""".stripMargin))
+      .select("token", "suggestion").as[(String, String)]
+      .collect().toSeq
+    assert(sug.map(_._1).toSet == Set("windoq"), sug.toString)
+    assert(sug.exists(_._2 == "window"), sug.toString)
   }
 }

@@ -134,8 +134,38 @@ class HttpApiSpec extends SparkSpec
       toks.get(1).get("end_offset").asInt == 11 &&
       toks.get(1).get("position").asInt == 1)
     assert(post("/search/analyze",
-      """{"text": "x", "analyzer": "german"}""").statusCode() == 400)
+      """{"text": "x", "analyzer": "spanish"}""").statusCode() == 400)
     assert(post("/search/analyze", """{}""").statusCode() == 400)
+    // german (round 17): stop positions consumed, normalization
+    // (ß→ss) before the light_german stem, original offsets
+    val de = post("/search/analyze",
+      """{"text": "die straße", "analyzer": "german"}""")
+    val deToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(de.body()).get("tokens")
+    assert(deToks.size == 1, de.body())
+    assert(deToks.get(0).get("token").asText == "strass" &&
+      deToks.get(0).get("position").asInt == 1 &&
+      deToks.get(0).get("start_offset").asInt == 4 &&
+      deToks.get(0).get("end_offset").asInt == 10)
+    // simple splits at non-letters and lowercases; stop also drops
+    // the classic english set (positions consumed)
+    val sim = post("/search/analyze",
+      """{"text": "Window7Batch", "analyzer": "simple"}""")
+    val simToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sim.body()).get("tokens")
+    assert(simToks.size == 2, sim.body())
+    assert(simToks.get(0).get("token").asText == "window" &&
+      simToks.get(0).get("end_offset").asInt == 6)
+    assert(simToks.get(1).get("token").asText == "batch" &&
+      simToks.get(1).get("start_offset").asInt == 7 &&
+      simToks.get(1).get("position").asInt == 1)
+    val stp = post("/search/analyze",
+      """{"text": "The Batch", "analyzer": "stop"}""")
+    val stpToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(stp.body()).get("tokens")
+    assert(stpToks.size == 1 &&
+      stpToks.get(0).get("token").asText == "batch" &&
+      stpToks.get(0).get("position").asInt == 1, stp.body())
     // explicit standard == the default; whitespace = raw \S+ tokens,
     // NO lowercase (ES's whitespace analyzer)
     val std = post("/search/analyze",
@@ -169,8 +199,9 @@ class HttpApiSpec extends SparkSpec
       enToks.get(1).get("position").asInt == 2)
     assert(enToks.get(2).get("token").asText == "shoe" &&
       enToks.get(2).get("position").asInt == 3)
-    // french (round 16): elision keeps the ORIGINAL token offsets,
-    // stopwords consume positions, tokens are Snowball stems
+    // french (round 16; light_french since round 17): elision keeps
+    // the ORIGINAL token offsets, stopwords consume positions,
+    // tokens are light_french stems (ES's prebuilt default)
     val fr = post("/search/analyze",
       """{"text": "la continuation de l'analogie",
         | "analyzer": "french"}""".stripMargin)
@@ -891,7 +922,7 @@ class HttpApiSpec extends SparkSpec
         | "c_mktsegment": "BUILDING"}""".stripMargin)
     assert(r.statusCode() == 201, r.body())
     assert(r.body().contains("\"document_id\": \"990001\""))
-    val stored = spark.read.parquet(s"$outDir/customer/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/customer")
     assert(stored.filter(stored("document_id") === "990001").count() == 1)
   }
 
@@ -903,7 +934,7 @@ class HttpApiSpec extends SparkSpec
     val id = """"document_id": "([^"]+)"""".r
       .findFirstMatchIn(r.body()).get.group(1)
     assert(id.length >= 32) // uuid-shaped, not a literal null
-    val stored = spark.read.parquet(s"$outDir/events/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/events")
     assert(stored.filter(stored("document_id") === id).count() == 1)
   }
 
@@ -920,7 +951,7 @@ class HttpApiSpec extends SparkSpec
     val r = post("/customer/sync", """{"id": "42"}""")
     assert(r.statusCode() == 200, r.body())
     assert(r.body().contains("\"result\": \"synced\""))
-    val stored = spark.read.parquet(s"$outDir/customer/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/customer")
     assert(stored.filter(stored("document_id") === "42").count() == 1)
     // the earlier API insert survived the upsert (merge, not truncate)
     assert(stored.filter(stored("document_id") === "990001").count() == 1)
@@ -970,7 +1001,7 @@ class HttpApiSpec extends SparkSpec
         |   "params": {"f": 2}}}""".stripMargin)
     assert(r.statusCode() == 200, r.body())
     assert(r.body() == """{"updated": 2}""", r.body())
-    val stored = spark.read.parquet(s"$outDir/supplier/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/supplier")
     def bal(id: Long): Double =
       stored.filter(stored("supplier_s_suppkey") === id)
         .select("supplier_s_acctbal").collect()(0).getDouble(0)
@@ -990,13 +1021,13 @@ class HttpApiSpec extends SparkSpec
 
   test("delete_by_query drops the match set from the store and " +
     "reports the deleted count; a bodyless query deletes everything") {
-    val before = spark.read.parquet(s"$outDir/supplier/data").count()
+    val before = graft.sinks.DocumentSink.read(spark, s"$outDir/supplier").count()
     assert(before >= 3)
     val r = post("/supplier/delete_by_query",
       """{"query": {"term": {"supplier_s_nationkey": 78}}}""")
     assert(r.statusCode() == 200, r.body())
     assert(r.body() == """{"deleted": 1}""", r.body())
-    val after = spark.read.parquet(s"$outDir/supplier/data")
+    val after = graft.sinks.DocumentSink.read(spark, s"$outDir/supplier")
     assert(after.count() == before - 1)
     assert(after.filter(
       after("supplier_s_suppkey") === 991003L).count() == 0)
@@ -1004,7 +1035,7 @@ class HttpApiSpec extends SparkSpec
     val zero = post("/supplier/delete_by_query",
       """{"query": {"term": {"supplier_s_nationkey": 999}}}""")
     assert(zero.body() == """{"deleted": 0}""")
-    assert(spark.read.parquet(s"$outDir/supplier/data").count()
+    assert(graft.sinks.DocumentSink.read(spark, s"$outDir/supplier").count()
       == before - 1)
   }
 
@@ -1168,7 +1199,7 @@ class HttpApiSpec extends SparkSpec
     // net store delta: ONLY 880001 landed (880002 was deleted before
     // the batch applied; the invalid row never indexed), and the
     // update's merge is visible
-    val stored = spark.read.parquet(s"$outDir/part/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/part")
     assert(stored.count() == 1, "net bulk delta")
     val row = stored.collect().head
     assert(String.valueOf(row.getAs[Any]("document_id")) == "880001")
@@ -1190,7 +1221,7 @@ class HttpApiSpec extends SparkSpec
     assert(items2.get(2).get("index").get("status").asInt == 404)
     assert(items2.get(2).get("index").get("error").get("type").asText ==
       "index_not_found_exception")
-    val after = spark.read.parquet(s"$outDir/part/data")
+    val after = graft.sinks.DocumentSink.read(spark, s"$outDir/part")
     assert(after.count() == 1)
     assert(String.valueOf(after.collect().head
       .getAs[Any]("document_id")) == "880003")
@@ -1232,7 +1263,7 @@ class HttpApiSpec extends SparkSpec
     assert(items4.get(2).get("update").get("status").asInt == 400)
     assert(items4.get(2).get("update").get("error").get("reason")
       .asText.contains("identity"))
-    val after4 = spark.read.parquet(s"$outDir/part/data")
+    val after4 = graft.sinks.DocumentSink.read(spark, s"$outDir/part")
     assert(after4.count() == 1, "the conflicting create must not fork")
     val row4 = after4.collect().head
     assert(String.valueOf(row4.getAs[Any]("document_id")) == "880003")
@@ -1265,7 +1296,7 @@ class HttpApiSpec extends SparkSpec
       """{"doc": {"document_id": "880003",
         | "part_p_name": "renamed"}}""".stripMargin)
       .statusCode() == 200)
-    val stored = spark.read.parquet(s"$outDir/part/data")
+    val stored = graft.sinks.DocumentSink.read(spark, s"$outDir/part")
     assert(stored.filter(stored("document_id") === "880003")
       .collect().head.getAs[String]("part_p_name") == "renamed")
     // identity columns reject; unknown doc 404s; bad envelope 400s
@@ -1278,7 +1309,7 @@ class HttpApiSpec extends SparkSpec
       .statusCode() == 400)
     // DELETE /{entity}/{id}: deleted then not_found
     assert(delete("/part/880003").statusCode() == 200)
-    val afterDel = spark.read.parquet(s"$outDir/part/data")
+    val afterDel = graft.sinks.DocumentSink.read(spark, s"$outDir/part")
     assert(afterDel.filter(afterDel("document_id") === "880003")
       .count() == 0)
     assert(delete("/part/880003").statusCode() == 404)

@@ -50,7 +50,7 @@ class IncrementalSyncSpec extends SparkSpec {
       .option("checkpointLocation", s"$path/_chk")
       .start()
     q2.awaitTermination(60000)
-    val state = spark.read.parquet(s"$path/data")
+    val state = DocumentSink.read(spark, path)
     assert(state.count() == 3)
     assert(state.filter(col("entity_id") === 1L).collect()(0)
       .getAs[String]("payload") == "v2")
@@ -84,7 +84,7 @@ class IncrementalSyncSpec extends SparkSpec {
       q.awaitTermination(120000)
     }
     runStream()
-    val first = spark.read.parquet(s"$lake/data").collect()
+    val first = DocumentSink.read(spark, lake).collect()
       .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
       .toSet
     assert(first == Set((1L, "v2"), (2L, "v1")))
@@ -96,16 +96,16 @@ class IncrementalSyncSpec extends SparkSpec {
     // the marker; leaving it behind fails the replay's rename
     Files.deleteIfExists(java.nio.file.Paths.get(chk, "commits", ".0.crc"))
     runStream() // restart → engine replays batch 0 against the lake
-    val replayed = spark.read.parquet(s"$lake/data").collect()
+    val replayed = DocumentSink.read(spark, lake).collect()
       .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
       .toSet
     assert(replayed == first, "replayed batch changed the lake state")
-    assert(spark.read.parquet(s"$lake/data").count() == 2)
+    assert(DocumentSink.read(spark, lake).count() == 2)
     // and the stream still makes progress after the replay
     Seq(Change(2L, ts("2026-01-01 01:00:00"), 4.0, "v2"))
       .toDF().write.parquet(s"$src/b1")
     runStream()
-    val advanced = spark.read.parquet(s"$lake/data").collect()
+    val advanced = DocumentSink.read(spark, lake).collect()
       .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("payload")))
       .toSet
     assert(advanced == Set((1L, "v2"), (2L, "v2")))
@@ -128,7 +128,7 @@ class IncrementalSyncSpec extends SparkSpec {
       .start().awaitTermination(60000)
     // sync time: build the index adjacent to the lake (DocumentSink's
     // sidecar contract) over the payload field
-    SearchIndex.build(spark.read.parquet(s"$path/data"),
+    SearchIndex.build(DocumentSink.read(spark, path),
       Seq("payload"), "document_id", s"$path/_search_index")
     // streamed re-sync: entity 1 replaced, entity 3 inserted
     input.addData(
@@ -139,7 +139,7 @@ class IncrementalSyncSpec extends SparkSpec {
       .start().awaitTermination(60000)
     // the maintained index must equal one rebuilt from the merged lake
     val reb = Files.createTempDirectory("graft-stream-idx-reb").toString
-    SearchIndex.build(spark.read.parquet(s"$path/data"),
+    SearchIndex.build(DocumentSink.read(spark, path),
       Seq("payload"), "document_id", reb)
     val maintained = SearchIndex.ranked(spark, s"$path/_search_index",
       "window batch", Seq("payload")).collect().map(_.toString).toSeq

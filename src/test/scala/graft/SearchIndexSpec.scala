@@ -384,7 +384,7 @@ class SearchIndexSpec extends SparkSpec {
         Seq("text")).collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
-  test("index-time french analyzer: write-time Snowball stems with " +
+  test("index-time french analyzer: write-time light_french stems with " +
     "elision and stop-consumed positions; queries analyze with the " +
     "field's chain; upsert == rebuild") {
     import org.apache.spark.sql.functions.col
@@ -412,14 +412,14 @@ class SearchIndexSpec extends SparkSpec {
     assert(d3 == Set(("analog", Seq(0)), ("filtr", Seq(2))),
       d3.toString)
     assert(post.filter(col("doc_id") === 4L).count() == 0)
-    // the query analyzes with the field's chain: "continuait" stems
-    // to 'continu' and matches docs 1 and 2 — impossible against a
-    // standard index of the same corpus
+    // the query analyzes with the field's chain: "continuations"
+    // light-stems to 'continu' and matches docs 1 and 2 — impossible
+    // against a standard index of the same corpus
     val std = tmp("graft-idx-fr-std-")
     SearchIndex.build(fdocs, Seq("text"), "doc_id", std)
-    assert(SearchIndex.ranked(spark, fr, "continuait", Seq("text"))
+    assert(SearchIndex.ranked(spark, fr, "continuations", Seq("text"))
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    assert(SearchIndex.ranked(spark, std, "continuait", Seq("text"))
+    assert(SearchIndex.ranked(spark, std, "continuations", Seq("text"))
       .count() == 0)
     // phrases: BOTH sides gapped — "la continuation de la table"
     // analyzes to (continu@0, tabl@3), matching doc 1's stop-gap
@@ -612,7 +612,7 @@ class SearchIndexSpec extends SparkSpec {
       .toDF("doc_id", "text", "source", "document_id")
     DocumentSink.upsert(batch, path)
     // the maintained index must equal one rebuilt from the merged docs
-    val mergedDocs = spark.read.parquet(s"$path/data")
+    val mergedDocs = DocumentSink.read(spark, path)
     val reb = tmp("graft-idx-sink-reb-")
     SearchIndex.build(mergedDocs, Seq("text", "source"), "document_id", reb)
     val a = SearchIndex.ranked(spark, s"$path/_search_index",
