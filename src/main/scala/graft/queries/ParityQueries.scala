@@ -3036,6 +3036,26 @@ object ParityQueries {
         size = 10,
         contexts = Seq("lang" -> Seq("en" -> 2.0, "fr" -> 1.0)))),
 
+    // GEO completion contexts (round 17): the context name is a
+    // struct<lat,lon> geo_point column — an option matches when its
+    // point shares the query point's base32 geohash cell at the
+    // entry's precision (ES's geo context model; neighbours rejects
+    // by name). Two cells here: the (10,20) cell boosted 2.0, the
+    // (-50,-150) cell weightless — matched boosts take the max, so
+    // near options outrank far ones. The oracle replays both cell
+    // memberships with the independently-generated geohash SQL.
+    "q7_esdsl_completion_geo" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "bu",
+          |  "completion": {"field": "c_mktsegment", "size": 25,
+          |  "contexts": {"loc": [
+          |    {"context": {"lat": 10, "lon": 20}, "precision": 1,
+          |     "boost": 2},
+          |    {"context": {"lat": -50, "lon": -150},
+          |     "precision": 1}]}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
     // REGEX completion (round 16 — ES's third completion input
     // form): the pattern matches from the START of the case-folded
     // input with an open end (the FST-regex intersection: any
@@ -3874,14 +3894,17 @@ object ParityQueries {
 
   /** Base32 geohash at `p` chars as INDEPENDENTLY GENERATED DuckDB
     * bit SQL (quantize → unrolled interleave → alphabet slices) —
-    * the oracle twin of EsDsl.geohashColumn. */
-  private def geohashSql(p: Int): String = {
+    * the oracle twin of EsDsl.geohashColumn. `latE`/`lonE` default
+    * to the synthetic customer point; literals replay a QUERY point
+    * (the geo completion context's cell). */
+  private def geohashSql(p: Int, latE: String = GeoLatSql,
+                         lonE: String = GeoLonSql): String = {
     val totalBits = 5 * p
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
-    val lonQ = s"least(CAST(floor((($GeoLonSql + 180.0) / 360.0) * " +
+    val lonQ = s"least(CAST(floor((($lonE + 180.0) / 360.0) * " +
       s"${math.pow(2, lonBits)}) AS BIGINT), ${(1L << lonBits) - 1})"
-    val latQ = s"least(CAST(floor((($GeoLatSql + 90.0) / 180.0) * " +
+    val latQ = s"least(CAST(floor((($latE + 90.0) / 180.0) * " +
       s"${math.pow(2, latBits)}) AS BIGINT), ${(1L << latBits) - 1})"
     val lonTerms = (0 until lonBits).map(i =>
       s"((($lonQ >> ${lonBits - 1 - i}) & 1) << " +
@@ -5895,6 +5918,17 @@ object ParityQueries {
        "FROM documents WHERE lower(text) LIKE 'wind%' " +
        "AND lang IN ('en', 'fr') " +
        "ORDER BY suggestion, doc_id LIMIT 10"),
+    "q7_esdsl_completion_geo" -> {
+      val near = geohashSql(1, "10.0", "20.0")
+      val far = geohashSql(1, "-50.0", "-150.0")
+      val cell = geohashSql(1)
+      s"SELECT c_custkey, c_mktsegment AS suggestion, " +
+      s"CASE WHEN $cell = $near THEN 2.0 ELSE 1.0 END AS score " +
+      "FROM customer WHERE lower(c_mktsegment) LIKE 'bu%' " +
+      s"AND ($cell = $near OR $cell = $far) " +
+      "ORDER BY score DESC, suggestion, c_custkey LIMIT 25"
+    },
+
     "q7_esdsl_completion_context_boost" ->
       ("SELECT doc_id, text AS suggestion, " +
        "CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END AS score " +

@@ -1027,7 +1027,9 @@ object EsDsl {
       edits: Int = 0, fuzzyPrefixLength: Int = 1,
       transpositions: Boolean = true,
       contexts: Seq[(String, Seq[(String, Double)])] = Nil,
-      regex: Option[String] = None)
+      regex: Option[String] = None,
+      geoContexts: Seq[(String, Seq[(Double, Double, Int, Double)])] =
+        Nil)
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
@@ -1120,51 +1122,79 @@ object EsDsl {
         (if (prefix.length < ml) 0 else e0, pl, tr)
       case Some(_) => bad("fuzzy must be a boolean or an object")
     }
-    // ES CATEGORY contexts — in this engine a context NAME is a
-    // sibling column (the mapping layer derives everything from the
-    // schema): an option must hold one of the listed values there.
+    // ES contexts — in this engine a context NAME is a sibling
+    // column (the mapping layer derives everything from the schema).
+    // CATEGORY contexts: an option must hold one of the listed
+    // values there. GEO contexts (round 17): the name is a
+    // struct<lat,lon> geo_point column, an entry is ES's
+    // `{"context": {"lat":.., "lon":..}, "precision": P, "boost": B}`
+    // — the option matches when its point falls in the SAME base32
+    // geohash cell as the query point at precision P (ES's geo
+    // context model; P defaults to 6, ES's GeoContextMapping
+    // default; `neighbours` is not modeled and rejects by name).
     // Several context names intersect (ES: every context type must
-    // match); values within one name union. Entries are strings
-    // (boost 1) or ES's `{"context": ..., "boost": ...}` objects —
-    // a matched boosted entry multiplies the option's weightless 1.0,
-    // and when several contexts match the option takes the MAXIMUM
-    // (ES's documented multi-context scoring). Geo contexts are not
-    // modeled and reject by name (any key beyond context/boost).
+    // match); entries within one name union, and one name's entries
+    // must be all-category or all-geo (one column, one type). A
+    // matched boosted entry multiplies the option's weightless 1.0;
+    // several matching contexts take the MAXIMUM (ES's documented
+    // multi-context scoring).
+    var geoContexts =
+      Seq.empty[(String, Seq[(Double, Double, Int, Double)])]
     val contexts: Seq[(String, Seq[(String, Double)])] =
       Option(cp.get("contexts")).map { cn =>
         if (!cn.isObject) bad("contexts must be an object")
         val names = keysOf(cn)
         if (names.isEmpty) bad("contexts must name at least one context")
-        names.map { name =>
+        names.flatMap { name =>
           val v = cn.get(name)
           if (!v.isArray || v.size == 0)
             bad(s"context '$name' needs a non-empty array")
-          name -> (0 until v.size).map { i =>
+          val cats = Seq.newBuilder[(String, Double)]
+          val geos = Seq.newBuilder[(Double, Double, Int, Double)]
+          (0 until v.size).foreach { i =>
             val e = v.get(i)
-            if (e.isTextual) (e.asText, 1.0)
+            if (e.isTextual) cats += ((e.asText, 1.0))
             else if (e.isObject) {
               val unknownE = keysOf(e)
-                .filterNot(Set("context", "boost"))
+                .filterNot(Set("context", "boost", "precision"))
               if (unknownE.nonEmpty)
                 bad(s"unsupported context key" +
                   s"${if (unknownE.size == 1) "" else "s"}: " +
-                  s"${unknownE.mkString(", ")} (geo contexts are " +
-                  "not modeled)")
-              val cv = Option(e.get("context")).map(_.asText)
-                .getOrElse(bad("context object needs \"context\""))
+                  s"${unknownE.mkString(", ")} (neighbours is not " +
+                  "modeled)")
               val b = Option(e.get("boost")).map { n =>
                 if (!n.isNumber || n.asDouble <= 0)
                   bad("context boost must be a positive number")
                 n.asDouble
               }.getOrElse(1.0)
-              (cv, b)
+              val cvN = Option(e.get("context"))
+                .getOrElse(bad("context object needs \"context\""))
+              if (cvN.isObject) {
+                // geo entry: a {lat, lon} point + optional precision
+                val (gla, glo) = geoPoint(cvN, "geo context")
+                val prec = Option(e.get("precision")).map(_.asInt)
+                  .getOrElse(6)
+                if (prec < 1 || prec > 12)
+                  bad("geo context precision must be 1..12")
+                geos += ((gla, glo, prec, b))
+              } else {
+                if (e.hasNonNull("precision"))
+                  bad("precision applies to geo contexts only")
+                cats += ((cvN.asText, b))
+              }
             } else bad("context entries are strings or " +
               "{\"context\": ...} objects")
           }
+          val (cs, gs) = (cats.result(), geos.result())
+          if (cs.nonEmpty && gs.nonEmpty)
+            bad(s"context '$name' mixes category and geo entries " +
+              "(one column, one context type)")
+          if (gs.nonEmpty) { geoContexts :+= (name -> gs); None }
+          else Some(name -> cs)
         }
       }.getOrElse(Nil)
     CompletionSuggestSpec(f, prefix, size, skip, edits, fpl, ftr,
-      contexts, regex)
+      contexts, regex, geoContexts)
   }
 
   /** ES COMPLETION SUGGESTER (`{"suggest": {"<name>": {"prefix": ...,
@@ -1202,22 +1232,33 @@ object EsDsl {
   def completionSuggest(df: DataFrame, sg: JsonNode): DataFrame = {
     val sp = parseCompletionSuggest(sg)
     val idCol = df.columns.head
-    sp.contexts.foreach { case (cf, _) =>
+    (sp.contexts.map(_._1) ++ sp.geoContexts.map(_._1)).foreach { cf =>
       if (!df.columns.contains(cf)) bad(s"unknown context '$cf'") }
-    val ctxPred = sp.contexts
+    // a GEO entry matches when the option's point shares the query
+    // point's base32 geohash cell at the entry's precision — both
+    // sides ride [[geohashColumn]] (the literal side constant-folds)
+    def geoHit(cf: String, g: (Double, Double, Int, Double)): Column =
+      geohashColumn(col(s"$cf.lat"), col(s"$cf.lon"), g._3) ===
+        geohashColumn(lit(g._1), lit(g._2), g._3)
+    val ctxPred = (sp.contexts
       .map { case (cf, vals) =>
-        col(cf).cast("string").isInCollection(vals.map(_._1)) }
+        col(cf).cast("string").isInCollection(vals.map(_._1)) } ++
+      sp.geoContexts.map { case (cf, cells) =>
+        cells.map(geoHit(cf, _)).reduce(_ || _) })
       .reduceOption(_ && _).getOrElse(lit(true))
     // an option's score is its weightless 1.0 times the matched
     // entry's boost; several matching contexts take the MAX (ES's
     // documented multi-context scoring). greatest() skips the nulls
     // of non-matching entries; ctxPred guarantees one entry per name
     // matches.
-    val scoreCol = sp.contexts
+    val scoreCol = (sp.contexts
       .map { case (cf, vals) =>
         vals.map { case (v, b) =>
           when(col(cf).cast("string") === v, lit(b)) }
-          .reduce((a, b) => greatest(a, b)) }
+          .reduce((a, b) => greatest(a, b)) } ++
+      sp.geoContexts.map { case (cf, cells) =>
+        cells.map(g => when(geoHit(cf, g), lit(g._4)))
+          .reduce((a, b) => greatest(a, b)) })
       .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(1.0))
     // the regex form matches from the START of the case-folded input
     // with an open end (the FST-regex intersection: any continuation

@@ -654,8 +654,11 @@ final class HttpApi(
       return EsDsl.suggest(df, sgNode)
     if (EsDsl.suggesterKind(sgNode) == "completion") {
       val cp = EsDsl.parseCompletionSuggest(sgNode)
+      // geo context names are struct columns — never indexed string
+      // fields, so their presence routes to the corpus scan
       return if (allowProbe && index != "*" && !index.endsWith("_*"))
-        indexedOrScan(index, df, cp.field +: cp.contexts.map(_._1),
+        indexedOrScan(index, df, (cp.field +: cp.contexts.map(_._1)) ++
+          cp.geoContexts.map(_._1),
           p =>
             if (graft.sinks.SearchIndex.hasInputs(p))
               graft.sinks.SearchIndex.completionRanked(spark, p,
@@ -1423,6 +1426,18 @@ final class HttpApi(
         .getOrElse(auxBad("_analyze needs \"text\""))
       if (!textN.isTextual)
         auxBad("_analyze text must be a string")
+      // ES's EXPLICIT custom-chain form (round 17): `tokenizer` +
+      // `filter` instead of a named analyzer — the route that makes
+      // every shipped token filter individually reachable (e.g.
+      // `{"type": "stemmer", "language": "french"}` = the Snowball
+      // algorithm the prebuilt analyzer no longer defaults to)
+      if (req.hasNonNull("tokenizer") || req.hasNonNull("filter")) {
+        if (req.hasNonNull("analyzer"))
+          auxBad("_analyze takes analyzer OR tokenizer/filter, " +
+            "not both")
+        respond(ex, 200, analyzeCustomChain(req, textN.asText))
+        return
+      }
       val which = Option(req.get("analyzer")).map(_.asText)
         .getOrElse("standard") match {
         case "standard" | "default" => "standard"
@@ -1518,6 +1533,141 @@ final class HttpApi(
       }
       respond(ex, 200, s"""{"tokens": [${toks.mkString(", ")}]}""")
     }
+
+  /** The `_analyze` EXPLICIT chain: `tokenizer` (standard — case
+    * KEPT, lowercasing is a filter here, like ES — | lowercase |
+    * letter | whitespace | keyword) then `filter` entries applied in
+    * order. Filters: `lowercase`; `stop` (string form = the classic
+    * english set; object form takes `stopwords`: `_english_` /
+    * `_french_` / `_german_` or an explicit list) — positions
+    * CONSUMED; `elision` (the french article set, offsets kept);
+    * `german_normalization` (ß→ss, umlaut/digraph folds);
+    * `{"type": "stemmer", "language": ...}` with english | porter
+    * (the engine's Porter chain — what ES's prebuilt english runs) |
+    * french (Snowball) | light_french | light_german. Anything else
+    * rejects by name. */
+  private def analyzeCustomChain(req: JsonNode, text: String): String = {
+    def keysOf(n: JsonNode): Seq[String] = {
+      val it = n.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val tok = Option(req.get("tokenizer")).map(_.asText)
+      .getOrElse("standard")
+    var toks: Seq[(String, Int, Int, Int)] = tok match {
+      case "standard" =>
+        // the standard TOKENIZER keeps case (the engine's named
+        // `standard` ANALYZER folds it — that is its lowercase leg)
+        Search.analyzeWithOffsets(text).map { case (_, s0, e0, p) =>
+          (text.substring(s0, e0), s0, e0, p) }
+      case "lowercase" | "letter" =>
+        val m = java.util.regex.Pattern.compile("\\p{L}+").matcher(text)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Int, Int)]
+        while (m.find()) {
+          val t = if (tok == "lowercase") m.group.toLowerCase
+                  else m.group
+          out += ((t, m.start, m.end, out.length))
+        }
+        out.toSeq
+      case "whitespace" =>
+        val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Int, Int)]
+        while (m.find()) out += ((m.group, m.start, m.end, out.length))
+        out.toSeq
+      case "keyword" =>
+        if (text.isEmpty) Seq.empty else Seq((text, 0, text.length, 0))
+      case other => auxBad(s"unsupported tokenizer '$other' " +
+        "(standard, lowercase, letter, whitespace, keyword)")
+    }
+    val filters: Seq[JsonNode] = Option(req.get("filter")) match {
+      case None => Nil
+      case Some(fn) if fn.isArray => (0 until fn.size).map(fn.get)
+      case Some(_) => auxBad("filter must be an array")
+    }
+    def stopSetOf(spec: Option[JsonNode]): String => Boolean =
+      spec.map {
+        case n if n.isTextual => n.asText match {
+          case "_english_" => graft.functions.EnglishAnalysis.isStop _
+          case "_french_"  => graft.functions.FrenchAnalysis.isStop _
+          case "_german_"  => graft.functions.GermanAnalysis.isStop _
+          case other => auxBad(s"unsupported stopwords set '$other' " +
+            "(_english_, _french_, _german_, or an explicit list)")
+        }
+        case n if n.isArray =>
+          val s = (0 until n.size).map(n.get(_).asText).toSet
+          s.contains _
+        case _ => auxBad("stopwords must be a named set or a list")
+      }.getOrElse(graft.functions.EnglishAnalysis.isStop _)
+    filters.foreach { f =>
+      val (kind, spec): (String, Option[JsonNode]) =
+        if (f.isTextual) (f.asText, None)
+        else if (f.isObject)
+          (Option(f.get("type")).map(_.asText)
+            .getOrElse(auxBad("filter object needs \"type\"")),
+            Some(f))
+        else auxBad("filter entries are names or {\"type\": ...}")
+      kind match {
+        case "lowercase" =>
+          toks = toks.map { case (t, s0, e0, p) =>
+            (t.toLowerCase, s0, e0, p) }
+        case "stop" =>
+          spec.foreach { s =>
+            val unknown = keysOf(s).filterNot(Set("type", "stopwords"))
+            if (unknown.nonEmpty)
+              auxBad(s"unsupported stop filter key" +
+                s"${if (unknown.size == 1) "" else "s"}: " +
+                unknown.mkString(", "))
+          }
+          val isStop = stopSetOf(spec.flatMap(s =>
+            Option(s.get("stopwords"))))
+          // the stop filter CONSUMES positions (Lucene increments)
+          toks = toks.filterNot { case (t, _, _, _) => isStop(t) }
+        case "elision" =>
+          toks = toks.flatMap { case (t, s0, e0, p) =>
+            val el = graft.functions.FrenchAnalysis.elide(t)
+            if (el.isEmpty) None else Some((el, s0, e0, p))
+          }
+        case "german_normalization" =>
+          toks = toks.map { case (t, s0, e0, p) =>
+            (graft.functions.GermanAnalysis.normalize(t), s0, e0, p) }
+        case "stemmer" =>
+          val s = spec.getOrElse(
+            auxBad("stemmer takes the object form with \"language\""))
+          val unknown = keysOf(s).filterNot(Set("type", "language"))
+          if (unknown.nonEmpty)
+            auxBad(s"unsupported stemmer key" +
+              s"${if (unknown.size == 1) "" else "s"}: " +
+              unknown.mkString(", "))
+          val stem: String => String =
+            Option(s.get("language")).map(_.asText).getOrElse(
+              auxBad("stemmer needs \"language\"")) match {
+              case "english" | "porter" =>
+                graft.functions.PorterStemmer.stem _
+              case "french" => graft.functions.FrenchStemmer.stem _
+              case "light_french" =>
+                graft.functions.FrenchLightStemmer.stem _
+              case "light_german" =>
+                graft.functions.GermanLightStemmer.stem _
+              case other => auxBad(s"unsupported stemmer language " +
+                s"'$other' (english, porter, french, light_french, " +
+                "light_german)")
+            }
+          toks = toks.map { case (t, s0, e0, p) => (stem(t), s0, e0, p) }
+        case other => auxBad(s"unsupported filter '$other' " +
+          "(lowercase, stop, elision, german_normalization, stemmer)")
+      }
+    }
+    val ttype = if (tok == "standard") "<ALPHANUM>" else "word"
+    val out = toks.map { case (t, s0, e0, p) =>
+      mapper.createObjectNode().put("token", t)
+        .put("start_offset", s0).put("end_offset", e0)
+        .put("type", ttype).put("position", p).toString
+    }
+    s"""{"tokens": [${out.mkString(", ")}]}"""
+  }
 
   /** POST /search/mget — ES `_mget`: `{"index", "ids": [...]}` →
     * docs in REQUEST order, `{"_id", "found"}` (+`_source` when

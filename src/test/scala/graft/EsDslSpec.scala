@@ -4029,4 +4029,51 @@ class EsDslSpec extends SparkSpec {
     assert(sug.map(_._1).toSet == Set("windoq"), sug.toString)
     assert(sug.exists(_._2 == "window"), sug.toString)
   }
+
+  test("geo completion contexts (round 17): a struct<lat,lon> context " +
+    "column gates options by shared geohash cell at the entry's " +
+    "precision, matched boosts take the max; neighbours / mixed " +
+    "entries / bad precision reject by name") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "window one", 57.64, 10.40),   // u... cell (north europe)
+      (2L, "window two", 57.60, 10.41),   // same precision-5-ish area
+      (3L, "window far", -33.86, 151.20)) // sydney: different cell
+      .toDF("doc_id", "text", "lat", "lon")
+      .selectExpr("doc_id", "text",
+        "named_struct('lat', lat, 'lon', lon) AS loc")
+    def sug(body: String) =
+      EsDsl.search(d, mapper.readTree(body))
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // precision 2: docs 1+2 share the query point's cell, 3 does not
+    val near = sug("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 10.4}, "precision": 2,
+         "boost": 3}]}}}}}""")
+    assert(near == Map(1L -> 3.0, 2L -> 3.0), near.toString)
+    // a second weightless cell unions in the far doc; max-boost rule
+    val both = sug("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 10.4}, "precision": 2,
+         "boost": 3},
+        {"context": {"lat": -33.8, "lon": 151.2},
+         "precision": 2}]}}}}}""")
+    assert(both == Map(1L -> 3.0, 2L -> 3.0, 3L -> 1.0), both.toString)
+    // rejections: neighbours, category+geo mix, precision bounds,
+    // precision on a category entry
+    for (body <- Seq(
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2}, "neighbours": [1]}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2}}, "enval"]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2}, "precision": 13}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context": "x",
+           "precision": 3}]}}}}}"""))
+      intercept[IllegalArgumentException] { sug(body) }
+  }
 }

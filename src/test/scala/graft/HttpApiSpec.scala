@@ -166,6 +166,47 @@ class HttpApiSpec extends SparkSpec
     assert(stpToks.size == 1 &&
       stpToks.get(0).get("token").asText == "batch" &&
       stpToks.get(0).get("position").asInt == 1, stp.body())
+    // the EXPLICIT custom-chain form (round 17): tokenizer + filter
+    // — the standard TOKENIZER keeps case (lowercasing is a filter),
+    // and stemmer language "french" is the SNOWBALL algorithm the
+    // prebuilt analyzer no longer defaults to, reachable here
+    val cc = post("/search/analyze",
+      """{"text": "La Continuation", "tokenizer": "standard",
+        | "filter": ["lowercase",
+        |   {"type": "stop", "stopwords": "_french_"},
+        |   {"type": "stemmer", "language": "french"}]}""".stripMargin)
+    val ccToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cc.body()).get("tokens")
+    assert(ccToks.size == 1 &&
+      ccToks.get(0).get("token").asText == "continu" &&
+      ccToks.get(0).get("position").asInt == 1, cc.body())
+    // no lowercase filter → the stemmer sees the cased token and the
+    // snowball/light split is observable: light keeps 4-letter data
+    val cc2 = post("/search/analyze",
+      """{"text": "data", "tokenizer": "standard",
+        | "filter": [{"type": "stemmer",
+        |   "language": "light_french"}]}""".stripMargin)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cc2.body()).get("tokens").get(0).get("token")
+      .asText == "data", cc2.body())
+    val cc3 = post("/search/analyze",
+      """{"text": "data", "tokenizer": "standard",
+        | "filter": [{"type": "stemmer",
+        |   "language": "french"}]}""".stripMargin)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cc3.body()).get("tokens").get(0).get("token")
+      .asText == "dat", cc3.body())
+    // rejections: analyzer+tokenizer together, unknown filter,
+    // unknown stemmer language
+    assert(post("/search/analyze",
+      """{"text": "x", "analyzer": "standard",
+        | "tokenizer": "keyword"}""".stripMargin).statusCode() == 400)
+    assert(post("/search/analyze",
+      """{"text": "x", "filter": ["asciifolding"]}""")
+      .statusCode() == 400)
+    assert(post("/search/analyze",
+      """{"text": "x", "filter": [{"type": "stemmer",
+        | "language": "spanish"}]}""".stripMargin).statusCode() == 400)
     // explicit standard == the default; whitespace = raw \S+ tokens,
     // NO lowercase (ES's whitespace analyzer)
     val std = post("/search/analyze",
