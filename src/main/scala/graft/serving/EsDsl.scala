@@ -752,12 +752,20 @@ object EsDsl {
                                                 "standard") {
     /** The analyzed suggest-text tokens — under a non-standard
       * `analyzer` (ES accepts the knob here too) the chain's output
-      * terms are checked against the field's STANDARD vocabulary,
-      * the same query-time-analyzer contract as the match family. */
-    def tokens: Seq[String] =
-      if (analyzer == "standard")
+      * terms walk the field's STANDARD vocabulary by edit distance.
+      * whitespace/keyword keep their RAW tokens here (no sentinel
+      * gating — suggester tokens are response payload, and a
+      * case-kept or out-of-alphabet token legitimately walks the
+      * vocabulary like any misspelling; the match family's sentinel
+      * contract is for count gating only). */
+    def tokens: Seq[String] = analyzer match {
+      case "standard" =>
         graft.functions.TextFunctions.analyzeText(text).distinct.toSeq
-      else EsDsl.queryTerms(text, analyzer)
+      case "whitespace" =>
+        text.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+      case "keyword" => Seq(text).filter(_.nonEmpty)
+      case a => EsDsl.queryTerms(text, a)
+    }
   }
 
   private[graft] def parseSuggest(sg: JsonNode): SuggestSpec = {
@@ -1234,6 +1242,24 @@ object EsDsl {
     val idCol = df.columns.head
     (sp.contexts.map(_._1) ++ sp.geoContexts.map(_._1)).foreach { cf =>
       if (!df.columns.contains(cf)) bad(s"unknown context '$cf'") }
+    // entry TYPE must match the column's schema — a geo entry on a
+    // category column would die in Spark analysis (an opaque 500),
+    // and a category entry on a geo_point struct would cast-compare
+    // and silently never match; both reject by name instead
+    def isGeoPoint(cf: String): Boolean =
+      df.schema(cf).dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fieldNames.contains("lat") && st.fieldNames.contains("lon")
+        case _ => false
+      }
+    sp.geoContexts.foreach { case (cf, _) =>
+      if (!isGeoPoint(cf))
+        bad(s"context '$cf' takes geo entries but is not a " +
+          "struct<lat, lon> geo_point column") }
+    sp.contexts.foreach { case (cf, _) =>
+      if (isGeoPoint(cf))
+        bad(s"context '$cf' is a geo_point column — its entries " +
+          "must be {\"context\": {\"lat\", \"lon\"}} objects") }
     // a GEO entry matches when the option's point shares the query
     // point's base32 geohash cell at the entry's precision — both
     // sides ride [[geohashColumn]] (the literal side constant-folds)

@@ -1316,6 +1316,11 @@ final class HttpApi(
   private def auxBad(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  // compiled once — the letter-run (simple/stop/letter tokenizers)
+  // and whitespace-run patterns several _analyze branches share
+  private val LetterRun = java.util.regex.Pattern.compile("\\p{L}+")
+  private val SpaceRun = java.util.regex.Pattern.compile("\\S+")
+
   /** Run an auxiliary-API handler body with the standard error
     * mapping: IllegalArgumentException/AnalysisException → 400. */
   private def aux(ex: HttpExchange)(body: => Unit): Unit =
@@ -1501,8 +1506,7 @@ final class HttpApi(
           // ES's simple analyzer (lowercase LETTER runs — digits and
           // punctuation split) and its stop sibling (+ the classic
           // english stop set, positions consumed)
-          val m = java.util.regex.Pattern.compile("\\p{L}+")
-            .matcher(textN.asText)
+          val m = LetterRun.matcher(textN.asText)
           val runs = scala.collection.mutable.ArrayBuffer
             .empty[(String, Int, Int, Int)]
           var pos = 0
@@ -1514,8 +1518,7 @@ final class HttpApi(
           else runs.toSeq.filterNot { case (t, _, _, _) =>
             graft.functions.EnglishAnalysis.isStop(t) }
         case _ =>
-          val m = java.util.regex.Pattern.compile("\\S+")
-            .matcher(textN.asText)
+          val m = SpaceRun.matcher(textN.asText)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(String, Int, Int, Int)]
           while (m.find()) out += ((m.group, m.start, m.end, out.length))
@@ -1562,7 +1565,7 @@ final class HttpApi(
         Search.analyzeWithOffsets(text).map { case (_, s0, e0, p) =>
           (text.substring(s0, e0), s0, e0, p) }
       case "lowercase" | "letter" =>
-        val m = java.util.regex.Pattern.compile("\\p{L}+").matcher(text)
+        val m = LetterRun.matcher(text)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, Int, Int, Int)]
         while (m.find()) {
@@ -1572,7 +1575,7 @@ final class HttpApi(
         }
         out.toSeq
       case "whitespace" =>
-        val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+        val m = SpaceRun.matcher(text)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, Int, Int, Int)]
         while (m.find()) out += ((m.group, m.start, m.end, out.length))

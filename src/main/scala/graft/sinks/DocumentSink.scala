@@ -322,8 +322,16 @@ object DocumentSink {
     val root = new org.apache.hadoop.fs.Path(s"$path/data_delta")
     fs.mkdirs(root)
     val dest = new org.apache.hadoop.fs.Path(root, f"delta-$seq%06d")
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"delta rename failed: $dest")
+    // collision guard: the store is single-writer by contract (the
+    // HTTP layer's write lock; batch sync is one process), but a
+    // second writer racing the same seq must fail LOUD — Hadoop
+    // rename onto an existing directory NESTS the source inside it
+    // and returns true, which would silently lose this batch
+    if (fs.exists(dest) || !fs.rename(tmp, dest) ||
+        fs.exists(new org.apache.hadoop.fs.Path(dest, tmp.getName)))
+      throw new IllegalStateException(
+        s"delta generation collision or rename failure at $dest " +
+        "(concurrent writer? the store is single-writer)")
     n
   }
 
@@ -363,15 +371,15 @@ object DocumentSink {
     * behind, never ahead). */
   def upsert(batch: DataFrame, path: String): Long = {
     val spark = batch.sparkSession
+    require(!batch.columns.contains("_op") &&
+      !batch.columns.contains("_seq"),
+      "_op/_seq are reserved delta-log column names")
     val pre = readOpt(spark, path) match {
       case None =>
         // bootstrap: the batch IS the store — a plain base write
         return save(batch, path)
       case Some(df) => df
     }
-    require(!batch.columns.contains("_op") &&
-      !batch.columns.contains("_seq"),
-      "_op/_seq are reserved delta-log column names")
     val fs = hadoopFs(spark, path)
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
     val prevTotal = metaDocCount(spark, path)
@@ -428,6 +436,10 @@ object DocumentSink {
     val deleted = pre.join(broadcast(landed.select("document_id")),
       Seq("document_id"), "left_semi").count()
     val n = prevTotal - deleted
+    // the mapping sidecar tracks the RESOLVED line's schema (columns
+    // can leave when the last docs carrying them are deleted)
+    writeSidecar(s"$path/_mapping.json",
+      mappingJson(read(spark, path).schema))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
     val idxPath = s"$path/_search_index"

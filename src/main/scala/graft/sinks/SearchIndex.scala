@@ -1078,9 +1078,13 @@ object SearchIndex {
   }
 
   /** Version history: 2 = whitespace tokens + plain Levenshtein;
-    * 3 = standard-analyzer tokens + Damerau fuzzy (round 11). Bumping
-    * invalidates pre-change on-disk indexes so they REBUILD instead of
-    * silently serving mismatched postings against analyzer-tokenized
+    * 3 = standard-analyzer tokens + Damerau fuzzy (round 11);
+    * 4 = the prebuilt french chain stems LIGHT_FRENCH (round 17 — a
+    * version-3 `analyzer: "french"` index holds SNOWBALL stems, a
+    * retired token grammar for that mapping ONLY, so v3 stays
+    * current for every other analyzer). Bumping invalidates
+    * pre-change on-disk indexes so they REBUILD instead of silently
+    * serving mismatched postings against analyzer-tokenized
     * queries. */
   /** Does `path` hold a CURRENT-layout index (sidecar present, version
     * ≥ 2 = generation-pointer layout with positional postings)? Upsert
@@ -1189,6 +1193,17 @@ object SearchIndex {
       .limit(size)
   }
 
+  /** Is this meta node's (version, analyzer) pair a CURRENT token
+    * grammar? v4+ always; v3 unless it is a french mapping (whose
+    * stemmer changed in round 17). */
+  private def currentGrammar(
+      node: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    val v = node.get("version").asInt()
+    val analyzer = Option(node.get("analyzer")).map(_.asText)
+      .getOrElse("standard")
+    v >= 4 || (v == 3 && analyzer != "french")
+  }
+
   def exists(path: String): Boolean =
     Files.exists(Paths.get(s"$path/_index_meta.json")) &&
       (try {
@@ -1196,11 +1211,12 @@ object SearchIndex {
           .readTree(new String(
             Files.readAllBytes(Paths.get(s"$path/_index_meta.json")),
             StandardCharsets.UTF_8))
-        node.hasNonNull("gen") && node.get("version").asInt() >= 3
+        node.hasNonNull("gen") && currentGrammar(node)
       } catch { case _: Exception => false })
 
-  /** Is there a PRE-CURRENT-version index at `path` (sidecar present
-    * and well-formed, version below the current layout)? Such an
+  /** Is there a RETIRED-grammar index at `path` (sidecar present
+    * and well-formed, but (version, analyzer) not current — version
+    * below 3, or a version-3 french mapping)? Such an
     * index no longer [[exists]] — its postings use a retired token
     * grammar — but its meta (fields, id column) is still readable, so
     * maintenance paths can REBUILD it from the store instead of
@@ -1212,7 +1228,7 @@ object SearchIndex {
           .readTree(new String(
             Files.readAllBytes(Paths.get(s"$path/_index_meta.json")),
             StandardCharsets.UTF_8))
-        node.hasNonNull("gen") && node.get("version").asInt() < 3
+        node.hasNonNull("gen") && !currentGrammar(node)
       } catch { case _: Exception => false })
 
   /** Best-effort removal of stale generation directories — crash
@@ -1248,7 +1264,7 @@ object SearchIndex {
     val json = s"""{"id_col": "${meta.idCol}", "fields": [${
       meta.fields.map(f => s""""$f"""").mkString(", ")
     }], "gen": ${meta.gen}, "analyzer": "${meta.analyzer}", ${""
-    }"version": 3}"""
+    }"version": 4}"""
     val target = Paths.get(s"$path/_index_meta.json")
     Files.createDirectories(target.getParent)
     val tmp = Paths.get(s"$path/._index_meta_tmp_${

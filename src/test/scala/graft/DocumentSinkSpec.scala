@@ -317,4 +317,35 @@ class DocumentSinkSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/data_delta").exists)
     assert(DocumentSink.count(spark, path) == 1)
   }
+
+  test("log-structured store: upsert and deleteByIds both refresh " +
+    "the mapping sidecar from the resolved line's schema; the " +
+    "reserved-column guard fires on the bootstrap path too") {
+    val path = tmp()
+    DocumentSink.save(DocumentSink.withDocId(
+      Seq((1L, "a")).toDF("id", "v"), BareId("id")), path)
+    // an upsert introduces a new column → the mapping gains it;
+    // deleting its only carrier keeps the COLUMN (schema semantics —
+    // a parquet/union schema retains departed columns as nullable,
+    // exactly the pre-LSM base's behavior) but the sidecar must be
+    // REWRITTEN from the post-delete line, not left stale
+    DocumentSink.upsert(
+      Seq((2L, "b", "x")).toDF("id", "v", "extra")
+        .withColumn("document_id", col("id").cast("string")), path)
+    def mapping() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_mapping.json")))
+    assert(mapping().contains("\"extra\""), mapping())
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_mapping.json"))
+    DocumentSink.deleteByIds(Seq("2").toDF("document_id"), path)
+    assert(mapping().contains("\"v\""), mapping())
+    assert(DocumentSink.count(spark, path) == 1)
+    // reserved delta-log columns reject even on a fresh store
+    val fresh = tmp()
+    intercept[IllegalArgumentException] {
+      DocumentSink.upsert(
+        Seq((1L, "up")).toDF("id", "_op")
+          .withColumn("document_id", col("id").cast("string")), fresh)
+    }
+  }
 }

@@ -4059,6 +4059,28 @@ class EsDslSpec extends SparkSpec {
         {"context": {"lat": -33.8, "lon": 151.2},
          "precision": 2}]}}}}}""")
     assert(both == Map(1L -> 3.0, 2L -> 3.0, 3L -> 1.0), both.toString)
+    // entry type must match the column's SCHEMA: geo entries on a
+    // string column / category entries on the geo_point struct both
+    // reject by name (never an opaque analysis error or a silent
+    // zero-match)
+    val d2 = d.withColumn("lang", org.apache.spark.sql.functions
+      .lit("en"))
+    for ((cf, entry) <- Seq(
+        ("lang", """{"context": {"lat": 1, "lon": 2}}"""),
+        ("loc", "\"enval\"")))
+      assert(intercept[IllegalArgumentException] {
+        EsDsl.search(d2, mapper.readTree(
+          s"""{"suggest": {"ac": {"prefix": "win", "completion":
+             {"field": "text", "contexts":
+             {"$cf": [$entry]}}}}}""")).collect()
+      }.getMessage.contains(cf))
+    // term-suggester analyzer whitespace: the RAW case-kept token is
+    // the response token (never a sentinel string)
+    val ws = EsDsl.suggest(d2, mapper.readTree(
+      """{"fix": {"text": "Windoq", "term": {"field": "text",
+        |  "analyzer": "whitespace"}}}""".stripMargin))
+      .select("token").as[String].collect().toSeq
+    assert(ws == Seq("Windoq"), ws.toString)
     // rejections: neighbours, category+geo mix, precision bounds,
     // precision on a category entry
     for (body <- Seq(

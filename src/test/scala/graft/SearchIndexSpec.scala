@@ -981,4 +981,38 @@ class SearchIndexSpec extends SparkSpec {
       s"cursor continuation diverged\n$scanPage\nvs\n$probePage")
     assert(scanPage.size == 10)
   }
+
+  test("token-grammar versioning: a v3 french meta is RETIRED " +
+    "(exists false, staleVersion true — its postings hold Snowball " +
+    "stems), v3 non-french stays current, new builds write v4") {
+    def fakeMeta(dir: String, version: Int, analyzer: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_index_meta.json"),
+        (s"""{"id_col": "doc_id", "fields": ["text"], "gen": 1, """ +
+         s""""analyzer": "$analyzer", "version": $version}""")
+          .getBytes("UTF-8"))
+      ()
+    }
+    val frV3 = tmp("graft-idx-v3fr-")
+    fakeMeta(frV3, 3, "french")
+    assert(!SearchIndex.exists(frV3), "v3 french must read as absent")
+    assert(SearchIndex.staleVersion(frV3),
+      "v3 french must be rebuildable-stale")
+    val enV3 = tmp("graft-idx-v3en-")
+    fakeMeta(enV3, 3, "english")
+    assert(SearchIndex.exists(enV3), "v3 english grammar is unchanged")
+    assert(!SearchIndex.staleVersion(enV3))
+    val v2 = tmp("graft-idx-v2-")
+    fakeMeta(v2, 2, "standard")
+    assert(!SearchIndex.exists(v2) && SearchIndex.staleVersion(v2))
+    // a fresh build writes the current version and exists
+    val fresh = tmp("graft-idx-v4-")
+    SearchIndex.build(docs, Seq("text"), "doc_id", fresh,
+      analyzer = "french")
+    assert(SearchIndex.exists(fresh) && !SearchIndex.staleVersion(fresh))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fresh/_index_meta.json")))
+    assert(meta.contains("\"version\": 4"), meta)
+  }
 }
