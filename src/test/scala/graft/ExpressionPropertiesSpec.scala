@@ -244,6 +244,80 @@ class ExpressionPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("FrenchTokens / GermanTokens (executor) == the driver chains " +
+    "(light_french / german_normalization + light_german), over " +
+    "adversarial accented, stopword-heavy and random strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adversarial = Seq(
+      "la continuation de la table", "l'avion et les analogies",
+      "qu'il jusqu'ici aujourd'hui", "les chevaux DES journaux",
+      "", "   ", "chanteuse première cuisinière",
+      "die straße der größe", "daß dass müller mueller",
+      "die sorten und die batches", "schönsten häuser bäume",
+      "quelle aue queue", "ambiguëment évidemment",
+      "Window7Batch mit Größe", "café naïve señor")
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("le", "la", "les", "de", "du", "der", "die",
+      "und", "von", "straße", "größe", "tables", "groupes",
+      "filtern", "sorten", "l'analogie", "continuation", "heureuse",
+      "müller", "value", "data", "window")
+    val random = (1 to 300).map(_ =>
+      (0 to rnd.nextInt(8)).map(_ =>
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = (adversarial ++ random).toDF("text")
+    val rows = df.select(col("text"),
+      graft.functions.ArrayExpressions.frenchTokens(col("text"))
+        .as("ft"),
+      graft.functions.ArrayExpressions.germanTokens(col("text"))
+        .as("gt")).collect()
+    rows.foreach { r =>
+      def toPairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(x => (x.getString(0), x.getInt(1)))
+      val wantF = graft.functions.FrenchAnalysis
+        .analyzeWithPositions(r.getString(0))
+      val wantG = graft.functions.GermanAnalysis
+        .analyzeWithPositions(r.getString(0))
+      assert(toPairs(1) == wantF, s"french tokens mismatch on '${
+        r.getString(0)}'\n$wantF\nvs\n${toPairs(1)}")
+      assert(toPairs(2) == wantG, s"german tokens mismatch on '${
+        r.getString(0)}'\n$wantG\nvs\n${toPairs(2)}")
+    }
+  }
+
+  test("light stemmers are total and bounded on arbitrary unicode: " +
+    "never throw, never lengthen beyond the ß→ss expansion, and the " +
+    "analyzer chains emit only non-empty terms") {
+    val strGen: Gen[String] = Gen.frequency(
+      5 -> Gen.listOf(Gen.oneOf(Gen.alphaLowerChar,
+        Gen.oneOf('à', 'â', 'é', 'è', 'ê', 'ë', 'î', 'ï', 'ô', 'û',
+          'ù', 'ç', 'ä', 'ö', 'ü', 'ß', 'y', 'q', 'u', 'e', 's',
+          'x', 'n', 'r', 't'))).map(_.mkString),
+      1 -> Gen.asciiPrintableStr.map(_.take(20)),
+      1 -> org.scalacheck.Arbitrary.arbitrary[String]
+        .map(_.take(20)))
+    samples(strGen).foreach { s =>
+      val lf = graft.functions.FrenchLightStemmer.stem(s)
+      assert(lf.length <= s.length,
+        s"light_french lengthened '$s' -> '$lf'")
+      val sb = graft.functions.FrenchStemmer.stem(s)
+      assert(sb.length <= math.max(s.length, 2), s"snowball '$s'")
+      val gn = graft.functions.GermanAnalysis.normalize(s)
+      // ß→ss is the only growth the normalization allows
+      assert(gn.length <= s.length + s.count(_ == 'ß'),
+        s"normalize lengthened '$s' -> '$gn'")
+      val lg = graft.functions.GermanLightStemmer.stem(gn)
+      assert(lg.length <= gn.length,
+        s"light_german lengthened '$gn' -> '$lg'")
+      graft.functions.FrenchAnalysis.analyzeWithPositions(s)
+        .foreach { case (t, p) =>
+          assert(t.nonEmpty && p >= 0, s"french chain on '$s'") }
+      graft.functions.GermanAnalysis.analyzeWithPositions(s)
+        .foreach { case (t, p) =>
+          assert(t.nonEmpty && p >= 0, s"german chain on '$s'") }
+    }
+  }
+
   test("NormalizeJson is idempotent") {
     val jsonGen: Gen[String] = for {
       k <- Gen.alphaStr.map(_.take(5))
