@@ -7849,8 +7849,8 @@ object EsDsl {
     * EVERY token does: "none" (the default; no hits) or "all" (the
     * clause acts as match_all, constant 1.0 before boost). Any other
     * value rejects by name. Meaningful exactly where a removing
-    * analyzer (english/french stop filters, blank whitespace/keyword
-    * input) can empty the term list. */
+    * analyzer (the english/french/german/stop chains' stop filters,
+    * blank whitespace/keyword input) can empty the term list. */
   private def zeroTermsAll(spec: JsonNode): Boolean =
     Option(spec.get("zero_terms_query")).map(_.asText) match {
       case None | Some("none") => false
