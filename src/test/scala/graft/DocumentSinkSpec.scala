@@ -348,4 +348,27 @@ class DocumentSinkSpec extends SparkSpec {
           .withColumn("document_id", col("id").cast("string")), fresh)
     }
   }
+
+  test("log-structured store: the resolved-read PLAN is a broadcast " +
+    "anti-join against the base scan (delta side request-sized) — " +
+    "never a sort-merge join, and the only shuffle touches the " +
+    "delta frames") {
+    val path = tmp()
+    def doc(rows: (Long, String)*) = DocumentSink.withDocId(
+      rows.toDF("id", "v"), BareId("id"))
+    DocumentSink.save(doc((1L to 500L).map(i => i -> s"v$i"): _*), path)
+    DocumentSink.upsert(doc(5L -> "B"), path)
+    DocumentSink.deleteByIds(Seq("7").toDF("document_id"), path)
+    val plan = DocumentSink.read(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the zero-delta fast path is the plain base read — no join
+    val compactedLike = tmp()
+    DocumentSink.save(doc(1L -> "a"), compactedLike)
+    val p2 = DocumentSink.read(spark, compactedLike)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Join"), p2.take(1000))
+  }
 }
