@@ -86,6 +86,20 @@ object ArrayExpressions {
   def germanTokens(text: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.germanTokens(text)
 
+  /** Codegen'd write-time SPANISH analysis — (term, pos) structs
+    * with stop-consumed positions and light_spanish stems (the
+    * fourth language twin; the stemmer folds accents itself). */
+  def spanishTokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.spanishTokens(text)
+
+  /** Codegen'd write-time CUSTOM-CHAIN analysis — (term, pos)
+    * structs from a settings-defined tokenizer+filter chain
+    * ([[CustomChain]]); `chainJson` is the canonical spec the index
+    * meta sidecar persists. */
+  def chainTokens(text: Column, chainJson: String): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.chainTokens(text,
+      chainJson)
+
   /** Codegen'd Search.tokenNorm: the padded double-space-joined
     * analyzed-token string, one pass. */
   def analyzerNorm(text: Column): Column =

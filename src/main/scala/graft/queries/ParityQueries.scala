@@ -121,6 +121,78 @@ object ParityQueries {
       })
     }
 
+  private val esIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built SPANISH-mapped documents index — index-TIME
+    * `"analyzer": "spanish"` (write-time light_spanish stems via the
+    * codegen SpanishTokens expression: stop-consumed positions —
+    * the corpus token 'a' IS a spanish stopword — stop-filtered
+    * dl). The q7_idx_spanish_* twins probe it. */
+  private def esIndexRoot(s: SparkSession, dir: String): String =
+    esIndexRoots.synchronized {
+      esIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-es-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "spanish")
+        root
+      })
+    }
+
+  private val cuIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built CUSTOM-chain documents index (round 18) — a
+    * settings-defined analyzer no prebuilt name covers: whitespace
+    * tokenizer + lowercase + the one-word stop list ["the"] +
+    * light_german WITHOUT german_normalization. Documents tokenize
+    * through the codegen ChainTokens expression at write time; the
+    * q7_idx_custom_* twin probes it. */
+  private def cuIndexRoot(s: SparkSession, dir: String): String =
+    cuIndexRoots.synchronized {
+      cuIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-cu-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "custom",
+          customChain = Some(
+            """{"tokenizer": "whitespace", "filter": ["lowercase",
+              |{"type": "stop", "stopwords": ["the"]},
+              |{"type": "stemmer", "language": "light_german"}]}"""
+              .stripMargin))
+        root
+      })
+    }
+
+  private val egIndexRoots =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lazily-built EDGE-GRAM documents index with `search_analyzer:
+    * standard` (round 18) — ES's search-as-you-type pairing: the
+    * index chain emits every 1..6-char prefix of each token (grams
+    * share their source token's position), the QUERY analyzes with
+    * the plain standard chain, so a typed prefix probes the gram
+    * postings directly. The q7_idx_search_analyzer twin probes it. */
+  private def egIndexRoot(s: SparkSession, dir: String): String =
+    egIndexRoots.synchronized {
+      egIndexRoots.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-search-index-eg-").toString
+        graft.sinks.SearchIndex.build(t(s, dir, "documents"),
+          Seq("text"), "doc_id", s"$root/documents",
+          analyzer = "custom",
+          customChain = Some(
+            """{"tokenizer": "standard", "filter": ["lowercase",
+              |{"type": "edge_ngram", "min_gram": 1,
+              | "max_gram": 6}]}""".stripMargin),
+          searchAnalyzer = Some("standard"))
+        root
+      })
+    }
+
   private val wsIndexRoots =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -1184,6 +1256,80 @@ object ParityQueries {
         .orderBy(col("_score").desc, col("doc_id"))
     }),
 
+    // INDEX-TIME spanish analyzer (round 18 — the FOURTH language
+    // mapping): the index holds write-time LIGHT SPANISH stems
+    // (lowercase → spanish_stop → SpanishLightStemmer — exactly ES
+    // 8.11's prebuilt spanish chain; the corpus token 'a' is a
+    // spanish stopword, so it leaves the stream and shortens dl).
+    // "las tables y los values" drops the spanish stopwords and
+    // stems tables→tabl, values→valu — stems only THIS index holds
+    // with THESE statistics (french also maps table/value but stems
+    // customer/filter/order too, so the streams genuinely differ).
+    "q7_idx_spanish_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${esIndexRoot(s, dir)}/documents",
+        "las tables y los values", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // ... and match_phrase against the spanish-mapped index: "las
+    // tables de los values" analyzes to (tabl@1, valu@4) — the
+    // consumed stop positions survive as the +3 gap — matched at
+    // exact offsets in the spanish-stemmed postings (whose positions
+    // are original token indices with 'a' slots consumed),
+    // phrase-BM25 over SPANISH statistics.
+    "q7_idx_spanish_phrase" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.phraseRanked(
+        s, s"${esIndexRoot(s, dir)}/documents",
+        "las tables de los values", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // CUSTOM analysis chain as an index MAPPING (round 18): the
+    // index holds write-time tokens of a settings-defined chain no
+    // prebuilt name covers (whitespace tokenizer + lowercase + stop
+    // ["the"] + light_german, NO normalization). The query analyzes
+    // with the FIELD's chain: "the merges the tables" drops the
+    // custom stopword and stems merges→merg, tables→tabl; BM25
+    // statistics are chain-side ('the' leaves the stream, so dl and
+    // df differ from every prebuilt mapping of this corpus).
+    "q7_idx_custom_match" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${cuIndexRoot(s, dir)}/documents",
+        "the merges the tables", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
+    // search_analyzer (round 18): the edge_ngram index chain emits
+    // every 1..6-char token prefix at write time and the mapping's
+    // `search_analyzer: standard` analyzes the QUERY with the plain
+    // chain — "wind bat" probes the gram postings as the literal
+    // terms (every token prefixed wind/bat answers), BM25 over GRAM
+    // statistics (dl counts emitted grams). ES's search-as-you-type
+    // pairing, impossible without the knob.
+    "q7_idx_search_analyzer" -> ((s, dir) => {
+      val hits = graft.sinks.SearchIndex.ranked(
+        s, s"${egIndexRoot(s, dir)}/documents",
+        "wind bat", Seq("text"))
+      t(s, dir, "documents")
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("score").as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+    }),
+
     // INDEX-TIME whitespace analyzer (round 16): the mapping's chain
     // tokenizes at WRITE time (whitespace splits, case/punctuation
     // KEPT) and the query analyzes with the FIELD's chain
@@ -1300,6 +1446,46 @@ object ParityQueries {
         """{"query": {"match_phrase": {"text": {
           |  "query": "die groupen an der sorten",
           |  "analyzer": "german"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // query-time SPANISH analyzer (round 18 — the fourth language
+    // chain): lowercase → spanish_stop → LIGHT spanish stemmer
+    // (functions/SpanishAnalysis — exactly ES 8.11's prebuilt
+    // spanish analyzer; SpanishStemmerSpec pins the vectors).
+    // "la sorte y los partes" analyzes to stems [sort, part]
+    // (stopwords consumed, final -e / -es stripped), searched as
+    // literal terms against the standard tokens and statistics.
+    "q7_esdsl_match_spanish" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "la sorte y los partes",
+          |  "analyzer": "spanish"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body)
+    }),
+
+    // ... and its write-time-index twin: spanish stems are standard
+    // terms, so the standard postings serve them — one probe, zero
+    // corpus scans, same oracle.
+    "q7_esdsl_match_spanish_indexed" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match": {"text": {
+          |  "query": "la sorte y los partes",
+          |  "analyzer": "spanish"}}}, "size": 100}""".stripMargin)
+      graft.serving.EsDsl.search(t(s, dir, "documents"), body,
+        statsIndex = Some(s"${searchIndexRoot(s, dir)}/documents"))
+    }),
+
+    // spanish match_phrase: the stop filter consumes positions like
+    // the other language chains — "la sorte de los partes" analyzes
+    // to (sort@0, part@3) after rebase, the +3 stop gap matched at
+    // exact offsets in the standard token stream, phrase-BM25
+    // scored.
+    "q7_esdsl_phrase_spanish" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"query": {"match_phrase": {"text": {
+          |  "query": "la sorte de los partes",
+          |  "analyzer": "spanish"}}}, "size": 100}""".stripMargin)
       graft.serving.EsDsl.search(t(s, dir, "documents"), body)
     }),
 
@@ -3036,14 +3222,20 @@ object ParityQueries {
         size = 10,
         contexts = Seq("lang" -> Seq("en" -> 2.0, "fr" -> 1.0)))),
 
-    // GEO completion contexts (round 17): the context name is a
-    // struct<lat,lon> geo_point column — an option matches when its
-    // point shares the query point's base32 geohash cell at the
-    // entry's precision (ES's geo context model; neighbours rejects
-    // by name). Two cells here: the (10,20) cell boosted 2.0, the
-    // (-50,-150) cell weightless — matched boosts take the max, so
-    // near options outrank far ones. The oracle replays both cell
-    // memberships with the independently-generated geohash SQL.
+    // GEO completion contexts (round 17; ES-default NEIGHBOUR cells
+    // round 18): the context name is a struct<lat,lon> geo_point
+    // column — an option matches when its point falls in the query
+    // point's base32 geohash cell at the entry's precision OR (ES
+    // 8.11's GeoQueryContext default) one of its 8 NEIGHBOUR cells,
+    // so each entry gates a 3×3 cell block. Two blocks here: around
+    // (10,20) boosted 2.0 and around (-50,-150) weightless (its
+    // precision spelled as the ES distance string "10000km" — the
+    // level-1 cell edge bound); matched boosts take the max, so
+    // near options outrank far ones. The oracle re-derives both
+    // neighbourhoods INDEPENDENTLY: at one precision the cells form
+    // a regular lon/lat grid, so neighbour-or-same is |Δx| ≤ 1
+    // modulo the grid width AND |Δy| ≤ 1 on raw quantized cell
+    // indexes — no base32 at all.
     "q7_esdsl_completion_geo" -> ((s, dir) => {
       val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         """{"suggest": {"ac": {"prefix": "bu",
@@ -3052,7 +3244,25 @@ object ParityQueries {
           |    {"context": {"lat": 10, "lon": 20}, "precision": 1,
           |     "boost": 2},
           |    {"context": {"lat": -50, "lon": -150},
-          |     "precision": 1}]}}}}}""".stripMargin)
+          |     "precision": "10000km"}]}}}}}""".stripMargin)
+      graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
+    }),
+
+    // ... and the explicit `neighbours` knob: ONE entry at precision
+    // 2 with neighbours [1, 2] — the match set is the exact
+    // precision-2 cell, its 8 precision-2 neighbours, and the 8
+    // precision-1 neighbours of the coarser containing cell (ES's
+    // truncated-hash neighbour generation). The oracle replays it as
+    // (3×3 block at precision 2) OR (3×3 block at precision 1 MINUS
+    // the exact precision-1 cell), on independent cell-index
+    // arithmetic.
+    "q7_esdsl_completion_geo_neighbours" -> ((s, dir) => {
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"suggest": {"ac": {"prefix": "bu",
+          |  "completion": {"field": "c_mktsegment", "size": 25,
+          |  "contexts": {"loc": [
+          |    {"context": {"lat": 10, "lon": 20}, "precision": 2,
+          |     "neighbours": [1, 2], "boost": 2}]}}}}}""".stripMargin)
       graft.serving.EsDsl.search(custGeo(t(s, dir, "customer")), body)
     }),
 
@@ -3919,6 +4129,48 @@ object ParityQueries {
         "AS INT) + 1, 1)").mkString("(", " || ", ")")
   }
 
+  /** Quantized geohash CELL INDEXES (x from lon, y from lat) at
+    * precision `p` as DuckDB SQL — the INDEPENDENT formulation
+    * behind the geo-context neighbour oracles: cells at one
+    * precision form a regular 2^lonBits × 2^latBits lon/lat grid,
+    * so cell adjacency is raw index arithmetic, no base32 anywhere
+    * in the oracle. Same floor/top-edge-clamp convention as
+    * [[geohashSql]]. */
+  private def geoCellIdxSql(p: Int, latE: String = GeoLatSql,
+                            lonE: String = GeoLonSql): (String, String) = {
+    val totalBits = 5 * p
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val x = s"least(CAST(floor((($lonE + 180.0) / 360.0) * " +
+      s"${math.pow(2, lonBits)}) AS BIGINT), ${(1L << lonBits) - 1})"
+    val y = s"least(CAST(floor((($latE + 90.0) / 180.0) * " +
+      s"${math.pow(2, latBits)}) AS BIGINT), ${(1L << latBits) - 1})"
+    (x, y)
+  }
+
+  /** "`(lat, lon)` lies in the query point's precision-`p` cell or
+    * one of its 8 neighbours" as independent DuckDB cell-index SQL:
+    * |Δx| ≤ 1 modulo the grid width (longitude wraps at the
+    * antimeridian) AND |Δy| ≤ 1 (rows beyond the poles do not
+    * exist, so the plain bound is exact). */
+  private def geoNeighborhoodSql(p: Int, qLat: String,
+                                 qLon: String): String = {
+    val (xo, yo) = geoCellIdxSql(p)
+    val (xq, yq) = geoCellIdxSql(p, qLat, qLon)
+    val nx = 1L << ((5 * p + 1) / 2)
+    s"(least(abs(($xo) - ($xq)), $nx - abs(($xo) - ($xq))) <= 1 " +
+      s"AND abs(($yo) - ($yq)) <= 1)"
+  }
+
+  /** "`(lat, lon)` lies in the query point's EXACT precision-`p`
+    * cell" on the same independent cell indexes. */
+  private def geoSameCellSql(p: Int, qLat: String,
+                             qLon: String): String = {
+    val (xo, yo) = geoCellIdxSql(p)
+    val (xq, yq) = geoCellIdxSql(p, qLat, qLon)
+    s"(($xo) = ($xq) AND ($yo) = ($yq))"
+  }
+
   /** DuckDB replay of the standard-analyzer token grammar
     * ([[graft.functions.TextFunctions.analyzerTokens]]) — ONE shared
     * spelling for every search oracle, so the engine's analysis chain
@@ -4587,6 +4839,12 @@ object ParityQueries {
     * (GermanStemmerSpec pins the classes). */
   private lazy val matchGermanSql: String = matchStemsSql("sort", "batch")
 
+  /** Oracle of q7_esdsl_match_spanish (+ indexed twin): "la sorte y
+    * los partes" analyzes to the stems (sort, part) — spanish
+    * stopwords drop, light_spanish strips the -e / -es tails
+    * (SpanishStemmerSpec pins the classes). */
+  private lazy val matchSpanishSql: String = matchStemsSql("sort", "part")
+
   /** Shared oracle of q7_esdsl_match_simple / _stop: both chains
     * analyze their query text to exactly (window, batch) — the
     * simple tokenizer splits "Window7Batch" at the digit, the stop
@@ -4643,6 +4901,30 @@ object ParityQueries {
       "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
       "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
     phraseBm25Body(Seq("group", "sort"), "gd", "pf0") +
+    " SELECT doc_id, text, lang, source, n_chars, " +
+      "ph_score AS \"_score\" " +
+    "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
+  }
+
+  /** Oracle of q7_esdsl_phrase_spanish: the spanish analysis of
+    * "la sorte de los partes" is precomputed — stems (sort@0,
+    * part@3), three stop positions surviving as the gap — and
+    * replayed as an exact-offset position join over the standard
+    * tokens, scored by the shared phrase-BM25 body (the french
+    * oracle's shape with spanish stems). */
+  private lazy val phraseSpanishSql: String = {
+    "WITH toks AS (SELECT doc_id, " + anToksSql("text") +
+      " AS ts FROM documents), " +
+    "pos AS (SELECT doc_id, unnest(ts) AS tok, " +
+      "generate_subscripts(ts, 1) AS pos FROM toks), " +
+    "gp AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf0 " +
+      "FROM pos a JOIN pos b ON a.doc_id = b.doc_id " +
+      "AND a.tok = 'sort' AND b.tok = 'part' " +
+      "AND b.pos = a.pos + 3 GROUP BY a.doc_id), " +
+    "gd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, " +
+      "COALESCE(gp.pf0, 0) AS pf0 FROM documents d " +
+      "LEFT JOIN gp ON d.doc_id = gp.doc_id), " +
+    phraseBm25Body(Seq("sort", "part"), "gd", "pf0") +
     " SELECT doc_id, text, lang, source, n_chars, " +
       "ph_score AS \"_score\" " +
     "FROM pb WHERE pf > 0 ORDER BY \"_score\" DESC, doc_id LIMIT 100"
@@ -4770,6 +5052,29 @@ object ParityQueries {
     s"list_transform(list_filter(${anToksSql(expr)}, " +
     s"t -> t NOT IN ($deStopsSql)), t -> ${deCaseSql("t")})"
 
+  /** The fixed testdata vocabulary's SPANISH stem classes as a SQL
+    * CASE — the literal map SpanishStemmerSpec pins against the
+    * engine's light_spanish stemmer (identity on every other token;
+    * only the -e/-es vowel tails of merge/table/value strip — the
+    * consonant-final customer/filter/order words french and german
+    * stem stay WHOLE under the spanish rules). */
+  private def esCaseSql(v: String): String =
+    s"CASE $v WHEN 'merge' THEN 'merg' " +
+    s"WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' " +
+    s"ELSE $v END"
+
+  private def esStopsSql: String =
+    graft.functions.SpanishAnalysis.StopWords
+      .map(w => s"'$w'").mkString(", ")
+
+  /** Spanish-analyzed token array over the testdata corpus (stop
+    * filter + the literal stem classes — the corpus token 'a' IS a
+    * spanish stopword, the one vocabulary word any language chain
+    * stops). */
+  private def esToksSql(expr: String): String =
+    s"list_transform(list_filter(${anToksSql(expr)}, " +
+    s"t -> t NOT IN ($esStopsSql)), t -> ${esCaseSql("t")})"
+
   /** BM25 over a LANGUAGE-analyzed document stream — tf/df/dl/avgdl
     * from the stop-filtered stem-mapped token pipeline (the language
     * twin of the english idx oracle: same per-term saturation,
@@ -4873,6 +5178,53 @@ object ParityQueries {
     * pipeline and ITS statistics. */
   private lazy val idxGermanPhraseSql: String =
     idxLangPhraseSql(deCaseSql, deStopsSql, "filt", "data", 3)
+
+  /** Oracle of q7_idx_spanish_match: query "las tables y los
+    * values" → stems (tabl, valu) over the light_spanish corpus
+    * pipeline (its statistics differ from french's: 'a' leaves the
+    * stream and the consonant-final words stay whole). */
+  private lazy val idxSpanishMatchSql: String =
+    idxLangMatchSql(esToksSql, Seq("tabl", "valu"))
+
+  /** Oracle of q7_idx_spanish_phrase: "las tables de los values" →
+    * (tabl@1, valu@4), the +3 stop gap, over the light_spanish
+    * pipeline and ITS statistics (document-side positions are
+    * original token indices with spanish-stopword slots consumed —
+    * including every 'a'). */
+  private lazy val idxSpanishPhraseSql: String =
+    idxLangPhraseSql(esCaseSql, esStopsSql, "tabl", "valu", 3)
+
+  /** Custom-chain token array over the testdata corpus (the
+    * q7_idx_custom mapping: stop ["the"], then light_german with NO
+    * normalization — on this vocabulary the bare stemmer's classes
+    * coincide with the german map, value included: the -e rule
+    * produces valu without the ue-digraph fold; SearchIndexSpec and
+    * GermanStemmerSpec pin both routes). */
+  private def cuToksSql(expr: String): String =
+    s"list_transform(list_filter(${anToksSql(expr)}, " +
+    s"t -> t <> 'the'), t -> ${deCaseSql("t")})"
+
+  /** Oracle of q7_idx_custom_match: query "the merges the tables" →
+    * stems (merg, tabl) over the custom-chain corpus pipeline (its
+    * statistics differ from every prebuilt mapping: 'the' leaves
+    * the stream here only). */
+  private lazy val idxCustomMatchSql: String =
+    idxLangMatchSql(cuToksSql, Seq("merg", "tabl"))
+
+  /** Edge-gram token array: every 1..6-char prefix of every
+    * standard token (the q7_idx_search_analyzer mapping's index
+    * side), replayed as independent DuckDB list arithmetic. */
+  private def egToksSql(expr: String): String =
+    s"flatten(list_transform(${anToksSql(expr)}, " +
+    "t -> list_transform(range(1, least(length(t), 6) + 1), " +
+    "g -> t[1:CAST(g AS INT)])))"
+
+  /** Oracle of q7_idx_search_analyzer: the STANDARD-analyzed query
+    * terms (wind, bat) scored BM25 over the GRAM pipeline's
+    * statistics — df = docs holding a token prefixed by the term,
+    * tf = such tokens, dl = emitted grams. */
+  private lazy val idxSearchAnalyzerSql: String =
+    idxLangMatchSql(egToksSql, Seq("wind", "bat"))
 
   /** Whitespace-analyzed token array (mirrors SearchIndex.plainTokens
     * "whitespace": split on whitespace runs, case/punctuation kept,
@@ -5661,6 +6013,13 @@ object ParityQueries {
     "q7_esdsl_phrase_german" -> phraseFrenchSql,
     "q7_idx_german_match" -> idxGermanMatchSql,
     "q7_idx_german_phrase" -> idxGermanPhraseSql,
+    "q7_esdsl_match_spanish" -> matchSpanishSql,
+    "q7_esdsl_match_spanish_indexed" -> matchSpanishSql,
+    "q7_esdsl_phrase_spanish" -> phraseSpanishSql,
+    "q7_idx_spanish_match" -> idxSpanishMatchSql,
+    "q7_idx_spanish_phrase" -> idxSpanishPhraseSql,
+    "q7_idx_custom_match" -> idxCustomMatchSql,
+    "q7_idx_search_analyzer" -> idxSearchAnalyzerSql,
     "q7_esdsl_match_simple" -> matchSimpleStopSql,
     "q7_esdsl_match_stop" -> matchSimpleStopSql,
     "q7_esdsl_phrase_stop" -> phraseEnglishSql,
@@ -5919,13 +6278,24 @@ object ParityQueries {
        "AND lang IN ('en', 'fr') " +
        "ORDER BY suggestion, doc_id LIMIT 10"),
     "q7_esdsl_completion_geo" -> {
-      val near = geohashSql(1, "10.0", "20.0")
-      val far = geohashSql(1, "-50.0", "-150.0")
-      val cell = geohashSql(1)
+      val near = geoNeighborhoodSql(1, "10.0", "20.0")
+      val far = geoNeighborhoodSql(1, "-50.0", "-150.0")
       s"SELECT c_custkey, c_mktsegment AS suggestion, " +
-      s"CASE WHEN $cell = $near THEN 2.0 ELSE 1.0 END AS score " +
+      s"CASE WHEN $near THEN 2.0 ELSE 1.0 END AS score " +
       "FROM customer WHERE lower(c_mktsegment) LIKE 'bu%' " +
-      s"AND ($cell = $near OR $cell = $far) " +
+      s"AND ($near OR $far) " +
+      "ORDER BY score DESC, suggestion, c_custkey LIMIT 25"
+    },
+    "q7_esdsl_completion_geo_neighbours" -> {
+      // exact p2 cell ∪ its 8 p2 neighbours ∪ the 8 p1 neighbours
+      // of the containing p1 cell = (3×3 at p2) OR (3×3 at p1 minus
+      // the exact p1 cell) — raw cell-index arithmetic
+      val n2 = geoNeighborhoodSql(2, "10.0", "20.0")
+      val n1 = geoNeighborhoodSql(1, "10.0", "20.0")
+      val e1 = geoSameCellSql(1, "10.0", "20.0")
+      s"SELECT c_custkey, c_mktsegment AS suggestion, 2.0 AS score " +
+      "FROM customer WHERE lower(c_mktsegment) LIKE 'bu%' " +
+      s"AND ($n2 OR ($n1 AND NOT $e1)) " +
       "ORDER BY score DESC, suggestion, c_custkey LIMIT 25"
     },
 

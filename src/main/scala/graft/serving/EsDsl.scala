@@ -1030,14 +1030,23 @@ object EsDsl {
     * the resolved FUZZY knobs — `edits` already folds the AUTO ladder
     * (on the prefix, like ES) and `min_length` (a prefix shorter than
     * it matches exactly), so 0 = plain prefix. */
+  /** One GEO context entry: the query point, its geohash precision
+    * (resolved from a raw level or an ES distance string), its boost,
+    * and the precisions at which NEIGHBOUR cells join the match set
+    * (ES 8.11's GeoQueryContext default: the entry's own precision —
+    * a verbatim body with no `neighbours` key matches the 3×3 cell
+    * block, not just the exact cell). */
+  private[graft] final case class GeoContextEntry(
+      lat: Double, lon: Double, precision: Int, boost: Double,
+      neighbours: Seq[Int])
+
   private[graft] final case class CompletionSuggestSpec(
       field: String, prefix: String, size: Int, skipDuplicates: Boolean,
       edits: Int = 0, fuzzyPrefixLength: Int = 1,
       transpositions: Boolean = true,
       contexts: Seq[(String, Seq[(String, Double)])] = Nil,
       regex: Option[String] = None,
-      geoContexts: Seq[(String, Seq[(Double, Double, Int, Double)])] =
-        Nil)
+      geoContexts: Seq[(String, Seq[GeoContextEntry])] = Nil)
 
   private[graft] def parseCompletionSuggest(
       sg: JsonNode): CompletionSuggestSpec = {
@@ -1133,21 +1142,26 @@ object EsDsl {
     // ES contexts — in this engine a context NAME is a sibling
     // column (the mapping layer derives everything from the schema).
     // CATEGORY contexts: an option must hold one of the listed
-    // values there. GEO contexts (round 17): the name is a
-    // struct<lat,lon> geo_point column, an entry is ES's
-    // `{"context": {"lat":.., "lon":..}, "precision": P, "boost": B}`
-    // — the option matches when its point falls in the SAME base32
-    // geohash cell as the query point at precision P (ES's geo
-    // context model; P defaults to 6, ES's GeoContextMapping
-    // default; `neighbours` is not modeled and rejects by name).
-    // Several context names intersect (ES: every context type must
-    // match); entries within one name union, and one name's entries
-    // must be all-category or all-geo (one column, one type). A
-    // matched boosted entry multiplies the option's weightless 1.0;
-    // several matching contexts take the MAXIMUM (ES's documented
-    // multi-context scoring).
-    var geoContexts =
-      Seq.empty[(String, Seq[(Double, Double, Int, Double)])]
+    // values there. GEO contexts (round 17; neighbours round 18):
+    // the name is a struct<lat,lon> geo_point column, an entry is
+    // ES's `{"context": {"lat":.., "lon":..}, "precision": P,
+    // "boost": B, "neighbours": [...]}` — the option matches when
+    // its point falls in the query point's base32 geohash cell at
+    // precision P, OR in one of the 8 NEIGHBOUR cells at each
+    // precision listed in `neighbours` (default: P itself — ES
+    // 8.11's GeoQueryContext includes the neighbouring cells BY
+    // DEFAULT, so a verbatim body with no `neighbours` key matches
+    // the 3×3 block). P defaults to 6, ES's GeoContextMapping
+    // default; both `precision` and `neighbours` entries accept a
+    // raw level 1..12 or an ES distance string ("1km" → the level
+    // whose cell edge is at most that distance, GeoUtils'
+    // geoHashLevelsForPrecision). Several context names intersect
+    // (ES: every context type must match); entries within one name
+    // union, and one name's entries must be all-category or all-geo
+    // (one column, one type). A matched boosted entry multiplies
+    // the option's weightless 1.0; several matching contexts take
+    // the MAXIMUM (ES's documented multi-context scoring).
+    var geoContexts = Seq.empty[(String, Seq[GeoContextEntry])]
     val contexts: Seq[(String, Seq[(String, Double)])] =
       Option(cp.get("contexts")).map { cn =>
         if (!cn.isObject) bad("contexts must be an object")
@@ -1158,18 +1172,32 @@ object EsDsl {
           if (!v.isArray || v.size == 0)
             bad(s"context '$name' needs a non-empty array")
           val cats = Seq.newBuilder[(String, Double)]
-          val geos = Seq.newBuilder[(Double, Double, Int, Double)]
+          val geos = Seq.newBuilder[GeoContextEntry]
+          // a precision-bearing node: raw geohash level (number, or
+          // all-digit string) or an ES distance string ("1km")
+          def precOf(n: JsonNode, what: String): Int = {
+            val lvl =
+              if (n.isNumber) n.asInt
+              else if (n.isTextual)
+                GeoCells.precisionLevel(n.asText).getOrElse(
+                  bad(s"$what must be a geohash level 1..12 or a " +
+                    "distance string like '1km'"))
+              else bad(s"$what must be a number or a string")
+            if (lvl < 1 || lvl > 12)
+              bad(s"$what must map to a geohash level 1..12")
+            lvl
+          }
           (0 until v.size).foreach { i =>
             val e = v.get(i)
             if (e.isTextual) cats += ((e.asText, 1.0))
             else if (e.isObject) {
               val unknownE = keysOf(e)
-                .filterNot(Set("context", "boost", "precision"))
+                .filterNot(Set("context", "boost", "precision",
+                  "neighbours"))
               if (unknownE.nonEmpty)
                 bad(s"unsupported context key" +
                   s"${if (unknownE.size == 1) "" else "s"}: " +
-                  s"${unknownE.mkString(", ")} (neighbours is not " +
-                  "modeled)")
+                  unknownE.mkString(", "))
               val b = Option(e.get("boost")).map { n =>
                 if (!n.isNumber || n.asDouble <= 0)
                   bad("context boost must be a positive number")
@@ -1179,15 +1207,29 @@ object EsDsl {
                 .getOrElse(bad("context object needs \"context\""))
               if (cvN.isObject) {
                 // geo entry: a {lat, lon} point + optional precision
+                // + optional neighbour precisions (default: the
+                // entry's precision — ES includes neighbours unless
+                // told otherwise)
                 val (gla, glo) = geoPoint(cvN, "geo context")
-                val prec = Option(e.get("precision")).map(_.asInt)
+                val prec = Option(e.get("precision"))
+                  .map(precOf(_, "geo context precision"))
                   .getOrElse(6)
-                if (prec < 1 || prec > 12)
-                  bad("geo context precision must be 1..12")
-                geos += ((gla, glo, prec, b))
+                val neigh: Seq[Int] =
+                  Option(e.get("neighbours")).map { nn =>
+                    val items =
+                      if (nn.isArray) (0 until nn.size).map(nn.get)
+                      else Seq(nn)
+                    if (items.isEmpty)
+                      bad("neighbours must not be empty")
+                    items.map(precOf(_, "geo context neighbours " +
+                      "entry")).distinct
+                  }.getOrElse(Seq(prec))
+                geos += GeoContextEntry(gla, glo, prec, b, neigh)
               } else {
-                if (e.hasNonNull("precision"))
-                  bad("precision applies to geo contexts only")
+                if (e.hasNonNull("precision") ||
+                    e.hasNonNull("neighbours"))
+                  bad("precision/neighbours apply to geo contexts " +
+                    "only")
                 cats += ((cvN.asText, b))
               }
             } else bad("context entries are strings or " +
@@ -1260,12 +1302,25 @@ object EsDsl {
       if (isGeoPoint(cf))
         bad(s"context '$cf' is a geo_point column — its entries " +
           "must be {\"context\": {\"lat\", \"lon\"}} objects") }
-    // a GEO entry matches when the option's point shares the query
-    // point's base32 geohash cell at the entry's precision — both
-    // sides ride [[geohashColumn]] (the literal side constant-folds)
-    def geoHit(cf: String, g: (Double, Double, Int, Double)): Column =
-      geohashColumn(col(s"$cf.lat"), col(s"$cf.lon"), g._3) ===
-        geohashColumn(lit(g._1), lit(g._2), g._3)
+    // a GEO entry matches when the option's point falls in the query
+    // point's cell at the entry's precision OR in one of its 8
+    // NEIGHBOUR cells at each `neighbours` precision (ES 8.11's
+    // default geo-context behaviour — [[GeoCells]]). The query side
+    // folds to LITERAL cell strings on the driver, so the predicate
+    // is one `geohash(point) IN (cells)` per distinct precision —
+    // constant-size, scan-evaluated, no per-row query-side encode.
+    def geoHit(cf: String, g: GeoContextEntry): Column = {
+      val cellsByPrec: Seq[(Int, Seq[String])] =
+        ((g.precision -> GeoCells.encode(g.lat, g.lon, g.precision)) +:
+          g.neighbours.flatMap(q =>
+            GeoCells.neighbors(g.lat, g.lon, q).map(q -> _)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (p, cs) => (p, cs.map(_._2).distinct) }
+      cellsByPrec.map { case (p, cells) =>
+        geohashColumn(col(s"$cf.lat"), col(s"$cf.lon"), p)
+          .isInCollection(cells)
+      }.reduce(_ || _)
+    }
     val ctxPred = (sp.contexts
       .map { case (cf, vals) =>
         col(cf).cast("string").isInCollection(vals.map(_._1)) } ++
@@ -1283,7 +1338,7 @@ object EsDsl {
           when(col(cf).cast("string") === v, lit(b)) }
           .reduce((a, b) => greatest(a, b)) } ++
       sp.geoContexts.map { case (cf, cells) =>
-        cells.map(g => when(geoHit(cf, g), lit(g._4)))
+        cells.map(g => when(geoHit(cf, g), lit(g.boost)))
           .reduce((a, b) => greatest(a, b)) })
       .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(1.0))
     // the regex form matches from the START of the case-folded input
@@ -7862,11 +7917,11 @@ object EsDsl {
   private def matchAnalyzer(spec: JsonNode): String =
     Option(spec.get("analyzer")).map(_.asText) match {
       case None | Some("standard") | Some("default") => "standard"
-      case Some(a @ ("english" | "french" | "german" | "simple" |
-                     "stop" | "whitespace" | "keyword")) => a
+      case Some(a @ ("english" | "french" | "german" | "spanish" |
+                     "simple" | "stop" | "whitespace" | "keyword")) => a
       case Some(other) => bad(s"unsupported analyzer '$other' " +
         "(supported here: standard, english, french, german, " +
-        "simple, stop, whitespace, keyword)")
+        "spanish, simple, stop, whitespace, keyword)")
     }
 
   /** The analyzed QUERY term list of a match-family clause — the one
@@ -7892,6 +7947,8 @@ object EsDsl {
         graft.functions.FrenchAnalysis.analyze(text).distinct.toSeq
       case "german" =>
         graft.functions.GermanAnalysis.analyze(text).distinct.toSeq
+      case "spanish" =>
+        graft.functions.SpanishAnalysis.analyze(text).distinct.toSeq
       case "simple" =>
         // ES's simple analyzer: lowercase LETTER runs — every token
         // is trivially a standard token of itself, no sentinel needed
@@ -7985,6 +8042,9 @@ object EsDsl {
       case "german" =>
         graft.functions.TextFunctions.rebase(
           graft.functions.GermanAnalysis.analyzeWithPositions(text))
+      case "spanish" =>
+        graft.functions.TextFunctions.rebase(
+          graft.functions.SpanishAnalysis.analyzeWithPositions(text))
       case "simple" =>
         // dense letter-run positions (the simple tokenizer has no
         // removing filter)

@@ -1450,12 +1450,13 @@ final class HttpApi(
         case "english"              => "english"
         case "french"               => "french"
         case "german"               => "german"
+        case "spanish"              => "spanish"
         case "simple"               => "simple"
         case "stop"                 => "stop"
         case "keyword"              => "keyword"
         case other => auxBad(s"unsupported analyzer '$other' — " +
           "standard (the engine's chain), english, french, german, " +
-          "simple, stop, whitespace and keyword only")
+          "spanish, simple, stop, whitespace and keyword only")
       }
       val spans = which match {
         case "standard" => Search.analyzeWithOffsets(textN.asText)
@@ -1502,6 +1503,16 @@ final class HttpApi(
                 graft.functions.GermanAnalysis.normalize(t)),
                 s0, e0, p))
           }
+        case "spanish" =>
+          // the spanish chain: stopwords consume positions, the
+          // light_spanish stem folds accents itself — offsets stay
+          // the ORIGINAL token's
+          Search.analyzeWithOffsets(textN.asText).flatMap {
+            case (t, s0, e0, p) =>
+              if (graft.functions.SpanishAnalysis.isStop(t)) None
+              else Some((graft.functions.SpanishLightStemmer.stem(t),
+                s0, e0, p))
+          }
         case "simple" | "stop" =>
           // ES's simple analyzer (lowercase LETTER runs — digits and
           // punctuation split) and its stop sibling (+ the classic
@@ -1537,134 +1548,40 @@ final class HttpApi(
       respond(ex, 200, s"""{"tokens": [${toks.mkString(", ")}]}""")
     }
 
-  /** The `_analyze` EXPLICIT chain: `tokenizer` (standard — case
-    * KEPT, lowercasing is a filter here, like ES — | lowercase |
-    * letter | whitespace | keyword) then `filter` entries applied in
-    * order. Filters: `lowercase`; `stop` (string form = the classic
-    * english set; object form takes `stopwords`: `_english_` /
-    * `_french_` / `_german_` or an explicit list) — positions
-    * CONSUMED; `elision` (the french article set, offsets kept);
-    * `german_normalization` (ß→ss, umlaut/digraph folds);
-    * `{"type": "stemmer", "language": ...}` with english | porter
-    * (the engine's Porter chain — what ES's prebuilt english runs) |
-    * french (Snowball) | light_french | light_german. Anything else
-    * rejects by name. */
+  /** The `_analyze` EXPLICIT chain — delegates to
+    * [[graft.functions.CustomChain]] (ONE chain engine shared with
+    * the index-mapping route, so `_analyze` previews exactly what a
+    * custom-mapped index would tokenize): `tokenizer` (standard —
+    * case KEPT, lowercasing is a filter here, like ES — | lowercase
+    * | letter | whitespace | keyword) then `filter` entries in
+    * order (lowercase, stop with named `_lang_` sets or explicit
+    * lists, elision, german_normalization, stemmer, edge_ngram).
+    * A body with `filter` but NO `tokenizer` is ES's NORMALIZER
+    * form: keyword tokenizer, one token, multi-term-aware filters
+    * only — `{"filter": ["lowercase"], "text": "Foo Bar"}` answers
+    * the single token "foo bar", and a stop/stemmer/edge_ngram
+    * inside it rejects by name (ES refuses them in normalizers
+    * too). Anything else rejects by name. */
   private def analyzeCustomChain(req: JsonNode, text: String): String = {
-    def keysOf(n: JsonNode): Seq[String] = {
-      val it = n.fieldNames()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) b += it.next()
-      b.result()
-    }
-    val tok = Option(req.get("tokenizer")).map(_.asText)
-      .getOrElse("standard")
-    var toks: Seq[(String, Int, Int, Int)] = tok match {
-      case "standard" =>
-        // the standard TOKENIZER keeps case (the engine's named
-        // `standard` ANALYZER folds it — that is its lowercase leg)
-        Search.analyzeWithOffsets(text).map { case (_, s0, e0, p) =>
-          (text.substring(s0, e0), s0, e0, p) }
-      case "lowercase" | "letter" =>
-        val m = LetterRun.matcher(text)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Int, Int, Int)]
-        while (m.find()) {
-          val t = if (tok == "lowercase") m.group.toLowerCase
-                  else m.group
-          out += ((t, m.start, m.end, out.length))
-        }
-        out.toSeq
-      case "whitespace" =>
-        val m = SpaceRun.matcher(text)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Int, Int, Int)]
-        while (m.find()) out += ((m.group, m.start, m.end, out.length))
-        out.toSeq
-      case "keyword" =>
-        if (text.isEmpty) Seq.empty else Seq((text, 0, text.length, 0))
-      case other => auxBad(s"unsupported tokenizer '$other' " +
-        "(standard, lowercase, letter, whitespace, keyword)")
-    }
-    val filters: Seq[JsonNode] = Option(req.get("filter")) match {
+    import graft.functions.CustomChain
+    // tokenizer-less + filter = the normalizer form (keyword
+    // tokenizer); a bare tokenizer-less body never reaches here
+    // (the named-analyzer route handles it)
+    val tokOpt = Option(req.get("tokenizer")).map(_.asText)
+    val normalizer = tokOpt.isEmpty
+    val tok = tokOpt.getOrElse("keyword")
+    if (!CustomChain.Tokenizers.contains(tok))
+      auxBad(s"unsupported tokenizer '$tok' " +
+        s"(${CustomChain.Tokenizers.toSeq.sorted.mkString(", ")})")
+    val filterNodes: Seq[JsonNode] = Option(req.get("filter")) match {
       case None => Nil
       case Some(fn) if fn.isArray => (0 until fn.size).map(fn.get)
       case Some(_) => auxBad("filter must be an array")
     }
-    def stopSetOf(spec: Option[JsonNode]): String => Boolean =
-      spec.map {
-        case n if n.isTextual => n.asText match {
-          case "_english_" => graft.functions.EnglishAnalysis.isStop _
-          case "_french_"  => graft.functions.FrenchAnalysis.isStop _
-          case "_german_"  => graft.functions.GermanAnalysis.isStop _
-          case other => auxBad(s"unsupported stopwords set '$other' " +
-            "(_english_, _french_, _german_, or an explicit list)")
-        }
-        case n if n.isArray =>
-          val s = (0 until n.size).map(n.get(_).asText).toSet
-          s.contains _
-        case _ => auxBad("stopwords must be a named set or a list")
-      }.getOrElse(graft.functions.EnglishAnalysis.isStop _)
-    filters.foreach { f =>
-      val (kind, spec): (String, Option[JsonNode]) =
-        if (f.isTextual) (f.asText, None)
-        else if (f.isObject)
-          (Option(f.get("type")).map(_.asText)
-            .getOrElse(auxBad("filter object needs \"type\"")),
-            Some(f))
-        else auxBad("filter entries are names or {\"type\": ...}")
-      kind match {
-        case "lowercase" =>
-          toks = toks.map { case (t, s0, e0, p) =>
-            (t.toLowerCase, s0, e0, p) }
-        case "stop" =>
-          spec.foreach { s =>
-            val unknown = keysOf(s).filterNot(Set("type", "stopwords"))
-            if (unknown.nonEmpty)
-              auxBad(s"unsupported stop filter key" +
-                s"${if (unknown.size == 1) "" else "s"}: " +
-                unknown.mkString(", "))
-          }
-          val isStop = stopSetOf(spec.flatMap(s =>
-            Option(s.get("stopwords"))))
-          // the stop filter CONSUMES positions (Lucene increments)
-          toks = toks.filterNot { case (t, _, _, _) => isStop(t) }
-        case "elision" =>
-          toks = toks.flatMap { case (t, s0, e0, p) =>
-            val el = graft.functions.FrenchAnalysis.elide(t)
-            if (el.isEmpty) None else Some((el, s0, e0, p))
-          }
-        case "german_normalization" =>
-          toks = toks.map { case (t, s0, e0, p) =>
-            (graft.functions.GermanAnalysis.normalize(t), s0, e0, p) }
-        case "stemmer" =>
-          val s = spec.getOrElse(
-            auxBad("stemmer takes the object form with \"language\""))
-          val unknown = keysOf(s).filterNot(Set("type", "language"))
-          if (unknown.nonEmpty)
-            auxBad(s"unsupported stemmer key" +
-              s"${if (unknown.size == 1) "" else "s"}: " +
-              unknown.mkString(", "))
-          val stem: String => String =
-            Option(s.get("language")).map(_.asText).getOrElse(
-              auxBad("stemmer needs \"language\"")) match {
-              case "english" | "porter" =>
-                graft.functions.PorterStemmer.stem _
-              case "french" => graft.functions.FrenchStemmer.stem _
-              case "light_french" =>
-                graft.functions.FrenchLightStemmer.stem _
-              case "light_german" =>
-                graft.functions.GermanLightStemmer.stem _
-              case other => auxBad(s"unsupported stemmer language " +
-                s"'$other' (english, porter, french, light_french, " +
-                "light_german)")
-            }
-          toks = toks.map { case (t, s0, e0, p) => (stem(t), s0, e0, p) }
-        case other => auxBad(s"unsupported filter '$other' " +
-          "(lowercase, stop, elision, german_normalization, stemmer)")
-      }
-    }
+    val spec = CustomChain.Spec(tok,
+      filterNodes.map(CustomChain.parseFilter(_, normalizer, auxBad)))
     val ttype = if (tok == "standard") "<ALPHANUM>" else "word"
-    val out = toks.map { case (t, s0, e0, p) =>
+    val out = CustomChain.run(spec, text).map { case (t, s0, e0, p) =>
       mapper.createObjectNode().put("token", t)
         .put("start_offset", s0).put("end_offset", e0)
         .put("type", ttype).put("position", p).toString

@@ -183,7 +183,8 @@ object DocumentSink {
     if (SearchIndex.exists(idx)) {
       val meta = SearchIndex.readMeta(idx)
       if (mode == SaveMode.Append) SearchIndex.upsert(df, idx)
-      else SearchIndex.build(df, meta.fields, meta.idCol, idx)
+      else SearchIndex.build(df, meta.fields, meta.idCol, idx,
+        meta.analyzer, meta.custom, meta.searchAnalyzer)
     }
     n
   }
@@ -407,7 +408,7 @@ object DocumentSink {
       // field list instead of silently orphaning it
       val meta = SearchIndex.readMeta(idxPath)
       SearchIndex.build(read(spark, path), meta.fields, meta.idCol,
-        idxPath)
+        idxPath, meta.analyzer, meta.custom, meta.searchAnalyzer)
     }
     compactStoreIfNeeded(spark, path)
     n
@@ -449,7 +450,7 @@ object DocumentSink {
     else if (SearchIndex.staleVersion(idxPath)) {
       val meta = SearchIndex.readMeta(idxPath)
       SearchIndex.build(read(spark, path), meta.fields, meta.idCol,
-        idxPath)
+        idxPath, meta.analyzer, meta.custom, meta.searchAnalyzer)
     }
     compactStoreIfNeeded(spark, path)
     n

@@ -73,7 +73,8 @@ import org.apache.spark.sql.functions._
 object SearchIndex {
 
   /** `analyzer` is the index-TIME analysis chain ("standard" |
-    * "english" | "french" | "german" | "whitespace" | "keyword") —
+    * "english" | "french" | "german" | "spanish" | "whitespace" |
+    * "keyword") —
     * ES's mapping-level
     * `"analyzer": ...`, where documents tokenize at WRITE time
     * (english additionally stems). It is part of the index's grammar:
@@ -82,7 +83,9 @@ object SearchIndex {
     * generation can never mix analysis chains. Pre-round-15 metas
     * carry no key and read as "standard". */
   final case class Meta(idCol: String, fields: Seq[String], gen: Int,
-                        analyzer: String = "standard")
+                        analyzer: String = "standard",
+                        custom: Option[String] = None,
+                        searchAnalyzer: Option[String] = None)
 
   /** The index-time analyzers [[build]]/upsert accept. `whitespace`
     * splits on whitespace runs and KEEPS case/punctuation; `keyword`
@@ -90,8 +93,29 @@ object SearchIndex {
     * both exactly their query-time twins in the DSL. The language
     * chains (english/french/german) stem at write time. */
   private val IndexAnalyzers =
-    Set("standard", "english", "french", "german", "whitespace",
-      "keyword")
+    Set("standard", "english", "french", "german", "spanish",
+      "whitespace", "keyword", "custom")
+
+  /** The chains `search_analyzer` may name — ES's mapping knob for
+    * analyzing the QUERY with a different chain than the index
+    * (the classic pairing: index through an edge_ngram custom
+    * chain, search standard). A custom chain can be the INDEX side
+    * only; the search side names a prebuilt chain. */
+  private val SearchAnalyzers =
+    Set("standard", "english", "french", "german", "spanish",
+      "whitespace", "keyword")
+
+  /** The parsed custom chain of a `custom`-mapped index. */
+  private def chainOf(meta: Meta): graft.functions.CustomChain.Spec =
+    graft.functions.CustomChain.parseJson(meta.custom.getOrElse(
+      throw new IllegalStateException(
+        "custom-mapped index meta carries no chain spec")))
+
+  /** The chain QUERIES analyze with: the mapping's
+    * `search_analyzer` when present, else the index analyzer —
+    * ES's resolution order. */
+  private def queryChainName(meta: Meta): String =
+    meta.searchAnalyzer.getOrElse(meta.analyzer)
 
   private val Reserved = Set("fid", "dl", "term", "tf", "pos", "df_t", "n",
     "sumdl", "score", "input", "input_lc")
@@ -104,13 +128,18 @@ object SearchIndex {
     * defaults to the mapping's analyzer, so an english-mapped index
     * stems the query too (and both sides carry stop gaps). */
   private def queryAnalyze(meta: Meta, text: String): Seq[String] =
-    meta.analyzer match {
+    queryChainName(meta) match {
+      case "custom" =>
+        graft.functions.CustomChain
+          .analyzeWithPositions(chainOf(meta), text).map(_._1)
       case "english" =>
         graft.functions.EnglishAnalysis.analyze(text).toSeq
       case "french" =>
         graft.functions.FrenchAnalysis.analyze(text).toSeq
       case "german" =>
         graft.functions.GermanAnalysis.analyze(text).toSeq
+      case "spanish" =>
+        graft.functions.SpanishAnalysis.analyze(text).toSeq
       case "whitespace" =>
         text.split("\\s+").toSeq.filter(_.nonEmpty)
       case "keyword" => Seq(text).filter(_.nonEmpty)
@@ -121,13 +150,18 @@ object SearchIndex {
     * probes: english keeps stop-gap offsets (Lucene position
     * increments); standard/whitespace/keyword are dense. */
   private def queryPosTerms(meta: Meta, text: String): Seq[(String, Int)] =
-    meta.analyzer match {
+    queryChainName(meta) match {
+      case "custom" =>
+        graft.functions.TextFunctions.rebase(graft.functions.CustomChain
+          .analyzeWithPositions(chainOf(meta), text))
       case "english" => graft.functions.TextFunctions.rebase(
         graft.functions.EnglishAnalysis.analyzeWithPositions(text))
       case "french" => graft.functions.TextFunctions.rebase(
         graft.functions.FrenchAnalysis.analyzeWithPositions(text))
       case "german" => graft.functions.TextFunctions.rebase(
         graft.functions.GermanAnalysis.analyzeWithPositions(text))
+      case "spanish" => graft.functions.TextFunctions.rebase(
+        graft.functions.SpanishAnalysis.analyzeWithPositions(text))
       case _ => queryAnalyze(meta, text).zipWithIndex
     }
 
@@ -145,15 +179,21 @@ object SearchIndex {
     * field length excludes stop-filtered tokens). */
   private def postingsOf(docs: DataFrame, fields: Seq[String],
                          idCol: String,
-                         analyzer: String = "standard"): DataFrame = {
+                         analyzer: String = "standard",
+                         custom: Option[String] = None): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     if (analyzer == "english" || analyzer == "french" ||
-        analyzer == "german") {
+        analyzer == "german" || analyzer == "spanish" ||
+        analyzer == "custom") {
       def etoks(f: String) = analyzer match {
         case "english" => graft.functions.ArrayExpressions
           .englishTokens(coalesce(col(f), lit("")))
         case "french" => graft.functions.ArrayExpressions
           .frenchTokens(coalesce(col(f), lit("")))
+        case "spanish" => graft.functions.ArrayExpressions
+          .spanishTokens(coalesce(col(f), lit("")))
+        case "custom" => graft.functions.ArrayExpressions
+          .chainTokens(coalesce(col(f), lit("")), custom.get)
         case _ => graft.functions.ArrayExpressions
           .germanTokens(coalesce(col(f), lit("")))
       }
@@ -212,7 +252,8 @@ object SearchIndex {
     * exactly as the scan-path `count(*)` does). */
   private def doclensOf(docs: DataFrame, fields: Seq[String],
                         idCol: String,
-                        analyzer: String = "standard"): DataFrame = {
+                        analyzer: String = "standard",
+                        custom: Option[String] = None): DataFrame = {
     import graft.functions.TextFunctions.{analyzerTokenCount => tokenCount}
     def dlOf(f: String): Column =
       if (analyzer == "english")
@@ -224,6 +265,12 @@ object SearchIndex {
       else if (analyzer == "german")
         size(graft.functions.ArrayExpressions
           .germanTokens(coalesce(col(f), lit(""))))
+      else if (analyzer == "spanish")
+        size(graft.functions.ArrayExpressions
+          .spanishTokens(coalesce(col(f), lit(""))))
+      else if (analyzer == "custom")
+        size(graft.functions.ArrayExpressions
+          .chainTokens(coalesce(col(f), lit("")), custom.get))
       else if (analyzer == "standard") tokenCount(col(f))
       else size(plainTokens(f, analyzer))
     docs.select(col(idCol), explode(array(fields.zipWithIndex.map {
@@ -261,20 +308,33 @@ object SearchIndex {
     * declared. Rebuild over an existing index stages the next generation
     * and flips the pointer — readers mid-request keep the old one. */
   def build(docs: DataFrame, fields: Seq[String], idCol: String,
-            path: String, analyzer: String = "standard"): Unit = {
+            path: String, analyzer: String = "standard",
+            customChain: Option[String] = None,
+            searchAnalyzer: Option[String] = None): Unit = {
     require(fields.nonEmpty, "at least one field to index")
     require(!Reserved.contains(idCol),
       s"id column '$idCol' collides with an index-internal name")
     require(IndexAnalyzers.contains(analyzer),
       s"unsupported index analyzer '$analyzer' " +
         s"(${IndexAnalyzers.toSeq.sorted.mkString(", ")})")
+    // a custom mapping NEEDS its chain; a named mapping must not
+    // smuggle one — and the persisted form is the CANONICAL
+    // serialization (parse, then re-emit), so the sidecar is stable
+    // however the caller spelled the spec
+    require((analyzer == "custom") == customChain.isDefined,
+      "customChain goes with analyzer = \"custom\" (exactly then)")
+    val chainCanon = customChain.map(j =>
+      graft.functions.CustomChain.parseJson(j).json)
+    searchAnalyzer.foreach(sa => require(SearchAnalyzers.contains(sa),
+      s"unsupported search_analyzer '$sa' " +
+        s"(${SearchAnalyzers.toSeq.sorted.mkString(", ")})"))
     val spark = docs.sparkSession
     val gen = if (exists(path)) readMeta(path).gen + 1 else 0
     val dir = s"$path/g$gen"
-    postingsOf(docs, fields, idCol, analyzer)
+    postingsOf(docs, fields, idCol, analyzer, chainCanon)
       .sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-    doclensOf(docs, fields, idCol, analyzer)
+    doclensOf(docs, fields, idCol, analyzer, chainCanon)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
     inputsOf(docs, fields, idCol)
       .sortWithinPartitions(col("fid"), col("input_lc"))
@@ -288,7 +348,8 @@ object SearchIndex {
       .groupBy(col("fid"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
-    writeMeta(path, Meta(idCol, fields, gen, analyzer))
+    writeMeta(path, Meta(idCol, fields, gen, analyzer, chainCanon,
+      searchAnalyzer))
     gcGenerations(path, keep = gen)
   }
 
@@ -426,7 +487,7 @@ object SearchIndex {
     // an all-stopword phrase against an english index (or a blank one
     // against whitespace/keyword) analyzes to zero terms: no hits,
     // not an error (zero_terms_query "none")
-    if (posTerms.isEmpty && meta.analyzer != "standard")
+    if (posTerms.isEmpty && queryChainName(meta) != "standard")
       return spark.read.parquet(s"$dir/postings")
         .select(col(idCol), lit(0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
@@ -570,7 +631,9 @@ object SearchIndex {
     // mapping's analyzer — both sides stem / split / keep the value
     // whole together)
     val effAnalyzer =
-      if (meta.analyzer != "standard") meta.analyzer else analyzer
+      if (meta.analyzer != "standard" || meta.searchAnalyzer.isDefined)
+        queryChainName(meta)
+      else analyzer
     val posTerms: Seq[(String, Int)] = effAnalyzer match {
       case "standard" =>
         graft.functions.TextFunctions.analyzeText(phraseQuery)
@@ -584,16 +647,22 @@ object SearchIndex {
       case "german" =>
         graft.functions.TextFunctions.rebase(graft.functions
           .GermanAnalysis.analyzeWithPositions(phraseQuery))
-      case "whitespace" | "keyword" if meta.analyzer == effAnalyzer =>
-        // only as the INDEX's own chain — the query-side
+      case "spanish" =>
+        graft.functions.TextFunctions.rebase(graft.functions
+          .SpanishAnalysis.analyzeWithPositions(phraseQuery))
+      case "custom" =>
+        queryPosTerms(meta, phraseQuery)
+      case "whitespace" | "keyword"
+          if queryChainName(meta) == effAnalyzer =>
+        // only as the mapping's own query chain — the query-side
         // whitespace/keyword rewrites against a standard index live
         // in the DSL's scan path (sentinel-gated), not here
         queryPosTerms(meta, phraseQuery)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported analyzer '$other' (query-side: standard, " +
-          "english, french, german; whitespace/keyword only as the " +
-          "index's own mapping chain)")
+          "english, french, german, spanish; whitespace/keyword " +
+          "only as the index's own mapping chain)")
     }
     // an all-stopword english phrase (or a blank whitespace/keyword
     // one) analyzes to zero terms — the scan path's phraseLeg returns
@@ -969,8 +1038,10 @@ object SearchIndex {
       .distinct()
     // the batch re-tokenizes with the INDEX's analysis chain — a
     // generation can never mix analysis chains
-    val newPost = postingsOf(full, meta.fields, idCol, meta.analyzer)
-    val newLens = doclensOf(full, meta.fields, idCol, meta.analyzer)
+    val newPost = postingsOf(full, meta.fields, idCol, meta.analyzer,
+      meta.custom)
+    val newLens = doclensOf(full, meta.fields, idCol, meta.analyzer,
+      meta.custom)
     val oldPost = spark.read.parquet(s"$dir/postings")
     val oldLens = spark.read.parquet(s"$dir/doclens")
     val remPost = oldPost.join(keys, Seq(idCol), "left_semi")
@@ -1261,10 +1332,17 @@ object SearchIndex {
     * Readers resolve the meta once per probe and see exactly one
     * generation — the "either old or new, never mixed" contract. */
   private def writeMeta(path: String, meta: Meta): Unit = {
+    // custom_chain is the canonical Spec.json (an object, embedded
+    // raw); search_analyzer a plain name — both absent on indexes
+    // that predate them, so pre-round-18 metas read unchanged
+    val customPart = meta.custom
+      .map(c => s""""custom_chain": $c, """).getOrElse("")
+    val saPart = meta.searchAnalyzer
+      .map(sa => s""""search_analyzer": "$sa", """).getOrElse("")
     val json = s"""{"id_col": "${meta.idCol}", "fields": [${
       meta.fields.map(f => s""""$f"""").mkString(", ")
     }], "gen": ${meta.gen}, "analyzer": "${meta.analyzer}", ${""
-    }"version": 4}"""
+    }$customPart$saPart"version": 4}"""
     val target = Paths.get(s"$path/_index_meta.json")
     Files.createDirectories(target.getParent)
     val tmp = Paths.get(s"$path/._index_meta_tmp_${
@@ -1283,6 +1361,8 @@ object SearchIndex {
     val fields = (0 until node.get("fields").size())
       .map(node.get("fields").get(_).asText())
     Meta(node.get("id_col").asText(), fields, node.get("gen").asInt(),
-      Option(node.get("analyzer")).map(_.asText()).getOrElse("standard"))
+      Option(node.get("analyzer")).map(_.asText()).getOrElse("standard"),
+      Option(node.get("custom_chain")).map(_.toString),
+      Option(node.get("search_analyzer")).map(_.asText()))
   }
 }

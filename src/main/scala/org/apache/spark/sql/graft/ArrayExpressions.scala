@@ -780,6 +780,115 @@ object GermanTokens {
   }
 }
 
+/** Write-time SPANISH analysis of one string value — the fourth
+  * language twin, same (term, pos) struct-array contract:
+  * standard-analyzer token spans, spanish stop filter with
+  * CONSUMED positions, light spanish stems
+  * ([[graft.functions.SpanishLightStemmer]] — ES's prebuilt
+  * `spanish` analyzer default; the stemmer folds accents itself).
+  * One generated call per row. */
+case class SpanishTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_spanish_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanishTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SpanishTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanishTokens = copy(child = newChild)
+}
+
+/** Write-time CUSTOM-CHAIN analysis of one string value — the
+  * settings-defined analyzer twin of the language token
+  * expressions, same (term, pos) struct-array contract: the right
+  * child is the chain's canonical JSON
+  * ([[graft.functions.CustomChain.Spec.json]], always a foldable
+  * literal — it comes from the index meta sidecar), parsed ONCE per
+  * distinct chain through a static cache, then each row runs the
+  * chain (tokenizer → filters, stop-consumed positions, edge_ngram
+  * grams sharing their source token's position). Codegen'd like its
+  * siblings: one static call per row, no reflection, no UDF. */
+case class ChainTokens(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_chain_tokens"
+
+  override protected def nullSafeEval(input: Any, chain: Any): Any =
+    ChainTokens.tokenize(input.asInstanceOf[UTF8String],
+      chain.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, j) =>
+      s"org.apache.spark.sql.graft.ChainTokens.tokenize($c, $j)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChainTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object ChainTokens {
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.functions.CustomChain.Spec]()
+
+  def tokenize(input: UTF8String, chainJson: UTF8String): ArrayData = {
+    val key = chainJson.toString
+    var spec = specCache.get(key)
+    if (spec == null) {
+      spec = graft.functions.CustomChain.parseJson(key)
+      specCache.putIfAbsent(key, spec)
+    }
+    val toks = graft.functions.CustomChain
+      .analyzeWithPositions(spec, input.toString)
+    val out = new Array[Any](toks.length)
+    var k = 0
+    while (k < toks.length) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(toks(k)._1), toks(k)._2)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+object SpanishTokens {
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val sp = AnalyzerTokens.spans(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](sp.length)
+    var k = 0
+    while (k < sp.length) {
+      val base = s.substring(sp(k)._1, sp(k)._2)
+      if (!graft.functions.SpanishAnalysis.isStop(base))
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(
+            graft.functions.SpanishLightStemmer.stem(base)),
+          k)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(out.toArray)
+  }
+}
+
 /** Standard-analyzer tokenization as ONE generated char scan —
   * semantically IDENTICAL to
   * `regexp_extract_all(lower(text), TextFunctions.AnalyzerPattern)`
@@ -969,6 +1078,16 @@ object ArrayExpressions {
   /** Column API for [[GermanTokens]]. */
   def germanTokens(text: Column): Column =
     ExpressionUtils.column(GermanTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[SpanishTokens]]. */
+  def spanishTokens(text: Column): Column =
+    ExpressionUtils.column(SpanishTokens(ExpressionUtils.expression(text)))
+
+  /** Column API for [[ChainTokens]] — `chainJson` is the canonical
+    * [[graft.functions.CustomChain.Spec.json]] serialization. */
+  def chainTokens(text: Column, chainJson: String): Column =
+    ExpressionUtils.column(ChainTokens(ExpressionUtils.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(chainJson)))
 
   /** Column API for [[AnalyzerTokenCount]]. */
   def analyzerTokenCount(text: Column): Column =

@@ -92,14 +92,16 @@ class EsDslSpec extends SparkSpec {
     assert(ids("""{"query": {"multi_match": {"query": "window",
       "fields": ["text"], "analyzer": "whitespace"}}}""").nonEmpty)
     // french joined in round 16 ("window" is its own french stem),
-    // german in round 17
+    // german in round 17, spanish in round 18
     assert(ids("""{"query": {"match": {"text": {"query": "window",
       "analyzer": "french"}}}}""").nonEmpty)
     assert(ids("""{"query": {"match": {"text": {"query": "window",
       "analyzer": "german"}}}}""").nonEmpty)
+    assert(ids("""{"query": {"match": {"text": {"query": "window",
+      "analyzer": "spanish"}}}}""").nonEmpty)
     intercept[IllegalArgumentException] {
       ids("""{"query": {"match": {"text": {"query": "window",
-        "analyzer": "spanish"}}}}""")
+        "analyzer": "italian"}}}}""")
     }
   }
 
@@ -335,12 +337,14 @@ class EsDslSpec extends SparkSpec {
 
   test("analyzer inventory is a CONTRACT: match/match_phrase/" +
     "multi_match accept standard/default/english/french/german/" +
-    "simple/stop/whitespace/keyword; every other name rejects by " +
-    "name; prefix types and fuzziness combinations reject; " +
-    "query_string/simple_query_string take the knob on TERM atoms") {
+    "spanish/simple/stop/whitespace/keyword; every other name " +
+    "rejects by name; prefix types and fuzziness combinations " +
+    "reject; query_string/simple_query_string take the knob on " +
+    "TERM atoms") {
     // accepted inventory — none of these may throw
     for (a <- Seq("standard", "default", "english", "french",
-        "german", "simple", "stop", "whitespace", "keyword")) {
+        "german", "spanish", "simple", "stop", "whitespace",
+        "keyword")) {
       q(s"""{"query": {"match": {"text": {"query": "window",
         "analyzer": "$a"}}}}""").count()
       q(s"""{"query": {"match_phrase": {"text": {"query": "window",
@@ -352,7 +356,7 @@ class EsDslSpec extends SparkSpec {
         "analyzer": "$a"}}}""").count()
     }
     // every other name rejects BY NAME on the match family
-    for (a <- Seq("spanish", "snowball", "my_custom")) {
+    for (a <- Seq("italian", "snowball", "my_custom")) {
       val e = intercept[IllegalArgumentException] {
         q(s"""{"query": {"match": {"text": {"query": "window",
           "analyzer": "$a"}}}}""")
@@ -361,8 +365,8 @@ class EsDslSpec extends SparkSpec {
     }
     // prefix types take no analyzer rewrite (the expansion
     // dictionary is standard-analyzed)
-    for (a <- Seq("english", "french", "german", "simple", "stop",
-        "whitespace", "keyword");
+    for (a <- Seq("english", "french", "german", "spanish",
+        "simple", "stop", "whitespace", "keyword");
          t <- Seq("phrase_prefix", "bool_prefix"))
       intercept[IllegalArgumentException] {
         q(s"""{"query": {"multi_match": {"query": "window",
@@ -795,12 +799,12 @@ class EsDslSpec extends SparkSpec {
     assert(bb == Set(4.0), s"bool boost: $bb")
     // silently-dropped result-changing knobs now reject by name
     // (analyzer "standard" is accepted since round 11 — it IS the
-    // engine's chain; english/french/german joined the inventory in
-    // r13/r16/r17, so the rejection pin moved to a language the
-    // engine lacks)
+    // engine's chain; english/french/german/spanish joined the
+    // inventory in r13/r16/r17/r18, so the rejection pin moved to a
+    // language the engine lacks)
     intercept[IllegalArgumentException] {
       q("""{"query": {"match": {"text": {"query": "x",
-        "analyzer": "spanish"}}}}""")
+        "analyzer": "italian"}}}}""")
     }
     intercept[IllegalArgumentException] {
       q("""{"query": {"range": {"n": {"gte": 1,
@@ -4030,10 +4034,11 @@ class EsDslSpec extends SparkSpec {
     assert(sug.exists(_._2 == "window"), sug.toString)
   }
 
-  test("geo completion contexts (round 17): a struct<lat,lon> context " +
-    "column gates options by shared geohash cell at the entry's " +
-    "precision, matched boosts take the max; neighbours / mixed " +
-    "entries / bad precision reject by name") {
+  test("geo completion contexts (round 17; neighbours round 18): a " +
+    "struct<lat,lon> context column gates options by the query " +
+    "point's geohash cell PLUS its neighbour cells (ES 8.11's " +
+    "default), matched boosts take the max; mixed entries / bad " +
+    "precision / empty neighbours reject by name") {
     import spark.implicits._
     val d = Seq(
       (1L, "window one", 57.64, 10.40),   // u... cell (north europe)
@@ -4081,12 +4086,41 @@ class EsDslSpec extends SparkSpec {
         |  "analyzer": "whitespace"}}}""".stripMargin))
       .select("token").as[String].collect().toSeq
     assert(ws == Seq("Windoq"), ws.toString)
-    // rejections: neighbours, category+geo mix, precision bounds,
-    // precision on a category entry
+    // NEIGHBOUR cells (round 18 — ES 8.11's GeoQueryContext default):
+    // a doc just across a precision-2 cell boundary (lon 11.25° is a
+    // grid line: 11.20 → x=16, 11.30 → x=17) matches the query cell's
+    // NEIGHBOUR, with and without the explicit `neighbours` knob
+    val dN = Seq(
+      (1L, "window same", 57.60, 11.20),
+      (2L, "window next", 57.60, 11.30),   // adjacent p2 cell
+      (3L, "window far", -33.86, 151.20))
+      .toDF("doc_id", "text", "lat", "lon")
+      .selectExpr("doc_id", "text",
+        "named_struct('lat', lat, 'lon', lon) AS loc")
+    def sugN(body: String) =
+      EsDsl.search(dN, mapper.readTree(body))
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val nDefault = sugN("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 11.2}, "precision": 2,
+         "boost": 3}]}}}}}""")
+    assert(nDefault == Map(1L -> 3.0, 2L -> 3.0), nDefault.toString)
+    val nExplicit = sugN("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 11.2}, "precision": 2,
+         "neighbours": [2]}]}}}}}""")
+    assert(nExplicit.keySet == Set(1L, 2L), nExplicit.toString)
+    // a DISTANCE-STRING precision selects the level whose cell edge
+    // is at most the distance ("1000km" → level 3; docs 1+2 sit
+    // ~6 km apart, same-or-neighbour level-3 cells — doc 3 is not)
+    val nDist = sugN("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 11.2},
+         "precision": "1000km"}]}}}}}""")
+    assert(nDist.keySet == Set(1L, 2L), nDist.toString)
+    // rejections: category+geo mix, precision bounds, precision on a
+    // category entry, empty/invalid neighbours, malformed distance
     for (body <- Seq(
-        """{"suggest": {"ac": {"prefix": "win", "completion":
-           {"field": "text", "contexts": {"loc": [{"context":
-           {"lat": 1, "lon": 2}, "neighbours": [1]}]}}}}}""",
         """{"suggest": {"ac": {"prefix": "win", "completion":
            {"field": "text", "contexts": {"loc": [{"context":
            {"lat": 1, "lon": 2}}, "enval"]}}}}}""",
@@ -4095,7 +4129,16 @@ class EsDslSpec extends SparkSpec {
            {"lat": 1, "lon": 2}, "precision": 13}]}}}}}""",
         """{"suggest": {"ac": {"prefix": "win", "completion":
            {"field": "text", "contexts": {"loc": [{"context": "x",
-           "precision": 3}]}}}}}"""))
+           "precision": 3}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2}, "neighbours": []}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2}, "precision": "fast"}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context": "x",
+           "neighbours": [1]}]}}}}}"""))
       intercept[IllegalArgumentException] { sug(body) }
   }
 }

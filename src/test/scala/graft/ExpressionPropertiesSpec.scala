@@ -244,9 +244,11 @@ class ExpressionPropertiesSpec extends SparkSpec {
     }
   }
 
-  test("FrenchTokens / GermanTokens (executor) == the driver chains " +
-    "(light_french / german_normalization + light_german), over " +
-    "adversarial accented, stopword-heavy and random strings") {
+  test("FrenchTokens / GermanTokens / SpanishTokens / ChainTokens " +
+    "(executor) == the driver chains (light_french, " +
+    "german_normalization + light_german, light_spanish, and a " +
+    "custom whitespace+stop+stemmer chain), over adversarial " +
+    "accented, stopword-heavy and random strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val adversarial = Seq(
@@ -265,12 +267,24 @@ class ExpressionPropertiesSpec extends SparkSpec {
     val random = (1 to 300).map(_ =>
       (0 to rnd.nextInt(8)).map(_ =>
         vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    // the round-18 custom chain the q7_idx_custom queries index
+    // through: whitespace tokenizer + lowercase + a one-word stop
+    // list + light_german WITHOUT german_normalization
+    val chain = graft.functions.CustomChain.parseJson(
+      """{"tokenizer": "whitespace", "filter": ["lowercase",
+        |{"type": "stop", "stopwords": ["the"]},
+        |{"type": "stemmer", "language": "light_german"}]}"""
+        .stripMargin)
     val df = (adversarial ++ random).toDF("text")
     val rows = df.select(col("text"),
       graft.functions.ArrayExpressions.frenchTokens(col("text"))
         .as("ft"),
       graft.functions.ArrayExpressions.germanTokens(col("text"))
-        .as("gt")).collect()
+        .as("gt"),
+      graft.functions.ArrayExpressions.spanishTokens(col("text"))
+        .as("st"),
+      graft.functions.ArrayExpressions.chainTokens(col("text"),
+        chain.json).as("ct")).collect()
     rows.foreach { r =>
       def toPairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
         .map(x => (x.getString(0), x.getInt(1)))
@@ -278,10 +292,18 @@ class ExpressionPropertiesSpec extends SparkSpec {
         .analyzeWithPositions(r.getString(0))
       val wantG = graft.functions.GermanAnalysis
         .analyzeWithPositions(r.getString(0))
+      val wantS = graft.functions.SpanishAnalysis
+        .analyzeWithPositions(r.getString(0))
+      val wantC = graft.functions.CustomChain
+        .analyzeWithPositions(chain, r.getString(0))
       assert(toPairs(1) == wantF, s"french tokens mismatch on '${
         r.getString(0)}'\n$wantF\nvs\n${toPairs(1)}")
       assert(toPairs(2) == wantG, s"german tokens mismatch on '${
         r.getString(0)}'\n$wantG\nvs\n${toPairs(2)}")
+      assert(toPairs(3) == wantS, s"spanish tokens mismatch on '${
+        r.getString(0)}'\n$wantS\nvs\n${toPairs(3)}")
+      assert(toPairs(4) == wantC, s"chain tokens mismatch on '${
+        r.getString(0)}'\n$wantC\nvs\n${toPairs(4)}")
     }
   }
 
@@ -309,12 +331,18 @@ class ExpressionPropertiesSpec extends SparkSpec {
       val lg = graft.functions.GermanLightStemmer.stem(gn)
       assert(lg.length <= gn.length,
         s"light_german lengthened '$gn' -> '$lg'")
+      val ls = graft.functions.SpanishLightStemmer.stem(s)
+      assert(ls.length <= s.length,
+        s"light_spanish lengthened '$s' -> '$ls'")
       graft.functions.FrenchAnalysis.analyzeWithPositions(s)
         .foreach { case (t, p) =>
           assert(t.nonEmpty && p >= 0, s"french chain on '$s'") }
       graft.functions.GermanAnalysis.analyzeWithPositions(s)
         .foreach { case (t, p) =>
           assert(t.nonEmpty && p >= 0, s"german chain on '$s'") }
+      graft.functions.SpanishAnalysis.analyzeWithPositions(s)
+        .foreach { case (t, p) =>
+          assert(t.nonEmpty && p >= 0, s"spanish chain on '$s'") }
     }
   }
 

@@ -134,8 +134,19 @@ class HttpApiSpec extends SparkSpec
       toks.get(1).get("end_offset").asInt == 11 &&
       toks.get(1).get("position").asInt == 1)
     assert(post("/search/analyze",
-      """{"text": "x", "analyzer": "spanish"}""").statusCode() == 400)
+      """{"text": "x", "analyzer": "italian"}""").statusCode() == 400)
     assert(post("/search/analyze", """{}""").statusCode() == 400)
+    // spanish (round 18): stopwords consume positions, the
+    // light_spanish stem folds accents itself, original offsets
+    val es = post("/search/analyze",
+      """{"text": "la sorte", "analyzer": "spanish"}""")
+    val esToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(es.body()).get("tokens")
+    assert(esToks.size == 1, es.body())
+    assert(esToks.get(0).get("token").asText == "sort" &&
+      esToks.get(0).get("position").asInt == 1 &&
+      esToks.get(0).get("start_offset").asInt == 3 &&
+      esToks.get(0).get("end_offset").asInt == 8)
     // german (round 17): stop positions consumed, normalization
     // (ß→ss) before the light_german stem, original offsets
     val de = post("/search/analyze",
@@ -207,6 +218,38 @@ class HttpApiSpec extends SparkSpec
     assert(post("/search/analyze",
       """{"text": "x", "filter": [{"type": "stemmer",
         | "language": "spanish"}]}""".stripMargin).statusCode() == 400)
+    // the NORMALIZER form (round 18 — ES's tokenizer-less contract):
+    // `filter` with no `tokenizer` means keyword tokenizer, ONE
+    // token over the whole text, multi-term-aware filters only
+    val nm = post("/search/analyze",
+      """{"text": "Foo Bar", "filter": ["lowercase"]}""")
+    val nmToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(nm.body()).get("tokens")
+    assert(nmToks.size == 1, nm.body())
+    assert(nmToks.get(0).get("token").asText == "foo bar" &&
+      nmToks.get(0).get("start_offset").asInt == 0 &&
+      nmToks.get(0).get("end_offset").asInt == 7 &&
+      nmToks.get(0).get("position").asInt == 0, nm.body())
+    // a token-dropping/splitting filter inside the normalizer form
+    // rejects BY NAME (ES refuses stop/stemmer in normalizers too)
+    val nmBad = post("/search/analyze",
+      """{"text": "x", "filter": ["lowercase", "stop"]}""")
+    assert(nmBad.statusCode() == 400 &&
+      nmBad.body().contains("stop"), nmBad.body())
+    // edge_ngram (round 18): every gram keeps its source token's
+    // offsets and position (the search-as-you-type index chain)
+    val eg = post("/search/analyze",
+      """{"text": "Window", "tokenizer": "standard",
+        | "filter": ["lowercase", {"type": "edge_ngram",
+        |   "min_gram": 2, "max_gram": 3}]}""".stripMargin)
+    val egToks = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(eg.body()).get("tokens")
+    assert(egToks.size == 2, eg.body())
+    assert(egToks.get(0).get("token").asText == "wi" &&
+      egToks.get(1).get("token").asText == "win" &&
+      egToks.get(1).get("start_offset").asInt == 0 &&
+      egToks.get(1).get("end_offset").asInt == 6 &&
+      egToks.get(1).get("position").asInt == 0, eg.body())
     // explicit standard == the default; whitespace = raw \S+ tokens,
     // NO lowercase (ES's whitespace analyzer)
     val std = post("/search/analyze",

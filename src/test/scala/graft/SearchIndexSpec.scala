@@ -563,6 +563,120 @@ class SearchIndexSpec extends SparkSpec {
     assert(ids("src9") == Set(1L))
   }
 
+  test("index-time CUSTOM chain (round 18): a settings-defined " +
+    "tokenizer+filter chain tokenizes at write time, queries analyze " +
+    "with the same chain, the meta persists the canonical spec, " +
+    "upsert == rebuild; invalid combinations reject by name") {
+    import org.apache.spark.sql.functions.col
+    // whitespace tokenizer + lowercase + a one-word stop list +
+    // light_german WITHOUT german_normalization — a chain no
+    // prebuilt name covers
+    val chain = """{"tokenizer": "whitespace", "filter": ["lowercase",
+      |{"type": "stop", "stopwords": ["the"]},
+      |{"type": "stemmer", "language": "light_german"}]}"""
+      .stripMargin
+    val cdocs = Seq(
+      (1L, "the Merges the tables"), // merg@1, tabl@3 (the@0/@2 stop)
+      (2L, "value of merges"),       // valu@0, of@1, merg@2
+      (3L, "the the the"))           // all stopped: no postings
+      .toDF("doc_id", "text")
+    val cu = tmp("graft-idx-custom-")
+    SearchIndex.build(cdocs, Seq("text"), "doc_id", cu,
+      analyzer = "custom", customChain = Some(chain))
+    val meta = SearchIndex.readMeta(cu)
+    assert(meta.analyzer == "custom" && meta.custom.isDefined)
+    // the persisted spec round-trips through the parser (canonical)
+    assert(graft.functions.CustomChain.parseJson(meta.custom.get)
+      .tokenizer == "whitespace")
+    val post = spark.read.parquet(s"${tdir(cu)}/postings")
+    val d1 = post.filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getAs[String]("term"),
+        r.getAs[Seq[Int]]("pos"), r.getAs[Int]("dl"))).toSet
+    assert(d1 == Set(("merg", Seq(1), 2), ("tabl", Seq(3), 2)),
+      d1.toString)
+    assert(post.filter(col("doc_id") === 3L).count() == 0)
+    // the query analyzes with the FIELD's chain: "merge" stems to
+    // 'merg' and reaches the docs holding 'merges' — impossible
+    // against a standard index of the same corpus
+    val std = tmp("graft-idx-custom-std-")
+    SearchIndex.build(cdocs, Seq("text"), "doc_id", std)
+    assert(SearchIndex.ranked(spark, cu, "merge", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(SearchIndex.ranked(spark, std, "merge", Seq("text"))
+      .count() == 0)
+    // phrases: both sides carry the chain's stop gaps — "the merges
+    // the tables" analyzes to (merg@1, tabl@3), doc 1's layout
+    assert(SearchIndex.phraseRanked(spark, cu,
+        "the merges the tables", Seq("text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // upsert re-tokenizes with the PERSISTED chain == full rebuild
+    val v2 = Seq((2L, "the values the merges"), (9L, "tables"))
+      .toDF("doc_id", "text")
+    SearchIndex.upsert(v2, cu)
+    val reb = tmp("graft-idx-custom-reb-")
+    SearchIndex.build(cdocs.filter(col("doc_id") =!= 2L).unionByName(v2),
+      Seq("text"), "doc_id", reb,
+      analyzer = "custom", customChain = Some(chain))
+    for (t <- Seq("postings", "doclens", "inputs", "termstats",
+        "fieldstats")) {
+      val a = sortedRows(spark.read.parquet(s"${tdir(cu)}/$t"))
+      val b = sortedRows(spark.read.parquet(s"${tdir(reb)}/$t"))
+      assert(a == b, s"custom $t diverged after upsert\n$a\nvs\n$b")
+    }
+    // rejections: custom without a chain, a chain on a named
+    // analyzer, malformed chains by name
+    intercept[IllegalArgumentException] {
+      SearchIndex.build(cdocs, Seq("text"), "doc_id",
+        tmp("graft-idx-bad-"), analyzer = "custom")
+    }
+    intercept[IllegalArgumentException] {
+      SearchIndex.build(cdocs, Seq("text"), "doc_id",
+        tmp("graft-idx-bad-"), analyzer = "english",
+        customChain = Some(chain))
+    }
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.build(cdocs, Seq("text"), "doc_id",
+        tmp("graft-idx-bad-"), analyzer = "custom",
+        customChain = Some("""{"tokenizer": "icu"}"""))
+    }
+    assert(e.getMessage.contains("icu"), e.getMessage)
+  }
+
+  test("search_analyzer (round 18): the mapping analyzes QUERIES " +
+    "with a different chain than the index — edge_ngram index + " +
+    "standard search, ES's search-as-you-type pairing") {
+    val chain = """{"tokenizer": "standard", "filter": ["lowercase",
+      |{"type": "edge_ngram", "min_gram": 1, "max_gram": 6}]}"""
+      .stripMargin
+    val edocs = Seq(
+      (1L, "window batch"),
+      (2L, "windmill"),
+      (3L, "other words"))
+      .toDF("doc_id", "text")
+    val eg = tmp("graft-idx-eg-")
+    SearchIndex.build(edocs, Seq("text"), "doc_id", eg,
+      analyzer = "custom", customChain = Some(chain),
+      searchAnalyzer = Some("standard"))
+    assert(SearchIndex.readMeta(eg).searchAnalyzer ==
+      Some("standard"))
+    // the query side is STANDARD (no gramming): "wind" probes the
+    // gram postings and reaches every token prefixed by it
+    def ids(q: String): Set[Long] =
+      SearchIndex.ranked(spark, eg, q, Seq("text"))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("wind") == Set(1L, 2L))
+    assert(ids("windm") == Set(2L))
+    assert(ids("batch") == Set(1L))
+    assert(ids("missing") == Set.empty)
+    // an unsupported search_analyzer name rejects by name
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.build(edocs, Seq("text"), "doc_id",
+        tmp("graft-idx-eg-bad-"), analyzer = "custom",
+        customChain = Some(chain), searchAnalyzer = Some("custom"))
+    }
+    assert(e.getMessage.contains("custom"), e.getMessage)
+  }
+
   test("upsert with deletes: dropped docs leave through the same " +
     "integer-delta machinery — tables and probes equal a rebuild") {
     val v2new = Seq((3L, "batch of batch window", "src9"))
