@@ -125,7 +125,8 @@ object DocumentSink {
     * directory read (correctness over speed, and only on that error
     * path). */
   private def writeCounted(df: DataFrame, dataPath: String,
-                           mode: SaveMode): Long = {
+                           mode: SaveMode,
+                           partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val metricName =
       "graft_rows_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -142,9 +143,11 @@ object DocumentSink {
     }
     spark.listenerManager.register(listener)
     try {
-      df.observe(metricName,
+      val w = df.observe(metricName,
           org.apache.spark.sql.functions.count(lit(1)).as("rows"))
-        .write.mode(mode).parquet(dataPath)
+        .write.mode(mode)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(dataPath)
       latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
       ()
     } finally spark.listenerManager.unregister(listener)
@@ -160,7 +163,8 @@ object DocumentSink {
     * [[esType]]). */
   def save(df: DataFrame, path: String,
            mode: SaveMode = SaveMode.Overwrite,
-           fieldTypes: Map[String, String] = Map.empty): Long = {
+           fieldTypes: Map[String, String] = Map.empty,
+           bucketByDocId: Boolean = false): Long = {
     // drop-and-recreate DROPS pending API-write deltas too — that is
     // the declared semantics (the reference deletes the ES index);
     // Append (historized sync, ids unique by construction) leaves
@@ -170,7 +174,35 @@ object DocumentSink {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/data_delta"), true)
       ()
     }
-    val n = writeCounted(df, s"$path/data", mode)
+    // the base goes BUCKETED (hive-partitioned on the id hash) when
+    // the caller opts in (API-writable stores — upsert bootstrap /
+    // compaction) or when APPENDING to an already-bucketed base (a
+    // flat append into a partitioned directory would corrupt the
+    // layout); the batch-sync default stays flat
+    val bucketed = df.columns.contains("_bucket") ||
+      ((bucketByDocId || (mode == SaveMode.Append &&
+          storeBuckets(path).isDefined)) &&
+        df.columns.contains("document_id"))
+    val n =
+      if (!bucketed) {
+        if (mode == SaveMode.Overwrite)
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$path/_layout.json"))
+        writeCounted(df, s"$path/data", mode)
+      } else {
+        val buckets =
+          (if (mode == SaveMode.Append) storeBuckets(path) else None)
+            .getOrElse(StoreBuckets)
+        val withB =
+          if (df.columns.contains("_bucket")) df
+          else df.withColumn("_bucket",
+            pmod(hash(col("document_id")), lit(buckets)))
+        val c = writeCounted(withB, s"$path/data", mode,
+          partitionCols = Seq("_bucket"))
+        writeSidecar(s"$path/_layout.json",
+          s"""{"buckets": $buckets}""")
+        c
+      }
     writeSidecar(s"$path/_mapping.json", mappingJson(df.schema, fieldTypes))
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "${mode.name.toLowerCase}"}""")
@@ -207,6 +239,28 @@ object DocumentSink {
     val nBad = writeCounted(bad, s"$path/_errors", mode)
     (n, nBad)
   }
+
+  /** The bucket count of the store's CURRENT base layout (the
+    * `_layout.json` sidecar written beside a hive-partitioned base),
+    * or None for the flat layout. The sidecar — not a constant — is
+    * what the probes hash against, so changing [[StoreBuckets]]
+    * across versions can never mis-route a probe on an older
+    * store's layout. */
+  private[graft] def storeBuckets(path: String): Option[Int] = {
+    val p = Paths.get(s"$path/_layout.json")
+    if (!Files.exists(p)) None
+    else "\"buckets\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1).toInt)
+  }
+
+  /** Buckets the store's base by `document_id` — write once, prune
+    * every point probe after. 32 suits the request-sized id lists of
+    * the API write path at any store size the tests run; a 100 TB
+    * deployment sizes it so one bucket is a few hundred MB (the same
+    * rule as [[Lake.writeBucketed]]) — the sidecar, not this
+    * constant, governs existing layouts. */
+  private[graft] val StoreBuckets = 32
 
   // ---- the LOG-STRUCTURED store (round 17) -------------------------
   //
@@ -267,7 +321,10 @@ object DocumentSink {
     val hasBase = fs.exists(bp)
     val hasDelta = deltaGens(fs, dp).nonEmpty
     if (!hasBase && !hasDelta) return None
-    if (!hasDelta) return Some(spark.read.parquet(bp.toString))
+    // a bucketed base carries its hash-partition column — an
+    // internal layout detail, never part of the document line
+    def baseDf = spark.read.parquet(bp.toString).drop("_bucket")
+    if (!hasDelta) return Some(baseDf)
     // generations are request-sized and bounded by the compaction
     // threshold — everything delta-side is SMALL
     val deltas = spark.read.option("recursiveFileLookup", "true")
@@ -280,7 +337,7 @@ object DocumentSink {
       .drop("_op", "_seq", "_wseq")
     val touched = deltas.select("document_id").distinct()
     if (!hasBase) return Some(winners)
-    Some(spark.read.parquet(bp.toString)
+    Some(baseDf
       .join(broadcast(touched), Seq("document_id"), "left_anti")
       .unionByName(winners, allowMissingColumns = true))
   }
@@ -339,22 +396,100 @@ object DocumentSink {
   /** Fold the delta generations into a new base once the threshold
     * accumulates: resolved line → staged write → [[Lake.swapIn]] →
     * clear deltas. The fold's own count re-records the exact total
-    * (healing any arithmetic lost to a crashed sidecar write). */
+    * (healing any arithmetic lost to a crashed sidecar write). The
+    * new base is written BUCKETED on the id hash (preserving — or,
+    * for a pre-round-18 flat store, establishing — the layout the
+    * write-path probes prune against). */
   private def compactStoreIfNeeded(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = hadoopFs(spark, path)
     val dp = new org.apache.hadoop.fs.Path(s"$path/data_delta")
     if (deltaGens(fs, dp).size < StoreCompactThreshold) return
     val line = read(spark, path)
+    val buckets = storeBuckets(path).getOrElse(StoreBuckets)
     val tmp =
       s"$path/.data_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = writeCounted(line, tmp, SaveMode.Overwrite)
+    val n = writeCounted(
+      line.withColumn("_bucket",
+        pmod(hash(col("document_id")), lit(buckets))),
+      tmp, SaveMode.Overwrite, partitionCols = Seq("_bucket"))
     Lake.swapIn(fs, new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$path/data"))
     fs.delete(dp, true)
+    writeSidecar(s"$path/_layout.json", s"""{"buckets": $buckets}""")
     writeSidecar(s"$path/_meta.json",
       s"""{"doc_count": $n, "mode": "overwrite"}""")
   }
+
+  /** The probe frame behind [[idsInLineCount]] — exposed for the
+    * plan pin in DocumentSinkSpec: the store's document line bounded
+    * to delta generations strictly below `belowSeq`, RESTRICTED to
+    * `ids`. Request-bounded by construction (the id list came off a
+    * landed request-sized delta); on a BUCKETED base the probe adds
+    * the ids' hash-bucket partition predicate, so the scan prunes to
+    * the touched buckets at PLANNING time — a point lookup, not a
+    * base scan. On the flat layout the id predicate still pushes to
+    * the parquet scan (row-group pruning), just without directory
+    * pruning. */
+  private[graft] def idsInLineFrame(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String], belowSeq: Long): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
+    val gens = deltaGens(fs, deltaRoot).filter(_ < belowSeq)
+    val bp = new org.apache.hadoop.fs.Path(s"$path/data")
+    val idPred = col("document_id").isin(ids: _*)
+    val base: Option[DataFrame] =
+      if (!fs.exists(bp)) None
+      else {
+        val b0 = spark.read.parquet(bp.toString)
+        val b1 = (b0.columns.contains("_bucket"), storeBuckets(path)) match {
+          case (true, Some(n)) =>
+            // the ids' buckets, hashed with the SAME expression the
+            // writer used — a request-sized local job, never a guess
+            val bs = spark.createDataset(ids)(
+                org.apache.spark.sql.Encoders.STRING)
+              .select(pmod(hash(col("value")), lit(n)).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            b0.filter(col("_bucket").isInCollection(bs) && idPred)
+              .drop("_bucket")
+          case (true, None) =>
+            // layout sidecar lost: fall back to the unpruned (still
+            // pushdown-filtered) scan — correct, just not pruned
+            b0.filter(idPred).drop("_bucket")
+          case _ => b0.filter(idPred)
+        }
+        Some(b1.select("document_id"))
+      }
+    if (gens.isEmpty)
+      return base.getOrElse(
+        spark.emptyDataFrame.withColumn("document_id", lit("")).limit(0))
+    val deltas = spark.read.option("mergeSchema", "true")
+      .parquet(gens.map(g =>
+        s"$path/data_delta/" + f"delta-$g%06d"): _*)
+      .filter(idPred)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("document_id"))
+    val winners = deltas
+      .withColumn("_wseq", max(col("_seq")).over(w))
+      .filter(col("_seq") === col("_wseq") && col("_op") === "upsert")
+      .select("document_id")
+    val touched = deltas.select("document_id").distinct()
+    base.map(_.join(broadcast(touched), Seq("document_id"), "left_anti")
+        .unionByName(winners))
+      .getOrElse(winners)
+  }
+
+  /** How many of `ids` exist in the store's line as of just BEFORE
+    * delta generation `belowSeq` — the count upsert's `replaced` and
+    * deleteByIds' `deleted` contracts need, computed AFTER the new
+    * generation landed (the batch may be a lazy plan over the line,
+    * so nothing can be counted before the append evaluates it) by
+    * reading only the PRIOR generations plus the id-restricted base. */
+  private def idsInLineCount(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String], belowSeq: Long): Long =
+    idsInLineFrame(spark, path, ids, belowSeq).count()
 
   /** Upsert by `document_id`: replace existing docs sharing an id
     * with the incoming batch (REST per-record re-sync semantics,
@@ -363,23 +498,24 @@ object DocumentSink {
     * a batch that is a lazy plan over the current line, e.g.
     * update_by_query's rewrite, before anything moves). The count
     * contract (docs after merge) rides an id-list-bounded probe of
-    * the pre-append line — a single-column broadcast semi-join, the
-    * same request-bounded tier as [[readVersions]]; at cluster scale,
-    * bucketing the base by document_id turns it into the columnar
-    * point lookup ES does internally. The adjacent search index
-    * delta-updates from the landed generation's stable files
-    * (a crash in between leaves the index one consistent snapshot
-    * behind, never ahead). */
+    * the pre-append line ([[idsInLineFrame]]): since round 18 the
+    * base written by bootstrap/compaction is hive-BUCKETED on
+    * `pmod(hash(document_id), buckets)`, so the probe's scan prunes
+    * to the request ids' buckets at PLANNING time — the columnar
+    * point lookup ES does internally, O(request) instead of
+    * O(base-scan) per API write (plan-pinned in DocumentSinkSpec).
+    * The adjacent search index delta-updates from the landed
+    * generation's stable files (a crash in between leaves the index
+    * one consistent snapshot behind, never ahead). */
   def upsert(batch: DataFrame, path: String): Long = {
     val spark = batch.sparkSession
     require(!batch.columns.contains("_op") &&
       !batch.columns.contains("_seq"),
       "_op/_seq are reserved delta-log column names")
-    val pre = readOpt(spark, path) match {
-      case None =>
-        // bootstrap: the batch IS the store — a plain base write
-        return save(batch, path)
-      case Some(df) => df
+    if (readOpt(spark, path).isEmpty) {
+      // bootstrap: the batch IS the store — a base write, BUCKETED
+      // (this store takes API writes by definition of this call)
+      return save(batch, path, bucketByDocId = true)
     }
     val fs = hadoopFs(spark, path)
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
@@ -391,9 +527,9 @@ object DocumentSink {
       path, seq)
     val landed = spark.read.parquet(
       s"$path/data_delta/" + f"delta-$seq%06d")
-    val ids = landed.select("document_id").distinct()
-    val replaced =
-      pre.join(broadcast(ids), Seq("document_id"), "left_semi").count()
+    val idList = landed.select("document_id").distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSeq
+    val replaced = idsInLineCount(spark, path, idList, belowSeq = seq)
     val n = prevTotal - replaced + bCount
     writeSidecar(s"$path/_mapping.json",
       mappingJson(read(spark, path).schema))
@@ -422,7 +558,6 @@ object DocumentSink {
     * AFTER deletion. `ids` must be the single `document_id` column. */
   def deleteByIds(ids: DataFrame, path: String): Long = {
     val spark = ids.sparkSession
-    val pre = read(spark, path)
     val fs = hadoopFs(spark, path)
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/data_delta")
     val prevTotal = metaDocCount(spark, path)
@@ -434,8 +569,9 @@ object DocumentSink {
       path, seq)
     val landed = spark.read.parquet(
       s"$path/data_delta/" + f"delta-$seq%06d")
-    val deleted = pre.join(broadcast(landed.select("document_id")),
-      Seq("document_id"), "left_semi").count()
+    val idList = landed.select("document_id")
+      .collect().map(r => String.valueOf(r.get(0))).toSeq
+    val deleted = idsInLineCount(spark, path, idList, belowSeq = seq)
     val n = prevTotal - deleted
     // the mapping sidecar tracks the RESOLVED line's schema (columns
     // can leave when the last docs carrying them are deleted)
@@ -445,7 +581,7 @@ object DocumentSink {
       s"""{"doc_count": $n, "mode": "overwrite"}""")
     val idxPath = s"$path/_search_index"
     if (SearchIndex.exists(idxPath))
-      SearchIndex.upsert(pre.limit(0),
+      SearchIndex.upsert(read(spark, path).limit(0),
         Some(landed.select("document_id")), idxPath)
     else if (SearchIndex.staleVersion(idxPath)) {
       val meta = SearchIndex.readMeta(idxPath)

@@ -349,6 +349,69 @@ class DocumentSinkSpec extends SparkSpec {
     }
   }
 
+  test("log-structured store (round 18): the base is hive-BUCKETED " +
+    "on the id hash — bootstrap-by-upsert and compaction both write " +
+    "the layout, the write-path count probe PRUNES to the touched " +
+    "buckets at planning time, and counts stay exact across " +
+    "upserts, deletes and the fold") {
+    val path = tmp()
+    def doc(rows: (Long, String)*) = DocumentSink.withDocId(
+      rows.toDF("id", "v"), BareId("id"))
+    // bootstrap THROUGH upsert (an API-writable store) → bucketed
+    assert(DocumentSink.upsert(
+      doc((1L to 500L).map(i => i -> s"v$i"): _*), path) == 500)
+    assert(DocumentSink.storeBuckets(path).contains(
+      DocumentSink.StoreBuckets))
+    val bucketDirs = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filter(_.startsWith("_bucket="))
+    assert(bucketDirs.length > 1, bucketDirs.mkString(", "))
+    // the probe frame: planning-time partition pruning on _bucket,
+    // request-bounded everywhere, no sort-merge join
+    DocumentSink.upsert(doc(5L -> "B"), path)
+    val frame = DocumentSink.idsInLineFrame(spark, path,
+      Seq("5", "7"), belowSeq = Long.MaxValue)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("_bucket"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(frame.count() == 2)
+    // count contracts on the bucketed layout: replace 1 → total
+    // stays; delete 2 → down 2; fresh insert → up 1
+    assert(DocumentSink.count(spark, path) == 500)
+    assert(DocumentSink.deleteByIds(
+      Seq("3", "4").toDF("document_id"), path) == 498)
+    assert(DocumentSink.upsert(doc(501L -> "new"), path) == 499)
+    // drive to the compaction threshold (3 generations exist
+    // already): the fold must PRESERVE the bucketed layout and the
+    // arithmetic
+    var writes = 4
+    while (writes <= DocumentSink.StoreCompactThreshold) {
+      DocumentSink.upsert(doc((600L + writes) -> "x"), path)
+      writes += 1
+    }
+    val deltaDir = new java.io.File(s"$path/data_delta")
+    assert(!deltaDir.exists || deltaDir.listFiles().isEmpty,
+      "threshold write must have compacted")
+    assert(DocumentSink.storeBuckets(path).contains(
+      DocumentSink.StoreBuckets))
+    assert(new java.io.File(s"$path/data").listFiles()
+      .exists(_.getName.startsWith("_bucket=")),
+      "the fold lost the bucketed layout")
+    val expected = 499 + (DocumentSink.StoreCompactThreshold + 1 - 4)
+    assert(DocumentSink.count(spark, path) == expected)
+    // the resolved line never leaks the layout column
+    assert(!DocumentSink.read(spark, path).columns.contains("_bucket"))
+    // and a pre-round-18 FLAT store still probes correctly (the
+    // unpruned-but-pushed fallback), then GAINS the layout at its
+    // first compaction
+    val flat = tmp()
+    DocumentSink.save(doc(1L -> "a", 2L -> "b"), flat)
+    assert(DocumentSink.storeBuckets(flat).isEmpty)
+    assert(DocumentSink.upsert(doc(2L -> "B2"), flat) == 2)
+    assert(DocumentSink.deleteByIds(
+      Seq("1").toDF("document_id"), flat) == 1)
+  }
+
   test("log-structured store: the resolved-read PLAN is a broadcast " +
     "anti-join against the base scan (delta side request-sized) — " +
     "never a sort-merge join, and the only shuffle touches the " +
