@@ -312,7 +312,21 @@ object DocumentSink {
     * generations with the latest generation winning per document_id
     * and delete tombstones dropped — or None iff nothing was ever
     * written. Zero deltas (a freshly-synced or just-compacted store)
-    * is the fast path: the plain base read, no joins. */
+    * is the fast path: the plain base read, no joins.
+    *
+    * SCHEMA semantics (decided round 18): the line is the
+    * union-by-name of every live generation, so a column whose last
+    * carrier was deleted SURVIVES as nulls — through compaction
+    * (the fold rewrites the resolved line, nulls included) until an
+    * explicit drop-and-recreate resets the store. This is
+    * deliberately the ES mapping contract: an ES mapping never
+    * loses a field once added, and deleting the docs that carried
+    * it leaves the field in the mapping. The alternative —
+    * projecting reads to the `_mapping.json` field list so departed
+    * columns vanish — was considered and rejected: it would make
+    * the read depend on a sidecar that is advisory metadata
+    * everywhere else, and would DIVERGE from ES. Spec-pinned in
+    * DocumentSinkSpec ("refresh the mapping sidecar" test). */
   def readOpt(spark: org.apache.spark.sql.SparkSession,
               path: String): Option[DataFrame] = {
     val fs = hadoopFs(spark, path)
@@ -573,8 +587,11 @@ object DocumentSink {
       .collect().map(r => String.valueOf(r.get(0))).toSeq
     val deleted = idsInLineCount(spark, path, idList, belowSeq = seq)
     val n = prevTotal - deleted
-    // the mapping sidecar tracks the RESOLVED line's schema (columns
-    // can leave when the last docs carrying them are deleted)
+    // the mapping sidecar tracks the RESOLVED line's schema — which,
+    // per the union-by-name decision on [[readOpt]], RETAINS a
+    // column whose last carrier was just deleted (ES: a mapping
+    // never loses fields); the rewrite here keeps the sidecar in
+    // lockstep with whatever the line answers
     writeSidecar(s"$path/_mapping.json",
       mappingJson(read(spark, path).schema))
     writeSidecar(s"$path/_meta.json",
