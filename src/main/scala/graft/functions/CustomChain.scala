@@ -79,7 +79,11 @@ object CustomChain {
         case Stop(Some(n), _) =>
           s"""{"type": "stop", "stopwords": "$n"}"""
         case Stop(None, ws) =>
-          ws.toSeq.sorted.map(w => s""""${w.replace("\"", "\\\"")}"""")
+          // full JSON string escaping (backslashes, quotes, control
+          // chars) — this serialization is PERSISTED in index metas,
+          // so a stopword the writer can spell must round-trip
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          ws.toSeq.sorted.map(om.writeValueAsString)
             .mkString("{\"type\": \"stop\", \"stopwords\": [", ", ",
               "]}")
         case Elision => "\"elision\""

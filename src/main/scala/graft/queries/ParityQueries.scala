@@ -62,6 +62,23 @@ object ParityQueries {
       })
     }
 
+  /** Shared lazy index-root builder behind the per-analyzer mapped
+    * indexes: each builds ONCE per source dir at first probe (the
+    * write-time moment, like [[searchIndexRoot]]) into a fresh temp
+    * root — one synchronization and directory convention for every
+    * mapping instead of a per-analyzer clone. */
+  private def lazyIndexRoot(
+      cache: scala.collection.mutable.Map[String, String],
+      prefix: String, dir: String)(build: String => Unit): String =
+    cache.synchronized {
+      cache.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory(prefix).toString
+        build(root)
+        root
+      })
+    }
+
   private val engIndexRoots =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -71,15 +88,11 @@ object ParityQueries {
     * stemming happens at bulk-index time rather than per query. The
     * q7_idx_english_* twins probe it. */
   private def englishIndexRoot(s: SparkSession, dir: String): String =
-    engIndexRoots.synchronized {
-      engIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-eng-").toString
+    lazyIndexRoot(engIndexRoots, "graft-search-index-eng-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "english")
-        root
-      })
     }
 
   private val frIndexRoots =
@@ -90,15 +103,11 @@ object ParityQueries {
     * the codegen FrenchTokens expression, stop-consumed positions,
     * stop-filtered dl). The q7_idx_french_* twins probe it. */
   private def frIndexRoot(s: SparkSession, dir: String): String =
-    frIndexRoots.synchronized {
-      frIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-fr-").toString
+    lazyIndexRoot(frIndexRoots, "graft-search-index-fr-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "french")
-        root
-      })
     }
 
   private val deIndexRoots =
@@ -110,15 +119,11 @@ object ParityQueries {
     * german_normalization, stop-filtered dl). The q7_idx_german_*
     * twins probe it. */
   private def deIndexRoot(s: SparkSession, dir: String): String =
-    deIndexRoots.synchronized {
-      deIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-de-").toString
+    lazyIndexRoot(deIndexRoots, "graft-search-index-de-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "german")
-        root
-      })
     }
 
   private val esIndexRoots =
@@ -130,15 +135,11 @@ object ParityQueries {
     * the corpus token 'a' IS a spanish stopword — stop-filtered
     * dl). The q7_idx_spanish_* twins probe it. */
   private def esIndexRoot(s: SparkSession, dir: String): String =
-    esIndexRoots.synchronized {
-      esIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-es-").toString
+    lazyIndexRoot(esIndexRoots, "graft-search-index-es-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "spanish")
-        root
-      })
     }
 
   private val cuIndexRoots =
@@ -151,10 +152,8 @@ object ParityQueries {
     * through the codegen ChainTokens expression at write time; the
     * q7_idx_custom_* twin probes it. */
   private def cuIndexRoot(s: SparkSession, dir: String): String =
-    cuIndexRoots.synchronized {
-      cuIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-cu-").toString
+    lazyIndexRoot(cuIndexRoots, "graft-search-index-cu-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "custom",
@@ -163,8 +162,6 @@ object ParityQueries {
               |{"type": "stop", "stopwords": ["the"]},
               |{"type": "stemmer", "language": "light_german"}]}"""
               .stripMargin))
-        root
-      })
     }
 
   private val egIndexRoots =
@@ -177,10 +174,8 @@ object ParityQueries {
     * the plain standard chain, so a typed prefix probes the gram
     * postings directly. The q7_idx_search_analyzer twin probes it. */
   private def egIndexRoot(s: SparkSession, dir: String): String =
-    egIndexRoots.synchronized {
-      egIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-eg-").toString
+    lazyIndexRoot(egIndexRoots, "graft-search-index-eg-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "custom",
@@ -189,8 +184,6 @@ object ParityQueries {
               |{"type": "edge_ngram", "min_gram": 1,
               | "max_gram": 6}]}""".stripMargin),
           searchAnalyzer = Some("standard"))
-        root
-      })
     }
 
   private val wsIndexRoots =
@@ -200,15 +193,11 @@ object ParityQueries {
     * `"analyzer": "whitespace"` (write-time whitespace splits, case
     * and punctuation KEPT). The q7_idx_whitespace_* twins probe it. */
   private def wsIndexRoot(s: SparkSession, dir: String): String =
-    wsIndexRoots.synchronized {
-      wsIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-ws-").toString
+    lazyIndexRoot(wsIndexRoots, "graft-search-index-ws-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("text"), "doc_id", s"$root/documents",
           analyzer = "whitespace")
-        root
-      })
     }
 
   private val kwIndexRoots =
@@ -218,15 +207,11 @@ object ParityQueries {
     * index-TIME `"analyzer": "keyword"` (the whole field value is ONE
     * term). The q7_idx_keyword_* twins probe it. */
   private def kwIndexRoot(s: SparkSession, dir: String): String =
-    kwIndexRoots.synchronized {
-      kwIndexRoots.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-search-index-kw-").toString
+    lazyIndexRoot(kwIndexRoots, "graft-search-index-kw-", dir) {
+      root =>
         graft.sinks.SearchIndex.build(t(s, dir, "documents"),
           Seq("source"), "doc_id", s"$root/documents",
           analyzer = "keyword")
-        root
-      })
     }
 
   /** The testdata events' fixed event-type domain — an explicit pivot

@@ -1221,8 +1221,13 @@ object EsDsl {
                       else Seq(nn)
                     if (items.isEmpty)
                       bad("neighbours must not be empty")
-                    items.map(precOf(_, "geo context neighbours " +
-                      "entry")).distinct
+                    // ES caps each neighbour precision at the
+                    // entry's geohash length (GeoContextMapping
+                    // truncates, never extends) — a finer value
+                    // behaves as the entry precision itself
+                    items.map(n => math.min(
+                      precOf(n, "geo context neighbours entry"),
+                      prec)).distinct
                   }.getOrElse(Seq(prec))
                 geos += GeoContextEntry(gla, glo, prec, b, neigh)
               } else {

@@ -149,7 +149,10 @@ private[graft] object GeoCells {
     * GeoUtils.parsePrecision's dispatch. None = neither form. */
   def precisionLevel(text: String): Option[Int] = {
     val t = text.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) Some(t.toInt)
+    if (t.nonEmpty && t.forall(_.isDigit))
+      // digits beyond Int range are no level — fall through to the
+      // caller's named rejection, never a raw NumberFormatException
+      scala.util.Try(t.toInt).toOption
     else parseDistanceMeters(t).map(levelsForDistance)
   }
 }

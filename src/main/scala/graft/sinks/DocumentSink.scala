@@ -174,15 +174,23 @@ object DocumentSink {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/data_delta"), true)
       ()
     }
+    // `_bucket` is the store's internal layout column — a document
+    // field by that name would be hijacked as the partition column
+    // and then silently dropped from every read: reserved, like
+    // _op/_seq on the delta line
+    require(!df.columns.contains("_bucket"),
+      "_bucket is a reserved store-layout column name")
     // the base goes BUCKETED (hive-partitioned on the id hash) when
-    // the caller opts in (API-writable stores — upsert bootstrap /
-    // compaction) or when APPENDING to an already-bucketed base (a
-    // flat append into a partitioned directory would corrupt the
-    // layout); the batch-sync default stays flat
-    val bucketed = df.columns.contains("_bucket") ||
-      ((bucketByDocId || (mode == SaveMode.Append &&
-          storeBuckets(path).isDefined)) &&
-        df.columns.contains("document_id"))
+    // an OVERWRITE opts in (API-writable stores — upsert bootstrap;
+    // compaction writes the layout itself) or when APPENDING to an
+    // already-bucketed base (a flat append into a partitioned
+    // directory would corrupt the layout — and symmetrically, an
+    // Append NEVER introduces bucketing onto a flat base: it follows
+    // whatever layout exists); the batch-sync default stays flat
+    val bucketed =
+      (if (mode == SaveMode.Append) storeBuckets(path).isDefined
+       else bucketByDocId) &&
+        df.columns.contains("document_id")
     val n =
       if (!bucketed) {
         if (mode == SaveMode.Overwrite)
@@ -193,12 +201,10 @@ object DocumentSink {
         val buckets =
           (if (mode == SaveMode.Append) storeBuckets(path) else None)
             .getOrElse(StoreBuckets)
-        val withB =
-          if (df.columns.contains("_bucket")) df
-          else df.withColumn("_bucket",
-            pmod(hash(col("document_id")), lit(buckets)))
-        val c = writeCounted(withB, s"$path/data", mode,
-          partitionCols = Seq("_bucket"))
+        val c = writeCounted(
+          df.withColumn("_bucket",
+            pmod(hash(col("document_id")), lit(buckets))),
+          s"$path/data", mode, partitionCols = Seq("_bucket"))
         writeSidecar(s"$path/_layout.json",
           s"""{"buckets": $buckets}""")
         c
@@ -435,6 +441,18 @@ object DocumentSink {
       s"""{"doc_count": $n, "mode": "overwrite"}""")
   }
 
+  /** Does ANY generation of the store exist (base or delta)? The
+    * cheap existence test upsert's bootstrap decision needs —
+    * [[readOpt]] answers the same question but builds the whole
+    * resolved-line plan to do it. */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean = {
+    val fs = hadoopFs(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/data")) ||
+      deltaGens(fs,
+        new org.apache.hadoop.fs.Path(s"$path/data_delta")).nonEmpty
+  }
+
   /** The probe frame behind [[idsInLineCount]] — exposed for the
     * plan pin in DocumentSinkSpec: the store's document line bounded
     * to delta generations strictly below `belowSeq`, RESTRICTED to
@@ -524,9 +542,10 @@ object DocumentSink {
   def upsert(batch: DataFrame, path: String): Long = {
     val spark = batch.sparkSession
     require(!batch.columns.contains("_op") &&
-      !batch.columns.contains("_seq"),
-      "_op/_seq are reserved delta-log column names")
-    if (readOpt(spark, path).isEmpty) {
+      !batch.columns.contains("_seq") &&
+      !batch.columns.contains("_bucket"),
+      "_op/_seq/_bucket are reserved store column names")
+    if (!storeExists(spark, path)) {
       // bootstrap: the batch IS the store — a base write, BUCKETED
       // (this store takes API writes by definition of this call)
       return save(batch, path, bucketByDocId = true)

@@ -410,6 +410,23 @@ class DocumentSinkSpec extends SparkSpec {
     assert(DocumentSink.upsert(doc(2L -> "B2"), flat) == 2)
     assert(DocumentSink.deleteByIds(
       Seq("1").toDF("document_id"), flat) == 1)
+    // `_bucket` is RESERVED (a document field by that name would be
+    // hijacked as the layout column and dropped from reads) — save
+    // and upsert both fail loud; an Append never introduces
+    // bucketing onto a flat base (it follows the existing layout)
+    intercept[IllegalArgumentException] {
+      DocumentSink.save(doc(9L -> "x")
+        .withColumn("_bucket", lit(1)), tmp())
+    }
+    intercept[IllegalArgumentException] {
+      DocumentSink.upsert(doc(9L -> "x")
+        .withColumn("_bucket", lit(1)), flat)
+    }
+    DocumentSink.save(doc(3L -> "c"), flat, SaveMode.Append,
+      bucketByDocId = true)
+    assert(DocumentSink.storeBuckets(flat).isEmpty,
+      "Append must not introduce bucketing onto a flat base")
+    assert(spark.read.parquet(s"$flat/data").count() == 3)
   }
 
   test("log-structured store: the resolved-read PLAN is a broadcast " +

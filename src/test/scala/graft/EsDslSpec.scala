@@ -4110,6 +4110,14 @@ class EsDslSpec extends SparkSpec {
         {"context": {"lat": 57.6, "lon": 11.2}, "precision": 2,
          "neighbours": [2]}]}}}}}""")
     assert(nExplicit.keySet == Set(1L, 2L), nExplicit.toString)
+    // a neighbour precision FINER than the entry's caps at the
+    // entry precision (ES truncates, never extends) — [12] at
+    // precision 2 answers exactly like [2]
+    val nClamped = sugN("""{"suggest": {"ac": {"prefix": "win",
+      "completion": {"field": "text", "size": 10, "contexts": {"loc": [
+        {"context": {"lat": 57.6, "lon": 11.2}, "precision": 2,
+         "neighbours": [12]}]}}}}}""")
+    assert(nClamped.keySet == nExplicit.keySet, nClamped.toString)
     // a DISTANCE-STRING precision selects the level whose cell edge
     // is at most the distance ("1000km" → level 3; docs 1+2 sit
     // ~6 km apart, same-or-neighbour level-3 cells — doc 3 is not)
@@ -4136,6 +4144,10 @@ class EsDslSpec extends SparkSpec {
         """{"suggest": {"ac": {"prefix": "win", "completion":
            {"field": "text", "contexts": {"loc": [{"context":
            {"lat": 1, "lon": 2}, "precision": "fast"}]}}}}}""",
+        """{"suggest": {"ac": {"prefix": "win", "completion":
+           {"field": "text", "contexts": {"loc": [{"context":
+           {"lat": 1, "lon": 2},
+            "precision": "99999999999"}]}}}}}""",
         """{"suggest": {"ac": {"prefix": "win", "completion":
            {"field": "text", "contexts": {"loc": [{"context": "x",
            "neighbours": [1]}]}}}}}"""))

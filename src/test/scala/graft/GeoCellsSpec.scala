@@ -82,5 +82,8 @@ class GeoCellsSpec extends AnyFunSuite {
     assert(GeoCells.precisionLevel("6").contains(6))
     assert(GeoCells.precisionLevel("1km").contains(7))
     assert(GeoCells.precisionLevel("fast").isEmpty)
+    // all-digit beyond Int range: no level, never a raw
+    // NumberFormatException (the caller owns the named rejection)
+    assert(GeoCells.precisionLevel("99999999999").isEmpty)
   }
 }
