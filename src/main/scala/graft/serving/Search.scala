@@ -244,33 +244,39 @@ object Search {
         }: _*)).as("s"))
       .select(col("s.fid").as("fid"), col("s.n").as("n"),
         col("s.avgdl").as("avgdl"))
-    // per-(fid, term) df: a fid's group holds ONE entity's rows, so
-    // countDistinct(document_id) is that entity's df even though ids
-    // collide across entities
-    val idf = stacked.groupBy(col("fid"), col("term"))
-      .agg(countDistinct(col("document_id")).as("df_t"))
-      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
-      .select(col("fid"), col("term"),
-        if (bm25)
-          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
-            (col("df_t") + 0.5)).as("idf")
-        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    // ONE pass over the matching docs (r18): per-(fid, term) df rides
+    // the tf aggregation as a window count. A fid's group holds ONE
+    // entity's rows (foreign entities' gated token arrays are null and
+    // vanish at the explode), document_id is unique within an entity,
+    // and dl is functionally dependent on (table, document_id, fid) —
+    // so count(*) OVER (PARTITION BY fid, term) over the tf groups IS
+    // the old countDistinct(document_id) per (fid, term), even though
+    // ids collide across entities. The former idf branch re-aggregated
+    // the union tokenize+explode scan a second time.
     val grouped =
       if (bm25)
         stacked.groupBy(col("table"), col("document_id"), col("fid"),
             col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .join(broadcast(stats.select(col("fid"), col("avgdl"))),
-            Seq("fid"))
       else stacked.groupBy(col("table"), col("document_id"), col("fid"),
           col("term"))
         .agg(count(lit(1)).as("tf"))
+    val byFidTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fid"), col("term"))
+    val withStats = grouped
+      .withColumn("df_t", count(lit(1)).over(byFidTerm))
+      .join(broadcast(stats), Seq("fid"))
+    val idf: Column =
+      if (bm25)
+        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5))
+      else (col("n") + 1.0) / (col("df_t") + 1.0)
     val perTerm: Column =
       if (bm25)
-        col("idf") * ((col("tf") * 2.2) /
+        idf * ((col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") / col("avgdl"))))
-      else col("tf") * col("idf")
+      else col("tf") * idf
     val parts = pairs.indices.map { i =>
       terms.toSeq.map(t =>
           coalesce(sum(when(col("term") === t && col("fid") === i,
@@ -282,7 +288,7 @@ object Search {
       else if (bestFields) greatest(parts: _*)
       else parts.reduce(_ + _) // entity-major pair order; foreign
                                // pairs add exact 0.0
-    grouped.join(broadcast(idf), Seq("fid", "term"))
+    withStats
       .groupBy(col("table"), col("document_id"))
       .agg(round4(combined).as("score"))
       .select(col("table"), col("document_id"), col("score"))
@@ -615,38 +621,52 @@ object Search {
       .filter(col("term").isin(terms.toSeq: _*))
     // shared corpus statistics: ONE full-scan aggregate computes every
     // field's n/avgdl (the numbers ES precomputes per index), reshaped
-    // to a broadcastable (fid, n, avgdl) row per field
-    val statsWide = df.agg(count(lit(1)).as("n"),
-      fields.zipWithIndex.map { case (f, i) =>
-        (sum(tokenCount(col(f))).cast("double") / count(lit(1)))
-          .as(s"avgdl_$i") }: _*)
-    val stats = statsWide.select(explode(array(fields.indices.map(i =>
-        struct(lit(i).as("fid"), col("n"),
-          col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
-      .select(col("s.fid").as("fid"), col("s.n").as("n"),
-        col("s.avgdl").as("avgdl"))
-    val idf = stacked.groupBy(col("fid"), col("term"))
-      .agg(countDistinct(col(idCol)).as("df_t"))
-      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
-      .select(col("fid"), col("term"),
-        if (bm25)
-          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
-            (col("df_t") + 0.5)).as("idf")
-        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    // to a broadcastable (fid, n, avgdl) row per field. tf·idf needs
+    // only n (corpus count, field-independent) — its stats pass skips
+    // the per-field tokenization entirely (r18: the avgdl_i columns
+    // were aggregated and discarded on the tfidf path).
+    val stats =
+      if (bm25) {
+        val statsWide = df.agg(count(lit(1)).as("n"),
+          fields.zipWithIndex.map { case (f, i) =>
+            (sum(tokenCount(col(f))).cast("double") / count(lit(1)))
+              .as(s"avgdl_$i") }: _*)
+        statsWide.select(explode(array(fields.indices.map(i =>
+            struct(lit(i).as("fid"), col("n"),
+              col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
+          .select(col("s.fid").as("fid"), col("s.n").as("n"),
+            col("s.avgdl").as("avgdl"))
+      } else df.agg(count(lit(1)).as("n")).withColumn("avgdl", lit(0.0))
+    // ONE pass over the matching docs (r18): per-(field, term) df rides
+    // the tf aggregation as a window count — each (doc, fid[, dl], term)
+    // group is one row and ids are unique within a field's corpus, so
+    // count(*) OVER (PARTITION BY fid, term) IS the old
+    // countDistinct(id) per (fid, term). The former idf branch
+    // re-aggregated the tokenize+explode scan a second time.
     val grouped =
       if (bm25)
         stacked.groupBy(col(idCol), col("fid"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .join(broadcast(stats.select(col("fid"), col("avgdl"))),
-            Seq("fid"))
       else stacked.groupBy(col(idCol), col("fid"), col("term"))
         .agg(count(lit(1)).as("tf"))
+    val byFidTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fid"), col("term"))
+    val withStats = {
+      val g = grouped.withColumn("df_t", count(lit(1)).over(byFidTerm))
+      if (bm25) g.join(broadcast(stats), Seq("fid"))
+      else g.crossJoin(broadcast(stats.select(col("n"))))
+    }
+    val idf: Column =
+      if (bm25)
+        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5))
+      else (col("n") + 1.0) / (col("df_t") + 1.0)
     val perTerm: Column =
       if (bm25)
-        col("idf") * ((col("tf") * 2.2) /
+        idf * ((col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") / col("avgdl"))))
-      else col("tf") * col("idf")
+      else col("tf") * idf
     // per-field score: fixed-order term sum of single-row conditionals
     // (each (doc, fid, term) group is one row after the tf aggregation)
     def fieldScore(i: Int): Column = {
@@ -661,7 +681,7 @@ object Search {
       if (parts.size == 1) parts.head
       else if (bestFields) greatest(parts: _*)
       else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
-    grouped.join(broadcast(idf), Seq("fid", "term"))
+    withStats
       .groupBy(col(idCol))
       .agg(round4(combined).as("score"))
   }
@@ -750,21 +770,29 @@ object Search {
           col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
       .select(col("s.fid").as("fid"), col("s.n").as("n"),
         col("s.avgdl").as("avgdl"))
-    // per-(field, term) df over the UNION-filtered stack: a (fid, term)
-    // group requires the token in that field, which implies the
-    // prefilter admitted the row — so df_t equals the per-clause value
-    val idf = stacked.groupBy(col("fid"), col("term"))
-      .agg(countDistinct(col(idCol)).as("df_t"))
-      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
-      .select(col("fid"), col("term"),
-        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
-          (col("df_t") + 0.5)).as("idf"))
+    // ONE pass over the matching docs (r18): per-(field, term) df rides
+    // the tf aggregation as a window count — each (doc, fid, dl, term)
+    // group is one row and ids are unique within a field's corpus, so
+    // count(*) OVER (PARTITION BY fid, term) IS countDistinct(id) per
+    // (fid, term) (dl is functionally dependent on (doc, fid)). A
+    // (fid, term) group requires the token in that field, which implies
+    // the prefilter admitted the row — so df_t equals the per-clause
+    // value. The former idf branch re-aggregated the tokenize+explode
+    // scan a second time (the group keys differ, so the plan could not
+    // share the exchange).
     val grouped = stacked
       .groupBy(col(idCol), col("fid"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .join(broadcast(stats.select(col("fid"), col("avgdl"))), Seq("fid"))
+    val byFidTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fid"), col("term"))
+    val withStats = grouped
+      .withColumn("df_t", count(lit(1)).over(byFidTerm))
+      .join(broadcast(stats), Seq("fid"))
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+        (col("df_t") + 0.5))
     val perTerm: Column =
-      col("idf") * ((col("tf") * 2.2) /
+      idf * ((col("tf") * 2.2) /
         (col("tf") + lit(1.2) * (lit(0.25) +
           lit(0.75) * col("dl") / col("avgdl"))))
     // each clause's score: its own fields in its own order, fixed-order
@@ -785,7 +813,7 @@ object Search {
         else parts.reduce(_ + _) // fixed field order — float + isn't assoc.
       round4(combined).as(s"__bm25_$ci")
     }
-    grouped.join(broadcast(idf), Seq("fid", "term"))
+    withStats
       .groupBy(col(idCol))
       .agg(scoreCols.head, scoreCols.tail: _*)
   }
@@ -833,38 +861,49 @@ object Search {
           .agg(count(lit(1)).as("n"),
             (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       else df.select(count(lit(1)).as("n"))
-    val idf = toks.groupBy("term")
-      .agg(countDistinct(col(idCol)).as("df_t"))
-      .crossJoin(stats)
-      .select(col("term"),
-        if (bm25)
-          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
-            (col("df_t") + 0.5)).as("idf")
-        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
+    // ONE pass over the matching docs (r18): the tf aggregation is the
+    // only consumer of the tokenize+explode subtree, and per-term df
+    // rides it as a WINDOW count — each (doc[, dl], term) group is one
+    // row after the tf aggregation and ids are unique, so
+    // count(*) OVER (PARTITION BY term) IS countDistinct(id) per term.
+    // The former idf branch re-aggregated the same exploded scan a
+    // second time (two full corpus tokenizations per request; the plan
+    // cannot share the exchanges because the group keys differ).
     val grouped =
       if (bm25)
         // dl is functionally dependent on the doc id — riding it in the
         // group key costs 8 bytes of shuffle width, not an extra pass
         toks.groupBy(col(idCol), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .crossJoin(broadcast(stats.select(col("avgdl"))))
       else toks.groupBy(col(idCol), col("term"))
         .agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val withStats = grouped
+      .withColumn("df_t", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(stats))
+    // idf inline over the same (n, df_t) longs the joined column held —
+    // identical doubles, one fewer corpus scan
+    val idf: Column =
+      if (bm25)
+        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5))
+      else (col("n") + 1.0) / (col("df_t") + 1.0)
     // per-(doc, term) contribution; k1 = 1.2, b = 0.75 (Lucene defaults)
     // as plan literals, 1−b and k1+1 pre-reduced to exact decimal-parse
     // doubles so the oracle can spell the identical constants
     val perTerm: Column =
       if (bm25)
-        col("idf") * ((col("tf") * 2.2) /
+        idf * ((col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") / col("avgdl"))))
-      else col("tf") * col("idf")
+      else col("tf") * idf
     // fixed per-term addition order (query order): float addition is not
     // associative, and a free-order sum() could differ from the oracle in
     // the last ulp right at a rounding boundary
     val termScores = terms.toSeq.map(t =>
       coalesce(sum(when(col("term") === t, perTerm)), lit(0.0)))
-    grouped.join(broadcast(idf), Seq("term"))
+    withStats
       .groupBy(col(idCol))
       .agg(termScores.reduce(_ + _).as("score"))
   }
