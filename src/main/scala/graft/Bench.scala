@@ -198,10 +198,18 @@ object Bench {
     // not on a raw `rounds` sample that may hold one contention-noisy
     // lap (observed: a loadavg-3.6 lap with 2-3x inflated times)
     val busyJson = busy.map(l => f"$l%.2f").mkString("[", ",", "]")
+    // "cores" is the EFFECTIVE parallelism the session runs at —
+    // sc.defaultParallelism under master local[$SPARK_GRAFT_CPUS] — so a
+    // driver lap at a lower core count can confirm the env contract is
+    // honored (r18's lap printed availableProcessors() and the scaling
+    // check could not tell c8 from c32). The host's processor count
+    // stays visible as "host_cores".
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""rounds":$roundsJson,"loadavg":$loadsJson,"busy":$busyJson,""" +
       s""""contaminated":$contaminated,""" +
-      s""""cores":${Runtime.getRuntime.availableProcessors()}""" +
+      s""""cores":${spark.sparkContext.defaultParallelism},""" +
+      s""""cpus":${GraftSession.cpus},""" +
+      s""""host_cores":${Runtime.getRuntime.availableProcessors()}""" +
       s"""$errJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // Belt-and-braces for log-wrapping runners: also leave the line in a

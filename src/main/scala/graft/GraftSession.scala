@@ -39,6 +39,14 @@ object GraftSession {
       // would be catastrophic on a real cluster
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOT raised: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // (default 128). Measured r19: raising it to 131072 made every
+      // collect_set/collect_list query SLOWER (nested_query 1.50→2.53 s,
+      // nested_agg 2.02→2.84 s, a2_group_to_array 0.52→0.92 s at sf0.1,
+      // best-of-3) — a large hash map of per-group set buffers loses to
+      // the sort-based fallback's streaming, one-group-at-a-time
+      // locality. The "sort fallback" is the better regime here, not a
+      // cliff.
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

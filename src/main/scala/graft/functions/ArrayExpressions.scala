@@ -66,6 +66,12 @@ object ArrayExpressions {
   def analyzerTokenCount(text: Column): Column =
     org.apache.spark.sql.graft.ArrayExpressions.analyzerTokenCount(text)
 
+  /** Codegen'd single-pass (dl, matched-term-indices) struct — the
+    * stats-scan rider behind the de-skewed BM25/tf·idf scorers (r19);
+    * see [[org.apache.spark.sql.graft.TokenDlHits]]. */
+  def tokenDlHits(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.graft.ArrayExpressions.tokenDlHits(text, terms)
+
   /** Codegen'd ENGLISH-analyzer tokenization with positions
     * (array<struct<term, pos>>) — the executor-side twin of
     * [[EnglishAnalysis.analyzeWithPositions]]: possessive strip →

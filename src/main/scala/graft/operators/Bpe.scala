@@ -486,13 +486,18 @@ object Bpe {
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
     val encoded = encodedSymbols(col("word"), merges)
-    val vocab = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    // r19: ONE corpus tokenization — the (id, word) token stream is
+    // staged and feeds BOTH the distinct-vocab derivation and the
+    // join-back (before, the corpus was scanned + tokenized twice,
+    // once per consumer). Released at the query boundary by the
+    // harness owning the action (StageCache contract).
+    val toks = graft.StageCache.stage(docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
+        .as("word")))
+    val vocab = toks.select(col("word"))
       .distinct()
       .select(col("word"), size(encoded).as("n_sub"))
-    docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol)))
-        .as("word"))
+    toks
       .join(vocab, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),

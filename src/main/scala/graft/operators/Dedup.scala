@@ -549,20 +549,41 @@ object Dedup {
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
     import graft.functions.ArrayExpressions.distinctShingles
-    val sh = docs
+    // r19 (de-skew): shingles are DISTINCT per doc, so a doc's repeated
+    // shingles are exactly those it does NOT uniquely own —
+    // n_repeated = n_shingles − #{shingles with global df == 1 owned by
+    // the doc}. Both sides are combiner-friendly hash aggregations
+    // whose map side collapses to ≤1 row per key per partition, so the
+    // only shuffled bytes are aggregate rows — the r18 window form
+    // (count(*) OVER (PARTITION BY s)) shuffled the ENTIRE exploded
+    // stream and placed every row of a hot boilerplate shingle in ONE
+    // window partition with a sort (no AQE skew handling on window
+    // exchanges). The staged per-doc shingle ARRAY feeds both sides
+    // with one scan — the per-doc count is a pure projection of it;
+    // df == 1 makes max(id) the unique owner. Same df semantics, same
+    // output.
+    val base = graft.StageCache.stage(docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(distinctShingles(col(textCol), k)).as("s"))
-    // document frequency rides the exploded stream as a WINDOW count
-    // (shingles are distinct per doc, so rows per shingle = df) instead
-    // of a groupBy + join back — the join form evaluated the scan +
-    // shingle explode twice and shuffled the stream a second time for
-    // the sort-merge join (r18; same df values, same output)
-    val byShingle = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s"))
-    sh.withColumn("df", count(lit(1)).over(byShingle))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col(idCol), distinctShingles(col(textCol), k).as("__sh")))
+    // per-doc shingle count is a PROJECTION of the staged array — no
+    // aggregation, no shuffle (docs with zero shingles produced no
+    // exploded rows before, hence the size > 0 gate; long cast keeps
+    // the old count() schema)
+    val perDoc = base
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val uniqueOwned = base
+      .select(col(idCol), explode(col("__sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), max(col(idCol)).as("__owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("__owner"))
+      .agg(count(lit(1)).as("n_unique"))
+      .withColumnRenamed("__owner", idCol)
+    perDoc.join(uniqueOwned, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_unique"), lit(0L)))
+          .as("n_repeated"))
       .withColumn("dup_ratio",
         col("n_repeated").cast("double") / col("n_shingles"))
   }

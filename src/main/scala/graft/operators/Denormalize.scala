@@ -87,7 +87,12 @@ object Denormalize {
     lineitem
       .join(part, lineitem("l_partkey") === part("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(
+      // sort_array, not array_sort: same total order over non-null
+      // structs (field-by-field natural ordering; the set has no null
+      // elements), but SortArray sorts with an interpreted ordering
+      // while array_sort evaluates its comparator LAMBDA expression
+      // twice per comparison (r19)
+      .agg(sort_array(collect_set(
         struct(col("p_partkey").as("id"), col("p_name").as("name"),
                col("p_brand").as("color")))).as("labels"))
 

@@ -176,8 +176,14 @@ object CurationQueries {
     "quality_calibrated" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import TextFunctions._
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        col("source"), qualityScore(col("text")).as("q"))
+      // r19: the scored frame is consumed twice (threshold histogram +
+      // the final gate join) — staged so the six-regex qualityScore
+      // scan runs once, not twice (the same boundary
+      // pipeline_curation_full stages; released by the harness at the
+      // query boundary)
+      val scored = graft.StageCache.stage(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("source"), qualityScore(col("text")).as("q")))
       val hist = scored.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("c"))
       val bySrc = Window.partitionBy(col("source"))
@@ -205,8 +211,12 @@ object CurationQueries {
     "quality_quantile_gate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import TextFunctions._
-      val scored = t(s, dir, "documents").select(col("source"),
-        qualityScore(col("text")).as("q"))
+      // r19: scored feeds both the exact-histogram branch and the GK
+      // sketch branch — staged so qualityScore runs once (see
+      // quality_calibrated)
+      val scored = graft.StageCache.stage(
+        t(s, dir, "documents").select(col("source"),
+          qualityScore(col("text")).as("q")))
       val hist = scored.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("c"))
       val bySrc = Window.partitionBy(col("source"))
@@ -285,16 +295,27 @@ object CurationQueries {
         .withColumn("_k", ceil(sum(col("c")).over(bySrc) * 0.25))
         .filter(col("_cum") >= col("_k"))
         .groupBy(col("source")).agg(min(col("q")).as("q25"))
-      val kept = scored.join(broadcast(thr), Seq("source"))
-        .filter(col("q") >= col("q25")).drop("q25")
+      // r19: `kept` has three consumers (dedup canon, the unique join,
+      // and through it the decontamination corpus) — without its own
+      // stage each consumer re-derived the threshold tower (histogram +
+      // two windows + broadcast join) on top of the cached scan; the
+      // plan showed the thr subtree 3×. Staged like `scored`, the tower
+      // runs once.
+      val kept = graft.StageCache.stage(
+        scored.join(broadcast(thr), Seq("source"))
+          .filter(col("q") >= col("q25")).drop("q25"))
       // 3. exact dedup on the CLEANED text, canonical = min doc_id
       val canon = kept.groupBy(md5(col("t")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
       val unique = kept.join(canon.select("doc_id"), Seq("doc_id"))
       // 4. decontaminate: drop the benchmark slice itself, then every
       //    survivor sharing a 5-gram with it (bench = UNGATED cleaned
-      //    docs — an eval suite is external to curation)
-      val corpus = unique.filter(col("doc_id") % 20 =!= 0)
+      //    docs — an eval suite is external to curation). `corpus` is
+      //    consumed twice (the shingle-overlap flag pass and the anti
+      //    join that applies it) — staged so the dedup join above runs
+      //    once (r19).
+      val corpus = graft.StageCache.stage(
+        unique.filter(col("doc_id") % 20 =!= 0))
       val flagged = Decontaminate.overlap(
         corpus.select("doc_id", "t"),
         cleaned.filter(col("doc_id") % 20 === 0).select("doc_id", "t"),

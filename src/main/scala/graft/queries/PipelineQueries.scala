@@ -49,8 +49,11 @@ object PipelineQueries {
         tokenCount(col("text")).as("n_tokens"),
         langId(col("text")).as("lang_id"),
         qualityScore(col("text")).as("quality"))
-      val kept = scored.filter(
-        col("lang_id") === "en" && col("quality") >= 0.45)
+      // r19: `kept` is consumed twice (dedup canon + the unique join) —
+      // staged so the langId + qualityScore regex scan runs once, not
+      // twice (the pipeline_curation_full staging pattern)
+      val kept = graft.StageCache.stage(scored.filter(
+        col("lang_id") === "en" && col("quality") >= 0.45))
       val canon = kept.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
       val unique = kept.join(canon.select("doc_id"), Seq("doc_id"))
@@ -300,10 +303,20 @@ object PipelineQueries {
     "multimodal_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{Avi, MediaRecord}
+      // r19: the testdata table is ONE parquet file with one row group —
+      // an unsplittable scan (guide §2.5 input skew), so the per-row
+      // codec work below ran on a single task. Hash-repartition on the
+      // id (session shuffle partitions = $SPARK_GRAFT_CPUS) spreads the
+      // encode across cores; only (id, text) shuffles, never blobs.
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull &&
           TextFunctions.tokenCount(col("text")) > 0)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        // explicit partition count: AQE would coalesce a keyless-count
+        // repartition of this KB-sized shuffle back to one partition,
+        // re-serializing the codec work the repartition exists to spread
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, String)]
       val media = docs.map { case (id, text) =>
         val frames = text.split("\\s+").filter(_.nonEmpty).take(32)
           .map { w =>
@@ -340,10 +353,18 @@ object PipelineQueries {
     "multimodal_mjpeg" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{Avi, Jpeg, MediaRecord, Ppm}
+      // r19: same single-task-scan fix as multimodal_frames — the DCT +
+      // Huffman codec work is the query's cost; spread it across
+      // $SPARK_GRAFT_CPUS before encoding (guide §2.5)
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull &&
           TextFunctions.tokenCount(col("text")) > 0)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        // explicit partition count: AQE would coalesce a keyless-count
+        // repartition of this KB-sized shuffle back to one partition,
+        // re-serializing the codec work the repartition exists to spread
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[(Long, String)]
       val media = docs.map { case (id, text) =>
         val frames = text.split("\\s+").filter(_.nonEmpty).take(8)
           .map { w =>

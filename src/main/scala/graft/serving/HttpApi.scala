@@ -293,6 +293,15 @@ final class HttpApi(
       case NonFatal(e) =>
         respond(ex, 500, mapper.createObjectNode()
           .put("error", String.valueOf(e.getMessage)).toString)
+    } finally {
+      // the serving loop owns the request lifecycle, so it releases the
+      // stages query builders persisted (StageCache's contract — the
+      // same boundary Bench/Verify use). Under the 4-thread pool a
+      // release can drop a concurrent request's still-needed stage;
+      // that recomputes (correctness never depends on a cache) and is
+      // the accepted cost of never ratcheting block-manager footprint
+      // across requests.
+      graft.StageCache.releaseAll()
     }
   }
 

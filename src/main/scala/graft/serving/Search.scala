@@ -230,29 +230,50 @@ object Search {
     // the per-entity aggregate performed)
     val nCols = specs.map(sp =>
       sum(when(gate(sp.name), lit(1L))).as(s"n_${entityIdx(sp.name)}"))
+    // r19 (de-skew): every (field, term) document frequency rides the
+    // SAME shared statistics aggregate via TokenDlHits (one tokenizer
+    // pass yields dl + the distinct matched term indices), gated per
+    // entity like n/sumdl — replacing the count(*) OVER (PARTITION BY
+    // fid, term) window that placed every matching doc of a hot term
+    // in ONE partition with a sort (no AQE skew handling on window
+    // exchanges). df_t = entity docs whose field token-list contains
+    // the term ≡ the old tf-group row count (foreign rows are gated
+    // out exactly as their gated token arrays vanished at the explode).
+    // the struct itself is GATED so the hoisted common subexpression
+    // checks the entity gate before tokenizing — a foreign row (null
+    // struct) contributes nothing to sumdl (sum skips null ≡ the old
+    // when-gated tokenCount's +0) nor to df (array_contains(null, j)
+    // is null, the conditional count skips)
+    val tsOf = pairs.map { case (e, f) =>
+      when(gate(e),
+        graft.functions.ArrayExpressions.tokenDlHits(col(f), terms.toSeq)) }
+    val dfAggs = for (i <- pairs.indices; j <- terms.indices) yield
+      sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
+        .as(s"df_${i}_$j")
     val statsAggs: Seq[Column] =
-      if (bm25) nCols ++ pairs.zipWithIndex.map { case ((e, f), i) =>
-        sum(when(gate(e), tokenCount(col(f)))).as(s"sumdl_$i") }
-      else nCols
+      (if (bm25) nCols ++ pairs.indices.map { i =>
+        sum(tsOf(i).getField("dl")).as(s"sumdl_$i") }
+      else nCols) ++ dfAggs
     val statsWide = union.agg(statsAggs.head, statsAggs.tail: _*)
-    val stats = statsWide.select(explode(array(
-        pairs.zipWithIndex.map { case ((e, _), i) =>
-          val n = col(s"n_${entityIdx(e)}")
-          struct(lit(i).as("fid"), n.as("n"),
-            (if (bm25) col(s"sumdl_$i").cast("double") / n
-             else lit(0.0)).as("avgdl"))
-        }: _*)).as("s"))
-      .select(col("s.fid").as("fid"), col("s.n").as("n"),
-        col("s.avgdl").as("avgdl"))
-    // ONE pass over the matching docs (r18): per-(fid, term) df rides
-    // the tf aggregation as a window count. A fid's group holds ONE
+    lazy val stats = statsWide.select(explode(array((for {
+        (((e, _), i)) <- pairs.zipWithIndex
+        (t, j) <- terms.zipWithIndex.toSeq
+      } yield {
+        val n = col(s"n_${entityIdx(e)}")
+        struct(lit(i).as("fid"), lit(t).as("term"), n.as("n"),
+          (if (bm25) col(s"sumdl_$i").cast("double") / n
+           else lit(0.0)).as("avgdl"),
+          col(s"df_${i}_$j").as("df_t"))
+      }): _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.term").as("term"),
+        col("s.n").as("n"), col("s.avgdl").as("avgdl"),
+        col("s.df_t").as("df_t"))
+    // ONE pass over the matching docs (r18): a fid's group holds ONE
     // entity's rows (foreign entities' gated token arrays are null and
     // vanish at the explode), document_id is unique within an entity,
     // and dl is functionally dependent on (table, document_id, fid) —
-    // so count(*) OVER (PARTITION BY fid, term) over the tf groups IS
-    // the old countDistinct(document_id) per (fid, term), even though
-    // ids collide across entities. The former idf branch re-aggregated
-    // the union tokenize+explode scan a second time.
+    // the tf aggregation needs no df bookkeeping; the stats broadcast
+    // carries it.
     val grouped =
       if (bm25)
         stacked.groupBy(col("table"), col("document_id"), col("fid"),
@@ -261,11 +282,11 @@ object Search {
       else stacked.groupBy(col("table"), col("document_id"), col("fid"),
           col("term"))
         .agg(count(lit(1)).as("tf"))
-    val byFidTerm = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fid"), col("term"))
-    val withStats = grouped
-      .withColumn("df_t", count(lit(1)).over(byFidTerm))
-      .join(broadcast(stats), Seq("fid"))
+    val withStats =
+      if (terms.isEmpty)
+        grouped.withColumn("df_t", lit(0L)).withColumn("n", lit(0L))
+          .withColumn("avgdl", lit(0.0))
+      else grouped.join(broadcast(stats), Seq("fid", "term"))
     val idf: Column =
       if (bm25)
         log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
@@ -360,22 +381,18 @@ object Search {
                                  bm25: Boolean = true,
                                  after: Option[(Double, String, String)] = None,
                                  only: Seq[String] = Nil)
-      : DataFrame = {
-    import graft.catalog.EntityCatalog
-    val branches = entitySubset(only)
-      .map { spec =>
-        val branchAfter = after.map { case (s, id, _) => (s, id: Any) }
-        val inclusive = after.exists { case (_, _, t) => spec.name > t }
-        graft.sinks.SearchIndex.ranked(spark, s"$indexRoot/${spec.name}",
-          query, Nil, limit, bm25, bestFields, Map.empty,
-          branchAfter, inclusive)
-          .select(lit(spec.name).as("table"), col("document_id"),
-            col("score"))
-      }
-    branches.reduce(_.unionByName(_))
-      .orderBy(col("score").desc, col("document_id"), col("table"))
-      .limit(limit)
-  }
+      : DataFrame =
+    // r19: ONE merged probe plan instead of a per-entity union of
+    // [[graft.sinks.SearchIndex.ranked]] calls — the per-branch shape
+    // built 2 broadcast exchanges + 1 aggregation exchange + 1
+    // TakeOrdered per entity (14 driver-serialized broadcast builds on
+    // a 7-entity wildcard); the merged plan builds ONE idf broadcast
+    // and aggregates once. Bit-identical per-entity scores and the
+    // same 3-key cursor semantics (SearchIndexSpec pins the equality).
+    graft.sinks.SearchIndex.rankedAcrossIndexes(spark,
+      entitySubset(only).map(spec =>
+        spec.name -> s"$indexRoot/${spec.name}"),
+      query, limit, bm25, bestFields, after)
 
   /** Wildcard PHRASE over the entity indexes (`data_lake_*` with
     * `multi_match type=phrase`): every entity's positional postings are
@@ -620,42 +637,57 @@ object Search {
         explode(col("fs.toks")).as("term"))
       .filter(col("term").isin(terms.toSeq: _*))
     // shared corpus statistics: ONE full-scan aggregate computes every
-    // field's n/avgdl (the numbers ES precomputes per index), reshaped
-    // to a broadcastable (fid, n, avgdl) row per field. tf·idf needs
-    // only n (corpus count, field-independent) — its stats pass skips
-    // the per-field tokenization entirely (r18: the avgdl_i columns
-    // were aggregated and discarded on the tfidf path).
-    val stats =
-      if (bm25) {
-        val statsWide = df.agg(count(lit(1)).as("n"),
-          fields.zipWithIndex.map { case (f, i) =>
-            (sum(tokenCount(col(f))).cast("double") / count(lit(1)))
-              .as(s"avgdl_$i") }: _*)
-        statsWide.select(explode(array(fields.indices.map(i =>
-            struct(lit(i).as("fid"), col("n"),
-              col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
-          .select(col("s.fid").as("fid"), col("s.n").as("n"),
-            col("s.avgdl").as("avgdl"))
-      } else df.agg(count(lit(1)).as("n")).withColumn("avgdl", lit(0.0))
-    // ONE pass over the matching docs (r18): per-(field, term) df rides
-    // the tf aggregation as a window count — each (doc, fid[, dl], term)
-    // group is one row and ids are unique within a field's corpus, so
-    // count(*) OVER (PARTITION BY fid, term) IS the old
-    // countDistinct(id) per (fid, term). The former idf branch
-    // re-aggregated the tokenize+explode scan a second time.
+    // field's n/avgdl (the numbers ES precomputes per index) AND — r19
+    // — every (field, term) document frequency, riding the same
+    // tokenizer pass (TokenDlHits: dl + distinct matched term indices
+    // in one spans walk). df_t = docs whose field token-list contains
+    // the term ≡ the tf-group row count the old count(*) OVER
+    // (PARTITION BY fid, term) window produced — but skew-free: the
+    // window placed every matching doc of a hot term in ONE partition
+    // with a sort (no AQE skew handling on window exchanges). The
+    // reshaped stats broadcast is ≤ |fields| × |query terms| rows. On
+    // the tf·idf path the stats pass now tokenizes to carry df (it
+    // previously only counted rows — the window carried df there).
+    val tsOf = fields.map(f => graft.functions.ArrayExpressions
+      .tokenDlHits(col(f), terms.toSeq))
+    val dfAggs = for (i <- fields.indices; j <- terms.indices) yield
+      sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
+        .as(s"df_${i}_$j")
+    val statsAggs =
+      if (bm25)
+        fields.indices.map(i =>
+          (sum(tsOf(i).getField("dl")).cast("double") / count(lit(1)))
+            .as(s"avgdl_$i")) ++ dfAggs
+      else dfAggs
+    val statsWide = df.agg(count(lit(1)).as("n"), statsAggs: _*)
+    // lazy: with zero analyzed terms the explode(array()) would not
+    // resolve, and the empty-terms branch below never consumes it
+    lazy val stats = statsWide.select(explode(array((for {
+        i <- fields.indices; (t, j) <- terms.zipWithIndex.toSeq
+      } yield struct(lit(i).as("fid"), lit(t).as("term"),
+        col("n").as("n"),
+        (if (bm25) col(s"avgdl_$i") else lit(0.0)).as("avgdl"),
+        col(s"df_${i}_$j").as("df_t"))): _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.term").as("term"),
+        col("s.n").as("n"), col("s.avgdl").as("avgdl"),
+        col("s.df_t").as("df_t"))
+    // ONE pass over the matching docs (r18): each (doc, fid[, dl],
+    // term) group is one row and ids are unique within a field's
+    // corpus, so the tf aggregation needs no df bookkeeping at all —
+    // the stats broadcast carries it.
     val grouped =
       if (bm25)
         stacked.groupBy(col(idCol), col("fid"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
       else stacked.groupBy(col(idCol), col("fid"), col("term"))
         .agg(count(lit(1)).as("tf"))
-    val byFidTerm = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fid"), col("term"))
-    val withStats = {
-      val g = grouped.withColumn("df_t", count(lit(1)).over(byFidTerm))
-      if (bm25) g.join(broadcast(stats), Seq("fid"))
-      else g.crossJoin(broadcast(stats.select(col("n"))))
-    }
+    val withStats =
+      if (terms.isEmpty)
+        // no analyzed terms: grouped is empty (isin over nothing);
+        // supply the schema the scorer below expects
+        grouped.withColumn("df_t", lit(0L)).withColumn("n", lit(0L))
+          .withColumn("avgdl", lit(0.0))
+      else grouped.join(broadcast(stats), Seq("fid", "term"))
     val idf: Column =
       if (bm25)
         log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
@@ -760,34 +792,45 @@ object Search {
       .filter(col("term").isin(allTerms: _*))
     // ONE full-scan aggregate for every interned field's n/avgdl —
     // clause-independent (n is the corpus count; avgdl is a property
-    // of the field), so clauses sharing a field share its statistics
+    // of the field), so clauses sharing a field share its statistics.
+    // r19 (de-skew): every (field, term) document frequency rides the
+    // SAME aggregate via TokenDlHits (one tokenizer pass yields dl +
+    // the distinct matched term indices), replacing the count(*) OVER
+    // (PARTITION BY fid, term) window that placed every matching doc
+    // of a hot term in ONE partition with a sort (no AQE skew handling
+    // on window exchanges). df_t = docs whose field token-list contains
+    // the term ≡ the old tf-group row count; a (fid, term) group
+    // requires the token in that field, which implies the prefilter
+    // admitted the row — so df_t equals the per-clause value.
+    val tsOf = fieldExprs.map(rf => graft.functions.ArrayExpressions
+      .tokenDlHits(rf.expr, allTerms))
+    val dfAggs = for (i <- fieldExprs.indices; j <- allTerms.indices)
+      yield sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
+        .as(s"df_${i}_$j")
     val statsWide = df.agg(count(lit(1)).as("n"),
-      fieldExprs.zipWithIndex.map { case (rf, i) =>
-        (sum(tokenCount(rf.expr)).cast("double") / count(lit(1)))
-          .as(s"avgdl_$i") }: _*)
-    val stats = statsWide.select(explode(array(fieldExprs.indices.map(i =>
-        struct(lit(i).as("fid"), col("n"),
-          col(s"avgdl_$i").as("avgdl"))): _*)).as("s"))
-      .select(col("s.fid").as("fid"), col("s.n").as("n"),
-        col("s.avgdl").as("avgdl"))
-    // ONE pass over the matching docs (r18): per-(field, term) df rides
-    // the tf aggregation as a window count — each (doc, fid, dl, term)
-    // group is one row and ids are unique within a field's corpus, so
-    // count(*) OVER (PARTITION BY fid, term) IS countDistinct(id) per
-    // (fid, term) (dl is functionally dependent on (doc, fid)). A
-    // (fid, term) group requires the token in that field, which implies
-    // the prefilter admitted the row — so df_t equals the per-clause
-    // value. The former idf branch re-aggregated the tokenize+explode
-    // scan a second time (the group keys differ, so the plan could not
-    // share the exchange).
+      fieldExprs.indices.map { i =>
+        (sum(tsOf(i).getField("dl")).cast("double") / count(lit(1)))
+          .as(s"avgdl_$i") } ++ dfAggs: _*)
+    lazy val stats = statsWide.select(explode(array((for {
+        i <- fieldExprs.indices; (t, j) <- allTerms.zipWithIndex
+      } yield struct(lit(i).as("fid"), lit(t).as("term"),
+        col("n").as("n"), col(s"avgdl_$i").as("avgdl"),
+        col(s"df_${i}_$j").as("df_t"))): _*)).as("s"))
+      .select(col("s.fid").as("fid"), col("s.term").as("term"),
+        col("s.n").as("n"), col("s.avgdl").as("avgdl"),
+        col("s.df_t").as("df_t"))
+    // ONE pass over the matching docs (r18): each (doc, fid, dl, term)
+    // group is one row and ids are unique within a field's corpus —
+    // the tf aggregation needs no df bookkeeping; the stats broadcast
+    // carries it.
     val grouped = stacked
       .groupBy(col(idCol), col("fid"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val byFidTerm = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fid"), col("term"))
-    val withStats = grouped
-      .withColumn("df_t", count(lit(1)).over(byFidTerm))
-      .join(broadcast(stats), Seq("fid"))
+    val withStats =
+      if (allTerms.isEmpty)
+        grouped.withColumn("df_t", lit(0L)).withColumn("n", lit(0L))
+          .withColumn("avgdl", lit(0.0))
+      else grouped.join(broadcast(stats), Seq("fid", "term"))
     val idf: Column =
       log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
         (col("df_t") + 0.5))
@@ -854,21 +897,27 @@ object Search {
       .filter(col("term").isin(terms.toSeq: _*))
     // corpus statistics: one tiny aggregate of the full scan. sum(dl) is
     // an exact integer sum, so avgdl = one double division — the same
-    // value in any engine (a float avg() could differ by addition order)
-    val stats =
+    // value in any engine (a float avg() could differ by addition order).
+    // r19 (de-skew): per-term document frequency RIDES this aggregate —
+    // TokenDlHits measures dl and the distinct query-term indices
+    // present in one tokenizer pass, so df_t = count of docs whose
+    // token list contains the term, exactly the row count the old
+    // count(*) OVER (PARTITION BY term) window produced over the tf
+    // groups (≥1 occurrence ⇔ a tf row ⇔ a hits entry). The window
+    // placed every matching doc of a hot term in ONE partition with a
+    // sort (no AQE skew handling on window exchanges — a stopword is a
+    // straggler task at corpus scale); the stats rider is skew-free and
+    // joins back broadcast, ≤ |query terms| rows.
+    val ts = graft.functions.ArrayExpressions
+      .tokenDlHits(col(textCol), terms.toSeq)
+    val dfAggs = terms.indices.map(j =>
+      sum(when(array_contains(ts.getField("hits"), j), 1L)).as(s"df_$j"))
+    val statsWide =
       if (bm25)
-        df.select(tokenCount(col(textCol)).as("dl"))
-          .agg(count(lit(1)).as("n"),
-            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      else df.select(count(lit(1)).as("n"))
-    // ONE pass over the matching docs (r18): the tf aggregation is the
-    // only consumer of the tokenize+explode subtree, and per-term df
-    // rides it as a WINDOW count — each (doc[, dl], term) group is one
-    // row after the tf aggregation and ids are unique, so
-    // count(*) OVER (PARTITION BY term) IS countDistinct(id) per term.
-    // The former idf branch re-aggregated the same exploded scan a
-    // second time (two full corpus tokenizations per request; the plan
-    // cannot share the exchanges because the group keys differ).
+        df.agg(count(lit(1)).as("n"),
+          (sum(ts.getField("dl")).cast("double") / count(lit(1)))
+            .as("avgdl") +: dfAggs: _*)
+      else df.agg(count(lit(1)).as("n"), dfAggs: _*)
     val grouped =
       if (bm25)
         // dl is functionally dependent on the doc id — riding it in the
@@ -877,11 +926,22 @@ object Search {
           .agg(count(lit(1)).as("tf"))
       else toks.groupBy(col(idCol), col("term"))
         .agg(count(lit(1)).as("tf"))
-    val byTerm = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))
-    val withStats = grouped
-      .withColumn("df_t", count(lit(1)).over(byTerm))
-      .crossJoin(broadcast(stats))
+    val withStats =
+      if (terms.isEmpty)
+        // no analyzed terms: grouped is empty (isin over nothing);
+        // supply the schema the scorer below expects
+        grouped.withColumn("df_t", lit(0L)).withColumn("n", lit(0L))
+          .withColumn("avgdl", lit(0.0))
+      else {
+        val stats = statsWide.select(explode(array(terms.zipWithIndex.map {
+            case (t, j) => struct(lit(t).as("term"), col("n").as("n"),
+              (if (bm25) col("avgdl") else lit(0.0)).as("avgdl"),
+              col(s"df_$j").as("df_t"))
+          }.toSeq: _*)).as("s"))
+          .select(col("s.term").as("term"), col("s.n").as("n"),
+            col("s.avgdl").as("avgdl"), col("s.df_t").as("df_t"))
+        grouped.join(broadcast(stats), Seq("term"))
+      }
     // idf inline over the same (n, df_t) longs the joined column held —
     // identical doubles, one fewer corpus scan
     val idf: Column =

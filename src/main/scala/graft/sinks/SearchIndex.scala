@@ -121,6 +121,24 @@ object SearchIndex {
     "sumdl", "score", "input", "input_lc")
 
   /** Current generation's table directory. */
+  /** Per-(session, generation-dir) memo of the lazily-read index
+    * tables. A generation directory is IMMUTABLE once written (rebuild
+    * and upsert write g(N+1) and flip the meta pointer), so the
+    * memoized DataFrame is a pure plan/metadata cache: building
+    * `spark.read.parquet` per request re-lists the directory and
+    * re-reads footers on the DRIVER — a fixed serial cost per probe
+    * table that dominated the indexed wildcard (21 tiny reads per
+    * request). Execution still scans the parquet files every time; no
+    * query RESULT is ever cached (r19). Superseded generations leave
+    * dead plan objects behind — bounded by the rebuild count, like the
+    * coverage memo. */
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def indexTable(spark: SparkSession, dir: String,
+                         sub: String): DataFrame =
+    tableMemo.computeIfAbsent((spark, s"$dir/$sub"),
+      k => k._1.read.parquet(k._2))
+
   private def tableDir(path: String, meta: Meta): String =
     s"$path/g${meta.gen}"
 
@@ -340,7 +358,11 @@ object SearchIndex {
       .sortWithinPartitions(col("fid"), col("input_lc"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/inputs")
     // derive the stats tables from the WRITTEN postings/doclens (a
-    // cheap re-read) rather than recomputing the corpus scan twice
+    // cheap re-read) rather than recomputing the corpus scan twice.
+    // DIRECT reads, not indexTable: a retried build overwrites this
+    // generation's files in place, and a memoized listing from the
+    // failed attempt would go stale — the memo is for the immutable
+    // query-path generations only
     termstatsOf(spark.read.parquet(s"$dir/postings"))
       .sortWithinPartitions(col("fid"), col("term"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
@@ -374,6 +396,103 @@ object SearchIndex {
       .limit(limit)
   }
 
+  /** EVERY branch of a wildcard index probe merged into ONE plan —
+    * the r19 replacement for unioning [[ranked]] per entity: the old
+    * shape built 2 broadcast exchanges + 1 aggregation exchange + 1
+    * per-branch TakeOrdered PER ENTITY (a 7-entity wildcard = 14
+    * broadcast builds serialized on the driver); this form unions the
+    * entity-tagged postings/termstats/fieldstats probes, builds ONE
+    * (table, fid, term, idf, avgdl) broadcast, aggregates once keyed
+    * by (table, document_id), and takes one global top-k. Per-entity
+    * scores stay bit-identical: each branch's fixed-order conditional
+    * sums are selected by the constant `table` group key (foreign
+    * branches' sums coalesce to exact 0.0 and are never picked), and
+    * rounding happens once per group like the per-branch plan.
+    * Returns (table, document_id, score) ordered by the shared 3-key
+    * cursor order, limit applied. */
+  def rankedAcrossIndexes(spark: SparkSession,
+                          branches: Seq[(String, String)],
+                          query: String, limit: Int = 100,
+                          bm25: Boolean = true,
+                          bestFields: Boolean = false,
+                          after: Option[(Double, String, String)] = None)
+      : DataFrame = {
+    import graft.serving.Search.round4
+    require(branches.nonEmpty, "at least one index to probe")
+    val metas = branches.map { case (name, path) =>
+      (name, path, readMeta(path)) }
+    // each index analyzes the query with ITS OWN search analyzer —
+    // the same per-branch analysis the unioned probes performed
+    val termsOf = metas.map { case (name, _, meta) =>
+      name -> queryAnalyze(meta, query).distinct.toArray }.toMap
+    val postings = metas.map { case (name, path, meta) =>
+      indexTable(spark, tableDir(path, meta), "postings")
+        .filter(col("term").isin(termsOf(name).toSeq: _*))
+        .select(lit(name).as("table"),
+          col(meta.idCol).as("document_id"),
+          col("fid"), col("term"), col("tf"), col("dl"))
+    }.reduce(_.unionByName(_))
+    val fieldstats = metas.map { case (name, path, meta) =>
+      indexTable(spark, tableDir(path, meta), "fieldstats")
+        .select(lit(name).as("table"), col("fid"), col("n"),
+          (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    }.reduce(_.unionByName(_))
+    val idf = metas.map { case (name, path, meta) =>
+      indexTable(spark, tableDir(path, meta), "termstats")
+        .filter(col("term").isin(termsOf(name).toSeq: _*))
+        .select(lit(name).as("table"), col("fid"), col("term"),
+          col("df_t"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(fieldstats), Seq("table", "fid"))
+      .select(col("table"), col("fid"), col("term"),
+        (if (bm25)
+          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+            (col("df_t") + 0.5))
+        else ((col("n") + 1.0) / (col("df_t") + 1.0))).as("idf"),
+        col("avgdl"))
+    val perTerm: Column =
+      if (bm25)
+        col("idf") * ((col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))))
+      else col("tf") * col("idf")
+    // per-entity score expression — [[rankedScoresOf]]'s fieldScore
+    // verbatim with the table gate in the condition; selected by the
+    // constant group key
+    val scoreByEntity: Column = metas.foldLeft(
+        lit(0.0): Column) { case (acc, (name, _, meta)) =>
+      val terms = termsOf(name)
+      val parts = meta.fields.indices.map { i =>
+        terms.toSeq.map(t =>
+            coalesce(sum(when(col("table") === name &&
+              col("term") === t && col("fid") === i, perTerm)),
+              lit(0.0)))
+          .reduce(_ + _)
+      }
+      val combined =
+        if (parts.isEmpty) lit(0.0)
+        else if (parts.size == 1) parts.head
+        else if (bestFields) greatest(parts: _*)
+        else parts.reduce(_ + _)
+      when(col("table") === name, round4(combined)).otherwise(acc)
+    }
+    val scored = postings.join(broadcast(idf), Seq("table", "fid", "term"))
+      .groupBy(col("table"), col("document_id"))
+      .agg(scoreByEntity.as("score"))
+    // the shared 3-key cursor: each branch's inclusive flag folds into
+    // one predicate gated by the same table key
+    val afterPred = after.map { case (s, id, t) =>
+      metas.foldLeft(lit(false): Column) { case (acc, (name, _, _)) =>
+        when(col("table") === name,
+          graft.serving.Search.afterPredicate(Some((s, id: Any)),
+            col("document_id"), inclusive = name > t)).otherwise(acc)
+      }
+    }.getOrElse(lit(true))
+    scored.filter(afterPred)
+      .orderBy(col("score").desc, col("document_id"), col("table"))
+      .limit(limit)
+  }
+
   /** The (idCol, score) frame of [[ranked]] BEFORE pagination — one
     * row per doc matching ≥1 query term, carrying the rounded
     * combined score. The index-probe twin of
@@ -404,28 +523,35 @@ object SearchIndex {
     val terms = queryAnalyze(meta, query).distinct.toArray
     // postings probe: both predicates reach the parquet scan as pushed
     // filters — the surviving rows are (query term × matching doc)-sized
-    val p = spark.read.parquet(s"$dir/postings")
+    val p = indexTable(spark, dir, "postings")
       .filter(col("term").isin(terms.toSeq: _*) &&
         col("fid").isin(fids: _*))
-    val stats = spark.read.parquet(s"$dir/fieldstats")
+    val stats = indexTable(spark, dir, "fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"),
         // exact-integer sum ÷ count — the identical double the scan
         // path's sum(tokenCount)/count(*) aggregate produces
         (col("sumdl").cast("double") / col("n")).as("avgdl"))
-    val idf = spark.read.parquet(s"$dir/termstats")
+    // r19: avgdl RIDES the per-(fid, term) idf broadcast instead of a
+    // second fieldstats scan + third broadcast joined on fid alone —
+    // every (fid, term) of the postings probe has a termstats row (the
+    // stats derive from the postings at build time), and avgdl is
+    // constant per fid, so the single (fid, term) join attaches the
+    // identical doubles. 3 scans + 2 broadcasts per branch, was 4 + 3 —
+    // on a 7-entity wildcard that is 7 fewer scans and 7 fewer
+    // broadcast exchanges per request.
+    val idfCols =
+      (if (bm25)
+        log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5)).as("idf")
+      else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf")) ::
+        (if (bm25) List(col("avgdl")) else Nil)
+    val idf = indexTable(spark, dir, "termstats")
       .filter(col("term").isin(terms.toSeq: _*) &&
         col("fid").isin(fids: _*))
-      .join(broadcast(stats.select(col("fid"), col("n"))), Seq("fid"))
-      .select(col("fid"), col("term"),
-        if (bm25)
-          log(lit(1.0) + (col("n") - col("df_t") + 0.5) /
-            (col("df_t") + 0.5)).as("idf")
-        else ((col("n") + 1.0) / (col("df_t") + 1.0)).as("idf"))
-    val grouped =
-      if (bm25)
-        p.join(broadcast(stats.select(col("fid"), col("avgdl"))), Seq("fid"))
-      else p
+      .join(broadcast(stats), Seq("fid"))
+      .select(col("fid") :: col("term") :: idfCols: _*)
+    val grouped = p
     val perTerm: Column =
       if (bm25)
         col("idf") * ((col("tf") * 2.2) /
@@ -488,7 +614,7 @@ object SearchIndex {
     // against whitespace/keyword) analyzes to zero terms: no hits,
     // not an error (zero_terms_query "none")
     if (posTerms.isEmpty && queryChainName(meta) != "standard")
-      return spark.read.parquet(s"$dir/postings")
+      return indexTable(spark, dir, "postings")
         .select(col(idCol), lit(0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
     val perField =
@@ -525,7 +651,7 @@ object SearchIndex {
   private def prunedPostings(spark: SparkSession, dir: String,
                              idCol: String, fids: Seq[Int],
                              terms: Seq[String]): DataFrame =
-    spark.read.parquet(s"$dir/postings")
+    indexTable(spark, dir, "postings")
       .filter(col("term").isin(terms: _*) &&
         col("fid").isin(fids: _*))
       .select(col(idCol), col("fid"), col("dl"), col("term"), col("pos"))
@@ -670,17 +796,17 @@ object SearchIndex {
     // indexed twin must mirror that, so the empty result keeps the
     // (id, score) shape without reading postings
     if (posTerms.isEmpty && effAnalyzer != "standard")
-      return spark.read.parquet(s"$dir/postings")
+      return indexTable(spark, dir, "postings")
         .select(col(idCol), lit(0.0).as("score")).limit(0)
     require(posTerms.nonEmpty, "empty phrase")
     val terms = posTerms.map(_._1)
     val distinctTerms = terms.distinct
     val perField = phraseCounts(spark, dir, idCol, fids, posTerms, slop)
-    val stats = spark.read.parquet(s"$dir/fieldstats")
+    val stats = indexTable(spark, dir, "fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"),
         (col("sumdl").cast("double") / col("n")).as("avgdl"))
-    val dfm = spark.read.parquet(s"$dir/termstats")
+    val dfm = indexTable(spark, dir, "termstats")
       .filter(col("term").isin(distinctTerms: _*) &&
         col("fid").isin(fids: _*))
       .groupBy(col("fid"))
@@ -808,7 +934,7 @@ object SearchIndex {
     val terms = queryAnalyze(meta, query).distinct
     require(terms.nonEmpty, "empty query")
     val need = math.max(1, math.min(minMatch, terms.size))
-    val p = spark.read.parquet(s"$dir/postings")
+    val p = indexTable(spark, dir, "postings")
       .filter(col("term").isin(terms: _*) && col("fid").isin(fids: _*))
       .select(col(idCol), col("fid"), col("term"), col("tf"))
     // tf per (term, field) as conditional aggregates — the index-side
@@ -853,7 +979,7 @@ object SearchIndex {
     val toks =
       graft.functions.TextFunctions.analyzeText(text).distinct
     require(toks.nonEmpty, "suggest text has no tokens")
-    val vocab = spark.read.parquet(s"$dir/termstats")
+    val vocab = indexTable(spark, dir, "termstats")
       .filter(col("fid") === fidOf(field))
       .select(col("term"), col("df_t").as("freq"))
     graft.serving.EsDsl.suggestFromVocab(vocab, toks, size, maxEdits,
@@ -906,7 +1032,7 @@ object SearchIndex {
     // (edit distance asc, term asc) ACROSS the searched fields — the
     // same capped set Search.fuzzyExpansionSets derives from the
     // corpus, so both paths keep sharing one oracle.
-    val vocab = spark.read.parquet(s"$dir/termstats")
+    val vocab = indexTable(spark, dir, "termstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("term"))
     val cands = terms.zipWithIndex.map { case (t, qi) =>
@@ -927,7 +1053,7 @@ object SearchIndex {
         }
         capped.select(col("fid"), col("term"), lit(qi).as("qi"))
       }.reduce(_.unionByName(_))
-    val p = spark.read.parquet(s"$dir/postings")
+    val p = indexTable(spark, dir, "postings")
       .filter(col("fid").isin(fids: _*))
       .select(col(idCol), col("fid"), col("term"), col("tf"))
     // same fixed summation order as the scan path: terms outer, fields
@@ -980,9 +1106,9 @@ object SearchIndex {
     val fidOf = meta.fields.zipWithIndex.toMap
     require(fidOf.contains(field), s"field not in index: $field")
     val fid = fidOf(field)
-    (spark.read.parquet(s"$dir/fieldstats")
+    (indexTable(spark, dir, "fieldstats")
        .filter(col("fid") === fid).select(col("n")),
-     spark.read.parquet(s"$dir/termstats")
+     indexTable(spark, dir, "termstats")
        .filter(col("fid") === fid && col("term").isin(terms: _*))
        .select(col("term"), col("df_t")))
   }
@@ -1042,8 +1168,8 @@ object SearchIndex {
       meta.custom)
     val newLens = doclensOf(full, meta.fields, idCol, meta.analyzer,
       meta.custom)
-    val oldPost = spark.read.parquet(s"$dir/postings")
-    val oldLens = spark.read.parquet(s"$dir/doclens")
+    val oldPost = indexTable(spark, dir, "postings")
+    val oldLens = indexTable(spark, dir, "doclens")
     val remPost = oldPost.join(keys, Seq(idCol), "left_semi")
     val remLens = oldLens.join(keys, Seq(idCol), "left_semi")
     // ---- integer deltas ------------------------------------------------
@@ -1054,7 +1180,7 @@ object SearchIndex {
       .unionByName(remPost.groupBy(col("fid"), col("term"))
         .agg((-count(lit(1))).as("d")))
       .groupBy(col("fid"), col("term")).agg(sum(col("d")).as("d"))
-    val termstats2 = spark.read.parquet(s"$dir/termstats")
+    val termstats2 = indexTable(spark, dir, "termstats")
       .join(dfDelta, Seq("fid", "term"), "full")
       .select(col("fid"), col("term"),
         (coalesce(col("df_t"), lit(0L)) + coalesce(col("d"), lit(0L)))
@@ -1068,7 +1194,7 @@ object SearchIndex {
           (-coalesce(sum(col("dl")), lit(0L))).as("dsum")))
       .groupBy(col("fid"))
       .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
-    val fieldstats2 = spark.read.parquet(s"$dir/fieldstats")
+    val fieldstats2 = indexTable(spark, dir, "fieldstats")
       .join(lenDelta, Seq("fid"), "left")
       .select(col("fid"),
         (col("n") + coalesce(col("dn"), lit(0L))).cast("long").as("n"),
@@ -1084,7 +1210,7 @@ object SearchIndex {
     // scan path until the next full rebuild
     val inputs2 =
       if (new java.io.File(s"$dir/inputs").isDirectory)
-        Some(spark.read.parquet(s"$dir/inputs")
+        Some(indexTable(spark, dir, "inputs")
           .join(keys, Seq(idCol), "left_anti")
           .unionByName(inputsOf(full, meta.fields, idCol)))
       else None
@@ -1123,12 +1249,12 @@ object SearchIndex {
     require(missing.isEmpty,
       s"fields not in index: ${missing.mkString(", ")}")
     val fids = fields.map(fidOf)
-    val fsRows = spark.read.parquet(s"$dir/fieldstats")
+    val fsRows = indexTable(spark, dir, "fieldstats")
       .filter(col("fid").isin(fids: _*))
       .select(col("fid"), col("n"), col("sumdl"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val tsRows = spark.read.parquet(s"$dir/termstats")
+    val tsRows = indexTable(spark, dir, "termstats")
       .filter(col("fid").isin(fids.distinct: _*) &&
         col("term").isin(terms.map(_._2).distinct: _*))
       .select(col("fid"), col("term"), col("df_t"))
@@ -1218,7 +1344,7 @@ object SearchIndex {
         col("input_lc"), prefix, edits, fuzzyPrefixLength,
         transpositions)
     }
-    val hits0 = spark.read.parquet(s"$dir/inputs")
+    val hits0 = indexTable(spark, dir, "inputs")
       .filter(col("fid") === fidOf(field) && inputPred)
     // CATEGORY contexts — each context name is a sibling indexed
     // field: its candidate ids come from the SAME dictionary with
@@ -1232,7 +1358,7 @@ object SearchIndex {
         val b = vals.map { case (v, bo) =>
           when(col("input") === v, lit(bo)) }
           .reduce((a, x) => greatest(a, x))
-        h.join(spark.read.parquet(s"$dir/inputs")
+        h.join(indexTable(spark, dir, "inputs")
             .filter(col("fid") === fidOf(cf) &&
               col("input").isInCollection(vals.map(_._1)))
             .select(col(idCol), b.as(s"__b$i")),

@@ -1008,6 +1008,79 @@ case class AnalyzerTokenCount(child: Expression)
       newChild: Expression): AnalyzerTokenCount = copy(child = newChild)
 }
 
+/** ONE tokenizer pass returning BOTH the analyzed-token count (the
+  * BM25 document length) and the DISTINCT query-term indices present
+  * among the tokens — `struct<dl:int, hits:array<int>>`. The stats-scan
+  * rider behind the r19 de-skewed scorers: per-(field, term) document
+  * frequency rides the corpus statistics aggregate as conditional
+  * counts over this struct instead of `count(*) OVER (PARTITION BY
+  * fid, term)` on the matched set (a window that placed every matching
+  * doc of a hot term in ONE partition — no AQE skew handling applies
+  * to window exchanges). `hits` holds ascending indices into `terms`,
+  * each at most once — exactly "the field's token list contains
+  * terms(j)", the explode + isin + tf-group row-existence predicate.
+  */
+case class TokenDlHits(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_token_dl_hits"
+
+  @transient private lazy val termsArr: Array[String] = terms.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenDlHits.compute(input.asInstanceOf[UTF8String], termsArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termsArr,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TokenDlHits.compute($c, $ref)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenDlHits = copy(child = newChild)
+}
+
+object TokenDlHits {
+  def compute(input: UTF8String,
+              terms: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toLowerCase.toString
+    val sp = AnalyzerTokens.spans(s)
+    val seen = new Array[Boolean](terms.length)
+    var nHits = 0
+    var k = 0
+    while (k < sp.length) {
+      val (a, b) = sp(k)
+      val len = b - a
+      var j = 0
+      while (j < terms.length) {
+        if (!seen(j)) {
+          val t = terms(j)
+          if (t.length == len && s.regionMatches(a, t, 0, len)) {
+            seen(j) = true
+            nHits += 1
+          }
+        }
+        j += 1
+      }
+      k += 1
+    }
+    val hits = new Array[Any](nHits)
+    var j = 0
+    var m = 0
+    while (j < terms.length) {
+      if (seen(j)) { hits(m) = j; m += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(sp.length,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hits))
+  }
+}
+
 /** Search.tokenNorm in one generated pass: the padded
   * double-space-joined analyzed-token string the phrase/term substring
   * probes run over. */
@@ -1097,6 +1170,11 @@ object ArrayExpressions {
   /** Column API for [[AnalyzerNorm]]. */
   def analyzerNorm(text: Column): Column =
     ExpressionUtils.column(AnalyzerNorm(ExpressionUtils.expression(text)))
+
+  /** Column API for [[TokenDlHits]]. */
+  def tokenDlHits(text: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(
+      TokenDlHits(ExpressionUtils.expression(text), terms))
 
   /** Column API for [[DamerauLevenshtein]]. */
   def damerauLevenshtein(a: Column, b: Column): Column =

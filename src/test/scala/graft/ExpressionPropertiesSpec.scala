@@ -214,6 +214,47 @@ class ExpressionPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("TokenDlHits == (size(analyzerTokens), distinct matched term " +
+    "indices ascending) — the r19 de-skewed scorers' stats rider") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adversarial = Seq(
+      "Hello, world!", "don't stop-me now", "U.S.A. rocks", "3.14 is pi",
+      "window the of window", "the THE The", "", "   ", ".", "'",
+      "café naïve Über", "a.b..c window", "of of of",
+      "windowpane the.of", "WINDOW", "tab\twindow\nof")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "winofthe .'ab"
+    val random = (1 to 500).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val terms = Seq("window", "the", "of", "café", "a")
+    val df = (adversarial ++ random).toDF("text")
+    val ts = graft.functions.ArrayExpressions
+      .tokenDlHits(col("text"), terms)
+    val toks = graft.functions.TextFunctions.analyzerTokens(col("text"))
+    val cmp = df.select(
+      ts.getField("dl").as("dl"), ts.getField("hits").as("hits"),
+      size(toks).as("dlRef"),
+      filter(array(terms.indices.map(lit): _*),
+        j => array_contains(toks, element_at(
+          array(terms.map(lit): _*), j + 1))).as("hitsRef"),
+      col("text"))
+    cmp.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(2),
+        s"dl mismatch on '${r.getString(4)}'")
+      assert(r.getSeq[Int](1) == r.getSeq[Int](3),
+        s"hits mismatch on '${r.getString(4)}'")
+    }
+    // null text: the struct is null (nullSafeEval), matching the gated
+    // aggregation semantics (sum skips, count(when(...)) skips)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.ArrayExpressions
+        .tokenDlHits(col("text"), terms).as("ts"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("EnglishTokens (executor) == EnglishAnalysis.analyzeWithPositions " +
     "(driver), over adversarial, stopword-heavy and random strings") {
     import spark.implicits._
