@@ -211,12 +211,14 @@ object CurationQueries {
     "quality_quantile_gate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import TextFunctions._
-      // r19: scored feeds both the exact-histogram branch and the GK
-      // sketch branch — staged so qualityScore runs once (see
-      // quality_calibrated)
-      val scored = graft.StageCache.stage(
-        t(s, dir, "documents").select(col("source"),
-          qualityScore(col("text")).as("q")))
+      // NOT staged (r19 negative result): scored feeds two branches
+      // like quality_calibrated, but here both are cheap aggregations —
+      // staging measured 0.28 → 0.73 s (the cache materialization costs
+      // more than the second qualityScore scan it saves); calibrated's
+      // second consumer is an expensive join branch, hence the split
+      // decision
+      val scored = t(s, dir, "documents").select(col("source"),
+        qualityScore(col("text")).as("q"))
       val hist = scored.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("c"))
       val bySrc = Window.partitionBy(col("source"))

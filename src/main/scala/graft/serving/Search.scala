@@ -239,14 +239,18 @@ object Search {
     // exchanges). df_t = entity docs whose field token-list contains
     // the term ≡ the old tf-group row count (foreign rows are gated
     // out exactly as their gated token arrays vanished at the explode).
-    // the struct itself is GATED so the hoisted common subexpression
-    // checks the entity gate before tokenizing — a foreign row (null
-    // struct) contributes nothing to sumdl (sum skips null ≡ the old
-    // when-gated tokenCount's +0) nor to df (array_contains(null, j)
-    // is null, the conditional count skips)
-    val tsOf = pairs.map { case (e, f) =>
-      when(gate(e),
-        graft.functions.ArrayExpressions.tokenDlHits(col(f), terms.toSeq)) }
+    // the struct is GATED (a foreign row's null struct contributes
+    // nothing to sumdl — sum skips null ≡ the old when-gated
+    // tokenCount's +0 — nor to df: array_contains(null, j) is null and
+    // the conditional count skips) and evaluated ONCE per row in a
+    // PROJECTION below the aggregate, so the k df aggs + sumdl all
+    // reference an attribute — codegen subexpression elimination never
+    // gets a vote on how many tokenizer passes a row pays
+    val tsOf = pairs.indices.map(i => col(s"__ts_$i"))
+    val pre = union.select(col("table") +:
+      pairs.zipWithIndex.map { case ((e, f), i) =>
+        when(gate(e), graft.functions.ArrayExpressions
+          .tokenDlHits(col(f), terms.toSeq)).as(s"__ts_$i") }: _*)
     val dfAggs = for (i <- pairs.indices; j <- terms.indices) yield
       sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
         .as(s"df_${i}_$j")
@@ -254,7 +258,7 @@ object Search {
       (if (bm25) nCols ++ pairs.indices.map { i =>
         sum(tsOf(i).getField("dl")).as(s"sumdl_$i") }
       else nCols) ++ dfAggs
-    val statsWide = union.agg(statsAggs.head, statsAggs.tail: _*)
+    val statsWide = pre.agg(statsAggs.head, statsAggs.tail: _*)
     lazy val stats = statsWide.select(explode(array((for {
         (((e, _), i)) <- pairs.zipWithIndex
         (t, j) <- terms.zipWithIndex.toSeq
@@ -648,8 +652,14 @@ object Search {
     // reshaped stats broadcast is ≤ |fields| × |query terms| rows. On
     // the tf·idf path the stats pass now tokenizes to carry df (it
     // previously only counted rows — the window carried df there).
-    val tsOf = fields.map(f => graft.functions.ArrayExpressions
-      .tokenDlHits(col(f), terms.toSeq))
+    // the struct is evaluated ONCE per row in a projection below the
+    // aggregate (the df aggs + avgdl reference an attribute, so codegen
+    // subexpression elimination never gets a vote on how many tokenizer
+    // passes a row pays)
+    val tsOf = fields.indices.map(i => col(s"__ts_$i"))
+    val pre = df.select(fields.zipWithIndex.map { case (f, i) =>
+      graft.functions.ArrayExpressions.tokenDlHits(col(f), terms.toSeq)
+        .as(s"__ts_$i") }: _*)
     val dfAggs = for (i <- fields.indices; j <- terms.indices) yield
       sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
         .as(s"df_${i}_$j")
@@ -659,7 +669,7 @@ object Search {
           (sum(tsOf(i).getField("dl")).cast("double") / count(lit(1)))
             .as(s"avgdl_$i")) ++ dfAggs
       else dfAggs
-    val statsWide = df.agg(count(lit(1)).as("n"), statsAggs: _*)
+    val statsWide = pre.agg(count(lit(1)).as("n"), statsAggs: _*)
     // lazy: with zero analyzed terms the explode(array()) would not
     // resolve, and the empty-terms branch below never consumes it
     lazy val stats = statsWide.select(explode(array((for {
@@ -802,12 +812,16 @@ object Search {
     // the term ≡ the old tf-group row count; a (fid, term) group
     // requires the token in that field, which implies the prefilter
     // admitted the row — so df_t equals the per-clause value.
-    val tsOf = fieldExprs.map(rf => graft.functions.ArrayExpressions
-      .tokenDlHits(rf.expr, allTerms))
+    // evaluated ONCE per row in a projection below the aggregate (see
+    // rankedAll)
+    val tsOf = fieldExprs.indices.map(i => col(s"__ts_$i"))
+    val pre = df.select(fieldExprs.zipWithIndex.map { case (rf, i) =>
+      graft.functions.ArrayExpressions.tokenDlHits(rf.expr, allTerms)
+        .as(s"__ts_$i") }: _*)
     val dfAggs = for (i <- fieldExprs.indices; j <- allTerms.indices)
       yield sum(when(array_contains(tsOf(i).getField("hits"), j), 1L))
         .as(s"df_${i}_$j")
-    val statsWide = df.agg(count(lit(1)).as("n"),
+    val statsWide = pre.agg(count(lit(1)).as("n"),
       fieldExprs.indices.map { i =>
         (sum(tsOf(i).getField("dl")).cast("double") / count(lit(1)))
           .as(s"avgdl_$i") } ++ dfAggs: _*)
@@ -908,16 +922,19 @@ object Search {
     // sort (no AQE skew handling on window exchanges — a stopword is a
     // straggler task at corpus scale); the stats rider is skew-free and
     // joins back broadcast, ≤ |query terms| rows.
-    val ts = graft.functions.ArrayExpressions
-      .tokenDlHits(col(textCol), terms.toSeq)
+    // evaluated ONCE per row in a projection below the aggregate (see
+    // rankedAll)
+    val ts = col("__ts")
+    val pre = df.select(graft.functions.ArrayExpressions
+      .tokenDlHits(col(textCol), terms.toSeq).as("__ts"))
     val dfAggs = terms.indices.map(j =>
       sum(when(array_contains(ts.getField("hits"), j), 1L)).as(s"df_$j"))
     val statsWide =
       if (bm25)
-        df.agg(count(lit(1)).as("n"),
+        pre.agg(count(lit(1)).as("n"),
           (sum(ts.getField("dl")).cast("double") / count(lit(1)))
             .as("avgdl") +: dfAggs: _*)
-      else df.agg(count(lit(1)).as("n"), dfAggs: _*)
+      else pre.agg(count(lit(1)).as("n"), dfAggs: _*)
     val grouped =
       if (bm25)
         // dl is functionally dependent on the doc id — riding it in the
